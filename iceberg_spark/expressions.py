@@ -1,0 +1,763 @@
+"""Expression / predicate algebra: the pushdown language.
+
+Reference: api/src/main/java/org/apache/iceberg/expressions/Expression.java:26
+(operation set), Expressions.java:33-283 (factory), Binder.java:35,
+Evaluator.java:36, InclusiveMetricsEvaluator.java:48,
+StrictMetricsEvaluator.java:53, Projections.java:28 (+ ProjectionUtil),
+RewriteNot.java; spec format/expressions-spec.md:21 and format/spec.md:1050
+(partition predicate projection).
+
+Design (SURVEY §2.C): one Python expression tree serves four consumers:
+  1. `to_spark` -> pyspark Column (data-level residual filter; Catalyst
+     pushes it into the Parquet scan),
+  2. `to_sql`   -> ANSI SQL string (DuckDB oracles, debugging),
+  3. metric evaluators -> prune files from manifest stats (local planning),
+  4. partition projection -> predicates on partition tuples (hidden
+     partitioning; manifest & manifest-list pruning, Spark-side too).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .schema import NestedField, Schema
+from .transforms import Identity, Transform, parse_transform
+
+# operations ----------------------------------------------------------------
+
+LT, LT_EQ, GT, GT_EQ, EQ, NOT_EQ = "lt", "lt_eq", "gt", "gt_eq", "eq", "not_eq"
+IN, NOT_IN = "in", "not_in"
+IS_NULL, NOT_NULL = "is_null", "not_null"
+IS_NAN, NOT_NAN = "is_nan", "not_nan"
+STARTS_WITH, NOT_STARTS_WITH = "starts_with", "not_starts_with"
+
+_NEGATE = {
+    LT: GT_EQ, GT_EQ: LT, GT: LT_EQ, LT_EQ: GT, EQ: NOT_EQ, NOT_EQ: EQ,
+    IN: NOT_IN, NOT_IN: IN, IS_NULL: NOT_NULL, NOT_NULL: IS_NULL,
+    IS_NAN: NOT_NAN, NOT_NAN: IS_NAN, STARTS_WITH: NOT_STARTS_WITH,
+    NOT_STARTS_WITH: STARTS_WITH,
+}
+_FLIP = {LT: GT, GT: LT, LT_EQ: GT_EQ, GT_EQ: LT_EQ, EQ: EQ, NOT_EQ: NOT_EQ}
+
+
+# expression nodes ----------------------------------------------------------
+
+
+class Expr:
+    def __and__(self, other):
+        return and_(self, other)
+
+    def __or__(self, other):
+        return or_(self, other)
+
+    def __invert__(self):
+        return not_(self)
+
+
+@dataclass(frozen=True)
+class AlwaysTrue(Expr):
+    def __repr__(self):
+        return "true"
+
+
+@dataclass(frozen=True)
+class AlwaysFalse(Expr):
+    def __repr__(self):
+        return "false"
+
+
+ALWAYS_TRUE = AlwaysTrue()
+ALWAYS_FALSE = AlwaysFalse()
+
+
+@dataclass(frozen=True)
+class And(Expr):
+    left: Expr
+    right: Expr
+
+    def __repr__(self):
+        return f"({self.left} AND {self.right})"
+
+
+@dataclass(frozen=True)
+class Or(Expr):
+    left: Expr
+    right: Expr
+
+    def __repr__(self):
+        return f"({self.left} OR {self.right})"
+
+
+@dataclass(frozen=True)
+class Not(Expr):
+    child: Expr
+
+    def __repr__(self):
+        return f"(NOT {self.child})"
+
+
+@dataclass(frozen=True)
+class Term:
+    """A reference, optionally transform-wrapped: e.g. bucket(16, id)."""
+
+    name: str
+    transform: Optional[Transform] = None  # None == identity
+
+    def __repr__(self):
+        return f"{self.transform}({self.name})" if self.transform else self.name
+
+
+@dataclass(frozen=True)
+class Predicate(Expr):
+    op: str
+    term: Term
+    literals: tuple = ()  # () for unary ops; (v,) binary; (v...) for IN
+
+    @property
+    def literal(self):
+        return self.literals[0]
+
+    def __repr__(self):
+        if self.op in (IS_NULL, NOT_NULL, IS_NAN, NOT_NAN):
+            return f"{self.term} {self.op}"
+        if self.op in (IN, NOT_IN):
+            return f"{self.term} {self.op} {list(self.literals)}"
+        return f"{self.term} {self.op} {self.literal!r}"
+
+
+# factory / DSL -------------------------------------------------------------
+
+
+class ColumnRef:
+    """`col('x') > 5`-style sugar producing Predicates."""
+
+    def __init__(self, name: str, transform: Optional[Transform] = None):
+        self._term = Term(name, transform)
+
+    def __lt__(self, v):
+        return Predicate(LT, self._term, (v,))
+
+    def __le__(self, v):
+        return Predicate(LT_EQ, self._term, (v,))
+
+    def __gt__(self, v):
+        return Predicate(GT, self._term, (v,))
+
+    def __ge__(self, v):
+        return Predicate(GT_EQ, self._term, (v,))
+
+    def __eq__(self, v):  # noqa: E712
+        return Predicate(EQ, self._term, (v,))
+
+    def __ne__(self, v):
+        return Predicate(NOT_EQ, self._term, (v,))
+
+    def isin(self, *vs):
+        vals = tuple(vs[0]) if len(vs) == 1 and isinstance(vs[0], (list, tuple, set)) else vs
+        return Predicate(IN, self._term, tuple(vals))
+
+    def not_in(self, *vs):
+        vals = tuple(vs[0]) if len(vs) == 1 and isinstance(vs[0], (list, tuple, set)) else vs
+        return Predicate(NOT_IN, self._term, tuple(vals))
+
+    def is_null(self):
+        return Predicate(IS_NULL, self._term)
+
+    def not_null(self):
+        return Predicate(NOT_NULL, self._term)
+
+    def is_nan(self):
+        return Predicate(IS_NAN, self._term)
+
+    def not_nan(self):
+        return Predicate(NOT_NAN, self._term)
+
+    def startswith(self, v):
+        return Predicate(STARTS_WITH, self._term, (v,))
+
+
+def col(name: str) -> ColumnRef:
+    return ColumnRef(name)
+
+
+def transform_col(transform: str, name: str) -> ColumnRef:
+    return ColumnRef(name, parse_transform(transform))
+
+
+def and_(*exprs: Expr) -> Expr:
+    out: Expr = ALWAYS_TRUE
+    for e in exprs:
+        if isinstance(e, AlwaysFalse):
+            return ALWAYS_FALSE
+        if isinstance(e, AlwaysTrue):
+            continue
+        out = e if isinstance(out, AlwaysTrue) else And(out, e)
+    return out
+
+
+def or_(*exprs: Expr) -> Expr:
+    out: Expr = ALWAYS_FALSE
+    for e in exprs:
+        if isinstance(e, AlwaysTrue):
+            return ALWAYS_TRUE
+        if isinstance(e, AlwaysFalse):
+            continue
+        out = e if isinstance(out, AlwaysFalse) else Or(out, e)
+    return out
+
+
+def not_(e: Expr) -> Expr:
+    return rewrite_not(Not(e))
+
+
+def rewrite_not(e: Expr) -> Expr:
+    """Push NOT to the leaves (De Morgan). Reference RewriteNot.java."""
+    if isinstance(e, Not):
+        c = e.child
+        if isinstance(c, AlwaysTrue):
+            return ALWAYS_FALSE
+        if isinstance(c, AlwaysFalse):
+            return ALWAYS_TRUE
+        if isinstance(c, Not):
+            return rewrite_not(c.child)
+        if isinstance(c, And):
+            return Or(rewrite_not(Not(c.left)), rewrite_not(Not(c.right)))
+        if isinstance(c, Or):
+            return And(rewrite_not(Not(c.left)), rewrite_not(Not(c.right)))
+        if isinstance(c, Predicate):
+            return Predicate(_NEGATE[c.op], c.term, c.literals)
+        return e
+    if isinstance(e, And):
+        return And(rewrite_not(e.left), rewrite_not(e.right))
+    if isinstance(e, Or):
+        return Or(rewrite_not(e.left), rewrite_not(e.right))
+    return e
+
+
+# literal coercion ----------------------------------------------------------
+
+
+def coerce_literal(v: Any, typ: str) -> Any:
+    """Parse/convert a Python literal to the column's type domain."""
+    if v is None:
+        return None
+    if typ == "date":
+        if isinstance(v, str):
+            return _dt.date.fromisoformat(v)
+        if isinstance(v, _dt.datetime):
+            return v.date()
+        return v
+    if typ in ("timestamp", "timestamp_ntz"):
+        if isinstance(v, str):
+            return _dt.datetime.fromisoformat(v)
+        if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+            return _dt.datetime(v.year, v.month, v.day)
+        return v
+    if typ == "long" or typ == "int":
+        return int(v)
+    if typ in ("double", "float"):
+        return float(v)
+    if typ.startswith("decimal"):
+        from decimal import Decimal
+
+        return Decimal(str(v))
+    return v
+
+
+# binding -------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class BoundTerm:
+    field: NestedField
+    transform: Optional[Transform]
+
+    @property
+    def name(self):
+        return self.field.name
+
+    @property
+    def produced_type(self) -> str:
+        if self.transform is None:
+            return self.field.type
+        return self.transform.result_type(self.field.type)
+
+
+@dataclass(frozen=True)
+class BoundPredicate(Expr):
+    op: str
+    term: BoundTerm
+    literals: tuple = ()
+
+    @property
+    def literal(self):
+        return self.literals[0]
+
+    def __repr__(self):
+        t = f"{self.term.transform}({self.term.name})" if self.term.transform else self.term.name
+        return f"{t} {self.op} {list(self.literals) if self.literals else ''}"
+
+
+def bind(expr: Expr, schema: Schema) -> Expr:
+    """Resolve names -> fields, coerce literals. Reference Binder.java:35."""
+    if isinstance(expr, (AlwaysTrue, AlwaysFalse, BoundPredicate)):
+        return expr
+    if isinstance(expr, And):
+        return and_(bind(expr.left, schema), bind(expr.right, schema))
+    if isinstance(expr, Or):
+        return or_(bind(expr.left, schema), bind(expr.right, schema))
+    if isinstance(expr, Not):
+        return bind(rewrite_not(expr), schema)
+    if isinstance(expr, Predicate):
+        f = schema.find_field(expr.term.name)
+        if not isinstance(f.type, str):
+            raise ValueError(f"cannot filter on non-primitive column {f.name}")
+        lits = tuple(coerce_literal(v, f.type) for v in expr.literals)
+        if expr.op == IN and len(lits) == 1:
+            return BoundPredicate(EQ, BoundTerm(f, expr.term.transform), lits)
+        if expr.op == NOT_IN and len(lits) == 1:
+            return BoundPredicate(NOT_EQ, BoundTerm(f, expr.term.transform), lits)
+        return BoundPredicate(expr.op, BoundTerm(f, expr.term.transform), lits)
+    raise TypeError(f"cannot bind {expr!r}")
+
+
+# -> Spark Column -----------------------------------------------------------
+
+
+def to_spark(expr: Expr, colfn=F.col) -> Column:
+    """Bound/unbound expression -> pyspark Column (the data-level filter)."""
+    if isinstance(expr, AlwaysTrue):
+        return F.lit(True)
+    if isinstance(expr, AlwaysFalse):
+        return F.lit(False)
+    if isinstance(expr, And):
+        return to_spark(expr.left, colfn) & to_spark(expr.right, colfn)
+    if isinstance(expr, Or):
+        return to_spark(expr.left, colfn) | to_spark(expr.right, colfn)
+    if isinstance(expr, Not):
+        return ~to_spark(expr.child, colfn)
+    if isinstance(expr, (Predicate, BoundPredicate)):
+        name = expr.term.name
+        c = colfn(name)
+        tr = expr.term.transform
+        if tr is not None and not isinstance(tr, Identity):
+            src = expr.term.field.type if isinstance(expr, BoundPredicate) else None
+            if src is None:
+                raise ValueError("transform predicates must be bound before to_spark")
+            c = tr.spark_col(c, src)
+        op, lits = expr.op, expr.literals
+        if op == LT:
+            return c < F.lit(lits[0])
+        if op == LT_EQ:
+            return c <= F.lit(lits[0])
+        if op == GT:
+            return c > F.lit(lits[0])
+        if op == GT_EQ:
+            return c >= F.lit(lits[0])
+        if op == EQ:
+            return c == F.lit(lits[0])
+        if op == NOT_EQ:
+            return c != F.lit(lits[0])
+        if op == IN:
+            return c.isin(*lits)
+        if op == NOT_IN:
+            return ~c.isin(*lits)
+        if op == IS_NULL:
+            return c.isNull()
+        if op == NOT_NULL:
+            return c.isNotNull()
+        if op == IS_NAN:
+            return F.isnan(c)
+        if op == NOT_NAN:
+            return ~F.isnan(c)
+        if op == STARTS_WITH:
+            return c.startswith(lits[0])
+        if op == NOT_STARTS_WITH:
+            return ~c.startswith(lits[0])
+    raise TypeError(f"cannot convert {expr!r}")
+
+
+# -> SQL text ---------------------------------------------------------------
+
+
+def _sql_lit(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, _dt.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, _dt.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bytes):
+        return "X'" + v.hex() + "'"
+    return str(v)
+
+
+def to_sql(expr: Expr) -> str:
+    if isinstance(expr, AlwaysTrue):
+        return "TRUE"
+    if isinstance(expr, AlwaysFalse):
+        return "FALSE"
+    if isinstance(expr, And):
+        return f"({to_sql(expr.left)} AND {to_sql(expr.right)})"
+    if isinstance(expr, Or):
+        return f"({to_sql(expr.left)} OR {to_sql(expr.right)})"
+    if isinstance(expr, Not):
+        return f"(NOT {to_sql(expr.child)})"
+    if isinstance(expr, (Predicate, BoundPredicate)):
+        name = expr.term.name
+        op, lits = expr.op, expr.literals
+        cmp = {LT: "<", LT_EQ: "<=", GT: ">", GT_EQ: ">=", EQ: "=", NOT_EQ: "<>"}
+        if op in cmp:
+            return f"{name} {cmp[op]} {_sql_lit(lits[0])}"
+        if op == IN:
+            return f"{name} IN ({', '.join(_sql_lit(v) for v in lits)})"
+        if op == NOT_IN:
+            return f"{name} NOT IN ({', '.join(_sql_lit(v) for v in lits)})"
+        if op == IS_NULL:
+            return f"{name} IS NULL"
+        if op == NOT_NULL:
+            return f"{name} IS NOT NULL"
+        if op == IS_NAN:
+            return f"isnan({name})"
+        if op == NOT_NAN:
+            return f"NOT isnan({name})"
+        if op == STARTS_WITH:
+            return f"{name} LIKE {_sql_lit(lits[0] + '%')}"
+        if op == NOT_STARTS_WITH:
+            return f"{name} NOT LIKE {_sql_lit(lits[0] + '%')}"
+    raise TypeError(f"cannot sql-ify {expr!r}")
+
+
+# referenced columns --------------------------------------------------------
+
+
+def referenced_columns(expr: Expr) -> set:
+    out: set = set()
+
+    def walk(e):
+        if isinstance(e, (And, Or)):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Not):
+            walk(e.child)
+        elif isinstance(e, (Predicate, BoundPredicate)):
+            out.add(e.term.name)
+
+    walk(expr)
+    return out
+
+
+# evaluation on plain rows (partition tuples) -------------------------------
+
+
+def evaluate(expr: Expr, row: dict) -> bool:
+    """Evaluate a bound identity-term expression on a dict row (partition
+    tuples in local planning). Reference Evaluator.java:36."""
+    if isinstance(expr, AlwaysTrue):
+        return True
+    if isinstance(expr, AlwaysFalse):
+        return False
+    if isinstance(expr, And):
+        return evaluate(expr.left, row) and evaluate(expr.right, row)
+    if isinstance(expr, Or):
+        return evaluate(expr.left, row) or evaluate(expr.right, row)
+    if isinstance(expr, Not):
+        return not evaluate(expr.child, row)
+    if isinstance(expr, (Predicate, BoundPredicate)):
+        v = row.get(expr.term.name)
+        op, lits = expr.op, expr.literals
+        if op == IS_NULL:
+            return v is None
+        if op == NOT_NULL:
+            return v is not None
+        if v is None:
+            return False
+        if op == IS_NAN:
+            return v != v
+        if op == NOT_NAN:
+            return v == v
+        if op == LT:
+            return v < lits[0]
+        if op == LT_EQ:
+            return v <= lits[0]
+        if op == GT:
+            return v > lits[0]
+        if op == GT_EQ:
+            return v >= lits[0]
+        if op == EQ:
+            return v == lits[0]
+        if op == NOT_EQ:
+            return v != lits[0]
+        if op == IN:
+            return v in lits
+        if op == NOT_IN:
+            return v not in lits
+        if op == STARTS_WITH:
+            return str(v).startswith(lits[0])
+        if op == NOT_STARTS_WITH:
+            return not str(v).startswith(lits[0])
+    raise TypeError(f"cannot evaluate {expr!r}")
+
+
+# partition projection ------------------------------------------------------
+
+
+def _project_predicate(pred: BoundPredicate, pfield, inclusive: bool) -> Expr:
+    """Project a bound row predicate through one partition field.
+
+    pfield: PartitionField-like with .name, .source_name, .transform.
+    Returns a predicate on the *partition column name*, or ALWAYS_TRUE
+    (inclusive: cannot help) / ALWAYS_FALSE is never produced here.
+    Reference: Projections.java:28, ProjectionUtil.java; spec spec.md:1050.
+    """
+    if pred.term.name != pfield.source_name:
+        return ALWAYS_TRUE if inclusive else ALWAYS_FALSE
+    if pred.term.transform is not None and not isinstance(pred.term.transform, Identity):
+        # predicate already on a transform (e.g. bucket(16, id) = 3)
+        if pred.term.transform == pfield.transform:
+            return Predicate(pred.op, Term(pfield.name), pred.literals)
+        return ALWAYS_TRUE if inclusive else ALWAYS_FALSE
+
+    tr = pfield.transform
+    src = pred.term.field.type
+    op, lits = pred.op, pred.literals
+
+    if isinstance(tr, Identity):
+        return Predicate(op, Term(pfield.name), lits)
+
+    if op in (IS_NULL, NOT_NULL) and tr.preserves_nullity:
+        return Predicate(op, Term(pfield.name), ())
+
+    def t(v):
+        return tr.apply(v, src)
+
+    if tr.monotonic:
+        if inclusive:
+            if op in (EQ, STARTS_WITH):
+                if op == STARTS_WITH:
+                    # only truncate[str] can project starts_with; skip others
+                    from .transforms import Truncate
+
+                    if isinstance(tr, Truncate) and src == "string":
+                        v = lits[0]
+                        if len(v) >= tr.width:
+                            return Predicate(STARTS_WITH, Term(pfield.name), (v[: tr.width],))
+                        return Predicate(STARTS_WITH, Term(pfield.name), (v,))
+                    return ALWAYS_TRUE
+                return Predicate(EQ, Term(pfield.name), (t(lits[0]),))
+            if op == IN:
+                return Predicate(IN, Term(pfield.name), tuple({t(v) for v in lits}))
+            if op in (LT, LT_EQ):
+                return Predicate(LT_EQ, Term(pfield.name), (t(lits[0]),))
+            if op in (GT, GT_EQ):
+                return Predicate(GT_EQ, Term(pfield.name), (t(lits[0]),))
+            return ALWAYS_TRUE
+        else:  # strict: all rows in partition satisfy pred
+            if op == LT:
+                return Predicate(LT, Term(pfield.name), (t(lits[0]),))
+            if op == LT_EQ:
+                return Predicate(LT, Term(pfield.name), (t(lits[0]),))
+            if op == GT:
+                return Predicate(GT, Term(pfield.name), (t(lits[0]),))
+            if op == GT_EQ:
+                return Predicate(GT, Term(pfield.name), (t(lits[0]),))
+            if op == NOT_EQ:
+                return Predicate(NOT_EQ, Term(pfield.name), (t(lits[0]),))
+            if op == NOT_IN:
+                return Predicate(NOT_IN, Term(pfield.name), tuple({t(v) for v in lits}))
+            return ALWAYS_FALSE
+
+    # non-monotonic (bucket): only eq/in project inclusively; not_eq/not_in strictly
+    if inclusive:
+        if op == EQ:
+            return Predicate(EQ, Term(pfield.name), (t(lits[0]),))
+        if op == IN:
+            return Predicate(IN, Term(pfield.name), tuple({t(v) for v in lits}))
+        return ALWAYS_TRUE
+    else:
+        if op == NOT_EQ:
+            return Predicate(NOT_EQ, Term(pfield.name), (t(lits[0]),))
+        if op == NOT_IN:
+            return Predicate(NOT_IN, Term(pfield.name), tuple({t(v) for v in lits}))
+        return ALWAYS_FALSE
+
+
+def project(expr: Expr, spec, inclusive: bool = True) -> Expr:
+    """Project a bound row-filter onto the partition tuple of `spec`.
+
+    inclusive: partition might contain matching rows (for pruning).
+    strict:    every row in partition matches (for metadata-only deletes).
+    """
+    if isinstance(expr, (AlwaysTrue, AlwaysFalse)):
+        return expr
+    if isinstance(expr, And):
+        l, r = project(expr.left, spec, inclusive), project(expr.right, spec, inclusive)
+        return and_(l, r)
+    if isinstance(expr, Or):
+        l, r = project(expr.left, spec, inclusive), project(expr.right, spec, inclusive)
+        return or_(l, r)
+    if isinstance(expr, Not):
+        raise ValueError("rewrite_not before projecting")
+    if isinstance(expr, BoundPredicate):
+        parts = []
+        for pf in spec.fields:
+            p = _project_predicate(expr, pf, inclusive)
+            parts.append(p)
+        if inclusive:
+            # AND of what each partition field can guarantee; TRUE when none help
+            return and_(*parts)
+        else:
+            # strict: any partition field strictly implying the predicate works
+            return or_(*parts)
+    raise TypeError(f"cannot project {expr!r}")
+
+
+# metrics evaluators --------------------------------------------------------
+
+
+class FileStats:
+    """Per-file column stats view: maps column name -> (min, max, null_count,
+    nan_count, value_count); record_count for the file."""
+
+    def __init__(self, record_count, stats: dict):
+        self.record_count = record_count
+        self.stats = stats or {}
+
+    def get(self, name):
+        return self.stats.get(name)
+
+
+def _cmp_ready(a, b):
+    try:
+        return (a < b) or True
+    except TypeError:
+        return False
+
+
+def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
+    """True if the file *might* contain rows matching expr.
+    Reference InclusiveMetricsEvaluator.java:48."""
+    if isinstance(expr, AlwaysTrue):
+        return True
+    if isinstance(expr, AlwaysFalse):
+        return False
+    if isinstance(expr, And):
+        return inclusive_metrics_eval(expr.left, fs) and inclusive_metrics_eval(expr.right, fs)
+    if isinstance(expr, Or):
+        return inclusive_metrics_eval(expr.left, fs) or inclusive_metrics_eval(expr.right, fs)
+    if isinstance(expr, Not):
+        return inclusive_metrics_eval(rewrite_not(expr), fs)
+    if isinstance(expr, BoundPredicate):
+        if expr.term.transform is not None and not isinstance(expr.term.transform, Identity):
+            return True  # stats are on source values; transform predicates can't prune here
+        s = fs.get(expr.term.name)
+        if s is None:
+            return True
+        mn, mx, nulls, nans, vc = s
+        op, lits = expr.op, expr.literals
+        all_null = vc is not None and nulls is not None and nulls == vc and vc > 0
+        if op == IS_NULL:
+            return nulls is None or nulls > 0
+        if op == NOT_NULL:
+            return not all_null
+        if all_null:
+            return False
+        if op == IS_NAN:
+            return nans is None or nans > 0
+        if op == NOT_NAN:
+            return True
+        if op in (LT, LT_EQ, GT, GT_EQ, EQ, IN, STARTS_WITH):
+            if op == LT:
+                return mn is None or mn < lits[0]
+            if op == LT_EQ:
+                return mn is None or mn <= lits[0]
+            if op == GT:
+                return mx is None or mx > lits[0]
+            if op == GT_EQ:
+                return mx is None or mx >= lits[0]
+            if op == EQ:
+                v = lits[0]
+                if mn is not None and _cmp_ready(mn, v) and mn > v:
+                    return False
+                if mx is not None and _cmp_ready(mx, v) and mx < v:
+                    return False
+                return True
+            if op == IN:
+                return any(
+                    inclusive_metrics_eval(
+                        BoundPredicate(EQ, expr.term, (v,)), fs
+                    )
+                    for v in lits
+                )
+            if op == STARTS_WITH:
+                v = lits[0]
+                if mn is not None and str(mn)[: len(v)] > v:
+                    return False
+                if mx is not None and str(mx)[: len(v)] < v:
+                    return False
+                return True
+        return True  # not_eq / not_in / not_starts_with can't prune inclusively
+    raise TypeError(f"cannot evaluate {expr!r}")
+
+
+def strict_metrics_eval(expr: Expr, fs: FileStats) -> bool:
+    """True if *every* row in the file matches expr (enables metadata-only
+    deletes). Reference StrictMetricsEvaluator.java:53."""
+    if isinstance(expr, AlwaysTrue):
+        return True
+    if isinstance(expr, AlwaysFalse):
+        return False
+    if isinstance(expr, And):
+        return strict_metrics_eval(expr.left, fs) and strict_metrics_eval(expr.right, fs)
+    if isinstance(expr, Or):
+        return strict_metrics_eval(expr.left, fs) or strict_metrics_eval(expr.right, fs)
+    if isinstance(expr, Not):
+        return strict_metrics_eval(rewrite_not(expr), fs)
+    if isinstance(expr, BoundPredicate):
+        if expr.term.transform is not None and not isinstance(expr.term.transform, Identity):
+            return False
+        s = fs.get(expr.term.name)
+        if s is None:
+            return False
+        mn, mx, nulls, nans, vc = s
+        op, lits = expr.op, expr.literals
+        no_nulls = nulls == 0
+        all_null = vc is not None and nulls is not None and nulls == vc and vc > 0
+        if op == IS_NULL:
+            return all_null
+        if op == NOT_NULL:
+            return no_nulls
+        if mn is None or mx is None or nulls is None:
+            return False
+        if not no_nulls:
+            return False  # null rows never match binary predicates
+        if op == LT:
+            return mx < lits[0]
+        if op == LT_EQ:
+            return mx <= lits[0]
+        if op == GT:
+            return mn > lits[0]
+        if op == GT_EQ:
+            return mn >= lits[0]
+        if op == EQ:
+            return mn == mx == lits[0]
+        if op == NOT_EQ:
+            return lits[0] < mn or lits[0] > mx
+        if op == IN:
+            return mn == mx and mn in lits
+        if op == NOT_IN:
+            return all(v < mn or v > mx for v in lits)
+        if op == STARTS_WITH:
+            v = lits[0]
+            return str(mn).startswith(v) and str(mx)[: len(v)] == v
+        return False
+    raise TypeError(f"cannot evaluate {expr!r}")

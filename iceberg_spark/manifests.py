@@ -1,0 +1,488 @@
+"""Manifests & manifest lists as Parquet, with typed per-column stats.
+
+Reference: manifest structure format/spec.md:657-924 (entries: status,
+partition tuple, record count, per-field value/null/nan counts and
+lower/upper bounds), manifest list format/spec.md:996 (per-manifest
+partition-range summaries); reader/writer core/.../ManifestReader.java:57,
+ManifestWriter.java:39, ManifestLists.java.
+
+Design deviation (deliberate, SURVEY §7): where the reference serializes
+bounds as binary Avro blobs (Conversions.java), we store them as *typed
+Parquet columns* (`min_f<id>`, `max_f<id>`, keyed by field id so renames are
+free). Planning then works two ways:
+  - local:       pyarrow-read the manifests, evaluate in Python (fast for
+                 small metadata — the reference's LOCAL planning mode);
+  - distributed: spark.read.parquet(manifests) and filter with Columns (the
+                 reference's DISTRIBUTED mode, BaseDistributedDataScan.java:57),
+                 which is what scales to 100 TB metadata.
+Stats are collected from Parquet footers (row-group min/max/null-count),
+mirroring ParquetMetrics.java.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import json
+import os
+import uuid as _uuid
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .metadata import PartitionSpec, Snapshot
+from .schema import Schema
+
+# entry status (spec manifest entry `status`)
+ADDED, EXISTING, DELETED = 1, 0, 2
+# file content (spec `content`)
+DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
+
+STATS_FIELDS = ("min", "max", "nulls", "nans", "values")
+
+
+@dataclass(frozen=True)
+class DataFile:
+    """api/.../DataFile.java / DeleteFile.java equivalent."""
+
+    file_path: str
+    file_format: str = "parquet"
+    content: int = DATA
+    spec_id: int = 0
+    partition: dict = field(default_factory=dict)  # name -> value
+    record_count: int = 0
+    file_size_in_bytes: int = 0
+    stats: dict = field(default_factory=dict)  # name -> (min,max,nulls,nans,values)
+    equality_ids: tuple = ()
+    sort_order_id: Optional[int] = None
+    referenced_data_file: Optional[str] = None
+    write_schema_id: int = 0  # schema the file was written under (ID-based reads)
+
+
+@dataclass(frozen=True)
+class ManifestEntry:
+    status: int
+    snapshot_id: int
+    sequence_number: int
+    file: DataFile
+
+
+@dataclass(frozen=True)
+class ManifestFile:
+    """One row of the manifest list (format/spec.md:996)."""
+
+    path: str
+    length: int
+    spec_id: int
+    content: int  # 0 data, 1 deletes
+    sequence_number: int
+    min_sequence_number: int
+    added_snapshot_id: int
+    added_files_count: int = 0
+    existing_files_count: int = 0
+    deleted_files_count: int = 0
+    added_rows_count: int = 0
+    existing_rows_count: int = 0
+    deleted_rows_count: int = 0
+    partitions: tuple = ()  # per partition field: (name, contains_null, min, max)
+
+
+# ---------------------------------------------------------------------------
+# value <-> json (for partition summaries & snapshot summaries)
+# ---------------------------------------------------------------------------
+
+
+def value_to_json(v: Any) -> Any:
+    if isinstance(v, _dt.datetime):
+        return {"t": "ts", "v": v.isoformat()}
+    if isinstance(v, _dt.date):
+        return {"t": "d", "v": v.isoformat()}
+    if isinstance(v, _decimal.Decimal):
+        return {"t": "dec", "v": str(v)}
+    if isinstance(v, bytes):
+        return {"t": "b", "v": v.hex()}
+    return v
+
+
+def value_from_json(j: Any) -> Any:
+    if isinstance(j, dict) and "t" in j:
+        t, v = j["t"], j["v"]
+        if t == "ts":
+            return _dt.datetime.fromisoformat(v)
+        if t == "d":
+            return _dt.date.fromisoformat(v)
+        if t == "dec":
+            return _decimal.Decimal(v)
+        if t == "b":
+            return bytes.fromhex(v)
+    return j
+
+
+# ---------------------------------------------------------------------------
+# arrow schema helpers
+# ---------------------------------------------------------------------------
+
+
+def _type_to_arrow(t: str) -> pa.DataType:
+    if t.startswith("decimal"):
+        import re
+
+        m = re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        return pa.decimal128(int(m.group(1)), int(m.group(2)))
+    if t.startswith("fixed"):
+        return pa.binary()
+    return {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "date": pa.date32(),
+        "time": pa.int64(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+        "string": pa.string(),
+        "uuid": pa.string(),
+        "binary": pa.binary(),
+        "unknown": pa.null(),
+    }[t]
+
+
+def _normalize(v: Any, t: str) -> Any:
+    """pyarrow scalar python value -> our python domain (tz-naive UTC)."""
+    if v is None:
+        return None
+    if t in ("timestamp", "timestamp_ntz"):
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+    return v
+
+
+def _stats_schema_fields(schema: Schema):
+    """Flat stats columns for top-level primitive fields, keyed by field id."""
+    cols = []
+    for f in schema.fields:
+        if not isinstance(f.type, str) or f.type == "unknown":
+            continue
+        at = _type_to_arrow(f.type)
+        fid = f.field_id
+        cols.append((f, fid, at))
+    return cols
+
+
+# ---------------------------------------------------------------------------
+# manifest write / read (pyarrow)
+# ---------------------------------------------------------------------------
+
+
+def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
+    fields = [
+        pa.field("status", pa.int32()),
+        pa.field("snapshot_id", pa.int64()),
+        pa.field("sequence_number", pa.int64()),
+        pa.field("content", pa.int32()),
+        pa.field("file_path", pa.string()),
+        pa.field("file_format", pa.string()),
+        pa.field("spec_id", pa.int32()),
+        pa.field("record_count", pa.int64()),
+        pa.field("file_size_in_bytes", pa.int64()),
+        pa.field("equality_ids", pa.list_(pa.int32())),
+        pa.field("sort_order_id", pa.int32()),
+        pa.field("referenced_data_file", pa.string()),
+        pa.field("write_schema_id", pa.int32()),
+    ]
+    for name, ptype in spec.partition_type(schema):
+        fields.append(pa.field(f"p_{name}", _type_to_arrow(ptype)))
+    for f, fid, at in _stats_schema_fields(schema):
+        fields.append(pa.field(f"min_f{fid}", at))
+        fields.append(pa.field(f"max_f{fid}", at))
+        fields.append(pa.field(f"nulls_f{fid}", pa.int64()))
+        fields.append(pa.field(f"nans_f{fid}", pa.int64()))
+        fields.append(pa.field(f"values_f{fid}", pa.int64()))
+    return pa.schema(fields)
+
+
+def write_manifest(
+    location: str,
+    entries: list,
+    schema: Schema,
+    spec: PartitionSpec,
+    content: int = DATA,
+) -> ManifestFile:
+    """Write one manifest Parquet file; returns its manifest-list row."""
+    arrow_schema = manifest_arrow_schema(schema, spec)
+    cols = {n: [] for n in arrow_schema.names}
+    stat_fields = _stats_schema_fields(schema)
+    pnames = [n for n, _ in spec.partition_type(schema)]
+
+    seqs = []
+    counts = {ADDED: 0, EXISTING: 0, DELETED: 0}
+    rows = {ADDED: 0, EXISTING: 0, DELETED: 0}
+    psum = {n: {"contains_null": False, "min": None, "max": None} for n in pnames}
+
+    for e in entries:
+        f = e.file
+        cols["status"].append(e.status)
+        cols["snapshot_id"].append(e.snapshot_id)
+        cols["sequence_number"].append(e.sequence_number)
+        cols["content"].append(f.content)
+        cols["file_path"].append(f.file_path)
+        cols["file_format"].append(f.file_format)
+        cols["spec_id"].append(f.spec_id)
+        cols["record_count"].append(f.record_count)
+        cols["file_size_in_bytes"].append(f.file_size_in_bytes)
+        cols["equality_ids"].append(list(f.equality_ids) if f.equality_ids else None)
+        cols["sort_order_id"].append(f.sort_order_id)
+        cols["referenced_data_file"].append(f.referenced_data_file)
+        cols["write_schema_id"].append(f.write_schema_id)
+        for n in pnames:
+            v = f.partition.get(n)
+            cols[f"p_{n}"].append(v)
+            s = psum[n]
+            if v is None:
+                s["contains_null"] = True
+            else:
+                s["min"] = v if s["min"] is None or v < s["min"] else s["min"]
+                s["max"] = v if s["max"] is None or v > s["max"] else s["max"]
+        for sf, fid, _ in stat_fields:
+            st = f.stats.get(sf.name)
+            mn, mx, nulls, nans, values = st if st else (None, None, None, None, None)
+            cols[f"min_f{fid}"].append(mn)
+            cols[f"max_f{fid}"].append(mx)
+            cols[f"nulls_f{fid}"].append(nulls)
+            cols[f"nans_f{fid}"].append(nans)
+            cols[f"values_f{fid}"].append(values)
+        seqs.append(e.sequence_number)
+        counts[e.status] += 1
+        rows[e.status] += f.record_count
+
+    table = pa.Table.from_pydict(cols, schema=arrow_schema)
+    mdir = os.path.join(location, "metadata", "manifests")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.parquet")
+    pq.write_table(table, path, compression="zstd")
+
+    return ManifestFile(
+        path=path,
+        length=os.path.getsize(path),
+        spec_id=spec.spec_id,
+        content=0 if content == DATA else 1,
+        sequence_number=max(seqs, default=0),
+        min_sequence_number=min(seqs, default=0),
+        added_snapshot_id=next((e.snapshot_id for e in entries if e.status == ADDED), 0),
+        added_files_count=counts[ADDED],
+        existing_files_count=counts[EXISTING],
+        deleted_files_count=counts[DELETED],
+        added_rows_count=rows[ADDED],
+        existing_rows_count=rows[EXISTING],
+        deleted_rows_count=rows[DELETED],
+        partitions=tuple(
+            (n, psum[n]["contains_null"], psum[n]["min"], psum[n]["max"]) for n in pnames
+        ),
+    )
+
+
+def read_manifest(path: str, schema: Schema, spec: PartitionSpec,
+                  columns: Optional[list] = None) -> list:
+    """Read manifest entries back into Python objects (local planning)."""
+    t = pq.read_table(path)
+    d = t.to_pydict()
+    n = t.num_rows
+    pnames = [nm for nm, _ in spec.partition_type(schema)]
+    ptypes = dict(spec.partition_type(schema))
+    stat_fields = [(f, fid) for f, fid, _ in _stats_schema_fields(schema)
+                   if f"min_f{fid}" in t.column_names]
+    out = []
+    for i in range(n):
+        partition = {
+            nm: _normalize(d[f"p_{nm}"][i], ptypes[nm]) for nm in pnames if f"p_{nm}" in d
+        }
+        stats = {}
+        for sf, fid in stat_fields:
+            stats[sf.name] = (
+                _normalize(d[f"min_f{fid}"][i], sf.type),
+                _normalize(d[f"max_f{fid}"][i], sf.type),
+                d[f"nulls_f{fid}"][i],
+                d[f"nans_f{fid}"][i],
+                d[f"values_f{fid}"][i],
+            )
+        eq = d["equality_ids"][i]
+        out.append(
+            ManifestEntry(
+                status=d["status"][i],
+                snapshot_id=d["snapshot_id"][i],
+                sequence_number=d["sequence_number"][i],
+                file=DataFile(
+                    file_path=d["file_path"][i],
+                    file_format=d["file_format"][i],
+                    content=d["content"][i],
+                    spec_id=d["spec_id"][i],
+                    partition=partition,
+                    record_count=d["record_count"][i],
+                    file_size_in_bytes=d["file_size_in_bytes"][i],
+                    stats=stats,
+                    equality_ids=tuple(eq) if eq else (),
+                    sort_order_id=d["sort_order_id"][i],
+                    referenced_data_file=d["referenced_data_file"][i],
+                    write_schema_id=d.get("write_schema_id", [0]*n)[i] if isinstance(d.get("write_schema_id"), list) else 0,
+                ),
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# manifest list write / read
+# ---------------------------------------------------------------------------
+
+_MANIFEST_LIST_SCHEMA = pa.schema(
+    [
+        pa.field("manifest_path", pa.string()),
+        pa.field("manifest_length", pa.int64()),
+        pa.field("spec_id", pa.int32()),
+        pa.field("content", pa.int32()),
+        pa.field("sequence_number", pa.int64()),
+        pa.field("min_sequence_number", pa.int64()),
+        pa.field("added_snapshot_id", pa.int64()),
+        pa.field("added_files_count", pa.int32()),
+        pa.field("existing_files_count", pa.int32()),
+        pa.field("deleted_files_count", pa.int32()),
+        pa.field("added_rows_count", pa.int64()),
+        pa.field("existing_rows_count", pa.int64()),
+        pa.field("deleted_rows_count", pa.int64()),
+        pa.field("partitions_json", pa.string()),
+    ]
+)
+
+
+def write_manifest_list(location: str, snapshot_id: int, manifests: list) -> str:
+    rows = {n: [] for n in _MANIFEST_LIST_SCHEMA.names}
+    for m in manifests:
+        rows["manifest_path"].append(m.path)
+        rows["manifest_length"].append(m.length)
+        rows["spec_id"].append(m.spec_id)
+        rows["content"].append(m.content)
+        rows["sequence_number"].append(m.sequence_number)
+        rows["min_sequence_number"].append(m.min_sequence_number)
+        rows["added_snapshot_id"].append(m.added_snapshot_id)
+        rows["added_files_count"].append(m.added_files_count)
+        rows["existing_files_count"].append(m.existing_files_count)
+        rows["deleted_files_count"].append(m.deleted_files_count)
+        rows["added_rows_count"].append(m.added_rows_count)
+        rows["existing_rows_count"].append(m.existing_rows_count)
+        rows["deleted_rows_count"].append(m.deleted_rows_count)
+        rows["partitions_json"].append(
+            json.dumps(
+                [
+                    [n, cn, value_to_json(mn), value_to_json(mx)]
+                    for (n, cn, mn, mx) in m.partitions
+                ]
+            )
+        )
+    t = pa.Table.from_pydict(rows, schema=_MANIFEST_LIST_SCHEMA)
+    mdir = os.path.join(location, "metadata", "manifest-lists")
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex}.parquet")
+    pq.write_table(t, path, compression="zstd")
+    return path
+
+
+def read_manifest_list(path: str) -> list:
+    t = pq.read_table(path).to_pydict()
+    out = []
+    for i in range(len(t["manifest_path"])):
+        parts = tuple(
+            (n, cn, value_from_json(mn), value_from_json(mx))
+            for n, cn, mn, mx in json.loads(t["partitions_json"][i])
+        )
+        out.append(
+            ManifestFile(
+                path=t["manifest_path"][i],
+                length=t["manifest_length"][i],
+                spec_id=t["spec_id"][i],
+                content=t["content"][i],
+                sequence_number=t["sequence_number"][i],
+                min_sequence_number=t["min_sequence_number"][i],
+                added_snapshot_id=t["added_snapshot_id"][i],
+                added_files_count=t["added_files_count"][i],
+                existing_files_count=t["existing_files_count"][i],
+                deleted_files_count=t["deleted_files_count"][i],
+                added_rows_count=t["added_rows_count"][i],
+                existing_rows_count=t["existing_rows_count"][i],
+                deleted_rows_count=t["deleted_rows_count"][i],
+                partitions=parts,
+            )
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# stats collection from parquet footers (ParquetMetrics.java equivalent)
+# ---------------------------------------------------------------------------
+
+
+def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
+                      partition: Optional[dict] = None, content: int = DATA) -> DataFile:
+    """Build a DataFile (with stats) from a written Parquet file's footer."""
+    md = pq.ParquetFile(path).metadata
+    ntype = {f.name: f.type for f in schema.fields if isinstance(f.type, str)}
+    agg: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            c = g.column(ci)
+            name = c.path_in_schema.split(".")[0]
+            if name not in ntype:
+                continue
+            agg.setdefault(name, [None, None, 0, None, 0])
+            st = c.statistics
+            if st is None:
+                agg[name] = [None, None, None, None, None]
+                continue
+            if agg[name][2] is not None and st.null_count is not None:
+                agg[name][2] += st.null_count
+            else:
+                agg[name][2] = None
+            if st.has_min_max:
+                mn = _normalize(st.min, ntype[name])
+                mx = _normalize(st.max, ntype[name])
+                if agg[name][0] is None or (mn is not None and mn < agg[name][0]):
+                    agg[name][0] = mn
+                if agg[name][1] is None or (mx is not None and mx > agg[name][1]):
+                    agg[name][1] = mx
+    num_rows = md.num_rows
+    stats = {}
+    for name, (mn, mx, nulls, nans, _) in agg.items():
+        stats[name] = (mn, mx, nulls, nans, num_rows)
+    return DataFile(
+        file_path=path,
+        file_format="parquet",
+        content=content,
+        spec_id=spec.spec_id,
+        partition=dict(partition or {}),
+        record_count=num_rows,
+        file_size_in_bytes=os.path.getsize(path),
+        stats=stats,
+    )
+
+
+def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
+                       partitions: Optional[dict] = None, content: int = DATA,
+                       max_workers: int = 16) -> list:
+    """Footer-stat collection for many files, thread-parallel on the driver.
+    (At real cluster scale this becomes a Spark mapInPandas job over the
+    path list — same per-file logic.)"""
+    partitions = partitions or {}
+
+    def one(p):
+        return collect_data_file(p, schema, spec, partitions.get(p), content)
+
+    if len(paths) <= 2:
+        return [one(p) for p in paths]
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        return list(ex.map(one, paths))

@@ -1,0 +1,489 @@
+"""Table metadata tree: specs, sort orders, snapshots, refs, metadata JSON.
+
+Reference: core/src/main/java/org/apache/iceberg/TableMetadata.java:54 and
+TableMetadataParser.java (JSON codec); Snapshot api/.../Snapshot.java:42-171;
+refs format/spec.md:1097-1130; snapshot/metadata logs TableMetadata.java:246-274.
+Commit = atomic swap of the metadata pointer (format/spec.md:90-98, :1309),
+realized here HadoopTableOperations-style: write vN.metadata.json via
+hard-link CAS (os.link fails if the target exists) + version-hint.text.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as _uuid
+from dataclasses import dataclass, field, replace
+from typing import Any, Optional
+
+from .schema import Schema
+from .transforms import Identity, Transform, parse_transform
+
+FORMAT_VERSION = 2
+
+# operations (api/.../DataOperations.java:36-57)
+OP_APPEND = "append"
+OP_REPLACE = "replace"
+OP_OVERWRITE = "overwrite"
+OP_DELETE = "delete"
+
+PARTITION_FIELD_ID_START = 1000
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """(source field, transform, name, field_id). api/.../PartitionSpec.java:53."""
+
+    source_id: int
+    field_id: int
+    name: str
+    transform: Transform
+    source_name: str  # denormalized for convenience
+
+    def to_json(self):
+        return {
+            "source-id": self.source_id,
+            "field-id": self.field_id,
+            "name": self.name,
+            "transform": self.transform.to_str(),
+            "source-name": self.source_name,
+        }
+
+    @staticmethod
+    def from_json(j):
+        return PartitionField(
+            j["source-id"], j["field-id"], j["name"], parse_transform(j["transform"]),
+            j["source-name"],
+        )
+
+
+@dataclass(frozen=True)
+class PartitionSpec:
+    spec_id: int = 0
+    fields: tuple = ()
+
+    @property
+    def is_partitioned(self) -> bool:
+        return any(not isinstance(f.transform, type(None)) for f in self.fields) and bool(
+            self.fields
+        )
+
+    def partition_type(self, schema: Schema):
+        """[(name, partition value type)] for this spec."""
+        out = []
+        for f in self.fields:
+            src = schema.field_by_id(f.source_id)
+            out.append((f.name, f.transform.result_type(src.type)))
+        return out
+
+    def to_json(self):
+        return {"spec-id": self.spec_id, "fields": [f.to_json() for f in self.fields]}
+
+    @staticmethod
+    def from_json(j):
+        return PartitionSpec(j["spec-id"], tuple(PartitionField.from_json(f) for f in j["fields"]))
+
+    @staticmethod
+    def builder(schema: Schema, spec_id: int = 0) -> "PartitionSpecBuilder":
+        return PartitionSpecBuilder(schema, spec_id)
+
+
+UNPARTITIONED = PartitionSpec(0, ())
+
+
+class PartitionSpecBuilder:
+    def __init__(self, schema: Schema, spec_id: int = 0):
+        self._schema = schema
+        self._spec_id = spec_id
+        self._fields = []
+        self._next_id = PARTITION_FIELD_ID_START
+
+    def _add(self, source_name: str, transform: Transform, name: Optional[str] = None):
+        f = self._schema.find_field(source_name)
+        transform.result_type(f.type)  # validate
+        pname = name or (
+            source_name
+            if isinstance(transform, Identity)
+            else f"{source_name}_{transform.to_str().replace('[', '_').rstrip(']')}"
+        )
+        self._fields.append(
+            PartitionField(f.field_id, self._next_id, pname, transform, source_name)
+        )
+        self._next_id += 1
+        return self
+
+    def identity(self, name):
+        return self._add(name, Identity())
+
+    def bucket(self, name, n, pname=None):
+        from .transforms import Bucket
+
+        return self._add(name, Bucket(n), pname)
+
+    def truncate(self, name, w, pname=None):
+        from .transforms import Truncate
+
+        return self._add(name, Truncate(w), pname)
+
+    def year(self, name, pname=None):
+        from .transforms import TimeTransform
+
+        return self._add(name, TimeTransform("year"), pname)
+
+    def month(self, name, pname=None):
+        from .transforms import TimeTransform
+
+        return self._add(name, TimeTransform("month"), pname)
+
+    def day(self, name, pname=None):
+        from .transforms import TimeTransform
+
+        return self._add(name, TimeTransform("day"), pname)
+
+    def hour(self, name, pname=None):
+        from .transforms import TimeTransform
+
+        return self._add(name, TimeTransform("hour"), pname)
+
+    def add(self, source_name, transform: str, pname=None):
+        return self._add(source_name, parse_transform(transform), pname)
+
+    def build(self) -> PartitionSpec:
+        return PartitionSpec(self._spec_id, tuple(self._fields))
+
+
+@dataclass(frozen=True)
+class SortField:
+    source_id: int
+    source_name: str
+    transform: Transform
+    direction: str = "asc"  # asc|desc
+    null_order: str = "nulls-last"
+
+    def to_json(self):
+        return {
+            "source-id": self.source_id,
+            "source-name": self.source_name,
+            "transform": self.transform.to_str(),
+            "direction": self.direction,
+            "null-order": self.null_order,
+        }
+
+    @staticmethod
+    def from_json(j):
+        return SortField(
+            j["source-id"], j["source-name"], parse_transform(j["transform"]),
+            j["direction"], j["null-order"],
+        )
+
+
+@dataclass(frozen=True)
+class SortOrder:
+    """api/.../SortOrder.java:41; spec format/spec.md:638."""
+
+    order_id: int = 0
+    fields: tuple = ()
+
+    @property
+    def is_sorted(self):
+        return bool(self.fields)
+
+    def to_json(self):
+        return {"order-id": self.order_id, "fields": [f.to_json() for f in self.fields]}
+
+    @staticmethod
+    def from_json(j):
+        return SortOrder(j["order-id"], tuple(SortField.from_json(f) for f in j["fields"]))
+
+
+UNSORTED = SortOrder(0, ())
+
+
+@dataclass(frozen=True)
+class Snapshot:
+    """api/.../Snapshot.java:42-171; manifest list is a Parquet file here."""
+
+    snapshot_id: int
+    parent_snapshot_id: Optional[int]
+    sequence_number: int
+    timestamp_ms: int
+    operation: str
+    manifest_list: str  # relative path under table location
+    summary: dict = field(default_factory=dict)
+    schema_id: int = 0
+
+    def to_json(self):
+        return {
+            "snapshot-id": self.snapshot_id,
+            "parent-snapshot-id": self.parent_snapshot_id,
+            "sequence-number": self.sequence_number,
+            "timestamp-ms": self.timestamp_ms,
+            "operation": self.operation,
+            "manifest-list": self.manifest_list,
+            "summary": self.summary,
+            "schema-id": self.schema_id,
+        }
+
+    @staticmethod
+    def from_json(j):
+        return Snapshot(
+            j["snapshot-id"], j.get("parent-snapshot-id"), j["sequence-number"],
+            j["timestamp-ms"], j["operation"], j["manifest-list"], j.get("summary", {}),
+            j.get("schema-id", 0),
+        )
+
+
+@dataclass(frozen=True)
+class SnapshotRef:
+    """Branch or tag (format/spec.md:1097)."""
+
+    snapshot_id: int
+    type: str = "branch"  # branch|tag
+    max_ref_age_ms: Optional[int] = None
+    max_snapshot_age_ms: Optional[int] = None
+    min_snapshots_to_keep: Optional[int] = None
+
+    def to_json(self):
+        j = {"snapshot-id": self.snapshot_id, "type": self.type}
+        if self.max_ref_age_ms is not None:
+            j["max-ref-age-ms"] = self.max_ref_age_ms
+        if self.max_snapshot_age_ms is not None:
+            j["max-snapshot-age-ms"] = self.max_snapshot_age_ms
+        if self.min_snapshots_to_keep is not None:
+            j["min-snapshots-to-keep"] = self.min_snapshots_to_keep
+        return j
+
+    @staticmethod
+    def from_json(j):
+        return SnapshotRef(
+            j["snapshot-id"], j.get("type", "branch"), j.get("max-ref-age-ms"),
+            j.get("max-snapshot-age-ms"), j.get("min-snapshots-to-keep"),
+        )
+
+
+MAIN_BRANCH = "main"
+
+
+@dataclass(frozen=True)
+class TableMetadata:
+    """The root of the metadata tree (core/.../TableMetadata.java:54)."""
+
+    location: str
+    table_uuid: str
+    last_sequence_number: int = 0
+    last_updated_ms: int = 0
+    last_column_id: int = 0
+    schemas: tuple = ()
+    current_schema_id: int = 0
+    partition_specs: tuple = ()
+    default_spec_id: int = 0
+    last_partition_id: int = PARTITION_FIELD_ID_START - 1
+    sort_orders: tuple = (UNSORTED,)
+    default_sort_order_id: int = 0
+    properties: dict = field(default_factory=dict)
+    snapshots: tuple = ()
+    refs: dict = field(default_factory=dict)  # name -> SnapshotRef
+    snapshot_log: tuple = ()  # (timestamp_ms, snapshot_id)
+    metadata_log: tuple = ()  # (timestamp_ms, metadata_file)
+    statistics_files: tuple = ()  # dicts: snapshot-id, path, blobs
+    partition_statistics_files: tuple = ()
+
+    # -- accessors ---------------------------------------------------------
+    @property
+    def schema(self) -> Schema:
+        return self.schema_by_id(self.current_schema_id)
+
+    def schema_by_id(self, sid: int) -> Schema:
+        for s in self.schemas:
+            if s.schema_id == sid:
+                return s
+        raise KeyError(f"no schema id {sid}")
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return self.spec_by_id(self.default_spec_id)
+
+    def spec_by_id(self, sid: int) -> PartitionSpec:
+        for s in self.partition_specs:
+            if s.spec_id == sid:
+                return s
+        raise KeyError(f"no spec id {sid}")
+
+    @property
+    def sort_order(self) -> SortOrder:
+        for s in self.sort_orders:
+            if s.order_id == self.default_sort_order_id:
+                return s
+        return UNSORTED
+
+    @property
+    def current_snapshot_id(self) -> Optional[int]:
+        ref = self.refs.get(MAIN_BRANCH)
+        return ref.snapshot_id if ref else None
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        sid = self.current_snapshot_id
+        return self.snapshot_by_id(sid) if sid is not None else None
+
+    def snapshot_by_id(self, sid: int) -> Snapshot:
+        for s in self.snapshots:
+            if s.snapshot_id == sid:
+                return s
+        raise KeyError(f"no snapshot {sid}")
+
+    def snapshot_for_ref(self, ref_name: str) -> Optional[Snapshot]:
+        r = self.refs.get(ref_name)
+        return self.snapshot_by_id(r.snapshot_id) if r else None
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Optional[Snapshot]:
+        best = None
+        for ts, sid in self.snapshot_log:
+            if ts <= timestamp_ms and (best is None or ts >= best[0]):
+                best = (ts, sid)
+        return self.snapshot_by_id(best[1]) if best else None
+
+    def ancestors_of(self, snapshot_id: Optional[int]) -> list:
+        out = []
+        by_id = {s.snapshot_id: s for s in self.snapshots}
+        cur = snapshot_id
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            out.append(s)
+            cur = s.parent_snapshot_id
+        return out
+
+    # -- json --------------------------------------------------------------
+    def to_json(self) -> dict:
+        return {
+            "format-version": FORMAT_VERSION,
+            "table-uuid": self.table_uuid,
+            "location": self.location,
+            "last-sequence-number": self.last_sequence_number,
+            "last-updated-ms": self.last_updated_ms,
+            "last-column-id": self.last_column_id,
+            "schemas": [s.to_json() for s in self.schemas],
+            "current-schema-id": self.current_schema_id,
+            "partition-specs": [s.to_json() for s in self.partition_specs],
+            "default-spec-id": self.default_spec_id,
+            "last-partition-id": self.last_partition_id,
+            "sort-orders": [s.to_json() for s in self.sort_orders],
+            "default-sort-order-id": self.default_sort_order_id,
+            "properties": self.properties,
+            "snapshots": [s.to_json() for s in self.snapshots],
+            "refs": {k: v.to_json() for k, v in self.refs.items()},
+            "snapshot-log": [list(e) for e in self.snapshot_log],
+            "metadata-log": [list(e) for e in self.metadata_log],
+            "statistics": list(self.statistics_files),
+            "partition-statistics": list(self.partition_statistics_files),
+        }
+
+    @staticmethod
+    def from_json(j: dict) -> "TableMetadata":
+        return TableMetadata(
+            location=j["location"],
+            table_uuid=j["table-uuid"],
+            last_sequence_number=j["last-sequence-number"],
+            last_updated_ms=j["last-updated-ms"],
+            last_column_id=j["last-column-id"],
+            schemas=tuple(Schema.from_json(s) for s in j["schemas"]),
+            current_schema_id=j["current-schema-id"],
+            partition_specs=tuple(PartitionSpec.from_json(s) for s in j["partition-specs"]),
+            default_spec_id=j["default-spec-id"],
+            last_partition_id=j.get("last-partition-id", PARTITION_FIELD_ID_START - 1),
+            sort_orders=tuple(SortOrder.from_json(s) for s in j.get("sort-orders", []))
+            or (UNSORTED,),
+            default_sort_order_id=j.get("default-sort-order-id", 0),
+            properties=j.get("properties", {}),
+            snapshots=tuple(Snapshot.from_json(s) for s in j.get("snapshots", [])),
+            refs={k: SnapshotRef.from_json(v) for k, v in j.get("refs", {}).items()},
+            snapshot_log=tuple(tuple(e) for e in j.get("snapshot-log", [])),
+            metadata_log=tuple(tuple(e) for e in j.get("metadata-log", [])),
+            statistics_files=tuple(j.get("statistics", [])),
+            partition_statistics_files=tuple(j.get("partition-statistics", [])),
+        )
+
+    @staticmethod
+    def new(location: str, schema: Schema, spec: PartitionSpec, order: SortOrder = UNSORTED,
+            properties: Optional[dict] = None) -> "TableMetadata":
+        last_col = schema.highest_field_id()
+        last_part = max([f.field_id for f in spec.fields], default=PARTITION_FIELD_ID_START - 1)
+        return TableMetadata(
+            location=location,
+            table_uuid=str(_uuid.uuid4()),
+            last_updated_ms=int(time.time() * 1000),
+            last_column_id=last_col,
+            schemas=(replace(schema, schema_id=0),),
+            current_schema_id=0,
+            partition_specs=(spec,),
+            default_spec_id=spec.spec_id,
+            last_partition_id=last_part,
+            sort_orders=(order,) if order.order_id == 0 else (UNSORTED, order),
+            default_sort_order_id=order.order_id,
+            properties=dict(properties or {}),
+        )
+
+
+class CommitFailedException(Exception):
+    """Concurrent commit won the CAS; refresh and retry.
+    Reference: SnapshotProducer.java:480-542 retry loop."""
+
+
+class TableOperations:
+    """Metadata IO + atomic version swap (HadoopTableOperations-style).
+
+    Layout under `<table>/metadata/`:
+      v<N>.metadata.json   — immutable metadata versions
+      version-hint.text    — latest committed N (advisory; recovery scans)
+      manifests/…, manifest-lists/… — Parquet metadata (manifests.py)
+    """
+
+    def __init__(self, location: str):
+        self.location = location.rstrip("/")
+        self.metadata_dir = os.path.join(self.location, "metadata")
+
+    # -- version management -------------------------------------------------
+    def _version_path(self, v: int) -> str:
+        return os.path.join(self.metadata_dir, f"v{v}.metadata.json")
+
+    def current_version(self) -> Optional[int]:
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        v = None
+        if os.path.exists(hint):
+            try:
+                with open(hint) as f:
+                    v = int(f.read().strip())
+            except ValueError:
+                v = None
+        # advance past the hint if a newer committed version exists
+        probe = (v or 0) + 1
+        while os.path.exists(self._version_path(probe)):
+            v = probe
+            probe += 1
+        return v
+
+    def refresh(self) -> Optional[TableMetadata]:
+        v = self.current_version()
+        if v is None:
+            return None
+        with open(self._version_path(v)) as f:
+            return TableMetadata.from_json(json.load(f))
+
+    def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
+        """CAS: write v(base+1); os.link fails atomically if it exists."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        new_v = (base_version or 0) + 1
+        metadata = replace(metadata, last_updated_ms=int(time.time() * 1000))
+        tmp = os.path.join(self.metadata_dir, f".tmp-{_uuid.uuid4().hex}.json")
+        with open(tmp, "w") as f:
+            json.dump(metadata.to_json(), f)
+        target = self._version_path(new_v)
+        try:
+            os.link(tmp, target)  # atomic fail-if-exists
+        except FileExistsError as e:
+            raise CommitFailedException(f"version {new_v} already committed") from e
+        finally:
+            os.unlink(tmp)
+        with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
+            f.write(str(new_v))
+        return new_v

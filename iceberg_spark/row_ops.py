@@ -1,0 +1,389 @@
+"""Row-level operations: DELETE / UPDATE / MERGE, copy-on-write & merge-on-read.
+
+Reference (SURVEY §2.F, §3.2):
+  - mode selection by table property write.{delete,update,merge}.mode
+    (core/.../RowLevelOperationMode.java, SparkRowLevelOperationBuilder.java:44)
+  - CoW: SparkCopyOnWriteOperation.java:41 + SparkCopyOnWriteScan (plan the
+    affected-file set, rewrite those files, OverwriteFiles commit)
+  - MoR: SparkPositionDeltaOperation.java:39 + SparkPositionDeltaWrite.java:105
+    (emit position deletes + new data rows in one RowDelta; update =
+    delete + reinsert, :797-808)
+  - metadata-only delete: StreamingDelete.java + StrictMetricsEvaluator.java:53
+  - MERGE cardinality check: error when >1 source row matches a target row.
+
+Spark realization: the affected-file set comes from our scan planning
+(inclusive pruning), whole-file drops from strict evaluation; rewrites are
+DataFrame jobs; `_file`/`_pos` come from Spark's `_metadata` struct.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid as _uuid
+from dataclasses import replace
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import expressions as E
+from .manifests import POSITION_DELETES, collect_data_files
+from .metadata import MAIN_BRANCH, OP_DELETE, OP_OVERWRITE
+from .scan import FILE_PATH_COL, POS_COL, ScanPlan, TableScan, plan_to_df
+from .writes import Overwrite, RowDelta, write_data_files
+
+COPY_ON_WRITE = "copy-on-write"
+MERGE_ON_READ = "merge-on-read"
+
+
+def _mode(table, op: str, override: Optional[str]) -> str:
+    if override:
+        return override
+    return table.properties.get(f"write.{op}.mode", COPY_ON_WRITE)
+
+
+def _candidate_plan(table, expr: E.Expr) -> ScanPlan:
+    return table.scan(filter=expr).plan_files()
+
+
+def _subplan_df(table, scan: TableScan, plan: ScanPlan, entries, with_meta=True) -> DataFrame:
+    sub = ScanPlan(list(entries), plan.pos_deletes, plan.eq_deletes,
+                   E.ALWAYS_TRUE, plan.snapshot, plan.report)
+    return plan_to_df(scan, sub, with_metadata_columns=with_meta)
+
+
+def _split_strict(table, expr: E.Expr, plan: ScanPlan):
+    """Partition candidates into (fully-matching -> droppable, partial)."""
+    schema = table.schema
+    bound = E.bind(E.rewrite_not(expr), schema)
+    full, partial = [], []
+    strict_by_spec = {}
+    for e in plan.files:
+        spec = table.metadata.spec_by_id(e.file.spec_id)
+        if e.file.spec_id not in strict_by_spec:
+            strict_by_spec[e.file.spec_id] = E.project(bound, spec, inclusive=False)
+        sproj = strict_by_spec[e.file.spec_id]
+        part_strict = not isinstance(sproj, E.AlwaysFalse) and E.evaluate(sproj, e.file.partition)
+        fs = E.FileStats(e.file.record_count, e.file.stats)
+        if part_strict or E.strict_metrics_eval(bound, fs):
+            full.append(e)
+        else:
+            partial.append(e)
+    # a file with pos/eq deletes attached cannot be dropped by metadata alone
+    if plan.pos_deletes or plan.eq_deletes:
+        partial = partial + full
+        full = []
+    return full, partial
+
+
+def plan_cow_removal(table, expr: E.Expr):
+    """For overwrite-by-filter: returns (removed_paths, rewritten_files) where
+    rewritten_files hold the candidate rows NOT matching the filter."""
+    scan = table.scan(filter=expr)
+    plan = scan.plan_files()
+    full, partial = _split_strict(table, expr, plan)
+    removed = {e.file.file_path for e in plan.files}
+    rewritten = []
+    if partial:
+        df = _subplan_df(table, scan, plan, partial, with_meta=False)
+        keep = df.filter(~E.to_spark(E.bind(expr, table.schema)))
+        rewritten = write_data_files(table, keep)
+    return removed, rewritten
+
+
+# ---------------------------------------------------------------------------
+# DELETE
+# ---------------------------------------------------------------------------
+
+
+def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
+                 branch: str = MAIN_BRANCH):
+    """DELETE FROM t WHERE expr. Picks metadata-only > CoW/MoR."""
+    scan = table.scan(filter=expr)
+    plan = scan.plan_files()
+    if not plan.files:
+        return None
+    full, partial = _split_strict(table, expr, plan)
+
+    if not partial:
+        # metadata-only delete (StreamingDelete + strict evaluator)
+        removed = {e.file.file_path for e in full}
+        return Overwrite(table, [], removed, operation=OP_DELETE, branch=branch).commit()
+
+    m = _mode(table, "delete", mode)
+    if m == COPY_ON_WRITE:
+        removed = {e.file.file_path for e in plan.files}
+        df = _subplan_df(table, scan, plan, partial, with_meta=False)
+        keep = df.filter(~E.to_spark(E.bind(expr, table.schema)))
+        added = write_data_files(table, keep)
+        return Overwrite(table, added, removed, operation=OP_DELETE, branch=branch).commit()
+    else:
+        # MoR: write position deletes for matching rows
+        df = _subplan_df(table, scan, plan, partial, with_meta=True)
+        matches = df.filter(E.to_spark(E.bind(expr, table.schema)))
+        pos_files = write_position_deletes(table, matches)
+        removed_full = {e.file.file_path for e in full}
+        refd = {e.file.file_path for e in partial}
+        if removed_full:
+            # drop fully-matching files in the same commit via overwrite
+            snap = Overwrite(table, [], removed_full, operation=OP_DELETE, branch=branch,
+                             added_deletes=pos_files).commit()
+            return snap
+        return RowDelta(table, [], pos_files, branch=branch, referenced_files=refd).commit()
+
+
+def write_position_deletes(table, matched_df: DataFrame) -> list:
+    """Write (file_path, pos) parquet sorted for locality
+    (spec format/spec.md:1388: sorted by file_path then pos)."""
+    out_dir = os.path.join(table.location, "data", f"deletes-{_uuid.uuid4().hex}")
+    (matched_df.select(F.col(FILE_PATH_COL).alias("file_path"), F.col(POS_COL).alias("pos"))
+        .repartition(F.col("file_path"))
+        .sortWithinPartitions("file_path", "pos")
+        .write.parquet(out_dir))
+    paths = [os.path.join(r, f) for r, _d, fs in os.walk(out_dir) for f in fs
+             if f.endswith(".parquet")]
+    from .schema import NestedField, Schema
+
+    del_schema = Schema((NestedField(2147483546, "file_path", "string", True),
+                         NestedField(2147483545, "pos", "long", True)))
+    files = collect_data_files(paths, del_schema, table.spec, content=POSITION_DELETES)
+    return [replace(f, partition={}, write_schema_id=table.schema.schema_id)
+            for f in files if f.record_count > 0]
+
+
+# ---------------------------------------------------------------------------
+# UPDATE
+# ---------------------------------------------------------------------------
+
+
+def _assignment_col(v) -> Column:
+    if isinstance(v, Column):
+        return v
+    if isinstance(v, str):
+        return F.expr(v)
+    return F.lit(v)
+
+
+def update_where(table, condition: E.Expr, assignments: dict,
+                 mode: Optional[str] = None, branch: str = MAIN_BRANCH):
+    """UPDATE t SET ... WHERE condition."""
+    scan = table.scan(filter=condition)
+    plan = scan.plan_files()
+    if not plan.files:
+        return None
+    m = _mode(table, "update", mode)
+    cond_col = E.to_spark(E.bind(condition, table.schema))
+    cols = table.schema.column_names
+
+    if m == COPY_ON_WRITE:
+        removed = {e.file.file_path for e in plan.files}
+        df = _subplan_df(table, scan, plan, plan.files, with_meta=False)
+        updated = df.select(*[
+            (F.when(cond_col, _assignment_col(assignments[c])).otherwise(F.col(c))
+             if c in assignments else F.col(c)).alias(c)
+            for c in cols
+        ])
+        added = write_data_files(table, updated)
+        return Overwrite(table, added, removed, operation=OP_OVERWRITE, branch=branch).commit()
+    else:
+        df = _subplan_df(table, scan, plan, plan.files, with_meta=True)
+        matches = df.filter(cond_col)
+        pos_files = write_position_deletes(table, matches)
+        new_rows = matches.select(*[
+            (_assignment_col(assignments[c]) if c in assignments else F.col(c)).alias(c)
+            for c in cols
+        ])
+        data_files = write_data_files(table, new_rows)
+        refd = {e.file.file_path for e in plan.files}
+        return RowDelta(table, data_files, pos_files, branch=branch,
+                        referenced_files=refd).commit()
+
+
+# ---------------------------------------------------------------------------
+# MERGE
+# ---------------------------------------------------------------------------
+
+
+class MergeBuilder:
+    """MERGE INTO target t USING source s ON <keys> WHEN ... (SURVEY §3.2).
+
+    `on`: list of same-named key columns, or a SQL condition string using
+    aliases `t` and `s`. Clause conditions / values are SQL strings over
+    `t.*` / `s.*` (or Columns). update/insert value maps: {target_col: expr}.
+    """
+
+    def __init__(self, table, source: DataFrame, on: Union[list, str]):
+        self.table = table
+        self.source = source
+        self.on = on
+        self._matched = []      # ("update", cond, set) | ("delete", cond, None)
+        self._not_matched = []  # ("insert", cond, values)
+        self._not_matched_by_source = []  # ("update"/"delete", cond, set)
+
+    def when_matched_update(self, set: Optional[dict] = None, condition: Optional[str] = None):
+        self._matched.append(("update", condition, set))
+        return self
+
+    def when_matched_delete(self, condition: Optional[str] = None):
+        self._matched.append(("delete", condition, None))
+        return self
+
+    def when_not_matched_insert(self, values: Optional[dict] = None,
+                                condition: Optional[str] = None):
+        self._not_matched.append(("insert", condition, values))
+        return self
+
+    def when_not_matched_by_source_update(self, set: dict, condition: Optional[str] = None):
+        self._not_matched_by_source.append(("update", condition, set))
+        return self
+
+    def when_not_matched_by_source_delete(self, condition: Optional[str] = None):
+        self._not_matched_by_source.append(("delete", condition, None))
+        return self
+
+    # -- execution ----------------------------------------------------------
+    def _join_cond(self):
+        if isinstance(self.on, str):
+            return F.expr(self.on)
+        c = None
+        for k in self.on:
+            e = F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}"))
+            c = e if c is None else (c & e)
+        return c
+
+    def execute(self, mode: Optional[str] = None, check_cardinality: bool = True,
+                branch: str = MAIN_BRANCH):
+        table = self.table
+        m = _mode(table, "merge", mode)
+        cols = table.schema.column_names
+        scan = table.scan()
+        plan = scan.plan_files()
+
+        tgt_all = plan_to_df(scan, plan, with_metadata_columns=True).alias("t")
+        src = self.source.withColumn("__s_present", F.lit(True)).alias("s")
+        join_cond = self._join_cond()
+
+        # affected files: files containing at least one matched row; with
+        # not-matched-by-source clauses every live file is affected
+        if self._not_matched_by_source:
+            affected_paths = {e.file.file_path for e in plan.files}
+        else:
+            affected_paths = {
+                r[0]
+                for r in tgt_all.join(src, join_cond, "left_semi")
+                .select(FILE_PATH_COL).distinct().collect()
+            }
+
+        if check_cardinality and self._matched:
+            dup = (
+                tgt_all.join(src, join_cond, "inner")
+                .groupBy(F.col(f"t.{FILE_PATH_COL}"), F.col(f"t.{POS_COL}"))
+                .count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    "MERGE cardinality violation: a target row matches multiple source rows"
+                )
+
+        affected_entries = [e for e in plan.files if e.file.file_path in affected_paths]
+        tgt = _subplan_df(table, scan, plan, affected_entries, with_meta=True).alias("t") \
+            if affected_entries else None
+
+        matched_any = F.col("__s_present").isNotNull()
+
+        def build_action(joined):
+            act = None
+            chain = F.when(F.lit(False), F.lit(""))
+            t_exists = F.col(f"t.{POS_COL}").isNotNull()
+            for i, (kind, cond, _setmap) in enumerate(self._matched):
+                c = matched_any & t_exists
+                if cond is not None:
+                    c = c & (F.expr(cond) if isinstance(cond, str) else cond)
+                chain = chain.when(c, F.lit(("U%d" if kind == "update" else "D%d") % i))
+            for i, (kind, cond, _v) in enumerate(self._not_matched):
+                c = ~t_exists
+                if cond is not None:
+                    c = c & (F.expr(cond) if isinstance(cond, str) else cond)
+                chain = chain.when(c, F.lit("I%d" % i))
+            for i, (kind, cond, _setmap) in enumerate(self._not_matched_by_source):
+                c = t_exists & ~matched_any
+                if cond is not None:
+                    c = c & (F.expr(cond) if isinstance(cond, str) else cond)
+                chain = chain.when(
+                    c, F.lit(("NU%d" if kind == "update" else "ND%d") % i)
+                )
+            default = F.when(t_exists, F.lit("K")).otherwise(F.lit("X"))
+            return joined.withColumn("__action", F.coalesce(chain, default))
+
+        def out_col(c):
+            e = F.col(f"t.{c}")
+            for i, (kind, _cond, setmap) in enumerate(self._matched):
+                if kind == "update":
+                    expr = _merge_value(setmap, c, default=F.col(f"t.{c}"), source_alias="s")
+                    e = F.when(F.col("__action") == f"U{i}", expr).otherwise(e)
+            for i, (kind, _cond, setmap) in enumerate(self._not_matched_by_source):
+                if kind == "update":
+                    expr = _merge_value(setmap, c, default=F.col(f"t.{c}"), source_alias="s")
+                    e = F.when(F.col("__action") == f"NU{i}", expr).otherwise(e)
+            for i, (_kind, _cond, values) in enumerate(self._not_matched):
+                expr = _merge_value(values, c, default=F.lit(None), source_alias="s",
+                                    insert=True, source_cols=self.source.columns)
+                e = F.when(F.col("__action") == f"I{i}", expr).otherwise(e)
+            return e.alias(c)
+
+        if m == COPY_ON_WRITE:
+            if tgt is not None:
+                joined = tgt.join(src, join_cond, "full_outer")
+            else:
+                joined = (
+                    plan_to_df(scan, ScanPlan([], [], [], E.ALWAYS_TRUE, plan.snapshot,
+                                              plan.report), True)
+                    .alias("t").join(src, join_cond, "full_outer")
+                )
+            routed = build_action(joined)
+            routed = routed.filter(~F.col("__action").startswith("D")
+                                   & ~F.col("__action").startswith("ND")
+                                   & (F.col("__action") != "X"))
+            result = routed.select(*[out_col(c) for c in cols])
+            added = write_data_files(table, result)
+            return Overwrite(table, added, affected_paths, operation=OP_OVERWRITE,
+                             branch=branch).commit()
+        else:
+            # MoR: matched update/delete rows -> pos deletes (+ reinsert rows);
+            # inserts -> data files
+            if tgt is None:
+                joined = src.withColumn(f"t.{POS_COL}", F.lit(None))
+                inserts = build_action(
+                    plan_to_df(scan, ScanPlan([], [], [], E.ALWAYS_TRUE, plan.snapshot,
+                                              plan.report), True)
+                    .alias("t").join(src, join_cond, "full_outer")
+                )
+            else:
+                inserts = build_action(tgt.join(src, join_cond, "full_outer"))
+            routed = inserts
+            del_rows = routed.filter(
+                F.col("__action").startswith("U") | F.col("__action").startswith("D")
+                | F.col("__action").startswith("NU") | F.col("__action").startswith("ND")
+            ).select(F.col(f"t.{FILE_PATH_COL}").alias(FILE_PATH_COL),
+                     F.col(f"t.{POS_COL}").alias(POS_COL))
+            pos_files = write_position_deletes(table, del_rows)
+            new_rows = routed.filter(
+                F.col("__action").startswith("U") | F.col("__action").startswith("I")
+                | F.col("__action").startswith("NU")
+            ).select(*[out_col(c) for c in cols])
+            data_files = write_data_files(table, new_rows)
+            return RowDelta(table, data_files, pos_files, branch=branch,
+                            referenced_files=set(affected_paths)).commit()
+
+
+def _merge_value(mapping, col, default, source_alias="s", insert=False, source_cols=None):
+    if mapping is None:
+        # "*": take same-named source column
+        if insert:
+            if source_cols is not None and col not in source_cols:
+                return F.lit(None)
+            return F.col(f"{source_alias}.{col}")
+        return F.col(f"{source_alias}.{col}")
+    if col in mapping:
+        return _assignment_col(mapping[col])
+    return default

@@ -1,0 +1,532 @@
+"""Scan planning and the read path.
+
+Reference lifecycle (SURVEY §3.1): SnapshotScan.planFiles
+(core/.../SnapshotScan.java:139) -> ManifestGroup.planFiles
+(core/.../ManifestGroup.java:177): manifest-list pruning via partition
+summaries (ManifestEvaluator.java:50), per-file pruning via partition
+projection + metrics (InclusiveMetricsEvaluator.java:48), delete-file
+attachment (DeleteFileIndex.java), then the engine reads the surviving
+files. Planning modes LOCAL/DISTRIBUTED/AUTO mirror
+BaseDistributedDataScan.java:57 — local planning is threaded pyarrow on
+the driver; distributed planning runs the same filters as a Spark job over
+the manifest Parquet (what survives 100 TB metadata).
+
+Read path: one `spark.read.schema(...).parquet(*files)` per write-schema
+group (field-ID column mapping handles renames), the *full* filter
+re-applied as residual (cheap, always correct), position deletes applied by
+(file, pos) anti-join on `_metadata.file_path/row_index`, equality deletes
+by keyed anti-join scoped to `data_seq < delete_seq` (format/spec.md:1415).
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import expressions as E
+from .manifests import (
+    DATA,
+    DELETED,
+    EQUALITY_DELETES,
+    POSITION_DELETES,
+    DataFile,
+    ManifestEntry,
+    read_manifest,
+    read_manifest_list,
+)
+from .metadata import Snapshot, TableMetadata
+from .schema import Schema, StructT, type_to_spark
+from .transforms import Identity
+
+# metadata column names (reference core/.../MetadataColumns.java:34-127)
+FILE_PATH_COL = "_file"
+POS_COL = "_pos"
+SPEC_ID_COL = "_spec_id"
+DELETED_COL = "_deleted"
+
+DISTRIBUTED_PLANNING_THRESHOLD = 64  # manifests; above this, plan as a Spark job
+
+
+@dataclass
+class ScanReport:
+    """Mirrors core/.../metrics/ScanReport.java."""
+
+    total_manifests: int = 0
+    skipped_manifests: int = 0
+    total_data_files: int = 0
+    skipped_data_files: int = 0
+    result_data_files: int = 0
+    result_delete_files: int = 0
+    planning_mode: str = "local"
+
+    def as_dict(self):
+        return dict(self.__dict__)
+
+
+@dataclass
+class ScanPlan:
+    files: list  # list[ManifestEntry] (data)
+    pos_deletes: list  # list[ManifestEntry]
+    eq_deletes: list
+    residual: E.Expr
+    snapshot: Optional[Snapshot]
+    report: ScanReport
+
+
+class TableScan:
+    """table.new_scan().filter(e).select(cols) -> plan_files()/df().
+
+    Reference api/.../TableScan.java:22, core/.../DataTableScan.java:27.
+    """
+
+    def __init__(self, table, snapshot: Optional[Snapshot] = None,
+                 row_filter: E.Expr = E.ALWAYS_TRUE, columns: Optional[list] = None,
+                 planning_mode: str = "auto", case_sensitive: bool = True):
+        self.table = table
+        self.spark: SparkSession = table.spark
+        self.metadata: TableMetadata = table.metadata
+        self.snapshot = snapshot if snapshot is not None else self.metadata.current_snapshot()
+        self.row_filter = row_filter
+        self.columns = columns
+        self.planning_mode = planning_mode
+
+    # -- builder style ------------------------------------------------------
+    def filter(self, expr) -> "TableScan":
+        expr = _to_expr(expr)
+        return TableScan(self.table, self.snapshot, E.and_(self.row_filter, expr),
+                         self.columns, self.planning_mode)
+
+    def select(self, *cols) -> "TableScan":
+        cols = list(cols[0]) if len(cols) == 1 and isinstance(cols[0], (list, tuple)) else list(cols)
+        return TableScan(self.table, self.snapshot, self.row_filter, cols, self.planning_mode)
+
+    def use_snapshot(self, snapshot_id: int) -> "TableScan":
+        return TableScan(self.table, self.metadata.snapshot_by_id(snapshot_id),
+                         self.row_filter, self.columns, self.planning_mode)
+
+    def as_of(self, timestamp_ms: int) -> "TableScan":
+        snap = self.metadata.snapshot_as_of(timestamp_ms)
+        if snap is None:
+            raise ValueError(f"no snapshot as of {timestamp_ms}")
+        return TableScan(self.table, snap, self.row_filter, self.columns, self.planning_mode)
+
+    def use_ref(self, name: str) -> "TableScan":
+        snap = self.metadata.snapshot_for_ref(name)
+        if snap is None:
+            raise ValueError(f"no ref {name}")
+        return TableScan(self.table, snap, self.row_filter, self.columns, self.planning_mode)
+
+    # -- schema -------------------------------------------------------------
+    @property
+    def schema(self) -> Schema:
+        if self.snapshot is not None:
+            try:
+                return self.metadata.schema_by_id(self.snapshot.schema_id)
+            except KeyError:
+                pass
+        return self.metadata.schema
+
+    # -- planning -----------------------------------------------------------
+    def plan_files(self) -> ScanPlan:
+        report = ScanReport()
+        snap = self.snapshot
+        if snap is None:  # empty table
+            return ScanPlan([], [], [], self.row_filter, None, report)
+
+        schema = self.schema
+        bound = E.bind(E.rewrite_not(self.row_filter), schema) \
+            if not isinstance(self.row_filter, (E.AlwaysTrue,)) else E.ALWAYS_TRUE
+
+        manifests = read_manifest_list(snap.manifest_list)
+        report.total_manifests = len(manifests)
+
+        # manifest-list pruning: inclusive partition projection vs summaries
+        keep = []
+        proj_by_spec: dict = {}
+        for m in manifests:
+            spec = self.metadata.spec_by_id(m.spec_id)
+            if m.spec_id not in proj_by_spec:
+                proj_by_spec[m.spec_id] = (
+                    E.project(bound, spec, inclusive=True)
+                    if not isinstance(bound, E.AlwaysTrue) else E.ALWAYS_TRUE
+                )
+            proj = proj_by_spec[m.spec_id]
+            if isinstance(proj, E.AlwaysTrue) or _manifest_might_match(m, proj):
+                keep.append(m)
+            else:
+                report.skipped_manifests += 1
+
+        mode = self.planning_mode
+        if mode == "auto":
+            mode = "distributed" if len(keep) > DISTRIBUTED_PLANNING_THRESHOLD else "local"
+        report.planning_mode = mode
+
+        if mode == "distributed":
+            entries = self._read_entries_spark(keep)
+        else:
+            entries = self._read_entries_local(keep)
+
+        data_entries, pos_del, eq_del = [], [], []
+        for e in entries:
+            if e.status == DELETED:
+                continue
+            f = e.file
+            if f.content == DATA:
+                report.total_data_files += 1
+                spec = self.metadata.spec_by_id(f.spec_id)
+                proj = proj_by_spec.get(f.spec_id)
+                if proj is None:
+                    proj = (E.project(bound, spec, inclusive=True)
+                            if not isinstance(bound, E.AlwaysTrue) else E.ALWAYS_TRUE)
+                    proj_by_spec[f.spec_id] = proj
+                if not isinstance(proj, E.AlwaysTrue) and not E.evaluate(proj, f.partition):
+                    report.skipped_data_files += 1
+                    continue
+                fs = E.FileStats(f.record_count, f.stats)
+                if not isinstance(bound, E.AlwaysTrue) and not E.inclusive_metrics_eval(bound, fs):
+                    report.skipped_data_files += 1
+                    continue
+                data_entries.append(e)
+            elif f.content == POSITION_DELETES:
+                pos_del.append(e)
+            elif f.content == EQUALITY_DELETES:
+                eq_del.append(e)
+
+        # delete files relevant to surviving data files (DeleteFileIndex):
+        # pos deletes apply when delete.seq >= data.seq; eq when delete.seq > data.seq
+        if data_entries:
+            min_data_seq = min(e.sequence_number for e in data_entries)
+            pos_del = [d for d in pos_del if d.sequence_number >= min_data_seq]
+            eq_del = [d for d in eq_del if d.sequence_number > min_data_seq]
+        else:
+            pos_del, eq_del = [], []
+
+        report.result_data_files = len(data_entries)
+        report.result_delete_files = len(pos_del) + len(eq_del)
+        return ScanPlan(data_entries, pos_del, eq_del, bound, snap, report)
+
+    def _read_entries_local(self, manifests) -> list:
+        def rd(m):
+            spec = self.metadata.spec_by_id(m.spec_id)
+            # manifests carry stats for the schema they were written with;
+            # read with the scan schema (field-id keyed cols tolerate drift)
+            return read_manifest(m.path, self.schema, spec)
+
+        if len(manifests) <= 2:
+            out = []
+            for m in manifests:
+                out.extend(rd(m))
+            return out
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            chunks = list(ex.map(rd, manifests))
+        return [e for c in chunks for e in c]
+
+    def _read_entries_spark(self, manifests) -> list:
+        """Distributed planning: filter manifests with Spark, collect survivors.
+
+        The partition/metrics filters run cluster-side; only the surviving
+        file rows are collected (mirrors BaseDistributedDataScan).
+        """
+        schema = self.schema
+        bound = E.bind(E.rewrite_not(self.row_filter), schema) \
+            if not isinstance(self.row_filter, E.AlwaysTrue) else E.ALWAYS_TRUE
+        by_spec: dict = {}
+        for m in manifests:
+            by_spec.setdefault(m.spec_id, []).append(m.path)
+        out = []
+        for spec_id, paths in by_spec.items():
+            spec = self.metadata.spec_by_id(spec_id)
+            df = self.spark.read.parquet(*paths)
+            cond = F.col("status") != F.lit(DELETED)
+            if not isinstance(bound, E.AlwaysTrue):
+                proj = E.project(bound, spec, inclusive=True)
+                if not isinstance(proj, E.AlwaysTrue):
+                    cond = cond & _partition_filter_column(proj, df)
+                stats_cond = _stats_filter_column(bound, schema, df)
+                if stats_cond is not None:
+                    cond = cond & stats_cond
+            rows = df.filter(cond).collect()
+            ptypes = dict(spec.partition_type(schema))
+            for r in rows:
+                rd = r.asDict()
+                partition = {n: rd.get(f"p_{n}") for n in ptypes if f"p_{n}" in rd}
+                stats = {}
+                for f_ in schema.fields:
+                    if isinstance(f_.type, str) and f"min_f{f_.field_id}" in rd:
+                        fid = f_.field_id
+                        stats[f_.name] = (
+                            rd[f"min_f{fid}"], rd[f"max_f{fid}"], rd[f"nulls_f{fid}"],
+                            rd[f"nans_f{fid}"], rd[f"values_f{fid}"],
+                        )
+                out.append(
+                    ManifestEntry(
+                        status=rd["status"], snapshot_id=rd["snapshot_id"],
+                        sequence_number=rd["sequence_number"],
+                        file=DataFile(
+                            file_path=rd["file_path"], file_format=rd["file_format"],
+                            content=rd["content"], spec_id=rd["spec_id"],
+                            partition=partition, record_count=rd["record_count"],
+                            file_size_in_bytes=rd["file_size_in_bytes"], stats=stats,
+                            equality_ids=tuple(rd.get("equality_ids") or ()),
+                            referenced_data_file=rd.get("referenced_data_file"),
+                            write_schema_id=rd.get("write_schema_id") or 0,
+                        ),
+                    )
+                )
+        return out
+
+    # -- read ---------------------------------------------------------------
+    def df(self, with_metadata_columns: bool = False) -> DataFrame:
+        plan = self.plan_files()
+        return plan_to_df(self, plan, with_metadata_columns)
+
+    def explain_plan(self) -> dict:
+        return self.plan_files().report.as_dict()
+
+
+def _to_expr(expr) -> E.Expr:
+    if expr is None:
+        return E.ALWAYS_TRUE
+    if isinstance(expr, E.Expr):
+        return expr
+    raise TypeError(f"filter must be an iceberg_spark expression, got {type(expr)}")
+
+
+def _manifest_might_match(m, proj: E.Expr) -> bool:
+    """Evaluate projected partition predicate against manifest-list
+    partition-range summaries (ManifestEvaluator.java:50,80-126)."""
+    summaries = {n: (cn, mn, mx) for (n, cn, mn, mx) in m.partitions}
+
+    def ev(e: E.Expr) -> bool:
+        if isinstance(e, E.AlwaysTrue):
+            return True
+        if isinstance(e, E.AlwaysFalse):
+            return False
+        if isinstance(e, E.And):
+            return ev(e.left) and ev(e.right)
+        if isinstance(e, E.Or):
+            return ev(e.left) or ev(e.right)
+        if isinstance(e, (E.Predicate, E.BoundPredicate)):
+            s = summaries.get(e.term.name)
+            if s is None:
+                return True
+            contains_null, mn, mx = s
+            op, lits = e.op, e.literals
+            if op == E.IS_NULL:
+                return contains_null
+            if op == E.NOT_NULL:
+                return mn is not None or not contains_null
+            if mn is None and mx is None:
+                return op in (E.IS_NULL,) if not contains_null else True
+            try:
+                if op == E.LT:
+                    return mn is None or mn < lits[0]
+                if op == E.LT_EQ:
+                    return mn is None or mn <= lits[0]
+                if op == E.GT:
+                    return mx is None or mx > lits[0]
+                if op == E.GT_EQ:
+                    return mx is None or mx >= lits[0]
+                if op == E.EQ:
+                    return (mn is None or mn <= lits[0]) and (mx is None or mx >= lits[0])
+                if op == E.IN:
+                    return any(
+                        (mn is None or mn <= v) and (mx is None or mx >= v) for v in lits
+                    )
+                if op == E.STARTS_WITH:
+                    v = lits[0]
+                    return (mn is None or str(mn)[: len(v)] <= v) and (
+                        mx is None or str(mx)[: len(v)] >= v
+                    )
+            except TypeError:
+                return True
+            return True
+        return True
+
+    return ev(proj)
+
+
+def _partition_filter_column(proj: E.Expr, df: DataFrame):
+    """Projected partition predicate -> Column over p_* manifest columns."""
+    return E.to_spark(proj, colfn=lambda n: F.col(f"p_{n}"))
+
+
+def _stats_filter_column(bound: E.Expr, schema: Schema, df: DataFrame):
+    """Inclusive metrics filter as a Spark Column over min_f*/max_f* columns.
+
+    Returns None when the expression can't prune. 'Might match' semantics:
+    missing stats (NULL) keep the file.
+    """
+    cols = set(df.columns)
+
+    def conv(e: E.Expr):
+        if isinstance(e, E.AlwaysTrue):
+            return F.lit(True)
+        if isinstance(e, E.AlwaysFalse):
+            return F.lit(False)
+        if isinstance(e, E.And):
+            return conv(e.left) & conv(e.right)
+        if isinstance(e, E.Or):
+            return conv(e.left) | conv(e.right)
+        if isinstance(e, E.BoundPredicate):
+            if e.term.transform is not None and not isinstance(e.term.transform, Identity):
+                return F.lit(True)
+            fid = e.term.field.field_id
+            mn, mx = f"min_f{fid}", f"max_f{fid}"
+            nulls, values = f"nulls_f{fid}", f"values_f{fid}"
+            if mn not in cols:
+                return F.lit(True)
+            cmin, cmax = F.col(mn), F.col(mx)
+            cnull, cval = F.col(nulls), F.col(values)
+            op, lits = e.op, e.literals
+            all_null = cnull.isNotNull() & cval.isNotNull() & (cnull == cval) & (cval > 0)
+            if op == E.IS_NULL:
+                return cnull.isNull() | (cnull > 0)
+            if op == E.NOT_NULL:
+                return ~all_null
+            not_all_null = ~all_null
+            if op == E.LT:
+                return not_all_null & (cmin.isNull() | (cmin < F.lit(lits[0])))
+            if op == E.LT_EQ:
+                return not_all_null & (cmin.isNull() | (cmin <= F.lit(lits[0])))
+            if op == E.GT:
+                return not_all_null & (cmax.isNull() | (cmax > F.lit(lits[0])))
+            if op == E.GT_EQ:
+                return not_all_null & (cmax.isNull() | (cmax >= F.lit(lits[0])))
+            if op == E.EQ:
+                return not_all_null & (
+                    (cmin.isNull() | (cmin <= F.lit(lits[0])))
+                    & (cmax.isNull() | (cmax >= F.lit(lits[0])))
+                )
+            if op == E.IN:
+                c = F.lit(False)
+                for v in lits:
+                    c = c | (
+                        (cmin.isNull() | (cmin <= F.lit(v)))
+                        & (cmax.isNull() | (cmax >= F.lit(v)))
+                    )
+                return not_all_null & c
+            return F.lit(True)
+        return F.lit(True)
+
+    try:
+        return conv(bound)
+    except Exception:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# read path: plan -> DataFrame
+# ---------------------------------------------------------------------------
+
+
+def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False) -> DataFrame:
+    spark = scan.spark
+    metadata = scan.metadata
+    schema = scan.schema
+    read_cols = scan.columns or schema.column_names
+
+    need_meta = with_metadata_columns or bool(plan.pos_deletes) or bool(plan.eq_deletes)
+
+    if not plan.files:
+        spark_schema = type_to_spark(StructT(tuple(schema.find_field(c) for c in read_cols)))
+        df = spark.createDataFrame([], schema=spark_schema)
+        if with_metadata_columns:
+            df = (df.withColumn(FILE_PATH_COL, F.lit(None).cast("string"))
+                    .withColumn(POS_COL, F.lit(None).cast("long")))
+        return df
+
+    # group files by write-schema for field-ID based column mapping
+    groups: dict = {}
+    for e in plan.files:
+        groups.setdefault(e.file.write_schema_id, []).append(e)
+
+    parts = []
+    for wsid, entries in groups.items():
+        try:
+            wschema = metadata.schema_by_id(wsid)
+        except KeyError:
+            wschema = schema
+        paths = [e.file.file_path for e in entries]
+        df = spark.read.schema(wschema.to_spark()).parquet(*paths)
+        # map file columns -> current names by field id; fill missing with null
+        by_id = {f.field_id: f for f in wschema.fields}
+        sel = []
+        for cname in read_cols:
+            cur = schema.find_field(cname)
+            wf = by_id.get(cur.field_id)
+            if wf is not None:
+                c = F.col(wf.name)
+                if wf.type != cur.type:  # promoted (int->long etc.)
+                    c = c.cast(type_to_spark(cur.type))
+                sel.append(c.alias(cname))
+            else:
+                sel.append(F.lit(None).cast(type_to_spark(cur.type)).alias(cname))
+        if need_meta:
+            # normalize file:///x URIs to plain paths so they match manifest
+            # file_path values (orphan-file URI normalization analog)
+            sel = sel + [
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+                .alias(FILE_PATH_COL),
+                F.col("_metadata.row_index").alias(POS_COL),
+            ]
+        df = df.select(*sel)
+        parts.append((entries, df))
+
+    dfs = []
+    for entries, df in parts:
+        dfs.append(df)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+
+    # residual filter (full filter re-applied; Catalyst pushes it to parquet)
+    if not isinstance(plan.residual, E.AlwaysTrue):
+        out = out.filter(E.to_spark(plan.residual))
+
+    # --- apply deletes (merge-on-read) -------------------------------------
+    if plan.pos_deletes:
+        del_paths = [d.file.file_path for d in plan.pos_deletes]
+        pos_df = spark.read.parquet(*del_paths).select(
+            F.col("file_path").alias("__del_file"), F.col("pos").alias("__del_pos")
+        )
+        out = out.join(
+            pos_df,
+            (F.col(FILE_PATH_COL) == F.col("__del_file")) & (F.col(POS_COL) == F.col("__del_pos")),
+            "left_anti",
+        )
+
+    if plan.eq_deletes:
+        # attach data sequence numbers per file (broadcast map), then
+        # anti-join per equality-field-set with seq scoping
+        seq_rows = [(e.file.file_path, e.sequence_number) for e in plan.files]
+        seq_df = spark.createDataFrame(seq_rows, ["__seq_file", "__data_seq"])
+        out = out.join(F.broadcast(seq_df), F.col(FILE_PATH_COL) == F.col("__seq_file"), "left") \
+                 .drop("__seq_file")
+        by_ids: dict = {}
+        for d in plan.eq_deletes:
+            by_ids.setdefault(tuple(sorted(d.file.equality_ids)), []).append(d)
+        for ids, dels in by_ids.items():
+            key_cols = [schema.field_by_id(i).name for i in ids]
+            dd = spark.read.parquet(*[d.file.file_path for d in dels])
+            # tag each delete row with its file's sequence number
+            seq_map = {d.file.file_path: d.sequence_number for d in dels}
+            mapping = F.create_map(*[F.lit(x) for kv in seq_map.items() for x in kv])
+            dd = dd.withColumn("__del_seq", mapping[F.col("_metadata.file_path")])
+            dd = dd.select(
+                *[F.col(k).alias(f"__delk_{i}") for i, k in enumerate(key_cols)], "__del_seq"
+            )
+            cond = F.col("__data_seq") < F.col("__del_seq")
+            for i, k in enumerate(key_cols):
+                cond = cond & out[k].eqNullSafe(F.col(f"__delk_{i}"))
+            out = out.join(dd, cond, "left_anti")
+        out = out.drop("__data_seq")
+
+    if not with_metadata_columns and need_meta:
+        out = out.drop(FILE_PATH_COL, POS_COL)
+    return out

@@ -1,0 +1,602 @@
+"""Table facade — the engine's user API (DSv2-`SparkTable` equivalent).
+
+Reference: spark/v4.0/spark/.../source/SparkTable.java:91 (capabilities),
+api/.../Table.java (newScan/newAppend/...), api/.../catalog/Catalog.java:33-211.
+PySpark cannot implement DataSource V2, so the Table is a Python facade that
+returns/accepts DataFrames (SURVEY §2.A "Spark DSv2 source" mapping); all
+data movement is Spark jobs, only the final metadata CAS happens on the
+driver.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from dataclasses import replace
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import expressions as E
+from .manifests import DataFile, collect_data_files, read_manifest, read_manifest_list
+from .metadata import (
+    MAIN_BRANCH,
+    OP_REPLACE,
+    PartitionSpec,
+    PartitionSpecBuilder,
+    Snapshot,
+    SnapshotRef,
+    SortField,
+    SortOrder,
+    TableMetadata,
+    TableOperations,
+    UNSORTED,
+)
+from .schema import Schema
+from .scan import TableScan
+from .writes import FastAppend, Overwrite, RowDelta, write_data_files
+
+
+class Table:
+    def __init__(self, spark: SparkSession, location: str, metadata: TableMetadata,
+                 identifier: Optional[str] = None):
+        self.spark = spark
+        self.location = location
+        self.metadata = metadata
+        self.identifier = identifier or os.path.basename(location)
+        self.ops = TableOperations(location)
+
+    # -- basics -------------------------------------------------------------
+    def refresh(self) -> "Table":
+        m = self.ops.refresh()
+        if m is not None:
+            self.metadata = m
+        return self
+
+    @property
+    def schema(self) -> Schema:
+        return self.metadata.schema
+
+    @property
+    def spec(self) -> PartitionSpec:
+        return self.metadata.spec
+
+    @property
+    def properties(self) -> dict:
+        return self.metadata.properties
+
+    def spark_schema(self) -> T.StructType:
+        return self.schema.to_spark()
+
+    # -- read ---------------------------------------------------------------
+    def new_scan(self, **kw) -> TableScan:
+        return TableScan(self, **kw)
+
+    def scan(self, filter: Optional[E.Expr] = None, columns=None,
+             snapshot_id: Optional[int] = None, as_of_timestamp_ms: Optional[int] = None,
+             ref: Optional[str] = None, planning_mode: str = "auto") -> TableScan:
+        s = TableScan(self, planning_mode=planning_mode)
+        if snapshot_id is not None:
+            s = s.use_snapshot(snapshot_id)
+        if as_of_timestamp_ms is not None:
+            s = s.as_of(as_of_timestamp_ms)
+        if ref is not None:
+            s = s.use_ref(ref)
+        if filter is not None:
+            s = s.filter(filter)
+        if columns is not None:
+            s = s.select(columns)
+        return s
+
+    def to_df(self, **kw) -> DataFrame:
+        return self.scan(**kw).df()
+
+    def register_temp_view(self, name: Optional[str] = None) -> str:
+        name = name or self.identifier.replace(".", "_")
+        self.to_df().createOrReplaceTempView(name)
+        return name
+
+    # -- write --------------------------------------------------------------
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
+        """FastAppend: write parquet + one new manifest + CAS."""
+        files = write_data_files(self, df)
+        return FastAppend(self, files, branch=branch).commit()
+
+    def overwrite(self, df: DataFrame, overwrite_filter: Optional[E.Expr] = None,
+                  branch: str = MAIN_BRANCH) -> Snapshot:
+        """INSERT OVERWRITE: replace rows matching the filter (all rows when
+        None) with df's rows, copy-on-write."""
+        from .row_ops import plan_cow_removal
+
+        if overwrite_filter is None:
+            # full overwrite: drop every live data file
+            removed = {e.file.file_path for e in self.scan().plan_files().files}
+            rewritten = []
+        else:
+            removed, rewritten = plan_cow_removal(self, overwrite_filter)
+        added = write_data_files(self, df) + rewritten
+        return Overwrite(self, added, removed, branch=branch).commit()
+
+    def dynamic_partition_overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
+        """ReplacePartitions: replace exactly the partitions present in df
+        (api/.../ReplacePartitions.java)."""
+        added = write_data_files(self, df)
+        touched = {tuple(sorted(f.partition.items())) for f in added}
+        removed = set()
+        for e in self.scan().plan_files().files:
+            if tuple(sorted(e.file.partition.items())) in touched:
+                removed.add(e.file.file_path)
+        return Overwrite(self, added, removed, branch=branch).commit()
+
+    def delete_where(self, expr: E.Expr, mode: Optional[str] = None,
+                     branch: str = MAIN_BRANCH) -> Optional[Snapshot]:
+        from .row_ops import delete_where
+
+        return delete_where(self, expr, mode=mode, branch=branch)
+
+    def update(self, condition: E.Expr, assignments: dict, mode: Optional[str] = None,
+               branch: str = MAIN_BRANCH) -> Optional[Snapshot]:
+        from .row_ops import update_where
+
+        return update_where(self, condition, assignments, mode=mode, branch=branch)
+
+    def merge(self, source: DataFrame, on):
+        from .row_ops import MergeBuilder
+
+        return MergeBuilder(self, source, on)
+
+    def add_files(self, paths: Union[str, list], branch: str = MAIN_BRANCH) -> Snapshot:
+        """Metadata-only import of existing parquet files (no rewrite) —
+        the `add_files` procedure / TableMigrationUtil path."""
+        if isinstance(paths, str):
+            if os.path.isdir(paths):
+                paths = [
+                    os.path.join(r, f)
+                    for r, _d, fs in os.walk(paths)
+                    for f in fs
+                    if f.endswith(".parquet")
+                ]
+            else:
+                paths = [paths]
+        if self.spec.fields:
+            raise ValueError("add_files into partitioned tables requires partition parsing; "
+                             "append() instead or use identity layout")
+        files = collect_data_files(list(paths), self.schema, self.spec)
+        files = [replace(f, write_schema_id=self.schema.schema_id) for f in files]
+        return FastAppend(self, files, branch=branch,
+                          summary_extra={"added-files-via": "add_files"}).commit()
+
+    # -- snapshots / refs ---------------------------------------------------
+    def snapshots(self) -> list:
+        return list(self.metadata.snapshots)
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        return self.metadata.current_snapshot()
+
+    def history(self) -> list:
+        return [
+            {"made_current_at": ts, "snapshot_id": sid}
+            for ts, sid in self.metadata.snapshot_log
+        ]
+
+    def refs(self) -> dict:
+        return dict(self.metadata.refs)
+
+    def manage_snapshots(self) -> "ManageSnapshots":
+        return ManageSnapshots(self)
+
+    def expire_snapshots(self, older_than_ms: Optional[int] = None, retain_last: int = 1,
+                         delete_files: bool = True) -> dict:
+        from .maintenance import expire_snapshots
+
+        return expire_snapshots(self, older_than_ms, retain_last, delete_files)
+
+    # -- maintenance --------------------------------------------------------
+    def rewrite_data_files(self, strategy: str = "binpack", **kw) -> dict:
+        from .maintenance import rewrite_data_files
+
+        return rewrite_data_files(self, strategy=strategy, **kw)
+
+    def rewrite_manifests(self) -> dict:
+        from .maintenance import rewrite_manifests
+
+        return rewrite_manifests(self)
+
+    def remove_orphan_files(self, older_than_ms: Optional[int] = None,
+                            dry_run: bool = False) -> list:
+        from .maintenance import remove_orphan_files
+
+        return remove_orphan_files(self, older_than_ms, dry_run)
+
+    def compute_table_stats(self, columns: Optional[list] = None) -> dict:
+        from .maintenance import compute_table_stats
+
+        return compute_table_stats(self, columns)
+
+    # -- metadata tables ----------------------------------------------------
+    def metadata_table(self, name: str) -> DataFrame:
+        from .metadata_tables import metadata_table
+
+        return metadata_table(self, name)
+
+    def inspect(self, name: str) -> DataFrame:
+        return self.metadata_table(name)
+
+    # -- incremental / CDC --------------------------------------------------
+    def incremental_scan(self, from_snapshot_id: Optional[int],
+                         to_snapshot_id: Optional[int] = None) -> DataFrame:
+        from .changelog import incremental_append_df
+
+        return incremental_append_df(self, from_snapshot_id, to_snapshot_id)
+
+    def changes(self, from_snapshot_id: Optional[int] = None,
+                to_snapshot_id: Optional[int] = None, compute_updates: bool = False,
+                remove_carryovers: bool = True) -> DataFrame:
+        from .changelog import changelog_df
+
+        return changelog_df(self, from_snapshot_id, to_snapshot_id,
+                            compute_updates=compute_updates,
+                            remove_carryovers=remove_carryovers)
+
+    # -- evolution ----------------------------------------------------------
+    def update_schema(self) -> "UpdateSchema":
+        return UpdateSchema(self)
+
+    def update_spec(self) -> "UpdateSpec":
+        return UpdateSpec(self)
+
+    def replace_sort_order(self, *fields) -> "Table":
+        """fields: (name, 'asc'|'desc') tuples or names."""
+        schema = self.schema
+        sfs = []
+        for f in fields:
+            name, direction = (f, "asc") if isinstance(f, str) else f
+            fld = schema.find_field(name)
+            from .transforms import Identity
+
+            sfs.append(SortField(fld.field_id, name, Identity(), direction,
+                                 "nulls-last" if direction == "asc" else "nulls-first"))
+        order_id = max((o.order_id for o in self.metadata.sort_orders), default=0) + 1
+        order = SortOrder(order_id, tuple(sfs))
+        self._commit_metadata(replace(
+            self.metadata,
+            sort_orders=self.metadata.sort_orders + (order,),
+            default_sort_order_id=order_id,
+        ))
+        return self
+
+    def set_properties(self, **props) -> "Table":
+        self._commit_metadata(replace(self.metadata,
+                                      properties={**self.metadata.properties, **props}))
+        return self
+
+    def _commit_metadata(self, new_meta: TableMetadata):
+        v = self.ops.current_version()
+        self.ops.commit(v, new_meta)
+        self.metadata = new_meta
+
+
+class ManageSnapshots:
+    """Branch/tag management + rollback + cherry-pick
+    (api/.../ManageSnapshots.java:44, core/.../SnapshotManager.java)."""
+
+    def __init__(self, table: Table):
+        self.t = table
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> "ManageSnapshots":
+        m = self.t.metadata
+        sid = snapshot_id if snapshot_id is not None else m.current_snapshot_id
+        if sid is None:
+            raise ValueError("no current snapshot to branch from")
+        refs = dict(m.refs)
+        if name in refs:
+            raise ValueError(f"ref exists: {name}")
+        refs[name] = SnapshotRef(sid, "branch")
+        self.t._commit_metadata(replace(m, refs=refs))
+        return self
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> "ManageSnapshots":
+        m = self.t.metadata
+        sid = snapshot_id if snapshot_id is not None else m.current_snapshot_id
+        refs = dict(m.refs)
+        if name in refs:
+            raise ValueError(f"ref exists: {name}")
+        refs[name] = SnapshotRef(sid, "tag")
+        self.t._commit_metadata(replace(m, refs=refs))
+        return self
+
+    def remove_ref(self, name: str) -> "ManageSnapshots":
+        m = self.t.metadata
+        if name == MAIN_BRANCH:
+            raise ValueError("cannot remove main")
+        refs = dict(m.refs)
+        refs.pop(name, None)
+        self.t._commit_metadata(replace(m, refs=refs))
+        return self
+
+    def rollback_to(self, snapshot_id: int) -> "ManageSnapshots":
+        m = self.t.metadata
+        m.snapshot_by_id(snapshot_id)  # validate
+        refs = dict(m.refs)
+        refs[MAIN_BRANCH] = SnapshotRef(snapshot_id, "branch")
+        now = int(time.time() * 1000)
+        self.t._commit_metadata(replace(
+            m, refs=refs, snapshot_log=m.snapshot_log + ((now, snapshot_id),)
+        ))
+        return self
+
+    def rollback_to_timestamp(self, timestamp_ms: int) -> "ManageSnapshots":
+        snap = self.t.metadata.snapshot_as_of(timestamp_ms)
+        if snap is None:
+            raise ValueError("no snapshot at or before timestamp")
+        return self.rollback_to(snap.snapshot_id)
+
+    def set_current_snapshot(self, snapshot_id: int) -> "ManageSnapshots":
+        return self.rollback_to(snapshot_id)
+
+    def fast_forward(self, branch: str, to_branch: str) -> "ManageSnapshots":
+        m = self.t.metadata
+        target = m.refs.get(to_branch)
+        if target is None:
+            raise ValueError(f"no ref {to_branch}")
+        refs = dict(m.refs)
+        refs[branch] = SnapshotRef(target.snapshot_id, "branch")
+        self.t._commit_metadata(replace(m, refs=refs))
+        return self
+
+    def cherrypick(self, snapshot_id: int) -> "ManageSnapshots":
+        """Re-apply an (append-only) snapshot onto the current branch
+        (core/.../CherryPickOperation.java — we support append snapshots)."""
+        m = self.t.metadata
+        snap = m.snapshot_by_id(snapshot_id)
+        if snap.operation != "append":
+            raise ValueError("cherrypick supports append snapshots only")
+        picked = read_manifest_list(snap.manifest_list)
+        added_manifests = [x for x in picked if x.added_snapshot_id == snapshot_id]
+        added_files = []
+        for am in added_manifests:
+            spec = m.spec_by_id(am.spec_id)
+            for e in read_manifest(am.path, m.schema, spec):
+                if e.snapshot_id == snapshot_id:
+                    added_files.append(e.file)
+        FastAppend(self.t, added_files, summary_extra={"cherry-picked-from": str(snapshot_id)}
+                   ).commit()
+        return self
+
+
+class UpdateSchema:
+    """Schema evolution builder (api/.../UpdateSchema.java:34,
+    core/.../SchemaUpdate.java:51): add/drop/rename/widen/union-by-name."""
+
+    def __init__(self, table: Table):
+        self.t = table
+        self._fields = list(table.schema.fields)
+        self._last_id = table.metadata.last_column_id
+
+    def add_column(self, name: str, type_str: str, doc: Optional[str] = None) -> "UpdateSchema":
+        from .schema import NestedField
+
+        if any(f.name == name for f in self._fields):
+            raise ValueError(f"column exists: {name}")
+        self._last_id += 1
+        self._fields.append(NestedField(self._last_id, name, type_str, False, doc))
+        return self
+
+    def drop_column(self, name: str) -> "UpdateSchema":
+        self._fields = [f for f in self._fields if f.name != name]
+        return self
+
+    def rename_column(self, name: str, new_name: str) -> "UpdateSchema":
+        self._fields = [
+            replace(f, name=new_name) if f.name == name else f for f in self._fields
+        ]
+        return self
+
+    def update_column(self, name: str, type_str: str) -> "UpdateSchema":
+        from .schema import is_promotable
+
+        out = []
+        for f in self._fields:
+            if f.name == name:
+                if not is_promotable(f.type, type_str):
+                    raise ValueError(f"cannot promote {f.type} -> {type_str}")
+                f = replace(f, type=type_str)
+            out.append(f)
+        self._fields = out
+        return self
+
+    def move_first(self, name: str) -> "UpdateSchema":
+        f = [x for x in self._fields if x.name == name]
+        rest = [x for x in self._fields if x.name != name]
+        self._fields = f + rest
+        return self
+
+    def move_after(self, name: str, after: str) -> "UpdateSchema":
+        f = next(x for x in self._fields if x.name == name)
+        rest = [x for x in self._fields if x.name != name]
+        idx = next(i for i, x in enumerate(rest) if x.name == after)
+        self._fields = rest[: idx + 1] + [f] + rest[idx + 1 :]
+        return self
+
+    def union_by_name(self, spark_schema: T.StructType) -> "UpdateSchema":
+        """Merge new columns from a Spark schema (mergeSchema semantics)."""
+        from .schema import Schema as S, is_promotable, spark_to_type
+
+        existing = {f.name: f for f in self._fields}
+        for sf in spark_schema.fields:
+            counter = {"n": self._last_id}
+
+            def next_id():
+                counter["n"] += 1
+                return counter["n"]
+
+            t = spark_to_type(sf.dataType, next_id)
+            if sf.name not in existing:
+                self._last_id += 1
+                from .schema import NestedField
+
+                self._fields.append(NestedField(self._last_id, sf.name, t, False))
+                self._last_id = max(self._last_id, counter["n"])
+            else:
+                cur = existing[sf.name]
+                if isinstance(cur.type, str) and isinstance(t, str) and cur.type != t:
+                    if is_promotable(cur.type, t):
+                        self._fields = [
+                            replace(f, type=t) if f.name == sf.name else f
+                            for f in self._fields
+                        ]
+        return self
+
+    def commit(self) -> Schema:
+        m = self.t.metadata
+        new_sid = max(s.schema_id for s in m.schemas) + 1
+        new_schema = Schema(tuple(self._fields), schema_id=new_sid,
+                            identifier_field_ids=m.schema.identifier_field_ids)
+        self.t._commit_metadata(replace(
+            m,
+            schemas=m.schemas + (new_schema,),
+            current_schema_id=new_sid,
+            last_column_id=max(m.last_column_id, self._last_id),
+        ))
+        return new_schema
+
+
+class UpdateSpec:
+    """Partition evolution (api/.../UpdatePartitionSpec.java:31): old files
+    keep their spec; new writes use the new one (format/spec.md:622)."""
+
+    def __init__(self, table: Table):
+        self.t = table
+        m = table.metadata
+        self._builder = PartitionSpecBuilder(table.schema,
+                                             spec_id=max(s.spec_id for s in m.partition_specs) + 1)
+        self._kept = list(table.spec.fields)
+
+    def add_field(self, source_name: str, transform: str = "identity",
+                  name: Optional[str] = None) -> "UpdateSpec":
+        self._builder.add(source_name, transform, name)
+        return self
+
+    def remove_field(self, name: str) -> "UpdateSpec":
+        self._kept = [f for f in self._kept if f.name != name]
+        return self
+
+    def commit(self) -> PartitionSpec:
+        m = self.t.metadata
+        new_fields = tuple(self._kept) + tuple(self._builder._fields)
+        # renumber partition field ids after last_partition_id
+        next_id = m.last_partition_id + 1
+        renumbered = []
+        existing_ids = {f.field_id for f in self._kept}
+        for f in new_fields:
+            if f.field_id in existing_ids:
+                renumbered.append(f)
+            else:
+                renumbered.append(replace(f, field_id=next_id))
+                next_id += 1
+        spec = PartitionSpec(self._builder._spec_id, tuple(renumbered))
+        self.t._commit_metadata(replace(
+            m,
+            partition_specs=m.partition_specs + (spec,),
+            default_spec_id=spec.spec_id,
+            last_partition_id=next_id - 1,
+        ))
+        return spec
+
+
+class Catalog:
+    """Directory catalog (HadoopCatalog-style): warehouse/<ns>/<table>.
+    API mirrors api/.../catalog/Catalog.java:33-211."""
+
+    def __init__(self, spark: SparkSession, warehouse: str, name: str = "local"):
+        self.spark = spark
+        self.warehouse = warehouse.rstrip("/")
+        self.name = name
+        os.makedirs(self.warehouse, exist_ok=True)
+
+    def _location(self, identifier: str) -> str:
+        return os.path.join(self.warehouse, *identifier.split("."))
+
+    def create_table(self, identifier: str, schema, partition_by=None,
+                     sort_order: SortOrder = UNSORTED, properties: Optional[dict] = None,
+                     exists_ok: bool = False) -> Table:
+        loc = self._location(identifier)
+        ops = TableOperations(loc)
+        if ops.refresh() is not None:
+            if exists_ok:
+                return self.load_table(identifier)
+            raise ValueError(f"table exists: {identifier}")
+        if isinstance(schema, T.StructType):
+            schema = Schema.from_spark(schema)
+        spec = _build_spec(schema, partition_by)
+        meta = TableMetadata.new(loc, schema, spec, sort_order, properties)
+        ops.commit(None, meta)
+        return Table(self.spark, loc, ops.refresh(), identifier)
+
+    def load_table(self, identifier: str) -> Table:
+        loc = self._location(identifier)
+        meta = TableOperations(loc).refresh()
+        if meta is None:
+            raise ValueError(f"no such table: {identifier}")
+        return Table(self.spark, loc, meta, identifier)
+
+    def table_exists(self, identifier: str) -> bool:
+        return TableOperations(self._location(identifier)).refresh() is not None
+
+    def drop_table(self, identifier: str, purge: bool = True) -> bool:
+        loc = self._location(identifier)
+        if not os.path.isdir(loc):
+            return False
+        shutil.rmtree(loc)
+        return True
+
+    def rename_table(self, from_id: str, to_id: str):
+        src, dst = self._location(from_id), self._location(to_id)
+        if not os.path.isdir(src):
+            raise ValueError(f"no such table: {from_id}")
+        if os.path.isdir(dst):
+            raise ValueError(f"table exists: {to_id}")
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.rename(src, dst)
+
+    def list_tables(self, namespace: str = "") -> list:
+        base = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
+        out = []
+        for root, dirs, _files in os.walk(base):
+            if os.path.isdir(os.path.join(root, "metadata")):
+                rel = os.path.relpath(root, self.warehouse)
+                out.append(rel.replace(os.sep, "."))
+                dirs.clear()
+        return sorted(out)
+
+    def create_table_from_df(self, identifier: str, df: DataFrame, partition_by=None,
+                             **kw) -> Table:
+        t = self.create_table(identifier, df.schema, partition_by=partition_by, **kw)
+        t.append(df)
+        return t
+
+
+def _build_spec(schema: Schema, partition_by) -> PartitionSpec:
+    """partition_by: None | list of 'col' / 'transform(col)' / (col, transform)."""
+    if partition_by is None:
+        return PartitionSpec(0, ())
+    if isinstance(partition_by, PartitionSpec):
+        return partition_by
+    b = PartitionSpecBuilder(schema, 0)
+    for p in partition_by:
+        if isinstance(p, tuple):
+            b.add(p[0], p[1])
+        else:
+            p = p.strip()
+            import re
+
+            m = re.match(r"^(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$", p)
+            if m:
+                fn, arg, colname = m.groups()
+                tr = f"{fn}[{arg}]" if arg else fn
+                b.add(colname, tr)
+            else:
+                b.add(p, "identity")
+    return b.build()

@@ -1,0 +1,441 @@
+"""Workload registry: named queries exercising the engine + DuckDB oracles.
+
+Each entry: name -> (query_fn(spark, sf_dir) -> DataFrame, oracle_sql | None).
+The driver runs the Spark query AND the oracle on the same parquet tables
+(views: region nation customer supplier part orders lineitem events
+documents embeddings) and hash-compares values — column names must match,
+so every computed column is aliased identically on both sides.
+
+Engine-backed queries ingest the testdata into iceberg_spark tables
+(metadata-only add_files where possible, append where a rewrite is needed)
+in a per-process temp warehouse, then run through table.scan() — so the
+correctness gate covers the metadata/commit/scan machinery, not just Spark
+SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import expressions as E
+from .expressions import col
+from .sources.testdata import load_table
+from .table import Catalog, Table
+
+_STATE: dict = {}
+
+
+def _warehouse(spark: SparkSession) -> Catalog:
+    if "catalog" not in _STATE:
+        wh = tempfile.mkdtemp(prefix="iceberg_spark_wh_")
+        _STATE["catalog"] = Catalog(spark, wh)
+    return _STATE["catalog"]
+
+
+def _ensure_conf(spark: SparkSession):
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
+def _sf_key(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def engine_table(spark: SparkSession, sf_dir: str, name: str,
+                 partition_by=None, fresh: bool = False, properties=None) -> Table:
+    """Load a testdata table into the engine (cached per process+sf).
+
+    Unpartitioned tables ingest metadata-only via add_files (no rewrite);
+    partitioned ones (or type-converted ones like events) go through append.
+    """
+    _ensure_conf(spark)
+    cat = _warehouse(spark)
+    ident = f"{_sf_key(sf_dir)}.{name}" + ("_p" if partition_by else "")
+    if fresh:
+        import uuid
+
+        ident = f"{ident}_{uuid.uuid4().hex[:8]}"
+    elif cat.table_exists(ident):
+        return cat.load_table(ident)
+    df = load_table(spark, sf_dir, name)
+    t = cat.create_table(ident, df.schema, partition_by=partition_by,
+                         properties=properties)
+    needs_rewrite = partition_by is not None or name == "events"
+    if needs_rewrite:
+        t.append(df)
+    else:
+        t.add_files(os.path.join(sf_dir, f"{name}.parquet"))
+    return t
+
+
+def _ldf(spark, sf_dir, name) -> DataFrame:
+    """Engine-scan DataFrame for a testdata table."""
+    return engine_table(spark, sf_dir, name).to_df()
+
+
+# ---------------------------------------------------------------------------
+# analytics queries (TPC-H-style, through the engine's table layer)
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark, sf_dir):
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=col("l_shipdate") <= "1998-09-02T00:00:00"
+    ).df()
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q6_revenue(spark, sf_dir):
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=E.and_(
+            col("l_shipdate") >= "1994-01-01T00:00:00",
+            col("l_shipdate") < "1995-01-01T00:00:00",
+            col("l_discount") >= 0.05,
+            col("l_discount") <= 0.07,
+            col("l_quantity") < 24,
+        )
+    ).df()
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q3_shipping_priority(spark, sf_dir):
+    cust = _ldf(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = engine_table(spark, sf_dir, "orders").scan(
+        filter=col("o_orderdate") < "1995-03-15T00:00:00"
+    ).df()
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=col("l_shipdate") > "1995-03-15T00:00:00"
+    ).df()
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+    return j
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark, sf_dir):
+    region = _ldf(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _ldf(spark, sf_dir, "nation")
+    cust = _ldf(spark, sf_dir, "customer")
+    supp = _ldf(spark, sf_dir, "supplier")
+    orders = engine_table(spark, sf_dir, "orders").scan(
+        filter=E.and_(col("o_orderdate") >= "1994-01-01T00:00:00",
+                      col("o_orderdate") < "1995-01-01T00:00:00")
+    ).df()
+    li = _ldf(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+    return j
+
+
+Q5_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def events_type_agg(spark, sf_dir):
+    ev = _ldf(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("total_value"),
+             F.countDistinct("user_id").alias("users"))
+        .orderBy("event_type")
+    )
+
+
+EVENTS_AGG_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value,
+       COUNT(DISTINCT user_id) AS users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def scan_prune_day(spark, sf_dir):
+    """Hidden partitioning: day(ts) partitioned engine table, pruned scan."""
+    t = engine_table(spark, sf_dir, "events", partition_by=["day(ts)"])
+    import datetime as dt
+
+    df = t.scan(filter=col("ts") < dt.datetime(2024, 1, 4)).df()
+    return (df.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+              .orderBy("event_type"))
+
+
+SCAN_PRUNE_SQL = """
+SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# write-algebra queries (time travel / delete / update / merge round-trips)
+# ---------------------------------------------------------------------------
+
+
+def time_travel_scan(spark, sf_dir):
+    """Append evens then odds; scan the first snapshot (time travel)."""
+    key = ("tt", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"tt_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table(ident, df.schema)
+        t.append(df.filter(F.col("o_orderkey") % 2 == 0))
+        s1 = t.current_snapshot().snapshot_id
+        t.append(df.filter(F.col("o_orderkey") % 2 == 1))
+        _STATE[key] = (ident, s1)
+    ident, s1 = _STATE[key]
+    t = _warehouse(spark).load_table(ident)
+    return (t.scan(snapshot_id=s1).df()
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+TIME_TRAVEL_SQL = """
+SELECT COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 2 = 0
+"""
+
+
+def delete_cow_scan(spark, sf_dir):
+    key = ("delcow", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"delcow_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "lineitem")
+        t = cat.create_table(ident, df.schema)
+        t.append(df)
+        t.delete_where(E.and_(col("l_returnflag") == "R", col("l_quantity") < 10))
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+
+
+DELETE_COW_SQL = """
+SELECT COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total_price,
+       ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem WHERE NOT (l_returnflag = 'R' AND l_quantity < 10)
+"""
+
+
+def delete_mor_scan(spark, sf_dir):
+    """Merge-on-read delete: position-delete files applied at read."""
+    key = ("delmor", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"delmor_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table(ident, df.schema,
+                             properties={"write.delete.mode": "merge-on-read"})
+        t.append(df)
+        t.delete_where(col("o_orderstatus") == "F", mode="merge-on-read")
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+DELETE_MOR_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def update_scan(spark, sf_dir):
+    key = ("upd", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"upd_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "customer")
+        t = cat.create_table(ident, df.schema)
+        t.append(df)
+        t.update(col("c_mktsegment") == "BUILDING",
+                 {"c_acctbal": F.round(F.col("c_acctbal") * 1.1, 2)})
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("c_acctbal"), 2).alias("bal"))
+            .orderBy("c_mktsegment"))
+
+
+UPDATE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       ROUND(SUM(CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN ROUND(c_acctbal * 1.1, 2) ELSE c_acctbal END), 2) AS bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def merge_upsert_scan(spark, sf_dir):
+    key = ("merge", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"merge_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table(ident, df.schema)
+        t.append(df.filter(F.col("o_orderkey") % 2 == 0))
+        src = (df.filter(F.col("o_orderkey") % 3 == 0)
+                 .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2)))
+        (t.merge(src, on=["o_orderkey"])
+           .when_matched_update(set=None)
+           .when_not_matched_insert(values=None)
+           .execute())
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+MERGE_SQL = """
+WITH target AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+     source AS (SELECT o_orderkey, ROUND(o_totalprice * 2, 2) AS o_totalprice
+                FROM orders WHERE o_orderkey % 3 = 0)
+SELECT COUNT(*) AS n, ROUND(SUM(price), 2) AS total FROM (
+  SELECT COALESCE(s.o_totalprice, t.o_totalprice) AS price
+  FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+  UNION ALL
+  SELECT s.o_totalprice AS price
+  FROM source s LEFT JOIN target t ON t.o_orderkey = s.o_orderkey
+  WHERE t.o_orderkey IS NULL
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_revenue": (q6_revenue, Q6_SQL),
+    "events_type_agg": (events_type_agg, EVENTS_AGG_SQL),
+    "scan_prune_day": (scan_prune_day, SCAN_PRUNE_SQL),
+    "time_travel_scan": (time_travel_scan, TIME_TRAVEL_SQL),
+    "delete_cow_scan": (delete_cow_scan, DELETE_COW_SQL),
+    "delete_mor_scan": (delete_mor_scan, DELETE_MOR_SQL),
+    "update_scan": (update_scan, UPDATE_SQL),
+    "merge_upsert_scan": (merge_upsert_scan, MERGE_SQL),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}

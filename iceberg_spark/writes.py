@@ -1,0 +1,442 @@
+"""Write path: data-file materialization + snapshot producers (commit algebra).
+
+Reference: SnapshotProducer.commit() retry loop
+(core/.../SnapshotProducer.java:480-542), FastAppend.java,
+MergingSnapshotProducer.java (manifest merging), BaseOverwriteFiles.java,
+BaseRowDelta.java, BaseRewriteFiles.java, StreamingDelete.java; write
+distribution SparkWriteUtil.java:76 and DistributionMode.java:39; rolling /
+clustered / fanout writers (core/.../io/*Writer.java) are realized by
+Spark's own writer: `repartition(partition cols)` routes rows (clustered),
+`partitionBy` fans out files, `maxRecordsPerFile` rolls them.
+
+Commits are optimistic: build new metadata against a refreshed base, CAS
+via TableOperations.commit, retry on CommitFailedException.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+import random
+import time
+import uuid as _uuid
+from dataclasses import replace
+from decimal import Decimal
+from typing import Callable, Optional
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import expressions as E
+from .manifests import (
+    ADDED,
+    DATA,
+    DELETED,
+    EQUALITY_DELETES,
+    EXISTING,
+    POSITION_DELETES,
+    DataFile,
+    ManifestEntry,
+    collect_data_files,
+    read_manifest,
+    read_manifest_list,
+    write_manifest,
+    write_manifest_list,
+)
+from .metadata import (
+    MAIN_BRANCH,
+    OP_APPEND,
+    OP_DELETE,
+    OP_OVERWRITE,
+    OP_REPLACE,
+    CommitFailedException,
+    Snapshot,
+    SnapshotRef,
+    TableMetadata,
+)
+from .schema import Schema, type_to_spark
+
+MANIFEST_MERGE_MIN = 32  # merge small manifests when count exceeds this
+COMMIT_RETRIES = 5
+
+
+class ValidationException(Exception):
+    """Concurrent-conflict detected during commit re-validation."""
+
+
+# ---------------------------------------------------------------------------
+# partition path encoding (Spark partitionBy writes hive-style dirs)
+# ---------------------------------------------------------------------------
+
+HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def parse_partition_value(raw: str, ptype: str):
+    v = unquote(raw)
+    if v == HIVE_NULL:
+        return None
+    if ptype == "int" or ptype == "long":
+        return int(v)
+    if ptype in ("double", "float"):
+        return float(v)
+    if ptype == "date":
+        return _dt.date.fromisoformat(v)
+    if ptype in ("timestamp", "timestamp_ntz"):
+        return _dt.datetime.fromisoformat(v.replace(" ", "T"))
+    if ptype.startswith("decimal"):
+        return Decimal(v)
+    if ptype == "boolean":
+        return v.lower() == "true"
+    return v
+
+
+def partition_values_from_path(path: str, pnames: list, ptypes: dict) -> dict:
+    out = {}
+    for seg in path.split(os.sep):
+        if "=" in seg:
+            k, _, raw = seg.partition("=")
+            if k.startswith("_p_"):
+                name = k[3:]
+                if name in ptypes:
+                    out[name] = parse_partition_value(raw, ptypes[name])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# data-file writing
+# ---------------------------------------------------------------------------
+
+
+def _align_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
+    sel = []
+    for f in schema.fields:
+        if f.name not in df.columns:
+            sel.append(F.lit(None).cast(type_to_spark(f.type)).alias(f.name))
+        else:
+            sel.append(F.col(f.name).cast(type_to_spark(f.type)).alias(f.name))
+    return df.select(*sel)
+
+
+def write_data_files(
+    table, df: DataFrame, content: int = DATA, align: bool = True,
+    distribution: Optional[str] = None,
+) -> list:
+    """Write df as Parquet into the table layout; return DataFiles w/ stats.
+
+    Partitioned tables: derive `_p_<name>` transform columns, hash-route rows
+    (`repartition` on partition cols = clustered writer), `partitionBy` fans
+    out one directory per partition, stats come from the written footers.
+    """
+    metadata: TableMetadata = table.metadata
+    schema, spec = metadata.schema, metadata.spec
+    props = metadata.properties
+    if align:
+        df = _align_to_schema(df, schema)
+
+    out_dir = os.path.join(table.location, "data", _uuid.uuid4().hex)
+    writer_opts = {}
+    max_records = props.get("write.max-records-per-file")
+    if max_records:
+        writer_opts["maxRecordsPerFile"] = str(max_records)
+
+    pnames = [f.name for f in spec.fields]
+    ptypes = dict(spec.partition_type(schema))
+    dist = distribution or props.get("write.distribution-mode", "hash")
+
+    if spec.fields:
+        pcols = []
+        for pf in spec.fields:
+            src = schema.field_by_id(pf.source_id)
+            pcols.append(pf.transform.spark_col(F.col(src.name), src.type).alias(f"_p_{pf.name}"))
+        df2 = df.select("*", *pcols)
+        pby = [f"_p_{n}" for n in pnames]
+        if dist == "hash":
+            df2 = df2.repartition(*[F.col(c) for c in pby])
+        elif dist == "range":
+            df2 = df2.repartitionByRange(*[F.col(c) for c in pby])
+        df2 = _apply_sort_order(df2, metadata)
+        w = df2.write.mode("append")
+        for k, v in writer_opts.items():
+            w = w.option(k, v)
+        w.partitionBy(*pby).parquet(out_dir)
+    else:
+        dfw = _apply_sort_order(df, metadata)
+        w = dfw.write.mode("append")
+        for k, v in writer_opts.items():
+            w = w.option(k, v)
+        w.parquet(out_dir)
+
+    paths, partitions = [], {}
+    for root, _dirs, files in os.walk(out_dir):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(root, fn)
+                paths.append(p)
+                if pnames:
+                    partitions[p] = partition_values_from_path(
+                        os.path.relpath(p, out_dir), pnames, ptypes
+                    )
+    files = collect_data_files(paths, schema, spec, partitions, content)
+    files = [replace(f, write_schema_id=schema.schema_id) for f in files if f.record_count > 0]
+    return files
+
+
+def _apply_sort_order(df: DataFrame, metadata: TableMetadata) -> DataFrame:
+    order = metadata.sort_order
+    if not order.is_sorted:
+        return df
+    cols = []
+    schema = metadata.schema
+    for sf in order.fields:
+        src = schema.field_by_id(sf.source_id)
+        c = sf.transform.spark_col(F.col(src.name), src.type)
+        c = c.asc_nulls_last() if sf.direction == "asc" and sf.null_order == "nulls-last" else (
+            c.asc_nulls_first() if sf.direction == "asc" else (
+                c.desc_nulls_last() if sf.null_order == "nulls-last" else c.desc_nulls_first()
+            )
+        )
+        cols.append(c)
+    return df.sortWithinPartitions(*cols)
+
+
+# ---------------------------------------------------------------------------
+# snapshot producers
+# ---------------------------------------------------------------------------
+
+
+def _new_snapshot_id() -> int:
+    return random.getrandbits(62)
+
+
+class SnapshotProducer:
+    """Optimistic-commit base. Subclasses implement `_apply(base) -> (manifests,
+    operation, summary)` returning the FULL new manifest list."""
+
+    operation = OP_APPEND
+
+    def __init__(self, table, branch: str = MAIN_BRANCH):
+        self.table = table
+        self.branch = branch
+        self.snapshot_id = _new_snapshot_id()
+
+    def _apply(self, base: TableMetadata, seq: int):
+        raise NotImplementedError
+
+    def commit(self) -> Snapshot:
+        last_err = None
+        for attempt in range(COMMIT_RETRIES):
+            base = self.table.ops.refresh() or self.table.metadata
+            base_version = self.table.ops.current_version()
+            seq = base.last_sequence_number + 1
+            manifests, operation, summary = self._apply(base, seq)
+            ml_path = write_manifest_list(self.table.location, self.snapshot_id, manifests)
+            parent = base.snapshot_for_ref(self.branch)
+            now = int(time.time() * 1000)
+            snap = Snapshot(
+                snapshot_id=self.snapshot_id,
+                parent_snapshot_id=parent.snapshot_id if parent else None,
+                sequence_number=seq,
+                timestamp_ms=now,
+                operation=operation,
+                manifest_list=ml_path,
+                summary=summary,
+                schema_id=base.current_schema_id,
+            )
+            refs = dict(base.refs)
+            refs[self.branch] = SnapshotRef(self.snapshot_id, "branch")
+            new_meta = replace(
+                base,
+                last_sequence_number=seq,
+                snapshots=base.snapshots + (snap,),
+                refs=refs,
+                snapshot_log=base.snapshot_log + ((now, self.snapshot_id),)
+                if self.branch == MAIN_BRANCH else base.snapshot_log,
+            )
+            try:
+                self.table.ops.commit(base_version, new_meta)
+                self.table.metadata = new_meta
+                return snap
+            except CommitFailedException as e:
+                last_err = e
+                continue
+        raise CommitFailedException(f"commit failed after {COMMIT_RETRIES} retries: {last_err}")
+
+    # -- helpers ------------------------------------------------------------
+    def _base_manifests(self, base: TableMetadata):
+        snap = base.snapshot_for_ref(self.branch)
+        if snap is None:
+            return []
+        return read_manifest_list(snap.manifest_list)
+
+    def _summary(self, base: TableMetadata, added=(), removed=(), added_deletes=()):
+        s = {
+            "added-data-files": str(len([f for f in added if f.content == DATA])),
+            "added-delete-files": str(len(list(added_deletes))),
+            "deleted-data-files": str(len(list(removed))),
+            "added-records": str(sum(f.record_count for f in added)),
+            "deleted-records": str(sum(f.record_count for f in removed)),
+        }
+        prev = base.snapshot_for_ref(self.branch)
+        prev_total = int(prev.summary.get("total-records", "0")) if prev else 0
+        s["total-records"] = str(
+            prev_total
+            + sum(f.record_count for f in added if f.content == DATA)
+            - sum(f.record_count for f in removed)
+        )
+        return s
+
+
+class FastAppend(SnapshotProducer):
+    """core/.../FastAppend.java — new manifest only, no rewrites."""
+
+    def __init__(self, table, files: list, branch: str = MAIN_BRANCH,
+                 summary_extra: Optional[dict] = None):
+        super().__init__(table, branch)
+        self.files = files
+        self.summary_extra = summary_extra or {}
+
+    def _apply(self, base: TableMetadata, seq: int):
+        schema, spec = base.schema, base.spec
+        manifests = self._base_manifests(base)
+        if self.files:
+            entries = [
+                ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in self.files
+            ]
+            m = write_manifest(self.table.location, entries, schema, spec, DATA)
+            manifests = manifests + [m]
+        manifests = maybe_merge_manifests(self.table, base, manifests, self.snapshot_id)
+        summary = {**self._summary(base, added=self.files), **self.summary_extra}
+        return manifests, OP_APPEND, summary
+
+
+class Overwrite(SnapshotProducer):
+    """Remove files (by path set or strict filter) and add replacements in one
+    commit. BaseOverwriteFiles.java / BaseReplacePartitions.java."""
+
+    def __init__(self, table, added: list, removed_paths: Optional[set] = None,
+                 operation: str = OP_OVERWRITE, preserve_seq_for_added: Optional[int] = None,
+                 branch: str = MAIN_BRANCH, validate_removed_exist: bool = True,
+                 added_deletes: Optional[list] = None):
+        super().__init__(table, branch)
+        self.added = added
+        self.added_deletes = added_deletes or []
+        self.removed_paths = set(removed_paths or ())
+        self.op = operation
+        self.preserve_seq = preserve_seq_for_added
+        self.validate_removed_exist = validate_removed_exist
+
+    def _apply(self, base: TableMetadata, seq: int):
+        location = self.table.location
+        manifests = self._base_manifests(base)
+        removed_files = []
+        new_list = []
+        seen = set()
+        for m in manifests:
+            spec = base.spec_by_id(m.spec_id)
+            # read with the schema the manifest tracks stats for
+            entries = read_manifest(m.path, base.schema, spec)
+            hit = [e for e in entries if e.file.file_path in self.removed_paths]
+            if not hit:
+                new_list.append(m)
+                continue
+            removed_files.extend(e.file for e in hit)
+            seen.update(e.file.file_path for e in hit)
+            survivors = [
+                ManifestEntry(EXISTING, e.snapshot_id, e.sequence_number, e.file)
+                for e in entries
+                if e.file.file_path not in self.removed_paths and e.status != DELETED
+            ]
+            if survivors:
+                content = DATA if m.content == 0 else POSITION_DELETES
+                nm = write_manifest(location, survivors, base.schema, spec, content)
+                new_list.append(nm)
+        if self.validate_removed_exist and self.removed_paths - seen:
+            raise ValidationException(
+                f"files to replace no longer exist: {sorted(self.removed_paths - seen)[:3]}"
+            )
+        add_seq = self.preserve_seq if self.preserve_seq is not None else seq
+        if self.added:
+            entries = [ManifestEntry(ADDED, self.snapshot_id, add_seq, f) for f in self.added]
+            new_list.append(write_manifest(location, entries, base.schema, base.spec, DATA))
+        if self.added_deletes:
+            entries = [
+                ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in self.added_deletes
+            ]
+            new_list.append(
+                write_manifest(location, entries, base.schema, base.spec, POSITION_DELETES)
+            )
+        summary = self._summary(base, added=self.added, removed=removed_files,
+                                added_deletes=self.added_deletes)
+        return new_list, self.op, summary
+
+
+class RowDelta(SnapshotProducer):
+    """Merge-on-read commit: new data files + delete files in one snapshot.
+    api/.../RowDelta.java, core/.../BaseRowDelta.java."""
+
+    def __init__(self, table, added_data: list, added_deletes: list,
+                 branch: str = MAIN_BRANCH, referenced_files: Optional[set] = None):
+        super().__init__(table, branch)
+        self.added_data = added_data
+        self.added_deletes = added_deletes
+        self.referenced_files = referenced_files or set()
+
+    def _apply(self, base: TableMetadata, seq: int):
+        location = self.table.location
+        schema, spec = base.schema, base.spec
+        manifests = list(self._base_manifests(base))
+        # validateDataFilesExist: referenced data files must still be live
+        if self.referenced_files:
+            live = set()
+            for m in manifests:
+                if m.content == 0:
+                    for e in read_manifest(m.path, schema, base.spec_by_id(m.spec_id)):
+                        if e.status != DELETED:
+                            live.add(e.file.file_path)
+            missing = self.referenced_files - live
+            if missing:
+                raise ValidationException(
+                    f"position deletes reference missing data files: {sorted(missing)[:3]}"
+                )
+        if self.added_data:
+            entries = [ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in self.added_data]
+            manifests.append(write_manifest(location, entries, schema, spec, DATA))
+        pos = [f for f in self.added_deletes if f.content == POSITION_DELETES]
+        eq = [f for f in self.added_deletes if f.content == EQUALITY_DELETES]
+        if pos:
+            entries = [ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in pos]
+            manifests.append(write_manifest(location, entries, schema, spec, POSITION_DELETES))
+        if eq:
+            entries = [ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in eq]
+            manifests.append(write_manifest(location, entries, schema, spec, EQUALITY_DELETES))
+        summary = self._summary(base, added=self.added_data, added_deletes=self.added_deletes)
+        return manifests, OP_OVERWRITE, summary
+
+
+def maybe_merge_manifests(table, base: TableMetadata, manifests: list, snapshot_id: int,
+                          force: bool = False) -> list:
+    """Merge small data manifests when there are too many
+    (MergingSnapshotProducer/MergeAppend behavior)."""
+    data_manifests = [m for m in manifests if m.content == 0]
+    other = [m for m in manifests if m.content != 0]
+    if not force and len(data_manifests) <= MANIFEST_MERGE_MIN:
+        return manifests
+    by_spec: dict = {}
+    for m in data_manifests:
+        by_spec.setdefault(m.spec_id, []).append(m)
+    merged = []
+    for spec_id, ms in by_spec.items():
+        spec = base.spec_by_id(spec_id)
+        entries = []
+        for m in ms:
+            for e in read_manifest(m.path, base.schema, spec):
+                if e.status != DELETED:
+                    entries.append(ManifestEntry(EXISTING, e.snapshot_id, e.sequence_number, e.file))
+        # chunk into ~8k-entry manifests
+        CHUNK = 8192
+        for i in range(0, max(len(entries), 1), CHUNK):
+            chunk = entries[i : i + CHUNK]
+            if chunk:
+                merged.append(write_manifest(table.location, chunk, base.schema, spec, DATA))
+    return merged + other
