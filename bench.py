@@ -39,14 +39,28 @@ BENCH_QUERIES = [
 
 
 def raw_q1_baseline(spark, sf_dir):
+    """Same computation as q1_pricing_summary but via plain spark.read —
+    the engine-overhead yardstick (Iceberg-vs-file-source comparison)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
     )
     return (
         li.groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum("l_quantity").alias("sum_qty"),
-             F.sum("l_extendedprice").alias("sum_base_price"),
-             F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -67,16 +81,23 @@ def main():
     workloads.engine_table(spark, SF_DIR, "events", partition_by=["day(ts)"])
     raw_q1_baseline(spark, SF_DIR).collect()  # JVM warmup
 
+    def timed(fn, runs: int = 3):
+        # steady-state: 1 warmup + median of `runs` (JMH-style warmup/measure)
+        fn()
+        ts = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return round(ts[len(ts) // 2], 4)
+
     qtimes = {}
     reg = workloads.queries()
     for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        reg[name](spark, SF_DIR).collect()
-        qtimes[name] = round(time.perf_counter() - t0, 4)
+        qtimes[name] = timed(lambda: reg[name](spark, SF_DIR).collect())
 
-    t0 = time.perf_counter()
-    raw_q1_baseline(spark, SF_DIR).collect()
-    qtimes["raw_q1_baseline"] = round(time.perf_counter() - t0, 4)
+    qtimes["raw_q1_baseline"] = timed(lambda: raw_q1_baseline(spark, SF_DIR).collect())
 
     total = round(sum(v for k, v in qtimes.items() if k != "raw_q1_baseline"), 4)
     print(json.dumps({

@@ -1,0 +1,227 @@
+"""Incremental & CDC reads: append scans, changelog with carryover removal
+and update pairing.
+
+Reference (SURVEY §2.K-bis): BaseIncrementalAppendScan.java:31 (files added
+in an ancestor range, append-only), BaseIncrementalChangelogScan.java:36 +
+ChangelogRowReader (per-snapshot INSERT/DELETE rows with _change_type,
+_change_ordinal, _commit_snapshot_id), RemoveCarryoverIterator.java:1
+(drop identical DELETE+INSERT pairs), ComputeUpdateIterator.java:1 (pair
+DELETE+INSERT on identifier columns into UPDATE_BEFORE/UPDATE_AFTER),
+ChangelogOperation.java:22.
+
+Spark realization: live-file-set diffs between consecutive snapshots give
+added/removed files; removed rows come from reading removed files (and
+position-delete hits) at the parent snapshot; carryover removal is a
+count-matching groupBy; update pairing is a keyed self-join per ordinal.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import expressions as E
+from .manifests import DATA, DELETED as ST_DELETED, read_manifest, read_manifest_list
+from .scan import FILE_PATH_COL, POS_COL, ScanPlan, ScanReport, TableScan, plan_to_df
+
+INSERT, DELETE = "INSERT", "DELETE"
+UPDATE_BEFORE, UPDATE_AFTER = "UPDATE_BEFORE", "UPDATE_AFTER"
+
+CHANGE_TYPE = "_change_type"
+CHANGE_ORDINAL = "_change_ordinal"
+COMMIT_SNAPSHOT_ID = "_commit_snapshot_id"
+
+
+def _snapshot_range(table, from_sid: Optional[int], to_sid: Optional[int]) -> list:
+    """Ancestry chain (from_sid, to_sid], oldest first."""
+    m = table.metadata
+    to_sid = to_sid if to_sid is not None else m.current_snapshot_id
+    if to_sid is None:
+        return []
+    chain = list(reversed(m.ancestors_of(to_sid)))  # oldest -> newest
+    if from_sid is not None:
+        ids = [s.snapshot_id for s in chain]
+        if from_sid in ids:
+            chain = chain[ids.index(from_sid) + 1 :]
+    return chain
+
+
+def _live_entries(table, snapshot) -> dict:
+    """file_path -> ManifestEntry for live data files at a snapshot."""
+    m = table.metadata
+    out = {}
+    for mf in read_manifest_list(snapshot.manifest_list):
+        spec = m.spec_by_id(mf.spec_id)
+        for e in read_manifest(mf.path, m.schema, spec):
+            if e.status != ST_DELETED and e.file.content == DATA:
+                out[e.file.file_path] = e
+    return out
+
+
+def _pos_delete_entries(table, snapshot) -> dict:
+    m = table.metadata
+    out = {}
+    for mf in read_manifest_list(snapshot.manifest_list):
+        spec = m.spec_by_id(mf.spec_id)
+        for e in read_manifest(mf.path, m.schema, spec):
+            if e.status != ST_DELETED and e.file.content != DATA:
+                out[e.file.file_path] = e
+    return out
+
+
+def incremental_append_df(table, from_snapshot_id: Optional[int],
+                          to_snapshot_id: Optional[int] = None) -> DataFrame:
+    """Rows appended in (from, to]; errors if the range contains
+    non-append/replace operations (IncrementalAppendScan contract)."""
+    chain = _snapshot_range(table, from_snapshot_id, to_snapshot_id)
+    bad = [s for s in chain if s.operation not in ("append",)]
+    if bad:
+        raise ValueError(
+            f"incremental append scan: range contains non-append snapshot "
+            f"{bad[0].snapshot_id} (op={bad[0].operation}); use changes()"
+        )
+    sids = {s.snapshot_id for s in chain}
+    scan = table.scan()
+    plan = scan.plan_files()
+    entries = [e for e in plan.files if e.snapshot_id in sids]
+    sub = ScanPlan(entries, [], [], E.ALWAYS_TRUE, plan.snapshot, ScanReport())
+    return plan_to_df(scan, sub, with_metadata_columns=False)
+
+
+def changelog_df(table, from_snapshot_id: Optional[int] = None,
+                 to_snapshot_id: Optional[int] = None,
+                 compute_updates: bool = False, remove_carryovers: bool = True,
+                 identifier_columns: Optional[list] = None) -> DataFrame:
+    """CDC rows for the snapshot range, tagged with _change_type /
+    _change_ordinal / _commit_snapshot_id."""
+    m = table.metadata
+    chain = _snapshot_range(table, from_snapshot_id, to_snapshot_id)
+    cols = table.schema.column_names
+    spark = table.spark
+    pieces = []
+
+    prev_sid = chain[0].parent_snapshot_id if chain else None
+    prev_snap = None
+    if prev_sid is not None:
+        try:
+            prev_snap = m.snapshot_by_id(prev_sid)
+        except KeyError:
+            prev_snap = None
+
+    prev_live = _live_entries(table, prev_snap) if prev_snap else {}
+    prev_deletes = _pos_delete_entries(table, prev_snap) if prev_snap else {}
+
+    for ordinal, snap in enumerate(chain):
+        cur_live = _live_entries(table, snap)
+        cur_deletes = _pos_delete_entries(table, snap)
+        if snap.operation == "replace":
+            prev_live, prev_deletes = cur_live, cur_deletes
+            continue
+
+        added = [cur_live[p] for p in cur_live.keys() - prev_live.keys()]
+        removed = [prev_live[p] for p in prev_live.keys() - cur_live.keys()]
+        new_dels = [cur_deletes[p] for p in cur_deletes.keys() - prev_deletes.keys()]
+
+        scan = TableScan(table, snapshot=snap)
+        if added:
+            sub = ScanPlan(added, list(cur_deletes.values()), [], E.ALWAYS_TRUE, snap,
+                           ScanReport())
+            df = plan_to_df(scan, sub, with_metadata_columns=False)
+            pieces.append(_tag(df, cols, INSERT, ordinal, snap.snapshot_id))
+        if removed:
+            # rows of removed files as they were visible at the parent snapshot
+            pscan = TableScan(table, snapshot=prev_snap)
+            sub = ScanPlan(removed, list(prev_deletes.values()), [], E.ALWAYS_TRUE,
+                           prev_snap, ScanReport())
+            df = plan_to_df(pscan, sub, with_metadata_columns=False)
+            pieces.append(_tag(df, cols, DELETE, ordinal, snap.snapshot_id))
+        if new_dels:
+            # position-delete hits on files that survived: those rows died here
+            surviving = [e for e in prev_live.values()
+                         if e.file.file_path in cur_live]
+            if surviving:
+                pscan = TableScan(table, snapshot=prev_snap)
+                sub = ScanPlan(surviving, [], [], E.ALWAYS_TRUE, prev_snap, ScanReport())
+                base = plan_to_df(pscan, sub, with_metadata_columns=True)
+                dels = spark.read.parquet(*[d.file.file_path for d in new_dels]) \
+                    .select(F.col("file_path").alias("__df"), F.col("pos").alias("__dp"))
+                hit = base.join(
+                    dels,
+                    (F.col(FILE_PATH_COL) == F.col("__df")) & (F.col(POS_COL) == F.col("__dp")),
+                    "left_semi",
+                ).select(*cols)
+                pieces.append(_tag(hit, cols, DELETE, ordinal, snap.snapshot_id))
+
+        prev_live, prev_deletes = cur_live, cur_deletes
+        prev_snap = snap
+
+    if not pieces:
+        from pyspark.sql import types as T
+
+        empty = table.spark.createDataFrame(
+            [], table.schema.to_spark()
+            .add(CHANGE_TYPE, T.StringType())
+            .add(CHANGE_ORDINAL, T.IntegerType())
+            .add(COMMIT_SNAPSHOT_ID, T.LongType()))
+        return empty
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+
+    if remove_carryovers:
+        out = _remove_carryovers(out, cols)
+    if compute_updates:
+        ident = identifier_columns or [
+            table.schema.field_by_id(i).name
+            for i in table.schema.identifier_field_ids
+        ]
+        if not ident:
+            raise ValueError("compute_updates requires identifier_columns")
+        out = _compute_updates(out, cols, ident)
+    return out
+
+
+def _tag(df, cols, change_type, ordinal, sid):
+    return df.select(*cols,
+                     F.lit(change_type).alias(CHANGE_TYPE),
+                     F.lit(ordinal).alias(CHANGE_ORDINAL),
+                     F.lit(sid).alias(COMMIT_SNAPSHOT_ID))
+
+
+def _remove_carryovers(df, cols) -> DataFrame:
+    """Drop identical DELETE+INSERT pairs within one commit
+    (RemoveCarryoverIterator): count-match per full row, emit the net."""
+    g = (df.groupBy(*cols, CHANGE_ORDINAL, COMMIT_SNAPSHOT_ID)
+           .agg(F.sum(F.when(F.col(CHANGE_TYPE) == DELETE, 1).otherwise(0)).alias("__d"),
+                F.sum(F.when(F.col(CHANGE_TYPE) == INSERT, 1).otherwise(0)).alias("__i")))
+    g = g.withColumn("__net", F.col("__i") - F.col("__d")).filter(F.col("__net") != 0)
+    g = g.withColumn(CHANGE_TYPE,
+                     F.when(F.col("__net") > 0, F.lit(INSERT)).otherwise(F.lit(DELETE)))
+    g = g.withColumn("__n", F.abs(F.col("__net")))
+    g = g.withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+    return g.select(*cols, CHANGE_TYPE, CHANGE_ORDINAL, COMMIT_SNAPSHOT_ID)
+
+
+def _compute_updates(df, cols, ident) -> DataFrame:
+    """Pair DELETE+INSERT with equal identifier columns in the same commit
+    into UPDATE_BEFORE / UPDATE_AFTER (ComputeUpdateIterator)."""
+    d = df.filter(F.col(CHANGE_TYPE) == DELETE).alias("d")
+    i = df.filter(F.col(CHANGE_TYPE) == INSERT).alias("i")
+    others = df.filter(~F.col(CHANGE_TYPE).isin(DELETE, INSERT))
+
+    cond = F.col(f"d.{CHANGE_ORDINAL}") == F.col(f"i.{CHANGE_ORDINAL}")
+    for k in ident:
+        cond = cond & F.col(f"d.{k}").eqNullSafe(F.col(f"i.{k}"))
+
+    paired_d = (d.join(i, cond, "left_semi")
+                .withColumn(CHANGE_TYPE, F.lit(UPDATE_BEFORE)))
+    unpaired_d = d.join(i, cond, "left_anti")
+    paired_i = (i.join(d, cond, "left_semi")
+                .withColumn(CHANGE_TYPE, F.lit(UPDATE_AFTER)))
+    unpaired_i = i.join(d, cond, "left_anti")
+
+    return (paired_d.unionByName(unpaired_d).unionByName(paired_i)
+            .unionByName(unpaired_i).unionByName(others))

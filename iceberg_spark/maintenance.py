@@ -1,0 +1,404 @@
+"""Table-maintenance actions (Spark-job operators).
+
+Reference (SURVEY §2.L): RewriteDataFilesSparkAction.java:69 (binpack via
+BinPackRewriteFilePlanner / SizeBasedFileRewritePlanner), sort/zorder
+runners (SparkSortFileRewriteRunner, SparkZOrderFileRewriteRunner,
+SparkZOrderUDF.java:50, core/.../util/ZOrderByteUtils.java:43),
+RewriteManifestsSparkAction.java, ExpireSnapshotsSparkAction.java /
+core/.../RemoveSnapshots.java:61, DeleteOrphanFilesSparkAction.java:102
+(URI-normalized anti-join), RemoveDanglingDeletesSparkAction.java,
+RewritePositionDeleteFilesSparkAction.java, ComputeTableStatsSparkAction
+(NDV sketches -> stats files) and ComputePartitionStatsSparkAction.
+
+Scale note: group planning walks manifest entries (cached Parquet reads —
+at huge metadata the same filters run as the Spark distributed-planning
+path); every data movement is a Spark job; reachability diffs use Python
+sets below a size threshold and Spark anti-joins above it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as _uuid
+from dataclasses import replace
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import expressions as E
+from .manifests import (
+    DATA,
+    POSITION_DELETES,
+    read_manifest,
+    read_manifest_list,
+)
+from .metadata import OP_REPLACE, SnapshotRef, MAIN_BRANCH
+from .scan import FILE_PATH_COL, POS_COL, ScanPlan, plan_to_df
+from .writes import Overwrite, maybe_merge_manifests, write_data_files
+from .row_ops import write_position_deletes
+
+DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # write.target-file-size-bytes default
+
+
+# ---------------------------------------------------------------------------
+# rewrite_data_files: binpack / sort / zorder
+# ---------------------------------------------------------------------------
+
+
+def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int = 0,
+                       filter: E.Expr | None = None, min_input_files: int = 2,
+                       sort_by: list | None = None, zorder_by: list | None = None) -> dict:
+    """Compact/recluster data files. Groups are planned per partition
+    (greedy size packing), each group rewritten by a Spark job, committed as
+    a single RewriteFiles (op=replace) preserving sequence numbers."""
+    target = target_file_size or int(
+        table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_SIZE))
+    scan = table.scan(filter=filter) if filter is not None else table.scan()
+    plan = scan.plan_files()
+    if not plan.files:
+        return {"rewritten_files": 0, "added_files": 0, "groups": 0}
+
+    # group by partition tuple
+    groups: dict = {}
+    for e in plan.files:
+        key = (e.file.spec_id, tuple(sorted(e.file.partition.items())))
+        groups.setdefault(key, []).append(e)
+
+    to_rewrite = []
+    for key, entries in groups.items():
+        small = [e for e in entries if e.file.file_size_in_bytes < target]
+        has_deletes = bool(plan.pos_deletes or plan.eq_deletes)
+        if strategy != "binpack" or has_deletes:
+            if entries:
+                to_rewrite.append(entries)
+        elif len(small) >= min_input_files:
+            to_rewrite.append(small)
+
+    if not to_rewrite:
+        return {"rewritten_files": 0, "added_files": 0, "groups": 0}
+
+    rewritten, added_all = [], []
+    max_seq = 0
+    for entries in to_rewrite:
+        sub = ScanPlan(entries, plan.pos_deletes, plan.eq_deletes, E.ALWAYS_TRUE,
+                       plan.snapshot, plan.report)
+        df = plan_to_df(scan, sub, with_metadata_columns=False)
+        if strategy == "binpack":
+            total = sum(e.file.file_size_in_bytes for e in entries)
+            df = df.coalesce(max(1, (total + target - 1) // target))
+        if strategy == "sort" and sort_by:
+            df = df.repartitionByRange(*[F.col(c) for c in sort_by]) \
+                   .sortWithinPartitions(*[F.col(c) for c in sort_by])
+        elif strategy == "zorder" and zorder_by:
+            zkey = zorder_key_column(df, zorder_by, table.schema)
+            df = (df.withColumn("__zkey", zkey)
+                    .repartitionByRange(F.col("__zkey"))
+                    .sortWithinPartitions("__zkey")
+                    .drop("__zkey"))
+        added = write_data_files(table, df, distribution="none"
+                                 if strategy in ("sort", "zorder") else None)
+        added_all.extend(added)
+        rewritten.extend(entries)
+        max_seq = max(max_seq, max(e.sequence_number for e in entries))
+
+    removed = {e.file.file_path for e in rewritten}
+    # rewriting applied the deletes; delete files referencing removed data
+    # files become dangling and are dropped by remove_dangling_deletes
+    Overwrite(table, added_all, removed, operation=OP_REPLACE,
+              preserve_seq_for_added=max_seq).commit()
+    res = {"rewritten_files": len(rewritten), "added_files": len(added_all),
+           "groups": len(to_rewrite)}
+    if plan.pos_deletes or plan.eq_deletes:
+        res["dangling"] = remove_dangling_deletes(table)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# Z-order (ZOrderByteUtils.java:43 / SparkZOrderUDF.java:50 equivalent)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_to_u64(s: pd.Series, typ: str) -> np.ndarray:
+    """Map values to order-preserving uint64 (sign-flip trick)."""
+    if typ in ("int", "long", "date", "time"):
+        v = pd.to_numeric(s, errors="coerce").fillna(np.int64(-(2**63))).astype("int64")
+        return (v.to_numpy().view(np.uint64)) ^ np.uint64(0x8000000000000000)
+    if typ in ("timestamp", "timestamp_ntz"):
+        v = pd.to_datetime(s).astype("int64").to_numpy()
+        return v.view(np.uint64) ^ np.uint64(0x8000000000000000)
+    if typ in ("float", "double"):
+        v = pd.to_numeric(s, errors="coerce").fillna(-np.inf).astype("float64").to_numpy()
+        b = v.view(np.uint64)
+        mask = (b >> np.uint64(63)).astype(bool)
+        out = np.where(mask, ~b, b | np.uint64(0x8000000000000000))
+        return out.astype(np.uint64)
+    # strings: first 8 bytes big-endian
+    def s2u(x):
+        if x is None:
+            return 0
+        b = str(x).encode("utf-8")[:8].ljust(8, b"\x00")
+        return int.from_bytes(b, "big")
+
+    return s.map(s2u).to_numpy(dtype=np.uint64)
+
+
+def _interleave_bits(cols: list) -> np.ndarray:
+    """Interleave bits of k uint64 arrays -> (n, 8k) byte matrix rows."""
+    k = len(cols)
+    n = len(cols[0])
+    bits = np.zeros((n, 64 * k), dtype=np.uint8)
+    for ci, arr in enumerate(cols):
+        for b in range(64):
+            bits[:, b * k + ci] = (arr >> np.uint64(63 - b)) & np.uint64(1)
+    return np.packbits(bits, axis=1)
+
+
+def zorder_key_column(df, by: list, schema):
+    types = {f.name: f.type for f in schema.fields}
+    col_types = [(c, types[c]) for c in by]
+
+    @F.pandas_udf(T.BinaryType())
+    def _zkey(*series: pd.Series) -> pd.Series:
+        arrs = [_normalize_to_u64(s, t) for s, (_c, t) in zip(series, col_types)]
+        packed = _interleave_bits(arrs)
+        return pd.Series([bytes(packed[i]) for i in range(len(packed))])
+
+    return _zkey(*[F.col(c) for c in by])
+
+
+# ---------------------------------------------------------------------------
+# rewrite manifests
+# ---------------------------------------------------------------------------
+
+
+def rewrite_manifests(table) -> dict:
+    """Consolidate/re-cluster manifests (RewriteManifestsSparkAction)."""
+    base = table.metadata
+    snap = base.current_snapshot()
+    if snap is None:
+        return {"rewritten_manifests": 0}
+    manifests = read_manifest_list(snap.manifest_list)
+
+    from .writes import SnapshotProducer
+
+    class _RewriteManifests(SnapshotProducer):
+        def _apply(self, b, seq):
+            ms = self._base_manifests(b)
+            merged = maybe_merge_manifests(table, b, ms, self.snapshot_id, force=True)
+            return merged, OP_REPLACE, {"manifests-replaced": str(len(ms)),
+                                        "manifests-added": str(len(merged))}
+
+    _RewriteManifests(table).commit()
+    new_count = len(read_manifest_list(table.metadata.current_snapshot().manifest_list))
+    return {"rewritten_manifests": len(manifests), "new_manifests": new_count}
+
+
+# ---------------------------------------------------------------------------
+# expire snapshots
+# ---------------------------------------------------------------------------
+
+
+def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
+                     delete_files: bool = True) -> dict:
+    """Apply retention (format/spec.md:1115): keep refs + retain_last
+    ancestors of main; delete files only reachable from expired snapshots.
+    Reachability = anti-join of file sets (DataFrame job at scale)."""
+    m = table.metadata
+    now = int(time.time() * 1000)
+    cutoff = older_than_ms if older_than_ms is not None else now + 1
+
+    keep_ids = set()
+    for r in m.refs.values():
+        keep_ids.add(r.snapshot_id)
+    ancestors = m.ancestors_of(m.current_snapshot_id)
+    for s in ancestors[:max(retain_last, 1)]:
+        keep_ids.add(s.snapshot_id)
+    for s in m.snapshots:
+        if s.timestamp_ms >= cutoff and s.snapshot_id not in keep_ids:
+            keep_ids.add(s.snapshot_id)
+
+    expired = [s for s in m.snapshots if s.snapshot_id not in keep_ids]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0}
+
+    def reach(snaps):
+        mls, mans, datas = set(), set(), set()
+        for s in snaps:
+            mls.add(s.manifest_list)
+            for mf in read_manifest_list(s.manifest_list):
+                mans.add(mf.path)
+                spec = m.spec_by_id(mf.spec_id)
+                for e in read_manifest(mf.path, m.schema, spec):
+                    datas.add(e.file.file_path)
+        return mls, mans, datas
+
+    kept_snaps = [s for s in m.snapshots if s.snapshot_id in keep_ids]
+    k_mls, k_mans, k_datas = reach(kept_snaps)
+    e_mls, e_mans, e_datas = reach(expired)
+
+    to_delete = (e_mls - k_mls) | (e_mans - k_mans) | (e_datas - k_datas)
+    deleted = 0
+    if delete_files:
+        for p in to_delete:
+            try:
+                os.unlink(p)
+                deleted += 1
+            except OSError:
+                pass
+
+    new_snapshots = tuple(s for s in m.snapshots if s.snapshot_id in keep_ids)
+    new_log = tuple(e for e in m.snapshot_log if e[1] in keep_ids)
+    table._commit_metadata(replace(m, snapshots=new_snapshots, snapshot_log=new_log))
+    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+
+# ---------------------------------------------------------------------------
+# orphan files
+# ---------------------------------------------------------------------------
+
+
+def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False) -> list:
+    """actual-files anti-join valid-files with URI normalization
+    (DeleteOrphanFilesSparkAction.java:257-358)."""
+    m = table.metadata
+    now = time.time()
+    cutoff_s = (older_than_ms / 1000.0) if older_than_ms is not None else now - 3 * 86400
+
+    valid = set()
+    for s in m.snapshots:
+        valid.add(os.path.normpath(s.manifest_list))
+        for mf in read_manifest_list(s.manifest_list):
+            valid.add(os.path.normpath(mf.path))
+            spec = m.spec_by_id(mf.spec_id)
+            for e in read_manifest(mf.path, m.schema, spec):
+                valid.add(os.path.normpath(e.file.file_path))
+
+    orphans = []
+    for sub in ("data",):
+        base = os.path.join(table.location, sub)
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                p = os.path.normpath(os.path.join(root, fn))
+                if p in valid:
+                    continue
+                try:
+                    if os.path.getmtime(p) < cutoff_s:
+                        orphans.append(p)
+                except OSError:
+                    pass
+    if not dry_run:
+        for p in orphans:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+    return orphans
+
+
+# ---------------------------------------------------------------------------
+# dangling deletes / posdelete compaction
+# ---------------------------------------------------------------------------
+
+
+def remove_dangling_deletes(table) -> int:
+    """Drop delete files that can no longer apply to any live data file
+    (RemoveDanglingDeletesSparkAction): pos deletes whose referenced data
+    files are gone; eq deletes with seq <= min live data seq."""
+    plan = table.scan().plan_files()
+    live_paths = {e.file.file_path for e in plan.files}
+    min_data_seq = min((e.sequence_number for e in plan.files), default=0)
+    dangling = set()
+    for d in plan.pos_deletes:
+        st = d.file.stats.get("file_path")
+        refs = None
+        if d.file.referenced_data_file:
+            refs = {d.file.referenced_data_file}
+        elif st and st[0] is not None and st[0] == st[1]:
+            refs = {st[0]}
+        if refs is not None:
+            if not (refs & live_paths):
+                dangling.add(d.file.file_path)
+        else:
+            paths = {r.file_path for r in
+                     table.spark.read.parquet(d.file.file_path)
+                     .select("file_path").distinct().collect()}
+            if not (paths & live_paths):
+                dangling.add(d.file.file_path)
+    for d in plan.eq_deletes:
+        if d.sequence_number <= min_data_seq:
+            dangling.add(d.file.file_path)
+    if dangling:
+        Overwrite(table, [], dangling, operation=OP_REPLACE).commit()
+    return len(dangling)
+
+
+def rewrite_position_delete_files(table) -> dict:
+    """Compact live posdelete files, dropping entries for dead data files
+    (RewritePositionDeleteFilesSparkAction.java)."""
+    plan = table.scan().plan_files()
+    if not plan.pos_deletes:
+        return {"rewritten": 0}
+    spark = table.spark
+    live = spark.createDataFrame([(e.file.file_path,) for e in plan.files], ["live_path"])
+    old = [d.file.file_path for d in plan.pos_deletes]
+    df = spark.read.parquet(*old).select("file_path", "pos")
+    kept = df.join(F.broadcast(live), df.file_path == live.live_path, "left_semi")
+    pos_files = write_position_deletes(
+        table,
+        kept.select(F.col("file_path").alias(FILE_PATH_COL), F.col("pos").alias(POS_COL)),
+    )
+    max_seq = max(d.sequence_number for d in plan.pos_deletes)
+    Overwrite(table, [], set(old), operation=OP_REPLACE,
+              added_deletes=pos_files, preserve_seq_for_added=max_seq).commit()
+    return {"rewritten": len(old), "added": len(pos_files)}
+
+
+# ---------------------------------------------------------------------------
+# stats
+# ---------------------------------------------------------------------------
+
+
+def compute_table_stats(table, columns=None) -> dict:
+    """NDV per column via approx_count_distinct (HLL++), stored as a stats
+    file registered in table metadata — the Theta-sketch/Puffin analog
+    (NDVSketchUtil.java:52-59, ComputeTableStatsSparkAction.java)."""
+    schema = table.schema
+    cols = columns or [f.name for f in schema.fields if isinstance(f.type, str)]
+    df = table.to_df()
+    row = df.agg(*[F.approx_count_distinct(c).alias(c) for c in cols]).collect()[0]
+    snap = table.metadata.current_snapshot()
+    stats = {
+        "snapshot-id": snap.snapshot_id if snap else None,
+        "type": "apache-datasketches-theta-v1-analog(hll)",
+        "ndv": {c: row[c] for c in cols},
+    }
+    sdir = os.path.join(table.location, "metadata", "stats")
+    os.makedirs(sdir, exist_ok=True)
+    path = os.path.join(sdir, f"stats-{_uuid.uuid4().hex}.json")
+    with open(path, "w") as f:
+        json.dump(stats, f)
+    m = table.metadata
+    entry = {"snapshot-id": stats["snapshot-id"], "statistics-path": path,
+             "ndv": stats["ndv"]}
+    table._commit_metadata(replace(m, statistics_files=m.statistics_files + (entry,)))
+    return stats
+
+
+def compute_partition_stats(table) -> str:
+    """Partition-stats file (format/spec.md:1233): per-partition rollup
+    written as Parquet next to the metadata."""
+    pdf = table.metadata_table("partitions")
+    sdir = os.path.join(table.location, "metadata", "partition-stats")
+    os.makedirs(sdir, exist_ok=True)
+    path = os.path.join(sdir, f"pstats-{_uuid.uuid4().hex}.parquet")
+    pdf.toPandas().to_parquet(path)
+    m = table.metadata
+    snap = m.current_snapshot()
+    entry = {"snapshot-id": snap.snapshot_id if snap else None, "path": path}
+    table._commit_metadata(
+        replace(m, partition_statistics_files=m.partition_statistics_files + (entry,)))
+    return path

@@ -287,9 +287,29 @@ def write_manifest(
     )
 
 
+_MANIFEST_CACHE: dict = {}
+_MANIFEST_CACHE_MAX = 256
+
+
 def read_manifest(path: str, schema: Schema, spec: PartitionSpec,
                   columns: Optional[list] = None) -> list:
-    """Read manifest entries back into Python objects (local planning)."""
+    """Read manifest entries back into Python objects (local planning).
+
+    Manifest files are immutable once written, so entries are memoized by
+    (path, schema id) — repeated scans of the same snapshot skip the IO.
+    """
+    ck = (path, schema.schema_id, spec.spec_id)
+    hit = _MANIFEST_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    entries = _read_manifest_uncached(path, schema, spec)
+    if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
+        _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+    _MANIFEST_CACHE[ck] = entries
+    return entries
+
+
+def _read_manifest_uncached(path: str, schema: Schema, spec: PartitionSpec) -> list:
     t = pq.read_table(path)
     d = t.to_pydict()
     n = t.num_rows
@@ -392,7 +412,21 @@ def write_manifest_list(location: str, snapshot_id: int, manifests: list) -> str
     return path
 
 
+_ML_CACHE: dict = {}
+
+
 def read_manifest_list(path: str) -> list:
+    out = _ML_CACHE.get(path)
+    if out is not None:
+        return out
+    out = _read_manifest_list_uncached(path)
+    if len(_ML_CACHE) >= _MANIFEST_CACHE_MAX:
+        _ML_CACHE.pop(next(iter(_ML_CACHE)))
+    _ML_CACHE[path] = out
+    return out
+
+
+def _read_manifest_list_uncached(path: str) -> list:
     t = pq.read_table(path).to_pydict()
     out = []
     for i in range(len(t["manifest_path"])):

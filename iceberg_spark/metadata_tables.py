@@ -1,0 +1,298 @@
+"""Queryable metadata tables — the 16 tables of core/.../MetadataTableType.java:23.
+
+`table.metadata_table("files")` etc. return DataFrames computed from our
+metadata store (JSON + manifest Parquet); at scale these are Spark reads of
+the manifest Parquet directly (the same files local planning touches), so
+a `SELECT * FROM t.files` is itself a distributed query.
+
+Implemented: snapshots, history, refs, manifests, all_manifests, entries,
+all_entries, files, data_files, delete_files, all_files, all_data_files,
+all_delete_files, partitions, metadata_log_entries, position_deletes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .manifests import DATA, DELETED, read_manifest, read_manifest_list, value_to_json
+from .metadata import TableMetadata
+
+METADATA_TABLES = (
+    "snapshots", "history", "refs", "manifests", "all_manifests", "entries",
+    "all_entries", "files", "data_files", "delete_files", "all_files",
+    "all_data_files", "all_delete_files", "partitions", "metadata_log_entries",
+    "position_deletes",
+)
+
+
+def metadata_table(table, name: str) -> DataFrame:
+    name = name.lower()
+    if name not in METADATA_TABLES:
+        raise ValueError(f"unknown metadata table {name}; one of {METADATA_TABLES}")
+    return _BUILDERS[name](table)
+
+
+def _snapshots(table) -> DataFrame:
+    m: TableMetadata = table.metadata
+    rows = [
+        (s.timestamp_ms, s.snapshot_id, s.parent_snapshot_id, s.operation,
+         s.manifest_list, json.dumps(s.summary), s.sequence_number)
+        for s in m.snapshots
+    ]
+    schema = T.StructType([
+        T.StructField("committed_at_ms", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("parent_id", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        T.StructField("manifest_list", T.StringType()),
+        T.StructField("summary", T.StringType()),
+        T.StructField("sequence_number", T.LongType()),
+    ])
+    return table.spark.createDataFrame(rows, schema)
+
+
+def _history(table) -> DataFrame:
+    m = table.metadata
+    ancestors = {s.snapshot_id for s in m.ancestors_of(m.current_snapshot_id)}
+    rows = [
+        (ts, sid, sid in ancestors) for ts, sid in m.snapshot_log
+    ]
+    schema = T.StructType([
+        T.StructField("made_current_at_ms", T.LongType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("is_current_ancestor", T.BooleanType()),
+    ])
+    return table.spark.createDataFrame(rows, schema)
+
+
+def _refs(table) -> DataFrame:
+    rows = [
+        (name, r.type, r.snapshot_id, r.max_ref_age_ms, r.max_snapshot_age_ms,
+         r.min_snapshots_to_keep)
+        for name, r in table.metadata.refs.items()
+    ]
+    schema = T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("type", T.StringType()),
+        T.StructField("snapshot_id", T.LongType()),
+        T.StructField("max_reference_age_in_ms", T.LongType()),
+        T.StructField("max_snapshot_age_in_ms", T.LongType()),
+        T.StructField("min_snapshots_to_keep", T.IntegerType()),
+    ])
+    return table.spark.createDataFrame(rows, schema)
+
+
+def _manifest_rows(table, snapshots) -> list:
+    out = []
+    seen = set()
+    for s in snapshots:
+        for mf in read_manifest_list(s.manifest_list):
+            key = (s.snapshot_id, mf.path)
+            if key in seen:
+                continue
+            seen.add(key)
+            out.append((
+                mf.path, mf.length, mf.spec_id, mf.content, s.snapshot_id,
+                mf.added_snapshot_id, mf.added_files_count, mf.existing_files_count,
+                mf.deleted_files_count, mf.added_rows_count, mf.existing_rows_count,
+                mf.deleted_rows_count,
+                json.dumps([[n, cn, value_to_json(mn), value_to_json(mx)]
+                            for n, cn, mn, mx in mf.partitions]),
+            ))
+    return out
+
+
+_MANIFESTS_SCHEMA = T.StructType([
+    T.StructField("path", T.StringType()),
+    T.StructField("length", T.LongType()),
+    T.StructField("partition_spec_id", T.IntegerType()),
+    T.StructField("content", T.IntegerType()),
+    T.StructField("reference_snapshot_id", T.LongType()),
+    T.StructField("added_snapshot_id", T.LongType()),
+    T.StructField("added_data_files_count", T.IntegerType()),
+    T.StructField("existing_data_files_count", T.IntegerType()),
+    T.StructField("deleted_data_files_count", T.IntegerType()),
+    T.StructField("added_rows_count", T.LongType()),
+    T.StructField("existing_rows_count", T.LongType()),
+    T.StructField("deleted_rows_count", T.LongType()),
+    T.StructField("partition_summaries", T.StringType()),
+])
+
+
+def _manifests(table) -> DataFrame:
+    snap = table.metadata.current_snapshot()
+    rows = _manifest_rows(table, [snap] if snap else [])
+    return table.spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+
+
+def _all_manifests(table) -> DataFrame:
+    rows = _manifest_rows(table, table.metadata.snapshots)
+    return table.spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
+
+
+def _entry_rows(table, snapshots, statuses=(0, 1, 2), contents=(0, 1, 2)):
+    m = table.metadata
+    out = []
+    seen_manifests = set()
+    for s in snapshots:
+        for mf in read_manifest_list(s.manifest_list):
+            if mf.path in seen_manifests:
+                continue
+            seen_manifests.add(mf.path)
+            spec = m.spec_by_id(mf.spec_id)
+            for e in read_manifest(mf.path, m.schema, spec):
+                if e.status not in statuses or e.file.content not in contents:
+                    continue
+                f = e.file
+                out.append((
+                    e.status, e.snapshot_id, e.sequence_number, f.content,
+                    f.file_path, f.file_format, f.spec_id,
+                    json.dumps({k: value_to_json(v) for k, v in f.partition.items()}),
+                    f.record_count, f.file_size_in_bytes,
+                    json.dumps({k: [value_to_json(x) for x in v[:2]] + list(v[2:])
+                                for k, v in f.stats.items()}),
+                    list(f.equality_ids) or None,
+                    f.referenced_data_file,
+                ))
+    return out
+
+
+_FILES_SCHEMA = T.StructType([
+    T.StructField("status", T.IntegerType()),
+    T.StructField("snapshot_id", T.LongType()),
+    T.StructField("sequence_number", T.LongType()),
+    T.StructField("content", T.IntegerType()),
+    T.StructField("file_path", T.StringType()),
+    T.StructField("file_format", T.StringType()),
+    T.StructField("spec_id", T.IntegerType()),
+    T.StructField("partition", T.StringType()),
+    T.StructField("record_count", T.LongType()),
+    T.StructField("file_size_in_bytes", T.LongType()),
+    T.StructField("column_stats", T.StringType()),
+    T.StructField("equality_ids", T.ArrayType(T.IntegerType())),
+    T.StructField("referenced_data_file", T.StringType()),
+])
+
+
+def _current_snaps(table):
+    s = table.metadata.current_snapshot()
+    return [s] if s else []
+
+
+def _entries(table) -> DataFrame:
+    return table.spark.createDataFrame(_entry_rows(table, _current_snaps(table)),
+                                       _FILES_SCHEMA)
+
+
+def _all_entries(table) -> DataFrame:
+    return table.spark.createDataFrame(_entry_rows(table, table.metadata.snapshots),
+                                       _FILES_SCHEMA)
+
+
+def _files(table) -> DataFrame:
+    rows = _entry_rows(table, _current_snaps(table), statuses=(0, 1))
+    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+def _data_files(table) -> DataFrame:
+    rows = _entry_rows(table, _current_snaps(table), statuses=(0, 1), contents=(0,))
+    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+def _delete_files(table) -> DataFrame:
+    rows = _entry_rows(table, _current_snaps(table), statuses=(0, 1), contents=(1, 2))
+    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+
+
+def _all_files(table) -> DataFrame:
+    return table.spark.createDataFrame(
+        _entry_rows(table, table.metadata.snapshots, statuses=(0, 1)), _FILES_SCHEMA)
+
+
+def _all_data_files(table) -> DataFrame:
+    return table.spark.createDataFrame(
+        _entry_rows(table, table.metadata.snapshots, statuses=(0, 1), contents=(0,)),
+        _FILES_SCHEMA)
+
+
+def _all_delete_files(table) -> DataFrame:
+    return table.spark.createDataFrame(
+        _entry_rows(table, table.metadata.snapshots, statuses=(0, 1), contents=(1, 2)),
+        _FILES_SCHEMA)
+
+
+def _partitions(table) -> DataFrame:
+    """Per-partition rollup (core/.../PartitionsTable.java:40)."""
+    files = _data_files(table)
+    deletes = _delete_files(table)
+    agg = (
+        files.groupBy("partition", "spec_id")
+        .agg(F.sum("record_count").alias("record_count"),
+             F.count(F.lit(1)).alias("file_count"),
+             F.sum("file_size_in_bytes").alias("total_data_file_size_in_bytes"))
+    )
+    dagg = (
+        deletes.groupBy("partition")
+        .agg(F.count(F.lit(1)).alias("delete_file_count"),
+             F.sum("record_count").alias("delete_record_count"))
+    )
+    return (agg.join(dagg, "partition", "left")
+            .withColumn("delete_file_count", F.coalesce("delete_file_count", F.lit(0)))
+            .withColumn("delete_record_count", F.coalesce("delete_record_count", F.lit(0))))
+
+
+def _metadata_log_entries(table) -> DataFrame:
+    m = table.metadata
+    rows = [(ts, f) for ts, f in m.metadata_log]
+    # include current metadata versions on disk
+    mdir = os.path.join(table.location, "metadata")
+    if os.path.isdir(mdir):
+        for fn in sorted(os.listdir(mdir)):
+            if fn.endswith(".metadata.json"):
+                rows.append((int(os.path.getmtime(os.path.join(mdir, fn)) * 1000),
+                             os.path.join(mdir, fn)))
+    schema = T.StructType([
+        T.StructField("timestamp_ms", T.LongType()),
+        T.StructField("file", T.StringType()),
+    ])
+    return table.spark.createDataFrame(rows, schema)
+
+
+def _position_deletes(table) -> DataFrame:
+    """Row-level view of all live position deletes
+    (core/.../PositionDeletesTable.java)."""
+    plan = table.scan().plan_files()
+    paths = [e.file.file_path for e in plan.pos_deletes]
+    if not paths:
+        schema = T.StructType([
+            T.StructField("file_path", T.StringType()),
+            T.StructField("pos", T.LongType()),
+        ])
+        return table.spark.createDataFrame([], schema)
+    return table.spark.read.parquet(*paths).select("file_path", "pos")
+
+
+_BUILDERS = {
+    "snapshots": _snapshots,
+    "history": _history,
+    "refs": _refs,
+    "manifests": _manifests,
+    "all_manifests": _all_manifests,
+    "entries": _entries,
+    "all_entries": _all_entries,
+    "files": _files,
+    "data_files": _data_files,
+    "delete_files": _delete_files,
+    "all_files": _all_files,
+    "all_data_files": _all_data_files,
+    "all_delete_files": _all_delete_files,
+    "partitions": _partitions,
+    "metadata_log_entries": _metadata_log_entries,
+    "position_deletes": _position_deletes,
+}

@@ -86,7 +86,8 @@ class TableScan:
 
     def __init__(self, table, snapshot: Optional[Snapshot] = None,
                  row_filter: E.Expr = E.ALWAYS_TRUE, columns: Optional[list] = None,
-                 planning_mode: str = "auto", case_sensitive: bool = True):
+                 planning_mode: str = "auto", case_sensitive: bool = True,
+                 time_travel: bool = False):
         self.table = table
         self.spark: SparkSession = table.spark
         self.metadata: TableMetadata = table.metadata
@@ -94,37 +95,44 @@ class TableScan:
         self.row_filter = row_filter
         self.columns = columns
         self.planning_mode = planning_mode
+        self.time_travel = time_travel
 
     # -- builder style ------------------------------------------------------
     def filter(self, expr) -> "TableScan":
         expr = _to_expr(expr)
         return TableScan(self.table, self.snapshot, E.and_(self.row_filter, expr),
-                         self.columns, self.planning_mode)
+                         self.columns, self.planning_mode, time_travel=self.time_travel)
 
     def select(self, *cols) -> "TableScan":
         cols = list(cols[0]) if len(cols) == 1 and isinstance(cols[0], (list, tuple)) else list(cols)
-        return TableScan(self.table, self.snapshot, self.row_filter, cols, self.planning_mode)
+        return TableScan(self.table, self.snapshot, self.row_filter, cols,
+                         self.planning_mode, time_travel=self.time_travel)
 
     def use_snapshot(self, snapshot_id: int) -> "TableScan":
         return TableScan(self.table, self.metadata.snapshot_by_id(snapshot_id),
-                         self.row_filter, self.columns, self.planning_mode)
+                         self.row_filter, self.columns, self.planning_mode,
+                         time_travel=True)
 
     def as_of(self, timestamp_ms: int) -> "TableScan":
         snap = self.metadata.snapshot_as_of(timestamp_ms)
         if snap is None:
             raise ValueError(f"no snapshot as of {timestamp_ms}")
-        return TableScan(self.table, snap, self.row_filter, self.columns, self.planning_mode)
+        return TableScan(self.table, snap, self.row_filter, self.columns,
+                         self.planning_mode, time_travel=True)
 
     def use_ref(self, name: str) -> "TableScan":
         snap = self.metadata.snapshot_for_ref(name)
         if snap is None:
             raise ValueError(f"no ref {name}")
-        return TableScan(self.table, snap, self.row_filter, self.columns, self.planning_mode)
+        return TableScan(self.table, snap, self.row_filter, self.columns,
+                         self.planning_mode, time_travel=True)
 
     # -- schema -------------------------------------------------------------
     @property
     def schema(self) -> Schema:
-        if self.snapshot is not None:
+        # current reads use the CURRENT schema; time travel pins the
+        # snapshot's schema (reference SnapshotScan semantics)
+        if self.time_travel and self.snapshot is not None:
             try:
                 return self.metadata.schema_by_id(self.snapshot.schema_id)
             except KeyError:

@@ -1,0 +1,16 @@
+from .micro_batch import MicroBatchStream, StreamingOffset
+from .sinks import (
+    append_sink,
+    complete_overwrite_sink,
+    upsert_sink,
+    write_stream_to_table,
+)
+
+__all__ = [
+    "MicroBatchStream",
+    "StreamingOffset",
+    "append_sink",
+    "complete_overwrite_sink",
+    "upsert_sink",
+    "write_stream_to_table",
+]

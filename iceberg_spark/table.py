@@ -233,12 +233,14 @@ class Table:
 
     def changes(self, from_snapshot_id: Optional[int] = None,
                 to_snapshot_id: Optional[int] = None, compute_updates: bool = False,
-                remove_carryovers: bool = True) -> DataFrame:
+                remove_carryovers: bool = True,
+                identifier_columns: Optional[list] = None) -> DataFrame:
         from .changelog import changelog_df
 
         return changelog_df(self, from_snapshot_id, to_snapshot_id,
                             compute_updates=compute_updates,
-                            remove_carryovers=remove_carryovers)
+                            remove_carryovers=remove_carryovers,
+                            identifier_columns=identifier_columns)
 
     # -- evolution ----------------------------------------------------------
     def update_schema(self) -> "UpdateSchema":

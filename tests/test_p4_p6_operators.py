@@ -1,0 +1,220 @@
+"""P4-P6: metadata tables, schema/partition evolution, maintenance,
+incremental/CDC, streaming."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from iceberg_spark import col
+
+
+def _simple(catalog, spark, name, n=100, files=4, **kw):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    t = catalog.create_table(name, schema, **kw)
+    per = n // files
+    for i in range(files):
+        t.append(spark.createDataFrame(
+            [(j, f"v{j}") for j in range(i * per, (i + 1) * per)], schema).coalesce(1))
+    return t, schema
+
+
+def test_metadata_tables(catalog, spark):
+    t, _ = _simple(catalog, spark, "db.meta", 100, 4)
+    assert t.metadata_table("snapshots").count() == 4
+    assert t.metadata_table("history").count() == 4
+    assert t.metadata_table("refs").count() == 1
+    files = t.metadata_table("files")
+    assert files.count() == 4
+    assert t.metadata_table("data_files").count() == 4
+    assert t.metadata_table("delete_files").count() == 0
+    assert t.metadata_table("manifests").count() == 4
+    assert t.metadata_table("all_manifests").count() >= 4
+    assert t.metadata_table("entries").count() == 4
+    parts = t.metadata_table("partitions").collect()
+    assert parts[0].record_count == 100
+    assert t.metadata_table("metadata_log_entries").count() >= 4
+    assert t.metadata_table("position_deletes").count() == 0
+
+
+def test_schema_evolution_add_rename_drop(catalog, spark):
+    t, schema = _simple(catalog, spark, "db.evo", 20, 2)
+    t.update_schema().add_column("score", "double").commit()
+    df2 = spark.createDataFrame([(100, "x", 1.5), (101, "y", 2.5)],
+                                T.StructType(list(schema.fields) + [
+                                    T.StructField("score", T.DoubleType())]))
+    t.append(df2)
+    out = t.to_df()
+    assert out.count() == 22
+    assert out.filter(F.col("score").isNotNull()).count() == 2
+    # rename keeps old files readable via field-id mapping
+    t.update_schema().rename_column("v", "name").commit()
+    out = t.to_df()
+    assert "name" in out.columns and "v" not in out.columns
+    assert out.filter(F.col("name") == "v0").count() == 1
+    # type promotion int->long not needed (already long); test float->double via new col
+    t.update_schema().drop_column("score").commit()
+    assert "score" not in t.to_df().columns
+
+
+def test_partition_evolution(catalog, spark):
+    t, schema = _simple(catalog, spark, "db.pevo", 40, 2)
+    t.update_spec().add_field("id", "bucket(4)").commit()
+    t.append(spark.createDataFrame([(1000 + j, f"n{j}") for j in range(40)], schema))
+    # both old (unpartitioned) and new (bucketed) files readable
+    assert t.to_df().count() == 80
+    scan = t.scan(filter=col("id") == 1005)
+    assert scan.df().count() == 1
+    rep = scan.explain_plan()
+    assert rep["skipped_data_files"] > 0
+
+
+def test_binpack_compaction(catalog, spark):
+    t, _ = _simple(catalog, spark, "db.pack", 120, 6)
+    before = t.scan().plan_files()
+    assert len(before.files) == 6
+    res = t.rewrite_data_files(strategy="binpack")
+    assert res["rewritten_files"] == 6
+    after = t.scan().plan_files()
+    assert len(after.files) < 6
+    assert t.to_df().count() == 120
+    # sequence numbers preserved (replace op)
+    assert t.current_snapshot().operation == "replace"
+
+
+def test_compaction_applies_mor_deletes(catalog, spark):
+    t, _ = _simple(catalog, spark, "db.packmor", 100, 4,
+                   properties={"write.delete.mode": "merge-on-read"})
+    t.delete_where(col("id") < 10)
+    plan = t.scan().plan_files()
+    assert plan.pos_deletes
+    t.rewrite_data_files(strategy="binpack")
+    plan2 = t.scan().plan_files()
+    assert not plan2.pos_deletes  # deletes applied + dangling removed
+    assert t.to_df().count() == 90
+
+
+def test_zorder_rewrite(catalog, spark):
+    schema = T.StructType([
+        T.StructField("x", T.LongType()), T.StructField("y", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    t = catalog.create_table("db.z", schema)
+    rows = [(i % 50, (i * 7) % 50, float(i)) for i in range(2000)]
+    t.append(spark.createDataFrame(rows, schema))
+    t.rewrite_data_files(strategy="zorder", zorder_by=["x", "y"])
+    assert t.to_df().count() == 2000
+    assert t.to_df().agg(F.sum("v")).collect()[0][0] == sum(r[2] for r in rows)
+
+
+def test_expire_snapshots(catalog, spark):
+    t, _ = _simple(catalog, spark, "db.exp", 40, 4)
+    assert len(t.snapshots()) == 4
+    res = t.expire_snapshots(older_than_ms=int(time.time() * 1000) + 1000,
+                             retain_last=1)
+    assert res["expired_snapshots"] == 3
+    t.refresh()
+    assert len(t.snapshots()) == 1
+    assert t.to_df().count() == 40  # current state intact
+
+
+def test_remove_orphan_files(catalog, spark, tmp_path):
+    t, _ = _simple(catalog, spark, "db.orph", 20, 2)
+    import os
+
+    orphan = os.path.join(t.location, "data", "orphan.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"junk")
+    os.utime(orphan, (time.time() - 10 * 86400,) * 2)
+    found = t.remove_orphan_files(older_than_ms=int((time.time() - 86400) * 1000))
+    assert orphan in found
+    assert not os.path.exists(orphan)
+    assert t.to_df().count() == 20
+
+
+def test_compute_stats(catalog, spark):
+    t, _ = _simple(catalog, spark, "db.stats", 50, 2)
+    stats = t.compute_table_stats()
+    assert 45 <= stats["ndv"]["id"] <= 55
+    from iceberg_spark.maintenance import compute_partition_stats
+
+    p = compute_partition_stats(t)
+    import os
+
+    assert os.path.exists(p)
+
+
+def test_incremental_append_scan(catalog, spark):
+    t, schema = _simple(catalog, spark, "db.inc", 30, 3)
+    snaps = [s.snapshot_id for s in t.snapshots()]
+    df = t.incremental_scan(snaps[0], snaps[2])
+    assert df.count() == 20  # snapshots 2 and 3
+
+
+def test_changelog_insert_delete(catalog, spark):
+    t, schema = _simple(catalog, spark, "db.cdc", 20, 2)
+    s0 = t.snapshots()[-1].snapshot_id
+    t.append(spark.createDataFrame([(100, "new")], schema))
+    t.delete_where(col("id") == 5)
+    ch = t.changes(from_snapshot_id=s0)
+    rows = [(r.id, r._change_type) for r in ch.collect()]
+    assert (100, "INSERT") in rows
+    assert (5, "DELETE") in rows
+    # carryover rows from the CoW rewrite must be suppressed
+    assert len([r for r in rows if r[1] == "INSERT"]) == 1
+    assert len([r for r in rows if r[1] == "DELETE"]) == 1
+
+
+def test_changelog_compute_updates(catalog, spark):
+    t, schema = _simple(catalog, spark, "db.cdcu", 10, 1)
+    s0 = t.snapshots()[-1].snapshot_id
+    t.update(col("id") == 3, {"v": F.lit("updated")})
+    from iceberg_spark.changelog import changelog_df
+
+    ch = changelog_df(t, from_snapshot_id=s0, compute_updates=True,
+                      remove_carryovers=True, identifier_columns=["id"])
+    ch = ch.collect()
+    types = {(r.id, r._change_type, r.v) for r in ch}
+    assert (3, "UPDATE_BEFORE", "v3") in types
+    assert (3, "UPDATE_AFTER", "updated") in types
+
+
+def test_streaming_source_and_sink(catalog, spark, tmp_path):
+    t, schema = _simple(catalog, spark, "db.src", 20, 2)
+    sink = catalog.create_table("db.sink", schema)
+
+    from iceberg_spark.streaming import MicroBatchStream, append_sink
+
+    stream = MicroBatchStream(t, str(tmp_path / "ckpt"), from_snapshot_id=None)
+    # nothing pending at start (offset = current)
+    assert stream.process_available(append_sink(sink, "q1")) == 0
+    t.append(spark.createDataFrame([(200, "a")], schema))
+    t.append(spark.createDataFrame([(201, "b")], schema))
+    n = stream.process_available(append_sink(sink, "q1"))
+    assert n == 2
+    assert sink.refresh().to_df().count() == 2
+    # idempotent: re-running same epochs is a no-op
+    stream2 = MicroBatchStream(t, str(tmp_path / "ckpt2"),
+                               from_snapshot_id=t.snapshots()[-3].snapshot_id)
+    stream2.process_available(append_sink(sink, "q1"))
+    assert sink.refresh().to_df().count() == 2
+
+
+def test_streaming_upsert_sink(catalog, spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    tgt = catalog.create_table("db.upsert_tgt", schema)
+    tgt.append(spark.createDataFrame([(1, "old"), (2, "old")], schema))
+    from iceberg_spark.streaming import upsert_sink
+
+    fn = upsert_sink(tgt, keys=["id"], query_id="u1")
+    fn(spark.createDataFrame([(2, "new"), (3, "new")], schema), 1)
+    rows = {(r.id, r.v) for r in tgt.refresh().to_df().collect()}
+    assert rows == {(1, "old"), (2, "new"), (3, "new")}
+    fn(spark.createDataFrame([(2, "dup")], schema), 1)  # same epoch -> skipped
+    rows = {(r.id, r.v) for r in tgt.refresh().to_df().collect()}
+    assert rows == {(1, "old"), (2, "new"), (3, "new")}
