@@ -1,0 +1,373 @@
+"""Deduplication operators over the documents/embeddings corpus.
+
+Five dedup strategies, all shuffle-conscious:
+
+* exact            — md5-fingerprint groupBy (group on 16-byte hash, never
+                     on full text, so the shuffle carries hashes only);
+* n-gram Jaccard   — inverted-index (posting-list) self-join on shingles:
+                     exact pairwise Jaccard without an O(n^2) cross join;
+* MinHash + LSH    — xxhash64 salted min-hash signatures, banded bucket
+                     join for candidates, exact Jaccard verification of
+                     candidates only (the 100 TB path);
+* SimHash          — 64-bit md5-vote fingerprint, 16-bit chunk banding
+                     (pigeonhole: hamming<=3 pairs share >=1 of 4 chunks),
+                     exact hamming verification;
+* embedding cosine — near-duplicate vectors by double-precision cosine.
+
+Everything is built-in JVM expressions (no Python UDFs); each query has a
+value-identical DuckDB oracle. MinHash shares the exact-Jaccard oracle:
+its verify step makes precision exact, and band parameters (32 bands x 4
+rows) give ~1.0 recall at the 0.6 threshold given the corpus separation
+(injected near-dups sit at J>=0.9, unrelated pairs at J<=0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import (
+    CORPUS_SQL,
+    dedup_corpus,
+    engine_embeddings,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+
+JACCARD_T = 0.6
+SHINGLE_N = 3
+MINHASH_K = 128
+LSH_BANDS = 32  # rows per band = MINHASH_K / LSH_BANDS = 4
+HAMMING_MAX = 3
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: keep the min doc_id per normalized-text fingerprint."""
+    corpus = dedup_corpus(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return (
+        corpus.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+WITH {CORPUS_SQL.strip()}
+SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM (SELECT doc_id,
+             md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+      FROM corpus)
+GROUP BY fp ORDER BY keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, posting-list join)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_sets(corpus):
+    return corpus.select(
+        "doc_id", shingles(tokens(F.col("text")), SHINGLE_N).alias("sh")
+    )
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact pairwise Jaccard over distinct word 3-grams.
+
+    Candidate pairs come from an inverted-index self-join (docs sharing at
+    least one shingle) — at scale you additionally df-cap hot shingles;
+    here the vocabulary is small enough that the posting join is exact.
+    """
+    sets = _shingle_sets(dedup_corpus(spark, sf_dir))
+    posts = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = sets.select("doc_id", F.size("sh").alias("sz"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+sets AS (
+  SELECT doc_id, {shingles_sql(tokens_sql(), SHINGLE_N)} AS sh FROM corpus
+),
+posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM posts a JOIN posts b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) >= {JACCARD_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash signatures + banded LSH candidates + exact verify.
+
+    Signature: sig[i] = min over shingles s of xxhash64(s, i), i < 128.
+    Banding: 32 bands of 4 rows; docs sharing any (band, band-hash)
+    bucket become candidates — the only join is on the bucket key, so
+    cost scales with bucket sizes, not corpus^2. Candidates are verified
+    with exact array_intersect Jaccard, making precision exact; the
+    oracle is therefore the exact-Jaccard SQL (recall is 1.0 at these
+    parameters for this corpus' separation).
+    """
+    sets = _shingle_sets(dedup_corpus(spark, sf_dir)).filter(F.size("sh") > 0)
+    sig = sets.select(
+        "doc_id",
+        "sh",
+        F.expr(
+            f"transform(sequence(0, {MINHASH_K - 1}), "
+            "i -> array_min(transform(sh, s -> xxhash64(s, i))))"
+        ).alias("sig"),
+    )
+    r = MINHASH_K // LSH_BANDS
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {LSH_BANDS - 1}), "
+                f"b -> named_struct('band', b, 'h', "
+                f"xxhash64(array_join(slice(sig, b * {r} + 1, {r}), ','), b)))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.h")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jacc = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_T)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+# Per distinct token t and bit b in 0..63: nibble = hex digit (b div 4) of
+# md5(t); vote = +-1 from bit (b mod 4) of that nibble. The doc's simhash
+# bit is 1 iff the token votes sum >= 0. Expressed with instr/md5/floor in
+# both engines so values match bit-for-bit.
+_VOTE_EXPR = (
+    "transform(sequence(0, 63), b -> named_struct('b', b, 'v', "
+    "2 * (cast(floor((instr('0123456789abcdef', "
+    "substring(md5(t), (b div 4) + 1, 1)) - 1) / power(2, b % 4)) as int) % 2) - 1))"
+)
+
+
+def _simhash_bits(corpus):
+    tok = corpus.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    )
+    votes = tok.select(
+        "doc_id", F.explode(F.expr(_VOTE_EXPR)).alias("bv")
+    ).select("doc_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
+    return (
+        votes.groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("s"))
+        .select("doc_id", "b", F.when(F.col("s") >= 0, 1).otherwise(0).alias("bit"))
+    )
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs with hamming distance <= 3.
+
+    Banding: the 64 bits fold into 4 x 16-bit chunk values; hamming<=3
+    pairs must agree on >=1 chunk (pigeonhole), so candidates come from a
+    join on (chunk_idx, chunk_value) — never an all-pairs comparison.
+    """
+    bits = _simhash_bits(dedup_corpus(spark, sf_dir)).cache()
+    chunks = (
+        bits.groupBy("doc_id", (F.col("b") / 16).cast("int").alias("c"))
+        .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b") % 16)).alias("cv"))
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ba = bits.select(F.col("doc_id").alias("doc_a"), "b", F.col("bit").alias("bit_a"))
+    bb = bits.select(F.col("doc_id").alias("doc_b"), "b", F.col("bit").alias("bit_b"))
+    return (
+        cand.join(ba, "doc_a").join(bb, ["doc_b", "b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.when(F.col("bit_a") != F.col("bit_b"), 1).otherwise(0))
+             .alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+SIMHASH_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+tok AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({tokens_sql()})) AS t FROM corpus
+),
+votes AS (
+  SELECT doc_id, b,
+         2 * (CAST(floor((strpos('0123456789abcdef',
+                  substring(md5(t), (b // 4) + 1, 1)) - 1)
+                  / power(2, b % 4)) AS INT) % 2) - 1 AS v
+  FROM tok, (SELECT unnest(generate_series(0, 63)) AS b)
+),
+bits AS (
+  SELECT doc_id, b, CASE WHEN SUM(v) >= 0 THEN 1 ELSE 0 END AS bit
+  FROM votes GROUP BY doc_id, b
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, hamming FROM pairs
+WHERE hamming <= {HAMMING_MAX} ORDER BY doc_a, doc_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+COS_T = 0.9
+
+
+def embedding_corpus(spark, sf_dir):
+    """embeddings + injected near/exact duplicate vectors (deterministic)."""
+    emb = engine_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    near = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array((F.element_at("embedding", 1) * 1.5).cast("float")),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    exact = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"), "embedding"
+    )
+    return emb.unionAll(near).unionAll(exact)
+
+
+EMB_CORPUS_SQL = """
+ecorpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         [CAST(embedding[1] * 1.5 AS FLOAT)] || embedding[2:64] AS embedding
+  FROM embeddings WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id, embedding
+  FROM embeddings WHERE vec_id % 9 = 0
+)
+"""
+
+
+def cosine(a, b) -> F.Column:
+    """Double-precision cosine via sequential zip_with/aggregate fold —
+    same left-to-right IEEE order as the SQL oracle's generate_series sum."""
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _cos_sql(a: str, b: str, dims: int = 64) -> str:
+    def dot(x, y):
+        return (
+            f"list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+
+    return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
+
+
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9).
+
+    Brute-force pairwise here (the exact baseline); the LSH-bucketed scale
+    path is `ann_lsh` in similarity.py.
+    """
+    corpus = embedding_corpus(spark, sf_dir)
+    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b",
+                F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos"))
+        .filter(F.col("cos") >= COS_T)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH {EMB_CORPUS_SQL.strip()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos_sql("a.embedding", "b.embedding")}, 4) AS cos
+FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+WHERE ROUND({_cos_sql("a.embedding", "b.embedding")}, 4) >= {COS_T}
+ORDER BY vec_a, vec_b
+"""
+
+
+REGISTRY = {
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
+    "dedup_minhash_lsh": (dedup_minhash_lsh, NGRAM_JACCARD_SQL),
+    "dedup_simhash": (dedup_simhash, SIMHASH_SQL),
+    "dedup_embedding": (dedup_embedding, DEDUP_EMBEDDING_SQL),
+}

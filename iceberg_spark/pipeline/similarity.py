@@ -1,0 +1,162 @@
+"""Similarity search over the embeddings table.
+
+* knn_bruteforce — exact cosine top-k per query vector. The query side is
+  tiny and broadcast; the data side streams through a single projection
+  (no shuffle until the final per-query top-k, which is a partial
+  top-k-per-partition then merge under AQE).
+* ann_lsh — random-hyperplane LSH: 16 sign-bits -> one bucket id, search
+  only the query's bucket. Hyperplane weights are +-1 derived from
+  md5('plane{p}_{d}') so both engines (and any future run) regenerate the
+  identical planes without shipping state. At scale the bucket join
+  replaces the O(n*q) cross product; multiprobe = OR over neighboring
+  buckets (not needed here).
+
+Cosines are computed as sequential double-precision folds in both engines
+so the DuckDB oracle hash-matches (see dedup.cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .common import engine_embeddings
+from .dedup import _cos_sql, cosine
+
+N_QUERIES = 20  # vec_id < 20 are the query vectors
+TOP_K = 5
+N_PLANES = 16
+
+
+def _qd(spark, sf_dir):
+    emb = engine_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    d = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    return q, d
+
+
+def knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-k: broadcast queries x scan data, window top-k."""
+    q, d = _qd(spark, sf_dir)
+    scored = (
+        F.broadcast(q).crossJoin(d)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+KNN_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         ROUND({_cos_sql("q.embedding", "d.embedding")}, 4) AS cos
+  FROM embeddings q JOIN embeddings d ON q.vec_id <> d.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos FROM ranked
+WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
+"""
+
+
+# Hyperplane weight for (plane p, dim d): +1 if the first hex nibble of
+# md5('plane{p}_{d}') is >= 8 else -1 — regenerable in any engine.
+_PLANE_W = (
+    "CASE WHEN instr('89abcdef', substring(md5(concat('plane', {p}, '_', "
+    "cast(d as string))), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END"
+)
+
+
+def _bucket_expr(col: str) -> str:
+    """Bucket id = sum over planes p of (sign bit of plane.emb dot) << p."""
+    dots = (
+        f"aggregate(sequence(1, 64), cast(0.0 as double), "
+        f"(acc, d) -> acc + ({_PLANE_W}) * cast(element_at({col}, d) as double))"
+    )
+    bit = f"(CASE WHEN ({dots}) >= 0 THEN 1 ELSE 0 END)"
+    return (
+        f"aggregate(sequence(0, {N_PLANES - 1}), 0L, "
+        f"(acc, p) -> acc + cast({bit.format(p='p')} as long) "
+        f"* cast(power(2, p) as long))"
+    )
+
+
+def ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN: candidates share the query's 16-bit hyperplane
+    bucket; exact cosine re-rank inside the bucket. Deterministic planes
+    => identical result in the SQL oracle (which mirrors the bucketing)."""
+    q, d = _qd(spark, sf_dir)
+    qb = q.withColumn("bucket", F.expr(_bucket_expr("qe")))
+    db = d.withColumn("bucket", F.expr(_bucket_expr("ne")))
+    scored = (
+        F.broadcast(qb).join(db, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qe"), F.col("ne")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+def _bucket_sql(col: str) -> str:
+    plane_w = (
+        "CASE WHEN strpos('89abcdef', substring(md5(concat('plane', p, '_', "
+        "CAST(d AS VARCHAR))), 1, 1)) > 0 THEN 1.0 ELSE -1.0 END"
+    )
+    dots = (
+        f"list_sum(list_transform(generate_series(1, 64), "
+        f"d -> ({plane_w}) * CAST({col}[d] AS DOUBLE)))"
+    )
+    bit = f"(CASE WHEN ({dots}) >= 0 THEN 1 ELSE 0 END)"
+    return (
+        f"list_sum(list_transform(generate_series(0, {N_PLANES - 1}), "
+        f"p -> CAST({bit} AS BIGINT) * CAST(power(2, p) AS BIGINT)))"
+    )
+
+
+ANN_LSH_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         ROUND({_cos_sql("q.embedding", "d.embedding")}, 4) AS cos
+  FROM bucketed q JOIN bucketed d
+    ON q.bucket = d.bucket AND q.vec_id <> d.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos FROM ranked
+WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
+"""
+
+
+REGISTRY = {
+    "knn_bruteforce": (knn_bruteforce, KNN_SQL),
+    "ann_lsh": (ann_lsh, ANN_LSH_SQL),
+}

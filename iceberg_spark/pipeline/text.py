@@ -1,0 +1,195 @@
+"""Text-analysis operators: features/quality, language-ID, token
+histogram, document fingerprinting.
+
+All computation stays JVM-side (built-in pyspark.sql.functions — no
+Python UDFs), so it whole-stage-codegens and scales linearly with input
+splits; every query has a value-identical DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import engine_docs, tokens, tokens_sql
+
+# BPE-ish subword pattern: letter runs, digit runs, single other glyphs.
+SUBTOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "fr": ["le", "les", "une", "et", "est", "dans"],
+    "es": ["el", "los", "una", "y", "es", "en"],
+}
+
+
+def _in_list(t, words):
+    return t.isin(*words)
+
+
+def _featurized(spark, sf_dir):
+    """Per-doc token stats — shared subplan (single projection, no shuffle)."""
+    docs = engine_docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    stop = F.array(*[F.lit(s) for s in STOPWORDS["en"]])
+    return docs.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct"),
+        F.length(F.regexp_replace(F.lower(F.trim("text")), r"\s", "")).alias(
+            "n_nospace"
+        ),
+        F.size(F.regexp_extract_all(F.lower(F.trim("text")), F.lit(SUBTOKEN_RE), 0))
+        .alias("n_subtokens"),
+        F.size(F.filter(w, lambda t: t.isin(*STOPWORDS["en"]))).alias("n_stop"),
+    )
+
+
+def text_features(spark, sf_dir):
+    """Quality features per document: token counts (whitespace + BPE-ish
+    regex), distinct ratio, avg token length, stopword ratio, and a
+    composite quality score in [0,1]."""
+    f = _featurized(spark, sf_dir)
+    nt = F.col("n_tokens").cast("double")
+    out = f.select(
+        "doc_id",
+        "n_tokens",
+        "n_subtokens",
+        F.round(F.col("n_distinct") / nt, 4).alias("distinct_ratio"),
+        F.round(F.col("n_nospace") / nt, 4).alias("avg_token_len"),
+        F.round(F.col("n_stop") / nt, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(nt / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - F.col("n_stop") / nt) * 0.3
+            + (F.col("n_distinct") / nt) * 0.3,
+            4,
+        ).alias("quality_score"),
+    )
+    return out.orderBy("doc_id")
+
+
+def _sql_stop_count(lang: str, w: str = "w") -> str:
+    lst = ", ".join(f"'{s}'" for s in STOPWORDS[lang])
+    return f"len(list_filter({w}, t -> t IN ({lst})))"
+
+
+TEXT_FEATURES_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql()} AS w,
+         length(regexp_replace(lower(trim(text)), '\\s', '', 'g')) AS n_nospace,
+         len(regexp_extract_all(lower(trim(text)), '{SUBTOKEN_RE}')) AS n_subtokens
+  FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_tokens,
+       n_subtokens,
+       ROUND(len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4) AS distinct_ratio,
+       ROUND(n_nospace / CAST(len(w) AS DOUBLE), 4) AS avg_token_len,
+       ROUND({_sql_stop_count("en")} / CAST(len(w) AS DOUBLE), 4) AS stopword_ratio,
+       ROUND(least(len(w) / 100.0, 1.0) * 0.4
+             + (1.0 - {_sql_stop_count("en")} / CAST(len(w) AS DOUBLE)) * 0.3
+             + (len(list_distinct(w)) / CAST(len(w) AS DOUBLE)) * 0.3, 4)
+         AS quality_score
+FROM tok ORDER BY doc_id
+"""
+
+
+def lang_id(spark, sf_dir):
+    """Stopword-profile language-ID heuristic (deterministic; the table's
+    `lang` column is an independent label, not the target). Guess = the
+    language whose stopword list hits most tokens; ties break by the
+    fixed order en > de > es > fr; zero hits => 'und' (undetermined)."""
+    docs = engine_docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    d = docs.select("doc_id", w.alias("w"))
+    def stop_count(words):
+        return F.size(F.filter(F.col("w"), lambda t: t.isin(*words)))
+
+    for lang, words in STOPWORDS.items():
+        d = d.withColumn(f"c_{lang}", stop_count(words))
+    best = F.greatest(*[F.col(f"c_{x}") for x in STOPWORDS])
+    guess = (
+        F.when(best == 0, "und")
+        .when(F.col("c_en") == best, "en")
+        .when(F.col("c_de") == best, "de")
+        .when(F.col("c_es") == best, "es")
+        .otherwise("fr")
+    )
+    return (
+        d.select(guess.alias("lang_guess"))
+        .groupBy("lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_guess")
+    )
+
+
+LANG_ID_SQL = f"""
+WITH tok AS (SELECT doc_id, {tokens_sql()} AS w FROM documents),
+scored AS (
+  SELECT doc_id,
+         {_sql_stop_count("en")} AS c_en, {_sql_stop_count("de")} AS c_de,
+         {_sql_stop_count("fr")} AS c_fr, {_sql_stop_count("es")} AS c_es
+  FROM tok
+),
+guessed AS (
+  SELECT CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+              WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+              WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+              WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+              ELSE 'fr' END AS lang_guess
+  FROM scored
+)
+SELECT lang_guess, COUNT(*) AS n_docs FROM guessed
+GROUP BY lang_guess ORDER BY lang_guess
+"""
+
+
+def token_histogram(spark, sf_dir):
+    """Corpus-level token frequency top-20 (explode -> partial-agg counts;
+    Catalyst plans a map-side combine before the single shuffle)."""
+    docs = engine_docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+TOKEN_HISTOGRAM_SQL = f"""
+SELECT token, COUNT(*) AS cnt
+FROM (SELECT unnest({tokens_sql()}) AS token FROM documents)
+GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+"""
+
+
+def fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 over whitespace-normalized lowered text
+    plus a coarse length bucket — the join key for exact dedup at scale."""
+    docs = engine_docs(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        (F.floor(F.length(norm) / 64) * 64).cast("long").alias("len_bucket"),
+    ).orderBy("doc_id")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       CAST(floor(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) / 64)
+            * 64 AS BIGINT) AS len_bucket
+FROM documents ORDER BY doc_id
+"""
+
+
+REGISTRY = {
+    "text_features": (text_features, TEXT_FEATURES_SQL),
+    "lang_id": (lang_id, LANG_ID_SQL),
+    "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
+    "fingerprint": (fingerprint, FINGERPRINT_SQL),
+}

@@ -418,6 +418,12 @@ SELECT COUNT(*) AS n, ROUND(SUM(price), 2) AS total FROM (
 # registry
 # ---------------------------------------------------------------------------
 
+def _pipeline_registry():
+    from .pipeline import REGISTRY as PIPELINE_REGISTRY
+
+    return PIPELINE_REGISTRY
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
@@ -433,9 +439,16 @@ REGISTRY = {
 }
 
 
+def _full_registry():
+    reg = dict(REGISTRY)
+    reg.update(_pipeline_registry())
+    return reg
+
+
 def queries():
-    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+    return {name: fn for name, (fn, _sql) in _full_registry().items()}
 
 
 def oracle_sql():
-    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql is not None}
+    return {name: sql for name, (_fn, sql) in _full_registry().items()
+            if sql is not None}
