@@ -4,12 +4,13 @@
   tiny and broadcast; the data side streams through a single projection
   (no shuffle until the final per-query top-k, which is a partial
   top-k-per-partition then merge under AQE).
-* ann_lsh — random-hyperplane LSH: 16 sign-bits -> one bucket id, search
-  only the query's bucket. Hyperplane weights are +-1 derived from
-  md5('plane{p}_{d}') so both engines (and any future run) regenerate the
-  identical planes without shipping state. At scale the bucket join
-  replaces the O(n*q) cross product; multiprobe = OR over neighboring
-  buckets (not needed here).
+* ann_lsh — random-hyperplane LSH: 6 sign-bits -> one of 64 buckets;
+  the query probes its own bucket plus all hamming-1 neighbors
+  (multiprobe), then exact-cosine re-ranks inside the probed set.
+  Hyperplane weights are +-1 derived from md5('plane{p}_{d}') so both
+  engines (and any future run) regenerate the identical planes without
+  shipping state. At scale the bucket join replaces the O(n*q) cross
+  product; plane count tunes bucket occupancy vs recall.
 
 Cosines are computed as sequential double-precision folds in both engines
 so the DuckDB oracle hash-matches (see dedup.cosine).
@@ -25,7 +26,7 @@ from .dedup import _cos_sql, cosine
 
 N_QUERIES = 20  # vec_id < 20 are the query vectors
 TOP_K = 5
-N_PLANES = 16
+N_PLANES = 6
 
 
 def _qd(spark, sf_dir):
@@ -96,11 +97,19 @@ def _bucket_expr(col: str) -> str:
 
 
 def ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN: candidates share the query's 16-bit hyperplane
-    bucket; exact cosine re-rank inside the bucket. Deterministic planes
-    => identical result in the SQL oracle (which mirrors the bucketing)."""
+    """LSH-bucketed ANN with hamming-1 multiprobe: candidates live in the
+    query's hyperplane bucket or any bucket one bit-flip away; exact
+    cosine re-rank inside the probed set. Deterministic planes =>
+    identical result in the SQL oracle (which mirrors the bucketing)."""
     q, d = _qd(spark, sf_dir)
-    qb = q.withColumn("bucket", F.expr(_bucket_expr("qe")))
+    probes = (
+        f"transform(sequence(-1, {N_PLANES - 1}), p -> CASE WHEN p = -1 "
+        f"THEN bucket ELSE bucket ^ cast(power(2, p) as bigint) END)"
+    )
+    qb = (
+        q.withColumn("bucket", F.expr(_bucket_expr("qe")))
+        .withColumn("bucket", F.explode(F.expr(probes)))
+    )
     db = d.withColumn("bucket", F.expr(_bucket_expr("ne")))
     scored = (
         F.broadcast(qb).join(db, "bucket")
@@ -138,12 +147,17 @@ WITH bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql("embedding")} AS bucket
   FROM embeddings
 ),
+probes AS (
+  SELECT vec_id, embedding,
+         unnest([bucket] || list_transform(generate_series(0, {N_PLANES - 1}),
+                p -> xor(bucket, CAST(power(2, p) AS BIGINT)))) AS bucket
+  FROM bucketed WHERE vec_id < {N_QUERIES}
+),
 scored AS (
   SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
          ROUND({_cos_sql("q.embedding", "d.embedding")}, 4) AS cos
-  FROM bucketed q JOIN bucketed d
+  FROM probes q JOIN bucketed d
     ON q.bucket = d.bucket AND q.vec_id <> d.vec_id
-  WHERE q.vec_id < {N_QUERIES}
 ),
 ranked AS (
   SELECT query_id, neighbor_id, cos,
