@@ -540,6 +540,32 @@ def _project_predicate(pred: BoundPredicate, pfield, inclusive: bool) -> Expr:
     def t(v):
         return tr.apply(v, src)
 
+    def _decrement_value(v):
+        import datetime as _dt
+
+        if isinstance(v, bool) or not isinstance(
+            v, (int, _dt.datetime, _dt.date)
+        ):
+            return None
+        if isinstance(v, _dt.datetime):
+            return v - _dt.timedelta(microseconds=1)
+        if isinstance(v, _dt.date):
+            return v - _dt.timedelta(days=1)
+        return v - 1
+
+    def _increment_value(v):
+        import datetime as _dt
+
+        if isinstance(v, bool) or not isinstance(
+            v, (int, _dt.datetime, _dt.date)
+        ):
+            return None
+        if isinstance(v, _dt.datetime):
+            return v + _dt.timedelta(microseconds=1)
+        if isinstance(v, _dt.date):
+            return v + _dt.timedelta(days=1)
+        return v + 1
+
     if tr.monotonic:
         if inclusive:
             if op in (EQ, STARTS_WITH):
@@ -557,9 +583,24 @@ def _project_predicate(pred: BoundPredicate, pfield, inclusive: bool) -> Expr:
             if op == IN:
                 return Predicate(IN, Term(pfield.name), tuple({t(v) for v in lits}))
             if op in (LT, LT_EQ):
-                return Predicate(LT_EQ, Term(pfield.name), (t(lits[0]),))
+                v = lits[0]
+                if op == LT:
+                    # boundary-tight: ts < day-boundary projects to the
+                    # *previous* partition (ProjectionUtil truncateLong/
+                    # Timestamp semantics: project v-1 for LT)
+                    dv = _decrement_value(v)
+                    if dv is None:
+                        return Predicate(LT_EQ, Term(pfield.name), (t(v),))
+                    v = dv
+                return Predicate(LT_EQ, Term(pfield.name), (t(v),))
             if op in (GT, GT_EQ):
-                return Predicate(GT_EQ, Term(pfield.name), (t(lits[0]),))
+                v = lits[0]
+                if op == GT:
+                    iv = _increment_value(v)
+                    if iv is None:
+                        return Predicate(GT_EQ, Term(pfield.name), (t(v),))
+                    v = iv
+                return Predicate(GT_EQ, Term(pfield.name), (t(v),))
             return ALWAYS_TRUE
         else:  # strict: all rows in partition satisfy pred
             if op == LT:

@@ -490,9 +490,27 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
                 if agg[name][1] is None or (mx is not None and mx > agg[name][1]):
                     agg[name][1] = mx
     num_rows = md.num_rows
+    # nan_value_counts for float/double columns (parquet footers exclude
+    # NaN from bounds but don't count them; the reference collects these
+    # at write time — Metrics.java nanValueCounts). Columnar read of just
+    # the float columns; at cluster scale this folds into the distributed
+    # stats job alongside footer collection.
+    nan_counts: dict = {}
+    float_cols = [n for n, t in ntype.items() if t in ("float", "double")]
+    if float_cols:
+        try:
+            import pyarrow.compute as pc
+
+            tbl = pq.read_table(path, columns=float_cols)
+            for n in float_cols:
+                nan_counts[n] = pc.sum(
+                    pc.is_nan(tbl[n]).cast("int64")
+                ).as_py() or 0
+        except Exception:
+            nan_counts = {}
     stats = {}
     for name, (mn, mx, nulls, nans, _) in agg.items():
-        stats[name] = (mn, mx, nulls, nans, num_rows)
+        stats[name] = (mn, mx, nulls, nan_counts.get(name, nans), num_rows)
     return DataFile(
         file_path=path,
         file_format="parquet",

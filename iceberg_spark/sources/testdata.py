@@ -39,7 +39,9 @@ def session(app: str = "iceberg_spark", cpus: int = 0) -> SparkSession:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div: ns/1000 through double would lose exactness at
+        # epoch-ns magnitude (2^60 > 2^53 mantissa)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

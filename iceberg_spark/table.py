@@ -93,6 +93,15 @@ class Table:
     def to_df(self, **kw) -> DataFrame:
         return self.scan(**kw).df()
 
+    def aggregate_pushdown(self, aggs: list, filter: Optional[E.Expr] = None,
+                           snapshot_id: Optional[int] = None) -> Optional[dict]:
+        """Metadata-only COUNT/MIN/MAX (SparkScanBuilder.pushAggregation
+        analog); None when the scan state can't answer exactly."""
+        from .agg_pushdown import aggregate_pushdown
+
+        return aggregate_pushdown(self, aggs, filter=filter,
+                                  snapshot_id=snapshot_id)
+
     def register_temp_view(self, name: Optional[str] = None) -> str:
         name = name or self.identifier.replace(".", "_")
         self.to_df().createOrReplaceTempView(name)

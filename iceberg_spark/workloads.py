@@ -440,7 +440,10 @@ REGISTRY = {
 
 
 def _full_registry():
+    from .workloads_analytics import REGISTRY as ANALYTICS_REGISTRY
+
     reg = dict(REGISTRY)
+    reg.update(ANALYTICS_REGISTRY)
     reg.update(_pipeline_registry())
     return reg
 

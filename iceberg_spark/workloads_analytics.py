@@ -1,0 +1,490 @@
+"""Extended analytics workloads: TPC-H-adapted joins/subqueries, window
+functions, sessionization, rollup/cube, and an as-of join — all running
+through the engine's table layer with DuckDB oracles.
+
+Query shapes the reference delegates to Spark (SURVEY.md §2.E/2.G/2.H):
+semi/anti joins, correlated aggregates, top-k per group, running
+windows, grouping sets. Implementations stay declarative (DataFrame API
+-> Catalyst chooses broadcast vs SMJ, partial aggs, AQE re-plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .workloads import _ldf, engine_table
+from .expressions import col as ecol
+from . import expressions as E
+
+
+# ---------------------------------------------------------------------------
+# TPC-H adaptations
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark, sf_dir):
+    """EXISTS semi-join: orders (one quarter) with any late-shipped item."""
+    orders = engine_table(spark, sf_dir, "orders").scan(
+        filter=E.and_(ecol("o_orderdate") >= "1996-01-01T00:00:00",
+                      ecol("o_orderdate") < "1996-04-01T00:00:00")
+    ).df()
+    li = _ldf(spark, sf_dir, "lineitem")
+    sel = orders.join(
+        li, (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate), "left_semi"
+    )
+    return (
+        sel.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q10_returned_items(spark, sf_dir):
+    """Top 20 customers by returned-item revenue in one quarter."""
+    orders = engine_table(spark, sf_dir, "orders").scan(
+        filter=E.and_(ecol("o_orderdate") >= "1995-10-01T00:00:00",
+                      ecol("o_orderdate") < "1996-01-01T00:00:00")
+    ).df()
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=ecol("l_returnflag") == "R"
+    ).df()
+    cust = _ldf(spark, sf_dir, "customer")
+    nation = _ldf(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q13_customer_distribution(spark, sf_dir):
+    """Left outer join + two-level aggregation (order-count histogram)."""
+    cust = _ldf(spark, sf_dir, "customer")
+    orders = _ldf(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue(spark, sf_dir):
+    """Conditional aggregation: promo revenue share for one month."""
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=E.and_(ecol("l_shipdate") >= "1995-09-01T00:00:00",
+                      ecol("l_shipdate") < "1995-10-01T00:00:00")
+    ).df()
+    part = _ldf(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4)
+         AS promo_revenue_pct
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+"""
+
+
+def q17_small_quantity(spark, sf_dir):
+    """Correlated aggregate: items below half their part's average qty."""
+    li = _ldf(spark, sf_dir, "lineitem")
+    part = _ldf(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL")
+    part_avg = (
+        li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = """
+WITH part_avg AS (
+  SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'SMALL'
+JOIN part_avg pa ON pa.l_partkey = l.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty
+"""
+
+
+def q18_large_volume(spark, sf_dir):
+    """Having-filtered aggregate join: orders with total quantity > 300."""
+    li = _ldf(spark, sf_dir, "lineitem")
+    orders = _ldf(spark, sf_dir, "orders")
+    cust = _ldf(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "total_qty")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+Q18_SQL = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+FROM (SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300) big
+JOIN orders ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+"""
+
+
+def q19_discounted_revenue(spark, sf_dir):
+    """Disjunctive multi-predicate join (OR of brand/size/qty ranges)."""
+    li = _ldf(spark, sf_dir, "lineitem")
+    part = _ldf(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    c1 = ((F.col("p_type") == "PROMO") & F.col("l_quantity").between(1, 15)
+          & F.col("p_size").between(1, 10))
+    c2 = ((F.col("p_type") == "SMALL") & F.col("l_quantity").between(10, 25)
+          & F.col("p_size").between(1, 20))
+    c3 = ((F.col("p_type") == "LARGE") & F.col("l_quantity").between(20, 35))
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"))
+
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey AND (
+      (p_type = 'PROMO' AND l_quantity BETWEEN 1 AND 15
+       AND p_size BETWEEN 1 AND 10)
+   OR (p_type = 'SMALL' AND l_quantity BETWEEN 10 AND 25
+       AND p_size BETWEEN 1 AND 20)
+   OR (p_type = 'LARGE' AND l_quantity BETWEEN 20 AND 35))
+"""
+
+
+# ---------------------------------------------------------------------------
+# window functions / sessionization
+# ---------------------------------------------------------------------------
+
+
+def win_top3_orders_per_cust(spark, sf_dir):
+    """Top-k per group: 3 priciest orders per customer (custkey < 100)."""
+    orders = _ldf(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WIN_TOP3_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders WHERE o_custkey < 100
+) WHERE rn <= 3 ORDER BY o_custkey, rn
+"""
+
+
+def win_running_user_value(spark, sf_dir):
+    """Running sum + lag gap per user over the event stream (users < 30)."""
+    ev = _ldf(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "event_id", "user_id",
+            F.round(F.sum("value").over(run), 2).alias("run_value"),
+            F.round(
+                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"))
+                .over(w), 3).alias("gap_s"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+WIN_RUNNING_SQL = """
+SELECT event_id, user_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS run_value,
+       ROUND(epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id),
+             3) AS gap_s
+FROM events WHERE user_id < 30 ORDER BY user_id, event_id
+"""
+
+
+def sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): session count and
+    events-per-session per user (users < 30). The cumulative-sum-of-
+    new-session-flags pattern is the scalable equivalent of
+    session_window for batch data."""
+    ev = _ldf(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = ev.select(
+        "user_id", "ts", "event_id",
+        F.sum(
+            F.when(
+                F.col("ts").cast("double")
+                - F.lag(F.col("ts").cast("double")).over(w) > 1800, 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sess_id"),
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("sess_id") + 1).alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - lag(epoch(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 30
+),
+sess AS (
+  SELECT user_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sess_id
+  FROM flagged
+)
+SELECT user_id, MAX(sess_id) + 1 AS n_sessions, COUNT(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup / cube
+# ---------------------------------------------------------------------------
+
+
+def rollup_lineitem(spark, sf_dir):
+    li = _ldf(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_extendedprice"), 2).alias("total"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "total",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS total
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+"""
+
+
+def cube_events_day(spark, sf_dir):
+    ev = _ldf(spark, sf_dir, "events")
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    return (
+        ev.select("event_type", day.alias("day"), "value")
+        .cube("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day", F.lit("ALL")).alias("day"),
+            "n", "v",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(strftime(date_trunc('day', ts), '%Y-%m-%d'), 'ALL') AS day,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+FROM events GROUP BY CUBE (event_type, strftime(date_trunc('day', ts), '%Y-%m-%d'))
+ORDER BY event_type, day
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def asof_last_click(spark, sf_dir):
+    """As-of join (not native in Spark; SURVEY.md §2.E): for each purchase
+    the most recent prior click of the same user, via the union+window
+    pattern — one shuffle on user_id, no range join explosion."""
+    ev = _ldf(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    tagged = ev.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = tagged.withColumn("last_click_ts", F.max("click_ts").over(w))
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+ASOF_SQL = """
+WITH tagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+  FROM events WHERE user_id < 50
+),
+enriched AS (
+  SELECT event_id, user_id, ts, event_type,
+         MAX(click_ts) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_ts
+  FROM tagged
+)
+SELECT event_id, user_id, ts, last_click_ts FROM enriched
+WHERE event_type = 'purchase' ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# metadata-only aggregate pushdown
+# ---------------------------------------------------------------------------
+
+
+def agg_pushdown_stats(spark, sf_dir):
+    """COUNT/MIN/MAX answered purely from manifest stats (no data read)
+    on the day-partitioned events table with a day-aligned filter —
+    the strict projection makes every planned file exact."""
+    import datetime as dt
+
+    t = engine_table(spark, sf_dir, "events", partition_by=["day(ts)"])
+    res = t.aggregate_pushdown(
+        [("count_star", None), ("min", "value"), ("max", "value"),
+         ("count", "user_id")],
+        filter=ecol("ts") < dt.datetime(2024, 1, 8),
+    )
+    assert res is not None, "aggregate pushdown unexpectedly bailed"
+    return spark.createDataFrame(
+        [(
+            res[("count_star", None)],
+            res[("min", "value")],
+            res[("max", "value")],
+            res[("count", "user_id")],
+        )],
+        "n_rows bigint, min_value double, max_value double, n_users_vals bigint",
+    )
+
+
+AGG_PUSHDOWN_SQL = """
+SELECT COUNT(*) AS n_rows,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       COUNT(user_id) AS n_users_vals
+FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+"""
+
+
+REGISTRY = {
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
+    "q17_small_quantity": (q17_small_quantity, Q17_SQL),
+    "q18_large_volume": (q18_large_volume, Q18_SQL),
+    "q19_discounted_revenue": (q19_discounted_revenue, Q19_SQL),
+    "win_top3_orders_per_cust": (win_top3_orders_per_cust, WIN_TOP3_SQL),
+    "win_running_user_value": (win_running_user_value, WIN_RUNNING_SQL),
+    "sessionize": (sessionize, SESSIONIZE_SQL),
+    "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
+    "cube_events_day": (cube_events_day, CUBE_SQL),
+    "asof_last_click": (asof_last_click, ASOF_SQL),
+    "agg_pushdown_stats": (agg_pushdown_stats, AGG_PUSHDOWN_SQL),
+}
