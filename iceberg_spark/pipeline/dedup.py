@@ -137,37 +137,64 @@ ORDER BY doc_a, doc_b
 # ---------------------------------------------------------------------------
 
 
+def _band_hash_udf():
+    """MinHash signature + band hashes, numpy-vectorized.
+
+    Higher-order-function expressions don't whole-stage-codegen (a
+    128-permutation nested transform runs interpreted, minutes at sf0.1)
+    — this is the case the task brief reserves Pandas UDFs for. The hash
+    family is multiply-add over uint64 wrap-around arithmetic seeded
+    from RandomState(42): sig[i] = min_h(a[i]*h + b[i]), band hash =
+    c·sig[band] + band; deterministic across runs/partitions.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    r = MINHASH_K // LSH_BANDS
+    rs = np.random.RandomState(42)
+    a = rs.randint(1, 1 << 62, size=MINHASH_K).astype(np.uint64) | np.uint64(1)
+    b = rs.randint(0, 1 << 62, size=MINHASH_K).astype(np.uint64)
+    c = rs.randint(1, 1 << 62, size=r).astype(np.uint64) | np.uint64(1)
+
+    @pandas_udf("array<long>")
+    def band_hashes(hs):
+        import pandas as pd
+
+        out = []
+        with np.errstate(over="ignore"):
+            for h in hs:
+                hv = np.asarray(h, dtype=np.int64).view(np.uint64)
+                sig = (a[:, None] * hv[None, :] + b[:, None]).min(axis=1)
+                bands = (sig.reshape(LSH_BANDS, r) * c).sum(
+                    axis=1, dtype=np.uint64
+                ) + np.arange(LSH_BANDS, dtype=np.uint64)
+                out.append(bands.view(np.int64))
+        return pd.Series(out)
+
+    return band_hashes
+
+
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash signatures + banded LSH candidates + exact verify.
 
-    Signature: sig[i] = min over shingles s of xxhash64(s, i), i < 128.
-    Banding: 32 bands of 4 rows; docs sharing any (band, band-hash)
+    Shingles hash JVM-side (xxhash64); signatures/band-hashes compute in
+    one Arrow-batched Pandas UDF; docs sharing any (band, band-hash)
     bucket become candidates — the only join is on the bucket key, so
     cost scales with bucket sizes, not corpus^2. Candidates are verified
     with exact array_intersect Jaccard, making precision exact; the
     oracle is therefore the exact-Jaccard SQL (recall is 1.0 at these
-    parameters for this corpus' separation).
+    parameters for this corpus' separation: injected near-dups sit at
+    J>=0.9, band-match prob there >= 1-(1-0.9^4)^32 ~ 1).
     """
     sets = _shingle_sets(dedup_corpus(spark, sf_dir)).filter(F.size("sh") > 0)
-    sig = sets.select(
+    hashed = sets.select(
         "doc_id",
-        "sh",
-        F.expr(
-            f"transform(sequence(0, {MINHASH_K - 1}), "
-            "i -> array_min(transform(sh, s -> xxhash64(s, i))))"
-        ).alias("sig"),
+        F.expr("transform(sh, s -> xxhash64(s))").alias("hs"),
     )
-    r = MINHASH_K // LSH_BANDS
-    buckets = sig.select(
+    buckets = hashed.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {LSH_BANDS - 1}), "
-                f"b -> named_struct('band', b, 'h', "
-                f"xxhash64(array_join(slice(sig, b * {r} + 1, {r}), ','), b)))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.h")
+        F.posexplode(_band_hash_udf()(F.col("hs"))).alias("band", "h"),
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -336,20 +363,46 @@ def _cos_sql(a: str, b: str, dims: int = 64) -> str:
 
 
 def dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos >= 0.9).
-
-    Brute-force pairwise here (the exact baseline); the LSH-bucketed scale
-    path is `ann_lsh` in similarity.py.
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9), exact, via
+    blocked matrix multiply: the (small) normalized corpus matrix
+    broadcasts to executors and each input partition GEMMs its block
+    against it — one BLAS call per Arrow batch instead of 16M
+    interpreted zip_with folds. At sizes where one side no longer
+    broadcasts, the same kernel runs per bucket-pair (block-outer
+    join); the sub-O(n^2) probabilistic path is ann_lsh.
     """
+    import numpy as np
+
     corpus = embedding_corpus(spark, sf_dir)
-    a = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pdf = corpus.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, m))
+
+    def blocks(batches):
+        import pandas as pd
+
+        all_ids, mat = bc.value
+        for b in batches:
+            a = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            a /= np.linalg.norm(a, axis=1, keepdims=True)
+            sims = np.round(a @ mat.T, 4)
+            rows_a, rows_b, cos = [], [], []
+            block_ids = b["vec_id"].to_numpy()
+            for i in range(len(block_ids)):
+                hits = np.where(
+                    (sims[i] >= COS_T) & (all_ids > block_ids[i])
+                )[0]
+                rows_a.extend([block_ids[i]] * len(hits))
+                rows_b.extend(all_ids[hits])
+                cos.extend(sims[i][hits])
+            yield pd.DataFrame(
+                {"vec_a": rows_a, "vec_b": rows_b, "cos": cos}
+            )
+
     return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b",
-                F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos"))
-        .filter(F.col("cos") >= COS_T)
+        corpus.mapInPandas(blocks, "vec_a long, vec_b long, cos double")
         .orderBy("vec_a", "vec_b")
     )
 
