@@ -35,7 +35,71 @@ BENCH_QUERIES = [
     "q6_revenue",
     "events_type_agg",
     "scan_prune_day",
+    "delete_mor_scan",
 ]
+
+
+def synthetic_planning_table(spark, n_partitions=32, files_per_partition=320):
+    """10k-file metadata tree with no data IO (PlanningBenchmark analog:
+    spark/v4.0/spark-extensions/src/jmh/.../PlanningBenchmark.java:92 uses
+    30 partitions x 50k files; scaled to 10k total per BASELINE.md #4).
+
+    One FastAppend per partition -> per-partition manifests; entries carry
+    fabricated id-range stats so min/max file pruning has real work to do.
+    """
+    import tempfile
+
+    from iceberg_spark.manifests import DataFile
+    from iceberg_spark.table import Catalog
+    from iceberg_spark.writes import FastAppend
+    from pyspark.sql import types as T
+
+    wh = tempfile.mkdtemp(prefix="iceberg_spark_plan_bench_")
+    cat = Catalog(spark, wh)
+    schema = T.StructType([
+        T.StructField("p", T.IntegerType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+    t = cat.create_table("bench.planning", schema, partition_by=["p"])
+    rows_per_file = 1000
+    for p in range(n_partitions):
+        files = []
+        for i in range(files_per_partition):
+            lo = (p * files_per_partition + i) * rows_per_file
+            files.append(DataFile(
+                file_path=f"{wh}/synthetic/p={p}/f{i}.parquet",
+                partition={"p": p},
+                record_count=rows_per_file,
+                file_size_in_bytes=1 << 20,
+                stats={"id": (lo, lo + rows_per_file - 1, 0, None, rows_per_file)},
+            ))
+        FastAppend(t, files).commit()
+    return t
+
+
+def planning_benchmarks(spark, qtimes, timed):
+    from iceberg_spark.expressions import col
+    from iceberg_spark.manifests import _MANIFEST_CACHE
+
+    t = synthetic_planning_table(spark)
+
+    def plan(filt=None):
+        # cold planning each run, as in the reference's SingleShotTime mode
+        _MANIFEST_CACHE.clear()
+        plan = t.scan(filter=filt, planning_mode="local").plan_files()
+        return len(plan.files)
+
+    n = plan()
+    assert n == 32 * 320, n
+    npart = plan(col("p") == 7)
+    assert npart == 320, npart
+    nminmax = plan((col("id") >= 100_000) & (col("id") < 150_000))
+    assert nminmax == 50, nminmax
+    qtimes["plan_full_10k_files"] = timed(plan)
+    qtimes["plan_partition_filter_10k_files"] = timed(lambda: plan(col("p") == 7))
+    qtimes["plan_minmax_filter_10k_files"] = timed(
+        lambda: plan((col("id") >= 100_000) & (col("id") < 150_000)))
 
 
 def raw_q1_baseline(spark, sf_dir):
@@ -98,8 +162,10 @@ def main():
         qtimes[name] = timed(lambda: reg[name](spark, SF_DIR).collect())
 
     qtimes["raw_q1_baseline"] = timed(lambda: raw_q1_baseline(spark, SF_DIR).collect())
+    planning_benchmarks(spark, qtimes, timed)
 
-    total = round(sum(v for k, v in qtimes.items() if k != "raw_q1_baseline"), 4)
+    total = round(sum(v for k, v in qtimes.items()
+                      if k != "raw_q1_baseline" and not k.startswith("plan_")), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,

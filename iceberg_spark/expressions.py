@@ -382,6 +382,52 @@ def to_spark(expr: Expr, colfn=F.col) -> Column:
     raise TypeError(f"cannot convert {expr!r}")
 
 
+def to_arrow(expr: Expr, colfn):
+    """Bound expression -> pyarrow.dataset Expression (vectorized local
+    planning over manifest Arrow tables). Only identity-term predicates are
+    convertible — callers fall back to row-at-a-time eval on TypeError.
+    `colfn(name)` must return the ds.field() for a term name."""
+    import pyarrow.dataset as ds
+
+    if isinstance(expr, AlwaysTrue):
+        return ds.scalar(True)
+    if isinstance(expr, AlwaysFalse):
+        return ds.scalar(False)
+    if isinstance(expr, And):
+        return to_arrow(expr.left, colfn) & to_arrow(expr.right, colfn)
+    if isinstance(expr, Or):
+        return to_arrow(expr.left, colfn) | to_arrow(expr.right, colfn)
+    if isinstance(expr, Not):
+        return ~to_arrow(expr.child, colfn)
+    if isinstance(expr, (Predicate, BoundPredicate)):
+        tr = expr.term.transform
+        if tr is not None and not isinstance(tr, Identity):
+            raise TypeError("transform predicates are not arrow-convertible")
+        c = colfn(expr.term.name)
+        op, lits = expr.op, expr.literals
+        if op == LT:
+            return c < lits[0]
+        if op == LT_EQ:
+            return c <= lits[0]
+        if op == GT:
+            return c > lits[0]
+        if op == GT_EQ:
+            return c >= lits[0]
+        if op == EQ:
+            return c == lits[0]
+        if op == NOT_EQ:
+            return c != lits[0]
+        if op == IN:
+            return c.isin(list(lits))
+        if op == NOT_IN:
+            return ~c.isin(list(lits))
+        if op == IS_NULL:
+            return c.is_null()
+        if op == NOT_NULL:
+            return ~c.is_null()
+    raise TypeError(f"cannot convert {expr!r}")
+
+
 # -> SQL text ---------------------------------------------------------------
 
 

@@ -309,8 +309,28 @@ def read_manifest(path: str, schema: Schema, spec: PartitionSpec,
     return entries
 
 
-def _read_manifest_uncached(path: str, schema: Schema, spec: PartitionSpec) -> list:
+_ARROW_CACHE: dict = {}
+_ARROW_CACHE_MAX = 256
+
+
+def read_manifest_arrow(path: str) -> pa.Table:
+    """Manifest file as a (memoized) Arrow table — the vectorized-planning
+    input. Manifests are immutable, so path alone keys the cache."""
+    hit = _ARROW_CACHE.get(path)
+    if hit is not None:
+        return hit
     t = pq.read_table(path)
+    if len(_ARROW_CACHE) >= _ARROW_CACHE_MAX:
+        _ARROW_CACHE.pop(next(iter(_ARROW_CACHE)))
+    _ARROW_CACHE[path] = t
+    return t
+
+
+def _read_manifest_uncached(path: str, schema: Schema, spec: PartitionSpec) -> list:
+    return entries_from_arrow(read_manifest_arrow(path), schema, spec)
+
+
+def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec) -> list:
     d = t.to_pydict()
     n = t.num_rows
     pnames = [nm for nm, _ in spec.partition_type(schema)]

@@ -36,7 +36,9 @@ from .manifests import (
     POSITION_DELETES,
     DataFile,
     ManifestEntry,
+    entries_from_arrow,
     read_manifest,
+    read_manifest_arrow,
     read_manifest_list,
 )
 from .metadata import Snapshot, TableMetadata
@@ -174,10 +176,19 @@ class TableScan:
             mode = "distributed" if len(keep) > DISTRIBUTED_PLANNING_THRESHOLD else "local"
         report.planning_mode = mode
 
+        prefiltered = None
         if mode == "distributed":
             entries = self._read_entries_spark(keep)
         else:
-            entries = self._read_entries_local(keep)
+            if not isinstance(bound, E.AlwaysTrue):
+                prefiltered = self._read_entries_local_prefiltered(
+                    keep, bound, proj_by_spec)
+            if prefiltered is not None:
+                entries, pre_total, pre_survived = prefiltered
+                report.total_data_files = pre_total
+                report.skipped_data_files = pre_total - pre_survived
+            else:
+                entries = self._read_entries_local(keep)
 
         data_entries, pos_del, eq_del = [], [], []
         for e in entries:
@@ -185,6 +196,10 @@ class TableScan:
                 continue
             f = e.file
             if f.content == DATA:
+                if prefiltered is not None:
+                    # partition + metrics filters already applied vectorized
+                    data_entries.append(e)
+                    continue
                 report.total_data_files += 1
                 spec = self.metadata.spec_by_id(f.spec_id)
                 proj = proj_by_spec.get(f.spec_id)
@@ -233,6 +248,57 @@ class TableScan:
         with ThreadPoolExecutor(max_workers=16) as ex:
             chunks = list(ex.map(rd, manifests))
         return [e for c in chunks for e in c]
+
+    def _read_entries_local_prefiltered(self, manifests, bound, proj_by_spec):
+        """Vectorized local planning: partition + metrics filters evaluated
+        as one pyarrow compute expression per manifest, so Python entry
+        objects are built only for surviving files. Returns
+        (entries, total_data_files, surviving_data_files), or None when the
+        predicate isn't arrow-convertible (caller falls back to per-entry
+        eval; results identical, this is purely the fast path).
+        """
+        try:
+            import pyarrow.dataset as ds
+        except ImportError:  # pragma: no cover
+            return None
+        schema = self.schema
+        live = (ds.field("status") != DELETED) & (ds.field("content") == DATA)
+
+        def rd(m):
+            t = read_manifest_arrow(m.path)
+            spec = self.metadata.spec_by_id(m.spec_id)
+            names = set(t.column_names)
+            parts = []
+            proj = proj_by_spec.get(m.spec_id, E.ALWAYS_TRUE)
+            if not isinstance(proj, E.AlwaysTrue):
+                parts.append(E.to_arrow(proj, lambda n: ds.field(f"p_{n}")))
+            sf = _stats_filter_arrow(bound, schema, names)
+            if sf is not None:
+                parts.append(sf)
+            if not parts:
+                return None
+            dk = parts[0]
+            for p in parts[1:]:
+                dk = dk & p
+            surv = t.filter(~live | dk)
+            n_total = t.filter(live).num_rows
+            n_surv = surv.filter(live).num_rows
+            return entries_from_arrow(surv, schema, spec), n_total, n_surv
+
+        try:
+            if len(manifests) <= 2:
+                chunks = [rd(m) for m in manifests]
+            else:
+                with ThreadPoolExecutor(max_workers=16) as ex:
+                    chunks = list(ex.map(rd, manifests))
+        except Exception:
+            return None  # unconvertible predicate / type mismatch
+        if any(c is None for c in chunks):
+            return None
+        entries = [e for c in chunks for e in c[0]]
+        return (entries,
+                sum(c[1] for c in chunks),
+                sum(c[2] for c in chunks))
 
     def _read_entries_spark(self, manifests) -> list:
         """Distributed planning: filter manifests with Spark, collect survivors.
@@ -362,6 +428,70 @@ def _manifest_might_match(m, proj: E.Expr) -> bool:
 def _partition_filter_column(proj: E.Expr, df: DataFrame):
     """Projected partition predicate -> Column over p_* manifest columns."""
     return E.to_spark(proj, colfn=lambda n: F.col(f"p_{n}"))
+
+
+def _stats_filter_arrow(bound: E.Expr, schema: Schema, names: set):
+    """Inclusive metrics filter as a pyarrow expression over min_f*/max_f*
+    manifest columns — the vectorized twin of _stats_filter_column (and of
+    inclusive_metrics_eval for the comparison ops). Missing stats keep the
+    file; unprunable ops become scalar(True). Returns None when nothing can
+    prune."""
+    import pyarrow.dataset as ds
+
+    TRUE = ds.scalar(True)
+
+    def conv(e: E.Expr):
+        if isinstance(e, E.AlwaysTrue):
+            return TRUE
+        if isinstance(e, E.AlwaysFalse):
+            return ds.scalar(False)
+        if isinstance(e, E.And):
+            return conv(e.left) & conv(e.right)
+        if isinstance(e, E.Or):
+            return conv(e.left) | conv(e.right)
+        if isinstance(e, E.BoundPredicate):
+            if e.term.transform is not None and not isinstance(e.term.transform, Identity):
+                return TRUE
+            fid = e.term.field.field_id
+            mn, mx = f"min_f{fid}", f"max_f{fid}"
+            if mn not in names:
+                return TRUE
+            cmin, cmax = ds.field(mn), ds.field(mx)
+            cnull, cval = ds.field(f"nulls_f{fid}"), ds.field(f"values_f{fid}")
+            op, lits = e.op, e.literals
+            all_null = (~cnull.is_null() & ~cval.is_null()
+                        & (cnull == cval) & (cval > 0))
+            if op == E.IS_NULL:
+                return cnull.is_null() | (cnull > 0)
+            if op == E.NOT_NULL:
+                return ~all_null
+            not_all_null = ~all_null
+            if op == E.LT:
+                return not_all_null & (cmin.is_null() | (cmin < lits[0]))
+            if op == E.LT_EQ:
+                return not_all_null & (cmin.is_null() | (cmin <= lits[0]))
+            if op == E.GT:
+                return not_all_null & (cmax.is_null() | (cmax > lits[0]))
+            if op == E.GT_EQ:
+                return not_all_null & (cmax.is_null() | (cmax >= lits[0]))
+            if op == E.EQ:
+                return not_all_null & (
+                    (cmin.is_null() | (cmin <= lits[0]))
+                    & (cmax.is_null() | (cmax >= lits[0]))
+                )
+            if op == E.IN:
+                c = ds.scalar(False)
+                for v in lits:
+                    c = c | ((cmin.is_null() | (cmin <= v))
+                             & (cmax.is_null() | (cmax >= v)))
+                return not_all_null & c
+            return TRUE
+        return TRUE
+
+    out = conv(bound)
+    if str(out) == str(TRUE):  # nothing prunable -> let caller fall back
+        return None
+    return out
 
 
 def _stats_filter_column(bound: E.Expr, schema: Schema, df: DataFrame):

@@ -433,6 +433,19 @@ def maybe_merge_manifests(table, base: TableMetadata, manifests: list, snapshot_
             for e in read_manifest(m.path, base.schema, spec):
                 if e.status != DELETED:
                     entries.append(ManifestEntry(EXISTING, e.snapshot_id, e.sequence_number, e.file))
+        # cluster by partition tuple before chunking so each merged manifest
+        # covers a tight partition range — keeps manifest-list summaries
+        # selective, so partition predicates skip whole manifests
+        # (RewriteManifestsSparkAction clusters the same way)
+        pnames = [n for n, _ in spec.partition_type(base.schema)]
+        if pnames:
+            def pkey(e, _names=tuple(pnames)):
+                return tuple(
+                    (v is None, v) for v in
+                    (e.file.partition.get(n) for n in _names)
+                )
+
+            entries.sort(key=pkey)
         # chunk into ~8k-entry manifests
         CHUNK = 8192
         for i in range(0, max(len(entries), 1), CHUNK):
