@@ -1,0 +1,1023 @@
+"""SQL veneer: the reference's SQL surface on top of the Python engine.
+
+PySpark cannot inject Catalyst parsers/rules, so the statements the
+reference adds via its ANTLR extension grammar
+(`spark-extensions/src/main/antlr/.../IcebergSqlExtensions.g4:65-212`),
+its stored procedures (`spark/.../procedures/SparkProcedures.java:42-62`)
+and its DSv2 row-level commands are parsed here and dispatched to the
+engine's Python API; everything else (SELECT/joins/aggregates/...) is
+delegated to `spark.sql` after resolving catalog table / view / metadata
+table / time-travel references into temp views (the ResolveViews.scala
+analog). See SURVEY §2.M / §2.N.
+
+Supported statement classes:
+  - CALL [cat.]system.<procedure>(...)   -- 18 procedures
+  - ALTER TABLE ... ADD/DROP/REPLACE PARTITION FIELD, SET IDENTIFIER
+    FIELDS, WRITE ORDERED BY / DISTRIBUTED BY PARTITION,
+    CREATE/REPLACE BRANCH|TAG, DROP BRANCH|TAG, SET TBLPROPERTIES,
+    ADD/DROP/RENAME COLUMN, ALTER COLUMN ... TYPE
+  - MERGE INTO / UPDATE / DELETE FROM    -- row-level ops (CoW or MoR per
+    table properties)
+  - INSERT INTO / INSERT OVERWRITE
+  - CREATE TABLE [AS SELECT] / DROP TABLE
+  - CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW VIEWS
+  - CREATE [OR REPLACE] FUNCTION / DROP FUNCTION / SHOW FUNCTIONS
+  - SELECT ... with  t VERSION AS OF <id|'ref'>,  t TIMESTAMP AS OF <ts>,
+    metadata tables (t.snapshots, t.files, ...) and stored views/functions
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+from . import expressions as E
+from .expressions import col, transform_col
+from .metadata_tables import METADATA_TABLES
+from . import views as V
+
+_TRANSFORM_FNS = {"years", "year", "months", "month", "days", "day",
+                  "hours", "hour", "bucket", "truncate"}
+
+
+# ---------------------------------------------------------------------------
+# literal / predicate parsing (WHERE clauses -> expression algebra)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<number>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+)
+      | (?P<ident>[A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)
+      | (?P<op><=|>=|<>|!=|=|<|>|\(|\)|,)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _tokenize(s: str) -> list:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            if s[i].isspace():
+                i += 1
+                continue
+            raise ValueError(f"cannot tokenize predicate at: {s[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        text = m.group(kind)
+        out.append((kind, text))
+    return out
+
+
+class _PredicateParser:
+    """Recursive-descent WHERE-clause parser producing `E.Expr`.
+
+    Grammar: disjunctions of conjunctions of [NOT] predicates; predicates
+    are comparisons, IS [NOT] NULL, [NOT] IN, BETWEEN, [NOT] LIKE
+    'prefix%', TRUE/FALSE; terms are columns or partition-transform calls
+    (years/months/days/hours/bucket/truncate) matching the reference's
+    system functions (spark/.../functions/, SURVEY §2.I).
+    """
+
+    def __init__(self, s: str):
+        self.toks = _tokenize(s)
+        self.i = 0
+
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, text):
+        kind, tok = self.next()
+        if tok is None or tok.upper() != text.upper():
+            raise ValueError(f"expected {text}, got {tok!r}")
+        return tok
+
+    def kw(self, text) -> bool:
+        kind, tok = self.peek()
+        if kind == "ident" and tok.upper() == text.upper():
+            self.i += 1
+            return True
+        return False
+
+    def parse(self) -> E.Expr:
+        e = self.expr()
+        if self.peek()[0] is not None:
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return e
+
+    def expr(self) -> E.Expr:
+        left = self.conj()
+        while self.kw("OR"):
+            left = E.Or(left, self.conj())
+        return left
+
+    def conj(self) -> E.Expr:
+        left = self.unary()
+        while self.kw("AND"):
+            left = E.And(left, self.unary())
+        return left
+
+    def unary(self) -> E.Expr:
+        if self.kw("NOT"):
+            return E.Not(self.unary())
+        return self.primary()
+
+    def primary(self) -> E.Expr:
+        kind, tok = self.peek()
+        if tok == "(":
+            self.next()
+            e = self.expr()
+            self.expect(")")
+            return e
+        return self.predicate()
+
+    def term(self):
+        kind, tok = self.next()
+        if kind != "ident":
+            raise ValueError(f"expected column, got {tok!r}")
+        up = tok.upper()
+        if up in ("TRUE", "FALSE"):
+            return ("const", up == "TRUE")
+        if tok.lower() in _TRANSFORM_FNS and self.peek()[1] == "(":
+            fn = tok.lower()
+            self.next()  # (
+            if fn in ("bucket", "truncate"):
+                k, n = self.next()
+                if k != "number":
+                    raise ValueError(f"{fn} needs a numeric first arg")
+                self.expect(",")
+                _, colname = self.next()
+                self.expect(")")
+                return ("col", transform_col(f"{fn}[{int(n)}]", colname))
+            _, colname = self.next()
+            self.expect(")")
+            canon = {"years": "year", "months": "month", "days": "day",
+                     "hours": "hour"}.get(fn, fn)
+            return ("col", transform_col(canon, colname))
+        return ("col", col(tok))
+
+    def literal(self):
+        kind, tok = self.next()
+        if kind == "string":
+            return tok[1:-1].replace("''", "'")
+        if kind == "number":
+            return float(tok) if ("." in tok or "e" in tok.lower()) else int(tok)
+        if kind == "ident":
+            up = tok.upper()
+            if up == "NULL":
+                return None
+            if up in ("TRUE", "FALSE"):
+                return up == "TRUE"
+            if up in ("DATE", "TIMESTAMP"):
+                k2, t2 = self.next()
+                if k2 != "string":
+                    raise ValueError(f"{up} literal needs a string")
+                raw = t2[1:-1]
+                if up == "DATE":
+                    return _dt.date.fromisoformat(raw)
+                return _dt.datetime.fromisoformat(raw)
+        raise ValueError(f"expected literal, got {tok!r}")
+
+    def predicate(self) -> E.Expr:
+        kind, ref = self.term()
+        if kind == "const":
+            return E.ALWAYS_TRUE if ref else E.ALWAYS_FALSE
+        c = ref
+        k, tok = self.peek()
+        up = (tok or "").upper()
+        if k == "op" and tok in ("<", "<=", ">", ">=", "=", "<>", "!="):
+            self.next()
+            v = self.literal()
+            return {"<": c.__lt__, "<=": c.__le__, ">": c.__gt__,
+                    ">=": c.__ge__, "=": c.__eq__}.get(tok, c.__ne__)(v)
+        if up == "IS":
+            self.next()
+            if self.kw("NOT"):
+                self.expect("NULL")
+                return c.not_null()
+            self.expect("NULL")
+            return c.is_null()
+        neg = False
+        if up == "NOT":
+            self.next()
+            neg = True
+            up = (self.peek()[1] or "").upper()
+        if up == "IN":
+            self.next()
+            self.expect("(")
+            vals = [self.literal()]
+            while self.peek()[1] == ",":
+                self.next()
+                vals.append(self.literal())
+            self.expect(")")
+            return c.not_in(vals) if neg else c.isin(vals)
+        if up == "BETWEEN":
+            self.next()
+            lo = self.literal()
+            self.expect("AND")
+            hi = self.literal()
+            e = E.And(c >= lo, c <= hi)
+            return E.Not(e) if neg else e
+        if up == "LIKE":
+            self.next()
+            pat = self.literal()
+            if not isinstance(pat, str) or "%" in pat[:-1] or "_" in pat:
+                raise ValueError("only prefix LIKE 'x%' is supported")
+            e = c.startswith(pat[:-1]) if pat.endswith("%") else (c == pat)
+            return E.Not(e) if neg else e
+        raise ValueError(f"expected operator after column, got {tok!r}")
+
+
+def parse_predicate(s: str) -> E.Expr:
+    return _PredicateParser(s).parse()
+
+
+# ---------------------------------------------------------------------------
+# statement router
+# ---------------------------------------------------------------------------
+
+_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+
+def _strip_comments(stmt: str) -> str:
+    return re.sub(r"--[^\n]*", " ", stmt).strip().rstrip(";").strip()
+
+
+class SqlEngine:
+    """`engine.sql(statement)` — parse/route/execute, returning a DataFrame
+    (possibly empty) like Spark's own `sql`."""
+
+    def __init__(self, spark: SparkSession, catalog):
+        self.spark = spark
+        self.catalog = catalog
+        self._seq = 0
+
+    # -- public --------------------------------------------------------------
+    def sql(self, statement: str) -> DataFrame:
+        s = _strip_comments(statement)
+        head = s.split(None, 2)
+        kw = (head[0].upper() if head else "")
+        two = f"{kw} {head[1].upper()}" if len(head) > 1 else kw
+        if kw == "CALL":
+            return self._call(s)
+        if kw == "ALTER":
+            return self._alter(s)
+        if kw == "MERGE":
+            return self._merge(s)
+        if two == "DELETE FROM":
+            return self._delete(s)
+        if kw == "UPDATE":
+            return self._update(s)
+        if kw == "INSERT":
+            return self._insert(s)
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", s, re.I):
+            return self._create_view(s)
+        if re.match(r"DROP\s+VIEW", s, re.I):
+            return self._drop_view(s)
+        if re.match(r"SHOW\s+VIEWS", s, re.I):
+            return self._rows([Row(name=v) for v in V.list_views(self.catalog)],
+                              "name string")
+        if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION", s, re.I):
+            return self._create_function(s)
+        if re.match(r"DROP\s+FUNCTION", s, re.I):
+            m = re.match(r"DROP\s+FUNCTION\s+(?:IF\s+EXISTS\s+)?([\w.]+)", s, re.I)
+            V.drop_function(self.catalog, m.group(1))
+            return self._empty()
+        if re.match(r"SHOW\s+FUNCTIONS", s, re.I):
+            return self._rows([Row(name=f) for f in V.list_functions(self.catalog)],
+                              "name string")
+        if re.match(r"CREATE\s+TABLE", s, re.I):
+            return self._create_table(s)
+        if re.match(r"DROP\s+TABLE", s, re.I):
+            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", s, re.I)
+            self.catalog.drop_table(m.group(1))
+            return self._empty()
+        # SELECT / WITH / EXPLAIN / SHOW ... -> delegate after resolution
+        return self.spark.sql(self._resolve(s))
+
+    # -- helpers -------------------------------------------------------------
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], "result string")
+
+    def _rows(self, rows, schema) -> DataFrame:
+        return self.spark.createDataFrame(rows, schema)
+
+    def _tmp(self, prefix="isq") -> str:
+        self._seq += 1
+        return f"__{prefix}_{self._seq}"
+
+    def _load(self, ident: str):
+        return self.catalog.load_table(ident)
+
+    def _table_df(self, ident: str, snapshot_id=None, as_of=None, ref=None):
+        t = self._load(ident)
+        return t.scan(snapshot_id=snapshot_id, as_of_timestamp_ms=as_of,
+                      ref=ref).df()
+
+    # -- resolution (ResolveViews / time travel / metadata tables) -----------
+    def _resolve(self, s: str, _depth: int = 0) -> str:
+        if _depth > 10:
+            raise ValueError("view expansion too deep (cycle?)")
+        # protect string literals from identifier rewriting
+        strings: list = []
+
+        def protect(m):
+            strings.append(m.group(0))
+            return f"\x00{len(strings) - 1}\x00"
+
+        body = _STRING_RE.sub(protect, s)
+
+        def unprotect(text):
+            return re.sub(r"\x00(\d+)\x00", lambda m: strings[int(m.group(1))], text)
+
+        # time travel:  <ident> VERSION AS OF <n|'ref'> | TIMESTAMP AS OF <ts>
+        def tt(m):
+            ident, mode, raw = m.group(1), m.group(2).upper(), unprotect(m.group(3))
+            if not self.catalog.table_exists(ident):
+                return m.group(0)
+            name = self._tmp("tt")
+            if mode.startswith("VERSION") or mode.startswith("SYSTEM_VERSION"):
+                if raw.startswith("'"):
+                    df = self._table_df(ident, ref=raw.strip("'"))
+                else:
+                    df = self._table_df(ident, snapshot_id=int(raw))
+            else:
+                raw = raw.strip("'")
+                try:
+                    ts = int(raw)
+                except ValueError:
+                    dt = _dt.datetime.fromisoformat(raw)
+                    if dt.tzinfo is None:
+                        dt = dt.replace(tzinfo=_dt.timezone.utc)
+                    ts = int(dt.timestamp() * 1000)
+                df = self._table_df(ident, as_of=ts)
+            df.createOrReplaceTempView(name)
+            return f" {name} "
+
+        body = re.sub(
+            r"([\w.]+)\s+(?:FOR\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\s+AS\s+OF\s+(\x00\d+\x00|\S+)",
+            tt, body, flags=re.I)
+
+        # table / view / metadata-table identifiers
+        def ident_sub(m):
+            ident = m.group(0)
+            if self.catalog.table_exists(ident):
+                name = self._tmp("tbl")
+                self._table_df(ident).createOrReplaceTempView(name)
+                return name
+            parts = ident.rsplit(".", 1)
+            if len(parts) == 2 and parts[1].lower() in METADATA_TABLES \
+                    and self.catalog.table_exists(parts[0]):
+                name = self._tmp("meta")
+                self._load(parts[0]).metadata_table(parts[1].lower()) \
+                    .createOrReplaceTempView(name)
+                return name
+            vm = V.load_view(self.catalog, ident)
+            if vm is not None:
+                inner = self._resolve(vm.sql, _depth + 1)
+                return f"({inner})"
+            fm = V.load_function(self.catalog, ident.split(".")[-1]) \
+                if "." not in ident else V.load_function(self.catalog, ident)
+            if fm is None and "." not in ident:
+                fm = V.load_function(self.catalog, ident)
+            if fm is not None:
+                return V.materialize_function(self.spark, fm)
+            return ident
+
+        # only rewrite identifiers in FROM/JOIN-ish positions and function
+        # calls; simplest robust approach: try every dotted/bare identifier,
+        # skipping SQL keywords (cheap — catalog lookups are dict/dir hits)
+        body = re.sub(r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+|[A-Za-z_][\w]*",
+                      ident_sub, body)
+        return unprotect(body)
+
+    # -- CALL ----------------------------------------------------------------
+    def _call(self, s: str) -> DataFrame:
+        m = re.match(r"CALL\s+([\w.]+)\s*\((.*)\)\s*$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse CALL: {s}")
+        proc = m.group(1).split(".")[-1].lower()
+        args = self._parse_call_args(m.group(2))
+        fn = getattr(self, f"_proc_{proc}", None)
+        if fn is None:
+            raise ValueError(f"unknown procedure: {proc}")
+        return fn(args)
+
+    def _parse_call_args(self, raw: str):
+        pos, named = [], {}
+        for part in self._split_args(raw):
+            part = part.strip()
+            if not part:
+                continue
+            m = re.match(r"(\w+)\s*=>\s*(.*)$", part, re.S)
+            if m:
+                named[m.group(1).lower()] = self._call_value(m.group(2).strip())
+            else:
+                pos.append(self._call_value(part))
+        return {"pos": pos, "named": named}
+
+    @staticmethod
+    def _split_args(raw: str) -> list:
+        out, depth, cur, in_str = [], 0, [], False
+        for ch in raw:
+            if in_str:
+                cur.append(ch)
+                if ch == "'":
+                    in_str = False
+                continue
+            if ch == "'":
+                in_str = True
+                cur.append(ch)
+            elif ch == "(":
+                depth += 1
+                cur.append(ch)
+            elif ch == ")":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                out.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur))
+        return out
+
+    @staticmethod
+    def _call_value(v: str):
+        if v.startswith("'") and v.endswith("'"):
+            return v[1:-1].replace("''", "'")
+        low = v.lower()
+        if low in ("true", "false"):
+            return low == "true"
+        if low == "null":
+            return None
+        m = re.match(r"(?:TIMESTAMP|DATE)\s+'([^']+)'", v, re.I)
+        if m:
+            return m.group(1)
+        m = re.match(r"(?:ARRAY|array)\s*\((.*)\)$", v, re.S)
+        if m:
+            return [SqlEngine._call_value(x.strip())
+                    for x in SqlEngine._split_args(m.group(1))]
+        m = re.match(r"(?:MAP|map)\s*\((.*)\)$", v, re.S)
+        if m:
+            items = [SqlEngine._call_value(x.strip())
+                     for x in SqlEngine._split_args(m.group(1))]
+            return dict(zip(items[0::2], items[1::2]))
+        try:
+            return int(v)
+        except ValueError:
+            pass
+        try:
+            return float(v)
+        except ValueError:
+            pass
+        return v
+
+    @staticmethod
+    def _arg(args, name, idx, default=None):
+        if name in args["named"]:
+            return args["named"][name]
+        if idx is not None and idx < len(args["pos"]):
+            return args["pos"][idx]
+        return default
+
+    def _ts_ms(self, v) -> int:
+        if isinstance(v, (int, float)):
+            return int(v if v > 10_000_000_000 else v * 1000)
+        dt = _dt.datetime.fromisoformat(str(v))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=_dt.timezone.utc)
+        return int(dt.timestamp() * 1000)
+
+    # procedures (SparkProcedures.java:42-62) --------------------------------
+    def _proc_rollback_to_snapshot(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        prev = t.current_snapshot().snapshot_id
+        sid = int(self._arg(a, "snapshot_id", 1))
+        t.manage_snapshots().rollback_to(sid)
+        return self._rows([Row(previous_snapshot_id=prev, current_snapshot_id=sid)],
+                          "previous_snapshot_id long, current_snapshot_id long")
+
+    def _proc_rollback_to_timestamp(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        prev = t.current_snapshot().snapshot_id
+        ts = self._ts_ms(self._arg(a, "timestamp", 1))
+        t.manage_snapshots().rollback_to_timestamp(ts)
+        return self._rows(
+            [Row(previous_snapshot_id=prev,
+                 current_snapshot_id=t.current_snapshot().snapshot_id)],
+            "previous_snapshot_id long, current_snapshot_id long")
+
+    def _proc_set_current_snapshot(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        prev = t.current_snapshot().snapshot_id
+        sid = int(self._arg(a, "snapshot_id", 1))
+        t.manage_snapshots().set_current_snapshot(sid)
+        return self._rows([Row(previous_snapshot_id=prev, current_snapshot_id=sid)],
+                          "previous_snapshot_id long, current_snapshot_id long")
+
+    def _proc_cherrypick_snapshot(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        sid = int(self._arg(a, "snapshot_id", 1))
+        t.manage_snapshots().cherrypick(sid)
+        return self._rows(
+            [Row(source_snapshot_id=sid,
+                 current_snapshot_id=t.current_snapshot().snapshot_id)],
+            "source_snapshot_id long, current_snapshot_id long")
+
+    def _proc_publish_changes(self, a):
+        """Cherry-pick the staged snapshot carrying the given WAP id."""
+        t = self._load(self._arg(a, "table", 0))
+        wap = str(self._arg(a, "wap_id", 1))
+        snap = next((s for s in t.snapshots()
+                     if s.summary.get("wap.id") == wap), None)
+        if snap is None:
+            raise ValueError(f"no snapshot with wap.id={wap}")
+        t.manage_snapshots().cherrypick(snap.snapshot_id)
+        return self._rows(
+            [Row(source_snapshot_id=snap.snapshot_id,
+                 current_snapshot_id=t.current_snapshot().snapshot_id)],
+            "source_snapshot_id long, current_snapshot_id long")
+
+    def _proc_fast_forward(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        branch = self._arg(a, "branch", 1)
+        to = self._arg(a, "to", 2)
+        prev = t.refs().get(branch)
+        t.manage_snapshots().fast_forward(branch, to)
+        return self._rows(
+            [Row(branch_updated=branch,
+                 previous_ref=prev.snapshot_id if prev else None,
+                 updated_ref=t.refs()[branch].snapshot_id)],
+            "branch_updated string, previous_ref long, updated_ref long")
+
+    def _proc_ancestors_of(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        sid = self._arg(a, "snapshot_id", 1)
+        sid = int(sid) if sid is not None else t.metadata.current_snapshot_id
+        rows = [Row(snapshot_id=s.snapshot_id, timestamp=s.timestamp_ms)
+                for s in t.metadata.ancestors_of(sid)]
+        return self._rows(rows, "snapshot_id long, timestamp long")
+
+    def _proc_expire_snapshots(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        res = t.expire_snapshots(
+            older_than_ms=(self._ts_ms(self._arg(a, "older_than", 1))
+                           if self._arg(a, "older_than", 1) is not None else None),
+            retain_last=int(self._arg(a, "retain_last", 2, 1)))
+        return self._rows([Row(deleted_data_files_count=res.get("deleted_data_files", 0),
+                               deleted_manifest_files_count=res.get("deleted_manifests", 0),
+                               expired_snapshots_count=res.get("expired_snapshots", 0))],
+                          "deleted_data_files_count long, "
+                          "deleted_manifest_files_count long, "
+                          "expired_snapshots_count long")
+
+    def _proc_remove_orphan_files(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        older = self._arg(a, "older_than", 1)
+        removed = t.remove_orphan_files(
+            older_than_ms=self._ts_ms(older) if older is not None else None,
+            dry_run=bool(self._arg(a, "dry_run", 2, False)))
+        return self._rows([Row(orphan_file_location=p) for p in removed],
+                          "orphan_file_location string")
+
+    def _proc_rewrite_data_files(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        strategy = self._arg(a, "strategy", 1, "binpack")
+        sort_order = self._arg(a, "sort_order", 2)
+        kw = {}
+        if sort_order:
+            if strategy == "binpack":
+                strategy = "sort"
+            kw["sort_by"] = [x.strip().split()[0] for x in str(sort_order).split(",")]
+        where = self._arg(a, "where", None)
+        if where:
+            kw["filter"] = parse_predicate(where)
+        res = t.rewrite_data_files(strategy=strategy, **kw)
+        return self._rows(
+            [Row(rewritten_data_files_count=res.get("rewritten_data_files", 0),
+                 added_data_files_count=res.get("added_data_files", 0),
+                 rewritten_bytes_count=res.get("rewritten_bytes", 0))],
+            "rewritten_data_files_count long, added_data_files_count long, "
+            "rewritten_bytes_count long")
+
+    def _proc_rewrite_manifests(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        res = t.rewrite_manifests()
+        return self._rows(
+            [Row(rewritten_manifests_count=res.get("rewritten_manifests", 0),
+                 added_manifests_count=res.get("new_manifests", 0))],
+            "rewritten_manifests_count long, added_manifests_count long")
+
+    def _proc_rewrite_position_delete_files(self, a):
+        from .maintenance import rewrite_position_delete_files
+
+        t = self._load(self._arg(a, "table", 0))
+        res = rewrite_position_delete_files(t)
+        return self._rows(
+            [Row(rewritten_delete_files_count=res.get("rewritten_delete_files", 0),
+                 added_delete_files_count=res.get("added_delete_files", 0))],
+            "rewritten_delete_files_count long, added_delete_files_count long")
+
+    def _proc_compute_table_stats(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        cols = self._arg(a, "columns", 1)
+        res = t.compute_table_stats(columns=cols)
+        return self._rows([Row(statistics_file=str(res))], "statistics_file string")
+
+    def _proc_compute_partition_stats(self, a):
+        from .maintenance import compute_partition_stats
+
+        t = self._load(self._arg(a, "table", 0))
+        path = compute_partition_stats(t)
+        return self._rows([Row(statistics_file=path)], "statistics_file string")
+
+    def _proc_add_files(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        src = self._arg(a, "source_table", 1)
+        if isinstance(src, str) and src.startswith("`"):
+            src = src.strip("`")
+        path = re.sub(r"^parquet\.", "", str(src))
+        before = t.current_snapshot()
+        snap = t.add_files(path)
+        added = int(snap.summary.get("added-data-files", "0"))
+        return self._rows(
+            [Row(added_files_count=added, changed_partition_count=None)],
+            "added_files_count long, changed_partition_count long")
+
+    def _proc_register_table(self, a):
+        ident = self._arg(a, "table", 0)
+        metadata_file = self._arg(a, "metadata_file", 1)
+        import shutil as _sh
+        import os as _os
+
+        loc = self.catalog._location(ident)
+        src_table_dir = _os.path.dirname(_os.path.dirname(metadata_file))
+        if not _os.path.isdir(loc):
+            _os.makedirs(_os.path.dirname(loc), exist_ok=True)
+            _sh.copytree(src_table_dir, loc)
+        t = self._load(ident)
+        cur = t.current_snapshot()
+        return self._rows(
+            [Row(current_snapshot_id=cur.snapshot_id if cur else None,
+                 total_records_count=int(cur.summary.get("total-records", "0")) if cur else 0,
+                 total_data_files_count=None)],
+            "current_snapshot_id long, total_records_count long, "
+            "total_data_files_count long")
+
+    def _proc_snapshot(self, a):
+        """Create an engine table over an existing parquet location without
+        moving files (SnapshotTableSparkAction.java:249 analog)."""
+        src = self._arg(a, "source_table", 0)
+        dest = self._arg(a, "table", 1)
+        path = re.sub(r"^parquet\.", "", str(src)).strip("`")
+        df = self.spark.read.parquet(path)
+        t = self.catalog.create_table(dest, df.schema)
+        t.add_files(path)
+        return self._rows([Row(imported_files_count=None)],
+                          "imported_files_count long")
+
+    def _proc_migrate(self, a):
+        """Like snapshot, then the source identifier points at the engine
+        table (MigrateTableSparkAction.java:274 analog — here: same as
+        snapshot with dest defaulting to the source name)."""
+        src = self._arg(a, "table", 0)
+        path = re.sub(r"^parquet\.", "", str(src)).strip("`")
+        ident = re.sub(r"[^\w.]", "_", path.strip("/").replace("/", "_"))[-64:]
+        df = self.spark.read.parquet(path)
+        t = self.catalog.create_table(ident, df.schema, exists_ok=True)
+        t.add_files(path)
+        cnt = int(t.current_snapshot().summary.get("added-data-files", "0"))
+        return self._rows([Row(migrated_files_count=cnt)],
+                          "migrated_files_count long")
+
+    def _proc_create_changelog_view(self, a):
+        t = self._load(self._arg(a, "table", 0))
+        opts = self._arg(a, "options", None, {}) or {}
+        ident_cols = self._arg(a, "identifier_columns", None)
+        compute_updates = bool(self._arg(a, "compute_updates", None, bool(ident_cols)))
+        df = t.changes(
+            from_snapshot_id=(int(opts["start-snapshot-id"])
+                              if "start-snapshot-id" in opts else None),
+            to_snapshot_id=(int(opts["end-snapshot-id"])
+                            if "end-snapshot-id" in opts else None),
+            compute_updates=compute_updates,
+            identifier_columns=list(ident_cols) if ident_cols else None)
+        name = self._arg(a, "changelog_view", None) \
+            or f"{self._arg(a, 'table', 0).split('.')[-1]}_changes"
+        df.createOrReplaceTempView(name)
+        return self._rows([Row(changelog_view=name)], "changelog_view string")
+
+    # -- ALTER TABLE ---------------------------------------------------------
+    def _alter(self, s: str) -> DataFrame:
+        m = re.match(r"ALTER\s+TABLE\s+([\w.]+)\s+(.*)$", s, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse: {s}")
+        ident, rest = m.group(1), m.group(2).strip()
+        t = self._load(ident)
+        up = rest.upper()
+
+        if up.startswith("ADD PARTITION FIELD"):
+            body = rest[len("ADD PARTITION FIELD"):].strip()
+            mm = re.match(r"(\w+)(?:\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\))?"
+                          r"(?:\s+AS\s+(\w+))?$", body, re.I)
+            fn, n, colname, alias = mm.groups()
+            u = t.update_spec()
+            if colname is None:
+                u.add_field(fn, "identity", alias)
+            else:
+                tr = f"{fn.lower()}[{n}]" if n else fn.lower()
+                u.add_field(colname, tr, alias)
+            u.commit()
+            return self._empty()
+        if up.startswith("DROP PARTITION FIELD"):
+            body = rest[len("DROP PARTITION FIELD"):].strip()
+            u = t.update_spec()
+            # accept either the partition-field name or transform(col) form;
+            # builder default names are <col> (identity) / <col>_<transform>
+            mm = re.match(r"(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$", body)
+            if mm:
+                fn, n, colname = mm.groups()
+                canon = {"years": "year", "months": "month", "days": "day",
+                         "hours": "hour"}.get(fn.lower(), fn.lower())
+                for cand in ({f"{colname}_{canon}_{n}"} if n
+                             else {f"{colname}_{canon}", colname}):
+                    u.remove_field(cand)
+            else:
+                u.remove_field(body)
+            u.commit()
+            return self._empty()
+        if up.startswith("REPLACE PARTITION FIELD"):
+            mm = re.match(r"REPLACE\s+PARTITION\s+FIELD\s+(\w+)\s+WITH\s+(.*)$",
+                          rest, re.I | re.S)
+            old, new = mm.group(1), mm.group(2).strip()
+            u = t.update_spec().remove_field(old)
+            mm2 = re.match(r"(\w+)(?:\s*\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\))?"
+                           r"(?:\s+AS\s+(\w+))?$", new, re.I)
+            fn, n, colname, alias = mm2.groups()
+            if colname is None:
+                u.add_field(fn, "identity", alias)
+            else:
+                u.add_field(colname, f"{fn.lower()}[{n}]" if n else fn.lower(), alias)
+            u.commit()
+            return self._empty()
+        if up.startswith("SET IDENTIFIER FIELDS"):
+            names = [x.strip() for x in rest[len("SET IDENTIFIER FIELDS"):].split(",")]
+            t.set_identifier_fields(names)
+            return self._empty()
+        if up.startswith("DROP IDENTIFIER FIELDS"):
+            t.set_identifier_fields([])
+            return self._empty()
+        mm = re.match(r"(?:CREATE|REPLACE|CREATE\s+OR\s+REPLACE)\s+(BRANCH|TAG)"
+                      r"\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+                      r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?", rest, re.I)
+        if mm:
+            kind, name, ver = mm.groups()
+            ms = t.manage_snapshots()
+            if name in t.refs():
+                ms.remove_ref(name)
+            sid = int(ver) if ver else None
+            if kind.upper() == "BRANCH":
+                ms.create_branch(name, sid)
+            else:
+                ms.create_tag(name, sid)
+            return self._empty()
+        mm = re.match(r"DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)", rest, re.I)
+        if mm:
+            t.manage_snapshots().remove_ref(mm.group(2))
+            return self._empty()
+        if up.startswith("WRITE ORDERED BY"):
+            body = rest[len("WRITE ORDERED BY"):].strip()
+            fields = []
+            for part in body.split(","):
+                toks = part.split()
+                direction = "desc" if len(toks) > 1 and toks[1].upper() == "DESC" else "asc"
+                fields.append((toks[0], direction))
+            t.replace_sort_order(*fields)
+            return self._empty()
+        if up.startswith("WRITE DISTRIBUTED BY PARTITION"):
+            t.set_properties(**{"write.distribution-mode": "hash"})
+            return self._empty()
+        if up.startswith("WRITE UNORDERED"):
+            t.set_properties(**{"write.distribution-mode": "none"})
+            return self._empty()
+        mm = re.match(r"SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", rest, re.I | re.S)
+        if mm:
+            props = {}
+            for part in self._split_args(mm.group(1)):
+                k, v = part.split("=", 1)
+                props[self._call_value(k.strip())] = self._call_value(v.strip())
+            t.set_properties(**props)
+            return self._empty()
+        mm = re.match(r"ADD\s+COLUMNS?\s*\(?\s*(.*?)\)?\s*$", rest, re.I | re.S)
+        if mm:
+            u = t.update_schema()
+            for part in self._split_args(mm.group(1)):
+                toks = part.strip().split(None, 1)
+                u.add_column(toks[0], toks[1].lower())
+            u.commit()
+            return self._empty()
+        mm = re.match(r"DROP\s+COLUMNS?\s+(.*)$", rest, re.I)
+        if mm:
+            u = t.update_schema()
+            for name in mm.group(1).split(","):
+                u.drop_column(name.strip())
+            u.commit()
+            return self._empty()
+        mm = re.match(r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)", rest, re.I)
+        if mm:
+            t.update_schema().rename_column(mm.group(1), mm.group(2)).commit()
+            return self._empty()
+        mm = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)", rest, re.I)
+        if mm:
+            t.update_schema().update_column(mm.group(1), mm.group(2).lower()).commit()
+            return self._empty()
+        raise ValueError(f"unsupported ALTER TABLE clause: {rest}")
+
+    # -- row-level -----------------------------------------------------------
+    def _delete(self, s: str) -> DataFrame:
+        m = re.match(r"DELETE\s+FROM\s+([\w.]+)(?:\s+WHERE\s+(.*))?$", s, re.I | re.S)
+        t = self._load(m.group(1))
+        expr = parse_predicate(m.group(2)) if m.group(2) else E.ALWAYS_TRUE
+        t.delete_where(expr)
+        return self._empty()
+
+    def _update(self, s: str) -> DataFrame:
+        m = re.match(r"UPDATE\s+([\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$",
+                     s, re.I | re.S)
+        t = self._load(m.group(1))
+        assignments = {}
+        for part in self._split_args(m.group(2)):
+            k, v = part.split("=", 1)
+            assignments[k.strip()] = v.strip()
+        cond = parse_predicate(m.group(3)) if m.group(3) else E.ALWAYS_TRUE
+        t.update(cond, assignments)
+        return self._empty()
+
+    def _merge(self, s: str) -> DataFrame:
+        m = re.match(
+            r"MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+            r"\s+USING\s+(\([^)]*\)|[\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+            r"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
+            s, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse MERGE: {s}")
+        tgt, tgt_alias, src, src_alias, on, clauses = m.groups()
+        t = self._load(tgt)
+        if src.startswith("("):
+            source = self.spark.sql(self._resolve(src[1:-1]))
+        elif self.catalog.table_exists(src):
+            source = self._table_df(src)
+        else:
+            source = self.spark.table(src)
+        tgt_alias = tgt_alias or tgt.split(".")[-1]
+        src_alias = src_alias or (src.split(".")[-1] if not src.startswith("(") else "s")
+
+        def realias(sqltext: Optional[str]) -> Optional[str]:
+            if sqltext is None:
+                return None
+            out = re.sub(rf"\b{re.escape(tgt_alias)}\.", "t.", sqltext)
+            return re.sub(rf"\b{re.escape(src_alias)}\.", "s.", out)
+
+        b = t.merge(source, realias(on.strip()))
+        clause_re = re.compile(
+            r"WHEN\s+(MATCHED|NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED(?:\s+BY\s+TARGET)?)"
+            r"(?:\s+AND\s+(.*?))?\s+THEN\s+"
+            r"(UPDATE\s+SET\s+.*?|DELETE|INSERT\s*\*|INSERT\s*\([^)]*\)\s*VALUES\s*\([^)]*\))"
+            r"\s*(?=WHEN\s|$)", re.I | re.S)
+        for cm in clause_re.finditer(clauses):
+            kind = re.sub(r"\s+", " ", cm.group(1).upper())
+            cond = realias(cm.group(2).strip()) if cm.group(2) else None
+            action = cm.group(3).strip()
+            aup = action.upper()
+            if aup.startswith("UPDATE"):
+                setters = {}
+                for part in self._split_args(action[action.upper().index("SET") + 3:]):
+                    k, v = part.split("=", 1)
+                    k = re.sub(rf"^{re.escape(tgt_alias)}\.", "", k.strip())
+                    setters[k.strip()] = realias(v.strip())
+                if kind == "MATCHED":
+                    b.when_matched_update(set=setters, condition=cond)
+                else:
+                    b.when_not_matched_by_source_update(set=setters, condition=cond)
+            elif aup == "DELETE":
+                if kind == "MATCHED":
+                    b.when_matched_delete(condition=cond)
+                else:
+                    b.when_not_matched_by_source_delete(condition=cond)
+            elif aup.startswith("INSERT *"):
+                b.when_not_matched_insert(condition=cond)
+            else:
+                mm = re.match(r"INSERT\s*\(([^)]*)\)\s*VALUES\s*\(([^)]*)\)",
+                              action, re.I | re.S)
+                cols = [c.strip() for c in mm.group(1).split(",")]
+                vals = [realias(v.strip()) for v in self._split_args(mm.group(2))]
+                b.when_not_matched_insert(values=dict(zip(cols, vals)), condition=cond)
+        b.execute()
+        return self._empty()
+
+    # -- INSERT / CREATE -----------------------------------------------------
+    def _insert(self, s: str) -> DataFrame:
+        m = re.match(r"INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)"
+                     r"(?:\s*\(([^)]*)\))?\s+(.*)$", s, re.I | re.S)
+        mode, ident, cols, query = m.groups()
+        t = self._load(ident)
+        df = self.spark.sql(self._resolve(query))
+        if cols:
+            names = [c.strip() for c in cols.split(",")]
+            df = df.toDF(*names)
+        target_cols = t.schema.column_names
+        have = set(df.columns)
+        if set(target_cols) <= have:
+            df = df.select(*target_cols)
+        else:
+            df = df.toDF(*target_cols)
+        if mode.upper() == "OVERWRITE":
+            if t.spec.is_partitioned:
+                t.dynamic_partition_overwrite(df)
+            else:
+                t.overwrite(df)
+        else:
+            t.append(df)
+        return self._empty()
+
+    def _create_table(self, s: str) -> DataFrame:
+        m = re.match(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+            r"(?:\((.*?)\)\s*)?(?:USING\s+\w+\s*)?"
+            r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
+            r"(?:TBLPROPERTIES\s*\((.*?)\)\s*)?"
+            r"(?:AS\s+(.*))?$",
+            s, re.I | re.S)
+        ident, coldefs, partby, props, select = m.groups()
+        exists_ok = bool(re.search(r"IF\s+NOT\s+EXISTS", s, re.I))
+        partition_by = ([p.strip() for p in partby.split(",")] if partby else None)
+        properties = {}
+        if props:
+            for part in self._split_args(props):
+                k, v = part.split("=", 1)
+                properties[self._call_value(k.strip())] = self._call_value(v.strip())
+        if select:
+            df = self.spark.sql(self._resolve(select))
+            t = self.catalog.create_table(ident, df.schema,
+                                          partition_by=partition_by,
+                                          properties=properties or None,
+                                          exists_ok=exists_ok)
+            t.append(df)
+            return self._empty()
+        if not coldefs:
+            raise ValueError("CREATE TABLE needs column defs or AS SELECT")
+        fields = []
+        for part in self._split_args(coldefs):
+            toks = part.strip().split(None, 1)
+            typ = re.sub(r"\s+(NOT\s+NULL|COMMENT\s+.*)$", "", toks[1], flags=re.I)
+            fields.append(f"{toks[0]} {typ}")
+        spark_schema = T._parse_datatype_string(", ".join(fields))
+        self.catalog.create_table(ident, spark_schema, partition_by=partition_by,
+                                  properties=properties or None, exists_ok=exists_ok)
+        return self._empty()
+
+    # -- views / functions ---------------------------------------------------
+    def _create_view(self, s: str) -> DataFrame:
+        m = re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*)$",
+                     s, re.I | re.S)
+        replace_, ident, body = m.groups()
+        self.spark.sql(self._resolve(body)).schema  # validate eagerly
+        V.create_view(self.catalog, ident, body.strip(), replace=bool(replace_))
+        return self._empty()
+
+    def _drop_view(self, s: str) -> DataFrame:
+        m = re.match(r"DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)", s, re.I)
+        V.drop_view(self.catalog, m.group(1))
+        return self._empty()
+
+    def _create_function(self, s: str) -> DataFrame:
+        m = re.match(
+            r"CREATE\s+(OR\s+REPLACE\s+)?FUNCTION\s+([\w.]+)\s*\(([^)]*)\)\s*"
+            r"RETURNS\s+(.+?)\s+RETURN\s+(.*)$",
+            s, re.I | re.S)
+        if not m:
+            raise ValueError(f"cannot parse CREATE FUNCTION: {s}")
+        replace_, ident, params_raw, ret, body = m.groups()
+        params = []
+        for p in self._split_args(params_raw):
+            if p.strip():
+                n, t = p.strip().split(None, 1)
+                params.append((n, t))
+        meta = V.create_function(self.catalog, ident, params, ret.strip(),
+                                 body.strip(), replace=bool(replace_))
+        V.materialize_function(self.spark, meta)
+        return self._empty()

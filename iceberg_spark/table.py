@@ -278,6 +278,22 @@ class Table:
         ))
         return self
 
+    def set_identifier_fields(self, names: list) -> "Table":
+        """SET IDENTIFIER FIELDS (format/spec.md:430): mark the row-identity
+        columns (used e.g. for changelog update pairing)."""
+        schema = self.schema
+        ids = tuple(schema.find_field(n).field_id for n in names)
+        from .schema import Schema as S
+
+        new_sid = max(s.schema_id for s in self.metadata.schemas) + 1
+        new_schema = S(schema.fields, schema_id=new_sid, identifier_field_ids=ids)
+        self._commit_metadata(replace(
+            self.metadata,
+            schemas=self.metadata.schemas + (new_schema,),
+            current_schema_id=new_sid,
+        ))
+        return self
+
     def set_properties(self, **props) -> "Table":
         self._commit_metadata(replace(self.metadata,
                                       properties={**self.metadata.properties, **props}))
@@ -587,6 +603,15 @@ class Catalog:
         t = self.create_table(identifier, df.schema, partition_by=partition_by, **kw)
         t.append(df)
         return t
+
+    def sql(self, statement: str) -> DataFrame:
+        """SQL entry point (CALL procedures, DDL extensions, row-level ops,
+        views/functions, delegated SELECTs) — see sql.SqlEngine."""
+        if not hasattr(self, "_sql_engine"):
+            from .sql import SqlEngine
+
+            self._sql_engine = SqlEngine(self.spark, self)
+        return self._sql_engine.sql(statement)
 
 
 def _build_spec(schema: Schema, partition_by) -> PartitionSpec:

@@ -1,0 +1,277 @@
+"""Versioned SQL views and catalog-stored SQL functions (UDF metadata).
+
+Reference:
+  - Views: `format/view-spec.md` — view metadata holds a list of versions,
+    each with the SQL text + dialect + schema and a `version-log`;
+    `current-version-id` points at the active one. Engine-side resolution:
+    `api/.../view/View.java`, Spark rule
+    `spark-extensions/.../analysis/ResolveViews.scala`.
+  - Functions: `format/udf-spec.md:1-50` — portable catalog-stored SQL
+    UDF/UDTF definitions with versioning.
+
+Spark mapping (SURVEY §2.J): view/function metadata is JSON in the catalog
+warehouse; views expand to their SQL text at query time (the SQL veneer in
+`sql.py` substitutes them like ResolveViews does), and functions
+materialize through Spark 4 SQL scalar/table functions
+(`CREATE OR REPLACE TEMPORARY FUNCTION ... RETURNS ... RETURN body`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass(frozen=True)
+class ViewVersion:
+    version_id: int
+    timestamp_ms: int
+    sql: str
+    dialect: str = "spark"
+    schema_json: Optional[dict] = None
+    summary: dict = field(default_factory=dict)
+
+    def to_json(self):
+        return {
+            "version-id": self.version_id,
+            "timestamp-ms": self.timestamp_ms,
+            "sql": self.sql,
+            "dialect": self.dialect,
+            "schema": self.schema_json,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(j):
+        return ViewVersion(j["version-id"], j["timestamp-ms"], j["sql"],
+                           j.get("dialect", "spark"), j.get("schema"),
+                           j.get("summary", {}))
+
+
+@dataclass
+class ViewMetadata:
+    identifier: str
+    current_version_id: int
+    versions: tuple
+    properties: dict = field(default_factory=dict)
+    version_log: tuple = ()  # (timestamp_ms, version_id)
+
+    @property
+    def current_version(self) -> ViewVersion:
+        for v in self.versions:
+            if v.version_id == self.current_version_id:
+                return v
+        raise ValueError(f"no version {self.current_version_id}")
+
+    @property
+    def sql(self) -> str:
+        return self.current_version.sql
+
+    def to_json(self):
+        return {
+            "view-identifier": self.identifier,
+            "current-version-id": self.current_version_id,
+            "versions": [v.to_json() for v in self.versions],
+            "properties": self.properties,
+            "version-log": [list(e) for e in self.version_log],
+        }
+
+    @staticmethod
+    def from_json(j):
+        return ViewMetadata(
+            j["view-identifier"], j["current-version-id"],
+            tuple(ViewVersion.from_json(v) for v in j["versions"]),
+            j.get("properties", {}),
+            tuple(tuple(e) for e in j.get("version-log", ())),
+        )
+
+
+@dataclass(frozen=True)
+class FunctionVersion:
+    version_id: int
+    timestamp_ms: int
+    params: tuple  # ((name, sql_type), ...)
+    return_type: str  # SQL type, or "TABLE (col type, ...)" for UDTFs
+    body: str  # SQL expression (scalar) or query (table function)
+    dialect: str = "spark"
+    deterministic: bool = True
+
+    def to_json(self):
+        return {
+            "version-id": self.version_id,
+            "timestamp-ms": self.timestamp_ms,
+            "parameters": [list(p) for p in self.params],
+            "return-type": self.return_type,
+            "body": self.body,
+            "dialect": self.dialect,
+            "deterministic": self.deterministic,
+        }
+
+    @staticmethod
+    def from_json(j):
+        return FunctionVersion(
+            j["version-id"], j["timestamp-ms"],
+            tuple(tuple(p) for p in j["parameters"]),
+            j["return-type"], j["body"], j.get("dialect", "spark"),
+            j.get("deterministic", True),
+        )
+
+
+@dataclass
+class FunctionMetadata:
+    identifier: str
+    current_version_id: int
+    versions: tuple
+
+    @property
+    def current_version(self) -> FunctionVersion:
+        for v in self.versions:
+            if v.version_id == self.current_version_id:
+                return v
+        raise ValueError(f"no version {self.current_version_id}")
+
+    def to_json(self):
+        return {
+            "function-identifier": self.identifier,
+            "current-version-id": self.current_version_id,
+            "versions": [v.to_json() for v in self.versions],
+        }
+
+    @staticmethod
+    def from_json(j):
+        return FunctionMetadata(
+            j["function-identifier"], j["current-version-id"],
+            tuple(FunctionVersion.from_json(v) for v in j["versions"]),
+        )
+
+
+# ---------------------------------------------------------------------------
+# catalog storage: warehouse/_views/<ident>.json, warehouse/_functions/<i>.json
+# ---------------------------------------------------------------------------
+
+
+def _path(catalog, kind: str, identifier: str) -> str:
+    return os.path.join(catalog.warehouse, kind, f"{identifier}.json")
+
+
+def _load(catalog, kind, identifier):
+    p = _path(catalog, kind, identifier)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _store(catalog, kind, identifier, doc):
+    p = _path(catalog, kind, identifier)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, p)
+
+
+def create_view(catalog, identifier: str, sql: str, replace: bool = False,
+                dialect: str = "spark", properties: Optional[dict] = None,
+                schema_json: Optional[dict] = None) -> ViewMetadata:
+    """CREATE [OR REPLACE] VIEW — replace appends a new version (view-spec
+    versioning: old versions stay queryable via version_id)."""
+    now = int(time.time() * 1000)
+    j = _load(catalog, "_views", identifier)
+    if j is not None and not replace:
+        raise ValueError(f"view exists: {identifier}")
+    if j is None:
+        meta = ViewMetadata(identifier, 1,
+                            (ViewVersion(1, now, sql, dialect, schema_json),),
+                            properties or {}, ((now, 1),))
+    else:
+        meta = ViewMetadata.from_json(j)
+        vid = max(v.version_id for v in meta.versions) + 1
+        meta = ViewMetadata(
+            identifier, vid,
+            meta.versions + (ViewVersion(vid, now, sql, dialect, schema_json),),
+            {**meta.properties, **(properties or {})},
+            meta.version_log + ((now, vid),),
+        )
+    _store(catalog, "_views", identifier, meta.to_json())
+    return meta
+
+
+def load_view(catalog, identifier: str) -> Optional[ViewMetadata]:
+    j = _load(catalog, "_views", identifier)
+    return ViewMetadata.from_json(j) if j is not None else None
+
+
+def drop_view(catalog, identifier: str) -> bool:
+    p = _path(catalog, "_views", identifier)
+    if os.path.isfile(p):
+        os.remove(p)
+        return True
+    return False
+
+
+def list_views(catalog) -> list:
+    d = os.path.join(catalog.warehouse, "_views")
+    if not os.path.isdir(d):
+        return []
+    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+
+def create_function(catalog, identifier: str, params, return_type: str,
+                    body: str, replace: bool = False, dialect: str = "spark",
+                    deterministic: bool = True) -> FunctionMetadata:
+    now = int(time.time() * 1000)
+    j = _load(catalog, "_functions", identifier)
+    if j is not None and not replace:
+        raise ValueError(f"function exists: {identifier}")
+    ver = 1 if j is None else (
+        max(v["version-id"] for v in j["versions"]) + 1)
+    fv = FunctionVersion(ver, now, tuple(tuple(p) for p in params),
+                         return_type, body, dialect, deterministic)
+    if j is None:
+        meta = FunctionMetadata(identifier, 1, (fv,))
+    else:
+        meta = FunctionMetadata.from_json(j)
+        meta = FunctionMetadata(identifier, ver, meta.versions + (fv,))
+    _store(catalog, "_functions", identifier, meta.to_json())
+    return meta
+
+
+def load_function(catalog, identifier: str) -> Optional[FunctionMetadata]:
+    j = _load(catalog, "_functions", identifier)
+    return FunctionMetadata.from_json(j) if j is not None else None
+
+
+def drop_function(catalog, identifier: str) -> bool:
+    p = _path(catalog, "_functions", identifier)
+    if os.path.isfile(p):
+        os.remove(p)
+        return True
+    return False
+
+
+def list_functions(catalog) -> list:
+    d = os.path.join(catalog.warehouse, "_functions")
+    if not os.path.isdir(d):
+        return []
+    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+
+
+def materialize_function(spark, meta: FunctionMetadata,
+                         version_id: Optional[int] = None):
+    """Register a stored SQL function for the session (Spark 4 SQL UDF:
+    CREATE OR REPLACE TEMPORARY FUNCTION f(x T) RETURNS T RETURN expr)."""
+    v = meta.current_version if version_id is None else next(
+        x for x in meta.versions if x.version_id == version_id)
+    if v.dialect != "spark":
+        raise ValueError(f"cannot materialize dialect {v.dialect!r} in Spark")
+    name = meta.identifier.split(".")[-1]
+    sig = ", ".join(f"{n} {t}" for n, t in v.params)
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+        f"RETURNS {v.return_type} RETURN {v.body}"
+    )
+    return name

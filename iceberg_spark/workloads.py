@@ -424,8 +424,27 @@ def _pipeline_registry():
     return PIPELINE_REGISTRY
 
 
+def sql_q6_revenue(spark, sf_dir):
+    """TPC-H q6 driven through the SQL veneer (sql.SqlEngine): CREATE via
+    metadata-only add_files, then a delegated SELECT with engine-table
+    resolution — exercises the §2.M/§2.N SQL surface end-to-end."""
+    cat = _warehouse(spark)
+    ident = f"sqlns.lineitem_{_sf_key(sf_dir).replace('.', '_')}"
+    if not cat.table_exists(ident):
+        df = load_table(spark, sf_dir, "lineitem")
+        t = cat.create_table(ident, df.schema)
+        t.add_files(os.path.join(sf_dir, "lineitem.parquet"))
+    return cat.sql(
+        f"SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue "
+        f"FROM {ident} "
+        f"WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' "
+        f"AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00' "
+        f"AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "sql_q6_revenue": (sql_q6_revenue, Q6_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_revenue": (q6_revenue, Q6_SQL),

@@ -1,0 +1,163 @@
+"""SQL veneer tests: CALL procedures, DDL extensions, row-level SQL,
+views/functions, time travel, metadata tables (SURVEY §2.M/§2.N/§2.J)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def seeded(catalog, spark):
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catalog.sql(
+        "CREATE TABLE db.t (id bigint, cat string, v double) "
+        "PARTITIONED BY (cat)")
+    catalog.sql(
+        "INSERT INTO db.t SELECT * FROM VALUES "
+        "(1, 'a', 1.0), (2, 'a', 2.0), (3, 'b', 3.0), (4, 'b', 4.0) "
+        "AS v(id, cat, v)")
+    return catalog.load_table("db.t")
+
+
+def test_create_insert_select(seeded, catalog):
+    rows = catalog.sql("SELECT cat, count(*) AS n FROM db.t GROUP BY cat "
+                       "ORDER BY cat").collect()
+    assert [(r.cat, r.n) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_delete_update_sql(seeded, catalog):
+    catalog.sql("DELETE FROM db.t WHERE id = 4")
+    catalog.sql("UPDATE db.t SET v = v * 10 WHERE cat = 'a'")
+    rows = catalog.sql("SELECT id, v FROM db.t ORDER BY id").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 10.0), (2, 20.0), (3, 3.0)]
+
+
+def test_merge_sql(seeded, catalog, spark):
+    spark.createDataFrame(
+        [Row(id=2, cat="a", v=200.0), Row(id=9, cat="c", v=9.0)]
+    ).createOrReplaceTempView("src")
+    catalog.sql(
+        "MERGE INTO db.t AS tgt USING src AS s ON tgt.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *")
+    rows = catalog.sql("SELECT id, v FROM db.t ORDER BY id").collect()
+    assert [(r.id, r.v) for r in rows] == [
+        (1, 1.0), (2, 200.0), (3, 3.0), (4, 4.0), (9, 9.0)]
+
+
+def test_insert_overwrite_dynamic(seeded, catalog):
+    catalog.sql("INSERT OVERWRITE db.t SELECT * FROM VALUES "
+                "(30, 'b', 30.0) AS v(id, cat, v)")
+    rows = catalog.sql("SELECT id FROM db.t ORDER BY id").collect()
+    # partition 'b' replaced, 'a' untouched
+    assert [r.id for r in rows] == [1, 2, 30]
+
+
+def test_alter_partition_field_and_branch(seeded, catalog):
+    t = seeded
+    catalog.sql("ALTER TABLE db.t ADD PARTITION FIELD bucket(4, id)")
+    assert any(f.name == "id_bucket_4" for f in t.spec.fields) or \
+        any(f.name == "id_bucket_4" for f in catalog.load_table("db.t").spec.fields)
+    catalog.sql("ALTER TABLE db.t DROP PARTITION FIELD bucket(4, id)")
+    t = catalog.load_table("db.t")
+    assert not any("bucket" in f.name for f in t.spec.fields)
+
+    catalog.sql("ALTER TABLE db.t CREATE BRANCH dev")
+    catalog.sql("ALTER TABLE db.t CREATE TAG v1")
+    t = catalog.load_table("db.t")
+    assert t.refs()["dev"].type == "branch"
+    assert t.refs()["v1"].type == "tag"
+    catalog.sql("ALTER TABLE db.t DROP BRANCH dev")
+    assert "dev" not in catalog.load_table("db.t").refs()
+
+
+def test_alter_schema_and_properties(seeded, catalog):
+    catalog.sql("ALTER TABLE db.t ADD COLUMNS (note string)")
+    assert "note" in catalog.load_table("db.t").schema.column_names
+    catalog.sql("ALTER TABLE db.t RENAME COLUMN note TO comment")
+    assert "comment" in catalog.load_table("db.t").schema.column_names
+    catalog.sql("ALTER TABLE db.t DROP COLUMN comment")
+    assert "comment" not in catalog.load_table("db.t").schema.column_names
+    catalog.sql("ALTER TABLE db.t SET TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    assert catalog.load_table("db.t").properties["write.delete.mode"] == "merge-on-read"
+    catalog.sql("ALTER TABLE db.t SET IDENTIFIER FIELDS id")
+    assert catalog.load_table("db.t").schema.identifier_field_ids
+
+
+def test_call_procedures(seeded, catalog):
+    t = seeded
+    first = t.snapshots()[0].snapshot_id
+    catalog.sql("INSERT INTO db.t SELECT * FROM VALUES (5, 'c', 5.0) AS v(id, cat, v)")
+    r = catalog.sql(f"CALL system.rollback_to_snapshot('db.t', {first})").collect()
+    assert r[0].current_snapshot_id == first
+    assert catalog.sql("SELECT count(*) AS n FROM db.t").collect()[0].n == 4
+
+    anc = catalog.sql("CALL system.ancestors_of('db.t')").collect()
+    assert anc[0].snapshot_id == first
+
+    r = catalog.sql("CALL system.rewrite_data_files(table => 'db.t')").collect()
+    assert r[0].rewritten_data_files_count >= 0
+    r = catalog.sql("CALL system.rewrite_manifests('db.t')").collect()
+    assert r[0].rewritten_manifests_count >= 0
+    r = catalog.sql("CALL system.expire_snapshots(table => 'db.t', retain_last => 1)").collect()
+    assert r[0].expired_snapshots_count >= 0
+    r = catalog.sql("CALL system.remove_orphan_files(table => 'db.t', dry_run => true)").collect()
+    assert isinstance(r, list)
+    r = catalog.sql("CALL system.compute_partition_stats('db.t')").collect()
+    assert r[0].statistics_file
+
+
+def test_time_travel_and_metadata_tables(seeded, catalog):
+    t = seeded
+    v1 = t.current_snapshot().snapshot_id
+    catalog.sql("INSERT INTO db.t SELECT * FROM VALUES (99, 'z', 9.0) AS v(id, cat, v)")
+    n_old = catalog.sql(
+        f"SELECT count(*) AS n FROM db.t VERSION AS OF {v1}").collect()[0].n
+    n_new = catalog.sql("SELECT count(*) AS n FROM db.t").collect()[0].n
+    assert (n_old, n_new) == (4, 5)
+    snaps = catalog.sql("SELECT * FROM db.t.snapshots").collect()
+    assert len(snaps) == 2
+    files = catalog.sql("SELECT * FROM db.t.files").collect()
+    assert len(files) >= 2
+
+
+def test_views_and_functions(seeded, catalog):
+    catalog.sql("CREATE VIEW db.big AS SELECT id, v FROM db.t WHERE v >= 2.0")
+    rows = catalog.sql("SELECT * FROM db.big ORDER BY id").collect()
+    assert [r.id for r in rows] == [2, 3, 4]
+    # versioned replace
+    catalog.sql("CREATE OR REPLACE VIEW db.big AS SELECT id FROM db.t WHERE v >= 3.0")
+    rows = catalog.sql("SELECT * FROM db.big ORDER BY id").collect()
+    assert [r.id for r in rows] == [3, 4]
+    from iceberg_spark import views as V
+
+    vm = V.load_view(catalog, "db.big")
+    assert vm.current_version_id == 2 and len(vm.versions) == 2
+    assert catalog.sql("SHOW VIEWS").collect()[0].name == "db.big"
+    catalog.sql("DROP VIEW db.big")
+    assert V.load_view(catalog, "db.big") is None
+
+    catalog.sql("CREATE FUNCTION db.double_it(x DOUBLE) RETURNS DOUBLE RETURN x * 2")
+    rows = catalog.sql("SELECT double_it(v) AS dv FROM db.t ORDER BY id").collect()
+    assert rows[0].dv == 2.0
+    assert catalog.sql("SHOW FUNCTIONS").collect()[0].name == "db.double_it"
+
+
+def test_parse_predicate_ops():
+    from iceberg_spark.sql import parse_predicate
+    from iceberg_spark import expressions as E
+
+    e = parse_predicate("a > 5 AND b = 'x' OR c IS NULL")
+    assert isinstance(e, E.Or)
+    e = parse_predicate("id BETWEEN 3 AND 7")
+    assert isinstance(e, E.And)
+    e = parse_predicate("name LIKE 'ab%'")
+    assert e.op == E.STARTS_WITH
+    e = parse_predicate("d = DATE '2024-01-02'")
+    import datetime
+
+    assert e.literals[0] == datetime.date(2024, 1, 2)
+    e = parse_predicate("days(ts) = DATE '2024-01-02'")
+    assert e.term.transform is not None
+    e = parse_predicate("x IN (1, 2, 3)")
+    assert e.op == E.IN and len(e.literals) == 3
