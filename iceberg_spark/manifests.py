@@ -60,6 +60,7 @@ class DataFile:
     sort_order_id: Optional[int] = None
     referenced_data_file: Optional[str] = None
     write_schema_id: int = 0  # schema the file was written under (ID-based reads)
+    first_row_id: Optional[int] = None  # row lineage (format/spec.md:460)
 
 
 @dataclass(frozen=True)
@@ -195,6 +196,7 @@ def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
         pa.field("sort_order_id", pa.int32()),
         pa.field("referenced_data_file", pa.string()),
         pa.field("write_schema_id", pa.int32()),
+        pa.field("first_row_id", pa.int64()),
     ]
     for name, ptype in spec.partition_type(schema):
         fields.append(pa.field(f"p_{name}", _type_to_arrow(ptype)))
@@ -240,6 +242,7 @@ def write_manifest(
         cols["sort_order_id"].append(f.sort_order_id)
         cols["referenced_data_file"].append(f.referenced_data_file)
         cols["write_schema_id"].append(f.write_schema_id)
+        cols["first_row_id"].append(f.first_row_id)
         for n in pnames:
             v = f.partition.get(n)
             cols[f"p_{n}"].append(v)
@@ -370,6 +373,7 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec) -> list
                     sort_order_id=d["sort_order_id"][i],
                     referenced_data_file=d["referenced_data_file"][i],
                     write_schema_id=d.get("write_schema_id", [0]*n)[i] if isinstance(d.get("write_schema_id"), list) else 0,
+                    first_row_id=d["first_row_id"][i] if "first_row_id" in d else None,
                 ),
             )
         )

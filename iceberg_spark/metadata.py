@@ -288,6 +288,7 @@ class TableMetadata:
     metadata_log: tuple = ()  # (timestamp_ms, metadata_file)
     statistics_files: tuple = ()  # dicts: snapshot-id, path, blobs
     partition_statistics_files: tuple = ()
+    next_row_id: int = 0  # row lineage (v3): next first_row_id to assign
 
     # -- accessors ---------------------------------------------------------
     @property
@@ -376,6 +377,7 @@ class TableMetadata:
             "metadata-log": [list(e) for e in self.metadata_log],
             "statistics": list(self.statistics_files),
             "partition-statistics": list(self.partition_statistics_files),
+            "next-row-id": self.next_row_id,
         }
 
     @staticmethod
@@ -401,6 +403,7 @@ class TableMetadata:
             metadata_log=tuple(tuple(e) for e in j.get("metadata-log", [])),
             statistics_files=tuple(j.get("statistics", [])),
             partition_statistics_files=tuple(j.get("partition-statistics", [])),
+            next_row_id=j.get("next-row-id", 0),
         )
 
     @staticmethod

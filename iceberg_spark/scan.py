@@ -50,6 +50,8 @@ FILE_PATH_COL = "_file"
 POS_COL = "_pos"
 SPEC_ID_COL = "_spec_id"
 DELETED_COL = "_deleted"
+ROW_ID_COL = "_row_id"
+LAST_UPDATED_SEQ_COL = "_last_updated_sequence_number"
 
 DISTRIBUTED_PLANNING_THRESHOLD = 64  # manifests; above this, plan as a Spark job
 
@@ -349,15 +351,18 @@ class TableScan:
                             equality_ids=tuple(rd.get("equality_ids") or ()),
                             referenced_data_file=rd.get("referenced_data_file"),
                             write_schema_id=rd.get("write_schema_id") or 0,
+                            first_row_id=rd.get("first_row_id"),
                         ),
                     )
                 )
         return out
 
     # -- read ---------------------------------------------------------------
-    def df(self, with_metadata_columns: bool = False) -> DataFrame:
+    def df(self, with_metadata_columns: bool = False,
+           with_lineage: bool = False) -> DataFrame:
         plan = self.plan_files()
-        return plan_to_df(self, plan, with_metadata_columns)
+        return plan_to_df(self, plan, with_metadata_columns,
+                          with_lineage=with_lineage)
 
     def explain_plan(self) -> dict:
         return self.plan_files().report.as_dict()
@@ -563,13 +568,15 @@ def _stats_filter_column(bound: E.Expr, schema: Schema, df: DataFrame):
 # ---------------------------------------------------------------------------
 
 
-def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False) -> DataFrame:
+def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False,
+               with_lineage: bool = False) -> DataFrame:
     spark = scan.spark
     metadata = scan.metadata
     schema = scan.schema
     read_cols = scan.columns or schema.column_names
 
-    need_meta = with_metadata_columns or bool(plan.pos_deletes) or bool(plan.eq_deletes)
+    need_meta = (with_metadata_columns or with_lineage
+                 or bool(plan.pos_deletes) or bool(plan.eq_deletes))
 
     if not plan.files:
         spark_schema = type_to_spark(StructT(tuple(schema.find_field(c) for c in read_cols)))
@@ -577,6 +584,9 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         if with_metadata_columns:
             df = (df.withColumn(FILE_PATH_COL, F.lit(None).cast("string"))
                     .withColumn(POS_COL, F.lit(None).cast("long")))
+        if with_lineage:
+            df = (df.withColumn(ROW_ID_COL, F.lit(None).cast("long"))
+                    .withColumn(LAST_UPDATED_SEQ_COL, F.lit(None).cast("long")))
         return df
 
     # group files by write-schema for field-ID based column mapping
@@ -664,6 +674,21 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 cond = cond & out[k].eqNullSafe(F.col(f"__delk_{i}"))
             out = out.join(dd, cond, "left_anti")
         out = out.drop("__data_seq")
+
+    if with_lineage:
+        # row lineage (format/spec.md:460): _row_id = file.first_row_id +
+        # position; _last_updated_sequence_number = the file's data sequence
+        # number (rows not yet rewritten carry their file's commit seq).
+        # Broadcast per-file map — file count is plan-sized, never row-sized.
+        lin_rows = [(e.file.file_path, e.file.first_row_id, e.sequence_number)
+                    for e in plan.files]
+        lin_df = spark.createDataFrame(
+            lin_rows, "__lin_file string, __lin_first long, __lin_seq long")
+        out = (out.join(F.broadcast(lin_df),
+                        F.col(FILE_PATH_COL) == F.col("__lin_file"), "left")
+               .withColumn(ROW_ID_COL, F.col("__lin_first") + F.col(POS_COL))
+               .withColumn(LAST_UPDATED_SEQ_COL, F.col("__lin_seq"))
+               .drop("__lin_file", "__lin_first", "__lin_seq"))
 
     if not with_metadata_columns and need_meta:
         out = out.drop(FILE_PATH_COL, POS_COL)

@@ -90,8 +90,10 @@ class Table:
             s = s.select(columns)
         return s
 
-    def to_df(self, **kw) -> DataFrame:
-        return self.scan(**kw).df()
+    def to_df(self, with_metadata_columns: bool = False,
+              with_lineage: bool = False, **kw) -> DataFrame:
+        return self.scan(**kw).df(with_metadata_columns=with_metadata_columns,
+                                  with_lineage=with_lineage)
 
     def aggregate_pushdown(self, aggs: list, filter: Optional[E.Expr] = None,
                            snapshot_id: Optional[int] = None) -> Optional[dict]:

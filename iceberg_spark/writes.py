@@ -229,6 +229,7 @@ class SnapshotProducer:
             base = self.table.ops.refresh() or self.table.metadata
             base_version = self.table.ops.current_version()
             seq = base.last_sequence_number + 1
+            next_row_id = self._assign_first_row_ids(base.next_row_id)
             manifests, operation, summary = self._apply(base, seq)
             ml_path = write_manifest_list(self.table.location, self.snapshot_id, manifests)
             parent = base.snapshot_for_ref(self.branch)
@@ -252,6 +253,7 @@ class SnapshotProducer:
                 refs=refs,
                 snapshot_log=base.snapshot_log + ((now, self.snapshot_id),)
                 if self.branch == MAIN_BRANCH else base.snapshot_log,
+                next_row_id=next_row_id,
             )
             try:
                 self.table.ops.commit(base_version, new_meta)
@@ -263,6 +265,35 @@ class SnapshotProducer:
         raise CommitFailedException(f"commit failed after {COMMIT_RETRIES} retries: {last_err}")
 
     # -- helpers ------------------------------------------------------------
+    # attributes that may hold this producer's pending *added* data files
+    _ADDED_ATTRS = ("files", "added", "added_data")
+
+    def _assign_first_row_ids(self, start: int) -> int:
+        """Row lineage (format/spec.md:460-546): added data files inherit
+        `first_row_id` from the table's `next_row_id` at commit time; rows
+        get `_row_id = first_row_id + position` at read. Idempotent across
+        commit retries (re-derived from the pristine file list each
+        attempt, since a new base may carry a different next_row_id).
+        Files that already carry a first_row_id (compaction rewrites
+        preserving lineage) keep it and do not consume new ids.
+        """
+        if not hasattr(self, "_lineage_orig"):
+            self._lineage_orig = {}
+        nri = start
+        for attr in self._ADDED_ATTRS:
+            lst = getattr(self, attr, None)
+            if not lst:
+                continue
+            orig = self._lineage_orig.setdefault(attr, list(lst))
+            out = []
+            for f in orig:
+                if f.content == DATA and f.first_row_id is None:
+                    f = replace(f, first_row_id=nri)
+                    nri += f.record_count
+                out.append(f)
+            setattr(self, attr, out)
+        return nri
+
     def _base_manifests(self, base: TableMetadata):
         snap = base.snapshot_for_ref(self.branch)
         if snap is None:
