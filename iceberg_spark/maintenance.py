@@ -336,9 +336,13 @@ def remove_dangling_deletes(table) -> int:
     return len(dangling)
 
 
-def rewrite_position_delete_files(table) -> dict:
+def rewrite_position_delete_files(table, to_dvs: bool = False) -> dict:
     """Compact live posdelete files, dropping entries for dead data files
-    (RewritePositionDeleteFilesSparkAction.java)."""
+    (RewritePositionDeleteFilesSparkAction.java). With `to_dvs=True` the
+    surviving deletes are rewritten as deletion vectors (v3,
+    format/spec.md:1372): exactly one delete blob per referenced data file
+    with `referenced_data_file` set, so the planner attaches deletes by
+    exact file match instead of range overlap."""
     plan = table.scan().plan_files()
     if not plan.pos_deletes:
         return {"rewritten": 0}
@@ -347,14 +351,54 @@ def rewrite_position_delete_files(table) -> dict:
     old = [d.file.file_path for d in plan.pos_deletes]
     df = spark.read.parquet(*old).select("file_path", "pos")
     kept = df.join(F.broadcast(live), df.file_path == live.live_path, "left_semi")
-    pos_files = write_position_deletes(
-        table,
-        kept.select(F.col("file_path").alias(FILE_PATH_COL), F.col("pos").alias(POS_COL)),
-    )
+    if to_dvs:
+        pos_files = _write_dvs(table, kept)
+    else:
+        pos_files = write_position_deletes(
+            table,
+            kept.select(F.col("file_path").alias(FILE_PATH_COL), F.col("pos").alias(POS_COL)),
+        )
     max_seq = max(d.sequence_number for d in plan.pos_deletes)
     Overwrite(table, [], set(old), operation=OP_REPLACE,
               added_deletes=pos_files, preserve_seq_for_added=max_seq).commit()
     return {"rewritten": len(old), "added": len(pos_files)}
+
+
+def _write_dvs(table, kept) -> list:
+    """One delete blob per referenced data file (deletion-vector layout).
+
+    Spark job: cluster deletes by a hash of the referenced path and
+    partition the output by it — each leaf holds the (sorted) positions of
+    one data file. referenced_data_file is recovered from the file_path
+    stats (single-valued per blob by construction)."""
+    import os as _os
+    import uuid as _u
+
+    from dataclasses import replace as _replace
+
+    from .manifests import POSITION_DELETES, collect_data_files
+    from .schema import NestedField, Schema as S
+
+    out_dir = _os.path.join(table.location, "data", f"dvs-{_u.uuid4().hex}")
+    (kept.withColumn("__ref", F.sha1(F.col("file_path")))
+         .repartition(F.col("__ref"))
+         .sortWithinPartitions("file_path", "pos")
+         .write.partitionBy("__ref").parquet(out_dir))
+    paths = [_os.path.join(r, f) for r, _d, fs in _os.walk(out_dir) for f in fs
+             if f.endswith(".parquet")]
+    del_schema = S((NestedField(2147483546, "file_path", "string", True),
+                    NestedField(2147483545, "pos", "long", True)))
+    files = collect_data_files(paths, del_schema, table.spec,
+                               content=POSITION_DELETES)
+    out = []
+    for f in files:
+        if f.record_count == 0:
+            continue
+        st = f.stats.get("file_path")
+        ref = st[0] if st and st[0] is not None and st[0] == st[1] else None
+        out.append(_replace(f, partition={}, referenced_data_file=ref,
+                            write_schema_id=table.schema.schema_id))
+    return out
 
 
 # ---------------------------------------------------------------------------

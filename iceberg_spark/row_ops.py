@@ -136,8 +136,11 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
     """Write (file_path, pos) parquet sorted for locality
     (spec format/spec.md:1388: sorted by file_path then pos)."""
     out_dir = os.path.join(table.location, "data", f"deletes-{_uuid.uuid4().hex}")
+    # range-partition so each delete file covers a contiguous file_path
+    # range -> its file_path min/max stats stay tight and the planner can
+    # skip delete files unrelated to the pruned data-file set
     (matched_df.select(F.col(FILE_PATH_COL).alias("file_path"), F.col(POS_COL).alias("pos"))
-        .repartition(F.col("file_path"))
+        .repartitionByRange(F.col("file_path"), F.col("pos"))
         .sortWithinPartitions("file_path", "pos")
         .write.parquet(out_dir))
     paths = [os.path.join(r, f) for r, _d, fs in os.walk(out_dir) for f in fs

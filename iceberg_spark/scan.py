@@ -228,6 +228,28 @@ class TableScan:
             min_data_seq = min(e.sequence_number for e in data_entries)
             pos_del = [d for d in pos_del if d.sequence_number >= min_data_seq]
             eq_del = [d for d in eq_del if d.sequence_number > min_data_seq]
+            if pos_del:
+                # skip delete files that cannot reference any surviving data
+                # file: exact match for DVs (referenced_data_file), file_path
+                # min/max range intersection otherwise (delete files are
+                # range-clustered by file_path at write). Mirrors the
+                # "unrelated delete" case of IcebergSourceParquetWith-
+                # UnrelatedDeleteBenchmark / DeleteFileIndex lookup.
+                import bisect
+
+                live = sorted(e.file.file_path for e in data_entries)
+                live_set = set(live)
+
+                def may_apply(d):
+                    if d.file.referenced_data_file:
+                        return d.file.referenced_data_file in live_set
+                    st = d.file.stats.get("file_path")
+                    if st and st[0] is not None and st[1] is not None:
+                        i = bisect.bisect_left(live, st[0])
+                        return i < len(live) and live[i] <= st[1]
+                    return True
+
+                pos_del = [d for d in pos_del if may_apply(d)]
         else:
             pos_del, eq_del = [], []
 

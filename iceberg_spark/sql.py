@@ -626,7 +626,8 @@ class SqlEngine:
         from .maintenance import rewrite_position_delete_files
 
         t = self._load(self._arg(a, "table", 0))
-        res = rewrite_position_delete_files(t)
+        res = rewrite_position_delete_files(
+            t, to_dvs=bool(self._arg(a, "to_dvs", 1, False)))
         return self._rows(
             [Row(rewritten_delete_files_count=res.get("rewritten_delete_files", 0),
                  added_delete_files_count=res.get("added_delete_files", 0))],
