@@ -597,8 +597,9 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
     schema = scan.schema
     read_cols = scan.columns or schema.column_names
 
-    need_meta = (with_metadata_columns or with_lineage
-                 or bool(plan.pos_deletes) or bool(plan.eq_deletes))
+    # _pos needs parquet's _metadata.row_index; _file works for any format
+    need_pos = with_metadata_columns or with_lineage or bool(plan.pos_deletes)
+    need_meta = need_pos or bool(plan.eq_deletes)
 
     if not plan.files:
         spark_schema = type_to_spark(StructT(tuple(schema.find_field(c) for c in read_cols)))
@@ -611,19 +612,24 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                     .withColumn(LAST_UPDATED_SEQ_COL, F.lit(None).cast("long")))
         return df
 
-    # group files by write-schema for field-ID based column mapping
+    # group files by (write-schema, format) for field-ID column mapping
     groups: dict = {}
     for e in plan.files:
-        groups.setdefault(e.file.write_schema_id, []).append(e)
+        groups.setdefault((e.file.write_schema_id, e.file.file_format), []).append(e)
 
     parts = []
-    for wsid, entries in groups.items():
+    for (wsid, ffmt), entries in groups.items():
         try:
             wschema = metadata.schema_by_id(wsid)
         except KeyError:
             wschema = schema
+        if need_pos and ffmt != "parquet":
+            raise ValueError(
+                f"_pos / position deletes / row lineage require parquet data "
+                f"files; {entries[0].file.file_path} is {ffmt} (use "
+                f"copy-on-write modes for {ffmt} tables)")
         paths = [e.file.file_path for e in entries]
-        df = spark.read.schema(wschema.to_spark()).parquet(*paths)
+        df = spark.read.schema(wschema.to_spark()).format(ffmt).load(paths)
         # map file columns -> current names by field id; fill missing with null
         by_id = {f.field_id: f for f in wschema.fields}
         sel = []
@@ -643,8 +649,9 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             sel = sel + [
                 F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
                 .alias(FILE_PATH_COL),
-                F.col("_metadata.row_index").alias(POS_COL),
             ]
+            if need_pos:
+                sel.append(F.col("_metadata.row_index").alias(POS_COL))
         df = df.select(*sel)
         parts.append((entries, df))
 

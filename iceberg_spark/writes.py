@@ -134,6 +134,7 @@ def write_data_files(
     if align:
         df = _align_to_schema(df, schema)
 
+    fmt = props.get("write.format.default", "parquet").lower()
     out_dir = os.path.join(table.location, "data", _uuid.uuid4().hex)
     writer_opts = {}
     max_records = props.get("write.max-records-per-file")
@@ -159,27 +160,76 @@ def write_data_files(
         w = df2.write.mode("append")
         for k, v in writer_opts.items():
             w = w.option(k, v)
-        w.partitionBy(*pby).parquet(out_dir)
+        w.partitionBy(*pby).format(fmt).save(out_dir)
     else:
         dfw = _apply_sort_order(df, metadata)
         w = dfw.write.mode("append")
         for k, v in writer_opts.items():
             w = w.option(k, v)
-        w.parquet(out_dir)
+        w.format(fmt).save(out_dir)
 
+    suffixes = (".parquet",) if fmt == "parquet" else (f".{fmt}",)
     paths, partitions = [], {}
     for root, _dirs, files in os.walk(out_dir):
         for fn in files:
-            if fn.endswith(".parquet"):
+            if fn.endswith(suffixes):
                 p = os.path.join(root, fn)
                 paths.append(p)
                 if pnames:
                     partitions[p] = partition_values_from_path(
                         os.path.relpath(p, out_dir), pnames, ptypes
                     )
-    files = collect_data_files(paths, schema, spec, partitions, content)
+    if fmt == "parquet":
+        files = collect_data_files(paths, schema, spec, partitions, content)
+    else:
+        files = _collect_files_spark(table.spark, paths, fmt, schema, spec,
+                                     partitions, content)
     files = [replace(f, write_schema_id=schema.schema_id) for f in files if f.record_count > 0]
     return files
+
+
+def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
+                         partitions: dict, content: int) -> list:
+    """Per-file metrics for non-parquet formats (ORC/Avro lack cheap
+    footer access from Python) as ONE Spark aggregation grouped by
+    `_metadata.file_path` — the distributed twin of the footer pass
+    (reference collects ORC metrics in OrcMetrics.java the same way)."""
+    from .manifests import DataFile
+
+    sdf = spark.read.schema(schema.to_spark()).format(fmt).load(paths)
+    prim = [f for f in schema.fields
+            if isinstance(f.type, str) and f.type != "binary"
+            and not f.type.startswith("fixed")]
+    aggs = [F.count(F.lit(1)).alias("__cnt")]
+    for f in prim:
+        aggs.append(F.min(f.name).alias(f"__mn_{f.name}"))
+        aggs.append(F.max(f.name).alias(f"__mx_{f.name}"))
+        aggs.append(F.sum(F.col(f.name).isNull().cast("long")).alias(f"__nu_{f.name}"))
+        if f.type in ("float", "double"):
+            aggs.append(F.sum(F.isnan(F.col(f.name)).cast("long")).alias(f"__na_{f.name}"))
+    rows = (sdf.groupBy(
+        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__fp"))
+        .agg(*aggs).collect())
+    out = []
+    for r in rows:
+        d = r.asDict()
+        path = d["__fp"]
+        stats = {}
+        for f in prim:
+            stats[f.name] = (d.get(f"__mn_{f.name}"), d.get(f"__mx_{f.name}"),
+                             d.get(f"__nu_{f.name}"), d.get(f"__na_{f.name}"),
+                             d["__cnt"])
+        out.append(DataFile(
+            file_path=path,
+            file_format=fmt,
+            content=content,
+            spec_id=spec.spec_id,
+            partition=dict(partitions.get(path) or {}),
+            record_count=d["__cnt"],
+            file_size_in_bytes=os.path.getsize(path),
+            stats=stats,
+        ))
+    return out
 
 
 def _apply_sort_order(df: DataFrame, metadata: TableMetadata) -> DataFrame:
