@@ -432,6 +432,80 @@ def compute_table_stats(table, columns=None) -> dict:
     return stats
 
 
+def rewrite_table_path(table, source_prefix: str, target_prefix: str,
+                       staging_dir: str = None) -> dict:
+    """Rewrite all absolute paths in the metadata tree from source_prefix
+    to target_prefix for a DR copy (RewriteTablePathSparkAction /
+    core/.../RewriteTablePathUtil). Writes rewritten manifests, manifest
+    lists and a v1 metadata JSON under `staging_dir` (default:
+    <target_prefix>/) and returns the data-file copy plan — bytes are moved
+    by external tooling (distcp-style), metadata only here."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .manifests import (ManifestFile, read_manifest_arrow,
+                            read_manifest_list, write_manifest_list)
+    from .metadata import TableOperations
+
+    src = source_prefix.rstrip("/")
+    dst = target_prefix.rstrip("/")
+    out_root = (staging_dir or dst).rstrip("/")
+
+    def map_path(p):
+        if p and p.startswith(src + "/"):
+            return dst + p[len(src):]
+        return p
+
+    os.makedirs(os.path.join(out_root, "metadata", "manifests"), exist_ok=True)
+    copy_plan = []  # (old_data_file, new_data_file)
+    manifest_map = {}  # old manifest path -> new
+
+    m = table.metadata
+    for snap in m.snapshots:
+        for mf in read_manifest_list(snap.manifest_list):
+            if mf.path in manifest_map:
+                continue
+            t = read_manifest_arrow(mf.path)
+            fp = t["file_path"].to_pylist()
+            new_fp = [map_path(p) for p in fp]
+            copy_plan.extend((o, n) for o, n in zip(fp, new_fp) if o != n)
+            t = t.set_column(t.schema.get_field_index("file_path"),
+                             "file_path", pa.array(new_fp, pa.string()))
+            if "referenced_data_file" in t.column_names:
+                refs = [map_path(p) for p in t["referenced_data_file"].to_pylist()]
+                t = t.set_column(t.schema.get_field_index("referenced_data_file"),
+                                 "referenced_data_file", pa.array(refs, pa.string()))
+            new_mpath = os.path.join(out_root, "metadata", "manifests",
+                                     os.path.basename(mf.path))
+            pq.write_table(t, new_mpath, compression="zstd")
+            manifest_map[mf.path] = new_mpath
+
+    # rewrite manifest lists + snapshots
+    new_snaps = []
+    for snap in m.snapshots:
+        mfs = read_manifest_list(snap.manifest_list)
+        new_mfs = [replace(x, path=manifest_map[x.path],
+                           length=os.path.getsize(manifest_map[x.path]))
+                   for x in mfs]
+        ml_path = write_manifest_list(out_root, snap.snapshot_id, new_mfs)
+        new_snaps.append(replace(snap, manifest_list=ml_path))
+
+    new_meta = replace(
+        m, location=out_root, snapshots=tuple(new_snaps),
+        statistics_files=tuple(
+            {**e, "statistics-path": map_path(e.get("statistics-path"))}
+            for e in m.statistics_files),
+        partition_statistics_files=tuple(
+            {**e, "path": map_path(e.get("path"))}
+            for e in m.partition_statistics_files),
+    )
+    TableOperations(out_root).commit(None, new_meta)
+    return {"staging_location": out_root,
+            "rewritten_manifests": len(manifest_map),
+            "data_files_to_copy": copy_plan}
+
+
 def compute_partition_stats(table) -> str:
     """Partition-stats file (format/spec.md:1233): per-partition rollup
     written as Parquet next to the metadata."""

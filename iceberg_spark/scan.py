@@ -131,6 +131,20 @@ class TableScan:
         return TableScan(self.table, snap, self.row_filter, self.columns,
                          self.planning_mode, time_travel=True)
 
+    def runtime_filter(self, column: str, values) -> "TableScan":
+        """Runtime filtering (SparkBatchQueryScan.filter:127 analog — the
+        file-level half of dynamic partition pruning): after the build side
+        of a join resolves, re-plan this scan with the collected join keys
+        so partition projection + min/max stats drop files no key can hit.
+        `values` is an iterable of keys or a single-column DataFrame
+        (collected here — runtime filters are small by construction)."""
+        if isinstance(values, DataFrame):
+            values = [r[0] for r in values.collect()]
+        values = [v for v in values if v is not None]
+        if not values:
+            return self.filter(E.ALWAYS_FALSE)
+        return self.filter(E.col(column).isin(values))
+
     # -- schema -------------------------------------------------------------
     @property
     def schema(self) -> Schema:

@@ -633,6 +633,19 @@ class SqlEngine:
                  added_delete_files_count=res.get("added_delete_files", 0))],
             "rewritten_delete_files_count long, added_delete_files_count long")
 
+    def _proc_rewrite_table_path(self, a):
+        from .maintenance import rewrite_table_path
+
+        t = self._load(self._arg(a, "table", 0))
+        res = rewrite_table_path(
+            t, self._arg(a, "source_prefix", 1),
+            self._arg(a, "target_prefix", 2),
+            staging_dir=self._arg(a, "staging_location", 3))
+        return self._rows(
+            [Row(latest_version=res["staging_location"],
+                 file_list_location=str(len(res["data_files_to_copy"])))],
+            "latest_version string, file_list_location string")
+
     def _proc_compute_table_stats(self, a):
         t = self._load(self._arg(a, "table", 0))
         cols = self._arg(a, "columns", 1)
