@@ -38,6 +38,9 @@ PRIMITIVES = {
     "uuid",
     "binary",
     "unknown",
+    "timestamp_ns",    # v3: nanosecond precision; Spark caps at micros ->
+    "timestamptz_ns",  # stored as long nanos (SURVEY §1.3)
+    "variant",         # v3 semi-structured; Spark 4 VariantType
 }
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
@@ -106,6 +109,10 @@ def type_to_spark(t: Any) -> T.DataType:
         "uuid": T.StringType(),
         "binary": T.BinaryType(),
         "unknown": T.NullType(),
+        "timestamp_ns": T.LongType(),
+        "timestamptz_ns": T.LongType(),
+        "variant": (T.VariantType() if hasattr(T, "VariantType")
+                    else T.StringType()),
     }[t]
 
 
@@ -146,6 +153,8 @@ def spark_to_type(dt: T.DataType, next_id) -> Any:
         T.BinaryType: "binary",
         T.NullType: "unknown",
     }
+    if hasattr(T, "VariantType") and isinstance(dt, T.VariantType):
+        return "variant"
     for k, v in mapping.items():
         if isinstance(dt, k):
             return v

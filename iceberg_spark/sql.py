@@ -326,6 +326,27 @@ class SqlEngine:
         return t.scan(snapshot_id=snapshot_id, as_of_timestamp_ms=as_of,
                       ref=ref).df()
 
+    @staticmethod
+    def _pushable_filter(s: str, ident: str):
+        """Best-effort metadata-pruning pushdown for delegated SELECTs: when
+        the statement is a single-table `... FROM <ident> [alias] WHERE
+        <pred> ...` and the predicate parses into the expression algebra,
+        return it so the scan plans with file pruning. The full WHERE still
+        runs in Spark (residual re-application), so a parse miss only costs
+        pruning, never correctness."""
+        m = re.search(
+            rf"FROM\s+{re.escape(ident)}(?:\s+(?:AS\s+)?\w+)?\s+WHERE\s+(.*?)"
+            r"(?:\s+GROUP\s+BY|\s+ORDER\s+BY|\s+LIMIT\s|\s*$)",
+            s, re.I | re.S)
+        if not m:
+            return None
+        if re.search(r"\bJOIN\b", s, re.I):
+            return None
+        try:
+            return parse_predicate(m.group(1).strip())
+        except Exception:
+            return None
+
     # -- resolution (ResolveViews / time travel / metadata tables) -----------
     def _resolve(self, s: str, _depth: int = 0) -> str:
         if _depth > 10:
@@ -375,7 +396,16 @@ class SqlEngine:
             ident = m.group(0)
             if self.catalog.table_exists(ident):
                 name = self._tmp("tbl")
-                self._table_df(ident).createOrReplaceTempView(name)
+                df = None
+                flt = self._pushable_filter(s, ident)
+                if flt is not None:
+                    try:
+                        df = self._load(ident).scan(filter=flt).df()
+                    except Exception:
+                        df = None  # unbindable predicate -> full scan
+                if df is None:
+                    df = self._table_df(ident)
+                df.createOrReplaceTempView(name)
                 return name
             parts = ident.rsplit(".", 1)
             if len(parts) == 2 and parts[1].lower() in METADATA_TABLES \

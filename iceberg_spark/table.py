@@ -110,9 +110,19 @@ class Table:
         return name
 
     # -- write --------------------------------------------------------------
-    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
-        """FastAppend: write parquet + one new manifest + CAS."""
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH,
+               wap_id: Optional[str] = None) -> Snapshot:
+        """FastAppend: write parquet + one new manifest + CAS.
+
+        With `wap_id` (write-audit-publish) the snapshot is staged: added
+        to the snapshot log tagged `wap.id` but no ref moves — audit it via
+        scan(snapshot_id=...), then CALL system.publish_changes(t, wap_id)
+        cherry-picks it onto main."""
         files = write_data_files(self, df)
+        if wap_id is not None:
+            return FastAppend(self, files, branch=branch,
+                              summary_extra={"wap.id": str(wap_id)},
+                              stage_only=True).commit()
         return FastAppend(self, files, branch=branch).commit()
 
     def overwrite(self, df: DataFrame, overwrite_filter: Optional[E.Expr] = None,

@@ -265,9 +265,12 @@ class SnapshotProducer:
 
     operation = OP_APPEND
 
-    def __init__(self, table, branch: str = MAIN_BRANCH):
+    def __init__(self, table, branch: str = MAIN_BRANCH, stage_only: bool = False):
         self.table = table
         self.branch = branch
+        # write-audit-publish: commit the snapshot into the log without
+        # advancing any ref; publish_changes cherry-picks it later
+        self.stage_only = stage_only
         self.snapshot_id = _new_snapshot_id()
 
     def _apply(self, base: TableMetadata, seq: int):
@@ -295,14 +298,16 @@ class SnapshotProducer:
                 schema_id=base.current_schema_id,
             )
             refs = dict(base.refs)
-            refs[self.branch] = SnapshotRef(self.snapshot_id, "branch")
+            if not self.stage_only:
+                refs[self.branch] = SnapshotRef(self.snapshot_id, "branch")
             new_meta = replace(
                 base,
                 last_sequence_number=seq,
                 snapshots=base.snapshots + (snap,),
                 refs=refs,
                 snapshot_log=base.snapshot_log + ((now, self.snapshot_id),)
-                if self.branch == MAIN_BRANCH else base.snapshot_log,
+                if (self.branch == MAIN_BRANCH and not self.stage_only)
+                else base.snapshot_log,
                 next_row_id=next_row_id,
             )
             try:
@@ -372,8 +377,8 @@ class FastAppend(SnapshotProducer):
     """core/.../FastAppend.java — new manifest only, no rewrites."""
 
     def __init__(self, table, files: list, branch: str = MAIN_BRANCH,
-                 summary_extra: Optional[dict] = None):
-        super().__init__(table, branch)
+                 summary_extra: Optional[dict] = None, stage_only: bool = False):
+        super().__init__(table, branch, stage_only=stage_only)
         self.files = files
         self.summary_extra = summary_extra or {}
 

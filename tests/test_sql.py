@@ -161,3 +161,19 @@ def test_parse_predicate_ops():
     assert e.term.transform is not None
     e = parse_predicate("x IN (1, 2, 3)")
     assert e.op == E.IN and len(e.literals) == 3
+
+
+def test_wap_stage_and_publish(seeded, catalog):
+    t = seeded
+    head = t.current_snapshot().snapshot_id
+    staged = t.append(
+        t.spark.sql("SELECT 100 AS id, 'w' AS cat, 1.5 AS v"), wap_id="audit1")
+    t = catalog.load_table("db.t")
+    # staged: snapshot exists but main did not move
+    assert t.current_snapshot().snapshot_id == head
+    assert any(s.snapshot_id == staged.snapshot_id for s in t.snapshots())
+    # auditable via time travel by snapshot id
+    assert len(t.scan(snapshot_id=staged.snapshot_id).df().collect()) == 5
+    catalog.sql("CALL system.publish_changes('db.t', 'audit1')")
+    t = catalog.load_table("db.t")
+    assert {r.id for r in t.to_df().collect()} == {1, 2, 3, 4, 100}
