@@ -472,8 +472,220 @@ FROM events WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
 """
 
 
+def q7_volume_shipping(spark, sf_dir):
+    """Revenue between two nations by ship year (TPC-H q7; testdata has no
+    n_comment so nations are the synthetic NATION_* names)."""
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=E.and_(ecol("l_shipdate") >= "1996-01-01T00:00:00",
+                      ecol("l_shipdate") < "1998-01-01T00:00:00")
+    ).df()
+    supp = _ldf(spark, sf_dir, "supplier")
+    orders = _ldf(spark, sf_dir, "orders")
+    cust = _ldf(spark, sf_dir, "customer")
+    nat = _ldf(spark, sf_dir, "nation")
+    n1 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    j = (li.join(supp, li.l_suppkey == supp.s_suppkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+           .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+           .filter(((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+                   | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       YEAR(l_shipdate) AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q8_market_share(spark, sf_dir):
+    """NATION_3 suppliers' market share of ECONOMY parts sold to EUROPE
+    customers, by order year (TPC-H q8 adapted to testdata columns)."""
+    li = _ldf(spark, sf_dir, "lineitem")
+    part = engine_table(spark, sf_dir, "part").scan(
+        filter=ecol("p_type") == "ECONOMY").df()
+    supp = _ldf(spark, sf_dir, "supplier")
+    orders = engine_table(spark, sf_dir, "orders").scan(
+        filter=E.and_(ecol("o_orderdate") >= "1996-01-01T00:00:00",
+                      ecol("o_orderdate") < "1998-01-01T00:00:00")
+    ).df()
+    cust = _ldf(spark, sf_dir, "customer")
+    nat = _ldf(spark, sf_dir, "nation")
+    region = _ldf(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = nat.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = nat.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    j = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .join(supp, li.l_suppkey == supp.s_suppkey)
+           .join(orders, li.l_orderkey == orders.o_orderkey)
+           .join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+           .join(F.broadcast(region), F.col("c_rk") == F.col("r_regionkey"))
+           .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"),
+                     F.col("supp_nation"))
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                      .otherwise(F.lit(0.0))) / F.sum("volume"), 4).alias("mkt_share"))
+            .orderBy("o_year"))
+
+
+Q8_SQL = """
+SELECT YEAR(o_orderdate) AS o_year,
+       ROUND(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """Supplier(s) with maximum revenue over one quarter (TPC-H q15; the
+    revenue view is a subquery, the max is a broadcast scalar)."""
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=E.and_(ecol("l_shipdate") >= "1996-01-01T00:00:00",
+                      ecol("l_shipdate") < "1996-04-01T00:00:00")
+    ).df()
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+             .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                  .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _ldf(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx), rev.total_revenue == mx.mx)
+            .join(supp, rev.supplier_no == supp.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON supplier_no = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q21_suppliers_who_kept_waiting(spark, sf_dir):
+    """Suppliers whose item shipped late on multi-supplier 'F' orders where
+    every other supplier shipped on time (TPC-H q21 adapted: testdata has
+    no commit/receipt dates, lateness = l_shipdate > o_orderdate)."""
+    orders = engine_table(spark, sf_dir, "orders").scan(
+        filter=ecol("o_orderstatus") == "F").df()
+    li = _ldf(spark, sf_dir, "lineitem")
+    supp = _ldf(spark, sf_dir, "supplier")
+    # single pass over lineitem instead of the textbook triple self-join:
+    # EXISTS(other supplier) == n_supp >= 2; NOT EXISTS(other late
+    # supplier) == the order's late rows all belong to one supplier
+    # (n_late_supp == 1). One shuffle for the per-order rollup, one for
+    # the late-row join — lineitem is scanned once less at 100 TB.
+    tagged = (li.join(orders.select("o_orderkey", "o_orderdate"),
+                      li.l_orderkey == F.col("o_orderkey"))
+              .withColumn("late", F.col("l_shipdate") > F.col("o_orderdate")))
+    per_order = (tagged.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    cand = (tagged.filter(F.col("late"))
+            .join(per_order.filter((F.col("n_supp") >= 2)
+                                   & (F.col("n_late_supp") == 1)),
+                  "l_orderkey", "left_semi"))
+    return (cand.join(supp, cand.l_suppkey == supp.s_suppkey)
+            .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name").limit(20))
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+"""
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """Well-funded customers with no orders, by 'country code' (TPC-H q22
+    adapted: code = c_nationkey % 5, no phone column in testdata)."""
+    cust = engine_table(spark, sf_dir, "customer").to_df()
+    orders = _ldf(spark, sf_dir, "orders")
+    codes = cust.withColumn("cntrycode", (F.col("c_nationkey") % 5).cast("int")) \
+                .filter(F.col("cntrycode").isin(0, 1, 2))
+    avg_bal = codes.filter(F.col("c_acctbal") > 0.0) \
+                   .agg(F.round(F.avg("c_acctbal"), 2).alias("ab"))
+    rich = codes.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return (no_orders.groupBy("cntrycode")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+            .orderBy("cntrycode"))
+
+
+Q22_SQL = """
+SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode, COUNT(*) AS numcust,
+       ROUND(SUM(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_nationkey % 5 IN (0, 1, 2)
+  AND c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer
+                   WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY cntrycode ORDER BY cntrycode
+"""
+
+
 REGISTRY = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
+    "q8_market_share": (q8_market_share, Q8_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "q21_suppliers_who_kept_waiting": (q21_suppliers_who_kept_waiting, Q21_SQL),
+    "q22_global_sales_opportunity": (q22_global_sales_opportunity, Q22_SQL),
     "q10_returned_items": (q10_returned_items, Q10_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
     "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
