@@ -298,6 +298,28 @@ class SqlEngine:
         if re.match(r"SHOW\s+FUNCTIONS", s, re.I):
             return self._rows([Row(name=f) for f in V.list_functions(self.catalog)],
                               "name string")
+        if re.match(r"SHOW\s+TABLES", s, re.I):
+            m = re.match(r"SHOW\s+TABLES(?:\s+IN\s+([\w.]+))?", s, re.I)
+            ns = m.group(1) or ""
+            return self._rows([Row(namespace=".".join(t.split(".")[:-1]),
+                                   tableName=t.split(".")[-1])
+                               for t in self.catalog.list_tables(ns)],
+                              "namespace string, tableName string")
+        if re.match(r"CREATE\s+(NAMESPACE|DATABASE|SCHEMA)", s, re.I):
+            m = re.match(r"CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+                         r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)", s, re.I)
+            self.catalog.create_namespace(
+                m.group(1), exists_ok=bool(re.search(r"IF\s+NOT\s+EXISTS", s, re.I)))
+            return self._empty()
+        if re.match(r"DROP\s+(NAMESPACE|DATABASE|SCHEMA)", s, re.I):
+            m = re.match(r"DROP\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+                         r"(?:IF\s+EXISTS\s+)?([\w.]+)", s, re.I)
+            self.catalog.drop_namespace(m.group(1))
+            return self._empty()
+        if re.match(r"SHOW\s+(NAMESPACES|DATABASES|SCHEMAS)", s, re.I):
+            return self._rows([Row(namespace=n)
+                               for n in self.catalog.list_namespaces()],
+                              "namespace string")
         if re.match(r"CREATE\s+TABLE", s, re.I):
             return self._create_table(s)
         if re.match(r"DROP\s+TABLE", s, re.I):

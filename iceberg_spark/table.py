@@ -600,6 +600,35 @@ class Catalog:
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.rename(src, dst)
 
+    # -- namespaces (api/.../catalog/SupportsNamespaces.java) ---------------
+    def create_namespace(self, namespace: str, exists_ok: bool = False):
+        p = os.path.join(self.warehouse, *namespace.split("."))
+        if os.path.isdir(p) and not exists_ok:
+            raise ValueError(f"namespace exists: {namespace}")
+        os.makedirs(p, exist_ok=True)
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return os.path.isdir(os.path.join(self.warehouse, *namespace.split(".")))
+
+    def drop_namespace(self, namespace: str):
+        p = os.path.join(self.warehouse, *namespace.split("."))
+        if not os.path.isdir(p):
+            raise ValueError(f"no such namespace: {namespace}")
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace not empty: {namespace}")
+        shutil.rmtree(p)
+
+    def list_namespaces(self) -> list:
+        out = []
+        for root, dirs, _files in os.walk(self.warehouse):
+            if os.path.isdir(os.path.join(root, "metadata")):
+                dirs.clear()  # tables are leaves
+                continue
+            rel = os.path.relpath(root, self.warehouse)
+            if rel != "." and not rel.startswith("_"):
+                out.append(rel.replace(os.sep, "."))
+        return sorted(out)
+
     def list_tables(self, namespace: str = "") -> list:
         base = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
         out = []

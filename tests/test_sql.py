@@ -177,3 +177,13 @@ def test_wap_stage_and_publish(seeded, catalog):
     catalog.sql("CALL system.publish_changes('db.t', 'audit1')")
     t = catalog.load_table("db.t")
     assert {r.id for r in t.to_df().collect()} == {1, 2, 3, 4, 100}
+
+
+def test_namespaces_and_show_tables(seeded, catalog):
+    catalog.sql("CREATE NAMESPACE analytics")
+    assert catalog.namespace_exists("analytics")
+    assert "analytics" in catalog.sql("SHOW NAMESPACES").toPandas().namespace.tolist()
+    rows = catalog.sql("SHOW TABLES IN db").collect()
+    assert [(r.namespace, r.tableName) for r in rows] == [("db", "t")]
+    catalog.sql("DROP NAMESPACE analytics")
+    assert not catalog.namespace_exists("analytics")
