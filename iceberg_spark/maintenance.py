@@ -86,7 +86,10 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
     for entries in to_rewrite:
         sub = ScanPlan(entries, plan.pos_deletes, plan.eq_deletes, E.ALWAYS_TRUE,
                        plan.snapshot, plan.report)
-        df = plan_to_df(scan, sub, with_metadata_columns=False)
+        # read with lineage so compacted rows keep _row_id /
+        # _last_updated_sequence_number through the rewrite (format/spec.md:
+        # compaction must not change row lineage)
+        df = plan_to_df(scan, sub, with_metadata_columns=False, with_lineage=True)
         if strategy == "binpack":
             total = sum(e.file.file_size_in_bytes for e in entries)
             df = df.coalesce(max(1, (total + target - 1) // target))
@@ -100,7 +103,8 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
                     .sortWithinPartitions("__zkey")
                     .drop("__zkey"))
         added = write_data_files(table, df, distribution="none"
-                                 if strategy in ("sort", "zorder") else None)
+                                 if strategy in ("sort", "zorder") else None,
+                                 preserve_lineage=True)
         added_all.extend(added)
         rewritten.extend(entries)
         max_seq = max(max_seq, max(e.sequence_number for e in entries))

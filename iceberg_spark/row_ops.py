@@ -29,7 +29,8 @@ from pyspark.sql import functions as F
 from . import expressions as E
 from .manifests import POSITION_DELETES, collect_data_files
 from .metadata import MAIN_BRANCH, OP_DELETE, OP_OVERWRITE
-from .scan import FILE_PATH_COL, POS_COL, ScanPlan, TableScan, plan_to_df
+from .scan import (FILE_PATH_COL, LAST_UPDATED_SEQ_COL, POS_COL, ROW_ID_COL,
+                   ScanPlan, TableScan, plan_to_df)
 from .writes import Overwrite, RowDelta, write_data_files
 
 COPY_ON_WRITE = "copy-on-write"
@@ -46,10 +47,12 @@ def _candidate_plan(table, expr: E.Expr) -> ScanPlan:
     return table.scan(filter=expr).plan_files()
 
 
-def _subplan_df(table, scan: TableScan, plan: ScanPlan, entries, with_meta=True) -> DataFrame:
+def _subplan_df(table, scan: TableScan, plan: ScanPlan, entries, with_meta=True,
+                with_lineage=True) -> DataFrame:
     sub = ScanPlan(list(entries), plan.pos_deletes, plan.eq_deletes,
                    E.ALWAYS_TRUE, plan.snapshot, plan.report)
-    return plan_to_df(scan, sub, with_metadata_columns=with_meta)
+    return plan_to_df(scan, sub, with_metadata_columns=with_meta,
+                      with_lineage=with_lineage)
 
 
 def _split_strict(table, expr: E.Expr, plan: ScanPlan):
@@ -87,7 +90,7 @@ def plan_cow_removal(table, expr: E.Expr):
     if partial:
         df = _subplan_df(table, scan, plan, partial, with_meta=False)
         keep = df.filter(~E.to_spark(E.bind(expr, table.schema)))
-        rewritten = write_data_files(table, keep)
+        rewritten = write_data_files(table, keep, preserve_lineage=True)
     return removed, rewritten
 
 
@@ -115,7 +118,7 @@ def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
         removed = {e.file.file_path for e in plan.files}
         df = _subplan_df(table, scan, plan, partial, with_meta=False)
         keep = df.filter(~E.to_spark(E.bind(expr, table.schema)))
-        added = write_data_files(table, keep)
+        added = write_data_files(table, keep, preserve_lineage=True)
         return Overwrite(table, added, removed, operation=OP_DELETE, branch=branch).commit()
     else:
         # MoR: write position deletes for matching rows
@@ -181,12 +184,16 @@ def update_where(table, condition: E.Expr, assignments: dict,
     if m == COPY_ON_WRITE:
         removed = {e.file.file_path for e in plan.files}
         df = _subplan_df(table, scan, plan, plan.files, with_meta=False)
+        # lineage: updated rows keep _row_id; their _last_updated_seq is
+        # nulled so readers fall back to the new file's sequence number
         updated = df.select(*[
             (F.when(cond_col, _assignment_col(assignments[c])).otherwise(F.col(c))
              if c in assignments else F.col(c)).alias(c)
             for c in cols
-        ])
-        added = write_data_files(table, updated)
+        ], F.col(ROW_ID_COL),
+            F.when(cond_col, F.lit(None).cast("long"))
+            .otherwise(F.col(LAST_UPDATED_SEQ_COL)).alias(LAST_UPDATED_SEQ_COL))
+        added = write_data_files(table, updated, preserve_lineage=True)
         return Overwrite(table, added, removed, operation=OP_OVERWRITE, branch=branch).commit()
     else:
         df = _subplan_df(table, scan, plan, plan.files, with_meta=True)
@@ -195,8 +202,9 @@ def update_where(table, condition: E.Expr, assignments: dict,
         new_rows = matches.select(*[
             (_assignment_col(assignments[c]) if c in assignments else F.col(c)).alias(c)
             for c in cols
-        ])
-        data_files = write_data_files(table, new_rows)
+        ], F.col(ROW_ID_COL),
+            F.lit(None).cast("long").alias(LAST_UPDATED_SEQ_COL))
+        data_files = write_data_files(table, new_rows, preserve_lineage=True)
         refd = {e.file.file_path for e in plan.files}
         return RowDelta(table, data_files, pos_files, branch=branch,
                         referenced_files=refd).commit()
@@ -334,21 +342,32 @@ class MergeBuilder:
                 e = F.when(F.col("__action") == f"I{i}", expr).otherwise(e)
             return e.alias(c)
 
+        # lineage through the merge DataFrames (ExtractRowLineage analog):
+        # inserts get fresh ids (null -> inheritance); updates keep _row_id
+        # and null their seq so readers fall back to this commit's seq;
+        # untouched rows carry both values through the rewrite
+        lineage_out = [
+            F.when(F.col("__action").startswith("I"), F.lit(None).cast("long"))
+            .otherwise(F.col(f"t.{ROW_ID_COL}")).alias(ROW_ID_COL),
+            F.when(F.col("__action") == "K", F.col(f"t.{LAST_UPDATED_SEQ_COL}"))
+            .otherwise(F.lit(None).cast("long")).alias(LAST_UPDATED_SEQ_COL),
+        ]
+
         if m == COPY_ON_WRITE:
             if tgt is not None:
                 joined = tgt.join(src, join_cond, "full_outer")
             else:
                 joined = (
                     plan_to_df(scan, ScanPlan([], [], [], E.ALWAYS_TRUE, plan.snapshot,
-                                              plan.report), True)
+                                              plan.report), True, with_lineage=True)
                     .alias("t").join(src, join_cond, "full_outer")
                 )
             routed = build_action(joined)
             routed = routed.filter(~F.col("__action").startswith("D")
                                    & ~F.col("__action").startswith("ND")
                                    & (F.col("__action") != "X"))
-            result = routed.select(*[out_col(c) for c in cols])
-            added = write_data_files(table, result)
+            result = routed.select(*[out_col(c) for c in cols], *lineage_out)
+            added = write_data_files(table, result, preserve_lineage=True)
             return Overwrite(table, added, affected_paths, operation=OP_OVERWRITE,
                              branch=branch).commit()
         else:
@@ -358,7 +377,7 @@ class MergeBuilder:
                 joined = src.withColumn(f"t.{POS_COL}", F.lit(None))
                 inserts = build_action(
                     plan_to_df(scan, ScanPlan([], [], [], E.ALWAYS_TRUE, plan.snapshot,
-                                              plan.report), True)
+                                              plan.report), True, with_lineage=True)
                     .alias("t").join(src, join_cond, "full_outer")
                 )
             else:
@@ -373,8 +392,8 @@ class MergeBuilder:
             new_rows = routed.filter(
                 F.col("__action").startswith("U") | F.col("__action").startswith("I")
                 | F.col("__action").startswith("NU")
-            ).select(*[out_col(c) for c in cols])
-            data_files = write_data_files(table, new_rows)
+            ).select(*[out_col(c) for c in cols], *lineage_out)
+            data_files = write_data_files(table, new_rows, preserve_lineage=True)
             return RowDelta(table, data_files, pos_files, branch=branch,
                             referenced_files=set(affected_paths)).commit()
 

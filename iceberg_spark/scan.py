@@ -637,13 +637,27 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             wschema = metadata.schema_by_id(wsid)
         except KeyError:
             wschema = schema
-        if need_pos and ffmt != "parquet":
+        # _pos is parquet-only; lineage degrades to null row ids on other
+        # formats (they cannot carry _row_id), but _pos-dependent reads
+        # (position deletes, explicit metadata columns) must fail loudly
+        group_parquet = ffmt == "parquet"
+        if not group_parquet and (with_metadata_columns or plan.pos_deletes):
             raise ValueError(
-                f"_pos / position deletes / row lineage require parquet data "
-                f"files; {entries[0].file.file_path} is {ffmt} (use "
-                f"copy-on-write modes for {ffmt} tables)")
+                f"_pos / position deletes require parquet data files; "
+                f"{entries[0].file.file_path} is {ffmt} (use copy-on-write "
+                f"modes for {ffmt} tables)")
         paths = [e.file.file_path for e in entries]
-        df = spark.read.schema(wschema.to_spark()).format(ffmt).load(paths)
+        read_schema = wschema.to_spark()
+        if with_lineage and group_parquet:
+            # surface materialized lineage columns written by row-level ops
+            # (missing in append-only files -> read as null, inheritance wins)
+            from pyspark.sql import types as _T
+
+            read_schema = _T.StructType(
+                list(read_schema.fields)
+                + [_T.StructField(ROW_ID_COL, _T.LongType()),
+                   _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType())])
+        df = spark.read.schema(read_schema).format(ffmt).load(paths)
         # map file columns -> current names by field id; fill missing with null
         by_id = {f.field_id: f for f in wschema.fields}
         sel = []
@@ -665,7 +679,16 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 .alias(FILE_PATH_COL),
             ]
             if need_pos:
-                sel.append(F.col("_metadata.row_index").alias(POS_COL))
+                sel.append(F.col("_metadata.row_index").alias(POS_COL)
+                           if group_parquet
+                           else F.lit(None).cast("long").alias(POS_COL))
+        if with_lineage:
+            if group_parquet:
+                sel.append(F.col(ROW_ID_COL).alias("__mat_rid"))
+                sel.append(F.col(LAST_UPDATED_SEQ_COL).alias("__mat_seq"))
+            else:
+                sel.append(F.lit(None).cast("long").alias("__mat_rid"))
+                sel.append(F.lit(None).cast("long").alias("__mat_seq"))
         df = df.select(*sel)
         parts.append((entries, df))
 
@@ -729,9 +752,12 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             lin_rows, "__lin_file string, __lin_first long, __lin_seq long")
         out = (out.join(F.broadcast(lin_df),
                         F.col(FILE_PATH_COL) == F.col("__lin_file"), "left")
-               .withColumn(ROW_ID_COL, F.col("__lin_first") + F.col(POS_COL))
-               .withColumn(LAST_UPDATED_SEQ_COL, F.col("__lin_seq"))
-               .drop("__lin_file", "__lin_first", "__lin_seq"))
+               .withColumn(ROW_ID_COL, F.coalesce(
+                   F.col("__mat_rid"), F.col("__lin_first") + F.col(POS_COL)))
+               .withColumn(LAST_UPDATED_SEQ_COL, F.coalesce(
+                   F.col("__mat_seq"), F.col("__lin_seq")))
+               .drop("__lin_file", "__lin_first", "__lin_seq",
+                     "__mat_rid", "__mat_seq"))
 
     if not with_metadata_columns and need_meta:
         out = out.drop(FILE_PATH_COL, POS_COL)

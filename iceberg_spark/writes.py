@@ -108,19 +108,25 @@ def partition_values_from_path(path: str, pnames: list, ptypes: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _align_to_schema(df: DataFrame, schema: Schema) -> DataFrame:
+# row-lineage column names (scan.ROW_ID_COL / LAST_UPDATED_SEQ_COL; string
+# literals here to keep writes import-free of scan)
+_LINEAGE_COLS = ("_row_id", "_last_updated_sequence_number")
+
+
+def _align_to_schema(df: DataFrame, schema: Schema, extras=()) -> DataFrame:
     sel = []
     for f in schema.fields:
         if f.name not in df.columns:
             sel.append(F.lit(None).cast(type_to_spark(f.type)).alias(f.name))
         else:
             sel.append(F.col(f.name).cast(type_to_spark(f.type)).alias(f.name))
+    sel += [F.col(c).cast("long").alias(c) for c in extras]
     return df.select(*sel)
 
 
 def write_data_files(
     table, df: DataFrame, content: int = DATA, align: bool = True,
-    distribution: Optional[str] = None,
+    distribution: Optional[str] = None, preserve_lineage: bool = False,
 ) -> list:
     """Write df as Parquet into the table layout; return DataFiles w/ stats.
 
@@ -132,7 +138,13 @@ def write_data_files(
     schema, spec = metadata.schema, metadata.spec
     props = metadata.properties
     if align:
-        df = _align_to_schema(df, schema)
+        # row-lineage materialization (format/spec.md:460): row-level ops
+        # pass preserve_lineage=True so rewritten rows keep their _row_id /
+        # _last_updated_sequence_number as physical columns; readers
+        # coalesce them against the inheritance values
+        extras = tuple(c for c in _LINEAGE_COLS
+                       if preserve_lineage and c in df.columns)
+        df = _align_to_schema(df, schema, extras)
 
     fmt = props.get("write.format.default", "parquet").lower()
     out_dir = os.path.join(table.location, "data", _uuid.uuid4().hex)
