@@ -162,10 +162,21 @@ def main():
         qtimes[name] = timed(lambda: reg[name](spark, SF_DIR).collect())
 
     qtimes["raw_q1_baseline"] = timed(lambda: raw_q1_baseline(spark, SF_DIR).collect())
+
+    # no-delete twin of delete_mor_scan (BASELINE target 3: MoR with
+    # deletes must stay <= 2x this)
+    def orders_scan_baseline():
+        t = workloads.engine_table(spark, SF_DIR, "orders")
+        return (t.to_df().groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .orderBy("o_orderpriority").collect())
+
+    qtimes["orders_scan_no_deletes_baseline"] = timed(orders_scan_baseline)
     planning_benchmarks(spark, qtimes, timed)
 
     total = round(sum(v for k, v in qtimes.items()
-                      if k != "raw_q1_baseline" and not k.startswith("plan_")), 4)
+                      if not k.endswith("_baseline") and not k.startswith("plan_")), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -157,6 +157,42 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
             for f in files if f.record_count > 0]
 
 
+def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
+    """Write equality-delete files (format/spec.md:1415): rows of key
+    columns; equality_ids carry the field ids. Range-clustered so the
+    planner's key-range scoping can skip them."""
+    schema = table.schema
+    ids = tuple(schema.find_field(c).field_id for c in columns)
+    out_dir = os.path.join(table.location, "data", f"eqdel-{_uuid.uuid4().hex}")
+    (keys_df.select(*columns).distinct()
+        .repartitionByRange(*[F.col(c) for c in columns])
+        .sortWithinPartitions(*columns)
+        .write.parquet(out_dir))
+    paths = [os.path.join(r, f) for r, _d, fs in os.walk(out_dir) for f in fs
+             if f.endswith(".parquet")]
+    from .manifests import EQUALITY_DELETES
+    from .schema import Schema as S
+
+    del_schema = S(tuple(schema.find_field(c) for c in columns))
+    files = collect_data_files(paths, del_schema, table.spec,
+                               content=EQUALITY_DELETES)
+    return [replace(f, partition={}, equality_ids=ids,
+                    write_schema_id=schema.schema_id)
+            for f in files if f.record_count > 0]
+
+
+def equality_upsert(table, df: DataFrame, keys: list, branch: str = MAIN_BRANCH):
+    """Upsert WITHOUT reading the target (Flink EqualityDeltaWriter /
+    BaseDeltaTaskWriter semantics): one equality-delete file over the batch
+    keys + the new rows, committed in a single RowDelta. Sequence scoping
+    makes the deletes apply only to older data (data.seq < delete.seq), so
+    the same commit's rows survive — upsert cost is O(batch), not
+    O(table), the property that matters at 100 TB."""
+    del_files = write_equality_deletes(table, df, keys)
+    data_files = write_data_files(table, df)
+    return RowDelta(table, data_files, del_files, branch=branch).commit()
+
+
 # ---------------------------------------------------------------------------
 # UPDATE
 # ---------------------------------------------------------------------------

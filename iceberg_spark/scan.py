@@ -264,6 +264,35 @@ class TableScan:
                     return True
 
                 pos_del = [d for d in pos_del if may_apply(d)]
+            if eq_del:
+                # key-range scoping: an equality-delete file can only affect
+                # data files whose key-column ranges overlap its own
+                # (DeleteFileIndex partition/metrics scoping). Conservative:
+                # compare against the union range of surviving data files.
+                def key_ranges(name):
+                    mns = [e.file.stats[name][0] for e in data_entries
+                           if e.file.stats.get(name) and e.file.stats[name][0] is not None]
+                    mxs = [e.file.stats[name][1] for e in data_entries
+                           if e.file.stats.get(name) and e.file.stats[name][1] is not None]
+                    return (min(mns), max(mxs)) if mns and mxs else None
+
+                def eq_may_apply(d):
+                    for fid in d.file.equality_ids:
+                        try:
+                            name = schema.field_by_id(fid).name
+                        except Exception:
+                            return True
+                        st = d.file.stats.get(name)
+                        rng = key_ranges(name)
+                        if st and rng and st[0] is not None and st[1] is not None:
+                            try:
+                                if st[1] < rng[0] or st[0] > rng[1]:
+                                    return False  # disjoint on this key
+                            except TypeError:
+                                return True
+                    return True
+
+                eq_del = [d for d in eq_del if eq_may_apply(d)]
         else:
             pos_del, eq_del = [], []
 
@@ -731,7 +760,9 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             # tag each delete row with its file's sequence number
             seq_map = {d.file.file_path: d.sequence_number for d in dels}
             mapping = F.create_map(*[F.lit(x) for kv in seq_map.items() for x in kv])
-            dd = dd.withColumn("__del_seq", mapping[F.col("_metadata.file_path")])
+            # normalize file:// URIs to match the manifest's plain paths
+            dd = dd.withColumn("__del_seq", mapping[
+                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")])
             dd = dd.select(
                 *[F.col(k).alias(f"__delk_{i}") for i, k in enumerate(key_cols)], "__del_seq"
             )

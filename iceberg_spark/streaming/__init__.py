@@ -2,6 +2,7 @@ from .micro_batch import MicroBatchStream, StreamingOffset
 from .sinks import (
     append_sink,
     complete_overwrite_sink,
+    equality_upsert_sink,
     upsert_sink,
     write_stream_to_table,
 )
@@ -11,6 +12,7 @@ __all__ = [
     "StreamingOffset",
     "append_sink",
     "complete_overwrite_sink",
+    "equality_upsert_sink",
     "upsert_sink",
     "write_stream_to_table",
 ]

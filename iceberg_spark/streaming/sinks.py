@@ -101,6 +101,39 @@ def upsert_sink(table, keys: list, query_id: str = "upsert") -> Callable:
     return fn
 
 
+def equality_upsert_sink(table, keys: list,
+                         query_id: str = "eq_upsert") -> Callable:
+    """Streaming upsert via equality deletes — the Flink upsert-writer path
+    (BaseDeltaTaskWriter / EqualityDeltaWriter): each epoch commits one
+    equality-delete file over the batch keys plus the new rows, never
+    reading the target. Idempotent per epoch-id."""
+
+    def fn(df: DataFrame, epoch_id: int):
+        t = table.refresh()
+        if _already_committed(t, query_id, epoch_id):
+            return
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+        src = (df.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+        from ..row_ops import equality_upsert
+
+        snap = equality_upsert(t, src, keys)
+        from dataclasses import replace as _r
+
+        m = t.metadata
+        snaps = tuple(
+            _r(s, summary={**s.summary, EPOCH_KEY: str(epoch_id), QUERY_KEY: query_id})
+            if s.snapshot_id == snap.snapshot_id else s
+            for s in m.snapshots
+        )
+        t._commit_metadata(_r(m, snapshots=snaps))
+
+    return fn
+
+
 def write_stream_to_table(stream_df: DataFrame, table, mode: str = "append",
                           keys: Optional[list] = None, query_id: str = "stream",
                           checkpoint_dir: Optional[str] = None, trigger: Optional[dict] = None):

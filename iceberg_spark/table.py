@@ -168,6 +168,12 @@ class Table:
 
         return MergeBuilder(self, source, on)
 
+    def upsert(self, df: DataFrame, keys: list, branch: str = MAIN_BRANCH) -> Snapshot:
+        """Equality-delete upsert: no target read (row_ops.equality_upsert)."""
+        from .row_ops import equality_upsert
+
+        return equality_upsert(self, df, keys, branch=branch)
+
     def add_files(self, paths: Union[str, list], branch: str = MAIN_BRANCH) -> Snapshot:
         """Metadata-only import of existing parquet files (no rewrite) —
         the `add_files` procedure / TableMigrationUtil path."""

@@ -1,0 +1,75 @@
+"""Equality deletes (format/spec.md:1415): writer, sequence scoping,
+target-read-free upsert, plan-time key-range pruning."""
+
+from pyspark.sql import Row
+
+from iceberg_spark.expressions import col
+from iceberg_spark.row_ops import equality_upsert
+
+
+def _seed(catalog, spark, ident="eq.t"):
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(10)])
+    t = catalog.create_table(ident, df.schema)
+    t.append(df)
+    return t
+
+
+def test_equality_upsert_semantics(catalog, spark):
+    t = _seed(catalog, spark)
+    # upsert: replace ids 3,4 and add 100 — no target read
+    up = spark.createDataFrame(
+        [Row(id=3, v=300.0), Row(id=4, v=400.0), Row(id=100, v=1.0)])
+    t.upsert(up, keys=["id"])
+    raw = t.to_df().collect()
+    assert len(raw) == 11  # no duplicate key rows survive
+    rows = {r.id: r.v for r in raw}
+    assert rows[3] == 300.0 and rows[4] == 400.0 and rows[100] == 1.0
+    # second upsert hits rows written by the first (seq scoping chain)
+    t.upsert(spark.createDataFrame([Row(id=3, v=333.0)]), keys=["id"])
+    raw = t.to_df().collect()
+    assert len(raw) == 11
+    assert {r.id: r.v for r in raw}[3] == 333.0
+
+
+def test_eq_delete_files_in_plan(catalog, spark):
+    t = _seed(catalog, spark, "eq.plan")
+    t.upsert(spark.createDataFrame([Row(id=5, v=55.0)]), keys=["id"])
+    plan = t.scan().plan_files()
+    assert len(plan.eq_deletes) == 1
+    d = plan.eq_deletes[0].file
+    assert d.equality_ids and d.record_count == 1
+    # key stats present -> range scoping possible
+    assert d.stats["id"][0] == 5 and d.stats["id"][1] == 5
+
+
+def test_eq_delete_key_range_pruning(catalog, spark):
+    df = spark.createDataFrame([Row(id=i, p=i // 5, v=float(i)) for i in range(10)])
+    t = catalog.create_table("eq.part", df.schema, partition_by=["p"])
+    t.append(df)
+    # upsert touches only ids 0..2 (partition 0's range)
+    t.upsert(spark.createDataFrame(
+        [Row(id=i, p=0, v=-1.0) for i in range(3)]), keys=["id"])
+    # scan of partition 1 (ids 5..9): delete file's id range [0,2] is
+    # disjoint -> planner must drop it
+    plan = t.scan(filter=col("p") == 1).plan_files()
+    assert plan.report.result_delete_files == 0
+    rows = t.scan(filter=col("p") == 1).df().collect()
+    assert sorted(r.v for r in rows) == [5.0, 6.0, 7.0, 8.0, 9.0]
+    # partition 0 applies it
+    rows0 = {r.id: r.v for r in t.scan(filter=col("p") == 0).df().collect()}
+    assert rows0[0] == -1.0 and rows0[3] == 3.0
+
+
+def test_equality_upsert_sink_idempotent(catalog, spark):
+    t = _seed(catalog, spark, "eq.sink")
+    from iceberg_spark.streaming import equality_upsert_sink
+
+    fn = equality_upsert_sink(t, keys=["id"], query_id="q1")
+    batch = spark.createDataFrame([Row(id=1, v=11.0), Row(id=200, v=2.0)])
+    fn(batch, 0)
+    fn(batch, 0)  # same epoch replayed -> no-op
+    t = catalog.load_table("eq.sink")
+    rows = {r.id: r.v for r in t.to_df().collect()}
+    assert rows[1] == 11.0 and rows[200] == 2.0 and len(rows) == 11
+    assert len(t.snapshots()) == 2  # seed + one upsert commit
