@@ -23,7 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import expressions as E
-from .manifests import DATA, DELETED as ST_DELETED, read_manifest, read_manifest_list
+from .manifests import (DATA, DELETED as ST_DELETED, EQUALITY_DELETES,
+                        POSITION_DELETES, read_manifest, read_manifest_list)
 from .scan import FILE_PATH_COL, POS_COL, ScanPlan, ScanReport, TableScan, plan_to_df
 
 INSERT, DELETE = "INSERT", "DELETE"
@@ -124,28 +125,40 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
         removed = [prev_live[p] for p in prev_live.keys() - cur_live.keys()]
         new_dels = [cur_deletes[p] for p in cur_deletes.keys() - prev_deletes.keys()]
 
+        def _split(dels):
+            vals = list(dels.values())
+            return ([d for d in vals if d.file.content == POSITION_DELETES],
+                    [d for d in vals if d.file.content == EQUALITY_DELETES])
+
         scan = TableScan(table, snapshot=snap)
         if added:
-            sub = ScanPlan(added, list(cur_deletes.values()), [], E.ALWAYS_TRUE, snap,
+            pos_c, eq_c = _split(cur_deletes)
+            sub = ScanPlan(added, pos_c, eq_c, E.ALWAYS_TRUE, snap,
                            ScanReport())
             df = plan_to_df(scan, sub, with_metadata_columns=False)
             pieces.append(_tag(df, cols, INSERT, ordinal, snap.snapshot_id))
         if removed:
             # rows of removed files as they were visible at the parent snapshot
+            pos_p, eq_p = _split(prev_deletes)
             pscan = TableScan(table, snapshot=prev_snap)
-            sub = ScanPlan(removed, list(prev_deletes.values()), [], E.ALWAYS_TRUE,
+            sub = ScanPlan(removed, pos_p, eq_p, E.ALWAYS_TRUE,
                            prev_snap, ScanReport())
             df = plan_to_df(pscan, sub, with_metadata_columns=False)
             pieces.append(_tag(df, cols, DELETE, ordinal, snap.snapshot_id))
         if new_dels:
-            # position-delete hits on files that survived: those rows died here
+            # delete-file hits on files that survived: those rows died here
             surviving = [e for e in prev_live.values()
                          if e.file.file_path in cur_live]
-            if surviving:
+            pos_new = [d for d in new_dels if d.file.content == POSITION_DELETES]
+            eq_new = [d for d in new_dels if d.file.content == EQUALITY_DELETES]
+            pos_p, eq_p = _split(prev_deletes)
+            if surviving and pos_new:
                 pscan = TableScan(table, snapshot=prev_snap)
-                sub = ScanPlan(surviving, [], [], E.ALWAYS_TRUE, prev_snap, ScanReport())
+                # apply prev deletes so already-dead rows don't re-report
+                sub = ScanPlan(surviving, pos_p, eq_p, E.ALWAYS_TRUE,
+                               prev_snap, ScanReport())
                 base = plan_to_df(pscan, sub, with_metadata_columns=True)
-                dels = spark.read.parquet(*[d.file.file_path for d in new_dels]) \
+                dels = spark.read.parquet(*[d.file.file_path for d in pos_new]) \
                     .select(F.col("file_path").alias("__df"), F.col("pos").alias("__dp"))
                 hit = base.join(
                     dels,
@@ -153,6 +166,27 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
                     "left_semi",
                 ).select(*cols)
                 pieces.append(_tag(hit, cols, DELETE, ordinal, snap.snapshot_id))
+            if surviving and eq_new:
+                # equality deletes kill every prior-visible row matching the
+                # keys (data.seq < delete.seq): semi-join per key set
+                pscan = TableScan(table, snapshot=prev_snap)
+                sub = ScanPlan(surviving, pos_p, eq_p, E.ALWAYS_TRUE,
+                               prev_snap, ScanReport())
+                base = plan_to_df(pscan, sub, with_metadata_columns=False)
+                schema = table.schema
+                by_ids: dict = {}
+                for d in eq_new:
+                    by_ids.setdefault(tuple(sorted(d.file.equality_ids)), []).append(d)
+                for ids, dels_ in by_ids.items():
+                    key_cols = [schema.field_by_id(i).name for i in ids]
+                    dd = spark.read.parquet(*[d.file.file_path for d in dels_]) \
+                        .select(*[F.col(k).alias(f"__k{i}")
+                                  for i, k in enumerate(key_cols)])
+                    cond = F.lit(True)
+                    for i, k in enumerate(key_cols):
+                        cond = cond & base[k].eqNullSafe(F.col(f"__k{i}"))
+                    hit = base.join(dd, cond, "left_semi").select(*cols)
+                    pieces.append(_tag(hit, cols, DELETE, ordinal, snap.snapshot_id))
 
         prev_live, prev_deletes = cur_live, cur_deletes
         prev_snap = snap

@@ -73,3 +73,21 @@ def test_equality_upsert_sink_idempotent(catalog, spark):
     rows = {r.id: r.v for r in t.to_df().collect()}
     assert rows[1] == 11.0 and rows[200] == 2.0 and len(rows) == 11
     assert len(t.snapshots()) == 2  # seed + one upsert commit
+
+
+def test_changelog_over_equality_upsert(catalog, spark):
+    t = _seed(catalog, spark, "eq.cdc")
+    first = t.current_snapshot().snapshot_id
+    t.upsert(spark.createDataFrame([Row(id=2, v=22.0), Row(id=50, v=5.0)]),
+             keys=["id"])
+    ch = t.changes(from_snapshot_id=first).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r._change_type, []).append((r.id, r.v))
+    assert sorted(by_type["INSERT"]) == [(2, 22.0), (50, 5.0)]
+    assert by_type["DELETE"] == [(2, 2.0)]  # old row killed by the eq delete
+    # update pairing turns the delete+insert on id=2 into UPDATE_BEFORE/AFTER
+    ch2 = t.changes(from_snapshot_id=first, compute_updates=True,
+                    identifier_columns=["id"]).collect()
+    types = {r._change_type for r in ch2 if r.id == 2}
+    assert types == {"UPDATE_BEFORE", "UPDATE_AFTER"}
