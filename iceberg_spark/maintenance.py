@@ -411,18 +411,32 @@ def _write_dvs(table, kept) -> list:
 
 
 def compute_table_stats(table, columns=None) -> dict:
-    """NDV per column via approx_count_distinct (HLL++), stored as a stats
-    file registered in table metadata — the Theta-sketch/Puffin analog
-    (NDVSketchUtil.java:52-59, ComputeTableStatsSparkAction.java)."""
+    """NDV per column as mergeable Theta sketches (theta_sketch_agg), the
+    Puffin `apache-datasketches-theta-v1` blob analog (NDVSketchUtil.java:
+    52-59, ComputeTableStatsSparkAction.java); sketch bytes are stored so
+    partial sketches can be unioned across incremental stat runs. Falls
+    back to approx_count_distinct when the sketch agg is unavailable."""
     schema = table.schema
     cols = columns or [f.name for f in schema.fields if isinstance(f.type, str)]
     df = table.to_df()
-    row = df.agg(*[F.approx_count_distinct(c).alias(c) for c in cols]).collect()[0]
     snap = table.metadata.current_snapshot()
+    blobs = {}
+    try:
+        sk = df.agg(*[F.theta_sketch_agg(c).alias(c) for c in cols]).collect()[0]
+        est = df.agg(*[F.theta_sketch_estimate(F.theta_sketch_agg(c)).alias(c)
+                       for c in cols]).collect()[0]
+        ndv = {c: int(est[c]) for c in cols}
+        blobs = {c: bytes(sk[c]).hex() for c in cols}
+        stype = "apache-datasketches-theta-v1"
+    except Exception:
+        row = df.agg(*[F.approx_count_distinct(c).alias(c) for c in cols]).collect()[0]
+        ndv = {c: row[c] for c in cols}
+        stype = "apache-datasketches-theta-v1-analog(hll)"
     stats = {
         "snapshot-id": snap.snapshot_id if snap else None,
-        "type": "apache-datasketches-theta-v1-analog(hll)",
-        "ndv": {c: row[c] for c in cols},
+        "type": stype,
+        "ndv": ndv,
+        "sketches": blobs,
     }
     sdir = os.path.join(table.location, "metadata", "stats")
     os.makedirs(sdir, exist_ok=True)

@@ -41,6 +41,11 @@ def _ensure_conf(spark: SparkSession):
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # right-size shuffles for the bench scales (driver sessions default
+        # to 200 partitions; AQE coalesces but the floor matters on small SF)
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        if int(spark.conf.get("spark.sql.shuffle.partitions", "200")) > 64:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:
         pass
 

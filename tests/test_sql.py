@@ -187,3 +187,27 @@ def test_namespaces_and_show_tables(seeded, catalog):
     assert [(r.namespace, r.tableName) for r in rows] == [("db", "t")]
     catalog.sql("DROP NAMESPACE analytics")
     assert not catalog.namespace_exists("analytics")
+
+
+def test_system_functions_match_transforms(spark):
+    from iceberg_spark.functions import register_system_functions
+    from iceberg_spark.transforms import Bucket, TimeTransform, Truncate
+
+    register_system_functions(spark)
+    r = spark.sql(
+        "SELECT iceberg_bucket(16, 34L) AS b, iceberg_bucket(16, 'abc') AS bs, "
+        "iceberg_truncate(10, 37L) AS tr, iceberg_truncate(10, -3L) AS trn, "
+        "iceberg_truncate_str(2, 'hello') AS trs, "
+        "iceberg_years(TIMESTAMP '2024-06-05 10:00:00') AS y, "
+        "iceberg_months(TIMESTAMP '2024-06-05 10:00:00') AS m, "
+        "iceberg_hours(TIMESTAMP '1970-01-02 03:00:00') AS h, "
+        "iceberg_version() AS v").collect()[0]
+    assert r.b == Bucket(16).apply(34, "long")
+    assert r.bs == Bucket(16).apply("abc", "string")
+    assert r.tr == Truncate(10).apply(37, "long") == 30
+    assert r.trn == Truncate(10).apply(-3, "long") == -10
+    assert r.trs == "he"
+    assert r.y == TimeTransform("year").apply("2024-06-05T10:00:00", "timestamp")
+    assert r.m == TimeTransform("month").apply("2024-06-05T10:00:00", "timestamp")
+    assert r.h == 27
+    assert "iceberg" in r.v
