@@ -447,9 +447,43 @@ def sql_q6_revenue(spark, sf_dir):
         f"AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24")
 
 
+def upsert_eq_scan(spark, sf_dir):
+    """Equality-delete upsert (no target read, row_ops.equality_upsert):
+    replace every o_orderkey % 3 == 0 row with a doubled price and read
+    back — exercises eq-delete write, sequence scoping, and the keyed
+    anti-join at scan."""
+    key = ("equpsert", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"equpsert_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table(ident, df.schema)
+        t.append(df)
+        batch = (df.filter(F.col("o_orderkey") % 3 == 0)
+                   .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 2, 2)))
+        t.upsert(batch, keys=["o_orderkey"])
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+UPSERT_EQ_SQL = """
+SELECT COUNT(*) AS n,
+       ROUND(SUM(CASE WHEN o_orderkey % 3 = 0
+                      THEN ROUND(o_totalprice * 2, 2)
+                      ELSE o_totalprice END), 2) AS total
+FROM orders
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "sql_q6_revenue": (sql_q6_revenue, Q6_SQL),
+    "upsert_eq_scan": (upsert_eq_scan, UPSERT_EQ_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_revenue": (q6_revenue, Q6_SQL),
