@@ -223,53 +223,76 @@ def dedup_minhash_lsh(spark, sf_dir):
 # md5(t); vote = +-1 from bit (b mod 4) of that nibble. The doc's simhash
 # bit is 1 iff the token votes sum >= 0. Expressed with instr/md5/floor in
 # both engines so values match bit-for-bit.
-_VOTE_EXPR = (
-    "transform(sequence(0, 63), b -> named_struct('b', b, 'v', "
-    "2 * (cast(floor((instr('0123456789abcdef', "
-    "substring(md5(t), (b div 4) + 1, 1)) - 1) / power(2, b % 4)) as int) % 2) - 1))"
-)
+def _simhash_udf():
+    """64-bit SimHash signature, one Arrow batch at a time.
 
+    Matches the oracle's bit function exactly: bit b's vote for token t is
+    +-1 from bit (b%4) of hex digit (b//4) of md5(t). The old formulation
+    exploded 64 (doc, bit) rows per token through a shuffle — the hash and
+    vote accumulation are per-document local, so they belong in one
+    mapPartitions-style UDF (SURVEY: Pandas UDFs for what built-ins can't
+    express without a blowup)."""
+    import hashlib
 
-def _simhash_bits(corpus):
-    tok = corpus.select(
-        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
-    )
-    votes = tok.select(
-        "doc_id", F.explode(F.expr(_VOTE_EXPR)).alias("bv")
-    ).select("doc_id", F.col("bv.b").alias("b"), F.col("bv.v").alias("v"))
-    return (
-        votes.groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("s"))
-        .select("doc_id", "b", F.when(F.col("s") >= 0, 1).otherwise(0).alias("bit"))
-    )
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    b_idx = np.arange(64) // 4
+    b_shift = (np.arange(64) % 4).astype(np.uint8)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+
+    @pandas_udf("long")
+    def simhash(tok_arrays):
+        import pandas as pd
+
+        out = []
+        for toks in tok_arrays:
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = hashlib.md5(t.encode()).digest()[:8]
+                byts = np.frombuffer(h, dtype=np.uint8)
+                nibs = np.empty(16, np.uint8)
+                nibs[0::2] = byts >> 4
+                nibs[1::2] = byts & 0xF
+                bits = (nibs[b_idx] >> b_shift) & 1
+                acc += 2 * bits.astype(np.int64) - 1
+            sig = np.sum(weights[acc >= 0], dtype=np.uint64)
+            out.append(int(sig.view(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return simhash
 
 
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs with hamming distance <= 3.
 
-    Banding: the 64 bits fold into 4 x 16-bit chunk values; hamming<=3
+    Banding: the 64-bit signature folds into 4 x 16-bit chunks; hamming<=3
     pairs must agree on >=1 chunk (pigeonhole), so candidates come from a
     join on (chunk_idx, chunk_value) — never an all-pairs comparison.
+    Verification is bit_count(sig_a XOR sig_b), whole-stage codegen'd.
     """
-    bits = _simhash_bits(dedup_corpus(spark, sf_dir)).cache()
-    chunks = (
-        bits.groupBy("doc_id", (F.col("b") / 16).cast("int").alias("c"))
-        .agg(F.sum(F.col("bit") * F.pow(F.lit(2.0), F.col("b") % 16)).alias("cv"))
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.cv") == F.col("b.cv"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    ba = bits.select(F.col("doc_id").alias("doc_a"), "b", F.col("bit").alias("bit_a"))
-    bb = bits.select(F.col("doc_id").alias("doc_b"), "b", F.col("bit").alias("bit_b"))
+    sig = (dedup_corpus(spark, sf_dir)
+           .select("doc_id",
+                   _simhash_udf()(F.array_distinct(tokens(F.col("text"))))
+                   .alias("sig")))
+    chunks = sig.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("c"),
+                     (F.shiftrightunsigned(F.col("sig"), 16 * c)
+                      .bitwiseAND(F.lit(0xFFFF))).alias("cv"))
+            for c in range(4)])).alias("ch"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+                      F.col("ch.c").alias("c"), F.col("ch.cv").alias("cv"))
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+                      F.col("ch.c").alias("c"), F.col("ch.cv").alias("cv"))
     return (
-        cand.join(ba, "doc_a").join(bb, ["doc_b", "b"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.when(F.col("bit_a") != F.col("bit_b"), 1).otherwise(0))
-             .alias("hamming"))
+        a.join(b, ["c", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+                .alias("hamming"))
+        .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
