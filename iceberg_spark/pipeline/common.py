@@ -44,15 +44,24 @@ def tokens_sql(col: str = "text") -> str:
 def shingles(w, n: int = 3) -> F.Column:
     """Distinct word n-grams of a token array (MinHash/Jaccard unit).
 
-    JVM-side: transform over an index sequence + slice + array_join —
-    no Python UDF in the hot path.
+    Arrow-batched Pandas UDF: the transform+slice+array_join formulation
+    runs interpreted (higher-order functions don't whole-stage-codegen)
+    and costs ~len(tokens) array materializations per document — the
+    string joins are cheaper in one vectorized Python pass per batch.
+    First-occurrence dedupe matches array_distinct/list_distinct.
     """
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - (n - 1), F.lit(0))),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        )
-    )
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def sh(tok_arrays):
+        def one(toks):
+            m = max(len(toks) - (n - 1), 0)
+            return list(dict.fromkeys(
+                " ".join(toks[i:i + n]) for i in range(m)))
+
+        return tok_arrays.apply(one)
+
+    return sh(w)
 
 
 def shingles_sql(w: str, n: int = 3) -> str:

@@ -84,14 +84,21 @@ def _shingle_sets(corpus):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact pairwise Jaccard over distinct word 3-grams.
 
-    Candidate pairs come from an inverted-index self-join (docs sharing at
-    least one shingle) — at scale you additionally df-cap hot shingles;
-    here the vocabulary is small enough that the posting join is exact.
-    """
-    sets = _shingle_sets(dedup_corpus(spark, sf_dir))
+    Inverted-index self-join: docs sharing a shingle pair up and the
+    match count IS the intersection size, so Jaccard falls out of one
+    groupBy plus broadcast size joins. Cost is sum(df^2) over shingles;
+    at corpus scale a df-cap on hot shingles bounds it (they carry no
+    near-dup signal). Shingling itself is the Arrow-batched UDF in
+    common.shingles, materialized once via cache."""
+    sets = _shingle_sets(dedup_corpus(spark, sf_dir)).cache()
+    sets.count()  # materialize the (Pandas-UDF) shingling once
     posts = sets.select("doc_id", F.explode("sh").alias("shingle"))
     sizes = sets.select("doc_id", F.size("sh").alias("sz"))
     a, b = posts.alias("a"), posts.alias("b")
+    # intersection sizes straight from the inverted-index self-join: one
+    # shuffle by shingle + one groupBy — cost is sum(df^2) over shingles,
+    # which a df-cap bounds at corpus scale (hot shingles carry no
+    # near-dup signal); per-pair array re-intersection is strictly slower
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -102,7 +109,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(sa, "doc_a").join(sb, "doc_b")
+        inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
         .select("doc_a", "doc_b", F.round(jacc, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_T)
         .orderBy("doc_a", "doc_b")
