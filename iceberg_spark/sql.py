@@ -440,12 +440,17 @@ class SqlEngine:
             if vm is not None:
                 inner = self._resolve(vm.sql, _depth + 1)
                 return f"({inner})"
-            fm = V.load_function(self.catalog, ident.split(".")[-1]) \
-                if "." not in ident else V.load_function(self.catalog, ident)
+            fm = V.load_function(self.catalog, ident)
             if fm is None and "." not in ident:
-                fm = V.load_function(self.catalog, ident)
+                # bare name -> unique stored function with that final part
+                hits = [f for f in V.list_functions(self.catalog)
+                        if f.split(".")[-1] == ident]
+                if len(hits) == 1:
+                    fm = V.load_function(self.catalog, hits[0])
             if fm is not None:
-                return V.materialize_function(self.spark, fm)
+                return V.materialize_function(
+                    self.spark, fm,
+                    resolver=lambda b: self._resolve(b, _depth + 1))
             return ident
 
         # only rewrite identifiers in FROM/JOIN-ish positions and function
@@ -1085,5 +1090,6 @@ class SqlEngine:
                 params.append((n, t))
         meta = V.create_function(self.catalog, ident, params, ret.strip(),
                                  body.strip(), replace=bool(replace_))
-        V.materialize_function(self.spark, meta)
+        V.materialize_function(self.spark, meta,
+                               resolver=lambda b: self._resolve(b))
         return self._empty()

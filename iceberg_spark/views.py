@@ -261,17 +261,21 @@ def list_functions(catalog) -> list:
 
 
 def materialize_function(spark, meta: FunctionMetadata,
-                         version_id: Optional[int] = None):
-    """Register a stored SQL function for the session (Spark 4 SQL UDF:
-    CREATE OR REPLACE TEMPORARY FUNCTION f(x T) RETURNS T RETURN expr)."""
+                         version_id: Optional[int] = None, resolver=None):
+    """Register a stored SQL function for the session (Spark 4 SQL UDF /
+    UDTF: CREATE OR REPLACE TEMPORARY FUNCTION f(x T) RETURNS T|TABLE(...)
+    RETURN body). `resolver` rewrites engine-table / view references in
+    the body (the SQL engine passes its identifier resolution) — bodies
+    are stored raw so they stay portable across sessions."""
     v = meta.current_version if version_id is None else next(
         x for x in meta.versions if x.version_id == version_id)
     if v.dialect != "spark":
         raise ValueError(f"cannot materialize dialect {v.dialect!r} in Spark")
     name = meta.identifier.split(".")[-1]
     sig = ", ".join(f"{n} {t}" for n, t in v.params)
+    body = resolver(v.body) if resolver is not None else v.body
     spark.sql(
         f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
-        f"RETURNS {v.return_type} RETURN {v.body}"
+        f"RETURNS {v.return_type} RETURN {body}"
     )
     return name

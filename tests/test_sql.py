@@ -211,3 +211,12 @@ def test_system_functions_match_transforms(spark):
     assert r.m == TimeTransform("month").apply("2024-06-05T10:00:00", "timestamp")
     assert r.h == 27
     assert "iceberg" in r.v
+
+
+def test_sql_table_function_udtf(seeded, catalog):
+    catalog.sql(
+        "CREATE FUNCTION db.cat_stats(minv DOUBLE) "
+        "RETURNS TABLE (cat STRING, n BIGINT) "
+        "RETURN SELECT cat, COUNT(*) AS n FROM db.t WHERE v >= minv GROUP BY cat")
+    rows = catalog.sql("SELECT * FROM cat_stats(3.0) ORDER BY cat").collect()
+    assert [(r.cat, r.n) for r in rows] == [("b", 2)]
