@@ -502,17 +502,22 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
             if st is None:
                 agg[name] = [None, None, None, None, None]
                 continue
-            if agg[name][2] is not None and st.null_count is not None:
-                agg[name][2] += st.null_count
-            else:
-                agg[name][2] = None
-            if st.has_min_max:
-                mn = _normalize(st.min, ntype[name])
-                mx = _normalize(st.max, ntype[name])
-                if agg[name][0] is None or (mn is not None and mn < agg[name][0]):
-                    agg[name][0] = mn
-                if agg[name][1] is None or (mx is not None and mx > agg[name][1]):
-                    agg[name][1] = mx
+            try:
+                if agg[name][2] is not None and st.null_count is not None:
+                    agg[name][2] += st.null_count
+                else:
+                    agg[name][2] = None
+                if st.has_min_max:
+                    mn = _normalize(st.min, ntype[name])
+                    mx = _normalize(st.max, ntype[name])
+                    if agg[name][0] is None or (mn is not None and mn < agg[name][0]):
+                        agg[name][0] = mn
+                    if agg[name][1] is None or (mx is not None and mx > agg[name][1]):
+                        agg[name][1] = mx
+            except Exception:
+                # pyarrow can't decode stats for every physical type (e.g.
+                # some decimal encodings) — missing stats only cost pruning
+                agg[name] = [None, None, None, None, None]
     num_rows = md.num_rows
     # nan_value_counts for float/double columns (parquet footers exclude
     # NaN from bounds but don't count them; the reference collects these

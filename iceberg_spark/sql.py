@@ -1025,17 +1025,62 @@ class SqlEngine:
             t.append(df)
         return self._empty()
 
+    @staticmethod
+    def _balanced(s: str, i: int):
+        """s[i] must be '('; return (inner_text, index_after_close) honoring
+        nesting and quoted strings."""
+        depth, in_str, j = 0, False, i
+        while j < len(s):
+            ch = s[j]
+            if in_str:
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    return s[i + 1:j], j + 1
+            j += 1
+        raise ValueError(f"unbalanced parentheses: {s[i:i+40]!r}")
+
     def _create_table(self, s: str) -> DataFrame:
-        m = re.match(
-            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
-            r"(?:\((.*?)\)\s*)?(?:USING\s+\w+\s*)?"
-            r"(?:PARTITIONED\s+BY\s*\(([^)]*)\)\s*)?"
-            r"(?:TBLPROPERTIES\s*\((.*?)\)\s*)?"
-            r"(?:AS\s+(.*))?$",
-            s, re.I | re.S)
-        ident, coldefs, partby, props, select = m.groups()
+        # hand-scanned (not one regex): coldefs / PARTITIONED BY / TBLPROPERTIES
+        # all allow nested parens like days(ts) or decimal(10,2)
+        m = re.match(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*",
+                     s, re.I)
+        ident = m.group(1)
+        rest = s[m.end():].strip()
+        coldefs = partby = props = select = None
+        if rest.startswith("("):
+            coldefs, j = self._balanced(rest, 0)
+            rest = rest[j:].strip()
+        while rest:
+            mu = re.match(r"USING\s+\w+\s*", rest, re.I)
+            if mu:
+                rest = rest[mu.end():].strip()
+                continue
+            mp = re.match(r"PARTITIONED\s+BY\s*", rest, re.I)
+            if mp:
+                partby, j = self._balanced(rest, rest.index("(", mp.end() - 1))
+                rest = rest[j:].strip()
+                continue
+            mt = re.match(r"TBLPROPERTIES\s*", rest, re.I)
+            if mt:
+                props, j = self._balanced(rest, rest.index("(", mt.end() - 1))
+                rest = rest[j:].strip()
+                continue
+            ma = re.match(r"AS\s+", rest, re.I)
+            if ma:
+                select = rest[ma.end():]
+                rest = ""
+                continue
+            raise ValueError(f"cannot parse CREATE TABLE near: {rest[:40]!r}")
         exists_ok = bool(re.search(r"IF\s+NOT\s+EXISTS", s, re.I))
-        partition_by = ([p.strip() for p in partby.split(",")] if partby else None)
+        partition_by = ([p.strip() for p in self._split_args(partby)]
+                        if partby else None)
         properties = {}
         if props:
             for part in self._split_args(props):
