@@ -220,3 +220,18 @@ def test_sql_table_function_udtf(seeded, catalog):
         "RETURN SELECT cat, COUNT(*) AS n FROM db.t WHERE v >= minv GROUP BY cat")
     rows = catalog.sql("SELECT * FROM cat_stats(3.0) ORDER BY cat").collect()
     assert [(r.cat, r.n) for r in rows] == [("b", 2)]
+
+
+def test_create_table_nested_parens_and_decimal(catalog):
+    catalog.sql(
+        "CREATE TABLE db.nested (id BIGINT, ts TIMESTAMP, d DECIMAL(10,2)) "
+        "PARTITIONED BY (days(ts), bucket(4, id)) "
+        "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    t = catalog.load_table("db.nested")
+    assert [f.name for f in t.spec.fields] == ["ts_day", "id_bucket_4"]
+    assert t.properties["write.delete.mode"] == "merge-on-read"
+    # decimal stats must not break the append (pyarrow footer limitation)
+    catalog.sql("INSERT INTO db.nested SELECT 7L, "
+                "TIMESTAMP '2026-01-02 00:00:00', CAST(1.25 AS DECIMAL(10,2))")
+    rows = catalog.sql("SELECT id, d FROM db.nested").collect()
+    assert len(rows) == 1 and float(rows[0].d) == 1.25
