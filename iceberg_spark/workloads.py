@@ -197,8 +197,8 @@ def q5_local_supplier(spark, sf_dir):
     cust = _ldf(spark, sf_dir, "customer")
     supp = _ldf(spark, sf_dir, "supplier")
     orders = engine_table(spark, sf_dir, "orders").scan(
-        filter=E.and_(col("o_orderdate") >= "1994-01-01T00:00:00",
-                      col("o_orderdate") < "1995-01-01T00:00:00")
+        filter=E.and_(col("o_orderdate") >= "1996-01-01T00:00:00",
+                      col("o_orderdate") < "1997-01-01T00:00:00")
     ).df()
     li = _ldf(spark, sf_dir, "lineitem")
     j = (
@@ -224,8 +224,8 @@ WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
   AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
   AND r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name ASC
 """

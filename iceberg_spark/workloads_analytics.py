@@ -651,30 +651,35 @@ GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
 
 
 def q22_global_sales_opportunity(spark, sf_dir):
-    """Well-funded customers with no orders, by 'country code' (TPC-H q22
-    adapted: code = c_nationkey % 5, no phone column in testdata)."""
+    """Well-funded, low-activity customers by 'country code' (TPC-H q22
+    adapted to testdata: code = c_nationkey % 5, no phone column; every
+    synthetic customer has orders, so 'no orders' becomes 'fewer than 6
+    orders' to keep the anti-join-shaped correlation non-vacuous)."""
     cust = engine_table(spark, sf_dir, "customer").to_df()
     orders = _ldf(spark, sf_dir, "orders")
     codes = cust.withColumn("cntrycode", (F.col("c_nationkey") % 5).cast("int")) \
                 .filter(F.col("cntrycode").isin(0, 1, 2))
     avg_bal = codes.filter(F.col("c_acctbal") > 0.0) \
                    .agg(F.round(F.avg("c_acctbal"), 2).alias("ab"))
+    oc = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
     rich = codes.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
-    no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
-    return (no_orders.groupBy("cntrycode")
+    low = (rich.join(oc, rich.c_custkey == oc.o_custkey, "left")
+           .filter(F.coalesce(F.col("n_orders"), F.lit(0)) < 6))
+    return (low.groupBy("cntrycode")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
             .orderBy("cntrycode"))
 
 
 Q22_SQL = """
+WITH oc AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
 SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode, COUNT(*) AS numcust,
        ROUND(SUM(c_acctbal), 2) AS totacctbal
-FROM customer
+FROM customer LEFT JOIN oc ON o_custkey = c_custkey
 WHERE c_nationkey % 5 IN (0, 1, 2)
   AND c_acctbal > (SELECT ROUND(AVG(c_acctbal), 2) FROM customer
                    WHERE c_acctbal > 0.0 AND c_nationkey % 5 IN (0, 1, 2))
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND COALESCE(n_orders, 0) < 6
 GROUP BY cntrycode ORDER BY cntrycode
 """
 
