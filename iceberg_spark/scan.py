@@ -738,8 +738,11 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         pos_df = spark.read.parquet(*del_paths).select(
             F.col("file_path").alias("__del_file"), F.col("pos").alias("__del_pos")
         )
+        # delete sets attached to a pruned scan are small by construction
+        # (plan-time file-range pruning); broadcast keeps the anti-join
+        # shuffle-free regardless of autoBroadcast threshold estimation
         out = out.join(
-            pos_df,
+            F.broadcast(pos_df),
             (F.col(FILE_PATH_COL) == F.col("__del_file")) & (F.col(POS_COL) == F.col("__del_pos")),
             "left_anti",
         )
