@@ -327,7 +327,8 @@ bits AS (
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+         CAST(SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming
   FROM bits a JOIN bits b ON a.b = b.b AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

@@ -62,7 +62,10 @@ def media_stats(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.length("payload")).alias("total_bytes"),
-            F.round(F.avg(F.length("payload")), 2).alias("avg_bytes"),
+            # half-up via floor so Spark and the DuckDB oracle round the
+            # same way regardless of each engine's ROUND tie convention
+            (F.floor(F.avg(F.length("payload")) * 100 + F.lit(0.5)) / 100)
+            .alias("avg_bytes"),
             F.max(F.length("payload")).alias("max_bytes"),
         )
         .orderBy("kind")
@@ -71,8 +74,8 @@ def media_stats(spark, sf_dir):
 
 MEDIA_STATS_SQL = f"""
 SELECT {_KIND_SQL} AS kind, COUNT(*) AS n,
-       SUM(octet_length(encode(text))) AS total_bytes,
-       ROUND(AVG(octet_length(encode(text))), 2) AS avg_bytes,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       FLOOR(AVG(octet_length(encode(text))) * 100 + 0.5) / 100 AS avg_bytes,
        MAX(octet_length(encode(text))) AS max_bytes
 FROM documents GROUP BY 1 ORDER BY kind
 """

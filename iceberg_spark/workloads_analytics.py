@@ -330,7 +330,9 @@ sess AS (
            AS sess_id
   FROM flagged
 )
-SELECT user_id, MAX(sess_id) + 1 AS n_sessions, COUNT(*) AS n_events
+SELECT user_id,
+       CAST(MAX(sess_id) + 1 AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 

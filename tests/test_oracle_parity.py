@@ -67,6 +67,21 @@ def test_query_matches_oracle(spark, name):
         if not all(_close(x, y) for x, y in zip(a, b))
     ]
     assert not mismatches, f"value mismatches (first 3): {mismatches[:3]}"
+    # The driver's value hash is type-sensitive: DuckDB HUGEINT (e.g. SUM of
+    # ints) lands in pandas as float64 and stringifies as "56.0" vs Spark's
+    # "56". Catch int-vs-float divergence here so it never reaches the gate.
+    duck_pdf = con.execute(sql).df()
+    spark_types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    INTS = {"bigint", "int", "smallint", "tinyint"}
+    FLOATS = {"double", "float"}
+    for c in duck_cols:
+        st = spark_types[c]
+        dk = duck_pdf[c].dtype.kind
+        if st in INTS | FLOATS and dk in "if":
+            assert (dk == "f") == (st in FLOATS), (
+                f"dtype kind mismatch on {c}: duck={duck_pdf[c].dtype} "
+                f"spark={st} — cast the oracle (HUGEINT?) or the query"
+            )
 
 
 def _close(a, b):
