@@ -632,6 +632,56 @@ def _stats_filter_column(bound: E.Expr, schema: Schema, df: DataFrame):
 # read path: plan -> DataFrame
 # ---------------------------------------------------------------------------
 
+# Tiered pos-delete application (the DeleteFilter.java:188 analog, sized by
+# plan metadata — no data read needed to decide):
+#   <= driver limit   -> driver pyarrow read, run-length ranges, codegen filter
+#   <= broadcast limit-> executor read + broadcast hash anti-join
+#   above             -> shuffled hash anti-join (no executor holds it all)
+POS_DELETE_DRIVER_BYTES = 16 * 1024 * 1024
+POS_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
+POS_DELETE_MAX_LITERAL_RANGES = 256
+
+
+def _conf_int(spark, key: str, default: int) -> int:
+    v = spark.conf.get(key, None)
+    return int(v) if v is not None else default
+
+
+def _pos_delete_bytes(plan: ScanPlan) -> int:
+    return sum(d.file.file_size_in_bytes or 0 for d in plan.pos_deletes)
+
+
+def _pos_delete_ranges(plan: ScanPlan):
+    """Driver-side read of a small pos-delete set, compressed to per-file
+    contiguous position runs (the RoaringPositionBitmap 'run' analog,
+    core/.../deletes/RoaringPositionBitmap.java:51). Returns
+    [(file_path, lo, hi)] covering every deleted position of scanned files,
+    or None if the runs don't compress under the literal-filter cap."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    live = {e.file.file_path for e in plan.files}
+    cap = POS_DELETE_MAX_LITERAL_RANGES
+    by_file: dict = {}
+    for d in plan.pos_deletes:
+        t = pq.read_table(d.file.file_path, columns=["file_path", "pos"])
+        fps = t.column("file_path").to_pylist()
+        poss = t.column("pos").to_numpy(zero_copy_only=False)
+        for fp, p in zip(fps, poss):
+            if fp in live:
+                by_file.setdefault(fp, []).append(int(p))
+    ranges = []
+    for fp, plist in by_file.items():
+        pos = np.unique(np.asarray(plist, dtype=np.int64))
+        breaks = np.where(np.diff(pos) != 1)[0]
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [len(pos) - 1]))
+        for s, e in zip(starts, ends):
+            ranges.append((fp, int(pos[s]), int(pos[e])))
+            if len(ranges) > cap:
+                return None
+    return ranges
+
 
 def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False,
                with_lineage: bool = False) -> DataFrame:
@@ -640,8 +690,24 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
     schema = scan.schema
     read_cols = scan.columns or schema.column_names
 
+    # Decide the pos-delete strategy up front: a small delete set compresses
+    # to literal position runs, which (when nothing else needs metadata
+    # columns) are applied inside each file-group read on the raw _metadata
+    # struct — materializing _metadata.row_index per row costs ~25% of a
+    # narrow scan, so skip it when a codegen'd filter suffices.
+    pos_ranges = None
+    if plan.pos_deletes:
+        driver_limit = _conf_int(
+            spark, "spark.iceberg_spark.mor.posDeleteDriverBytes",
+            POS_DELETE_DRIVER_BYTES)
+        if _pos_delete_bytes(plan) <= driver_limit:
+            pos_ranges = _pos_delete_ranges(plan)
+    inline_pos_filter = (pos_ranges is not None and not with_metadata_columns
+                         and not with_lineage and not plan.eq_deletes)
+
     # _pos needs parquet's _metadata.row_index; _file works for any format
-    need_pos = with_metadata_columns or with_lineage or bool(plan.pos_deletes)
+    need_pos = (with_metadata_columns or with_lineage
+                or (bool(plan.pos_deletes) and not inline_pos_filter))
     need_meta = need_pos or bool(plan.eq_deletes)
 
     if not plan.files:
@@ -687,6 +753,17 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 + [_T.StructField(ROW_ID_COL, _T.LongType()),
                    _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType())])
         df = spark.read.schema(read_schema).format(ffmt).load(paths)
+        if inline_pos_filter and pos_ranges:
+            # apply position-delete runs on the raw metadata struct (URI
+            # form, e.g. file:/x) before projection — no join, no extra job,
+            # no per-row normalized-path materialization
+            deleted = None
+            for fp, lo, hi in pos_ranges:
+                u = "file:" + fp if fp.startswith("/") else fp
+                c = ((F.col("_metadata.file_path") == F.lit(u))
+                     & F.col("_metadata.row_index").between(lo, hi))
+                deleted = c if deleted is None else (deleted | c)
+            df = df.filter(~deleted)
         # map file columns -> current names by field id; fill missing with null
         by_id = {f.field_id: f for f in wschema.fields}
         sel = []
@@ -733,19 +810,47 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         out = out.filter(E.to_spark(plan.residual))
 
     # --- apply deletes (merge-on-read) -------------------------------------
-    if plan.pos_deletes:
-        del_paths = [d.file.file_path for d in plan.pos_deletes]
-        pos_df = spark.read.parquet(*del_paths).select(
-            F.col("file_path").alias("__del_file"), F.col("pos").alias("__del_pos")
-        )
-        # delete sets attached to a pruned scan are small by construction
-        # (plan-time file-range pruning); broadcast keeps the anti-join
-        # shuffle-free regardless of autoBroadcast threshold estimation
-        out = out.join(
-            F.broadcast(pos_df),
-            (F.col(FILE_PATH_COL) == F.col("__del_file")) & (F.col(POS_COL) == F.col("__del_pos")),
-            "left_anti",
-        )
+    if plan.pos_deletes and not inline_pos_filter:
+        if pos_ranges is not None:
+            # tiny delete set but metadata columns are materialized anyway
+            # (lineage/eq-deletes/user request): codegen filter on the
+            # normalized columns, still no join and no extra Spark job
+            deleted = None
+            for fp, lo, hi in pos_ranges:
+                c = (F.col(FILE_PATH_COL) == F.lit(fp)) & \
+                    F.col(POS_COL).between(lo, hi)
+                deleted = c if deleted is None else (deleted | c)
+            if deleted is not None:
+                out = out.filter(~deleted)
+        else:
+            bcast_limit = _conf_int(
+                spark, "spark.iceberg_spark.mor.posDeleteBroadcastBytes",
+                POS_DELETE_BROADCAST_BYTES)
+            total_bytes = _pos_delete_bytes(plan)
+            del_paths = [d.file.file_path for d in plan.pos_deletes]
+            # explicit schema: skips the inference job spark.read would run
+            pos_df = (
+                spark.read.schema("file_path string, pos long")
+                .parquet(*del_paths)
+                .select(F.col("file_path").alias("__del_file"),
+                        F.col("pos").alias("__del_pos"))
+            )
+            anti_cond = (
+                (F.col(FILE_PATH_COL) == F.col("__del_file"))
+                & (F.col(POS_COL) == F.col("__del_pos"))
+            )
+            # An unfiltered scan attaches every live delete file; at 10%
+            # deleted on a large table that is billions of (path, pos)
+            # rows — too big to ship to every executor. Below the
+            # threshold a broadcast hash anti-join is shuffle-free; above
+            # it a shuffled-hash anti-join keyed by (file, pos) keeps
+            # every executor's share bounded (both sides cluster
+            # naturally by file path).
+            if total_bytes <= bcast_limit:
+                out = out.join(F.broadcast(pos_df), anti_cond, "left_anti")
+            else:
+                out = out.join(pos_df.hint("shuffle_hash"), anti_cond,
+                               "left_anti")
 
     if plan.eq_deletes:
         # attach data sequence numbers per file (broadcast map), then

@@ -1,0 +1,97 @@
+"""Tiered position-delete application: the read path must pick its
+strategy from the plan's summed delete-file bytes (DeleteFilter.java:188
+analog) — literal codegen ranges for tiny sets, broadcast anti-join in the
+middle, shuffled-hash anti-join when the set is too big to ship to every
+executor. All three must return identical rows."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark.expressions import col
+
+DRIVER_KEY = "spark.iceberg_spark.mor.posDeleteDriverBytes"
+BCAST_KEY = "spark.iceberg_spark.mor.posDeleteBroadcastBytes"
+
+
+@pytest.fixture()
+def mor_table(catalog, spark):
+    df = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp"))
+    t = catalog.create_table(
+        "mor_strat", df.schema,
+        properties={"write.delete.mode": "merge-on-read"})
+    t.append(df)
+    # scattered deletes (every 10th id) -> many single-position runs
+    t.delete_where(col("id").isin(list(range(0, 1000, 10))),
+                   mode="merge-on-read")
+    return t
+
+
+def _clear(spark):
+    for k in (DRIVER_KEY, BCAST_KEY):
+        try:
+            spark.conf.unset(k)
+        except Exception:
+            pass
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_literal_range_path_no_join(mor_table, spark):
+    _clear(spark)
+    df = mor_table.to_df()
+    assert df.count() == 900
+    plan = _plan_str(df)
+    assert "Join" not in plan, f"tiny delete set must not join:\n{plan}"
+
+
+def test_broadcast_path(mor_table, spark):
+    spark.conf.set(DRIVER_KEY, "0")  # force past the driver-read tier
+    try:
+        df = mor_table.to_df()
+        plan = _plan_str(df)
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+        assert df.count() == 900
+    finally:
+        _clear(spark)
+
+
+def test_shuffled_path_above_threshold(mor_table, spark):
+    spark.conf.set(DRIVER_KEY, "0")
+    spark.conf.set(BCAST_KEY, "0")  # delete set "too big" to broadcast
+    try:
+        df = mor_table.to_df()
+        plan = _plan_str(df)
+        assert "BroadcastHashJoin" not in plan, plan
+        assert ("ShuffledHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+        assert df.count() == 900
+    finally:
+        _clear(spark)
+
+
+def test_all_tiers_agree(mor_table, spark):
+    _clear(spark)
+    expected = sorted(r.id for r in mor_table.to_df().collect())
+    spark.conf.set(DRIVER_KEY, "0")
+    bcast = sorted(r.id for r in mor_table.to_df().collect())
+    spark.conf.set(BCAST_KEY, "0")
+    shuffled = sorted(r.id for r in mor_table.to_df().collect())
+    _clear(spark)
+    assert expected == bcast == shuffled
+    assert len(expected) == 900
+
+
+def test_range_compression():
+    from iceberg_spark.scan import _pos_delete_ranges  # noqa: F401 — api
+
+    import numpy as np
+
+    # runs split where positions are non-contiguous
+    pos = np.array([0, 1, 2, 5, 6, 9])
+    breaks = np.where(np.diff(pos) != 1)[0]
+    starts = np.concatenate(([0], breaks + 1))
+    ends = np.concatenate((breaks, [len(pos) - 1]))
+    runs = [(int(pos[s]), int(pos[e])) for s, e in zip(starts, ends)]
+    assert runs == [(0, 2), (5, 6), (9, 9)]
