@@ -40,6 +40,11 @@ SHINGLE_N = 3
 MINHASH_K = 128
 LSH_BANDS = 32  # rows per band = MINHASH_K / LSH_BANDS = 4
 HAMMING_MAX = 3
+# posting-list df-cap: shingles appearing in more docs than this are
+# dropped before the inverted-index self-join (a df-1M stop-word shingle
+# would contribute 10^12 join rows; it carries no near-dup signal — a pair
+# at J>=0.6 shares many rare shingles too)
+SHINGLE_DF_CAP = 5000
 
 
 # ---------------------------------------------------------------------------
@@ -97,6 +102,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # at billions of distinct shingles (counts would only ever overstate)
     posts = (sets.select("doc_id", F.explode("sh").alias("shingle"))
              .select("doc_id", F.xxhash64("shingle").alias("h")))
+    # df-cap: drop hot shingles before the self-join — sum(df^2) is what
+    # blows up at corpus scale, and the hot set itself is tiny (broadcast
+    # anti-join); document sizes keep the full shingle count so Jaccard
+    # denominators are unchanged
+    hot = (posts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+           .filter(F.col("df") > SHINGLE_DF_CAP).select("h"))
+    posts = posts.join(F.broadcast(hot), "h", "left_anti")
     sizes = sets.select("doc_id", F.size("sh").alias("sz"))
     a, b = posts.alias("a"), posts.alias("b")
     # intersection sizes straight from the inverted-index self-join: one
@@ -125,7 +137,15 @@ WITH {CORPUS_SQL.strip()},
 sets AS (
   SELECT doc_id, {shingles_sql(tokens_sql(), SHINGLE_N)} AS sh FROM corpus
 ),
-posts AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+posts_all AS (SELECT doc_id, unnest(sh) AS shingle FROM sets),
+hot AS (
+  SELECT shingle FROM posts_all GROUP BY shingle
+  HAVING COUNT(*) > {SHINGLE_DF_CAP}
+),
+posts AS (
+  SELECT doc_id, shingle FROM posts_all
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
 sizes AS (SELECT doc_id, len(sh) AS sz FROM sets),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -397,47 +417,80 @@ def _cos_sql(a: str, b: str, dims: int = 64) -> str:
     return f"({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})))"
 
 
+# rows per GEMM block: two blocks of 2048 x 64 doubles per task (~2 MB)
+# with a 2048^2 sims matrix (~32 MB) — executor-memory safe
+EMB_BLOCK_ROWS = 2048
+# cap on block count: bounds shuffle replication (each row is shipped to
+# every block-pair its block participates in, i.e. B copies)
+EMB_MAX_BLOCKS = 512
+
+
 def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (cos >= 0.9), exact, via
-    blocked matrix multiply: the (small) normalized corpus matrix
-    broadcasts to executors and each input partition GEMMs its block
-    against it — one BLAS call per Arrow batch instead of 16M
-    interpreted zip_with folds. At sizes where one side no longer
-    broadcasts, the same kernel runs per bucket-pair (block-outer
-    join); the sub-O(n^2) probabilistic path is ann_lsh.
+    block-pair matrix multiply: vectors hash into B blocks, every block
+    pair (i <= j) becomes one applyInPandas group whose task GEMMs the
+    two blocks — O(n^2) FLOPs distributed over B(B+1)/2 tasks with no
+    driver-side collect and no full-matrix broadcast at any size. The
+    sub-O(n^2) probabilistic path at corpus scale is ann_lsh.
     """
     import numpy as np
 
     corpus = embedding_corpus(spark, sf_dir)
-    pdf = corpus.toPandas()
-    ids = pdf["vec_id"].to_numpy()
-    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m))
+    n = corpus.count()
+    nblocks = max(1, min(EMB_MAX_BLOCKS, -(-n // EMB_BLOCK_ROWS)))
+    # (pair_id, blk, side): block i joins pair (i,j) as side a, (j,i<=j)
+    # as side b; the self pair (i,i) keeps one side only
+    rows = []
+    pid = 0
+    for i in range(nblocks):
+        for j in range(i, nblocks):
+            if j == i:
+                rows.append((pid, i, "s"))
+            else:
+                rows.append((pid, i, "a"))
+                rows.append((pid, j, "b"))
+            pid += 1
+    pairs = spark.createDataFrame(rows, "pid int, blk int, side string")
 
-    def blocks(batches):
+    tagged = (
+        corpus.withColumn(
+            "blk", F.pmod(F.xxhash64("vec_id"), F.lit(nblocks)).cast("int"))
+        .join(F.broadcast(pairs), "blk")
+    )
+
+    empty = {"vec_a": [], "vec_b": [], "cos": []}
+
+    def _norm_mat(rows_pdf):
+        m = np.stack(rows_pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        return rows_pdf["vec_id"].to_numpy(), m
+
+    def gemm(key, pdf):
         import pandas as pd
 
-        all_ids, mat = bc.value
-        for b in batches:
-            a = np.stack(b["embedding"].to_numpy()).astype(np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ mat.T, 4)
-            rows_a, rows_b, cos = [], [], []
-            block_ids = b["vec_id"].to_numpy()
-            for i in range(len(block_ids)):
-                hits = np.where(
-                    (sims[i] >= COS_T) & (all_ids > block_ids[i])
-                )[0]
-                rows_a.extend([block_ids[i]] * len(hits))
-                rows_b.extend(all_ids[hits])
-                cos.extend(sims[i][hits])
-            yield pd.DataFrame(
-                {"vec_a": rows_a, "vec_b": rows_b, "cos": cos}
-            )
+        if (pdf["side"] == "s").any():  # self pair: block against itself
+            ia, ma = _norm_mat(pdf)
+            ib, mb = ia, ma
+        else:
+            a_rows = pdf[pdf["side"] == "a"]
+            b_rows = pdf[pdf["side"] == "b"]
+            if not len(a_rows) or not len(b_rows):
+                return pd.DataFrame(empty)
+            ia, ma = _norm_mat(a_rows)
+            ib, mb = _norm_mat(b_rows)
+        sims = np.round(ma @ mb.T, 4)
+        ai, bi = np.where(sims >= COS_T)
+        va, vb = ia[ai], ib[bi]
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        keep = lo < hi  # drops self matches; orders each pair a < b
+        return pd.DataFrame(
+            {"vec_a": lo[keep], "vec_b": hi[keep], "cos": sims[ai, bi][keep]}
+        ).drop_duplicates(["vec_a", "vec_b"])
 
     return (
-        corpus.mapInPandas(blocks, "vec_a long, vec_b long, cos double")
+        tagged.groupBy("pid")
+        .applyInPandas(gemm, "vec_a long, vec_b long, cos double")
         .orderBy("vec_a", "vec_b")
     )
 
