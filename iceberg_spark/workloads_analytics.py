@@ -686,7 +686,246 @@ GROUP BY cntrycode ORDER BY cntrycode
 """
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H q2 shape (correlated scalar subquery with aggregate): the
+    minimum-unit-cost supplier per part within one region. Testdata has no
+    partsupp, so lineitem unit price stands in for ps_supplycost. The
+    correlated `cost = (SELECT MIN(cost) ... same part)` decorrelates to a
+    per-part window min — one shuffle, no re-scan of the scoped set."""
+    ps = (_ldf(spark, sf_dir, "lineitem")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"),
+                             2)).alias("cost")))
+    part = _ldf(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "SMALL"))
+    supp = _ldf(spark, sf_dir, "supplier")
+    nat = _ldf(spark, sf_dir, "nation")
+    reg = _ldf(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    scoped = (ps.join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+              .join(F.broadcast(supp), ps.l_suppkey == supp.s_suppkey)
+              .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+              .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey))
+    w = Window.partitionBy("p_partkey")
+    return (scoped.withColumn("min_cost", F.min("cost").over(w))
+            .filter(F.col("cost") == F.col("min_cost"))
+            .select("s_name", "n_name", "p_partkey", "p_name",
+                    F.round("s_acctbal", 2).alias("s_acctbal"), "cost")
+            .orderBy("p_partkey", "s_name"))
+
+
+Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(ROUND(l_extendedprice / l_quantity, 2)) AS cost
+  FROM lineitem GROUP BY 1, 2
+),
+scoped AS (
+  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name, cost
+  FROM ps
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE' AND p_size < 10 AND p_type = 'SMALL'
+)
+SELECT s_name, n_name, p_partkey, p_name, ROUND(s_acctbal, 2) AS s_acctbal,
+       cost
+FROM scoped s1
+WHERE cost = (SELECT MIN(cost) FROM scoped s2
+              WHERE s2.p_partkey = s1.p_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
+def q9_product_type_profit(spark, sf_dir):
+    """TPC-H q9 shape: five-way join profit rollup by nation and year.
+    Part supply cost is adapted to 0.5 * p_retailprice (no partsupp)."""
+    li = _ldf(spark, sf_dir, "lineitem")
+    part = _ldf(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    supp = _ldf(spark, sf_dir, "supplier")
+    nat = _ldf(spark, sf_dir, "nation")
+    orders = _ldf(spark, sf_dir, "orders")
+    # per-row floor-half-up to integer cents, then an exact integer sum:
+    # double partial aggregation is order-dependent, and per-row ROUND tie
+    # conventions differ between engines — floor(x*100+0.5) is the same
+    # IEEE op on the same double everywhere
+    amount = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+         - 0.5 * F.col("p_retailprice") * F.col("l_quantity")) * 100
+        + F.lit(0.5))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(F.col("n_name").alias("nation"),
+                    F.year("o_orderdate").alias("o_year"),
+                    amount.alias("amount"))
+            .groupBy("nation", "o_year")
+            .agg((F.sum("amount") / 100.0).alias("sum_profit"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)
+                       - 0.5 * p_retailprice * l_quantity) * 100 + 0.5)
+                AS BIGINT)) / 100.0 AS sum_profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H q11 shape: HAVING on a sum vs a scalar-subquery fraction of
+    the scoped total. The threshold compares quantity sums (integral
+    doubles — exact in any summation order, so Spark's partial aggregation
+    and DuckDB's single pass agree bit-for-bit at the boundary)."""
+    li = _ldf(spark, sf_dir, "lineitem")
+    supp = _ldf(spark, sf_dir, "supplier")
+    nat = _ldf(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    scope = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+             .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+             .select("l_partkey", "l_quantity", "l_extendedprice"))
+    total = scope.agg((0.002 * F.sum("l_quantity")).alias("thr"))
+    return (scope.groupBy("l_partkey")
+            .agg(F.round(F.sum("l_extendedprice"), 2).alias("value"),
+                 F.sum("l_quantity").alias("qty"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("qty") > F.col("thr"))
+            .select(F.col("l_partkey").alias("partkey"), "value")
+            .orderBy(F.desc("value"), "partkey"))
+
+
+Q11_SQL = """
+WITH scope AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT l_partkey AS partkey, ROUND(SUM(l_extendedprice), 2) AS value
+FROM scope
+GROUP BY l_partkey
+HAVING SUM(l_quantity) > (SELECT 0.002 * SUM(l_quantity) FROM scope)
+ORDER BY value DESC, partkey
+"""
+
+
+def q12_shipmode_priority(spark, sf_dir):
+    """TPC-H q12 shape: priority-class CASE counts per category over a
+    one-year ship window (l_returnflag stands in for l_shipmode)."""
+    li = engine_table(spark, sf_dir, "lineitem").scan(
+        filter=E.and_(ecol("l_shipdate") >= "1997-01-01T00:00:00",
+                      ecol("l_shipdate") < "1998-01-01T00:00:00")).df()
+    orders = _ldf(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("flag"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"))
+            .orderBy("flag"))
+
+
+Q12_SQL = """
+SELECT l_returnflag AS flag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H q16 shape: NOT IN subquery + COUNT(DISTINCT) per part attrs.
+    'Complaint' suppliers are adapted to s_acctbal < 100; NOT IN is the
+    null-free case, so it lowers to a broadcast anti-join."""
+    ps = (_ldf(spark, sf_dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct())
+    part = _ldf(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+    bad = (_ldf(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 100).select("s_suppkey"))
+    return (ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey,
+                    "left_anti")
+            .join(F.broadcast(part), ps.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size"))
+
+
+Q16_SQL = """
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (5, 10, 15, 20, 25, 30)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 100)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H q20 shape: nested IN subqueries with a correlated aggregate
+    threshold — suppliers shipping >15% of a small-part's total volume,
+    restricted to one region. Quantity sums are integral doubles, so the
+    share comparison is order-independent on both engines."""
+    li = _ldf(spark, sf_dir, "lineitem")
+    small = (_ldf(spark, sf_dir, "part")
+             .filter(F.col("p_name").like("small%")).select("p_partkey"))
+    scoped = li.join(F.broadcast(small), li.l_partkey == small.p_partkey,
+                     "left_semi")
+    per_supp = (scoped.groupBy("l_partkey", "l_suppkey")
+                .agg(F.sum("l_quantity").alias("supp_qty")))
+    per_part = (scoped.groupBy("l_partkey")
+                .agg((0.15 * F.sum("l_quantity")).alias("part_thr")))
+    heavy = (per_supp.join(per_part, "l_partkey")
+             .filter(F.col("supp_qty") > F.col("part_thr"))
+             .select("l_suppkey").distinct())
+    nat = (_ldf(spark, sf_dir, "nation")
+           .filter(F.col("n_regionkey") == 2).select("n_nationkey"))
+    supp = _ldf(spark, sf_dir, "supplier")
+    return (supp.join(F.broadcast(heavy), supp.s_suppkey == heavy.l_suppkey,
+                      "left_semi")
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey,
+                  "left_semi")
+            .select("s_suppkey", "s_name").orderBy("s_suppkey"))
+
+
+Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem l1
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 0.15 * (SELECT SUM(l_quantity) FROM lineitem l2
+                                   WHERE l2.l_partkey = l1.l_partkey)
+)
+AND s_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)
+ORDER BY s_suppkey
+"""
+
+
 REGISTRY = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, Q2_SQL),
+    "q9_product_type_profit": (q9_product_type_profit, Q9_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
+    "q12_shipmode_priority": (q12_shipmode_priority, Q12_SQL),
+    "q16_supplier_part_counts": (q16_supplier_part_counts, Q16_SQL),
+    "q20_excess_stock_suppliers": (q20_excess_stock_suppliers, Q20_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q7_volume_shipping": (q7_volume_shipping, Q7_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
