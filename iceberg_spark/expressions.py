@@ -189,6 +189,14 @@ def transform_col(transform: str, name: str) -> ColumnRef:
     return ColumnRef(name, parse_transform(transform))
 
 
+def extract(name: str, path: str, type: str = "string") -> ColumnRef:
+    """Typed path access into a `variant` column: extract('meta', '$.a',
+    'long') > 5. Reference api/.../expressions/UnboundExtract.java:25."""
+    from .transforms import VariantExtract
+
+    return ColumnRef(name, VariantExtract(path, type))
+
+
 def and_(*exprs: Expr) -> Expr:
     out: Expr = ALWAYS_TRUE
     for e in exprs:
@@ -317,7 +325,13 @@ def bind(expr: Expr, schema: Schema) -> Expr:
         f = schema.find_field(expr.term.name)
         if not isinstance(f.type, str):
             raise ValueError(f"cannot filter on non-primitive column {f.name}")
-        lits = tuple(coerce_literal(v, f.type) for v in expr.literals)
+        tr = expr.term.transform
+        if tr is not None and not tr.can_transform(f.type):
+            raise ValueError(f"{tr} cannot apply to {f.name}: {f.type}")
+        # literals live in the transform's result domain (e.g. the extract
+        # target type), not the source column's
+        target = tr.result_type(f.type) if tr is not None else f.type
+        lits = tuple(coerce_literal(v, target) for v in expr.literals)
         if expr.op == IN and len(lits) == 1:
             return BoundPredicate(EQ, BoundTerm(f, expr.term.transform), lits)
         if expr.op == NOT_IN and len(lits) == 1:
@@ -520,6 +534,11 @@ def evaluate(expr: Expr, row: dict) -> bool:
         return not evaluate(expr.child, row)
     if isinstance(expr, (Predicate, BoundPredicate)):
         v = row.get(expr.term.name)
+        tr = expr.term.transform
+        if tr is not None and not isinstance(tr, Identity):
+            src = (expr.term.field.type
+                   if isinstance(expr, BoundPredicate) else None)
+            v = tr.apply(v, src)
         op, lits = expr.op, expr.literals
         if op == IS_NULL:
             return v is None

@@ -168,7 +168,9 @@ def _stats_schema_fields(schema: Schema):
     """Flat stats columns for top-level primitive fields, keyed by field id."""
     cols = []
     for f in schema.fields:
-        if not isinstance(f.type, str) or f.type == "unknown":
+        # variant carries no column stats (spec: metrics are undefined for
+        # semi-structured values; extract predicates never prune on stats)
+        if not isinstance(f.type, str) or f.type in ("unknown", "variant"):
             continue
         at = _type_to_arrow(f.type)
         fid = f.field_id

@@ -743,6 +743,17 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 f"modes for {ffmt} tables)")
         paths = [e.file.file_path for e in entries]
         read_schema = wschema.to_spark()
+        # variant columns are physically JSON text (see write_data_files);
+        # read as string here, parse_json back to VariantType in the
+        # projection below
+        var_names = {f.name for f in wschema.fields if f.type == "variant"}
+        if var_names:
+            from pyspark.sql import types as _T
+
+            read_schema = _T.StructType([
+                _T.StructField(fld.name, _T.StringType(), True)
+                if fld.name in var_names else fld
+                for fld in read_schema.fields])
         if with_lineage and group_parquet:
             # surface materialized lineage columns written by row-level ops
             # (missing in append-only files -> read as null, inheritance wins)
@@ -772,7 +783,9 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             wf = by_id.get(cur.field_id)
             if wf is not None:
                 c = F.col(wf.name)
-                if wf.type != cur.type:  # promoted (int->long etc.)
+                if cur.type == "variant":
+                    c = F.parse_json(c)  # JSON text -> VariantType
+                elif wf.type != cur.type:  # promoted (int->long etc.)
                     c = c.cast(type_to_spark(cur.type))
                 sel.append(c.alias(cname))
             else:

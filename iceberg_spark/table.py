@@ -269,6 +269,12 @@ class Table:
                             remove_carryovers=remove_carryovers,
                             identifier_columns=identifier_columns)
 
+    # -- transaction --------------------------------------------------------
+    def transaction(self) -> "Transaction":
+        """Buffer multiple updates into one atomic metadata swap
+        (api/.../Transaction.java:25, core/.../BaseTransaction.java:56)."""
+        return Transaction(self)
+
     # -- evolution ----------------------------------------------------------
     def update_schema(self) -> "UpdateSchema":
         return UpdateSchema(self)
@@ -321,6 +327,109 @@ class Table:
         v = self.ops.current_version()
         self.ops.commit(v, new_meta)
         self.metadata = new_meta
+
+
+class _TxnOps:
+    """In-memory TableOperations: commits land on the pending metadata,
+    nothing touches disk until Transaction.commit_transaction."""
+
+    def __init__(self, metadata: TableMetadata):
+        self._meta = metadata
+
+    def refresh(self) -> TableMetadata:
+        return self._meta
+
+    def current_version(self):
+        return -1  # sentinel; never used for the real CAS
+
+    def commit(self, base_version, metadata: TableMetadata) -> int:
+        self._meta = metadata
+        return -1
+
+
+class Transaction:
+    """Multi-operation single commit (core/.../BaseTransaction.java:56).
+
+    Every staged operation runs immediately against a shadow Table whose
+    TableOperations are in-memory, so reads inside the transaction see
+    pending state; data/manifest files are written eagerly (they are
+    unreachable until published). commit_transaction CAS-swaps the real
+    metadata pointer once; on conflict the buffered operations replay
+    against the refreshed base — appends reuse their already-written data
+    files, only the metadata application re-runs (the reference's
+    applyUpdates retry, BaseTransaction.java:281)."""
+
+    def __init__(self, table: Table):
+        self._real = table
+        self._base_version = table.ops.current_version()
+        self._table = Table(table.spark, table.location, table.metadata,
+                            table.identifier)
+        self._table.ops = _TxnOps(table.metadata)
+        self._actions: list = []
+
+    @property
+    def table(self) -> Table:
+        """Pending-state view: scans here see uncommitted updates."""
+        return self._table
+
+    def _run(self, fn):
+        fn()
+        self._actions.append(fn)
+        return self
+
+    # -- staged operations (each mirrors the Table method) ------------------
+    def append(self, df: DataFrame, branch: str = MAIN_BRANCH) -> "Transaction":
+        files = write_data_files(self._table, df)  # data written once
+
+        return self._run(
+            lambda: FastAppend(self._table, files, branch=branch).commit())
+
+    def delete_where(self, expr: E.Expr, mode: Optional[str] = None,
+                     **kw) -> "Transaction":
+        return self._run(lambda: self._table.delete_where(expr, mode=mode, **kw))
+
+    def update(self, condition: E.Expr, assignments: dict,
+               **kw) -> "Transaction":
+        return self._run(
+            lambda: self._table.update(condition, assignments, **kw))
+
+    def set_properties(self, **props) -> "Transaction":
+        return self._run(lambda: self._table.set_properties(**props))
+
+    def update_schema_with(self, build) -> "Transaction":
+        """build(UpdateSchema) -> configures the evolution; committed into
+        the pending metadata now, replayed on conflict."""
+        return self._run(lambda: build(self._table.update_schema()).commit())
+
+    def update_spec_with(self, build) -> "Transaction":
+        return self._run(lambda: build(self._table.update_spec()).commit())
+
+    # -- publish ------------------------------------------------------------
+    def commit_transaction(self) -> Table:
+        from .metadata import CommitFailedException
+
+        last = None
+        for _ in range(5):
+            v = self._real.ops.current_version()
+            if v != self._base_version:
+                # conflicting commit landed: replay buffered ops on the
+                # refreshed base (validation happens inside each op)
+                base = self._real.ops.refresh() or self._real.metadata
+                self._table.metadata = base
+                self._table.ops._meta = base
+                for fn in self._actions:
+                    fn()
+                self._base_version = v
+            try:
+                self._real.ops.commit(self._base_version,
+                                      self._table.metadata)
+                self._real.metadata = self._table.metadata
+                return self._real
+            except CommitFailedException as e:
+                last = e
+                continue
+        raise CommitFailedException(
+            f"transaction commit failed after retries: {last}")
 
 
 class ManageSnapshots:

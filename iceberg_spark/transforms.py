@@ -325,6 +325,83 @@ class Void(Transform):
         return F.lit(None)
 
 
+# Spark SQL type strings for variant_get target types
+_SPARK_TYPE_STR = {
+    "int": "int", "long": "bigint", "float": "float", "double": "double",
+    "string": "string", "boolean": "boolean", "date": "date",
+    "timestamp": "timestamp", "timestamp_ntz": "timestamp_ntz",
+}
+
+
+@dataclass(frozen=True)
+class VariantExtract(Transform):
+    """extract(path, type): typed access into a v3 `variant` column.
+
+    Reference api/src/main/java/org/apache/iceberg/expressions/
+    UnboundExtract.java and format/spec.md:243. Variant paths carry no
+    column statistics, so every metadata evaluator treats extract
+    predicates as might-match (pruning no-op); the data-level filter
+    lowers to Spark's variant_get, which vectorizes JVM-side.
+    """
+
+    path: str  # e.g. "$.a.b" or "$.tags[0]"
+    type: str = "string"
+
+    name = "extract"
+    monotonic = False
+    preserves_nullity = False  # a missing path yields null
+
+    def __repr__(self):
+        return f"extract[{self.path} as {self.type}]"
+
+    def result_type(self, src: str) -> str:
+        return self.type
+
+    def can_transform(self, src: str) -> bool:
+        return src == "variant"
+
+    def apply(self, v: Any, src: str) -> Any:
+        """Driver-side eval (row Evaluator): walk the path over a parsed
+        JSON value / VariantVal and coerce to the target type."""
+        if v is None:
+            return None
+        import json
+
+        if hasattr(v, "toPython"):  # pyspark VariantVal
+            v = v.toPython()
+        elif isinstance(v, (str, bytes)):
+            try:
+                v = json.loads(v)
+            except Exception:
+                return None
+        cur = v
+        for step in re.findall(r"\.([A-Za-z_][\w]*)|\[(\d+)\]",
+                               self.path.lstrip("$")):
+            key, idx = step
+            try:
+                cur = cur[key] if key else cur[int(idx)]
+            except (KeyError, IndexError, TypeError):
+                return None
+        if cur is None:
+            return None
+        try:
+            if self.type in ("int", "long"):
+                return int(cur)
+            if self.type in ("float", "double"):
+                return float(cur)
+            if self.type == "string":
+                return cur if isinstance(cur, str) else json.dumps(cur)
+            if self.type == "boolean":
+                return bool(cur)
+        except (TypeError, ValueError):
+            return None
+        return cur
+
+    def spark_col(self, col: Column, src: str) -> Column:
+        return F.variant_get(col, self.path,
+                             _SPARK_TYPE_STR.get(self.type, self.type))
+
+
 _TRANSFORM_RE = re.compile(r"^(\w+)(?:\[(\d+)\])?$")
 
 

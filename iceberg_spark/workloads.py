@@ -425,6 +425,45 @@ SELECT COUNT(*) AS n, ROUND(SUM(price), 2) AS total FROM (
 """
 
 
+def variant_extract_scan(spark, sf_dir):
+    """v3 variant column + typed extract(path, type) through the scan layer
+    (reference api/.../expressions/UnboundExtract.java, format/spec.md:243):
+    documents get a JSON metadata variant; the scan filters on
+    extract('$.len','long') and aggregates by extract('$.cat','int')."""
+    key = ("variant", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"variant_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        docs = load_table(spark, sf_dir, "documents")
+        df = docs.select(
+            "doc_id",
+            F.parse_json(F.concat(
+                F.lit('{"len": '), F.length("text").cast("string"),
+                F.lit(', "cat": '), (F.col("doc_id") % 5).cast("string"),
+                F.lit('}'))).alias("meta"))
+        t = cat.create_table(ident, df.schema)
+        t.append(df)
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    sc = t.scan(filter=E.extract("meta", "$.len", "long") > 300)
+    return (sc.df()
+            .groupBy(F.variant_get("meta", "$.cat", "int").alias("cat"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.variant_get("meta", "$.len", "bigint"))
+                 .alias("total_len"))
+            .orderBy("cat"))
+
+
+VARIANT_EXTRACT_SQL = """
+SELECT CAST(doc_id % 5 AS INTEGER) AS cat, COUNT(*) AS n,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len
+FROM documents WHERE LENGTH(text) > 300
+GROUP BY 1 ORDER BY cat
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -500,6 +539,7 @@ REGISTRY = {
     "delete_mor_scan": (delete_mor_scan, DELETE_MOR_SQL),
     "update_scan": (update_scan, UPDATE_SQL),
     "merge_upsert_scan": (merge_upsert_scan, MERGE_SQL),
+    "variant_extract_scan": (variant_extract_scan, VARIANT_EXTRACT_SQL),
 }
 
 

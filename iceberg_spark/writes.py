@@ -146,6 +146,14 @@ def write_data_files(
                        if preserve_lineage and c in df.columns)
         df = _align_to_schema(df, schema, extras)
 
+    # v3 variant columns are stored as canonical JSON text: Spark's binary
+    # Variant parquet encoding is unreadable by pyarrow footers (and any
+    # non-Spark reader); the scan layer parse_json's the string back to
+    # VariantType, and extract predicates never consult stats anyway
+    for f in schema.fields:
+        if f.type == "variant" and f.name in df.columns:
+            df = df.withColumn(f.name, F.col(f.name).cast("string"))
+
     fmt = props.get("write.format.default", "parquet").lower()
     out_dir = os.path.join(table.location, "data", _uuid.uuid4().hex)
     writer_opts = {}

@@ -1,0 +1,72 @@
+"""Variant extract(path, type) — v3 semi-structured access.
+
+Reference api/src/main/java/org/apache/iceberg/expressions/UnboundExtract.java
+and format/spec.md:243: a typed path term usable in scan filters. Variant
+paths have no column stats, so metadata evaluators must treat extract
+predicates as might-match; the data-level filter lowers to variant_get.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark import expressions as E
+from iceberg_spark.expressions import bind, evaluate, inclusive_metrics_eval
+from iceberg_spark.schema import NestedField, Schema
+from iceberg_spark.transforms import VariantExtract
+
+
+SCHEMA = Schema((
+    NestedField(1, "id", "long", True),
+    NestedField(2, "meta", "variant", False),
+))
+
+
+def test_extract_binds_and_coerces_to_target_type():
+    b = bind(E.extract("meta", "$.n", "long") > "5", SCHEMA)
+    assert b.literals == (5,)
+    assert b.term.transform == VariantExtract("$.n", "long")
+    assert b.term.produced_type == "long"
+
+
+def test_extract_rejects_non_variant_column():
+    with pytest.raises(ValueError):
+        bind(E.extract("id", "$.n", "long") > 5, SCHEMA)
+
+
+def test_metadata_eval_never_prunes_extract_predicates():
+    b = bind(E.extract("meta", "$.n", "long") > 5, SCHEMA)
+    # stats say the (string-typed) column maxes at "a" — irrelevant for a
+    # variant path; the file must be kept
+    fs = {"meta": ("a", "a", 0, None, 10)}
+    assert inclusive_metrics_eval(b, fs) is True
+
+
+def test_row_evaluate_walks_paths():
+    b = bind(E.extract("meta", "$.a.b", "long") >= 7, SCHEMA)
+    assert evaluate(b, {"meta": '{"a": {"b": 9}}'}) is True
+    assert evaluate(b, {"meta": '{"a": {"b": 3}}'}) is False
+    # missing path -> null -> predicate false
+    assert evaluate(b, {"meta": '{"a": {}}'}) is False
+    b2 = bind(E.extract("meta", "$.tags[1]", "string") == "x", SCHEMA)
+    assert evaluate(b2, {"meta": '{"tags": ["w", "x"]}'}) is True
+
+
+def test_variant_table_scan_filter(catalog, spark):
+    df = spark.range(0, 100).select(
+        "id",
+        F.parse_json(F.concat(
+            F.lit('{"n": '), F.col("id").cast("string"),
+            F.lit(', "tag": "t'), (F.col("id") % 3).cast("string"),
+            F.lit('"}'))).alias("meta"))
+    t = catalog.create_table("vt", df.schema)
+    t.append(df)
+    out = t.scan(filter=E.extract("meta", "$.n", "long") >= 90).df()
+    assert out.count() == 10
+    tags = (out.select(F.variant_get("meta", "$.tag", "string").alias("tag"))
+            .distinct().collect())
+    assert {r.tag for r in tags} == {"t0", "t1", "t2"}
+    # typed extract inside the filter composes with ordinary predicates
+    both = t.scan(filter=E.and_(
+        E.extract("meta", "$.tag", "string") == "t0",
+        E.col("id") < 30)).df()
+    assert both.count() == 10  # ids 0,3,...,27
