@@ -261,6 +261,77 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# reachable-file purge (drop table with purge)
+# ---------------------------------------------------------------------------
+
+
+def delete_reachable_files(table, dry_run: bool = False) -> dict:
+    """Full-reachability purge from the table's metadata
+    (spark/v4.0/spark/.../actions/DeleteReachableFilesSparkAction.java):
+    every data/delete file reachable from ANY snapshot, every manifest and
+    manifest list, statistics files, and all metadata.json versions. Used
+    by drop-table-with-purge. With dry_run the closure is listed but
+    nothing is deleted.
+
+    Returns reference-named counts plus `paths` (the closure) on dry runs.
+    """
+    from .manifests import EQUALITY_DELETES
+
+    m = table.metadata
+    data, pos_d, eq_d, mans, mls = set(), set(), set(), set(), set()
+    seen_manifests = {}
+    for s in m.snapshots:
+        mls.add(s.manifest_list)
+        for mf in read_manifest_list(s.manifest_list):
+            if mf.path in seen_manifests:
+                continue
+            seen_manifests[mf.path] = True
+            mans.add(mf.path)
+            spec = m.spec_by_id(mf.spec_id)
+            for e in read_manifest(mf.path, m.schema, spec):
+                f = e.file
+                if f.content == POSITION_DELETES:
+                    pos_d.add(f.file_path)
+                elif f.content == EQUALITY_DELETES:
+                    eq_d.add(f.file_path)
+                else:
+                    data.add(f.file_path)
+
+    others = set()
+    for st in m.statistics_files + m.partition_statistics_files:
+        p = st.get("path") if isinstance(st, dict) else None
+        if p:
+            others.add(p)
+    meta_dir = getattr(table.ops, "metadata_dir", None)
+    if meta_dir and os.path.isdir(meta_dir):
+        for root, _dirs, fns in os.walk(meta_dir):
+            for fn in fns:
+                others.add(os.path.join(root, fn))
+
+    closure = data | pos_d | eq_d | mans | mls | others
+    deleted = 0
+    if not dry_run:
+        for p in closure:
+            try:
+                os.unlink(p)
+                deleted += 1
+            except OSError:
+                pass
+    out = {
+        "deleted_data_files_count": len(data),
+        "deleted_position_delete_files_count": len(pos_d),
+        "deleted_equality_delete_files_count": len(eq_d),
+        "deleted_manifests_count": len(mans),
+        "deleted_manifest_lists_count": len(mls),
+        "deleted_statistics_files_count": len(others),
+        "deleted_files_total": deleted if not dry_run else 0,
+    }
+    if dry_run:
+        out["paths"] = sorted(closure)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # orphan files
 # ---------------------------------------------------------------------------
 

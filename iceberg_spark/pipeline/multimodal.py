@@ -195,8 +195,9 @@ FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id
 
 def audio_features(spark, sf_dir):
     """Audio feature extraction stub: payload treated as unsigned 8-bit
-    PCM; mean/peak amplitude via numpy over Arrow batches. No SQL oracle
-    (byte-level math isn't SQL-expressible) — rows-only check."""
+    PCM; mean/peak amplitude via numpy over Arrow batches. The DuckDB
+    oracle (AUDIO_FEATURES_SQL) recomputes the same stats from per-char
+    code points — the corpus is ASCII so bytes == code points."""
     auds = media_table(spark, sf_dir).filter(F.col("kind") == "audio")
 
     schema = StructType(
@@ -225,9 +226,31 @@ def audio_features(spark, sf_dir):
     return auds.mapInPandas(feats, schema=schema).orderBy("doc_id")
 
 
+# The payload bytes are encode(text) and the corpus is ASCII-only, so the
+# byte values equal per-char code points: the "PCM" math is expressible in
+# SQL after all. Integer sums are exact in any order (numpy pairwise vs
+# DuckDB sequential), and printf/'%.4f' format identical doubles
+# identically.
+AUDIO_FEATURES_SQL = f"""
+WITH audio AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+),
+codes AS (
+  SELECT doc_id, octet_length(encode(text)) AS n,
+         list_transform(range(1, length(text) + 1),
+                        i -> unicode(substring(text, i, 1))) AS cs
+  FROM audio
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_samples,
+       printf('%.4f', list_sum(cs) / CAST(n AS DOUBLE)) AS mean_amp,
+       CAST(list_max(cs) AS INTEGER) AS peak_amp
+FROM codes ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "media_stats": (media_stats, MEDIA_STATS_SQL),
     "image_decode": (image_decode, IMAGE_DECODE_SQL),
     "frame_sample": (frame_sample, FRAME_SAMPLE_SQL),
-    "audio_features": (audio_features, None),
+    "audio_features": (audio_features, AUDIO_FEATURES_SQL),
 }
