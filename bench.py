@@ -102,6 +102,43 @@ def planning_benchmarks(spark, qtimes, timed):
         lambda: plan((col("id") >= 100_000) & (col("id") < 150_000)))
 
 
+def spj_benchmarks(spark, qtimes, timed, sf_dir):
+    """Storage-partitioned join: orders<->lineitem on orderkey, bucketed
+    both sides -> no Exchange, vs the same join through the plain engine
+    scan (two shuffles). Mirrors SparkPartitioningAwareScan.java:107."""
+    import tempfile
+
+    from iceberg_spark.spj import bucketed_join, create_bucketed_table
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="iceberg_spark_spj_bench_"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice")
+    ta = create_bucketed_table(cat, "spj_orders", orders, 16, "k")
+    tb = create_bucketed_table(cat, "spj_lineitem", li, 16, "k")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def spj():
+            return (bucketed_join(ta, tb, "k")
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
+
+        def shuffle():
+            return (ta.to_df().join(tb.to_df(), "k")
+                    .agg(F.count(F.lit(1)).alias("n")).collect())
+
+        plan = bucketed_join(ta, tb, "k")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan, "SPJ plan must not shuffle"
+        qtimes["join_bucketed_spj"] = timed(spj)
+        qtimes["join_shuffle_baseline"] = timed(shuffle)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def raw_q1_baseline(spark, sf_dir):
     """Same computation as q1_pricing_summary but via plain spark.read —
     the engine-overhead yardstick (Iceberg-vs-file-source comparison)."""
@@ -174,6 +211,7 @@ def main():
 
     qtimes["orders_scan_no_deletes_baseline"] = timed(orders_scan_baseline)
     planning_benchmarks(spark, qtimes, timed)
+    spj_benchmarks(spark, qtimes, timed, SF_DIR)
 
     total = round(sum(v for k, v in qtimes.items()
                       if not k.endswith("_baseline") and not k.startswith("plan_")), 4)
