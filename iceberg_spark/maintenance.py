@@ -115,7 +115,11 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
     Overwrite(table, added_all, removed, operation=OP_REPLACE,
               preserve_seq_for_added=max_seq).commit()
     res = {"rewritten_files": len(rewritten), "added_files": len(added_all),
-           "groups": len(to_rewrite)}
+           "groups": len(to_rewrite),
+           # reference procedure output names (RewriteDataFilesProcedure.java)
+           "rewritten_data_files": len(rewritten),
+           "added_data_files": len(added_all),
+           "rewritten_bytes": sum(e.file.file_size_in_bytes for e in rewritten)}
     if plan.pos_deletes or plan.eq_deletes:
         res["dangling"] = remove_dangling_deletes(table)
     return res
@@ -227,7 +231,8 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
 
     expired = [s for s in m.snapshots if s.snapshot_id not in keep_ids]
     if not expired:
-        return {"expired_snapshots": 0, "deleted_files": 0}
+        return {"expired_snapshots": 0, "deleted_files": 0,
+                "deleted_data_files": 0, "deleted_manifests": 0}
 
     def reach(snaps):
         mls, mans, datas = set(), set(), set()
@@ -244,7 +249,9 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     k_mls, k_mans, k_datas = reach(kept_snaps)
     e_mls, e_mans, e_datas = reach(expired)
 
-    to_delete = (e_mls - k_mls) | (e_mans - k_mans) | (e_datas - k_datas)
+    dead_datas = e_datas - k_datas
+    dead_mans = e_mans - k_mans
+    to_delete = (e_mls - k_mls) | dead_mans | dead_datas
     deleted = 0
     if delete_files:
         for p in to_delete:
@@ -257,7 +264,10 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     new_snapshots = tuple(s for s in m.snapshots if s.snapshot_id in keep_ids)
     new_log = tuple(e for e in m.snapshot_log if e[1] in keep_ids)
     table._commit_metadata(replace(m, snapshots=new_snapshots, snapshot_log=new_log))
-    return {"expired_snapshots": len(expired), "deleted_files": deleted}
+    return {"expired_snapshots": len(expired), "deleted_files": deleted,
+            # reference procedure output names (ExpireSnapshotsProcedure.java)
+            "deleted_data_files": len(dead_datas),
+            "deleted_manifests": len(dead_mans)}
 
 
 # ---------------------------------------------------------------------------
@@ -420,7 +430,8 @@ def rewrite_position_delete_files(table, to_dvs: bool = False) -> dict:
     exact file match instead of range overlap."""
     plan = table.scan().plan_files()
     if not plan.pos_deletes:
-        return {"rewritten": 0}
+        return {"rewritten": 0, "rewritten_delete_files": 0,
+                "added_delete_files": 0}
     spark = table.spark
     live = spark.createDataFrame([(e.file.file_path,) for e in plan.files], ["live_path"])
     old = [d.file.file_path for d in plan.pos_deletes]
@@ -436,7 +447,10 @@ def rewrite_position_delete_files(table, to_dvs: bool = False) -> dict:
     max_seq = max(d.sequence_number for d in plan.pos_deletes)
     Overwrite(table, [], set(old), operation=OP_REPLACE,
               added_deletes=pos_files, preserve_seq_for_added=max_seq).commit()
-    return {"rewritten": len(old), "added": len(pos_files)}
+    return {"rewritten": len(old), "added": len(pos_files),
+            # reference procedure output names
+            "rewritten_delete_files": len(old),
+            "added_delete_files": len(pos_files)}
 
 
 def _write_dvs(table, kept) -> list:
@@ -444,9 +458,15 @@ def _write_dvs(table, kept) -> list:
 
     Spark job: cluster deletes by a hash of the referenced path and
     partition the output by it — each leaf holds the (sorted) positions of
-    one data file. referenced_data_file is recovered from the file_path
-    stats (single-valued per blob by construction)."""
+    one data file. referenced_data_file is carried explicitly via the
+    __ref=<sha1> leaf directory and a (sha1 -> path) map collected from the
+    delete rows (one row per referenced file — plan-sized). Recovering it
+    from footer min/max is unsafe: truncated binary statistics
+    (parquet.statistics.truncate.length, very long paths) would yield a
+    ref that never matches the live-path set, silently skipping the DV
+    and resurrecting deleted rows (ADVICE r1)."""
     import os as _os
+    import re as _re
     import uuid as _u
 
     from dataclasses import replace as _replace
@@ -459,6 +479,9 @@ def _write_dvs(table, kept) -> list:
          .repartition(F.col("__ref"))
          .sortWithinPartitions("file_path", "pos")
          .write.partitionBy("__ref").parquet(out_dir))
+    ref_map = {r["__ref"]: r["file_path"]
+               for r in kept.select(F.sha1(F.col("file_path")).alias("__ref"),
+                                    "file_path").distinct().collect()}
     paths = [_os.path.join(r, f) for r, _d, fs in _os.walk(out_dir) for f in fs
              if f.endswith(".parquet")]
     del_schema = S((NestedField(2147483546, "file_path", "string", True),
@@ -469,8 +492,11 @@ def _write_dvs(table, kept) -> list:
     for f in files:
         if f.record_count == 0:
             continue
-        st = f.stats.get("file_path")
-        ref = st[0] if st and st[0] is not None and st[0] == st[1] else None
+        m = _re.search(r"__ref=([0-9a-f]+)", f.file_path)
+        ref = ref_map.get(m.group(1)) if m else None
+        if ref is None:
+            st = f.stats.get("file_path")  # fallback: untruncated stats
+            ref = st[0] if st and st[0] is not None and st[0] == st[1] else None
         out.append(_replace(f, partition={}, referenced_data_file=ref,
                             write_schema_id=table.schema.schema_id))
     return out

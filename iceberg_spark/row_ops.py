@@ -187,7 +187,17 @@ def equality_upsert(table, df: DataFrame, keys: list, branch: str = MAIN_BRANCH)
     keys + the new rows, committed in a single RowDelta. Sequence scoping
     makes the deletes apply only to older data (data.seq < delete.seq), so
     the same commit's rows survive — upsert cost is O(batch), not
-    O(table), the property that matters at 100 TB."""
+    O(table), the property that matters at 100 TB.
+
+    Same-key rows within the batch are deduplicated (last wins, matching
+    the streaming equality_upsert_sink): the equality delete only scopes
+    to strictly older sequence numbers, so without this both in-batch
+    duplicates would survive the commit."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy(F.monotonically_increasing_id().desc())
+    df = (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
     del_files = write_equality_deletes(table, df, keys)
     data_files = write_data_files(table, df)
     return RowDelta(table, data_files, del_files, branch=branch).commit()

@@ -250,6 +250,50 @@ def parse_predicate(s: str) -> E.Expr:
 
 _STRING_RE = re.compile(r"'(?:[^']|'')*'")
 
+def _shift_ts_literals(expr: E.Expr, tz_name: str) -> E.Expr:
+    """Re-interpret naive datetime literals (parsed from TIMESTAMP '...')
+    as session-timezone wall time and shift them to UTC-naive, matching the
+    domain of the engine's file stats. Spark evaluates TIMESTAMP literals in
+    spark.sql.session.timeZone; pruning with a differently-interpreted
+    literal could drop files whose rows Spark's re-applied WHERE accepts."""
+    if tz_name in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        return expr
+    try:
+        from zoneinfo import ZoneInfo
+        tz = ZoneInfo(tz_name)
+    except Exception:
+        return None  # unknown zone: skip pruning, keep correctness
+
+    def shift(v):
+        if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            return v.replace(tzinfo=tz).astimezone(
+                _dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    def walk(e):
+        if isinstance(e, E.And):
+            return E.And(walk(e.left), walk(e.right))
+        if isinstance(e, E.Or):
+            return E.Or(walk(e.left), walk(e.right))
+        if isinstance(e, E.Not):
+            return E.Not(walk(e.child))
+        if isinstance(e, E.Predicate):
+            return E.Predicate(e.op, e.term,
+                               tuple(shift(v) for v in e.literals))
+        return e
+
+    return walk(expr)
+
+
+# tokens that can follow a FROM/JOIN relation but are not an alias
+_NOT_ALIAS = {
+    "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "EXCEPT",
+    "INTERSECT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+    "NATURAL", "ON", "USING", "SET", "WINDOW", "QUALIFY", "TABLESAMPLE",
+    "VERSION", "TIMESTAMP", "FOR", "SYSTEM_VERSION", "SYSTEM_TIME",
+    "ANTI", "SEMI", "LATERAL", "AS",
+}
+
 
 def _strip_comments(stmt: str) -> str:
     return re.sub(r"--[^\n]*", " ", stmt).strip().rstrip(";").strip()
@@ -348,14 +392,15 @@ class SqlEngine:
         return t.scan(snapshot_id=snapshot_id, as_of_timestamp_ms=as_of,
                       ref=ref).df()
 
-    @staticmethod
-    def _pushable_filter(s: str, ident: str):
+    def _pushable_filter(self, s: str, ident: str):
         """Best-effort metadata-pruning pushdown for delegated SELECTs: when
         the statement is a single-table `... FROM <ident> [alias] WHERE
         <pred> ...` and the predicate parses into the expression algebra,
         return it so the scan plans with file pruning. The full WHERE still
         runs in Spark (residual re-application), so a parse miss only costs
-        pruning, never correctness."""
+        pruning, never correctness. Naive TIMESTAMP literals are shifted
+        from spark.sql.session.timeZone to the engine's UTC stats domain so
+        pruning never disagrees with Spark's literal semantics (ADVICE r1)."""
         m = re.search(
             rf"FROM\s+{re.escape(ident)}(?:\s+(?:AS\s+)?\w+)?\s+WHERE\s+(.*?)"
             r"(?:\s+GROUP\s+BY|\s+ORDER\s+BY|\s+LIMIT\s|\s*$)",
@@ -365,9 +410,65 @@ class SqlEngine:
         if re.search(r"\bJOIN\b", s, re.I):
             return None
         try:
-            return parse_predicate(m.group(1).strip())
+            expr = parse_predicate(m.group(1).strip())
         except Exception:
             return None
+        tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        return _shift_ts_literals(expr, tz)
+
+    @staticmethod
+    def _sub_relations(body: str, rel_sub) -> str:
+        """Rewrite relation identifiers only where a relation can appear:
+        directly after FROM/JOIN, and through comma-separated FROM lists
+        (`FROM db.a, db.b alias, db.c`). Substituted relations with no user
+        alias are re-aliased with the identifier's terminal name so
+        table-qualified column references (`SELECT orders.o_orderkey FROM
+        ns.orders`) keep resolving. A '(' in relation position (subquery /
+        parenthesized join) is left in place — the scan continues inside it
+        and inner FROM/JOINs are rewritten on their own."""
+        ident_re = re.compile(r"[A-Za-z_][\w.]*")
+        alias_re = re.compile(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", re.I)
+        out, pos, n = [], 0, len(body)
+        for kw in re.finditer(r"(?i)\b(FROM|JOIN)\b", body):
+            if kw.start() < pos:
+                continue
+            out.append(body[pos:kw.end()])
+            pos = kw.end()
+            is_from = kw.group(1).upper() == "FROM"
+            while True:
+                i = pos
+                while i < n and body[i].isspace():
+                    i += 1
+                rm = ident_re.match(body, i)
+                if not rm:
+                    break  # subquery / VALUES / end — leave for inner pass
+                ident = rm.group(0)
+                rep = rel_sub(ident)
+                am = alias_re.match(body, rm.end())
+                alias = am.group(1) if am and \
+                    am.group(1).upper() not in _NOT_ALIAS else None
+                end = am.end() if alias else rm.end()
+                if rep is None:
+                    out.append(body[pos:end])
+                elif alias:
+                    # user alias wins; qualified refs use it already
+                    out.append(body[pos:rm.start()] + rep + body[rm.end():end])
+                else:
+                    out.append(body[pos:rm.start()] + rep
+                               + " AS " + ident.split(".")[-1])
+                pos = end
+                if not is_from:
+                    break
+                j = pos
+                while j < n and body[j].isspace():
+                    j += 1
+                if j < n and body[j] == ",":
+                    out.append(body[pos:j + 1])
+                    pos = j + 1
+                else:
+                    break
+        out.append(body[pos:])
+        return "".join(out)
 
     # -- resolution (ResolveViews / time travel / metadata tables) -----------
     def _resolve(self, s: str, _depth: int = 0) -> str:
@@ -413,9 +514,11 @@ class SqlEngine:
             r"([\w.]+)\s+(?:FOR\s+)?(VERSION|SYSTEM_VERSION|TIMESTAMP|SYSTEM_TIME)\s+AS\s+OF\s+(\x00\d+\x00|\S+)",
             tt, body, flags=re.I)
 
-        # table / view / metadata-table identifiers
-        def ident_sub(m):
-            ident = m.group(0)
+        # relation identifiers (tables / views / metadata tables) are only
+        # rewritten in FROM/JOIN positions — rewriting every identifier
+        # turned colliding bare names and table-qualified column references
+        # (SELECT orders.o_orderkey FROM ns.orders) into UNRESOLVED_COLUMN
+        def rel_sub(ident):
             if self.catalog.table_exists(ident):
                 name = self._tmp("tbl")
                 df = None
@@ -438,8 +541,14 @@ class SqlEngine:
                 return name
             vm = V.load_view(self.catalog, ident)
             if vm is not None:
-                inner = self._resolve(vm.sql, _depth + 1)
-                return f"({inner})"
+                return f"({self._resolve(vm.sql, _depth + 1)})"
+            return None
+
+        body = self._sub_relations(body, rel_sub)
+
+        # stored SQL UDF / UDTF call sites: identifier directly before '('
+        def fn_sub(m):
+            ident = m.group(1)
             fm = V.load_function(self.catalog, ident)
             if fm is None and "." not in ident:
                 # bare name -> unique stored function with that final part
@@ -450,14 +559,11 @@ class SqlEngine:
             if fm is not None:
                 return V.materialize_function(
                     self.spark, fm,
-                    resolver=lambda b: self._resolve(b, _depth + 1))
-            return ident
+                    resolver=lambda b: self._resolve(b, _depth + 1)
+                ) + m.group(2)
+            return m.group(0)
 
-        # only rewrite identifiers in FROM/JOIN-ish positions and function
-        # calls; simplest robust approach: try every dotted/bare identifier,
-        # skipping SQL keywords (cheap — catalog lookups are dict/dir hits)
-        body = re.sub(r"[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)+|[A-Za-z_][\w]*",
-                      ident_sub, body)
+        body = re.sub(r"([A-Za-z_][\w.]*)(\s*\()", fn_sub, body)
         return unprotect(body)
 
     # -- CALL ----------------------------------------------------------------

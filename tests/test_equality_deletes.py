@@ -91,3 +91,15 @@ def test_changelog_over_equality_upsert(catalog, spark):
                     identifier_columns=["id"]).collect()
     types = {r._change_type for r in ch2 if r.id == 2}
     assert types == {"UPDATE_BEFORE", "UPDATE_AFTER"}
+
+
+def test_upsert_in_batch_duplicate_keys(catalog, spark):
+    # ADVICE r1: same-key rows within one batch must collapse (last wins,
+    # matching equality_upsert_sink) — eq deletes only scope to older seqs
+    t = _seed(catalog, spark, "eq.dup")
+    up = spark.createDataFrame(
+        [Row(id=3, v=30.0), Row(id=3, v=31.0), Row(id=200, v=2.0)])
+    t.upsert(up, keys=["id"])
+    raw = t.to_df().collect()
+    assert len(raw) == 11  # one survivor for id=3
+    assert {r.id: r.v for r in raw}[3] == 31.0

@@ -95,12 +95,19 @@ def test_call_procedures(seeded, catalog):
     anc = catalog.sql("CALL system.ancestors_of('db.t')").collect()
     assert anc[0].snapshot_id == first
 
+    # second file per partition so binpack has real work — counts must be
+    # non-zero (ADVICE r1: proc readers used keys maintenance never returned)
+    catalog.sql("INSERT INTO db.t SELECT * FROM VALUES (6, 'a', 6.0), "
+                "(7, 'b', 7.0) AS v(id, cat, v)")
     r = catalog.sql("CALL system.rewrite_data_files(table => 'db.t')").collect()
-    assert r[0].rewritten_data_files_count >= 0
+    assert r[0].rewritten_data_files_count == 4
+    assert r[0].added_data_files_count > 0
+    assert r[0].rewritten_bytes_count > 0
     r = catalog.sql("CALL system.rewrite_manifests('db.t')").collect()
     assert r[0].rewritten_manifests_count >= 0
     r = catalog.sql("CALL system.expire_snapshots(table => 'db.t', retain_last => 1)").collect()
-    assert r[0].expired_snapshots_count >= 0
+    assert r[0].expired_snapshots_count > 0
+    assert r[0].deleted_data_files_count > 0  # pre-compaction files purged
     r = catalog.sql("CALL system.remove_orphan_files(table => 'db.t', dry_run => true)").collect()
     assert isinstance(r, list)
     r = catalog.sql("CALL system.compute_partition_stats('db.t')").collect()
@@ -235,3 +242,60 @@ def test_create_table_nested_parens_and_decimal(catalog):
                 "TIMESTAMP '2026-01-02 00:00:00', CAST(1.25 AS DECIMAL(10,2))")
     rows = catalog.sql("SELECT id, d FROM db.nested").collect()
     assert len(rows) == 1 and float(rows[0].d) == 1.25
+
+
+def test_table_qualified_column_refs(seeded, catalog):
+    # SELECT t.id FROM db.t — substituted relation must stay addressable by
+    # its terminal name (ADVICE r1: every-identifier rewrite broke this)
+    rows = catalog.sql(
+        "SELECT t.id, t.v FROM db.t WHERE t.cat = 'a' ORDER BY t.id").collect()
+    assert [(r.id, r.v) for r in rows] == [(1, 1.0), (2, 2.0)]
+    # explicit user alias still wins
+    rows = catalog.sql(
+        "SELECT x.id FROM db.t AS x WHERE x.cat = 'b' ORDER BY x.id").collect()
+    assert [r.id for r in rows] == [3, 4]
+
+
+def test_identifier_collision_not_rewritten(seeded, catalog, spark):
+    # a column whose name collides with a table name must not be rewritten
+    catalog.sql("CREATE TABLE db.cat (cat string, label string)")
+    catalog.sql("INSERT INTO db.cat SELECT * FROM VALUES ('a', 'alpha'), "
+                "('b', 'beta') AS v(cat, label)")
+    # `cat` appears as a bare column identifier in SELECT/GROUP BY position;
+    # only the FROM reference may resolve to the db.cat table
+    rows = catalog.sql(
+        "SELECT cat, count(*) AS n FROM db.t GROUP BY cat ORDER BY cat"
+    ).collect()
+    assert [(r.cat, r.n) for r in rows] == [("a", 2), ("b", 2)]
+
+
+def test_comma_join_from_list(seeded, catalog):
+    catalog.sql("CREATE TABLE db.names (id bigint, name string)")
+    catalog.sql("INSERT INTO db.names SELECT * FROM VALUES "
+                "(1, 'one'), (3, 'three') AS v(id, name)")
+    rows = catalog.sql(
+        "SELECT t.id, names.name FROM db.t, db.names "
+        "WHERE t.id = names.id ORDER BY t.id").collect()
+    assert [(r.id, r.name) for r in rows] == [(1, "one"), (3, "three")]
+
+
+def test_pushdown_non_utc_session_timezone(catalog, spark):
+    # TIMESTAMP literals are session-tz wall time (Spark) but engine stats
+    # are UTC instants; pruning must shift literals or it loses rows
+    catalog.sql("CREATE TABLE db.tz (id bigint, ts timestamp) "
+                "PARTITIONED BY (days(ts))")
+    catalog.sql("INSERT INTO db.tz SELECT * FROM VALUES "
+                "(1, TIMESTAMP '2026-01-01 20:00:00'), "
+                "(2, TIMESTAMP '2026-01-03 12:00:00') AS v(id, ts)")
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+        # Tokyo 2026-01-02 02:00 == UTC 2026-01-01 17:00 — both rows qualify;
+        # unshifted pruning would drop the 2026-01-01 file (max 20:00 UTC)
+        rows = catalog.sql(
+            "SELECT id FROM db.tz "
+            "WHERE ts >= TIMESTAMP '2026-01-02 02:00:00' ORDER BY id"
+        ).collect()
+        assert [r.id for r in rows] == [1, 2]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
