@@ -35,12 +35,16 @@ IN, NOT_IN = "in", "not_in"
 IS_NULL, NOT_NULL = "is_null", "not_null"
 IS_NAN, NOT_NAN = "is_nan", "not_nan"
 STARTS_WITH, NOT_STARTS_WITH = "starts_with", "not_starts_with"
+# geospatial bbox predicates on geometry/geography columns (literal = BBox).
+# Reference api/.../geospatial/GeospatialPredicateEvaluators.java.
+ST_INTERSECTS, ST_DISJOINT = "st_intersects", "st_disjoint"
 
 _NEGATE = {
     LT: GT_EQ, GT_EQ: LT, GT: LT_EQ, LT_EQ: GT, EQ: NOT_EQ, NOT_EQ: EQ,
     IN: NOT_IN, NOT_IN: IN, IS_NULL: NOT_NULL, NOT_NULL: IS_NULL,
     IS_NAN: NOT_NAN, NOT_NAN: IS_NAN, STARTS_WITH: NOT_STARTS_WITH,
-    NOT_STARTS_WITH: STARTS_WITH,
+    NOT_STARTS_WITH: STARTS_WITH, ST_INTERSECTS: ST_DISJOINT,
+    ST_DISJOINT: ST_INTERSECTS,
 }
 _FLIP = {LT: GT, GT: LT, LT_EQ: GT_EQ, GT_EQ: LT_EQ, EQ: EQ, NOT_EQ: NOT_EQ}
 
@@ -197,6 +201,21 @@ def extract(name: str, path: str, type: str = "string") -> ColumnRef:
     return ColumnRef(name, VariantExtract(path, type))
 
 
+def st_intersects(name: str, box) -> Predicate:
+    """Bounding-box intersection predicate on a geometry/geography column:
+    st_intersects('geom', (xmin, ymin, xmax, ymax)). For geography columns
+    the X range of the box may wrap the antimeridian (xmin > xmax)."""
+    from .geo import BBox
+
+    return Predicate(ST_INTERSECTS, Term(name), (BBox(*box),))
+
+
+def st_disjoint(name: str, box) -> Predicate:
+    from .geo import BBox
+
+    return Predicate(ST_DISJOINT, Term(name), (BBox(*box),))
+
+
 def and_(*exprs: Expr) -> Expr:
     out: Expr = ALWAYS_TRUE
     for e in exprs:
@@ -254,6 +273,10 @@ def coerce_literal(v: Any, typ: str) -> Any:
     """Parse/convert a Python literal to the column's type domain."""
     if v is None:
         return None
+    if typ in ("geometry", "geography"):
+        from .geo import BBox
+
+        return v if isinstance(v, BBox) else BBox(*v)
     if typ == "date":
         if isinstance(v, str):
             return _dt.date.fromisoformat(v)
@@ -365,6 +388,13 @@ def to_spark(expr: Expr, colfn=F.col) -> Column:
                 raise ValueError("transform predicates must be bound before to_spark")
             c = tr.spark_col(c, src)
         op, lits = expr.op, expr.literals
+        if op in (ST_INTERSECTS, ST_DISJOINT):
+            from .geo import st_intersects_bbox
+
+            geog = (isinstance(expr, BoundPredicate)
+                    and expr.term.field.type == "geography")
+            hit = st_intersects_bbox(c, lits[0], geography=geog)
+            return hit if op == ST_INTERSECTS else (c.isNotNull() & ~hit)
         if op == LT:
             return c < F.lit(lits[0])
         if op == LT_EQ:
@@ -550,6 +580,16 @@ def evaluate(expr: Expr, row: dict) -> bool:
             return v != v
         if op == NOT_NAN:
             return v == v
+        if op in (ST_INTERSECTS, ST_DISJOINT):
+            from .geo import bbox_intersects, wkb_bbox
+
+            b = wkb_bbox(v)
+            if b is None:
+                return False
+            geog = (isinstance(expr, BoundPredicate)
+                    and expr.term.field.type == "geography")
+            hit = bbox_intersects(b, lits[0], geography=geog)
+            return hit if op == ST_INTERSECTS else not hit
         if op == LT:
             return v < lits[0]
         if op == LT_EQ:
@@ -585,6 +625,10 @@ def _project_predicate(pred: BoundPredicate, pfield, inclusive: bool) -> Expr:
     Reference: Projections.java:28, ProjectionUtil.java; spec spec.md:1050.
     """
     if pred.term.name != pfield.source_name:
+        return ALWAYS_TRUE if inclusive else ALWAYS_FALSE
+    if pred.op in (ST_INTERSECTS, ST_DISJOINT):
+        # partition values carry no geo bounds; bbox pruning happens at the
+        # file-stats level (inclusive_metrics_eval), not via projection
         return ALWAYS_TRUE if inclusive else ALWAYS_FALSE
     if pred.term.transform is not None and not isinstance(pred.term.transform, Identity):
         # predicate already on a transform (e.g. bucket(16, id) = 3)
@@ -781,6 +825,16 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
             return nans is None or nans > 0
         if op == NOT_NAN:
             return True
+        if op in (ST_INTERSECTS, ST_DISJOINT):
+            if op == ST_DISJOINT:
+                return True  # any file may hold a geometry outside the box
+            from .geo import bbox_intersects, stats_bbox
+
+            fb = stats_bbox(mn, mx)
+            if fb is None:
+                return True
+            geog = expr.term.field.type == "geography"
+            return bbox_intersects(fb, lits[0], geography=geog)
         if op in (LT, LT_EQ, GT, GT_EQ, EQ, IN, STARTS_WITH):
             if op == LT:
                 return mn is None or mn < lits[0]
@@ -846,6 +900,29 @@ def strict_metrics_eval(expr: Expr, fs: FileStats) -> bool:
             return False
         if not no_nulls:
             return False  # null rows never match binary predicates
+        if op in (ST_INTERSECTS, ST_DISJOINT):
+            from .geo import BBox, bbox_intersects, stats_bbox
+
+            fb = stats_bbox(mn, mx)
+            if fb is None:
+                return False
+            qb: BBox = lits[0]
+            geog = expr.term.field.type == "geography"
+            if op == ST_DISJOINT:
+                # every row disjoint <=> file bbox disjoint from the box
+                return not bbox_intersects(fb, qb, geography=geog)
+            # every row intersects if the file bbox is contained in the box:
+            # each row bbox ⊆ file bbox ⊆ query box -> intersects
+            y_in = qb.ymin <= fb.ymin and fb.ymax <= qb.ymax
+            if not y_in:
+                return False
+            if fb.xmin > fb.xmax:  # file box wraps the antimeridian
+                if qb.xmin > qb.xmax:
+                    return fb.xmin >= qb.xmin and fb.xmax <= qb.xmax
+                return qb.xmin <= -180.0 and qb.xmax >= 180.0
+            if geog and qb.xmin > qb.xmax:  # query box wraps
+                return fb.xmin >= qb.xmin or fb.xmax <= qb.xmax
+            return qb.xmin <= fb.xmin and fb.xmax <= qb.xmax
         if op == LT:
             return mx < lits[0]
         if op == LT_EQ:

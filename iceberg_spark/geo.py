@@ -1,0 +1,306 @@
+"""Geospatial support: v3 `geometry` / `geography` columns (WKB in binary),
+per-file bounding-box statistics, and bbox-intersection predicate pruning.
+
+Spark-first design: geometries are opaque WKB `binary` columns; bbox
+extraction is an Arrow-batched pandas UDF; file-level pruning reuses the
+manifest min/max slots, storing the bounding box as two WKB points (lower
+bound = (xmin, ymin), upper bound = (xmax, ymax)) exactly as the table spec
+defines geospatial bounds. Geography X-ranges may wrap the antimeridian
+(xmin > xmax means the box spans the 180° line).
+
+Reference parity (behavior, not code):
+- api/src/main/java/org/apache/iceberg/types/Types.java:574,640
+  (GeometryType / GeographyType)
+- api/src/main/java/org/apache/iceberg/geospatial/GeospatialPredicateEvaluators.java
+  (bbox intersection; geography wrap-around on X, plain ranges on Y)
+- api/src/main/java/org/apache/iceberg/geospatial/BoundingBox.java
+
+Full geometric predicates (exact polygon intersection etc.) belong to a geo
+engine (Sedona/shapely); this module implements the spec-level contract:
+bbox semantics — exact for point data (the common lat/lon metadata case),
+conservative for extended geometries.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import NamedTuple, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+class BBox(NamedTuple):
+    xmin: float
+    ymin: float
+    xmax: float
+    ymax: float
+
+
+# ---------------------------------------------------------------------------
+# WKB encode / decode
+# ---------------------------------------------------------------------------
+
+_POINT = 1
+_LINESTRING = 2
+_POLYGON = 3
+_MULTIPOINT = 4
+_MULTILINESTRING = 5
+_MULTIPOLYGON = 6
+_COLLECTION = 7
+
+# EWKB dimensionality flags (PostGIS); ISO uses type // 1000
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+_EWKB_SRID = 0x20000000
+
+
+def wkb_point(x: float, y: float) -> bytes:
+    """Little-endian ISO WKB Point."""
+    return struct.pack("<BIdd", 1, _POINT, x, y)
+
+
+def _geom_dims(raw_type: int) -> tuple[int, int]:
+    """(base geometry type, coords per vertex) from an ISO or EWKB type."""
+    ndims = 2
+    if raw_type & _EWKB_Z:
+        ndims += 1
+    if raw_type & _EWKB_M:
+        ndims += 1
+    t = raw_type & 0x0FFFFFFF
+    iso = t // 1000  # 0:XY 1:XYZ 2:XYM 3:XYZM
+    if iso == 1 or iso == 2:
+        ndims = 3
+    elif iso == 3:
+        ndims = 4
+    return t % 1000, ndims
+
+
+def _coords_bbox(buf: bytes, off: int, n: int, ndims: int, endian: str):
+    """bbox over n vertices of ndims doubles starting at off; returns
+    (xmin, ymin, xmax, ymax, next_offset)."""
+    nb = n * ndims * 8
+    arr = np.frombuffer(buf, dtype=(">f8" if endian == ">" else "<f8"),
+                        count=n * ndims, offset=off).reshape(n, ndims)
+    xs, ys = arr[:, 0], arr[:, 1]
+    return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max()), off + nb
+
+
+def _parse_bbox(buf: bytes, off: int):
+    """Parse one WKB geometry at off; returns (bbox-or-None, next_offset).
+    None bbox = empty geometry (e.g. zero-vertex collection member)."""
+    endian = "<" if buf[off] == 1 else ">"
+    (raw_type,) = struct.unpack_from(endian + "I", buf, off + 1)
+    off += 5
+    if raw_type & _EWKB_SRID:
+        off += 4
+    base, ndims = _geom_dims(raw_type)
+    if base == _POINT:
+        x, y = struct.unpack_from(endian + "dd", buf, off)
+        off += ndims * 8
+        if x != x or y != y:  # NaN point == empty per WKB convention
+            return None, off
+        return (x, y, x, y), off
+    if base == _LINESTRING:
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        if n == 0:
+            return None, off
+        x0, y0, x1, y1, off = _coords_bbox(buf, off, n, ndims, endian)
+        return (x0, y0, x1, y1), off
+    if base == _POLYGON:
+        (nrings,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        box = None
+        for _ in range(nrings):
+            (n,) = struct.unpack_from(endian + "I", buf, off)
+            off += 4
+            if n == 0:
+                continue
+            x0, y0, x1, y1, off = _coords_bbox(buf, off, n, ndims, endian)
+            box = (x0, y0, x1, y1) if box is None else (
+                min(box[0], x0), min(box[1], y0),
+                max(box[2], x1), max(box[3], y1))
+        return box, off
+    if base in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        box = None
+        for _ in range(n):
+            sub, off = _parse_bbox(buf, off)
+            if sub is None:
+                continue
+            box = sub if box is None else (
+                min(box[0], sub[0]), min(box[1], sub[1]),
+                max(box[2], sub[2]), max(box[3], sub[3]))
+        return box, off
+    raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+def wkb_bbox(buf: Optional[bytes]) -> Optional[BBox]:
+    """Bounding box of one WKB value (None for NULL/empty)."""
+    if buf is None or len(buf) < 5:
+        return None
+    box, _ = _parse_bbox(bytes(buf), 0)
+    return BBox(*box) if box is not None else None
+
+
+_LE_POINT_HDR = b"\x01\x01\x00\x00\x00"
+_PT_DTYPE = np.dtype([("h", "V5"), ("x", "<f8"), ("y", "<f8")])
+
+
+def batch_bbox(values) -> np.ndarray:
+    """(n, 4) float array of [xmin, ymin, xmax, ymax]; NaN rows for
+    NULL/empty. Vectorized numpy decode when the whole batch is
+    little-endian 2D points (the common lat/lon metadata case); general
+    WKB parse otherwise."""
+    vals = list(values)
+    n = len(vals)
+    if n and all(v is not None and len(v) == 21
+                 and bytes(v[:5]) == _LE_POINT_HDR for v in vals):
+        rec = np.frombuffer(b"".join(bytes(v) for v in vals), dtype=_PT_DTYPE)
+        out = np.empty((n, 4))
+        out[:, 0] = out[:, 2] = rec["x"]
+        out[:, 1] = out[:, 3] = rec["y"]
+        return out
+    out = np.full((n, 4), np.nan)
+    for i, v in enumerate(vals):
+        b = wkb_bbox(v)
+        if b is not None:
+            out[i] = b
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bbox intersection (GeospatialPredicateEvaluators semantics)
+# ---------------------------------------------------------------------------
+
+def _range_intersects(a_min, a_max, b_min, b_max) -> bool:
+    return a_min <= b_max and b_min <= a_max
+
+
+def _x_intersects_wrap(a_min, a_max, b_min, b_max) -> bool:
+    """X-range intersection where either range may wrap the antimeridian
+    (min > max means the range spans the 180°/-180° line)."""
+    a_wraps, b_wraps = a_min > a_max, b_min > b_max
+    if a_wraps and b_wraps:
+        return True  # both cross the antimeridian -> both contain x=180
+    if a_wraps:
+        return b_max >= a_min or b_min <= a_max
+    if b_wraps:
+        return a_max >= b_min or a_min <= b_max
+    return _range_intersects(a_min, a_max, b_min, b_max)
+
+
+def bbox_intersects(a: BBox, b: BBox, geography: bool = False) -> bool:
+    """Whether two bounding boxes intersect. Geometry: plain ranges both
+    axes (xmin<=xmax enforced). Geography: Y is a plain range, X wraps."""
+    if not geography and (a.xmin > a.xmax or b.xmin > b.xmax):
+        raise ValueError("geometry bbox with xmin > xmax")
+    if a.ymin > a.ymax or b.ymin > b.ymax:
+        raise ValueError("bbox with ymin > ymax")
+    if not _range_intersects(a.ymin, a.ymax, b.ymin, b.ymax):
+        return False
+    if geography:
+        return _x_intersects_wrap(a.xmin, a.xmax, b.xmin, b.xmax)
+    return _range_intersects(a.xmin, a.xmax, b.xmin, b.xmax)
+
+
+def stats_bbox(lower: Optional[bytes], upper: Optional[bytes]) -> Optional[BBox]:
+    """File bbox from manifest lower/upper bounds (two WKB points)."""
+    lo, hi = wkb_bbox(lower), wkb_bbox(upper)
+    if lo is None or hi is None:
+        return None
+    return BBox(lo.xmin, lo.ymin, hi.xmax, hi.ymax)
+
+
+# ---------------------------------------------------------------------------
+# Spark column functions (Arrow-batched; no row-at-a-time Python)
+# ---------------------------------------------------------------------------
+
+def st_point(x: Column, y: Column) -> Column:
+    """Build WKB points from two double columns."""
+
+    @pandas_udf(T.BinaryType())
+    def _mk(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xa = xs.to_numpy(dtype=float)
+        ya = ys.to_numpy(dtype=float)
+        rec = np.empty(len(xa), dtype=_PT_DTYPE)
+        rec["h"] = np.frombuffer(_LE_POINT_HDR, dtype="V5")[0]
+        rec["x"], rec["y"] = xa, ya
+        buf = rec.tobytes()
+        null = np.isnan(xa) | np.isnan(ya)
+        return pd.Series(
+            [None if null[i] else buf[i * 21:(i + 1) * 21]
+             for i in range(len(xa))], dtype=object)
+
+    return _mk(x, y)
+
+
+def st_bbox(geom: Column) -> Column:
+    """bbox struct (xmin, ymin, xmax, ymax) of a WKB column."""
+    schema = T.StructType([
+        T.StructField("xmin", T.DoubleType()),
+        T.StructField("ymin", T.DoubleType()),
+        T.StructField("xmax", T.DoubleType()),
+        T.StructField("ymax", T.DoubleType()),
+    ])
+
+    @pandas_udf(schema)
+    def _bb(gs: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(batch_bbox(gs),
+                            columns=["xmin", "ymin", "xmax", "ymax"])
+
+    return _bb(geom)
+
+
+def st_intersects_bbox(geom: Column, box: BBox, geography: bool = False) -> Column:
+    """Row-level bbox-intersection predicate against a constant box —
+    the data-side filter behind the ST_INTERSECTS expression. Exact for
+    points; conservative (bbox) for extended geometries."""
+    qb = BBox(*box)
+
+    @pandas_udf(T.BooleanType())
+    def _hit(gs: pd.Series) -> pd.Series:
+        bb = batch_bbox(gs)
+        xmin, ymin, xmax, ymax = bb[:, 0], bb[:, 1], bb[:, 2], bb[:, 3]
+        with np.errstate(invalid="ignore"):
+            hit_y = (ymin <= qb.ymax) & (qb.ymin <= ymax)
+            if geography:
+                wraps = xmin > xmax
+                plain = (xmin <= qb.xmax) & (qb.xmin <= xmax)
+                if qb.xmin > qb.xmax:  # query box crosses the antimeridian
+                    hit_x = wraps | (xmax >= qb.xmin) | (xmin <= qb.xmax)
+                else:
+                    hit_x = np.where(
+                        wraps, (qb.xmax >= xmin) | (qb.xmin <= xmax), plain)
+            else:
+                hit_x = (xmin <= qb.xmax) & (qb.xmin <= xmax)
+        res = hit_x & hit_y
+        res[np.isnan(xmin)] = False  # NULL/empty geometries never match
+        return pd.Series(res)
+
+    return _hit(geom)
+
+
+# ---------------------------------------------------------------------------
+# write-side stats: per-file bbox as (lower WKB point, upper WKB point)
+# ---------------------------------------------------------------------------
+
+def column_bbox_bounds(values) -> tuple[Optional[bytes], Optional[bytes], int]:
+    """Aggregate bbox over an iterable of WKB values. Returns (lower_point,
+    upper_point, null_count). Plain min/max per axis — a file of points
+    near both ±180° gets a world-spanning (conservative, still correct)
+    box; wrap-aware bounds can be layered on later without a format
+    change, since the evaluator already understands xmin > xmax."""
+    bb = batch_bbox(values)
+    nulls = int(np.isnan(bb[:, 0]).sum())
+    if nulls == len(bb):
+        return None, None, nulls
+    return (wkb_point(float(np.nanmin(bb[:, 0])), float(np.nanmin(bb[:, 1]))),
+            wkb_point(float(np.nanmax(bb[:, 2])), float(np.nanmax(bb[:, 3]))),
+            nulls)

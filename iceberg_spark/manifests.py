@@ -149,6 +149,9 @@ def _type_to_arrow(t: str) -> pa.DataType:
         "uuid": pa.string(),
         "binary": pa.binary(),
         "unknown": pa.null(),
+        # geospatial bounds are WKB points (lower=(xmin,ymin), upper=(xmax,ymax))
+        "geometry": pa.binary(),
+        "geography": pa.binary(),
     }[t]
 
 
@@ -539,6 +542,19 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
                 ).as_py() or 0
         except Exception:
             nan_counts = {}
+    # geospatial bounds: parquet byte-lexicographic min/max on WKB is
+    # meaningless — compute the per-file bounding box from the column and
+    # store it as two WKB points (lower=(xmin,ymin), upper=(xmax,ymax)),
+    # the spec's geospatial bound encoding. Columnar read of just the geo
+    # columns, same cost shape as the nan-count pass above.
+    geo_cols = [n for n, t in ntype.items() if t in ("geometry", "geography")]
+    if geo_cols:
+        from .geo import column_bbox_bounds
+
+        tbl = pq.read_table(path, columns=geo_cols)
+        for n in geo_cols:
+            lo, hi, nulls = column_bbox_bounds(tbl[n].to_pylist())
+            agg[n] = [lo, hi, nulls, None, None]
     stats = {}
     for name, (mn, mx, nulls, nans, _) in agg.items():
         stats[name] = (mn, mx, nulls, nan_counts.get(name, nans), num_rows)

@@ -41,6 +41,8 @@ PRIMITIVES = {
     "timestamp_ns",    # v3: nanosecond precision; Spark caps at micros ->
     "timestamptz_ns",  # stored as long nanos (SURVEY §1.3)
     "variant",         # v3 semi-structured; Spark 4 VariantType
+    "geometry",        # v3 geospatial (Types.java:574): WKB in binary
+    "geography",       # v3 geospatial (Types.java:640): WKB, wrap-aware X
 }
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),\s*(\d+)\)$")
@@ -113,6 +115,8 @@ def type_to_spark(t: Any) -> T.DataType:
         "timestamptz_ns": T.LongType(),
         "variant": (T.VariantType() if hasattr(T, "VariantType")
                     else T.StringType()),
+        "geometry": T.BinaryType(),   # WKB
+        "geography": T.BinaryType(),  # WKB
     }[t]
 
 

@@ -464,6 +464,54 @@ GROUP BY 1 ORDER BY cat
 """
 
 
+def geo_bbox_scan(spark, sf_dir):
+    """v3 geometry column end-to-end (Types.java:574, geospatial/
+    GeospatialPredicateEvaluators.java): events get deterministic lon/lat
+    points encoded as WKB, the table is written range-clustered by lon so
+    file bounding boxes are narrow, and the scan filters with an
+    ST_INTERSECTS bbox predicate — file pruning from the WKB-point bounds
+    in the manifests, residual bbox test in an Arrow-batched UDF."""
+    from .geo import st_bbox, st_point
+
+    key = ("geo", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"geo_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        from .schema import NestedField, Schema
+
+        ev = load_table(spark, sf_dir, "events")
+        df = (ev.select(
+                "event_id",
+                ((F.col("user_id") * 7) % 360 - 180).cast("double").alias("x"),
+                ((F.col("event_id") * 13) % 180 - 90).cast("double").alias("y"))
+              .repartitionByRange(8, "x").sortWithinPartitions("x")
+              .select("event_id", st_point("x", "y").alias("geom")))
+        schema = Schema((NestedField(1, "event_id", "long", True),
+                         NestedField(2, "geom", "geometry", False)))
+        t = cat.create_table(ident, schema)
+        t.append(df)
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    scan = t.scan(filter=E.st_intersects("geom", (-60.0, -30.0, 20.0, 45.0)))
+    box = scan.df().select("event_id", st_bbox("geom").alias("b"))
+    return (box.select("event_id", F.col("b.xmin").alias("x"),
+                       F.col("b.ymin").alias("y"))
+               .orderBy("event_id"))
+
+
+GEO_BBOX_SQL = """
+SELECT event_id,
+       CAST((user_id * 7) % 360 - 180 AS DOUBLE) AS x,
+       CAST((event_id * 13) % 180 - 90 AS DOUBLE) AS y
+FROM events
+WHERE ((user_id * 7) % 360 - 180) BETWEEN -60 AND 20
+  AND ((event_id * 13) % 180 - 90) BETWEEN -30 AND 45
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -540,6 +588,7 @@ REGISTRY = {
     "update_scan": (update_scan, UPDATE_SQL),
     "merge_upsert_scan": (merge_upsert_scan, MERGE_SQL),
     "variant_extract_scan": (variant_extract_scan, VARIANT_EXTRACT_SQL),
+    "geo_bbox_scan": (geo_bbox_scan, GEO_BBOX_SQL),
 }
 
 

@@ -1,0 +1,213 @@
+"""Geospatial types (v3 geometry/geography): WKB bbox extraction,
+bounding-box predicate evaluation with geography antimeridian wrap-around,
+per-file bbox stats, and scan-time pruning.
+
+Reference behavior: api/.../types/Types.java:574,640,
+api/.../geospatial/GeospatialPredicateEvaluators.java,
+api/.../geospatial/BoundingBox.java.
+"""
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark import expressions as E
+from iceberg_spark.geo import (
+    BBox,
+    bbox_intersects,
+    column_bbox_bounds,
+    st_bbox,
+    st_intersects_bbox,
+    st_point,
+    stats_bbox,
+    wkb_bbox,
+    wkb_point,
+)
+from iceberg_spark.schema import NestedField, Schema
+
+
+def _wkb(kind: int, *coords, endian="<", ndims=2):
+    order = 1 if endian == "<" else 0
+    out = struct.pack(endian + "BI", order, kind)
+    if kind == 1:  # point
+        return out + struct.pack(endian + "d" * ndims, *coords)
+    out += struct.pack(endian + "I", len(coords))
+    for c in coords:
+        out += struct.pack(endian + "d" * ndims, *c)
+    return out
+
+
+# -- WKB parsing ------------------------------------------------------------
+
+def test_wkb_point_roundtrip():
+    assert wkb_bbox(wkb_point(10.0, -5.0)) == BBox(10.0, -5.0, 10.0, -5.0)
+
+
+def test_wkb_linestring_bbox():
+    ls = _wkb(2, (0.0, 0.0), (3.0, -2.0), (1.0, 5.0))
+    assert wkb_bbox(ls) == BBox(0.0, -2.0, 3.0, 5.0)
+
+
+def test_wkb_big_endian_point():
+    p = _wkb(1, 7.0, 8.0, endian=">")
+    assert wkb_bbox(p) == BBox(7.0, 8.0, 7.0, 8.0)
+
+
+def test_wkb_polygon_and_multi():
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0), (0.0, 0.0)]
+    poly = struct.pack("<BII", 1, 3, 1) + struct.pack("<I", len(ring))
+    for c in ring:
+        poly += struct.pack("<dd", *c)
+    assert wkb_bbox(poly) == BBox(0.0, 0.0, 4.0, 4.0)
+    multi = struct.pack("<BII", 1, 4, 2) + wkb_point(1.0, 1.0) + wkb_point(-3.0, 9.0)
+    assert wkb_bbox(multi) == BBox(-3.0, 1.0, 1.0, 9.0)
+
+
+def test_wkb_xyz_point():
+    p = struct.pack("<BIddd", 1, 1001, 1.0, 2.0, 3.0)  # ISO XYZ
+    assert wkb_bbox(p) == BBox(1.0, 2.0, 1.0, 2.0)
+
+
+def test_wkb_null_and_empty():
+    assert wkb_bbox(None) is None
+    nan = float("nan")
+    assert wkb_bbox(struct.pack("<BIdd", 1, 1, nan, nan)) is None
+
+
+# -- bbox intersection (GeospatialPredicateEvaluators parity) ---------------
+
+def test_geometry_intersects_basic():
+    a = BBox(0, 0, 10, 10)
+    assert bbox_intersects(a, BBox(5, 5, 15, 15))
+    assert bbox_intersects(a, BBox(10, 10, 20, 20))  # touching counts
+    assert not bbox_intersects(a, BBox(11, 0, 20, 10))
+    assert not bbox_intersects(a, BBox(0, 11, 10, 20))
+
+
+def test_geometry_rejects_wrapped_box():
+    with pytest.raises(ValueError):
+        bbox_intersects(BBox(170, 0, -170, 10), BBox(0, 0, 1, 1))
+
+
+def test_geography_wraparound():
+    # box spanning 170..180/-180..-170 (xmin > xmax == antimeridian cross)
+    wrap = BBox(170.0, -10.0, -170.0, 10.0)
+    assert bbox_intersects(wrap, BBox(175.0, -5.0, 179.0, 5.0), geography=True)
+    assert bbox_intersects(wrap, BBox(-179.0, -5.0, -175.0, 5.0), geography=True)
+    assert not bbox_intersects(wrap, BBox(-160.0, -5.0, 0.0, 5.0), geography=True)
+    # two wrapped boxes always share x=180
+    assert bbox_intersects(wrap, BBox(179.0, -5.0, -179.0, 5.0), geography=True)
+    # y-disjoint still rejects
+    assert not bbox_intersects(wrap, BBox(175.0, 20.0, 179.0, 30.0), geography=True)
+
+
+# -- metrics evaluation -----------------------------------------------------
+
+def _geo_schema(typ="geometry"):
+    return Schema((NestedField(1, "id", "long", True),
+                   NestedField(2, "geom", typ, False)))
+
+
+def _fs(lo, hi, nulls=0, n=10):
+    return E.FileStats(n, {"geom": (lo, hi, nulls, None, n)})
+
+
+def test_inclusive_metrics_geo():
+    expr = E.bind(E.st_intersects("geom", (5, 5, 15, 15)), _geo_schema())
+    fs_hit = _fs(wkb_point(0, 0), wkb_point(10, 10))
+    fs_miss = _fs(wkb_point(20, 20), wkb_point(30, 30))
+    fs_nostats = _fs(None, None)
+    assert E.inclusive_metrics_eval(expr, fs_hit)
+    assert not E.inclusive_metrics_eval(expr, fs_miss)
+    assert E.inclusive_metrics_eval(expr, fs_nostats)
+
+
+def test_inclusive_metrics_geography_wrap():
+    # file bbox wraps the antimeridian: xmin 170 > xmax -170
+    expr = E.bind(E.st_intersects("geom", (-179.0, -5.0, -175.0, 5.0)),
+                  _geo_schema("geography"))
+    fs_wrap = _fs(wkb_point(170.0, -10.0), wkb_point(-170.0, 10.0))
+    assert E.inclusive_metrics_eval(expr, fs_wrap)
+    expr2 = E.bind(E.st_intersects("geom", (-160.0, -5.0, 0.0, 5.0)),
+                   _geo_schema("geography"))
+    assert not E.inclusive_metrics_eval(expr2, fs_wrap)
+
+
+def test_strict_metrics_geo_containment():
+    schema = _geo_schema()
+    fs_in = _fs(wkb_point(6, 6), wkb_point(9, 9))
+    fs_part = _fs(wkb_point(0, 0), wkb_point(10, 10))
+    contained = E.bind(E.st_intersects("geom", (5, 5, 15, 15)), schema)
+    assert E.strict_metrics_eval(contained, fs_in)
+    assert not E.strict_metrics_eval(contained, fs_part)
+    # nulls block strict match
+    assert not E.strict_metrics_eval(contained, _fs(wkb_point(6, 6),
+                                                    wkb_point(9, 9), nulls=1))
+    # strict disjoint: file box fully outside
+    disj = E.bind(E.st_disjoint("geom", (100, 100, 110, 110)), schema)
+    assert E.strict_metrics_eval(disj, fs_in)
+    assert not E.strict_metrics_eval(
+        E.bind(E.st_disjoint("geom", (8, 8, 12, 12)), schema), fs_in)
+
+
+def test_stats_bbox_roundtrip():
+    lo, hi, nulls = column_bbox_bounds(
+        [wkb_point(1, 2), wkb_point(-5, 7), None])
+    assert nulls == 1
+    assert stats_bbox(lo, hi) == BBox(-5.0, 2.0, 1.0, 7.0)
+
+
+# -- Spark column functions -------------------------------------------------
+
+def test_st_point_bbox_columns(spark):
+    df = spark.range(4).select(
+        F.col("id"),
+        st_point(F.col("id").cast("double"),
+                 (F.col("id") * 2).cast("double")).alias("geom"))
+    out = df.select("id", st_bbox("geom").alias("b")).collect()
+    for r in out:
+        assert r.b.xmin == float(r.id) and r.b.ymin == float(r.id * 2)
+    hits = df.filter(st_intersects_bbox(F.col("geom"), BBox(1, 2, 2, 4))).collect()
+    assert sorted(r.id for r in hits) == [1, 2]
+
+
+# -- end-to-end scan with bbox pruning --------------------------------------
+
+def test_geo_table_scan_prunes_files(catalog, spark):
+    schema = Schema((NestedField(1, "id", "long", True),
+                     NestedField(2, "geom", "geometry", False)))
+    t = catalog.create_table("geo.pts", schema)
+    # three appends with disjoint lon bands -> three files, distinct bboxes
+    for lo in (-150, -50, 50):
+        df = spark.range(lo + 150, lo + 200).select(
+            F.col("id"),
+            st_point(F.lit(float(lo)) + (F.col("id") % 50).cast("double"),
+                     (F.col("id") % 80).cast("double") - 40.0).alias("geom"))
+        t.append(df)
+    t = catalog.load_table("geo.pts")
+    scan = t.scan(filter=E.st_intersects("geom", (-140.0, -90.0, -120.0, 90.0)))
+    plan = scan.plan_files()
+    # only files whose lon band overlaps [-140, -120] survive bbox pruning
+    assert plan.report.skipped_data_files > 0
+    assert plan.report.result_data_files <= plan.report.total_data_files // 2
+    rows = scan.df().collect()
+    assert len(rows) > 0
+    for r in rows:
+        b = wkb_bbox(r.geom)
+        assert -140.0 <= b.xmin <= -120.0
+
+
+def test_geography_scan_wrap_query(catalog, spark):
+    schema = Schema((NestedField(1, "id", "long", True),
+                     NestedField(2, "geom", "geography", False)))
+    t = catalog.create_table("geo.geog", schema)
+    pts = [(1, 175.0, 0.0), (2, -178.0, 0.0), (3, 0.0, 0.0), (4, 150.0, 0.0)]
+    df = spark.createDataFrame(pts, ["id", "lon", "lat"]).select(
+        "id", st_point("lon", "lat").alias("geom"))
+    t.append(df)
+    t = catalog.load_table("geo.geog")
+    # query box wraps the antimeridian: lon in [170, 180] ∪ [-180, -170]
+    scan = t.scan(filter=E.st_intersects("geom", (170.0, -10.0, -170.0, 10.0)))
+    rows = scan.df().collect()
+    assert sorted(r.id for r in rows) == [1, 2]
