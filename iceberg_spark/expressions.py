@@ -944,3 +944,142 @@ def strict_metrics_eval(expr: Expr, fs: FileStats) -> bool:
             return str(mn).startswith(v) and str(mx)[: len(v)] == v
         return False
     raise TypeError(f"cannot evaluate {expr!r}")
+
+
+# ExpressionUtil ------------------------------------------------------------
+# Reference api/src/main/java/org/apache/iceberg/expressions/ExpressionUtil.java:
+# sanitize/toSanitizedString (log-safe filters), equivalent, selectsPartitions,
+# extractByIdInclusive. Same semantics, Python-idiomatic shapes.
+
+
+def _sanitize_value(v: Any) -> str:
+    """Replace a literal with a description: numbers keep magnitude + type,
+    string-likes become stable short hashes, temporal values become their
+    type name — filters stay debuggable without leaking data values."""
+    import zlib
+
+    if v is None:
+        return "(null)"
+    if isinstance(v, bool):
+        return "(boolean)"
+    if isinstance(v, int):
+        return f"({len(str(abs(v)))}-digit-int)"
+    if isinstance(v, float):
+        return f"({len(str(abs(int(v))))}-digit-float)"
+    if isinstance(v, _dt.datetime):
+        return "(timestamp)"
+    if isinstance(v, _dt.date):
+        return "(date)"
+    if isinstance(v, (bytes, bytearray)):
+        return f"(hash-{zlib.crc32(bytes(v)) & 0xffffffff:08x})"
+    if isinstance(v, str):
+        return f"(hash-{zlib.crc32(v.encode()) & 0xffffffff:08x})"
+    return f"({type(v).__name__})"
+
+
+def sanitize(expr: Expr) -> Expr:
+    """Same structure, literal values replaced by descriptions."""
+    if isinstance(expr, (AlwaysTrue, AlwaysFalse)):
+        return expr
+    if isinstance(expr, And):
+        return And(sanitize(expr.left), sanitize(expr.right))
+    if isinstance(expr, Or):
+        return Or(sanitize(expr.left), sanitize(expr.right))
+    if isinstance(expr, Not):
+        return Not(sanitize(expr.child))
+    if isinstance(expr, BoundPredicate):
+        return BoundPredicate(expr.op, expr.term,
+                              tuple(_sanitize_value(v) for v in expr.literals))
+    if isinstance(expr, Predicate):
+        return Predicate(expr.op, expr.term,
+                         tuple(_sanitize_value(v) for v in expr.literals))
+    raise TypeError(f"cannot sanitize {expr!r}")
+
+
+def to_sanitized_string(expr: Expr) -> str:
+    return repr(sanitize(expr))
+
+
+def _normal_form(e: Expr):
+    """Hashable normal form: AND/OR flattened to sorted frozensets so
+    conjunction/disjunction order never affects equivalence."""
+    if isinstance(e, AlwaysTrue):
+        return ("true",)
+    if isinstance(e, AlwaysFalse):
+        return ("false",)
+    if isinstance(e, And):
+        parts = set()
+        for side in (e.left, e.right):
+            nf = _normal_form(side)
+            parts.update(nf[1] if nf[0] == "and" else {nf})
+        return ("and", frozenset(parts))
+    if isinstance(e, Or):
+        parts = set()
+        for side in (e.left, e.right):
+            nf = _normal_form(side)
+            parts.update(nf[1] if nf[0] == "or" else {nf})
+        return ("or", frozenset(parts))
+    if isinstance(e, Not):
+        return ("not", _normal_form(e.child))
+    if isinstance(e, (Predicate, BoundPredicate)):
+        op, lits = e.op, e.literals
+        # discrete domains: x < 9 == x <= 8, x > 9 == x >= 10 — normalize
+        # to the inclusive form so boundary-equal projections compare equal
+        if op in (LT, GT) and len(lits) == 1:
+            v = lits[0]
+            if isinstance(v, bool):
+                pass
+            elif isinstance(v, int):
+                op, lits = ((LT_EQ, (v - 1,)) if op == LT else (GT_EQ, (v + 1,)))
+            elif isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                day = _dt.timedelta(days=1)
+                op, lits = ((LT_EQ, (v - day,)) if op == LT
+                            else (GT_EQ, (v + day,)))
+        key = (frozenset(lits) if op in (IN, NOT_IN) else tuple(lits))
+        return ("pred", op, e.term.name, repr(e.term.transform), key)
+    raise TypeError(f"cannot normalize {e!r}")
+
+
+def equivalent(left: Expr, right: Expr, schema=None) -> bool:
+    """Whether two expressions accept the same inputs (sufficient, not
+    necessary — False does not prove inequivalence). Binds both sides when
+    a schema is given, pushes NOT to the leaves, then compares an
+    order-insensitive normal form."""
+    left, right = rewrite_not(left), rewrite_not(right)
+    if schema is not None:
+        left, right = bind(left, schema), bind(right, schema)
+    return _normal_form(left) == _normal_form(right)
+
+
+def selects_partitions(expr: Expr, spec, schema) -> bool:
+    """Whether expr selects whole partitions under spec: the inclusive and
+    strict projections agree (ts < X selects whole partitions in [hours(ts)]
+    but not [days(ts)] unless X is a day boundary)."""
+    if not spec.fields:
+        return False
+    bound = bind(rewrite_not(expr), schema)
+    return equivalent(project(bound, spec, inclusive=True),
+                      project(bound, spec, inclusive=False))
+
+
+def extract_by_id_inclusive(expr: Expr, schema, ids) -> Expr:
+    """Retain only predicates over the given field ids; every other
+    predicate inclusively widens to TRUE (the result accepts at least
+    everything expr accepts). NOT is pushed down first so widening is
+    always sound."""
+    ids = set(ids)
+    if not ids:
+        return ALWAYS_TRUE
+
+    def walk(e: Expr) -> Expr:
+        if isinstance(e, (AlwaysTrue, AlwaysFalse)):
+            return e
+        if isinstance(e, And):
+            return and_(walk(e.left), walk(e.right))
+        if isinstance(e, Or):
+            return or_(walk(e.left), walk(e.right))
+        if isinstance(e, BoundPredicate):
+            return e if e.term.field.field_id in ids else ALWAYS_TRUE
+        raise TypeError(f"cannot extract from {e!r}")
+
+    return walk(bind(rewrite_not(expr), schema))

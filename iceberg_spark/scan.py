@@ -67,6 +67,9 @@ class ScanReport:
     result_data_files: int = 0
     result_delete_files: int = 0
     planning_mode: str = "local"
+    # log-safe filter description (ExpressionUtil.toSanitizedString): literal
+    # values replaced by magnitude/type/hash descriptions
+    filter_sanitized: str = "true"
 
     def as_dict(self):
         return dict(self.__dict__)
@@ -167,6 +170,7 @@ class TableScan:
         schema = self.schema
         bound = E.bind(E.rewrite_not(self.row_filter), schema) \
             if not isinstance(self.row_filter, (E.AlwaysTrue,)) else E.ALWAYS_TRUE
+        report.filter_sanitized = E.to_sanitized_string(bound)
 
         manifests = read_manifest_list(snap.manifest_list)
         report.total_manifests = len(manifests)
