@@ -90,16 +90,29 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
         # _last_updated_sequence_number through the rewrite (format/spec.md:
         # compaction must not change row lineage)
         df = plan_to_df(scan, sub, with_metadata_columns=False, with_lineage=True)
+        total = sum(e.file.file_size_in_bytes for e in entries)
+        n_out = max(1, (total + target - 1) // target)
         if strategy == "binpack":
-            total = sum(e.file.file_size_in_bytes for e in entries)
-            df = df.coalesce(max(1, (total + target - 1) // target))
+            df = df.coalesce(n_out)
         if strategy == "sort" and sort_by:
-            df = df.repartitionByRange(*[F.col(c) for c in sort_by]) \
+            # explicit output-file count: sizing must come from the byte
+            # target, not whatever spark.sql.shuffle.partitions happens to be
+            df = df.repartitionByRange(n_out, *[F.col(c) for c in sort_by]) \
                    .sortWithinPartitions(*[F.col(c) for c in sort_by])
         elif strategy == "zorder" and zorder_by:
-            zkey = zorder_key_column(df, zorder_by, table.schema)
+            # per-column ranges come free from the manifest stats — no
+            # extra data pass even on a 100 TB table
+            zbounds = {}
+            for c in zorder_by:
+                los = [e.file.stats[c][0] for e in entries
+                       if e.file.stats.get(c) and e.file.stats[c][0] is not None]
+                his = [e.file.stats[c][1] for e in entries
+                       if e.file.stats.get(c) and e.file.stats[c][1] is not None]
+                if los and his:
+                    zbounds[c] = (min(los), max(his))
+            zkey = zorder_key_column(df, zorder_by, table.schema, zbounds)
             df = (df.withColumn("__zkey", zkey)
-                    .repartitionByRange(F.col("__zkey"))
+                    .repartitionByRange(n_out, F.col("__zkey"))
                     .sortWithinPartitions("__zkey")
                     .drop("__zkey"))
         added = write_data_files(table, df, distribution="none"
@@ -165,13 +178,39 @@ def _interleave_bits(cols: list) -> np.ndarray:
     return np.packbits(bits, axis=1)
 
 
-def zorder_key_column(df, by: list, schema):
+def zorder_key_column(df, by: list, schema, bounds: dict | None = None):
+    """`bounds` maps column -> (min, max) over the rewrite scope. Without
+    range scaling, columns whose values occupy different bit ranges (e.g. a
+    small int key interleaved with a large double) degenerate to
+    single-column ordering — the narrow column's variation lives entirely
+    in low bits and never influences the interleaved prefix. Min-max
+    scaling each column to the full u64 domain makes every column
+    contribute to the leading bits, which is what gives files tight
+    per-column min/max ranges (and hence metadata pruning) at any scale."""
     types = {f.name: f.type for f in schema.fields}
     col_types = [(c, types[c]) for c in by]
+    ubounds = {}
+    for c, t in col_types:
+        if bounds and c in bounds and bounds[c][0] is not None:
+            lo = _normalize_to_u64(pd.Series([bounds[c][0]]), t)[0]
+            hi = _normalize_to_u64(pd.Series([bounds[c][1]]), t)[0]
+            if hi > lo:
+                ubounds[c] = (lo, hi)
 
     @F.pandas_udf(T.BinaryType())
     def _zkey(*series: pd.Series) -> pd.Series:
-        arrs = [_normalize_to_u64(s, t) for s, (_c, t) in zip(series, col_types)]
+        arrs = []
+        for s, (c, t) in zip(series, col_types):
+            u = _normalize_to_u64(s, t)
+            if c in ubounds:
+                lo, hi = ubounds[c]
+                # subtract in uint64 first: casting u (~2^63) to float64
+                # before subtracting would round away any delta < 2^11
+                delta = np.where(u > lo, u - np.uint64(lo), np.uint64(0))
+                frac = delta.astype(np.float64) / np.float64(hi - lo)
+                u = (np.clip(frac, 0.0, 1.0)
+                     * np.float64(2**63)).astype(np.uint64)
+            arrs.append(u)
         packed = _interleave_bits(arrs)
         return pd.Series([bytes(packed[i]) for i in range(len(packed))])
 

@@ -594,9 +594,11 @@ REGISTRY = {
 
 def _full_registry():
     from .workloads_analytics import REGISTRY as ANALYTICS_REGISTRY
+    from .workloads_lifecycle import REGISTRY as LIFECYCLE_REGISTRY
 
     reg = dict(REGISTRY)
     reg.update(ANALYTICS_REGISTRY)
+    reg.update(LIFECYCLE_REGISTRY)
     reg.update(_pipeline_registry())
     return reg
 

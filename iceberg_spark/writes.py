@@ -523,10 +523,15 @@ class RowDelta(SnapshotProducer):
 def maybe_merge_manifests(table, base: TableMetadata, manifests: list, snapshot_id: int,
                           force: bool = False) -> list:
     """Merge small data manifests when there are too many
-    (MergingSnapshotProducer/MergeAppend behavior)."""
+    (MergingSnapshotProducer/MergeAppend behavior; honors the
+    commit.manifest-merge.enabled / commit.manifest.min-count-to-merge
+    table properties like core/.../TableProperties.java)."""
     data_manifests = [m for m in manifests if m.content == 0]
     other = [m for m in manifests if m.content != 0]
-    if not force and len(data_manifests) <= MANIFEST_MERGE_MIN:
+    props = base.properties or {}
+    enabled = str(props.get("commit.manifest-merge.enabled", "true")).lower() == "true"
+    min_count = int(props.get("commit.manifest.min-count-to-merge", MANIFEST_MERGE_MIN))
+    if not force and (not enabled or len(data_manifests) <= min_count):
         return manifests
     by_spec: dict = {}
     for m in data_manifests:
