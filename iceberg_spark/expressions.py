@@ -813,8 +813,16 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         if s is None:
             return True
         mn, mx, nulls, nans, vc = s
+        # legacy manifests may carry NaN bounds (pre-fix footer stats);
+        # the spec forbids them — treat as absent
+        if isinstance(mn, float) and mn != mn:
+            mn = None
+        if isinstance(mx, float) and mx != mx:
+            mx = None
         op, lits = expr.op, expr.literals
         all_null = vc is not None and nulls is not None and nulls == vc and vc > 0
+        # InclusiveMetricsEvaluator.containsNaNsOnly: every value is NaN
+        all_nan = nans is not None and vc is not None and nans == vc and vc > 0
         if op == IS_NULL:
             return nulls is None or nulls > 0
         if op == NOT_NULL:
@@ -824,7 +832,15 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         if op == IS_NAN:
             return nans is None or nans > 0
         if op == NOT_NAN:
+            return not all_nan
+        # Engine NaN ordering (Spark and DuckDB agree): NaN > any literal,
+        # so gt/gtEq may match NaN rows regardless of the NaN-free max;
+        # NaN never matches lt/ltEq/eq/in/startsWith (literals are non-NaN).
+        floaty = getattr(expr.term.field, "type", None) in ("float", "double")
+        if op in (GT, GT_EQ) and floaty and (nans is None or nans > 0):
             return True
+        if all_nan:
+            return False
         if op in (ST_INTERSECTS, ST_DISJOINT):
             if op == ST_DISJOINT:
                 return True  # any file may hold a geometry outside the box
@@ -889,17 +905,34 @@ def strict_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         if s is None:
             return False
         mn, mx, nulls, nans, vc = s
+        if isinstance(mn, float) and mn != mn:  # legacy NaN bounds
+            mn = None
+        if isinstance(mx, float) and mx != mx:
+            mx = None
         op, lits = expr.op, expr.literals
         no_nulls = nulls == 0
         all_null = vc is not None and nulls is not None and nulls == vc and vc > 0
+        # StrictMetricsEvaluator NaN guards: a floating column whose nan
+        # count is unknown or positive may hold NaN rows, and NaN matches
+        # no comparison — so "every row matches" can never be asserted.
+        floaty = getattr(expr.term.field, "type", None) in ("float", "double")
+        may_nan = floaty and (nans is None or nans > 0)
+        all_nan = nans is not None and vc is not None and nans == vc and vc > 0
         if op == IS_NULL:
             return all_null
         if op == NOT_NULL:
             return no_nulls
+        if op == IS_NAN:
+            return all_nan
+        if op == NOT_NAN:
+            # null rows don't match notNaN either (predicate on null -> null)
+            return no_nulls and (not floaty or nans == 0)
         if mn is None or mx is None or nulls is None:
             return False
         if not no_nulls:
             return False  # null rows never match binary predicates
+        if may_nan:
+            return False
         if op in (ST_INTERSECTS, ST_DISJOINT):
             from .geo import BBox, bbox_intersects, stats_bbox
 

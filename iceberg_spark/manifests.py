@@ -537,9 +537,24 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
 
             tbl = pq.read_table(path, columns=float_cols)
             for n in float_cols:
+                arr = tbl[n]
                 nan_counts[n] = pc.sum(
-                    pc.is_nan(tbl[n]).cast("int64")
+                    pc.is_nan(arr).cast("int64")
                 ).as_py() or 0
+                if nan_counts[n]:
+                    # spec (format/spec.md, Metrics.java nanValueCounts):
+                    # lower/upper bounds must exclude NaN, but parquet-mr
+                    # footers can include it — recompute from the column we
+                    # already read. All-NaN => no bounds.
+                    clean = pc.drop_null(
+                        pc.if_else(pc.is_nan(arr), None, arr))
+                    cur = agg.setdefault(n, [None, None, 0, None, 0])
+                    if len(clean):
+                        mm = pc.min_max(clean)
+                        cur[0] = mm["min"].as_py()
+                        cur[1] = mm["max"].as_py()
+                    else:
+                        cur[0] = cur[1] = None
         except Exception:
             nan_counts = {}
     # geospatial bounds: parquet byte-lexicographic min/max on WKB is

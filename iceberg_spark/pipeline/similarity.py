@@ -79,11 +79,13 @@ def knn_bruteforce(spark, sf_dir):
                 {"query_id": out_q, "neighbor_id": out_n, "cos": out_c})
 
     # the testdata table is a single parquet file -> one input partition;
-    # spread the GEMM across cores (at cluster scale the scan is already
-    # many-filed and this repartition collapses into a no-op-sized shuffle)
+    # spread the GEMM across cores. At cluster scale the scan is already
+    # many-filed, so the shuffle would be pure waste — only repartition
+    # when the input is narrower than the cluster.
     par = max(spark.sparkContext.defaultParallelism, 8)
-    scored = (d.repartition(par)
-              .mapInPandas(score, "query_id long, neighbor_id long, cos double"))
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    scored = d.mapInPandas(score, "query_id long, neighbor_id long, cos double")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w))

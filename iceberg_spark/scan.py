@@ -532,22 +532,34 @@ def _stats_filter_arrow(bound: E.Expr, schema: Schema, names: set):
                 return TRUE
             cmin, cmax = ds.field(mn), ds.field(mx)
             cnull, cval = ds.field(f"nulls_f{fid}"), ds.field(f"values_f{fid}")
+            cnan = ds.field(f"nans_f{fid}")
             op, lits = e.op, e.literals
             all_null = (~cnull.is_null() & ~cval.is_null()
                         & (cnull == cval) & (cval > 0))
+            # containsNaNsOnly: NaN matches no comparison (bounds are NaN-free)
+            all_nan = (~cnan.is_null() & ~cval.is_null()
+                       & (cnan == cval) & (cval > 0))
             if op == E.IS_NULL:
                 return cnull.is_null() | (cnull > 0)
             if op == E.NOT_NULL:
                 return ~all_null
-            not_all_null = ~all_null
+            if op == E.IS_NAN:
+                return cnan.is_null() | (cnan > 0)
+            if op == E.NOT_NAN:
+                return ~all_nan
+            not_all_null = ~all_null & ~all_nan
+            # engine NaN ordering: NaN > any literal — a float file with
+            # (possible) NaNs may match gt/gtEq regardless of its max
+            floaty = e.term.field.type in ("float", "double")
+            may_nan = (cnan.is_null() | (cnan > 0)) if floaty else ds.scalar(False)
             if op == E.LT:
                 return not_all_null & (cmin.is_null() | (cmin < lits[0]))
             if op == E.LT_EQ:
                 return not_all_null & (cmin.is_null() | (cmin <= lits[0]))
             if op == E.GT:
-                return not_all_null & (cmax.is_null() | (cmax > lits[0]))
+                return ~all_null & (may_nan | cmax.is_null() | (cmax > lits[0]))
             if op == E.GT_EQ:
-                return not_all_null & (cmax.is_null() | (cmax >= lits[0]))
+                return ~all_null & (may_nan | cmax.is_null() | (cmax >= lits[0]))
             if op == E.EQ:
                 return not_all_null & (
                     (cmin.is_null() | (cmin <= lits[0]))
@@ -595,21 +607,32 @@ def _stats_filter_column(bound: E.Expr, schema: Schema, df: DataFrame):
                 return F.lit(True)
             cmin, cmax = F.col(mn), F.col(mx)
             cnull, cval = F.col(nulls), F.col(values)
+            cnan = F.col(f"nans_f{fid}")
             op, lits = e.op, e.literals
             all_null = cnull.isNotNull() & cval.isNotNull() & (cnull == cval) & (cval > 0)
+            # containsNaNsOnly: NaN matches no comparison (bounds are NaN-free)
+            all_nan = cnan.isNotNull() & cval.isNotNull() & (cnan == cval) & (cval > 0)
             if op == E.IS_NULL:
                 return cnull.isNull() | (cnull > 0)
             if op == E.NOT_NULL:
                 return ~all_null
-            not_all_null = ~all_null
+            if op == E.IS_NAN:
+                return cnan.isNull() | (cnan > 0)
+            if op == E.NOT_NAN:
+                return ~all_nan
+            not_all_null = ~all_null & ~all_nan
+            # engine NaN ordering: NaN > any literal — a float file with
+            # (possible) NaNs may match gt/gtEq regardless of its max
+            floaty = e.term.field.type in ("float", "double")
+            may_nan = (cnan.isNull() | (cnan > 0)) if floaty else F.lit(False)
             if op == E.LT:
                 return not_all_null & (cmin.isNull() | (cmin < F.lit(lits[0])))
             if op == E.LT_EQ:
                 return not_all_null & (cmin.isNull() | (cmin <= F.lit(lits[0])))
             if op == E.GT:
-                return not_all_null & (cmax.isNull() | (cmax > F.lit(lits[0])))
+                return ~all_null & (may_nan | cmax.isNull() | (cmax > F.lit(lits[0])))
             if op == E.GT_EQ:
-                return not_all_null & (cmax.isNull() | (cmax >= F.lit(lits[0])))
+                return ~all_null & (may_nan | cmax.isNull() | (cmax >= F.lit(lits[0])))
             if op == E.EQ:
                 return not_all_null & (
                     (cmin.isNull() | (cmin <= F.lit(lits[0])))
@@ -793,7 +816,10 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                     c = c.cast(type_to_spark(cur.type))
                 sel.append(c.alias(cname))
             else:
-                sel.append(F.lit(None).cast(type_to_spark(cur.type)).alias(cname))
+                # v3 initial-default: pre-evolution files read the default
+                fill = (F.lit(cur.initial_default)
+                        if cur.initial_default is not None else F.lit(None))
+                sel.append(fill.cast(type_to_spark(cur.type)).alias(cname))
         if need_meta:
             # normalize file:///x URIs to plain paths so they match manifest
             # file_path values (orphan-file URI normalization analog)

@@ -56,6 +56,11 @@ class NestedField:
     type: Any  # str primitive or StructT/ListT/MapT
     required: bool = False
     doc: Optional[str] = None
+    # v3 default values (format/spec.md "Default values"): initial-default
+    # fills the column when reading pre-evolution files (immutable after
+    # set); write-default fills it for writers that omit the column.
+    initial_default: Any = None
+    write_default: Any = None
 
 
 @dataclass(frozen=True)
@@ -176,6 +181,10 @@ def type_to_json(t: Any) -> Any:
                     "type": type_to_json(f.type),
                     "required": f.required,
                     **({"doc": f.doc} if f.doc else {}),
+                    **({"initial-default": f.initial_default}
+                       if f.initial_default is not None else {}),
+                    **({"write-default": f.write_default}
+                       if f.write_default is not None else {}),
                 }
                 for f in t.fields
             ],
@@ -206,7 +215,9 @@ def type_from_json(j: Any) -> Any:
     if kind == "struct":
         return StructT(
             tuple(
-                NestedField(f["id"], f["name"], type_from_json(f["type"]), f["required"], f.get("doc"))
+                NestedField(f["id"], f["name"], type_from_json(f["type"]),
+                            f["required"], f.get("doc"),
+                            f.get("initial-default"), f.get("write-default"))
                 for f in j["fields"]
             )
         )

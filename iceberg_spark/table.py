@@ -520,6 +520,20 @@ class ManageSnapshots:
         return self
 
 
+def _json_safe_default(v):
+    """Default values live in metadata JSON (spec: JSON single-value
+    serialization) — temporal/decimal values become ISO/decimal strings,
+    which the read/write fill casts back to the column type."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    return v
+
+
 class UpdateSchema:
     """Schema evolution builder (api/.../UpdateSchema.java:34,
     core/.../SchemaUpdate.java:51): add/drop/rename/widen/union-by-name."""
@@ -529,13 +543,31 @@ class UpdateSchema:
         self._fields = list(table.schema.fields)
         self._last_id = table.metadata.last_column_id
 
-    def add_column(self, name: str, type_str: str, doc: Optional[str] = None) -> "UpdateSchema":
+    def add_column(self, name: str, type_str: str, doc: Optional[str] = None,
+                   default=None) -> "UpdateSchema":
+        """`default` (v3, format/spec.md "Default values"): existing rows
+        read it (initial-default) and writers that omit the column write it
+        (write-default). Matches UpdateSchema.java addColumn + defaults."""
         from .schema import NestedField
 
         if any(f.name == name for f in self._fields):
             raise ValueError(f"column exists: {name}")
+        default = _json_safe_default(default)
         self._last_id += 1
-        self._fields.append(NestedField(self._last_id, name, type_str, False, doc))
+        self._fields.append(NestedField(self._last_id, name, type_str, False,
+                                        doc, default, default))
+        return self
+
+    def update_column_default(self, name: str, default) -> "UpdateSchema":
+        """Change the write-default only — initial-default is immutable
+        after the column exists (spec: it rewrites history otherwise)."""
+        default = _json_safe_default(default)
+        out = []
+        for f in self._fields:
+            if f.name == name:
+                f = replace(f, write_default=default)
+            out.append(f)
+        self._fields = out
         return self
 
     def drop_column(self, name: str) -> "UpdateSchema":

@@ -798,7 +798,98 @@ SELECT COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal FROM supplier
 """
 
 
+# ---------------------------------------------------------------------------
+# NaN metrics semantics — NaN-free bounds + engine-consistent pruning
+# ---------------------------------------------------------------------------
+
+
+def nan_metrics_scan(spark, sf_dir):
+    """Inject NaN into a double column, write through the engine (stats
+    collector strips NaN from bounds per format/spec.md metrics), then scan
+    with comparison filters. Spark and DuckDB agree NaN > any literal, so
+    the gt filter must keep NaN rows while file pruning stays safe
+    (InclusiveMetricsEvaluator NaN guards)."""
+    key = ("nanmetrics", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        src = load_table(spark, sf_dir, "supplier").withColumn(
+            "s_acctbal",
+            F.when(F.col("s_suppkey") % 7 == 0, F.lit(float("nan")))
+             .otherwise(F.col("s_acctbal")))
+        cat = _warehouse(spark)
+        ident = f"nanmet_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        t = cat.create_table(ident, src.schema)
+        # several files so metrics pruning has something to skip
+        for i in range(3):
+            t.append(src.filter(F.col("s_suppkey") % 3 == i))
+        for e in t.new_scan().plan_files().files:
+            st = e.file.stats.get("s_acctbal")
+            if st is not None and st[0] is not None:
+                assert st[0] == st[0] and st[1] == st[1], \
+                    "NaN leaked into bounds"
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    from .expressions import col
+
+    hi = t.new_scan().filter(col("s_acctbal") > 5000.0).df()
+    return (hi.agg(F.count(F.lit(1)).alias("n_hi"),
+                   F.sum(F.when(F.isnan("s_acctbal"), 1).otherwise(0))
+                    .alias("n_nan")))
+
+
+NAN_METRICS_SQL = """
+WITH injected AS (
+  SELECT CASE WHEN s_suppkey % 7 = 0 THEN 'NaN'::DOUBLE ELSE s_acctbal END
+         AS s_acctbal
+  FROM supplier
+)
+SELECT COUNT(*) AS n_hi,
+       CAST(SUM(CASE WHEN isnan(s_acctbal) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan
+FROM injected WHERE s_acctbal > 5000.0
+"""
+
+
+# ---------------------------------------------------------------------------
+# v3 default values — initial-default fills pre-evolution rows
+# ---------------------------------------------------------------------------
+
+
+def default_values_scan(spark, sf_dir):
+    """Add a column with a default after the first append: old rows read
+    the initial-default, a post-evolution writer omitting the column gets
+    the write-default (format/spec.md "Default values")."""
+    key = ("defaults", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        t, df = _fresh(spark, sf_dir, "nation", "defvals")
+        old = df.filter(F.col("n_nationkey") < 10)
+        new = df.filter(F.col("n_nationkey") >= 10)
+        t.append(old)
+        t.update_schema().add_column("tier", "string", default="legacy").commit()
+        t = _warehouse(spark).load_table(t.identifier)
+        t.update_schema().update_column_default("tier", "fresh").commit()
+        t = _warehouse(spark).load_table(t.identifier)
+        t.append(new)  # omits `tier` -> write-default "fresh"
+        _STATE[key] = t.identifier
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_nationkey").alias("key_sum"))
+            .orderBy("tier"))
+
+
+DEFAULT_VALUES_SQL = """
+SELECT CASE WHEN n_nationkey < 10 THEN 'legacy' ELSE 'fresh' END AS tier,
+       COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY 1 ORDER BY tier
+"""
+
+
 REGISTRY = {
+    "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
+    "default_values_scan": (default_values_scan, DEFAULT_VALUES_SQL),
     "orc_roundtrip_scan": (orc_roundtrip_scan, ORC_RT_SQL),
     "avro_roundtrip_scan": (avro_roundtrip_scan, AVRO_RT_SQL),
     "merge_append_scan": (merge_append_scan, MERGE_APPEND_SQL),

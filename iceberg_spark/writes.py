@@ -117,7 +117,9 @@ def _align_to_schema(df: DataFrame, schema: Schema, extras=()) -> DataFrame:
     sel = []
     for f in schema.fields:
         if f.name not in df.columns:
-            sel.append(F.lit(None).cast(type_to_spark(f.type)).alias(f.name))
+            # v3 write-default: writers omitting the column get the default
+            fill = F.lit(f.write_default) if f.write_default is not None else F.lit(None)
+            sel.append(fill.cast(type_to_spark(f.type)).alias(f.name))
         else:
             sel.append(F.col(f.name).cast(type_to_spark(f.type)).alias(f.name))
     sel += [F.col(c).cast("long").alias(c) for c in extras]
