@@ -145,6 +145,9 @@ def _type_to_arrow(t: str) -> pa.DataType:
         "time": pa.int64(),
         "timestamp": pa.timestamp("us", tz="UTC"),
         "timestamp_ntz": pa.timestamp("us"),
+        # v3 nanosecond timestamps surface as long nanos (schema.py mapping)
+        "timestamp_ns": pa.int64(),
+        "timestamptz_ns": pa.int64(),
         "string": pa.string(),
         "uuid": pa.string(),
         "binary": pa.binary(),

@@ -813,7 +813,13 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 if cur.type == "variant":
                     c = F.parse_json(c)  # JSON text -> VariantType
                 elif wf.type != cur.type:  # promoted (int->long etc.)
-                    c = c.cast(type_to_spark(cur.type))
+                    if wf.type == "date" and cur.type == "timestamp_ns":
+                        # timestamp_ns is stored as long nanos (schema.py);
+                        # a date is whole days -> days * 86400e9 nanos
+                        c = (F.unix_date(c).cast("long")
+                             * F.lit(86_400_000_000_000).cast("long"))
+                    else:
+                        c = c.cast(type_to_spark(cur.type))
                 sel.append(c.alias(cname))
             else:
                 # v3 initial-default: pre-evolution files read the default

@@ -231,14 +231,22 @@ def type_from_json(j: Any) -> Any:
     raise ValueError(f"bad type json: {j}")
 
 
-# Type promotion lattice (format/spec.md: int->long, float->double,
-# decimal precision widening).
+# Type promotion lattice (format/spec.md:356 "Valid primitive type
+# promotions"): int->long, float->double, decimal precision widening;
+# v3 adds unknown->any and date->timestamp(_ns) (never the tz variants —
+# local-date reinterpretation as an instant would shift values).
 def is_promotable(src: str, dst: str) -> bool:
     if src == dst:
+        return True
+    if src == "unknown" and isinstance(dst, str):
         return True
     if src == "int" and dst == "long":
         return True
     if src == "float" and dst == "double":
+        return True
+    # NB: iceberg `timestamp` (no zone) is "timestamp_ntz" in this module's
+    # naming; "timestamp" here is timestamptz, which date may NOT become.
+    if src == "date" and dst in ("timestamp_ntz", "timestamp_ns"):
         return True
     ms, md = _DECIMAL_RE.match(src or ""), _DECIMAL_RE.match(dst or "")
     if ms and md and int(ms.group(2)) == int(md.group(2)):

@@ -588,10 +588,27 @@ class UpdateSchema:
             if f.name == name:
                 if not is_promotable(f.type, type_str):
                     raise ValueError(f"cannot promote {f.type} -> {type_str}")
+                self._check_partition_source(f, type_str)
                 f = replace(f, type=type_str)
             out.append(f)
         self._fields = out
         return self
+
+    def _check_partition_source(self, field, type_str: str) -> None:
+        """format/spec.md:380 — promotion is forbidden when the field feeds
+        a partition transform whose output would change (date->timestamp
+        under identity/bucket/truncate shifts values; years/months/days are
+        stable because they truncate to the same date granularity)."""
+        if not (field.type == "date" and type_str.startswith("timestamp")):
+            return
+        for pf in self.t.metadata.spec.fields:
+            tr = pf.transform
+            tname = tr.to_str() if hasattr(tr, "to_str") else str(tr)
+            if pf.source_id == field.field_id and tname.split("[")[0] not in (
+                    "year", "month", "day", "years", "months", "days", "void"):
+                raise ValueError(
+                    f"cannot promote partition source column {field.name}: "
+                    f"transform {pf.transform} would produce different values")
 
     def move_first(self, name: str) -> "UpdateSchema":
         f = [x for x in self._fields if x.name == name]

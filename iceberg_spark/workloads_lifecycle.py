@@ -887,8 +887,67 @@ FROM nation GROUP BY 1 ORDER BY tier
 """
 
 
+# ---------------------------------------------------------------------------
+# Type promotion — files written narrow, read wide (format/spec.md:356)
+# ---------------------------------------------------------------------------
+
+
+def type_promotion_scan(spark, sf_dir):
+    """Write supplier with int key + float balance, promote to long/double
+    (v1/v2 lattice), append wide rows, scan both cohorts under the wide
+    schema with a filter that exercises stats pruning across the boundary
+    (reference core/.../SchemaUpdate.java updateColumn; spec:356)."""
+    key = ("typepromo", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        narrow = (load_table(spark, sf_dir, "supplier")
+                  .select(F.col("s_suppkey").cast("int").alias("k"),
+                          F.col("s_acctbal").cast("float").alias("bal"),
+                          "s_nationkey"))
+        cat = _warehouse(spark)
+        ident = f"typepromo_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        t = cat.create_table(ident, narrow.schema)
+        t.append(narrow.filter(F.col("k") % 2 == 0))
+        t.update_schema().update_column("k", "long") \
+            .update_column("bal", "double").commit()
+        t = cat.load_table(ident)
+        wide = (narrow.filter(F.col("k") % 2 == 1)
+                .select((F.col("k").cast("long") + F.lit(1_000_000_000_000)).alias("k"),
+                        F.col("bal").cast("double"), "s_nationkey"))
+        t.append(wide)
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("key_sum"),
+                 F.round(F.sum(F.col("bal").cast("double")), 2).alias("bal_sum"))
+            .orderBy("s_nationkey"))
+
+
+TYPE_PROMOTION_SQL = """
+WITH narrow AS (
+  SELECT CAST(s_suppkey AS INTEGER) AS k, CAST(s_acctbal AS REAL) AS bal,
+         s_nationkey
+  FROM supplier
+), both_cohorts AS (
+  SELECT CAST(k AS BIGINT) AS k, CAST(bal AS DOUBLE) AS bal, s_nationkey
+  FROM narrow WHERE k % 2 = 0
+  UNION ALL
+  SELECT CAST(k AS BIGINT) + 1000000000000 AS k, CAST(bal AS DOUBLE) AS bal,
+         s_nationkey
+  FROM narrow WHERE k % 2 = 1
+)
+SELECT s_nationkey, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
+       ROUND(SUM(bal), 2) AS bal_sum
+FROM both_cohorts GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
+    "type_promotion_scan": (type_promotion_scan, TYPE_PROMOTION_SQL),
     "default_values_scan": (default_values_scan, DEFAULT_VALUES_SQL),
     "orc_roundtrip_scan": (orc_roundtrip_scan, ORC_RT_SQL),
     "avro_roundtrip_scan": (avro_roundtrip_scan, AVRO_RT_SQL),
