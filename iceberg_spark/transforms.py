@@ -148,7 +148,10 @@ class Bucket(Transform):
         if src in _LONG_LAYOUT:
             # numpy-vectorized murmur3 over the 8-byte long layout
             if src in ("timestamp", "timestamp_ntz"):
-                col = (col.cast("double") * F.lit(1_000_000)).cast("long")
+                # unix_micros is exact (double epoch-seconds is not at us
+                # precision); NTZ routes through a UTC-session timestamp cast
+                # (Spark 4 forbids direct NTZ->numeric).
+                col = F.unix_micros(col.cast("timestamp"))
             elif src == "date":
                 col = F.datediff(col, F.lit("1970-01-01")).cast("long")
             else:
@@ -305,7 +308,9 @@ class TimeTransform(Transform):
         if g == "day":
             return F.to_date(col)
         if g == "hour":
-            return F.floor(col.cast("double") / 3600.0).cast("int")
+            return F.floor(
+                F.unix_micros(col.cast("timestamp")) / F.lit(3_600_000_000)
+            ).cast("int")
         raise ValueError(g)
 
 

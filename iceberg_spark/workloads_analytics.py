@@ -18,6 +18,16 @@ from .expressions import col as ecol
 from . import expressions as E
 
 
+def _epoch_s(name):
+    """Fractional epoch seconds for TIMESTAMP or TIMESTAMP_NTZ columns.
+
+    Spark 4 forbids a direct NTZ->numeric cast; routing through TIMESTAMP
+    (a no-op for tz-aware columns, UTC interpretation for NTZ under the
+    engine's UTC session) matches DuckDB epoch(ts) exactly, fraction
+    included."""
+    return F.col(name).cast("timestamp").cast("double")
+
+
 # ---------------------------------------------------------------------------
 # TPC-H adaptations
 # ---------------------------------------------------------------------------
@@ -269,8 +279,8 @@ def win_running_user_value(spark, sf_dir):
             "event_id", "user_id",
             F.round(F.sum("value").over(run), 2).alias("run_value"),
             F.round(
-                F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"))
-                .over(w), 3).alias("gap_s"),
+                _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w), 3
+            ).alias("gap_s"),
         )
         .orderBy("user_id", "event_id")
     )
@@ -299,8 +309,7 @@ def sessionize(spark, sf_dir):
         "user_id", "ts", "event_id",
         F.sum(
             F.when(
-                F.col("ts").cast("double")
-                - F.lag(F.col("ts").cast("double")).over(w) > 1800, 1
+                _epoch_s("ts") - F.lag(_epoch_s("ts")).over(w) > 1800, 1
             ).otherwise(0)
         ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .alias("sess_id"),
