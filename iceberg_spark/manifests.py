@@ -33,11 +33,27 @@ from typing import Any, Optional
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .metadata import PartitionSpec, Snapshot
+from .metadata import PartitionSpec, Snapshot, resolve_path, to_relative
 from .schema import Schema
 
 # entry status (spec manifest entry `status`)
 ADDED, EXISTING, DELETED = 1, 0, 2
+
+# v4 relative paths (format/spec.md:194-227): manifest path fields may be
+# stored relative to the table location; readers must accept both forms.
+# In-memory DataFile/ManifestFile paths are ALWAYS absolute — relativization
+# happens only at parquet-serialization time, resolution at read time.
+
+
+def _infer_location(path: str) -> Optional[str]:
+    """Table location from a manifest/manifest-list path — the layout is
+    fixed (<location>/metadata/{manifests,manifest-lists}/f.parquet), so a
+    reader needs no side channel to resolve relative entries."""
+    d = os.path.dirname(path)
+    if os.path.basename(d) in ("manifests", "manifest-lists") and \
+            os.path.basename(os.path.dirname(d)) == "metadata":
+        return os.path.dirname(os.path.dirname(d))
+    return None
 # file content (spec `content`)
 DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
 
@@ -223,8 +239,14 @@ def write_manifest(
     schema: Schema,
     spec: PartitionSpec,
     content: int = DATA,
+    relative: bool = False,
 ) -> ManifestFile:
-    """Write one manifest Parquet file; returns its manifest-list row."""
+    """Write one manifest Parquet file; returns its manifest-list row.
+
+    With ``relative=True`` (v4 relative paths, format/spec.md:194), the
+    serialized ``file_path``/``referenced_data_file`` columns are stored
+    relative to the table location; the returned ManifestFile and the
+    caller's entries keep absolute paths."""
     arrow_schema = manifest_arrow_schema(schema, spec)
     cols = {n: [] for n in arrow_schema.names}
     stat_fields = _stats_schema_fields(schema)
@@ -241,14 +263,17 @@ def write_manifest(
         cols["snapshot_id"].append(e.snapshot_id)
         cols["sequence_number"].append(e.sequence_number)
         cols["content"].append(f.content)
-        cols["file_path"].append(f.file_path)
+        cols["file_path"].append(
+            to_relative(f.file_path, location) if relative else f.file_path)
         cols["file_format"].append(f.file_format)
         cols["spec_id"].append(f.spec_id)
         cols["record_count"].append(f.record_count)
         cols["file_size_in_bytes"].append(f.file_size_in_bytes)
         cols["equality_ids"].append(list(f.equality_ids) if f.equality_ids else None)
         cols["sort_order_id"].append(f.sort_order_id)
-        cols["referenced_data_file"].append(f.referenced_data_file)
+        cols["referenced_data_file"].append(
+            to_relative(f.referenced_data_file, location)
+            if relative else f.referenced_data_file)
         cols["write_schema_id"].append(f.write_schema_id)
         cols["first_row_id"].append(f.first_row_id)
         for n in pnames:
@@ -303,17 +328,22 @@ _MANIFEST_CACHE_MAX = 256
 
 
 def read_manifest(path: str, schema: Schema, spec: PartitionSpec,
-                  columns: Optional[list] = None) -> list:
+                  columns: Optional[list] = None,
+                  location: Optional[str] = None) -> list:
     """Read manifest entries back into Python objects (local planning).
 
     Manifest files are immutable once written, so entries are memoized by
     (path, schema id) — repeated scans of the same snapshot skip the IO.
+    v4 relative path fields resolve against ``location`` (inferred from the
+    manifest's own path under the fixed table layout when not given).
     """
-    ck = (path, schema.schema_id, spec.spec_id)
+    if location is None:
+        location = _infer_location(path)
+    ck = (path, schema.schema_id, spec.spec_id, location)
     hit = _MANIFEST_CACHE.get(ck)
     if hit is not None:
         return hit
-    entries = _read_manifest_uncached(path, schema, spec)
+    entries = _read_manifest_uncached(path, schema, spec, location)
     if len(_MANIFEST_CACHE) >= _MANIFEST_CACHE_MAX:
         _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
     _MANIFEST_CACHE[ck] = entries
@@ -337,11 +367,13 @@ def read_manifest_arrow(path: str) -> pa.Table:
     return t
 
 
-def _read_manifest_uncached(path: str, schema: Schema, spec: PartitionSpec) -> list:
-    return entries_from_arrow(read_manifest_arrow(path), schema, spec)
+def _read_manifest_uncached(path: str, schema: Schema, spec: PartitionSpec,
+                            location: Optional[str] = None) -> list:
+    return entries_from_arrow(read_manifest_arrow(path), schema, spec, location)
 
 
-def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec) -> list:
+def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
+                       location: Optional[str] = None) -> list:
     d = t.to_pydict()
     n = t.num_rows
     pnames = [nm for nm, _ in spec.partition_type(schema)]
@@ -369,7 +401,7 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec) -> list
                 snapshot_id=d["snapshot_id"][i],
                 sequence_number=d["sequence_number"][i],
                 file=DataFile(
-                    file_path=d["file_path"][i],
+                    file_path=resolve_path(d["file_path"][i], location),
                     file_format=d["file_format"][i],
                     content=d["content"][i],
                     spec_id=d["spec_id"][i],
@@ -379,7 +411,8 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec) -> list
                     stats=stats,
                     equality_ids=tuple(eq) if eq else (),
                     sort_order_id=d["sort_order_id"][i],
-                    referenced_data_file=d["referenced_data_file"][i],
+                    referenced_data_file=resolve_path(
+                        d["referenced_data_file"][i], location),
                     write_schema_id=d.get("write_schema_id", [0]*n)[i] if isinstance(d.get("write_schema_id"), list) else 0,
                     first_row_id=d["first_row_id"][i] if "first_row_id" in d else None,
                 ),
@@ -412,10 +445,12 @@ _MANIFEST_LIST_SCHEMA = pa.schema(
 )
 
 
-def write_manifest_list(location: str, snapshot_id: int, manifests: list) -> str:
+def write_manifest_list(location: str, snapshot_id: int, manifests: list,
+                        relative: bool = False) -> str:
     rows = {n: [] for n in _MANIFEST_LIST_SCHEMA.names}
     for m in manifests:
-        rows["manifest_path"].append(m.path)
+        rows["manifest_path"].append(
+            to_relative(m.path, location) if relative else m.path)
         rows["manifest_length"].append(m.length)
         rows["spec_id"].append(m.spec_id)
         rows["content"].append(m.content)
@@ -447,18 +482,22 @@ def write_manifest_list(location: str, snapshot_id: int, manifests: list) -> str
 _ML_CACHE: dict = {}
 
 
-def read_manifest_list(path: str) -> list:
-    out = _ML_CACHE.get(path)
+def read_manifest_list(path: str, location: Optional[str] = None) -> list:
+    if location is None:
+        location = _infer_location(path)
+    path = resolve_path(path, location)
+    ck = (path, location)
+    out = _ML_CACHE.get(ck)
     if out is not None:
         return out
-    out = _read_manifest_list_uncached(path)
+    out = _read_manifest_list_uncached(path, location)
     if len(_ML_CACHE) >= _MANIFEST_CACHE_MAX:
         _ML_CACHE.pop(next(iter(_ML_CACHE)))
-    _ML_CACHE[path] = out
+    _ML_CACHE[ck] = out
     return out
 
 
-def _read_manifest_list_uncached(path: str) -> list:
+def _read_manifest_list_uncached(path: str, location: Optional[str] = None) -> list:
     t = pq.read_table(path).to_pydict()
     out = []
     for i in range(len(t["manifest_path"])):
@@ -468,7 +507,7 @@ def _read_manifest_list_uncached(path: str) -> list:
         )
         out.append(
             ManifestFile(
-                path=t["manifest_path"][i],
+                path=resolve_path(t["manifest_path"][i], location),
                 length=t["manifest_length"][i],
                 spec_id=t["spec_id"][i],
                 content=t["content"][i],

@@ -31,6 +31,22 @@ OP_DELETE = "delete"
 PARTITION_FIELD_ID_START = 1000
 
 
+def to_relative(path: Optional[str], location: str) -> Optional[str]:
+    """Strip the table-location prefix (v4 relative paths, spec:194)."""
+    loc = location.rstrip("/") + "/"
+    if path and path.startswith(loc):
+        return path[len(loc):]
+    return path
+
+
+def resolve_path(path: Optional[str], location: Optional[str]) -> Optional[str]:
+    """Join a relative path field onto the table location; absolute paths
+    and URIs pass through (readers must accept both forms, spec:205)."""
+    if not path or location is None or "://" in path or os.path.isabs(path):
+        return path
+    return location.rstrip("/") + "/" + path
+
+
 @dataclass(frozen=True)
 class PartitionField:
     """(source field, transform, name, field_id). api/.../PartitionSpec.java:53."""
@@ -292,6 +308,14 @@ class TableMetadata:
 
     # -- accessors ---------------------------------------------------------
     @property
+    def relative_paths(self) -> bool:
+        """v4 relative path fields (format/spec.md:194): when set, manifest
+        and manifest-list path columns are written relative to the table
+        location, making the table relocatable by a plain directory copy."""
+        v = self.properties.get("write.metadata.use-relative-paths", "false")
+        return str(v).lower() == "true"
+
+    @property
     def schema(self) -> Schema:
         return self.schema_by_id(self.current_schema_id)
 
@@ -356,6 +380,12 @@ class TableMetadata:
 
     # -- json --------------------------------------------------------------
     def to_json(self) -> dict:
+        snaps = []
+        for s in self.snapshots:
+            js = s.to_json()
+            if self.relative_paths:
+                js["manifest-list"] = to_relative(js["manifest-list"], self.location)
+            snaps.append(js)
         return {
             "format-version": FORMAT_VERSION,
             "table-uuid": self.table_uuid,
@@ -371,7 +401,7 @@ class TableMetadata:
             "sort-orders": [s.to_json() for s in self.sort_orders],
             "default-sort-order-id": self.default_sort_order_id,
             "properties": self.properties,
-            "snapshots": [s.to_json() for s in self.snapshots],
+            "snapshots": snaps,
             "refs": {k: v.to_json() for k, v in self.refs.items()},
             "snapshot-log": [list(e) for e in self.snapshot_log],
             "metadata-log": [list(e) for e in self.metadata_log],
@@ -381,9 +411,20 @@ class TableMetadata:
         }
 
     @staticmethod
-    def from_json(j: dict) -> "TableMetadata":
+    def from_json(j: dict, location: Optional[str] = None) -> "TableMetadata":
+        """``location`` (from the catalog / where the file was found)
+        overrides the recorded one — spec v4 makes the stored location
+        optional, which is what lets a relative-path table be relocated by
+        a plain directory copy. Snapshot manifest-list paths resolve to
+        absolute here; in-memory metadata never holds relative paths."""
+        loc = (location or j["location"]).rstrip("/")
+        snaps = []
+        for s in j.get("snapshots", []):
+            snap = Snapshot.from_json(s)
+            snaps.append(replace(
+                snap, manifest_list=resolve_path(snap.manifest_list, loc)))
         return TableMetadata(
-            location=j["location"],
+            location=loc,
             table_uuid=j["table-uuid"],
             last_sequence_number=j["last-sequence-number"],
             last_updated_ms=j["last-updated-ms"],
@@ -397,7 +438,7 @@ class TableMetadata:
             or (UNSORTED,),
             default_sort_order_id=j.get("default-sort-order-id", 0),
             properties=j.get("properties", {}),
-            snapshots=tuple(Snapshot.from_json(s) for s in j.get("snapshots", [])),
+            snapshots=tuple(snaps),
             refs={k: SnapshotRef.from_json(v) for k, v in j.get("refs", {}).items()},
             snapshot_log=tuple(tuple(e) for e in j.get("snapshot-log", [])),
             metadata_log=tuple(tuple(e) for e in j.get("metadata-log", [])),
@@ -470,7 +511,7 @@ class TableOperations:
         if v is None:
             return None
         with open(self._version_path(v)) as f:
-            return TableMetadata.from_json(json.load(f))
+            return TableMetadata.from_json(json.load(f), location=self.location)
 
     def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
         """CAS: write v(base+1); os.link fails atomically if it exists."""

@@ -41,7 +41,7 @@ from .manifests import (
     read_manifest_arrow,
     read_manifest_list,
 )
-from .metadata import Snapshot, TableMetadata
+from .metadata import Snapshot, TableMetadata, resolve_path
 from .schema import Schema, StructT, type_to_spark
 from .transforms import Identity
 
@@ -54,6 +54,19 @@ ROW_ID_COL = "_row_id"
 LAST_UPDATED_SEQ_COL = "_last_updated_sequence_number"
 
 DISTRIBUTED_PLANNING_THRESHOLD = 64  # manifests; above this, plan as a Spark job
+
+
+def _data_rel(p: str) -> str:
+    """Location-independent form of a data-file path: the suffix from
+    `data/` on. Data files live under `<location>/data/<uuid>/…`, so the
+    suffix is unique within a table and stable across relocation."""
+    i = p.find("/data/")
+    return p[i + 1:] if i >= 0 else p
+
+
+def _data_rel_col(c):
+    """Column twin of _data_rel (for join keys)."""
+    return F.regexp_replace(c, "^.*?/data/", "data/")
 
 
 @dataclass
@@ -255,16 +268,22 @@ class TableScan:
                 # UnrelatedDeleteBenchmark / DeleteFileIndex lookup.
                 import bisect
 
-                live = sorted(e.file.file_path for e in data_entries)
+                # compare location-independent `data/...` suffixes: delete
+                # file contents/stats carry write-time absolute paths that
+                # go stale when a relative-path table is relocated. All
+                # paths in one delete file share the table-root prefix, so
+                # stripping it preserves min/max ordering.
+                live = sorted(_data_rel(e.file.file_path) for e in data_entries)
                 live_set = set(live)
 
                 def may_apply(d):
                     if d.file.referenced_data_file:
-                        return d.file.referenced_data_file in live_set
+                        return _data_rel(d.file.referenced_data_file) in live_set
                     st = d.file.stats.get("file_path")
                     if st and st[0] is not None and st[1] is not None:
-                        i = bisect.bisect_left(live, st[0])
-                        return i < len(live) and live[i] <= st[1]
+                        lo, hi = _data_rel(st[0]), _data_rel(st[1])
+                        i = bisect.bisect_left(live, lo)
+                        return i < len(live) and live[i] <= hi
                     return True
 
                 pos_del = [d for d in pos_del if may_apply(d)]
@@ -354,7 +373,9 @@ class TableScan:
             surv = t.filter(~live | dk)
             n_total = t.filter(live).num_rows
             n_surv = surv.filter(live).num_rows
-            return entries_from_arrow(surv, schema, spec), n_total, n_surv
+            return (entries_from_arrow(surv, schema, spec,
+                                       self.metadata.location),
+                    n_total, n_surv)
 
         try:
             if len(manifests) <= 2:
@@ -413,12 +434,16 @@ class TableScan:
                         status=rd["status"], snapshot_id=rd["snapshot_id"],
                         sequence_number=rd["sequence_number"],
                         file=DataFile(
-                            file_path=rd["file_path"], file_format=rd["file_format"],
+                            file_path=resolve_path(rd["file_path"],
+                                                   self.metadata.location),
+                            file_format=rd["file_format"],
                             content=rd["content"], spec_id=rd["spec_id"],
                             partition=partition, record_count=rd["record_count"],
                             file_size_in_bytes=rd["file_size_in_bytes"], stats=stats,
                             equality_ids=tuple(rd.get("equality_ids") or ()),
-                            referenced_data_file=rd.get("referenced_data_file"),
+                            referenced_data_file=resolve_path(
+                                rd.get("referenced_data_file"),
+                                self.metadata.location),
                             write_schema_id=rd.get("write_schema_id") or 0,
                             first_row_id=rd.get("first_row_id"),
                         ),
@@ -687,7 +712,12 @@ def _pos_delete_ranges(plan: ScanPlan):
     import numpy as np
     import pyarrow.parquet as pq
 
-    live = {e.file.file_path for e in plan.files}
+    # key by location-independent suffix: pos-delete contents carry the
+    # absolute path at write time, which goes stale if a relative-path
+    # table is relocated (v4, spec:194); `data/...` suffixes are stable
+    # and unique within a table (uuid-named file dirs)
+    rel_live = {_data_rel(e.file.file_path): e.file.file_path
+                for e in plan.files}
     cap = POS_DELETE_MAX_LITERAL_RANGES
     by_file: dict = {}
     for d in plan.pos_deletes:
@@ -695,8 +725,9 @@ def _pos_delete_ranges(plan: ScanPlan):
         fps = t.column("file_path").to_pylist()
         poss = t.column("pos").to_numpy(zero_copy_only=False)
         for fp, p in zip(fps, poss):
-            if fp in live:
-                by_file.setdefault(fp, []).append(int(p))
+            tgt = rel_live.get(_data_rel(fp))
+            if tgt is not None:
+                by_file.setdefault(tgt, []).append(int(p))
     ranges = []
     for fp, plist in by_file.items():
         pos = np.unique(np.asarray(plist, dtype=np.int64))
@@ -884,8 +915,11 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 .select(F.col("file_path").alias("__del_file"),
                         F.col("pos").alias("__del_pos"))
             )
+            # suffix-normalized path equality (see _data_rel): survives
+            # table relocation while staying a plain hash-join key
             anti_cond = (
-                (F.col(FILE_PATH_COL) == F.col("__del_file"))
+                (_data_rel_col(F.col(FILE_PATH_COL))
+                 == _data_rel_col(F.col("__del_file")))
                 & (F.col(POS_COL) == F.col("__del_pos"))
             )
             # An unfiltered scan attaches every live delete file; at 10%

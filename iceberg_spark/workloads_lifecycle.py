@@ -945,8 +945,81 @@ FROM both_cohorts GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def relocated_table_scan(spark, sf_dir):
+    """v4 relative paths (format/spec.md:194): build a relative-path table,
+    MoR-delete a slice, physically relocate the whole directory, remove the
+    original, and scan from the new location — manifests, manifest list,
+    snapshot pointers, and position-delete application must all survive the
+    move with no path rewriting (contrast rewrite_table_path_scan, which is
+    the absolute-path DR action)."""
+    import shutil
+
+    key = ("relocated", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        t, df = _fresh(spark, sf_dir, "customer", "relocsrc",
+                       partition_by=["c_mktsegment"],
+                       properties={"write.metadata.use-relative-paths": "true"})
+        t.append(df)
+        t.delete_where(col("c_acctbal") < 0, mode="merge-on-read")
+        new_loc = os.path.join(tempfile.mkdtemp(prefix="relocated_"), "customer")
+        shutil.copytree(t.location, new_loc)
+        shutil.rmtree(t.location)
+        _STATE[key] = new_loc
+    from .metadata import TableOperations
+    from .table import Table
+
+    loc = _STATE[key]
+    t = Table(spark, loc, TableOperations(loc).refresh(), "relocated")
+    return (t.to_df().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("c_acctbal"), 2).alias("bal"))
+            .orderBy("c_mktsegment"))
+
+
+RELOCATED_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+FROM customer WHERE c_acctbal >= 0
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def runtime_filter_scan(spark, sf_dir):
+    """D5 runtime filtering (SparkBatchQueryScan.filter:127 analog): orders
+    bucketed by o_custkey; the build side (high-balance AUTOMOBILE customers)
+    resolves first, its keys re-plan the probe scan so bucket projection +
+    min/max stats drop files no key can reach — asserted via the plan
+    report, the file-level half of dynamic partition pruning."""
+    from .workloads import engine_table as _et
+
+    t = _et(spark, sf_dir, "orders", partition_by=["bucket(16, o_custkey)"])
+    cust = (load_table(spark, sf_dir, "customer")
+            .filter((F.col("c_mktsegment") == "AUTOMOBILE")
+                    & (F.col("c_acctbal") > 9000))
+            .select("c_custkey"))
+    scan = t.scan().runtime_filter("o_custkey", cust)
+    plan = scan.plan_files()
+    full = len(t.scan().plan_files().files)
+    assert len(plan.files) < full, "runtime filter must prune bucket files"
+    return (scan.df().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+RUNTIME_FILTER_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
+    "relocated_table_scan": (relocated_table_scan, RELOCATED_SQL),
+    "runtime_filter_scan": (runtime_filter_scan, RUNTIME_FILTER_SQL),
     "type_promotion_scan": (type_promotion_scan, TYPE_PROMOTION_SQL),
     "default_values_scan": (default_values_scan, DEFAULT_VALUES_SQL),
     "orc_roundtrip_scan": (orc_roundtrip_scan, ORC_RT_SQL),

@@ -306,7 +306,9 @@ class SnapshotProducer:
             seq = base.last_sequence_number + 1
             next_row_id = self._assign_first_row_ids(base.next_row_id)
             manifests, operation, summary = self._apply(base, seq)
-            ml_path = write_manifest_list(self.table.location, self.snapshot_id, manifests)
+            ml_path = write_manifest_list(
+                self.table.location, self.snapshot_id, manifests,
+                relative=base.relative_paths)
             parent = base.snapshot_for_ref(self.branch)
             now = int(time.time() * 1000)
             snap = Snapshot(
@@ -411,7 +413,8 @@ class FastAppend(SnapshotProducer):
             entries = [
                 ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in self.files
             ]
-            m = write_manifest(self.table.location, entries, schema, spec, DATA)
+            m = write_manifest(self.table.location, entries, schema, spec, DATA,
+                               relative=base.relative_paths)
             manifests = manifests + [m]
         manifests = maybe_merge_manifests(self.table, base, manifests, self.snapshot_id)
         summary = {**self._summary(base, added=self.files), **self.summary_extra}
@@ -457,7 +460,8 @@ class Overwrite(SnapshotProducer):
             ]
             if survivors:
                 content = DATA if m.content == 0 else POSITION_DELETES
-                nm = write_manifest(location, survivors, base.schema, spec, content)
+                nm = write_manifest(location, survivors, base.schema, spec, content,
+                                    relative=base.relative_paths)
                 new_list.append(nm)
         if self.validate_removed_exist and self.removed_paths - seen:
             raise ValidationException(
@@ -466,13 +470,15 @@ class Overwrite(SnapshotProducer):
         add_seq = self.preserve_seq if self.preserve_seq is not None else seq
         if self.added:
             entries = [ManifestEntry(ADDED, self.snapshot_id, add_seq, f) for f in self.added]
-            new_list.append(write_manifest(location, entries, base.schema, base.spec, DATA))
+            new_list.append(write_manifest(location, entries, base.schema, base.spec, DATA,
+                                           relative=base.relative_paths))
         if self.added_deletes:
             entries = [
                 ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in self.added_deletes
             ]
             new_list.append(
-                write_manifest(location, entries, base.schema, base.spec, POSITION_DELETES)
+                write_manifest(location, entries, base.schema, base.spec, POSITION_DELETES,
+                               relative=base.relative_paths)
             )
         summary = self._summary(base, added=self.added, removed=removed_files,
                                 added_deletes=self.added_deletes)
@@ -509,15 +515,18 @@ class RowDelta(SnapshotProducer):
                 )
         if self.added_data:
             entries = [ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in self.added_data]
-            manifests.append(write_manifest(location, entries, schema, spec, DATA))
+            manifests.append(write_manifest(location, entries, schema, spec, DATA,
+                                            relative=base.relative_paths))
         pos = [f for f in self.added_deletes if f.content == POSITION_DELETES]
         eq = [f for f in self.added_deletes if f.content == EQUALITY_DELETES]
         if pos:
             entries = [ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in pos]
-            manifests.append(write_manifest(location, entries, schema, spec, POSITION_DELETES))
+            manifests.append(write_manifest(location, entries, schema, spec, POSITION_DELETES,
+                                            relative=base.relative_paths))
         if eq:
             entries = [ManifestEntry(ADDED, self.snapshot_id, seq, f) for f in eq]
-            manifests.append(write_manifest(location, entries, schema, spec, EQUALITY_DELETES))
+            manifests.append(write_manifest(location, entries, schema, spec, EQUALITY_DELETES,
+                                            relative=base.relative_paths))
         summary = self._summary(base, added=self.added_data, added_deletes=self.added_deletes)
         return manifests, OP_OVERWRITE, summary
 
@@ -564,5 +573,6 @@ def maybe_merge_manifests(table, base: TableMetadata, manifests: list, snapshot_
         for i in range(0, max(len(entries), 1), CHUNK):
             chunk = entries[i : i + CHUNK]
             if chunk:
-                merged.append(write_manifest(table.location, chunk, base.schema, spec, DATA))
+                merged.append(write_manifest(table.location, chunk, base.schema, spec, DATA,
+                                             relative=base.relative_paths))
     return merged + other
