@@ -302,10 +302,13 @@ def dedup_simhash(spark, sf_dir):
     join on (chunk_idx, chunk_value) — never an all-pairs comparison.
     Verification is bit_count(sig_a XOR sig_b), whole-stage codegen'd.
     """
+    # cache: both sides of the bucket self-join read the signatures; without
+    # it the tokenization + signature UDF subtree executes twice
     sig = (dedup_corpus(spark, sf_dir)
            .select("doc_id",
                    _simhash_udf()(F.array_distinct(tokens(F.col("text"))))
-                   .alias("sig")))
+                   .alias("sig"))
+           .cache())
     chunks = sig.select(
         "doc_id", "sig",
         F.explode(F.array(*[
@@ -323,8 +326,8 @@ def dedup_simhash(spark, sf_dir):
         .select("doc_a", "doc_b",
                 F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
                 .alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
         .orderBy("doc_a", "doc_b")
     )
 
