@@ -209,7 +209,132 @@ WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
 """
 
 
+N_LISTS = 32   # IVF coarse lists
+N_PROBE = 4    # lists probed per query
+
+
+def ann_ivf(spark, sf_dir):
+    """IVF-flat ANN — the inverted-file scale path next to LSH:
+
+    * coarse quantizer: {N_LISTS} deterministic seed centroids (the
+      embeddings with vec_id in [{N_QUERIES}, {N_QUERIES}+{N_LISTS}) —
+      random-init IVF without a driver-side kmeans loop, regenerable by
+      any engine);
+    * build: every vector joins its nearest centroid's list — one
+      Arrow-batched GEMM per partition (rows x {N_LISTS}), assignment
+      cosines rounded to 6dp with centroid-id tiebreak so independent
+      engines agree bit-for-bit;
+    * search: each query probes its {N_PROBE} nearest lists, candidates
+      re-rank by exact cosine (same double fold as the oracle).
+
+    At cluster scale the per-list candidate join replaces the O(n*q)
+    cross product, and list sizes (~n/{N_LISTS}) bound executor memory."""
+    import numpy as np
+
+    emb = engine_embeddings(spark, sf_dir).select("vec_id", "embedding")
+    cents = (emb.filter((F.col("vec_id") >= N_QUERIES)
+                        & (F.col("vec_id") < N_QUERIES + N_LISTS))
+             .toPandas().sort_values("vec_id"))  # driver-small: N_LISTS rows
+    c_ids = cents["vec_id"].to_numpy()
+    cm = np.stack(cents["embedding"].to_numpy()).astype(np.float64)
+    cm /= np.linalg.norm(cm, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((c_ids, cm))
+
+    def assign(batches):
+        import pandas as pd
+
+        ids_c, mat_c = bc.value
+        for b in batches:
+            mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(mat @ mat_c.T, 6)  # rows x N_LISTS
+            # argmax with centroid-id tiebreak: ids_c ascending, stable argmax
+            best = sims.argmax(axis=1)  # first (lowest id) wins ties
+            yield pd.DataFrame({
+                "vec_id": b["vec_id"],
+                "list_id": ids_c[best],
+                "ne": b["embedding"],
+            })
+
+    par = max(spark.sparkContext.defaultParallelism, 8)
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par)
+    assigned = emb.mapInPandas(
+        assign, "vec_id long, list_id long, ne array<float>")
+
+    # query probes: N_QUERIES x N_LISTS is driver-trivial
+    qp = (engine_embeddings(spark, sf_dir)
+          .filter(F.col("vec_id") < N_QUERIES)
+          .select("vec_id", "embedding").toPandas().sort_values("vec_id"))
+    qm = np.stack(qp["embedding"].to_numpy()).astype(np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    sims = np.round(qm @ cm.T, 6)
+    rows = []
+    for i, qid in enumerate(qp["vec_id"].to_numpy()):
+        order = np.lexsort((c_ids, -sims[i]))[:N_PROBE]
+        for li in order:
+            rows.append((int(qid), int(c_ids[li]),
+                         [float(x) for x in qp["embedding"].iloc[i]]))
+    probes = spark.createDataFrame(
+        rows, "query_id long, list_id long, qe array<float>")
+
+    scored = (
+        F.broadcast(probes).join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                F.round(cosine(F.col("qe"), F.col("ne")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", "cos")
+        .orderBy("query_id", "rnk")
+    )
+
+
+ANN_IVF_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS c_id, embedding AS ce FROM embeddings
+  WHERE vec_id >= {N_QUERIES} AND vec_id < {N_QUERIES + N_LISTS}
+),
+assigned AS (
+  SELECT vec_id, embedding, c_id FROM (
+    SELECT d.vec_id, d.embedding, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY ROUND({_cos_sql("c.ce", "d.embedding")}, 6)
+                                       DESC, c.c_id ASC) AS rn
+    FROM embeddings d CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe, c_id FROM (
+    SELECT q.vec_id, q.embedding, c.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY ROUND({_cos_sql("c.ce", "q.embedding")}, 6)
+                                       DESC, c.c_id ASC) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < {N_QUERIES}
+  ) WHERE rn <= {N_PROBE}
+),
+scored AS (
+  SELECT p.query_id, d.vec_id AS neighbor_id,
+         ROUND({_cos_sql("p.qe", "d.embedding")}, 4) AS cos
+  FROM probes p JOIN assigned d ON p.c_id = d.c_id
+  WHERE p.query_id <> d.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos FROM ranked
+WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
+"""
+
+
 REGISTRY = {
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
     "ann_lsh": (ann_lsh, ANN_LSH_SQL),
+    "ann_ivf": (ann_ivf, ANN_IVF_SQL),
 }

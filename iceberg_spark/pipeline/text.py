@@ -187,9 +187,80 @@ FROM documents ORDER BY doc_id
 """
 
 
+# PII patterns — RE2-compatible (no lookaround) so Spark's Java regex and
+# DuckDB's RE2 match the exact same spans.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+PII_URL_RE = r"https?://[^\s]+"
+
+
+def pii_redaction(spark, sf_dir):
+    """PII scrubbing for training corpora: count + redact emails, phone
+    numbers, and URLs per document (regexp_count / regexp_replace — pure
+    JVM, codegen'd, no shuffle; the filter is the only row reducer). The
+    corpus is augmented with deterministic synthetic PII on doc_id % 7 == 0
+    (the raw testdata text is PII-free), identically in the oracle."""
+    docs = engine_docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    pii = F.concat(
+        F.col("text"), F.lit(" contact user"), did,
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" see https://site.example/page/"), did)
+    t = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, pii).otherwise(F.col("text"))
+        .alias("text"))
+    cleaned = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_URL_RE, "[URL]"),
+        PII_PHONE_RE, "[PHONE]")
+    out = t.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(F.col("text"), F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.regexp_count(F.col("text"), F.lit(PII_URL_RE)).alias("n_url"),
+        F.length(cleaned).alias("clean_len"),
+    )
+    return (out.filter(
+        (F.col("n_email") + F.col("n_phone") + F.col("n_url")) > 0)
+        .orderBy("doc_id"))
+
+
+PII_REDACTION_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or call 555-'
+                || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' see https://site.example/page/' || CAST(doc_id AS VARCHAR)
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS n_phone,
+       len(regexp_extract_all(text, '{PII_URL_RE}')) AS n_url,
+       length(regexp_replace(regexp_replace(regexp_replace(
+                text, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                '{PII_URL_RE}', '[URL]', 'g'),
+                '{PII_PHONE_RE}', '[PHONE]', 'g')) AS clean_len
+FROM aug
+WHERE len(regexp_extract_all(text, '{PII_EMAIL_RE}'))
+      + len(regexp_extract_all(text, '{PII_PHONE_RE}'))
+      + len(regexp_extract_all(text, '{PII_URL_RE}')) > 0
+ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "text_features": (text_features, TEXT_FEATURES_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
+    "pii_redaction": (pii_redaction, PII_REDACTION_SQL),
 }

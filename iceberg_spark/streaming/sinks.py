@@ -134,6 +134,74 @@ def equality_upsert_sink(table, keys: list,
     return fn
 
 
+WATERMARK_KEY = "streaming-watermark"
+
+
+def watermark_window_sink(table, time_col: str, agg_keys: list,
+                          delay_s: int, window: str = "day",
+                          query_id: str = "wm") -> Callable:
+    """Stateful windowed count with event-time watermark (the foreachBatch
+    realization of `withWatermark(col, delay)` + windowed agg; Flink kin:
+    ColumnStatsWatermarkExtractor.java:39 drives split order, this drives
+    state finalization). Per epoch:
+
+      1. rows older than the current watermark (max event time over all
+         PRIOR epochs minus delay) are dropped as late;
+      2. survivors roll into per-(window-start, keys) counts held in the
+         state table (complete-mode overwrite — state is window-keyed and
+         bounded, never row-sized);
+      3. the watermark advances on ALL batch rows (late rows still advance
+         event time, as in Spark) and persists in the snapshot summary, so
+         a restarted query resumes with the exact same cutoff.
+
+    Idempotent per epoch id like every sink here."""
+
+    def fn(df: DataFrame, epoch_id: int):
+        import datetime as _dt
+
+        from pyspark.sql import functions as F
+
+        t = table.refresh()
+        if _already_committed(t, query_id, epoch_id):
+            return
+        wm = None
+        for s in sorted(t.metadata.snapshots,
+                        key=lambda s: s.sequence_number, reverse=True):
+            if s.summary.get(QUERY_KEY) == query_id and WATERMARK_KEY in s.summary:
+                wm = _dt.datetime.fromisoformat(s.summary[WATERMARK_KEY])
+                break
+        ts = F.col(time_col).cast("timestamp")
+        kept = df if wm is None else df.filter(ts >= F.lit(wm.isoformat()).cast("timestamp"))
+        partial = (kept.groupBy(
+                       F.date_trunc(window, ts).alias("win_start"), *agg_keys)
+                   .agg(F.count(F.lit(1)).alias("n")))
+        if t.current_snapshot() is not None:
+            partial = (t.to_df().unionByName(partial)
+                       .groupBy("win_start", *agg_keys)
+                       .agg(F.sum("n").alias("n")))
+        partial = partial.withColumn("n", F.col("n").cast("long"))
+        mx = df.agg(F.max(ts)).collect()[0][0]  # driver scalar, commit-sized
+        new_wm = wm
+        if mx is not None:
+            cand = mx - _dt.timedelta(seconds=delay_s)
+            new_wm = cand if (new_wm is None or cand > new_wm) else new_wm
+        snap = t.overwrite(partial)
+        from dataclasses import replace as _r
+
+        m = t.refresh().metadata
+        extra = {EPOCH_KEY: str(epoch_id), QUERY_KEY: query_id}
+        if new_wm is not None:
+            extra[WATERMARK_KEY] = new_wm.isoformat()
+        snaps = tuple(
+            _r(s, summary={**s.summary, **extra})
+            if s.snapshot_id == snap.snapshot_id else s
+            for s in m.snapshots
+        )
+        t._commit_metadata(_r(m, snapshots=snaps))
+
+    return fn
+
+
 def write_stream_to_table(stream_df: DataFrame, table, mode: str = "append",
                           keys: Optional[list] = None, query_id: str = "stream",
                           checkpoint_dir: Optional[str] = None, trigger: Optional[dict] = None):

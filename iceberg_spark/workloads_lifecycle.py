@@ -1016,10 +1016,77 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+_WM_DELAY_S = 15 * 86400  # 15-day lateness bound over the 30-day event span
+
+
+def streaming_watermark_scan(spark, sf_dir):
+    """K4/K5: three out-of-order event batches drained through the
+    micro-batch source into a watermarking windowed-count sink
+    (withWatermark + window analog). Rows older than the running watermark
+    (max event time of prior epochs minus 15 days) are dropped as late;
+    per-day counts accumulate in a state table; the watermark itself rides
+    in the snapshot summary so a restart resumes the same cutoff."""
+    key = ("wmstream", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from pyspark.sql import types as T
+
+        from .streaming.micro_batch import MicroBatchStream
+        from .streaming.sinks import watermark_window_sink
+
+        src, df = _fresh(spark, sf_dir, "events", "wmsrc")
+        ckpt = tempfile.mkdtemp(prefix="iceberg_spark_wm_ckpt_")
+        reader = MicroBatchStream(src, ckpt)
+        for i in range(3):
+            src.append(df.filter(F.col("event_id") % 3 == i))
+        reader.table = src.refresh()
+        cat = _warehouse(spark)
+        sid = f"wmsink_{_sf_key(sf_dir)}"
+        if cat.table_exists(sid):
+            cat.drop_table(sid)
+        sink_t = cat.create_table(sid, T.StructType([
+            T.StructField("win_start", T.TimestampType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n", T.LongType()),
+        ]))
+        sink = watermark_window_sink(sink_t, "ts", ["event_type"],
+                                     delay_s=_WM_DELAY_S, query_id="wmwl")
+        n = reader.process_available(sink)
+        assert n == 3, f"expected 3 epochs, got {n}"
+        # re-drain: idempotent, no state change
+        assert reader.process_available(sink) == 0
+        _STATE[key] = sid
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df()
+            .select(F.col("win_start").cast("date").alias("win_start"),
+                    "event_type", "n")
+            .orderBy("win_start", "event_type"))
+
+
+STREAMING_WATERMARK_SQL = f"""
+WITH b0 AS (SELECT * FROM events WHERE event_id % 3 = 0),
+b1 AS (SELECT * FROM events WHERE event_id % 3 = 1),
+b2 AS (SELECT * FROM events WHERE event_id % 3 = 2),
+w0 AS (SELECT max(ts) - INTERVAL {_WM_DELAY_S} SECOND AS wm FROM b0),
+w1 AS (SELECT greatest((SELECT wm FROM w0),
+                       (SELECT max(ts) - INTERVAL {_WM_DELAY_S} SECOND
+                        FROM b1)) AS wm),
+kept AS (
+  SELECT * FROM b0
+  UNION ALL SELECT * FROM b1 WHERE ts >= (SELECT wm FROM w0)
+  UNION ALL SELECT * FROM b2 WHERE ts >= (SELECT wm FROM w1)
+)
+SELECT date_trunc('day', ts) AS win_start, event_type,
+       COUNT(*) AS n
+FROM kept GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
     "relocated_table_scan": (relocated_table_scan, RELOCATED_SQL),
     "runtime_filter_scan": (runtime_filter_scan, RUNTIME_FILTER_SQL),
+    "streaming_watermark_scan": (streaming_watermark_scan, STREAMING_WATERMARK_SQL),
     "type_promotion_scan": (type_promotion_scan, TYPE_PROMOTION_SQL),
     "default_values_scan": (default_values_scan, DEFAULT_VALUES_SQL),
     "orc_roundtrip_scan": (orc_roundtrip_scan, ORC_RT_SQL),
