@@ -1082,8 +1082,43 @@ FROM kept GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def auto_compaction_scan(spark, sf_dir):
+    """K7 maintenance-as-streaming-job: six small epochs stream into an
+    append sink wrapped by the maintenance scheduler; the small-file
+    threshold triggers binpack from inside the loop (Flink
+    RewriteDataFiles.java:43 analog), leaving a replace snapshot and a
+    compacted file set with identical data."""
+    key = ("automaint", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .streaming import append_sink, run_maintenance
+
+        t, df = _fresh(spark, sf_dir, "supplier", "automaint")
+        sched = run_maintenance(t, every_n_commits=100, min_small_files=4)
+        sink = sched.wrap(append_sink(t, query_id="automaint"))
+        for i in range(6):
+            sink(df.filter(F.col("s_suppkey") % 6 == i), i)
+        assert len(sched.runs) >= 1, "small-file trigger never fired"
+        t = t.refresh()
+        assert "replace" in [s.operation for s in t.metadata.snapshots]
+        assert len(t.scan().plan_files().files) < 6
+        _STATE[key] = t.identifier
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+AUTO_COMPACTION_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
+    "auto_compaction_scan": (auto_compaction_scan, AUTO_COMPACTION_SQL),
     "relocated_table_scan": (relocated_table_scan, RELOCATED_SQL),
     "runtime_filter_scan": (runtime_filter_scan, RUNTIME_FILTER_SQL),
     "streaming_watermark_scan": (streaming_watermark_scan, STREAMING_WATERMARK_SQL),
