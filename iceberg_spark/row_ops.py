@@ -31,7 +31,8 @@ from .manifests import POSITION_DELETES, collect_data_files
 from .metadata import MAIN_BRANCH, OP_DELETE, OP_OVERWRITE
 from .scan import (FILE_PATH_COL, LAST_UPDATED_SEQ_COL, POS_COL, ROW_ID_COL,
                    ScanPlan, TableScan, plan_to_df)
-from .writes import Overwrite, RowDelta, write_data_files
+from .writes import (Overwrite, RowDelta, partition_values_from_path,
+                     write_data_files)
 
 COPY_ON_WRITE = "copy-on-write"
 MERGE_ON_READ = "merge-on-read"
@@ -137,23 +138,62 @@ def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
 
 def write_position_deletes(table, matched_df: DataFrame) -> list:
     """Write (file_path, pos) parquet sorted for locality
-    (spec format/spec.md:1388: sorted by file_path then pos)."""
+    (spec format/spec.md:1388: sorted by file_path then pos).
+
+    Partitioned tables fan delete files out by the target data file's
+    partition (each data file belongs to exactly one partition, so the
+    fanout aligns with file_path ranges): delete files carry the partition
+    tuple the spec requires, delete manifests get partition summaries to
+    prune on, and the `delete_files` metadata table reports per-partition
+    delete counts. Unpartitioned tables keep the contiguous
+    file_path-range clustering so footer min/max stays tight."""
     out_dir = os.path.join(table.location, "data", f"deletes-{_uuid.uuid4().hex}")
-    # range-partition so each delete file covers a contiguous file_path
-    # range -> its file_path min/max stats stay tight and the planner can
-    # skip delete files unrelated to the pruned data-file set
-    (matched_df.select(F.col(FILE_PATH_COL).alias("file_path"), F.col(POS_COL).alias("pos"))
-        .repartitionByRange(F.col("file_path"), F.col("pos"))
-        .sortWithinPartitions("file_path", "pos")
-        .write.parquet(out_dir))
-    paths = [os.path.join(r, f) for r, _d, fs in os.walk(out_dir) for f in fs
-             if f.endswith(".parquet")]
+    spec, schema = table.metadata.spec, table.metadata.schema
+    fp = F.col(FILE_PATH_COL).alias("file_path")
+    pos = F.col(POS_COL).alias("pos")
+    pby = [f"_p_{pf.name}" for pf in spec.fields]
+    pcols = None
+    if spec.fields:
+        if all(c in matched_df.columns for c in pby):
+            pcols = [F.col(c) for c in pby]  # caller pre-derived them
+        elif all(schema.field_by_id(pf.source_id).name in matched_df.columns
+                 for pf in spec.fields):
+            pcols = []
+            for pf in spec.fields:
+                src = schema.field_by_id(pf.source_id)
+                pcols.append(pf.transform.spark_col(F.col(src.name), src.type)
+                             .alias(f"_p_{pf.name}"))
+    if pcols is not None:
+        (matched_df.select(fp, pos, *pcols)
+            .repartition(*[F.col(c) for c in pby])
+            .sortWithinPartitions("file_path", "pos")
+            .write.partitionBy(*pby).parquet(out_dir))
+    else:
+        # partition sources unavailable (e.g. a (file_path, pos)-only
+        # rewrite input): path-scoped delete files, pruned by file_path
+        # range instead of partition tuple
+        (matched_df.select(fp, pos)
+            .repartitionByRange(F.col("file_path"), F.col("pos"))
+            .sortWithinPartitions("file_path", "pos")
+            .write.parquet(out_dir))
+    paths, partitions = [], {}
+    pnames = [pf.name for pf in spec.fields]
+    ptypes = dict(spec.partition_type(schema))
+    for r, _d, fs in os.walk(out_dir):
+        for f in fs:
+            if f.endswith(".parquet"):
+                p = os.path.join(r, f)
+                paths.append(p)
+                if pnames:
+                    partitions[p] = partition_values_from_path(
+                        os.path.relpath(p, out_dir), pnames, ptypes)
     from .schema import NestedField, Schema
 
     del_schema = Schema((NestedField(2147483546, "file_path", "string", True),
                          NestedField(2147483545, "pos", "long", True)))
-    files = collect_data_files(paths, del_schema, table.spec, content=POSITION_DELETES)
-    return [replace(f, partition={}, write_schema_id=table.schema.schema_id)
+    files = collect_data_files(paths, del_schema, table.spec,
+                               partitions, content=POSITION_DELETES)
+    return [replace(f, write_schema_id=table.schema.schema_id)
             for f in files if f.record_count > 0]
 
 
@@ -429,11 +469,17 @@ class MergeBuilder:
             else:
                 inserts = build_action(tgt.join(src, join_cond, "full_outer"))
             routed = inserts
+            spec = table.metadata.spec
+            psrc = [table.schema.field_by_id(pf.source_id).name
+                    for pf in spec.fields]
             del_rows = routed.filter(
                 F.col("__action").startswith("U") | F.col("__action").startswith("D")
                 | F.col("__action").startswith("NU") | F.col("__action").startswith("ND")
             ).select(F.col(f"t.{FILE_PATH_COL}").alias(FILE_PATH_COL),
-                     F.col(f"t.{POS_COL}").alias(POS_COL))
+                     F.col(f"t.{POS_COL}").alias(POS_COL),
+                     # partition sources ride along so delete files fan out
+                     # by the target partition (spec partition tuple)
+                     *[F.col(f"t.{c}").alias(c) for c in psrc])
             pos_files = write_position_deletes(table, del_rows)
             new_rows = routed.filter(
                 F.col("__action").startswith("U") | F.col("__action").startswith("I")

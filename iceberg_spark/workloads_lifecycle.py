@@ -596,6 +596,41 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def metadata_files_scan(spark, sf_dir):
+    """`files` + `delete_files` metadata tables against the data: per
+    partition, data-file record counts sum to the row count and
+    position-delete record counts sum to the deleted-row count
+    (reference core/.../BaseFilesTable.java, PositionDeletesTable.java)."""
+    key = ("metafiles", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        t, df = _fresh(spark, sf_dir, "customer", "metafiles",
+                       partition_by=["c_mktsegment"])
+        t.append(df)
+        t.delete_where(col("c_acctbal") < 0, mode="merge-on-read")
+        _STATE[key] = t.identifier
+    t = _warehouse(spark).load_table(_STATE[key])
+    seg = F.get_json_object("partition", "$.c_mktsegment").alias("c_mktsegment")
+    data = (t.metadata_table("data_files").select(seg, "record_count")
+            .groupBy("c_mktsegment")
+            .agg(F.sum("record_count").alias("n_rows")))
+    dels = (t.metadata_table("delete_files").select(seg, "record_count")
+            .groupBy("c_mktsegment")
+            .agg(F.sum("record_count").alias("n_deleted")))
+    return (data.join(dels, "c_mktsegment", "left")
+            .select("c_mktsegment", "n_rows",
+                    F.coalesce("n_deleted", F.lit(0)).alias("n_deleted"))
+            .orderBy("c_mktsegment"))
+
+
+META_FILES_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_rows,
+       CAST(COALESCE(SUM(CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_deleted
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def partition_stats_scan(spark, sf_dir):
     """compute_partition_stats file re-read and compared to the data
     (reference spark/.../ComputePartitionStatsSparkAction.java)."""
@@ -1141,6 +1176,7 @@ REGISTRY = {
     "pos_delete_rewrite_dv_scan": (pos_delete_rewrite_dv_scan, POS_DV_SQL),
     "transaction_scan": (transaction_scan, TXN_SQL),
     "metadata_partitions_scan": (metadata_partitions_scan, META_PARTITIONS_SQL),
+    "metadata_files_scan": (metadata_files_scan, META_FILES_SQL),
     "partition_stats_scan": (partition_stats_scan, PARTITION_STATS_SQL),
     "table_stats_ndv_scan": (table_stats_ndv_scan, NDV_SQL),
     "rewrite_table_path_scan": (rewrite_table_path_scan, DR_COPY_SQL),
