@@ -275,8 +275,20 @@ class TableScan:
                 # stripping it preserves min/max ordering.
                 live = sorted(_data_rel(e.file.file_path) for e in data_entries)
                 live_set = set(live)
+                # partition-bucketed lookup (DeleteFileIndex.java): a
+                # partition-scoped delete file only applies to data files
+                # in the same partition of the same spec
+                live_parts = {
+                    (e.file.spec_id,
+                     tuple(sorted(e.file.partition.items())))
+                    for e in data_entries if e.file.partition}
 
                 def may_apply(d):
+                    if d.file.partition and live_parts:
+                        key = (d.file.spec_id,
+                               tuple(sorted(d.file.partition.items())))
+                        if key not in live_parts:
+                            return False
                     if d.file.referenced_data_file:
                         return _data_rel(d.file.referenced_data_file) in live_set
                     st = d.file.stats.get("file_path")

@@ -95,3 +95,27 @@ def test_range_compression():
     ends = np.concatenate((breaks, [len(pos) - 1]))
     runs = [(int(pos[s]), int(pos[e])) for s, e in zip(starts, ends)]
     assert runs == [(0, 2), (5, 6), (9, 9)]
+
+
+def test_partition_scoped_delete_pruning(catalog, spark):
+    """Pos-delete files carry the target partition tuple; a scan pruned to
+    a different partition must not attach them (DeleteFileIndex
+    partition-bucketed lookup)."""
+    df = spark.range(0, 400).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket"))
+    t = catalog.create_table("mor_part_scope", df.schema,
+                             partition_by=["bucket"])
+    t.append(df)
+    t.delete_where((col("bucket") == 0) & (col("id") < 100),
+                   mode="merge-on-read")
+    # delete files are partition-scoped on disk
+    plan_all = t.scan().plan_files()
+    assert plan_all.pos_deletes, "expected pos-delete files"
+    assert all(d.file.partition.get("bucket") == 0
+               for d in plan_all.pos_deletes)
+    # a scan of another partition attaches no deletes at all
+    plan_other = t.scan(filter=col("bucket") == 1).plan_files()
+    assert plan_other.pos_deletes == []
+    # and the deleted partition still reads correctly
+    got = sorted(r.id for r in t.scan(filter=col("bucket") == 0).df().collect())
+    assert got == [i for i in range(100, 400) if i % 4 == 0]
