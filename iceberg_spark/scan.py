@@ -277,18 +277,25 @@ class TableScan:
                 live_set = set(live)
                 # partition-bucketed lookup (DeleteFileIndex.java): a
                 # partition-scoped delete file only applies to data files
-                # in the same partition of the same spec
-                live_parts = {
-                    (e.file.spec_id,
-                     tuple(sorted(e.file.partition.items())))
-                    for e in data_entries if e.file.partition}
+                # in the same partition of the same spec. All-None tuples
+                # (global/path-scoped deletes, DVs) and spec ids absent
+                # from the data side skip the check — conservative keep.
+                def _pkey(f):
+                    items = tuple(sorted(
+                        (k, v) for k, v in f.partition.items()
+                        if v is not None))
+                    return (f.spec_id, items) if items else None
+
+                live_parts = {k for k in (_pkey(e.file) for e in data_entries)
+                              if k is not None}
+                live_specs = {e.file.spec_id for e in data_entries}
 
                 def may_apply(d):
-                    if d.file.partition and live_parts:
-                        key = (d.file.spec_id,
-                               tuple(sorted(d.file.partition.items())))
-                        if key not in live_parts:
-                            return False
+                    key = _pkey(d.file)
+                    if (key is not None and live_parts
+                            and d.file.spec_id in live_specs
+                            and key not in live_parts):
+                        return False
                     if d.file.referenced_data_file:
                         return _data_rel(d.file.referenced_data_file) in live_set
                     st = d.file.stats.get("file_path")
