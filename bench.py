@@ -213,8 +213,15 @@ def main():
     planning_benchmarks(spark, qtimes, timed)
     spj_benchmarks(spark, qtimes, timed, SF_DIR)
 
+    # data-pipeline throughput (informational — outside the headline total,
+    # which tracks the BASELINE.md scan/plan/MoR targets)
+    for name in ("dedup_minhash_lsh", "knn_bruteforce", "text_features"):
+        qtimes[f"pipeline_{name}"] = timed(
+            lambda n=name: reg[n](spark, SF_DIR).collect())
+
     total = round(sum(v for k, v in qtimes.items()
-                      if not k.endswith("_baseline") and not k.startswith("plan_")), 4)
+                      if not k.endswith("_baseline") and not k.startswith("plan_")
+                      and not k.startswith("pipeline_")), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,

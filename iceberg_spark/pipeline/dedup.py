@@ -217,7 +217,10 @@ def dedup_minhash_lsh(spark, sf_dir):
     parameters for this corpus' separation: injected near-dups sit at
     J>=0.9, band-match prob there >= 1-(1-0.9^4)^32 ~ 1).
     """
-    sets = _shingle_sets(dedup_corpus(spark, sf_dir)).filter(F.size("sh") > 0)
+    # cache: the shingle UDF feeds the bucket self-join (2x) AND both
+    # verify sides; without it the Arrow-batched shingling runs 4x
+    sets = (_shingle_sets(dedup_corpus(spark, sf_dir))
+            .filter(F.size("sh") > 0).cache())
     hashed = sets.select(
         "doc_id",
         F.expr("transform(sh, s -> xxhash64(s))").alias("hs"),
@@ -225,7 +228,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     buckets = hashed.select(
         "doc_id",
         F.posexplode(_band_hash_udf()(F.col("hs"))).alias("band", "h"),
-    )
+    ).cache()
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
