@@ -94,6 +94,7 @@ def incremental_append_df(table, from_snapshot_id: Optional[int],
 def changelog_df(table, from_snapshot_id: Optional[int] = None,
                  to_snapshot_id: Optional[int] = None,
                  compute_updates: bool = False, remove_carryovers: bool = True,
+                 net_changes: bool = False,
                  identifier_columns: Optional[list] = None) -> DataFrame:
     """CDC rows for the snapshot range, tagged with _change_type /
     _change_ordinal / _commit_snapshot_id."""
@@ -205,7 +206,9 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
     for p in pieces[1:]:
         out = out.unionByName(p)
 
-    if remove_carryovers:
+    if net_changes:
+        out = _remove_net_carryovers(out, cols)
+    elif remove_carryovers:
         out = _remove_carryovers(out, cols)
     if compute_updates:
         ident = identifier_columns or [
@@ -236,6 +239,25 @@ def _remove_carryovers(df, cols) -> DataFrame:
                      F.when(F.col("__net") > 0, F.lit(INSERT)).otherwise(F.lit(DELETE)))
     g = g.withColumn("__n", F.abs(F.col("__net")))
     g = g.withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col("__n"))))
+    return g.select(*cols, CHANGE_TYPE, CHANGE_ORDINAL, COMMIT_SNAPSHOT_ID)
+
+
+def _remove_net_carryovers(df, cols) -> DataFrame:
+    """Net view across the whole snapshot range
+    (spark/.../RemoveNetCarryoverIterator.java:39): a row deleted in one
+    snapshot and re-inserted identically in a later one cancels out
+    entirely; surviving net changes carry the ordinal/snapshot of their
+    last contributing change (max_by — one groupBy, no self-join)."""
+    g = (df.groupBy(*cols)
+           .agg(F.sum(F.when(F.col(CHANGE_TYPE) == INSERT, 1)
+                      .otherwise(-1)).alias("__net"),
+                F.max(CHANGE_ORDINAL).alias(CHANGE_ORDINAL),
+                F.expr(f"max_by({COMMIT_SNAPSHOT_ID}, {CHANGE_ORDINAL})")
+                .alias(COMMIT_SNAPSHOT_ID)))
+    g = g.filter(F.col("__net") != 0)
+    g = g.withColumn(CHANGE_TYPE,
+                     F.when(F.col("__net") > 0, F.lit(INSERT)).otherwise(F.lit(DELETE)))
+    g = g.withColumn("__rep", F.explode(F.sequence(F.lit(1), F.abs(F.col("__net")))))
     return g.select(*cols, CHANGE_TYPE, CHANGE_ORDINAL, COMMIT_SNAPSHOT_ID)
 
 

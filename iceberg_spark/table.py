@@ -260,13 +260,14 @@ class Table:
 
     def changes(self, from_snapshot_id: Optional[int] = None,
                 to_snapshot_id: Optional[int] = None, compute_updates: bool = False,
-                remove_carryovers: bool = True,
+                remove_carryovers: bool = True, net_changes: bool = False,
                 identifier_columns: Optional[list] = None) -> DataFrame:
         from .changelog import changelog_df
 
         return changelog_df(self, from_snapshot_id, to_snapshot_id,
                             compute_updates=compute_updates,
                             remove_carryovers=remove_carryovers,
+                            net_changes=net_changes,
                             identifier_columns=identifier_columns)
 
     # -- transaction --------------------------------------------------------

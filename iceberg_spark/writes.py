@@ -300,7 +300,10 @@ class SnapshotProducer:
 
     def commit(self) -> Snapshot:
         last_err = None
-        for attempt in range(COMMIT_RETRIES):
+        props = self.table.metadata.properties
+        retries = int(props.get("commit.retry.num-retries", COMMIT_RETRIES))
+        min_wait = int(props.get("commit.retry.min-wait-ms", 100))
+        for attempt in range(1 + retries):
             base = self.table.ops.refresh() or self.table.metadata
             base_version = self.table.ops.current_version()
             seq = base.last_sequence_number + 1
@@ -340,8 +343,12 @@ class SnapshotProducer:
                 return snap
             except CommitFailedException as e:
                 last_err = e
+                # jittered exponential backoff before re-validating against
+                # the new base (SnapshotProducer retry via Tasks.retry;
+                # commit.retry.* from TableProperties.java)
+                time.sleep(min_wait / 1000.0 * (2 ** attempt) * random.uniform(0.5, 1.0))
                 continue
-        raise CommitFailedException(f"commit failed after {COMMIT_RETRIES} retries: {last_err}")
+        raise CommitFailedException(f"commit failed after {retries} retries: {last_err}")
 
     # -- helpers ------------------------------------------------------------
     # attributes that may hold this producer's pending *added* data files

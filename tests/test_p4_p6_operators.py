@@ -218,3 +218,23 @@ def test_streaming_upsert_sink(catalog, spark, tmp_path):
     fn(spark.createDataFrame([(2, "dup")], schema), 1)  # same epoch -> skipped
     rows = {(r.id, r.v) for r in tgt.refresh().to_df().collect()}
     assert rows == {(1, "old"), (2, "new"), (3, "new")}
+
+
+def test_changelog_net_carryover(catalog, spark):
+    """RemoveNetCarryoverIterator semantics: delete in one snapshot +
+    identical re-insert in a later snapshot cancel across the range."""
+    t, schema = _simple(catalog, spark, "db.cdcnet", 10, 1)
+    s0 = t.snapshots()[-1].snapshot_id
+    t.delete_where(col("id") == 4)
+    t.append(spark.createDataFrame([(4, "v4")], schema))  # identical re-insert
+    t.append(spark.createDataFrame([(200, "brand-new")], schema))
+
+    # per-commit view: both the DELETE and the re-INSERT are visible
+    per_commit = [(r.id, r._change_type)
+                  for r in t.changes(from_snapshot_id=s0).collect()]
+    assert (4, "DELETE") in per_commit and (4, "INSERT") in per_commit
+
+    # net view: they cancel; only the genuinely new row remains
+    net = [(r.id, r._change_type)
+           for r in t.changes(from_snapshot_id=s0, net_changes=True).collect()]
+    assert net == [(200, "INSERT")]
