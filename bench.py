@@ -101,6 +101,19 @@ def planning_benchmarks(spark, qtimes, timed):
     qtimes["plan_minmax_filter_10k_files"] = timed(
         lambda: plan((col("id") >= 100_000) & (col("id") < 150_000)))
 
+    def plan_dist(filt=None):
+        # DISTRIBUTED mode: manifest filtering as a Spark job over the
+        # manifest parquet (BaseDistributedDataScan) — the 100 TB path
+        _MANIFEST_CACHE.clear()
+        return len(t.scan(filter=filt, planning_mode="distributed")
+                   .plan_files().files)
+
+    assert plan_dist() == 32 * 320
+    assert plan_dist(col("p") == 7) == 320
+    qtimes["plan_distributed_full_10k_files"] = timed(plan_dist)
+    qtimes["plan_distributed_filter_10k_files"] = timed(
+        lambda: plan_dist(col("p") == 7))
+
 
 def spj_benchmarks(spark, qtimes, timed, sf_dir):
     """Storage-partitioned join: orders<->lineitem on orderkey, bucketed
