@@ -162,6 +162,23 @@ def write_data_files(
     max_records = props.get("write.max-records-per-file")
     if max_records:
         writer_opts["maxRecordsPerFile"] = str(max_records)
+    if fmt == "parquet":
+        # reference TableProperties.java write.parquet.* -> parquet writer
+        # options (Spark forwards unknown options to the Hadoop conf, incl.
+        # per-column `parquet.bloom.filter.enabled#col`)
+        codec = props.get("write.parquet.compression-codec")
+        if codec:
+            writer_opts["compression"] = codec.lower()
+        rg = props.get("write.parquet.row-group-size-bytes")
+        if rg:
+            writer_opts["parquet.block.size"] = str(rg)
+        pg = props.get("write.parquet.page-size-bytes")
+        if pg:
+            writer_opts["parquet.page.size"] = str(pg)
+        for k, v in props.items():
+            if k.startswith("write.parquet.bloom-filter-enabled.column."):
+                col_name = k[len("write.parquet.bloom-filter-enabled.column."):]
+                writer_opts[f"parquet.bloom.filter.enabled#{col_name}"] = str(v)
 
     pnames = [f.name for f in spec.fields]
     ptypes = dict(spec.partition_type(schema))

@@ -1,0 +1,50 @@
+"""write.parquet.* table properties reach the parquet writer
+(TableProperties.java parity: compression codec, row-group size,
+per-column bloom filters)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import Row
+
+
+def _files(t):
+    return [e.file.file_path for e in t.scan().plan_files().files]
+
+
+def test_compression_codec_property(catalog, spark):
+    df = spark.createDataFrame([Row(id=i, v=f"x{i}") for i in range(1000)])
+    t = catalog.create_table(
+        "props.zstd", df.schema,
+        properties={"write.parquet.compression-codec": "zstd"})
+    t.append(df)
+    md = pq.ParquetFile(_files(t)[0]).metadata
+    assert md.row_group(0).column(0).compression == "ZSTD"
+
+
+def test_row_group_size_property(catalog, spark):
+    df = spark.createDataFrame(
+        [Row(id=i, payload="p" * 200) for i in range(20000)])
+    t = catalog.create_table(
+        "props.rg", df.schema,
+        properties={"write.parquet.row-group-size-bytes": "65536",
+                    "write.parquet.page-size-bytes": "16384"})
+    t.append(df.coalesce(1))
+    md = pq.ParquetFile(_files(t)[0]).metadata
+    assert md.num_row_groups > 1  # default 128MB would give exactly 1
+
+
+def test_bloom_filter_property(catalog, spark):
+    df = spark.createDataFrame([Row(id=i, v=i * 2) for i in range(5000)])
+    t = catalog.create_table(
+        "props.bloom", df.schema,
+        properties={"write.parquet.bloom-filter-enabled.column.id": "true"})
+    t.append(df.coalesce(1))
+    t2 = catalog.create_table("props.nobloom", df.schema)
+    t2.append(df.coalesce(1))
+    # pyarrow (this build) doesn't surface bloom offsets; identical data
+    # with the filter enabled must serialize strictly larger
+    with_bloom = os.path.getsize(_files(t)[0])
+    without = os.path.getsize(_files(t2)[0])
+    assert with_bloom > without + 1000, (with_bloom, without)
