@@ -159,11 +159,18 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
                 sub = ScanPlan(surviving, pos_p, eq_p, E.ALWAYS_TRUE,
                                prev_snap, ScanReport())
                 base = plan_to_df(pscan, sub, with_metadata_columns=True)
+                from .scan import _data_rel_col
+
                 dels = spark.read.parquet(*[d.file.file_path for d in pos_new]) \
                     .select(F.col("file_path").alias("__df"), F.col("pos").alias("__dp"))
+                # suffix-normalized path equality (scan._data_rel): delete
+                # contents carry write-time absolute paths that go stale
+                # when a relative-path table relocates
                 hit = base.join(
                     dels,
-                    (F.col(FILE_PATH_COL) == F.col("__df")) & (F.col(POS_COL) == F.col("__dp")),
+                    (_data_rel_col(F.col(FILE_PATH_COL))
+                     == _data_rel_col(F.col("__df")))
+                    & (F.col(POS_COL) == F.col("__dp")),
                     "left_semi",
                 ).select(*cols)
                 pieces.append(_tag(hit, cols, DELETE, ordinal, snap.snapshot_id))

@@ -432,22 +432,27 @@ def remove_dangling_deletes(table) -> int:
     """Drop delete files that can no longer apply to any live data file
     (RemoveDanglingDeletesSparkAction): pos deletes whose referenced data
     files are gone; eq deletes with seq <= min live data seq."""
+    from .scan import _data_rel
+
     plan = table.scan().plan_files()
-    live_paths = {e.file.file_path for e in plan.files}
+    # location-independent comparison: delete contents/stats carry
+    # write-time absolute paths that go stale after a relative-path
+    # table relocation (matches the scan-side _data_rel normalization)
+    live_paths = {_data_rel(e.file.file_path) for e in plan.files}
     min_data_seq = min((e.sequence_number for e in plan.files), default=0)
     dangling = set()
     for d in plan.pos_deletes:
         st = d.file.stats.get("file_path")
         refs = None
         if d.file.referenced_data_file:
-            refs = {d.file.referenced_data_file}
+            refs = {_data_rel(d.file.referenced_data_file)}
         elif st and st[0] is not None and st[0] == st[1]:
-            refs = {st[0]}
+            refs = {_data_rel(st[0])}
         if refs is not None:
             if not (refs & live_paths):
                 dangling.add(d.file.file_path)
         else:
-            paths = {r.file_path for r in
+            paths = {_data_rel(r.file_path) for r in
                      table.spark.read.parquet(d.file.file_path)
                      .select("file_path").distinct().collect()}
             if not (paths & live_paths):

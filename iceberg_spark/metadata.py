@@ -379,6 +379,14 @@ class TableMetadata:
         return out
 
     # -- json --------------------------------------------------------------
+    def _stats_json(self, entries, key):
+        out = []
+        for e in entries:
+            if self.relative_paths and isinstance(e, dict) and e.get(key):
+                e = {**e, key: to_relative(e[key], self.location)}
+            out.append(e)
+        return out
+
     def to_json(self) -> dict:
         snaps = []
         for s in self.snapshots:
@@ -405,8 +413,10 @@ class TableMetadata:
             "refs": {k: v.to_json() for k, v in self.refs.items()},
             "snapshot-log": [list(e) for e in self.snapshot_log],
             "metadata-log": [list(e) for e in self.metadata_log],
-            "statistics": list(self.statistics_files),
-            "partition-statistics": list(self.partition_statistics_files),
+            "statistics": self._stats_json(self.statistics_files,
+                                           "statistics-path"),
+            "partition-statistics": self._stats_json(
+                self.partition_statistics_files, "path"),
             "next-row-id": self.next_row_id,
         }
 
@@ -423,6 +433,12 @@ class TableMetadata:
             snap = Snapshot.from_json(s)
             snaps.append(replace(
                 snap, manifest_list=resolve_path(snap.manifest_list, loc)))
+
+        def _stats_load(entries, key):
+            return tuple(
+                {**e, key: resolve_path(e[key], loc)}
+                if isinstance(e, dict) and e.get(key) else e
+                for e in entries)
         return TableMetadata(
             location=loc,
             table_uuid=j["table-uuid"],
@@ -442,8 +458,10 @@ class TableMetadata:
             refs={k: SnapshotRef.from_json(v) for k, v in j.get("refs", {}).items()},
             snapshot_log=tuple(tuple(e) for e in j.get("snapshot-log", [])),
             metadata_log=tuple(tuple(e) for e in j.get("metadata-log", [])),
-            statistics_files=tuple(j.get("statistics", [])),
-            partition_statistics_files=tuple(j.get("partition-statistics", [])),
+            statistics_files=_stats_load(j.get("statistics", []),
+                                         "statistics-path"),
+            partition_statistics_files=_stats_load(
+                j.get("partition-statistics", []), "path"),
             next_row_id=j.get("next-row-id", 0),
         )
 

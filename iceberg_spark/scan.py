@@ -57,16 +57,20 @@ DISTRIBUTED_PLANNING_THRESHOLD = 64  # manifests; above this, plan as a Spark jo
 
 
 def _data_rel(p: str) -> str:
-    """Location-independent form of a data-file path: the suffix from
-    `data/` on. Data files live under `<location>/data/<uuid>/…`, so the
-    suffix is unique within a table and stable across relocation."""
-    i = p.find("/data/")
+    """Location-independent form of a data-file path: the suffix from the
+    LAST `data/` on (the table's own data root — a location that itself
+    contains `/data/` must not win, and no path segment below the data
+    root is ever the bare word `data`: uuid-hex dirs, `_p_<name>=v`
+    partition dirs, part files). Unique within a table, stable across
+    relocation."""
+    i = p.rfind("/data/")
     return p[i + 1:] if i >= 0 else p
 
 
 def _data_rel_col(c):
-    """Column twin of _data_rel (for join keys)."""
-    return F.regexp_replace(c, "^.*?/data/", "data/")
+    """Column twin of _data_rel (for join keys). Greedy `.*` anchors the
+    strip at the LAST /data/, matching _data_rel."""
+    return F.regexp_replace(c, "^.*/data/", "data/")
 
 
 @dataclass
@@ -277,9 +281,12 @@ class TableScan:
                 live_set = set(live)
                 # partition-bucketed lookup (DeleteFileIndex.java): a
                 # partition-scoped delete file only applies to data files
-                # in the same partition of the same spec. All-None tuples
-                # (global/path-scoped deletes, DVs) and spec ids absent
-                # from the data side skip the check — conservative keep.
+                # in the same partition of the same spec. Pruning is legal
+                # only when EVERY surviving data file shares the delete's
+                # spec — the delete's tuple is derived under the writer's
+                # current spec and says nothing about victims living in
+                # older-spec files. All-None tuples (global/path-scoped
+                # deletes, DVs) also skip the check — conservative keep.
                 def _pkey(f):
                     items = tuple(sorted(
                         (k, v) for k, v in f.partition.items()
@@ -293,7 +300,7 @@ class TableScan:
                 def may_apply(d):
                     key = _pkey(d.file)
                     if (key is not None and live_parts
-                            and d.file.spec_id in live_specs
+                            and live_specs == {d.file.spec_id}
                             and key not in live_parts):
                         return False
                     if d.file.referenced_data_file:

@@ -157,21 +157,26 @@ def watermark_window_sink(table, time_col: str, agg_keys: list,
     Idempotent per epoch id like every sink here."""
 
     def fn(df: DataFrame, epoch_id: int):
-        import datetime as _dt
-
         from pyspark.sql import functions as F
+
+        from ..writes import Overwrite, write_data_files
 
         t = table.refresh()
         if _already_committed(t, query_id, epoch_id):
             return
-        wm = None
+        # watermark rides in the snapshot summary as epoch MICROSECONDS —
+        # tz-free, so a non-UTC driver cannot shift the cutoff (naive
+        # datetime round-trips through collect() use the driver's local
+        # zone, not the UTC session)
+        wm_us = None
         for s in sorted(t.metadata.snapshots,
                         key=lambda s: s.sequence_number, reverse=True):
             if s.summary.get(QUERY_KEY) == query_id and WATERMARK_KEY in s.summary:
-                wm = _dt.datetime.fromisoformat(s.summary[WATERMARK_KEY])
+                wm_us = int(s.summary[WATERMARK_KEY])
                 break
         ts = F.col(time_col).cast("timestamp")
-        kept = df if wm is None else df.filter(ts >= F.lit(wm.isoformat()).cast("timestamp"))
+        us = F.unix_micros(ts)
+        kept = df if wm_us is None else df.filter(us >= F.lit(wm_us))
         partial = (kept.groupBy(
                        F.date_trunc(window, ts).alias("win_start"), *agg_keys)
                    .agg(F.count(F.lit(1)).alias("n")))
@@ -180,24 +185,20 @@ def watermark_window_sink(table, time_col: str, agg_keys: list,
                        .groupBy("win_start", *agg_keys)
                        .agg(F.sum("n").alias("n")))
         partial = partial.withColumn("n", F.col("n").cast("long"))
-        mx = df.agg(F.max(ts)).collect()[0][0]  # driver scalar, commit-sized
-        new_wm = wm
+        mx = df.agg(F.max(us)).collect()[0][0]  # driver scalar, commit-sized
+        new_wm = wm_us
         if mx is not None:
-            cand = mx - _dt.timedelta(seconds=delay_s)
+            cand = int(mx) - delay_s * 1_000_000
             new_wm = cand if (new_wm is None or cand > new_wm) else new_wm
-        snap = t.overwrite(partial)
-        from dataclasses import replace as _r
-
-        m = t.refresh().metadata
+        # ONE commit carries state + epoch marker + watermark: a crash can
+        # never land the state without the marker (re-delivery would
+        # double-count the read-modify-write accumulation)
         extra = {EPOCH_KEY: str(epoch_id), QUERY_KEY: query_id}
         if new_wm is not None:
-            extra[WATERMARK_KEY] = new_wm.isoformat()
-        snaps = tuple(
-            _r(s, summary={**s.summary, **extra})
-            if s.snapshot_id == snap.snapshot_id else s
-            for s in m.snapshots
-        )
-        t._commit_metadata(_r(m, snapshots=snaps))
+            extra[WATERMARK_KEY] = str(new_wm)
+        removed = {e.file.file_path for e in t.scan().plan_files().files}
+        added = write_data_files(t, partial)
+        Overwrite(t, added, removed, summary_extra=extra).commit()
 
     return fn
 

@@ -320,6 +320,7 @@ class SnapshotProducer:
         props = self.table.metadata.properties
         retries = int(props.get("commit.retry.num-retries", COMMIT_RETRIES))
         min_wait = int(props.get("commit.retry.min-wait-ms", 100))
+        max_wait = int(props.get("commit.retry.max-wait-ms", 60_000))
         for attempt in range(1 + retries):
             base = self.table.ops.refresh() or self.table.metadata
             base_version = self.table.ops.current_version()
@@ -360,10 +361,13 @@ class SnapshotProducer:
                 return snap
             except CommitFailedException as e:
                 last_err = e
-                # jittered exponential backoff before re-validating against
-                # the new base (SnapshotProducer retry via Tasks.retry;
-                # commit.retry.* from TableProperties.java)
-                time.sleep(min_wait / 1000.0 * (2 ** attempt) * random.uniform(0.5, 1.0))
+                if attempt < retries:  # no dead sleep before the final raise
+                    # jittered exponential backoff, capped at max-wait,
+                    # before re-validating against the new base
+                    # (SnapshotProducer retry via Tasks.retry;
+                    # commit.retry.* from TableProperties.java)
+                    wait = min(min_wait * (2 ** attempt), max_wait)
+                    time.sleep(wait / 1000.0 * random.uniform(0.5, 1.0))
                 continue
         raise CommitFailedException(f"commit failed after {retries} retries: {last_err}")
 
@@ -452,7 +456,8 @@ class Overwrite(SnapshotProducer):
     def __init__(self, table, added: list, removed_paths: Optional[set] = None,
                  operation: str = OP_OVERWRITE, preserve_seq_for_added: Optional[int] = None,
                  branch: str = MAIN_BRANCH, validate_removed_exist: bool = True,
-                 added_deletes: Optional[list] = None):
+                 added_deletes: Optional[list] = None,
+                 summary_extra: Optional[dict] = None):
         super().__init__(table, branch)
         self.added = added
         self.added_deletes = added_deletes or []
@@ -460,6 +465,7 @@ class Overwrite(SnapshotProducer):
         self.op = operation
         self.preserve_seq = preserve_seq_for_added
         self.validate_removed_exist = validate_removed_exist
+        self.summary_extra = summary_extra or {}
 
     def _apply(self, base: TableMetadata, seq: int):
         location = self.table.location
@@ -504,8 +510,9 @@ class Overwrite(SnapshotProducer):
                 write_manifest(location, entries, base.schema, base.spec, POSITION_DELETES,
                                relative=base.relative_paths)
             )
-        summary = self._summary(base, added=self.added, removed=removed_files,
-                                added_deletes=self.added_deletes)
+        summary = {**self._summary(base, added=self.added, removed=removed_files,
+                                   added_deletes=self.added_deletes),
+                   **self.summary_extra}
         return new_list, self.op, summary
 
 

@@ -119,3 +119,26 @@ def test_partition_scoped_delete_pruning(catalog, spark):
     # and the deleted partition still reads correctly
     got = sorted(r.id for r in t.scan(filter=col("bucket") == 0).df().collect())
     assert got == [i for i in range(100, 400) if i % 4 == 0]
+
+
+def test_delete_pruning_safe_across_spec_evolution(catalog, spark):
+    """A delete file's partition tuple is derived under the writer's
+    CURRENT spec; victims in older-spec data files must never be pruned
+    away (DeleteFileIndex must not bucket across specs)."""
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket"))
+    t = catalog.create_table("mor_spec_evo", df.schema)  # unpartitioned
+    t.append(df)                                         # spec 0 files
+    t.update_spec().add_field("bucket").commit()
+    t = catalog.load_table("mor_spec_evo")
+    t.append(spark.range(200, 240).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")))  # spec 1 files
+    # delete rows living in the OLD-spec files; delete files carry spec-1
+    # partition tuples
+    t.delete_where(col("id") < 50, mode="merge-on-read")
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == list(range(50, 240))
+    # filtered scan over one bucket also correct
+    got0 = sorted(r.id for r in
+                  t.scan(filter=col("bucket") == 0).df().collect())
+    assert got0 == [i for i in range(50, 240) if i % 4 == 0]
