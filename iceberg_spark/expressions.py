@@ -793,6 +793,26 @@ def _cmp_ready(a, b):
         return False
 
 
+def _stat_domain(v, lit):
+    """Lift a manifest stat written under a PRE-promotion column type into
+    the literal's (post-promotion) domain so bounds stay comparable:
+    date -> timestamp (midnight) and date/timestamp -> int epoch-nanos
+    (timestamp_ns). Unknown combinations return the stat unchanged and the
+    caller's _cmp_ready guard keeps evaluation conservative."""
+    import datetime as _dt
+
+    if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime) \
+            and isinstance(lit, _dt.datetime):
+        return _dt.datetime.combine(v, _dt.time.min)
+    if isinstance(v, (_dt.date, _dt.datetime)) and isinstance(lit, int) \
+            and not isinstance(lit, bool):
+        d = v if isinstance(v, _dt.datetime) else _dt.datetime.combine(v, _dt.time.min)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000) * 1000
+    return v
+
+
 def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
     """True if the file *might* contain rows matching expr.
     Reference InclusiveMetricsEvaluator.java:48."""
@@ -839,7 +859,10 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         floaty = getattr(expr.term.field, "type", None) in ("float", "double")
         if op in (GT, GT_EQ) and floaty and (nans is None or nans > 0):
             return True
-        if all_nan:
+        # all-NaN files can't match lt/ltEq/eq/in/startsWith (literals are
+        # non-NaN) — but NaN != x and NaN NOT IN (...) ARE true under the
+        # engine ordering, so not_* ops must keep the file
+        if all_nan and op in (LT, LT_EQ, EQ, IN, STARTS_WITH):
             return False
         if op in (ST_INTERSECTS, ST_DISJOINT):
             if op == ST_DISJOINT:
@@ -852,19 +875,23 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
             geog = expr.term.field.type == "geography"
             return bbox_intersects(fb, lits[0], geography=geog)
         if op in (LT, LT_EQ, GT, GT_EQ, EQ, IN, STARTS_WITH):
+            # stats may predate a type promotion (spec:356): lift them
+            # into the literal domain; incomparable leftovers keep the file
+            lo = _stat_domain(mn, lits[0]) if mn is not None else None
+            hi = _stat_domain(mx, lits[0]) if mx is not None else None
             if op == LT:
-                return mn is None or mn < lits[0]
+                return lo is None or not _cmp_ready(lo, lits[0]) or lo < lits[0]
             if op == LT_EQ:
-                return mn is None or mn <= lits[0]
+                return lo is None or not _cmp_ready(lo, lits[0]) or lo <= lits[0]
             if op == GT:
-                return mx is None or mx > lits[0]
+                return hi is None or not _cmp_ready(hi, lits[0]) or hi > lits[0]
             if op == GT_EQ:
-                return mx is None or mx >= lits[0]
+                return hi is None or not _cmp_ready(hi, lits[0]) or hi >= lits[0]
             if op == EQ:
                 v = lits[0]
-                if mn is not None and _cmp_ready(mn, v) and mn > v:
+                if lo is not None and _cmp_ready(lo, v) and lo > v:
                     return False
-                if mx is not None and _cmp_ready(mx, v) and mx < v:
+                if hi is not None and _cmp_ready(hi, v) and hi < v:
                     return False
                 return True
             if op == IN:
@@ -956,22 +983,27 @@ def strict_metrics_eval(expr: Expr, fs: FileStats) -> bool:
             if geog and qb.xmin > qb.xmax:  # query box wraps
                 return fb.xmin >= qb.xmin or fb.xmax <= qb.xmax
             return qb.xmin <= fb.xmin and fb.xmax <= qb.xmax
+        # stats may predate a type promotion: lift into the literal domain;
+        # strict answers must be provable, so incomparable values say False
+        lo, hi = _stat_domain(mn, lits[0]), _stat_domain(mx, lits[0])
+        if not (_cmp_ready(lo, lits[0]) and _cmp_ready(hi, lits[0])):
+            return False
         if op == LT:
-            return mx < lits[0]
+            return hi < lits[0]
         if op == LT_EQ:
-            return mx <= lits[0]
+            return hi <= lits[0]
         if op == GT:
-            return mn > lits[0]
+            return lo > lits[0]
         if op == GT_EQ:
-            return mn >= lits[0]
+            return lo >= lits[0]
         if op == EQ:
-            return mn == mx == lits[0]
+            return lo == hi == lits[0]
         if op == NOT_EQ:
-            return lits[0] < mn or lits[0] > mx
+            return lits[0] < lo or lits[0] > hi
         if op == IN:
-            return mn == mx and mn in lits
+            return lo == hi and lo in lits
         if op == NOT_IN:
-            return all(v < mn or v > mx for v in lits)
+            return all(v < lo or v > hi for v in lits)
         if op == STARTS_WITH:
             v = lits[0]
             return str(mn).startswith(v) and str(mx)[: len(v)] == v
@@ -998,6 +1030,8 @@ def _sanitize_value(v: Any) -> str:
     if isinstance(v, int):
         return f"({len(str(abs(v)))}-digit-int)"
     if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            return "(non-finite-float)"  # int(inf/nan) would raise
         return f"({len(str(abs(int(v))))}-digit-float)"
     if isinstance(v, _dt.datetime):
         return "(timestamp)"
@@ -1057,12 +1091,24 @@ def _normal_form(e: Expr):
     if isinstance(e, (Predicate, BoundPredicate)):
         op, lits = e.op, e.literals
         # discrete domains: x < 9 == x <= 8, x > 9 == x >= 10 — normalize
-        # to the inclusive form so boundary-equal projections compare equal
+        # to the inclusive form so boundary-equal projections compare
+        # equal. Int literals are only rewritten when the domain is
+        # provably discrete — a bound int/long column or a transform term
+        # (bucket/truncate-int/time granularities emit discrete values);
+        # an int literal on an UNBOUND identity term could sit on a double
+        # column (x < 5 vs x <= 4 differ at x=4.5). Date literals stay
+        # discrete unconditionally: bind() coerces date literals on
+        # timestamp columns to datetime, so a surviving raw date implies a
+        # date-domain comparison (incl. day/month/year projections).
+        ftype = getattr(getattr(e.term, "field", None), "type", None) \
+            if isinstance(e, BoundPredicate) else None
+        tr = getattr(e.term, "transform", None)
+        transformed = tr is not None and not isinstance(tr, Identity)
         if op in (LT, GT) and len(lits) == 1:
             v = lits[0]
             if isinstance(v, bool):
                 pass
-            elif isinstance(v, int):
+            elif isinstance(v, int) and (transformed or ftype in ("int", "long")):
                 op, lits = ((LT_EQ, (v - 1,)) if op == LT else (GT_EQ, (v + 1,)))
             elif isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
                 day = _dt.timedelta(days=1)

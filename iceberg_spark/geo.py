@@ -297,9 +297,13 @@ def column_bbox_bounds(values) -> tuple[Optional[bytes], Optional[bytes], int]:
     near both ±180° gets a world-spanning (conservative, still correct)
     box; wrap-aware bounds can be layered on later without a format
     change, since the evaluator already understands xmin > xmax."""
-    bb = batch_bbox(values)
-    nulls = int(np.isnan(bb[:, 0]).sum())
-    if nulls == len(bb):
+    vals = list(values)
+    bb = batch_bbox(vals)
+    # null_count must count actual SQL NULLs only: an empty (zero-vertex)
+    # geometry also yields a NaN bbox row but IS NOT NULL — conflating the
+    # two breaks IS [NOT] NULL pruning and strict metadata-only deletes
+    nulls = sum(1 for v in vals if v is None)
+    if np.isnan(bb[:, 0]).all():
         return None, None, nulls
     return (wkb_point(float(np.nanmin(bb[:, 0])), float(np.nanmin(bb[:, 1]))),
             wkb_point(float(np.nanmax(bb[:, 2])), float(np.nanmax(bb[:, 3]))),

@@ -328,13 +328,11 @@ def delete_reachable_files(table, dry_run: bool = False) -> dict:
 
     m = table.metadata
     data, pos_d, eq_d, mans, mls = set(), set(), set(), set(), set()
-    seen_manifests = {}
     for s in m.snapshots:
         mls.add(s.manifest_list)
         for mf in read_manifest_list(s.manifest_list):
-            if mf.path in seen_manifests:
+            if mf.path in mans:
                 continue
-            seen_manifests[mf.path] = True
             mans.add(mf.path)
             spec = m.spec_by_id(mf.spec_id)
             for e in read_manifest(mf.path, m.schema, spec):
@@ -346,18 +344,20 @@ def delete_reachable_files(table, dry_run: bool = False) -> dict:
                 else:
                     data.add(f.file_path)
 
-    others = set()
+    stats_files = set()
     for st in m.statistics_files + m.partition_statistics_files:
-        p = st.get("path") if isinstance(st, dict) else None
+        p = (st.get("path") or st.get("statistics-path")) \
+            if isinstance(st, dict) else None
         if p:
-            others.add(p)
+            stats_files.add(p)
+    meta_files = set()
     meta_dir = getattr(table.ops, "metadata_dir", None)
     if meta_dir and os.path.isdir(meta_dir):
         for root, _dirs, fns in os.walk(meta_dir):
             for fn in fns:
-                others.add(os.path.join(root, fn))
+                meta_files.add(os.path.join(root, fn))
 
-    closure = data | pos_d | eq_d | mans | mls | others
+    closure = data | pos_d | eq_d | mans | mls | stats_files | meta_files
     deleted = 0
     if not dry_run:
         for p in closure:
@@ -372,7 +372,8 @@ def delete_reachable_files(table, dry_run: bool = False) -> dict:
         "deleted_equality_delete_files_count": len(eq_d),
         "deleted_manifests_count": len(mans),
         "deleted_manifest_lists_count": len(mls),
-        "deleted_statistics_files_count": len(others),
+        "deleted_statistics_files_count": len(stats_files),
+        "deleted_metadata_files_count": len(meta_files),
         "deleted_files_total": deleted if not dry_run else 0,
     }
     if dry_run:

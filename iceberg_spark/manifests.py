@@ -45,6 +45,25 @@ ADDED, EXISTING, DELETED = 1, 0, 2
 # happens only at parquet-serialization time, resolution at read time.
 
 
+def _stat_to_type(v: Any, t: Any) -> Any:
+    """Lift a stat value written under a PRE-promotion column type into the
+    current column type's domain (spec:356 promotions that change the
+    physical representation: date -> timestamp[_ntz] and
+    date/timestamp -> *_ns int nanos). Same-representation promotions
+    (int->long, float->double) need no conversion."""
+    if v is None or not isinstance(t, str):
+        return v
+    if t in ("timestamp", "timestamp_ntz") and isinstance(v, _dt.date) \
+            and not isinstance(v, _dt.datetime):
+        return _dt.datetime.combine(v, _dt.time.min)
+    if t in ("timestamp_ns", "timestamptz_ns") and isinstance(v, _dt.date):
+        d = v if isinstance(v, _dt.datetime) else _dt.datetime.combine(v, _dt.time.min)
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return int(d.timestamp() * 1_000_000) * 1000
+    return v
+
+
 def _infer_location(path: str) -> Optional[str]:
     """Table location from a manifest/manifest-list path — the layout is
     fixed (<location>/metadata/{manifests,manifest-lists}/f.parquet), so a
@@ -288,8 +307,12 @@ def write_manifest(
         for sf, fid, _ in stat_fields:
             st = f.stats.get(sf.name)
             mn, mx, nulls, nans, values = st if st else (None, None, None, None, None)
-            cols[f"min_f{fid}"].append(mn)
-            cols[f"max_f{fid}"].append(mx)
+            # rewritten entries may carry stats collected under a
+            # PRE-promotion column type (date stats under a now-timestamp
+            # column, spec:356); lift them into the current type's domain
+            # so the arrow stats column accepts them
+            cols[f"min_f{fid}"].append(_stat_to_type(mn, sf.type))
+            cols[f"max_f{fid}"].append(_stat_to_type(mx, sf.type))
             cols[f"nulls_f{fid}"].append(nulls)
             cols[f"nans_f{fid}"].append(nans)
             cols[f"values_f{fid}"].append(values)

@@ -250,12 +250,15 @@ def parse_predicate(s: str) -> E.Expr:
 
 _STRING_RE = re.compile(r"'(?:[^']|'')*'")
 
-def _shift_ts_literals(expr: E.Expr, tz_name: str) -> E.Expr:
+def _shift_ts_literals(expr: E.Expr, tz_name: str, schema=None) -> E.Expr:
     """Re-interpret naive datetime literals (parsed from TIMESTAMP '...')
     as session-timezone wall time and shift them to UTC-naive, matching the
-    domain of the engine's file stats. Spark evaluates TIMESTAMP literals in
-    spark.sql.session.timeZone; pruning with a differently-interpreted
-    literal could drop files whose rows Spark's re-applied WHERE accepts."""
+    domain of the engine's file stats — but ONLY on timestamptz columns:
+    Spark compares a timestamp_ntz column against the literal as wall time,
+    so its stats domain is the UNSHIFTED literal, and shifting would
+    misprune. Columns whose type can't be determined make the whole
+    pushdown unsafe under a non-UTC zone (return None: full scan, no
+    pruning, correctness kept)."""
     if tz_name in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
         return expr
     try:
@@ -264,8 +267,21 @@ def _shift_ts_literals(expr: E.Expr, tz_name: str) -> E.Expr:
     except Exception:
         return None  # unknown zone: skip pruning, keep correctness
 
-    def shift(v):
+    def col_type(term):
+        try:
+            return schema.find_field(term.name).type
+        except Exception:
+            return None
+
+    unsafe = []
+
+    def shift(v, ftype):
         if isinstance(v, _dt.datetime) and v.tzinfo is None:
+            if ftype == "timestamp_ntz":
+                return v  # wall-time comparison on both sides
+            if ftype != "timestamp":
+                unsafe.append(True)
+                return v
             return v.replace(tzinfo=tz).astimezone(
                 _dt.timezone.utc).replace(tzinfo=None)
         return v
@@ -278,11 +294,13 @@ def _shift_ts_literals(expr: E.Expr, tz_name: str) -> E.Expr:
         if isinstance(e, E.Not):
             return E.Not(walk(e.child))
         if isinstance(e, E.Predicate):
+            ftype = col_type(e.term)
             return E.Predicate(e.op, e.term,
-                               tuple(shift(v) for v in e.literals))
+                               tuple(shift(v, ftype) for v in e.literals))
         return e
 
-    return walk(expr)
+    out = walk(expr)
+    return None if unsafe else out
 
 
 # tokens that can follow a FROM/JOIN relation but are not an alias
@@ -414,7 +432,11 @@ class SqlEngine:
         except Exception:
             return None
         tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
-        return _shift_ts_literals(expr, tz)
+        try:
+            schema = self._load(ident).schema
+        except Exception:
+            schema = None
+        return _shift_ts_literals(expr, tz, schema)
 
     @staticmethod
     def _sub_relations(body: str, rel_sub) -> str:

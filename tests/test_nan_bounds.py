@@ -146,3 +146,17 @@ def test_metadata_only_delete_keeps_nan_rows(spark, catalog):
     t = catalog.load_table("nandel")
     left = t.to_df().collect()
     assert len(left) == 1 and math.isnan(left[0].x)
+
+
+def test_all_nan_file_not_pruned_for_not_eq(spark, catalog):
+    """NaN != literal is TRUE under engine ordering: an all-NaN file must
+    survive NOT_EQ / NOT_IN pruning (reference
+    InclusiveMetricsEvaluator.notEq keeps the file)."""
+    from iceberg_spark.expressions import col, not_
+
+    df = spark.createDataFrame(
+        [(i, float("nan")) for i in range(5)], "id long, x double")
+    t = catalog.create_table("nan.noteq", df.schema)
+    t.append(df)
+    assert t.scan(filter=col("x") != 1.0).df().count() == 5
+    assert t.scan(filter=not_(col("x").isin(1.0, 2.0))).df().count() == 5

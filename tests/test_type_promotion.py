@@ -116,3 +116,31 @@ def test_partition_source_guard(spark, catalog):
     t2.update_schema().update_column("day", "timestamp_ntz").commit()
     assert catalog.load_table("promo_guard_ok").schema.find_field("day").type \
         == "timestamp_ntz"
+
+
+def test_filtered_scan_after_date_to_timestamp_promotion(catalog, spark):
+    """Pre-promotion manifests hold date stats; a datetime literal on the
+    promoted column must not crash metrics pruning (stats are lifted into
+    the literal domain) and must return the right rows."""
+    from iceberg_spark.expressions import col
+
+    df = spark.createDataFrame(
+        [(i, datetime.date(2024, 1, 1 + i)) for i in range(10)],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("d", T.DateType())]))
+    t = catalog.create_table("promo.d2ts", df.schema)
+    t.append(df)  # manifest stats in the date domain
+    t.update_schema().update_column("d", "timestamp_ntz").commit()
+    t = catalog.load_table("promo.d2ts")
+    t.append(spark.createDataFrame(
+        [(100, datetime.datetime(2024, 2, 1, 12, 30))],
+        T.StructType([T.StructField("id", T.LongType()),
+                      T.StructField("d", T.TimestampNTZType())])))
+    # comparison literal is a datetime; old file stats are dates
+    got = sorted(r.id for r in
+                 t.scan(filter=col("d") >= datetime.datetime(2024, 1, 6))
+                 .df().collect())
+    assert got == [5, 6, 7, 8, 9, 100]
+    # strict path (metadata-only delete planning) must not crash either
+    t.delete_where(col("d") < datetime.datetime(2024, 1, 3))
+    assert t.to_df().count() == 9
