@@ -213,6 +213,11 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
     for p in pieces[1:]:
         out = out.unionByName(p)
 
+    if net_changes and compute_updates:
+        # net output collapses ordinals (max of contributors) — pairing
+        # them into UPDATE_BEFORE/AFTER would attribute fabricated updates
+        # (the reference CreateChangelogViewProcedure rejects this too)
+        raise ValueError("net_changes cannot be combined with compute_updates")
     if net_changes:
         out = _remove_net_carryovers(out, cols)
     elif remove_carryovers:

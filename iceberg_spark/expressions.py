@@ -806,10 +806,14 @@ def _stat_domain(v, lit):
         return _dt.datetime.combine(v, _dt.time.min)
     if isinstance(v, (_dt.date, _dt.datetime)) and isinstance(lit, int) \
             and not isinstance(lit, bool):
-        d = v if isinstance(v, _dt.datetime) else _dt.datetime.combine(v, _dt.time.min)
-        if d.tzinfo is None:
-            d = d.replace(tzinfo=_dt.timezone.utc)
-        return int(d.timestamp() * 1_000_000) * 1000
+        # exact integer micros (float epoch-seconds silently truncates
+        # ~1% of microsecond values 1us low — unsafe for a max bound)
+        from .transforms import _to_micros
+
+        d = v
+        if isinstance(d, _dt.datetime) and d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return _to_micros(d) * 1000
     return v
 
 

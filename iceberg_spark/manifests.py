@@ -57,10 +57,14 @@ def _stat_to_type(v: Any, t: Any) -> Any:
             and not isinstance(v, _dt.datetime):
         return _dt.datetime.combine(v, _dt.time.min)
     if t in ("timestamp_ns", "timestamptz_ns") and isinstance(v, _dt.date):
-        d = v if isinstance(v, _dt.datetime) else _dt.datetime.combine(v, _dt.time.min)
-        if d.tzinfo is None:
-            d = d.replace(tzinfo=_dt.timezone.utc)
-        return int(d.timestamp() * 1_000_000) * 1000
+        # exact integer micros — float epoch-seconds would persist a max
+        # bound up to 1us low into the rewritten manifest
+        from .transforms import _to_micros
+
+        d = v
+        if isinstance(d, _dt.datetime) and d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return _to_micros(d) * 1000
     return v
 
 

@@ -45,9 +45,12 @@ _DF_CACHE: dict = {}
 
 
 def _cached_df(tag, sf_dir, build):
-    key = (tag, sf_dir)
+    df = build()
+    # key by application id too: a cached DataFrame from a stopped
+    # SparkSession would raise on any action in a new session
+    key = (df.sparkSession.sparkContext.applicationId, tag, sf_dir)
     if key not in _DF_CACHE:
-        _DF_CACHE[key] = build().cache()
+        _DF_CACHE[key] = df.cache()
     return _DF_CACHE[key]
 MINHASH_K = 128
 LSH_BANDS = 32  # rows per band = MINHASH_K / LSH_BANDS = 4

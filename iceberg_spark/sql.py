@@ -432,6 +432,8 @@ class SqlEngine:
         except Exception:
             return None
         tz = self.spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            return expr  # no shift needed; skip the schema load entirely
         try:
             schema = self._load(ident).schema
         except Exception:

@@ -156,10 +156,20 @@ def watermark_window_sink(table, time_col: str, agg_keys: list,
 
     Idempotent per epoch id like every sink here."""
 
+    def _parse_wm(raw):
+        try:
+            return int(raw)
+        except ValueError:  # pre-micros checkpoints stored ISO-8601
+            import datetime as _dt
+
+            d = _dt.datetime.fromisoformat(raw)
+            if d.tzinfo is not None:
+                d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return int((d - _dt.datetime(1970, 1, 1))
+                       // _dt.timedelta(microseconds=1))
+
     def fn(df: DataFrame, epoch_id: int):
         from pyspark.sql import functions as F
-
-        from ..writes import Overwrite, write_data_files
 
         t = table.refresh()
         if _already_committed(t, query_id, epoch_id):
@@ -172,7 +182,7 @@ def watermark_window_sink(table, time_col: str, agg_keys: list,
         for s in sorted(t.metadata.snapshots,
                         key=lambda s: s.sequence_number, reverse=True):
             if s.summary.get(QUERY_KEY) == query_id and WATERMARK_KEY in s.summary:
-                wm_us = int(s.summary[WATERMARK_KEY])
+                wm_us = _parse_wm(s.summary[WATERMARK_KEY])
                 break
         ts = F.col(time_col).cast("timestamp")
         us = F.unix_micros(ts)
@@ -196,9 +206,7 @@ def watermark_window_sink(table, time_col: str, agg_keys: list,
         extra = {EPOCH_KEY: str(epoch_id), QUERY_KEY: query_id}
         if new_wm is not None:
             extra[WATERMARK_KEY] = str(new_wm)
-        removed = {e.file.file_path for e in t.scan().plan_files().files}
-        added = write_data_files(t, partial)
-        Overwrite(t, added, removed, summary_extra=extra).commit()
+        t.overwrite(partial, summary_extra=extra)
 
     return fn
 

@@ -126,9 +126,12 @@ class Table:
         return FastAppend(self, files, branch=branch).commit()
 
     def overwrite(self, df: DataFrame, overwrite_filter: Optional[E.Expr] = None,
-                  branch: str = MAIN_BRANCH) -> Snapshot:
+                  branch: str = MAIN_BRANCH,
+                  summary_extra: Optional[dict] = None) -> Snapshot:
         """INSERT OVERWRITE: replace rows matching the filter (all rows when
-        None) with df's rows, copy-on-write."""
+        None) with df's rows, copy-on-write. ``summary_extra`` rides in the
+        snapshot summary atomically with the data swap (streaming sinks
+        store epoch/watermark markers this way)."""
         from .row_ops import plan_cow_removal
 
         if overwrite_filter is None:
@@ -138,7 +141,8 @@ class Table:
         else:
             removed, rewritten = plan_cow_removal(self, overwrite_filter)
         added = write_data_files(self, df) + rewritten
-        return Overwrite(self, added, removed, branch=branch).commit()
+        return Overwrite(self, added, removed, branch=branch,
+                         summary_extra=summary_extra).commit()
 
     def dynamic_partition_overwrite(self, df: DataFrame, branch: str = MAIN_BRANCH) -> Snapshot:
         """ReplacePartitions: replace exactly the partitions present in df
