@@ -86,3 +86,26 @@ def test_absolute_tables_unaffected(catalog, spark):
     paths = pq.read_table(mf, columns=["file_path"]).column("file_path").to_pylist()
     assert all(os.path.isabs(p) for p in paths)
     assert t.to_df().count() == 30
+
+
+def test_maintenance_on_relocated_table(catalog, spark, tmp_path):
+    """Dangling-delete detection compares location-independent suffixes:
+    on a relocated table, live position deletes must NOT be treated as
+    dangling (their contents carry old-location absolute paths)."""
+    from iceberg_spark.maintenance import remove_dangling_deletes
+
+    df = spark.createDataFrame(_rows(120))
+    t = catalog.create_table("db.mvmaint", df.schema,
+                             partition_by=["bucket"], properties=REL)
+    t.append(df)
+    t.delete_where(col("id") < 30, mode="merge-on-read")
+    expected = sorted(r.id for r in t.to_df().collect())
+
+    new_loc = str(tmp_path / "mvmaint2")
+    shutil.copytree(t.location, new_loc)
+    shutil.rmtree(t.location)
+    moved = Table(spark, new_loc, TableOperations(new_loc).refresh(), "db.mvmaint")
+
+    removed = remove_dangling_deletes(moved)
+    assert removed == 0, "live deletes must survive relocation"
+    assert sorted(r.id for r in moved.refresh().to_df().collect()) == expected
