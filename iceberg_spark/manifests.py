@@ -353,6 +353,10 @@ def write_manifest(
 _MANIFEST_CACHE: dict = {}
 _MANIFEST_CACHE_MAX = 256
 
+# driver-side manifest-read counter (observability + tests asserting that
+# distributed surfaces do NOT fall back to per-snapshot driver loops)
+READ_MANIFEST_CALLS = 0
+
 
 def read_manifest(path: str, schema: Schema, spec: PartitionSpec,
                   columns: Optional[list] = None,
@@ -364,6 +368,8 @@ def read_manifest(path: str, schema: Schema, spec: PartitionSpec,
     v4 relative path fields resolve against ``location`` (inferred from the
     manifest's own path under the fixed table layout when not given).
     """
+    global READ_MANIFEST_CALLS
+    READ_MANIFEST_CALLS += 1
     if location is None:
         location = _infer_location(path)
     ck = (path, schema.schema_id, spec.spec_id, location)
@@ -446,6 +452,42 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
             )
         )
     return out
+
+
+def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
+                         location: Optional[str] = None) -> ManifestEntry:
+    """Rebuild a ManifestEntry from a collected Spark row dict (the manifest
+    Parquet read distributed-side — BaseDistributedDataScan collect path).
+    Shared by scan._read_entries_spark, the distributed maintenance
+    planners, and the changelog differ."""
+    ptypes = dict(spec.partition_type(schema))
+    partition = {n: _normalize(rd.get(f"p_{n}"), ptypes[n])
+                 for n in ptypes if f"p_{n}" in rd}
+    stats = {}
+    for f_ in schema.fields:
+        if isinstance(f_.type, str) and f"min_f{f_.field_id}" in rd:
+            fid = f_.field_id
+            stats[f_.name] = (
+                _normalize(rd[f"min_f{fid}"], f_.type),
+                _normalize(rd[f"max_f{fid}"], f_.type),
+                rd[f"nulls_f{fid}"], rd[f"nans_f{fid}"], rd[f"values_f{fid}"],
+            )
+    return ManifestEntry(
+        status=rd["status"], snapshot_id=rd["snapshot_id"],
+        sequence_number=rd["sequence_number"],
+        file=DataFile(
+            file_path=resolve_path(rd["file_path"], location),
+            file_format=rd["file_format"],
+            content=rd["content"], spec_id=rd["spec_id"],
+            partition=partition, record_count=rd["record_count"],
+            file_size_in_bytes=rd["file_size_in_bytes"], stats=stats,
+            equality_ids=tuple(rd.get("equality_ids") or ()),
+            referenced_data_file=resolve_path(rd.get("referenced_data_file"),
+                                              location),
+            write_schema_id=rd.get("write_schema_id") or 0,
+            first_row_id=rd.get("first_row_id"),
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------

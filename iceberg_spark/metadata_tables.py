@@ -1,9 +1,13 @@
 """Queryable metadata tables — the 16 tables of core/.../MetadataTableType.java:23.
 
-`table.metadata_table("files")` etc. return DataFrames computed from our
-metadata store (JSON + manifest Parquet); at scale these are Spark reads of
-the manifest Parquet directly (the same files local planning touches), so
-a `SELECT * FROM t.files` is itself a distributed query.
+`table.metadata_table("files")` etc. return DataFrames. Snapshot-level
+tables (snapshots/history/refs/manifests) materialize from the metadata
+JSON + manifest lists — driver-small by construction. The file-level
+tables (entries/files/all_* and the partitions rollup built on them) are
+DISTRIBUTED scans of the manifest Parquet via
+metadata_df.entries_table_df (core/.../BaseFilesTable.java analog), so a
+`SELECT * FROM t.files` on a 100 TB table never materializes entry rows
+on the driver.
 
 Implemented: snapshots, history, refs, manifests, all_manifests, entries,
 all_entries, files, data_files, delete_files, all_files, all_data_files,
@@ -20,8 +24,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .manifests import DATA, DELETED, read_manifest, read_manifest_list, value_to_json
+from .manifests import DATA, DELETED, read_manifest_list, value_to_json
 from .metadata import TableMetadata
+from .metadata_df import entries_table_df
 
 METADATA_TABLES = (
     "snapshots", "history", "refs", "manifests", "all_manifests", "entries",
@@ -136,95 +141,45 @@ def _all_manifests(table) -> DataFrame:
     return table.spark.createDataFrame(rows, _MANIFESTS_SCHEMA)
 
 
-def _entry_rows(table, snapshots, statuses=(0, 1, 2), contents=(0, 1, 2)):
-    m = table.metadata
-    out = []
-    seen_manifests = set()
-    for s in snapshots:
-        for mf in read_manifest_list(s.manifest_list):
-            if mf.path in seen_manifests:
-                continue
-            seen_manifests.add(mf.path)
-            spec = m.spec_by_id(mf.spec_id)
-            for e in read_manifest(mf.path, m.schema, spec):
-                if e.status not in statuses or e.file.content not in contents:
-                    continue
-                f = e.file
-                out.append((
-                    e.status, e.snapshot_id, e.sequence_number, f.content,
-                    f.file_path, f.file_format, f.spec_id,
-                    json.dumps({k: value_to_json(v) for k, v in f.partition.items()}),
-                    f.record_count, f.file_size_in_bytes,
-                    json.dumps({k: [value_to_json(x) for x in v[:2]] + list(v[2:])
-                                for k, v in f.stats.items()}),
-                    list(f.equality_ids) or None,
-                    f.referenced_data_file,
-                ))
-    return out
-
-
-_FILES_SCHEMA = T.StructType([
-    T.StructField("status", T.IntegerType()),
-    T.StructField("snapshot_id", T.LongType()),
-    T.StructField("sequence_number", T.LongType()),
-    T.StructField("content", T.IntegerType()),
-    T.StructField("file_path", T.StringType()),
-    T.StructField("file_format", T.StringType()),
-    T.StructField("spec_id", T.IntegerType()),
-    T.StructField("partition", T.StringType()),
-    T.StructField("record_count", T.LongType()),
-    T.StructField("file_size_in_bytes", T.LongType()),
-    T.StructField("column_stats", T.StringType()),
-    T.StructField("equality_ids", T.ArrayType(T.IntegerType())),
-    T.StructField("referenced_data_file", T.StringType()),
-])
-
-
 def _current_snaps(table):
     s = table.metadata.current_snapshot()
     return [s] if s else []
 
 
 def _entries(table) -> DataFrame:
-    return table.spark.createDataFrame(_entry_rows(table, _current_snaps(table)),
-                                       _FILES_SCHEMA)
+    return entries_table_df(table, _current_snaps(table))
 
 
 def _all_entries(table) -> DataFrame:
-    return table.spark.createDataFrame(_entry_rows(table, table.metadata.snapshots),
-                                       _FILES_SCHEMA)
+    return entries_table_df(table, table.metadata.snapshots)
 
 
 def _files(table) -> DataFrame:
-    rows = _entry_rows(table, _current_snaps(table), statuses=(0, 1))
-    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+    return entries_table_df(table, _current_snaps(table), statuses=(0, 1))
 
 
 def _data_files(table) -> DataFrame:
-    rows = _entry_rows(table, _current_snaps(table), statuses=(0, 1), contents=(0,))
-    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+    return entries_table_df(table, _current_snaps(table), statuses=(0, 1),
+                            contents=(0,))
 
 
 def _delete_files(table) -> DataFrame:
-    rows = _entry_rows(table, _current_snaps(table), statuses=(0, 1), contents=(1, 2))
-    return table.spark.createDataFrame(rows, _FILES_SCHEMA)
+    return entries_table_df(table, _current_snaps(table), statuses=(0, 1),
+                            contents=(1, 2))
 
 
 def _all_files(table) -> DataFrame:
-    return table.spark.createDataFrame(
-        _entry_rows(table, table.metadata.snapshots, statuses=(0, 1)), _FILES_SCHEMA)
+    return entries_table_df(table, table.metadata.snapshots, statuses=(0, 1))
 
 
 def _all_data_files(table) -> DataFrame:
-    return table.spark.createDataFrame(
-        _entry_rows(table, table.metadata.snapshots, statuses=(0, 1), contents=(0,)),
-        _FILES_SCHEMA)
+    return entries_table_df(table, table.metadata.snapshots, statuses=(0, 1),
+                            contents=(0,))
 
 
 def _all_delete_files(table) -> DataFrame:
-    return table.spark.createDataFrame(
-        _entry_rows(table, table.metadata.snapshots, statuses=(0, 1), contents=(1, 2)),
-        _FILES_SCHEMA)
+    return entries_table_df(table, table.metadata.snapshots, statuses=(0, 1),
+                            contents=(1, 2))
 
 
 def _partitions(table) -> DataFrame:

@@ -37,6 +37,7 @@ from .manifests import (
     DataFile,
     ManifestEntry,
     entries_from_arrow,
+    entry_from_spark_row,
     read_manifest,
     read_manifest_arrow,
     read_manifest_list,
@@ -443,38 +444,9 @@ class TableScan:
                 if stats_cond is not None:
                     cond = cond & stats_cond
             rows = df.filter(cond).collect()
-            ptypes = dict(spec.partition_type(schema))
             for r in rows:
-                rd = r.asDict()
-                partition = {n: rd.get(f"p_{n}") for n in ptypes if f"p_{n}" in rd}
-                stats = {}
-                for f_ in schema.fields:
-                    if isinstance(f_.type, str) and f"min_f{f_.field_id}" in rd:
-                        fid = f_.field_id
-                        stats[f_.name] = (
-                            rd[f"min_f{fid}"], rd[f"max_f{fid}"], rd[f"nulls_f{fid}"],
-                            rd[f"nans_f{fid}"], rd[f"values_f{fid}"],
-                        )
-                out.append(
-                    ManifestEntry(
-                        status=rd["status"], snapshot_id=rd["snapshot_id"],
-                        sequence_number=rd["sequence_number"],
-                        file=DataFile(
-                            file_path=resolve_path(rd["file_path"],
-                                                   self.metadata.location),
-                            file_format=rd["file_format"],
-                            content=rd["content"], spec_id=rd["spec_id"],
-                            partition=partition, record_count=rd["record_count"],
-                            file_size_in_bytes=rd["file_size_in_bytes"], stats=stats,
-                            equality_ids=tuple(rd.get("equality_ids") or ()),
-                            referenced_data_file=resolve_path(
-                                rd.get("referenced_data_file"),
-                                self.metadata.location),
-                            write_schema_id=rd.get("write_schema_id") or 0,
-                            first_row_id=rd.get("first_row_id"),
-                        ),
-                    )
-                )
+                out.append(entry_from_spark_row(r.asDict(), schema, spec,
+                                                self.metadata.location))
         return out
 
     # -- read ---------------------------------------------------------------
