@@ -114,6 +114,19 @@ def planning_benchmarks(spark, qtimes, timed):
     qtimes["plan_distributed_filter_10k_files"] = timed(
         lambda: plan_dist(col("p") == 7))
 
+    # maintenance planning at metadata scale: full-reachability closure over
+    # 32 snapshots x 10k files as a Spark job (ExpireSnapshotsSparkAction /
+    # DeleteReachableFilesSparkAction analog) — driver holds only the final
+    # path list, so this stays near-flat as file count grows
+    from iceberg_spark.maintenance import delete_reachable_files
+
+    def maint_plan():
+        res = delete_reachable_files(t, dry_run=True, mode="distributed")
+        assert res["deleted_data_files_count"] == 32 * 320, res
+        return res
+
+    qtimes["maintenance_plan_10k"] = timed(maint_plan)
+
 
 def spj_benchmarks(spark, qtimes, timed, sf_dir):
     """Storage-partitioned join: orders<->lineitem on orderkey, bucketed

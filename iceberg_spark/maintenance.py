@@ -249,64 +249,163 @@ def rewrite_manifests(table) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
-                     delete_files: bool = True) -> dict:
-    """Apply retention (format/spec.md:1115): keep refs + retain_last
-    ancestors of main; delete files only reachable from expired snapshots.
-    Reachability = anti-join of file sets (DataFrame job at scale)."""
-    m = table.metadata
-    now = int(time.time() * 1000)
-    cutoff = older_than_ms if older_than_ms is not None else now + 1
+# retention defaults (core/.../TableProperties.java; spec format/spec.md:1097)
+MAX_SNAPSHOT_AGE_PROP = "history.expire.max-snapshot-age-ms"
+MIN_SNAPSHOTS_PROP = "history.expire.min-snapshots-to-keep"
+MAX_REF_AGE_PROP = "history.expire.max-ref-age-ms"
+
+
+def _retention_keep(m, now: int, older_than_ms, retain_last: int):
+    """Per-ref retention (RemoveSnapshots.java:308-313 semantics): refs past
+    their max-ref-age are dropped; each retained branch keeps its newest
+    min-snapshots-to-keep ancestors plus any ancestor newer than the
+    branch's max-snapshot-age cutoff; tags keep only their snapshot;
+    unreferenced snapshots survive only while newer than the default
+    cutoff. Returns (keep_ids, retained_refs)."""
+    props = m.properties or {}
+    if older_than_ms is not None:
+        default_cutoff = older_than_ms
+    elif MAX_SNAPSHOT_AGE_PROP in props:
+        default_cutoff = now - int(props[MAX_SNAPSHOT_AGE_PROP])
+    else:
+        # historical engine behavior for parameterless calls: no age floor
+        default_cutoff = now + 1
+    default_min_keep = max(max(retain_last, 1),
+                           int(props.get(MIN_SNAPSHOTS_PROP, 1)))
+    default_max_ref_age = props.get(MAX_REF_AGE_PROP)
+    default_max_ref_age = (int(default_max_ref_age)
+                           if default_max_ref_age is not None else None)
+
+    retained_refs = {}
+    for name, r in m.refs.items():
+        if name == MAIN_BRANCH:
+            retained_refs[name] = r
+            continue
+        max_ref_age = (r.max_ref_age_ms if r.max_ref_age_ms is not None
+                       else default_max_ref_age)
+        if max_ref_age is not None:
+            try:
+                ref_ts = m.snapshot_by_id(r.snapshot_id).timestamp_ms
+            except KeyError:
+                ref_ts = None
+            if ref_ts is not None and now - ref_ts > max_ref_age:
+                continue  # ref itself expired
+        retained_refs[name] = r
 
     keep_ids = set()
-    for r in m.refs.values():
-        keep_ids.add(r.snapshot_id)
-    ancestors = m.ancestors_of(m.current_snapshot_id)
-    for s in ancestors[:max(retain_last, 1)]:
-        keep_ids.add(s.snapshot_id)
+    for name, r in retained_refs.items():
+        if r.type == "tag":
+            keep_ids.add(r.snapshot_id)
+            continue
+        if name == MAIN_BRANCH:
+            # explicit args are main's defaults; ref-level settings tighten
+            cutoff = (now - r.max_snapshot_age_ms
+                      if r.max_snapshot_age_ms is not None
+                      and older_than_ms is None else default_cutoff)
+            min_keep = max(default_min_keep, r.min_snapshots_to_keep or 0)
+        else:
+            cutoff = (now - r.max_snapshot_age_ms
+                      if r.max_snapshot_age_ms is not None else default_cutoff)
+            min_keep = (r.min_snapshots_to_keep
+                        if r.min_snapshots_to_keep is not None
+                        else default_min_keep)
+        for i, s in enumerate(m.ancestors_of(r.snapshot_id)):  # newest first
+            if i < max(min_keep, 1) or s.timestamp_ms >= cutoff:
+                keep_ids.add(s.snapshot_id)
     for s in m.snapshots:
-        if s.timestamp_ms >= cutoff and s.snapshot_id not in keep_ids:
+        if s.snapshot_id not in keep_ids and s.timestamp_ms >= default_cutoff:
             keep_ids.add(s.snapshot_id)
+    return keep_ids, retained_refs
+
+
+def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
+                     delete_files: bool = True, mode: str = "auto") -> dict:
+    """Apply retention (format/spec.md:1115) with per-ref policies, then
+    delete files only reachable from expired snapshots.
+
+    Reachability runs in one of two modes (ExpireSnapshotsSparkAction):
+    LOCAL — Python set math over the (cached) manifest reads, fastest for
+    small metadata; DISTRIBUTED — `spark.read.parquet` over the manifest
+    files with a `left_anti` join kept-vs-expired, so driver memory stays
+    flat at any file count. AUTO switches on total entry count from the
+    manifest-list summaries (no manifest reads needed to decide)."""
+    from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, entry_count,
+                              reachable_data_paths_df, unique_manifests)
+
+    m = table.metadata
+    now = int(time.time() * 1000)
+    keep_ids, retained_refs = _retention_keep(m, now, older_than_ms, retain_last)
 
     expired = [s for s in m.snapshots if s.snapshot_id not in keep_ids]
-    if not expired:
+    dropped_refs = len(m.refs) - len(retained_refs)
+    if not expired and not dropped_refs:
         return {"expired_snapshots": 0, "deleted_files": 0,
-                "deleted_data_files": 0, "deleted_manifests": 0}
-
-    def reach(snaps):
-        mls, mans, datas = set(), set(), set()
-        for s in snaps:
-            mls.add(s.manifest_list)
-            for mf in read_manifest_list(s.manifest_list):
-                mans.add(mf.path)
-                spec = m.spec_by_id(mf.spec_id)
-                for e in read_manifest(mf.path, m.schema, spec):
-                    datas.add(e.file.file_path)
-        return mls, mans, datas
+                "deleted_data_files": 0, "deleted_manifests": 0,
+                "removed_refs": 0}
 
     kept_snaps = [s for s in m.snapshots if s.snapshot_id in keep_ids]
-    k_mls, k_mans, k_datas = reach(kept_snaps)
-    e_mls, e_mans, e_datas = reach(expired)
+    kept_mans = unique_manifests(kept_snaps)
+    expd_mans = unique_manifests(expired)
+    k_man_paths = {mf.path for mf in kept_mans}
+    e_only = [mf for mf in expd_mans if mf.path not in k_man_paths]
+    dead_mans = {mf.path for mf in e_only}
+    k_mls = {s.manifest_list for s in kept_snaps}
+    e_mls = {s.manifest_list for s in expired}
 
-    dead_datas = e_datas - k_datas
-    dead_mans = e_mans - k_mans
-    to_delete = (e_mls - k_mls) | dead_mans | dead_datas
+    use_spark = mode == "distributed" or (
+        mode == "auto"
+        and entry_count(kept_mans) + entry_count(e_only)
+        > DISTRIBUTED_ENTRY_THRESHOLD)
+
+    n_dead_data = 0
     deleted = 0
+
+    def _unlink(p):
+        nonlocal deleted
+        try:
+            os.unlink(p)
+            deleted += 1
+        except OSError:
+            pass
+
+    if e_only and use_spark:
+        e_df = reachable_data_paths_df(table.spark, e_only, m.location)
+        k_df = reachable_data_paths_df(table.spark, kept_mans, m.location)
+        dead_df = (e_df if k_df is None
+                   else e_df.join(k_df, "file_path", "left_anti"))
+        # stream the final delete list — never a full driver materialization
+        for r in dead_df.toLocalIterator():
+            n_dead_data += 1
+            if delete_files:
+                _unlink(r["file_path"])
+    elif e_only:
+        def data_of(mans):
+            out = set()
+            for mf in mans:
+                spec = m.spec_by_id(mf.spec_id)
+                for e in read_manifest(mf.path, m.schema, spec):
+                    out.add(e.file.file_path)
+            return out
+
+        dead_datas = data_of(e_only) - data_of(kept_mans)
+        n_dead_data = len(dead_datas)
+        if delete_files:
+            for p in dead_datas:
+                _unlink(p)
+
     if delete_files:
-        for p in to_delete:
-            try:
-                os.unlink(p)
-                deleted += 1
-            except OSError:
-                pass
+        for p in (e_mls - k_mls) | dead_mans:
+            _unlink(p)
 
     new_snapshots = tuple(s for s in m.snapshots if s.snapshot_id in keep_ids)
     new_log = tuple(e for e in m.snapshot_log if e[1] in keep_ids)
-    table._commit_metadata(replace(m, snapshots=new_snapshots, snapshot_log=new_log))
+    table._commit_metadata(replace(m, snapshots=new_snapshots,
+                                   snapshot_log=new_log, refs=retained_refs))
     return {"expired_snapshots": len(expired), "deleted_files": deleted,
             # reference procedure output names (ExpireSnapshotsProcedure.java)
-            "deleted_data_files": len(dead_datas),
-            "deleted_manifests": len(dead_mans)}
+            "deleted_data_files": n_dead_data,
+            "deleted_manifests": len(dead_mans),
+            "removed_refs": dropped_refs}
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +413,8 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
 # ---------------------------------------------------------------------------
 
 
-def delete_reachable_files(table, dry_run: bool = False) -> dict:
+def delete_reachable_files(table, dry_run: bool = False,
+                           mode: str = "auto") -> dict:
     """Full-reachability purge from the table's metadata
     (spark/v4.0/spark/.../actions/DeleteReachableFilesSparkAction.java):
     every data/delete file reachable from ANY snapshot, every manifest and
@@ -322,27 +422,67 @@ def delete_reachable_files(table, dry_run: bool = False) -> dict:
     by drop-table-with-purge. With dry_run the closure is listed but
     nothing is deleted.
 
+    The file-level closure is computed LOCAL (Python sets over cached
+    manifest reads) or DISTRIBUTED (one `spark.read.parquet` over all
+    manifests, distinct paths streamed back) — AUTO picks by total entry
+    count from the manifest-list summaries, so a 100 TB purge plan never
+    materializes file rows on the driver.
+
     Returns reference-named counts plus `paths` (the closure) on dry runs.
     """
+    from pyspark.sql import functions as _F
+
     from .manifests import EQUALITY_DELETES
+    from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, core_entries_df,
+                              entry_count, unique_manifests)
 
     m = table.metadata
-    data, pos_d, eq_d, mans, mls = set(), set(), set(), set(), set()
-    for s in m.snapshots:
-        mls.add(s.manifest_list)
-        for mf in read_manifest_list(s.manifest_list):
-            if mf.path in mans:
-                continue
-            mans.add(mf.path)
+    manifests = unique_manifests(m.snapshots)
+    mans = {mf.path for mf in manifests}
+    mls = {s.manifest_list for s in m.snapshots}
+
+    use_spark = mode == "distributed" or (
+        mode == "auto" and entry_count(manifests) > DISTRIBUTED_ENTRY_THRESHOLD)
+
+    n_by_content = {DATA: 0, POSITION_DELETES: 0, EQUALITY_DELETES: 0}
+    deleted = 0
+
+    def _unlink(p):
+        nonlocal deleted
+        try:
+            os.unlink(p)
+            deleted += 1
+        except OSError:
+            pass
+
+    dry_paths = []
+    if manifests and use_spark:
+        df = core_entries_df(table.spark, manifests, m.location)
+        dfu = (df.groupBy("file_path")
+                 .agg(_F.first("content").alias("content")))
+        # counts cluster-side; the path stream is the final delete list
+        for r in dfu.groupBy("content").agg(_F.count(_F.lit(1)).alias("n")) \
+                    .collect():
+            n_by_content[r["content"]] = r["n"]
+        for r in dfu.toLocalIterator():
+            if dry_run:
+                dry_paths.append(r["file_path"])
+            else:
+                _unlink(r["file_path"])
+    elif manifests:
+        by_content = {DATA: set(), POSITION_DELETES: set(),
+                      EQUALITY_DELETES: set()}
+        for mf in manifests:
             spec = m.spec_by_id(mf.spec_id)
             for e in read_manifest(mf.path, m.schema, spec):
-                f = e.file
-                if f.content == POSITION_DELETES:
-                    pos_d.add(f.file_path)
-                elif f.content == EQUALITY_DELETES:
-                    eq_d.add(f.file_path)
+                by_content[e.file.content].add(e.file.file_path)
+        for c, paths in by_content.items():
+            n_by_content[c] = len(paths)
+            for p in paths:
+                if dry_run:
+                    dry_paths.append(p)
                 else:
-                    data.add(f.file_path)
+                    _unlink(p)
 
     stats_files = set()
     for st in m.statistics_files + m.partition_statistics_files:
@@ -357,19 +497,16 @@ def delete_reachable_files(table, dry_run: bool = False) -> dict:
             for fn in fns:
                 meta_files.add(os.path.join(root, fn))
 
-    closure = data | pos_d | eq_d | mans | mls | stats_files | meta_files
-    deleted = 0
-    if not dry_run:
-        for p in closure:
-            try:
-                os.unlink(p)
-                deleted += 1
-            except OSError:
-                pass
+    rest = mans | mls | stats_files | meta_files
+    if dry_run:
+        dry_paths.extend(rest)
+    else:
+        for p in rest:
+            _unlink(p)
     out = {
-        "deleted_data_files_count": len(data),
-        "deleted_position_delete_files_count": len(pos_d),
-        "deleted_equality_delete_files_count": len(eq_d),
+        "deleted_data_files_count": n_by_content[DATA],
+        "deleted_position_delete_files_count": n_by_content[POSITION_DELETES],
+        "deleted_equality_delete_files_count": n_by_content[EQUALITY_DELETES],
         "deleted_manifests_count": len(mans),
         "deleted_manifest_lists_count": len(mls),
         "deleted_statistics_files_count": len(stats_files),
@@ -377,7 +514,7 @@ def delete_reachable_files(table, dry_run: bool = False) -> dict:
         "deleted_files_total": deleted if not dry_run else 0,
     }
     if dry_run:
-        out["paths"] = sorted(closure)
+        out["paths"] = sorted(set(dry_paths))
     return out
 
 
@@ -386,25 +523,50 @@ def delete_reachable_files(table, dry_run: bool = False) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False) -> list:
+def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
+                        mode: str = "auto") -> list:
     """actual-files anti-join valid-files with URI normalization
-    (DeleteOrphanFilesSparkAction.java:257-358)."""
+    (DeleteOrphanFilesSparkAction.java:257-358).
+
+    LOCAL mode walks the data dir and checks a Python valid-set;
+    DISTRIBUTED mode parallelizes the recursive listing across executors
+    (listDirRecursively analog) and anti-joins it against the valid-file
+    DataFrame read from the manifest Parquet — the only rows reaching the
+    driver are the orphans themselves (the delete list)."""
+    from pyspark.sql import functions as _F
+
+    from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, entry_count,
+                              listing_df, reachable_data_paths_df,
+                              unique_manifests)
+
     m = table.metadata
     now = time.time()
     cutoff_s = (older_than_ms / 1000.0) if older_than_ms is not None else now - 3 * 86400
+    manifests = unique_manifests(m.snapshots)
+    base = os.path.join(table.location, "data")
 
-    valid = set()
-    for s in m.snapshots:
-        valid.add(os.path.normpath(s.manifest_list))
-        for mf in read_manifest_list(s.manifest_list):
+    use_spark = mode == "distributed" or (
+        mode == "auto" and entry_count(manifests) > DISTRIBUTED_ENTRY_THRESHOLD)
+
+    if use_spark:
+        actual = listing_df(table.spark, base).filter(
+            _F.col("mtime") < _F.lit(cutoff_s))
+        valid = reachable_data_paths_df(table.spark, manifests, m.location)
+        orphan_df = actual.select("actual_path")
+        if valid is not None:
+            orphan_df = orphan_df.join(
+                valid, orphan_df.actual_path == valid.file_path, "left_anti")
+        orphans = sorted(r["actual_path"] for r in orphan_df.collect())
+    else:
+        valid = set()
+        for s in m.snapshots:
+            valid.add(os.path.normpath(s.manifest_list))
+        for mf in manifests:
             valid.add(os.path.normpath(mf.path))
             spec = m.spec_by_id(mf.spec_id)
             for e in read_manifest(mf.path, m.schema, spec):
                 valid.add(os.path.normpath(e.file.file_path))
-
-    orphans = []
-    for sub in ("data",):
-        base = os.path.join(table.location, sub)
+        orphans = []
         for root, _dirs, files in os.walk(base):
             for fn in files:
                 p = os.path.normpath(os.path.join(root, fn))

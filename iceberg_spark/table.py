@@ -219,10 +219,11 @@ class Table:
         return ManageSnapshots(self)
 
     def expire_snapshots(self, older_than_ms: Optional[int] = None, retain_last: int = 1,
-                         delete_files: bool = True) -> dict:
+                         delete_files: bool = True, mode: str = "auto") -> dict:
         from .maintenance import expire_snapshots
 
-        return expire_snapshots(self, older_than_ms, retain_last, delete_files)
+        return expire_snapshots(self, older_than_ms, retain_last, delete_files,
+                                mode=mode)
 
     # -- maintenance --------------------------------------------------------
     def rewrite_data_files(self, strategy: str = "binpack", **kw) -> dict:
@@ -236,10 +237,10 @@ class Table:
         return rewrite_manifests(self)
 
     def remove_orphan_files(self, older_than_ms: Optional[int] = None,
-                            dry_run: bool = False) -> list:
+                            dry_run: bool = False, mode: str = "auto") -> list:
         from .maintenance import remove_orphan_files
 
-        return remove_orphan_files(self, older_than_ms, dry_run)
+        return remove_orphan_files(self, older_than_ms, dry_run, mode=mode)
 
     def compute_table_stats(self, columns: Optional[list] = None) -> dict:
         from .maintenance import compute_table_stats
@@ -474,6 +475,27 @@ class ManageSnapshots:
         refs.pop(name, None)
         self.t._commit_metadata(replace(m, refs=refs))
         return self
+
+    def _update_ref(self, name: str, **changes) -> "ManageSnapshots":
+        m = self.t.metadata
+        r = m.refs.get(name)
+        if r is None:
+            raise ValueError(f"no such ref: {name}")
+        refs = dict(m.refs)
+        refs[name] = replace(r, **changes)
+        self.t._commit_metadata(replace(m, refs=refs))
+        return self
+
+    # per-ref retention (api/.../ManageSnapshots.java:setMinSnapshotsToKeep
+    # etc.; consumed by maintenance.expire_snapshots, spec:1097-1130)
+    def set_min_snapshots_to_keep(self, branch: str, n: int) -> "ManageSnapshots":
+        return self._update_ref(branch, min_snapshots_to_keep=n)
+
+    def set_max_snapshot_age_ms(self, branch: str, ms: int) -> "ManageSnapshots":
+        return self._update_ref(branch, max_snapshot_age_ms=ms)
+
+    def set_max_ref_age_ms(self, ref: str, ms: int) -> "ManageSnapshots":
+        return self._update_ref(ref, max_ref_age_ms=ms)
 
     def rollback_to(self, snapshot_id: int) -> "ManageSnapshots":
         m = self.t.metadata
