@@ -91,13 +91,206 @@ def incremental_append_df(table, from_snapshot_id: Optional[int],
     return plan_to_df(scan, sub, with_metadata_columns=False)
 
 
+class _Changes:
+    """Per-ordinal change sets for a snapshot range: the output of the
+    LOCAL (per-snapshot set diffs) or DISTRIBUTED (one Spark job over the
+    range's manifest Parquet) changelog planner."""
+
+    def __init__(self):
+        self.added: dict = {}       # ordinal -> [ManifestEntry] (data)
+        self.removed: dict = {}     # ordinal -> [ManifestEntry] (data)
+        self.new_deletes: dict = {}  # ordinal -> [ManifestEntry] (deletes)
+        self.deletes_at: dict = {}  # ordinal -> [ManifestEntry] (all live)
+        self.surviving: dict = {}   # ordinal -> [ManifestEntry] (data, only
+        #                             for ordinals with new delete files)
+
+
+def _plan_changes_local(table, chain, prev_snap) -> _Changes:
+    """Driver-side planner: per-snapshot live-set diffs over the (cached)
+    manifest reads — fastest for small metadata."""
+    ch = _Changes()
+    prev_live = _live_entries(table, prev_snap) if prev_snap else {}
+    prev_dels = _pos_delete_entries(table, prev_snap) if prev_snap else {}
+    ch.deletes_at[-1] = list(prev_dels.values())
+    for o, snap in enumerate(chain):
+        cur_live = _live_entries(table, snap)
+        cur_dels = _pos_delete_entries(table, snap)
+        ch.deletes_at[o] = list(cur_dels.values())
+        if snap.operation != "replace":
+            ch.added[o] = [cur_live[p] for p in cur_live.keys() - prev_live.keys()]
+            ch.removed[o] = [prev_live[p] for p in prev_live.keys() - cur_live.keys()]
+            nd = [cur_dels[p] for p in cur_dels.keys() - prev_dels.keys()]
+            ch.new_deletes[o] = nd
+            if nd:
+                ch.surviving[o] = [e for e in prev_live.values()
+                                   if e.file.file_path in cur_live]
+        prev_live, prev_dels = cur_live, cur_dels
+    return ch
+
+
+def _full_data_entries(table, data_mans, paths_df) -> list:
+    """Full ManifestEntry rows (partition + stats) for the data files named
+    by `paths_df` (resolved paths), via per-spec Spark reads of the data
+    manifests — never a per-manifest driver loop."""
+    from .manifests import DELETED as _DEL, entry_from_spark_row
+    from .metadata_df import resolve_path_col
+
+    m = table.metadata
+    by_spec: dict = {}
+    for mf in data_mans:
+        by_spec.setdefault(mf.spec_id, []).append(mf.path)
+    by_path: dict = {}
+    for spec_id, paths in by_spec.items():
+        spec = m.spec_by_id(spec_id)
+        df = (table.spark.read.option("mergeSchema", "true").parquet(*paths)
+              .filter((F.col("status") != _DEL) & (F.col("content") == DATA))
+              .withColumn("__rp", resolve_path_col(F.col("file_path"),
+                                                   m.location))
+              .join(paths_df.withColumnRenamed("file_path", "__rp"), "__rp",
+                    "left_semi"))
+        for r in df.collect():
+            rd = r.asDict()
+            rp = rd.pop("__rp")
+            if rp not in by_path:  # EXISTING copies across manifests tie
+                by_path[rp] = entry_from_spark_row(rd, m.schema, spec,
+                                                   m.location)
+    return list(by_path.values())
+
+
+def _plan_changes_spark(table, chain, prev_snap) -> _Changes:
+    """Distributed planner (BaseIncrementalChangelogScan analog): ONE
+    membership join + groupBy over the range's data-manifest Parquet
+    computes every per-snapshot add/remove transition; the driver receives
+    only changed files and per-ordinal delete-file lists. Driver time is
+    O(changed files), not O(files x snapshots)."""
+    from .manifests import DELETED as _DEL, entry_from_spark_row
+    from .metadata_df import core_entries_df, manifest_path_col
+
+    m = table.metadata
+    spark = table.spark
+    ch = _Changes()
+    snaps = ([(-1, prev_snap)] if prev_snap else []) + list(enumerate(chain))
+    max_ord = len(chain) - 1
+    replace_ords = {o for o, s in snaps if o >= 0 and s.operation == "replace"}
+
+    mani: dict = {}
+    memb = []  # (ordinal, data-manifest path)
+    del_mans_at: dict = {}
+    for o, s in snaps:
+        for mf in read_manifest_list(s.manifest_list):
+            mani.setdefault(mf.path, mf)
+            if mf.content == 0:
+                memb.append((o, mf.path))
+            else:
+                del_mans_at.setdefault(o, []).append(mf)
+    data_mans = [mf for mf in mani.values() if mf.content == 0]
+    del_mans = [mf for mf in mani.values() if mf.content == 1]
+
+    # -- delete files: full rows grouped by manifest (delete manifests are
+    # the small tier; per-ordinal lists stay driver-sized) ------------------
+    del_by_manifest: dict = {}
+    by_spec: dict = {}
+    for mf in del_mans:
+        by_spec.setdefault(mf.spec_id, []).append(mf.path)
+    for spec_id, paths in by_spec.items():
+        spec = m.spec_by_id(spec_id)
+        df = (spark.read.option("mergeSchema", "true").parquet(*paths)
+              .filter(F.col("status") != _DEL)
+              .withColumn("__mp", manifest_path_col()))
+        for r in df.collect():
+            rd = r.asDict()
+            mp = rd.pop("__mp")
+            del_by_manifest.setdefault(mp, []).append(
+                entry_from_spark_row(rd, m.schema, spec, m.location))
+    for o, _s in snaps:
+        es: dict = {}
+        for mf in del_mans_at.get(o, []):
+            for e in del_by_manifest.get(mf.path, []):
+                es[e.file.file_path] = e
+        ch.deletes_at[o] = list(es.values())
+    for o, _s in snaps:
+        if o < 0 or o in replace_ords:
+            continue
+        prev_paths = {e.file.file_path for e in ch.deletes_at.get(o - 1, [])}
+        ch.new_deletes[o] = [e for e in ch.deletes_at.get(o, [])
+                             if e.file.file_path not in prev_paths]
+
+    if not data_mans:
+        return ch
+
+    # -- data files: live (file, ordinal) pairs -> per-file ordinal runs ----
+    core = core_entries_df(spark, data_mans, m.location,
+                           with_manifest_path=True)
+    memb_df = spark.createDataFrame(memb, "ordinal int, manifest_path string")
+    live = (core.filter((F.col("status") != _DEL) & (F.col("content") == DATA))
+            .join(F.broadcast(memb_df), "manifest_path")
+            .select("file_path", "ordinal"))
+    g = (live.groupBy("file_path")
+         .agg(F.sort_array(F.collect_set("ordinal")).alias("ords"))).cache()
+    try:
+        # run starts (not live-at-base) are ADD events; each run end before
+        # the range head implies a REMOVE at the next ordinal
+        adds = F.expr(
+            "filter(ords, (x, i) -> x > -1 AND "
+            "(i = 0 OR element_at(ords, i) != x - 1))")
+        rems = F.expr(
+            f"transform(filter(ords, (x, i) -> x < {max_ord} AND "
+            "(i = size(ords) - 1 OR element_at(ords, i + 2) != x + 1)), "
+            "x -> x + 1)")
+        ev = (g.select("file_path", adds.alias("a"), rems.alias("r"))
+              .filter((F.size("a") > 0) | (F.size("r") > 0)))
+        ev = ev.select(
+            "file_path",
+            F.explode(F.concat(
+                F.transform("a", lambda x: F.struct(
+                    x.alias("o"), F.lit("A").alias("k"))),
+                F.transform("r", lambda x: F.struct(
+                    x.alias("o"), F.lit("R").alias("k"))))).alias("e"))
+        ev = ev.select("file_path", F.col("e.o").alias("ordinal"),
+                       F.col("e.k").alias("kind"))
+        if replace_ords:
+            ev = ev.filter(~F.col("ordinal").isin(list(replace_ords)))
+        ev_rows = ev.collect()  # changed files only — the CDC work set
+
+        if ev_rows:
+            paths_df = spark.createDataFrame(
+                [(r["file_path"],) for r in ev_rows],
+                "file_path string").distinct()
+            full = {e.file.file_path: e
+                    for e in _full_data_entries(table, data_mans, paths_df)}
+            for r in ev_rows:
+                e = full.get(r["file_path"])
+                if e is None:
+                    continue
+                bucket = ch.added if r["kind"] == "A" else ch.removed
+                bucket.setdefault(r["ordinal"], []).append(e)
+
+        # surviving sets only where new delete files landed (plan-sized)
+        for o, nd in ch.new_deletes.items():
+            if not nd:
+                continue
+            sv = (g.filter(F.array_contains("ords", o)
+                           & F.array_contains("ords", o - 1))
+                  .select("file_path"))
+            ch.surviving[o] = _full_data_entries(table, data_mans, sv)
+    finally:
+        g.unpersist()
+    return ch
+
+
 def changelog_df(table, from_snapshot_id: Optional[int] = None,
                  to_snapshot_id: Optional[int] = None,
                  compute_updates: bool = False, remove_carryovers: bool = True,
                  net_changes: bool = False,
-                 identifier_columns: Optional[list] = None) -> DataFrame:
+                 identifier_columns: Optional[list] = None,
+                 mode: str = "auto") -> DataFrame:
     """CDC rows for the snapshot range, tagged with _change_type /
-    _change_ordinal / _commit_snapshot_id."""
+    _change_ordinal / _commit_snapshot_id.
+
+    Planning mode mirrors scan planning: LOCAL diffs live sets per snapshot
+    on the driver; DISTRIBUTED computes all transitions in one Spark job
+    over the range's manifest Parquet (driver cost O(changed files) — the
+    100 TB path). AUTO switches on entries x range-length."""
     m = table.metadata
     chain = _snapshot_range(table, from_snapshot_id, to_snapshot_id)
     cols = table.schema.column_names
@@ -112,24 +305,31 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
         except KeyError:
             prev_snap = None
 
-    prev_live = _live_entries(table, prev_snap) if prev_snap else {}
-    prev_deletes = _pos_delete_entries(table, prev_snap) if prev_snap else {}
+    if chain:
+        from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, entry_count,
+                                  unique_manifests)
+
+        all_snaps = ([prev_snap] if prev_snap else []) + chain
+        total = entry_count(unique_manifests(all_snaps)) * len(chain)
+        use_spark = mode == "distributed" or (
+            mode == "auto" and total > DISTRIBUTED_ENTRY_THRESHOLD)
+        changes = (_plan_changes_spark(table, chain, prev_snap) if use_spark
+                   else _plan_changes_local(table, chain, prev_snap))
 
     for ordinal, snap in enumerate(chain):
-        cur_live = _live_entries(table, snap)
-        cur_deletes = _pos_delete_entries(table, snap)
         if snap.operation == "replace":
-            prev_live, prev_deletes = cur_live, cur_deletes
+            prev_snap = snap
             continue
 
-        added = [cur_live[p] for p in cur_live.keys() - prev_live.keys()]
-        removed = [prev_live[p] for p in prev_live.keys() - cur_live.keys()]
-        new_dels = [cur_deletes[p] for p in cur_deletes.keys() - prev_deletes.keys()]
+        added = changes.added.get(ordinal, [])
+        removed = changes.removed.get(ordinal, [])
+        new_dels = changes.new_deletes.get(ordinal, [])
+        cur_deletes = changes.deletes_at.get(ordinal, [])
+        prev_deletes = changes.deletes_at.get(ordinal - 1, [])
 
         def _split(dels):
-            vals = list(dels.values())
-            return ([d for d in vals if d.file.content == POSITION_DELETES],
-                    [d for d in vals if d.file.content == EQUALITY_DELETES])
+            return ([d for d in dels if d.file.content == POSITION_DELETES],
+                    [d for d in dels if d.file.content == EQUALITY_DELETES])
 
         scan = TableScan(table, snapshot=snap)
         if added:
@@ -148,8 +348,7 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
             pieces.append(_tag(df, cols, DELETE, ordinal, snap.snapshot_id))
         if new_dels:
             # delete-file hits on files that survived: those rows died here
-            surviving = [e for e in prev_live.values()
-                         if e.file.file_path in cur_live]
+            surviving = changes.surviving.get(ordinal, [])
             pos_new = [d for d in new_dels if d.file.content == POSITION_DELETES]
             eq_new = [d for d in new_dels if d.file.content == EQUALITY_DELETES]
             pos_p, eq_p = _split(prev_deletes)
@@ -196,7 +395,6 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
                     hit = base.join(dd, cond, "left_semi").select(*cols)
                     pieces.append(_tag(hit, cols, DELETE, ordinal, snap.snapshot_id))
 
-        prev_live, prev_deletes = cur_live, cur_deletes
         prev_snap = snap
 
     if not pieces:

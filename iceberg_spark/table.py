@@ -266,14 +266,16 @@ class Table:
     def changes(self, from_snapshot_id: Optional[int] = None,
                 to_snapshot_id: Optional[int] = None, compute_updates: bool = False,
                 remove_carryovers: bool = True, net_changes: bool = False,
-                identifier_columns: Optional[list] = None) -> DataFrame:
+                identifier_columns: Optional[list] = None,
+                mode: str = "auto") -> DataFrame:
         from .changelog import changelog_df
 
         return changelog_df(self, from_snapshot_id, to_snapshot_id,
                             compute_updates=compute_updates,
                             remove_carryovers=remove_carryovers,
                             net_changes=net_changes,
-                            identifier_columns=identifier_columns)
+                            identifier_columns=identifier_columns,
+                            mode=mode)
 
     # -- transaction --------------------------------------------------------
     def transaction(self) -> "Transaction":
