@@ -412,7 +412,14 @@ class TableMetadata:
             "snapshots": snaps,
             "refs": {k: v.to_json() for k, v in self.refs.items()},
             "snapshot-log": [list(e) for e in self.snapshot_log],
-            "metadata-log": [list(e) for e in self.metadata_log],
+            # metadata-log file paths relativize like every other tracked
+            # location field (spec v4: writers should relativize paths under
+            # the table location) — else a relocated table's log points at
+            # dead pre-move paths
+            "metadata-log": [
+                [e[0], to_relative(e[1], self.location)
+                 if self.relative_paths else e[1]]
+                for e in self.metadata_log],
             "statistics": self._stats_json(self.statistics_files,
                                            "statistics-path"),
             "partition-statistics": self._stats_json(
@@ -457,7 +464,8 @@ class TableMetadata:
             snapshots=tuple(snaps),
             refs={k: SnapshotRef.from_json(v) for k, v in j.get("refs", {}).items()},
             snapshot_log=tuple(tuple(e) for e in j.get("snapshot-log", [])),
-            metadata_log=tuple(tuple(e) for e in j.get("metadata-log", [])),
+            metadata_log=tuple((e[0], resolve_path(e[1], loc))
+                               for e in j.get("metadata-log", [])),
             statistics_files=_stats_load(j.get("statistics", []),
                                          "statistics-path"),
             partition_statistics_files=_stats_load(

@@ -45,11 +45,29 @@ _DF_CACHE: dict = {}
 
 
 def _cached_df(tag, sf_dir, build):
-    df = build()
     # key by application id too: a cached DataFrame from a stopped
     # SparkSession would raise on any action in a new session
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    app_id = (active.sparkContext.applicationId
+              if active is not None else None)
+    if app_id is not None:
+        hit = _DF_CACHE.get((app_id, tag, sf_dir))
+        if hit is not None:
+            return hit  # short-circuit: don't rebuild the plan on a hit
+    df = build()
     key = (df.sparkSession.sparkContext.applicationId, tag, sf_dir)
     if key not in _DF_CACHE:
+        # evict entries from other (stopped) sessions so cache blocks and
+        # dict entries don't accumulate for the process lifetime
+        for k in [k for k in _DF_CACHE if k[0] != key[0]]:
+            stale = _DF_CACHE.pop(k, None)
+            try:
+                if stale is not None:
+                    stale.unpersist()
+            except Exception:
+                pass
         _DF_CACHE[key] = df.cache()
     return _DF_CACHE[key]
 MINHASH_K = 128

@@ -35,6 +35,23 @@ _EPOCH_DATE = _dt.date(1970, 1, 1)
 _LONG_LAYOUT = {"int", "long", "date", "time", "timestamp", "timestamp_ntz"}
 
 
+def _micros_col(col, src):
+    """Exact epoch-micros Column. TIMESTAMP is an instant — unix_micros is
+    timezone-free. TIMESTAMP_NTZ must NOT route through a timestamp cast
+    (that re-interprets wall time in spark.sql.session.timeZone, so a
+    library caller with a non-UTC session would get partition values that
+    disagree with the Python-side transform eval); instead micros come
+    from wall-clock fields, which are timezone-independent on NTZ."""
+    if src == "timestamp_ntz":
+        days = F.datediff(col.cast("date"), F.lit("1970-01-01")).cast("long")
+        secs = (F.hour(col) * F.lit(3600) + F.minute(col) * F.lit(60)
+                + F.second(col)).cast("long")
+        frac = F.date_format(col, "SSSSSS").cast("long")
+        return days * F.lit(86_400_000_000) + secs * F.lit(1_000_000) + frac
+    # exact integer micros (double epoch-seconds truncates at us precision)
+    return F.unix_micros(col.cast("timestamp"))
+
+
 def _to_micros(v: Any) -> int:
     """Python datetime/date -> microseconds since epoch (naive, UTC session)."""
     if isinstance(v, _dt.datetime):
@@ -148,10 +165,7 @@ class Bucket(Transform):
         if src in _LONG_LAYOUT:
             # numpy-vectorized murmur3 over the 8-byte long layout
             if src in ("timestamp", "timestamp_ntz"):
-                # unix_micros is exact (double epoch-seconds is not at us
-                # precision); NTZ routes through a UTC-session timestamp cast
-                # (Spark 4 forbids direct NTZ->numeric).
-                col = F.unix_micros(col.cast("timestamp"))
+                col = _micros_col(col, src)
             elif src == "date":
                 col = F.datediff(col, F.lit("1970-01-01")).cast("long")
             else:
@@ -309,8 +323,7 @@ class TimeTransform(Transform):
             return F.to_date(col)
         if g == "hour":
             return F.floor(
-                F.unix_micros(col.cast("timestamp")) / F.lit(3_600_000_000)
-            ).cast("int")
+                _micros_col(col, src) / F.lit(3_600_000_000)).cast("int")
         raise ValueError(g)
 
 

@@ -58,7 +58,7 @@ from .metadata import (
 from .schema import Schema, type_to_spark
 
 MANIFEST_MERGE_MIN = 32  # merge small manifests when count exceeds this
-COMMIT_RETRIES = 5
+COMMIT_RETRIES = 4  # TableProperties.COMMIT_NUM_RETRIES_DEFAULT (1+4 attempts)
 
 
 class ValidationException(Exception):
@@ -369,7 +369,9 @@ class SnapshotProducer:
                     wait = min(min_wait * (2 ** attempt), max_wait)
                     time.sleep(wait / 1000.0 * random.uniform(0.5, 1.0))
                 continue
-        raise CommitFailedException(f"commit failed after {retries} retries: {last_err}")
+        raise CommitFailedException(
+            f"commit failed after {1 + retries} attempts "
+            f"({retries} retries): {last_err}")
 
     # -- helpers ------------------------------------------------------------
     # attributes that may hold this producer's pending *added* data files
