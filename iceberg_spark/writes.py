@@ -191,10 +191,21 @@ def write_data_files(
             pcols.append(pf.transform.spark_col(F.col(src.name), src.type).alias(f"_p_{pf.name}"))
         df2 = df.select("*", *pcols)
         pby = [f"_p_{n}" for n in pnames]
+        # explicit shuffle width: a column-only repartition lets AQE
+        # coalesce the exchange to ONE task on a small batch, and that task
+        # then writes every dynamic partition directory serially (observed:
+        # 2294 day-dirs, 30s). Pinning N keeps the fanout parallel while
+        # hash routing still yields one file per partition value.
+        try:
+            nparts = int(table.spark.conf.get("spark.sql.shuffle.partitions",
+                                              "200"))
+        except (TypeError, ValueError):
+            nparts = 200
+        nparts = max(nparts, 1)
         if dist == "hash":
-            df2 = df2.repartition(*[F.col(c) for c in pby])
+            df2 = df2.repartition(nparts, *[F.col(c) for c in pby])
         elif dist == "range":
-            df2 = df2.repartitionByRange(*[F.col(c) for c in pby])
+            df2 = df2.repartitionByRange(nparts, *[F.col(c) for c in pby])
         df2 = _apply_sort_order(df2, metadata)
         w = df2.write.mode("append")
         for k, v in writer_opts.items():

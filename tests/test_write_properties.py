@@ -48,3 +48,29 @@ def test_bloom_filter_property(catalog, spark):
     with_bloom = os.path.getsize(_files(t)[0])
     without = os.path.getsize(_files(t2)[0])
     assert with_bloom > without + 1000, (with_bloom, without)
+
+
+def test_fanout_write_one_file_per_partition(catalog, spark):
+    """A dynamic-partition append produces exactly one file per partition
+    value (hash routing co-locates each value in one task) and the fanout
+    stage runs wide — a column-only repartition would let AQE collapse it
+    to one serial task (writes.write_data_files pinned-N regression)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ])
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(days=i % 40))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, schema)
+    t = catalog.create_table("db.fanout", df.schema, partition_by=["day(ts)"])
+    t.append(df)
+    files = _files(t)
+    assert len(files) == 40, f"expected one file per day, got {len(files)}"
+    parts = {e.file.partition["ts_day"]
+             for e in t.scan().plan_files().files}
+    assert len(parts) == 40
