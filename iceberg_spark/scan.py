@@ -833,6 +833,25 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             df = df.filter(~deleted)
         # map file columns -> current names by field id; fill missing with null
         by_id = {f.field_id: f for f in wschema.fields}
+        # fast path: no evolution/rename/promotion/variant in play and no
+        # metadata/lineage columns requested -> project by plain column
+        # names (one py4j call) instead of building per-column expression
+        # trees (~40 py4j round-trips per scan on a 16-column table; the
+        # dominant cost of driver-side DataFrame construction per profile)
+        if not need_meta and not with_lineage:
+            simple = True
+            for cname in read_cols:
+                cur = schema.find_field(cname)
+                wf = by_id.get(cur.field_id)
+                if (wf is None or wf.name != cname or wf.type != cur.type
+                        or cur.type == "variant"):
+                    simple = False
+                    break
+            if simple:
+                if read_cols != [f.name for f in wschema.fields]:
+                    df = df.select(*read_cols)
+                parts.append((entries, df))
+                continue
         sel = []
         for cname in read_cols:
             cur = schema.find_field(cname)

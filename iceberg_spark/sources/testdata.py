@@ -31,6 +31,10 @@ def session(app: str = "iceberg_spark", cpus: int = 0) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # per-call stack inspection in pyspark's error decorators costs ~10%
+        # of driver-side plan-building time; provenance of failures is the
+        # engine's job, not the harness's
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -1151,8 +1151,82 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def timestamp_ns_scan(spark, sf_dir):
+    """v3 timestamp_ns fidelity (reference api/.../types/Types.java:300;
+    spec format/spec.md:261). Spark caps timestamps at micros, so the
+    engine stores ns as int64 nanos (SURVEY §1.3 cap). Prove the long path
+    is exact end-to-end: ingest events.ts as raw nanos (nanosAsLong read),
+    append through the engine as three ts-ranged files, scan with a
+    nanosecond-precision filter (deliberately NOT µs-aligned: ...001) that
+    prunes on per-file ns min/max stats, and aggregate exact ns values."""
+    key = ("tsns", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from dataclasses import replace as _dc_replace
+
+        from .schema import Schema
+
+        from .transforms import _micros_col
+
+        # testdata ts is µs parquet (NTZ); synthesize deterministic sub-µs
+        # digits (event_id % 1000) so the round-trip carries bits a µs-typed
+        # path would destroy — the oracle builds the same int64 nanos
+        raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        ts_src = dict(raw.dtypes)["ts"]
+        micros = _micros_col(
+            F.col("ts"), "timestamp_ntz" if ts_src == "timestamp_ntz"
+            else "timestamp")
+        raw = (raw.select("event_id",
+                          (micros * F.lit(1000)
+                           + F.col("event_id") % F.lit(1000)).alias("ts"),
+                          "event_type")
+               .coalesce(1))
+        base = Schema.from_spark(raw.schema)
+        schema = Schema(tuple(
+            _dc_replace(f, type="timestamp_ns") if f.name == "ts" else f
+            for f in base.fields))
+        cat = _warehouse(spark)
+        ident = f"tsns_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        t = cat.create_table(ident, schema)
+        c1, c2 = 1_705_000_000_000_000_000, 1_706_000_000_000_000_000
+        t.append(raw.filter(F.col("ts") < c1))
+        t.append(raw.filter((F.col("ts") >= c1) & (F.col("ts") < c2)))
+        t.append(raw.filter(F.col("ts") >= c2))
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    cut = 1_706_000_000_000_000_001  # ns literal, not µs-aligned
+    scan = t.scan(filter=col("ts") >= cut)
+    plan = scan.plan_files()
+    # ns min/max stats must prune the two earlier files (when they exist)
+    assert len(plan.files) <= 1, [e.file.file_path for e in plan.files]
+    return (scan.df().groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("ts").alias("min_ns"),
+                 F.max("ts").alias("max_ns"),
+                 F.sum(F.col("ts") % F.lit(1_000_000)).alias("submilli_sum"))
+            .orderBy("event_type"))
+
+
+TIMESTAMP_NS_SQL = """
+WITH ns AS (
+  SELECT event_id, epoch_us(ts) * 1000 + event_id % 1000 AS ts_ns, event_type
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       MIN(ts_ns) AS min_ns,
+       MAX(ts_ns) AS max_ns,
+       CAST(SUM(ts_ns % 1000000) AS BIGINT) AS submilli_sum
+FROM ns
+WHERE ts_ns >= 1706000000000000001
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
+    "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
     "auto_compaction_scan": (auto_compaction_scan, AUTO_COMPACTION_SQL),
     "relocated_table_scan": (relocated_table_scan, RELOCATED_SQL),
     "runtime_filter_scan": (runtime_filter_scan, RUNTIME_FILTER_SQL),
