@@ -1,0 +1,268 @@
+"""Corpus-curation operators: the steps a training-data pipeline runs
+AFTER candidate generation — resolving near-dup pairs into clusters,
+removing benchmark contamination, packing documents into fixed token
+budgets, and deterministic domain mixing.
+
+Scale notes (the 100 TB shapes):
+
+* cluster resolve  — iterative min-label propagation over the near-dup
+                     edge list (the DataFrame formulation of connected
+                     components; one shuffle join per round, rounds =
+                     cluster diameter, which for dedup graphs is tiny).
+                     Labels are cached per round and unpersisted after;
+                     the only driver values are per-round change counts.
+* decontamination  — the benchmark side is ~1% of the corpus by
+                     construction, so its shingle-hash set broadcasts and
+                     the flagging join is shuffle-free on the train side.
+* sequence packing — running token totals are computed per pack-shard
+                     (hash of doc_id), never globally: a single global
+                     ordering would serialize 100 TB through one window
+                     partition. Shards are independent -> embarrassingly
+                     parallel, and each training sequence is built from
+                     one shard's contiguous run.
+* domain mixing    — Bernoulli-by-arithmetic-hash gate (Knuth
+                     multiplicative). A pure rowwise filter: no shuffle,
+                     no sampling state, reproducible across engines and
+                     retries — the property that matters when a sampled
+                     corpus must be re-derivable bit-for-bit.
+
+Every operator has a value-identical DuckDB oracle (connected components
+via a recursive CTE).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .common import (
+    CORPUS_SQL,
+    dedup_corpus,
+    engine_docs,
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+from .dedup import NGRAM_JACCARD_SQL, _cached_df, dedup_ngram_jaccard
+
+MAX_CC_ROUNDS = 20          # backstop; dedup graphs converge in 2-4
+DECON_SHINGLE_N = 5         # word 5-grams, the usual decontamination unit
+PACK_BUDGET = 256           # tokens per training sequence
+PACK_SHARDS = 8
+MIX_PERMILLE = {"en": 400}  # downsample dominant language; default 900
+MIX_DEFAULT_PERMILLE = 900
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution (connected components over pair edges)
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_resolve(spark, sf_dir):
+    """Resolve pairwise near-dup candidates into clusters and pick the
+    canonical doc (min doc_id) per cluster.
+
+    Pair generators (Jaccard/MinHash/SimHash) emit edges; keep-one-drop-
+    rest needs the transitive closure. Min-label propagation over the
+    symmetrized edge list: every round each node takes the min label among
+    itself and its neighbors; converges in diameter rounds. This is the
+    standard DataFrame connected-components shape (cf. the large-star/
+    small-star formulation of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — per round one shuffle join, driver
+    sees only a change count."""
+    edges = _cached_df(
+        "cc_edges", sf_dir,
+        lambda: dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
+    sym = edges.unionAll(
+        edges.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+    # nodes restricted to the edge set: singletons keep label = self and
+    # never change, so they need no propagation work
+    labels = (sym.select(F.col("doc_a").alias("doc_id"))
+              .distinct()
+              .withColumn("label", F.col("doc_id"))
+              .cache())
+    # labels only ever decrease, so sum(label) is strictly monotone until
+    # convergence — one scalar agg per round is the whole driver traffic
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(MAX_CC_ROUNDS):
+        nbr = (sym.join(labels, sym.doc_b == labels.doc_id)
+               .groupBy(F.col("doc_a").alias("doc_id"))
+               .agg(F.min("label").alias("nbr_min")))
+        new_labels = (labels.join(nbr, "doc_id", "left")
+                      .select("doc_id",
+                              F.least("label", F.coalesce("nbr_min", "label"))
+                              .alias("label"))
+                      .cache())
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    out = (labels.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("cluster_size"))
+           .select(F.col("label").alias("keep_id"), "cluster_size")
+           .filter(F.col("cluster_size") >= 2)
+           .orderBy("keep_id"))
+    return out
+
+
+CLUSTER_RESOLVE_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL.strip()}) q
+),
+sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(doc_id, label) AS (
+    SELECT DISTINCT doc_a, doc_a FROM sym
+    UNION
+    SELECT s.doc_a, r.label FROM r JOIN sym s ON s.doc_b = r.doc_id
+  )
+  SELECT doc_id, MIN(label) AS label FROM r GROUP BY doc_id
+)
+SELECT label AS keep_id, COUNT(*) AS cluster_size
+FROM reach GROUP BY label HAVING COUNT(*) >= 2 ORDER BY keep_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+
+def decontamination(spark, sf_dir):
+    """Flag training docs sharing any word 5-gram with the benchmark set
+    (docs with doc_id % 97 == 0 stand in for a held-out eval set).
+
+    The benchmark's distinct shingle hashes are corpus-fraction-of-a-
+    percent sized -> broadcast; the train side never shuffles. Per-source
+    rollup of contaminated docs and total n-gram hits."""
+    docs = engine_docs(spark, sf_dir).select("doc_id", "text", "source")
+    sh = docs.select(
+        "doc_id", "source",
+        shingles(tokens(F.col("text")), DECON_SHINGLE_N).alias("sh"))
+    posts = (sh.select("doc_id", "source", F.explode("sh").alias("s"))
+             .select("doc_id", "source", F.xxhash64("s").alias("h")))
+    bench = (posts.filter(F.col("doc_id") % 97 == 0)
+             .select("h").distinct())
+    hits = (posts.filter(F.col("doc_id") % 97 != 0)
+            .join(F.broadcast(bench), "h")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("hits")))
+    return (hits.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_contaminated"),
+                 F.sum("hits").alias("total_hits"))
+            .orderBy("source"))
+
+
+DECONTAMINATION_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, source,
+         {shingles_sql(tokens_sql(), DECON_SHINGLE_N)} AS sh
+  FROM documents
+),
+posts AS (SELECT doc_id, source, unnest(sh) AS s FROM sh),
+bench AS (SELECT DISTINCT s FROM posts WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT p.doc_id, p.source, COUNT(*) AS hits
+  FROM posts p JOIN bench b ON p.s = b.s
+  WHERE p.doc_id % 97 <> 0
+  GROUP BY 1, 2
+)
+SELECT source, COUNT(*) AS n_contaminated,
+       CAST(SUM(hits) AS BIGINT) AS total_hits
+FROM hits GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (concat-and-chunk into fixed token budgets)
+# ---------------------------------------------------------------------------
+
+
+def sequence_packing(spark, sf_dir):
+    """Pack documents into {PACK_BUDGET}-token training sequences.
+
+    Concat-and-chunk: within a pack-shard (doc_id % {PACK_SHARDS}),
+    documents are laid end-to-end in doc_id order and cut every
+    PACK_BUDGET tokens; a doc belongs to the sequence its last token
+    lands in. The running total is a per-shard window — shards bound the
+    window partition size so no single ordering serializes the corpus."""
+    docs = engine_docs(spark, sf_dir).select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(tokens(F.col("text"))).alias("tok"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    packed = toks.withColumn("cum", F.sum("tok").over(w)) \
+                 .withColumn("seq_id",
+                             F.floor((F.col("cum") - 1) / PACK_BUDGET))
+    return (packed.groupBy("shard", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("tok").alias("seq_tokens"))
+            .orderBy("shard", "seq_id"))
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         len({tokens_sql()}) AS tok
+  FROM documents
+),
+packed AS (
+  SELECT shard, tok,
+         SUM(tok) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+  FROM toks
+)
+SELECT shard, CAST(FLOOR((cum - 1) / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS seq_tokens
+FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# domain mixing (deterministic weighted sampling)
+# ---------------------------------------------------------------------------
+
+
+def domain_mix_sample(spark, sf_dir):
+    """Deterministic per-language downsampling to a target mix.
+
+    Keep gate: Knuth multiplicative hash of doc_id mod 1000 against the
+    language's permille rate — pure arithmetic, so any engine (and any
+    retry) derives the identical sample with no RNG state. Rowwise filter
+    -> zero shuffle before the rollup."""
+    docs = engine_docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
+    gate = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+    rate = F.lit(MIX_DEFAULT_PERMILLE)
+    for lang, pm in MIX_PERMILLE.items():
+        rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
+    kept = docs.filter(gate < rate)
+    return (kept.groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum(F.size(tokens(F.col("text")))).alias("tokens_kept"))
+            .orderBy("source", "lang"))
+
+
+_MIX_RATE_SQL = "CASE WHEN lang = 'en' THEN 400 ELSE 900 END"
+
+DOMAIN_MIX_SQL = f"""
+SELECT source, lang, COUNT(*) AS n_kept,
+       CAST(SUM(len({tokens_sql()})) AS BIGINT) AS tokens_kept
+FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 % 1000 < {_MIX_RATE_SQL}
+GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+REGISTRY = {
+    "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
+    "decontamination": (decontamination, DECONTAMINATION_SQL),
+    "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
+    "domain_mix_sample": (domain_mix_sample, DOMAIN_MIX_SQL),
+}
