@@ -694,7 +694,7 @@ def _write_dvs(table, kept) -> list:
     del_schema = S((NestedField(2147483546, "file_path", "string", True),
                     NestedField(2147483545, "pos", "long", True)))
     files = collect_data_files(paths, del_schema, table.spec,
-                               content=POSITION_DELETES)
+                               content=POSITION_DELETES, spark=table.spark)
     out = []
     for f in files:
         if f.record_count == 0:

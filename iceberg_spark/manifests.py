@@ -696,12 +696,21 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
     )
 
 
+DISTRIBUTED_STATS_THRESHOLD = 256
+
+
 def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
                        partitions: Optional[dict] = None, content: int = DATA,
-                       max_workers: int = 16) -> list:
-    """Footer-stat collection for many files, thread-parallel on the driver.
-    (At real cluster scale this becomes a Spark mapInPandas job over the
-    path list — same per-file logic.)"""
+                       max_workers: int = 16, spark=None) -> list:
+    """Footer-stat collection for many files.
+
+    Small batches read footers thread-parallel on the driver; above
+    DISTRIBUTED_STATS_THRESHOLD files the per-file pass runs as a Spark
+    job over the path list — after a wide fanout write the driver must
+    not re-open every footer the executors just wrote (the reference
+    collects metrics inside each writer task for the same reason,
+    core/.../io/DataWriter.java). The returned DataFiles are plan-sized
+    either way."""
     partitions = partitions or {}
 
     def one(p):
@@ -709,5 +718,12 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
 
     if len(paths) <= 2:
         return [one(p) for p in paths]
+    if spark is not None and len(paths) > DISTRIBUTED_STATS_THRESHOLD:
+        sc = spark.sparkContext
+        nparts = min(len(paths) // 32 + 1, sc.defaultParallelism * 2)
+        return (sc.parallelize(paths, nparts)
+                .map(lambda p: collect_data_file(
+                    p, schema, spec, partitions.get(p), content))
+                .collect())
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
         return list(ex.map(one, paths))

@@ -192,7 +192,8 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
     del_schema = Schema((NestedField(2147483546, "file_path", "string", True),
                          NestedField(2147483545, "pos", "long", True)))
     files = collect_data_files(paths, del_schema, table.spec,
-                               partitions, content=POSITION_DELETES)
+                               partitions, content=POSITION_DELETES,
+                               spark=table.spark)
     return [replace(f, write_schema_id=table.schema.schema_id)
             for f in files if f.record_count > 0]
 
@@ -215,7 +216,7 @@ def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
 
     del_schema = S(tuple(schema.find_field(c) for c in columns))
     files = collect_data_files(paths, del_schema, table.spec,
-                               content=EQUALITY_DELETES)
+                               content=EQUALITY_DELETES, spark=table.spark)
     return [replace(f, partition={}, equality_ids=ids,
                     write_schema_id=schema.schema_id)
             for f in files if f.record_count > 0]

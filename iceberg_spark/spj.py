@@ -60,7 +60,7 @@ def create_bucketed_table(catalog, identifier: str, df: DataFrame,
        .saveAsTable(name))
     paths = [os.path.join(r, f) for r, _d, fs in os.walk(data_dir)
              for f in fs if f.endswith(".parquet")]
-    files = collect_data_files(paths, t.schema, t.spec)
+    files = collect_data_files(paths, t.schema, t.spec, spark=t.spark)
     from dataclasses import replace as _replace
 
     files = [_replace(f, write_schema_id=t.schema.schema_id)

@@ -194,7 +194,8 @@ class Table:
         if self.spec.fields:
             raise ValueError("add_files into partitioned tables requires partition parsing; "
                              "append() instead or use identity layout")
-        files = collect_data_files(list(paths), self.schema, self.spec)
+        files = collect_data_files(list(paths), self.schema, self.spec,
+                                   spark=self.spark)
         files = [replace(f, write_schema_id=self.schema.schema_id) for f in files]
         return FastAppend(self, files, branch=branch,
                           summary_extra={"added-files-via": "add_files"}).commit()

@@ -217,15 +217,18 @@ ORDER BY n_nationkey
 
 def spec_evolution_scan(spark, sf_dir):
     """Half the data lands unpartitioned (spec 0), the spec evolves to
-    days(o_orderdate), the rest lands partitioned; a date-filtered scan
+    months(o_orderdate), the rest lands partitioned; a date-filtered scan
     must prune the new files and re-filter the old
-    (reference core/.../TableMetadata.java spec handling)."""
+    (reference core/.../TableMetadata.java spec handling). Month grain:
+    7 years of orders under days() fans one small append into ~2,300
+    single-day files — the small-files storm a real table would avoid by
+    exactly this granularity choice."""
     key = ("specevo", _sf_key(sf_dir))
     if key not in _STATE:
         _ensure_conf(spark)
         t, df = _fresh(spark, sf_dir, "orders", "specevo")
         t.append(df.filter(F.col("o_orderkey") % 2 == 0))
-        t.update_spec().add_field("o_orderdate", "day").commit()
+        t.update_spec().add_field("o_orderdate", "month").commit()
         t.append(df.filter(F.col("o_orderkey") % 2 == 1))
         _STATE[key] = t.identifier
     t = _warehouse(spark).load_table(_STATE[key])

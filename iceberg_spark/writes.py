@@ -230,7 +230,8 @@ def write_data_files(
                         os.path.relpath(p, out_dir), pnames, ptypes
                     )
     if fmt == "parquet":
-        files = collect_data_files(paths, schema, spec, partitions, content)
+        files = collect_data_files(paths, schema, spec, partitions, content,
+                                   spark=table.spark)
     else:
         files = _collect_files_spark(table.spark, paths, fmt, schema, spec,
                                      partitions, content)
