@@ -34,15 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .common import (
-    CORPUS_SQL,
-    dedup_corpus,
-    engine_docs,
-    shingles,
-    shingles_sql,
-    tokens,
-    tokens_sql,
-)
+from .common import engine_docs, shingles, shingles_sql, tokens, tokens_sql
 from .dedup import NGRAM_JACCARD_SQL, _cached_df, dedup_ngram_jaccard
 
 MAX_CC_ROUNDS = 20          # backstop; dedup graphs converge in 2-4
@@ -69,7 +61,12 @@ def dedup_cluster_resolve(spark, sf_dir):
     standard DataFrame connected-components shape (cf. the large-star/
     small-star formulation of Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14) — per round one shuffle join, driver
-    sees only a change count."""
+    sees only a scalar convergence check."""
+    return _cached_df("cc_resolved", sf_dir,
+                      lambda: _resolve_clusters(spark, sf_dir))
+
+
+def _resolve_clusters(spark, sf_dir):
     edges = _cached_df(
         "cc_edges", sf_dir,
         lambda: dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
@@ -84,6 +81,7 @@ def dedup_cluster_resolve(spark, sf_dir):
     # labels only ever decrease, so sum(label) is strictly monotone until
     # convergence — one scalar agg per round is the whole driver traffic
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(MAX_CC_ROUNDS):
         nbr = (sym.join(labels, sym.doc_b == labels.doc_id)
                .groupBy(F.col("doc_a").alias("doc_id"))
@@ -97,13 +95,26 @@ def dedup_cluster_resolve(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        labels.unpersist()
+        raise RuntimeError(
+            f"cluster resolution did not converge in {MAX_CC_ROUNDS} rounds "
+            "(near-dup graph diameter exceeds the backstop; raise "
+            "MAX_CC_ROUNDS)")
     out = (labels.groupBy("label")
            .agg(F.count(F.lit(1)).alias("cluster_size"))
            .select(F.col("label").alias("keep_id"), "cluster_size")
            .filter(F.col("cluster_size") >= 2)
            .orderBy("keep_id"))
+    # materialize through the memoized cache (_cached_df caches the
+    # returned plan), then drop the per-round label cache — repeat calls
+    # reuse the result, never the loop
+    out = out.cache()
+    out.count()
+    labels.unpersist()
     return out
 
 
@@ -140,12 +151,18 @@ def decontamination(spark, sf_dir):
     The benchmark's distinct shingle hashes are corpus-fraction-of-a-
     percent sized -> broadcast; the train side never shuffles. Per-source
     rollup of contaminated docs and total n-gram hits."""
-    docs = engine_docs(spark, sf_dir).select("doc_id", "text", "source")
-    sh = docs.select(
-        "doc_id", "source",
-        shingles(tokens(F.col("text")), DECON_SHINGLE_N).alias("sh"))
-    posts = (sh.select("doc_id", "source", F.explode("sh").alias("s"))
-             .select("doc_id", "source", F.xxhash64("s").alias("h")))
+    def build_posts():
+        docs = engine_docs(spark, sf_dir).select("doc_id", "text", "source")
+        sh = docs.select(
+            "doc_id", "source",
+            shingles(tokens(F.col("text")), DECON_SHINGLE_N).alias("sh"))
+        return (sh.select("doc_id", "source", F.explode("sh").alias("s"))
+                .select("doc_id", "source", F.xxhash64("s").alias("h")))
+
+    # cache the shingle posts: they feed both the broadcast benchmark side
+    # and the train side — uncached, the Pandas-UDF shingling would run
+    # twice per action over the whole corpus
+    posts = _cached_df("decon_posts", sf_dir, build_posts)
     bench = (posts.filter(F.col("doc_id") % 97 == 0)
              .select("h").distinct())
     hits = (posts.filter(F.col("doc_id") % 97 != 0)
@@ -230,15 +247,27 @@ FROM packed GROUP BY 1, 2 ORDER BY 1, 2
 # ---------------------------------------------------------------------------
 
 
+MIX_M = 2147483647  # MINSTD modulus (2^31 - 1)
+MIX_A = 48271       # MINSTD multiplier
+
+
+def mix_gate_py(doc_id: int) -> int:
+    """(doc_id mod M) * A mod M mod 1000 — the shared keep gate. Folding
+    to 31 bits first keeps the product under 2^63, so the identical
+    arithmetic runs overflow-free (and ANSI-safe) in Spark, DuckDB, and
+    Python at any doc_id."""
+    return (doc_id % MIX_M) * MIX_A % MIX_M % 1000
+
+
 def domain_mix_sample(spark, sf_dir):
     """Deterministic per-language downsampling to a target mix.
 
-    Keep gate: Knuth multiplicative hash of doc_id mod 1000 against the
+    Keep gate: MINSTD multiplicative hash of doc_id mod 1000 against the
     language's permille rate — pure arithmetic, so any engine (and any
     retry) derives the identical sample with no RNG state. Rowwise filter
     -> zero shuffle before the rollup."""
     docs = engine_docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
-    gate = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(1000)
+    gate = (F.col("doc_id") % F.lit(MIX_M)) * F.lit(MIX_A) % F.lit(MIX_M) % F.lit(1000)
     rate = F.lit(MIX_DEFAULT_PERMILLE)
     for lang, pm in MIX_PERMILLE.items():
         rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
@@ -249,13 +278,16 @@ def domain_mix_sample(spark, sf_dir):
             .orderBy("source", "lang"))
 
 
-_MIX_RATE_SQL = "CASE WHEN lang = 'en' THEN 400 ELSE 900 END"
+# one source of truth for the rates: generated from MIX_PERMILLE
+_MIX_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in MIX_PERMILLE.items()
+) + f" ELSE {MIX_DEFAULT_PERMILLE} END"
 
 DOMAIN_MIX_SQL = f"""
 SELECT source, lang, COUNT(*) AS n_kept,
        CAST(SUM(len({tokens_sql()})) AS BIGINT) AS tokens_kept
 FROM documents
-WHERE (doc_id * 2654435761) % 4294967296 % 1000 < {_MIX_RATE_SQL}
+WHERE (doc_id % {MIX_M}) * {MIX_A} % {MIX_M} % 1000 < {_MIX_RATE_SQL}
 GROUP BY source, lang ORDER BY source, lang
 """
 

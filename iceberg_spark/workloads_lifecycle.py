@@ -1176,9 +1176,13 @@ def timestamp_ns_scan(spark, sf_dir):
         # path would destroy — the oracle builds the same int64 nanos
         raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         ts_src = dict(raw.dtypes)["ts"]
-        micros = _micros_col(
-            F.col("ts"), "timestamp_ntz" if ts_src == "timestamp_ntz"
-            else "timestamp")
+        if ts_src == "bigint":
+            # timestamp[ns] parquet under nanosAsLong: already epoch nanos
+            micros = F.expr("ts div 1000")
+        else:
+            micros = _micros_col(
+                F.col("ts"), "timestamp_ntz" if ts_src == "timestamp_ntz"
+                else "timestamp")
         raw = (raw.select("event_id",
                           (micros * F.lit(1000)
                            + F.col("event_id") % F.lit(1000)).alias("ts"),

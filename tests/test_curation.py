@@ -84,7 +84,8 @@ def test_domain_mix_gate_deterministic(spark):
     recomputation agree exactly."""
     from iceberg_spark.pipeline.curation import (MIX_DEFAULT_PERMILLE,
                                                  MIX_PERMILLE,
-                                                 domain_mix_sample)
+                                                 domain_mix_sample,
+                                                 mix_gate_py)
     from iceberg_spark.pipeline.common import engine_docs
 
     a = {(r.source, r.lang): r.n_kept
@@ -96,6 +97,18 @@ def test_domain_mix_gate_deterministic(spark):
     want = {}
     for r in docs:
         rate = MIX_PERMILLE.get(r.lang, MIX_DEFAULT_PERMILLE)
-        if (r.doc_id * 2654435761) % 4294967296 % 1000 < rate:
+        if mix_gate_py(r.doc_id) < rate:
             want[(r.source, r.lang)] = want.get((r.source, r.lang), 0) + 1
     assert a == want
+
+
+def test_mix_gate_no_overflow_at_huge_ids(spark):
+    """The gate must be exact for doc_ids past 2^32 (100 TB corpora) —
+    Spark ANSI arithmetic and Python agree."""
+    from iceberg_spark.pipeline.curation import (MIX_A, MIX_M, mix_gate_py)
+
+    ids = [2**31, 2**32 + 7, 2**62 + 12345, 3_470_000_000_123]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    gate = (F.col("doc_id") % F.lit(MIX_M)) * F.lit(MIX_A) % F.lit(MIX_M) % F.lit(1000)
+    got = [r.g for r in df.select(gate.alias("g")).collect()]
+    assert got == [mix_gate_py(i) for i in ids]
