@@ -208,7 +208,7 @@ def main():
     workloads.engine_table(spark, SF_DIR, "events", partition_by=["day(ts)"])
     raw_q1_baseline(spark, SF_DIR).collect()  # JVM warmup
 
-    def timed(fn, runs: int = 3):
+    def timed(fn, runs: int = 5):
         # steady-state: 1 warmup + median of `runs` (JMH-style warmup/measure)
         fn()
         ts = []
