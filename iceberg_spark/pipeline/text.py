@@ -257,10 +257,49 @@ ORDER BY doc_id
 """
 
 
+# BPE-style pre-tokenizer (GPT-2 shape, RE2-compatible: no lookaround, so
+# Spark's Java regex and DuckDB's RE2 split identically): contraction
+# suffixes, space-attached letter runs, digit runs, punctuation runs.
+# Applied to lowered text; counts approximate LLM token budgets far better
+# than whitespace words (punctuation and digits tokenize separately).
+BPE_RE = r"'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ']+"
+
+
+def token_count_bpe(spark, sf_dir):
+    """Per-source token budgets: whitespace words vs BPE-ish pre-tokens
+    (regexp_count — pure JVM, codegen'd; one partial-agg shuffle)."""
+    docs = engine_docs(spark, sf_dir)
+    lower = F.lower(F.trim("text"))
+    return (docs.select(
+                "source",
+                F.size(tokens(F.col("text"))).alias("ws"),
+                F.regexp_count(lower, F.lit(BPE_RE)).alias("bpe"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("ws").alias("ws_tokens"),
+                 F.sum("bpe").alias("bpe_tokens"),
+                 F.round(F.sum("bpe") / F.sum("ws"), 4).alias("bpe_per_word"))
+            .orderBy("source"))
+
+
+_BPE_SQL_RE = BPE_RE.replace("'", "''")
+
+TOKEN_COUNT_BPE_SQL = f"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len({tokens_sql()})) AS BIGINT) AS ws_tokens,
+       CAST(SUM(len(regexp_extract_all(lower(trim(text)), '{_BPE_SQL_RE}')))
+            AS BIGINT) AS bpe_tokens,
+       ROUND(SUM(len(regexp_extract_all(lower(trim(text)), '{_BPE_SQL_RE}')))
+             / CAST(SUM(len({tokens_sql()})) AS DOUBLE), 4) AS bpe_per_word
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
 REGISTRY = {
     "text_features": (text_features, TEXT_FEATURES_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
+    "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
     "fingerprint": (fingerprint, FINGERPRINT_SQL),
     "pii_redaction": (pii_redaction, PII_REDACTION_SQL),
 }
