@@ -905,6 +905,21 @@ class SqlEngine:
         return self._rows([Row(migrated_files_count=cnt)],
                           "migrated_files_count long")
 
+    def _proc_snapshot_delta_lake_table(self, a):
+        """Snapshot a Delta Lake table into the engine by replaying its
+        _delta_log (delta-lake/.../BaseSnapshotDeltaLakeTableAction.java:75
+        analog): unpartitioned sources import by file reference, no data
+        copied; partitioned sources rewrite (see sources/delta.py)."""
+        from .sources.delta import snapshot_delta_table
+
+        src = self._arg(a, "source_table", 0)
+        dest = self._arg(a, "table", 1)
+        loc = re.sub(r"^delta\.", "", str(src)).strip("`")
+        _t, n, rewritten = snapshot_delta_table(self.catalog, loc, dest)
+        return self._rows(
+            [Row(imported_files_count=n, rewritten=rewritten)],
+            "imported_files_count long, rewritten boolean")
+
     def _proc_create_changelog_view(self, a):
         t = self._load(self._arg(a, "table", 0))
         opts = self._arg(a, "options", None, {}) or {}

@@ -1,0 +1,119 @@
+"""snapshot_delta_lake_table: replay a synthetic _delta_log (the JSON
+action format any Delta writer produces) and snapshot into the engine.
+Unpartitioned tables import by reference; partitioned ones rewrite."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_commit(log_dir, version, actions):
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(schema_fields, partition_cols=()):
+    return {"metaData": {
+        "id": "meta-1",
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": json.dumps({
+            "type": "struct",
+            "fields": [{"name": n, "type": t, "nullable": True,
+                        "metadata": {}} for n, t in schema_fields]}),
+        "partitionColumns": list(partition_cols),
+        "configuration": {},
+    }}
+
+
+def _add(path, pvals=None):
+    return {"add": {"path": path, "partitionValues": pvals or {},
+                    "size": 1, "modificationTime": 0, "dataChange": True}}
+
+
+def _mk_unpartitioned_delta(spark, root):
+    df1 = spark.range(0, 50).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df2 = spark.range(50, 80).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    df3 = spark.range(80, 90).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    names = []
+    for i, d in enumerate((df1, df2, df3)):
+        sub = os.path.join(root, f"part-{i}")
+        d.coalesce(1).write.parquet(sub)
+        f = [x for x in os.listdir(sub) if x.endswith(".parquet")][0]
+        name = f"part-{i}/{f}"
+        names.append(name)
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 0, [_meta([("id", "long"), ("v", "long")]),
+                           _add(names[0])])
+    _write_commit(log, 1, [_add(names[1]), _add(names[2])])
+    # commit 2 removes the middle file — those rows must NOT appear
+    _write_commit(log, 2, [{"remove": {"path": names[1],
+                                       "dataChange": True}}])
+    return [names[0], names[2]]
+
+
+def test_snapshot_unpartitioned_by_reference(catalog, spark, tmp_path):
+    root = str(tmp_path / "delta_src")
+    live = _mk_unpartitioned_delta(spark, root)
+    res = catalog.sql(
+        f"CALL system.snapshot_delta_lake_table("
+        f"source_table => 'delta.`{root}`', table => 'db.from_delta')"
+    ).collect()
+    assert res[0].imported_files_count == 2
+    assert res[0].rewritten is False
+    t = catalog.load_table("db.from_delta")
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == sorted(list(range(0, 50)) + list(range(80, 90)))
+    # by reference: engine points at the original Delta parquet files
+    plan_paths = {e.file.file_path
+                  for e in t.scan().plan_files().files}
+    assert plan_paths == {os.path.join(root, p) for p in live}
+    # stats came from footers -> pruning works immediately
+    assert len(t.scan(filter=__import__(
+        "iceberg_spark.expressions", fromlist=["col"]).col("id") >= 80)
+        .plan_files().files) == 1
+
+
+def test_snapshot_partitioned_rewrites(catalog, spark, tmp_path):
+    root = str(tmp_path / "delta_part")
+    df = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 4).alias("p"), (F.col("id") * 3).alias("v"))
+    # hive-layout parquet exactly as the Spark Delta writer lays out files
+    df.write.partitionBy("p").parquet(root)
+    names = []
+    for d in os.listdir(root):
+        if d.startswith("p="):
+            for f in os.listdir(os.path.join(root, d)):
+                if f.endswith(".parquet"):
+                    names.append((f"{d}/{f}", d.split("=")[1]))
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 0, [_meta([("id", "long"), ("v", "long"),
+                                  ("p", "long")], ["p"])]
+                  + [_add(n, {"p": pv}) for n, pv in names])
+    res = catalog.sql(
+        f"CALL system.snapshot_delta_lake_table("
+        f"source_table => 'delta.`{root}`', table => 'db.from_delta_p')"
+    ).collect()
+    assert res[0].rewritten is True
+    t = catalog.load_table("db.from_delta_p")
+    got = sorted((r.id, r.p, r.v) for r in t.to_df().collect())
+    assert got == [(i, i % 4, i * 3) for i in range(100)]
+    # identity partitioning carried over -> partition pruning
+    from iceberg_spark.expressions import col
+    pruned = t.scan(filter=col("p") == 2).plan_files()
+    assert 0 < len(pruned.files) < len(t.scan().plan_files().files)
+
+
+def test_checkpointed_log_raises(catalog, tmp_path):
+    root = str(tmp_path / "delta_ckpt")
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 0, [_meta([("id", "long")])])
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write('{"version": 0}')
+    from iceberg_spark.sources.delta import snapshot_delta_table
+
+    with pytest.raises(NotImplementedError):
+        snapshot_delta_table(catalog, root, "db.ckpt")
