@@ -1231,9 +1231,62 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def delta_snapshot_scan(spark, sf_dir):
+    """A13 extension (reference delta-lake module,
+    BaseSnapshotDeltaLakeTableAction.java:75): build a Delta-format log
+    over the supplier parquet (one add, then a metadata commit), snapshot
+    it into the engine by reference, scan through the engine table."""
+    key = ("deltasnap", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import json
+
+        cat = _warehouse(spark)
+        ident = f"deltasnap_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        src = os.path.join(sf_dir, "supplier.parquet")
+        root = tempfile.mkdtemp(prefix="delta_src_")
+        log = os.path.join(root, "_delta_log")
+        os.makedirs(log)
+        schema_fields = [
+            (f.name, f.dataType.jsonValue())
+            for f in load_table(spark, sf_dir, "supplier").schema.fields]
+        meta = {"metaData": {
+            "id": "m1", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps({"type": "struct", "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in schema_fields]}),
+            "partitionColumns": [], "configuration": {}}}
+        add = {"add": {"path": src, "partitionValues": {}, "size": 1,
+                       "modificationTime": 0, "dataChange": True}}
+        with open(os.path.join(log, f"{0:020d}.json"), "w") as fh:
+            fh.write(json.dumps(meta) + "\n")
+            fh.write(json.dumps(add) + "\n")
+        from .sources.delta import snapshot_delta_table
+
+        t, n, rewritten = snapshot_delta_table(cat, root, ident)
+        assert n == 1 and not rewritten
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.scan(filter=col("s_acctbal") > 0).df()
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+DELTA_SNAPSHOT_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier WHERE s_acctbal > 0
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
+    "delta_snapshot_scan": (delta_snapshot_scan, DELTA_SNAPSHOT_SQL),
     "auto_compaction_scan": (auto_compaction_scan, AUTO_COMPACTION_SQL),
     "relocated_table_scan": (relocated_table_scan, RELOCATED_SQL),
     "runtime_filter_scan": (runtime_filter_scan, RUNTIME_FILTER_SQL),
