@@ -13,8 +13,9 @@ Partitioned Delta sources store partition values only in the log /
 directory names (not in the data files), which our scan layout does not
 reconstruct per file — those snapshot via a rewrite (read with basePath
 so Spark restores the partition columns, then append through the normal
-write path). Declared cap: checkpoint-compacted logs (`_last_checkpoint`)
-are not replayed; tables whose log has been checkpoint-truncated raise.
+write path). Checkpoint-compacted logs are supported: the checkpoint
+parquet (columns are one action struct each — add/remove/metaData) seeds
+the state and JSON commits after the checkpoint version replay on top.
 """
 
 from __future__ import annotations
@@ -32,18 +33,49 @@ def _read_log(location: str):
     log_dir = os.path.join(location, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"not a Delta table (no _delta_log): {location}")
-    if os.path.exists(os.path.join(log_dir, "_last_checkpoint")):
-        raise NotImplementedError(
-            "checkpoint-compacted Delta logs are not supported; "
-            "snapshot from a table with a pure-JSON log")
-    versions = sorted(
-        f for f in os.listdir(log_dir)
-        if f.endswith(".json") and f[: -len(".json")].isdigit())
-    if not versions:
-        raise ValueError(f"empty Delta log: {log_dir}")
     schema_json = None
     partition_cols: list = []
     active: dict = {}
+    ckpt_version = -1
+    last_ckpt = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_ckpt):
+        with open(last_ckpt) as fh:
+            meta = json.load(fh)
+        ckpt_version = int(meta["version"])
+        parts = meta.get("parts")
+        if parts:
+            ckpt_files = [os.path.join(
+                log_dir,
+                f"{ckpt_version:020d}.checkpoint.{i:010d}.{parts:010d}.parquet")
+                for i in range(1, parts + 1)]
+        else:
+            ckpt_files = [os.path.join(
+                log_dir, f"{ckpt_version:020d}.checkpoint.parquet")]
+        import pyarrow.parquet as pq
+
+        for cf in ckpt_files:
+            tbl = pq.read_table(cf)
+            cols = set(tbl.column_names)
+            rows_md = tbl.column("metaData").to_pylist() \
+                if "metaData" in cols else []
+            for md in rows_md:
+                if md is not None:
+                    schema_json = md["schemaString"]
+                    partition_cols = list(md.get("partitionColumns") or [])
+            for add in (tbl.column("add").to_pylist()
+                        if "add" in cols else []):
+                if add is not None:
+                    active[unquote(add["path"])] = add
+            for rem in (tbl.column("remove").to_pylist()
+                        if "remove" in cols else []):
+                if rem is not None:
+                    active.pop(unquote(rem["path"]), None)
+    versions = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[: -len(".json")].isdigit()
+        and int(f[: -len(".json")]) > ckpt_version)
+    if not versions and ckpt_version < 0:
+        raise ValueError(f"empty Delta log: {log_dir}")
     for fn in versions:
         with open(os.path.join(log_dir, fn)) as fh:
             for line in fh:

@@ -5,7 +5,6 @@ Unpartitioned tables import by reference; partitioned ones rewrite."""
 import json
 import os
 
-import pytest
 from pyspark.sql import functions as F
 
 
@@ -107,13 +106,50 @@ def test_snapshot_partitioned_rewrites(catalog, spark, tmp_path):
     assert 0 < len(pruned.files) < len(t.scan().plan_files().files)
 
 
-def test_checkpointed_log_raises(catalog, tmp_path):
-    root = str(tmp_path / "delta_ckpt")
-    log = os.path.join(root, "_delta_log")
-    _write_commit(log, 0, [_meta([("id", "long")])])
-    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
-        fh.write('{"version": 0}')
-    from iceberg_spark.sources.delta import snapshot_delta_table
+def test_checkpointed_log_replays(catalog, spark, tmp_path):
+    """State seeds from the checkpoint parquet; JSON commits after the
+    checkpoint version replay on top (incl. a remove of a checkpointed
+    file). Pre-checkpoint JSON commits must be ignored."""
+    import json as _json
 
-    with pytest.raises(NotImplementedError):
-        snapshot_delta_table(catalog, root, "db.ckpt")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "delta_ckpt")
+    names = _mk_unpartitioned_delta(spark, root)  # live after JSON: 0, 2
+    log = os.path.join(root, "_delta_log")
+
+    # checkpoint at version 2 capturing files 0 and 2 as the active set;
+    # one action per row, exactly the Delta checkpoint layout
+    add_t = pa.struct([("path", pa.string()),
+                       ("partitionValues", pa.map_(pa.string(), pa.string())),
+                       ("size", pa.int64()), ("dataChange", pa.bool_())])
+    md_t = pa.struct([("id", pa.string()), ("schemaString", pa.string()),
+                      ("partitionColumns", pa.list_(pa.string()))])
+    rm_t = pa.struct([("path", pa.string()), ("dataChange", pa.bool_())])
+    meta_action = _meta([("id", "long"), ("v", "long")])["metaData"]
+    rows_md = [{"id": "m1", "schemaString": meta_action["schemaString"],
+                "partitionColumns": []}, None, None]
+    live0 = [p for p in names]
+    rows_add = [None] + [{"path": p, "partitionValues": [],
+                          "size": 1, "dataChange": True} for p in live0]
+    tbl = pa.table({
+        "metaData": pa.array(rows_md, md_t),
+        "add": pa.array(rows_add, add_t),
+        "remove": pa.array([None] * 3, rm_t),
+    })
+    pq.write_table(tbl, os.path.join(log, f"{2:020d}.checkpoint.parquet"))
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(_json.dumps({"version": 2}))
+    # post-checkpoint commit: drop the first file
+    _write_commit(log, 3, [{"remove": {"path": live0[0],
+                                       "dataChange": True}}])
+
+    res = catalog.sql(
+        f"CALL system.snapshot_delta_lake_table("
+        f"source_table => 'delta.`{root}`', table => 'db.from_ckpt')"
+    ).collect()
+    assert res[0].imported_files_count == 1
+    t = catalog.load_table("db.from_ckpt")
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == list(range(80, 90))  # only part-2 survives
