@@ -742,13 +742,30 @@ def compute_table_stats(table, columns=None) -> dict:
         "ndv": ndv,
         "sketches": blobs,
     }
+    # persist as a real Puffin file (format/puffin-spec.md): one
+    # apache-datasketches-theta-v1 blob per column, ndv in blob properties
+    from .puffin import THETA_V1, write_puffin
+
     sdir = os.path.join(table.location, "metadata", "stats")
     os.makedirs(sdir, exist_ok=True)
-    path = os.path.join(sdir, f"stats-{_uuid.uuid4().hex}.json")
-    with open(path, "w") as f:
-        json.dump(stats, f)
+    path = os.path.join(sdir, f"stats-{_uuid.uuid4().hex}.puffin")
+    seq = snap.sequence_number if snap else None
+    facts = write_puffin(path, [
+        {"type": stype if stype == THETA_V1 else THETA_V1,
+         "fields": [schema.find_field(c).field_id],
+         "snapshot-id": stats["snapshot-id"],
+         "sequence-number": seq,
+         "data": bytes.fromhex(blobs[c]) if c in blobs else b"",
+         "properties": {"ndv": str(ndv[c]),
+                        **({} if stype == THETA_V1
+                           else {"engine-fallback": stype})}}
+        for c in cols
+    ], properties={"created-by": "iceberg_spark"})
     m = table.metadata
     entry = {"snapshot-id": stats["snapshot-id"], "statistics-path": path,
+             "file-size-in-bytes": facts["file-size-in-bytes"],
+             "file-footer-size-in-bytes": facts["file-footer-size-in-bytes"],
+             "blob-metadata": facts["blob-metadata"],
              "ndv": stats["ndv"]}
     table._commit_metadata(replace(m, statistics_files=m.statistics_files + (entry,)))
     return stats
