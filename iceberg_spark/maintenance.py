@@ -397,14 +397,35 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
         for p in (e_mls - k_mls) | dead_mans:
             _unlink(p)
 
+    # statistics files of expired snapshots expire with them
+    # (RemoveSnapshots.java deleteExpiredStatisticsFiles; procedure output
+    # deleted_statistics_files_count)
+    def _live_stats(entries):
+        keep, drop = [], []
+        for e in entries:
+            sid = e.get("snapshot-id")
+            (keep if sid is None or sid in keep_ids else drop).append(e)
+        return tuple(keep), drop
+
+    new_stats, dead_stats = _live_stats(m.statistics_files)
+    new_pstats, dead_pstats = _live_stats(m.partition_statistics_files)
+    if delete_files:
+        for e in dead_stats + dead_pstats:
+            p = e.get("statistics-path") or e.get("path")
+            if p:
+                _unlink(p)
+
     new_snapshots = tuple(s for s in m.snapshots if s.snapshot_id in keep_ids)
     new_log = tuple(e for e in m.snapshot_log if e[1] in keep_ids)
     table._commit_metadata(replace(m, snapshots=new_snapshots,
-                                   snapshot_log=new_log, refs=retained_refs))
+                                   snapshot_log=new_log, refs=retained_refs,
+                                   statistics_files=new_stats,
+                                   partition_statistics_files=new_pstats))
     return {"expired_snapshots": len(expired), "deleted_files": deleted,
             # reference procedure output names (ExpireSnapshotsProcedure.java)
             "deleted_data_files": n_dead_data,
             "deleted_manifests": len(dead_mans),
+            "deleted_statistics_files": len(dead_stats) + len(dead_pstats),
             "removed_refs": dropped_refs}
 
 

@@ -51,3 +51,29 @@ def test_compute_stats_writes_puffin(catalog, spark):
     assert abs(int(bm[0]["properties"]["ndv"]) - 7) <= 1
     assert entry["file-size-in-bytes"] == os.path.getsize(path)
     assert stats["ndv"]["g"] == int(bm[0]["properties"]["ndv"])
+
+
+def test_expire_drops_stats_of_expired_snapshots(catalog, spark):
+    """RemoveSnapshots parity: statistics files whose snapshot expires are
+    deleted and their metadata entries dropped; stats of kept snapshots
+    survive."""
+    from iceberg_spark.maintenance import compute_table_stats, expire_snapshots
+
+    df = spark.range(0, 100).select(F.col("id"), (F.col("id") % 3).alias("g"))
+    t = catalog.create_table("db.puffexp", df.schema)
+    t.append(df.filter(F.col("id") < 50))
+    t = t.refresh()
+    compute_table_stats(t, columns=["g"])
+    t = t.refresh()
+    old_path = t.metadata.statistics_files[-1]["statistics-path"]
+    t.append(df.filter(F.col("id") >= 50))
+    t = t.refresh()
+    compute_table_stats(t, columns=["g"])
+    t = t.refresh()
+    new_path = t.metadata.statistics_files[-1]["statistics-path"]
+    res = expire_snapshots(t, older_than_ms=None, retain_last=1)
+    assert res["deleted_statistics_files"] == 1
+    t = t.refresh()
+    paths = [e["statistics-path"] for e in t.metadata.statistics_files]
+    assert paths == [new_path]
+    assert not os.path.exists(old_path) and os.path.exists(new_path)
