@@ -255,6 +255,17 @@ MIN_SNAPSHOTS_PROP = "history.expire.min-snapshots-to-keep"
 MAX_REF_AGE_PROP = "history.expire.max-ref-age-ms"
 
 
+def _check_gc_enabled(table, what: str):
+    """Snapshot-by-reference tables (e.g. Delta imports) set
+    gc.enabled=false: their data files belong to the source table, so
+    file-deleting maintenance must refuse (reference
+    TableProperties.GC_ENABLED; RemoveSnapshots/DeleteOrphanFiles throw)."""
+    if str(table.metadata.properties.get("gc.enabled", "true")).lower() == "false":
+        raise ValueError(
+            f"Cannot {what}: GC is disabled for this table "
+            "(gc.enabled=false — its data files are externally owned)")
+
+
 def _retention_keep(m, now: int, older_than_ms, retain_last: int):
     """Per-ref retention (RemoveSnapshots.java:308-313 semantics): refs past
     their max-ref-age are dropped; each retained branch keeps its newest
@@ -332,6 +343,7 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, entry_count,
                               reachable_data_paths_df, unique_manifests)
 
+    _check_gc_enabled(table, "expire snapshots")
     m = table.metadata
     now = int(time.time() * 1000)
     keep_ids, retained_refs = _retention_keep(m, now, older_than_ms, retain_last)
@@ -341,7 +353,7 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     if not expired and not dropped_refs:
         return {"expired_snapshots": 0, "deleted_files": 0,
                 "deleted_data_files": 0, "deleted_manifests": 0,
-                "removed_refs": 0}
+                "deleted_statistics_files": 0, "removed_refs": 0}
 
     kept_snaps = [s for s in m.snapshots if s.snapshot_id in keep_ids]
     kept_mans = unique_manifests(kept_snaps)
@@ -457,6 +469,9 @@ def delete_reachable_files(table, dry_run: bool = False,
     from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, core_entries_df,
                               entry_count, unique_manifests)
 
+    if not dry_run:
+        _check_gc_enabled(table, "delete reachable files")
+
     m = table.metadata
     manifests = unique_manifests(m.snapshots)
     mans = {mf.path for mf in manifests}
@@ -560,6 +575,8 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
                               listing_df, reachable_data_paths_df,
                               unique_manifests)
 
+    if not dry_run:
+        _check_gc_enabled(table, "remove orphan files")
     m = table.metadata
     now = time.time()
     cutoff_s = (older_than_ms / 1000.0) if older_than_ms is not None else now - 3 * 86400
@@ -765,21 +782,21 @@ def compute_table_stats(table, columns=None) -> dict:
     }
     # persist as a real Puffin file (format/puffin-spec.md): one
     # apache-datasketches-theta-v1 blob per column, ndv in blob properties
-    from .puffin import THETA_V1, write_puffin
+    from .puffin import write_puffin
 
     sdir = os.path.join(table.location, "metadata", "stats")
     os.makedirs(sdir, exist_ok=True)
     path = os.path.join(sdir, f"stats-{_uuid.uuid4().hex}.puffin")
     seq = snap.sequence_number if snap else None
     facts = write_puffin(path, [
-        {"type": stype if stype == THETA_V1 else THETA_V1,
+        # the fallback writes NO sketch bytes, so it must not claim the
+        # theta type — a spec-compliant consumer would try to deserialize
+        {"type": stype,
          "fields": [schema.find_field(c).field_id],
          "snapshot-id": stats["snapshot-id"],
          "sequence-number": seq,
          "data": bytes.fromhex(blobs[c]) if c in blobs else b"",
-         "properties": {"ndv": str(ndv[c]),
-                        **({} if stype == THETA_V1
-                           else {"engine-fallback": stype})}}
+         "properties": {"ndv": str(ndv[c])}}
         for c in cols
     ], properties={"created-by": "iceberg_spark"})
     m = table.metadata
@@ -788,7 +805,22 @@ def compute_table_stats(table, columns=None) -> dict:
              "file-footer-size-in-bytes": facts["file-footer-size-in-bytes"],
              "blob-metadata": facts["blob-metadata"],
              "ndv": stats["ndv"]}
-    table._commit_metadata(replace(m, statistics_files=m.statistics_files + (entry,)))
+    # setStatistics semantics (reference UpdateStatistics): one entry per
+    # snapshot — replace any existing entry for this snapshot and drop its
+    # superseded file (orphan cleanup never walks metadata/stats)
+    kept = []
+    for e in m.statistics_files:
+        if e.get("snapshot-id") == stats["snapshot-id"]:
+            old = e.get("statistics-path")
+            if old and old != path:
+                try:
+                    os.unlink(old)
+                except OSError:
+                    pass
+        else:
+            kept.append(e)
+    table._commit_metadata(replace(
+        m, statistics_files=tuple(kept) + (entry,)))
     return stats
 
 

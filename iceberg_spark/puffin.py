@@ -65,17 +65,21 @@ def read_puffin(path: str):
     """Returns (file_metadata dict, [blob bytes in metadata order])."""
     with open(path, "rb") as f:
         raw = f.read()
-    if raw[:4] != MAGIC or raw[-4:] != MAGIC:
+    if len(raw) < 20 or raw[:4] != MAGIC or raw[-4:] != MAGIC:
         raise ValueError(f"not a Puffin file: {path}")
     flags = raw[-8:-4]
     if flags[0] & 1:
         raise ValueError("compressed Puffin footer payloads not supported")
     (payload_size,) = struct.unpack("<i", raw[-12:-8])
-    payload = raw[-12 - payload_size:-12]
-    meta = json.loads(payload.decode("utf-8"))
-    # the magic before the payload is part of the footer; validate it
+    # validate size and the footer's leading magic BEFORE parsing, so a
+    # truncated/garbled file raises the corrupt-footer error, not an
+    # opaque JSONDecodeError from a nonsense slice
+    if payload_size < 0 or payload_size + 16 > len(raw):
+        raise ValueError(f"corrupt Puffin footer (payload size): {path}")
     if raw[-12 - payload_size - 4:-12 - payload_size] != MAGIC:
         raise ValueError(f"corrupt Puffin footer: {path}")
+    payload = raw[-12 - payload_size:-12]
+    meta = json.loads(payload.decode("utf-8"))
     blobs = [raw[bm["offset"]:bm["offset"] + bm["length"]]
              for bm in meta.get("blobs", [])]
     return meta, blobs

@@ -1,35 +1,86 @@
 """Delta Lake -> engine table snapshot (no Delta library required).
 
 A Delta table is parquet data + a `_delta_log/` of ordered JSON commits
-(actions: `metaData`, `add`, `remove`, `protocol`, ...). Replaying the
-log yields the active file set and the current schema — which is exactly
-the input our `add_files`/FastAppend ingestion needs, so an unpartitioned
-Delta table snapshots **by reference** (no data copied or rewritten),
-matching the reference's delta-lake module
+(actions: `protocol`, `metaData`, `add`, `remove`, ...), optionally
+compacted into checkpoint parquet. Replaying the log yields the active
+file set, per-file partition values, and the current schema — which is
+exactly the input our `add_files`/FastAppend ingestion needs, so an
+unpartitioned Delta table snapshots **by reference** (no data copied or
+rewritten), matching the reference's delta-lake module
 (delta-lake/src/main/java/org/apache/iceberg/delta/
 BaseSnapshotDeltaLakeTableAction.java:75 — also file-reference-based).
+By-reference tables are created with `gc.enabled=false` so engine
+maintenance can never delete the source Delta table's files.
 
-Partitioned Delta sources store partition values only in the log /
-directory names (not in the data files), which our scan layout does not
-reconstruct per file — those snapshot via a rewrite (read with basePath
-so Spark restores the partition columns, then append through the normal
-write path). Checkpoint-compacted logs are supported: the checkpoint
-parquet (columns are one action struct each — add/remove/metaData) seeds
-the state and JSON commits after the checkpoint version replay on top.
+Partitioned Delta sources store partition values only in the log (not in
+the data files); those snapshot via a rewrite — data files are read with
+the data-only schema and each file's partition values are joined back
+from the replayed `add.partitionValues` (the authoritative source; the
+protocol does NOT require hive-style directory names).
+
+Unsupported source features fail loudly instead of importing wrong data:
+reader protocol versions > 1 / readerFeatures, deletion vectors on add
+actions, and column mapping.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from urllib.parse import unquote
+from urllib.parse import unquote, urlparse
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _resolve_path(p: str, location: str) -> str:
+    u = urlparse(p)
+    if u.scheme == "":
+        return p if os.path.isabs(p) else os.path.join(location, p)
+    if u.scheme == "file":
+        return unquote(u.path)
+    raise ValueError(
+        f"unsupported path scheme in Delta log (local/file only): {p}")
+
+
+def _check_protocol(proto: dict):
+    if not proto:
+        return
+    ver = int(proto.get("minReaderVersion") or 1)
+    feats = list(proto.get("readerFeatures") or [])
+    if ver > 1 or feats:
+        raise NotImplementedError(
+            f"Delta reader protocol not supported: minReaderVersion={ver} "
+            f"readerFeatures={feats} (deletion vectors / column mapping / "
+            "v2 checkpoints would import wrong data)")
+
+
+def _check_metadata(md: dict):
+    conf = md.get("configuration") or {}
+    cmode = conf.get("delta.columnMapping.mode", "none")
+    if cmode not in ("none", None):
+        raise NotImplementedError(
+            f"Delta column mapping mode {cmode!r} not supported: physical "
+            "parquet column names differ from the logical schema")
+
+
+def _check_add(add: dict, where: str):
+    if add.get("deletionVector"):
+        raise NotImplementedError(
+            f"Delta deletion vectors not supported ({where}): importing "
+            "the whole file would resurrect deleted rows")
+
+
+def _pvals(add) -> dict:
+    pv = add.get("partitionValues") or {}
+    if isinstance(pv, list):  # pyarrow map column -> list of (k, v)
+        pv = dict(pv)
+    return pv
+
+
 def _read_log(location: str):
-    """Replay _delta_log JSON commits in version order; return
-    (schema_struct, partition_columns, active_paths)."""
+    """Replay _delta_log (checkpoint parquet seed + later JSON commits);
+    return (schema_struct, partition_columns, {resolved_path: pvals})."""
     log_dir = os.path.join(location, "_delta_log")
     if not os.path.isdir(log_dir):
         raise ValueError(f"not a Delta table (no _delta_log): {location}")
@@ -56,20 +107,25 @@ def _read_log(location: str):
         for cf in ckpt_files:
             tbl = pq.read_table(cf)
             cols = set(tbl.column_names)
-            rows_md = tbl.column("metaData").to_pylist() \
-                if "metaData" in cols else []
-            for md in rows_md:
-                if md is not None:
-                    schema_json = md["schemaString"]
-                    partition_cols = list(md.get("partitionColumns") or [])
-            for add in (tbl.column("add").to_pylist()
-                        if "add" in cols else []):
-                if add is not None:
-                    active[unquote(add["path"])] = add
-            for rem in (tbl.column("remove").to_pylist()
-                        if "remove" in cols else []):
-                if rem is not None:
-                    active.pop(unquote(rem["path"]), None)
+            if "protocol" in cols:
+                for pr in tbl.column("protocol").to_pylist():
+                    if pr is not None:
+                        _check_protocol(pr)
+            if "metaData" in cols:
+                for md in tbl.column("metaData").to_pylist():
+                    if md is not None:
+                        _check_metadata(md)
+                        schema_json = md["schemaString"]
+                        partition_cols = list(md.get("partitionColumns") or [])
+            if "add" in cols:
+                for add in tbl.column("add").to_pylist():
+                    if add is not None:
+                        _check_add(add, "checkpoint")
+                        active[unquote(add["path"])] = _pvals(add)
+            if "remove" in cols:
+                for rem in tbl.column("remove").to_pylist():
+                    if rem is not None:
+                        active.pop(unquote(rem["path"]), None)
     versions = sorted(
         f for f in os.listdir(log_dir)
         if f.endswith(".json") and f[: -len(".json")].isdigit()
@@ -83,40 +139,61 @@ def _read_log(location: str):
                 if not line:
                     continue
                 action = json.loads(line)
-                if "metaData" in action:
+                if "protocol" in action:
+                    _check_protocol(action["protocol"])
+                elif "metaData" in action:
                     md = action["metaData"]
+                    _check_metadata(md)
                     schema_json = md["schemaString"]
                     partition_cols = list(md.get("partitionColumns") or [])
                 elif "add" in action:
-                    p = unquote(action["add"]["path"])
-                    active[p] = action["add"]
+                    add = action["add"]
+                    _check_add(add, fn)
+                    active[unquote(add["path"])] = _pvals(add)
                 elif "remove" in action:
                     active.pop(unquote(action["remove"]["path"]), None)
     if schema_json is None:
         raise ValueError(f"Delta log has no metaData action: {log_dir}")
     schema = T.StructType.fromJson(json.loads(schema_json))
-    paths = [p if os.path.isabs(p) else os.path.join(location, p)
-             for p in active]
-    return schema, partition_cols, sorted(paths)
+    files = {_resolve_path(p, location): pv for p, pv in active.items()}
+    return schema, partition_cols, files
 
 
 def snapshot_delta_table(catalog, source_location: str, dest_ident: str):
     """CALL system.snapshot_delta_lake_table analog. Returns
     (table, imported_file_count, rewritten: bool)."""
-    schema, pcols, paths = _read_log(source_location)
+    schema, pcols, files = _read_log(source_location)
     spark = catalog.spark
+    paths = sorted(files)
     if not pcols:
-        t = catalog.create_table(dest_ident, schema)
+        # by reference: engine metadata points at the source's files, so
+        # GC must never run against them (reference snapshot semantics)
+        t = catalog.create_table(dest_ident, schema,
+                                 properties={"gc.enabled": "false"})
         t.add_files(paths)
         return t, len(paths), False
-    # partitioned: rewrite through the engine writer (partition values are
-    # not present inside Delta data files; basePath restores them from the
-    # hive-style directory layout the Spark Delta writer produces)
-    df = (spark.read.option("basePath", source_location)
-          .schema(schema).parquet(*paths)
-          .select(*[f.name for f in schema.fields]))
-    t = catalog.create_table(dest_ident, schema,
-                             partition_by=list(pcols))
+    # partitioned: rewrite through the engine writer. Partition values
+    # come from the replayed add.partitionValues (authoritative; directory
+    # names are not required to encode them), joined per file and cast to
+    # the schema types.
+    by_name = {f.name: f for f in schema.fields}
+    data_schema = T.StructType(
+        [f for f in schema.fields if f.name not in pcols])
+    pv_schema = T.StructType(
+        [T.StructField("__delta_file", T.StringType(), False)]
+        + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in pcols])
+    pv_rows = [(p,) + tuple(files[p].get(c) for c in pcols) for p in paths]
+    pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    df = (spark.read.schema(data_schema).parquet(*paths)
+          .withColumn("__delta_file",
+                      F.regexp_replace(F.col("_metadata.file_path"),
+                                       "^file:/+", "/"))
+          .join(F.broadcast(pv_df), "__delta_file"))
+    df = df.select(*[
+        F.col(f"__pv_{n}").cast(by_name[n].dataType).alias(n)
+        if n in pcols else F.col(n)
+        for n in [f.name for f in schema.fields]])
+    t = catalog.create_table(dest_ident, schema, partition_by=list(pcols))
     t.append(df)
     n = len(t.scan().plan_files().files)
     return t, n, True

@@ -886,7 +886,11 @@ class SqlEngine:
         dest = self._arg(a, "table", 1)
         path = re.sub(r"^parquet\.", "", str(src)).strip("`")
         df = self.spark.read.parquet(path)
-        t = self.catalog.create_table(dest, df.schema)
+        # by-reference snapshot: the source still owns the files, so
+        # file-deleting maintenance must refuse (SnapshotTableSparkAction
+        # sets gc.enabled=false the same way)
+        t = self.catalog.create_table(dest, df.schema,
+                                      properties={"gc.enabled": "false"})
         t.add_files(path)
         return self._rows([Row(imported_files_count=None)],
                           "imported_files_count long")

@@ -153,3 +153,89 @@ def test_checkpointed_log_replays(catalog, spark, tmp_path):
     t = catalog.load_table("db.from_ckpt")
     got = sorted(r.id for r in t.to_df().collect())
     assert got == list(range(80, 90))  # only part-2 survives
+
+
+def test_unsupported_delta_features_fail_loudly(catalog, spark, tmp_path):
+    import pytest as _pytest
+
+    from iceberg_spark.sources.delta import snapshot_delta_table
+
+    # deletion vector on an add action
+    root = str(tmp_path / "d_dv")
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 0, [_meta([("id", "long")]),
+                           {"add": {"path": "f.parquet", "partitionValues": {},
+                                    "size": 1, "dataChange": True,
+                                    "deletionVector": {"storageType": "u"}}}])
+    with _pytest.raises(NotImplementedError, match="deletion vector"):
+        snapshot_delta_table(catalog, root, "db.ddv")
+
+    # reader protocol v3 with features
+    root2 = str(tmp_path / "d_proto")
+    log2 = os.path.join(root2, "_delta_log")
+    _write_commit(log2, 0, [{"protocol": {"minReaderVersion": 3,
+                                          "readerFeatures": ["deletionVectors"]}},
+                            _meta([("id", "long")])])
+    with _pytest.raises(NotImplementedError, match="protocol"):
+        snapshot_delta_table(catalog, root2, "db.dproto")
+
+    # column mapping
+    root3 = str(tmp_path / "d_cmap")
+    log3 = os.path.join(root3, "_delta_log")
+    m3 = _meta([("id", "long")])
+    m3["metaData"]["configuration"] = {"delta.columnMapping.mode": "name"}
+    _write_commit(log3, 0, [m3])
+    with _pytest.raises(NotImplementedError, match="column mapping"):
+        snapshot_delta_table(catalog, root3, "db.dcmap")
+
+
+def test_by_reference_snapshot_blocks_gc(catalog, spark, tmp_path):
+    """Maintenance must never delete a by-reference source's files."""
+    import pytest as _pytest
+
+    from iceberg_spark.maintenance import (delete_reachable_files,
+                                           expire_snapshots,
+                                           remove_orphan_files)
+
+    root = str(tmp_path / "delta_gc")
+    _mk_unpartitioned_delta(spark, root)
+    catalog.sql(
+        f"CALL system.snapshot_delta_lake_table("
+        f"source_table => 'delta.`{root}`', table => 'db.gcref')")
+    t = catalog.load_table("db.gcref")
+    assert t.metadata.properties.get("gc.enabled") == "false"
+    with _pytest.raises(ValueError, match="GC is disabled"):
+        expire_snapshots(t)
+    with _pytest.raises(ValueError, match="GC is disabled"):
+        delete_reachable_files(t)
+    with _pytest.raises(ValueError, match="GC is disabled"):
+        remove_orphan_files(t)
+    # dry-run planning is still allowed
+    res = delete_reachable_files(t, dry_run=True)
+    assert res["deleted_data_files_count"] >= 1
+
+
+def test_partition_values_from_log_not_directories(catalog, spark, tmp_path):
+    """Partition values must come from add.partitionValues — a flat (non
+    hive-layout) partitioned Delta table imports correctly."""
+    root = str(tmp_path / "delta_flat")
+    os.makedirs(root)
+    names = []
+    for p in range(3):
+        d = spark.range(p * 10, p * 10 + 10).select(
+            F.col("id"), (F.col("id") * 2).alias("v"))
+        sub = os.path.join(root, f"flat-{p}")
+        d.coalesce(1).write.parquet(sub)
+        f = [x for x in os.listdir(sub) if x.endswith(".parquet")][0]
+        names.append((f"flat-{p}/{f}", str(p)))
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 0, [_meta([("id", "long"), ("v", "long"),
+                                  ("p", "long")], ["p"])]
+                  + [_add(n, {"p": pv}) for n, pv in names])
+    res = catalog.sql(
+        f"CALL system.snapshot_delta_lake_table("
+        f"source_table => 'delta.`{root}`', table => 'db.flatp')").collect()
+    assert res[0].rewritten is True
+    t = catalog.load_table("db.flatp")
+    got = sorted((r.id, r.p) for r in t.to_df().collect())
+    assert got == [(i, i // 10) for i in range(30)]
