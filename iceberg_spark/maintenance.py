@@ -369,6 +369,30 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
         and entry_count(kept_mans) + entry_count(e_only)
         > DISTRIBUTED_ENTRY_THRESHOLD)
 
+    # statistics files of expired snapshots expire with them
+    # (RemoveSnapshots.java deleteExpiredStatisticsFiles; procedure output
+    # deleted_statistics_files_count)
+    def _live_stats(entries):
+        keep, drop = [], []
+        for e in entries:
+            sid = e.get("snapshot-id")
+            (keep if sid is None or sid in keep_ids else drop).append(e)
+        return tuple(keep), drop
+
+    new_stats, dead_stats = _live_stats(m.statistics_files)
+    new_pstats, dead_pstats = _live_stats(m.partition_statistics_files)
+
+    # commit the retention FIRST: if the commit fails, no file has been
+    # unlinked and the still-current metadata stays fully readable; file
+    # cleanup below is safe because the new metadata no longer references
+    # anything we delete (RemoveSnapshots commits, then cleanExpiredFiles)
+    new_snapshots = tuple(s for s in m.snapshots if s.snapshot_id in keep_ids)
+    new_log = tuple(e for e in m.snapshot_log if e[1] in keep_ids)
+    table._commit_metadata(replace(m, snapshots=new_snapshots,
+                                   snapshot_log=new_log, refs=retained_refs,
+                                   statistics_files=new_stats,
+                                   partition_statistics_files=new_pstats))
+
     n_dead_data = 0
     deleted = 0
 
@@ -408,31 +432,11 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     if delete_files:
         for p in (e_mls - k_mls) | dead_mans:
             _unlink(p)
-
-    # statistics files of expired snapshots expire with them
-    # (RemoveSnapshots.java deleteExpiredStatisticsFiles; procedure output
-    # deleted_statistics_files_count)
-    def _live_stats(entries):
-        keep, drop = [], []
-        for e in entries:
-            sid = e.get("snapshot-id")
-            (keep if sid is None or sid in keep_ids else drop).append(e)
-        return tuple(keep), drop
-
-    new_stats, dead_stats = _live_stats(m.statistics_files)
-    new_pstats, dead_pstats = _live_stats(m.partition_statistics_files)
-    if delete_files:
         for e in dead_stats + dead_pstats:
             p = e.get("statistics-path") or e.get("path")
             if p:
                 _unlink(p)
 
-    new_snapshots = tuple(s for s in m.snapshots if s.snapshot_id in keep_ids)
-    new_log = tuple(e for e in m.snapshot_log if e[1] in keep_ids)
-    table._commit_metadata(replace(m, snapshots=new_snapshots,
-                                   snapshot_log=new_log, refs=retained_refs,
-                                   statistics_files=new_stats,
-                                   partition_statistics_files=new_pstats))
     return {"expired_snapshots": len(expired), "deleted_files": deleted,
             # reference procedure output names (ExpireSnapshotsProcedure.java)
             "deleted_data_files": n_dead_data,
@@ -807,20 +811,24 @@ def compute_table_stats(table, columns=None) -> dict:
              "ndv": stats["ndv"]}
     # setStatistics semantics (reference UpdateStatistics): one entry per
     # snapshot — replace any existing entry for this snapshot and drop its
-    # superseded file (orphan cleanup never walks metadata/stats)
-    kept = []
+    # superseded file (orphan cleanup never walks metadata/stats). The
+    # superseded file is unlinked only AFTER the commit succeeds: a failed
+    # commit must leave the still-current metadata's stats file intact.
+    kept, superseded = [], []
     for e in m.statistics_files:
         if e.get("snapshot-id") == stats["snapshot-id"]:
             old = e.get("statistics-path")
             if old and old != path:
-                try:
-                    os.unlink(old)
-                except OSError:
-                    pass
+                superseded.append(old)
         else:
             kept.append(e)
     table._commit_metadata(replace(
         m, statistics_files=tuple(kept) + (entry,)))
+    for old in superseded:
+        try:
+            os.unlink(old)
+        except OSError:
+            pass
     return stats
 
 

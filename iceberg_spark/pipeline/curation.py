@@ -252,11 +252,14 @@ MIX_A = 48271       # MINSTD multiplier
 
 
 def mix_gate_py(doc_id: int) -> int:
-    """(doc_id mod M) * A mod M mod 1000 — the shared keep gate. Folding
-    to 31 bits first keeps the product under 2^63, so the identical
-    arithmetic runs overflow-free (and ANSI-safe) in Spark, DuckDB, and
-    Python at any doc_id."""
-    return (doc_id % MIX_M) * MIX_A % MIX_M % 1000
+    """pmod(doc_id, M) * A mod M mod 1000 — the shared keep gate. The
+    first fold uses *positive* mod (pmod) so negative doc_ids land on the
+    same non-negative residue in every engine (Python's `%` floors while
+    Spark/DuckDB truncate toward zero — they only agree on non-negative
+    operands). After the fold everything is non-negative, the product
+    stays under 2^63, and the identical arithmetic runs overflow-free
+    (and ANSI-safe) in Spark, DuckDB, and Python at any doc_id."""
+    return (doc_id % MIX_M + MIX_M) % MIX_M * MIX_A % MIX_M % 1000
 
 
 def domain_mix_sample(spark, sf_dir):
@@ -267,7 +270,7 @@ def domain_mix_sample(spark, sf_dir):
     retry) derives the identical sample with no RNG state. Rowwise filter
     -> zero shuffle before the rollup."""
     docs = engine_docs(spark, sf_dir).select("doc_id", "text", "lang", "source")
-    gate = (F.col("doc_id") % F.lit(MIX_M)) * F.lit(MIX_A) % F.lit(MIX_M) % F.lit(1000)
+    gate = F.pmod(F.col("doc_id"), F.lit(MIX_M)) * F.lit(MIX_A) % F.lit(MIX_M) % F.lit(1000)
     rate = F.lit(MIX_DEFAULT_PERMILLE)
     for lang, pm in MIX_PERMILLE.items():
         rate = F.when(F.col("lang") == lang, F.lit(pm)).otherwise(rate)
@@ -287,7 +290,7 @@ DOMAIN_MIX_SQL = f"""
 SELECT source, lang, COUNT(*) AS n_kept,
        CAST(SUM(len({tokens_sql()})) AS BIGINT) AS tokens_kept
 FROM documents
-WHERE (doc_id % {MIX_M}) * {MIX_A} % {MIX_M} % 1000 < {_MIX_RATE_SQL}
+WHERE (doc_id % {MIX_M} + {MIX_M}) % {MIX_M} * {MIX_A} % {MIX_M} % 1000 < {_MIX_RATE_SQL}
 GROUP BY source, lang ORDER BY source, lang
 """
 

@@ -74,7 +74,10 @@ def read_puffin(path: str):
     # validate size and the footer's leading magic BEFORE parsing, so a
     # truncated/garbled file raises the corrupt-footer error, not an
     # opaque JSONDecodeError from a nonsense slice
-    if payload_size < 0 or payload_size + 16 > len(raw):
+    # minimum file = leading magic (4) + footer magic (4) + payload +
+    # size (4) + flags (4) + trailing magic (4) = payload + 20; a check of
+    # +16 would let the footer-magic slice alias the file's leading magic
+    if payload_size < 0 or payload_size + 20 > len(raw):
         raise ValueError(f"corrupt Puffin footer (payload size): {path}")
     if raw[-12 - payload_size - 4:-12 - payload_size] != MAGIC:
         raise ValueError(f"corrupt Puffin footer: {path}")

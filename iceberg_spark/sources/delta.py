@@ -132,6 +132,15 @@ def _read_log(location: str):
         and int(f[: -len(".json")]) > ckpt_version)
     if not versions and ckpt_version < 0:
         raise ValueError(f"empty Delta log: {log_dir}")
+    # Delta log reconstruction requires a gapless commit sequence starting
+    # right after the checkpoint (or at 0 with no checkpoint); a missing
+    # intermediate commit means the replayed file set is WRONG, not partial
+    vnums = [int(f[: -len(".json")]) for f in versions]
+    expect = list(range(ckpt_version + 1, ckpt_version + 1 + len(vnums)))
+    if vnums != expect:
+        raise ValueError(
+            f"Delta log has version gaps after checkpoint {ckpt_version}: "
+            f"found {vnums}, expected consecutive {expect} ({log_dir})")
     for fn in versions:
         with open(os.path.join(log_dir, fn)) as fh:
             for line in fh:
@@ -184,10 +193,15 @@ def snapshot_delta_table(catalog, source_location: str, dest_ident: str):
         + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in pcols])
     pv_rows = [(p,) + tuple(files[p].get(c) for c in pcols) for p in paths]
     pv_df = spark.createDataFrame(pv_rows, pv_schema)
+    # `_metadata.file_path` is URI-encoded (spaces as %20 etc.) while the
+    # pv_df paths are unquote()d plain paths — decode before joining, or a
+    # location with special characters silently drops every row of the
+    # affected file at the inner join
     df = (spark.read.schema(data_schema).parquet(*paths)
           .withColumn("__delta_file",
-                      F.regexp_replace(F.col("_metadata.file_path"),
-                                       "^file:/+", "/"))
+                      F.url_decode(
+                          F.regexp_replace(F.col("_metadata.file_path"),
+                                           "^file:/+", "/")))
           .join(F.broadcast(pv_df), "__delta_file"))
     df = df.select(*[
         F.col(f"__pv_{n}").cast(by_name[n].dataType).alias(n)
@@ -195,5 +209,27 @@ def snapshot_delta_table(catalog, source_location: str, dest_ident: str):
         for n in [f.name for f in schema.fields]])
     t = catalog.create_table(dest_ident, schema, partition_by=list(pcols))
     t.append(df)
+    # loud post-check on ROWS, not just files: the appended record count
+    # (from write metrics in the snapshot summary — no extra scan) must
+    # equal the source row count (parquet footer sums, distributed)
+    import pandas as _pd
+
+    def _footer_rows(batches):
+        import pyarrow.parquet as _pq
+        for b in batches:
+            yield _pd.DataFrame(
+                {"n": [_pq.ParquetFile(p).metadata.num_rows
+                       for p in b["p"]]})
+
+    n_src = (spark.createDataFrame([(p,) for p in paths], "p: string")
+             .repartition(min(len(paths), 64))
+             .mapInPandas(_footer_rows, "n: long")
+             .agg(F.sum("n")).collect()[0][0] or 0)
+    n_app = int(t.metadata.current_snapshot().summary.get("added-records", "-1"))
+    if n_app != n_src:
+        raise ValueError(
+            f"Delta import row-count mismatch: source files hold {n_src} "
+            f"rows but {n_app} were imported — partition-value join "
+            f"dropped rows (path encoding mismatch?) for {source_location}")
     n = len(t.scan().plan_files().files)
     return t, n, True

@@ -109,6 +109,28 @@ def test_mix_gate_no_overflow_at_huge_ids(spark):
 
     ids = [2**31, 2**32 + 7, 2**62 + 12345, 3_470_000_000_123]
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
-    gate = (F.col("doc_id") % F.lit(MIX_M)) * F.lit(MIX_A) % F.lit(MIX_M) % F.lit(1000)
+    gate = F.pmod(F.col("doc_id"), F.lit(MIX_M)) * F.lit(MIX_A) % F.lit(MIX_M) % F.lit(1000)
     got = [r.g for r in df.select(gate.alias("g")).collect()]
     assert got == [mix_gate_py(i) for i in ids]
+
+
+def test_mix_gate_negative_ids_cross_engine(spark):
+    """Python `%` floors, Spark/DuckDB `%` truncate toward zero — the
+    pmod fold makes the gate identical in all three engines even for
+    negative doc_ids."""
+    import duckdb
+
+    from iceberg_spark.pipeline.curation import MIX_A, MIX_M, mix_gate_py
+
+    ids = [-1, -7, -(2**31), -(2**40 + 3), 0, 5]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    gate = F.pmod(F.col("doc_id"), F.lit(MIX_M)) * F.lit(MIX_A) % F.lit(MIX_M) % F.lit(1000)
+    spark_got = [r.g for r in df.select(gate.alias("g")).collect()]
+    duck_got = [
+        duckdb.sql(
+            f"SELECT (CAST({i} AS BIGINT) % {MIX_M} + {MIX_M}) % {MIX_M} * {MIX_A} "
+            f"% {MIX_M} % 1000").fetchone()[0]
+        for i in ids]
+    py_got = [mix_gate_py(i) for i in ids]
+    assert spark_got == py_got == duck_got
+    assert all(0 <= g < 1000 for g in py_got)

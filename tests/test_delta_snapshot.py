@@ -239,3 +239,50 @@ def test_partition_values_from_log_not_directories(catalog, spark, tmp_path):
     t = catalog.load_table("db.flatp")
     got = sorted((r.id, r.p) for r in t.to_df().collect())
     assert got == [(i, i // 10) for i in range(30)]
+
+
+def test_log_version_gap_fails_loudly(catalog, spark, tmp_path):
+    """A missing intermediate commit (00..01.json absent between 0 and 2)
+    must error — replaying a gapped log yields a WRONG file set."""
+    import pytest
+
+    root = str(tmp_path / "delta_gap")
+    d = spark.range(0, 10).select(F.col("id"), (F.col("id") * 2).alias("v"))
+    sub = os.path.join(root, "part-0")
+    d.coalesce(1).write.parquet(sub)
+    f = [x for x in os.listdir(sub) if x.endswith(".parquet")][0]
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 0, [_meta([("id", "long"), ("v", "long")]),
+                           _add(f"part-0/{f}")])
+    _write_commit(log, 2, [_add(f"part-0/{f}")])  # version 1 missing
+    with pytest.raises(ValueError, match="version gaps"):
+        catalog.sql(
+            f"CALL system.snapshot_delta_lake_table("
+            f"source_table => 'delta.`{root}`', table => 'db.gapped')")
+
+
+def test_partitioned_import_special_char_location(catalog, spark, tmp_path):
+    """A table location with a space: `_metadata.file_path` is URI-encoded
+    (%20) — the import must URL-decode before the partition-value join or
+    every row silently drops; the row-count post-check backstops it."""
+    root = str(tmp_path / "delta with space")
+    os.makedirs(root)
+    names = []
+    for p in range(2):
+        d = spark.range(p * 5, p * 5 + 5).select(
+            F.col("id"), (F.col("id") * 2).alias("v"))
+        sub = os.path.join(root, f"f-{p}")
+        d.coalesce(1).write.parquet(sub)
+        f = [x for x in os.listdir(sub) if x.endswith(".parquet")][0]
+        names.append((f"f-{p}/{f}", str(p)))
+    log = os.path.join(root, "_delta_log")
+    _write_commit(log, 0, [_meta([("id", "long"), ("v", "long"),
+                                  ("p", "long")], ["p"])]
+                  + [_add(n, {"p": pv}) for n, pv in names])
+    res = catalog.sql(
+        f"CALL system.snapshot_delta_lake_table("
+        f"source_table => 'delta.`{root}`', table => 'db.spacey')").collect()
+    assert res[0].rewritten is True
+    t = catalog.load_table("db.spacey")
+    got = sorted((r.id, r.p) for r in t.to_df().collect())
+    assert got == [(i, i // 5) for i in range(10)]

@@ -77,3 +77,23 @@ def test_expire_drops_stats_of_expired_snapshots(catalog, spark):
     paths = [e["statistics-path"] for e in t.metadata.statistics_files]
     assert paths == [new_path]
     assert not os.path.exists(old_path) and os.path.exists(new_path)
+
+
+def test_puffin_truncated_footer_raises(tmp_path):
+    """A file whose payload_size+16 == len(raw) would alias the leading
+    file magic as the footer magic — the bounds check must reject it
+    before json.loads sees a garbage slice."""
+    import struct
+
+    import pytest
+
+    # craft: MAGIC + size(4) + flags(4) + MAGIC == 16 bytes total, and a
+    # payload_size claiming len(raw) - 16 (here 0 is valid, so claim more)
+    p = str(tmp_path / "trunc.puffin")
+    payload_claim = 4  # payload_size + 16 == 20 == len(raw): aliases magic
+    raw = MAGIC + struct.pack("<i", payload_claim) + b"\x00" * 4 + MAGIC
+    raw = MAGIC + raw  # 20 bytes: leading magic + 16-byte "footer"
+    with open(p, "wb") as fh:
+        fh.write(raw)
+    with pytest.raises(ValueError, match="corrupt Puffin footer"):
+        read_puffin(p)
