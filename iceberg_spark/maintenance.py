@@ -645,6 +645,12 @@ def remove_dangling_deletes(table) -> int:
     # table relocation (matches the scan-side _data_rel normalization)
     live_paths = {_data_rel(e.file.file_path) for e in plan.files}
     min_data_seq = min((e.sequence_number for e in plan.files), default=0)
+    # one Puffin file can hold DVs for MANY data files, and removal is by
+    # path — so a shared container is dangling only when EVERY vector in
+    # it references a dead file (the reference likewise never rewrites
+    # Puffin files on data-file removal, format/spec.md:1364)
+    puffin_total: dict = {}
+    puffin_dead: dict = {}
     dangling = set()
     for d in plan.pos_deletes:
         st = d.file.stats.get("file_path")
@@ -653,6 +659,12 @@ def remove_dangling_deletes(table) -> int:
             refs = {_data_rel(d.file.referenced_data_file)}
         elif st and st[0] is not None and st[0] == st[1]:
             refs = {_data_rel(st[0])}
+        if d.file.file_format == "puffin":
+            p = d.file.file_path
+            puffin_total[p] = puffin_total.get(p, 0) + 1
+            if refs is not None and not (refs & live_paths):
+                puffin_dead[p] = puffin_dead.get(p, 0) + 1
+            continue
         if refs is not None:
             if not (refs & live_paths):
                 dangling.add(d.file.file_path)
@@ -662,6 +674,9 @@ def remove_dangling_deletes(table) -> int:
                      .select("file_path").distinct().collect()}
             if not (paths & live_paths):
                 dangling.add(d.file.file_path)
+    for p, total in puffin_total.items():
+        if puffin_dead.get(p, 0) == total:
+            dangling.add(p)
     for d in plan.eq_deletes:
         if d.sequence_number <= min_data_seq:
             dangling.add(d.file.file_path)
@@ -677,14 +692,18 @@ def rewrite_position_delete_files(table, to_dvs: bool = False) -> dict:
     format/spec.md:1372): exactly one delete blob per referenced data file
     with `referenced_data_file` set, so the planner attaches deletes by
     exact file match instead of range overlap."""
+    from .scan import pos_delete_rows_df
+
     plan = table.scan().plan_files()
     if not plan.pos_deletes:
         return {"rewritten": 0, "rewritten_delete_files": 0,
                 "added_delete_files": 0}
     spark = table.spark
     live = spark.createDataFrame([(e.file.file_path,) for e in plan.files], ["live_path"])
-    old = [d.file.file_path for d in plan.pos_deletes]
-    df = spark.read.parquet(*old).select("file_path", "pos")
+    old = sorted({d.file.file_path for d in plan.pos_deletes})
+    # format-agnostic read: parquet pos-deletes and existing Puffin DVs
+    # both expand to (file_path, pos) rows, so re-compaction of DVs works
+    df = pos_delete_rows_df(spark, plan.pos_deletes)
     kept = df.join(F.broadcast(live), df.file_path == live.live_path, "left_semi")
     if to_dvs:
         pos_files = _write_dvs(table, kept)
@@ -703,52 +722,74 @@ def rewrite_position_delete_files(table, to_dvs: bool = False) -> dict:
 
 
 def _write_dvs(table, kept) -> list:
-    """One delete blob per referenced data file (deletion-vector layout).
+    """Write kept (file_path, pos) delete rows as spec-encoded deletion
+    vectors: Puffin files holding one `deletion-vector-v1` roaring-bitmap
+    blob per referenced data file (format/spec.md:1372,
+    core/.../deletes/BaseDVFileWriter.java).
 
-    Spark job: cluster deletes by a hash of the referenced path and
-    partition the output by it — each leaf holds the (sorted) positions of
-    one data file. referenced_data_file is carried explicitly via the
-    __ref=<sha1> leaf directory and a (sha1 -> path) map collected from the
-    delete rows (one row per referenced file — plan-sized). Recovering it
-    from footer min/max is unsafe: truncated binary statistics
-    (parquet.statistics.truncate.length, very long paths) would yield a
-    ref that never matches the live-path set, silently skipping the DV
-    and resurrecting deleted rows (ADVICE r1)."""
+    Spark job: repartition the delete rows by referenced path so each
+    task holds complete position sets for its subset of files, then each
+    task writes ONE Puffin file containing the vectors for those files
+    (the reference's writer also packs many DVs per Puffin file). Only
+    the blob descriptors — one row per referenced data file, plan-sized —
+    come back to the driver, which builds the manifest entries with
+    `content_offset`/`content_size_in_bytes` exactly matching the Puffin
+    footer (spec requirement, format/spec.md:753)."""
     import os as _os
-    import re as _re
     import uuid as _u
 
-    from dataclasses import replace as _replace
+    import pandas as _pd
 
-    from .manifests import POSITION_DELETES, collect_data_files
-    from .schema import NestedField, Schema as S
+    from .manifests import DataFile, POSITION_DELETES
 
     out_dir = _os.path.join(table.location, "data", f"dvs-{_u.uuid4().hex}")
-    (kept.withColumn("__ref", F.sha1(F.col("file_path")))
-         .repartition(F.col("__ref"))
-         .sortWithinPartitions("file_path", "pos")
-         .write.partitionBy("__ref").parquet(out_dir))
-    ref_map = {r["__ref"]: r["file_path"]
-               for r in kept.select(F.sha1(F.col("file_path")).alias("__ref"),
-                                    "file_path").distinct().collect()}
-    paths = [_os.path.join(r, f) for r, _d, fs in _os.walk(out_dir) for f in fs
-             if f.endswith(".parquet")]
-    del_schema = S((NestedField(2147483546, "file_path", "string", True),
-                    NestedField(2147483545, "pos", "long", True)))
-    files = collect_data_files(paths, del_schema, table.spec,
-                               content=POSITION_DELETES, spark=table.spark)
-    out = []
-    for f in files:
-        if f.record_count == 0:
-            continue
-        m = _re.search(r"__ref=([0-9a-f]+)", f.file_path)
-        ref = ref_map.get(m.group(1)) if m else None
-        if ref is None:
-            st = f.stats.get("file_path")  # fallback: untruncated stats
-            ref = st[0] if st and st[0] is not None and st[0] == st[1] else None
-        out.append(_replace(f, partition={}, referenced_data_file=ref,
-                            write_schema_id=table.schema.schema_id))
-    return out
+    _os.makedirs(out_dir, exist_ok=True)
+    n_refs = kept.select("file_path").distinct().count()
+    if n_refs == 0:
+        return []
+    n_parts = min(n_refs, 32)
+
+    def write_task(batches):
+        import numpy as _np
+
+        from .deletion_vectors import write_dv_puffin
+
+        by_ref: dict = {}
+        for b in batches:
+            for ref, grp in b.groupby("file_path", sort=False):
+                by_ref.setdefault(ref, []).append(
+                    grp["pos"].to_numpy(dtype=_np.int64))
+        if not by_ref:
+            return
+        path = _os.path.join(out_dir, f"dv-{_u.uuid4().hex}.puffin")
+        descs = write_dv_puffin(
+            path, {r: _np.concatenate(v) for r, v in by_ref.items()})
+        yield _pd.DataFrame({
+            "puffin_path": [path] * len(descs),
+            "ref": [d["referenced_data_file"] for d in descs],
+            "offset": [d["content_offset"] for d in descs],
+            "length": [d["content_size_in_bytes"] for d in descs],
+            "cardinality": [d["cardinality"] for d in descs],
+            "file_size": [d["file_size_in_bytes"] for d in descs],
+        })
+
+    descs = (kept.repartition(n_parts, "file_path")
+             .mapInPandas(write_task,
+                          "puffin_path string, ref string, offset long, "
+                          "length long, cardinality long, file_size long")
+             .collect())
+    return [
+        DataFile(
+            file_path=r["puffin_path"], file_format="puffin",
+            content=POSITION_DELETES, spec_id=table.spec.spec_id,
+            partition={}, record_count=r["cardinality"],
+            file_size_in_bytes=r["file_size"], stats={},
+            referenced_data_file=r["ref"],
+            write_schema_id=table.schema.schema_id,
+            content_offset=r["offset"],
+            content_size_in_bytes=r["length"])
+        for r in descs
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -100,6 +100,10 @@ class DataFile:
     referenced_data_file: Optional[str] = None
     write_schema_id: int = 0  # schema the file was written under (ID-based reads)
     first_row_id: Optional[int] = None  # row lineage (format/spec.md:460)
+    # deletion vectors (v3, format/spec.md:1382): blob offset/length inside
+    # the containing Puffin file; must exactly match the Puffin footer
+    content_offset: Optional[int] = None
+    content_size_in_bytes: Optional[int] = None
 
 
 @dataclass(frozen=True)
@@ -244,6 +248,8 @@ def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
         pa.field("referenced_data_file", pa.string()),
         pa.field("write_schema_id", pa.int32()),
         pa.field("first_row_id", pa.int64()),
+        pa.field("content_offset", pa.int64()),
+        pa.field("content_size_in_bytes", pa.int64()),
     ]
     for name, ptype in spec.partition_type(schema):
         fields.append(pa.field(f"p_{name}", _type_to_arrow(ptype)))
@@ -299,6 +305,8 @@ def write_manifest(
             if relative else f.referenced_data_file)
         cols["write_schema_id"].append(f.write_schema_id)
         cols["first_row_id"].append(f.first_row_id)
+        cols["content_offset"].append(f.content_offset)
+        cols["content_size_in_bytes"].append(f.content_size_in_bytes)
         for n in pnames:
             v = f.partition.get(n)
             cols[f"p_{n}"].append(v)
@@ -448,6 +456,11 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
                         d["referenced_data_file"][i], location),
                     write_schema_id=d.get("write_schema_id", [0]*n)[i] if isinstance(d.get("write_schema_id"), list) else 0,
                     first_row_id=d["first_row_id"][i] if "first_row_id" in d else None,
+                    content_offset=(d["content_offset"][i]
+                                    if "content_offset" in d else None),
+                    content_size_in_bytes=(d["content_size_in_bytes"][i]
+                                           if "content_size_in_bytes" in d
+                                           else None),
                 ),
             )
         )
@@ -486,6 +499,8 @@ def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
                                               location),
             write_schema_id=rd.get("write_schema_id") or 0,
             first_row_id=rd.get("first_row_id"),
+            content_offset=rd.get("content_offset"),
+            content_size_in_bytes=rd.get("content_size_in_bytes"),
         ),
     )
 

@@ -222,15 +222,17 @@ def _metadata_log_entries(table) -> DataFrame:
 def _position_deletes(table) -> DataFrame:
     """Row-level view of all live position deletes
     (core/.../PositionDeletesTable.java)."""
+    from .scan import pos_delete_rows_df
+
     plan = table.scan().plan_files()
-    paths = [e.file.file_path for e in plan.pos_deletes]
-    if not paths:
+    if not plan.pos_deletes:
         schema = T.StructType([
             T.StructField("file_path", T.StringType()),
             T.StructField("pos", T.LongType()),
         ])
         return table.spark.createDataFrame([], schema)
-    return table.spark.read.parquet(*paths).select("file_path", "pos")
+    # format-agnostic: parquet pos-delete files and Puffin deletion vectors
+    return pos_delete_rows_df(table.spark, plan.pos_deletes)
 
 
 _BUILDERS = {

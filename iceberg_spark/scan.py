@@ -698,7 +698,56 @@ def _conf_int(spark, key: str, default: int) -> int:
 
 
 def _pos_delete_bytes(plan: ScanPlan) -> int:
-    return sum(d.file.file_size_in_bytes or 0 for d in plan.pos_deletes)
+    # a DV entry's cost is its blob (content_size_in_bytes), not the whole
+    # Puffin file it shares with other vectors
+    return sum(
+        (d.file.content_size_in_bytes
+         if d.file.content_size_in_bytes is not None
+         else d.file.file_size_in_bytes) or 0
+        for d in plan.pos_deletes)
+
+
+def _is_dv(f) -> bool:
+    return f.file_format == "puffin" and f.content_offset is not None
+
+
+def pos_delete_rows_df(spark, deletes):
+    """All deleted (file_path, pos) rows of a pos-delete entry list as one
+    DataFrame, whatever the physical encoding: parquet position-delete
+    files read natively; Puffin deletion-vector-v1 blobs expanded on
+    executors (Arrow-batched, one blob per referenced file — the blob read
+    is an offset/length seek, never a full-file parse)."""
+    import pandas as _pd
+
+    pq_paths = sorted({d.file.file_path for d in deletes
+                       if not _is_dv(d.file)})
+    dv_rows = [(d.file.file_path, int(d.file.content_offset),
+                int(d.file.content_size_in_bytes),
+                d.file.referenced_data_file)
+               for d in deletes if _is_dv(d.file)]
+    dfs = []
+    if pq_paths:
+        # explicit schema: skips the inference job spark.read would run
+        dfs.append(spark.read.schema("file_path string, pos long")
+                   .parquet(*pq_paths).select("file_path", "pos"))
+    if dv_rows:
+        def expand(batches):
+            from .deletion_vectors import read_dv_positions
+            for b in batches:
+                for p, o, ln, ref in zip(b["p"], b["o"], b["l"], b["ref"]):
+                    yield _pd.DataFrame(
+                        {"file_path": ref,
+                         "pos": read_dv_positions(p, int(o), int(ln))})
+
+        ddf = spark.createDataFrame(
+            dv_rows, "p string, o long, l long, ref string")
+        if len(dv_rows) > 1:
+            ddf = ddf.repartition(min(len(dv_rows), 32))
+        dfs.append(ddf.mapInPandas(expand, "file_path string, pos long"))
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def _pos_delete_ranges(plan: ScanPlan):
@@ -719,6 +768,17 @@ def _pos_delete_ranges(plan: ScanPlan):
     cap = POS_DELETE_MAX_LITERAL_RANGES
     by_file: dict = {}
     for d in plan.pos_deletes:
+        if _is_dv(d.file):
+            # deletion vector: one seek to the manifest-tracked blob
+            from .deletion_vectors import read_dv_positions
+
+            tgt = rel_live.get(_data_rel(d.file.referenced_data_file))
+            if tgt is not None:
+                by_file.setdefault(tgt, []).extend(
+                    read_dv_positions(d.file.file_path,
+                                      d.file.content_offset,
+                                      d.file.content_size_in_bytes).tolist())
+            continue
         t = pq.read_table(d.file.file_path, columns=["file_path", "pos"])
         fps = t.column("file_path").to_pylist()
         poss = t.column("pos").to_numpy(zero_copy_only=False)
@@ -924,14 +984,9 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 spark, "spark.iceberg_spark.mor.posDeleteBroadcastBytes",
                 POS_DELETE_BROADCAST_BYTES)
             total_bytes = _pos_delete_bytes(plan)
-            del_paths = [d.file.file_path for d in plan.pos_deletes]
-            # explicit schema: skips the inference job spark.read would run
-            pos_df = (
-                spark.read.schema("file_path string, pos long")
-                .parquet(*del_paths)
-                .select(F.col("file_path").alias("__del_file"),
-                        F.col("pos").alias("__del_pos"))
-            )
+            pos_df = pos_delete_rows_df(spark, plan.pos_deletes).select(
+                F.col("file_path").alias("__del_file"),
+                F.col("pos").alias("__del_pos"))
             # suffix-normalized path equality (see _data_rel): survives
             # table relocation while staying a plain hash-join key
             anti_cond = (

@@ -48,3 +48,153 @@ def test_dv_pruning_skips_unrelated_deletes(catalog, spark):
     assert len(plan0.pos_deletes) >= 1
     rows = t.scan(filter=col("p") == 0).df().collect()
     assert sorted(r.id for r in rows) == [0, 3]
+
+
+def test_dv_puffin_byte_layout(catalog, spark):
+    """The rewritten DVs are spec-encoded: Puffin container, blob at the
+    manifest-tracked offset/length, framed len+magic+vector+CRC
+    (format/puffin-spec.md deletion-vector-v1)."""
+    import struct
+    import zlib
+
+    from iceberg_spark.deletion_vectors import DV_MAGIC, DV_V1, parse_dv_blob
+    from iceberg_spark.puffin import MAGIC, read_puffin
+
+    t = _seed(catalog, spark)
+    t.delete_where(col("id").isin(1, 3, 5), mode="merge-on-read")
+    rewrite_position_delete_files(t, to_dvs=True)
+    t = catalog.load_table("dv.t")
+    plan = t.scan().plan_files()
+    assert plan.pos_deletes, "expected DVs after rewrite"
+    for d in plan.pos_deletes:
+        f = d.file
+        assert f.file_format == "puffin"
+        assert f.content_offset is not None and f.content_size_in_bytes
+        raw = open(f.file_path, "rb").read()
+        assert raw[:4] == MAGIC and raw[-4:] == MAGIC
+        # manifest offset/length must exactly match the Puffin footer
+        meta, _ = read_puffin(f.file_path)
+        bm = [b for b in meta["blobs"]
+              if b["offset"] == f.content_offset]
+        assert len(bm) == 1 and bm[0]["length"] == f.content_size_in_bytes
+        assert bm[0]["type"] == DV_V1
+        assert bm[0]["snapshot-id"] == -1 and bm[0]["sequence-number"] == -1
+        props = bm[0].get("properties", {})
+        assert props.get("referenced-data-file") == f.referenced_data_file
+        blob = raw[f.content_offset:f.content_offset + f.content_size_in_bytes]
+        (ln,) = struct.unpack_from(">i", blob, 0)
+        assert ln + 8 == len(blob) and blob[4:8] == DV_MAGIC
+        (crc,) = struct.unpack_from(">I", blob, len(blob) - 4)
+        assert crc == (zlib.crc32(blob[4:-4]) & 0xFFFFFFFF)
+        positions = parse_dv_blob(blob)
+        assert len(positions) == f.record_count == int(props["cardinality"])
+
+
+def test_dv_roundtrip_serialization():
+    """Unit: portable-64-bit roaring across container kinds + framing."""
+    import numpy as np
+    import pytest
+
+    from iceberg_spark.deletion_vectors import dv_blob, parse_dv_blob
+
+    rng = np.random.default_rng(7)
+    cases = [
+        np.array([], dtype=np.int64),
+        np.array([0]),
+        np.array([5, 5, 7, 100000]),                       # dup collapses
+        rng.choice(1_000_000, 200_000, replace=False),     # bitmap containers
+        rng.choice(2**40, 5_000, replace=False),           # 64-bit keys
+        np.arange(70_000),                                 # container boundary
+    ]
+    for c in cases:
+        want = np.unique(np.asarray(c, dtype=np.int64))
+        assert np.array_equal(parse_dv_blob(dv_blob(c)), want)
+    corrupted = bytearray(dv_blob(np.arange(100)))
+    corrupted[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        parse_dv_blob(bytes(corrupted))
+    with pytest.raises(ValueError):
+        dv_blob(np.array([-1]))
+
+
+def test_dv_reader_accepts_run_containers():
+    """Reference-written vectors may use the run-container roaring format
+    (cookie 12347) — the reader must parse it although the writer never
+    emits it."""
+    import struct
+
+    import numpy as np
+
+    from iceberg_spark.deletion_vectors import deserialize_positions
+
+    # hand-craft: one 32-bit map (key 0) with 2 containers: a run
+    # container [10..20] in high-key 0, and an array container {1, 2} in
+    # high-key 1. cookie 12347, size=2 < NO_OFFSET_THRESHOLD -> no offsets
+    body = struct.pack("<HH", 12347, 1)            # cookie, size-1
+    body += bytes([0b00000001])                    # container 0 is a run
+    body += struct.pack("<HH", 0, 10)              # key 0, card-1 = 10
+    body += struct.pack("<HH", 1, 1)               # key 1, card-1 = 1
+    body += struct.pack("<HHH", 1, 10, 10)         # 1 run: start 10 len-1 10
+    body += struct.pack("<HH", 1, 2)               # array {1,2}
+    vec = struct.pack("<q", 1) + struct.pack("<I", 0) + body
+    got = deserialize_positions(vec)
+    want = np.concatenate([np.arange(10, 21), [65537, 65538]])
+    assert np.array_equal(got, want.astype(np.int64))
+
+
+def test_dv_large_delete_distributed_tier(catalog, spark):
+    """A DV big enough to skip the driver tier still applies correctly via
+    the executor-expanded anti-join path."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20000).select(
+        F.col("id"), (F.col("id") % 2).alias("p"),
+        F.col("id").cast("double").alias("v"))
+    t = catalog.create_table(
+        "dv.big", df.schema, partition_by=["p"],
+        properties={"write.delete.mode": "merge-on-read"})
+    t.append(df)
+    t.delete_where(col("id") < 6666, mode="merge-on-read")
+    rewrite_position_delete_files(t, to_dvs=True)
+    t = catalog.load_table("dv.big")
+    # force the join tier by shrinking the driver threshold to zero
+    spark.conf.set("spark.iceberg_spark.mor.posDeleteDriverBytes", "0")
+    try:
+        n = t.to_df().count()
+    finally:
+        spark.conf.unset("spark.iceberg_spark.mor.posDeleteDriverBytes")
+    assert n == 20000 - 6666
+
+
+def test_position_deletes_metadata_table_reads_dvs(catalog, spark):
+    t = _seed(catalog, spark, rows=12)
+    t.delete_where(col("id").isin(2, 7, 9), mode="merge-on-read")
+    rewrite_position_delete_files(t, to_dvs=True)
+    t = catalog.load_table("dv.t")
+    rows = t.metadata_table("position_deletes").collect()
+    assert len(rows) == 3
+    assert sorted(r.pos for r in rows) == sorted(
+        r.pos for r in rows)  # shape check; positions are per-file
+
+
+def test_dangling_keeps_shared_puffin_with_live_refs(catalog, spark):
+    """CoW-overwrite one partition after DV rewrite: the shared Puffin
+    file still holds a live partition's DV, so it must survive dangling
+    cleanup; once every referenced file dies, it goes."""
+    from iceberg_spark.maintenance import remove_dangling_deletes
+
+    t = _seed(catalog, spark, parts=2, rows=10)
+    t.delete_where(col("id").isin(0, 1, 3), mode="merge-on-read")
+    rewrite_position_delete_files(t, to_dvs=True)
+    t = catalog.load_table("dv.t")
+    before = sorted(r.id for r in t.to_df().collect())
+    # rewrite partition p=0's data files (CoW delete of remaining rows)
+    t.delete_where((col("p") == 0) & (col("id") >= 8), mode="copy-on-write")
+    t = t.refresh()
+    n = remove_dangling_deletes(t)
+    t = t.refresh()
+    plan = t.scan().plan_files()
+    # p=1's DV must still be attached (its data file is alive)
+    assert any(d.file.file_format == "puffin" for d in plan.pos_deletes)
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in before if not (i % 2 == 0 and i >= 8)]
