@@ -415,52 +415,100 @@ def _read_manifest_uncached(path: str, schema: Schema, spec: PartitionSpec,
 
 def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
                        location: Optional[str] = None) -> list:
-    d = t.to_pydict()
+    """Arrow manifest rows -> Python entries. This is the local-planning
+    hot loop (10k+ entries per plan), so columns are materialized lazily:
+    an absent or all-null column (arrow null_count is O(1) metadata) never
+    converts to a Python list and contributes a constant None instead —
+    manifests routinely carry many empty optional columns (delete-only
+    fields, stats of unfiltered columns, lineage)."""
     n = t.num_rows
-    pnames = [nm for nm, _ in spec.partition_type(schema)]
-    ptypes = dict(spec.partition_type(schema))
-    stat_fields = [(f, fid) for f, fid, _ in _stats_schema_fields(schema)
-                   if f"min_f{fid}" in t.column_names]
+    names = set(t.column_names)
+
+    def colvals(name):
+        """Python list for a column, or None when absent/all-null."""
+        if name not in names:
+            return None
+        c = t.column(name)
+        if c.null_count == n:
+            return None
+        return c.to_pylist()
+
+    pt = spec.partition_type(schema)
+    # (name, values-or-None, needs_tz_normalize)
+    pcols = [(nm, colvals(f"p_{nm}"), ty in ("timestamp", "timestamp_ntz"))
+             for nm, ty in pt if f"p_{nm}" in names]
+    # stats: skip a field entirely when all five columns are empty — every
+    # consumer reads via stats.get(name) and treats a missing key exactly
+    # like an all-None tuple (no pruning / no pushdown for that column)
+    stat_cols = []
+    for sf, fid, _ in _stats_schema_fields(schema):
+        if f"min_f{fid}" not in names:
+            continue
+        five = (colvals(f"min_f{fid}"), colvals(f"max_f{fid}"),
+                colvals(f"nulls_f{fid}"), colvals(f"nans_f{fid}"),
+                colvals(f"values_f{fid}"))
+        if all(v is None for v in five):
+            continue
+        stat_cols.append((sf.name, *five,
+                          sf.type in ("timestamp", "timestamp_ntz")))
+
+    status = colvals("status")
+    snap_id = colvals("snapshot_id")
+    seq = colvals("sequence_number")
+    content = colvals("content")
+    file_path = colvals("file_path")
+    file_format = colvals("file_format")
+    spec_id = colvals("spec_id")
+    record_count = colvals("record_count")
+    file_size = colvals("file_size_in_bytes")
+    eq_ids = colvals("equality_ids")
+    sort_oid = colvals("sort_order_id")
+    ref_file = colvals("referenced_data_file")
+    wschema = colvals("write_schema_id")
+    first_rid = colvals("first_row_id")
+    c_off = colvals("content_offset")
+    c_size = colvals("content_size_in_bytes")
+
     out = []
     for i in range(n):
-        partition = {
-            nm: _normalize(d[f"p_{nm}"][i], ptypes[nm]) for nm in pnames if f"p_{nm}" in d
-        }
+        partition = {}
+        for nm, vals, ts in pcols:
+            v = vals[i] if vals is not None else None
+            partition[nm] = _normalize(v, "timestamp") if ts else v
         stats = {}
-        for sf, fid in stat_fields:
-            stats[sf.name] = (
-                _normalize(d[f"min_f{fid}"][i], sf.type),
-                _normalize(d[f"max_f{fid}"][i], sf.type),
-                d[f"nulls_f{fid}"][i],
-                d[f"nans_f{fid}"][i],
-                d[f"values_f{fid}"][i],
-            )
-        eq = d["equality_ids"][i]
+        for nm, mnl, mxl, nnl, nal, vvl, ts in stat_cols:
+            mn = mnl[i] if mnl is not None else None
+            mx = mxl[i] if mxl is not None else None
+            if ts:
+                mn = _normalize(mn, "timestamp")
+                mx = _normalize(mx, "timestamp")
+            stats[nm] = (mn, mx,
+                         nnl[i] if nnl is not None else None,
+                         nal[i] if nal is not None else None,
+                         vvl[i] if vvl is not None else None)
+        eq = eq_ids[i] if eq_ids is not None else None
         out.append(
             ManifestEntry(
-                status=d["status"][i],
-                snapshot_id=d["snapshot_id"][i],
-                sequence_number=d["sequence_number"][i],
+                status=status[i],
+                snapshot_id=snap_id[i],
+                sequence_number=seq[i],
                 file=DataFile(
-                    file_path=resolve_path(d["file_path"][i], location),
-                    file_format=d["file_format"][i],
-                    content=d["content"][i],
-                    spec_id=d["spec_id"][i],
+                    file_path=resolve_path(file_path[i], location),
+                    file_format=file_format[i],
+                    content=content[i],
+                    spec_id=spec_id[i],
                     partition=partition,
-                    record_count=d["record_count"][i],
-                    file_size_in_bytes=d["file_size_in_bytes"][i],
+                    record_count=record_count[i],
+                    file_size_in_bytes=file_size[i],
                     stats=stats,
                     equality_ids=tuple(eq) if eq else (),
-                    sort_order_id=d["sort_order_id"][i],
+                    sort_order_id=sort_oid[i] if sort_oid is not None else None,
                     referenced_data_file=resolve_path(
-                        d["referenced_data_file"][i], location),
-                    write_schema_id=d.get("write_schema_id", [0]*n)[i] if isinstance(d.get("write_schema_id"), list) else 0,
-                    first_row_id=d["first_row_id"][i] if "first_row_id" in d else None,
-                    content_offset=(d["content_offset"][i]
-                                    if "content_offset" in d else None),
-                    content_size_in_bytes=(d["content_size_in_bytes"][i]
-                                           if "content_size_in_bytes" in d
-                                           else None),
+                        ref_file[i], location) if ref_file is not None else None,
+                    write_schema_id=(wschema[i] or 0) if wschema is not None else 0,
+                    first_row_id=first_rid[i] if first_rid is not None else None,
+                    content_offset=c_off[i] if c_off is not None else None,
+                    content_size_in_bytes=c_size[i] if c_size is not None else None,
                 ),
             )
         )

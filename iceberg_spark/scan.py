@@ -22,6 +22,19 @@ from __future__ import annotations
 
 import os
 from concurrent.futures import ThreadPoolExecutor
+
+_PLAN_EXECUTOR = None
+
+
+def _plan_executor() -> ThreadPoolExecutor:
+    """Shared planning thread pool. Spawning 16 threads per plan_files call
+    costs ~100ms under GIL contention at 10k-file scale — reuse one pool
+    for the life of the process (threads are idle between plans)."""
+    global _PLAN_EXECUTOR
+    if _PLAN_EXECUTOR is None:
+        _PLAN_EXECUTOR = ThreadPoolExecutor(
+            max_workers=16, thread_name_prefix="iceberg-plan")
+    return _PLAN_EXECUTOR
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -362,8 +375,7 @@ class TableScan:
             for m in manifests:
                 out.extend(rd(m))
             return out
-        with ThreadPoolExecutor(max_workers=16) as ex:
-            chunks = list(ex.map(rd, manifests))
+        chunks = list(_plan_executor().map(rd, manifests))
         return [e for c in chunks for e in c]
 
     def _read_entries_local_prefiltered(self, manifests, bound, proj_by_spec):
@@ -408,8 +420,7 @@ class TableScan:
             if len(manifests) <= 2:
                 chunks = [rd(m) for m in manifests]
             else:
-                with ThreadPoolExecutor(max_workers=16) as ex:
-                    chunks = list(ex.map(rd, manifests))
+                chunks = list(_plan_executor().map(rd, manifests))
         except Exception:
             return None  # unconvertible predicate / type mismatch
         if any(c is None for c in chunks):
