@@ -938,7 +938,8 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
             {**e, "statistics-path": map_path(e.get("statistics-path"))}
             for e in m.statistics_files),
         partition_statistics_files=tuple(
-            {**e, "path": map_path(e.get("path"))}
+            {**e, "statistics-path": map_path(
+                e.get("statistics-path") or e.get("path"))}
             for e in m.partition_statistics_files),
     )
     TableOperations(out_root).commit(None, new_meta)
@@ -948,16 +949,115 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
 
 
 def compute_partition_stats(table) -> str:
-    """Partition-stats file (format/spec.md:1233): per-partition rollup
-    written as Parquet next to the metadata."""
-    pdf = table.metadata_table("partitions")
+    """Partition statistics file with the SPEC's schema
+    (format/spec.md:1233, core/.../PartitionStatsHandler.java): one row
+    per unique partition tuple of the unified partition type (union of
+    all specs' fields, ascending field id), aggregated as ONE distributed
+    job over the manifest Parquet and written via df.write — the driver
+    never materializes the rollup."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from .metadata_df import unique_manifests
+    from .schema import type_to_spark
+
+    m = table.metadata
+    spark = table.spark
+    snap = m.current_snapshot()
+    schema = m.schema
+
+    # unified partition type: every field ever part of any spec, sorted
+    # ascending by partition field id (spec "unified partition type")
+    by_fid: dict = {}
+    for sp in m.partition_specs:
+        for f, (nm, ty) in zip(sp.fields, sp.partition_type(schema)):
+            by_fid.setdefault(f.field_id, (nm, ty))
+    ufields = [by_fid[fid] for fid in sorted(by_fid)]
+    if not ufields:
+        # PartitionStatsHandler.java:101 — the file's partition struct
+        # would be empty (unstorable in parquet) for an unpartitioned table
+        raise ValueError("table must be partitioned to compute partition stats")
+
+    manifests = unique_manifests([snap]) if snap else []
+    out_schema = T.StructType([
+        T.StructField("partition", T.StructType([
+            T.StructField(nm, type_to_spark(ty)) for nm, ty in ufields])),
+        T.StructField("spec_id", T.IntegerType()),
+        T.StructField("data_record_count", T.LongType()),
+        T.StructField("data_file_count", T.IntegerType()),
+        T.StructField("total_data_file_size_in_bytes", T.LongType()),
+        T.StructField("position_delete_record_count", T.LongType()),
+        T.StructField("position_delete_file_count", T.IntegerType()),
+        T.StructField("dv_count", T.IntegerType()),
+        T.StructField("equality_delete_record_count", T.LongType()),
+        T.StructField("equality_delete_file_count", T.IntegerType()),
+        T.StructField("total_record_count", T.LongType()),
+        T.StructField("last_updated_at", T.LongType()),
+        T.StructField("last_updated_snapshot_id", T.LongType()),
+    ])
+    if manifests:
+        df = spark.read.option("mergeSchema", "true").parquet(
+            *[mf.path for mf in manifests])
+        names = set(df.columns)
+        pcols = [
+            (F.col(f"p_{nm}") if f"p_{nm}" in names
+             else F.lit(None).cast(type_to_spark(ty))).alias(nm)
+            for nm, ty in ufields]
+        is_data = F.col("content") == DATA
+        is_pos = F.col("content") == POSITION_DELETES
+        is_dv = is_pos & (F.col("file_format") == "puffin")
+        is_eq = F.col("content") == 2
+        snap_ts = {s.snapshot_id: s.timestamp_ms for s in m.snapshots}
+        ts_map = (F.create_map(*[F.lit(x) for kv in snap_ts.items()
+                                 for x in kv])
+                  if snap_ts else F.lit(None))
+        stats = (
+            df.filter(F.col("status") != 2)  # live entries only
+            .groupBy(F.struct(*pcols).alias("partition"),
+                     F.col("spec_id").cast("int").alias("spec_id"))
+            .agg(
+                F.sum(F.when(is_data, F.col("record_count")).otherwise(0))
+                .alias("data_record_count"),
+                F.count(F.when(is_data, 1)).cast("int")
+                .alias("data_file_count"),
+                F.sum(F.when(is_data, F.col("file_size_in_bytes"))
+                      .otherwise(0)).alias("total_data_file_size_in_bytes"),
+                F.sum(F.when(is_pos, F.col("record_count")).otherwise(0))
+                .alias("position_delete_record_count"),
+                F.count(F.when(is_pos & ~is_dv, 1)).cast("int")
+                .alias("position_delete_file_count"),
+                F.count(F.when(is_dv, 1)).cast("int").alias("dv_count"),
+                F.sum(F.when(is_eq, F.col("record_count")).otherwise(0))
+                .alias("equality_delete_record_count"),
+                F.count(F.when(is_eq, 1)).cast("int")
+                .alias("equality_delete_file_count"),
+                F.lit(None).cast("long").alias("total_record_count"),
+                F.max_by("snapshot_id", "sequence_number")
+                .alias("__last_snap"))
+            .withColumn("last_updated_at",
+                        ts_map[F.col("__last_snap")].cast("long"))
+            .withColumnRenamed("__last_snap", "last_updated_snapshot_id")
+            .select(*[fld.name for fld in out_schema.fields])
+            # spec: rows sorted ascending, NULLS FIRST, by partition
+            .orderBy(*[F.col(f"partition.{nm}").asc_nulls_first()
+                       for nm, _ in ufields])
+        )
+    else:
+        stats = spark.createDataFrame([], out_schema)
+
     sdir = os.path.join(table.location, "metadata", "partition-stats")
     os.makedirs(sdir, exist_ok=True)
+    # one file per snapshot (spec); partition-count rows -> coalesce(1)
+    tmp = os.path.join(sdir, f"tmp-{_uuid.uuid4().hex}")
+    stats.coalesce(1).write.parquet(tmp)
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))
     path = os.path.join(sdir, f"pstats-{_uuid.uuid4().hex}.parquet")
-    pdf.toPandas().to_parquet(path)
-    m = table.metadata
-    snap = m.current_snapshot()
-    entry = {"snapshot-id": snap.snapshot_id if snap else None, "path": path}
+    if part:
+        _shutil.move(part[0], path)
+    _shutil.rmtree(tmp, ignore_errors=True)
+    entry = {"snapshot-id": snap.snapshot_id if snap else None,
+             "statistics-path": path,
+             "file-size-in-bytes": os.path.getsize(path) if part else 0}
     table._commit_metadata(
         replace(m, partition_statistics_files=m.partition_statistics_files + (entry,)))
     return path

@@ -647,10 +647,12 @@ def partition_stats_scan(spark, sf_dir):
         path = compute_partition_stats(t)
         _STATE[key] = path
     path = _STATE[key]
+    # spec-schema file: `partition` is the unified partition-type struct,
+    # counts use the spec field names (format/spec.md:1233)
     pdf = spark.read.parquet(path)
-    return (pdf.select(F.get_json_object("partition", "$.o_orderpriority")
+    return (pdf.select(F.col("partition.o_orderpriority")
                        .alias("o_orderpriority"),
-                       F.col("record_count").alias("n"))
+                       F.col("data_record_count").alias("n"))
             .orderBy("o_orderpriority"))
 
 

@@ -141,10 +141,36 @@ def test_compute_stats(catalog, spark):
     assert 45 <= stats["ndv"]["id"] <= 55
     from iceberg_spark.maintenance import compute_partition_stats
 
+    # unpartitioned tables are rejected (PartitionStatsHandler.java:101)
+    import pytest
+
+    with pytest.raises(ValueError, match="must be partitioned"):
+        compute_partition_stats(t)
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("p", T.IntegerType())
+    ])
+    t = catalog.create_table("db.stats_part", schema, partition_by=["p"])
+    t.append(spark.createDataFrame([(i, i % 5) for i in range(50)], schema))
     p = compute_partition_stats(t)
     import os
 
     assert os.path.exists(p)
+    # the file carries the SPEC's partition-statistics schema
+    # (format/spec.md:1233) as one parquet, unified partition struct first
+    pdf = spark.read.parquet(p)
+    assert pdf.columns == [
+        "partition", "spec_id", "data_record_count", "data_file_count",
+        "total_data_file_size_in_bytes", "position_delete_record_count",
+        "position_delete_file_count", "dv_count",
+        "equality_delete_record_count", "equality_delete_file_count",
+        "total_record_count", "last_updated_at", "last_updated_snapshot_id"]
+    rows = pdf.collect()
+    assert sum(r.data_record_count for r in rows) == 50
+    assert all(r.last_updated_snapshot_id is not None for r in rows)
+    # metadata entry uses the spec field names
+    e = t.refresh().metadata.partition_statistics_files[-1]
+    assert e["statistics-path"] == p and e["file-size-in-bytes"] > 0
 
 
 def test_incremental_append_scan(catalog, spark):
