@@ -128,6 +128,38 @@ def planning_benchmarks(spark, qtimes, timed):
     qtimes["maintenance_plan_10k"] = timed(maint_plan)
 
 
+def eq_delete_benchmarks(spark, qtimes, timed, sf_dir):
+    """MoR read with ~10% of rows equality-deleted on a non-key column
+    (the reference benches this separately from pos deletes:
+    spark/v4.0/spark/src/jmh/.../IcebergSourceParquetEqDeleteBenchmark.java).
+    Twin: orders_scan_no_deletes_baseline (same aggregation, no deletes);
+    gate <= 2x."""
+    import tempfile
+
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.table import Catalog
+    from iceberg_spark.writes import RowDelta
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="iceberg_spark_eqmor_bench_"))
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.create_table("bench.eq_orders", orders.schema)
+    t.append(orders)
+    # ~10% of customers -> ~10% of rows; deterministic, non-key column
+    keys = (orders.select("o_custkey").distinct()
+            .filter(F.col("o_custkey") % 10 == 0))
+    eq_files = write_equality_deletes(t, keys, ["o_custkey"])
+    RowDelta(t, [], eq_files).commit()
+    t = t.refresh()
+
+    def eq_scan():
+        return (t.to_df().groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .orderBy("o_orderpriority").collect())
+
+    qtimes["eq_delete_mor_scan"] = timed(eq_scan)
+
+
 def spj_benchmarks(spark, qtimes, timed, sf_dir):
     """Storage-partitioned join: orders<->lineitem on orderkey, bucketed
     both sides -> no Exchange, vs the same join through the plain engine
@@ -236,6 +268,7 @@ def main():
                 .orderBy("o_orderpriority").collect())
 
     qtimes["orders_scan_no_deletes_baseline"] = timed(orders_scan_baseline)
+    eq_delete_benchmarks(spark, qtimes, timed, SF_DIR)
     planning_benchmarks(spark, qtimes, timed)
     spj_benchmarks(spark, qtimes, timed, SF_DIR)
 

@@ -833,9 +833,20 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                          and not with_lineage and not plan.eq_deletes)
 
     # _pos needs parquet's _metadata.row_index; _file works for any format
+    # Equality deletes apply to data files with seq < delete seq. When
+    # every data file predates every delete (the common layout: deletes
+    # committed after the data), the scoping predicate is uniformly true,
+    # so the per-row sequence columns — a metadata-struct projection, a
+    # broadcast seq map join, and a literal path->seq map on the delete
+    # side — can all be skipped; the apply step collapses to one hash
+    # anti-join on the key columns. Decided from plan metadata alone.
+    uniform_eq = bool(plan.eq_deletes) and (
+        max((e.sequence_number for e in plan.files), default=-1)
+        < min(d.sequence_number for d in plan.eq_deletes))
+
     need_pos = (with_metadata_columns or with_lineage
                 or (bool(plan.pos_deletes) and not inline_pos_filter))
-    need_meta = need_pos or bool(plan.eq_deletes)
+    need_meta = need_pos or (bool(plan.eq_deletes) and not uniform_eq)
 
     if not plan.files:
         spark_schema = type_to_spark(StructT(tuple(schema.find_field(c) for c in read_cols)))
@@ -1019,17 +1030,41 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                                "left_anti")
 
     if plan.eq_deletes:
-        # attach data sequence numbers per file (broadcast map), then
-        # anti-join per equality-field-set with seq scoping
-        seq_rows = [(e.file.file_path, e.sequence_number) for e in plan.files]
-        seq_df = spark.createDataFrame(seq_rows, ["__seq_file", "__data_seq"])
-        out = out.join(F.broadcast(seq_df), F.col(FILE_PATH_COL) == F.col("__seq_file"), "left") \
-                 .drop("__seq_file")
         by_ids: dict = {}
         for d in plan.eq_deletes:
             by_ids.setdefault(tuple(sorted(d.file.equality_ids)), []).append(d)
+        bcast_limit = _conf_int(
+            spark, "spark.iceberg_spark.mor.posDeleteBroadcastBytes",
+            POS_DELETE_BROADCAST_BYTES)
+        if not uniform_eq:
+            # mixed sequence layout: attach data sequence numbers per file
+            # (broadcast map), anti-join per equality-field-set with
+            # per-pair seq scoping
+            seq_rows = [(e.file.file_path, e.sequence_number) for e in plan.files]
+            seq_df = spark.createDataFrame(seq_rows, ["__seq_file", "__data_seq"])
+            out = out.join(F.broadcast(seq_df), F.col(FILE_PATH_COL) == F.col("__seq_file"), "left") \
+                     .drop("__seq_file")
         for ids, dels in by_ids.items():
             key_cols = [schema.field_by_id(i).name for i in ids]
+            if uniform_eq:
+                # explicit schema read (skips the inference job); deletes
+                # apply to every scanned file, so no seq columns at all
+                dtypes = type_to_spark(StructT(tuple(
+                    schema.field_by_id(i) for i in ids)))
+                dd = (spark.read.schema(dtypes)
+                      .parquet(*[d.file.file_path for d in dels])
+                      .select(*[F.col(k).alias(f"__delk_{i}")
+                                for i, k in enumerate(key_cols)]))
+                cond = None
+                for i, k in enumerate(key_cols):
+                    c = out[k].eqNullSafe(F.col(f"__delk_{i}"))
+                    cond = c if cond is None else (cond & c)
+                total = sum(d.file.file_size_in_bytes or 0 for d in dels)
+                if total <= bcast_limit:
+                    out = out.join(F.broadcast(dd), cond, "left_anti")
+                else:
+                    out = out.join(dd.hint("shuffle_hash"), cond, "left_anti")
+                continue
             dd = spark.read.parquet(*[d.file.file_path for d in dels])
             # tag each delete row with its file's sequence number
             seq_map = {d.file.file_path: d.sequence_number for d in dels}
@@ -1044,7 +1079,8 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             for i, k in enumerate(key_cols):
                 cond = cond & out[k].eqNullSafe(F.col(f"__delk_{i}"))
             out = out.join(dd, cond, "left_anti")
-        out = out.drop("__data_seq")
+        if not uniform_eq:
+            out = out.drop("__data_seq")
 
     if with_lineage:
         # row lineage (format/spec.md:460): _row_id = file.first_row_id +
