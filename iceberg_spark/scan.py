@@ -901,18 +901,36 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 list(read_schema.fields)
                 + [_T.StructField(ROW_ID_COL, _T.LongType()),
                    _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType())])
-        df = spark.read.schema(read_schema).format(ffmt).load(paths)
         if inline_pos_filter and pos_ranges:
             # apply position-delete runs on the raw metadata struct (URI
-            # form, e.g. file:/x) before projection — no join, no extra job,
-            # no per-row normalized-path materialization
-            deleted = None
-            for fp, lo, hi in pos_ranges:
-                u = "file:" + fp if fp.startswith("/") else fp
-                c = ((F.col("_metadata.file_path") == F.lit(u))
-                     & F.col("_metadata.row_index").between(lo, hi))
-                deleted = c if deleted is None else (deleted | c)
-            df = df.filter(~deleted)
+            # form, e.g. file:/x) before projection — no join, no extra
+            # job, no per-row normalized-path materialization. Only the
+            # files that actually carry deletes pay the metadata-column
+            # filter cost (~1.5x a plain scan); untouched files — the vast
+            # majority on a large table with localized deletes — read
+            # through the unfiltered fast path and union back in.
+            affected = {fp for fp, _, _ in pos_ranges}
+            clean = [p for p in paths if p not in affected]
+            hit = [p for p in paths if p in affected]
+            pieces = []
+            if clean:
+                pieces.append(
+                    spark.read.schema(read_schema).format(ffmt).load(clean))
+            if hit:
+                deleted = None
+                for fp, lo, hi in pos_ranges:
+                    u = "file:" + fp if fp.startswith("/") else fp
+                    c = ((F.col("_metadata.file_path") == F.lit(u))
+                         & F.col("_metadata.row_index").between(lo, hi))
+                    deleted = c if deleted is None else (deleted | c)
+                pieces.append(
+                    spark.read.schema(read_schema).format(ffmt).load(hit)
+                    .filter(~deleted))
+            df = pieces[0]
+            for p in pieces[1:]:
+                df = df.unionByName(p)
+        else:
+            df = spark.read.schema(read_schema).format(ffmt).load(paths)
         # map file columns -> current names by field id; fill missing with null
         by_id = {f.field_id: f for f in wschema.fields}
         # fast path: no evolution/rename/promotion/variant in play and no
