@@ -777,16 +777,46 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
     partitions = partitions or {}
 
     def one(p):
-        return collect_data_file(p, schema, spec, partitions.get(p), content)
+        try:
+            return collect_data_file(p, schema, spec, partitions.get(p), content)
+        except OSError:
+            # footer carries a logical type this pyarrow can't parse (e.g.
+            # parquet VARIANT) — marker for the Spark-side fallback below
+            return p
 
     if len(paths) <= 2:
-        return [one(p) for p in paths]
-    if spark is not None and len(paths) > DISTRIBUTED_STATS_THRESHOLD:
+        out = [one(p) for p in paths]
+    elif spark is not None and len(paths) > DISTRIBUTED_STATS_THRESHOLD:
         sc = spark.sparkContext
         nparts = min(len(paths) // 32 + 1, sc.defaultParallelism * 2)
-        return (sc.parallelize(paths, nparts)
-                .map(lambda p: collect_data_file(
-                    p, schema, spec, partitions.get(p), content))
-                .collect())
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        return list(ex.map(one, paths))
+        out = sc.parallelize(paths, nparts).map(one).collect()
+    else:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            out = list(ex.map(one, paths))
+
+    failed = [p for p in out if isinstance(p, str)]
+    if not failed:
+        return out
+    if spark is None:
+        raise OSError(
+            f"cannot read parquet footers (unrecognized logical type?) and "
+            f"no Spark session for the fallback: {failed[:3]}")
+    # one Spark job for every unreadable footer: per-file row counts via
+    # the JVM parquet reader (which does understand the logical type);
+    # stats stay empty — imported files just don't prune
+    from pyspark.sql import functions as F
+
+    counts = (spark.read.parquet(*failed)
+              .select(F.regexp_replace(F.col("_metadata.file_path"),
+                                       "^file:/+", "/").alias("f"))
+              .groupBy("f").count().collect())
+    cmap = {r["f"]: r["count"] for r in counts}
+    return [
+        DataFile(
+            file_path=p, file_format="parquet", content=content,
+            spec_id=spec.spec_id, partition=dict(partitions.get(p) or {}),
+            record_count=cmap.get(p, 0),
+            file_size_in_bytes=os.path.getsize(p), stats={},
+        ) if isinstance(p, str) else p
+        for p in out
+    ]

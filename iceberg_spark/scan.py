@@ -881,15 +881,48 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 f"modes for {ffmt} tables)")
         paths = [e.file.file_path for e in entries]
         read_schema = wschema.to_spark()
-        # variant columns are physically JSON text (see write_data_files);
-        # read as string here, parse_json back to VariantType in the
-        # projection below
+        # variant columns: the engine writes canonical JSON text (see
+        # write_data_files) — read as string, parse_json back to
+        # VariantType in the projection. Files imported via add_files may
+        # instead carry Spark's native binary variant encoding
+        # (metadata/value group, format/spec.md:243); detect the physical
+        # type from one footer per group and read those natively, no
+        # parse_json round-trip.
         var_names = {f.name for f in wschema.fields if f.type == "variant"}
+        native_vars: set = set()
         if var_names:
             from pyspark.sql import types as _T
 
+            if ffmt == "parquet":
+                try:
+                    import pyarrow.parquet as _pq
+
+                    foot = _pq.read_schema(entries[0].file.file_path)
+                    for vn in var_names:
+                        if vn in foot.names:
+                            ft = foot.field(vn).type
+                            import pyarrow as _pa
+
+                            if (_pa.types.is_struct(ft)
+                                    and {f.name for f in ft}
+                                    >= {"metadata", "value"}):
+                                native_vars.add(vn)
+                except Exception:
+                    # pyarrow refuses footers with the parquet VARIANT
+                    # logical type outright — ask the JVM reader instead
+                    try:
+                        sp = (spark.read.parquet(entries[0].file.file_path)
+                              .schema)
+                        vt = getattr(_T, "VariantType", None)
+                        for vn in var_names:
+                            if (vt is not None and vn in sp.names
+                                    and isinstance(sp[vn].dataType, vt)):
+                                native_vars.add(vn)
+                    except Exception:
+                        native_vars = set()
             read_schema = _T.StructType([
-                _T.StructField(fld.name, _T.StringType(), True)
+                fld if fld.name in native_vars
+                else _T.StructField(fld.name, _T.StringType(), True)
                 if fld.name in var_names else fld
                 for fld in read_schema.fields])
         if with_lineage and group_parquet:
@@ -959,7 +992,8 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             if wf is not None:
                 c = F.col(wf.name)
                 if cur.type == "variant":
-                    c = F.parse_json(c)  # JSON text -> VariantType
+                    if wf.name not in native_vars:
+                        c = F.parse_json(c)  # JSON text -> VariantType
                 elif wf.type != cur.type:  # promoted (int->long etc.)
                     if wf.type == "date" and cur.type == "timestamp_ns":
                         # timestamp_ns is stored as long nanos (schema.py);

@@ -70,3 +70,39 @@ def test_variant_table_scan_filter(catalog, spark):
         E.extract("meta", "$.tag", "string") == "t0",
         E.col("id") < 30)).df()
     assert both.count() == 10  # ids 0,3,...,27
+
+
+def test_add_files_reads_native_binary_variant(catalog, spark, tmp_path):
+    """Files written with Spark's native binary variant encoding (e.g. a
+    Spark 4 pipeline's output imported via add_files) read back without
+    the JSON round-trip: the scan detects the metadata/value group in the
+    footer and skips parse_json (format/spec.md:243 interop)."""
+    from pyspark.sql import types as T
+
+    if not hasattr(T, "VariantType"):
+        pytest.skip("Spark without VariantType")
+    src = str(tmp_path / "native_variant")
+    df = spark.range(0, 50).select(
+        "id",
+        F.parse_json(F.concat(
+            F.lit('{"n": '), F.col("id").cast("string"),
+            F.lit('}'))).alias("meta"))
+    assert isinstance(df.schema["meta"].dataType, T.VariantType)
+    df.coalesce(1).write.parquet(src)
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("meta", T.VariantType()),
+    ])
+    t = catalog.create_table("db.natvar", schema)
+    t.add_files(src)
+    out = t.to_df()
+    assert isinstance(out.schema["meta"].dataType, T.VariantType)
+    got = (out.select("id", F.variant_get(F.col("meta"), "$.n", "long")
+                      .alias("n")).orderBy("id").collect())
+    assert [(r.id, r.n) for r in got] == [(i, i) for i in range(50)]
+    # extract-filtered scan over the native files
+    from iceberg_spark import expressions as E
+
+    rows = t.scan(filter=E.extract("meta", "$.n", "long") >= 45).df().collect()
+    assert sorted(r.id for r in rows) == list(range(45, 50))
