@@ -74,3 +74,34 @@ def test_fanout_write_one_file_per_partition(catalog, spark):
     parts = {e.file.partition["ts_day"]
              for e in t.scan().plan_files().files}
     assert len(parts) == 40
+
+
+def test_fanout_write_1000_values_no_file_multiplication(catalog, spark):
+    """A 1,000-value dynamic-partition append must produce EXACTLY one
+    file per partition value (the Iceberg floor — each data file carries
+    one partition tuple) with hash routing keeping every value in one
+    task; a width-only repartition would write up to width x values
+    files."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ])
+    rows = [(i, dt.datetime(2021, 1, 1) + dt.timedelta(days=i % 1000))
+            for i in range(10000)]
+    df = spark.createDataFrame(rows, schema)
+    t = catalog.create_table("db.fanout1k", df.schema, partition_by=["day(ts)"])
+    t.append(df)
+    files = _files(t)
+    assert len(files) == 1000, f"expected 1000 files, got {len(files)}"
+    # and the tiny files consolidate through compaction
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    res = rewrite_data_files(t)
+    t = t.refresh()
+    after = _files(t)
+    assert len(after) == 1000  # identity-day partitions: floor unchanged
+    assert t.to_df().count() == 10000
