@@ -563,8 +563,38 @@ def delete_reachable_files(table, dry_run: bool = False,
 # ---------------------------------------------------------------------------
 
 
+# DeleteOrphanFilesSparkAction defaults: s3-family schemes are one store
+DEFAULT_EQUAL_SCHEMES = {"s3n": "s3", "s3a": "s3"}
+
+_URI_RE = None
+
+
+def _file_uri(p: str, eq_schemes: dict, eq_auth: dict):
+    """(scheme, authority, path) triple with scheme/authority collapsed
+    through the equivalence maps — the FileURI analog. `file:` URIs and
+    plain paths normalize to the same triple; trailing slashes drop."""
+    global _URI_RE
+    if _URI_RE is None:
+        import re
+
+        _URI_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/]*)(/.*)?$")
+    p = p.rstrip("/")
+    if p.startswith("file:"):
+        p = "/" + p[len("file:"):].lstrip("/")
+    m = _URI_RE.match(p)
+    if not m:
+        # plain path — safe to normpath (never normpath a URI: it folds
+        # the "//" after the scheme)
+        return "", "", os.path.normpath(p)
+    scheme, auth, path = m.group(1).lower(), m.group(2), m.group(3) or "/"
+    return eq_schemes.get(scheme, scheme), eq_auth.get(auth, auth), path
+
+
 def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
-                        mode: str = "auto") -> list:
+                        mode: str = "auto",
+                        equal_schemes: dict = None,
+                        equal_authorities: dict = None,
+                        prefix_mismatch_mode: str = "error") -> list:
     """actual-files anti-join valid-files with URI normalization
     (DeleteOrphanFilesSparkAction.java:257-358).
 
@@ -572,7 +602,14 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
     DISTRIBUTED mode parallelizes the recursive listing across executors
     (listDirRecursively analog) and anti-joins it against the valid-file
     DataFrame read from the manifest Parquet — the only rows reaching the
-    driver are the orphans themselves (the delete list)."""
+    driver are the orphans themselves (the delete list).
+
+    Comparison is by URI triple (scheme, authority, path), with
+    `equal_schemes` / `equal_authorities` collapsing equivalent prefixes
+    (s3n/s3a -> s3 by default). A listed file whose PATH matches a valid
+    file but whose scheme/authority differs is ambiguous:
+    `prefix_mismatch_mode` 'error' raises (default), 'ignore' keeps the
+    file, 'delete' treats it as orphan — PrefixMismatchMode semantics."""
     from pyspark.sql import functions as _F
 
     from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, entry_count,
@@ -581,6 +618,12 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
 
     if not dry_run:
         _check_gc_enabled(table, "remove orphan files")
+    if prefix_mismatch_mode not in ("error", "ignore", "delete"):
+        raise ValueError(
+            f"prefix_mismatch_mode must be error|ignore|delete, "
+            f"got {prefix_mismatch_mode!r}")
+    eqs = {**DEFAULT_EQUAL_SCHEMES, **(equal_schemes or {})}
+    eqa = dict(equal_authorities or {})
     m = table.metadata
     now = time.time()
     cutoff_s = (older_than_ms / 1000.0) if older_than_ms is not None else now - 3 * 86400
@@ -590,35 +633,109 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
     use_spark = mode == "distributed" or (
         mode == "auto" and entry_count(manifests) > DISTRIBUTED_ENTRY_THRESHOLD)
 
+    def _raise_conflicts(samples):
+        raise ValueError(
+            "Unable to determine whether certain files are orphan: metadata "
+            "references files matching listed files except for "
+            "authority/scheme. Configure equal_schemes/equal_authorities, or "
+            "set prefix_mismatch_mode to 'ignore' or 'delete'. Conflicts: "
+            f"{samples[:3]}")
+
+    def _uri_cols(c):
+        p = _F.regexp_replace(_F.regexp_replace(c, "/+$", ""),
+                              "^file:/+", "/")
+        scheme = _F.lower(_F.regexp_extract(
+            p, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+        rest = _F.regexp_replace(p, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+        auth = _F.when(scheme == "", _F.lit("")) \
+                 .otherwise(_F.regexp_extract(rest, r"^([^/]*)", 1))
+        path = _F.when(scheme == "", p) \
+                 .otherwise(_F.regexp_replace(rest, r"^[^/]*", ""))
+        path = _F.when((scheme != "") & (path == ""), _F.lit("/")) \
+                 .otherwise(path)
+
+        def remap(col, mapping):
+            if not mapping:
+                return col
+            mc = _F.create_map(*[_F.lit(x) for kv in mapping.items()
+                                 for x in kv])
+            return _F.coalesce(mc[col], col)
+
+        return remap(scheme, eqs), remap(auth, eqa), path
+
     if use_spark:
         actual = listing_df(table.spark, base).filter(
             _F.col("mtime") < _F.lit(cutoff_s))
         valid = reachable_data_paths_df(table.spark, manifests, m.location)
-        orphan_df = actual.select("actual_path")
-        if valid is not None:
-            orphan_df = orphan_df.join(
-                valid, orphan_df.actual_path == valid.file_path, "left_anti")
-        orphans = sorted(r["actual_path"] for r in orphan_df.collect())
+        if valid is None:
+            orphans = sorted(r["actual_path"]
+                             for r in actual.select("actual_path").collect())
+        else:
+            a_s, a_a, a_p = _uri_cols(_F.col("actual_path"))
+            av = actual.select("actual_path", a_s.alias("a_s"),
+                               a_a.alias("a_a"), a_p.alias("a_p"))
+            v_s, v_a, v_p = _uri_cols(_F.col("file_path"))
+            vv = (valid.select(v_s.alias("v_s"), v_a.alias("v_a"),
+                               v_p.alias("v_p")).distinct())
+            full = (_F.col("v_p").isNotNull()
+                    & (_F.col("a_s") == _F.col("v_s"))
+                    & (_F.col("a_a") == _F.col("v_a")))
+            mism = (_F.col("v_p").isNotNull()
+                    & ((_F.col("a_s") != _F.col("v_s"))
+                       | (_F.col("a_a") != _F.col("v_a"))))
+            agg = (av.join(vv, av.a_p == vv.v_p, "left")
+                   .groupBy("actual_path")
+                   .agg(_F.max(full.cast("int")).alias("full"),
+                        _F.max(mism.cast("int")).alias("mism")))
+            if prefix_mismatch_mode == "error":
+                conflicts = [r["actual_path"] for r in
+                             agg.filter("mism = 1").limit(3).collect()]
+                if conflicts:
+                    _raise_conflicts(conflicts)
+            orphan_pred = ("full = 0 AND mism = 0"
+                           if prefix_mismatch_mode != "delete"
+                           else "full = 0")
+            orphans = sorted(r["actual_path"] for r in
+                             agg.filter(orphan_pred)
+                             .select("actual_path").collect())
     else:
-        valid = set()
+        from collections import defaultdict
+
+        valid_by_path = defaultdict(set)
+
+        def _add_valid(p):
+            s, a, pa = _file_uri(p, eqs, eqa)
+            valid_by_path[pa].add((s, a))
+
         for s in m.snapshots:
-            valid.add(os.path.normpath(s.manifest_list))
+            _add_valid(s.manifest_list)
         for mf in manifests:
-            valid.add(os.path.normpath(mf.path))
+            _add_valid(mf.path)
             spec = m.spec_by_id(mf.spec_id)
             for e in read_manifest(mf.path, m.schema, spec):
-                valid.add(os.path.normpath(e.file.file_path))
+                _add_valid(e.file.file_path)
         orphans = []
+        conflicts = []
         for root, _dirs, files in os.walk(base):
             for fn in files:
                 p = os.path.normpath(os.path.join(root, fn))
-                if p in valid:
-                    continue
+                s, a, pa = _file_uri(p, eqs, eqa)
+                hits = valid_by_path.get(pa)
+                if hits is not None:
+                    if (s, a) in hits:
+                        continue
+                    if prefix_mismatch_mode == "error":
+                        conflicts.append(p)
+                        continue
+                    if prefix_mismatch_mode == "ignore":
+                        continue
                 try:
                     if os.path.getmtime(p) < cutoff_s:
                         orphans.append(p)
                 except OSError:
                     pass
+        if conflicts:
+            _raise_conflicts(conflicts)
     if not dry_run:
         for p in orphans:
             try:

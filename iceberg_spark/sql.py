@@ -777,7 +777,9 @@ class SqlEngine:
         older = self._arg(a, "older_than", 1)
         removed = t.remove_orphan_files(
             older_than_ms=self._ts_ms(older) if older is not None else None,
-            dry_run=bool(self._arg(a, "dry_run", 2, False)))
+            dry_run=bool(self._arg(a, "dry_run", 2, False)),
+            prefix_mismatch_mode=str(
+                self._arg(a, "prefix_mismatch_mode", 3, "error")).lower())
         return self._rows([Row(orphan_file_location=p) for p in removed],
                           "orphan_file_location string")
 

@@ -238,10 +238,16 @@ class Table:
         return rewrite_manifests(self)
 
     def remove_orphan_files(self, older_than_ms: Optional[int] = None,
-                            dry_run: bool = False, mode: str = "auto") -> list:
+                            dry_run: bool = False, mode: str = "auto",
+                            equal_schemes: Optional[dict] = None,
+                            equal_authorities: Optional[dict] = None,
+                            prefix_mismatch_mode: str = "error") -> list:
         from .maintenance import remove_orphan_files
 
-        return remove_orphan_files(self, older_than_ms, dry_run, mode=mode)
+        return remove_orphan_files(
+            self, older_than_ms, dry_run, mode=mode,
+            equal_schemes=equal_schemes, equal_authorities=equal_authorities,
+            prefix_mismatch_mode=prefix_mismatch_mode)
 
     def compute_table_stats(self, columns: Optional[list] = None) -> dict:
         from .maintenance import compute_table_stats
