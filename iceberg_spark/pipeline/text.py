@@ -295,8 +295,75 @@ FROM documents GROUP BY source ORDER BY source
 """
 
 
+def _bigrams_col():
+    """Adjacent-token bigrams as 'w[i] w[i+1]' strings. SQL twin keeps
+    byte-identical slicing: Spark slice(w,1,n-1)/slice(w,2,n-1) ==
+    DuckDB w[1:len(w)-1]/w[2:] (1-based inclusive)."""
+    w = F.col("w")
+    n = F.size(w)
+    return F.zip_with(F.slice(w, 1, n - 1), F.slice(w, 2, n - 1),
+                      lambda x, y: F.concat_ws(" ", x, y))
+
+
+_BIGRAMS_SQL = ("list_transform(list_zip(w[1:len(w)-1], w[2:]), "
+                "p -> p[1] || ' ' || p[2])")
+
+
+def repetition_score(spark, sf_dir):
+    """Repetition quality filter: per-source duplicate-bigram mass
+    (1 - distinct/total over all bigrams in the source). Integer sums of
+    per-doc counts keep the division exact cross-engine; the per-doc map
+    stage is JVM array functions, the rollup one partial-agg shuffle."""
+    docs = engine_docs(spark, sf_dir)
+    d = docs.select("source", tokens(F.col("text")).alias("w"))
+    b = d.select("source", _bigrams_col().alias("b"))
+    agg = (b.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("b")).alias("n_bigrams"),
+                F.sum(F.size(F.array_distinct("b"))).alias("n_distinct")))
+    return (agg.select(
+        "source", "n_docs", "n_bigrams",
+        F.round(F.lit(1.0) - F.col("n_distinct")
+                / F.col("n_bigrams").cast("double"), 4)
+        .alias("dup_bigram_frac"))
+        .orderBy("source"))
+
+
+REPETITION_SCORE_SQL = f"""
+WITH tok AS (SELECT source, {tokens_sql()} AS w FROM documents),
+bg AS (SELECT source, {_BIGRAMS_SQL} AS b FROM tok)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(b)) AS BIGINT) AS n_bigrams,
+       ROUND(1.0 - SUM(len(list_distinct(b)))
+             / CAST(SUM(len(b)) AS DOUBLE), 4) AS dup_bigram_frac
+FROM bg GROUP BY source ORDER BY source
+"""
+
+
+def corpus_top_bigrams(spark, sf_dir):
+    """Corpus-level n-gram statistics: top-50 bigrams by frequency
+    (count desc, bigram asc tiebreak — fully deterministic). Explode ->
+    partial-agg shuffle; row volume is token count, never collected."""
+    docs = engine_docs(spark, sf_dir)
+    d = docs.select(tokens(F.col("text")).alias("w"))
+    bg = d.select(F.explode(_bigrams_col()).alias("bigram"))
+    return (bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("bigram"))
+            .limit(50))
+
+
+CORPUS_TOP_BIGRAMS_SQL = f"""
+WITH tok AS (SELECT {tokens_sql()} AS w FROM documents),
+bg AS (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM tok)
+SELECT bigram, COUNT(*) AS n FROM bg
+GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
+"""
+
+
 REGISTRY = {
     "text_features": (text_features, TEXT_FEATURES_SQL),
+    "repetition_score": (repetition_score, REPETITION_SCORE_SQL),
+    "corpus_top_bigrams": (corpus_top_bigrams, CORPUS_TOP_BIGRAMS_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),
     "token_histogram": (token_histogram, TOKEN_HISTOGRAM_SQL),
     "token_count_bpe": (token_count_bpe, TOKEN_COUNT_BPE_SQL),
