@@ -122,18 +122,73 @@ def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
         added = write_data_files(table, keep, preserve_lineage=True)
         return Overwrite(table, added, removed, operation=OP_DELETE, branch=branch).commit()
     else:
-        # MoR: write position deletes for matching rows
+        # MoR: write position deletes (or v3 DVs) for matching rows
         df = _subplan_df(table, scan, plan, partial, with_meta=True)
         matches = df.filter(E.to_spark(E.bind(expr, table.schema)))
-        pos_files = write_position_deletes(table, matches)
+        pos_files, removed_refs = write_row_deletes(table, matches, plan)
         removed_full = {e.file.file_path for e in full}
         refd = {e.file.file_path for e in partial}
         if removed_full:
             # drop fully-matching files in the same commit via overwrite
             snap = Overwrite(table, [], removed_full, operation=OP_DELETE, branch=branch,
-                             added_deletes=pos_files).commit()
+                             added_deletes=pos_files,
+                             removed_delete_refs=removed_refs).commit()
             return snap
-        return RowDelta(table, [], pos_files, branch=branch, referenced_files=refd).commit()
+        return RowDelta(table, [], pos_files, branch=branch, referenced_files=refd,
+                        removed_delete_refs=removed_refs).commit()
+
+
+def write_row_deletes(table, matched_df: DataFrame, plan=None):
+    """Route row-level delete rows to the table's delete encoding.
+
+    Default: v2 parquet position-delete files. With table property
+    `write.delete.format=dv`, writes v3 deletion vectors instead
+    (format/spec.md:1384): at most one DV per data file, so prior
+    deletes that apply to the affected files merge INTO the new vector
+    and the superseded file-scoped entries are replaced in the same
+    commit (returned as `removed_delete_refs` (path, ref) pairs for
+    RowDelta/Overwrite). Multi-file parquet delete files stay — their
+    rows are a subset of the merged vector, so the union read stays
+    exact.
+
+    Returns (delete_files, removed_delete_refs)."""
+    fmt = (table.metadata.properties.get("write.delete.format", "")
+           .lower())
+    if fmt not in ("dv", "puffin", "deletion-vector"):
+        return write_position_deletes(table, matched_df), set()
+
+    from .maintenance import _write_dvs
+    from .scan import _data_rel, _data_rel_col, pos_delete_rows_df
+
+    rows = matched_df.select(F.col(FILE_PATH_COL).alias("file_path"),
+                             F.col(POS_COL).alias("pos"))
+    removed: set = set()
+    if plan is not None and plan.pos_deletes:
+        # affected = files that get a new DV this commit (plan-sized)
+        affected = {r["file_path"] for r in
+                    rows.select("file_path").distinct().collect()}
+        affected_rel = {_data_rel(p) for p in affected}
+        prior = [d for d in plan.pos_deletes
+                 if d.file.referenced_data_file is None
+                 or _data_rel(d.file.referenced_data_file) in affected_rel]
+        if prior:
+            # prior delete contents carry write-time paths; map them onto
+            # the live paths via the plan's (suffix -> current) broadcast
+            rel_map = {_data_rel(p): p for p in affected}
+            map_df = table.spark.createDataFrame(
+                list(rel_map.items()), "rel string, cur string")
+            pr = (pos_delete_rows_df(table.spark, prior)
+                  .withColumn("__rel", _data_rel_col(F.col("file_path")))
+                  .join(F.broadcast(map_df), F.col("__rel") == F.col("rel"),
+                        "inner")  # drops rows for unaffected files
+                  .select(F.col("cur").alias("file_path"), "pos"))
+            rows = rows.unionByName(pr)
+        removed = {
+            (d.file.file_path, d.file.referenced_data_file)
+            for d in plan.pos_deletes
+            if d.file.referenced_data_file is not None
+            and _data_rel(d.file.referenced_data_file) in affected_rel}
+    return _write_dvs(table, rows), removed
 
 
 def write_position_deletes(table, matched_df: DataFrame) -> list:
@@ -285,7 +340,7 @@ def update_where(table, condition: E.Expr, assignments: dict,
     else:
         df = _subplan_df(table, scan, plan, plan.files, with_meta=True)
         matches = df.filter(cond_col)
-        pos_files = write_position_deletes(table, matches)
+        pos_files, removed_refs = write_row_deletes(table, matches, plan)
         new_rows = matches.select(*[
             (_assignment_col(assignments[c]) if c in assignments else F.col(c)).alias(c)
             for c in cols
@@ -294,7 +349,8 @@ def update_where(table, condition: E.Expr, assignments: dict,
         data_files = write_data_files(table, new_rows, preserve_lineage=True)
         refd = {e.file.file_path for e in plan.files}
         return RowDelta(table, data_files, pos_files, branch=branch,
-                        referenced_files=refd).commit()
+                        referenced_files=refd,
+                        removed_delete_refs=removed_refs).commit()
 
 
 # ---------------------------------------------------------------------------
@@ -481,14 +537,15 @@ class MergeBuilder:
                      # partition sources ride along so delete files fan out
                      # by the target partition (spec partition tuple)
                      *[F.col(f"t.{c}").alias(c) for c in psrc])
-            pos_files = write_position_deletes(table, del_rows)
+            pos_files, removed_refs = write_row_deletes(table, del_rows, plan)
             new_rows = routed.filter(
                 F.col("__action").startswith("U") | F.col("__action").startswith("I")
                 | F.col("__action").startswith("NU")
             ).select(*[out_col(c) for c in cols], *lineage_out)
             data_files = write_data_files(table, new_rows, preserve_lineage=True)
             return RowDelta(table, data_files, pos_files, branch=branch,
-                            referenced_files=set(affected_paths)).commit()
+                            referenced_files=set(affected_paths),
+                            removed_delete_refs=removed_refs).commit()
 
 
 def _merge_value(mapping, col, default, source_alias="s", insert=False, source_cols=None):

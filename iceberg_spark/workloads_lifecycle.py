@@ -536,6 +536,37 @@ WHERE o_orderkey > m // 20
 """
 
 
+def native_dv_delete_scan(spark, sf_dir):
+    """Native v3 DV writes: `write.delete.format=dv` makes MoR DELETEs
+    emit Puffin deletion-vector-v1 blobs directly, and a second delete on
+    the same files MERGES into one vector per file (format/spec.md:1384).
+    Read equivalence over the twice-deleted table."""
+    key = ("natdv", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        t, df = _fresh(spark, sf_dir, "orders", "natdv",
+                       properties={"write.delete.mode": "merge-on-read",
+                                   "write.delete.format": "dv"})
+        t.append(df)
+        maxk = df.agg(F.max("o_orderkey")).collect()[0][0]
+        t.delete_where(col("o_orderkey") <= maxk // 20, mode="merge-on-read")
+        t = t.refresh()
+        t.delete_where(E.and_(col("o_orderkey") > maxk // 10,
+                              col("o_orderkey") <= maxk // 5),
+                       mode="merge-on-read")
+        t = t.refresh()
+        plan = t.scan().plan_files()
+        assert plan.pos_deletes and all(
+            d.file.file_format == "puffin" for d in plan.pos_deletes), \
+            "native DV path did not produce Puffin vectors"
+        refs = [d.file.referenced_data_file for d in plan.pos_deletes]
+        assert len(refs) == len(set(refs)), "more than one DV per data file"
+        _STATE[key] = t.identifier
+    t = _warehouse(spark).load_table(_STATE[key])
+    return t.to_df().agg(F.count(F.lit(1)).alias("n"),
+                         F.round(F.sum("o_totalprice"), 2).alias("total"))
+
+
 # ---------------------------------------------------------------------------
 # B14 — buffered transaction: several updates, exactly one commit
 # ---------------------------------------------------------------------------
@@ -1310,6 +1341,7 @@ REGISTRY = {
     "rewrite_manifests_scan": (rewrite_manifests_scan, RW_MANIFESTS_SQL),
     "orphan_cleanup_scan": (orphan_cleanup_scan, ORPHAN_SQL),
     "pos_delete_rewrite_dv_scan": (pos_delete_rewrite_dv_scan, POS_DV_SQL),
+    "native_dv_delete_scan": (native_dv_delete_scan, POS_DV_SQL),
     "transaction_scan": (transaction_scan, TXN_SQL),
     "metadata_partitions_scan": (metadata_partitions_scan, META_PARTITIONS_SQL),
     "metadata_files_scan": (metadata_files_scan, META_FILES_SQL),

@@ -471,7 +471,8 @@ class Overwrite(SnapshotProducer):
                  operation: str = OP_OVERWRITE, preserve_seq_for_added: Optional[int] = None,
                  branch: str = MAIN_BRANCH, validate_removed_exist: bool = True,
                  added_deletes: Optional[list] = None,
-                 summary_extra: Optional[dict] = None):
+                 summary_extra: Optional[dict] = None,
+                 removed_delete_refs: Optional[set] = None):
         super().__init__(table, branch)
         self.added = added
         self.added_deletes = added_deletes or []
@@ -480,10 +481,14 @@ class Overwrite(SnapshotProducer):
         self.preserve_seq = preserve_seq_for_added
         self.validate_removed_exist = validate_removed_exist
         self.summary_extra = summary_extra or {}
+        self.removed_delete_refs = set(removed_delete_refs or ())
 
     def _apply(self, base: TableMetadata, seq: int):
         location = self.table.location
         manifests = self._base_manifests(base)
+        if self.removed_delete_refs:
+            manifests = _remove_delete_entries(
+                base, manifests, self.removed_delete_refs, location)
         removed_files = []
         new_list = []
         seen = set()
@@ -530,21 +535,69 @@ class Overwrite(SnapshotProducer):
         return new_list, self.op, summary
 
 
+def _remove_delete_entries(base: TableMetadata, manifests: list, refs: set,
+                           location: str) -> list:
+    """Drop delete entries matching (file_path, referenced_data_file)
+    pairs, rewriting only the delete manifests that contain them. Raises
+    when a requested pair no longer exists (concurrent replacement)."""
+    seen = set()
+    out = []
+    for mf in manifests:
+        if mf.content != 1:
+            out.append(mf)
+            continue
+        mspec = base.spec_by_id(mf.spec_id)
+        entries = read_manifest(mf.path, base.schema, mspec)
+        hit = [e for e in entries
+               if (e.file.file_path, e.file.referenced_data_file) in refs]
+        if not hit:
+            out.append(mf)
+            continue
+        seen.update((e.file.file_path, e.file.referenced_data_file)
+                    for e in hit)
+        survivors = [
+            ManifestEntry(EXISTING, e.snapshot_id, e.sequence_number, e.file)
+            for e in entries
+            if (e.file.file_path, e.file.referenced_data_file) not in refs
+            and e.status != DELETED]
+        if survivors:
+            out.append(write_manifest(location, survivors, base.schema,
+                                      mspec, POSITION_DELETES,
+                                      relative=base.relative_paths))
+    missing = refs - seen
+    if missing:
+        raise ValidationException(
+            f"delete entries to replace no longer exist: {sorted(missing)[:3]}")
+    return out
+
+
 class RowDelta(SnapshotProducer):
     """Merge-on-read commit: new data files + delete files in one snapshot.
-    api/.../RowDelta.java, core/.../BaseRowDelta.java."""
+    api/.../RowDelta.java, core/.../BaseRowDelta.java.
+
+    `removed_delete_refs` removes SUPERSEDED delete entries by
+    (file_path, referenced_data_file) pair in the same commit — the
+    rowDelta.removeDeletes path a DV writer needs: a new deletion vector
+    must replace the previous file-scoped deletes of its data file
+    (format/spec.md:1384), and pair-level matching leaves other vectors
+    in a shared Puffin container untouched."""
 
     def __init__(self, table, added_data: list, added_deletes: list,
-                 branch: str = MAIN_BRANCH, referenced_files: Optional[set] = None):
+                 branch: str = MAIN_BRANCH, referenced_files: Optional[set] = None,
+                 removed_delete_refs: Optional[set] = None):
         super().__init__(table, branch)
         self.added_data = added_data
         self.added_deletes = added_deletes
         self.referenced_files = referenced_files or set()
+        self.removed_delete_refs = set(removed_delete_refs or ())
 
     def _apply(self, base: TableMetadata, seq: int):
         location = self.table.location
         schema, spec = base.schema, base.spec
         manifests = list(self._base_manifests(base))
+        if self.removed_delete_refs:
+            manifests = _remove_delete_entries(
+                base, manifests, self.removed_delete_refs, location)
         # validateDataFilesExist: referenced data files must still be live
         if self.referenced_files:
             live = set()

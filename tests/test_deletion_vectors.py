@@ -198,3 +198,75 @@ def test_dangling_keeps_shared_puffin_with_live_refs(catalog, spark):
     assert any(d.file.file_format == "puffin" for d in plan.pos_deletes)
     got = sorted(r.id for r in t.to_df().collect())
     assert got == [i for i in before if not (i % 2 == 0 and i >= 8)]
+
+
+def _dv_table(catalog, spark, name="dv.native", parts=2, rows=20):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [Row(id=i, p=i % parts, v=float(i)) for i in range(rows)])
+    t = catalog.create_table(
+        name, df.schema, partition_by=["p"],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.update.mode": "merge-on-read",
+                    "write.merge.mode": "merge-on-read",
+                    "write.delete.format": "dv"})
+    t.append(df)
+    return t
+
+
+def test_native_dv_delete_writes_puffin(catalog, spark):
+    """write.delete.format=dv: a MoR DELETE writes deletion vectors
+    directly — no parquet position-delete files ever exist."""
+    t = _dv_table(catalog, spark)
+    t.delete_where(col("id").isin(0, 3, 5), mode="merge-on-read")
+    t = t.refresh()
+    plan = t.scan().plan_files()
+    assert plan.pos_deletes, "expected DVs"
+    assert all(d.file.file_format == "puffin" for d in plan.pos_deletes)
+    assert all(d.file.content_offset is not None for d in plan.pos_deletes)
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(20) if i not in (0, 3, 5)]
+
+
+def test_native_dv_second_delete_merges_one_dv_per_file(catalog, spark):
+    """Spec format/spec.md:1384: at most ONE DV per data file in a
+    snapshot — a second delete touching the same file must merge the
+    prior vector into the new one and replace the superseded entry."""
+    t = _dv_table(catalog, spark, name="dv.native2")
+    t.delete_where(col("id").isin(0, 2), mode="merge-on-read")
+    t = t.refresh()
+    t.delete_where(col("id").isin(4, 6), mode="merge-on-read")
+    t = t.refresh()
+    plan = t.scan().plan_files()
+    refs = [d.file.referenced_data_file for d in plan.pos_deletes]
+    assert len(refs) == len(set(refs)), f"multiple DVs per file: {refs}"
+    # merged vector holds BOTH commits' positions
+    total = sum(d.file.record_count for d in plan.pos_deletes)
+    assert total == 4
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(20) if i not in (0, 2, 4, 6)]
+
+
+def test_native_dv_update_and_merge(catalog, spark):
+    """MoR UPDATE and MERGE under write.delete.format=dv keep one DV per
+    file and correct results."""
+    from pyspark.sql import Row
+
+    t = _dv_table(catalog, spark, name="dv.native3")
+    t.update(col("id") == 7, {"v": 700.0}, mode="merge-on-read")
+    t = t.refresh()
+    src = spark.createDataFrame([Row(id=8, p=0, v=800.0),
+                                 Row(id=100, p=0, v=1000.0)])
+    (t.merge(src, on=["id"])
+     .when_matched_update({"v": "s.v"})
+     .when_not_matched_insert()
+     .execute())
+    t = t.refresh()
+    rows = {r.id: r.v for r in t.to_df().collect()}
+    assert rows[7] == 700.0 and rows[8] == 800.0 and rows[100] == 1000.0
+    assert len(rows) == 21
+    plan = t.scan().plan_files()
+    refs = [d.file.referenced_data_file for d in plan.pos_deletes]
+    assert len(refs) == len(set(refs))
+    assert all(d.file.file_format == "puffin" for d in plan.pos_deletes)
