@@ -68,7 +68,10 @@ def _pos_delete_entries(table, snapshot) -> dict:
         spec = m.spec_by_id(mf.spec_id)
         for e in read_manifest(mf.path, m.schema, spec):
             if e.status != ST_DELETED and e.file.content != DATA:
-                out[e.file.file_path] = e
+                # key by (path, referenced file): a Puffin container holds
+                # one DV ENTRY per data file under a single path — path
+                # alone would collapse them to one
+                out[(e.file.file_path, e.file.referenced_data_file)] = e
     return out
 
 
@@ -206,14 +209,19 @@ def _plan_changes_spark(table, chain, prev_snap) -> _Changes:
         es: dict = {}
         for mf in del_mans_at.get(o, []):
             for e in del_by_manifest.get(mf.path, []):
-                es[e.file.file_path] = e
+                # (path, ref) key: one Puffin container carries one DV
+                # entry per data file under a single path
+                es[(e.file.file_path, e.file.referenced_data_file)] = e
         ch.deletes_at[o] = list(es.values())
     for o, _s in snaps:
         if o < 0 or o in replace_ords:
             continue
-        prev_paths = {e.file.file_path for e in ch.deletes_at.get(o - 1, [])}
-        ch.new_deletes[o] = [e for e in ch.deletes_at.get(o, [])
-                             if e.file.file_path not in prev_paths]
+        prev_keys = {(e.file.file_path, e.file.referenced_data_file)
+                     for e in ch.deletes_at.get(o - 1, [])}
+        ch.new_deletes[o] = [
+            e for e in ch.deletes_at.get(o, [])
+            if (e.file.file_path, e.file.referenced_data_file)
+            not in prev_keys]
 
     if not data_mans:
         return ch
@@ -358,9 +366,10 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
                 sub = ScanPlan(surviving, pos_p, eq_p, E.ALWAYS_TRUE,
                                prev_snap, ScanReport())
                 base = plan_to_df(pscan, sub, with_metadata_columns=True)
-                from .scan import _data_rel_col
+                from .scan import _data_rel_col, pos_delete_rows_df
 
-                dels = spark.read.parquet(*[d.file.file_path for d in pos_new]) \
+                # format-agnostic: parquet pos-deletes and Puffin DVs
+                dels = pos_delete_rows_df(spark, pos_new) \
                     .select(F.col("file_path").alias("__df"), F.col("pos").alias("__dp"))
                 # suffix-normalized path equality (scan._data_rel): delete
                 # contents carry write-time absolute paths that go stale

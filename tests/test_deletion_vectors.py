@@ -270,3 +270,17 @@ def test_native_dv_update_and_merge(catalog, spark):
     refs = [d.file.referenced_data_file for d in plan.pos_deletes]
     assert len(refs) == len(set(refs))
     assert all(d.file.file_format == "puffin" for d in plan.pos_deletes)
+
+
+def test_changelog_over_native_dvs(catalog, spark):
+    """changes() reports per-row DELETEs from Puffin DVs, and two DV
+    entries sharing one container are not collapsed by the differ."""
+    t = _dv_table(catalog, spark, name="dv.cdc", parts=2, rows=10)
+    s0 = t.snapshots()[-1].snapshot_id
+    # touches BOTH partitions -> two DVs, likely one shared Puffin file
+    t.delete_where(col("id").isin(2, 3), mode="merge-on-read")
+    t = t.refresh()
+    ch = t.changes(from_snapshot_id=s0)
+    rows = [(r.id, r._change_type) for r in ch.collect()]
+    assert (2, "DELETE") in rows and (3, "DELETE") in rows
+    assert len([r for r in rows if r[1] == "DELETE"]) == 2
