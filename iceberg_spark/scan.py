@@ -865,13 +865,47 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                     .withColumn(LAST_UPDATED_SEQ_COL, F.lit(None).cast("long")))
         return df
 
-    # group files by (write-schema, format) for field-ID column mapping
+    # group files by (write-schema, format) for field-ID column mapping.
+    # Third key: identity-partition CONSTANTS — a hive-layout import's
+    # files don't physically store identity partition source columns, so
+    # those read from partition metadata (PartitionUtil.constantsMap
+    # semantics). Physical absence is detected by the column having no
+    # footer stats on that file; the fill value is the partition tuple's,
+    # which the spec requires to equal the column value anyway.
+    _ident_cache: dict = {}
+
+    def _ident_srcs(spec_id):
+        if spec_id not in _ident_cache:
+            pairs = []
+            for pf in metadata.spec_by_id(spec_id).fields:
+                if not isinstance(pf.transform, Identity):
+                    continue
+                try:
+                    src = schema.field_by_id(pf.source_id).name
+                except KeyError:
+                    continue
+                if src in read_cols:
+                    pairs.append((pf.name, src))
+            _ident_cache[spec_id] = pairs
+        return _ident_cache[spec_id]
+
+    def _ident_fills(e):
+        pairs = _ident_srcs(e.file.spec_id)
+        if not pairs:
+            return ()
+        return tuple(sorted(
+            (src, e.file.partition.get(fname))
+            for fname, src in pairs if src not in e.file.stats))
+
     groups: dict = {}
     for e in plan.files:
-        groups.setdefault((e.file.write_schema_id, e.file.file_format), []).append(e)
+        groups.setdefault(
+            (e.file.write_schema_id, e.file.file_format, _ident_fills(e)),
+            []).append(e)
 
     parts = []
-    for (wsid, ffmt), entries in groups.items():
+    for (wsid, ffmt, ident_fills), entries in groups.items():
+        fills = dict(ident_fills)
         try:
             wschema = metadata.schema_by_id(wsid)
         except KeyError:
@@ -977,7 +1011,7 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         # names (one py4j call) instead of building per-column expression
         # trees (~40 py4j round-trips per scan on a 16-column table; the
         # dominant cost of driver-side DataFrame construction per profile)
-        if not need_meta and not with_lineage:
+        if not need_meta and not with_lineage and not fills:
             simple = True
             for cname in read_cols:
                 cur = schema.find_field(cname)
@@ -995,6 +1029,13 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         for cname in read_cols:
             cur = schema.find_field(cname)
             wf = by_id.get(cur.field_id)
+            if cname in fills:
+                # identity-partition constant: the physical file doesn't
+                # store this column (hive-layout import) — its value is the
+                # file's partition tuple entry by spec invariant
+                sel.append(F.lit(fills[cname])
+                           .cast(type_to_spark(cur.type)).alias(cname))
+                continue
             if wf is not None:
                 c = F.col(wf.name)
                 if cur.type == "variant":

@@ -191,11 +191,28 @@ class Table:
                 ]
             else:
                 paths = [paths]
+        partitions = None
         if self.spec.fields:
-            raise ValueError("add_files into partitioned tables requires partition parsing; "
-                             "append() instead or use identity layout")
+            # hive-layout import (TableMigrationUtil / add_files procedure):
+            # each file's partition tuple parses from its `name=value` path
+            # segments — named by PARTITION FIELD (e.g. ts_day=2024-01-01
+            # for a day transform); every field must resolve or the import
+            # fails loudly rather than mis-partitioning
+            from .writes import hive_partition_values_from_path
+
+            ptypes = dict(self.spec.partition_type(self.schema))
+            partitions = {}
+            for p in paths:
+                pv = hive_partition_values_from_path(p, ptypes)
+                missing = set(ptypes) - set(pv)
+                if missing:
+                    raise ValueError(
+                        f"add_files: cannot derive partition value(s) "
+                        f"{sorted(missing)} from path {p}; expected "
+                        f"hive-style <field>=<value> directory segments")
+                partitions[p] = pv
         files = collect_data_files(list(paths), self.schema, self.spec,
-                                   spark=self.spark)
+                                   partitions, spark=self.spark)
         files = [replace(f, write_schema_id=self.schema.schema_id) for f in files]
         return FastAppend(self, files, branch=branch,
                           summary_extra={"added-files-via": "add_files"}).commit()

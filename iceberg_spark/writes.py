@@ -103,6 +103,22 @@ def partition_values_from_path(path: str, pnames: list, ptypes: dict) -> dict:
     return out
 
 
+def hive_partition_values_from_path(path: str, ptypes: dict) -> dict:
+    """Partition tuple from an EXTERNAL hive-layout path: `name=value`
+    directory segments (the engine's own `_p_name=` form also accepted) —
+    the TableMigrationUtil path-parsing analog for add_files/migrate."""
+    out = {}
+    for seg in path.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, _, raw = seg.partition("=")
+        if k.startswith("_p_"):
+            k = k[3:]
+        if k in ptypes:
+            out[k] = parse_partition_value(raw, ptypes[k])
+    return out
+
+
 # ---------------------------------------------------------------------------
 # data-file writing
 # ---------------------------------------------------------------------------

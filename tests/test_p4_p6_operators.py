@@ -264,3 +264,36 @@ def test_changelog_net_carryover(catalog, spark):
     net = [(r.id, r._change_type)
            for r in t.changes(from_snapshot_id=s0, net_changes=True).collect()]
     assert net == [(200, "INSERT")]
+
+
+def test_add_files_partitioned_hive_layout(catalog, spark, tmp_path):
+    """add_files into a PARTITIONED table: partition tuples parse from
+    hive-style name=value path segments (TableMigrationUtil analog) and
+    partition pruning works immediately; unparseable layouts error."""
+    src = str(tmp_path / "hive_src")
+    df = spark.createDataFrame(
+        [(i, i % 3, float(i)) for i in range(30)], "id long, p int, v double")
+    df.write.partitionBy("p").parquet(src)
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("p", T.IntegerType()),
+    ])
+    t = catalog.create_table("db.hiveadd", schema, partition_by=["p"])
+    t.add_files(src)
+    got = sorted((r.id, r.p) for r in t.to_df().collect())
+    assert got == [(i, i % 3) for i in range(30)]
+    pruned = t.scan(filter=col("p") == 1).plan_files()
+    assert 0 < len(pruned.files) < len(t.scan().plan_files().files)
+    assert all(e.file.partition == {"p": 1} for e in pruned.files)
+
+    # a file with no parseable partition segment fails loudly
+    flat = str(tmp_path / "flat")
+    df.drop("p").coalesce(1).write.parquet(flat)
+    import os
+
+    f = [os.path.join(flat, x) for x in os.listdir(flat)
+         if x.endswith(".parquet")]
+    with pytest.raises(ValueError, match="cannot derive partition"):
+        t.add_files(f)
