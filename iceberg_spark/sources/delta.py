@@ -13,10 +13,11 @@ By-reference tables are created with `gc.enabled=false` so engine
 maintenance can never delete the source Delta table's files.
 
 Partitioned Delta sources store partition values only in the log (not in
-the data files); those snapshot via a rewrite — data files are read with
-the data-only schema and each file's partition values are joined back
-from the replayed `add.partitionValues` (the authoritative source; the
-protocol does NOT require hive-style directory names).
+the data files); they ALSO import by reference — each file's partition
+tuple comes from the replayed `add.partitionValues` (the authoritative
+source; the protocol does NOT require hive-style directory names), and
+the engine scan supplies identity partition columns as per-file metadata
+constants since the data files do not store them.
 
 Unsupported source features fail loudly instead of importing wrong data:
 reader protocol versions > 1 / readerFeatures, deletion vectors on add
@@ -29,7 +30,6 @@ import json
 import os
 from urllib.parse import unquote, urlparse
 
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -170,7 +170,14 @@ def _read_log(location: str):
 
 def snapshot_delta_table(catalog, source_location: str, dest_ident: str):
     """CALL system.snapshot_delta_lake_table analog. Returns
-    (table, imported_file_count, rewritten: bool)."""
+    (table, imported_file_count, rewritten: bool — always False: both
+    unpartitioned and partitioned sources import BY REFERENCE, matching
+    BaseSnapshotDeltaLakeTableAction)."""
+    from dataclasses import replace as _replace
+
+    from ..manifests import collect_data_files
+    from ..writes import FastAppend, parse_partition_value
+
     schema, pcols, files = _read_log(source_location)
     spark = catalog.spark
     paths = sorted(files)
@@ -181,55 +188,30 @@ def snapshot_delta_table(catalog, source_location: str, dest_ident: str):
                                  properties={"gc.enabled": "false"})
         t.add_files(paths)
         return t, len(paths), False
-    # partitioned: rewrite through the engine writer. Partition values
-    # come from the replayed add.partitionValues (authoritative; directory
-    # names are not required to encode them), joined per file and cast to
-    # the schema types.
-    by_name = {f.name: f for f in schema.fields}
-    data_schema = T.StructType(
-        [f for f in schema.fields if f.name not in pcols])
-    pv_schema = T.StructType(
-        [T.StructField("__delta_file", T.StringType(), False)]
-        + [T.StructField(f"__pv_{c}", T.StringType(), True) for c in pcols])
-    pv_rows = [(p,) + tuple(files[p].get(c) for c in pcols) for p in paths]
-    pv_df = spark.createDataFrame(pv_rows, pv_schema)
-    # `_metadata.file_path` is URI-encoded (spaces as %20 etc.) while the
-    # pv_df paths are unquote()d plain paths — decode before joining, or a
-    # location with special characters silently drops every row of the
-    # affected file at the inner join
-    df = (spark.read.schema(data_schema).parquet(*paths)
-          .withColumn("__delta_file",
-                      F.url_decode(
-                          F.regexp_replace(F.col("_metadata.file_path"),
-                                           "^file:/+", "/")))
-          .join(F.broadcast(pv_df), "__delta_file"))
-    df = df.select(*[
-        F.col(f"__pv_{n}").cast(by_name[n].dataType).alias(n)
-        if n in pcols else F.col(n)
-        for n in [f.name for f in schema.fields]])
-    t = catalog.create_table(dest_ident, schema, partition_by=list(pcols))
-    t.append(df)
-    # loud post-check on ROWS, not just files: the appended record count
-    # (from write metrics in the snapshot summary — no extra scan) must
-    # equal the source row count (parquet footer sums, distributed)
-    import pandas as _pd
-
-    def _footer_rows(batches):
-        import pyarrow.parquet as _pq
-        for b in batches:
-            yield _pd.DataFrame(
-                {"n": [_pq.ParquetFile(p).metadata.num_rows
-                       for p in b["p"]]})
-
-    n_src = (spark.createDataFrame([(p,) for p in paths], "p: string")
-             .repartition(min(len(paths), 64))
-             .mapInPandas(_footer_rows, "n: long")
-             .agg(F.sum("n")).collect()[0][0] or 0)
-    n_app = int(t.metadata.current_snapshot().summary.get("added-records", "-1"))
-    if n_app != n_src:
-        raise ValueError(
-            f"Delta import row-count mismatch: source files hold {n_src} "
-            f"rows but {n_app} were imported — partition-value join "
-            f"dropped rows (path encoding mismatch?) for {source_location}")
+    # partitioned: ALSO by reference. Delta partitioning is by column
+    # value == an identity spec; partition tuples come from the replayed
+    # add.partitionValues (authoritative — the protocol does not require
+    # hive-style directory names, and the data files don't store the
+    # partition columns). The engine scan reads identity partition source
+    # columns as per-file metadata constants, so no rewrite is needed.
+    t = catalog.create_table(dest_ident, schema, partition_by=list(pcols),
+                             properties={"gc.enabled": "false"})
+    ptypes = dict(t.spec.partition_type(t.schema))
+    partitions = {}
+    for p in paths:
+        pv = {}
+        for c in pcols:
+            raw = files[p].get(c)
+            pv[c] = None if raw is None else parse_partition_value(raw, ptypes[c])
+        partitions[p] = pv
+    metas = collect_data_files(paths, t.schema, t.spec, partitions,
+                               spark=spark)
+    metas = [_replace(f, write_schema_id=t.schema.schema_id) for f in metas]
+    FastAppend(t, metas).commit()
+    t = t.refresh()
     n = len(t.scan().plan_files().files)
-    return t, n, True
+    if n != len(paths):
+        raise ValueError(
+            f"Delta import file-count mismatch: log holds {len(paths)} "
+            f"active files but {n} were imported for {source_location}")
+    return t, n, False

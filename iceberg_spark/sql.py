@@ -914,8 +914,8 @@ class SqlEngine:
     def _proc_snapshot_delta_lake_table(self, a):
         """Snapshot a Delta Lake table into the engine by replaying its
         _delta_log (delta-lake/.../BaseSnapshotDeltaLakeTableAction.java:75
-        analog): unpartitioned sources import by file reference, no data
-        copied; partitioned sources rewrite (see sources/delta.py)."""
+        analog): both unpartitioned and partitioned sources import by
+        file reference — no data copied (see sources/delta.py)."""
         from .sources.delta import snapshot_delta_table
 
         src = self._arg(a, "source_table", 0)

@@ -76,7 +76,7 @@ def test_snapshot_unpartitioned_by_reference(catalog, spark, tmp_path):
         .plan_files().files) == 1
 
 
-def test_snapshot_partitioned_rewrites(catalog, spark, tmp_path):
+def test_snapshot_partitioned_by_reference(catalog, spark, tmp_path):
     root = str(tmp_path / "delta_part")
     df = spark.range(0, 100).select(
         F.col("id"), (F.col("id") % 4).alias("p"), (F.col("id") * 3).alias("v"))
@@ -96,7 +96,7 @@ def test_snapshot_partitioned_rewrites(catalog, spark, tmp_path):
         f"CALL system.snapshot_delta_lake_table("
         f"source_table => 'delta.`{root}`', table => 'db.from_delta_p')"
     ).collect()
-    assert res[0].rewritten is True
+    assert res[0].rewritten is False  # partitioned imports are by reference
     t = catalog.load_table("db.from_delta_p")
     got = sorted((r.id, r.p, r.v) for r in t.to_df().collect())
     assert got == [(i, i % 4, i * 3) for i in range(100)]
@@ -235,7 +235,7 @@ def test_partition_values_from_log_not_directories(catalog, spark, tmp_path):
     res = catalog.sql(
         f"CALL system.snapshot_delta_lake_table("
         f"source_table => 'delta.`{root}`', table => 'db.flatp')").collect()
-    assert res[0].rewritten is True
+    assert res[0].rewritten is False
     t = catalog.load_table("db.flatp")
     got = sorted((r.id, r.p) for r in t.to_df().collect())
     assert got == [(i, i // 10) for i in range(30)]
@@ -282,7 +282,7 @@ def test_partitioned_import_special_char_location(catalog, spark, tmp_path):
     res = catalog.sql(
         f"CALL system.snapshot_delta_lake_table("
         f"source_table => 'delta.`{root}`', table => 'db.spacey')").collect()
-    assert res[0].rewritten is True
+    assert res[0].rewritten is False
     t = catalog.load_table("db.spacey")
     got = sorted((r.id, r.p) for r in t.to_df().collect())
     assert got == [(i, i // 5) for i in range(10)]
