@@ -75,6 +75,43 @@ FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def hive_add_files_scan(spark, sf_dir):
+    """add_files into a PARTITIONED table from an external hive-layout
+    directory (TableMigrationUtil analog): partition tuples parse from
+    name=value segments, the physically-absent identity partition column
+    reads as a per-file metadata constant, and partition pruning works."""
+    key = ("hiveadd", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        cat = _warehouse(spark)
+        ident = f"hiveadd_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        src = tempfile.mkdtemp(prefix="hive_src_")
+        df.write.partitionBy("o_orderpriority").parquet(src + "/t")
+        t = cat.create_table(ident, df.schema,
+                             partition_by=["o_orderpriority"],
+                             properties={"gc.enabled": "false"})
+        t.add_files(src + "/t")
+        n_part = len(t.scan(
+            filter=col("o_orderpriority") == "1-URGENT").plan_files().files)
+        n_all = len(t.scan().plan_files().files)
+        assert 0 < n_part < n_all, "partition pruning must engage"
+        _STATE[key] = t.identifier
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+HIVE_ADD_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def avro_roundtrip_scan(spark, sf_dir):
     """Write nation as Avro data files, read back (SURVEY A5). Falls back
     to ORC when spark-avro is not on the classpath (it is optional since
@@ -1327,6 +1364,7 @@ REGISTRY = {
     "type_promotion_scan": (type_promotion_scan, TYPE_PROMOTION_SQL),
     "default_values_scan": (default_values_scan, DEFAULT_VALUES_SQL),
     "orc_roundtrip_scan": (orc_roundtrip_scan, ORC_RT_SQL),
+    "hive_add_files_scan": (hive_add_files_scan, HIVE_ADD_SQL),
     "avro_roundtrip_scan": (avro_roundtrip_scan, AVRO_RT_SQL),
     "merge_append_scan": (merge_append_scan, MERGE_APPEND_SQL),
     "dynamic_overwrite_scan": (dynamic_overwrite_scan, DYN_OVERWRITE_SQL),
