@@ -525,6 +525,15 @@ class TableOperations:
                     v = int(f.read().strip())
             except ValueError:
                 v = None
+        if v is None and os.path.isdir(self.metadata_dir):
+            # lost/corrupt hint: recover by directory scan — probing from 1
+            # finds nothing when delete-after-commit removed early versions
+            import re as _re
+
+            vs = [int(m.group(1)) for m in
+                  (_re.match(r"v(\d+)\.metadata\.json$", f)
+                   for f in os.listdir(self.metadata_dir)) if m]
+            v = max(vs) if vs else None
         # advance past the hint if a newer committed version exists
         probe = (v or 0) + 1
         while os.path.exists(self._version_path(probe)):
@@ -556,4 +565,21 @@ class TableOperations:
             os.unlink(tmp)
         with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
             f.write(str(new_v))
+        # write.metadata.delete-after-commit.enabled
+        # (TableProperties.java:342): retain only the newest
+        # previous-versions-max previous metadata files. Walk downward
+        # until an already-missing version — prior commits deleted the
+        # rest, so cleanup stays O(1) per commit.
+        props = metadata.properties or {}
+        if str(props.get("write.metadata.delete-after-commit.enabled",
+                         "false")).lower() == "true":
+            keep = int(props.get("write.metadata.previous-versions-max",
+                                 "100"))
+            v = new_v - keep - 1
+            while v >= 1:
+                p = self._version_path(v)
+                if not os.path.exists(p):
+                    break
+                os.unlink(p)
+                v -= 1
         return new_v

@@ -49,3 +49,32 @@ def test_direct_cas_conflict_raises(catalog, spark):
     ops.commit(base_v, meta)  # first swap wins
     with pytest.raises(CommitFailedException):
         ops.commit(base_v, meta)  # same base version must fail
+
+
+def test_metadata_delete_after_commit(catalog, spark, tmp_path):
+    """write.metadata.delete-after-commit.enabled keeps only the newest
+    previous-versions-max previous metadata.json files
+    (TableProperties.java:342); the table stays loadable, including after
+    version-hint loss (directory-scan recovery)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    t = catalog.create_table(
+        "db.metaret", schema,
+        properties={"write.metadata.delete-after-commit.enabled": "true",
+                    "write.metadata.previous-versions-max": "2"})
+    for i in range(6):
+        t.append(spark.createDataFrame([(i,)], schema))
+    mdir = os.path.join(t.location, "metadata")
+    vs = sorted(int(f[1:].split(".")[0]) for f in os.listdir(mdir)
+                if f.endswith(".metadata.json"))
+    # current + 2 previous only
+    assert len(vs) == 3 and vs[-1] == max(vs)
+    t = t.refresh()
+    assert t.to_df().count() == 6
+    # hint loss: recovery scans the directory instead of probing from v1
+    os.unlink(os.path.join(mdir, "version-hint.text"))
+    t2 = catalog.load_table("db.metaret")
+    assert t2.to_df().count() == 6
