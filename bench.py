@@ -160,6 +160,38 @@ def eq_delete_benchmarks(spark, qtimes, timed, sf_dir):
     qtimes["eq_delete_mor_scan"] = timed(eq_scan)
 
 
+def dv_delete_benchmarks(spark, qtimes, timed, sf_dir):
+    """MoR read through spec-encoded deletion vectors (~10% rows deleted,
+    rewritten to Puffin deletion-vector-v1 blobs). Twin:
+    orders_scan_no_deletes_baseline; gate <= 2x — DVs must not read
+    slower than the parquet pos-delete encoding they replace."""
+    import tempfile
+
+    from iceberg_spark.maintenance import rewrite_position_delete_files
+    from iceberg_spark.expressions import col
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="iceberg_spark_dv_bench_"))
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.create_table("bench.dv_orders", orders.schema,
+                         properties={"write.delete.mode": "merge-on-read"})
+    t.append(orders)
+    thr = orders.agg(F.max("o_orderkey")).collect()[0][0] // 10
+    t.delete_where(col("o_orderkey") <= thr, mode="merge-on-read")
+    rewrite_position_delete_files(t, to_dvs=True)
+    t = t.refresh()
+    assert all(d.file.file_format == "puffin"
+               for d in t.scan().plan_files().pos_deletes)
+
+    def dv_scan():
+        return (t.to_df().groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .orderBy("o_orderpriority").collect())
+
+    qtimes["delete_mor_dv_scan"] = timed(dv_scan)
+
+
 def spj_benchmarks(spark, qtimes, timed, sf_dir):
     """Storage-partitioned join: orders<->lineitem on orderkey, bucketed
     both sides -> no Exchange, vs the same join through the plain engine
@@ -269,6 +301,7 @@ def main():
 
     qtimes["orders_scan_no_deletes_baseline"] = timed(orders_scan_baseline)
     eq_delete_benchmarks(spark, qtimes, timed, SF_DIR)
+    dv_delete_benchmarks(spark, qtimes, timed, SF_DIR)
     planning_benchmarks(spark, qtimes, timed)
     spj_benchmarks(spark, qtimes, timed, SF_DIR)
 

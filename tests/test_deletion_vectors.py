@@ -284,3 +284,28 @@ def test_changelog_over_native_dvs(catalog, spark):
     rows = [(r.id, r._change_type) for r in ch.collect()]
     assert (2, "DELETE") in rows and (3, "DELETE") in rows
     assert len([r for r in rows if r[1] == "DELETE"]) == 2
+
+
+def test_dv_roundtrip_property():
+    """Property-based: any set of valid positions round-trips exactly
+    through the blob framing, across container-kind boundaries."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import numpy as np
+
+    from iceberg_spark.deletion_vectors import dv_blob, parse_dv_blob
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=2**16 + 8),     # container edge
+            st.integers(min_value=0, max_value=2**32 + 8),     # key edge
+            st.integers(min_value=0, max_value=2**62),         # deep 64-bit
+        ), max_size=300))
+    def check(posns):
+        want = np.unique(np.asarray(posns, dtype=np.int64)) \
+            if posns else np.empty(0, dtype=np.int64)
+        got = parse_dv_blob(dv_blob(np.asarray(posns, dtype=np.int64)))
+        assert np.array_equal(got, want)
+
+    check()
