@@ -573,10 +573,48 @@ FROM orders
 """
 
 
+def eq_delete_scan(spark, sf_dir):
+    """Pure equality-delete MoR read on a NON-key column: every delete
+    postdates all data, so the scan takes the uniform fast path — one
+    hash anti-join on the key columns, no per-row sequence scoping
+    (reference IcebergSourceParquetEqDeleteBenchmark shape)."""
+    key = ("eqdel", _sf_key(sf_dir))
+    if key not in _STATE:
+        from .row_ops import write_equality_deletes
+        from .writes import RowDelta
+
+        cat = _warehouse(spark)
+        ident = f"eqdel_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table(ident, df.schema)
+        t.append(df)
+        keys = (df.select("o_custkey").distinct()
+                .filter(F.col("o_custkey") % 10 == 0))
+        eq_files = write_equality_deletes(t, keys, ["o_custkey"])
+        RowDelta(t, [], eq_files).commit()
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+EQ_DELETE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_custkey % 10 != 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "sql_q6_revenue": (sql_q6_revenue, Q6_SQL),
     "upsert_eq_scan": (upsert_eq_scan, UPSERT_EQ_SQL),
+    "eq_delete_scan": (eq_delete_scan, EQ_DELETE_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_revenue": (q6_revenue, Q6_SQL),
