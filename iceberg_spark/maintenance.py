@@ -719,6 +719,14 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
         for root, _dirs, files in os.walk(base):
             for fn in files:
                 p = os.path.normpath(os.path.join(root, fn))
+                # age-gate FIRST (distributed mode filters the listing by
+                # mtime before the join, so a too-recent file can never
+                # raise a conflict there — keep local mode consistent)
+                try:
+                    if os.path.getmtime(p) >= cutoff_s:
+                        continue
+                except OSError:
+                    continue
                 s, a, pa = _file_uri(p, eqs, eqa)
                 hits = valid_by_path.get(pa)
                 if hits is not None:
@@ -729,11 +737,7 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
                         continue
                     if prefix_mismatch_mode == "ignore":
                         continue
-                try:
-                    if os.path.getmtime(p) < cutoff_s:
-                        orphans.append(p)
-                except OSError:
-                    pass
+                orphans.append(p)
         if conflicts:
             _raise_conflicts(conflicts)
     if not dry_run:
@@ -861,10 +865,10 @@ def _write_dvs(table, kept) -> list:
 
     out_dir = _os.path.join(table.location, "data", f"dvs-{_u.uuid4().hex}")
     _os.makedirs(out_dir, exist_ok=True)
-    n_refs = kept.select("file_path").distinct().count()
-    if n_refs == 0:
-        return []
-    n_parts = min(n_refs, 32)
+    # fixed width: counting distinct refs first would re-run the whole
+    # kept-rows job; empty partitions yield nothing and zero refs simply
+    # collect to an empty descriptor list
+    n_parts = 32
 
     def write_task(batches):
         import numpy as _np
@@ -1055,8 +1059,12 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
             {**e, "statistics-path": map_path(e.get("statistics-path"))}
             for e in m.statistics_files),
         partition_statistics_files=tuple(
-            {**e, "statistics-path": map_path(
-                e.get("statistics-path") or e.get("path"))}
+            {k: v for k, v in
+             {**e, "statistics-path": map_path(
+                 e.get("statistics-path") or e.get("path"))}.items()
+             # drop the legacy un-rewritten "path" key: it would still
+             # point into the SOURCE table after the copy
+             if k != "path"}
             for e in m.partition_statistics_files),
     )
     TableOperations(out_root).commit(None, new_meta)
@@ -1087,8 +1095,16 @@ def compute_partition_stats(table) -> str:
     # ascending by partition field id (spec "unified partition type")
     by_fid: dict = {}
     for sp in m.partition_specs:
-        for f, (nm, ty) in zip(sp.fields, sp.partition_type(schema)):
-            by_fid.setdefault(f.field_id, (nm, ty))
+        for f in sp.fields:
+            try:
+                src = schema.field_by_id(f.source_id)
+            except KeyError:
+                # historical spec whose source column was dropped: its
+                # value type is no longer derivable — skip the field
+                # rather than failing the whole stats computation
+                continue
+            by_fid.setdefault(
+                f.field_id, (f.name, f.transform.result_type(src.type)))
     ufields = [by_fid[fid] for fid in sorted(by_fid)]
     if not ufields:
         # PartitionStatsHandler.java:101 — the file's partition struct

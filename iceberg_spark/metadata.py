@@ -577,9 +577,11 @@ class TableOperations:
                                  "100"))
             v = new_v - keep - 1
             while v >= 1:
-                p = self._version_path(v)
-                if not os.path.exists(p):
-                    break
-                os.unlink(p)
+                try:
+                    os.unlink(self._version_path(v))
+                except FileNotFoundError:
+                    break  # contiguous tail already removed
+                except OSError:
+                    pass  # cleanup is best-effort; the commit already stands
                 v -= 1
         return new_v

@@ -445,7 +445,12 @@ class TableScan:
         out = []
         for spec_id, paths in by_spec.items():
             spec = self.metadata.spec_by_id(spec_id)
-            df = self.spark.read.parquet(*paths)
+            # mergeSchema: manifests written before newer optional columns
+            # (content_offset/..., nan counts) must not make Spark infer a
+            # schema that silently drops them from NEWER manifests — a DV
+            # entry read without content_offset would be misrouted as a
+            # parquet pos-delete file
+            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
             cond = F.col("status") != F.lit(DELETED)
             if not isinstance(bound, E.AlwaysTrue):
                 proj = E.project(bound, spec, inclusive=True)
@@ -1147,13 +1152,30 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             key_cols = [schema.field_by_id(i).name for i in ids]
             if uniform_eq:
                 # explicit schema read (skips the inference job); deletes
-                # apply to every scanned file, so no seq columns at all
-                dtypes = type_to_spark(StructT(tuple(
-                    schema.field_by_id(i) for i in ids)))
-                dd = (spark.read.schema(dtypes)
-                      .parquet(*[d.file.file_path for d in dels])
-                      .select(*[F.col(k).alias(f"__delk_{i}")
-                                for i, k in enumerate(key_cols)]))
+                # apply to every scanned file, so no seq columns at all.
+                # Column names must be the DELETE FILE's write-time names
+                # (field-ID mapped via its write schema): reading a
+                # pre-rename file by the current name would silently
+                # return all-NULL keys instead of failing loudly.
+                by_ws: dict = {}
+                for d in dels:
+                    by_ws.setdefault(d.file.write_schema_id, []).append(d)
+                pieces = []
+                for wsid_, ds in by_ws.items():
+                    try:
+                        wsch_ = metadata.schema_by_id(wsid_)
+                    except KeyError:
+                        wsch_ = schema
+                    wfields = [wsch_.field_by_id(i) for i in ids]
+                    dtypes = type_to_spark(StructT(tuple(wfields)))
+                    pieces.append(
+                        spark.read.schema(dtypes)
+                        .parquet(*[d.file.file_path for d in ds])
+                        .select(*[F.col(wf.name).alias(f"__delk_{i}")
+                                  for i, wf in enumerate(wfields)]))
+                dd = pieces[0]
+                for p_ in pieces[1:]:
+                    dd = dd.unionByName(p_)
                 cond = None
                 for i, k in enumerate(key_cols):
                     c = out[k].eqNullSafe(F.col(f"__delk_{i}"))

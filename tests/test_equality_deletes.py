@@ -103,3 +103,26 @@ def test_upsert_in_batch_duplicate_keys(catalog, spark):
     raw = t.to_df().collect()
     assert len(raw) == 11  # one survivor for id=3
     assert {r.id: r.v for r in raw}[3] == 31.0
+
+
+def test_eq_deletes_survive_column_rename(catalog, spark):
+    """Eq-delete files written before a rename read by their WRITE-time
+    column name (field-ID mapped); reading by the current name would
+    silently return all-NULL keys and delete nothing."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = catalog.create_table("db.eqren", schema)
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(10)], schema))
+    keys = spark.createDataFrame([(2,), (5,)], "id long")
+    eq_files = write_equality_deletes(t, keys, ["id"])
+    RowDelta(t, [], eq_files).commit()
+    t = t.refresh()
+    t.update_schema().rename_column("id", "id2").commit()
+    t = t.refresh()
+    got = sorted(r.id2 for r in t.to_df().collect())
+    assert got == [i for i in range(10) if i not in (2, 5)]
