@@ -443,14 +443,23 @@ class TableScan:
         for m in manifests:
             by_spec.setdefault(m.spec_id, []).append(m.path)
         out = []
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        from .manifests import manifest_arrow_schema
+
         for spec_id, paths in by_spec.items():
             spec = self.metadata.spec_by_id(spec_id)
-            # mergeSchema: manifests written before newer optional columns
-            # (content_offset/..., nan counts) must not make Spark infer a
-            # schema that silently drops them from NEWER manifests — a DV
-            # entry read without content_offset would be misrouted as a
-            # parquet pos-delete file
-            df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            # explicit CURRENT manifest schema: no inference job, no
+            # mergeSchema footer pass, and manifests written before newer
+            # optional columns (content_offset/..., nan counts) read them
+            # as null instead of dropping them — a DV entry read without
+            # content_offset would be misrouted as a parquet pos-delete.
+            # Spark widens int32->long etc. for promoted stats columns;
+            # incompatible vintages (e.g. date stats under a promoted
+            # timestamp column) fail the read and fall back to the
+            # per-manifest field-ID-mapped local reader below.
+            read_schema = from_arrow_schema(manifest_arrow_schema(schema, spec))
+            df = self.spark.read.schema(read_schema).parquet(*paths)
             cond = F.col("status") != F.lit(DELETED)
             if not isinstance(bound, E.AlwaysTrue):
                 proj = E.project(bound, spec, inclusive=True)
@@ -466,9 +475,11 @@ class TableScan:
                 out.extend(entries_from_arrow(
                     surv.toArrow(), schema, spec, self.metadata.location))
             except Exception:
-                for r in surv.collect():
-                    out.append(entry_from_spark_row(
-                        r.asDict(), schema, spec, self.metadata.location))
+                # stats-type vintage mix: per-manifest reads map by field
+                # id and normalize per file (filters re-applied during
+                # plan_files' evaluator pass — results identical)
+                for p in paths:
+                    out.extend(read_manifest(p, schema, spec))
         return out
 
     # -- read ---------------------------------------------------------------
