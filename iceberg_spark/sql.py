@@ -382,6 +382,31 @@ class SqlEngine:
             return self._rows([Row(namespace=n)
                                for n in self.catalog.list_namespaces()],
                               "namespace string")
+        if re.match(r"DESCRIBE\s+(TABLE\s+)?(EXTENDED\s+|FORMATTED\s+)?[\w.]+\s*$", s, re.I):
+            m = re.match(r"DESCRIBE\s+(?:TABLE\s+)?"
+                         r"(EXTENDED\s+|FORMATTED\s+)?([\w.]+)\s*$", s, re.I)
+            return self._describe(m.group(2), extended=bool(m.group(1)))
+        if re.match(r"SHOW\s+TBLPROPERTIES\s+", s, re.I):
+            m = re.match(r"SHOW\s+TBLPROPERTIES\s+([\w.]+)", s, re.I)
+            t = self._load(m.group(1))
+            props = dict(t.metadata.properties or {})
+            return self._rows(
+                [Row(key=k, value=str(v)) for k, v in sorted(props.items())],
+                "key string, value string")
+        if re.match(r"SHOW\s+PARTITIONS\s+", s, re.I):
+            m = re.match(r"SHOW\s+PARTITIONS\s+([\w.]+)", s, re.I)
+            t = self._load(m.group(1))
+            if not t.spec.fields:
+                raise ValueError(
+                    f"SHOW PARTITIONS: table {m.group(1)} is not partitioned")
+            return (t.metadata_table("partitions")
+                    .select("partition", "spec_id", "record_count",
+                            "file_count")
+                    .orderBy("partition"))
+        if re.match(r"SHOW\s+CREATE\s+TABLE\s+", s, re.I):
+            m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)", s, re.I)
+            return self._rows([Row(createtab_stmt=self._create_stmt(m.group(1)))],
+                              "createtab_stmt string")
         if re.match(r"CREATE\s+TABLE", s, re.I):
             return self._create_table(s)
         if re.match(r"DROP\s+TABLE", s, re.I):
@@ -392,6 +417,51 @@ class SqlEngine:
         return self.spark.sql(self._resolve(s))
 
     # -- helpers -------------------------------------------------------------
+    def _describe(self, ident: str, extended: bool = False) -> DataFrame:
+        """DESCRIBE [EXTENDED] — Spark DSv2 describe output shape:
+        columns, then # Partitioning, then (extended) table metadata."""
+        t = self._load(ident)
+        rows = [Row(col_name=f.name, data_type=str(f.type),
+                    comment=f.doc or "")
+                for f in t.schema.fields]
+        if t.spec.fields:
+            rows.append(Row(col_name="# Partitioning", data_type="", comment=""))
+            for i, pf in enumerate(t.spec.fields):
+                rows.append(Row(col_name=f"Part {i}",
+                                data_type=pf.transform.to_str()
+                                + f"({pf.source_name})", comment=""))
+        if extended:
+            m = t.metadata
+            snap = m.current_snapshot()
+            rows += [
+                Row(col_name="# Metadata", data_type="", comment=""),
+                Row(col_name="Location", data_type=m.location, comment=""),
+                Row(col_name="Table UUID", data_type=str(m.table_uuid), comment=""),
+                Row(col_name="Current Snapshot", comment="",
+                    data_type=str(snap.snapshot_id) if snap else ""),
+                Row(col_name="Schema ID", data_type=str(m.schema.schema_id),
+                    comment=""),
+                Row(col_name="Spec ID", data_type=str(m.spec.spec_id), comment=""),
+            ]
+        return self._rows(rows, "col_name string, data_type string, comment string")
+
+    def _create_stmt(self, ident: str) -> str:
+        t = self._load(ident)
+        cols = ",\n  ".join(f"{f.name} {f.type}" for f in t.schema.fields
+                            if isinstance(f.type, str))
+        stmt = f"CREATE TABLE {ident} (\n  {cols})"
+        if t.spec.fields:
+            parts = ", ".join(
+                f.source_name if f.transform.to_str() == "identity"
+                else f"{f.transform.to_str()}({f.source_name})"
+                for f in t.spec.fields)
+            stmt += f"\nPARTITIONED BY ({parts})"
+        props = dict(t.metadata.properties or {})
+        if props:
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in sorted(props.items()))
+            stmt += f"\nTBLPROPERTIES ({kv})"
+        return stmt
+
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], "result string")
 

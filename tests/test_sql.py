@@ -299,3 +299,26 @@ def test_pushdown_non_utc_session_timezone(catalog, spark):
         assert [r.id for r in rows] == [1, 2]
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_describe_and_show_statements(seeded, catalog):
+    rows = catalog.sql("DESCRIBE db.t").collect()
+    names = [r.col_name for r in rows]
+    assert names[:3] == ["id", "cat", "v"]
+    assert "# Partitioning" in names
+    ext = catalog.sql("DESCRIBE EXTENDED db.t").collect()
+    assert any(r.col_name == "Location" for r in ext)
+
+    catalog.sql("ALTER TABLE db.t SET TBLPROPERTIES ('foo' = 'bar')")
+    props = {r.key: r.value for r in
+             catalog.sql("SHOW TBLPROPERTIES db.t").collect()}
+    assert props.get("foo") == "bar"
+
+    parts = catalog.sql("SHOW PARTITIONS db.t").collect()
+    assert len(parts) == 2  # cat in {a, b}
+    import json
+
+    assert sorted(json.loads(r.partition)["cat"] for r in parts) == ["a", "b"]
+
+    stmt = catalog.sql("SHOW CREATE TABLE db.t").collect()[0].createtab_stmt
+    assert "CREATE TABLE db.t" in stmt and "PARTITIONED BY (cat)" in stmt
