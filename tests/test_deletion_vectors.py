@@ -309,3 +309,18 @@ def test_dv_roundtrip_property():
         assert np.array_equal(got, want)
 
     check()
+
+
+def test_compaction_applies_dvs(catalog, spark):
+    """rewrite_data_files over a DV table applies the vectors into the
+    rewritten data and dangling cleanup drops the spent containers."""
+    t = _dv_table(catalog, spark, name="dv.compact", parts=2, rows=40)
+    t.delete_where(col("id") < 8, mode="merge-on-read")
+    t = t.refresh()
+    assert any(d.file.file_format == "puffin"
+               for d in t.scan().plan_files().pos_deletes)
+    t.rewrite_data_files(strategy="binpack")
+    t = t.refresh()
+    plan = t.scan().plan_files()
+    assert not plan.pos_deletes, "DVs must be applied and removed"
+    assert sorted(r.id for r in t.to_df().collect()) == list(range(8, 40))
