@@ -721,7 +721,9 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
                 p = os.path.normpath(os.path.join(root, fn))
                 # age-gate FIRST (distributed mode filters the listing by
                 # mtime before the join, so a too-recent file can never
-                # raise a conflict there — keep local mode consistent)
+                # raise a conflict there — keep local mode consistent).
+                # A stat failure also skips conflict detection: distributed
+                # listing drops unstattable files the same way
                 try:
                     if os.path.getmtime(p) >= cutoff_s:
                         continue

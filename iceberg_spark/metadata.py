@@ -579,9 +579,11 @@ class TableOperations:
             while v >= 1:
                 try:
                     os.unlink(self._version_path(v))
-                except FileNotFoundError:
-                    break  # contiguous tail already removed
                 except OSError:
-                    pass  # cleanup is best-effort; the commit already stands
+                    # already removed (contiguous tail) or persistently
+                    # failing (permissions): stop either way — cleanup is
+                    # best-effort, the commit already stands, and breaking
+                    # keeps the walk O(1) per commit
+                    break
                 v -= 1
         return new_v

@@ -1197,16 +1197,36 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 else:
                     out = out.join(dd.hint("shuffle_hash"), cond, "left_anti")
                 continue
-            dd = spark.read.parquet(*[d.file.file_path for d in dels])
-            # tag each delete row with its file's sequence number
-            seq_map = {d.file.file_path: d.sequence_number for d in dels}
-            mapping = F.create_map(*[F.lit(x) for kv in seq_map.items() for x in kv])
-            # normalize file:// URIs to match the manifest's plain paths
-            dd = dd.withColumn("__del_seq", mapping[
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")])
-            dd = dd.select(
-                *[F.col(k).alias(f"__delk_{i}") for i, k in enumerate(key_cols)], "__del_seq"
-            )
+            # write-time column names (field-ID mapped), as in the uniform
+            # path: a pre-rename delete file read by the current name
+            # would resolve to nothing (or nulls with an explicit schema)
+            by_ws2: dict = {}
+            for d in dels:
+                by_ws2.setdefault(d.file.write_schema_id, []).append(d)
+            pieces2 = []
+            for wsid_, ds in by_ws2.items():
+                try:
+                    wsch_ = metadata.schema_by_id(wsid_)
+                except KeyError:
+                    wsch_ = schema
+                wfields = [wsch_.field_by_id(i) for i in ids]
+                dtypes = type_to_spark(StructT(tuple(wfields)))
+                p_ = spark.read.schema(dtypes).parquet(
+                    *[d.file.file_path for d in ds])
+                # tag each delete row with its file's sequence number
+                seq_map = {d.file.file_path: d.sequence_number for d in ds}
+                mapping = F.create_map(*[F.lit(x) for kv in seq_map.items()
+                                         for x in kv])
+                # normalize file:// URIs to match the manifest's plain paths
+                pieces2.append(p_.select(
+                    *[F.col(wf.name).alias(f"__delk_{i}")
+                      for i, wf in enumerate(wfields)],
+                    mapping[F.regexp_replace(F.col("_metadata.file_path"),
+                                             "^file:/+", "/")]
+                    .alias("__del_seq")))
+            dd = pieces2[0]
+            for p_ in pieces2[1:]:
+                dd = dd.unionByName(p_)
             cond = F.col("__data_seq") < F.col("__del_seq")
             for i, k in enumerate(key_cols):
                 cond = cond & out[k].eqNullSafe(F.col(f"__delk_{i}"))

@@ -382,31 +382,45 @@ class SqlEngine:
             return self._rows([Row(namespace=n)
                                for n in self.catalog.list_namespaces()],
                               "namespace string")
-        if re.match(r"DESCRIBE\s+(TABLE\s+)?(EXTENDED\s+|FORMATTED\s+)?[\w.]+\s*$", s, re.I):
-            m = re.match(r"DESCRIBE\s+(?:TABLE\s+)?"
-                         r"(EXTENDED\s+|FORMATTED\s+)?([\w.]+)\s*$", s, re.I)
-            return self._describe(m.group(2), extended=bool(m.group(1)))
-        if re.match(r"SHOW\s+TBLPROPERTIES\s+", s, re.I):
-            m = re.match(r"SHOW\s+TBLPROPERTIES\s+([\w.]+)", s, re.I)
-            t = self._load(m.group(1))
-            props = dict(t.metadata.properties or {})
-            return self._rows(
-                [Row(key=k, value=str(v)) for k, v in sorted(props.items())],
-                "key string, value string")
-        if re.match(r"SHOW\s+PARTITIONS\s+", s, re.I):
-            m = re.match(r"SHOW\s+PARTITIONS\s+([\w.]+)", s, re.I)
-            t = self._load(m.group(1))
-            if not t.spec.fields:
-                raise ValueError(
-                    f"SHOW PARTITIONS: table {m.group(1)} is not partitioned")
-            return (t.metadata_table("partitions")
-                    .select("partition", "spec_id", "record_count",
-                            "file_count")
-                    .orderBy("partition"))
-        if re.match(r"SHOW\s+CREATE\s+TABLE\s+", s, re.I):
-            m = re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)", s, re.I)
-            return self._rows([Row(createtab_stmt=self._create_stmt(m.group(1)))],
-                              "createtab_stmt string")
+        # introspection statements: intercept only CATALOG tables — temp
+        # views / non-catalog relations keep the spark.sql passthrough
+        if m := re.match(r"DESCRIBE\s+(?:TABLE\s+)?"
+                         r"(EXTENDED\s+|FORMATTED\s+)?([\w.]+)\s*$", s, re.I):
+            if self.catalog.table_exists(m.group(2)):
+                return self._describe(m.group(2), extended=bool(m.group(1)))
+        if m := re.match(r"SHOW\s+TBLPROPERTIES\s+([\w.]+)"
+                         r"(?:\s*\(\s*'([^']+)'\s*\))?\s*$", s, re.I):
+            if self.catalog.table_exists(m.group(1)):
+                t = self._load(m.group(1))
+                props = dict(t.metadata.properties or {})
+                if m.group(2) is not None:  # single-key form
+                    k = m.group(2)
+                    return self._rows(
+                        [Row(key=k, value=str(props.get(k)))],
+                        "key string, value string")
+                return self._rows(
+                    [Row(key=k, value=str(v)) for k, v in sorted(props.items())],
+                    "key string, value string")
+        if m := re.match(r"SHOW\s+PARTITIONS\s+([\w.]+)(\s+PARTITION\b.*)?\s*$",
+                         s, re.I):
+            if self.catalog.table_exists(m.group(1)):
+                if m.group(2):
+                    raise NotImplementedError(
+                        "SHOW PARTITIONS ... PARTITION (spec) filters are "
+                        "not supported; filter the result instead")
+                t = self._load(m.group(1))
+                if not t.spec.fields:
+                    raise ValueError(
+                        f"SHOW PARTITIONS: table {m.group(1)} is not partitioned")
+                return (t.metadata_table("partitions")
+                        .select("partition", "spec_id", "record_count",
+                                "file_count")
+                        .orderBy("partition"))
+        if m := re.match(r"SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", s, re.I):
+            if self.catalog.table_exists(m.group(1)):
+                return self._rows(
+                    [Row(createtab_stmt=self._create_stmt(m.group(1)))],
+                    "createtab_stmt string")
         if re.match(r"CREATE\s+TABLE", s, re.I):
             return self._create_table(s)
         if re.match(r"DROP\s+TABLE", s, re.I):
@@ -420,8 +434,13 @@ class SqlEngine:
     def _describe(self, ident: str, extended: bool = False) -> DataFrame:
         """DESCRIBE [EXTENDED] — Spark DSv2 describe output shape:
         columns, then # Partitioning, then (extended) table metadata."""
+        from .schema import type_to_spark
+
+        def _sql_type(ty):
+            return ty if isinstance(ty, str) else type_to_spark(ty).simpleString()
+
         t = self._load(ident)
-        rows = [Row(col_name=f.name, data_type=str(f.type),
+        rows = [Row(col_name=f.name, data_type=_sql_type(f.type),
                     comment=f.doc or "")
                 for f in t.schema.fields]
         if t.spec.fields:
@@ -437,8 +456,11 @@ class SqlEngine:
                 Row(col_name="# Metadata", data_type="", comment=""),
                 Row(col_name="Location", data_type=m.location, comment=""),
                 Row(col_name="Table UUID", data_type=str(m.table_uuid), comment=""),
-                Row(col_name="Current Snapshot", comment="",
-                    data_type=str(snap.snapshot_id) if snap else ""),
+                # kwargs map POSITIONALLY onto the result schema — keep
+                # the (col_name, data_type, comment) order
+                Row(col_name="Current Snapshot",
+                    data_type=str(snap.snapshot_id) if snap else "",
+                    comment=""),
                 Row(col_name="Schema ID", data_type=str(m.schema.schema_id),
                     comment=""),
                 Row(col_name="Spec ID", data_type=str(m.spec.spec_id), comment=""),
@@ -446,9 +468,14 @@ class SqlEngine:
         return self._rows(rows, "col_name string, data_type string, comment string")
 
     def _create_stmt(self, ident: str) -> str:
+        from .schema import type_to_spark
+
         t = self._load(ident)
-        cols = ",\n  ".join(f"{f.name} {f.type}" for f in t.schema.fields
-                            if isinstance(f.type, str))
+        cols = ",\n  ".join(
+            f"{f.name} "
+            + (f.type if isinstance(f.type, str)
+               else type_to_spark(f.type).simpleString())
+            for f in t.schema.fields)
         stmt = f"CREATE TABLE {ident} (\n  {cols})"
         if t.spec.fields:
             parts = ", ".join(

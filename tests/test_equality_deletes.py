@@ -126,3 +126,22 @@ def test_eq_deletes_survive_column_rename(catalog, spark):
     t = t.refresh()
     got = sorted(r.id2 for r in t.to_df().collect())
     assert got == [i for i in range(10) if i not in (2, 5)]
+
+
+def test_upsert_eq_deletes_survive_column_rename(catalog, spark):
+    """Same-commit upsert deletes (non-uniform seq path) also read by the
+    WRITE-time key column name after a rename."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = catalog.create_table("db.eqren2", schema)
+    t.append(spark.createDataFrame([(i, f"v{i}") for i in range(8)], schema))
+    t.upsert(spark.createDataFrame([(3, "NEW3"), (100, "NEW100")], schema),
+             keys=["id"])
+    t = t.refresh()
+    t.update_schema().rename_column("id", "id2").commit()
+    t = t.refresh()
+    got = {r.id2: r.v for r in t.to_df().collect()}
+    assert got[3] == "NEW3" and got[100] == "NEW100"
+    assert len(got) == 9
