@@ -229,10 +229,14 @@ def _position_deletes(table) -> DataFrame:
         schema = T.StructType([
             T.StructField("file_path", T.StringType()),
             T.StructField("pos", T.LongType()),
+            T.StructField("delete_file_path", T.StringType()),
         ])
         return table.spark.createDataFrame([], schema)
-    # format-agnostic: parquet pos-delete files and Puffin deletion vectors
-    return pos_delete_rows_df(table.spark, plan.pos_deletes)
+    # format-agnostic: parquet pos-delete files and Puffin deletion
+    # vectors; delete_file_path names the containing file (the
+    # PositionDeletesTable.java DELETE_FILE_PATH column)
+    return pos_delete_rows_df(table.spark, plan.pos_deletes,
+                              with_source=True)
 
 
 _BUILDERS = {

@@ -744,12 +744,14 @@ def _is_dv(f) -> bool:
     return f.file_format == "puffin" and f.content_offset is not None
 
 
-def pos_delete_rows_df(spark, deletes):
+def pos_delete_rows_df(spark, deletes, with_source: bool = False):
     """All deleted (file_path, pos) rows of a pos-delete entry list as one
     DataFrame, whatever the physical encoding: parquet position-delete
     files read natively; Puffin deletion-vector-v1 blobs expanded on
     executors (Arrow-batched, one blob per referenced file — the blob read
-    is an offset/length seek, never a full-file parse)."""
+    is an offset/length seek, never a full-file parse). With
+    `with_source`, a third `delete_file_path` column names the containing
+    delete file (PositionDeletesTable parity)."""
     import pandas as _pd
 
     pq_paths = sorted({d.file.file_path for d in deletes
@@ -761,22 +763,34 @@ def pos_delete_rows_df(spark, deletes):
     dfs = []
     if pq_paths:
         # explicit schema: skips the inference job spark.read would run
-        dfs.append(spark.read.schema("file_path string, pos long")
-                   .parquet(*pq_paths).select("file_path", "pos"))
+        pdf = spark.read.schema("file_path string, pos long") \
+            .parquet(*pq_paths)
+        cols = [F.col("file_path"), F.col("pos")]
+        if with_source:
+            cols.append(
+                F.regexp_replace(F.col("_metadata.file_path"),
+                                 "^file:/+", "/").alias("delete_file_path"))
+        dfs.append(pdf.select(*cols))
     if dv_rows:
+        out_schema = "file_path string, pos long"
+        if with_source:
+            out_schema += ", delete_file_path string"
+
         def expand(batches):
             from .deletion_vectors import read_dv_positions
             for b in batches:
                 for p, o, ln, ref in zip(b["p"], b["o"], b["l"], b["ref"]):
-                    yield _pd.DataFrame(
-                        {"file_path": ref,
-                         "pos": read_dv_positions(p, int(o), int(ln))})
+                    d = {"file_path": ref,
+                         "pos": read_dv_positions(p, int(o), int(ln))}
+                    if with_source:
+                        d["delete_file_path"] = p
+                    yield _pd.DataFrame(d)
 
         ddf = spark.createDataFrame(
             dv_rows, "p string, o long, l long, ref string")
         if len(dv_rows) > 1:
             ddf = ddf.repartition(min(len(dv_rows), 32))
-        dfs.append(ddf.mapInPandas(expand, "file_path string, pos long"))
+        dfs.append(ddf.mapInPandas(expand, out_schema))
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

@@ -297,3 +297,46 @@ def test_add_files_partitioned_hive_layout(catalog, spark, tmp_path):
          if x.endswith(".parquet")]
     with pytest.raises(ValueError, match="cannot derive partition"):
         t.add_files(f)
+
+
+def test_position_deletes_table_names_delete_file(catalog, spark):
+    """position_deletes exposes delete_file_path (PositionDeletesTable
+    DELETE_FILE_PATH) for both parquet pos-deletes and Puffin DVs."""
+    t, _ = _simple(catalog, spark, "db.pdmeta", 20, 2,
+                   properties={"write.delete.mode": "merge-on-read"})
+    t.delete_where(col("id").isin(1, 11))
+    rows = t.metadata_table("position_deletes").collect()
+    assert len(rows) == 2
+    assert all(r.delete_file_path and r.delete_file_path.endswith(".parquet")
+               for r in rows)
+    from iceberg_spark.maintenance import rewrite_position_delete_files
+
+    rewrite_position_delete_files(t, to_dvs=True)
+    t = t.refresh()
+    rows = t.metadata_table("position_deletes").collect()
+    assert len(rows) == 2
+    assert all(r.delete_file_path.endswith(".puffin") for r in rows)
+
+
+def test_identity_constant_fill_survives_spec_evolution(catalog, spark, tmp_path):
+    """Hive-imported files (identity column physically absent) still read
+    the metadata constant after the partition spec evolves."""
+    src = str(tmp_path / "hive_evo")
+    df = spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(20)], "id long, p int, v double")
+    df.write.partitionBy("p").parquet(src)
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("p", T.IntegerType()),
+    ])
+    t = catalog.create_table("db.hive_evo", schema, partition_by=["p"])
+    t.add_files(src)
+    t.update_spec().add_field("id", "bucket(4)").commit()
+    t = t.refresh()
+    # new spec files physically store everything; old imported files fill p
+    t.append(spark.createDataFrame([(100, 5.0, 9)], schema))
+    got = sorted((r.id, r.p) for r in t.to_df().collect())
+    assert got == [(i, i % 2) for i in range(20)] + [(100, 9)]
+    pruned = t.scan(filter=col("p") == 1).df().collect()
+    assert sorted(r.id for r in pruned) == [i for i in range(20) if i % 2 == 1]
