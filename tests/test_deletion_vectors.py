@@ -324,3 +324,37 @@ def test_compaction_applies_dvs(catalog, spark):
     plan = t.scan().plan_files()
     assert not plan.pos_deletes, "DVs must be applied and removed"
     assert sorted(r.id for r in t.to_df().collect()) == list(range(8, 40))
+
+
+def test_concurrent_dv_replacement_conflicts_loudly(catalog, spark):
+    """Two writers merging DVs for the SAME data file from the same base:
+    the first commit wins; the second's retry must fail validation (its
+    replaced entry is gone) instead of silently dropping the winner's
+    deletes — the one-DV-per-file invariant under optimistic concurrency."""
+    import pytest
+
+    from iceberg_spark.row_ops import write_row_deletes
+    from iceberg_spark.writes import RowDelta, ValidationException
+
+    t = _dv_table(catalog, spark, name="dv.conc", parts=1, rows=12)
+    t.delete_where(col("id") == 0, mode="merge-on-read")
+    t = t.refresh()
+
+    # writer 1: prepare a merge replacing the existing DV (not committed)
+    scan1 = t.scan(filter=col("id") == 3)
+    plan1 = scan1.plan_files()
+    m1 = scan1.df(with_metadata_columns=True).filter("id = 3")
+    files1, removed1 = write_row_deletes(t, m1, plan1)
+    assert removed1, "expected the existing DV entry to be replaced"
+
+    # writer 2 commits first, replacing the same file's DV
+    t.delete_where(col("id") == 5, mode="merge-on-read")
+
+    # writer 1's commit retries on the new base and must fail loudly:
+    # its removed ref no longer exists there
+    with pytest.raises(ValidationException, match="no longer exist"):
+        RowDelta(t, [], files1, removed_delete_refs=removed1).commit()
+
+    t = t.refresh()
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(12) if i not in (0, 5)]
