@@ -762,15 +762,36 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
 def remove_dangling_deletes(table) -> int:
     """Drop delete files that can no longer apply to any live data file
     (RemoveDanglingDeletesSparkAction): pos deletes whose referenced data
-    files are gone; eq deletes with seq <= min live data seq."""
+    files are gone; eq deletes with seq <= min live data seq.
+
+    The scan planner already prunes delete entries that cannot apply to any
+    live data file — exactly the dangling set this action targets — so the
+    candidates are enumerated UNPRUNED from the snapshot's delete manifests
+    (the reference likewise reads delete manifests directly,
+    RemoveDanglingDeletesSparkAction.java), while `plan_files()` supplies
+    only the live data-file side."""
+    from .manifests import DELETED as _DELETED, EQUALITY_DELETES
     from .scan import _data_rel
 
-    plan = table.scan().plan_files()
+    scan = table.scan()
+    plan = scan.plan_files()
     # location-independent comparison: delete contents/stats carry
     # write-time absolute paths that go stale after a relative-path
     # table relocation (matches the scan-side _data_rel normalization)
     live_paths = {_data_rel(e.file.file_path) for e in plan.files}
-    min_data_seq = min((e.sequence_number for e in plan.files), default=0)
+    # no live data files -> every delete file is dangling (inf sentinel)
+    min_data_seq = min((e.sequence_number for e in plan.files),
+                       default=float("inf"))
+    pos_deletes, eq_deletes = [], []
+    if plan.snapshot is not None:
+        for e in scan._read_entries_local(
+                read_manifest_list(plan.snapshot.manifest_list)):
+            if e.status == _DELETED:
+                continue
+            if e.file.content == POSITION_DELETES:
+                pos_deletes.append(e)
+            elif e.file.content == EQUALITY_DELETES:
+                eq_deletes.append(e)
     # one Puffin file can hold DVs for MANY data files, and removal is by
     # path — so a shared container is dangling only when EVERY vector in
     # it references a dead file (the reference likewise never rewrites
@@ -778,20 +799,25 @@ def remove_dangling_deletes(table) -> int:
     puffin_total: dict = {}
     puffin_dead: dict = {}
     dangling = set()
-    for d in plan.pos_deletes:
+    for d in pos_deletes:
         st = d.file.stats.get("file_path")
         refs = None
         if d.file.referenced_data_file:
             refs = {_data_rel(d.file.referenced_data_file)}
         elif st and st[0] is not None and st[0] == st[1]:
             refs = {_data_rel(st[0])}
+        # pos deletes apply when delete.seq >= data.seq: one sequenced
+        # below every live data file is dead regardless of path refs
+        seq_dead = d.sequence_number < min_data_seq
         if d.file.file_format == "puffin":
             p = d.file.file_path
             puffin_total[p] = puffin_total.get(p, 0) + 1
-            if refs is not None and not (refs & live_paths):
+            if seq_dead or (refs is not None and not (refs & live_paths)):
                 puffin_dead[p] = puffin_dead.get(p, 0) + 1
             continue
-        if refs is not None:
+        if seq_dead:
+            dangling.add(d.file.file_path)
+        elif refs is not None:
             if not (refs & live_paths):
                 dangling.add(d.file.file_path)
         else:
@@ -803,7 +829,7 @@ def remove_dangling_deletes(table) -> int:
     for p, total in puffin_total.items():
         if puffin_dead.get(p, 0) == total:
             dangling.add(p)
-    for d in plan.eq_deletes:
+    for d in eq_deletes:
         if d.sequence_number <= min_data_seq:
             dangling.add(d.file.file_path)
     if dangling:
@@ -1192,10 +1218,16 @@ def compute_partition_stats(table) -> str:
     path = os.path.join(sdir, f"pstats-{_uuid.uuid4().hex}.parquet")
     if part:
         _shutil.move(part[0], path)
+    else:
+        # Spark produced no part file (empty single-partition write): write
+        # a zero-row parquet with the spec schema so the committed
+        # statistics-path is never dangling
+        import pyarrow.parquet as _pq
+        _pq.write_table(stats.limit(0).toArrow(), path)
     _shutil.rmtree(tmp, ignore_errors=True)
     entry = {"snapshot-id": snap.snapshot_id if snap else None,
              "statistics-path": path,
-             "file-size-in-bytes": os.path.getsize(path) if part else 0}
+             "file-size-in-bytes": os.path.getsize(path)}
     table._commit_metadata(
         replace(m, partition_statistics_files=m.partition_statistics_files + (entry,)))
     return path

@@ -147,9 +147,11 @@ def write_row_deletes(table, matched_df: DataFrame, plan=None):
     deletes that apply to the affected files merge INTO the new vector
     and the superseded file-scoped entries are replaced in the same
     commit (returned as `removed_delete_refs` (path, ref) pairs for
-    RowDelta/Overwrite). Multi-file parquet delete files stay — their
-    rows are a subset of the merged vector, so the union read stays
-    exact.
+    RowDelta/Overwrite). A multi-file parquet delete file that touches
+    any affected file is FULLY converted — all its rows, for every file
+    it references, become DVs — and removed in the same commit, because
+    v3 forbids position-delete files coexisting with deletion vectors on
+    one data file (format/spec.md:1384).
 
     Returns (delete_files, removed_delete_refs)."""
     fmt = (table.metadata.properties.get("write.delete.format", "")
@@ -164,30 +166,53 @@ def write_row_deletes(table, matched_df: DataFrame, plan=None):
                              F.col(POS_COL).alias("pos"))
     removed: set = set()
     if plan is not None and plan.pos_deletes:
+        spark = table.spark
         # affected = files that get a new DV this commit (plan-sized)
         affected = {r["file_path"] for r in
                     rows.select("file_path").distinct().collect()}
         affected_rel = {_data_rel(p) for p in affected}
-        prior = [d for d in plan.pos_deletes
-                 if d.file.referenced_data_file is None
-                 or _data_rel(d.file.referenced_data_file) in affected_rel]
-        if prior:
-            # prior delete contents carry write-time paths; map them onto
-            # the live paths via the plan's (suffix -> current) broadcast
-            rel_map = {_data_rel(p): p for p in affected}
-            map_df = table.spark.createDataFrame(
-                list(rel_map.items()), "rel string, cur string")
-            pr = (pos_delete_rows_df(table.spark, prior)
+        # prior delete contents carry write-time paths; map them onto
+        # the live paths via the plan's (suffix -> current) broadcast
+        map_df = spark.createDataFrame(
+            [(r, p) for r, p in
+             ((_data_rel(p), p) for p in affected)],
+            "rel string, cur string")
+        file_scoped = [d for d in plan.pos_deletes
+                       if d.file.referenced_data_file is not None
+                       and _data_rel(d.file.referenced_data_file)
+                       in affected_rel]
+        if file_scoped:
+            pr = (pos_delete_rows_df(spark, file_scoped)
                   .withColumn("__rel", _data_rel_col(F.col("file_path")))
                   .join(F.broadcast(map_df), F.col("__rel") == F.col("rel"),
-                        "inner")  # drops rows for unaffected files
+                        "inner")
                   .select(F.col("cur").alias("file_path"), "pos"))
             rows = rows.unionByName(pr)
-        removed = {
-            (d.file.file_path, d.file.referenced_data_file)
-            for d in plan.pos_deletes
-            if d.file.referenced_data_file is not None
-            and _data_rel(d.file.referenced_data_file) in affected_rel}
+            removed |= {(d.file.file_path, d.file.referenced_data_file)
+                        for d in file_scoped}
+        multi = [d for d in plan.pos_deletes
+                 if d.file.referenced_data_file is None]
+        if multi:
+            # v3 forbids parquet pos-deletes coexisting with a DV on one
+            # data file: any multi-file delete that touches an affected
+            # file converts wholesale (rows for non-affected files keep
+            # their stored path — scan matching is _data_rel-based)
+            src = (pos_delete_rows_df(spark, multi, with_source=True)
+                   .withColumn("__rel", _data_rel_col(F.col("file_path"))))
+            touching = sorted(
+                r["delete_file_path"] for r in
+                src.join(F.broadcast(map_df),
+                         F.col("__rel") == F.col("rel"), "semi")
+                .select("delete_file_path").distinct().collect())
+            if touching:
+                conv = (src.filter(
+                            F.col("delete_file_path").isin(touching))
+                        .join(F.broadcast(map_df),
+                              F.col("__rel") == F.col("rel"), "left")
+                        .select(F.coalesce("cur", "file_path")
+                                .alias("file_path"), "pos"))
+                rows = rows.unionByName(conv)
+                removed |= {(p, None) for p in touching}
     return _write_dvs(table, rows), removed
 
 

@@ -395,8 +395,16 @@ class SqlEngine:
                 props = dict(t.metadata.properties or {})
                 if m.group(2) is not None:  # single-key form
                     k = m.group(2)
+                    if k not in props:
+                        # match Spark: an unset key yields a message value,
+                        # distinguishable from a property literally "None"
+                        return self._rows(
+                            [Row(key=k, value=(
+                                f"Table {m.group(1)} does not have property: "
+                                f"{k}"))],
+                            "key string, value string")
                     return self._rows(
-                        [Row(key=k, value=str(props.get(k)))],
+                        [Row(key=k, value=str(props[k]))],
                         "key string, value string")
                 return self._rows(
                     [Row(key=k, value=str(v)) for k, v in sorted(props.items())],
