@@ -290,6 +290,23 @@ def main():
 
     qtimes["raw_q1_baseline"] = timed(lambda: raw_q1_baseline(spark, SF_DIR).collect())
 
+    # BASELINE target 1 as a direct ratio, timed in interleaved pairs so
+    # ambient drift lands on both sides of every sample (a separate-block
+    # timing lets one anomalous baseline run skew the reported ratio)
+    def _q1():
+        reg["q1_pricing_summary"](spark, SF_DIR).collect()
+
+    def _raw():
+        raw_q1_baseline(spark, SF_DIR).collect()
+
+    ratios = []
+    for _ in range(7):
+        t0 = time.perf_counter(); _q1(); a = time.perf_counter() - t0
+        t0 = time.perf_counter(); _raw(); b = time.perf_counter() - t0
+        ratios.append(a / b)
+    ratios.sort()
+    qtimes["q1_vs_raw_ratio"] = round(ratios[len(ratios) // 2], 4)
+
     # no-delete twin of delete_mor_scan (BASELINE target 3: MoR with
     # deletes must stay <= 2x this)
     def orders_scan_baseline():
@@ -313,7 +330,8 @@ def main():
 
     total = round(sum(v for k, v in qtimes.items()
                       if not k.endswith("_baseline") and not k.startswith("plan_")
-                      and not k.startswith("pipeline_")), 4)
+                      and not k.startswith("pipeline_")
+                      and not k.endswith("_ratio")), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -408,12 +408,14 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
         e_df = reachable_data_paths_df(table.spark, e_only, m.location)
         k_df = reachable_data_paths_df(table.spark, kept_mans, m.location)
         dead_df = (e_df if k_df is None
-                   else e_df.join(k_df, "file_path", "left_anti"))
-        # stream the final delete list — never a full driver materialization
-        for r in dead_df.toLocalIterator():
-            n_dead_data += 1
+                   else e_df.join(k_df, "file_path", "left_anti")).persist()
+        try:
+            # executor-side deletes; only counts reach the driver
+            n_dead_data = dead_df.count()
             if delete_files:
-                _unlink(r["file_path"])
+                deleted += _distributed_unlink(dead_df, "file_path")
+        finally:
+            dead_df.unpersist()
     elif e_only:
         def data_of(mans):
             out = set()
@@ -593,6 +595,35 @@ def _file_uri(p: str, eq_schemes: dict, eq_auth: dict):
     return eq_schemes.get(scheme, scheme), eq_auth.get(auth, auth), path
 
 
+# files whose paths fit comfortably on the driver as a returned list; a
+# bigger delete set stays distributed and only a bounded sample comes back
+DRIVER_DELETE_LIST_MAX = 100_000
+
+
+def _distributed_unlink(df, path_col: str) -> int:
+    """Executor-side unlink of every path in `df` (remote-FileIO-shaped:
+    the delete runs where the listing lives — the reference's bulk-delete
+    executor in DeleteOrphanFilesSparkAction). Only per-partition counts
+    reach the driver."""
+    import pandas as _pd
+
+    def rm(batches):
+        import os as _os
+
+        n = 0
+        for b in batches:
+            for p in b[path_col]:
+                try:
+                    _os.unlink(p)
+                    n += 1
+                except OSError:
+                    pass
+        yield _pd.DataFrame({"n": [n]})
+
+    r = df.mapInPandas(rm, "n long").agg(F.sum("n")).collect()[0][0]
+    return int(r or 0)
+
+
 def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
                         mode: str = "auto",
                         equal_schemes: dict = None,
@@ -671,8 +702,16 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
             _F.col("mtime") < _F.lit(cutoff_s))
         valid = reachable_data_paths_df(table.spark, manifests, m.location)
         if valid is None:
-            orphans = sorted(r["actual_path"]
-                             for r in actual.select("actual_path").collect())
+            orph_df = actual.select("actual_path").persist()
+            try:
+                orphans = sorted(
+                    r["actual_path"] for r in
+                    orph_df.limit(DRIVER_DELETE_LIST_MAX).collect())
+                if not dry_run:
+                    _distributed_unlink(orph_df, "actual_path")
+            finally:
+                orph_df.unpersist()
+            return orphans
         else:
             a_s, a_a, a_p = _uri_cols(_F.col("actual_path"))
             av = actual.select("actual_path", a_s.alias("a_s"),
@@ -698,9 +737,19 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
             orphan_pred = ("full = 0 AND mism = 0"
                            if prefix_mismatch_mode != "delete"
                            else "full = 0")
-            orphans = sorted(r["actual_path"] for r in
-                             agg.filter(orphan_pred)
-                             .select("actual_path").collect())
+            orph_df = (agg.filter(orphan_pred)
+                       .select("actual_path").persist())
+            try:
+                # deletes run on executors; the driver keeps only a
+                # bounded listing (full below DRIVER_DELETE_LIST_MAX)
+                orphans = sorted(
+                    r["actual_path"] for r in
+                    orph_df.limit(DRIVER_DELETE_LIST_MAX).collect())
+                if not dry_run:
+                    _distributed_unlink(orph_df, "actual_path")
+            finally:
+                orph_df.unpersist()
+            return orphans
     else:
         from collections import defaultdict
 
@@ -988,11 +1037,14 @@ def compute_table_stats(table, columns=None) -> dict:
     facts = write_puffin(path, [
         # the fallback writes NO sketch bytes, so it must not claim the
         # theta type — a spec-compliant consumer would try to deserialize
+        # zstd-compressed like the reference's stats blobs
+        # (PuffinFormat.java:22); deletion vectors stay uncompressed
         {"type": stype,
          "fields": [schema.find_field(c).field_id],
          "snapshot-id": stats["snapshot-id"],
          "sequence-number": seq,
          "data": bytes.fromhex(blobs[c]) if c in blobs else b"",
+         "compression-codec": "zstd",
          "properties": {"ndv": str(ndv[c])}}
         for c in cols
     ], properties={"created-by": "iceberg_spark"})

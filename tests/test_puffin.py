@@ -97,3 +97,57 @@ def test_puffin_truncated_footer_raises(tmp_path):
         fh.write(raw)
     with pytest.raises(ValueError, match="corrupt Puffin footer"):
         read_puffin(p)
+
+
+def test_zstd_compressed_blob_roundtrip(tmp_path):
+    """Reference stats blobs are zstd-compressed (PuffinFormat.java:22);
+    the reader must parse the frame's embedded content size and inflate."""
+    p = str(tmp_path / "z.puffin")
+    payload = os.urandom(64) + b"A" * 4096  # compressible tail
+    write_puffin(p, [
+        {"type": THETA_V1, "fields": [1], "snapshot-id": 1,
+         "sequence-number": 1, "data": payload,
+         "compression-codec": "zstd", "properties": {"ndv": "9"}},
+    ])
+    meta, blobs = read_puffin(p)
+    bm = meta["blobs"][0]
+    assert bm["compression-codec"] == "zstd"
+    assert bm["length"] < len(payload)  # actually compressed on disk
+    assert blobs == [payload]
+
+
+def test_stats_blobs_compressed_on_disk(catalog, spark):
+    df = spark.range(0, 500).select(F.col("id"))
+    t = catalog.create_table("db.puffz", df.schema)
+    t.append(df)
+    t = t.refresh()
+    from iceberg_spark.maintenance import compute_table_stats
+
+    compute_table_stats(t, columns=["id"])
+    t = t.refresh()
+    path = t.metadata.statistics_files[-1]["statistics-path"]
+    meta, blobs = read_puffin(path)
+    assert meta["blobs"][0].get("compression-codec") == "zstd"
+    assert blobs[0]  # sketch bytes inflate back
+
+
+def test_lz4_frame_without_content_size_rejected(tmp_path):
+    """pyarrow's lz4 frames omit the content size; the spec requires it
+    (puffin-spec.md:189) and guessing pads silently — must raise."""
+    import pyarrow as pa
+    import pytest
+
+    p = str(tmp_path / "l.puffin")
+    comp = bytes(pa.Codec("lz4").compress(b"x" * 100))
+    # hand-assemble: magic, blob, footer naming lz4 codec
+    import json as _json
+    import struct as _struct
+    bm = [{"type": THETA_V1, "fields": [1], "snapshot-id": 1,
+           "sequence-number": 1, "offset": 4, "length": len(comp),
+           "compression-codec": "lz4"}]
+    payload = _json.dumps({"blobs": bm, "properties": {}}).encode()
+    with open(p, "wb") as fh:
+        fh.write(MAGIC + comp + MAGIC + payload +
+                 _struct.pack("<i", len(payload)) + b"\x00" * 4 + MAGIC)
+    with pytest.raises(ValueError, match="content size"):
+        read_puffin(p)
