@@ -1,0 +1,395 @@
+"""Genuine apache/iceberg table -> engine table, BY REFERENCE.
+
+A reference-written Iceberg table is metadata JSON
+(core/.../TableMetadataParser.java) + an **Avro** manifest list
+(core/.../ManifestLists.java) + Avro manifests
+(core/.../ManifestReader.java:57), pointing at parquet/orc/avro data
+files, parquet position/equality delete files, and (v3) Puffin deletion
+vectors. This module replays the current snapshot's manifests and
+registers every live file in an engine table without copying data —
+the Delta-import pattern (sources/delta.py) applied to Iceberg itself.
+
+Fidelity notes:
+- Field IDs are preserved: the source schema JSON parses directly into
+  the engine Schema (same spec shape), so equality_ids, partition
+  source-ids and parquet field-id metadata keep meaning.
+- Sequence numbers are preserved up to an order-preserving dense remap
+  (1..k). Every pos/eq-delete applicability comparison (>=, >) is
+  order-based, so the remap keeps exactly the same delete scoping as
+  the source while letting the engine continue committing at k+1.
+- Data/delete parquet stats are re-collected from the local footers
+  (collect_data_files) rather than trusting the source manifests —
+  engine-native stat typing guarantees pruning comparisons stay valid.
+- Deletion vectors import as-is: the engine's Puffin DV reader speaks
+  run-container roaring bitmaps (deletion_vectors.py:92).
+- Tables import with `gc.enabled=false` so engine maintenance can never
+  delete the source's files.
+
+Unsupported source features fail loudly: format-version > 3, encrypted
+manifests (key_metadata), ORC/Avro *delete* files.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import glob as _glob
+import json
+import os
+from dataclasses import replace as _replace
+from urllib.parse import unquote, urlparse
+
+# spec type name -> engine type name (schema.py: engine "timestamp" is
+# Iceberg timestamptz; engine "timestamp_ntz" is Iceberg timestamp)
+_TYPE_MAP = {"timestamp": "timestamp_ntz", "timestamptz": "timestamp"}
+_EPOCH = _dt.datetime(1970, 1, 1)
+
+
+def _resolve_path(p: str, location: str = None) -> str:
+    u = urlparse(p)
+    if u.scheme == "":
+        return p
+    if u.scheme == "file":
+        return unquote(u.path)
+    raise ValueError(
+        f"unsupported path scheme in Iceberg metadata (local/file only): {p}")
+
+
+def _find_metadata_json(source: str) -> str:
+    """Locate the current metadata JSON: explicit file, version-hint, or
+    the newest `*.metadata.json` (HadoopTableOperations layout)."""
+    if source.endswith(".metadata.json"):
+        return source
+    mdir = os.path.join(source, "metadata")
+    hint = os.path.join(mdir, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            v = f.read().strip()
+        for pat in (f"v{v}.metadata.json", f"{v}.metadata.json"):
+            p = os.path.join(mdir, pat)
+            if os.path.exists(p):
+                return p
+    cands = _glob.glob(os.path.join(mdir, "*.metadata.json"))
+    if not cands:
+        raise FileNotFoundError(
+            f"no Iceberg metadata JSON under {source} (expected "
+            "metadata/*.metadata.json)")
+
+    def vkey(p):
+        base = os.path.basename(p)
+        digits = "".join(c for c in base.split(".")[0] if c.isdigit())
+        return (int(digits) if digits else -1, base)
+
+    return max(cands, key=vkey)
+
+
+def _map_types(tj):
+    """Translate spec type names into engine names, recursively."""
+    if isinstance(tj, str):
+        return _TYPE_MAP.get(tj, tj)
+    out = dict(tj)
+    kind = tj.get("type")
+    if kind == "struct":
+        out["fields"] = [{**f, "type": _map_types(f["type"])}
+                         for f in tj["fields"]]
+    elif kind == "list":
+        out["element"] = _map_types(tj["element"])
+    elif kind == "map":
+        out["key"] = _map_types(tj["key"])
+        out["value"] = _map_types(tj["value"])
+    return out
+
+
+def _parse_schemas(md: dict):
+    from ..schema import Schema
+
+    if "schemas" in md:
+        schemas = {j.get("schema-id", 0): Schema.from_json(_map_types(j))
+                   for j in md["schemas"]}
+        current = md.get("current-schema-id", 0)
+    else:  # v1 single-schema form
+        s = Schema.from_json(_map_types(md["schema"]))
+        schemas, current = {s.schema_id: s}, s.schema_id
+    return schemas, current
+
+
+def _parse_specs(md: dict, schemas: dict, current_schema: int):
+    from ..metadata import PartitionField, PartitionSpec
+    from ..transforms import parse_transform
+
+    schema = schemas[current_schema]
+
+    def build(spec_id, fields_json):
+        fields = []
+        for f in fields_json:
+            src = schema.field_by_id(f["source-id"])
+            fields.append(PartitionField(
+                f["source-id"], f["field-id"], f["name"],
+                parse_transform(f["transform"]), src.name))
+        return PartitionSpec(spec_id, tuple(fields))
+
+    if "partition-specs" in md:
+        specs = {j["spec-id"]: build(j["spec-id"], j["fields"])
+                 for j in md["partition-specs"]}
+        default = md.get("default-spec-id", 0)
+    else:  # v1 flat form
+        specs = {0: build(0, md.get("partition-spec", []))}
+        default = 0
+    return specs, default
+
+
+def _current_snapshot(md: dict):
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    cur = md.get("current-snapshot-id")
+    if (cur is None or cur == -1) and md.get("refs", {}).get("main"):
+        cur = md["refs"]["main"]["snapshot-id"]
+    if cur is None or cur == -1 or cur not in snaps:
+        return None
+    return snaps[cur]
+
+
+def _kvlist(v):
+    """Iceberg Avro writes int-keyed maps as array<record{key,value}>
+    (logicalType map). Normalize either encoding to a dict."""
+    if v is None:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): val for k, val in v.items()}
+    return {int(e["key"]): e["value"] for e in v}
+
+
+def _partition_value(raw, result_type: str):
+    """Avro logical value -> engine partition value (typed like
+    writes.parse_partition_value output so pruning compares equal)."""
+    if raw is None:
+        return None
+    t = _TYPE_MAP.get(result_type, result_type)
+    if t == "date":
+        return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(raw))
+    if t in ("timestamp", "timestamp_ntz"):
+        return _EPOCH + _dt.timedelta(microseconds=int(raw))
+    if isinstance(raw, bytes) and t == "string":
+        return raw.decode("utf-8")
+    return raw
+
+
+ADDED, EXISTING, DELETED = 1, 0, 2
+
+
+def read_iceberg_snapshot(source: str):
+    """Parse the source table's current snapshot into plain structures:
+    (schemas, current_schema_id, specs, default_spec_id, entries, props)
+    where entries are dicts {content, path, format, spec_id, partition,
+    record_count, file_size, seq, equality_ids, referenced_data_file,
+    content_offset, content_size}."""
+    from ..avro_file import read_avro
+
+    mpath = _find_metadata_json(source)
+    with open(mpath) as f:
+        md = json.load(f)
+    fv = int(md.get("format-version", 1))
+    if fv > 3:
+        raise NotImplementedError(
+            f"Iceberg format-version {fv} not supported (v1-v3)")
+    schemas, cur_schema = _parse_schemas(md)
+    specs, default_spec = _parse_specs(md, schemas, cur_schema)
+    snap = _current_snapshot(md)
+    entries = []
+    if snap is not None:
+        ml_path = _resolve_path(snap["manifest-list"])
+        _, _, manifests = read_avro(ml_path)
+        for mrow in manifests:
+            if mrow.get("key_metadata"):
+                raise NotImplementedError(
+                    "encrypted Iceberg manifests (key_metadata) are not "
+                    "supported")
+            m_seq = int(mrow.get("sequence_number") or 0)
+            m_path = _resolve_path(mrow["manifest_path"])
+            hdr_schema, hdr_meta, rows = read_avro(m_path)
+            spec_id = int(
+                (hdr_meta.get("partition-spec-id") or b"0").decode()
+                if isinstance(hdr_meta.get("partition-spec-id"), bytes)
+                else hdr_meta.get("partition-spec-id") or
+                mrow.get("partition_spec_id") or 0)
+            spec = specs[spec_id]
+            rtypes = {pf.name: pf.transform.result_type(
+                schemas[cur_schema].field_by_id(pf.source_id).type)
+                for pf in spec.fields}
+            for e in rows:
+                if e["status"] == DELETED:
+                    continue
+                df = e["data_file"]
+                seq = e.get("sequence_number")
+                if seq is None:
+                    if e["status"] != ADDED:
+                        raise ValueError(
+                            "EXISTING manifest entry without an explicit "
+                            f"sequence number in {m_path}")
+                    seq = m_seq
+                part_raw = df.get("partition") or {}
+                partition = {
+                    name: _partition_value(part_raw.get(name), rt)
+                    for name, rt in rtypes.items()}
+                entries.append({
+                    "content": int(df.get("content") or 0),
+                    "path": _resolve_path(df["file_path"]),
+                    "format": (df.get("file_format") or "parquet").lower(),
+                    "spec_id": spec_id,
+                    "partition": partition,
+                    "record_count": int(df.get("record_count") or 0),
+                    "file_size": int(df.get("file_size_in_bytes") or 0),
+                    "seq": int(seq),
+                    "equality_ids": tuple(df.get("equality_ids") or ()),
+                    "referenced_data_file": df.get("referenced_data_file"),
+                    "content_offset": df.get("content_offset"),
+                    "content_size": df.get("content_size_in_bytes"),
+                })
+    return (schemas, cur_schema, specs, default_spec, entries,
+            dict(md.get("properties") or {}))
+
+
+class _ImportSnapshot:
+    """One commit carrying data + delete entries with PRESERVED per-entry
+    sequence numbers (dense order-preserving remap of the source's)."""
+
+    def __init__(self, table, files_by_seq: list, max_seq: int):
+        from ..writes import SnapshotProducer
+
+        outer = self
+
+        class P(SnapshotProducer):
+            operation = "append"
+
+            def __init__(self):
+                super().__init__(table)
+                self.sequence_override = max_seq
+
+            def _apply(self, base, seq):
+                from collections import defaultdict
+
+                from ..manifests import (DATA, ManifestEntry,
+                                         write_manifest)
+
+                groups = defaultdict(list)
+                for s, f in outer.files:
+                    groups[(f.spec_id, 0 if f.content == DATA else 1)] \
+                        .append(ManifestEntry(ADDED, self.snapshot_id, s, f))
+                out = []
+                for (spec_id, content), ents in sorted(groups.items()):
+                    spec = base.spec_by_id(spec_id)
+                    out.append(write_manifest(
+                        base.location, ents, base.schema, spec, content,
+                        relative=base.relative_paths))
+                summary = {"operation": "append",
+                           "engine": "iceberg-import",
+                           "added-data-files": str(sum(
+                               1 for _, f in outer.files
+                               if f.content == DATA)),
+                           "added-delete-files": str(sum(
+                               1 for _, f in outer.files
+                               if f.content != DATA))}
+                return out, "append", summary
+
+        self.files = files_by_seq
+        self._producer = P()
+
+    def commit(self):
+        return self._producer.commit()
+
+
+def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
+    """CALL system.snapshot_iceberg_table analog
+    (delta-lake's BaseSnapshotDeltaLakeTableAction shape, applied to a
+    genuine Iceberg source). Returns (table, imported_file_count,
+    imported_delete_file_count)."""
+    from ..manifests import DATA, POSITION_DELETES, DataFile, collect_data_files
+    from ..metadata import TableMetadata, TableOperations
+    from ..table import Table
+
+    (schemas, cur_schema, specs, default_spec, entries,
+     src_props) = read_iceberg_snapshot(source_location)
+    schema = schemas[cur_schema]
+    for e in entries:
+        if e["content"] != DATA and e["format"] not in ("parquet", "puffin"):
+            raise NotImplementedError(
+                f"{e['format']} delete files are not supported: {e['path']}")
+
+    # order-preserving dense seq remap: preserves every >=/>/== delete
+    # applicability comparison while the engine keeps committing at k+1
+    seq_map = {s: i + 1 for i, s in
+               enumerate(sorted({e["seq"] for e in entries}))}
+    max_seq = len(seq_map)
+
+    loc = catalog._location(dest_ident)
+    ops = TableOperations(loc)
+    if ops.refresh() is not None:
+        raise ValueError(f"table exists: {dest_ident}")
+    props = {k: v for k, v in src_props.items()}
+    props["gc.enabled"] = "false"  # by-reference: never delete source files
+    meta = TableMetadata.new(loc, schema, specs[default_spec],
+                             properties=props)
+    meta = _replace(
+        meta,
+        partition_specs=tuple(specs[i] for i in sorted(specs)),
+        default_spec_id=default_spec,
+        last_partition_id=max(
+            [f.field_id for sp in specs.values() for f in sp.fields],
+            default=meta.last_partition_id),
+    )
+    ops.commit(None, meta)
+    t = Table(catalog.spark, loc, ops.refresh(), dest_ident)
+
+    # stats from the actual parquet footers, grouped per (spec, content)
+    files_by_seq = []
+    from collections import defaultdict
+
+    parquet_groups = defaultdict(list)
+    for e in entries:
+        if e["format"] == "parquet":
+            parquet_groups[(e["spec_id"], e["content"])].append(e)
+        elif e["content"] != DATA:  # puffin DV: register from the entry
+            files_by_seq.append((seq_map[e["seq"]], DataFile(
+                file_path=e["path"], file_format="puffin",
+                content=POSITION_DELETES, spec_id=e["spec_id"],
+                partition=dict(e["partition"]),
+                record_count=e["record_count"],
+                file_size_in_bytes=e["file_size"], stats={},
+                referenced_data_file=_resolve_path(
+                    e["referenced_data_file"]),
+                write_schema_id=schema.schema_id,
+                content_offset=e["content_offset"],
+                content_size_in_bytes=e["content_size"])))
+        else:
+            raise NotImplementedError(
+                f"imported {e['format']} data files are not supported yet "
+                f"(parquet only): {e['path']}")
+
+    for (spec_id, content), group in sorted(parquet_groups.items()):
+        spec = specs[spec_id]
+        paths = [e["path"] for e in group]
+        by_path = {e["path"]: e for e in group}
+        partitions = {e["path"]: e["partition"] for e in group}
+        metas = collect_data_files(
+            paths, schema, spec, partitions, content=content,
+            spark=catalog.spark)
+        for f in metas:
+            src = by_path[f.file_path]
+            f = _replace(
+                f, write_schema_id=schema.schema_id,
+                equality_ids=tuple(src["equality_ids"]),
+                referenced_data_file=(
+                    _resolve_path(src["referenced_data_file"])
+                    if src["referenced_data_file"] else None))
+            files_by_seq.append((seq_map[src["seq"]], f))
+
+    n_data = sum(1 for _, f in files_by_seq if f.content == DATA)
+    n_del = len(files_by_seq) - n_data
+    if files_by_seq:
+        _ImportSnapshot(t, files_by_seq, max_seq).commit()
+        t = t.refresh()
+        n = len(t.refresh().scan().plan_files().files)
+        if n != n_data:
+            raise ValueError(
+                f"Iceberg import file-count mismatch: source snapshot holds "
+                f"{n_data} live data files but {n} were planned for "
+                f"{source_location}")
+    return t, n_data, n_del

@@ -1,0 +1,250 @@
+"""Write a REFERENCE-layout apache/iceberg table (metadata JSON + Avro
+manifest list + Avro manifests) for interop tests and workloads.
+
+The Avro schemas carry the spec's field ids (format/spec.md:683-1046) and
+the Java writer's conventions: int-keyed metric maps encode as
+array<record{key,value}> with logicalType "map", optional fields are
+[null, T] unions, and manifests store schema/partition-spec/content in
+the container's key-value metadata (format/spec.md:668-676). Built from
+the published spec tables, not from reference code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as _uuid
+
+
+def _opt(t):
+    return ["null", t]
+
+
+_FIELD_SUMMARY = {
+    "type": "record", "name": "r508", "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": _opt("boolean"), "default": None,
+         "field-id": 518},
+        {"name": "lower_bound", "type": _opt("bytes"), "default": None,
+         "field-id": 510},
+        {"name": "upper_bound", "type": _opt("bytes"), "default": None,
+         "field-id": 511},
+    ]}
+
+MANIFEST_LIST_SCHEMA = {
+    "type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions", "type": _opt(
+            {"type": "array", "items": _FIELD_SUMMARY, "element-id": 508}),
+         "default": None, "field-id": 507},
+    ]}
+
+
+def _kv_map(name, kid, vid, vtype="long"):
+    return {"type": "array", "logicalType": "map",
+            "items": {"type": "record", "name": name, "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": vtype, "field-id": vid}]}}
+
+
+def manifest_entry_schema(partition_fields: list) -> dict:
+    """partition_fields: [(name, avro_type, field_id)] — avro_type e.g.
+    "long", {"type":"int","logicalType":"date"} for day partitions."""
+    part = {"type": "record", "name": "r102", "fields": [
+        {"name": n, "type": _opt(t), "default": None, "field-id": fid}
+        for n, t, fid in partition_fields]}
+    data_file = {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": part, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "column_sizes", "type": _opt(_kv_map("k117_v118", 117, 118)),
+         "default": None, "field-id": 108},
+        {"name": "value_counts", "type": _opt(_kv_map("k119_v120", 119, 120)),
+         "default": None, "field-id": 109},
+        {"name": "null_value_counts",
+         "type": _opt(_kv_map("k121_v122", 121, 122)),
+         "default": None, "field-id": 110},
+        {"name": "lower_bounds",
+         "type": _opt(_kv_map("k126_v127", 126, 127, "bytes")),
+         "default": None, "field-id": 125},
+        {"name": "upper_bounds",
+         "type": _opt(_kv_map("k129_v130", 129, 130, "bytes")),
+         "default": None, "field-id": 128},
+        {"name": "split_offsets", "type": _opt(
+            {"type": "array", "items": "long", "element-id": 133}),
+         "default": None, "field-id": 132},
+        {"name": "equality_ids", "type": _opt(
+            {"type": "array", "items": "int", "element-id": 136}),
+         "default": None, "field-id": 135},
+        {"name": "sort_order_id", "type": _opt("int"), "default": None,
+         "field-id": 140},
+        {"name": "referenced_data_file", "type": _opt("string"),
+         "default": None, "field-id": 143},
+        {"name": "content_offset", "type": _opt("long"), "default": None,
+         "field-id": 144},
+        {"name": "content_size_in_bytes", "type": _opt("long"),
+         "default": None, "field-id": 145},
+    ]}
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": _opt("long"), "default": None,
+         "field-id": 1},
+        {"name": "sequence_number", "type": _opt("long"), "default": None,
+         "field-id": 3},
+        {"name": "file_sequence_number", "type": _opt("long"),
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": data_file, "field-id": 2},
+    ]}
+
+
+def write_reference_table(root: str, schema_json: dict, files: list,
+                          partition_spec_fields: list = None,
+                          partition_avro: list = None,
+                          format_version: int = 2,
+                          properties: dict = None) -> str:
+    """Build `<root>/metadata/` for an already-present set of content
+    files. `files`: dicts with keys
+      path, content (0/1/2), format, partition ({name: raw avro value}),
+      record_count, file_size, seq, and optionally equality_ids,
+      referenced_data_file, content_offset, content_size.
+    `partition_spec_fields`: spec JSON fields
+      [{"name","transform","source-id","field-id"}].
+    `partition_avro`: [(name, avro_type, field_id)] matching the spec.
+    Returns the metadata JSON path."""
+    from ..avro_file import write_avro
+
+    partition_spec_fields = partition_spec_fields or []
+    partition_avro = partition_avro or []
+    mdir = os.path.join(root, "metadata")
+    os.makedirs(mdir, exist_ok=True)
+    snapshot_id = 7730351909407483913
+    max_seq = max((f["seq"] for f in files), default=0)
+
+    entry_schema = manifest_entry_schema(partition_avro)
+    manifest_meta = {
+        "schema": json.dumps(schema_json),
+        "schema-id": str(schema_json.get("schema-id", 0)),
+        "partition-spec": json.dumps(partition_spec_fields),
+        "partition-spec-id": "0",
+        "format-version": str(format_version),
+    }
+
+    def write_manifest(group, content_label):
+        rows = []
+        for f in group:
+            rows.append({
+                "status": 1,
+                "snapshot_id": snapshot_id,
+                # ADDED entries in the snapshot's own manifest inherit; mix
+                # explicit and inherited to exercise both reader paths
+                "sequence_number": (None if f["seq"] == max_seq
+                                    else f["seq"]),
+                "file_sequence_number": f["seq"],
+                "data_file": {
+                    "content": f.get("content", 0),
+                    "file_path": f["path"],
+                    "file_format": f.get("format", "PARQUET").upper(),
+                    "partition": {n: f.get("partition", {}).get(n)
+                                  for n, _, _ in partition_avro},
+                    "record_count": f["record_count"],
+                    "file_size_in_bytes": f.get(
+                        "file_size", os.path.getsize(f["path"])),
+                    "column_sizes": None, "value_counts": None,
+                    "null_value_counts": None, "lower_bounds": None,
+                    "upper_bounds": None, "split_offsets": None,
+                    "equality_ids": (list(f["equality_ids"])
+                                     if f.get("equality_ids") else None),
+                    "sort_order_id": None,
+                    "referenced_data_file": f.get("referenced_data_file"),
+                    "content_offset": f.get("content_offset"),
+                    "content_size_in_bytes": f.get("content_size"),
+                }})
+        mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.avro")
+        meta = dict(manifest_meta)
+        meta["content"] = content_label
+        write_avro(mp, entry_schema, rows, meta, codec="deflate")
+        return mp, rows
+
+    manifests = []
+    data_group = [f for f in files if f.get("content", 0) == 0]
+    del_group = [f for f in files if f.get("content", 0) != 0]
+    for group, label, content in ((data_group, "data", 0),
+                                  (del_group, "deletes", 1)):
+        if not group:
+            continue
+        mp, rows = write_manifest(group, label)
+        manifests.append({
+            "manifest_path": mp,
+            "manifest_length": os.path.getsize(mp),
+            "partition_spec_id": 0,
+            "content": content,
+            "sequence_number": max_seq,
+            "min_sequence_number": min(f["seq"] for f in group),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(group),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(f["record_count"] for f in group),
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        })
+
+    ml_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro")
+    write_avro(ml_path, MANIFEST_LIST_SCHEMA, manifests,
+               {"format-version": str(format_version)}, codec="deflate")
+
+    now = int(time.time() * 1000)
+    md = {
+        "format-version": format_version,
+        "table-uuid": str(_uuid.uuid4()),
+        "location": root,
+        "last-sequence-number": max_seq,
+        "last-updated-ms": now,
+        "last-column-id": max(
+            [f["id"] for f in schema_json["fields"]], default=0),
+        "current-schema-id": schema_json.get("schema-id", 0),
+        "schemas": [schema_json],
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0,
+                             "fields": partition_spec_fields}],
+        "last-partition-id": max(
+            [pf["field-id"] for pf in partition_spec_fields],
+            default=999),
+        "default-sort-order-id": 0,
+        "sort-orders": [{"order-id": 0, "fields": []}],
+        "properties": dict(properties or {}),
+        "current-snapshot-id": snapshot_id,
+        "snapshots": [{
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now,
+            "sequence-number": max_seq,
+            "summary": {"operation": "append"},
+            "manifest-list": ml_path,
+            "schema-id": schema_json.get("schema-id", 0),
+        }],
+        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
+        "snapshot-log": [], "metadata-log": [],
+    }
+    mpath = os.path.join(mdir, "v1.metadata.json")
+    with open(mpath, "w") as fh:
+        json.dump(md, fh)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    return mpath

@@ -1031,6 +1031,23 @@ class SqlEngine:
             [Row(imported_files_count=n, rewritten=rewritten)],
             "imported_files_count long, rewritten boolean")
 
+    def _proc_snapshot_iceberg_table(self, a):
+        """Snapshot a GENUINE apache/iceberg table (metadata JSON + Avro
+        manifest list/manifests, TableMetadataParser.java shape) into the
+        engine by reference — the migration door for users coming from the
+        reference implementation (see sources/iceberg.py)."""
+        from .sources.iceberg import snapshot_iceberg_table
+
+        src = self._arg(a, "source_table", 0)
+        dest = self._arg(a, "table", 1)
+        _t, n_data, n_del = snapshot_iceberg_table(
+            self.catalog, str(src).strip("`"), dest)
+        return self._rows(
+            [Row(imported_data_files_count=n_data,
+                 imported_delete_files_count=n_del)],
+            "imported_data_files_count long, "
+            "imported_delete_files_count long")
+
     def _proc_create_changelog_view(self, a):
         t = self._load(self._arg(a, "table", 0))
         opts = self._arg(a, "options", None, {}) or {}

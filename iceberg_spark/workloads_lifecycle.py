@@ -1353,8 +1353,110 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# A13+ — import a GENUINE apache/iceberg table (Avro manifests)
+# ---------------------------------------------------------------------------
+
+_PA_TO_ICEBERG = {"int64": "long", "int32": "int", "double": "double",
+                  "float": "float", "string": "string", "large_string":
+                  "string", "bool": "boolean"}
+
+
+def _reference_iceberg_source(spark, sf_dir, tag, dv=False):
+    """Build a reference-layout Iceberg table whose single data file IS the
+    testdata supplier.parquet (by reference), with a position delete (or a
+    v3 deletion vector) covering the rows where s_suppkey % 7 == 0 — a
+    predicate the DuckDB oracle can reproduce exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .sources.iceberg_fixture import write_reference_table
+
+    src = os.path.join(sf_dir, "supplier.parquet")
+    md = pq.ParquetFile(src)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": i + 1, "name": f.name, "required": False,
+         "type": _PA_TO_ICEBERG[str(f.type)]}
+        for i, f in enumerate(md.schema_arrow)]}
+    keys = md.read(columns=["s_suppkey"])["s_suppkey"].to_pylist()
+    victims = [i for i, k in enumerate(keys) if k % 7 == 0]
+    root = tempfile.mkdtemp(prefix=f"iceberg_src_{tag}_")
+    os.makedirs(os.path.join(root, "data"), exist_ok=True)
+    data_entry = {"path": src, "record_count": md.metadata.num_rows,
+                  "file_size": os.path.getsize(src), "seq": 1}
+    if dv:
+        import numpy as np
+
+        from .deletion_vectors import write_dv_puffin
+
+        dv_path = os.path.join(root, "data", "dv.puffin")
+        d = write_dv_puffin(
+            dv_path, {src: np.array(victims, dtype=np.int64)})[0]
+        del_entry = {"path": dv_path, "format": "puffin", "content": 1,
+                     "record_count": d["cardinality"],
+                     "file_size": d["file_size_in_bytes"],
+                     "referenced_data_file": src,
+                     "content_offset": d["content_offset"],
+                     "content_size": d["content_size_in_bytes"],
+                     "seq": 2}
+    else:
+        dl = os.path.join(root, "data", "deletes.parquet")
+        pq.write_table(pa.table({
+            "file_path": pa.array([src] * len(victims), pa.string()),
+            "pos": pa.array(victims, pa.int64())}), dl)
+        del_entry = {"path": dl, "content": 1,
+                     "record_count": len(victims),
+                     "file_size": os.path.getsize(dl), "seq": 2}
+    write_reference_table(root, schema_json, [data_entry, del_entry],
+                          format_version=3 if dv else 2)
+    return root
+
+
+def _iceberg_import_impl(spark, sf_dir, tag, dv):
+    key = (f"icebergimp_{tag}", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .sources.iceberg import snapshot_iceberg_table
+
+        cat = _warehouse(spark)
+        ident = f"icebergimp_{tag}_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        root = _reference_iceberg_source(spark, sf_dir, tag, dv=dv)
+        t, n_data, n_del = snapshot_iceberg_table(cat, root, ident)
+        assert n_data == 1 and n_del == 1
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+def iceberg_import_scan(spark, sf_dir):
+    """Import a reference-layout Iceberg v2 table (metadata JSON + deflate
+    Avro manifest list/manifests + parquet position deletes) BY REFERENCE
+    and scan it (ManifestReader.java / TableMetadataParser.java interop)."""
+    return _iceberg_import_impl(spark, sf_dir, "pos", dv=False)
+
+
+def iceberg_import_dv_scan(spark, sf_dir):
+    """Same, v3: the delete rides as a Puffin deletion-vector blob
+    addressed by content_offset/content_size (format/spec.md:1372)."""
+    return _iceberg_import_impl(spark, sf_dir, "dv", dv=True)
+
+
+ICEBERG_IMPORT_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier WHERE s_suppkey % 7 <> 0
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
+    "iceberg_import_scan": (iceberg_import_scan, ICEBERG_IMPORT_SQL),
+    "iceberg_import_dv_scan": (iceberg_import_dv_scan, ICEBERG_IMPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
     "delta_snapshot_scan": (delta_snapshot_scan, DELTA_SNAPSHOT_SQL),
     "auto_compaction_scan": (auto_compaction_scan, AUTO_COMPACTION_SQL),

@@ -353,6 +353,12 @@ class SnapshotProducer:
             base = self.table.ops.refresh() or self.table.metadata
             base_version = self.table.ops.current_version()
             seq = base.last_sequence_number + 1
+            # table-import producers carry entries with preserved source
+            # sequence numbers up to `sequence_override`; the snapshot and
+            # the table's last_sequence_number jump to that high-water mark
+            ov = getattr(self, "sequence_override", None)
+            if ov is not None and ov > seq:
+                seq = ov
             next_row_id = self._assign_first_row_ids(base.next_row_id)
             manifests, operation, summary = self._apply(base, seq)
             ml_path = write_manifest_list(
