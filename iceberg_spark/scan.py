@@ -927,14 +927,54 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             (src, e.file.partition.get(fname))
             for fname, src in pairs if src not in e.file.stats))
 
+    # Fourth key: per-file variant ENCODING signature. The engine writes
+    # native binary variant by default but JSON text under
+    # `write.variant.encoding=json` (and always did before the default
+    # flipped), so one table can hold both encodings; a group must be
+    # physically homogeneous or the group-level schema misreads half the
+    # files. Probing is one local footer read per file, only on tables
+    # whose write schema has variant columns.
+    _var_cache: dict = {}
+
+    def _var_sig(e):
+        try:
+            ws = metadata.schema_by_id(e.file.write_schema_id)
+        except KeyError:
+            ws = schema
+        vnames = {f.name for f in ws.fields if f.type == "variant"}
+        if not vnames or e.file.file_format != "parquet":
+            return ()
+        p = e.file.file_path
+        if p not in _var_cache:
+            try:
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+
+                foot = _pq.read_schema(p)
+                native = set()
+                for vn in vnames:
+                    if vn in foot.names:
+                        ft = foot.field(vn).type
+                        if (_pa.types.is_struct(ft)
+                                and {f.name for f in ft}
+                                >= {"metadata", "value"}):
+                            native.add(vn)
+                _var_cache[p] = tuple(sorted(native))
+            except Exception:
+                # pyarrow refuses the parquet VARIANT logical type at the
+                # footer — that refusal IS the native-encoding marker
+                _var_cache[p] = tuple(sorted(vnames))
+        return _var_cache[p]
+
     groups: dict = {}
     for e in plan.files:
         groups.setdefault(
-            (e.file.write_schema_id, e.file.file_format, _ident_fills(e)),
+            (e.file.write_schema_id, e.file.file_format, _ident_fills(e),
+             _var_sig(e)),
             []).append(e)
 
     parts = []
-    for (wsid, ffmt, ident_fills), entries in groups.items():
+    for (wsid, ffmt, ident_fills, _vsig), entries in groups.items():
         fills = dict(ident_fills)
         try:
             wschema = metadata.schema_by_id(wsid)

@@ -393,3 +393,135 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
                 f"{n_data} live data files but {n} were planned for "
                 f"{source_location}")
     return t, n_data, n_del
+
+
+# ---------------------------------------------------------------------------
+# export: engine table -> reference-layout metadata
+# ---------------------------------------------------------------------------
+
+# engine type name -> spec type name (inverse of _TYPE_MAP)
+_TYPE_UNMAP = {"timestamp_ntz": "timestamp", "timestamp": "timestamptz"}
+
+
+def _unmap_types(tj):
+    if isinstance(tj, str):
+        return _TYPE_UNMAP.get(tj, tj)
+    out = dict(tj)
+    kind = tj.get("type")
+    if kind == "struct":
+        out["fields"] = [{**f, "type": _unmap_types(f["type"])}
+                         for f in tj["fields"]]
+    elif kind == "list":
+        out["element"] = _unmap_types(tj["element"])
+    elif kind == "map":
+        out["key"] = _unmap_types(tj["key"])
+        out["value"] = _unmap_types(tj["value"])
+    return out
+
+
+def _avro_type_for(result_type: str):
+    t = result_type
+    if t == "int":
+        return "int"
+    if t == "long":
+        return "long"
+    if t == "float":
+        return "float"
+    if t == "double":
+        return "double"
+    if t == "boolean":
+        return "boolean"
+    if t == "string":
+        return "string"
+    if t == "date":
+        return {"type": "int", "logicalType": "date"}
+    if t in ("timestamp", "timestamp_ntz"):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    raise NotImplementedError(
+        f"cannot export partition value type {t!r} to Avro")
+
+
+def _avro_partition_raw(v, result_type: str):
+    """Engine partition value -> raw Avro logical value (inverse of
+    _partition_value)."""
+    if v is None:
+        return None
+    if result_type == "date":
+        return (v - _dt.date(1970, 1, 1)).days
+    if result_type in ("timestamp", "timestamp_ntz"):
+        return int((v - _EPOCH).total_seconds() * 1_000_000)
+    return v
+
+
+def export_reference_metadata(table, dest_root: str) -> str:
+    """Write a reference-layout Iceberg metadata tree (metadata JSON +
+    Avro manifest list/manifests, the TableMetadataParser.java /
+    ManifestLists.java shapes) for the CURRENT snapshot of an engine
+    table, pointing at the engine's data/delete files by absolute path —
+    the outbound half of interop: a genuine apache/iceberg reader can
+    open `dest_root` as a Hadoop-layout table. Per-entry sequence numbers
+    are preserved, so delete applicability is identical.
+
+    Returns the metadata JSON path."""
+    from .iceberg_fixture import write_reference_table
+
+    plan = table.scan().plan_files()
+    spec = table.metadata.spec
+    spec_ids = ({e.file.spec_id for e in plan.files}
+                | {d.file.spec_id for d in plan.pos_deletes}
+                | {d.file.spec_id for d in plan.eq_deletes})
+    if spec_ids - {spec.spec_id}:
+        raise NotImplementedError(
+            "export of multi-spec tables is not supported (entries span "
+            f"partition specs {sorted(spec_ids)})")
+    schema = table.schema
+    schema_json = _unmap_types(schema.to_json())
+    rtypes = dict(spec.partition_type(schema))
+    spec_fields = [{"name": pf.name, "transform": pf.transform.to_str(),
+                    "source-id": pf.source_id, "field-id": pf.field_id}
+                   for pf in spec.fields]
+    part_avro = [(pf.name, _avro_type_for(rtypes[pf.name]), pf.field_id)
+                 for pf in spec.fields]
+
+    has_dv = False
+    files = []
+
+    def entry(e, content):
+        f = e.file
+        out = {
+            "path": f.file_path, "content": content,
+            "format": f.file_format,
+            "partition": {n: _avro_partition_raw(
+                f.partition.get(n), rtypes[n]) for n in rtypes},
+            "record_count": f.record_count,
+            "file_size": f.file_size_in_bytes,
+            "seq": e.sequence_number,
+        }
+        if f.equality_ids:
+            out["equality_ids"] = tuple(f.equality_ids)
+        if f.referenced_data_file:
+            out["referenced_data_file"] = f.referenced_data_file
+        if f.content_offset is not None:
+            out["content_offset"] = f.content_offset
+            out["content_size"] = f.content_size_in_bytes
+        return out
+
+    for e in plan.files:
+        if e.file.file_format != "parquet":
+            raise NotImplementedError(
+                f"export of {e.file.file_format} data files is not "
+                f"supported: {e.file.file_path}")
+        files.append(entry(e, 0))
+    for d in plan.pos_deletes:
+        if d.file.file_format == "puffin":
+            has_dv = True
+        files.append(entry(d, 1))
+    for d in plan.eq_deletes:
+        files.append(entry(d, 2))
+
+    return write_reference_table(
+        dest_root, schema_json, files,
+        partition_spec_fields=spec_fields, partition_avro=part_avro,
+        format_version=3 if has_dv else 2,
+        properties={k: v for k, v in table.metadata.properties.items()
+                    if not k.startswith("gc.")})

@@ -1048,6 +1048,18 @@ class SqlEngine:
             "imported_data_files_count long, "
             "imported_delete_files_count long")
 
+    def _proc_export_iceberg_metadata(self, a):
+        """Write a reference-layout metadata tree (metadata JSON + Avro
+        manifest list/manifests) for the table's current snapshot so a
+        genuine apache/iceberg reader can open it (sources/iceberg.py
+        export_reference_metadata)."""
+        from .sources.iceberg import export_reference_metadata
+
+        t = self._load(self._arg(a, "table", 0))
+        dest = self._arg(a, "location", 1)
+        path = export_reference_metadata(t, str(dest).strip("`"))
+        return self._rows([Row(metadata_json=path)], "metadata_json string")
+
     def _proc_create_changelog_view(self, a):
         t = self._load(self._arg(a, "table", 0))
         opts = self._arg(a, "options", None, {}) or {}

@@ -1446,6 +1446,47 @@ def iceberg_import_dv_scan(spark, sf_dir):
     return _iceberg_import_impl(spark, sf_dir, "dv", dv=True)
 
 
+def iceberg_export_roundtrip_scan(spark, sf_dir):
+    """Outbound interop: an engine table with MoR position deletes is
+    EXPORTED to the reference layout (metadata JSON + Avro manifest
+    list/manifests, export_reference_metadata) and re-imported; the scan
+    runs through the round-tripped table, so the oracle checks that both
+    interop directions preserve delete semantics exactly."""
+    key = ("icebergexp", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .sources.iceberg import (export_reference_metadata,
+                                      snapshot_iceberg_table)
+
+        cat = _warehouse(spark)
+        for ident in (f"icebergexp_src_{_sf_key(sf_dir)}",
+                      f"icebergexp_back_{_sf_key(sf_dir)}"):
+            if cat.table_exists(ident):
+                cat.drop_table(ident)
+        t, df = _fresh(spark, sf_dir, "supplier", "icebergexp_src",
+                       properties={"write.delete.mode": "merge-on-read"})
+        t.append(df)
+        t.delete_where(E.col("s_suppkey") <= 40, mode="merge-on-read")
+        t = t.refresh()
+        dest = tempfile.mkdtemp(prefix="iceberg_export_")
+        export_reference_metadata(t, dest)
+        back = f"icebergexp_back_{_sf_key(sf_dir)}"
+        snapshot_iceberg_table(cat, dest, back)
+        _STATE[key] = back
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+ICEBERG_EXPORT_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier WHERE s_suppkey > 40
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 ICEBERG_IMPORT_SQL = """
 SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
 FROM supplier WHERE s_suppkey % 7 <> 0
@@ -1457,6 +1498,8 @@ REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
     "iceberg_import_scan": (iceberg_import_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_dv_scan": (iceberg_import_dv_scan, ICEBERG_IMPORT_SQL),
+    "iceberg_export_roundtrip_scan": (iceberg_export_roundtrip_scan,
+                                      ICEBERG_EXPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
     "delta_snapshot_scan": (delta_snapshot_scan, DELTA_SNAPSHOT_SQL),
     "auto_compaction_scan": (auto_compaction_scan, AUTO_COMPACTION_SQL),

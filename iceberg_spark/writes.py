@@ -164,15 +164,19 @@ def write_data_files(
                        if preserve_lineage and c in df.columns)
         df = _align_to_schema(df, schema, extras)
 
-    # v3 variant columns are stored as canonical JSON text: Spark's binary
-    # Variant parquet encoding is unreadable by pyarrow footers (and any
-    # non-Spark reader); the scan layer parse_json's the string back to
-    # VariantType, and extract predicates never consult stats anyway
+    fmt = props.get("write.format.default", "parquet").lower()
+    # v3 variant columns: parquet defaults to Spark's NATIVE binary
+    # variant encoding (format/spec.md:243 metadata/value group — what the
+    # reference writes, so engine-written files are consumable by any
+    # spec reader). `write.variant.encoding=json` keeps the canonical
+    # JSON-text fallback (pyarrow/duckdb-readable); non-parquet formats
+    # always take it (no variant logical type there). The scan layer
+    # detects the physical encoding per file, so mixed tables read fine.
+    var_enc = props.get("write.variant.encoding", "binary").lower()
     for f in schema.fields:
         if f.type == "variant" and f.name in df.columns:
-            df = df.withColumn(f.name, F.col(f.name).cast("string"))
-
-    fmt = props.get("write.format.default", "parquet").lower()
+            if fmt != "parquet" or var_enc == "json":
+                df = df.withColumn(f.name, F.col(f.name).cast("string"))
     out_dir = os.path.join(table.location, "data", _uuid.uuid4().hex)
     writer_opts = {}
     max_records = props.get("write.max-records-per-file")

@@ -40,5 +40,56 @@ def main():
     print(json.dumps(ordered, indent=1))
 
 
+# ---------------------------------------------------------------------------
+# regression gates over a bench.py JSON (run: --check-bench <file|->)
+# ---------------------------------------------------------------------------
+
+# absolute ceilings in seconds (sf0.1 local[32]); ratio gates are pairs
+GATES_ABS = {
+    "plan_full_10k_files": 0.20,   # r5 landed 0.165s; do not give it back
+    "maintenance_plan_10k": 1.40,
+    "plan_distributed_full_10k_files": 0.45,
+}
+GATES_RATIO = {
+    # (numerator, denominator, max ratio)
+    "mor_dv": ("delete_mor_dv_scan", "orders_scan_no_deletes_baseline", 1.35),
+    "mor_pos": ("delete_mor_scan", "orders_scan_no_deletes_baseline", 2.0),
+    "eq_mor": ("eq_delete_mor_scan", "orders_scan_no_deletes_baseline", 2.0),
+    "q1_vs_raw": ("q1_vs_raw_ratio", None, 1.5),  # interleaved median
+}
+
+
+def check_bench(bench_json: dict) -> list:
+    """Returns a list of gate-violation strings (empty = all green)."""
+    q = bench_json.get("queries", bench_json)
+    fails = []
+    for name, ceil in GATES_ABS.items():
+        v = q.get(name)
+        if v is not None and v > ceil:
+            fails.append(f"{name}: {v:.3f}s > {ceil}s")
+    for gname, (num, den, ceil) in GATES_RATIO.items():
+        nv = q.get(num)
+        if nv is None:
+            continue
+        r = nv if den is None else (nv / q[den] if q.get(den) else None)
+        if r is not None and r > ceil:
+            fails.append(f"{gname}: {r:.2f}x > {ceil}x ({num}/{den})")
+    return fails
+
+
+def main_check(path: str) -> int:
+    raw = sys.stdin.read() if path == "-" else open(path).read()
+    # bench.py wrapper files nest the parsed line under "parsed"
+    d = json.loads(raw)
+    d = d.get("parsed", d)
+    fails = check_bench(d)
+    for f in fails:
+        print(f"GATE FAIL {f}", file=sys.stderr)
+    print(json.dumps({"gates_failed": len(fails), "fails": fails}))
+    return 1 if fails else 0
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--check-bench":
+        sys.exit(main_check(sys.argv[2]))
     main()

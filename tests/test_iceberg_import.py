@@ -174,3 +174,82 @@ def test_call_procedure(catalog, tmp_path):
     assert r[0]["imported_data_files_count"] == 1
     t = catalog.load_table("db.called")
     assert t.to_df().count() == 7
+
+
+def test_export_roundtrip_through_reference_layout(catalog, tmp_path, spark):
+    """Engine table (with MoR position deletes) -> reference-layout
+    metadata (Avro manifests) -> re-import: the scan through the
+    re-imported table must match the original — a differential proof
+    that BOTH interop directions speak the same spec."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    df = spark.range(0, 200).select(
+        "id", (F.col("id") % 4).alias("grp"))
+    t = catalog.create_table(
+        "db.exp_src", df.schema,
+        properties={"write.delete.mode": "merge-on-read"})
+    t.append(df)
+    t.delete_where(col("id").isin(list(range(0, 200, 9))), mode="merge-on-read")
+    t = t.refresh()
+    want = sorted(r["id"] for r in t.to_df().collect())
+
+    dest = str(tmp_path / "exported")
+    mpath = export_reference_metadata(t, dest)
+    assert mpath.endswith(".metadata.json")
+    t2, n_data, n_del = snapshot_iceberg_table(catalog, dest, "db.exp_back")
+    assert n_del >= 1
+    got = sorted(r["id"] for r in t2.to_df().collect())
+    assert got == want
+
+
+def test_export_partitioned_dv_roundtrip(catalog, tmp_path, spark):
+    """Partitioned engine table with native deletion vectors exports as a
+    v3 reference layout (DV blob offsets in the manifest) and re-imports
+    identically."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    df = spark.range(0, 100).select(
+        "id", (F.col("id") % 3).alias("grp"))
+    t = catalog.create_table(
+        "db.exp_dv", df.schema, partition_by=["grp"],
+        properties={"write.delete.mode": "merge-on-read",
+                    "write.delete.format": "dv"})
+    t.append(df)
+    t.delete_where(col("id") < 10, mode="merge-on-read")
+    t = t.refresh()
+    want = sorted(r["id"] for r in t.to_df().collect())
+    assert want == list(range(10, 100))
+
+    dest = str(tmp_path / "exported_dv")
+    export_reference_metadata(t, dest)
+    import json
+    md = json.load(open(os.path.join(dest, "metadata", "v1.metadata.json")))
+    assert md["format-version"] == 3
+    t2, _, n_del = snapshot_iceberg_table(catalog, dest, "db.exp_dv_back")
+    assert n_del >= 1
+    got = sorted(r["id"] for r in t2.to_df().collect())
+    assert got == want
+    # partition pruning works through the round-trip
+    plan = t2.scan(filter=col("grp") == 1).plan_files()
+    assert 0 < len(plan.files) < len(t2.scan().plan_files().files)
+
+
+def test_export_via_call_procedure(catalog, tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 30).select("id", (F.col("id") % 2).alias("grp"))
+    t = catalog.create_table("db.exp_call", df.schema)
+    t.append(df)
+    dest = str(tmp_path / "exp_call_out")
+    r = catalog.sql(
+        f"CALL system.export_iceberg_metadata('db.exp_call', '{dest}')"
+    ).collect()
+    assert r[0]["metadata_json"].endswith(".metadata.json")
+    t2, n, _ = snapshot_iceberg_table(catalog, dest, "db.exp_call_back")
+    assert t2.to_df().count() == 30

@@ -106,3 +106,64 @@ def test_add_files_reads_native_binary_variant(catalog, spark, tmp_path):
 
     rows = t.scan(filter=E.extract("meta", "$.n", "long") >= 45).df().collect()
     assert sorted(r.id for r in rows) == list(range(45, 50))
+
+
+def test_engine_writes_native_binary_variant_by_default(catalog, spark):
+    """Engine-written variant parquet must be the spec's binary encoding
+    (format/spec.md:243) so reference readers consume it: the physical
+    footer carries the VARIANT logical type (pyarrow refuses it) or a
+    metadata/value group — never plain strings."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10).select(
+        "id", F.parse_json(F.concat(
+            F.lit('{"n": '), F.col("id").cast("string"),
+            F.lit('}'))).alias("meta"))
+    t = catalog.create_table("db.binvar", df.schema)
+    t.append(df)
+    t = t.refresh()
+    paths = [e.file.file_path for e in t.scan().plan_files().files]
+    assert paths
+    for p in paths:
+        try:
+            foot = pq.read_schema(p)
+        except OSError:
+            continue  # VARIANT logical type: pyarrow refusal IS binary
+        ft = foot.field("meta").type
+        import pyarrow as pa
+        assert pa.types.is_struct(ft) and \
+            {f.name for f in ft} >= {"metadata", "value"}, ft
+    out = t.scan(filter=E.extract("meta", "$.n", "long") >= 8).df()
+    assert out.count() == 2
+
+
+def test_json_fallback_property_and_mixed_encodings(catalog, spark):
+    """write.variant.encoding=json keeps the pyarrow/DuckDB-readable text
+    path; flipping the property mid-table mixes encodings and the scan
+    groups per-file so both read correctly in one query."""
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 5).select(
+        "id", F.parse_json(F.concat(
+            F.lit('{"n": '), F.col("id").cast("string"),
+            F.lit('}'))).alias("meta"))
+    t = catalog.create_table(
+        "db.jsonvar", df.schema,
+        properties={"write.variant.encoding": "json"})
+    t.append(df)
+    t = t.refresh()
+    p = t.scan().plan_files().files[0].file.file_path
+    assert str(pq.read_schema(p).field("meta").type) in (
+        "string", "large_string")
+    # flip to binary and append more
+    t.set_properties(**{"write.variant.encoding": "binary"})
+    t = t.refresh()
+    t.append(spark.range(5, 10).select(
+        "id", F.parse_json(F.concat(
+            F.lit('{"n": '), F.col("id").cast("string"),
+            F.lit('}'))).alias("meta")))
+    t = t.refresh()
+    out = t.to_df().select(
+        "id", F.variant_get("meta", "$.n", "long").alias("n"))
+    got = sorted((r["id"], r["n"]) for r in out.collect())
+    assert got == [(i, i) for i in range(10)]
