@@ -175,14 +175,9 @@ def _partition_value(raw, result_type: str):
 ADDED, EXISTING, DELETED = 1, 0, 2
 
 
-def read_iceberg_snapshot(source: str):
-    """Parse the source table's current snapshot into plain structures:
-    (schemas, current_schema_id, specs, default_spec_id, entries, props)
-    where entries are dicts {content, path, format, spec_id, partition,
-    record_count, file_size, seq, equality_ids, referenced_data_file,
-    content_offset, content_size}."""
-    from ..avro_file import read_avro
-
+def _parse_table(source: str):
+    """Parse the metadata JSON: (md, schemas, cur_schema, specs,
+    default_spec)."""
     mpath = _find_metadata_json(source)
     with open(mpath) as f:
         md = json.load(f)
@@ -192,57 +187,84 @@ def read_iceberg_snapshot(source: str):
             f"Iceberg format-version {fv} not supported (v1-v3)")
     schemas, cur_schema = _parse_schemas(md)
     specs, default_spec = _parse_specs(md, schemas, cur_schema)
-    snap = _current_snapshot(md)
+    return md, schemas, cur_schema, specs, default_spec
+
+
+def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
+                      cur_schema: int) -> list:
+    """All live (status != DELETED) entries of one snapshot's manifest
+    list, as plain dicts {content, path, format, spec_id, partition,
+    record_count, file_size, seq, equality_ids, referenced_data_file,
+    content_offset, content_size}."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..avro_file import read_avro
+
     entries = []
-    if snap is not None:
-        ml_path = _resolve_path(snap["manifest-list"])
-        _, _, manifests = read_avro(ml_path)
-        for mrow in manifests:
-            if mrow.get("key_metadata"):
-                raise NotImplementedError(
-                    "encrypted Iceberg manifests (key_metadata) are not "
-                    "supported")
-            m_seq = int(mrow.get("sequence_number") or 0)
-            m_path = _resolve_path(mrow["manifest_path"])
-            hdr_schema, hdr_meta, rows = read_avro(m_path)
-            spec_id = int(
-                (hdr_meta.get("partition-spec-id") or b"0").decode()
-                if isinstance(hdr_meta.get("partition-spec-id"), bytes)
-                else hdr_meta.get("partition-spec-id") or
-                mrow.get("partition_spec_id") or 0)
-            spec = specs[spec_id]
-            rtypes = {pf.name: pf.transform.result_type(
-                schemas[cur_schema].field_by_id(pf.source_id).type)
-                for pf in spec.fields}
-            for e in rows:
-                if e["status"] == DELETED:
-                    continue
-                df = e["data_file"]
-                seq = e.get("sequence_number")
-                if seq is None:
-                    if e["status"] != ADDED:
-                        raise ValueError(
-                            "EXISTING manifest entry without an explicit "
-                            f"sequence number in {m_path}")
-                    seq = m_seq
-                part_raw = df.get("partition") or {}
-                partition = {
-                    name: _partition_value(part_raw.get(name), rt)
-                    for name, rt in rtypes.items()}
-                entries.append({
-                    "content": int(df.get("content") or 0),
-                    "path": _resolve_path(df["file_path"]),
-                    "format": (df.get("file_format") or "parquet").lower(),
-                    "spec_id": spec_id,
-                    "partition": partition,
-                    "record_count": int(df.get("record_count") or 0),
-                    "file_size": int(df.get("file_size_in_bytes") or 0),
-                    "seq": int(seq),
-                    "equality_ids": tuple(df.get("equality_ids") or ()),
-                    "referenced_data_file": df.get("referenced_data_file"),
-                    "content_offset": df.get("content_offset"),
-                    "content_size": df.get("content_size_in_bytes"),
-                })
+    ml_path = _resolve_path(snap["manifest-list"])
+    _, _, manifests = read_avro(ml_path)
+    for mrow in manifests:
+        if mrow.get("key_metadata"):
+            raise NotImplementedError(
+                "encrypted Iceberg manifests (key_metadata) are not "
+                "supported")
+    # manifests decode independently (file IO + zlib inflate release
+    # the GIL) — a thread pool keeps big-metadata imports off the
+    # one-file-at-a-time path
+    paths = [_resolve_path(m["manifest_path"]) for m in manifests]
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
+        decoded = list(ex.map(read_avro, paths))
+    for mrow, (_hdr_schema, hdr_meta, rows) in zip(manifests, decoded):
+        m_seq = int(mrow.get("sequence_number") or 0)
+        spec_id = int(
+            (hdr_meta.get("partition-spec-id") or b"0").decode()
+            if isinstance(hdr_meta.get("partition-spec-id"), bytes)
+            else hdr_meta.get("partition-spec-id") or
+            mrow.get("partition_spec_id") or 0)
+        spec = specs[spec_id]
+        rtypes = {pf.name: pf.transform.result_type(
+            schemas[cur_schema].field_by_id(pf.source_id).type)
+            for pf in spec.fields}
+        for e in rows:
+            if e["status"] == DELETED:
+                continue
+            df = e["data_file"]
+            seq = e.get("sequence_number")
+            if seq is None:
+                if e["status"] != ADDED:
+                    raise ValueError(
+                        "EXISTING manifest entry without an explicit "
+                        f"sequence number in {mrow['manifest_path']}")
+                seq = m_seq
+            part_raw = df.get("partition") or {}
+            partition = {
+                name: _partition_value(part_raw.get(name), rt)
+                for name, rt in rtypes.items()}
+            entries.append({
+                "content": int(df.get("content") or 0),
+                "path": _resolve_path(df["file_path"]),
+                "format": (df.get("file_format") or "parquet").lower(),
+                "spec_id": spec_id,
+                "partition": partition,
+                "record_count": int(df.get("record_count") or 0),
+                "file_size": int(df.get("file_size_in_bytes") or 0),
+                "seq": int(seq),
+                "equality_ids": tuple(df.get("equality_ids") or ()),
+                "referenced_data_file": df.get("referenced_data_file"),
+                "content_offset": df.get("content_offset"),
+                "content_size": df.get("content_size_in_bytes"),
+            })
+    return entries
+
+
+def read_iceberg_snapshot(source: str):
+    """Parse the source table's CURRENT snapshot into plain structures:
+    (schemas, current_schema_id, specs, default_spec_id, entries,
+    props)."""
+    md, schemas, cur_schema, specs, default_spec = _parse_table(source)
+    snap = _current_snapshot(md)
+    entries = ([] if snap is None
+               else _snapshot_entries(snap, specs, schemas, cur_schema))
     return (schemas, cur_schema, specs, default_spec, entries,
             dict(md.get("properties") or {}))
 
@@ -251,17 +273,21 @@ class _ImportSnapshot:
     """One commit carrying data + delete entries with PRESERVED per-entry
     sequence numbers (dense order-preserving remap of the source's)."""
 
-    def __init__(self, table, files_by_seq: list, max_seq: int):
+    def __init__(self, table, files_by_seq: list, max_seq: int,
+                 timestamp_ms: int = None, operation: str = "append",
+                 existing: set = None):
         from ..writes import SnapshotProducer
 
         outer = self
+        existing = existing or set()
 
         class P(SnapshotProducer):
-            operation = "append"
-
             def __init__(self):
                 super().__init__(table)
+                self.operation = operation
                 self.sequence_override = max_seq
+                if timestamp_ms:
+                    self.timestamp_override = int(timestamp_ms)
 
             def _apply(self, base, seq):
                 from collections import defaultdict
@@ -271,15 +297,19 @@ class _ImportSnapshot:
 
                 groups = defaultdict(list)
                 for s, f in outer.files:
+                    # history replay: files carried over from the prior
+                    # snapshot keep EXISTING status so incremental reads
+                    # see only genuinely new files as additions
+                    st = EXISTING if f.file_path in existing else ADDED
                     groups[(f.spec_id, 0 if f.content == DATA else 1)] \
-                        .append(ManifestEntry(ADDED, self.snapshot_id, s, f))
+                        .append(ManifestEntry(st, self.snapshot_id, s, f))
                 out = []
                 for (spec_id, content), ents in sorted(groups.items()):
                     spec = base.spec_by_id(spec_id)
                     out.append(write_manifest(
                         base.location, ents, base.schema, spec, content,
                         relative=base.relative_paths))
-                summary = {"operation": "append",
+                summary = {"operation": self.operation,
                            "engine": "iceberg-import",
                            "added-data-files": str(sum(
                                1 for _, f in outer.files
@@ -287,7 +317,7 @@ class _ImportSnapshot:
                            "added-delete-files": str(sum(
                                1 for _, f in outer.files
                                if f.content != DATA))}
-                return out, "append", summary
+                return out, self.operation, summary
 
         self.files = files_by_seq
         self._producer = P()
@@ -301,23 +331,37 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
     (delta-lake's BaseSnapshotDeltaLakeTableAction shape, applied to a
     genuine Iceberg source). Returns (table, imported_file_count,
     imported_delete_file_count)."""
-    from ..manifests import DATA, POSITION_DELETES, DataFile, collect_data_files
-    from ..metadata import TableMetadata, TableOperations
-    from ..table import Table
-
     (schemas, cur_schema, specs, default_spec, entries,
      src_props) = read_iceberg_snapshot(source_location)
     schema = schemas[cur_schema]
-    for e in entries:
-        if e["content"] != DATA and e["format"] not in ("parquet", "puffin"):
-            raise NotImplementedError(
-                f"{e['format']} delete files are not supported: {e['path']}")
 
     # order-preserving dense seq remap: preserves every >=/>/== delete
     # applicability comparison while the engine keeps committing at k+1
     seq_map = {s: i + 1 for i, s in
                enumerate(sorted({e["seq"] for e in entries}))}
     max_seq = len(seq_map)
+    t = _create_dest(catalog, dest_ident, schema, specs, default_spec,
+                     src_props)
+    files_by_seq = _materialize(catalog, schema, specs, entries, seq_map)
+
+    n_data = sum(1 for _, f in files_by_seq if f.content == 0)
+    n_del = len(files_by_seq) - n_data
+    if files_by_seq:
+        _ImportSnapshot(t, files_by_seq, max_seq).commit()
+        t = t.refresh()
+        n = len(t.refresh().scan().plan_files().files)
+        if n != n_data:
+            raise ValueError(
+                f"Iceberg import file-count mismatch: source snapshot holds "
+                f"{n_data} live data files but {n} were planned for "
+                f"{source_location}")
+    return t, n_data, n_del
+
+
+def _create_dest(catalog, dest_ident, schema, specs, default_spec,
+                 src_props):
+    from ..metadata import TableMetadata, TableOperations
+    from ..table import Table
 
     loc = catalog._location(dest_ident)
     ops = TableOperations(loc)
@@ -336,18 +380,35 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
             default=meta.last_partition_id),
     )
     ops.commit(None, meta)
-    t = Table(catalog.spark, loc, ops.refresh(), dest_ident)
+    return Table(catalog.spark, loc, ops.refresh(), dest_ident)
 
-    # stats from the actual parquet footers, grouped per (spec, content)
-    files_by_seq = []
+
+def _materialize(catalog, schema, specs, entries, seq_map,
+                 cache: dict = None) -> list:
+    """entries -> [(remapped seq, engine DataFile)] — stats re-collected
+    from the actual parquet footers, grouped per (spec, content); Puffin
+    DVs registered from the entry. `cache` (path, content) -> DataFile
+    reuses footer stats across snapshots in a history replay."""
     from collections import defaultdict
 
+    from ..manifests import (DATA, POSITION_DELETES, DataFile,
+                             collect_data_files)
+
+    for e in entries:
+        if e["content"] != DATA and e["format"] not in ("parquet", "puffin"):
+            raise NotImplementedError(
+                f"{e['format']} delete files are not supported: {e['path']}")
+    cache = cache if cache is not None else {}
+    files_by_seq = []
     parquet_groups = defaultdict(list)
     for e in entries:
-        if e["format"] == "parquet":
+        ck = (e["path"], e["content"])
+        if ck in cache:
+            files_by_seq.append((seq_map[e["seq"]], cache[ck]))
+        elif e["format"] == "parquet":
             parquet_groups[(e["spec_id"], e["content"])].append(e)
         elif e["content"] != DATA:  # puffin DV: register from the entry
-            files_by_seq.append((seq_map[e["seq"]], DataFile(
+            f = DataFile(
                 file_path=e["path"], file_format="puffin",
                 content=POSITION_DELETES, spec_id=e["spec_id"],
                 partition=dict(e["partition"]),
@@ -357,7 +418,9 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
                     e["referenced_data_file"]),
                 write_schema_id=schema.schema_id,
                 content_offset=e["content_offset"],
-                content_size_in_bytes=e["content_size"])))
+                content_size_in_bytes=e["content_size"])
+            cache[ck] = f
+            files_by_seq.append((seq_map[e["seq"]], f))
         else:
             raise NotImplementedError(
                 f"imported {e['format']} data files are not supported yet "
@@ -365,12 +428,13 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
 
     for (spec_id, content), group in sorted(parquet_groups.items()):
         spec = specs[spec_id]
-        paths = [e["path"] for e in group]
+        paths = sorted({e["path"] for e in group})
         by_path = {e["path"]: e for e in group}
         partitions = {e["path"]: e["partition"] for e in group}
         metas = collect_data_files(
             paths, schema, spec, partitions, content=content,
             spark=catalog.spark)
+        fmap = {}
         for f in metas:
             src = by_path[f.file_path]
             f = _replace(
@@ -379,20 +443,74 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
                 referenced_data_file=(
                     _resolve_path(src["referenced_data_file"])
                     if src["referenced_data_file"] else None))
-            files_by_seq.append((seq_map[src["seq"]], f))
+            cache[(f.file_path, content)] = f
+            fmap[f.file_path] = f
+        for e in group:
+            files_by_seq.append((seq_map[e["seq"]], fmap[e["path"]]))
+    return files_by_seq
 
-    n_data = sum(1 for _, f in files_by_seq if f.content == DATA)
-    n_del = len(files_by_seq) - n_data
-    if files_by_seq:
-        _ImportSnapshot(t, files_by_seq, max_seq).commit()
+
+def register_iceberg_table(catalog, source_location: str, dest_ident: str):
+    """Full-history registration of a genuine Iceberg table (the
+    RegisterTableProcedure analog — reference register keeps history):
+    the current snapshot's ANCESTOR CHAIN replays as engine commits in
+    order, each carrying the source snapshot's full live file set with
+    preserved per-entry sequence numbers, the source commit timestamp,
+    and EXISTING/ADDED statuses computed against the prior snapshot — so
+    both time travel (ordinal or timestamp) and incremental/changelog
+    reads over the imported table match the source. Files register by
+    reference; footer stats are collected once per path across the whole
+    replay.
+
+    Returns (table, n_snapshots_replayed, n_live_data_files)."""
+    md, schemas, cur_schema, specs, default_spec = _parse_table(
+        source_location)
+    schema = schemas[cur_schema]
+    props = dict(md.get("properties") or {})
+    snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+    cur = _current_snapshot(md)
+    t = _create_dest(catalog, dest_ident, schema, specs, default_spec,
+                     props)
+    if cur is None:
+        return t, 0, 0
+    chain, s = [], cur
+    while s is not None:
+        chain.append(s)
+        p = s.get("parent-snapshot-id")
+        s = snaps.get(p) if p is not None else None
+    chain.reverse()
+
+    per_snap = [(snap, _snapshot_entries(snap, specs, schemas, cur_schema))
+                for snap in chain]
+    all_seqs = sorted(
+        {e["seq"] for _, ents in per_snap for e in ents}
+        | {int(snap.get("sequence-number") or 0) for snap in chain})
+    seq_map = {v: i + 1 for i, v in enumerate(all_seqs)}
+
+    cache: dict = {}
+    prev_paths: set = set()
+    n_data = 0
+    for snap, ents in per_snap:
+        files_by_seq = _materialize(catalog, schema, specs, ents, seq_map,
+                                    cache)
+        ov = max([sq for sq, _ in files_by_seq]
+                 + [seq_map.get(int(snap.get("sequence-number") or 0), 0)],
+                 default=0)
+        op = (snap.get("summary") or {}).get("operation", "append")
+        _ImportSnapshot(t, files_by_seq, ov,
+                        timestamp_ms=snap.get("timestamp-ms"),
+                        operation=op, existing=prev_paths).commit()
         t = t.refresh()
-        n = len(t.refresh().scan().plan_files().files)
-        if n != n_data:
-            raise ValueError(
-                f"Iceberg import file-count mismatch: source snapshot holds "
-                f"{n_data} live data files but {n} were planned for "
-                f"{source_location}")
-    return t, n_data, n_del
+        prev_paths = {f.file_path for _, f in files_by_seq}
+        n_data = sum(1 for _, f in files_by_seq if f.content == 0)
+
+    n = len(t.scan().plan_files().files)
+    if n != n_data:
+        raise ValueError(
+            f"Iceberg register file-count mismatch: source current "
+            f"snapshot holds {n_data} live data files but {n} were "
+            f"planned for {source_location}")
+    return t, len(chain), n_data
 
 
 # ---------------------------------------------------------------------------

@@ -119,7 +119,7 @@ def write_reference_table(root: str, schema_json: dict, files: list,
                           format_version: int = 2,
                           properties: dict = None) -> str:
     """Build `<root>/metadata/` for an already-present set of content
-    files. `files`: dicts with keys
+    files (single snapshot). `files`: dicts with keys
       path, content (0/1/2), format, partition ({name: raw avro value}),
       record_count, file_size, seq, and optionally equality_ids,
       referenced_data_file, content_offset, content_size.
@@ -127,14 +127,30 @@ def write_reference_table(root: str, schema_json: dict, files: list,
       [{"name","transform","source-id","field-id"}].
     `partition_avro`: [(name, avro_type, field_id)] matching the spec.
     Returns the metadata JSON path."""
+    return write_reference_table_history(
+        root, schema_json, [{"files": files}],
+        partition_spec_fields=partition_spec_fields,
+        partition_avro=partition_avro, format_version=format_version,
+        properties=properties)
+
+
+def write_reference_table_history(root: str, schema_json: dict,
+                                  snapshots: list,
+                                  partition_spec_fields: list = None,
+                                  partition_avro: list = None,
+                                  format_version: int = 2,
+                                  properties: dict = None) -> str:
+    """Multi-snapshot form: `snapshots` is an ordered list of
+    {"files": [...], "timestamp_ms"?: int, "operation"?: str}; each
+    snapshot's `files` is its FULL live set (reference manifest lists are
+    full state). Parent ids chain in order; the last snapshot is current.
+    Returns the metadata JSON path."""
     from ..avro_file import write_avro
 
     partition_spec_fields = partition_spec_fields or []
     partition_avro = partition_avro or []
     mdir = os.path.join(root, "metadata")
     os.makedirs(mdir, exist_ok=True)
-    snapshot_id = 7730351909407483913
-    max_seq = max((f["seq"] for f in files), default=0)
 
     entry_schema = manifest_entry_schema(partition_avro)
     manifest_meta = {
@@ -145,7 +161,7 @@ def write_reference_table(root: str, schema_json: dict, files: list,
         "format-version": str(format_version),
     }
 
-    def write_manifest(group, content_label):
+    def write_manifest(files, group, content_label, snapshot_id, max_seq):
         rows = []
         for f in group:
             rows.append({
@@ -179,44 +195,62 @@ def write_reference_table(root: str, schema_json: dict, files: list,
         meta = dict(manifest_meta)
         meta["content"] = content_label
         write_avro(mp, entry_schema, rows, meta, codec="deflate")
-        return mp, rows
+        return mp
 
-    manifests = []
-    data_group = [f for f in files if f.get("content", 0) == 0]
-    del_group = [f for f in files if f.get("content", 0) != 0]
-    for group, label, content in ((data_group, "data", 0),
-                                  (del_group, "deletes", 1)):
-        if not group:
-            continue
-        mp, rows = write_manifest(group, label)
-        manifests.append({
-            "manifest_path": mp,
-            "manifest_length": os.path.getsize(mp),
-            "partition_spec_id": 0,
-            "content": content,
-            "sequence_number": max_seq,
-            "min_sequence_number": min(f["seq"] for f in group),
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(group),
-            "existing_files_count": 0,
-            "deleted_files_count": 0,
-            "added_rows_count": sum(f["record_count"] for f in group),
-            "existing_rows_count": 0,
-            "deleted_rows_count": 0,
-            "partitions": None,
-        })
+    snap_jsons = []
+    now0 = int(time.time() * 1000) - len(snapshots) * 60_000
+    for i, sn in enumerate(snapshots):
+        files = sn["files"]
+        snapshot_id = 7730351909407483913 + i
+        max_seq = max((f["seq"] for f in files), default=0)
+        manifests = []
+        data_group = [f for f in files if f.get("content", 0) == 0]
+        del_group = [f for f in files if f.get("content", 0) != 0]
+        for group, label, content in ((data_group, "data", 0),
+                                      (del_group, "deletes", 1)):
+            if not group:
+                continue
+            mp = write_manifest(files, group, label, snapshot_id, max_seq)
+            manifests.append({
+                "manifest_path": mp,
+                "manifest_length": os.path.getsize(mp),
+                "partition_spec_id": 0,
+                "content": content,
+                "sequence_number": max_seq,
+                "min_sequence_number": min(f["seq"] for f in group),
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(group),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(f["record_count"] for f in group),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+            })
+        ml_path = os.path.join(
+            mdir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro")
+        write_avro(ml_path, MANIFEST_LIST_SCHEMA, manifests,
+                   {"format-version": str(format_version)}, codec="deflate")
+        sj = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": sn.get("timestamp_ms", now0 + i * 60_000),
+            "sequence-number": max_seq,
+            "summary": {"operation": sn.get("operation", "append")},
+            "manifest-list": ml_path,
+            "schema-id": schema_json.get("schema-id", 0),
+        }
+        if i > 0:
+            sj["parent-snapshot-id"] = snap_jsons[-1]["snapshot-id"]
+        snap_jsons.append(sj)
 
-    ml_path = os.path.join(mdir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro")
-    write_avro(ml_path, MANIFEST_LIST_SCHEMA, manifests,
-               {"format-version": str(format_version)}, codec="deflate")
-
-    now = int(time.time() * 1000)
+    current = snap_jsons[-1]
     md = {
         "format-version": format_version,
         "table-uuid": str(_uuid.uuid4()),
         "location": root,
-        "last-sequence-number": max_seq,
-        "last-updated-ms": now,
+        "last-sequence-number": max(s["sequence-number"]
+                                    for s in snap_jsons),
+        "last-updated-ms": current["timestamp-ms"],
         "last-column-id": max(
             [f["id"] for f in schema_json["fields"]], default=0),
         "current-schema-id": schema_json.get("schema-id", 0),
@@ -230,17 +264,14 @@ def write_reference_table(root: str, schema_json: dict, files: list,
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "properties": dict(properties or {}),
-        "current-snapshot-id": snapshot_id,
-        "snapshots": [{
-            "snapshot-id": snapshot_id,
-            "timestamp-ms": now,
-            "sequence-number": max_seq,
-            "summary": {"operation": "append"},
-            "manifest-list": ml_path,
-            "schema-id": schema_json.get("schema-id", 0),
-        }],
-        "refs": {"main": {"snapshot-id": snapshot_id, "type": "branch"}},
-        "snapshot-log": [], "metadata-log": [],
+        "current-snapshot-id": current["snapshot-id"],
+        "snapshots": snap_jsons,
+        "refs": {"main": {"snapshot-id": current["snapshot-id"],
+                          "type": "branch"}},
+        "snapshot-log": [{"timestamp-ms": s["timestamp-ms"],
+                          "snapshot-id": s["snapshot-id"]}
+                         for s in snap_jsons],
+        "metadata-log": [],
     }
     mpath = os.path.join(mdir, "v1.metadata.json")
     with open(mpath, "w") as fh:

@@ -971,6 +971,29 @@ class SqlEngine:
         metadata_file = self._arg(a, "metadata_file", 1)
         import shutil as _sh
         import os as _os
+        import json as _json
+
+        # a REFERENCE-layout metadata JSON (Avro manifest lists) routes to
+        # the full-history Iceberg importer; engine-layout tables (parquet
+        # manifest lists) keep the direct registration below
+        try:
+            with open(metadata_file) as fh:
+                mj = _json.load(fh)
+            mls = [s.get("manifest-list", "") for s in mj.get("snapshots", [])]
+        except (OSError, ValueError):
+            mls = []
+        if mls and all(m.endswith(".avro") for m in mls):
+            from .sources.iceberg import register_iceberg_table
+
+            t, n_snaps, n_data = register_iceberg_table(
+                self.catalog, metadata_file, ident)
+            cur = t.current_snapshot()
+            return self._rows(
+                [Row(current_snapshot_id=cur.snapshot_id if cur else None,
+                     total_records_count=None,
+                     total_data_files_count=n_data)],
+                "current_snapshot_id long, total_records_count long, "
+                "total_data_files_count long")
 
         loc = self.catalog._location(ident)
         src_table_dir = _os.path.dirname(_os.path.dirname(metadata_file))

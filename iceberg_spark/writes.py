@@ -369,7 +369,10 @@ class SnapshotProducer:
                 self.table.location, self.snapshot_id, manifests,
                 relative=base.relative_paths)
             parent = base.snapshot_for_ref(self.branch)
-            now = int(time.time() * 1000)
+            # history-replaying importers preserve source commit times so
+            # time travel by timestamp matches the source table
+            now = (getattr(self, "timestamp_override", None)
+                   or int(time.time() * 1000))
             snap = Snapshot(
                 snapshot_id=self.snapshot_id,
                 parent_snapshot_id=parent.snapshot_id if parent else None,

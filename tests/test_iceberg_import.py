@@ -253,3 +253,70 @@ def test_export_via_call_procedure(catalog, tmp_path, spark):
     assert r[0]["metadata_json"].endswith(".metadata.json")
     t2, n, _ = snapshot_iceberg_table(catalog, dest, "db.exp_call_back")
     assert t2.to_df().count() == 30
+
+
+def test_register_full_history_time_travel(catalog, tmp_path, spark):
+    """register_iceberg_table replays the ancestor chain: time travel on
+    the imported table (by ordinal and by timestamp) reproduces each
+    source snapshot's state, and incremental reads see only genuinely
+    new files per snapshot (EXISTING/ADDED statuses preserved)."""
+    from iceberg_spark.sources.iceberg import register_iceberg_table
+    from iceberg_spark.sources.iceberg_fixture import (
+        write_reference_table_history)
+
+    root = str(tmp_path / "src_hist")
+    os.makedirs(os.path.join(root, "data"))
+    fa = _write_parquet(os.path.join(root, "data", "a.parquet"),
+                        list(range(0, 10)), 0)
+    fb = _write_parquet(os.path.join(root, "data", "b.parquet"),
+                        list(range(10, 20)), 1)
+    dl = _write_pos_delete(os.path.join(root, "data", "d.parquet"),
+                           [(fa["path"], 0)])
+    t0, t1, t2 = 1700000000000, 1700000060000, 1700000120000
+    write_reference_table_history(root, SCHEMA_JSON, [
+        {"files": [dict(fa, seq=1)], "timestamp_ms": t0},
+        {"files": [dict(fa, seq=1), dict(fb, seq=2)], "timestamp_ms": t1},
+        {"files": [dict(fa, seq=1), dict(fb, seq=2), dict(dl, seq=3)],
+         "timestamp_ms": t2, "operation": "delete"},
+    ])
+    t, n_snaps, n_data = register_iceberg_table(catalog, root, "db.hist")
+    assert (n_snaps, n_data) == (3, 2)
+    snaps = t.metadata.snapshots
+    assert len(snaps) == 3
+    # source commit timestamps preserved
+    assert [s.timestamp_ms for s in snaps] == [t0, t1, t2]
+    assert snaps[-1].operation == "delete"
+    # time travel by ordinal
+    ids0 = sorted(r["id"] for r in
+                  t.scan(snapshot_id=snaps[0].snapshot_id).df().collect())
+    assert ids0 == list(range(0, 10))
+    ids1 = sorted(r["id"] for r in
+                  t.scan(snapshot_id=snaps[1].snapshot_id).df().collect())
+    assert ids1 == list(range(0, 20))
+    ids2 = sorted(r["id"] for r in t.to_df().collect())
+    assert ids2 == list(range(1, 20))
+    # statuses: second snapshot re-lists file A as EXISTING, adds B
+    from iceberg_spark.manifests import read_manifest_list, read_manifest
+    mans = read_manifest_list(snaps[1].manifest_list)
+    sts = {}
+    for mf in mans:
+        for e in read_manifest(mf.path, t.schema,
+                               t.metadata.spec_by_id(mf.spec_id)):
+            sts[e.file.file_path] = e.status
+    assert sts[fa["path"]] == 0  # EXISTING
+    assert sts[fb["path"]] == 1  # ADDED
+
+
+def test_call_register_table_routes_reference_layout(catalog, tmp_path):
+    """CALL system.register_table with a reference metadata JSON replays
+    full history; engine-layout registration keeps working."""
+    root = str(tmp_path / "src_reg")
+    os.makedirs(os.path.join(root, "data"))
+    fa = _write_parquet(os.path.join(root, "data", "a.parquet"),
+                        list(range(5)), 0)
+    mpath = write_reference_table(root, SCHEMA_JSON, [dict(fa, seq=1)])
+    r = catalog.sql(
+        f"CALL system.register_table('db.reg_ref', '{mpath}')").collect()
+    assert r[0]["total_data_files_count"] == 1
+    t = catalog.load_table("db.reg_ref")
+    assert t.to_df().count() == 5
