@@ -75,9 +75,13 @@ def _find_metadata_json(source: str) -> str:
             "metadata/*.metadata.json)")
 
     def vkey(p):
-        base = os.path.basename(p)
-        digits = "".join(c for c in base.split(".")[0] if c.isdigit())
-        return (int(digits) if digits else -1, base)
+        # version is the LEADING number: v12.metadata.json (Hadoop) or
+        # 00012-<uuid>.metadata.json (object-store catalogs). Taking all
+        # digits would swallow uuid digits and mis-order versions.
+        import re as _re
+
+        m = _re.match(r"^v?(\d+)", os.path.basename(p))
+        return (int(m.group(1)) if m else -1, os.path.basename(p))
 
     return max(cands, key=vkey)
 
@@ -116,12 +120,21 @@ def _parse_specs(md: dict, schemas: dict, current_schema: int):
     from ..metadata import PartitionField, PartitionSpec
     from ..transforms import parse_transform
 
-    schema = schemas[current_schema]
+    def src_field(fid):
+        # prefer the current schema; an old spec may reference a field
+        # since dropped — any schema that still knows it supplies the name
+        for sid in [current_schema] + sorted(schemas):
+            try:
+                return schemas[sid].field_by_id(fid)
+            except KeyError:
+                continue
+        raise KeyError(
+            f"partition source field {fid} not found in any schema")
 
     def build(spec_id, fields_json):
         fields = []
         for f in fields_json:
-            src = schema.field_by_id(f["source-id"])
+            src = src_field(f["source-id"])
             fields.append(PartitionField(
                 f["source-id"], f["field-id"], f["name"],
                 parse_transform(f["transform"]), src.name))
@@ -167,6 +180,14 @@ def _partition_value(raw, result_type: str):
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(raw))
     if t in ("timestamp", "timestamp_ntz"):
         return _EPOCH + _dt.timedelta(microseconds=int(raw))
+    if t.startswith("decimal"):
+        # avro decimal: big-endian two's-complement unscaled bytes
+        import decimal as _decimal
+        import re as _re
+
+        scale = int(_re.match(r"decimal\((\d+),\s*(\d+)\)", t).group(2))
+        unscaled = int.from_bytes(raw, "big", signed=True)
+        return _decimal.Decimal(unscaled).scaleb(-scale)
     if isinstance(raw, bytes) and t == "string":
         return raw.decode("utf-8")
     return raw
@@ -214,17 +235,33 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
     paths = [_resolve_path(m["manifest_path"]) for m in manifests]
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
         decoded = list(ex.map(read_avro, paths))
+    def hdr_int(hdr_meta, key, default):
+        v = hdr_meta.get(key)
+        if v is None:
+            return default
+        return int(v.decode() if isinstance(v, bytes) else v)
+
     for mrow, (_hdr_schema, hdr_meta, rows) in zip(manifests, decoded):
         m_seq = int(mrow.get("sequence_number") or 0)
-        spec_id = int(
-            (hdr_meta.get("partition-spec-id") or b"0").decode()
-            if isinstance(hdr_meta.get("partition-spec-id"), bytes)
-            else hdr_meta.get("partition-spec-id") or
-            mrow.get("partition_spec_id") or 0)
+        spec_id = hdr_int(hdr_meta, "partition-spec-id",
+                          int(mrow.get("partition_spec_id") or 0))
+        # schema the manifest's FILES were written under — carried onto
+        # each imported entry so renamed-column histories read by field id
+        m_schema_id = hdr_int(hdr_meta, "schema-id", cur_schema)
+        if m_schema_id not in schemas:
+            m_schema_id = cur_schema
         spec = specs[spec_id]
-        rtypes = {pf.name: pf.transform.result_type(
-            schemas[cur_schema].field_by_id(pf.source_id).type)
-            for pf in spec.fields}
+
+        def src_type(fid):
+            for sid in [m_schema_id, cur_schema] + sorted(schemas):
+                try:
+                    return schemas[sid].field_by_id(fid).type
+                except KeyError:
+                    continue
+            raise KeyError(f"partition source field {fid} unknown")
+
+        rtypes = {pf.name: pf.transform.result_type(src_type(pf.source_id))
+                  for pf in spec.fields}
         for e in rows:
             if e["status"] == DELETED:
                 continue
@@ -245,6 +282,7 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "path": _resolve_path(df["file_path"]),
                 "format": (df.get("file_format") or "parquet").lower(),
                 "spec_id": spec_id,
+                "schema_id": m_schema_id,
                 "partition": partition,
                 "record_count": int(df.get("record_count") or 0),
                 "file_size": int(df.get("file_size_in_bytes") or 0),
@@ -340,9 +378,10 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
     seq_map = {s: i + 1 for i, s in
                enumerate(sorted({e["seq"] for e in entries}))}
     max_seq = len(seq_map)
-    t = _create_dest(catalog, dest_ident, schema, specs, default_spec,
-                     src_props)
-    files_by_seq = _materialize(catalog, schema, specs, entries, seq_map)
+    t = _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
+                     default_spec, src_props)
+    files_by_seq = _materialize(catalog, schemas, cur_schema, specs,
+                                entries, seq_map)
 
     n_data = sum(1 for _, f in files_by_seq if f.content == 0)
     n_del = len(files_by_seq) - n_data
@@ -358,8 +397,8 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
     return t, n_data, n_del
 
 
-def _create_dest(catalog, dest_ident, schema, specs, default_spec,
-                 src_props):
+def _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
+                 default_spec, src_props):
     from ..metadata import TableMetadata, TableOperations
     from ..table import Table
 
@@ -369,10 +408,17 @@ def _create_dest(catalog, dest_ident, schema, specs, default_spec,
         raise ValueError(f"table exists: {dest_ident}")
     props = {k: v for k, v in src_props.items()}
     props["gc.enabled"] = "false"  # by-reference: never delete source files
-    meta = TableMetadata.new(loc, schema, specs[default_spec],
+    meta = TableMetadata.new(loc, schemas[cur_schema], specs[default_spec],
                              properties=props)
+    # register EVERY source schema with its original id (and the current
+    # one under its real id, not 0): imported entries carry the schema id
+    # their manifest recorded, so renamed-column histories read by field
+    # id through the engine's write-schema grouped read path
     meta = _replace(
         meta,
+        schemas=tuple(schemas[i] for i in sorted(schemas)),
+        current_schema_id=cur_schema,
+        last_column_id=max(s.highest_field_id() for s in schemas.values()),
         partition_specs=tuple(specs[i] for i in sorted(specs)),
         default_spec_id=default_spec,
         last_partition_id=max(
@@ -383,7 +429,13 @@ def _create_dest(catalog, dest_ident, schema, specs, default_spec,
     return Table(catalog.spark, loc, ops.refresh(), dest_ident)
 
 
-def _materialize(catalog, schema, specs, entries, seq_map,
+def _orc_rows(path: str) -> int:
+    import pyarrow.orc as _orc
+
+    return _orc.ORCFile(path).nrows
+
+
+def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                  cache: dict = None) -> list:
     """entries -> [(remapped seq, engine DataFile)] — stats re-collected
     from the actual parquet footers, grouped per (spec, content); Puffin
@@ -416,16 +468,29 @@ def _materialize(catalog, schema, specs, entries, seq_map,
                 file_size_in_bytes=e["file_size"], stats={},
                 referenced_data_file=_resolve_path(
                     e["referenced_data_file"]),
-                write_schema_id=schema.schema_id,
+                write_schema_id=e.get("schema_id", cur_schema),
                 content_offset=e["content_offset"],
                 content_size_in_bytes=e["content_size"])
+            cache[ck] = f
+            files_by_seq.append((seq_map[e["seq"]], f))
+        elif e["format"] == "orc":
+            # ORC data files register with the manifest's counts; the orc
+            # footer has no pyarrow stat surface comparable to parquet, so
+            # these files simply don't min/max-prune (reads stay exact)
+            f = DataFile(
+                file_path=e["path"], file_format="orc", content=DATA,
+                spec_id=e["spec_id"], partition=dict(e["partition"]),
+                record_count=e["record_count"] or _orc_rows(e["path"]),
+                file_size_in_bytes=e["file_size"], stats={},
+                write_schema_id=e.get("schema_id", cur_schema))
             cache[ck] = f
             files_by_seq.append((seq_map[e["seq"]], f))
         else:
             raise NotImplementedError(
                 f"imported {e['format']} data files are not supported yet "
-                f"(parquet only): {e['path']}")
+                f"(parquet/orc only): {e['path']}")
 
+    schema = schemas[cur_schema]
     for (spec_id, content), group in sorted(parquet_groups.items()):
         spec = specs[spec_id]
         paths = sorted({e["path"] for e in group})
@@ -438,7 +503,7 @@ def _materialize(catalog, schema, specs, entries, seq_map,
         for f in metas:
             src = by_path[f.file_path]
             f = _replace(
-                f, write_schema_id=schema.schema_id,
+                f, write_schema_id=src.get("schema_id", cur_schema),
                 equality_ids=tuple(src["equality_ids"]),
                 referenced_data_file=(
                     _resolve_path(src["referenced_data_file"])
@@ -469,8 +534,8 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
     props = dict(md.get("properties") or {})
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     cur = _current_snapshot(md)
-    t = _create_dest(catalog, dest_ident, schema, specs, default_spec,
-                     props)
+    t = _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
+                     default_spec, props)
     if cur is None:
         return t, 0, 0
     chain, s = [], cur
@@ -491,8 +556,8 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
     prev_paths: set = set()
     n_data = 0
     for snap, ents in per_snap:
-        files_by_seq = _materialize(catalog, schema, specs, ents, seq_map,
-                                    cache)
+        files_by_seq = _materialize(catalog, schemas, cur_schema, specs,
+                                    ents, seq_map, cache)
         ov = max([sq for sq, _ in files_by_seq]
                  + [seq_map.get(int(snap.get("sequence-number") or 0), 0)],
                  default=0)
@@ -555,6 +620,12 @@ def _avro_type_for(result_type: str):
         return {"type": "int", "logicalType": "date"}
     if t in ("timestamp", "timestamp_ntz"):
         return {"type": "long", "logicalType": "timestamp-micros"}
+    if t.startswith("decimal"):
+        import re as _re
+
+        m = _re.match(r"decimal\((\d+),\s*(\d+)\)", t)
+        return {"type": "bytes", "logicalType": "decimal",
+                "precision": int(m.group(1)), "scale": int(m.group(2))}
     raise NotImplementedError(
         f"cannot export partition value type {t!r} to Avro")
 
@@ -568,6 +639,14 @@ def _avro_partition_raw(v, result_type: str):
         return (v - _dt.date(1970, 1, 1)).days
     if result_type in ("timestamp", "timestamp_ntz"):
         return int((v - _EPOCH).total_seconds() * 1_000_000)
+    if result_type.startswith("decimal"):
+        import re as _re
+
+        scale = int(_re.match(r"decimal\((\d+),\s*(\d+)\)",
+                              result_type).group(2))
+        unscaled = int(v.scaleb(scale))
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(n, "big", signed=True)
     return v
 
 

@@ -139,11 +139,15 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   partition_spec_fields: list = None,
                                   partition_avro: list = None,
                                   format_version: int = 2,
-                                  properties: dict = None) -> str:
+                                  properties: dict = None,
+                                  all_schemas_json: list = None) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
-    {"files": [...], "timestamp_ms"?: int, "operation"?: str}; each
-    snapshot's `files` is its FULL live set (reference manifest lists are
-    full state). Parent ids chain in order; the last snapshot is current.
+    {"files": [...], "timestamp_ms"?: int, "operation"?: str,
+    "schema_id"?: int}; each snapshot's `files` is its FULL live set
+    (reference manifest lists are full state). Parent ids chain in
+    order; the last snapshot is current. `all_schemas_json` registers
+    additional (historical) schemas; a snapshot's `schema_id` stamps its
+    manifests with the schema its files were written under.
     Returns the metadata JSON path."""
     from ..avro_file import write_avro
 
@@ -153,15 +157,21 @@ def write_reference_table_history(root: str, schema_json: dict,
     os.makedirs(mdir, exist_ok=True)
 
     entry_schema = manifest_entry_schema(partition_avro)
-    manifest_meta = {
-        "schema": json.dumps(schema_json),
-        "schema-id": str(schema_json.get("schema-id", 0)),
-        "partition-spec": json.dumps(partition_spec_fields),
-        "partition-spec-id": "0",
-        "format-version": str(format_version),
-    }
+    schemas_json = all_schemas_json or [schema_json]
+    by_sid = {sj.get("schema-id", 0): sj for sj in schemas_json}
 
-    def write_manifest(files, group, content_label, snapshot_id, max_seq):
+    def manifest_meta_for(schema_id):
+        sj = by_sid.get(schema_id, schema_json)
+        return {
+            "schema": json.dumps(sj),
+            "schema-id": str(schema_id),
+            "partition-spec": json.dumps(partition_spec_fields),
+            "partition-spec-id": "0",
+            "format-version": str(format_version),
+        }
+
+    def write_manifest(files, group, content_label, snapshot_id, max_seq,
+                       schema_id):
         rows = []
         for f in group:
             rows.append({
@@ -192,7 +202,7 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "content_size_in_bytes": f.get("content_size"),
                 }})
         mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.avro")
-        meta = dict(manifest_meta)
+        meta = manifest_meta_for(schema_id)
         meta["content"] = content_label
         write_avro(mp, entry_schema, rows, meta, codec="deflate")
         return mp
@@ -210,7 +220,9 @@ def write_reference_table_history(root: str, schema_json: dict,
                                       (del_group, "deletes", 1)):
             if not group:
                 continue
-            mp = write_manifest(files, group, label, snapshot_id, max_seq)
+            mp = write_manifest(files, group, label, snapshot_id, max_seq,
+                                sn.get("schema_id",
+                                       schema_json.get("schema-id", 0)))
             manifests.append({
                 "manifest_path": mp,
                 "manifest_length": os.path.getsize(mp),
@@ -254,7 +266,7 @@ def write_reference_table_history(root: str, schema_json: dict,
         "last-column-id": max(
             [f["id"] for f in schema_json["fields"]], default=0),
         "current-schema-id": schema_json.get("schema-id", 0),
-        "schemas": [schema_json],
+        "schemas": schemas_json,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0,
                              "fields": partition_spec_fields}],

@@ -320,3 +320,63 @@ def test_call_register_table_routes_reference_layout(catalog, tmp_path):
     assert r[0]["total_data_files_count"] == 1
     t = catalog.load_table("db.reg_ref")
     assert t.to_df().count() == 5
+
+
+def test_import_renamed_column_history_reads_by_field_id(
+        catalog, tmp_path, spark):
+    """Files written before a column rename carry the OLD physical name;
+    the import stamps each entry with its manifest's schema-id and
+    registers every source schema, so the engine's write-schema grouped
+    read maps old columns onto the current name by field id."""
+    from iceberg_spark.sources.iceberg import register_iceberg_table
+    from iceberg_spark.sources.iceberg_fixture import (
+        write_reference_table_history)
+
+    schema_v0 = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "grp", "required": False, "type": "long"}]}
+    schema_v1 = {"type": "struct", "schema-id": 1, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "category", "required": False, "type": "long"}]}
+
+    root = str(tmp_path / "src_rename")
+    os.makedirs(os.path.join(root, "data"))
+    # old file: physical column name "grp" (pre-rename)
+    fa = _write_parquet(os.path.join(root, "data", "old.parquet"),
+                        [1, 2, 3], 7)
+    # new file: physical column name "category"
+    fb_path = os.path.join(root, "data", "new.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array([4, 5], pa.int64()),
+        "category": pa.array([9, 9], pa.int64())}), fb_path)
+    fb = {"path": fb_path, "record_count": 2,
+          "file_size": os.path.getsize(fb_path)}
+    write_reference_table_history(
+        root, schema_v1, [
+            {"files": [dict(fa, seq=1)], "schema_id": 0},
+            {"files": [dict(fa, seq=1), dict(fb, seq=2)], "schema_id": 1},
+        ], all_schemas_json=[schema_v0, schema_v1])
+
+    t, n_snaps, n_data = register_iceberg_table(catalog, root, "db.renamed")
+    assert (n_snaps, n_data) == (2, 2)
+    assert t.schema.column_names == ["id", "category"]
+    rows = {(r["id"], r["category"]) for r in t.to_df().collect()}
+    # old-file rows surface under the CURRENT name, values intact
+    assert rows == {(1, 7), (2, 7), (3, 7), (4, 9), (5, 9)}
+
+
+def test_orc_data_file_import(catalog, tmp_path):
+    import pyarrow.orc as orc
+
+    root = str(tmp_path / "src_orc")
+    os.makedirs(os.path.join(root, "data"))
+    op = os.path.join(root, "data", "a.orc")
+    orc.write_table(pa.table({
+        "id": pa.array(range(12), pa.int64()),
+        "grp": pa.array([0] * 12, pa.int64())}), op)
+    fo = {"path": op, "record_count": 12, "format": "ORC",
+          "file_size": os.path.getsize(op)}
+    write_reference_table(root, SCHEMA_JSON, [dict(fo, seq=1)])
+    t, n, _ = snapshot_iceberg_table(catalog, root, "db.imported_orc")
+    assert n == 1
+    assert sorted(r["id"] for r in t.to_df().collect()) == list(range(12))
