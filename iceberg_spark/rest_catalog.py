@@ -1,6 +1,6 @@
-"""Read-only REST catalog adapter (open-api/rest-catalog-open-api.yaml
-surface): external tooling speaking the Iceberg REST protocol can list
-namespaces/tables and loadTable against an engine catalog.
+"""REST catalog adapter (open-api/rest-catalog-open-api.yaml surface):
+external tooling speaking the Iceberg REST protocol can list, read, AND
+write against an engine catalog.
 
 loadTable serves REFERENCE-shaped metadata: on each request the table's
 current snapshot is exported to `<table>/metadata-export/<snapshot-id>/`
@@ -8,17 +8,28 @@ current snapshot is exported to `<table>/metadata-export/<snapshot-id>/`
 export_reference_metadata, cached per snapshot id), so the returned
 `metadata` document is exactly what a genuine apache/iceberg client
 expects — Avro manifests, absolute file paths — not the engine's
-internal Parquet-manifest metadata.
+internal Parquet-manifest metadata. The exported refs preserve the
+engine's snapshot id and table uuid, so requirements a client builds
+from loadTable validate against the engine table on commit.
 
-Endpoints (GET unless noted):
-  /v1/config
-  /v1/namespaces                               (flat listing)
-  /v1/namespaces/{ns}
-  /v1/namespaces/{ns}/tables
-  /v1/namespaces/{ns}/tables/{table}           (LoadTableResult; HEAD=200/404)
+Endpoints (core/.../rest/CatalogHandlers.java parity):
+  GET  /v1/config
+  GET  /v1/namespaces                           (flat listing)
+  GET|DELETE /v1/namespaces/{ns}
+  POST /v1/namespaces                           (createNamespace)
+  GET  /v1/namespaces/{ns}/tables
+  POST /v1/namespaces/{ns}/tables               (createTable)
+  GET|HEAD|DELETE /v1/namespaces/{ns}/tables/{table}
+  POST /v1/namespaces/{ns}/tables/{table}       (CommitTableRequest)
+  POST /v1/tables/rename
 
-Write endpoints return 405 — this is deliberately a read surface; commits
-stay with the engine's own transaction layer.
+Commits validate requirements (assert-ref-snapshot-id /
+assert-table-uuid → 409 CommitFailedException on mismatch) and apply
+updates: `add-snapshot` replays the client-written Avro manifest list
+through sources/iceberg.replay_snapshot_onto (files register by
+reference, the client's snapshot id is preserved), `set-snapshot-ref`
+moves refs, `set-properties` / `remove-properties` edit properties.
+Unsupported update actions fail loudly with 400.
 """
 
 from __future__ import annotations
@@ -52,12 +63,12 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _json(self, code: int, body: dict = None):
-        data = json.dumps(body or {}).encode()
+        data = b"" if code == 204 else json.dumps(body or {}).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(data)))
         self.end_headers()
-        if self.command != "HEAD":
+        if self.command != "HEAD" and data:
             self.wfile.write(data)
 
     def _error(self, code: int, msg: str, etype: str):
@@ -113,11 +124,211 @@ class _Handler(BaseHTTPRequestHandler):
 
     do_HEAD = do_GET
 
-    def _reject_write(self):
-        self._error(405, "this catalog adapter is read-only",
-                    "UnsupportedOperationException")
+    # -- write surface ------------------------------------------------------
 
-    do_POST = do_PUT = do_DELETE = _reject_write
+    def _body(self) -> dict:
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n) if n else b""
+        return json.loads(raw or b"{}")
+
+    def _route_post(self):
+        parts = [unquote(p) for p in self.path.split("?")[0].split("/")
+                 if p]
+        cat = self.catalog
+        rest = parts[1:] if parts[:1] == ["v1"] else None
+        if rest is None:
+            return self._error(404, f"no such route: {self.path}",
+                               "NoSuchRouteException")
+        body = self._body()
+        if rest == ["namespaces"]:
+            ns = ".".join(body["namespace"])
+            if cat.namespace_exists(ns):
+                return self._error(
+                    409, f"namespace exists: {ns}",
+                    "AlreadyExistsException")
+            cat.create_namespace(ns)
+            return self._json(200, {"namespace": ns.split("."),
+                                    "properties": body.get(
+                                        "properties") or {}})
+        if rest == ["tables", "rename"]:
+            src = body["source"]
+            dst = body["destination"]
+            s_id = ".".join(src["namespace"] + [src["name"]])
+            d_id = ".".join(dst["namespace"] + [dst["name"]])
+            if not cat.table_exists(s_id):
+                return self._error(404, f"no such table: {s_id}",
+                                   "NoSuchTableException")
+            if cat.table_exists(d_id):
+                return self._error(409, f"table exists: {d_id}",
+                                   "AlreadyExistsException")
+            cat.rename_table(s_id, d_id)
+            return self._json(200)
+        if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
+            return self._create_table(rest[1].replace("\x1f", "."), body)
+        if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
+            return self._commit_table(
+                rest[1].replace("\x1f", "."), rest[3], body)
+        return self._error(404, f"no such route: {self.path}",
+                           "NoSuchRouteException")
+
+    def _create_table(self, ns: str, body: dict):
+        from .schema import Schema
+        from .sources.iceberg import _map_types, _parse_specs
+
+        cat = self.catalog
+        if not cat.namespace_exists(ns):
+            return self._error(404, f"no such namespace: {ns}",
+                               "NoSuchNamespaceException")
+        if body.get("stage-create"):
+            return self._error(
+                400, "stage-create (staged table creation) is not "
+                "supported by this adapter", "BadRequestException")
+        ident = f"{ns}.{body['name']}"
+        if cat.table_exists(ident):
+            return self._error(409, f"table exists: {ident}",
+                               "AlreadyExistsException")
+        schema = Schema.from_json(_map_types(body["schema"]))
+        spec_json = body.get("partition-spec") or {"spec-id": 0,
+                                                   "fields": []}
+        specs, default = _parse_specs(
+            {"partition-specs": [spec_json],
+             "default-spec-id": spec_json.get("spec-id", 0)},
+            {schema.schema_id: schema}, schema.schema_id)
+        cat.create_table(ident, schema, partition_by=specs[default],
+                         properties=body.get("properties") or None)
+        return self._json(200, _load_table_result(cat, ident))
+
+    def _commit_table(self, ns: str, tbl: str, body: dict):
+        from dataclasses import replace
+
+        from .metadata import CommitFailedException
+        from .sources.iceberg import replay_snapshot_onto
+
+        cat = self.catalog
+        ident = f"{ns}.{tbl}"
+        if not cat.table_exists(ident):
+            return self._error(404, f"no such table: {ident}",
+                               "NoSuchTableException")
+        t = cat.load_table(ident)
+        meta = t.metadata
+        for r in body.get("requirements") or []:
+            ty = r.get("type")
+            if ty == "assert-ref-snapshot-id":
+                name = r.get("ref", "main")
+                ref = meta.refs.get(name)
+                have = ref.snapshot_id if ref else None
+                want = r.get("snapshot-id")
+                if want != have:
+                    return self._error(
+                        409, f"requirement failed: ref {name} is at "
+                        f"{have}, expected {want}",
+                        "CommitFailedException")
+            elif ty == "assert-table-uuid":
+                if r.get("uuid") != meta.table_uuid:
+                    return self._error(
+                        409, f"requirement failed: table uuid is "
+                        f"{meta.table_uuid}, expected {r.get('uuid')}",
+                        "CommitFailedException")
+            elif ty == "assert-create":
+                return self._error(
+                    409, f"requirement failed: table exists: {ident}",
+                    "CommitFailedException")
+            else:
+                return self._error(
+                    400, f"unsupported requirement type: {ty}",
+                    "BadRequestException")
+        set_props, rm_props, snaps, ref_sets = {}, [], [], []
+        for u in body.get("updates") or []:
+            a = u.get("action")
+            if a == "set-properties":
+                set_props.update(u.get("updates") or {})
+            elif a == "remove-properties":
+                rm_props += list(u.get("removals") or [])
+            elif a == "add-snapshot":
+                snaps.append(u["snapshot"])
+            elif a == "set-snapshot-ref":
+                ref_sets.append(u)
+            else:
+                return self._error(
+                    400, f"unsupported update action: {a}",
+                    "BadRequestException")
+        try:
+            added_ids = set()
+            for sj in snaps:
+                sid = int(sj["snapshot-id"])
+                branch = next(
+                    (rs.get("ref-name", "main") for rs in ref_sets
+                     if rs.get("snapshot-id") == sid), "main")
+                replay_snapshot_onto(cat, t, sj, branch=branch)
+                t = t.refresh()
+                added_ids.add(sid)
+            for rs in ref_sets:  # pure ref moves (rollback, tag, branch)
+                sid = rs.get("snapshot-id")
+                if sid in added_ids:
+                    continue  # the replay commit already advanced this ref
+                ms = t.manage_snapshots()
+                if rs.get("type") == "tag":
+                    ms.create_tag(rs["ref-name"], sid).commit()
+                elif rs.get("ref-name", "main") == "main":
+                    ms.set_current_snapshot(sid).commit()
+                else:
+                    ms.create_branch(rs["ref-name"], sid).commit()
+                t = t.refresh()
+            if set_props or rm_props:
+                props = {k: v for k, v in t.metadata.properties.items()
+                         if k not in set(rm_props)}
+                props.update({k: str(v) for k, v in set_props.items()})
+                t._commit_metadata(replace(t.metadata, properties=props))
+        except CommitFailedException as e:
+            return self._error(409, str(e)[:500], "CommitFailedException")
+        except (NotImplementedError, ValueError) as e:
+            return self._error(400, str(e)[:500], type(e).__name__)
+        return self._json(200, _load_table_result(cat, ident))
+
+    def _route_delete(self):
+        parts = [unquote(p) for p in self.path.split("?")[0].split("/")
+                 if p]
+        query = (self.path.split("?", 1) + [""])[1]
+        cat = self.catalog
+        rest = parts[1:] if parts[:1] == ["v1"] else None
+        if rest and len(rest) == 2 and rest[0] == "namespaces":
+            ns = rest[1].replace("\x1f", ".")
+            if not cat.namespace_exists(ns):
+                return self._error(404, f"no such namespace: {ns}",
+                                   "NoSuchNamespaceException")
+            try:
+                cat.drop_namespace(ns)
+            except ValueError as e:
+                return self._error(409, str(e),
+                                   "NamespaceNotEmptyException")
+            return self._json(204)
+        if rest and len(rest) == 4 and rest[0] == "namespaces" \
+                and rest[2] == "tables":
+            ident = f"{rest[1].replace(chr(31), '.')}.{rest[3]}"
+            if not cat.table_exists(ident):
+                return self._error(404, f"no such table: {ident}",
+                                   "NoSuchTableException")
+            cat.drop_table(ident,
+                           purge="purgeRequested=true" in query)
+            return self._json(204)
+        return self._error(404, f"no such route: {self.path}",
+                           "NoSuchRouteException")
+
+    def do_POST(self):
+        try:
+            self._route_post()
+        except Exception as e:  # noqa: BLE001 — surface as a 500 payload
+            self._error(500, str(e)[:500], type(e).__name__)
+
+    def do_DELETE(self):
+        try:
+            self._route_delete()
+        except Exception as e:  # noqa: BLE001
+            self._error(500, str(e)[:500], type(e).__name__)
+
+    def do_PUT(self):
+        self._error(405, "PUT is not part of the supported surface",
+                    "UnsupportedOperationException")
 
 
 def serve(catalog, port: int = 0):

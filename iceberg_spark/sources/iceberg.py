@@ -397,6 +397,57 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
     return t, n_data, n_del
 
 
+def replay_snapshot_onto(catalog, table, snap_json: dict,
+                         branch: str = "main"):
+    """REST-commit `add-snapshot` (rest-catalog-open-api.yaml
+    UpdateTableRequest; core/.../rest/CatalogHandlers.java commit shape):
+    an external client wrote content files plus a reference-layout Avro
+    manifest list under the table location; replace the table's live set
+    with that manifest list's live entries, preserving the CLIENT's
+    snapshot id so its next loadTable/refresh sees the id it committed.
+
+    Engine-known files keep their sequence numbers, footer stats, and
+    EXISTING status (incremental/changelog reads see only genuine
+    additions); new files register by reference at the table's next
+    sequence number. Because the manifest list is full state, append,
+    overwrite, and row-delta commits all replay through the same path.
+    Concurrency control is the REST requirement check the caller ran
+    (assert-ref-snapshot-id) plus the engine's optimistic version
+    commit."""
+    meta = table.metadata
+    schemas = {s.schema_id: s for s in meta.schemas}
+    specs = {sp.spec_id: sp for sp in meta.partition_specs}
+    cur = meta.current_schema_id
+    entries = _snapshot_entries(snap_json, specs, schemas, cur)
+
+    plan = table.scan().plan_files()
+    known = {}  # path -> (engine seq, engine DataFile)
+    for e in (list(plan.files) + list(plan.pos_deletes)
+              + list(plan.eq_deletes)):
+        known[e.file.file_path] = (e.sequence_number, e.file)
+    next_seq = meta.last_sequence_number + 1
+    files_by_seq, new_entries = [], []
+    for e in entries:
+        k = known.get(e["path"])
+        if k is not None:
+            files_by_seq.append(k)
+        else:
+            new_entries.append(e)
+    seq_map = {s: next_seq for s in {e["seq"] for e in new_entries}}
+    files_by_seq += _materialize(catalog, schemas, cur, specs,
+                                 new_entries, seq_map)
+    op = (snap_json.get("summary") or {}).get("operation") or "append"
+    sid = int(snap_json["snapshot-id"])
+    if any(s.snapshot_id == sid for s in meta.snapshots):
+        raise ValueError(f"snapshot id already committed: {sid}")
+    imp = _ImportSnapshot(table, files_by_seq, next_seq,
+                          timestamp_ms=snap_json.get("timestamp-ms"),
+                          operation=op, existing=set(known))
+    imp._producer.branch = branch
+    imp._producer.snapshot_id = sid
+    return imp.commit()
+
+
 def _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
                  default_spec, src_props):
     from ..metadata import TableMetadata, TableOperations
@@ -716,9 +767,17 @@ def export_reference_metadata(table, dest_root: str) -> str:
     for d in plan.eq_deletes:
         files.append(entry(d, 2))
 
+    # preserve engine identity: the exported refs.main snapshot-id and
+    # table-uuid equal the engine's, so a REST client's
+    # assert-ref-snapshot-id / assert-table-uuid requirements built from
+    # loadTable round-trip against the engine table on commit
+    snap = table.current_snapshot()
     return write_reference_table(
         dest_root, schema_json, files,
         partition_spec_fields=spec_fields, partition_avro=part_avro,
         format_version=3 if has_dv else 2,
         properties={k: v for k, v in table.metadata.properties.items()
-                    if not k.startswith("gc.")})
+                    if not k.startswith("gc.")},
+        snapshot_id=snap.snapshot_id if snap else None,
+        timestamp_ms=snap.timestamp_ms if snap else None,
+        table_uuid=table.metadata.table_uuid)

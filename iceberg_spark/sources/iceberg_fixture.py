@@ -117,7 +117,10 @@ def write_reference_table(root: str, schema_json: dict, files: list,
                           partition_spec_fields: list = None,
                           partition_avro: list = None,
                           format_version: int = 2,
-                          properties: dict = None) -> str:
+                          properties: dict = None,
+                          snapshot_id: int = None,
+                          timestamp_ms: int = None,
+                          table_uuid: str = None) -> str:
     """Build `<root>/metadata/` for an already-present set of content
     files (single snapshot). `files`: dicts with keys
       path, content (0/1/2), format, partition ({name: raw avro value}),
@@ -127,11 +130,16 @@ def write_reference_table(root: str, schema_json: dict, files: list,
       [{"name","transform","source-id","field-id"}].
     `partition_avro`: [(name, avro_type, field_id)] matching the spec.
     Returns the metadata JSON path."""
+    sn = {"files": files}
+    if snapshot_id is not None:
+        sn["snapshot_id"] = snapshot_id
+    if timestamp_ms is not None:
+        sn["timestamp_ms"] = timestamp_ms
     return write_reference_table_history(
-        root, schema_json, [{"files": files}],
+        root, schema_json, [sn],
         partition_spec_fields=partition_spec_fields,
         partition_avro=partition_avro, format_version=format_version,
-        properties=properties)
+        properties=properties, table_uuid=table_uuid)
 
 
 def write_reference_table_history(root: str, schema_json: dict,
@@ -140,14 +148,18 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   partition_avro: list = None,
                                   format_version: int = 2,
                                   properties: dict = None,
-                                  all_schemas_json: list = None) -> str:
+                                  all_schemas_json: list = None,
+                                  table_uuid: str = None) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
     {"files": [...], "timestamp_ms"?: int, "operation"?: str,
-    "schema_id"?: int}; each snapshot's `files` is its FULL live set
-    (reference manifest lists are full state). Parent ids chain in
-    order; the last snapshot is current. `all_schemas_json` registers
-    additional (historical) schemas; a snapshot's `schema_id` stamps its
-    manifests with the schema its files were written under.
+    "schema_id"?: int, "snapshot_id"?: int}; each snapshot's `files` is
+    its FULL live set (reference manifest lists are full state). Parent
+    ids chain in order; the last snapshot is current. `all_schemas_json`
+    registers additional (historical) schemas; a snapshot's `schema_id`
+    stamps its manifests with the schema its files were written under.
+    `snapshot_id` / `table_uuid` overrides preserve source identity when
+    exporting an engine table (REST clients round-trip
+    assert-ref-snapshot-id / assert-table-uuid against them).
     Returns the metadata JSON path."""
     from ..avro_file import write_avro
 
@@ -211,7 +223,7 @@ def write_reference_table_history(root: str, schema_json: dict,
     now0 = int(time.time() * 1000) - len(snapshots) * 60_000
     for i, sn in enumerate(snapshots):
         files = sn["files"]
-        snapshot_id = 7730351909407483913 + i
+        snapshot_id = sn.get("snapshot_id", 7730351909407483913 + i)
         max_seq = max((f["seq"] for f in files), default=0)
         manifests = []
         data_group = [f for f in files if f.get("content", 0) == 0]
@@ -258,7 +270,7 @@ def write_reference_table_history(root: str, schema_json: dict,
     current = snap_jsons[-1]
     md = {
         "format-version": format_version,
-        "table-uuid": str(_uuid.uuid4()),
+        "table-uuid": table_uuid or str(_uuid.uuid4()),
         "location": root,
         "last-sequence-number": max(s["sequence-number"]
                                     for s in snap_jsons),

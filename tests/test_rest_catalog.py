@@ -1,11 +1,15 @@
-"""Read-only REST catalog adapter: the open-api surface external tooling
-uses to discover and load tables. loadTable serves REFERENCE-shaped
-metadata (Avro manifests via export), so a genuine Iceberg client — here
-simulated by our own importer consuming the served metadata-location —
-can read engine tables over HTTP discovery."""
+"""REST catalog adapter: the open-api surface external tooling uses to
+discover, load, and COMMIT tables. loadTable serves REFERENCE-shaped
+metadata (Avro manifests via export); the write surface validates
+requirements and replays client-written Avro manifest lists into engine
+commits. The "client" here hand-writes spec-shaped Avro, standing in for
+a genuine Iceberg REST client."""
 
 import json
+import os
+import urllib.error
 import urllib.request
+import uuid
 
 import pytest
 from pyspark.sql import functions as F
@@ -56,16 +60,206 @@ def test_load_table_serves_reference_metadata(server, catalog, tmp_path):
     assert t2.to_df().count() == 40
 
 
-def test_errors_and_read_only(server):
+def test_errors(server):
     _cat, port = server
-    import urllib.error
-
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(port, "/v1/namespaces/db/tables/nope")
     assert ei.value.code == 404
     req = urllib.request.Request(
-        f"http://127.0.0.1:{port}/v1/namespaces/db/tables", method="POST",
-        data=b"{}")
+        f"http://127.0.0.1:{port}/v1/namespaces/db/tables/rest_t",
+        method="PUT", data=b"{}")
     with pytest.raises(urllib.error.HTTPError) as ei:
         urllib.request.urlopen(req)
     assert ei.value.code == 405
+
+
+# -- write surface ----------------------------------------------------------
+
+def _req(port, path, body=None, method="POST"):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}", method=method,
+        data=json.dumps(body).encode() if body is not None else None,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req) as r:
+        return r.status, json.loads(r.read() or b"{}")
+
+
+_SCHEMA_JSON = {
+    "type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "string"}]}
+
+
+def test_create_namespace_and_table(server, catalog):
+    _cat, port = server
+    st, res = _req(port, "/v1/namespaces", {"namespace": ["db2"]})
+    assert st == 200 and res["namespace"] == ["db2"]
+    with pytest.raises(urllib.error.HTTPError) as ei:  # duplicate -> 409
+        _req(port, "/v1/namespaces", {"namespace": ["db2"]})
+    assert ei.value.code == 409
+
+    st, res = _req(port, "/v1/namespaces/db2/tables", {
+        "name": "created", "schema": _SCHEMA_JSON,
+        "properties": {"owner": "rest-client"}})
+    assert st == 200
+    assert res["metadata"]["schemas"][0]["fields"][0]["name"] == "id"
+    t = catalog.load_table("db2.created")
+    assert t.properties.get("owner") == "rest-client"
+    assert [f.name for f in t.schema.fields] == ["id", "v"]
+
+
+def _client_append(port, catalog, ident, n_rows, base_md):
+    """Simulate a reference REST client: write a parquet data file +
+    spec-shaped Avro manifest and manifest list (full state = prior
+    manifests + the new one), return the CommitTableRequest body."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_spark.avro_file import read_avro, write_avro
+    from iceberg_spark.sources.iceberg_fixture import (
+        MANIFEST_LIST_SCHEMA, manifest_entry_schema)
+
+    t = catalog.load_table(ident)
+    data_dir = os.path.join(t.location, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dpath = os.path.join(data_dir, f"rest-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array(range(1000, 1000 + n_rows), pa.int64()),
+        "grp": pa.array([9] * n_rows, pa.int64())}), dpath)
+
+    base_sid = base_md["refs"]["main"]["snapshot-id"]
+    new_seq = base_md["last-sequence-number"] + 1
+    new_sid = 4400000000000000000 + new_seq
+    mdir = os.path.join(t.location, "metadata")
+    entry_schema = manifest_entry_schema([])
+    mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+    write_avro(mpath, entry_schema, [{
+        "status": 1, "snapshot_id": new_sid,
+        "sequence_number": None, "file_sequence_number": None,
+        "data_file": {
+            "content": 0, "file_path": dpath, "file_format": "PARQUET",
+            "partition": {}, "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "column_sizes": None, "value_counts": None,
+            "null_value_counts": None, "lower_bounds": None,
+            "upper_bounds": None, "split_offsets": None,
+            "equality_ids": None, "sort_order_id": None,
+            "referenced_data_file": None, "content_offset": None,
+            "content_size_in_bytes": None}}],
+        {"schema": json.dumps(base_md["schemas"][0]),
+         "schema-id": "0", "partition-spec": "[]",
+         "partition-spec-id": "0", "format-version": "2",
+         "content": "data"}, codec="deflate")
+
+    cur_snap = next(s for s in base_md["snapshots"]
+                    if s["snapshot-id"] == base_sid)
+    _, _, prior = read_avro(cur_snap["manifest-list"])
+    rows = list(prior) + [{
+        "manifest_path": mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": new_seq, "min_sequence_number": new_seq,
+        "added_snapshot_id": new_sid, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": n_rows, "existing_rows_count": 0,
+        "deleted_rows_count": 0, "partitions": None}]
+    ml_path = os.path.join(
+        mdir, f"snap-{new_sid}-1-{uuid.uuid4().hex}.avro")
+    write_avro(ml_path, MANIFEST_LIST_SCHEMA, rows,
+               {"format-version": "2"}, codec="deflate")
+    snap = {"snapshot-id": new_sid, "parent-snapshot-id": base_sid,
+            "sequence-number": new_seq, "timestamp-ms": 1700000123456,
+            "summary": {"operation": "append"},
+            "manifest-list": ml_path, "schema-id": 0}
+    return {
+        "requirements": [{"type": "assert-ref-snapshot-id", "ref": "main",
+                          "snapshot-id": base_sid}],
+        "updates": [{"action": "add-snapshot", "snapshot": snap},
+                    {"action": "set-snapshot-ref", "ref-name": "main",
+                     "type": "branch", "snapshot-id": new_sid}]}, new_sid
+
+
+def test_rest_commit_append(server, catalog):
+    _cat, port = server
+    _st, res = _get(port, "/v1/namespaces/db/tables/rest_t")
+    md = res["metadata"]
+    # export preserves engine identity: served ref == engine snapshot id
+    t = catalog.load_table("db.rest_t")
+    assert md["refs"]["main"]["snapshot-id"] == \
+        t.current_snapshot().snapshot_id
+    assert md["table-uuid"] == t.metadata.table_uuid
+
+    body, new_sid = _client_append(port, catalog, "db.rest_t", 7, md)
+    st, res2 = _req(port, "/v1/namespaces/db/tables/rest_t", body)
+    assert st == 200
+    assert res2["metadata"]["refs"]["main"]["snapshot-id"] == new_sid
+
+    t = catalog.load_table("db.rest_t")
+    assert t.current_snapshot().snapshot_id == new_sid
+    assert t.to_df().count() == 47
+    assert t.to_df().where(F.col("id") >= 1000).count() == 7
+    # incremental read sees ONLY the appended file
+    inc = t.changes(from_snapshot_id=md["refs"]["main"]["snapshot-id"])
+    assert inc.where(F.col("_change_type") == "INSERT").count() == 7
+
+    # a second commit against the now-stale base -> 409 CommitFailed
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "requirements": [{"type": "assert-ref-snapshot-id",
+                              "ref": "main",
+                              "snapshot-id": md["refs"]["main"][
+                                  "snapshot-id"]}],
+            "updates": []})
+    assert ei.value.code == 409
+    assert "CommitFailed" in json.loads(ei.value.read())["error"]["type"]
+
+
+def test_rest_commit_properties_and_uuid_requirement(server, catalog):
+    _cat, port = server
+    t = catalog.load_table("db.rest_t")
+    st, _res = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "requirements": [{"type": "assert-table-uuid",
+                          "uuid": t.metadata.table_uuid}],
+        "updates": [{"action": "set-properties",
+                     "updates": {"history.expire.max-snapshot-age-ms":
+                                 "604800000"}}]})
+    assert st == 200
+    t = catalog.load_table("db.rest_t")
+    assert t.properties["history.expire.max-snapshot-age-ms"] == \
+        "604800000"
+    st, _res = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "updates": [{"action": "remove-properties",
+                     "removals": ["history.expire.max-snapshot-age-ms"]}]})
+    assert st == 200
+    t = catalog.load_table("db.rest_t")
+    assert "history.expire.max-snapshot-age-ms" not in t.properties
+    with pytest.raises(urllib.error.HTTPError) as ei:  # wrong uuid -> 409
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "requirements": [{"type": "assert-table-uuid",
+                              "uuid": "not-the-uuid"}],
+            "updates": []})
+    assert ei.value.code == 409
+    with pytest.raises(urllib.error.HTTPError) as ei:  # unknown action
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "updates": [{"action": "upgrade-format-version",
+                         "format-version": 9}]})
+    assert ei.value.code == 400
+
+
+def test_rest_rename_and_drop(server, catalog, spark):
+    _cat, port = server
+    df = spark.range(0, 5).select("id")
+    catalog.create_table("db.rest_tmp", df.schema).append(df)
+    st, _ = _req(port, "/v1/tables/rename", {
+        "source": {"namespace": ["db"], "name": "rest_tmp"},
+        "destination": {"namespace": ["db"], "name": "rest_tmp2"}})
+    assert st == 200
+    assert catalog.table_exists("db.rest_tmp2")
+    assert not catalog.table_exists("db.rest_tmp")
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_tmp2",
+                 method="DELETE")
+    assert st == 204
+    assert not catalog.table_exists("db.rest_tmp2")
+    with pytest.raises(urllib.error.HTTPError) as ei:  # non-empty ns
+        _req(port, "/v1/namespaces/db", method="DELETE")
+    assert ei.value.code == 409
