@@ -295,9 +295,114 @@ GROUP BY source, lang ORDER BY source, lang
 """
 
 
+# ---------------------------------------------------------------------------
+# stratified sampling (deterministic per-stratum rate to a target cap)
+# ---------------------------------------------------------------------------
+
+STRAT_CAP = 120  # target docs per language stratum
+
+
+def stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling: each language stratum is
+    sampled at rate ceil-capped to hit ~STRAT_CAP docs, using the same
+    MINSTD arithmetic gate as domain mixing so the sample is re-derivable
+    bit-for-bit on any engine and any retry.
+
+    Shapes for 100 TB: stratum counts are one map-side-combined groupBy
+    (stratum cardinality rows on the driver side of the broadcast);
+    the rate table broadcasts back; the gate itself is a rowwise filter —
+    no shuffle of the corpus at any point."""
+    docs = engine_docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    rates = counts.withColumn(
+        "rate_permille",
+        F.least(F.lit(1000).cast("long"),
+                F.expr(f"({STRAT_CAP}L * 1000 + n_total - 1) div n_total")))
+    gate = (F.pmod(F.col("doc_id"), F.lit(MIX_M)) * F.lit(MIX_A)
+            % F.lit(MIX_M) % F.lit(1000))
+    from pyspark.sql.functions import broadcast
+
+    joined = docs.join(broadcast(rates), "lang")
+    kept = joined.filter(gate < F.col("rate_permille"))
+    return (kept.groupBy("lang")
+            .agg(F.max("n_total").alias("n_total"),
+                 F.max("rate_permille").alias("rate_permille"),
+                 F.count(F.lit(1)).alias("n_sampled"),
+                 F.sum("n_chars").alias("chars_sampled"))
+            .orderBy("lang"))
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH rates AS (
+  SELECT lang, COUNT(*) AS n_total,
+         LEAST(1000, ({STRAT_CAP} * 1000 + COUNT(*) - 1) // COUNT(*))
+           AS rate_permille
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, MAX(r.n_total) AS n_total,
+       MAX(r.rate_permille) AS rate_permille,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(d.n_chars) AS BIGINT) AS chars_sampled
+FROM documents d JOIN rates r USING (lang)
+WHERE (d.doc_id % {MIX_M} + {MIX_M}) % {MIX_M} * {MIX_A} % {MIX_M} % 1000
+      < r.rate_permille
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact per-group quantiles (discrete, rank-based)
+# ---------------------------------------------------------------------------
+
+
+def group_quantiles(spark, sf_dir):
+    """Exact per-language n_chars quantiles (p25/p50/p75/p95), discrete
+    percentile: the value at 1-indexed rank ceil(q*n) in (n_chars,
+    doc_id) order. Integer rank arithmetic — (cnt*q + 99) div 100 — so
+    both engines pick the identical row with no float boundary.
+
+    Scale: one window sort PER GROUP; groups are languages (bounded
+    cardinality), so the sort parallelizes across groups and the
+    approximate path at extreme skew is percentile_approx over the same
+    partitioning."""
+    from pyspark.sql import Window
+
+    docs = engine_docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang")
+    r = (docs.withColumn("rn", F.row_number().over(w))
+             .withColumn("cnt", F.count(F.lit(1)).over(wc)))
+    aggs = [F.max("cnt").alias("n_docs")]
+    for q in (25, 50, 75, 95):
+        rank = F.expr(f"(cnt * {q} + 99) div 100")
+        aggs.append(F.max(F.when(F.col("rn") == rank,
+                                 F.col("n_chars"))).alias(f"p{q}"))
+    return r.groupBy("lang").agg(*aggs).orderBy("lang")
+
+
+_Q_CASES = ", ".join(
+    f"MAX(CASE WHEN rn = (cnt * {q} + 99) // 100 THEN n_chars END) AS p{q}"
+    for q in (25, 50, 75, 95))
+
+GROUP_QUANTILES_SQL = f"""
+WITH r AS (
+  SELECT lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang, MAX(cnt) AS n_docs, {_Q_CASES}
+FROM r GROUP BY lang ORDER BY lang
+"""
+
+
 REGISTRY = {
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
     "decontamination": (decontamination, DECONTAMINATION_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "domain_mix_sample": (domain_mix_sample, DOMAIN_MIX_SQL),
+    "stratified_sample": (stratified_sample, STRATIFIED_SAMPLE_SQL),
+    "group_quantiles": (group_quantiles, GROUP_QUANTILES_SQL),
 }

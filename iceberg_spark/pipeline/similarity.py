@@ -333,8 +333,116 @@ WHERE rnk <= {TOP_K} ORDER BY query_id, rnk
 """
 
 
+KM_K = 4        # clusters
+KM_DIMS = 64    # embedding dimensionality
+KM_ROUND = 6    # centroid rounding: kills cross-engine summation-order ulps
+
+
+def _dist2_lit(col, cent):
+    """Squared L2 to a PYTHON-list centroid, sequential double fold (the
+    cosine() order, so the oracle's list_sum fold is bit-identical)."""
+    arr = F.array(*[F.lit(float(v)) for v in cent])
+    return F.aggregate(
+        F.zip_with(col, arr,
+                   lambda x, y: (x.cast("double") - y)
+                   * (x.cast("double") - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def embedding_kmeans(spark, sf_dir):
+    """Two Lloyd iterations of k-means over the embedding column with
+    deterministic seeding (centroids = the KM_K lowest vec_ids), the
+    corpus-clustering step a curation pipeline runs before per-cluster
+    sampling. Output: per-cluster membership count and label mass.
+
+    Distributed shapes: assignment is a rowwise fold against broadcast
+    centroids (no shuffle); the recompute is posexplode -> partial-agg
+    groupBy(cluster, pos) — KM_K*KM_DIMS result rows regardless of corpus
+    size — and only those rows reach the driver between iterations.
+    Cross-engine exactness: recomputed centroid components round to
+    KM_ROUND dp before the next assignment, so the engines' different
+    per-group summation orders cannot flip an argmin."""
+    emb = engine_embeddings(spark, sf_dir).select("vec_id", "embedding",
+                                                  "label")
+    seeds = (emb.filter(F.col("vec_id") < KM_K)
+             .select("vec_id", "embedding").collect())  # KM_K rows
+    cents = {int(r["vec_id"]): [float(x) for x in r["embedding"]]
+             for r in seeds}
+
+    a1 = _assign(emb, cents)
+    # recompute: partial-agg per (cluster, pos); KM_K*KM_DIMS rows out
+    c1 = (a1.select("cluster", F.posexplode("embedding")
+                    .alias("pos", "val"))
+          .groupBy("cluster", "pos")
+          .agg(F.round(F.avg(F.col("val").cast("double")),
+                       KM_ROUND).alias("c"))
+          .groupBy("cluster")
+          .agg(F.array_sort(F.collect_list(F.struct("pos", "c")))
+               .alias("sc"))
+          .select("cluster",
+                  F.transform("sc", lambda s: s["c"]).alias("ce"))
+          .collect())  # KM_K rows back on the driver
+    cents2 = {int(r["cluster"]): [float(x) for x in r["ce"]] for r in c1}
+    a2 = _assign(emb, cents2)
+    return (a2.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("label").cast("long").alias("label_mass"))
+            .orderBy("cluster"))
+
+
+def _assign(df, cents):
+    """Nearest-centroid label: min over (dist, cluster-id) structs — the
+    id in the struct makes equal-distance ties resolve to the LOWEST
+    cluster id, same as the oracle's ORDER BY dist, cluster."""
+    dists = F.array(*[
+        F.struct(_dist2_lit(F.col("embedding"), cents[k]).alias("d"),
+                 F.lit(k).alias("k")) for k in sorted(cents)])
+    return df.withColumn("cluster", F.array_min(dists)["k"])
+
+
+def _km_dist_sql(e, c):
+    return (f"list_sum(list_transform(generate_series(1, {KM_DIMS}), "
+            f"i -> (CAST({e}[i] AS DOUBLE) - {c}[i]) "
+            f"* (CAST({e}[i] AS DOUBLE) - {c}[i])))")
+
+
+EMBEDDING_KMEANS_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cluster, e AS ce FROM emb WHERE vec_id < {KM_K}),
+s1 AS (
+  SELECT v.vec_id, v.e, v.label, c.cluster,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_km_dist_sql('v.e', 'c.ce')},
+                                     c.cluster) AS rn
+  FROM emb v CROSS JOIN c0 c
+),
+a1 AS (SELECT * FROM s1 WHERE rn = 1),
+c1 AS (
+  SELECT cluster, list(cc ORDER BY pos) AS ce FROM (
+    SELECT a.cluster, g.pos, ROUND(AVG(a.e[g.pos]), {KM_ROUND}) AS cc
+    FROM a1 a CROSS JOIN generate_series(1, {KM_DIMS}) AS g(pos)
+    GROUP BY a.cluster, g.pos)
+  GROUP BY cluster
+),
+s2 AS (
+  SELECT v.vec_id, v.label, c.cluster,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_km_dist_sql('v.e', 'c.ce')},
+                                     c.cluster) AS rn
+  FROM emb v CROSS JOIN c1 c
+)
+SELECT cluster, COUNT(*) AS n_vecs, CAST(SUM(label) AS BIGINT) AS label_mass
+FROM s2 WHERE rn = 1 GROUP BY cluster ORDER BY cluster
+"""
+
+
 REGISTRY = {
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
     "ann_lsh": (ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
+    "embedding_kmeans": (embedding_kmeans, EMBEDDING_KMEANS_SQL),
 }
