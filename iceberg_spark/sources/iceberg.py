@@ -711,34 +711,46 @@ def export_reference_metadata(table, dest_root: str) -> str:
     are preserved, so delete applicability is identical.
 
     Returns the metadata JSON path."""
-    from .iceberg_fixture import write_reference_table
-
     plan = table.scan().plan_files()
-    spec = table.metadata.spec
-    spec_ids = ({e.file.spec_id for e in plan.files}
-                | {d.file.spec_id for d in plan.pos_deletes}
-                | {d.file.spec_id for d in plan.eq_deletes})
-    if spec_ids - {spec.spec_id}:
-        raise NotImplementedError(
-            "export of multi-spec tables is not supported (entries span "
-            f"partition specs {sorted(spec_ids)})")
     schema = table.schema
     schema_json = _unmap_types(schema.to_json())
-    rtypes = dict(spec.partition_type(schema))
-    spec_fields = [{"name": pf.name, "transform": pf.transform.to_str(),
-                    "source-id": pf.source_id, "field-id": pf.field_id}
-                   for pf in spec.fields]
-    part_avro = [(pf.name, _avro_type_for(rtypes[pf.name]), pf.field_id)
-                 for pf in spec.fields]
+    schemas = {s.schema_id: s for s in table.metadata.schemas}
+
+    def src_type(fid):
+        # an old spec may reference a since-dropped field: any schema
+        # that still knows the id supplies the type (importer's rule)
+        for sid in ([table.metadata.current_schema_id]
+                    + sorted(schemas)):
+            try:
+                return schemas[sid].field_by_id(fid).type
+            except KeyError:
+                continue
+        raise KeyError(f"partition source field {fid} unknown")
+
+    # one spec entry per spec the table knows: manifests are written per
+    # (content, spec) so spec-evolved tables export faithfully
+    specs_json, avro_by_spec, rtypes_by_spec = [], {}, {}
+    for sp in table.metadata.partition_specs:
+        rtypes = {pf.name: pf.transform.result_type(src_type(pf.source_id))
+                  for pf in sp.fields}
+        rtypes_by_spec[sp.spec_id] = rtypes
+        specs_json.append({"spec-id": sp.spec_id, "fields": [
+            {"name": pf.name, "transform": pf.transform.to_str(),
+             "source-id": pf.source_id, "field-id": pf.field_id}
+            for pf in sp.fields]})
+        avro_by_spec[sp.spec_id] = [
+            (pf.name, _avro_type_for(rtypes[pf.name]), pf.field_id)
+            for pf in sp.fields]
 
     has_dv = False
     files = []
 
     def entry(e, content):
         f = e.file
+        rtypes = rtypes_by_spec[f.spec_id]
         out = {
             "path": f.file_path, "content": content,
-            "format": f.file_format,
+            "format": f.file_format, "spec_id": f.spec_id,
             "partition": {n: _avro_partition_raw(
                 f.partition.get(n), rtypes[n]) for n in rtypes},
             "record_count": f.record_count,
@@ -772,12 +784,18 @@ def export_reference_metadata(table, dest_root: str) -> str:
     # assert-ref-snapshot-id / assert-table-uuid requirements built from
     # loadTable round-trip against the engine table on commit
     snap = table.current_snapshot()
-    return write_reference_table(
-        dest_root, schema_json, files,
-        partition_spec_fields=spec_fields, partition_avro=part_avro,
+    sn = {"files": files}
+    if snap is not None:
+        sn["snapshot_id"] = snap.snapshot_id
+        sn["timestamp_ms"] = snap.timestamp_ms
+    from .iceberg_fixture import write_reference_table_history
+
+    return write_reference_table_history(
+        dest_root, schema_json, [sn],
         format_version=3 if has_dv else 2,
         properties={k: v for k, v in table.metadata.properties.items()
                     if not k.startswith("gc.")},
-        snapshot_id=snap.snapshot_id if snap else None,
-        timestamp_ms=snap.timestamp_ms if snap else None,
-        table_uuid=table.metadata.table_uuid)
+        table_uuid=table.metadata.table_uuid,
+        partition_specs_json=specs_json,
+        partition_avro_by_spec=avro_by_spec,
+        default_spec_id=table.metadata.default_spec_id)

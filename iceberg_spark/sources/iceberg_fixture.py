@@ -149,7 +149,10 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   format_version: int = 2,
                                   properties: dict = None,
                                   all_schemas_json: list = None,
-                                  table_uuid: str = None) -> str:
+                                  table_uuid: str = None,
+                                  partition_specs_json: list = None,
+                                  partition_avro_by_spec: dict = None,
+                                  default_spec_id: int = 0) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
     {"files": [...], "timestamp_ms"?: int, "operation"?: str,
     "schema_id"?: int, "snapshot_id"?: int}; each snapshot's `files` is
@@ -160,30 +163,44 @@ def write_reference_table_history(root: str, schema_json: dict,
     `snapshot_id` / `table_uuid` overrides preserve source identity when
     exporting an engine table (REST clients round-trip
     assert-ref-snapshot-id / assert-table-uuid against them).
+
+    Multi-spec tables: pass `partition_specs_json`
+    ([{"spec-id", "fields"}, ...]) + `partition_avro_by_spec`
+    ({spec_id: [(name, avro_type, field_id)]}) + `default_spec_id`, and
+    tag each file dict with its `spec_id` — manifests are then written
+    per (content, spec) with that spec's partition struct and header, the
+    reference layout for spec-evolved tables.
     Returns the metadata JSON path."""
     from ..avro_file import write_avro
 
-    partition_spec_fields = partition_spec_fields or []
-    partition_avro = partition_avro or []
+    if partition_specs_json is None:
+        partition_specs_json = [{"spec-id": 0,
+                                 "fields": partition_spec_fields or []}]
+        partition_avro_by_spec = {0: partition_avro or []}
+        default_spec_id = 0
+    spec_fields_by_id = {sj["spec-id"]: sj["fields"]
+                         for sj in partition_specs_json}
     mdir = os.path.join(root, "metadata")
     os.makedirs(mdir, exist_ok=True)
 
-    entry_schema = manifest_entry_schema(partition_avro)
+    entry_schemas = {sid: manifest_entry_schema(pa)
+                     for sid, pa in partition_avro_by_spec.items()}
     schemas_json = all_schemas_json or [schema_json]
     by_sid = {sj.get("schema-id", 0): sj for sj in schemas_json}
 
-    def manifest_meta_for(schema_id):
+    def manifest_meta_for(schema_id, spec_id):
         sj = by_sid.get(schema_id, schema_json)
         return {
             "schema": json.dumps(sj),
             "schema-id": str(schema_id),
-            "partition-spec": json.dumps(partition_spec_fields),
-            "partition-spec-id": "0",
+            "partition-spec": json.dumps(spec_fields_by_id[spec_id]),
+            "partition-spec-id": str(spec_id),
             "format-version": str(format_version),
         }
 
-    def write_manifest(files, group, content_label, snapshot_id, max_seq,
-                       schema_id):
+    def write_manifest(group, content_label, snapshot_id, max_seq,
+                       schema_id, spec_id):
+        pa = partition_avro_by_spec[spec_id]
         rows = []
         for f in group:
             rows.append({
@@ -199,7 +216,7 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "file_path": f["path"],
                     "file_format": f.get("format", "PARQUET").upper(),
                     "partition": {n: f.get("partition", {}).get(n)
-                                  for n, _, _ in partition_avro},
+                                  for n, _, _ in pa},
                     "record_count": f["record_count"],
                     "file_size_in_bytes": f.get(
                         "file_size", os.path.getsize(f["path"])),
@@ -214,9 +231,9 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "content_size_in_bytes": f.get("content_size"),
                 }})
         mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.avro")
-        meta = manifest_meta_for(schema_id)
+        meta = manifest_meta_for(schema_id, spec_id)
         meta["content"] = content_label
-        write_avro(mp, entry_schema, rows, meta, codec="deflate")
+        write_avro(mp, entry_schemas[spec_id], rows, meta, codec="deflate")
         return mp
 
     snap_jsons = []
@@ -226,19 +243,21 @@ def write_reference_table_history(root: str, schema_json: dict,
         snapshot_id = sn.get("snapshot_id", 7730351909407483913 + i)
         max_seq = max((f["seq"] for f in files), default=0)
         manifests = []
-        data_group = [f for f in files if f.get("content", 0) == 0]
-        del_group = [f for f in files if f.get("content", 0) != 0]
-        for group, label, content in ((data_group, "data", 0),
-                                      (del_group, "deletes", 1)):
-            if not group:
-                continue
-            mp = write_manifest(files, group, label, snapshot_id, max_seq,
+        groups = {}
+        for f in files:
+            key = (0 if f.get("content", 0) == 0 else 1,
+                   f.get("spec_id", default_spec_id))
+            groups.setdefault(key, []).append(f)
+        for (content, spec_id), group in sorted(groups.items()):
+            label = "data" if content == 0 else "deletes"
+            mp = write_manifest(group, label, snapshot_id, max_seq,
                                 sn.get("schema_id",
-                                       schema_json.get("schema-id", 0)))
+                                       schema_json.get("schema-id", 0)),
+                                spec_id)
             manifests.append({
                 "manifest_path": mp,
                 "manifest_length": os.path.getsize(mp),
-                "partition_spec_id": 0,
+                "partition_spec_id": spec_id,
                 "content": content,
                 "sequence_number": max_seq,
                 "min_sequence_number": min(f["seq"] for f in group),
@@ -279,11 +298,11 @@ def write_reference_table_history(root: str, schema_json: dict,
             [f["id"] for f in schema_json["fields"]], default=0),
         "current-schema-id": schema_json.get("schema-id", 0),
         "schemas": schemas_json,
-        "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0,
-                             "fields": partition_spec_fields}],
+        "default-spec-id": default_spec_id,
+        "partition-specs": partition_specs_json,
         "last-partition-id": max(
-            [pf["field-id"] for pf in partition_spec_fields],
+            [pf["field-id"] for sj in partition_specs_json
+             for pf in sj["fields"]],
             default=999),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],

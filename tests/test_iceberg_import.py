@@ -380,3 +380,41 @@ def test_orc_data_file_import(catalog, tmp_path):
     t, n, _ = snapshot_iceberg_table(catalog, root, "db.imported_orc")
     assert n == 1
     assert sorted(r["id"] for r in t.to_df().collect()) == list(range(12))
+
+
+def test_export_multi_spec_roundtrip(catalog, tmp_path, spark):
+    """Spec-evolved engine table (unpartitioned files + identity-
+    partitioned files) exports with per-spec Avro manifests and
+    re-imports with both specs and all rows intact."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    df = spark.range(0, 40).select("id", (F.col("id") % 4).alias("grp"))
+    t = catalog.create_table("db.exp_ms", df.schema)
+    t.append(df)
+    t.update_spec().add_field("grp").commit()
+    t = t.refresh()
+    df2 = spark.range(40, 80).select("id", (F.col("id") % 4).alias("grp"))
+    t.append(df2)
+    t = t.refresh()
+    want = sorted(r["id"] for r in t.to_df().collect())
+    assert want == list(range(80))
+
+    dest = str(tmp_path / "exported_ms")
+    export_reference_metadata(t, dest)
+    import json
+    md = json.load(open(os.path.join(dest, "metadata",
+                                     "v1.metadata.json")))
+    assert len(md["partition-specs"]) == 2
+    assert md["default-spec-id"] == 1
+    assert md["refs"]["main"]["snapshot-id"] == \
+        t.current_snapshot().snapshot_id
+
+    t2, n_data, _ = snapshot_iceberg_table(catalog, dest, "db.exp_ms_back")
+    got = sorted(r["id"] for r in t2.to_df().collect())
+    assert got == want
+    # second-spec files prune on the identity partition
+    plan = t2.scan(filter=col("grp") == 2).plan_files()
+    assert 0 < len(plan.files) < len(t2.scan().plan_files().files)
