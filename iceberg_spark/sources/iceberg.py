@@ -613,9 +613,17 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
                  + [seq_map.get(int(snap.get("sequence-number") or 0), 0)],
                  default=0)
         op = (snap.get("summary") or {}).get("operation", "append")
-        _ImportSnapshot(t, files_by_seq, ov,
-                        timestamp_ms=snap.get("timestamp-ms"),
-                        operation=op, existing=prev_paths).commit()
+        imp = _ImportSnapshot(t, files_by_seq, ov,
+                              timestamp_ms=snap.get("timestamp-ms"),
+                              operation=op, existing=prev_paths)
+        # preserve the SOURCE snapshot id (RegisterTable keeps identity):
+        # time travel / incremental reads by id match the source, and an
+        # engine->reference->engine round-trip is id-stable
+        sid = int(snap["snapshot-id"])
+        if not any(s2.snapshot_id == sid
+                   for s2 in t.metadata.snapshots):
+            imp._producer.snapshot_id = sid
+        imp.commit()
         t = t.refresh()
         prev_paths = {f.file_path for _, f in files_by_seq}
         n_data = sum(1 for _, f in files_by_seq if f.content == 0)
@@ -701,17 +709,24 @@ def _avro_partition_raw(v, result_type: str):
     return v
 
 
-def export_reference_metadata(table, dest_root: str) -> str:
+def export_reference_metadata(table, dest_root: str,
+                              full_history: bool = False) -> str:
     """Write a reference-layout Iceberg metadata tree (metadata JSON +
     Avro manifest list/manifests, the TableMetadataParser.java /
-    ManifestLists.java shapes) for the CURRENT snapshot of an engine
-    table, pointing at the engine's data/delete files by absolute path —
-    the outbound half of interop: a genuine apache/iceberg reader can
-    open `dest_root` as a Hadoop-layout table. Per-entry sequence numbers
-    are preserved, so delete applicability is identical.
+    ManifestLists.java shapes) for an engine table, pointing at the
+    engine's data/delete files by absolute path — the outbound half of
+    interop: a genuine apache/iceberg reader can open `dest_root` as a
+    Hadoop-layout table. Per-entry sequence numbers are preserved, so
+    delete applicability is identical.
+
+    `full_history=False` exports the current snapshot only (the REST
+    loadTable shape). `full_history=True` exports the whole main-branch
+    ancestor chain — one reference snapshot per engine snapshot with
+    preserved ids, commit timestamps, and operations — so time travel
+    and incremental reads survive an engine -> reference -> engine
+    round-trip (the outbound twin of register_iceberg_table's replay).
 
     Returns the metadata JSON path."""
-    plan = table.scan().plan_files()
     schema = table.schema
     schema_json = _unmap_types(schema.to_json())
     schemas = {s.schema_id: s for s in table.metadata.schemas}
@@ -742,11 +757,16 @@ def export_reference_metadata(table, dest_root: str) -> str:
             (pf.name, _avro_type_for(rtypes[pf.name]), pf.field_id)
             for pf in sp.fields]
 
-    has_dv = False
-    files = []
+    state = {"has_dv": False}
+    cache = {}  # (path, content) -> entry dict, shared across snapshots
 
     def entry(e, content):
         f = e.file
+        ck = (f.file_path, content)
+        hit = cache.get(ck)
+        if hit is not None:
+            # seq is per-entry, everything else is per-file
+            return dict(hit, seq=e.sequence_number)
         rtypes = rtypes_by_spec[f.spec_id]
         out = {
             "path": f.file_path, "content": content,
@@ -764,38 +784,58 @@ def export_reference_metadata(table, dest_root: str) -> str:
         if f.content_offset is not None:
             out["content_offset"] = f.content_offset
             out["content_size"] = f.content_size_in_bytes
+        cache[ck] = out
         return out
 
-    for e in plan.files:
-        if e.file.file_format != "parquet":
-            raise NotImplementedError(
-                f"export of {e.file.file_format} data files is not "
-                f"supported: {e.file.file_path}")
-        files.append(entry(e, 0))
-    for d in plan.pos_deletes:
-        if d.file.file_format == "puffin":
-            has_dv = True
-        files.append(entry(d, 1))
-    for d in plan.eq_deletes:
-        files.append(entry(d, 2))
+    def snapshot_files(snap):
+        plan = (table.new_scan().use_snapshot(snap.snapshot_id)
+                .plan_files())
+        files = []
+        for e in plan.files:
+            if e.file.file_format != "parquet":
+                raise NotImplementedError(
+                    f"export of {e.file.file_format} data files is not "
+                    f"supported: {e.file.file_path}")
+            files.append(entry(e, 0))
+        for d in plan.pos_deletes:
+            if d.file.file_format == "puffin":
+                state["has_dv"] = True
+            files.append(entry(d, 1))
+        for d in plan.eq_deletes:
+            files.append(entry(d, 2))
+        return files
 
-    # preserve engine identity: the exported refs.main snapshot-id and
+    # preserve engine identity: the exported refs/snapshot ids and
     # table-uuid equal the engine's, so a REST client's
     # assert-ref-snapshot-id / assert-table-uuid requirements built from
     # loadTable round-trip against the engine table on commit
-    snap = table.current_snapshot()
-    sn = {"files": files}
-    if snap is not None:
-        sn["snapshot_id"] = snap.snapshot_id
-        sn["timestamp_ms"] = snap.timestamp_ms
+    cur = table.current_snapshot()
+    if full_history and cur is not None:
+        by_id = {s.snapshot_id: s for s in table.metadata.snapshots}
+        chain, s = [], cur
+        while s is not None:
+            chain.append(s)
+            s = by_id.get(s.parent_snapshot_id)
+        chain.reverse()
+    else:
+        chain = [cur] if cur is not None else []
+    snaps = [{"files": snapshot_files(s), "snapshot_id": s.snapshot_id,
+              "timestamp_ms": s.timestamp_ms,
+              "operation": s.operation,
+              "schema_id": s.schema_id
+              if s.schema_id is not None
+              else table.metadata.current_schema_id}
+             for s in chain] or [{"files": []}]
     from .iceberg_fixture import write_reference_table_history
 
     return write_reference_table_history(
-        dest_root, schema_json, [sn],
-        format_version=3 if has_dv else 2,
+        dest_root, schema_json, snaps,
+        format_version=3 if state["has_dv"] else 2,
         properties={k: v for k, v in table.metadata.properties.items()
                     if not k.startswith("gc.")},
         table_uuid=table.metadata.table_uuid,
         partition_specs_json=specs_json,
         partition_avro_by_spec=avro_by_spec,
-        default_spec_id=table.metadata.default_spec_id)
+        default_spec_id=table.metadata.default_spec_id,
+        all_schemas_json=[_unmap_types(s.to_json())
+                          for s in table.metadata.schemas])

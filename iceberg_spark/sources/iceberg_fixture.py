@@ -280,7 +280,8 @@ def write_reference_table_history(root: str, schema_json: dict,
             "sequence-number": max_seq,
             "summary": {"operation": sn.get("operation", "append")},
             "manifest-list": ml_path,
-            "schema-id": schema_json.get("schema-id", 0),
+            "schema-id": sn.get("schema_id",
+                                schema_json.get("schema-id", 0)),
         }
         if i > 0:
             sj["parent-snapshot-id"] = snap_jsons[-1]["snapshot-id"]

@@ -1073,14 +1073,17 @@ class SqlEngine:
 
     def _proc_export_iceberg_metadata(self, a):
         """Write a reference-layout metadata tree (metadata JSON + Avro
-        manifest list/manifests) for the table's current snapshot so a
+        manifest list/manifests) for the table's current snapshot — or,
+        with full_history => true, its whole main-branch history — so a
         genuine apache/iceberg reader can open it (sources/iceberg.py
         export_reference_metadata)."""
         from .sources.iceberg import export_reference_metadata
 
         t = self._load(self._arg(a, "table", 0))
         dest = self._arg(a, "location", 1)
-        path = export_reference_metadata(t, str(dest).strip("`"))
+        full = bool(self._arg(a, "full_history", None, False))
+        path = export_reference_metadata(t, str(dest).strip("`"),
+                                         full_history=full)
         return self._rows([Row(metadata_json=path)], "metadata_json string")
 
     def _proc_create_changelog_view(self, a):

@@ -418,3 +418,46 @@ def test_export_multi_spec_roundtrip(catalog, tmp_path, spark):
     # second-spec files prune on the identity partition
     plan = t2.scan(filter=col("grp") == 2).plan_files()
     assert 0 < len(plan.files) < len(t2.scan().plan_files().files)
+
+
+def test_export_full_history_roundtrip(catalog, tmp_path, spark):
+    """Engine -> reference layout -> engine with `full_history=True`:
+    the registered table carries one snapshot per engine snapshot with
+    preserved ids and timestamps, so time travel and incremental reads
+    match the source."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               register_iceberg_table)
+
+    df1 = spark.range(0, 30).select("id", (F.col("id") % 3).alias("grp"))
+    df2 = spark.range(30, 50).select("id", (F.col("id") % 3).alias("grp"))
+    t = catalog.create_table("db.exp_hist", df1.schema)
+    t.append(df1)
+    t.append(df2)
+    t.delete_where(col("id") < 5)
+    t = t.refresh()
+    src_snaps = t.snapshots()
+    assert len(src_snaps) == 3
+
+    dest = str(tmp_path / "exported_hist")
+    export_reference_metadata(t, dest, full_history=True)
+    t2, n_snaps, _ = register_iceberg_table(catalog, dest,
+                                            "db.exp_hist_back")
+    assert n_snaps == 3
+    got_snaps = t2.snapshots()
+    assert [s.snapshot_id for s in got_snaps] == \
+        [s.snapshot_id for s in src_snaps]
+    assert [s.timestamp_ms for s in got_snaps] == \
+        [s.timestamp_ms for s in src_snaps]
+    # time travel to the first snapshot sees only the first append
+    first = got_snaps[0].snapshot_id
+    old = t2.new_scan().use_snapshot(first).plan_files()
+    assert sum(e.file.record_count for e in old.files) == 30
+    assert sorted(r["id"] for r in t2.to_df().collect()) == \
+        list(range(5, 50))
+    # incremental read between the two appends sees exactly df2
+    inc = t2.changes(from_snapshot_id=first,
+                     to_snapshot_id=got_snaps[1].snapshot_id)
+    assert inc.where(F.col("_change_type") == "INSERT").count() == 20
