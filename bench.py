@@ -255,6 +255,42 @@ def raw_q1_baseline(spark, sf_dir):
     )
 
 
+def cpu_calibration():
+    """Fixed single-thread CPU probe (pyarrow parquet decode + zlib
+    inflate — the metadata-planning instruction mix), no Spark involved.
+    Absolute perf gates in scripts/audit_registry_perf.py scale by this
+    value, so a slower/faster VM between rounds neither trips nor masks
+    an engine regression: only time relative to the machine's own CPU
+    speed counts."""
+    import io
+    import zlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 400_000
+    tbl = pa.table({
+        "a": pa.array(rng.integers(0, 1 << 40, n), pa.int64()),
+        "b": pa.array(rng.random(n), pa.float64()),
+        "s": pa.array([f"p-{i % 997}" for i in range(n)]),
+    })
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, compression="zstd")
+    raw = buf.getvalue()
+    blob = zlib.compress(raw[:2_000_000], 6)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            pq.read_table(io.BytesIO(raw))
+            zlib.decompress(blob)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main():
     spark = session("iceberg_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -284,6 +320,7 @@ def main():
         return round(ts[len(ts) // 2], 4)
 
     qtimes = {}
+    qtimes["cpu_calib"] = cpu_calibration()
     reg = workloads.queries()
     for name in BENCH_QUERIES:
         qtimes[name] = timed(lambda: reg[name](spark, SF_DIR).collect())
@@ -331,7 +368,8 @@ def main():
     total = round(sum(v for k, v in qtimes.items()
                       if not k.endswith("_baseline") and not k.startswith("plan_")
                       and not k.startswith("pipeline_")
-                      and not k.endswith("_ratio")), 4)
+                      and not k.endswith("_ratio")
+                      and k != "cpu_calib"), 4)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
