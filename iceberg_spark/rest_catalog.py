@@ -28,8 +28,10 @@ assert-table-uuid → 409 CommitFailedException on mismatch) and apply
 updates: `add-snapshot` replays the client-written Avro manifest list
 through sources/iceberg.replay_snapshot_onto (files register by
 reference, the client's snapshot id is preserved), `set-snapshot-ref`
-moves refs, `set-properties` / `remove-properties` edit properties.
-Unsupported update actions fail loudly with 400.
+moves refs, `set-properties` / `remove-properties` edit properties, and
+`add-schema` / `set-current-schema` / `add-spec` / `set-default-spec`
+apply client-side ALTER TABLE (schema + spec evolution). Unsupported
+update actions fail loudly with 400.
 """
 
 from __future__ import annotations
@@ -54,6 +56,64 @@ def _load_table_result(catalog, ident: str) -> dict:
     with open(mpath) as fh:
         md = json.load(fh)
     return {"metadata-location": mpath, "metadata": md, "config": {}}
+
+
+def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
+                          set_def_spec):
+    """ALTER-TABLE-over-REST: add-schema / set-current-schema /
+    add-spec / set-default-spec (the TableMetadata.Builder update shapes
+    from rest-catalog-open-api.yaml). Client field ids are authoritative
+    — commits carry fully-resolved schemas; `-1` means "last added"."""
+    from dataclasses import replace
+
+    from .schema import Schema
+    from .sources.iceberg import _map_types, _parse_specs
+
+    meta = t.metadata
+    schemas = list(meta.schemas)
+    last_added_schema = None
+    for sj in add_schemas:
+        s = Schema.from_json(_map_types(sj))
+        schemas = [x for x in schemas if x.schema_id != s.schema_id]
+        schemas.append(s)
+        last_added_schema = s.schema_id
+    cur = meta.current_schema_id
+    if set_cur_schema is not None:
+        cur = (last_added_schema if set_cur_schema == -1
+               else set_cur_schema)
+        if not any(x.schema_id == cur for x in schemas):
+            raise ValueError(f"set-current-schema: unknown schema-id {cur}")
+
+    sdict = {x.schema_id: x for x in schemas}
+    specs = list(meta.partition_specs)
+    last_added_spec = None
+    for pj in add_specs:
+        sid = pj.get("spec-id", 0)
+        built, _ = _parse_specs(
+            {"partition-specs": [pj], "default-spec-id": sid}, sdict, cur)
+        sp = built[sid]
+        specs = [x for x in specs if x.spec_id != sp.spec_id]
+        specs.append(sp)
+        last_added_spec = sp.spec_id
+    dspec = meta.default_spec_id
+    if set_def_spec is not None:
+        dspec = last_added_spec if set_def_spec == -1 else set_def_spec
+        if not any(x.spec_id == dspec for x in specs):
+            raise ValueError(f"set-default-spec: unknown spec-id {dspec}")
+
+    t._commit_metadata(replace(
+        meta,
+        schemas=tuple(sorted(schemas, key=lambda x: x.schema_id)),
+        current_schema_id=cur,
+        last_column_id=max(
+            [meta.last_column_id]
+            + [s.highest_field_id() for s in schemas]),
+        partition_specs=tuple(sorted(specs, key=lambda x: x.spec_id)),
+        default_spec_id=dspec,
+        last_partition_id=max(
+            [meta.last_partition_id]
+            + [f.field_id for sp in specs for f in sp.fields])))
+    return t.refresh()
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -238,6 +298,8 @@ class _Handler(BaseHTTPRequestHandler):
                     400, f"unsupported requirement type: {ty}",
                     "BadRequestException")
         set_props, rm_props, snaps, ref_sets = {}, [], [], []
+        add_schemas, set_cur_schema = [], None
+        add_specs, set_def_spec = [], None
         for u in body.get("updates") or []:
             a = u.get("action")
             if a == "set-properties":
@@ -248,11 +310,24 @@ class _Handler(BaseHTTPRequestHandler):
                 snaps.append(u["snapshot"])
             elif a == "set-snapshot-ref":
                 ref_sets.append(u)
+            elif a == "add-schema":
+                add_schemas.append(u["schema"])
+            elif a == "set-current-schema":
+                set_cur_schema = u["schema-id"]
+            elif a == "add-spec":
+                add_specs.append(u["spec"])
+            elif a == "set-default-spec":
+                set_def_spec = u["spec-id"]
             else:
                 return self._error(
                     400, f"unsupported update action: {a}",
                     "BadRequestException")
         try:
+            if add_schemas or set_cur_schema is not None \
+                    or add_specs or set_def_spec is not None:
+                t = _apply_schema_updates(
+                    t, add_schemas, set_cur_schema, add_specs,
+                    set_def_spec)
             added_ids = set()
             for sj in snaps:
                 sid = int(sj["snapshot-id"])

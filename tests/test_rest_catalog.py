@@ -263,3 +263,47 @@ def test_rest_rename_and_drop(server, catalog, spark):
     with pytest.raises(urllib.error.HTTPError) as ei:  # non-empty ns
         _req(port, "/v1/namespaces/db", method="DELETE")
     assert ei.value.code == 409
+
+
+def test_rest_commit_schema_and_spec_evolution(server, catalog):
+    """A REST client ALTERs the table: add-schema/set-current-schema add
+    a column; add-spec/set-default-spec switch to identity partitioning.
+    Engine reads and subsequent engine writes see both."""
+    _cat, port = server
+    t = catalog.load_table("db.rest_t")
+    new_schema = {
+        "type": "struct", "schema-id": 1, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "grp", "required": False, "type": "long"},
+            {"id": 3, "name": "note", "required": False,
+             "type": "string"}]}
+    new_spec = {"spec-id": 1, "fields": [
+        {"name": "grp", "transform": "identity", "source-id": 2,
+         "field-id": 1000}]}
+    st, res = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "requirements": [{"type": "assert-table-uuid",
+                          "uuid": t.metadata.table_uuid}],
+        "updates": [
+            {"action": "add-schema", "schema": new_schema},
+            {"action": "set-current-schema", "schema-id": -1},
+            {"action": "add-spec", "spec": new_spec},
+            {"action": "set-default-spec", "spec-id": -1}]})
+    assert st == 200
+    t = catalog.load_table("db.rest_t")
+    assert [f.name for f in t.schema.fields] == ["id", "grp", "note"]
+    assert t.metadata.current_schema_id == 1
+    assert t.metadata.default_spec_id == 1
+    assert [pf.name for pf in t.spec.fields] == ["grp"]
+    # old rows read with the new column null
+    rows = t.to_df().where(F.col("note").isNull()).count()
+    assert rows == 40
+    # engine write under the evolved schema+spec still works
+    df = t.spark.range(100, 104).select(
+        "id", (F.col("id") % 4).alias("grp"),
+        F.lit("x").alias("note"))
+    t.append(df)
+    t = t.refresh()
+    assert t.to_df().count() == 44
+    from iceberg_spark.expressions import col
+    plan = t.scan(filter=col("grp") == 0).plan_files()
+    assert len(plan.files) < len(t.scan().plan_files().files)
