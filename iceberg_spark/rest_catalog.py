@@ -59,10 +59,11 @@ def _load_table_result(catalog, ident: str) -> dict:
 
 
 def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
-                          set_def_spec):
+                          set_def_spec, add_sorts=(), set_def_sort=None):
     """ALTER-TABLE-over-REST: add-schema / set-current-schema /
-    add-spec / set-default-spec (the TableMetadata.Builder update shapes
-    from rest-catalog-open-api.yaml). Client field ids are authoritative
+    add-spec / set-default-spec / add-sort-order /
+    set-default-sort-order (the TableMetadata.Builder update shapes from
+    rest-catalog-open-api.yaml). Client field ids are authoritative
     — commits carry fully-resolved schemas; `-1` means "last added"."""
     from dataclasses import replace
 
@@ -101,6 +102,20 @@ def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
         if not any(x.spec_id == dspec for x in specs):
             raise ValueError(f"set-default-spec: unknown spec-id {dspec}")
 
+    sorts = list(meta.sort_orders)
+    last_added_sort = None
+    for oj in add_sorts:
+        so = _sort_order_from_json(oj, sdict, cur)
+        sorts = [x for x in sorts if x.order_id != so.order_id]
+        sorts.append(so)
+        last_added_sort = so.order_id
+    dsort = meta.default_sort_order_id
+    if set_def_sort is not None:
+        dsort = last_added_sort if set_def_sort == -1 else set_def_sort
+        if not any(x.order_id == dsort for x in sorts):
+            raise ValueError(
+                f"set-default-sort-order: unknown order-id {dsort}")
+
     t._commit_metadata(replace(
         meta,
         schemas=tuple(sorted(schemas, key=lambda x: x.schema_id)),
@@ -112,8 +127,35 @@ def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
         default_spec_id=dspec,
         last_partition_id=max(
             [meta.last_partition_id]
-            + [f.field_id for sp in specs for f in sp.fields])))
+            + [f.field_id for sp in specs for f in sp.fields]),
+        sort_orders=tuple(sorted(sorts, key=lambda x: x.order_id)),
+        default_sort_order_id=dsort))
     return t.refresh()
+
+
+def _sort_order_from_json(oj: dict, sdict: dict, cur: int):
+    """Spec sort-order JSON (format/spec.md:638) -> engine SortOrder;
+    source names resolve from any schema that knows the field id."""
+    from .metadata import SortField, SortOrder
+    from .transforms import parse_transform
+
+    fields = []
+    for fj in oj.get("fields", []):
+        fid = fj["source-id"]
+        name = None
+        for sid in [cur] + sorted(sdict):
+            try:
+                name = sdict[sid].field_by_id(fid).name
+                break
+            except KeyError:
+                continue
+        if name is None:
+            raise ValueError(f"sort-order source field {fid} unknown")
+        fields.append(SortField(
+            fid, name, parse_transform(fj["transform"]),
+            fj.get("direction", "asc"),
+            fj.get("null-order", "nulls-last")))
+    return SortOrder(oj["order-id"], tuple(fields))
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -300,6 +342,7 @@ class _Handler(BaseHTTPRequestHandler):
         set_props, rm_props, snaps, ref_sets = {}, [], [], []
         add_schemas, set_cur_schema = [], None
         add_specs, set_def_spec = [], None
+        add_sorts, set_def_sort = [], None
         for u in body.get("updates") or []:
             a = u.get("action")
             if a == "set-properties":
@@ -318,16 +361,21 @@ class _Handler(BaseHTTPRequestHandler):
                 add_specs.append(u["spec"])
             elif a == "set-default-spec":
                 set_def_spec = u["spec-id"]
+            elif a == "add-sort-order":
+                add_sorts.append(u["sort-order"])
+            elif a == "set-default-sort-order":
+                set_def_sort = u["sort-order-id"]
             else:
                 return self._error(
                     400, f"unsupported update action: {a}",
                     "BadRequestException")
         try:
             if add_schemas or set_cur_schema is not None \
-                    or add_specs or set_def_spec is not None:
+                    or add_specs or set_def_spec is not None \
+                    or add_sorts or set_def_sort is not None:
                 t = _apply_schema_updates(
                     t, add_schemas, set_cur_schema, add_specs,
-                    set_def_spec)
+                    set_def_spec, add_sorts, set_def_sort)
             added_ids = set()
             for sj in snaps:
                 sid = int(sj["snapshot-id"])

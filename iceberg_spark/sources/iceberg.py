@@ -838,4 +838,20 @@ def export_reference_metadata(table, dest_root: str,
         partition_avro_by_spec=avro_by_spec,
         default_spec_id=table.metadata.default_spec_id,
         all_schemas_json=[_unmap_types(s.to_json())
-                          for s in table.metadata.schemas])
+                          for s in table.metadata.schemas],
+        # sort orders without the engine-internal source-name key
+        # (format/spec.md:638 sort field JSON)
+        sort_orders_json=[
+            {"order-id": so.order_id, "fields": [
+                {k: v for k, v in f.to_json().items()
+                 if k != "source-name"} for f in so.fields]}
+            for so in table.metadata.sort_orders],
+        default_sort_order_id=table.metadata.default_sort_order_id,
+        # Puffin stats files are spec-encoded; entries pass through with
+        # the exported-snapshot filter so no dangling snapshot-ids
+        statistics_json=[
+            dict(e) for e in table.metadata.statistics_files
+            if any(s.snapshot_id == e.get("snapshot-id") for s in chain)],
+        partition_statistics_json=[
+            dict(e) for e in table.metadata.partition_statistics_files
+            if any(s.snapshot_id == e.get("snapshot-id") for s in chain)])

@@ -152,7 +152,12 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   table_uuid: str = None,
                                   partition_specs_json: list = None,
                                   partition_avro_by_spec: dict = None,
-                                  default_spec_id: int = 0) -> str:
+                                  default_spec_id: int = 0,
+                                  sort_orders_json: list = None,
+                                  default_sort_order_id: int = 0,
+                                  statistics_json: list = None,
+                                  partition_statistics_json:
+                                  list = None) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
     {"files": [...], "timestamp_ms"?: int, "operation"?: str,
     "schema_id"?: int, "snapshot_id"?: int}; each snapshot's `files` is
@@ -305,11 +310,14 @@ def write_reference_table_history(root: str, schema_json: dict,
             [pf["field-id"] for sj in partition_specs_json
              for pf in sj["fields"]],
             default=999),
-        "default-sort-order-id": 0,
-        "sort-orders": [{"order-id": 0, "fields": []}],
+        "default-sort-order-id": default_sort_order_id,
+        "sort-orders": (sort_orders_json
+                        or [{"order-id": 0, "fields": []}]),
         "properties": dict(properties or {}),
         "current-snapshot-id": current["snapshot-id"],
         "snapshots": snap_jsons,
+        "statistics": statistics_json or [],
+        "partition-statistics": partition_statistics_json or [],
         "refs": {"main": {"snapshot-id": current["snapshot-id"],
                           "type": "branch"}},
         "snapshot-log": [{"timestamp-ms": s["timestamp-ms"],

@@ -307,3 +307,38 @@ def test_rest_commit_schema_and_spec_evolution(server, catalog):
     from iceberg_spark.expressions import col
     plan = t.scan(filter=col("grp") == 0).plan_files()
     assert len(plan.files) < len(t.scan().plan_files().files)
+
+
+def test_rest_sort_order_update_and_stats_export(server, catalog,
+                                                 tmp_path):
+    _cat, port = server
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "updates": [
+            {"action": "add-sort-order", "sort-order": {
+                "order-id": 1, "fields": [
+                    {"source-id": 1, "transform": "identity",
+                     "direction": "desc", "null-order": "nulls-first"}]}},
+            {"action": "set-default-sort-order", "sort-order-id": -1}]})
+    assert st == 200
+    t = catalog.load_table("db.rest_t")
+    assert t.metadata.default_sort_order_id == 1
+    so = t.metadata.sort_orders[-1]
+    assert (so.fields[0].source_name, so.fields[0].direction) == \
+        ("id", "desc")
+
+    # exported metadata carries the sort order and the table's stats file
+    t.compute_table_stats(columns=["id"])
+    t = t.refresh()
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    dest = str(tmp_path / "exp_sorted")
+    mpath = export_reference_metadata(t, dest)
+    md = json.load(open(mpath))
+    assert md["default-sort-order-id"] == 1
+    assert md["sort-orders"][-1]["fields"][0] == {
+        "source-id": 1, "transform": "identity", "direction": "desc",
+        "null-order": "nulls-first"}
+    assert len(md["statistics"]) == 1
+    assert md["statistics"][0]["snapshot-id"] == \
+        t.current_snapshot().snapshot_id
+    assert os.path.exists(md["statistics"][0]["statistics-path"])
