@@ -102,10 +102,12 @@ def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
         if not any(x.spec_id == dspec for x in specs):
             raise ValueError(f"set-default-spec: unknown spec-id {dspec}")
 
+    from .sources.iceberg import sort_order_from_json
+
     sorts = list(meta.sort_orders)
     last_added_sort = None
     for oj in add_sorts:
-        so = _sort_order_from_json(oj, sdict, cur)
+        so = sort_order_from_json(oj, sdict, cur)
         sorts = [x for x in sorts if x.order_id != so.order_id]
         sorts.append(so)
         last_added_sort = so.order_id
@@ -131,31 +133,6 @@ def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
         sort_orders=tuple(sorted(sorts, key=lambda x: x.order_id)),
         default_sort_order_id=dsort))
     return t.refresh()
-
-
-def _sort_order_from_json(oj: dict, sdict: dict, cur: int):
-    """Spec sort-order JSON (format/spec.md:638) -> engine SortOrder;
-    source names resolve from any schema that knows the field id."""
-    from .metadata import SortField, SortOrder
-    from .transforms import parse_transform
-
-    fields = []
-    for fj in oj.get("fields", []):
-        fid = fj["source-id"]
-        name = None
-        for sid in [cur] + sorted(sdict):
-            try:
-                name = sdict[sid].field_by_id(fid).name
-                break
-            except KeyError:
-                continue
-        if name is None:
-            raise ValueError(f"sort-order source field {fid} unknown")
-        fields.append(SortField(
-            fid, name, parse_transform(fj["transform"]),
-            fj.get("direction", "asc"),
-            fj.get("null-order", "nulls-last")))
-    return SortOrder(oj["order-id"], tuple(fields))
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -343,6 +320,7 @@ class _Handler(BaseHTTPRequestHandler):
         add_schemas, set_cur_schema = [], None
         add_specs, set_def_spec = [], None
         add_sorts, set_def_sort = [], None
+        rm_refs = []
         for u in body.get("updates") or []:
             a = u.get("action")
             if a == "set-properties":
@@ -365,6 +343,8 @@ class _Handler(BaseHTTPRequestHandler):
                 add_sorts.append(u["sort-order"])
             elif a == "set-default-sort-order":
                 set_def_sort = u["sort-order-id"]
+            elif a == "remove-snapshot-ref":
+                rm_refs.append(u["ref-name"])
             else:
                 return self._error(
                     400, f"unsupported update action: {a}",
@@ -389,13 +369,16 @@ class _Handler(BaseHTTPRequestHandler):
                 sid = rs.get("snapshot-id")
                 if sid in added_ids:
                     continue  # the replay commit already advanced this ref
-                ms = t.manage_snapshots()
+                ms = t.manage_snapshots()  # ops commit immediately
                 if rs.get("type") == "tag":
-                    ms.create_tag(rs["ref-name"], sid).commit()
+                    ms.create_tag(rs["ref-name"], sid)
                 elif rs.get("ref-name", "main") == "main":
-                    ms.set_current_snapshot(sid).commit()
+                    ms.set_current_snapshot(sid)
                 else:
-                    ms.create_branch(rs["ref-name"], sid).commit()
+                    ms.create_branch(rs["ref-name"], sid)
+                t = t.refresh()
+            for name in rm_refs:
+                t.manage_snapshots().remove_ref(name)
                 t = t.refresh()
             if set_props or rm_props:
                 props = {k: v for k, v in t.metadata.properties.items()

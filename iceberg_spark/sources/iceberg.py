@@ -150,6 +150,31 @@ def _parse_specs(md: dict, schemas: dict, current_schema: int):
     return specs, default
 
 
+def sort_order_from_json(oj: dict, schemas: dict, cur: int):
+    """Spec sort-order JSON (format/spec.md:638) -> engine SortOrder;
+    source names resolve from any schema that knows the field id."""
+    from ..metadata import SortField, SortOrder
+    from ..transforms import parse_transform
+
+    fields = []
+    for fj in oj.get("fields", []):
+        fid = fj["source-id"]
+        name = None
+        for sid in [cur] + sorted(schemas):
+            try:
+                name = schemas[sid].field_by_id(fid).name
+                break
+            except KeyError:
+                continue
+        if name is None:
+            raise ValueError(f"sort-order source field {fid} unknown")
+        fields.append(SortField(
+            fid, name, parse_transform(fj["transform"]),
+            fj.get("direction", "asc"),
+            fj.get("null-order", "nulls-last")))
+    return SortOrder(oj["order-id"], tuple(fields))
+
+
 def _current_snapshot(md: dict):
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     cur = md.get("current-snapshot-id")
@@ -291,6 +316,7 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "referenced_data_file": df.get("referenced_data_file"),
                 "content_offset": df.get("content_offset"),
                 "content_size": df.get("content_size_in_bytes"),
+                "sort_order_id": df.get("sort_order_id"),
             })
     return entries
 
@@ -298,13 +324,13 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
 def read_iceberg_snapshot(source: str):
     """Parse the source table's CURRENT snapshot into plain structures:
     (schemas, current_schema_id, specs, default_spec_id, entries,
-    props)."""
+    props, md)."""
     md, schemas, cur_schema, specs, default_spec = _parse_table(source)
     snap = _current_snapshot(md)
     entries = ([] if snap is None
                else _snapshot_entries(snap, specs, schemas, cur_schema))
     return (schemas, cur_schema, specs, default_spec, entries,
-            dict(md.get("properties") or {}))
+            dict(md.get("properties") or {}), md)
 
 
 class _ImportSnapshot:
@@ -370,7 +396,7 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
     genuine Iceberg source). Returns (table, imported_file_count,
     imported_delete_file_count)."""
     (schemas, cur_schema, specs, default_spec, entries,
-     src_props) = read_iceberg_snapshot(source_location)
+     src_props, md) = read_iceberg_snapshot(source_location)
     schema = schemas[cur_schema]
 
     # order-preserving dense seq remap: preserves every >=/>/== delete
@@ -379,7 +405,7 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
                enumerate(sorted({e["seq"] for e in entries}))}
     max_seq = len(seq_map)
     t = _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
-                     default_spec, src_props)
+                     default_spec, src_props, md=md)
     files_by_seq = _materialize(catalog, schemas, cur_schema, specs,
                                 entries, seq_map)
 
@@ -449,7 +475,7 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
 
 
 def _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
-                 default_spec, src_props):
+                 default_spec, src_props, md: dict = None):
     from ..metadata import TableMetadata, TableOperations
     from ..table import Table
 
@@ -476,6 +502,14 @@ def _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
             [f.field_id for sp in specs.values() for f in sp.fields],
             default=meta.last_partition_id),
     )
+    # source sort orders carry over (entries keep their sort_order_id,
+    # so write-order metadata survives the import)
+    if md and md.get("sort-orders"):
+        sorts = tuple(sort_order_from_json(oj, schemas, cur_schema)
+                      for oj in md["sort-orders"])
+        meta = _replace(
+            meta, sort_orders=sorts,
+            default_sort_order_id=md.get("default-sort-order-id", 0))
     ops.commit(None, meta)
     return Table(catalog.spark, loc, ops.refresh(), dest_ident)
 
@@ -556,6 +590,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
             f = _replace(
                 f, write_schema_id=src.get("schema_id", cur_schema),
                 equality_ids=tuple(src["equality_ids"]),
+                sort_order_id=src.get("sort_order_id"),
                 referenced_data_file=(
                     _resolve_path(src["referenced_data_file"])
                     if src["referenced_data_file"] else None))
@@ -586,7 +621,7 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     cur = _current_snapshot(md)
     t = _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
-                     default_spec, props)
+                     default_spec, props, md=md)
     if cur is None:
         return t, 0, 0
     chain, s = [], cur
@@ -784,6 +819,8 @@ def export_reference_metadata(table, dest_root: str,
         if f.content_offset is not None:
             out["content_offset"] = f.content_offset
             out["content_size"] = f.content_size_in_bytes
+        if f.sort_order_id is not None:
+            out["sort_order_id"] = f.sort_order_id
         cache[ck] = out
         return out
 

@@ -230,7 +230,7 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "upper_bounds": None, "split_offsets": None,
                     "equality_ids": (list(f["equality_ids"])
                                      if f.get("equality_ids") else None),
-                    "sort_order_id": None,
+                    "sort_order_id": f.get("sort_order_id"),
                     "referenced_data_file": f.get("referenced_data_file"),
                     "content_offset": f.get("content_offset"),
                     "content_size_in_bytes": f.get("content_size"),

@@ -255,7 +255,13 @@ def write_data_files(
     else:
         files = _collect_files_spark(table.spark, paths, fmt, schema, spec,
                                      partitions, content)
-    files = [replace(f, write_schema_id=schema.schema_id) for f in files if f.record_count > 0]
+    # files written through _apply_sort_order carry the order they were
+    # clustered by (spec manifest field 140); unsorted tables stay None
+    soid = (metadata.default_sort_order_id
+            if metadata.sort_order.is_sorted else None)
+    files = [replace(f, write_schema_id=schema.schema_id,
+                     sort_order_id=soid)
+             for f in files if f.record_count > 0]
     return files
 
 

@@ -461,3 +461,33 @@ def test_export_full_history_roundtrip(catalog, tmp_path, spark):
     inc = t2.changes(from_snapshot_id=first,
                      to_snapshot_id=got_snaps[1].snapshot_id)
     assert inc.where(F.col("_change_type") == "INSERT").count() == 20
+
+
+def test_sort_order_roundtrip(catalog, tmp_path, spark):
+    """Sort orders and per-file sort_order_id survive an engine ->
+    reference -> engine round-trip."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               snapshot_iceberg_table)
+
+    df = spark.range(0, 20).select("id", (F.col("id") % 2).alias("grp"))
+    t = catalog.create_table("db.sorted_src", df.schema)
+    t = t.replace_sort_order(("id", "desc"))
+    t = t.refresh()
+    t.append(df)
+    t = t.refresh()
+    src_oids = {e.file.sort_order_id
+                for e in t.scan().plan_files().files}
+    assert src_oids == {t.metadata.default_sort_order_id}
+
+    dest = str(tmp_path / "exp_sorted_rt")
+    export_reference_metadata(t, dest)
+    t2, _, _ = snapshot_iceberg_table(catalog, dest, "db.sorted_back")
+    assert t2.metadata.default_sort_order_id == \
+        t.metadata.default_sort_order_id
+    so = t2.metadata.sort_orders[-1]
+    assert [(f.source_name, f.direction) for f in so.fields] == \
+        [("id", "desc")]
+    assert {e.file.sort_order_id
+            for e in t2.scan().plan_files().files} == src_oids

@@ -342,3 +342,19 @@ def test_rest_sort_order_update_and_stats_export(server, catalog,
     assert md["statistics"][0]["snapshot-id"] == \
         t.current_snapshot().snapshot_id
     assert os.path.exists(md["statistics"][0]["statistics-path"])
+
+
+def test_rest_remove_snapshot_ref(server, catalog):
+    _cat, port = server
+    t = catalog.load_table("db.rest_t")
+    sid = t.current_snapshot().snapshot_id
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "updates": [{"action": "set-snapshot-ref", "ref-name": "audit",
+                     "type": "tag", "snapshot-id": sid}]})
+    assert st == 200
+    assert "audit" in catalog.load_table("db.rest_t").refs()
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "updates": [{"action": "remove-snapshot-ref",
+                     "ref-name": "audit"}]})
+    assert st == 200
+    assert "audit" not in catalog.load_table("db.rest_t").refs()
