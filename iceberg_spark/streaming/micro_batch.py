@@ -51,12 +51,20 @@ class MicroBatchStream:
                  max_files_per_batch: Optional[int] = None,
                  max_rows_per_batch: Optional[int] = None,
                  from_snapshot_id: Optional[int] = None,
-                 watermark_column: Optional[str] = None):
+                 watermark_column: Optional[str] = None,
+                 skip_delete_snapshots: bool = False,
+                 skip_overwrite_snapshots: bool = False):
         self.table = table
         self.checkpoint_dir = checkpoint_dir
         self.max_files = max_files_per_batch
         self.max_rows = max_rows_per_batch
         self.watermark_column = watermark_column
+        # streaming-skip-delete/overwrite-snapshots (SparkReadOptions):
+        # default is the reference's shouldProcess contract — a stream
+        # positioned over a row-changing snapshot ERRORS rather than
+        # silently emitting replaced rows as fresh inserts
+        self.skip_delete = skip_delete_snapshots
+        self.skip_overwrite = skip_overwrite_snapshots
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._offset_path = os.path.join(checkpoint_dir, "offset.json")
         if not os.path.exists(self._offset_path):
@@ -97,6 +105,22 @@ class MicroBatchStream:
         for snap in chain:
             if snap.operation == "replace":
                 continue  # compaction adds no new rows
+            if snap.operation == "delete":
+                if self.skip_delete:
+                    continue
+                raise ValueError(
+                    f"cannot process delete snapshot {snap.snapshot_id} "
+                    "in a streaming read: set skip_delete_snapshots=True "
+                    "to skip row-deleting snapshots "
+                    "(streaming-skip-delete-snapshots)")
+            if snap.operation == "overwrite":
+                if self.skip_overwrite:
+                    continue
+                raise ValueError(
+                    f"cannot process overwrite snapshot "
+                    f"{snap.snapshot_id} in a streaming read: set "
+                    "skip_overwrite_snapshots=True to skip them "
+                    "(streaming-skip-overwrite-snapshots)")
             entries = []
             for mf in read_manifest_list(snap.manifest_list):
                 if mf.added_snapshot_id != snap.snapshot_id:

@@ -340,3 +340,36 @@ def test_identity_constant_fill_survives_spec_evolution(catalog, spark, tmp_path
     assert got == [(i, i % 2) for i in range(20)] + [(100, 9)]
     pruned = t.scan(filter=col("p") == 1).df().collect()
     assert sorted(r.id for r in pruned) == [i for i in range(20) if i % 2 == 1]
+
+
+def test_streaming_rejects_row_changing_snapshots(catalog, spark, tmp_path):
+    """SparkMicroBatchStream shouldProcess contract: a stream over a
+    delete/overwrite snapshot errors by default and skips it only under
+    the streaming-skip-* options."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.streaming.micro_batch import MicroBatchStream
+
+    df = spark.range(0, 30).select("id", (F.col("id") % 3).alias("grp"))
+    t = catalog.create_table("db.stream_ow", df.schema)
+    first = t.append(df).snapshot_id
+    t = t.refresh()
+    t.delete_where(col("id") < 5)  # CoW -> overwrite snapshot
+    t = t.refresh()
+    t.append(spark.range(30, 40).select(
+        "id", (F.col("id") % 3).alias("grp")))
+    t = t.refresh()
+
+    ms = MicroBatchStream(t, str(tmp_path / "cp1"),
+                          from_snapshot_id=first)
+    with pytest.raises(ValueError, match="delete snapshot"):
+        ms.process_available(lambda df, e: None)
+
+    got = []
+    ms2 = MicroBatchStream(t, str(tmp_path / "cp2"),
+                           from_snapshot_id=first,
+                           skip_delete_snapshots=True)
+    ms2.process_available(lambda df, e: got.extend(df.collect()))
+    assert sorted(r["id"] for r in got) == list(range(30, 40))
