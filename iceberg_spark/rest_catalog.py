@@ -22,6 +22,9 @@ Endpoints (core/.../rest/CatalogHandlers.java parity):
   GET|HEAD|DELETE /v1/namespaces/{ns}/tables/{table}
   POST /v1/namespaces/{ns}/tables/{table}       (CommitTableRequest)
   POST /v1/tables/rename
+  GET|POST /v1/namespaces/{ns}/views            (list / createView)
+  GET|HEAD|DELETE /v1/namespaces/{ns}/views/{view}
+  POST /v1/namespaces/{ns}/views/{view}         (UpdateViewRequest)
 
 Commits validate requirements (assert-ref-snapshot-id /
 assert-table-uuid → 409 CommitFailedException on mismatch) and apply
@@ -135,6 +138,44 @@ def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
     return t.refresh()
 
 
+def _view_result(catalog, ident: str) -> dict:
+    """LoadViewResult: engine ViewMetadata -> view-spec JSON
+    (format/view-spec.md — versions carry `representations`; the engine
+    stores sql+dialect directly and expands here)."""
+    import uuid as _uuid
+
+    from .views import _path, load_view
+
+    vm = load_view(catalog, ident)
+    if vm is None:
+        return None
+    versions = [{
+        "version-id": v.version_id,
+        "timestamp-ms": v.timestamp_ms,
+        "schema-id": 0,
+        "summary": dict(v.summary),
+        "representations": [{"type": "sql", "sql": v.sql,
+                             "dialect": v.dialect}],
+        "default-namespace": ident.split(".")[:-1],
+    } for v in vm.versions]
+    md = {
+        # deterministic uuid: the engine view store has no uuid field
+        "view-uuid": str(_uuid.uuid5(_uuid.NAMESPACE_URL,
+                                     f"iceberg-spark-view:{ident}")),
+        "format-version": 1,
+        "location": _path(catalog, "_views", ident),
+        "current-version-id": vm.current_version_id,
+        "versions": versions,
+        "version-log": [{"timestamp-ms": ts, "version-id": vid}
+                        for ts, vid in vm.version_log],
+        "schemas": [v.schema_json for v in vm.versions
+                    if v.schema_json],
+        "properties": dict(vm.properties),
+    }
+    return {"metadata-location": _path(catalog, "_views", ident),
+            "metadata": md, "config": {}}
+
+
 class _Handler(BaseHTTPRequestHandler):
     catalog = None  # injected by serve()
 
@@ -192,6 +233,24 @@ class _Handler(BaseHTTPRequestHandler):
             if self.command == "HEAD":
                 return self._json(200)
             return self._json(200, _load_table_result(cat, ident))
+        if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":
+            ns = rest[1].replace("\x1f", ".")
+            from .views import list_views
+
+            return self._json(200, {"identifiers": [
+                {"namespace": v.split(".")[:-1], "name": v.split(".")[-1]}
+                for v in list_views(cat)
+                if v.rsplit(".", 1)[0] == ns]})
+        if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "views":
+            ns = rest[1].replace("\x1f", ".")
+            ident = f"{ns}.{rest[3]}"
+            res = _view_result(cat, ident)
+            if res is None:
+                return self._error(404, f"no such view: {ident}",
+                                   "NoSuchViewException")
+            if self.command == "HEAD":
+                return self._json(200)
+            return self._json(200, res)
         return self._error(404, f"no such route: {self.path}",
                            "NoSuchRouteException")
 
@@ -246,6 +305,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._create_table(rest[1].replace("\x1f", "."), body)
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             return self._commit_table(
+                rest[1].replace("\x1f", "."), rest[3], body)
+        if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":
+            return self._create_view(rest[1].replace("\x1f", "."), body)
+        if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "views":
+            return self._commit_view(
                 rest[1].replace("\x1f", "."), rest[3], body)
         return self._error(404, f"no such route: {self.path}",
                            "NoSuchRouteException")
@@ -391,6 +455,89 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(400, str(e)[:500], type(e).__name__)
         return self._json(200, _load_table_result(cat, ident))
 
+    @staticmethod
+    def _version_sql(vv: dict):
+        """Pull (sql, dialect) out of a view-version's representations."""
+        reps = [r for r in vv.get("representations", [])
+                if r.get("type") == "sql"]
+        if not reps:
+            raise ValueError("view-version has no sql representation")
+        return reps[0]["sql"], reps[0].get("dialect", "spark")
+
+    def _create_view(self, ns: str, body: dict):
+        from .views import create_view, load_view
+
+        cat = self.catalog
+        if not cat.namespace_exists(ns):
+            return self._error(404, f"no such namespace: {ns}",
+                               "NoSuchNamespaceException")
+        ident = f"{ns}.{body['name']}"
+        if load_view(cat, ident) is not None:
+            return self._error(409, f"view exists: {ident}",
+                               "AlreadyExistsException")
+        sql, dialect = self._version_sql(body["view-version"])
+        create_view(cat, ident, sql, dialect=dialect,
+                    properties=body.get("properties") or None,
+                    schema_json=body.get("schema"))
+        return self._json(200, _view_result(cat, ident))
+
+    def _commit_view(self, ns: str, view: str, body: dict):
+        """UpdateViewRequest: add-view-version + set-current-view-version
+        (the replace-view flow) and set/remove-properties."""
+        from .views import _store, load_view
+
+        cat = self.catalog
+        ident = f"{ns}.{view}"
+        vm = load_view(cat, ident)
+        if vm is None:
+            return self._error(404, f"no such view: {ident}",
+                               "NoSuchViewException")
+        add_versions, set_current = [], None
+        set_props, rm_props = {}, []
+        for u in body.get("updates") or []:
+            a = u.get("action")
+            if a == "add-view-version":
+                add_versions.append(u["view-version"])
+            elif a == "set-current-view-version":
+                set_current = u["view-version-id"]
+            elif a == "set-properties":
+                set_props.update(u.get("updates") or {})
+            elif a == "remove-properties":
+                rm_props += list(u.get("removals") or [])
+            elif a == "assign-uuid":
+                pass  # uuid is derived deterministically from the ident
+            else:
+                return self._error(
+                    400, f"unsupported view update action: {a}",
+                    "BadRequestException")
+        try:
+            from .views import create_view
+
+            for vv in add_versions:
+                sql, dialect = self._version_sql(vv)
+                create_view(cat, ident, sql, replace=True,
+                            dialect=dialect, schema_json=vv.get("schema"))
+            vm = load_view(cat, ident)
+            if set_current is not None and set_current != -1:
+                if not any(v.version_id == set_current
+                           for v in vm.versions):
+                    raise ValueError(
+                        f"unknown view version: {set_current}")
+                from dataclasses import replace as _rep
+
+                vm = _rep(vm, current_version_id=set_current)
+            if set_props or rm_props:
+                props = {k: v for k, v in vm.properties.items()
+                         if k not in set(rm_props)}
+                props.update({k: str(v) for k, v in set_props.items()})
+                from dataclasses import replace as _rep
+
+                vm = _rep(vm, properties=props)
+            _store(cat, "_views", ident, vm.to_json())
+        except ValueError as e:
+            return self._error(400, str(e)[:500], "BadRequestException")
+        return self._json(200, _view_result(cat, ident))
+
     def _route_delete(self):
         parts = [unquote(p) for p in self.path.split("?")[0].split("/")
                  if p]
@@ -416,6 +563,15 @@ class _Handler(BaseHTTPRequestHandler):
                                    "NoSuchTableException")
             cat.drop_table(ident,
                            purge="purgeRequested=true" in query)
+            return self._json(204)
+        if rest and len(rest) == 4 and rest[0] == "namespaces" \
+                and rest[2] == "views":
+            from .views import drop_view
+
+            ident = f"{rest[1].replace(chr(31), '.')}.{rest[3]}"
+            if not drop_view(self.catalog, ident):
+                return self._error(404, f"no such view: {ident}",
+                                   "NoSuchViewException")
             return self._json(204)
         return self._error(404, f"no such route: {self.path}",
                            "NoSuchRouteException")

@@ -358,3 +358,52 @@ def test_rest_remove_snapshot_ref(server, catalog):
                      "ref-name": "audit"}]})
     assert st == 200
     assert "audit" not in catalog.load_table("db.rest_t").refs()
+
+
+def test_rest_views(server, catalog):
+    _cat, port = server
+    st, res = _req(port, "/v1/namespaces/db/views", {
+        "name": "v_sum",
+        "view-version": {
+            "version-id": 1, "timestamp-ms": 0, "schema-id": 0,
+            "summary": {}, "default-namespace": ["db"],
+            "representations": [{
+                "type": "sql", "dialect": "spark",
+                "sql": "SELECT grp, COUNT(*) AS n FROM db.rest_t "
+                       "GROUP BY grp"}]},
+        "properties": {"comment": "by-rest"}})
+    assert st == 200
+    assert res["metadata"]["current-version-id"] == 1
+
+    st, lst = _get(port, "/v1/namespaces/db/views")
+    assert {"namespace": ["db"], "name": "v_sum"} in lst["identifiers"]
+    st, res = _get(port, "/v1/namespaces/db/views/v_sum")
+    assert res["metadata"]["versions"][0]["representations"][0][
+        "sql"].startswith("SELECT grp")
+    # the engine's SQL layer resolves the REST-created view
+    rows = catalog.sql("SELECT * FROM db.v_sum ORDER BY grp").collect()
+    assert [r["n"] for r in rows] == [10, 10, 10, 10]
+
+    # replace over REST: add-view-version + set-current-view-version(-1)
+    st, res = _req(port, "/v1/namespaces/db/views/v_sum", {
+        "updates": [
+            {"action": "add-view-version", "view-version": {
+                "version-id": 2, "timestamp-ms": 0, "schema-id": 0,
+                "summary": {}, "default-namespace": ["db"],
+                "representations": [{
+                    "type": "sql", "dialect": "spark",
+                    "sql": "SELECT COUNT(*) AS total FROM db.rest_t"}]}},
+            {"action": "set-current-view-version",
+             "view-version-id": -1}]})
+    assert st == 200
+    assert res["metadata"]["current-version-id"] == 2
+    assert len(res["metadata"]["versions"]) == 2
+    rows = catalog.sql("SELECT * FROM db.v_sum").collect()
+    assert rows[0]["total"] == 40
+
+    st, _ = _req(port, "/v1/namespaces/db/views/v_sum", method="DELETE")
+    assert st == 204
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, "/v1/namespaces/db/views/v_sum")
+    assert ei.value.code == 404
