@@ -303,6 +303,11 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200)
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
             return self._create_table(rest[1].replace("\x1f", "."), body)
+        if len(rest) == 5 and rest[0] == "namespaces" \
+                and rest[2] == "tables" and rest[4] == "metrics":
+            # ReportMetricsRequest: accepted and dropped (the engine's own
+            # ScanReport covers metrics); 204 keeps clients happy
+            return self._json(204)
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             return self._commit_table(
                 rest[1].replace("\x1f", "."), rest[3], body)
@@ -376,6 +381,43 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(
                     409, f"requirement failed: table exists: {ident}",
                     "CommitFailedException")
+            elif ty == "assert-current-schema-id":
+                if r.get("current-schema-id") != meta.current_schema_id:
+                    return self._error(
+                        409, "requirement failed: current schema id is "
+                        f"{meta.current_schema_id}, expected "
+                        f"{r.get('current-schema-id')}",
+                        "CommitFailedException")
+            elif ty == "assert-default-spec-id":
+                if r.get("default-spec-id") != meta.default_spec_id:
+                    return self._error(
+                        409, "requirement failed: default spec id is "
+                        f"{meta.default_spec_id}, expected "
+                        f"{r.get('default-spec-id')}",
+                        "CommitFailedException")
+            elif ty == "assert-last-assigned-field-id":
+                if r.get("last-assigned-field-id") != meta.last_column_id:
+                    return self._error(
+                        409, "requirement failed: last column id is "
+                        f"{meta.last_column_id}, expected "
+                        f"{r.get('last-assigned-field-id')}",
+                        "CommitFailedException")
+            elif ty == "assert-last-assigned-partition-id":
+                if r.get("last-assigned-partition-id") != \
+                        meta.last_partition_id:
+                    return self._error(
+                        409, "requirement failed: last partition id is "
+                        f"{meta.last_partition_id}, expected "
+                        f"{r.get('last-assigned-partition-id')}",
+                        "CommitFailedException")
+            elif ty == "assert-default-sort-order-id":
+                if r.get("default-sort-order-id") != \
+                        meta.default_sort_order_id:
+                    return self._error(
+                        409, "requirement failed: default sort order id "
+                        f"is {meta.default_sort_order_id}, expected "
+                        f"{r.get('default-sort-order-id')}",
+                        "CommitFailedException")
             else:
                 return self._error(
                     400, f"unsupported requirement type: {ty}",

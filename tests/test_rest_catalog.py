@@ -407,3 +407,30 @@ def test_rest_views(server, catalog):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(port, "/v1/namespaces/db/views/v_sum")
     assert ei.value.code == 404
+
+
+def test_rest_extra_requirements_and_metrics(server, catalog):
+    _cat, port = server
+    t = catalog.load_table("db.rest_t")
+    m = t.metadata
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "requirements": [
+            {"type": "assert-current-schema-id",
+             "current-schema-id": m.current_schema_id},
+            {"type": "assert-default-spec-id",
+             "default-spec-id": m.default_spec_id},
+            {"type": "assert-last-assigned-field-id",
+             "last-assigned-field-id": m.last_column_id},
+            {"type": "assert-default-sort-order-id",
+             "default-sort-order-id": m.default_sort_order_id}],
+        "updates": []})
+    assert st == 200
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "requirements": [{"type": "assert-current-schema-id",
+                              "current-schema-id": 99}],
+            "updates": []})
+    assert ei.value.code == 409
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t/metrics",
+                 {"report-type": "scan-report"})
+    assert st == 204
