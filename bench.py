@@ -255,6 +255,32 @@ def raw_q1_baseline(spark, sf_dir):
     )
 
 
+def import_benchmarks(spark, qtimes, timed):
+    """Interop metadata throughput: parse a reference-layout table whose
+    Avro manifest carries 10k entries (metadata JSON + manifest list +
+    manifest decode through the pure-Python Avro reader) — the
+    `register_table`/REST-commit hot path, measured like the planning
+    benchmarks: decode only, no data IO."""
+    import tempfile
+
+    from iceberg_spark.sources.iceberg import read_iceberg_snapshot
+    from iceberg_spark.sources.iceberg_fixture import write_reference_table
+
+    root = tempfile.mkdtemp(prefix="iceberg_spark_import_bench_")
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"}]}
+    files = [{"path": f"{root}/data/f{i}.parquet", "record_count": 1000,
+              "file_size": 1 << 20, "seq": 1} for i in range(10_000)]
+    write_reference_table(root, schema_json, files)
+
+    def decode():
+        entries = read_iceberg_snapshot(root)[4]
+        assert len(entries) == 10_000
+        return len(entries)
+
+    qtimes["plan_import_decode_10k"] = timed(decode)
+
+
 def cpu_calibration():
     """Fixed single-thread CPU probe (pyarrow parquet decode + zlib
     inflate — the metadata-planning instruction mix), no Spark involved.
@@ -357,6 +383,7 @@ def main():
     eq_delete_benchmarks(spark, qtimes, timed, SF_DIR)
     dv_delete_benchmarks(spark, qtimes, timed, SF_DIR)
     planning_benchmarks(spark, qtimes, timed)
+    import_benchmarks(spark, qtimes, timed)
     spj_benchmarks(spark, qtimes, timed, SF_DIR)
 
     # data-pipeline throughput (informational — outside the headline total,

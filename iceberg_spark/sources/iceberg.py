@@ -447,14 +447,20 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
     entries = _snapshot_entries(snap_json, specs, schemas, cur)
 
     plan = table.scan().plan_files()
-    known = {}  # path -> (engine seq, engine DataFile)
+    # key carries referenced file + offset: a Puffin container holds one
+    # entry PER deletion vector, so path alone would collapse them
+    known = {}
     for e in (list(plan.files) + list(plan.pos_deletes)
               + list(plan.eq_deletes)):
-        known[e.file.file_path] = (e.sequence_number, e.file)
+        known[(e.file.file_path, e.file.referenced_data_file,
+               e.file.content_offset)] = (e.sequence_number, e.file)
+    known_paths = {k[0] for k in known}
     next_seq = meta.last_sequence_number + 1
     files_by_seq, new_entries = [], []
     for e in entries:
-        k = known.get(e["path"])
+        ref = e.get("referenced_data_file")
+        k = known.get((e["path"], _resolve_path(ref) if ref else None,
+                       e.get("content_offset")))
         if k is not None:
             files_by_seq.append(k)
         else:
@@ -468,7 +474,7 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
         raise ValueError(f"snapshot id already committed: {sid}")
     imp = _ImportSnapshot(table, files_by_seq, next_seq,
                           timestamp_ms=snap_json.get("timestamp-ms"),
-                          operation=op, existing=set(known))
+                          operation=op, existing=known_paths)
     imp._producer.branch = branch
     imp._producer.snapshot_id = sid
     return imp.commit()
@@ -539,7 +545,13 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
     files_by_seq = []
     parquet_groups = defaultdict(list)
     for e in entries:
-        ck = (e["path"], e["content"])
+        # one Puffin container holds MULTIPLE deletion vectors (one
+        # entry per blob, same path): the key must carry the referenced
+        # file + offset or replays collapse them into one vector
+        _ref = e.get("referenced_data_file")
+        ck = (e["path"], e["content"],
+              _resolve_path(_ref) if _ref else None,
+              e.get("content_offset"))
         if ck in cache:
             files_by_seq.append((seq_map[e["seq"]], cache[ck]))
         elif e["format"] == "parquet":
@@ -594,7 +606,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 referenced_data_file=(
                     _resolve_path(src["referenced_data_file"])
                     if src["referenced_data_file"] else None))
-            cache[(f.file_path, content)] = f
+            cache[(f.file_path, content, f.referenced_data_file,
+                   f.content_offset)] = f
             fmap[f.file_path] = f
         for e in group:
             files_by_seq.append((seq_map[e["seq"]], fmap[e["path"]]))
@@ -793,11 +806,16 @@ def export_reference_metadata(table, dest_root: str,
             for pf in sp.fields]
 
     state = {"has_dv": False}
-    cache = {}  # (path, content) -> entry dict, shared across snapshots
+    # cache key includes referenced_data_file + content_offset: one
+    # Puffin container can hold SEVERAL deletion vectors (one manifest
+    # entry per blob, same file_path) — keying by path alone would
+    # collapse them into one vector and resurrect deleted rows
+    cache = {}
 
     def entry(e, content):
         f = e.file
-        ck = (f.file_path, content)
+        ck = (f.file_path, content, f.referenced_data_file,
+              f.content_offset)
         hit = cache.get(ck)
         if hit is not None:
             # seq is per-entry, everything else is per-file

@@ -223,8 +223,12 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "partition": {n: f.get("partition", {}).get(n)
                                   for n, _, _ in pa},
                     "record_count": f["record_count"],
-                    "file_size_in_bytes": f.get(
-                        "file_size", os.path.getsize(f["path"])),
+                    # NOTE: not .get(k, getsize(...)) — the fallback would
+                    # evaluate (and stat the file) even when file_size is
+                    # given, breaking metadata-only fixtures
+                    "file_size_in_bytes": (
+                        f["file_size"] if f.get("file_size") is not None
+                        else os.path.getsize(f["path"])),
                     "column_sizes": None, "value_counts": None,
                     "null_value_counts": None, "lower_bounds": None,
                     "upper_bounds": None, "split_offsets": None,

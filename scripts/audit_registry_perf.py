@@ -57,6 +57,9 @@ GATES_ABS = {
     "plan_full_10k_files": 0.36,
     "maintenance_plan_10k": 2.20,
     "plan_distributed_full_10k_files": 0.50,
+    # Avro-manifest decode throughput for register_table / REST commits
+    # (~0.25s same-machine median at 10k entries)
+    "plan_import_decode_10k": 0.40,
 }
 GATES_RATIO = {
     # (numerator, denominator, max ratio)

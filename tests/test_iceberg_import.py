@@ -491,3 +491,69 @@ def test_sort_order_roundtrip(catalog, tmp_path, spark):
         [("id", "desc")]
     assert {e.file.sort_order_id
             for e in t2.scan().plan_files().files} == src_oids
+
+
+def test_import_multi_vector_puffin_container(catalog, tmp_path):
+    """One Puffin file holding TWO deletion vectors (one per data file,
+    one manifest entry per blob, same path) must import as two distinct
+    vectors — regression for a cache key that collapsed same-path
+    entries and resurrected deleted rows."""
+    import numpy as np
+
+    from iceberg_spark.deletion_vectors import dv_blob
+    from iceberg_spark.puffin import write_puffin
+
+    root = str(tmp_path / "src_mv")
+    os.makedirs(os.path.join(root, "data"))
+    paths = []
+    for i in range(2):
+        p = os.path.join(root, "data", f"d{i}.parquet")
+        pq.write_table(pa.table({
+            "id": pa.array(range(i * 10, i * 10 + 10), pa.int64())}), p)
+        paths.append(p)
+    # delete positions 0,1 of file 0 and positions 5..9 of file 1
+    pf = os.path.join(root, "data", "dv.puffin")
+    blobs = [
+        {"type": "deletion-vector-v1", "fields": [],
+         "snapshot-id": 1, "sequence-number": 2,
+         "data": dv_blob(np.array([0, 1], dtype=np.int64)),
+         "properties": {"referenced-data-file": paths[0],
+                        "cardinality": "2"}},
+        {"type": "deletion-vector-v1", "fields": [],
+         "snapshot-id": 1, "sequence-number": 2,
+         "data": dv_blob(np.array([5, 6, 7, 8, 9], dtype=np.int64)),
+         "properties": {"referenced-data-file": paths[1],
+                        "cardinality": "5"}},
+    ]
+    facts = write_puffin(pf, blobs)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"}]}
+    files = [
+        {"path": paths[0], "record_count": 10, "seq": 1},
+        {"path": paths[1], "record_count": 10, "seq": 1},
+    ]
+    for bm, p, card in ((facts["blob-metadata"][0], paths[0], 2),
+                        (facts["blob-metadata"][1], paths[1], 5)):
+        files.append({
+            "path": pf, "content": 1, "format": "PUFFIN",
+            "record_count": card,
+            "file_size": os.path.getsize(pf), "seq": 2,
+            "referenced_data_file": p,
+            "content_offset": bm["offset"],
+            "content_size": bm["length"]})
+    write_reference_table(root, schema_json, files, format_version=3)
+
+    t, n_data, n_del = snapshot_iceberg_table(catalog, root, "db.mv_back")
+    assert (n_data, n_del) == (2, 2)
+    want = [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14]
+    got = sorted(r["id"] for r in t.to_df().collect())
+    assert got == want
+
+    # and back out: export must keep the two vectors distinct too
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    dest = str(tmp_path / "mv_exported")
+    export_reference_metadata(t, dest)
+    t2, _, n_del2 = snapshot_iceberg_table(catalog, dest, "db.mv_back2")
+    assert n_del2 == 2
+    assert sorted(r["id"] for r in t2.to_df().collect()) == want
