@@ -174,6 +174,118 @@ def _decode(schema, buf: io.BytesIO):
 
 
 # ---------------------------------------------------------------------------
+# compiled decode — closure tree over (bytes, pos), ~3x the interpretive
+# _decode for the row-decode hot path (register_table / REST commits read
+# 10k+ manifest entries); every fn is (data, pos) -> (value, new_pos)
+# ---------------------------------------------------------------------------
+
+
+def _c_varint(data, pos):
+    shift = acc = 0
+    while True:
+        byte = data[pos]
+        pos += 1
+        acc |= (byte & 0x7F) << shift
+        if not byte & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _compile(schema):
+    if isinstance(schema, list):
+        branches = [_compile(s) for s in schema]
+
+        def union(data, pos, _b=branches):
+            idx, pos = _c_varint(data, pos)
+            return _b[idx](data, pos)
+        return union
+    if isinstance(schema, str):
+        t = schema
+    else:
+        t = schema["type"]
+        if isinstance(t, (dict, list)):
+            return _compile(t)
+    if t == "null":
+        return lambda data, pos: (None, pos)
+    if t == "boolean":
+        return lambda data, pos: (data[pos] != 0, pos + 1)
+    if t in ("int", "long"):
+        return _c_varint
+    if t == "float":
+        unpack = struct.Struct("<f").unpack_from
+        return lambda data, pos: (unpack(data, pos)[0], pos + 4)
+    if t == "double":
+        unpack = struct.Struct("<d").unpack_from
+        return lambda data, pos: (unpack(data, pos)[0], pos + 8)
+    if t == "bytes":
+        def rbytes(data, pos):
+            n, pos = _c_varint(data, pos)
+            return data[pos:pos + n], pos + n
+        return rbytes
+    if t == "string":
+        def rstr(data, pos):
+            n, pos = _c_varint(data, pos)
+            return data[pos:pos + n].decode("utf-8"), pos + n
+        return rstr
+    if t == "fixed":
+        size = schema["size"]
+        return lambda data, pos, _s=size: (data[pos:pos + _s], pos + _s)
+    if t == "enum":
+        syms = schema["symbols"]
+
+        def renum(data, pos, _s=syms):
+            i, pos = _c_varint(data, pos)
+            return _s[i], pos
+        return renum
+    if t == "record":
+        pairs = [(f["name"], _compile(f["type"]))
+                 for f in schema["fields"]]
+
+        def rec(data, pos, _p=pairs):
+            out = {}
+            for name, dec in _p:
+                out[name], pos = dec(data, pos)
+            return out, pos
+        return rec
+    if t == "array":
+        item = _compile(schema["items"])
+
+        def arr(data, pos, _i=item):
+            out = []
+            while True:
+                n, pos = _c_varint(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _c_varint(data, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = _i(data, pos)
+                    out.append(v)
+        return arr
+    if t == "map":
+        val = _compile(schema["values"])
+
+        def rmap(data, pos, _v=val):
+            out = {}
+            while True:
+                n, pos = _c_varint(data, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _c_varint(data, pos)
+                    n = -n
+                for _ in range(n):
+                    kn, pos = _c_varint(data, pos)
+                    k = data[pos:pos + kn].decode("utf-8")
+                    pos += kn
+                    out[k], pos = _v(data, pos)
+        return rmap
+    raise ValueError(f"unsupported Avro type: {t!r}")
+
+
+# ---------------------------------------------------------------------------
 # schema-driven encode
 # ---------------------------------------------------------------------------
 
@@ -266,6 +378,7 @@ def read_avro(path: str):
     sync = buf.read(16)
     schema = _resolve_names(json.loads(meta["avro.schema"].decode()))
     codec = meta.get("avro.codec", b"null").decode()
+    dec = _compile(schema)
     rows = []
     while buf.tell() < len(raw):
         n = _read_long(buf)
@@ -281,9 +394,14 @@ def read_avro(path: str):
                 block, _frame_content_size(block, "zstd")))
         elif codec != "null":
             raise ValueError(f"unsupported Avro codec: {codec!r}")
-        bbuf = io.BytesIO(block)
+        pos = 0
         for _ in range(n):
-            rows.append(_decode(schema, bbuf))
+            row, pos = dec(block, pos)
+            rows.append(row)
+        if pos != len(block):
+            raise ValueError(
+                f"Avro block under/over-read ({pos} != {len(block)}): "
+                f"{path}")
         if buf.read(16) != sync:
             raise ValueError(f"Avro sync marker mismatch: {path}")
     return schema, {k: v for k, v in meta.items()}, rows

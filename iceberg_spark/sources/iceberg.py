@@ -45,6 +45,12 @@ _EPOCH = _dt.datetime(1970, 1, 1)
 
 
 def _resolve_path(p: str, location: str = None) -> str:
+    # fast path: plain absolute posix path — this runs once per manifest
+    # entry, and urlparse alone costs ~16us/call (measured 0.16s of a
+    # 0.4s 10k-entry decode). "file:/x" single-slash URIs (the Java
+    # writer emits them) still take the parse path below.
+    if p.startswith("/"):
+        return p
     u = urlparse(p)
     if u.scheme == "":
         return p
