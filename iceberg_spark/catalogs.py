@@ -1,0 +1,243 @@
+"""SQL-database-backed catalog — the reference JdbcCatalog analog
+(core/.../jdbc/JdbcCatalog.java, JdbcUtil.java table shapes) over
+sqlite3, the environment's embedded SQL engine.
+
+The database holds the REGISTRY only: `iceberg_tables` rows map
+(catalog, namespace, table) -> current metadata_location with the
+previous location retained, and `iceberg_namespace_properties` holds
+namespace rows — exactly the reference's two-table layout. Table
+metadata and data files stay in the warehouse (HadoopTableOperations
+files), so every scan/commit code path is unchanged; what the SQL
+catalog adds is registry atomicity: each engine commit CASes the
+`metadata_location` column (UPDATE ... WHERE metadata_location =
+<expected>), so two catalog instances racing on the same table see one
+winner even when they run on different machines sharing the database —
+the JdbcCatalog concurrency model.
+
+Differences from the directory catalog:
+  * rename is a registry-row update (the table directory keeps its
+    original name, as JdbcCatalog does);
+  * dropping keeps data unless purge=True;
+  * listing reads rows, not directories.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sqlite3
+import threading
+from typing import Optional
+
+from .metadata import (CommitFailedException, TableMetadata,
+                       TableOperations)
+from .table import Catalog, Table, _build_spec
+
+_TABLES_DDL = """
+CREATE TABLE IF NOT EXISTS iceberg_tables (
+  catalog_name TEXT NOT NULL,
+  table_namespace TEXT NOT NULL,
+  table_name TEXT NOT NULL,
+  metadata_location TEXT,
+  previous_metadata_location TEXT,
+  PRIMARY KEY (catalog_name, table_namespace, table_name)
+)"""
+
+_NS_DDL = """
+CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
+  catalog_name TEXT NOT NULL,
+  namespace TEXT NOT NULL,
+  property_key TEXT NOT NULL,
+  property_value TEXT,
+  PRIMARY KEY (catalog_name, namespace, property_key)
+)"""
+
+
+class _SqlTableOperations(TableOperations):
+    """Filesystem metadata versions + registry CAS per commit."""
+
+    def __init__(self, location: str, catalog: "SqlCatalog", ident: str):
+        super().__init__(location)
+        self._catalog = catalog
+        self._ident = ident
+
+    def commit(self, base_version, metadata: TableMetadata) -> int:
+        prev = self._version_path(base_version) if base_version else None
+        v = super().commit(base_version, metadata)
+        self._catalog._cas_location(self._ident, prev,
+                                    self._version_path(v))
+        return v
+
+
+class SqlCatalog(Catalog):
+    """Catalog API over sqlite3-registered tables."""
+
+    def __init__(self, spark, warehouse: str, name: str = "sql",
+                 db_path: Optional[str] = None):
+        super().__init__(spark, warehouse, name)
+        self.db_path = db_path or os.path.join(self.warehouse,
+                                               "catalog.db")
+        self._lock = threading.Lock()
+        self._db = sqlite3.connect(self.db_path,
+                                   check_same_thread=False)
+        with self._lock, self._db:
+            self._db.execute(_TABLES_DDL)
+            self._db.execute(_NS_DDL)
+
+    # -- registry helpers ---------------------------------------------------
+    def _split(self, identifier: str):
+        ns, _, name = identifier.rpartition(".")
+        return ns, name
+
+    def _row(self, identifier: str):
+        ns, name = self._split(identifier)
+        with self._lock:
+            cur = self._db.execute(
+                "SELECT metadata_location FROM iceberg_tables WHERE "
+                "catalog_name=? AND table_namespace=? AND table_name=?",
+                (self.name, ns, name))
+            return cur.fetchone()
+
+    def _cas_location(self, identifier: str, expected: Optional[str],
+                      new: str):
+        ns, name = self._split(identifier)
+        with self._lock, self._db:
+            cur = self._db.execute(
+                "UPDATE iceberg_tables SET metadata_location=?, "
+                "previous_metadata_location=? WHERE catalog_name=? AND "
+                "table_namespace=? AND table_name=? AND "
+                "(metadata_location=? OR (metadata_location IS NULL "
+                "AND ? IS NULL))",
+                (new, expected, self.name, ns, name, expected, expected))
+            if cur.rowcount != 1:
+                raise CommitFailedException(
+                    f"registry CAS failed for {identifier}: another "
+                    f"catalog committed past {expected}")
+
+    # -- tables -------------------------------------------------------------
+    def create_table(self, identifier: str, schema, partition_by=None,
+                     sort_order=None, properties=None,
+                     exists_ok: bool = False) -> Table:
+        from pyspark.sql import types as T
+
+        from .metadata import UNSORTED
+        from .schema import Schema
+
+        if self._row(identifier) is not None:
+            if exists_ok:
+                return self.load_table(identifier)
+            raise ValueError(f"table exists: {identifier}")
+        ns, name = self._split(identifier)
+        if ns and not self.namespace_exists(ns):
+            self.create_namespace(ns, exists_ok=True)
+        loc = self._location(identifier)
+        if isinstance(schema, T.StructType):
+            schema = Schema.from_spark(schema)
+        spec = _build_spec(schema, partition_by)
+        meta = TableMetadata.new(loc, schema, spec,
+                                 sort_order or UNSORTED, properties)
+        ops = _SqlTableOperations(loc, self, identifier)
+        with self._lock, self._db:
+            self._db.execute(
+                "INSERT INTO iceberg_tables (catalog_name, "
+                "table_namespace, table_name, metadata_location) "
+                "VALUES (?, ?, ?, NULL)", (self.name, ns, name))
+        v = TableOperations(loc).commit(None, meta)
+        self._cas_location(identifier, None, ops._version_path(v))
+        return self.load_table(identifier)
+
+    def load_table(self, identifier: str) -> Table:
+        row = self._row(identifier)
+        if row is None:
+            raise ValueError(f"no such table: {identifier}")
+        mloc = row[0]
+        loc = os.path.dirname(os.path.dirname(mloc))  # .../metadata/vN
+        t = Table(self.spark, loc,
+                  TableOperations(loc).refresh(), identifier)
+        t.ops = _SqlTableOperations(loc, self, identifier)
+        return t
+
+    def table_exists(self, identifier: str) -> bool:
+        return self._row(identifier) is not None
+
+    def drop_table(self, identifier: str, purge: bool = True) -> bool:
+        row = self._row(identifier)
+        if row is None:
+            return False
+        ns, name = self._split(identifier)
+        with self._lock, self._db:
+            self._db.execute(
+                "DELETE FROM iceberg_tables WHERE catalog_name=? AND "
+                "table_namespace=? AND table_name=?",
+                (self.name, ns, name))
+        if purge and row[0]:
+            loc = os.path.dirname(os.path.dirname(row[0]))
+            shutil.rmtree(loc, ignore_errors=True)
+        return True
+
+    def rename_table(self, from_id: str, to_id: str):
+        if self._row(from_id) is None:
+            raise ValueError(f"no such table: {from_id}")
+        if self._row(to_id) is not None:
+            raise ValueError(f"table exists: {to_id}")
+        fns, fname = self._split(from_id)
+        tns, tname = self._split(to_id)
+        # registry-row rename (JdbcCatalog.renameTable): files stay put
+        with self._lock, self._db:
+            self._db.execute(
+                "UPDATE iceberg_tables SET table_namespace=?, "
+                "table_name=? WHERE catalog_name=? AND "
+                "table_namespace=? AND table_name=?",
+                (tns, tname, self.name, fns, fname))
+
+    def list_tables(self, namespace: str = "") -> list:
+        with self._lock:
+            if namespace:
+                cur = self._db.execute(
+                    "SELECT table_namespace, table_name FROM "
+                    "iceberg_tables WHERE catalog_name=? AND "
+                    "table_namespace=?", (self.name, namespace))
+            else:
+                cur = self._db.execute(
+                    "SELECT table_namespace, table_name FROM "
+                    "iceberg_tables WHERE catalog_name=?", (self.name,))
+            return sorted(f"{ns}.{n}" if ns else n
+                          for ns, n in cur.fetchall())
+
+    # -- namespaces ---------------------------------------------------------
+    def create_namespace(self, namespace: str, exists_ok: bool = False):
+        if self.namespace_exists(namespace):
+            if exists_ok:
+                return
+            raise ValueError(f"namespace exists: {namespace}")
+        with self._lock, self._db:
+            self._db.execute(
+                "INSERT INTO iceberg_namespace_properties (catalog_name,"
+                " namespace, property_key, property_value) VALUES "
+                "(?, ?, 'exists', 'true')", (self.name, namespace))
+
+    def namespace_exists(self, namespace: str) -> bool:
+        with self._lock:
+            cur = self._db.execute(
+                "SELECT 1 FROM iceberg_namespace_properties WHERE "
+                "catalog_name=? AND namespace=? LIMIT 1",
+                (self.name, namespace))
+            return cur.fetchone() is not None
+
+    def drop_namespace(self, namespace: str):
+        if not self.namespace_exists(namespace):
+            raise ValueError(f"no such namespace: {namespace}")
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace not empty: {namespace}")
+        with self._lock, self._db:
+            self._db.execute(
+                "DELETE FROM iceberg_namespace_properties WHERE "
+                "catalog_name=? AND namespace=?", (self.name, namespace))
+
+    def list_namespaces(self) -> list:
+        with self._lock:
+            cur = self._db.execute(
+                "SELECT DISTINCT namespace FROM "
+                "iceberg_namespace_properties WHERE catalog_name=?",
+                (self.name,))
+            return sorted(r[0] for r in cur.fetchall())

@@ -1,0 +1,81 @@
+"""SQL-database-backed catalog (JdbcCatalog analog over sqlite3):
+registry rows arbitrate commits; files stay engine-standard."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark.catalogs import SqlCatalog
+from iceberg_spark.metadata import CommitFailedException
+
+
+@pytest.fixture()
+def sqlcat(spark, tmp_path):
+    return SqlCatalog(spark, str(tmp_path / "wh"))
+
+
+def test_crud_and_registry(sqlcat, spark):
+    df = spark.range(0, 25).select("id", (F.col("id") % 5).alias("grp"))
+    t = sqlcat.create_table("db.t1", df.schema, partition_by=["grp"])
+    t.append(df)
+    assert sqlcat.table_exists("db.t1")
+    assert sqlcat.list_tables("db") == ["db.t1"]
+    assert sqlcat.list_namespaces() == ["db"]
+    t = sqlcat.load_table("db.t1")
+    assert t.to_df().count() == 25
+    # registry row tracks the metadata location through commits
+    row = sqlcat._row("db.t1")
+    assert row[0].endswith("v2.metadata.json")  # create + append
+
+    # rename is a registry-row move; data stays readable
+    sqlcat.rename_table("db.t1", "db.t2")
+    assert not sqlcat.table_exists("db.t1")
+    assert sqlcat.load_table("db.t2").to_df().count() == 25
+
+    assert sqlcat.drop_table("db.t2")
+    assert sqlcat.list_tables("db") == []
+    sqlcat.drop_namespace("db")
+    assert sqlcat.list_namespaces() == []
+
+
+def test_commit_cas_between_catalog_instances(sqlcat, spark, tmp_path):
+    """Two catalog instances sharing the database: the stale handle's
+    commit fails the registry CAS (JdbcCatalog concurrency model)."""
+    df = spark.range(0, 10).select("id")
+    sqlcat.create_table("db.race", df.schema).append(df)
+
+    cat2 = SqlCatalog(spark, sqlcat.warehouse, db_path=sqlcat.db_path)
+    ta = sqlcat.load_table("db.race")
+    tb = cat2.load_table("db.race")
+    ta.append(spark.range(10, 20).select("id"))
+    # tb's ops hold the stale base; the fs CAS itself may pass on a
+    # refreshed version but the registry CAS must arbitrate
+    with pytest.raises(CommitFailedException):
+        tb.ops.commit(1, tb.metadata)
+    assert sqlcat.load_table("db.race").to_df().count() == 20
+
+
+def test_rest_adapter_over_sql_catalog(sqlcat, spark):
+    """The REST adapter is catalog-agnostic: serving a SqlCatalog gives
+    an HTTP surface over the SQL registry."""
+    import json
+    import urllib.request
+
+    from iceberg_spark.rest_catalog import serve
+
+    df = spark.range(0, 8).select("id")
+    sqlcat.create_table("db.rt", df.schema).append(df)
+    srv, port = serve(sqlcat)
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/namespaces/db/tables") as r:
+            tbls = json.loads(r.read())
+        assert {"namespace": ["db"], "name": "rt"} in tbls["identifiers"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/namespaces/db/tables/rt") as r:
+            res = json.loads(r.read())
+        assert res["metadata"]["refs"]["main"]["snapshot-id"] == \
+            sqlcat.load_table("db.rt").current_snapshot().snapshot_id
+    finally:
+        srv.shutdown()
