@@ -360,8 +360,70 @@ GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50
 """
 
 
+TFIDF_TOP_K = 5
+TFIDF_SCALE = 1_000_000  # integer-scaled reciprocal doc frequency
+
+
+def tfidf_top_terms(spark, sf_dir):
+    """Per-language distinctive terms: top-{k} by an integer TF-IDF
+    proxy — term count within the language x (SCALE // corpus doc
+    frequency). Integer arithmetic end-to-end (no log, no division
+    remainder), so both engines rank identically; ties break on the
+    term itself.
+
+    100 TB shape: one explode -> partial-agg per (lang, term); the
+    corpus doc-frequency table is another partial-agg and joins on
+    term (both sides pre-aggregated, so the join input is vocabulary-
+    sized, not token-sized); final top-k is a per-language window over
+    vocabulary rows."""
+    from pyspark.sql import Window
+
+    docs = engine_docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = docs.select("doc_id", "lang",
+                       F.explode(tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(df_, "term")
+              .withColumn("score",
+                          F.col("tf") * F.expr(
+                              f"{TFIDF_SCALE}L div df")))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TFIDF_TOP_K)
+            .select("lang", "rnk", "term", "tf", "df",
+                    F.col("score").cast("long").alias("score"))
+            .orderBy("lang", "rnk"))
+
+
+TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest({tokens_sql()}) AS term FROM documents
+),
+tf AS (SELECT lang, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+scored AS (
+  SELECT tf.lang, tf.term, tf.tf, df.df,
+         tf.tf * ({TFIDF_SCALE} // df.df) AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT lang, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY score DESC, term) AS rnk
+  FROM scored
+)
+SELECT lang, rnk, term, tf, CAST(df AS BIGINT) AS df,
+       CAST(score AS BIGINT) AS score
+FROM ranked WHERE rnk <= {TFIDF_TOP_K} ORDER BY lang, rnk
+"""
+
+
 REGISTRY = {
     "text_features": (text_features, TEXT_FEATURES_SQL),
+    "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "repetition_score": (repetition_score, REPETITION_SCORE_SQL),
     "corpus_top_bigrams": (corpus_top_bigrams, CORPUS_TOP_BIGRAMS_SQL),
     "lang_id": (lang_id, LANG_ID_SQL),

@@ -688,6 +688,21 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
             f"Iceberg register file-count mismatch: source current "
             f"snapshot holds {n_data} live data files but {n} were "
             f"planned for {source_location}")
+    # carry source refs whose snapshots were replayed (snapshot ids are
+    # preserved, so tags/branches on main ancestors map directly); refs
+    # on side branches (snapshots outside the chain) are skipped
+    replayed = {s.snapshot_id for s in t.metadata.snapshots}
+    extra = {}
+    for name, rj in (md.get("refs") or {}).items():
+        rsid = rj.get("snapshot-id")
+        if name != "main" and rsid in replayed:
+            from ..metadata import SnapshotRef
+
+            extra[name] = SnapshotRef(rsid, rj.get("type", "branch"))
+    if extra:
+        t._commit_metadata(_replace(
+            t.metadata, refs={**t.metadata.refs, **extra}))
+        t = t.refresh()
     return t, len(chain), n_data
 
 
@@ -915,4 +930,11 @@ def export_reference_metadata(table, dest_root: str,
             if any(s.snapshot_id == e.get("snapshot-id") for s in chain)],
         partition_statistics_json=[
             dict(e) for e in table.metadata.partition_statistics_files
-            if any(s.snapshot_id == e.get("snapshot-id") for s in chain)])
+            if any(s.snapshot_id == e.get("snapshot-id") for s in chain)],
+        # tags/branches on exported snapshots ride along (refs on
+        # snapshots outside the exported chain would dangle — skipped)
+        extra_refs={
+            name: {"snapshot-id": ref.snapshot_id, "type": ref.type}
+            for name, ref in table.metadata.refs.items()
+            if name != "main"
+            and any(s.snapshot_id == ref.snapshot_id for s in chain)})

@@ -157,7 +157,8 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   default_sort_order_id: int = 0,
                                   statistics_json: list = None,
                                   partition_statistics_json:
-                                  list = None) -> str:
+                                  list = None,
+                                  extra_refs: dict = None) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
     {"files": [...], "timestamp_ms"?: int, "operation"?: str,
     "schema_id"?: int, "snapshot_id"?: int}; each snapshot's `files` is
@@ -322,7 +323,8 @@ def write_reference_table_history(root: str, schema_json: dict,
         "snapshots": snap_jsons,
         "statistics": statistics_json or [],
         "partition-statistics": partition_statistics_json or [],
-        "refs": {"main": {"snapshot-id": current["snapshot-id"],
+        "refs": {**(extra_refs or {}),
+                 "main": {"snapshot-id": current["snapshot-id"],
                           "type": "branch"}},
         "snapshot-log": [{"timestamp-ms": s["timestamp-ms"],
                           "snapshot-id": s["snapshot-id"]}

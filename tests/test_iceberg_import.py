@@ -557,3 +557,31 @@ def test_import_multi_vector_puffin_container(catalog, tmp_path):
     t2, _, n_del2 = snapshot_iceberg_table(catalog, dest, "db.mv_back2")
     assert n_del2 == 2
     assert sorted(r["id"] for r in t2.to_df().collect()) == want
+
+
+def test_refs_roundtrip_through_full_history(catalog, tmp_path, spark):
+    """Tags/branches on replayed snapshots survive engine -> reference
+    -> engine (snapshot ids are preserved, so refs map directly)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               register_iceberg_table)
+
+    df = spark.range(0, 12).select("id")
+    t = catalog.create_table("db.refs_src", df.schema)
+    t.append(df)
+    t = t.refresh()
+    first = t.current_snapshot().snapshot_id
+    t.manage_snapshots().create_tag("v1.0", first)
+    t = t.refresh()
+    t.append(spark.range(12, 20).select("id"))
+    t = t.refresh()
+
+    dest = str(tmp_path / "exp_refs")
+    export_reference_metadata(t, dest, full_history=True)
+    t2, n_snaps, _ = register_iceberg_table(catalog, dest,
+                                            "db.refs_back")
+    assert n_snaps == 2
+    refs = t2.refs()
+    assert refs["v1.0"].snapshot_id == first
+    assert refs["v1.0"].type == "tag"
