@@ -195,6 +195,21 @@ class _Handler(BaseHTTPRequestHandler):
         self._json(code, {"error": {"message": msg, "type": etype,
                                     "code": code}})
 
+    def _page(self, items: list, key: str) -> dict:
+        """pageToken/pageSize pagination on a sorted listing: the token
+        is the integer offset (opaque to clients, per the spec)."""
+        from urllib.parse import parse_qs
+
+        q = parse_qs((self.path.split("?", 1) + [""])[1])
+        start = int(q.get("pageToken", ["0"])[0] or 0)
+        size = int(q.get("pageSize", ["0"])[0] or 0)
+        if size <= 0:
+            return {key: items}
+        out = {key: items[start:start + size]}
+        if start + size < len(items):
+            out["next-page-token"] = str(start + size)
+        return out
+
     def _route(self):
         parts = [unquote(p) for p in self.path.split("?")[0].split("/")
                  if p]
@@ -206,8 +221,9 @@ class _Handler(BaseHTTPRequestHandler):
         if rest == ["config"]:
             return self._json(200, {"defaults": {}, "overrides": {}})
         if rest == ["namespaces"]:
-            return self._json(200, {"namespaces": [
-                ns.split(".") for ns in cat.list_namespaces()]})
+            return self._json(200, self._page(
+                [ns.split(".") for ns in cat.list_namespaces()],
+                "namespaces"))
         if len(rest) == 2 and rest[0] == "namespaces":
             ns = rest[1].replace("\x1f", ".")
             if not cat.namespace_exists(ns):
@@ -220,10 +236,10 @@ class _Handler(BaseHTTPRequestHandler):
             if not cat.namespace_exists(ns):
                 return self._error(404, f"no such namespace: {ns}",
                                    "NoSuchNamespaceException")
-            return self._json(200, {"identifiers": [
-                {"namespace": ns.split("."),
-                 "name": ident.split(".")[-1]}
-                for ident in cat.list_tables(ns)]})
+            return self._json(200, self._page(
+                [{"namespace": ns.split("."),
+                  "name": ident.split(".")[-1]}
+                 for ident in cat.list_tables(ns)], "identifiers"))
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             ns = rest[1].replace("\x1f", ".")
             ident = f"{ns}.{rest[3]}"
@@ -237,10 +253,11 @@ class _Handler(BaseHTTPRequestHandler):
             ns = rest[1].replace("\x1f", ".")
             from .views import list_views
 
-            return self._json(200, {"identifiers": [
-                {"namespace": v.split(".")[:-1], "name": v.split(".")[-1]}
-                for v in list_views(cat)
-                if v.rsplit(".", 1)[0] == ns]})
+            return self._json(200, self._page(
+                [{"namespace": v.split(".")[:-1],
+                  "name": v.split(".")[-1]}
+                 for v in list_views(cat)
+                 if v.rsplit(".", 1)[0] == ns], "identifiers"))
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "views":
             ns = rest[1].replace("\x1f", ".")
             ident = f"{ns}.{rest[3]}"

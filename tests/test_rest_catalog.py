@@ -434,3 +434,19 @@ def test_rest_extra_requirements_and_metrics(server, catalog):
     st, _ = _req(port, "/v1/namespaces/db/tables/rest_t/metrics",
                  {"report-type": "scan-report"})
     assert st == 204
+
+
+def test_rest_list_pagination(server, catalog, spark):
+    _cat, port = server
+    df = spark.range(0, 3).select("id")
+    for i in range(4):
+        catalog.create_table(f"db.pg{i}", df.schema)
+    st, p1 = _get(port, "/v1/namespaces/db/tables?pageSize=3")
+    assert st == 200 and len(p1["identifiers"]) == 3
+    tok = p1["next-page-token"]
+    st, p2 = _get(port,
+                  f"/v1/namespaces/db/tables?pageSize=3&pageToken={tok}")
+    assert st == 200
+    names = {i["name"] for i in p1["identifiers"] + p2["identifiers"]}
+    assert {f"pg{i}" for i in range(4)} <= names
+    assert "next-page-token" not in p2
