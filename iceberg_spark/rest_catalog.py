@@ -359,8 +359,12 @@ class _Handler(BaseHTTPRequestHandler):
             {"partition-specs": [spec_json],
              "default-spec-id": spec_json.get("spec-id", 0)},
             {schema.schema_id: schema}, schema.schema_id)
-        cat.create_table(ident, schema, partition_by=specs[default],
-                         properties=body.get("properties") or None)
+        try:
+            cat.create_table(ident, schema, partition_by=specs[default],
+                             properties=body.get("properties") or None)
+        except ValueError as e:  # lost a concurrent-create race
+            return self._error(409, str(e)[:300],
+                               "AlreadyExistsException")
         return self._json(200, _load_table_result(cat, ident))
 
     def _commit_table(self, ns: str, tbl: str, body: dict):
