@@ -405,6 +405,7 @@ class SnapshotProducer:
             try:
                 self.table.ops.commit(base_version, new_meta)
                 self.table.metadata = new_meta
+                self._maybe_export_reference(props)
                 return snap
             except CommitFailedException as e:
                 last_err = e
@@ -419,6 +420,43 @@ class SnapshotProducer:
         raise CommitFailedException(
             f"commit failed after {1 + retries} attempts "
             f"({retries} retries): {last_err}")
+
+    def _maybe_export_reference(self, props: dict):
+        """Opt-in continuous interop: with
+        `write.metadata.reference-layout.enabled=true`, every successful
+        commit refreshes `<table>/metadata-export/current/` with
+        reference-shaped metadata (Avro manifest list/manifests) for the
+        new snapshot, so an external apache/iceberg reader can always
+        open the engine table directly from disk — the file-based twin
+        of the REST adapter's loadTable export. Export failures never
+        unwind the commit (it already stands); they surface as a loud
+        warning."""
+        if str(props.get("write.metadata.reference-layout.enabled",
+                         "false")).lower() != "true":
+            return
+        import shutil as _sh
+        import sys as _sys
+        import uuid as _uuid2
+
+        from .sources.iceberg import export_reference_metadata
+
+        root = os.path.join(self.table.location, "metadata-export")
+        cur = os.path.join(root, "current")
+        try:
+            # exported metadata embeds ABSOLUTE paths, so each export
+            # gets its own immutable dir and `current` is a symlink
+            # swapped atomically (rename over the link)
+            dest = os.path.join(root, f"exp-{_uuid2.uuid4().hex}")
+            export_reference_metadata(self.table, dest)
+            link_tmp = os.path.join(root, f".lnk-{_uuid2.uuid4().hex}")
+            os.symlink(dest, link_tmp)
+            prev = os.path.realpath(cur) if os.path.islink(cur) else None
+            os.replace(link_tmp, cur)
+            if prev and os.path.isdir(prev):  # retire the old export
+                _sh.rmtree(prev, ignore_errors=True)
+        except Exception as e:  # noqa: BLE001 — commit already stands
+            print(f"WARNING: reference-layout export failed for "
+                  f"{self.table.location}: {e}", file=_sys.stderr)
 
     # -- helpers ------------------------------------------------------------
     # attributes that may hold this producer's pending *added* data files

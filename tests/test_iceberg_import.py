@@ -585,3 +585,26 @@ def test_refs_roundtrip_through_full_history(catalog, tmp_path, spark):
     refs = t2.refs()
     assert refs["v1.0"].snapshot_id == first
     assert refs["v1.0"].type == "tag"
+
+
+def test_continuous_reference_layout_export(catalog, tmp_path, spark):
+    """write.metadata.reference-layout.enabled=true keeps
+    <table>/metadata-export/current a readable reference-layout table
+    across commits — the file-based twin of REST loadTable."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.sources.iceberg import read_iceberg_snapshot
+
+    df = spark.range(0, 15).select("id")
+    t = catalog.create_table(
+        "db.cont_exp", df.schema,
+        properties={"write.metadata.reference-layout.enabled": "true"})
+    t.append(df)
+    t = t.refresh()
+    cur = os.path.join(t.location, "metadata-export", "current")
+    entries = read_iceberg_snapshot(cur)[4]
+    assert sum(e["record_count"] for e in entries) == 15
+
+    t.append(spark.range(15, 40).select("id"))
+    entries = read_iceberg_snapshot(cur)[4]
+    assert sum(e["record_count"] for e in entries) == 40
