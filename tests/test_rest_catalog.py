@@ -450,3 +450,31 @@ def test_rest_list_pagination(server, catalog, spark):
     names = {i["name"] for i in p1["identifiers"] + p2["identifiers"]}
     assert {f"pg{i}" for i in range(4)} <= names
     assert "next-page-token" not in p2
+
+
+def test_rest_sequential_client_commits(server, catalog):
+    """Five REST commits in sequence, each built from the PREVIOUS
+    loadTable response (whose manifest list includes earlier
+    client-written manifests): exercises export -> client append ->
+    replay -> re-export as an iterated loop."""
+    _cat, port = server
+    total = 40
+    for i in range(5):
+        _st, res = _get(port, "/v1/namespaces/db/tables/rest_t")
+        body, new_sid = _client_append(port, catalog, "db.rest_t",
+                                       3 + i, res["metadata"])
+        st, res2 = _req(port, "/v1/namespaces/db/tables/rest_t", body)
+        assert st == 200
+        assert res2["metadata"]["refs"]["main"]["snapshot-id"] == new_sid
+        total += 3 + i
+    t = catalog.load_table("db.rest_t")
+    assert t.to_df().count() == total
+    # snapshot chain: base + 5 client commits, parents linked in order
+    snaps = t.snapshots()
+    assert len(snaps) == 6
+    for a, b in zip(snaps, snaps[1:]):
+        assert b.parent_snapshot_id == a.snapshot_id
+    # incremental read across the whole client window
+    inc = t.changes(from_snapshot_id=snaps[0].snapshot_id)
+    assert inc.where(F.col("_change_type") == "INSERT").count() == \
+        total - 40
