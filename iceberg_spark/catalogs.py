@@ -33,6 +33,85 @@ from .metadata import (CommitFailedException, TableMetadata,
                        TableOperations)
 from .table import Catalog, Table, _build_spec
 
+class InMemoryCatalog(Catalog):
+    """Ephemeral registry (core/.../inmemory/InMemoryCatalog.java
+    analog): namespaces and table -> location mappings live in process
+    memory and vanish with it; table files still land in the warehouse
+    (Spark must read real parquet), so this is the testing/scratch
+    catalog — no registry file or database is ever created."""
+
+    def __init__(self, spark, warehouse: str, name: str = "memory"):
+        super().__init__(spark, warehouse, name)
+        self._tables: dict = {}  # ident -> location
+        self._namespaces: set = set()
+
+    def create_table(self, identifier: str, schema, partition_by=None,
+                     sort_order=None, properties=None,
+                     exists_ok: bool = False) -> Table:
+        if identifier in self._tables:
+            if exists_ok:
+                return self.load_table(identifier)
+            raise ValueError(f"table exists: {identifier}")
+        ns = identifier.rpartition(".")[0]
+        if ns:
+            self._namespaces.add(ns)
+        from .metadata import UNSORTED
+
+        t = super().create_table(
+            identifier, schema, partition_by=partition_by,
+            sort_order=sort_order or UNSORTED, properties=properties)
+        self._tables[identifier] = t.location
+        return t
+
+    def load_table(self, identifier: str) -> Table:
+        loc = self._tables.get(identifier)
+        if loc is None:
+            raise ValueError(f"no such table: {identifier}")
+        return Table(self.spark, loc,
+                     TableOperations(loc).refresh(), identifier)
+
+    def table_exists(self, identifier: str) -> bool:
+        return identifier in self._tables
+
+    def drop_table(self, identifier: str, purge: bool = True) -> bool:
+        loc = self._tables.pop(identifier, None)
+        if loc is None:
+            return False
+        if purge:
+            shutil.rmtree(loc, ignore_errors=True)
+        return True
+
+    def rename_table(self, from_id: str, to_id: str):
+        if from_id not in self._tables:
+            raise ValueError(f"no such table: {from_id}")
+        if to_id in self._tables:
+            raise ValueError(f"table exists: {to_id}")
+        self._tables[to_id] = self._tables.pop(from_id)
+
+    def list_tables(self, namespace: str = "") -> list:
+        return sorted(i for i in self._tables
+                      if not namespace
+                      or i.rpartition(".")[0] == namespace)
+
+    def create_namespace(self, namespace: str, exists_ok: bool = False):
+        if namespace in self._namespaces and not exists_ok:
+            raise ValueError(f"namespace exists: {namespace}")
+        self._namespaces.add(namespace)
+
+    def namespace_exists(self, namespace: str) -> bool:
+        return namespace in self._namespaces
+
+    def drop_namespace(self, namespace: str):
+        if namespace not in self._namespaces:
+            raise ValueError(f"no such namespace: {namespace}")
+        if self.list_tables(namespace):
+            raise ValueError(f"namespace not empty: {namespace}")
+        self._namespaces.discard(namespace)
+
+    def list_namespaces(self) -> list:
+        return sorted(self._namespaces)
+
+
 _TABLES_DDL = """
 CREATE TABLE IF NOT EXISTS iceberg_tables (
   catalog_name TEXT NOT NULL,

@@ -79,3 +79,22 @@ def test_rest_adapter_over_sql_catalog(sqlcat, spark):
             sqlcat.load_table("db.rt").current_snapshot().snapshot_id
     finally:
         srv.shutdown()
+
+
+def test_in_memory_catalog(spark, tmp_path):
+    from iceberg_spark.catalogs import InMemoryCatalog
+
+    cat = InMemoryCatalog(spark, str(tmp_path / "memwh"))
+    df = spark.range(0, 9).select("id")
+    cat.create_table("db.m1", df.schema).append(df)
+    assert cat.list_tables("db") == ["db.m1"]
+    assert cat.load_table("db.m1").to_df().count() == 9
+    cat.rename_table("db.m1", "db.m2")
+    assert cat.load_table("db.m2").to_df().count() == 9
+    assert not os.path.exists(os.path.join(cat.warehouse, "catalog.db"))
+    # a second instance sees nothing: the registry is process-memory
+    cat2 = InMemoryCatalog(spark, cat.warehouse)
+    assert cat2.list_tables() == []
+    assert cat.drop_table("db.m2")
+    cat.drop_namespace("db")
+    assert cat.list_namespaces() == []
