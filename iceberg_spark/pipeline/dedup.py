@@ -546,8 +546,79 @@ ORDER BY vec_a, vec_b
 """
 
 
+# passage dedup: non-overlapping word windows of this size are the
+# dedup unit (Lee et al. 2021-style substring dedup, chunk-aligned)
+PD_CHUNK = 4
+# chunk_idx < this for any document (docs are KB-scale; a 1e6-token doc
+# would be rejected upstream), so doc_id*SCALE+ci is a collision-free
+# total order matching (doc_id, ci) lexicographic order
+PD_KEY_SCALE = 1_000_000
+
+
+def passage_dedup(spark, sf_dir):
+    """Passage-level exact dedup: every document splits into
+    non-overlapping PD_CHUNK-word passages; a passage is a duplicate if
+    the identical word sequence appeared earlier in the corpus (first
+    occurrence = lowest (doc_id, chunk_idx) — deterministic). Returns
+    per-document passage counts and how many a dedup rewrite would drop.
+
+    100 TB shape: explode to passage rows, one hash-partitioned window
+    over the passage text (the same shuffle a groupBy(chunk) would do —
+    token-volume in, never collected), then a per-doc partial agg. Hot
+    identical passages concentrate on one key only if the corpus is
+    pathologically repetitive; real corpora spread over the passage
+    vocabulary. The first-occurrence key is a single integer so the
+    min() is exact cross-engine."""
+    from pyspark.sql import Window
+
+    docs = dedup_corpus(spark, sf_dir).select("doc_id", "text")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("w"))
+    # docs are non-empty (n>=1 -> nch>=1), so sequence() never sees a
+    # stop below its start (Spark would infer a negative step)
+    nch = F.expr(f"(size(w) + {PD_CHUNK - 1}) div {PD_CHUNK}")
+    chunks = F.transform(
+        F.sequence(F.lit(0), (nch - 1).cast("int")),
+        lambda i: F.concat_ws(
+            " ", F.slice(F.col("w"), i * PD_CHUNK + 1, PD_CHUNK)),
+    )
+    ch = base.select(
+        "doc_id", F.posexplode(chunks).alias("ci", "chunk"))
+    k = F.col("doc_id") * PD_KEY_SCALE + F.col("ci")
+    win = Window.partitionBy("chunk")
+    sel = (ch.select("doc_id", "chunk", k.alias("k"))
+           .withColumn("fk", F.min("k").over(win)))
+    return (sel.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 F.sum(F.when(F.col("k") != F.col("fk"), 1).otherwise(0))
+                 .cast("long").alias("n_dup_chunks"))
+            .orderBy("doc_id"))
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+tok AS (SELECT doc_id, {tokens_sql()} AS w FROM corpus),
+ch AS (
+  SELECT doc_id, unnest(range((len(w) + {PD_CHUNK - 1}) // {PD_CHUNK})) AS ci, w
+  FROM tok
+),
+ch2 AS (
+  SELECT doc_id,
+         array_to_string(w[ci*{PD_CHUNK}+1 : ci*{PD_CHUNK}+{PD_CHUNK}], ' ')
+           AS chunk,
+         doc_id * {PD_KEY_SCALE} + ci AS k
+  FROM ch
+),
+sel AS (SELECT doc_id, k, MIN(k) OVER (PARTITION BY chunk) AS fk FROM ch2)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN k <> fk THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks
+FROM sel GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, NGRAM_JACCARD_SQL),
     "dedup_simhash": (dedup_simhash, SIMHASH_SQL),

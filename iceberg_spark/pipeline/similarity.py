@@ -440,8 +440,80 @@ FROM s2 WHERE rn = 1 GROUP BY cluster ORDER BY cluster
 """
 
 
+# outlier detection: quantization scale is a power of two, so
+# float->double, *SCALE, and floor are all IEEE-exact in both engines;
+# all downstream arithmetic is integer (order-independent sums)
+OUT_SCALE = 256
+OUT_TOP = 20
+OUT_DIMS = 64
+
+
+def embedding_outliers(spark, sf_dir):
+    """Corpus outlier detection: top-{OUT_TOP} vectors by squared L2
+    distance to the corpus centroid — the garbage/anomaly sweep a
+    curation pipeline runs before training. Computed entirely in
+    integer space: components quantize to floor(x*256) (exact — see
+    OUT_SCALE), the centroid stays as per-dim integer SUMs (never
+    divided), and d2_scaled = sum_i (q_i*N - S_i)^2 is an
+    order-independent integer, so both engines rank identically with
+    no float-summation ambiguity.
+
+    100 TB shape: one posexplode -> partial-agg pass produces exactly
+    OUT_DIMS rows (centroid-sized driver materialization, like the IVF
+    centroids); scoring is a rowwise fold against the broadcast sums
+    (no shuffle) and a global top-k. Integer headroom: |q|<=~2.5e3,
+    so q*N stays under 2^62 for corpora up to ~1e15 rows."""
+    emb = engine_embeddings(spark, sf_dir).select(
+        "vec_id", "label", "embedding")
+    q = emb.select(
+        "vec_id", "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * OUT_SCALE).cast("long"),
+        ).alias("qv"),
+    )
+    sums = (q.select(F.posexplode("qv").alias("pos", "v"))
+            .groupBy("pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .orderBy("pos")
+            .collect())  # OUT_DIMS rows — centroid-sized by construction
+    svec = [int(r["s"]) for r in sums]
+    n_rows = int(sums[0]["n"])
+    sarr = F.array(*[F.lit(s) for s in svec])
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), sarr,
+                   lambda x, s: (x * n_rows - s) * (x * n_rows - s)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (q.select("vec_id", "label", d2.alias("d2_scaled"))
+            .orderBy(F.col("d2_scaled").desc(), "vec_id")
+            .limit(OUT_TOP))
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {OUT_SCALE}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s AS (
+  SELECT g.i AS pos, SUM(qv[g.i]) AS sv, COUNT(*) AS n
+  FROM q CROSS JOIN generate_series(1, {OUT_DIMS}) AS g(i)
+  GROUP BY g.i
+),
+cent AS (SELECT list(sv ORDER BY pos) AS sv, MAX(n) AS n FROM s)
+SELECT vec_id, label,
+       CAST(list_sum(list_transform(generate_series(1, {OUT_DIMS}),
+              i -> (qv[i] * cent.n - cent.sv[i])
+                 * (qv[i] * cent.n - cent.sv[i]))) AS BIGINT) AS d2_scaled
+FROM q CROSS JOIN cent
+ORDER BY d2_scaled DESC, vec_id LIMIT {OUT_TOP}
+"""
+
+
 REGISTRY = {
     "knn_bruteforce": (knn_bruteforce, KNN_SQL),
+    "embedding_outliers": (embedding_outliers, EMBEDDING_OUTLIERS_SQL),
     "ann_lsh": (ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_IVF_SQL),
     "embedding_kmeans": (embedding_kmeans, EMBEDDING_KMEANS_SQL),

@@ -421,8 +421,92 @@ FROM ranked WHERE rnk <= {TFIDF_TOP_K} ORDER BY lang, rnk
 """
 
 
+# Gopher-style quality-gate thresholds (Rae et al. 2021, "Scaling
+# Language Models", table A1 — the public rule shapes, tuned to this
+# corpus's size range). All comparisons cross-multiply so every rule is
+# integer-exact in both engines.
+QF_MIN_TOKENS, QF_MAX_TOKENS = 30, 10_000
+QF_MIN_AWL, QF_MAX_AWL = 3, 8       # mean word length in [3, 8]
+QF_MIN_STOP = 2                     # >= 2 English stopword hits
+QF_MAX_DUP_BG_PCT = 30              # duplicate-bigram mass <= 30%
+
+
+def quality_filter_gopher(spark, sf_dir):
+    """Gopher-style document quality gate: per-doc boolean rule columns
+    (token-count bounds, mean-word-length bounds, stopword floor,
+    duplicate-bigram ceiling) and the composite keep flag a curation
+    pipeline would filter on.
+
+    100 TB shape: one narrow projection per document — no shuffle, no
+    UDFs, whole-stage codegen end-to-end; the orderBy exists only for
+    the deterministic oracle compare. Exactness: every rule is an
+    integer cross-multiplication (no ratio division), so the engines
+    cannot disagree on a boundary document."""
+    docs = engine_docs(spark, sf_dir)
+    w = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.length(F.regexp_replace(F.lower(F.trim("text")), r"\s", ""))
+        .alias("n_nospace"),
+    )
+    f = base.select(
+        "doc_id",
+        F.size("w").alias("n_tokens"),
+        "n_nospace",
+        F.size(F.filter(F.col("w"), lambda t: t.isin(*STOPWORDS["en"])))
+        .alias("n_stop"),
+        F.size(_bigrams_col()).alias("n_bg"),
+        F.size(F.array_distinct(_bigrams_col())).alias("n_dbg"),
+    )
+    nt = F.col("n_tokens")
+    ok_len = (nt >= QF_MIN_TOKENS) & (nt <= QF_MAX_TOKENS)
+    ok_wl = (F.col("n_nospace") >= nt * QF_MIN_AWL) & (
+        F.col("n_nospace") <= nt * QF_MAX_AWL)
+    ok_stop = F.col("n_stop") >= QF_MIN_STOP
+    ok_rep = (F.col("n_bg") - F.col("n_dbg")) * 100 <= \
+        F.col("n_bg") * QF_MAX_DUP_BG_PCT
+    return f.select(
+        "doc_id", "n_tokens",
+        ok_len.alias("ok_len"),
+        ok_wl.alias("ok_wordlen"),
+        ok_stop.alias("ok_stop"),
+        ok_rep.alias("ok_rep"),
+        (ok_len & ok_wl & ok_stop & ok_rep).alias("keep"),
+    ).orderBy("doc_id")
+
+
+QUALITY_FILTER_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, {tokens_sql()} AS w,
+         length(regexp_replace(lower(trim(text)), '\\s', '', 'g')) AS n_nospace
+  FROM documents
+),
+f AS (
+  SELECT doc_id, len(w) AS n_tokens, n_nospace,
+         {_sql_stop_count("en")} AS n_stop,
+         len({_BIGRAMS_SQL}) AS n_bg,
+         len(list_distinct({_BIGRAMS_SQL})) AS n_dbg
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}) AS ok_len,
+       (n_nospace >= n_tokens * {QF_MIN_AWL}
+        AND n_nospace <= n_tokens * {QF_MAX_AWL}) AS ok_wordlen,
+       (n_stop >= {QF_MIN_STOP}) AS ok_stop,
+       ((n_bg - n_dbg) * 100 <= n_bg * {QF_MAX_DUP_BG_PCT}) AS ok_rep,
+       (n_tokens >= {QF_MIN_TOKENS} AND n_tokens <= {QF_MAX_TOKENS}
+        AND n_nospace >= n_tokens * {QF_MIN_AWL}
+        AND n_nospace <= n_tokens * {QF_MAX_AWL}
+        AND n_stop >= {QF_MIN_STOP}
+        AND (n_bg - n_dbg) * 100 <= n_bg * {QF_MAX_DUP_BG_PCT}) AS keep
+FROM f ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "text_features": (text_features, TEXT_FEATURES_SQL),
+    "quality_filter_gopher": (quality_filter_gopher, QUALITY_FILTER_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "repetition_score": (repetition_score, REPETITION_SCORE_SQL),
     "corpus_top_bigrams": (corpus_top_bigrams, CORPUS_TOP_BIGRAMS_SQL),
