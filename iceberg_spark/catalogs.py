@@ -44,6 +44,7 @@ class InMemoryCatalog(Catalog):
         super().__init__(spark, warehouse, name)
         self._tables: dict = {}  # ident -> location
         self._namespaces: set = set()
+        self._ns_props: dict = {}  # namespace -> {key: value}
 
     def create_table(self, identifier: str, schema, partition_by=None,
                      sort_order=None, properties=None,
@@ -110,6 +111,30 @@ class InMemoryCatalog(Catalog):
 
     def list_namespaces(self) -> list:
         return sorted(self._namespaces)
+
+    def namespace_properties(self, namespace: str) -> dict:
+        if namespace not in self._namespaces:
+            raise ValueError(f"no such namespace: {namespace}")
+        return dict(self._ns_props.get(namespace, {}))
+
+    def update_namespace_properties(self, namespace: str,
+                                    updates: Optional[dict] = None,
+                                    removals: Optional[list] = None):
+        updates = {k: str(v) for k, v in (updates or {}).items()}
+        removals = list(removals or [])
+        both = set(updates) & set(removals)
+        if both:
+            raise ValueError(
+                f"properties in both updates and removals: {sorted(both)}")
+        if namespace not in self._namespaces:
+            raise ValueError(f"no such namespace: {namespace}")
+        props = self._ns_props.setdefault(namespace, {})
+        removed = [k for k in removals if k in props]
+        missing = [k for k in removals if k not in props]
+        for k in removed:
+            del props[k]
+        props.update(updates)
+        return sorted(updates), sorted(removed), sorted(missing)
 
 
 _TABLES_DDL = """
@@ -320,3 +345,42 @@ class SqlCatalog(Catalog):
                 "iceberg_namespace_properties WHERE catalog_name=?",
                 (self.name,))
             return sorted(r[0] for r in cur.fetchall())
+
+    def namespace_properties(self, namespace: str) -> dict:
+        if not self.namespace_exists(namespace):
+            raise ValueError(f"no such namespace: {namespace}")
+        with self._lock:
+            cur = self._db.execute(
+                "SELECT property_key, property_value FROM "
+                "iceberg_namespace_properties WHERE catalog_name=? AND "
+                "namespace=? AND property_key != 'exists'",
+                (self.name, namespace))
+            return dict(cur.fetchall())
+
+    def update_namespace_properties(self, namespace: str,
+                                    updates: Optional[dict] = None,
+                                    removals: Optional[list] = None):
+        updates = {k: str(v) for k, v in (updates or {}).items()}
+        removals = list(removals or [])
+        both = set(updates) & set(removals)
+        if both:
+            raise ValueError(
+                f"properties in both updates and removals: {sorted(both)}")
+        props = self.namespace_properties(namespace)  # raises on missing ns
+        removed = [k for k in removals if k in props]
+        missing = [k for k in removals if k not in props]
+        with self._lock, self._db:
+            for k in removed:
+                self._db.execute(
+                    "DELETE FROM iceberg_namespace_properties WHERE "
+                    "catalog_name=? AND namespace=? AND property_key=?",
+                    (self.name, namespace, k))
+            for k, v in updates.items():
+                self._db.execute(
+                    "INSERT INTO iceberg_namespace_properties (catalog_name,"
+                    " namespace, property_key, property_value) VALUES "
+                    "(?, ?, ?, ?) ON CONFLICT (catalog_name, namespace, "
+                    "property_key) DO UPDATE SET property_value=excluded."
+                    "property_value",
+                    (self.name, namespace, k, v))
+        return sorted(updates), sorted(removed), sorted(missing)

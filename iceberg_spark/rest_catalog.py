@@ -22,9 +22,14 @@ Endpoints (core/.../rest/CatalogHandlers.java parity):
   GET|HEAD|DELETE /v1/namespaces/{ns}/tables/{table}
   POST /v1/namespaces/{ns}/tables/{table}       (CommitTableRequest)
   POST /v1/tables/rename
+  POST /v1/namespaces/{ns}/properties           (updateNamespaceProperties)
+  POST /v1/namespaces/{ns}/register             (registerTable by
+                                                 metadata-location)
+  POST /v1/transactions/commit                  (multi-table commit)
   GET|POST /v1/namespaces/{ns}/views            (list / createView)
   GET|HEAD|DELETE /v1/namespaces/{ns}/views/{view}
   POST /v1/namespaces/{ns}/views/{view}         (UpdateViewRequest)
+  POST /v1/views/rename
 
 Commits validate requirements (assert-ref-snapshot-id /
 assert-table-uuid → 409 CommitFailedException on mismatch) and apply
@@ -230,7 +235,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(404, f"no such namespace: {ns}",
                                    "NoSuchNamespaceException")
             return self._json(200, {"namespace": ns.split("."),
-                                    "properties": {}})
+                                    "properties":
+                                        cat.namespace_properties(ns)})
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "tables":
             ns = rest[1].replace("\x1f", ".")
             if not cat.namespace_exists(ns):
@@ -305,6 +311,16 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, {"namespace": ns.split("."),
                                     "properties": body.get(
                                         "properties") or {}})
+        if len(rest) == 3 and rest[0] == "namespaces" \
+                and rest[2] == "properties":
+            return self._update_ns_props(rest[1].replace("\x1f", "."), body)
+        if len(rest) == 3 and rest[0] == "namespaces" \
+                and rest[2] == "register":
+            return self._register_table(rest[1].replace("\x1f", "."), body)
+        if rest == ["views", "rename"]:
+            return self._rename_view(body)
+        if rest == ["transactions", "commit"]:
+            return self._commit_transaction(body)
         if rest == ["tables", "rename"]:
             src = body["source"]
             dst = body["destination"]
@@ -335,6 +351,96 @@ class _Handler(BaseHTTPRequestHandler):
                 rest[1].replace("\x1f", "."), rest[3], body)
         return self._error(404, f"no such route: {self.path}",
                            "NoSuchRouteException")
+
+    def _update_ns_props(self, ns: str, body: dict):
+        """UpdateNamespacePropertiesRequest -> {updated, removed,
+        missing} (open-api updateProperties)."""
+        cat = self.catalog
+        if not cat.namespace_exists(ns):
+            return self._error(404, f"no such namespace: {ns}",
+                               "NoSuchNamespaceException")
+        try:
+            upd, rem, missing = cat.update_namespace_properties(
+                ns, body.get("updates") or {}, body.get("removals") or [])
+        except ValueError as e:
+            return self._error(400, str(e)[:300], "BadRequestException")
+        return self._json(200, {"updated": upd, "removed": rem,
+                                "missing": missing})
+
+    def _register_table(self, ns: str, body: dict):
+        """RegisterTableRequest: adopt an existing reference-layout table
+        by its metadata-location — full-history Avro-manifest replay, files
+        by reference (open-api registerTable)."""
+        from .sources.iceberg import register_iceberg_table
+
+        cat = self.catalog
+        if not cat.namespace_exists(ns):
+            return self._error(404, f"no such namespace: {ns}",
+                               "NoSuchNamespaceException")
+        ident = f"{ns}.{body['name']}"
+        if cat.table_exists(ident):
+            return self._error(409, f"table exists: {ident}",
+                               "AlreadyExistsException")
+        try:
+            register_iceberg_table(cat, body["metadata-location"], ident)
+        except FileNotFoundError as e:
+            return self._error(404, str(e)[:500], "NoSuchTableException")
+        except (ValueError, NotImplementedError) as e:
+            return self._error(400, str(e)[:500], type(e).__name__)
+        return self._json(200, _load_table_result(cat, ident))
+
+    def _rename_view(self, body: dict):
+        from .views import load_view, rename_view
+
+        cat = self.catalog
+        src, dst = body["source"], body["destination"]
+        s_id = ".".join(src["namespace"] + [src["name"]])
+        d_id = ".".join(dst["namespace"] + [dst["name"]])
+        if load_view(cat, s_id) is None:
+            return self._error(404, f"no such view: {s_id}",
+                               "NoSuchViewException")
+        if load_view(cat, d_id) is not None:
+            return self._error(409, f"view exists: {d_id}",
+                               "AlreadyExistsException")
+        rename_view(cat, s_id, d_id)
+        return self._json(200)
+
+    def _commit_transaction(self, body: dict):
+        """CommitTransactionRequest: multiple tables' requirements are ALL
+        validated against current metadata before any change applies;
+        application is then sequential per table (each engine commit is
+        individually atomic via its CAS — a concurrent writer landing
+        between validate and apply surfaces as a 409 from the losing
+        table, matching non-atomic multi-table semantics of file-based
+        reference catalogs)."""
+        from .metadata import CommitFailedException
+
+        cat = self.catalog
+        staged = []
+        for ch in body.get("table-changes") or []:
+            ident_j = ch.get("identifier") or {}
+            ident = ".".join(
+                list(ident_j.get("namespace") or [])
+                + [ident_j.get("name") or ""])
+            if not cat.table_exists(ident):
+                return self._error(404, f"no such table: {ident}",
+                                   "NoSuchTableException")
+            t = cat.load_table(ident)
+            err = self._requirements_error(
+                t.metadata, ch.get("requirements"), ident)
+            if err is not None:
+                return self._error(*err)
+            staged.append((ident, t, ch.get("updates") or []))
+        for ident, t, updates in staged:
+            try:
+                self._apply_table_updates(t, updates)
+            except CommitFailedException as e:
+                return self._error(409, f"{ident}: {str(e)[:400]}",
+                                   "CommitFailedException")
+            except (NotImplementedError, ValueError) as e:
+                return self._error(400, f"{ident}: {str(e)[:400]}",
+                                   type(e).__name__)
+        return self._json(204)
 
     def _create_table(self, ns: str, body: dict):
         from .schema import Schema
@@ -368,10 +474,7 @@ class _Handler(BaseHTTPRequestHandler):
         return self._json(200, _load_table_result(cat, ident))
 
     def _commit_table(self, ns: str, tbl: str, body: dict):
-        from dataclasses import replace
-
         from .metadata import CommitFailedException
-        from .sources.iceberg import replay_snapshot_onto
 
         cat = self.catalog
         ident = f"{ns}.{tbl}"
@@ -379,8 +482,24 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(404, f"no such table: {ident}",
                                "NoSuchTableException")
         t = cat.load_table(ident)
-        meta = t.metadata
-        for r in body.get("requirements") or []:
+        err = self._requirements_error(t.metadata, body.get("requirements"),
+                                       ident)
+        if err is not None:
+            return self._error(*err)
+        try:
+            self._apply_table_updates(t, body.get("updates") or [])
+        except CommitFailedException as e:
+            return self._error(409, str(e)[:500], "CommitFailedException")
+        except (NotImplementedError, ValueError) as e:
+            return self._error(400, str(e)[:500], type(e).__name__)
+        return self._json(200, _load_table_result(cat, ident))
+
+    @staticmethod
+    def _requirements_error(meta, reqs, ident):
+        """Validate CommitTableRequest requirements against the CURRENT
+        metadata; returns (code, msg, etype) on the first failure, None
+        when all hold."""
+        for r in reqs or []:
             ty = r.get("type")
             if ty == "assert-ref-snapshot-id":
                 name = r.get("ref", "main")
@@ -388,37 +507,37 @@ class _Handler(BaseHTTPRequestHandler):
                 have = ref.snapshot_id if ref else None
                 want = r.get("snapshot-id")
                 if want != have:
-                    return self._error(
+                    return (
                         409, f"requirement failed: ref {name} is at "
                         f"{have}, expected {want}",
                         "CommitFailedException")
             elif ty == "assert-table-uuid":
                 if r.get("uuid") != meta.table_uuid:
-                    return self._error(
+                    return (
                         409, f"requirement failed: table uuid is "
                         f"{meta.table_uuid}, expected {r.get('uuid')}",
                         "CommitFailedException")
             elif ty == "assert-create":
-                return self._error(
+                return (
                     409, f"requirement failed: table exists: {ident}",
                     "CommitFailedException")
             elif ty == "assert-current-schema-id":
                 if r.get("current-schema-id") != meta.current_schema_id:
-                    return self._error(
+                    return (
                         409, "requirement failed: current schema id is "
                         f"{meta.current_schema_id}, expected "
                         f"{r.get('current-schema-id')}",
                         "CommitFailedException")
             elif ty == "assert-default-spec-id":
                 if r.get("default-spec-id") != meta.default_spec_id:
-                    return self._error(
+                    return (
                         409, "requirement failed: default spec id is "
                         f"{meta.default_spec_id}, expected "
                         f"{r.get('default-spec-id')}",
                         "CommitFailedException")
             elif ty == "assert-last-assigned-field-id":
                 if r.get("last-assigned-field-id") != meta.last_column_id:
-                    return self._error(
+                    return (
                         409, "requirement failed: last column id is "
                         f"{meta.last_column_id}, expected "
                         f"{r.get('last-assigned-field-id')}",
@@ -426,7 +545,7 @@ class _Handler(BaseHTTPRequestHandler):
             elif ty == "assert-last-assigned-partition-id":
                 if r.get("last-assigned-partition-id") != \
                         meta.last_partition_id:
-                    return self._error(
+                    return (
                         409, "requirement failed: last partition id is "
                         f"{meta.last_partition_id}, expected "
                         f"{r.get('last-assigned-partition-id')}",
@@ -434,21 +553,32 @@ class _Handler(BaseHTTPRequestHandler):
             elif ty == "assert-default-sort-order-id":
                 if r.get("default-sort-order-id") != \
                         meta.default_sort_order_id:
-                    return self._error(
+                    return (
                         409, "requirement failed: default sort order id "
                         f"is {meta.default_sort_order_id}, expected "
                         f"{r.get('default-sort-order-id')}",
                         "CommitFailedException")
             else:
-                return self._error(
+                return (
                     400, f"unsupported requirement type: {ty}",
                     "BadRequestException")
+        return None
+
+    def _apply_table_updates(self, t, updates):
+        """Apply CommitTableRequest updates to a loaded table; raises
+        CommitFailedException (CAS loss) or ValueError/NotImplementedError
+        (bad request) — callers map those to 409/400."""
+        from dataclasses import replace
+
+        from .sources.iceberg import replay_snapshot_onto
+
+        cat = self.catalog
         set_props, rm_props, snaps, ref_sets = {}, [], [], []
         add_schemas, set_cur_schema = [], None
         add_specs, set_def_spec = [], None
         add_sorts, set_def_sort = [], None
         rm_refs = []
-        for u in body.get("updates") or []:
+        for u in updates:
             a = u.get("action")
             if a == "set-properties":
                 set_props.update(u.get("updates") or {})
@@ -473,50 +603,42 @@ class _Handler(BaseHTTPRequestHandler):
             elif a == "remove-snapshot-ref":
                 rm_refs.append(u["ref-name"])
             else:
-                return self._error(
-                    400, f"unsupported update action: {a}",
-                    "BadRequestException")
-        try:
-            if add_schemas or set_cur_schema is not None \
-                    or add_specs or set_def_spec is not None \
-                    or add_sorts or set_def_sort is not None:
-                t = _apply_schema_updates(
-                    t, add_schemas, set_cur_schema, add_specs,
-                    set_def_spec, add_sorts, set_def_sort)
-            added_ids = set()
-            for sj in snaps:
-                sid = int(sj["snapshot-id"])
-                branch = next(
-                    (rs.get("ref-name", "main") for rs in ref_sets
-                     if rs.get("snapshot-id") == sid), "main")
-                replay_snapshot_onto(cat, t, sj, branch=branch)
-                t = t.refresh()
-                added_ids.add(sid)
-            for rs in ref_sets:  # pure ref moves (rollback, tag, branch)
-                sid = rs.get("snapshot-id")
-                if sid in added_ids:
-                    continue  # the replay commit already advanced this ref
-                ms = t.manage_snapshots()  # ops commit immediately
-                if rs.get("type") == "tag":
-                    ms.create_tag(rs["ref-name"], sid)
-                elif rs.get("ref-name", "main") == "main":
-                    ms.set_current_snapshot(sid)
-                else:
-                    ms.create_branch(rs["ref-name"], sid)
-                t = t.refresh()
-            for name in rm_refs:
-                t.manage_snapshots().remove_ref(name)
-                t = t.refresh()
-            if set_props or rm_props:
-                props = {k: v for k, v in t.metadata.properties.items()
-                         if k not in set(rm_props)}
-                props.update({k: str(v) for k, v in set_props.items()})
-                t._commit_metadata(replace(t.metadata, properties=props))
-        except CommitFailedException as e:
-            return self._error(409, str(e)[:500], "CommitFailedException")
-        except (NotImplementedError, ValueError) as e:
-            return self._error(400, str(e)[:500], type(e).__name__)
-        return self._json(200, _load_table_result(cat, ident))
+                raise ValueError(f"unsupported update action: {a}")
+        if add_schemas or set_cur_schema is not None \
+                or add_specs or set_def_spec is not None \
+                or add_sorts or set_def_sort is not None:
+            t = _apply_schema_updates(
+                t, add_schemas, set_cur_schema, add_specs,
+                set_def_spec, add_sorts, set_def_sort)
+        added_ids = set()
+        for sj in snaps:
+            sid = int(sj["snapshot-id"])
+            branch = next(
+                (rs.get("ref-name", "main") for rs in ref_sets
+                 if rs.get("snapshot-id") == sid), "main")
+            replay_snapshot_onto(cat, t, sj, branch=branch)
+            t = t.refresh()
+            added_ids.add(sid)
+        for rs in ref_sets:  # pure ref moves (rollback, tag, branch)
+            sid = rs.get("snapshot-id")
+            if sid in added_ids:
+                continue  # the replay commit already advanced this ref
+            ms = t.manage_snapshots()  # ops commit immediately
+            if rs.get("type") == "tag":
+                ms.create_tag(rs["ref-name"], sid)
+            elif rs.get("ref-name", "main") == "main":
+                ms.set_current_snapshot(sid)
+            else:
+                ms.create_branch(rs["ref-name"], sid)
+            t = t.refresh()
+        for name in rm_refs:
+            t.manage_snapshots().remove_ref(name)
+            t = t.refresh()
+        if set_props or rm_props:
+            props = {k: v for k, v in t.metadata.properties.items()
+                     if k not in set(rm_props)}
+            props.update({k: str(v) for k, v in set_props.items()})
+            t._commit_metadata(replace(t.metadata, properties=props))
 
     @staticmethod
     def _version_sql(vv: dict):

@@ -827,6 +827,48 @@ class Catalog:
     def namespace_exists(self, namespace: str) -> bool:
         return os.path.isdir(os.path.join(self.warehouse, *namespace.split(".")))
 
+    _NS_PROPS_FILE = "_namespace_properties.json"
+
+    def _ns_props_path(self, namespace: str) -> str:
+        return os.path.join(self.warehouse, *namespace.split("."),
+                            self._NS_PROPS_FILE)
+
+    def namespace_properties(self, namespace: str) -> dict:
+        if not self.namespace_exists(namespace):
+            raise ValueError(f"no such namespace: {namespace}")
+        p = self._ns_props_path(namespace)
+        if not os.path.exists(p):
+            return {}
+        import json as _json
+
+        with open(p) as f:
+            return _json.load(f)
+
+    def update_namespace_properties(self, namespace: str,
+                                    updates: Optional[dict] = None,
+                                    removals: Optional[list] = None):
+        """Set/remove namespace properties; returns (updated, removed,
+        missing) key lists — the REST UpdateNamespacePropertiesResponse
+        shape. A key in both updates and removals is an error (the
+        reference rejects the ambiguity)."""
+        updates = {k: str(v) for k, v in (updates or {}).items()}
+        removals = list(removals or [])
+        both = set(updates) & set(removals)
+        if both:
+            raise ValueError(
+                f"properties in both updates and removals: {sorted(both)}")
+        props = self.namespace_properties(namespace)
+        removed = [k for k in removals if k in props]
+        missing = [k for k in removals if k not in props]
+        for k in removed:
+            del props[k]
+        props.update(updates)
+        import json as _json
+
+        with open(self._ns_props_path(namespace), "w") as f:
+            _json.dump(props, f)
+        return sorted(updates), sorted(removed), sorted(missing)
+
     def drop_namespace(self, namespace: str):
         p = os.path.join(self.warehouse, *namespace.split("."))
         if not os.path.isdir(p):

@@ -213,6 +213,20 @@ def drop_view(catalog, identifier: str) -> bool:
     return False
 
 
+def rename_view(catalog, from_id: str, to_id: str) -> None:
+    """Rename a view: identity (version history, properties) moves with
+    it; the stored identifier field follows the new name."""
+    vm = load_view(catalog, from_id)
+    if vm is None:
+        raise ValueError(f"no such view: {from_id}")
+    if load_view(catalog, to_id) is not None:
+        raise ValueError(f"view exists: {to_id}")
+    from dataclasses import replace as _replace
+
+    _store(catalog, "_views", to_id, _replace(vm, identifier=to_id).to_json())
+    drop_view(catalog, from_id)
+
+
 def list_views(catalog) -> list:
     d = os.path.join(catalog.warehouse, "_views")
     if not os.path.isdir(d):

@@ -478,3 +478,123 @@ def test_rest_sequential_client_commits(server, catalog):
     inc = t.changes(from_snapshot_id=snaps[0].snapshot_id)
     assert inc.where(F.col("_change_type") == "INSERT").count() == \
         total - 40
+
+
+def test_rest_namespace_properties(server, catalog):
+    _cat, port = server
+    st, res = _req(port, "/v1/namespaces/db/properties", {
+        "updates": {"owner": "ops", "tier": "gold"}})
+    assert st == 200
+    assert res["updated"] == ["owner", "tier"]
+    st, res = _get(port, "/v1/namespaces/db")
+    assert res["properties"] == {"owner": "ops", "tier": "gold"}
+    st, res = _req(port, "/v1/namespaces/db/properties", {
+        "updates": {"tier": "silver"}, "removals": ["owner", "ghost"]})
+    assert res["updated"] == ["tier"]
+    assert res["removed"] == ["owner"]
+    assert res["missing"] == ["ghost"]
+    st, res = _get(port, "/v1/namespaces/db")
+    assert res["properties"] == {"tier": "silver"}
+    # same key in updates AND removals -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/properties", {
+            "updates": {"k": "v"}, "removals": ["k"]})
+    assert ei.value.code == 400
+    # unknown namespace -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/nope/properties", {"updates": {"a": "b"}})
+    assert ei.value.code == 404
+
+
+def test_rest_register_table(server, catalog, tmp_path):
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    _cat, port = server
+    t = catalog.load_table("db.rest_t")
+    mpath = export_reference_metadata(t, str(tmp_path / "refexp"))
+    st, res = _req(port, "/v1/namespaces/db/register", {
+        "name": "adopted", "metadata-location": mpath})
+    assert st == 200
+    assert res["metadata-location"]
+    adopted = catalog.load_table("db.adopted")
+    assert adopted.to_df().count() == 40
+    # duplicate register -> 409
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/register", {
+            "name": "adopted", "metadata-location": mpath})
+    assert ei.value.code == 409
+    # bogus location -> 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/register", {
+            "name": "ghost", "metadata-location": str(tmp_path / "nope")})
+    assert ei.value.code == 404
+
+
+def test_rest_rename_view(server, catalog):
+    from iceberg_spark.views import load_view
+
+    _cat, port = server
+    _req(port, "/v1/namespaces/db/views", {
+        "name": "v_orig", "view-version": {
+            "version-id": 1, "representations": [
+                {"type": "sql", "sql": "SELECT 1 AS one",
+                 "dialect": "spark"}]}})
+    st, _ = _req(port, "/v1/views/rename", {
+        "source": {"namespace": ["db"], "name": "v_orig"},
+        "destination": {"namespace": ["db"], "name": "v_new"}})
+    assert st == 200
+    assert load_view(catalog, "db.v_orig") is None
+    vm = load_view(catalog, "db.v_new")
+    assert vm is not None and vm.identifier == "db.v_new"
+    assert "SELECT 1" in vm.sql
+    with pytest.raises(urllib.error.HTTPError) as ei:  # gone -> 404
+        _req(port, "/v1/views/rename", {
+            "source": {"namespace": ["db"], "name": "v_orig"},
+            "destination": {"namespace": ["db"], "name": "v2"}})
+    assert ei.value.code == 404
+
+
+def test_rest_commit_transaction(server, catalog):
+    _cat, port = server
+    df = catalog.spark.range(0, 5).select(
+        "id", (F.col("id") % 2).alias("grp"))
+    t2 = catalog.create_table("db.rest_t2", df.schema)
+    t2.append(df)
+    t1 = catalog.load_table("db.rest_t")
+    sid1 = t1.current_snapshot().snapshot_id
+    sid2 = t2.current_snapshot().snapshot_id
+
+    # both requirements hold -> both tables updated, 204
+    st, _ = _req(port, "/v1/transactions/commit", {
+        "table-changes": [
+            {"identifier": {"namespace": ["db"], "name": "rest_t"},
+             "requirements": [{"type": "assert-ref-snapshot-id",
+                               "ref": "main", "snapshot-id": sid1}],
+             "updates": [{"action": "set-properties",
+                          "updates": {"txn": "1"}}]},
+            {"identifier": {"namespace": ["db"], "name": "rest_t2"},
+             "requirements": [{"type": "assert-ref-snapshot-id",
+                               "ref": "main", "snapshot-id": sid2}],
+             "updates": [{"action": "set-properties",
+                          "updates": {"txn": "1"}}]},
+        ]})
+    assert st == 204
+    assert catalog.load_table("db.rest_t").properties["txn"] == "1"
+    assert catalog.load_table("db.rest_t2").properties["txn"] == "1"
+
+    # second table's requirement fails -> 409, NEITHER table changes
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/transactions/commit", {
+            "table-changes": [
+                {"identifier": {"namespace": ["db"], "name": "rest_t"},
+                 "updates": [{"action": "set-properties",
+                              "updates": {"txn": "2"}}]},
+                {"identifier": {"namespace": ["db"], "name": "rest_t2"},
+                 "requirements": [{"type": "assert-ref-snapshot-id",
+                                   "ref": "main", "snapshot-id": -1}],
+                 "updates": [{"action": "set-properties",
+                              "updates": {"txn": "2"}}]},
+            ]})
+    assert ei.value.code == 409
+    assert catalog.load_table("db.rest_t").properties["txn"] == "1"
+    assert catalog.load_table("db.rest_t2").properties["txn"] == "1"

@@ -98,3 +98,28 @@ def test_in_memory_catalog(spark, tmp_path):
     assert cat.drop_table("db.m2")
     cat.drop_namespace("db")
     assert cat.list_namespaces() == []
+
+
+def test_namespace_properties_all_catalogs(sqlcat, spark, tmp_path):
+    """namespace_properties / update_namespace_properties behave
+    identically on the dir, SQL, and in-memory catalogs."""
+    from iceberg_spark.catalogs import InMemoryCatalog
+    from iceberg_spark.table import Catalog
+
+    dircat = Catalog(spark, str(tmp_path / "dwh"))
+    memcat = InMemoryCatalog(spark, str(tmp_path / "mwh"))
+    for cat in (sqlcat, dircat, memcat):
+        cat.create_namespace("nsp", exists_ok=True)
+        assert cat.namespace_properties("nsp") == {}
+        upd, rem, miss = cat.update_namespace_properties(
+            "nsp", {"owner": "ops", "n": 3}, [])
+        assert upd == ["n", "owner"] and rem == [] and miss == []
+        assert cat.namespace_properties("nsp") == {"owner": "ops", "n": "3"}
+        upd, rem, miss = cat.update_namespace_properties(
+            "nsp", {"n": "4"}, ["owner", "ghost"])
+        assert rem == ["owner"] and miss == ["ghost"]
+        assert cat.namespace_properties("nsp") == {"n": "4"}
+        with pytest.raises(ValueError):
+            cat.update_namespace_properties("nsp", {"k": "v"}, ["k"])
+        with pytest.raises(ValueError):
+            cat.namespace_properties("no_such_ns")
