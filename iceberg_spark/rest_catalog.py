@@ -226,9 +226,25 @@ class _Handler(BaseHTTPRequestHandler):
         if rest == ["config"]:
             return self._json(200, {"defaults": {}, "overrides": {}})
         if rest == ["namespaces"]:
+            from urllib.parse import parse_qs
+
+            q = parse_qs((self.path.split("?", 1) + [""])[1])
+            parent = q.get("parent", [None])[0]
+            names = cat.list_namespaces()
+            if parent is not None:
+                # multipart parents arrive 0x1F-separated (the spec's
+                # unit separator); children are exactly one level deeper
+                pfx = parent.replace("\x1f", ".")
+                if not cat.namespace_exists(pfx):
+                    return self._error(
+                        404, f"no such namespace: {pfx}",
+                        "NoSuchNamespaceException")
+                depth = pfx.count(".") + 2
+                names = [ns for ns in names
+                         if ns.startswith(pfx + ".")
+                         and ns.count(".") + 1 == depth]
             return self._json(200, self._page(
-                [ns.split(".") for ns in cat.list_namespaces()],
-                "namespaces"))
+                [ns.split(".") for ns in names], "namespaces"))
         if len(rest) == 2 and rest[0] == "namespaces":
             ns = rest[1].replace("\x1f", ".")
             if not cat.namespace_exists(ns):

@@ -598,3 +598,18 @@ def test_rest_commit_transaction(server, catalog):
     assert ei.value.code == 409
     assert catalog.load_table("db.rest_t").properties["txn"] == "1"
     assert catalog.load_table("db.rest_t2").properties["txn"] == "1"
+
+
+def test_rest_list_namespaces_parent(server, catalog):
+    _cat, port = server
+    catalog.create_namespace("db.child1", exists_ok=True)
+    catalog.create_namespace("db.child2", exists_ok=True)
+    catalog.create_namespace("db.child1.grand", exists_ok=True)
+    st, res = _get(port, "/v1/namespaces?parent=db")
+    assert st == 200
+    assert res["namespaces"] == [["db", "child1"], ["db", "child2"]]
+    st, res = _get(port, "/v1/namespaces?parent=db%1Fchild1")
+    assert res["namespaces"] == [["db", "child1", "grand"]]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, "/v1/namespaces?parent=nope")
+    assert ei.value.code == 404
