@@ -780,6 +780,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self):
         try:
             self._route_post()
+        except (KeyError, TypeError) as e:
+            # malformed request body (missing/mistyped field) -> 400, the
+            # open-api BadRequestException, not a server error
+            self._error(400, f"malformed request: {str(e)[:300]}",
+                        "BadRequestException")
+        except json.JSONDecodeError as e:
+            self._error(400, f"invalid JSON body: {str(e)[:300]}",
+                        "BadRequestException")
         except Exception as e:  # noqa: BLE001 — surface as a 500 payload
             self._error(500, str(e)[:500], type(e).__name__)
 

@@ -613,3 +613,23 @@ def test_rest_list_namespaces_parent(server, catalog):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(port, "/v1/namespaces?parent=nope")
     assert ei.value.code == 404
+
+
+def test_rest_malformed_bodies_are_400(server):
+    _cat, port = server
+    # createTable without a schema -> 400, not 500
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables", {"name": "broken"})
+    assert ei.value.code == 400
+    # invalid JSON -> 400
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/namespaces", method="POST",
+        data=b"{not json", headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req)
+    assert ei.value.code == 400
+    # rename without destination -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/tables/rename",
+             {"source": {"namespace": ["db"], "name": "rest_t"}})
+    assert ei.value.code == 400
