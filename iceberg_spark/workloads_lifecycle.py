@@ -1101,10 +1101,16 @@ def runtime_filter_scan(spark, sf_dir):
     from .workloads import engine_table as _et
 
     t = _et(spark, sf_dir, "orders", partition_by=["bucket(16, o_custkey)"])
+    # the build side caps at 8 keys (deterministic: lowest custkeys) so it
+    # stays selective at every SF — with <=8 of 16 buckets reachable,
+    # bucket-projection pruning is guaranteed, which is the scenario
+    # runtime filtering exists for; an unselective build side would
+    # correctly prune nothing (and did, at sf>=0.1, before the cap)
     cust = (load_table(spark, sf_dir, "customer")
             .filter((F.col("c_mktsegment") == "AUTOMOBILE")
                     & (F.col("c_acctbal") > 9000))
-            .select("c_custkey"))
+            .select("c_custkey")
+            .orderBy("c_custkey").limit(8))
     scan = t.scan().runtime_filter("o_custkey", cust)
     plan = scan.plan_files()
     full = len(t.scan().plan_files().files)
@@ -1119,7 +1125,8 @@ RUNTIME_FILTER_SQL = """
 SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
 FROM orders
 WHERE o_custkey IN (SELECT c_custkey FROM customer
-                    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000)
+                    WHERE c_mktsegment = 'AUTOMOBILE' AND c_acctbal > 9000
+                    ORDER BY c_custkey LIMIT 8)
 GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
