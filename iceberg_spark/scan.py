@@ -846,6 +846,32 @@ def _pos_delete_ranges(plan: ScanPlan):
     return ranges
 
 
+def _ranges_filter(path_col, pos_col, pos_ranges, path_lit=lambda fp: fp):
+    """Compact 'deleted' predicate for position runs: singleton positions
+    collapse into ONE isin() per file (Catalyst InSet — O(1) expression
+    depth, hash-set probe at runtime); true runs stay as between(). The
+    naive per-range (lt OR gt) AND-chain costs Catalyst ~1.5s of
+    analysis/codegen at ~150 scattered single-row deletes — the exact
+    shape random row-level deletes produce — vs ~0.1s for this one."""
+    by_fp: dict = {}
+    for fp, lo, hi in pos_ranges:
+        pts, runs = by_fp.setdefault(fp, ([], []))
+        (pts if lo == hi else runs).append((lo, hi))
+    deleted = None
+    for fp, (pts, runs) in by_fp.items():
+        conds = []
+        if pts:
+            conds.append(pos_col.isin(*[lo for lo, _ in pts]))
+        for lo, hi in runs:
+            conds.append(pos_col.between(lo, hi))
+        c = conds[0]
+        for extra in conds[1:]:
+            c = c | extra
+        c = (path_col == F.lit(path_lit(fp))) & c
+        deleted = c if deleted is None else (deleted | c)
+    return deleted
+
+
 def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False,
                with_lineage: bool = False) -> DataFrame:
     spark = scan.spark
@@ -1060,12 +1086,11 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 pieces.append(
                     spark.read.schema(read_schema).format(ffmt).load(clean))
             if hit:
-                deleted = None
-                for fp, lo, hi in pos_ranges:
-                    u = "file:" + fp if fp.startswith("/") else fp
-                    c = ((F.col("_metadata.file_path") == F.lit(u))
-                         & F.col("_metadata.row_index").between(lo, hi))
-                    deleted = c if deleted is None else (deleted | c)
+                deleted = _ranges_filter(
+                    F.col("_metadata.file_path"),
+                    F.col("_metadata.row_index"), pos_ranges,
+                    path_lit=lambda fp: (
+                        "file:" + fp if fp.startswith("/") else fp))
                 pieces.append(
                     spark.read.schema(read_schema).format(ffmt).load(hit)
                     .filter(~deleted))
@@ -1163,11 +1188,8 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             # tiny delete set but metadata columns are materialized anyway
             # (lineage/eq-deletes/user request): codegen filter on the
             # normalized columns, still no join and no extra Spark job
-            deleted = None
-            for fp, lo, hi in pos_ranges:
-                c = (F.col(FILE_PATH_COL) == F.lit(fp)) & \
-                    F.col(POS_COL).between(lo, hi)
-                deleted = c if deleted is None else (deleted | c)
+            deleted = _ranges_filter(F.col(FILE_PATH_COL),
+                                     F.col(POS_COL), pos_ranges)
             if deleted is not None:
                 out = out.filter(~deleted)
         else:
