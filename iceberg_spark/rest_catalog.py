@@ -183,6 +183,7 @@ def _view_result(catalog, ident: str) -> dict:
 
 class _Handler(BaseHTTPRequestHandler):
     catalog = None  # injected by serve()
+    staged = None  # per-server staged-create registry, injected by serve()
 
     def log_message(self, *a):  # silence default stderr access log
         pass
@@ -466,14 +467,33 @@ class _Handler(BaseHTTPRequestHandler):
         if not cat.namespace_exists(ns):
             return self._error(404, f"no such namespace: {ns}",
                                "NoSuchNamespaceException")
-        if body.get("stage-create"):
-            return self._error(
-                400, "stage-create (staged table creation) is not "
-                "supported by this adapter", "BadRequestException")
         ident = f"{ns}.{body['name']}"
         if cat.table_exists(ident):
             return self._error(409, f"table exists: {ident}",
                                "AlreadyExistsException")
+        if body.get("stage-create"):
+            # staged creation: nothing lands in the catalog; the table
+            # materializes when a commit with assert-create arrives
+            # (CatalogHandlers.stageTableCreate -> updateTable flow).
+            # Re-staging overwrites the pending definition.
+            import uuid as _uuid
+
+            staged_uuid = (self.staged.get(ident) or {}).get(
+                "uuid", str(_uuid.uuid4()))
+            self.staged[ident] = {"body": body, "uuid": staged_uuid}
+            Schema.from_json(_map_types(body["schema"]))  # validate early
+            return self._json(200, {"metadata": {
+                "format-version": 2,
+                "table-uuid": staged_uuid,
+                "schemas": [body["schema"]],
+                "current-schema-id": body["schema"].get("schema-id", 0),
+                "partition-specs": [body.get("partition-spec")
+                                    or {"spec-id": 0, "fields": []}],
+                "default-spec-id": (body.get("partition-spec")
+                                    or {}).get("spec-id", 0),
+                "properties": body.get("properties") or {},
+                "snapshots": [],
+            }})
         schema = Schema.from_json(_map_types(body["schema"]))
         spec_json = body.get("partition-spec") or {"spec-id": 0,
                                                    "fields": []}
@@ -495,6 +515,8 @@ class _Handler(BaseHTTPRequestHandler):
         cat = self.catalog
         ident = f"{ns}.{tbl}"
         if not cat.table_exists(ident):
+            if ident in (self.staged or {}):
+                return self._commit_staged(ident, body)
             return self._error(404, f"no such table: {ident}",
                                "NoSuchTableException")
         t = cat.load_table(ident)
@@ -508,6 +530,44 @@ class _Handler(BaseHTTPRequestHandler):
             return self._error(409, str(e)[:500], "CommitFailedException")
         except (NotImplementedError, ValueError) as e:
             return self._error(400, str(e)[:500], type(e).__name__)
+        return self._json(200, _load_table_result(cat, ident))
+
+    def _commit_staged(self, ident: str, body: dict):
+        """First commit against a staged create: materialize the table
+        (assert-create holds by construction — it does not exist), then
+        apply the commit's updates. Other assert-* requirements cannot
+        hold against a table with no metadata yet -> 409."""
+        from .metadata import CommitFailedException
+        from .schema import Schema
+        from .sources.iceberg import _map_types, _parse_specs
+
+        cat = self.catalog
+        for r in body.get("requirements") or []:
+            if r.get("type") != "assert-create":
+                return self._error(
+                    409, f"requirement failed: staged table {ident} has "
+                    f"no current metadata for {r.get('type')}",
+                    "CommitFailedException")
+        sb = self.staged[ident]["body"]
+        schema = Schema.from_json(_map_types(sb["schema"]))
+        spec_json = sb.get("partition-spec") or {"spec-id": 0, "fields": []}
+        specs, default = _parse_specs(
+            {"partition-specs": [spec_json],
+             "default-spec-id": spec_json.get("spec-id", 0)},
+            {schema.schema_id: schema}, schema.schema_id)
+        try:
+            t = cat.create_table(ident, schema,
+                                 partition_by=specs[default],
+                                 properties=sb.get("properties") or None)
+        except ValueError as e:  # lost the create race after staging
+            return self._error(409, str(e)[:300], "AlreadyExistsException")
+        try:
+            self._apply_table_updates(t, body.get("updates") or [])
+        except CommitFailedException as e:
+            return self._error(409, str(e)[:500], "CommitFailedException")
+        except (NotImplementedError, ValueError) as e:
+            return self._error(400, str(e)[:500], type(e).__name__)
+        del self.staged[ident]
         return self._json(200, _load_table_result(cat, ident))
 
     @staticmethod
@@ -805,7 +865,8 @@ class _Handler(BaseHTTPRequestHandler):
 def serve(catalog, port: int = 0):
     """Start the adapter on localhost; returns (server, port). Call
     `server.shutdown()` to stop. Requests run in daemon threads."""
-    handler = type("Handler", (_Handler,), {"catalog": catalog})
+    handler = type("Handler", (_Handler,),
+                   {"catalog": catalog, "staged": {}})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()

@@ -633,3 +633,47 @@ def test_rest_malformed_bodies_are_400(server):
         _req(port, "/v1/tables/rename",
              {"source": {"namespace": ["db"], "name": "rest_t"}})
     assert ei.value.code == 400
+
+
+def test_rest_stage_create_and_commit(server, catalog):
+    _cat, port = server
+    # stage: no table lands in the catalog
+    st, res = _req(port, "/v1/namespaces/db/tables", {
+        "name": "staged_t", "schema": _SCHEMA_JSON, "stage-create": True,
+        "properties": {"origin": "staged"}})
+    assert st == 200
+    assert res["metadata"]["snapshots"] == []
+    assert not catalog.table_exists("db.staged_t")
+    with pytest.raises(urllib.error.HTTPError) as ei:  # loadTable -> 404
+        _get(port, "/v1/namespaces/db/tables/staged_t")
+    assert ei.value.code == 404
+    # commit with assert-create materializes it
+    st, res = _req(port, "/v1/namespaces/db/tables/staged_t", {
+        "requirements": [{"type": "assert-create"}],
+        "updates": [{"action": "set-properties",
+                     "updates": {"committed": "yes"}}]})
+    assert st == 200
+    t = catalog.load_table("db.staged_t")
+    assert t.properties["origin"] == "staged"
+    assert t.properties["committed"] == "yes"
+    assert [f.name for f in t.schema.fields] == ["id", "v"]
+    # a second assert-create commit now fails: the table exists
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/staged_t", {
+            "requirements": [{"type": "assert-create"}], "updates": []})
+    assert ei.value.code == 409
+
+
+def test_rest_stage_create_requirement_conflicts(server, catalog):
+    _cat, port = server
+    _req(port, "/v1/namespaces/db/tables", {
+        "name": "staged_u", "schema": _SCHEMA_JSON, "stage-create": True})
+    # non-create requirements cannot hold against a staged (metadata-less)
+    # table
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/staged_u", {
+            "requirements": [{"type": "assert-ref-snapshot-id",
+                              "ref": "main", "snapshot-id": 1}],
+            "updates": []})
+    assert ei.value.code == 409
+    assert not catalog.table_exists("db.staged_u")
