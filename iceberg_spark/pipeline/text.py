@@ -450,14 +450,18 @@ def quality_filter_gopher(spark, sf_dir):
         F.length(F.regexp_replace(F.lower(F.trim("text")), r"\s", ""))
         .alias("n_nospace"),
     )
-    f = base.select(
+    mid = base.select(
         "doc_id",
         F.size("w").alias("n_tokens"),
         "n_nospace",
         F.size(F.filter(F.col("w"), lambda t: t.isin(*STOPWORDS["en"])))
         .alias("n_stop"),
-        F.size(_bigrams_col()).alias("n_bg"),
-        F.size(F.array_distinct(_bigrams_col())).alias("n_dbg"),
+        _bigrams_col().alias("b"),  # materialized once, sized twice below
+    )
+    f = mid.select(
+        "doc_id", "n_tokens", "n_nospace", "n_stop",
+        F.size("b").alias("n_bg"),
+        F.size(F.array_distinct("b")).alias("n_dbg"),
     )
     nt = F.col("n_tokens")
     ok_len = (nt >= QF_MIN_TOKENS) & (nt <= QF_MAX_TOKENS)
