@@ -1,0 +1,124 @@
+"""Randomized lifecycle differential: seeded random sequences of appends,
+row-level deletes/updates (CoW, MoR parquet pos-deletes, MoR deletion
+vectors), compaction, snapshot expiry, and schema renames run against the
+engine while a plain Python dict model applies the same semantics; the
+table scan must match the model after EVERY step, and an export ->
+reference-layout -> register round-trip at the end must match it too.
+
+This is the lifecycle analog of the reference's randomized mode matrices
+(TestCopyOnWrite*/TestMergeOnRead* x maintenance actions): single-op
+differentials live in test_rowops_differential.py; this covers the
+interleavings."""
+
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from iceberg_spark.expressions import col
+
+SCHEMA = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("grp", T.IntegerType()),
+    T.StructField("val", T.LongType()),
+    T.StructField("tag", T.StringType()),
+])
+
+
+def _rows_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, g, v, s) for (i, (g, v, s)) in rows], SCHEMA)
+
+
+def _scan_rows(t, val_col="val"):
+    cols = ["id", "grp", val_col, "tag"]
+    return sorted(tuple(r) for r in t.to_df().select(*cols).collect())
+
+
+def _model_rows(model):
+    return sorted((i, g, v, s) for i, (g, v, s) in model.items())
+
+
+def _apply_random_lifecycle(catalog, spark, seed, use_dv):
+    rng = random.Random(seed)
+    name = f"db.lifecycle_{seed}_{int(use_dv)}"
+    props = {"write.delete.format": "dv"} if use_dv else None
+    t = catalog.create_table(name, SCHEMA, properties=props)
+    model = {}  # id -> (grp, val, tag)
+    next_id = 0
+
+    def append():
+        nonlocal next_id, t
+        batch = {}
+        for _ in range(rng.randint(5, 40)):
+            batch[next_id] = (rng.randint(0, 5), rng.randint(-100, 100),
+                              rng.choice(["a", "b", "c"]))
+            next_id += 1
+        t.append(_rows_df(spark, sorted(batch.items())))
+        model.update(batch)
+
+    append()  # non-empty start
+    steps = []
+    for step in range(10):
+        op = rng.choice(["append", "delete", "update", "compact", "expire"])
+        steps.append(op)
+        if op == "append":
+            append()
+        elif op == "delete":
+            mode = rng.choice(["copy-on-write", "merge-on-read"])
+            g = rng.randint(0, 5)
+            lo = rng.randint(-100, 50)
+            t.delete_where((col("grp") == g) & (col("val") >= lo), mode=mode)
+            for i in [i for i, (gg, vv, _) in model.items()
+                      if gg == g and vv >= lo]:
+                del model[i]
+        elif op == "update":
+            mode = rng.choice(["copy-on-write", "merge-on-read"])
+            g = rng.randint(0, 5)
+            t.update(col("grp") == g, {"val": "val + 1000"}, mode=mode)
+            for i, (gg, vv, ss) in list(model.items()):
+                if gg == g:
+                    model[i] = (gg, vv + 1000, ss)
+        elif op == "compact":
+            t = t.refresh()
+            t.rewrite_data_files(strategy="binpack")
+        elif op == "expire":
+            t = t.refresh()
+            t.expire_snapshots(older_than_ms=2**62, retain_last=2)
+        t = t.refresh()
+        assert _scan_rows(t) == _model_rows(model), \
+            f"seed={seed} dv={use_dv} diverged after step {step}: {steps}"
+
+    # schema rename mid-life: data written under the old name must read
+    # under the new one (field-id mapping, not name matching)
+    t.update_schema().rename_column("val", "value").commit()
+    t = t.refresh()
+    assert _scan_rows(t, "value") == _model_rows(model)
+    t.update_schema().rename_column("value", "val").commit()
+    t = t.refresh()
+
+    return t, model, steps
+
+
+@pytest.mark.parametrize("seed,use_dv", [(11, False), (23, True),
+                                         (37, False), (41, True)])
+def test_random_lifecycle_matches_model(catalog, spark, seed, use_dv):
+    t, model, steps = _apply_random_lifecycle(catalog, spark, seed, use_dv)
+    assert _scan_rows(t) == _model_rows(model)
+
+    # export the survivor to the reference layout and register it back:
+    # the imported table's scan must equal the model as well
+    import os
+    import tempfile
+
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               register_iceberg_table)
+
+    dest = tempfile.mkdtemp(prefix=f"lifecycle_exp_{seed}_")
+    mpath = export_reference_metadata(t, dest)
+    assert os.path.exists(mpath)
+    back, n_snaps, _n_files = register_iceberg_table(
+        catalog, mpath, f"db.lifecycle_back_{seed}_{int(use_dv)}")
+    assert _scan_rows(back) == _model_rows(model), \
+        f"seed={seed} dv={use_dv} import round-trip diverged after {steps}"
+    assert n_snaps >= 1
