@@ -57,10 +57,31 @@ def _apply_random_lifecycle(catalog, spark, seed, use_dv):
         t.append(_rows_df(spark, sorted(batch.items())))
         model.update(batch)
 
+    def merge():
+        nonlocal next_id, t
+        # source: updates for an existing-id sample + some fresh ids
+        ids = sorted(model)
+        upd = {i: (model[i][0], rng.randint(-100, 100), model[i][2])
+               for i in rng.sample(ids, min(len(ids), rng.randint(1, 10)))}
+        ins = {}
+        for _ in range(rng.randint(1, 8)):
+            ins[next_id] = (rng.randint(0, 5), rng.randint(-100, 100),
+                            rng.choice(["a", "b", "c"]))
+            next_id += 1
+        src = _rows_df(spark, sorted({**upd, **ins}.items()))
+        mode = rng.choice(["copy-on-write", "merge-on-read"])
+        (t.merge(src, on=["id"])
+           .when_matched_update(set=None)
+           .when_not_matched_insert(values=None)
+           .execute(mode=mode))
+        model.update(upd)
+        model.update(ins)
+
     append()  # non-empty start
     steps = []
     for step in range(10):
-        op = rng.choice(["append", "delete", "update", "compact", "expire"])
+        op = rng.choice(["append", "delete", "update", "compact",
+                         "expire", "merge"])
         steps.append(op)
         if op == "append":
             append()
@@ -85,6 +106,9 @@ def _apply_random_lifecycle(catalog, spark, seed, use_dv):
         elif op == "expire":
             t = t.refresh()
             t.expire_snapshots(older_than_ms=2**62, retain_last=2)
+        elif op == "merge":
+            t = t.refresh()
+            merge()
         t = t.refresh()
         assert _scan_rows(t) == _model_rows(model), \
             f"seed={seed} dv={use_dv} diverged after step {step}: {steps}"
