@@ -19,7 +19,8 @@ Supported statement classes:
   - MERGE INTO / UPDATE / DELETE FROM    -- row-level ops (CoW or MoR per
     table properties)
   - INSERT INTO / INSERT OVERWRITE
-  - CREATE TABLE [AS SELECT] / DROP TABLE
+  - CREATE [OR REPLACE] TABLE [AS SELECT] / DROP TABLE (RTAS keeps
+    table identity: uuid, history, refs; one schema+data commit)
   - CREATE [OR REPLACE] VIEW / DROP VIEW / SHOW VIEWS
   - CREATE [OR REPLACE] FUNCTION / DROP FUNCTION / SHOW FUNCTIONS
   - SELECT ... with  t VERSION AS OF <id|'ref'>,  t TIMESTAMP AS OF <ts>,
@@ -429,7 +430,7 @@ class SqlEngine:
                 return self._rows(
                     [Row(createtab_stmt=self._create_stmt(m.group(1)))],
                     "createtab_stmt string")
-        if re.match(r"CREATE\s+TABLE", s, re.I):
+        if re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE", s, re.I):
             return self._create_table(s)
         if re.match(r"DROP\s+TABLE", s, re.I):
             m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", s, re.I)
@@ -1360,8 +1361,9 @@ class SqlEngine:
     def _create_table(self, s: str) -> DataFrame:
         # hand-scanned (not one regex): coldefs / PARTITIONED BY / TBLPROPERTIES
         # all allow nested parens like days(ts) or decimal(10,2)
-        m = re.match(r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*",
-                     s, re.I)
+        replace = bool(re.match(r"CREATE\s+OR\s+REPLACE\s+TABLE", s, re.I))
+        m = re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+"
+                     r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*", s, re.I)
         ident = m.group(1)
         rest = s[m.end():].strip()
         coldefs = partby = props = select = None
@@ -1399,12 +1401,40 @@ class SqlEngine:
                 properties[self._call_value(k.strip())] = self._call_value(v.strip())
         if select:
             df = self.spark.sql(self._resolve(select))
+            if replace and self.catalog.table_exists(ident):
+                # RTAS (ReplaceTableAsSelect / createOrReplace): the table
+                # keeps its identity — uuid, snapshot history, refs — and
+                # gains ONE commit that swaps schema + data together:
+                # union-by-name evolution in (new/widened columns), columns
+                # absent from the SELECT dropped, full data overwrite.
+                t = self.catalog.load_table(ident)
+                new_names = set(df.schema.names)
+                stale = [f.name for f in t.schema.fields
+                         if f.name not in new_names]
+
+                def build(us):
+                    us.union_by_name(df.schema)
+                    for name in stale:
+                        us.drop_column(name)
+                    return us
+
+                tx = t.transaction()
+                tx.update_schema_with(build)
+                tx.overwrite(df)
+                if properties:
+                    tx.set_properties(**properties)
+                tx.commit_transaction()
+                return self._empty()
             t = self.catalog.create_table(ident, df.schema,
                                           partition_by=partition_by,
                                           properties=properties or None,
                                           exists_ok=exists_ok)
             t.append(df)
             return self._empty()
+        if replace and self.catalog.table_exists(ident):
+            raise ValueError(
+                "CREATE OR REPLACE TABLE on an existing table requires "
+                "AS SELECT (schema-only replace is not supported)")
         if not coldefs:
             raise ValueError("CREATE TABLE needs column defs or AS SELECT")
         fields = []

@@ -425,6 +425,16 @@ class Transaction:
         return self._run(
             lambda: self._table.update(condition, assignments, **kw))
 
+    def overwrite(self, df: DataFrame,
+                  overwrite_filter: Optional[E.Expr] = None,
+                  branch: str = MAIN_BRANCH) -> "Transaction":
+        """INSERT OVERWRITE inside the transaction (full replace when the
+        filter is None). Unlike append, replay after a conflicting commit
+        re-plans the removal set and rewrites — the set of replaced files
+        depends on the base metadata."""
+        return self._run(lambda: self._table.overwrite(
+            df, overwrite_filter, branch=branch))
+
     def set_properties(self, **props) -> "Transaction":
         return self._run(lambda: self._table.set_properties(**props))
 

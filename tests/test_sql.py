@@ -322,3 +322,38 @@ def test_describe_and_show_statements(seeded, catalog):
 
     stmt = catalog.sql("SHOW CREATE TABLE db.t").collect()[0].createtab_stmt
     assert "CREATE TABLE db.t" in stmt and "PARTITIONED BY (cat)" in stmt
+
+
+def test_create_or_replace_table_as_select(catalog, spark):
+    cat = catalog
+    cat.sql("CREATE TABLE db.rtas_t (id BIGINT, v BIGINT, gone STRING)")
+    t = cat.load_table("db.rtas_t")
+    t.append(spark.createDataFrame([(1, 10, "x"), (2, 20, "y")],
+                                   "id long, v long, gone string"))
+    uuid_before = t.metadata.table_uuid
+    snaps_before = len(t.snapshots())
+
+    spark.range(0, 5).selectExpr(
+        "id", "id * 3 AS v", "CAST(id AS STRING) AS fresh") \
+        .createOrReplaceTempView("rtas_src")
+    cat.sql("CREATE OR REPLACE TABLE db.rtas_t AS "
+            "SELECT id, v, fresh FROM rtas_src")
+
+    t = cat.load_table("db.rtas_t")
+    # identity survives: same uuid, history grows (no drop/recreate)
+    assert t.metadata.table_uuid == uuid_before
+    assert len(t.snapshots()) > snaps_before
+    assert [f.name for f in t.schema.fields] == ["id", "v", "fresh"]
+    rows = sorted(tuple(r) for r in t.to_df().collect())
+    assert rows == [(i, i * 3, str(i)) for i in range(5)]
+    # time travel still reaches the pre-replace data
+    old = t.scan(snapshot_id=t.snapshots()[snaps_before - 1].snapshot_id)
+    assert old.df().count() == 2
+
+    # OR REPLACE without AS SELECT on an existing table -> loud error
+    with pytest.raises(ValueError, match="AS SELECT"):
+        cat.sql("CREATE OR REPLACE TABLE db.rtas_t (id BIGINT)")
+    # OR REPLACE on a missing table == plain CTAS
+    cat.sql("CREATE OR REPLACE TABLE db.rtas_new AS "
+            "SELECT id FROM rtas_src")
+    assert cat.load_table("db.rtas_new").to_df().count() == 5
