@@ -432,6 +432,13 @@ class SqlEngine:
                     "createtab_stmt string")
         if re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?TABLE", s, re.I):
             return self._create_table(s)
+        if m := re.match(r"REPLACE\s+TABLE\s+([\w.]+)", s, re.I):
+            # Spark's REPLACE TABLE ... AS SELECT: like OR REPLACE but the
+            # table must already exist
+            if not self.catalog.table_exists(m.group(1)):
+                raise ValueError(
+                    f"REPLACE TABLE: no such table: {m.group(1)}")
+            return self._create_table("CREATE OR " + s)
         if re.match(r"DROP\s+TABLE", s, re.I):
             m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", s, re.I)
             self.catalog.drop_table(m.group(1))

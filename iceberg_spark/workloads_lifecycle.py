@@ -631,6 +631,42 @@ def transaction_scan(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n")).orderBy("c_mktsegment"))
 
 
+def rtas_scan(spark, sf_dir):
+    """CREATE OR REPLACE TABLE AS SELECT (RTAS,
+    spark/.../SparkCatalog replace flow): the replaced table keeps its
+    uuid and snapshot history — one transactional commit swaps schema
+    (union-by-name in, stale columns out) and data; time travel still
+    reaches pre-replace rows."""
+    key = ("rtas", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        cat = _warehouse(spark)
+        t, df = _fresh(spark, sf_dir, "supplier", "rtas")
+        t.append(df)
+        uuid0 = t.metadata.table_uuid
+        n0 = len(t.snapshots())
+        load_table(spark, sf_dir, "nation").createOrReplaceTempView(
+            "rtas_nation_src")
+        cat.sql(f"CREATE OR REPLACE TABLE {t.identifier} AS "
+                "SELECT n_regionkey, COUNT(*) AS n_nations, "
+                "MIN(n_name) AS first_name FROM rtas_nation_src "
+                "GROUP BY n_regionkey")
+        t = t.refresh()
+        assert t.metadata.table_uuid == uuid0, "RTAS must keep identity"
+        assert len(t.snapshots()) > n0, "RTAS must extend history"
+        assert t.scan(snapshot_id=t.snapshots()[n0 - 1].snapshot_id) \
+            .df().count() == df.count(), "pre-replace rows must time-travel"
+        _STATE[key] = t.identifier
+    t = _warehouse(spark).load_table(_STATE[key])
+    return t.to_df().orderBy("n_regionkey")
+
+
+RTAS_SQL = """
+SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 TXN_SQL = """
 SELECT c_mktsegment, COUNT(*) AS n FROM customer
 WHERE c_mktsegment <> 'MACHINERY'
@@ -1533,6 +1569,7 @@ REGISTRY = {
     "pos_delete_rewrite_dv_scan": (pos_delete_rewrite_dv_scan, POS_DV_SQL),
     "native_dv_delete_scan": (native_dv_delete_scan, POS_DV_SQL),
     "transaction_scan": (transaction_scan, TXN_SQL),
+    "rtas_scan": (rtas_scan, RTAS_SQL),
     "metadata_partitions_scan": (metadata_partitions_scan, META_PARTITIONS_SQL),
     "metadata_files_scan": (metadata_files_scan, META_FILES_SQL),
     "partition_stats_scan": (partition_stats_scan, PARTITION_STATS_SQL),

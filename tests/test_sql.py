@@ -357,3 +357,13 @@ def test_create_or_replace_table_as_select(catalog, spark):
     cat.sql("CREATE OR REPLACE TABLE db.rtas_new AS "
             "SELECT id FROM rtas_src")
     assert cat.load_table("db.rtas_new").to_df().count() == 5
+
+
+def test_replace_table_as_select_requires_existing(catalog, spark):
+    with pytest.raises(ValueError, match="no such table"):
+        catalog.sql("REPLACE TABLE db.never_was AS SELECT 1 AS one")
+    catalog.sql("CREATE TABLE db.rep_t AS SELECT 1 AS one")
+    catalog.sql("REPLACE TABLE db.rep_t AS SELECT 2 AS two")
+    t = catalog.load_table("db.rep_t")
+    assert [f.name for f in t.schema.fields] == ["two"]
+    assert [tuple(r) for r in t.to_df().collect()] == [(2,)]
