@@ -345,6 +345,15 @@ class SqlEngine:
             return self._update(s)
         if kw == "INSERT":
             return self._insert(s)
+        if m := re.match(r"TRUNCATE\s+TABLE\s+([\w.]+)\s*$", s, re.I):
+            # metadata-only: every live data file drops in one commit (the
+            # DeleteFromTable-with-true-predicate fast path); history and
+            # identity survive, time travel still reaches old rows
+            from . import expressions as _E
+
+            t = self.catalog.load_table(m.group(1))
+            t.delete_where(_E.ALWAYS_TRUE)
+            return self._empty()
         if re.match(r"CREATE\s+(OR\s+REPLACE\s+)?VIEW", s, re.I):
             return self._create_view(s)
         if re.match(r"DROP\s+VIEW", s, re.I):

@@ -367,3 +367,15 @@ def test_replace_table_as_select_requires_existing(catalog, spark):
     t = catalog.load_table("db.rep_t")
     assert [f.name for f in t.schema.fields] == ["two"]
     assert [tuple(r) for r in t.to_df().collect()] == [(2,)]
+
+
+def test_truncate_table(catalog, spark):
+    catalog.sql("CREATE TABLE db.trunc_t AS SELECT * FROM range(7)")
+    t = catalog.load_table("db.trunc_t")
+    pre = t.current_snapshot().snapshot_id
+    catalog.sql("TRUNCATE TABLE db.trunc_t")
+    t = t.refresh()
+    assert t.to_df().count() == 0
+    # metadata-only truncate: history survives, old rows time-travel
+    assert t.scan(snapshot_id=pre).df().count() == 7
+    assert t.current_snapshot().summary.get("deleted-data-files") == "7"
