@@ -449,8 +449,14 @@ class SqlEngine:
                     f"REPLACE TABLE: no such table: {m.group(1)}")
             return self._create_table("CREATE OR " + s)
         if re.match(r"DROP\s+TABLE", s, re.I):
-            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", s, re.I)
-            self.catalog.drop_table(m.group(1))
+            m = re.match(r"DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)"
+                         r"(\s+PURGE)?\s*$", s, re.I)
+            if not m:
+                raise ValueError(f"cannot parse DROP TABLE: {s[:60]!r}")
+            dropped = self.catalog.drop_table(
+                m.group(2), purge=bool(m.group(3)))
+            if not dropped and not m.group(1):
+                raise ValueError(f"no such table: {m.group(2)}")
             return self._empty()
         # SELECT / WITH / EXPLAIN / SHOW ... -> delegate after resolution
         return self.spark.sql(self._resolve(s))

@@ -379,3 +379,12 @@ def test_truncate_table(catalog, spark):
     # metadata-only truncate: history survives, old rows time-travel
     assert t.scan(snapshot_id=pre).df().count() == 7
     assert t.current_snapshot().summary.get("deleted-data-files") == "7"
+
+
+def test_drop_table_if_exists_and_purge(catalog, spark):
+    with pytest.raises(ValueError, match="no such table"):
+        catalog.sql("DROP TABLE db.never_existed")
+    catalog.sql("DROP TABLE IF EXISTS db.never_existed")  # silent
+    catalog.sql("CREATE TABLE db.droppable AS SELECT 1 AS one")
+    catalog.sql("DROP TABLE db.droppable PURGE")
+    assert not catalog.table_exists("db.droppable")
