@@ -616,8 +616,136 @@ FROM sel GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup, Abbas et al. 2023): cluster first, then only
+# pay the quadratic pair cost WITHIN each cluster
+# ---------------------------------------------------------------------------
+
+# cluster count: seeds = the SD_K lowest ORIGINAL vec_ids. In production
+# K scales with corpus size (K ~ n / target_cluster_rows) so per-cluster
+# pair work stays bounded; 4 keeps the sf-test clusters readable.
+SD_K = 4
+# power-of-two quantization: float->double, *256, floor are all
+# IEEE-exact in both engines; everything downstream is int64
+SD_SCALE = 256
+# cosine threshold 9/10 as an integer cross-multiplication:
+# cos(a,b) >= 0.9  <=>  dot > 0 AND 100*dot^2 >= 81*|a|^2*|b|^2
+SD_NUM2, SD_DEN2 = 81, 100
+
+
+def _sd_quant(col):
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * SD_SCALE).cast("long"))
+
+
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication: assign every vector to its
+    nearest centroid, then drop any vector with a lower-id in-cluster
+    neighbor at cosine >= 0.9 (greedy keep-lowest-id representative —
+    deterministic, one survivor per duplicate chain). Output: per-cluster
+    corpus size, removed count, and survivor count.
+
+    Distributed shapes — this IS the SemDeDup trick: clustering bounds
+    the quadratic term. Assignment is a rowwise argmin against SD_K
+    broadcast centroids (no shuffle); the pair step shuffles on `cluster`
+    only and evaluates the cosine test bucket-locally, so pair work is
+    O(sum cluster_size^2), never O(n^2) corpus-wide — K grows with the
+    corpus to cap cluster sizes. Exactness: vectors quantize by a
+    power-of-two scale (floor-exact in IEEE), distances / dot products /
+    norms are int64, and the threshold is an integer cross-multiplication
+    — no float summation order anywhere. Overflow headroom: |q| <= ~256,
+    so dot <= 64*256^2 ~ 4.2e6 and 100*dot^2 ~ 1.8e15 << 2^63."""
+    corpus = embedding_corpus(spark, sf_dir)
+    q = corpus.select("vec_id", _sd_quant(F.col("embedding")).alias("q"))
+    seeds = (q.filter(F.col("vec_id") < SD_K)
+             .select("vec_id", "q").collect())  # SD_K rows
+    cents = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in seeds}
+
+    def d2(k):  # int64 squared L2 to centroid k
+        ck = F.array(*[F.lit(v).cast("long") for v in cents[k]])
+        return F.aggregate(
+            F.zip_with("q", ck, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    dists = F.array(*[F.struct(d2(k).alias("d"), F.lit(k).alias("k"))
+                      for k in sorted(cents)])
+    a = (q.withColumn("cluster", F.array_min(dists)["k"])
+         .withColumn("n2", F.aggregate(
+             F.transform("q", lambda x: x * x),
+             F.lit(0).cast("long"), lambda acc, x: acc + x)))
+
+    lhs = a.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qa"),
+                   F.col("n2").alias("n2a"), "cluster")
+    rhs = a.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qb"),
+                   F.col("n2").alias("n2b"), "cluster")
+    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
+                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    removed = (
+        lhs.join(rhs, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("dot", dot)
+        .filter((F.col("dot") > 0)
+                & (F.col("dot") * F.col("dot") * F.lit(SD_DEN2)
+                   >= F.col("n2a") * F.col("n2b") * F.lit(SD_NUM2)))
+        .select("cluster", F.col("b_id").alias("vec_id"))
+        .distinct()
+        .groupBy("cluster").agg(F.count(F.lit(1)).alias("n_removed")))
+
+    return (a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))
+            .join(removed, "cluster", "left")
+            .select("cluster", "n_vecs",
+                    F.coalesce("n_removed", F.lit(0)).cast("long")
+                    .alias("n_removed"),
+                    (F.col("n_vecs")
+                     - F.coalesce("n_removed", F.lit(0))).cast("long")
+                    .alias("n_kept"))
+            .orderBy("cluster"))
+
+
+_SD_Q_SQL = (f"list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE)"
+             f" * {SD_SCALE}) AS BIGINT))")
+_SD_D2_SQL = ("list_sum(list_transform(generate_series(1, 64), "
+              "i -> (v.q[i] - c.cq[i]) * (v.q[i] - c.cq[i])))")
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH {EMB_CORPUS_SQL.strip()},
+q AS (SELECT vec_id, {_SD_Q_SQL} AS q FROM ecorpus),
+c0 AS (SELECT vec_id AS k, q AS cq FROM q WHERE vec_id < {SD_K}),
+asn AS (
+  SELECT v.vec_id, v.q, c.k,
+         ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                            ORDER BY {_SD_D2_SQL}, c.k) AS rn
+  FROM q v CROSS JOIN c0 c
+),
+a AS (
+  SELECT vec_id, q, k AS cluster,
+         list_sum(list_transform(q, x -> x * x)) AS n2
+  FROM asn WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT y.cluster, y.vec_id FROM a x JOIN a y
+    ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE list_sum(list_transform(generate_series(1, 64),
+                                i -> x.q[i] * y.q[i])) > 0
+    AND list_sum(list_transform(generate_series(1, 64),
+                                i -> x.q[i] * y.q[i]))
+        * list_sum(list_transform(generate_series(1, 64),
+                                  i -> x.q[i] * y.q[i]))
+        * {SD_DEN2}
+        >= x.n2 * y.n2 * {SD_NUM2}
+),
+rem AS (SELECT cluster, COUNT(*) AS n_removed FROM dup GROUP BY cluster)
+SELECT a.cluster, COUNT(*) AS n_vecs,
+       CAST(COALESCE(MAX(rem.n_removed), 0) AS BIGINT) AS n_removed,
+       CAST(COUNT(*) - COALESCE(MAX(rem.n_removed), 0) AS BIGINT) AS n_kept
+FROM a LEFT JOIN rem ON a.cluster = rem.cluster
+GROUP BY a.cluster ORDER BY a.cluster
+"""
+
+
 REGISTRY = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, NGRAM_JACCARD_SQL),

@@ -446,6 +446,65 @@ WHERE event_type = 'purchase' ORDER BY event_id
 
 
 # ---------------------------------------------------------------------------
+# time-range (interval) self-join — binned, never per-user cartesian
+# ---------------------------------------------------------------------------
+
+RJ_WINDOW_US = 3_600 * 1_000_000  # pair window: 0 < tb - ta <= 1 hour
+RJ_VALUE_SCALE = 64  # power-of-two: floor(value*64) is IEEE-exact
+
+
+def range_join_event_pairs(spark, sf_dir):
+    """Time-range self-join (interval join; Spark has no native one): all
+    ordered pairs of events by the same user within one hour, aggregated
+    per event-type pair with the later event's quantized value mass.
+
+    Scale shape — the standard interval-join binning: both sides bucket
+    into window-width time bins; the EARLIER side duplicates into its own
+    and the next bin, so every qualifying pair co-locates in exactly one
+    (user_id, bin) hash-join bucket and the exact range predicate runs
+    bucket-locally. Work is O(pairs per bucket) — never the per-user
+    cross join Catalyst would pick for the naive inequality join — and
+    the 2x explode is independent of corpus size. Timestamps compare as
+    integer microseconds (unix_micros vs epoch_us) so the window boundary
+    is cross-engine exact; value mass is floor(value*64) int64 sums."""
+    ev = _ldf(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        F.floor(F.col("value") * RJ_VALUE_SCALE).cast("long").alias("qv"))
+    binned = ev.withColumn("bin", F.floor(F.col("us") / RJ_WINDOW_US))
+    early = binned.select(
+        F.col("user_id").alias("u"), F.col("us").alias("us_a"),
+        F.col("event_type").alias("type_a"),
+        F.explode(F.array(F.col("bin"), F.col("bin") + 1)).alias("jbin"))
+    late = binned.select(
+        F.col("user_id").alias("u"), F.col("us").alias("us_b"),
+        F.col("event_type").alias("type_b"), "qv",
+        F.col("bin").alias("jbin"))
+    pairs = early.join(late, ["u", "jbin"]).filter(
+        (F.col("us_b") > F.col("us_a"))
+        & (F.col("us_b") <= F.col("us_a") + F.lit(RJ_WINDOW_US)))
+    return (pairs.groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.sum("qv").cast("long").alias("late_value_mass"))
+            .orderBy("type_a", "type_b"))
+
+
+RANGE_JOIN_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CAST(FLOOR(value * {RJ_VALUE_SCALE}) AS BIGINT) AS qv
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_pairs, CAST(SUM(b.qv) AS BIGINT) AS late_value_mass
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.us > a.us AND b.us <= a.us + {RJ_WINDOW_US}
+GROUP BY a.event_type, b.event_type ORDER BY type_a, type_b
+"""
+
+
+# ---------------------------------------------------------------------------
 # metadata-only aggregate pushdown
 # ---------------------------------------------------------------------------
 
@@ -953,5 +1012,6 @@ REGISTRY = {
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
     "cube_events_day": (cube_events_day, CUBE_SQL),
     "asof_last_click": (asof_last_click, ASOF_SQL),
+    "range_join_event_pairs": (range_join_event_pairs, RANGE_JOIN_SQL),
     "agg_pushdown_stats": (agg_pushdown_stats, AGG_PUSHDOWN_SQL),
 }
