@@ -23,7 +23,9 @@ Differences from the directory catalog:
 
 from __future__ import annotations
 
+import json
 import os
+import re
 import shutil
 import sqlite3
 import threading
@@ -158,18 +160,48 @@ CREATE TABLE IF NOT EXISTS iceberg_namespace_properties (
 
 
 class _SqlTableOperations(TableOperations):
-    """Filesystem metadata versions + registry CAS per commit."""
+    """Filesystem metadata versions + registry CAS per commit.
+
+    The REGISTRY row is authoritative (JdbcCatalog semantics):
+    current_version/refresh follow the registered metadata_location, not
+    the newest file on disk, so an orphan vN.metadata.json left by a
+    half-failed commit on another machine is never served. When the
+    filesystem write lands but the registry CAS loses, the orphan
+    version file is removed before the failure propagates."""
 
     def __init__(self, location: str, catalog: "SqlCatalog", ident: str):
         super().__init__(location)
         self._catalog = catalog
         self._ident = ident
 
+    def current_version(self) -> Optional[int]:
+        row = self._catalog._row(self._ident)
+        if row and row[0]:
+            m = re.search(r"v(\d+)\.metadata\.json$", row[0])
+            if m:
+                return int(m.group(1))
+        return super().current_version()
+
     def commit(self, base_version, metadata: TableMetadata) -> int:
         prev = self._version_path(base_version) if base_version else None
         v = super().commit(base_version, metadata)
-        self._catalog._cas_location(self._ident, prev,
-                                    self._version_path(v))
+        try:
+            self._catalog._cas_location(self._ident, prev,
+                                        self._version_path(v))
+        except CommitFailedException:
+            # fs write landed but another catalog committed past us:
+            # remove our orphan so registry-following loads stay clean
+            try:
+                os.unlink(self._version_path(v))
+            except OSError:
+                pass
+            try:  # restore the advisory hint to the committed version
+                with open(os.path.join(self.metadata_dir,
+                                       "version-hint.text"), "w") as f:
+                    f.write(str(base_version or 0))
+            except OSError:
+                pass
+            raise
         return v
 
 
@@ -241,23 +273,42 @@ class SqlCatalog(Catalog):
         meta = TableMetadata.new(loc, schema, spec,
                                  sort_order or UNSORTED, properties)
         ops = _SqlTableOperations(loc, self, identifier)
-        with self._lock, self._db:
-            self._db.execute(
-                "INSERT INTO iceberg_tables (catalog_name, "
-                "table_namespace, table_name, metadata_location) "
-                "VALUES (?, ?, ?, NULL)", (self.name, ns, name))
-        v = TableOperations(loc).commit(None, meta)
-        self._cas_location(identifier, None, ops._version_path(v))
+        # metadata file FIRST, fully-populated registry row AFTER: a
+        # failure in between leaves an unreferenced file, never a row a
+        # load can crash on (JdbcCatalog commits metadata before the
+        # registry insert for the same reason)
+        try:
+            v = TableOperations(loc).commit(None, meta)
+        except CommitFailedException:
+            # v1 already on disk: a concurrent creator won the file race
+            if exists_ok:
+                return self.load_table(identifier)
+            raise ValueError(f"table exists: {identifier}") from None
+        try:
+            with self._lock, self._db:
+                self._db.execute(
+                    "INSERT INTO iceberg_tables (catalog_name, "
+                    "table_namespace, table_name, metadata_location) "
+                    "VALUES (?, ?, ?, ?)",
+                    (self.name, ns, name, ops._version_path(v)))
+        except sqlite3.IntegrityError:
+            if exists_ok:
+                return self.load_table(identifier)
+            raise ValueError(f"table exists: {identifier}") from None
         return self.load_table(identifier)
 
     def load_table(self, identifier: str) -> Table:
         row = self._row(identifier)
-        if row is None:
+        if row is None or row[0] is None:
             raise ValueError(f"no such table: {identifier}")
         mloc = row[0]
         loc = os.path.dirname(os.path.dirname(mloc))  # .../metadata/vN
-        t = Table(self.spark, loc,
-                  TableOperations(loc).refresh(), identifier)
+        # load exactly the REGISTERED version (JdbcCatalog semantics):
+        # a newer filesystem version whose registry CAS failed is an
+        # orphan and must not be served
+        with open(mloc) as f:
+            meta = TableMetadata.from_json(json.load(f), location=loc)
+        t = Table(self.spark, loc, meta, identifier)
         t.ops = _SqlTableOperations(loc, self, identifier)
         return t
 

@@ -274,6 +274,9 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, _load_table_result(cat, ident))
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":
             ns = rest[1].replace("\x1f", ".")
+            if not cat.namespace_exists(ns):
+                return self._error(404, f"no such namespace: {ns}",
+                                   "NoSuchNamespaceException")
             from .views import list_views
 
             return self._json(200, self._page(
@@ -425,13 +428,11 @@ class _Handler(BaseHTTPRequestHandler):
     def _commit_transaction(self, body: dict):
         """CommitTransactionRequest: multiple tables' requirements are ALL
         validated against current metadata before any change applies;
-        application is then sequential per table (each engine commit is
-        individually atomic via its CAS — a concurrent writer landing
-        between validate and apply surfaces as a 409 from the losing
-        table, matching non-atomic multi-table semantics of file-based
-        reference catalogs)."""
-        from .metadata import CommitFailedException
-
+        application is then one atomic swap PER TABLE (each commit is a
+        single CAS with requirements re-validated on retry — a concurrent
+        writer landing between validate and apply surfaces as a 409 from
+        the losing table, matching non-atomic multi-table semantics of
+        file-based reference catalogs)."""
         cat = self.catalog
         staged = []
         for ch in body.get("table-changes") or []:
@@ -447,16 +448,13 @@ class _Handler(BaseHTTPRequestHandler):
                 t.metadata, ch.get("requirements"), ident)
             if err is not None:
                 return self._error(*err)
-            staged.append((ident, t, ch.get("updates") or []))
-        for ident, t, updates in staged:
-            try:
-                self._apply_table_updates(t, updates)
-            except CommitFailedException as e:
-                return self._error(409, f"{ident}: {str(e)[:400]}",
-                                   "CommitFailedException")
-            except (NotImplementedError, ValueError) as e:
-                return self._error(400, f"{ident}: {str(e)[:400]}",
-                                   type(e).__name__)
+            staged.append((ident, ch.get("requirements"),
+                           ch.get("updates") or []))
+        for ident, reqs, updates in staged:
+            err = self._commit_atomic(ident, reqs, updates)
+            if err is not None:
+                code, msg, etype = err
+                return self._error(code, f"{ident}: {msg[:400]}", etype)
         return self._json(204)
 
     def _create_table(self, ns: str, body: dict):
@@ -510,8 +508,6 @@ class _Handler(BaseHTTPRequestHandler):
         return self._json(200, _load_table_result(cat, ident))
 
     def _commit_table(self, ns: str, tbl: str, body: dict):
-        from .metadata import CommitFailedException
-
         cat = self.catalog
         ident = f"{ns}.{tbl}"
         if not cat.table_exists(ident):
@@ -519,25 +515,53 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._commit_staged(ident, body)
             return self._error(404, f"no such table: {ident}",
                                "NoSuchTableException")
-        t = cat.load_table(ident)
-        err = self._requirements_error(t.metadata, body.get("requirements"),
-                                       ident)
+        err = self._commit_atomic(ident, body.get("requirements"),
+                                  body.get("updates") or [])
         if err is not None:
             return self._error(*err)
-        try:
-            self._apply_table_updates(t, body.get("updates") or [])
-        except CommitFailedException as e:
-            return self._error(409, str(e)[:500], "CommitFailedException")
-        except (NotImplementedError, ValueError) as e:
-            return self._error(400, str(e)[:500], type(e).__name__)
         return self._json(200, _load_table_result(cat, ident))
+
+    def _commit_atomic(self, ident: str, reqs, updates):
+        """Apply a whole CommitTableRequest as ONE metadata swap
+        (core/.../rest/CatalogHandlers.java commit → TableMetadata build
+        + single CAS): every update lands on an in-memory shadow table,
+        then the real pointer CAS-advances once. Requirements re-validate
+        inside the retry loop, so a lost race re-checks before the
+        updates re-apply, and a mid-apply failure publishes nothing —
+        a client retry of the same request sees either the pre-commit
+        state (apply failed) or a clean requirement 409 (it landed).
+        Returns an (code, msg, etype) error tuple or None on success."""
+        from .metadata import CommitFailedException
+        from .table import Table, _TxnOps
+
+        cat = self.catalog
+        last = None
+        for _ in range(5):
+            t = cat.load_table(ident)
+            err = self._requirements_error(t.metadata, reqs, ident)
+            if err is not None:
+                return err
+            base_version = t.ops.current_version()
+            real_ops = t.ops
+            shadow = Table(t.spark, t.location, t.metadata, t.identifier)
+            shadow.ops = _TxnOps(t.metadata)
+            try:
+                self._apply_table_updates(shadow, updates)
+            except (NotImplementedError, ValueError) as e:
+                return (400, str(e)[:500], type(e).__name__)
+            try:
+                real_ops.commit(base_version, shadow.ops.refresh())
+                return None
+            except CommitFailedException as e:
+                last = e  # concurrent commit won: refresh + re-validate
+                continue
+        return (409, str(last)[:500], "CommitFailedException")
 
     def _commit_staged(self, ident: str, body: dict):
         """First commit against a staged create: materialize the table
         (assert-create holds by construction — it does not exist), then
         apply the commit's updates. Other assert-* requirements cannot
         hold against a table with no metadata yet -> 409."""
-        from .metadata import CommitFailedException
         from .schema import Schema
         from .sources.iceberg import _map_types, _parse_specs
 
@@ -556,17 +580,16 @@ class _Handler(BaseHTTPRequestHandler):
              "default-spec-id": spec_json.get("spec-id", 0)},
             {schema.schema_id: schema}, schema.schema_id)
         try:
-            t = cat.create_table(ident, schema,
-                                 partition_by=specs[default],
-                                 properties=sb.get("properties") or None)
+            cat.create_table(ident, schema,
+                             partition_by=specs[default],
+                             properties=sb.get("properties") or None)
         except ValueError as e:  # lost the create race after staging
             return self._error(409, str(e)[:300], "AlreadyExistsException")
-        try:
-            self._apply_table_updates(t, body.get("updates") or [])
-        except CommitFailedException as e:
-            return self._error(409, str(e)[:500], "CommitFailedException")
-        except (NotImplementedError, ValueError) as e:
-            return self._error(400, str(e)[:500], type(e).__name__)
+        # the create materialized an empty table; the request's updates
+        # land as one further swap (requirements already held: assert-create)
+        err = self._commit_atomic(ident, None, body.get("updates") or [])
+        if err is not None:
+            return self._error(*err)
         del self.staged[ident]
         return self._json(200, _load_table_result(cat, ident))
 

@@ -1380,6 +1380,19 @@ class SqlEngine:
             j += 1
         raise ValueError(f"unbalanced parentheses: {s[i:i+40]!r}")
 
+    @staticmethod
+    def _parse_part_col(p: str):
+        """'col' / 'days(ts)' / 'bucket(4, id)' -> (col, canonical
+        transform string) for comparing against PartitionField fields."""
+        from .transforms import parse_transform
+
+        m = re.match(r"^(\w+)\(\s*(?:(\d+)\s*,\s*)?(\w+)\s*\)$", p.strip())
+        if not m:
+            return p.strip(), "identity"
+        fn, arg, col = m.groups()
+        tr = f"{fn}[{arg}]" if arg else fn
+        return col, parse_transform(tr).to_str()
+
     def _create_table(self, s: str) -> DataFrame:
         # hand-scanned (not one regex): coldefs / PARTITIONED BY / TBLPROPERTIES
         # all allow nested parens like days(ts) or decimal(10,2)
@@ -1426,9 +1439,11 @@ class SqlEngine:
             if replace and self.catalog.table_exists(ident):
                 # RTAS (ReplaceTableAsSelect / createOrReplace): the table
                 # keeps its identity — uuid, snapshot history, refs — and
-                # gains ONE commit that swaps schema + data together:
-                # union-by-name evolution in (new/widened columns), columns
-                # absent from the SELECT dropped, full data overwrite.
+                # gains ONE commit that swaps schema + spec + properties +
+                # data together: union-by-name evolution in (new/widened
+                # columns), columns absent from the SELECT dropped, the
+                # PARTITIONED BY clause becomes the default spec, and
+                # TBLPROPERTIES REPLACE the old set (not merge).
                 t = self.catalog.load_table(ident)
                 new_names = set(df.schema.names)
                 stale = [f.name for f in t.schema.fields
@@ -1442,9 +1457,19 @@ class SqlEngine:
 
                 tx = t.transaction()
                 tx.update_schema_with(build)
+                want = [self._parse_part_col(p) for p in partition_by or []]
+                have = [(f.source_name, f.transform.to_str())
+                        for f in t.spec.fields]
+                if want != have:
+                    def build_spec(us, want=want):
+                        for f in list(us.t.spec.fields):
+                            us.remove_field(f.name)
+                        for col, tr in want:
+                            us.add_field(col, tr)
+                        return us
+                    tx.update_spec_with(build_spec)
                 tx.overwrite(df)
-                if properties:
-                    tx.set_properties(**properties)
+                tx.replace_properties(properties)
                 tx.commit_transaction()
                 return self._empty()
             t = self.catalog.create_table(ident, df.schema,

@@ -438,6 +438,17 @@ class Transaction:
     def set_properties(self, **props) -> "Transaction":
         return self._run(lambda: self._table.set_properties(**props))
 
+    def replace_properties(self, props: dict) -> "Transaction":
+        """The table's properties become EXACTLY `props` — RTAS sets the
+        new definition's properties rather than merging into the old
+        (spark/.../ReplaceTableAsSelectExec semantics)."""
+        def fn():
+            m = self._table.metadata
+            self._table._commit_metadata(
+                replace(m, properties={str(k): str(v)
+                                       for k, v in props.items()}))
+        return self._run(fn)
+
     def update_schema_with(self, build) -> "Transaction":
         """build(UpdateSchema) -> configures the evolution; committed into
         the pending metadata now, replayed on conflict."""

@@ -677,3 +677,52 @@ def test_rest_stage_create_requirement_conflicts(server, catalog):
             "updates": []})
     assert ei.value.code == 409
     assert not catalog.table_exists("db.staged_u")
+
+
+def test_rest_commit_is_atomic(server, catalog):
+    """A CommitTableRequest whose LATER update fails publishes NOTHING:
+    all updates build one new metadata and land in a single swap
+    (CatalogHandlers.commit), so an early schema update never leaks when
+    a subsequent add-snapshot is rejected."""
+    _cat, port = server
+    t = catalog.load_table("db.rest_t")
+    v_before = t.ops.current_version()
+    dup_sid = t.current_snapshot().snapshot_id  # already committed
+    _st, res = _get(port, "/v1/namespaces/db/tables/rest_t")
+    ml = res["metadata"]["snapshots"][0]["manifest-list"]
+    new_schema = {
+        "type": "struct", "schema-id": 5, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "grp", "required": False, "type": "long"},
+            {"id": 9, "name": "leak", "required": False,
+             "type": "string"}]}
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "updates": [
+                {"action": "add-schema", "schema": new_schema},
+                {"action": "set-current-schema", "schema-id": -1},
+                {"action": "add-snapshot", "snapshot": {
+                    "snapshot-id": dup_sid, "timestamp-ms": 1,
+                    "manifest-list": ml, "summary":
+                        {"operation": "append"}}}]})
+    assert ei.value.code == 400
+    t = catalog.load_table("db.rest_t")
+    # nothing landed: schema, version, and snapshot count all unchanged
+    assert [f.name for f in t.schema.fields] == ["id", "grp"]
+    assert t.ops.current_version() == v_before
+    assert not any(s.schema_id == 5 for s in t.metadata.schemas)
+    # a clean retry of a VALID commit still works (no poisoned state)
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "updates": [{"action": "set-properties",
+                     "updates": {"retry.ok": "1"}}]})
+    assert st == 200
+    assert catalog.load_table("db.rest_t").properties["retry.ok"] == "1"
+
+
+def test_rest_views_list_missing_namespace_404(server):
+    _cat, port = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, "/v1/namespaces/no_such_ns/views")
+    assert ei.value.code == 404
+    assert "NoSuchNamespace" in json.loads(
+        ei.value.read())["error"]["type"]

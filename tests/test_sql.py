@@ -388,3 +388,43 @@ def test_drop_table_if_exists_and_purge(catalog, spark):
     catalog.sql("CREATE TABLE db.droppable AS SELECT 1 AS one")
     catalog.sql("DROP TABLE db.droppable PURGE")
     assert not catalog.table_exists("db.droppable")
+
+
+def test_rtas_replaces_spec_and_properties(catalog, spark):
+    """CREATE OR REPLACE TABLE ... PARTITIONED BY ... TBLPROPERTIES sets
+    the NEW definition: the clause's spec becomes the default and the
+    properties replace (not merge into) the old set — the reference's
+    ReplaceTableAsSelect semantics."""
+    cat = catalog
+    cat.sql("CREATE TABLE db.rtas_sp (id BIGINT, grp BIGINT) "
+            "PARTITIONED BY (grp) TBLPROPERTIES ('old'='1')")
+    t = cat.load_table("db.rtas_sp")
+    t.append(spark.range(0, 4).selectExpr("id", "id % 2 AS grp"))
+    uuid_before = t.metadata.table_uuid
+
+    spark.range(0, 8).selectExpr("id", "id % 3 AS grp", "id * 2 AS v") \
+        .createOrReplaceTempView("rtas_sp_src")
+    cat.sql("CREATE OR REPLACE TABLE db.rtas_sp "
+            "PARTITIONED BY (bucket(4, id)) TBLPROPERTIES ('new'='2') "
+            "AS SELECT id, grp, v FROM rtas_sp_src")
+
+    t = cat.load_table("db.rtas_sp")
+    assert t.metadata.table_uuid == uuid_before  # identity survives
+    assert [(f.source_name, f.transform.to_str())
+            for f in t.spec.fields] == [("id", "bucket[4]")]
+    assert t.properties.get("new") == "2"
+    assert "old" not in t.properties  # replaced, not merged
+    assert t.to_df().count() == 8
+    # new writes land under the new spec (bucketed partition dirs)
+    t.append(spark.range(100, 104).selectExpr(
+        "id", "id % 3 AS grp", "id * 2 AS v"))
+    assert t.refresh().to_df().count() == 12
+
+    # same clause again -> spec unchanged (no gratuitous evolution)
+    spec_id = t.metadata.default_spec_id
+    cat.sql("CREATE OR REPLACE TABLE db.rtas_sp "
+            "PARTITIONED BY (bucket(4, id)) "
+            "AS SELECT id, grp, v FROM rtas_sp_src")
+    t = cat.load_table("db.rtas_sp")
+    assert t.metadata.default_spec_id == spec_id
+    assert t.properties.get("new") is None  # no TBLPROPERTIES -> cleared

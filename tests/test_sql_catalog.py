@@ -123,3 +123,62 @@ def test_namespace_properties_all_catalogs(sqlcat, spark, tmp_path):
             cat.update_namespace_properties("nsp", {"k": "v"}, ["k"])
         with pytest.raises(ValueError):
             cat.namespace_properties("no_such_ns")
+
+
+def test_registry_is_authoritative_over_filesystem(sqlcat, spark):
+    """An orphan vN.metadata.json (fs write landed, registry CAS lost on
+    another machine) is never served: loads follow the REGISTERED
+    metadata_location exactly (JdbcCatalog semantics)."""
+    df = spark.range(0, 10).select("id")
+    t = sqlcat.create_table("db.auth", df.schema)
+    t.append(df)  # registry -> v2
+    import shutil as _sh
+    _sh.copy(t.ops._version_path(2), t.ops._version_path(3))  # orphan v3
+    t2 = sqlcat.load_table("db.auth")
+    assert t2.ops.current_version() == 2
+    assert t2.metadata.to_json() != {}  # loaded the registered file
+    assert sqlcat._row("db.auth")[0].endswith("v2.metadata.json")
+
+
+def test_cas_failure_cleans_orphan_version(sqlcat, spark):
+    """When the filesystem write lands but the registry CAS loses, the
+    orphan version file is removed and the hint restored, so
+    registry-following loads and future commits stay clean."""
+    df = spark.range(0, 10).select("id")
+    sqlcat.create_table("db.orph", df.schema).append(df)  # v2
+    t = sqlcat.load_table("db.orph")
+    row = sqlcat._row("db.orph")[0]
+    # move the registry out from under the handle's expected-prev
+    sqlcat._cas_location("db.orph", row, row.replace("v2", "v7"))
+    with pytest.raises(CommitFailedException):
+        t.ops.commit(2, t.metadata)
+    assert not os.path.exists(t.ops._version_path(3))
+
+
+def test_create_failure_leaves_no_registry_row(sqlcat, spark, monkeypatch):
+    """Metadata commits BEFORE the registry insert: a write failure leaves
+    an unreferenced file at worst, never a NULL-location row that
+    table_exists() affirms but load_table() crashes on."""
+    from iceberg_spark import metadata as M
+
+    def boom(self, base, meta):
+        raise RuntimeError("disk full")
+
+    monkeypatch.setattr(M.TableOperations, "commit", boom)
+    with pytest.raises(RuntimeError):
+        sqlcat.create_table("db.broke", spark.range(1).schema)
+    monkeypatch.undo()
+    assert not sqlcat.table_exists("db.broke")
+    with pytest.raises(ValueError, match="no such table"):
+        sqlcat.load_table("db.broke")
+
+
+def test_concurrent_create_maps_to_already_exists(sqlcat, spark,
+                                                  monkeypatch):
+    """A create that loses the race (metadata v1 already on disk) raises
+    AlreadyExists-shaped ValueError, not sqlite3.IntegrityError/500."""
+    schema = spark.range(1).schema
+    sqlcat.create_table("db.dup", schema)
+    monkeypatch.setattr(sqlcat, "_row", lambda ident: None)
+    with pytest.raises(ValueError, match="exists"):
+        sqlcat.create_table("db.dup", schema)
