@@ -397,11 +397,22 @@ def main():
                       and not k.startswith("pipeline_")
                       and not k.endswith("_ratio")
                       and k != "cpu_calib"), 4)
+    # calib-normalized twin of every entry: raw seconds divided by the
+    # machine-speed factor (cpu_calib / CAL_REF), so values are
+    # comparable ACROSS rounds run on different-speed VMs.
+    # scripts/audit_registry_perf.py diffs these against the previous
+    # round and warns on >25% drift.
+    CAL_REF = 0.095  # keep in sync with audit_registry_perf.CAL_REF
+    factor = (qtimes.get("cpu_calib") or CAL_REF) / CAL_REF
+    qnorm = {k: round(v / factor, 4) for k, v in qtimes.items()
+             if k != "cpu_calib" and not k.endswith("_ratio")}
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": qtimes,
+        "queries_normalized": qnorm,
+        "machine_factor": round(factor, 4),
         "sf": sf,
     }))
 

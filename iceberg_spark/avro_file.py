@@ -369,8 +369,13 @@ def _encode(schema, v, out: io.BytesIO):
 
 def read_avro(path: str):
     """Returns (writer schema dict, file metadata dict, [row dicts])."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    if path.startswith("/"):  # fast path
+        with open(path, "rb") as f:
+            raw = f.read()
+    else:
+        from . import io as _fio
+
+        raw = _fio.read_bytes(path)
     buf = io.BytesIO(raw)
     if buf.read(4) != MAGIC:
         raise ValueError(f"not an Avro container file: {path}")
@@ -432,6 +437,34 @@ def write_avro(path: str, schema: dict, rows: list, metadata: dict = None,
     _write_long(out, len(block))
     out.write(block)
     out.write(sync)
-    with open(path, "wb") as f:
-        f.write(out.getvalue())
-    return os.path.getsize(path)
+    from . import io as _fio
+
+    data = out.getvalue()
+    _fio.write_bytes(path, data)
+    return len(data)
+
+
+def avro_row_count(path: str) -> int:
+    """Container row count from BLOCK HEADERS alone — each block is
+    <count varint, byte-length varint, bytes, sync>, so counting skips
+    every record decode (Avro spec 1.11.1 "Object Container Files";
+    the import path registers Avro data files by count when the
+    manifest entry lacks one)."""
+    if path.startswith("/"):  # fast path
+        with open(path, "rb") as f:
+            raw = f.read()
+    else:
+        from . import io as _fio
+
+        raw = _fio.read_bytes(path)
+    buf = io.BytesIO(raw)
+    if buf.read(4) != MAGIC:
+        raise ValueError(f"not an Avro container file: {path}")
+    _decode({"type": "map", "values": "bytes"}, buf)  # skip meta map
+    buf.read(16)  # sync
+    n = 0
+    while buf.tell() < len(raw):
+        n += _read_long(buf)
+        size = _read_long(buf)
+        buf.seek(size + 16, 1)  # block bytes + sync
+    return n

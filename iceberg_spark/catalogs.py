@@ -81,7 +81,9 @@ class InMemoryCatalog(Catalog):
         if loc is None:
             return False
         if purge:
-            shutil.rmtree(loc, ignore_errors=True)
+            from .io import resolve_io
+
+            resolve_io(loc, self.spark).delete_dir(loc)
         return True
 
     def rename_table(self, from_id: str, to_id: str):
@@ -192,14 +194,14 @@ class _SqlTableOperations(TableOperations):
             # fs write landed but another catalog committed past us:
             # remove our orphan so registry-following loads stay clean
             try:
-                os.unlink(self._version_path(v))
-            except OSError:
+                self.io.delete_file(self._version_path(v))
+            except Exception:
                 pass
             try:  # restore the advisory hint to the committed version
-                with open(os.path.join(self.metadata_dir,
-                                       "version-hint.text"), "w") as f:
-                    f.write(str(base_version or 0))
-            except OSError:
+                self.io.write_text(
+                    os.path.join(self.metadata_dir, "version-hint.text"),
+                    str(base_version or 0))
+            except Exception:
                 pass
             raise
         return v
@@ -306,8 +308,11 @@ class SqlCatalog(Catalog):
         # load exactly the REGISTERED version (JdbcCatalog semantics):
         # a newer filesystem version whose registry CAS failed is an
         # orphan and must not be served
-        with open(mloc) as f:
-            meta = TableMetadata.from_json(json.load(f), location=loc)
+        from .io import resolve_io
+
+        meta = TableMetadata.from_json(
+            json.loads(resolve_io(mloc, self.spark).read_text(mloc)),
+            location=loc)
         t = Table(self.spark, loc, meta, identifier)
         t.ops = _SqlTableOperations(loc, self, identifier)
         return t
@@ -326,8 +331,10 @@ class SqlCatalog(Catalog):
                 "table_namespace=? AND table_name=?",
                 (self.name, ns, name))
         if purge and row[0]:
+            from .io import resolve_io
+
             loc = os.path.dirname(os.path.dirname(row[0]))
-            shutil.rmtree(loc, ignore_errors=True)
+            resolve_io(loc, self.spark).delete_dir(loc)
         return True
 
     def rename_table(self, from_id: str, to_id: str):

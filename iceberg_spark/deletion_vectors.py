@@ -258,9 +258,14 @@ def write_dv_puffin(path: str, dvs: dict) -> list:
 def read_dv_positions(path: str, offset: int, length: int) -> np.ndarray:
     """Direct blob access by manifest-tracked offset/length — no footer
     read needed (the spec requires offset/length to match the footer)."""
-    with open(path, "rb") as f:
-        f.seek(offset)
-        blob = f.read(length)
+    if path.startswith("/"):  # fast path: direct ranged read
+        with open(path, "rb") as f:
+            f.seek(offset)
+            blob = f.read(length)
+    else:
+        from . import io as _fio
+
+        blob = _fio.read_bytes(path)[offset:offset + length]
     if len(blob) != length:
         raise ValueError(
             f"short read of deletion vector at {path}:{offset}+{length}")

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from . import expressions as E
+from . import io as _io
 from .manifests import (
     DATA,
     POSITION_DELETES,
@@ -399,9 +400,9 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     def _unlink(p):
         nonlocal deleted
         try:
-            os.unlink(p)
+            _io.delete_file(p)
             deleted += 1
-        except OSError:
+        except Exception:  # best-effort cleanup; the commit already stands
             pass
 
     if e_only and use_spark:
@@ -492,9 +493,9 @@ def delete_reachable_files(table, dry_run: bool = False,
     def _unlink(p):
         nonlocal deleted
         try:
-            os.unlink(p)
+            _io.delete_file(p)
             deleted += 1
-        except OSError:
+        except Exception:  # best-effort cleanup; the commit already stands
             pass
 
     dry_paths = []
@@ -537,10 +538,8 @@ def delete_reachable_files(table, dry_run: bool = False,
             stats_files.add(p)
     meta_files = set()
     meta_dir = getattr(table.ops, "metadata_dir", None)
-    if meta_dir and os.path.isdir(meta_dir):
-        for root, _dirs, fns in os.walk(meta_dir):
-            for fn in fns:
-                meta_files.add(os.path.join(root, fn))
+    if meta_dir:
+        meta_files.update(table.ops.io.walk_files(meta_dir))
 
     rest = mans | mls | stats_files | meta_files
     if dry_run:
@@ -608,15 +607,26 @@ def _distributed_unlink(df, path_col: str) -> int:
     import pandas as _pd
 
     def rm(batches):
+        # Python workers have no JVM gateway: local/file paths use os,
+        # remote schemes use pyarrow's built-in filesystems (S3/GCS)
         import os as _os
+        from urllib.parse import urlparse as _up
 
         n = 0
         for b in batches:
             for p in b[path_col]:
                 try:
-                    _os.unlink(p)
+                    if p.startswith("/"):
+                        _os.unlink(p)
+                    elif p.startswith("file:"):
+                        _os.unlink(_up(p).path)
+                    else:
+                        import pyarrow.fs as _pafs
+
+                        fs, rel = _pafs.FileSystem.from_uri(p)
+                        fs.delete_file(rel)
                     n += 1
-                except OSError:
+                except Exception:
                     pass
         yield _pd.DataFrame({"n": [n]})
 
@@ -768,18 +778,13 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
                 _add_valid(e.file.file_path)
         orphans = []
         conflicts = []
-        for root, _dirs, files in os.walk(base):
-            for fn in files:
-                p = os.path.normpath(os.path.join(root, fn))
+        for p, mtime_s in _io.resolve_io(base).walk_file_status(base):
                 # age-gate FIRST (distributed mode filters the listing by
                 # mtime before the join, so a too-recent file can never
                 # raise a conflict there — keep local mode consistent).
                 # A stat failure also skips conflict detection: distributed
                 # listing drops unstattable files the same way
-                try:
-                    if os.path.getmtime(p) >= cutoff_s:
-                        continue
-                except OSError:
+                if mtime_s is None or mtime_s >= cutoff_s:
                     continue
                 s, a, pa = _file_uri(p, eqs, eqa)
                 hits = valid_by_path.get(pa)
@@ -797,8 +802,8 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
     if not dry_run:
         for p in orphans:
             try:
-                os.unlink(p)
-            except OSError:
+                _io.delete_file(p)
+            except Exception:
                 pass
     return orphans
 
@@ -943,8 +948,10 @@ def _write_dvs(table, kept) -> list:
 
     from .manifests import DataFile, POSITION_DELETES
 
-    out_dir = _os.path.join(table.location, "data", f"dvs-{_u.uuid4().hex}")
-    _os.makedirs(out_dir, exist_ok=True)
+    # DataFile paths are recorded in PLAIN form for file:-family
+    # locations (one spelling per file across manifests/deletes/scans)
+    out_dir = _io.strip_scheme(
+        _os.path.join(table.location, "data", f"dvs-{_u.uuid4().hex}"))
     # fixed width: counting distinct refs first would re-run the whole
     # kept-rows job; empty partitions yield nothing and zero refs simply
     # collect to an empty descriptor list
@@ -1031,20 +1038,27 @@ def compute_table_stats(table, columns=None) -> dict:
     from .puffin import write_puffin
 
     sdir = os.path.join(table.location, "metadata", "stats")
-    os.makedirs(sdir, exist_ok=True)
     path = os.path.join(sdir, f"stats-{_uuid.uuid4().hex}.puffin")
     seq = snap.sequence_number if snap else None
+    # write.puffin.compression-codec: zstd (default, what the reference
+    # writes — PuffinFormat.java:22) | lz4 | none. Stats blobs only —
+    # deletion vectors stay uncompressed per spec.
+    codec = (table.metadata.properties
+             .get("write.puffin.compression-codec", "zstd").lower())
+    if codec not in ("zstd", "lz4", "none"):
+        raise ValueError(
+            f"unsupported write.puffin.compression-codec: {codec!r} "
+            "(zstd | lz4 | none)")
+    codec = None if codec == "none" else codec
     facts = write_puffin(path, [
         # the fallback writes NO sketch bytes, so it must not claim the
         # theta type — a spec-compliant consumer would try to deserialize
-        # zstd-compressed like the reference's stats blobs
-        # (PuffinFormat.java:22); deletion vectors stay uncompressed
         {"type": stype,
          "fields": [schema.find_field(c).field_id],
          "snapshot-id": stats["snapshot-id"],
          "sequence-number": seq,
          "data": bytes.fromhex(blobs[c]) if c in blobs else b"",
-         "compression-codec": "zstd",
+         **({"compression-codec": codec} if codec else {}),
          "properties": {"ndv": str(ndv[c])}}
         for c in cols
     ], properties={"created-by": "iceberg_spark"})
@@ -1071,8 +1085,8 @@ def compute_table_stats(table, columns=None) -> dict:
         m, statistics_files=tuple(kept) + (entry,)))
     for old in superseded:
         try:
-            os.unlink(old)
-        except OSError:
+            _io.delete_file(old)
+        except Exception:
             pass
     return stats
 
@@ -1102,7 +1116,6 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
             return dst + p[len(src):]
         return p
 
-    os.makedirs(os.path.join(out_root, "metadata", "manifests"), exist_ok=True)
     copy_plan = []  # (old_data_file, new_data_file)
     manifest_map = {}  # old manifest path -> new
 
@@ -1123,7 +1136,7 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
                                  "referenced_data_file", pa.array(refs, pa.string()))
             new_mpath = os.path.join(out_root, "metadata", "manifests",
                                      os.path.basename(mf.path))
-            pq.write_table(t, new_mpath, compression="zstd")
+            _io.write_parquet(t, new_mpath)
             manifest_map[mf.path] = new_mpath
 
     # rewrite manifest lists + snapshots
@@ -1156,16 +1169,43 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
             "data_files_to_copy": copy_plan}
 
 
-def compute_partition_stats(table) -> str:
+def _pstats_incremental_base(m, snap):
+    """Nearest ANCESTOR snapshot that already has a partition-stats file,
+    plus the ids of the snapshots after it up to `snap`. (None, None)
+    when no previous file exists or any intervening snapshot is not a
+    pure append (delete/overwrite/replace manifests remove or rewrite
+    entries, which a stats MERGE cannot express — full recompute is the
+    reference's fallback too, PartitionStatsHandler.java:65-109)."""
+    if snap is None or not m.partition_statistics_files:
+        return None, None
+    by_id = {s.snapshot_id: s for s in m.snapshots}
+    have = {e.get("snapshot-id"): e for e in m.partition_statistics_files}
+    chain, s = [], snap
+    while s is not None:
+        if s.snapshot_id in have and s.snapshot_id != snap.snapshot_id:
+            if any(c.operation != "append" for c in chain):
+                return None, None
+            return have[s.snapshot_id], {c.snapshot_id for c in chain}
+        chain.append(s)
+        pid = s.parent_snapshot_id
+        s = by_id.get(pid) if pid is not None else None
+    return None, None
+
+
+def compute_partition_stats(table, incremental: bool = True) -> str:
     """Partition statistics file with the SPEC's schema
     (format/spec.md:1233, core/.../PartitionStatsHandler.java): one row
     per unique partition tuple of the unified partition type (union of
     all specs' fields, ascending field id), aggregated as ONE distributed
     job over the manifest Parquet and written via df.write — the driver
-    never materializes the rollup."""
-    import glob as _glob
-    import shutil as _shutil
+    never materializes the rollup.
 
+    Incremental (PartitionStatsHandler.java:65-109): when a previous
+    stats file covers an ancestor snapshot and every snapshot since is a
+    pure append, only the manifests ADDED after that ancestor aggregate,
+    merged with the previous file — otherwise full recompute. The chosen
+    mode and manifests read land in `table.last_partition_stats_report`
+    for auditability."""
     from .metadata_df import unique_manifests
     from .schema import type_to_spark
 
@@ -1211,9 +1251,16 @@ def compute_partition_stats(table) -> str:
         T.StructField("last_updated_at", T.LongType()),
         T.StructField("last_updated_snapshot_id", T.LongType()),
     ])
-    if manifests:
-        df = spark.read.option("mergeSchema", "true").parquet(
-            *[mf.path for mf in manifests])
+    snap_ts = {s.snapshot_id: s.timestamp_ms for s in m.snapshots}
+    ts_map = (F.create_map(*[F.lit(x) for kv in snap_ts.items()
+                             for x in kv])
+              if snap_ts else F.lit(None))
+
+    def agg_over(mf_paths, only_ids=None):
+        """Per-partition rollup over a set of manifest parquet files;
+        only_ids restricts to entries COMMITTED by those snapshots (the
+        incremental delta — EXISTING carryovers must not double-count)."""
+        df = spark.read.option("mergeSchema", "true").parquet(*mf_paths)
         names = set(df.columns)
         pcols = [
             (F.col(f"p_{nm}") if f"p_{nm}" in names
@@ -1223,12 +1270,12 @@ def compute_partition_stats(table) -> str:
         is_pos = F.col("content") == POSITION_DELETES
         is_dv = is_pos & (F.col("file_format") == "puffin")
         is_eq = F.col("content") == 2
-        snap_ts = {s.snapshot_id: s.timestamp_ms for s in m.snapshots}
-        ts_map = (F.create_map(*[F.lit(x) for kv in snap_ts.items()
-                                 for x in kv])
-                  if snap_ts else F.lit(None))
-        stats = (
-            df.filter(F.col("status") != 2)  # live entries only
+        flt = F.col("status") != 2  # live entries only
+        if only_ids is not None:
+            flt = flt & F.col("snapshot_id").isin(
+                [int(x) for x in only_ids])
+        return (
+            df.filter(flt)
             .groupBy(F.struct(*pcols).alias("partition"),
                      F.col("spec_id").cast("int").alias("spec_id"))
             .agg(
@@ -1253,33 +1300,79 @@ def compute_partition_stats(table) -> str:
             .withColumn("last_updated_at",
                         ts_map[F.col("__last_snap")].cast("long"))
             .withColumnRenamed("__last_snap", "last_updated_snapshot_id")
-            .select(*[fld.name for fld in out_schema.fields])
-            # spec: rows sorted ascending, NULLS FIRST, by partition
-            .orderBy(*[F.col(f"partition.{nm}").asc_nulls_first()
-                       for nm, _ in ufields])
-        )
-    else:
-        stats = spark.createDataFrame([], out_schema)
+            .select(*[fld.name for fld in out_schema.fields]))
+
+    stats = None
+    report = {"mode": "full",
+              "manifests_read": [mf.path for mf in manifests]}
+    prev_entry, new_ids = (_pstats_incremental_base(m, snap)
+                           if incremental else (None, None))
+    if manifests and prev_entry is not None:
+        prev_df = spark.read.parquet(prev_entry["statistics-path"])
+        prev_fields = [f.name for f in
+                       prev_df.schema["partition"].dataType.fields]
+        if prev_fields == [nm for nm, _ in ufields]:
+            new_mfs = [mf for mf in manifests
+                       if mf.added_snapshot_id in new_ids]
+            merged = prev_df.select(*[f.name for f in out_schema.fields])
+            if new_mfs:
+                merged = merged.unionByName(
+                    agg_over([mf.path for mf in new_mfs], new_ids))
+            stats = (
+                merged.groupBy("partition", "spec_id")
+                .agg(F.sum("data_record_count").alias("data_record_count"),
+                     F.sum("data_file_count").cast("int")
+                     .alias("data_file_count"),
+                     F.sum("total_data_file_size_in_bytes")
+                     .alias("total_data_file_size_in_bytes"),
+                     F.sum("position_delete_record_count")
+                     .alias("position_delete_record_count"),
+                     F.sum("position_delete_file_count").cast("int")
+                     .alias("position_delete_file_count"),
+                     F.sum("dv_count").cast("int").alias("dv_count"),
+                     F.sum("equality_delete_record_count")
+                     .alias("equality_delete_record_count"),
+                     F.sum("equality_delete_file_count").cast("int")
+                     .alias("equality_delete_file_count"),
+                     F.lit(None).cast("long").alias("total_record_count"),
+                     F.max("last_updated_at").alias("last_updated_at"),
+                     F.max_by("last_updated_snapshot_id",
+                              "last_updated_at")
+                     .alias("last_updated_snapshot_id"))
+                .select(*[fld.name for fld in out_schema.fields]))
+            report = {"mode": "incremental",
+                      "base_snapshot_id": prev_entry.get("snapshot-id"),
+                      "manifests_read": [mf.path for mf in new_mfs]}
+    if stats is None:
+        if manifests:
+            stats = agg_over([mf.path for mf in manifests])
+        else:
+            stats = spark.createDataFrame([], out_schema)
+    # spec: rows sorted ascending, NULLS FIRST, by partition
+    stats = stats.orderBy(*[F.col(f"partition.{nm}").asc_nulls_first()
+                            for nm, _ in ufields])
+    table.last_partition_stats_report = report
 
     sdir = os.path.join(table.location, "metadata", "partition-stats")
-    os.makedirs(sdir, exist_ok=True)
+    sio = _io.resolve_io(sdir)
+    sio.mkdirs(sdir)
     # one file per snapshot (spec); partition-count rows -> coalesce(1)
     tmp = os.path.join(sdir, f"tmp-{_uuid.uuid4().hex}")
     stats.coalesce(1).write.parquet(tmp)
-    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))
+    part = [fn for fn in sio.list(tmp)
+            if fn.startswith("part-") and fn.endswith(".parquet")]
     path = os.path.join(sdir, f"pstats-{_uuid.uuid4().hex}.parquet")
     if part:
-        _shutil.move(part[0], path)
+        sio.rename(os.path.join(tmp, part[0]), path)
     else:
         # Spark produced no part file (empty single-partition write): write
         # a zero-row parquet with the spec schema so the committed
         # statistics-path is never dangling
-        import pyarrow.parquet as _pq
-        _pq.write_table(stats.limit(0).toArrow(), path)
-    _shutil.rmtree(tmp, ignore_errors=True)
+        _io.write_parquet(stats.limit(0).toArrow(), path)
+    sio.delete_dir(tmp)
     entry = {"snapshot-id": snap.snapshot_id if snap else None,
              "statistics-path": path,
-             "file-size-in-bytes": os.path.getsize(path)}
+             "file-size-in-bytes": _io.file_size(path)}
     table._commit_metadata(
         replace(m, partition_statistics_files=m.partition_statistics_files + (entry,)))
     return path

@@ -30,6 +30,8 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field, replace
 from typing import Any, Optional
 
+from . import io as _io
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -334,13 +336,12 @@ def write_manifest(
 
     table = pa.Table.from_pydict(cols, schema=arrow_schema)
     mdir = os.path.join(location, "metadata", "manifests")
-    os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.parquet")
-    pq.write_table(table, path, compression="zstd")
+    length = _io.write_parquet(table, path)
 
     return ManifestFile(
         path=path,
-        length=os.path.getsize(path),
+        length=length,
         spec_id=spec.spec_id,
         content=0 if content == DATA else 1,
         sequence_number=max(seqs, default=0),
@@ -401,7 +402,7 @@ def read_manifest_arrow(path: str) -> pa.Table:
     hit = _ARROW_CACHE.get(path)
     if hit is not None:
         return hit
-    t = pq.read_table(path)
+    t = _io.read_parquet(path)
     if len(_ARROW_CACHE) >= _ARROW_CACHE_MAX:
         _ARROW_CACHE.pop(next(iter(_ARROW_CACHE)))
     _ARROW_CACHE[path] = t
@@ -605,9 +606,8 @@ def write_manifest_list(location: str, snapshot_id: int, manifests: list,
         )
     t = pa.Table.from_pydict(rows, schema=_MANIFEST_LIST_SCHEMA)
     mdir = os.path.join(location, "metadata", "manifest-lists")
-    os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex}.parquet")
-    pq.write_table(t, path, compression="zstd")
+    _io.write_parquet(t, path)
     return path
 
 
@@ -630,7 +630,7 @@ def read_manifest_list(path: str, location: Optional[str] = None) -> list:
 
 
 def _read_manifest_list_uncached(path: str, location: Optional[str] = None) -> list:
-    t = pq.read_table(path).to_pydict()
+    t = _io.read_parquet(path).to_pydict()
     out = []
     for i in range(len(t["manifest_path"])):
         parts = tuple(
@@ -666,7 +666,7 @@ def _read_manifest_list_uncached(path: str, location: Optional[str] = None) -> l
 def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
                       partition: Optional[dict] = None, content: int = DATA) -> DataFile:
     """Build a DataFile (with stats) from a written Parquet file's footer."""
-    md = pq.ParquetFile(path).metadata
+    md = _io.parquet_file(path).metadata
     ntype = {f.name: f.type for f in schema.fields if isinstance(f.type, str)}
     agg: dict = {}
     for rg in range(md.num_row_groups):
@@ -709,7 +709,7 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
         try:
             import pyarrow.compute as pc
 
-            tbl = pq.read_table(path, columns=float_cols)
+            tbl = _io.read_parquet(path, columns=float_cols)
             for n in float_cols:
                 arr = tbl[n]
                 nan_counts[n] = pc.sum(
@@ -740,7 +740,7 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
     if geo_cols:
         from .geo import column_bbox_bounds
 
-        tbl = pq.read_table(path, columns=geo_cols)
+        tbl = _io.read_parquet(path, columns=geo_cols)
         for n in geo_cols:
             lo, hi, nulls = column_bbox_bounds(tbl[n].to_pylist())
             agg[n] = [lo, hi, nulls, None, None]
@@ -754,7 +754,7 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
         spec_id=spec.spec_id,
         partition=dict(partition or {}),
         record_count=num_rows,
-        file_size_in_bytes=os.path.getsize(path),
+        file_size_in_bytes=_io.file_size(path),
         stats=stats,
     )
 
@@ -816,7 +816,7 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
             file_path=p, file_format="parquet", content=content,
             spec_id=spec.spec_id, partition=dict(partitions.get(p) or {}),
             record_count=cmap.get(p, 0),
-            file_size_in_bytes=os.path.getsize(p), stats={},
+            file_size_in_bytes=_io.file_size(p), stats={},
         ) if isinstance(p, str) else p
         for p in out
     ]

@@ -5,7 +5,8 @@ TableMetadataParser.java (JSON codec); Snapshot api/.../Snapshot.java:42-171;
 refs format/spec.md:1097-1130; snapshot/metadata logs TableMetadata.java:246-274.
 Commit = atomic swap of the metadata pointer (format/spec.md:90-98, :1309),
 realized here HadoopTableOperations-style: write vN.metadata.json via
-hard-link CAS (os.link fails if the target exists) + version-hint.text.
+atomic-publish CAS through the table's FileIO (io.py: os.link locally,
+rename-no-clobber on Hadoop filesystems) + version-hint.text.
 """
 
 from __future__ import annotations
@@ -32,10 +33,20 @@ PARTITION_FIELD_ID_START = 1000
 
 
 def to_relative(path: Optional[str], location: str) -> Optional[str]:
-    """Strip the table-location prefix (v4 relative paths, spec:194)."""
+    """Strip the table-location prefix (v4 relative paths, spec:194).
+    file:-family URI and plain-path spellings of the same location are
+    treated as equal (Spark records data paths plain; a scheme-prefixed
+    warehouse spells the location file://...)."""
+    if not path:
+        return path
     loc = location.rstrip("/") + "/"
-    if path and path.startswith(loc):
+    if path.startswith(loc):
         return path[len(loc):]
+    from .io import strip_scheme
+
+    p, lo = strip_scheme(path), strip_scheme(loc.rstrip("/")) + "/"
+    if p.startswith(lo):
+        return p[len(lo):]
     return path
 
 
@@ -509,34 +520,36 @@ class TableOperations:
     """
 
     def __init__(self, location: str):
+        from .io import resolve_io
+
         self.location = location.rstrip("/")
         self.metadata_dir = os.path.join(self.location, "metadata")
+        self.io = resolve_io(self.location)
 
     # -- version management -------------------------------------------------
     def _version_path(self, v: int) -> str:
         return os.path.join(self.metadata_dir, f"v{v}.metadata.json")
 
     def current_version(self) -> Optional[int]:
+        io = self.io
         hint = os.path.join(self.metadata_dir, "version-hint.text")
         v = None
-        if os.path.exists(hint):
-            try:
-                with open(hint) as f:
-                    v = int(f.read().strip())
-            except ValueError:
-                v = None
-        if v is None and os.path.isdir(self.metadata_dir):
+        try:
+            v = int(io.read_text(hint).strip())
+        except (FileNotFoundError, OSError, ValueError):
+            v = None
+        if v is None:
             # lost/corrupt hint: recover by directory scan — probing from 1
             # finds nothing when delete-after-commit removed early versions
             import re as _re
 
             vs = [int(m.group(1)) for m in
                   (_re.match(r"v(\d+)\.metadata\.json$", f)
-                   for f in os.listdir(self.metadata_dir)) if m]
+                   for f in io.list(self.metadata_dir)) if m]
             v = max(vs) if vs else None
         # advance past the hint if a newer committed version exists
         probe = (v or 0) + 1
-        while os.path.exists(self._version_path(probe)):
+        while io.exists(self._version_path(probe)):
             v = probe
             probe += 1
         return v
@@ -545,26 +558,25 @@ class TableOperations:
         v = self.current_version()
         if v is None:
             return None
-        with open(self._version_path(v)) as f:
-            return TableMetadata.from_json(json.load(f), location=self.location)
+        return TableMetadata.from_json(
+            json.loads(self.io.read_text(self._version_path(v))),
+            location=self.location)
 
     def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
-        """CAS: write v(base+1); os.link fails atomically if it exists."""
-        os.makedirs(self.metadata_dir, exist_ok=True)
+        """CAS: publish v(base+1) atomically, failing if it exists
+        (FileIO.write_atomic — os.link locally, rename-no-clobber on
+        Hadoop filesystems)."""
+        io = self.io
         new_v = (base_version or 0) + 1
         metadata = replace(metadata, last_updated_ms=int(time.time() * 1000))
-        tmp = os.path.join(self.metadata_dir, f".tmp-{_uuid.uuid4().hex}.json")
-        with open(tmp, "w") as f:
-            json.dump(metadata.to_json(), f)
         target = self._version_path(new_v)
         try:
-            os.link(tmp, target)  # atomic fail-if-exists
+            io.write_atomic(target,
+                            json.dumps(metadata.to_json()).encode("utf-8"))
         except FileExistsError as e:
             raise CommitFailedException(f"version {new_v} already committed") from e
-        finally:
-            os.unlink(tmp)
-        with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
-            f.write(str(new_v))
+        io.write_text(os.path.join(self.metadata_dir, "version-hint.text"),
+                      str(new_v))
         # write.metadata.delete-after-commit.enabled
         # (TableProperties.java:342): retain only the newest
         # previous-versions-max previous metadata files. Walk downward
@@ -578,7 +590,7 @@ class TableOperations:
             v = new_v - keep - 1
             while v >= 1:
                 try:
-                    os.unlink(self._version_path(v))
+                    io.delete_file(self._version_path(v))
                 except OSError:
                     # already removed (contiguous tail) or persistently
                     # failing (permissions): stop either way — cleanup is

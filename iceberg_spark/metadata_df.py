@@ -147,15 +147,10 @@ def collect_entries_spark(table, manifests, row_filter=None,
 
 
 def _walk_with_mtime(d: str) -> list:
-    out = []
-    for root, _dirs, fns in os.walk(d):
-        for fn in fns:
-            p = os.path.normpath(os.path.join(root, fn))
-            try:
-                out.append((p, os.path.getmtime(p)))
-            except OSError:
-                pass
-    return out
+    from .io import resolve_io
+
+    return [(p, m) for p, m in resolve_io(d).walk_file_status(d)
+            if m is not None]
 
 
 _LISTING_SCHEMA = T.StructType([

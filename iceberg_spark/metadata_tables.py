@@ -207,11 +207,10 @@ def _metadata_log_entries(table) -> DataFrame:
     rows = [(ts, f) for ts, f in m.metadata_log]
     # include current metadata versions on disk
     mdir = os.path.join(table.location, "metadata")
-    if os.path.isdir(mdir):
-        for fn in sorted(os.listdir(mdir)):
-            if fn.endswith(".metadata.json"):
-                rows.append((int(os.path.getmtime(os.path.join(mdir, fn)) * 1000),
-                             os.path.join(mdir, fn)))
+    mio = table.ops.io
+    for fn, mtime_s in sorted(mio.walk_file_status(mdir)):
+        if fn.endswith(".metadata.json") and os.path.dirname(fn).endswith("metadata"):
+            rows.append((int((mtime_s or 0) * 1000), fn))
     schema = T.StructType([
         T.StructField("timestamp_ms", T.LongType()),
         T.StructField("file", T.StringType()),

@@ -638,12 +638,28 @@ def _sd_quant(col):
         col, lambda x: F.floor(x.cast("double") * SD_SCALE).cast("long"))
 
 
-def semantic_dedup(spark, sf_dir):
+def semantic_dedup_k(n_rows: int, target_cluster_rows: int = 100_000) -> int:
+    """Production K derivation: SemDeDup pair cost is O(sum cluster^2),
+    so the cluster count must grow with the corpus — K = ceil(n / target
+    rows per cluster), floored at the fixture constant so tiny corpora
+    keep readable clusters."""
+    import math
+
+    return max(SD_K, math.ceil(n_rows / max(1, target_cluster_rows)))
+
+
+def semantic_dedup(spark, sf_dir, k: int = None,
+                   target_cluster_rows: int = None, corpus=None):
     """SemDeDup-style semantic deduplication: assign every vector to its
     nearest centroid, then drop any vector with a lower-id in-cluster
     neighbor at cosine >= 0.9 (greedy keep-lowest-id representative —
     deterministic, one survivor per duplicate chain). Output: per-cluster
     corpus size, removed count, and survivor count.
+
+    K: explicit `k` wins; else `target_cluster_rows` derives
+    k = max(SD_K, ceil(n / target)) from one corpus count
+    (semantic_dedup_k); else the SD_K fixture constant (the oracle
+    fixture pins k=4 at test scale).
 
     Distributed shapes — this IS the SemDeDup trick: clustering bounds
     the quadratic term. Assignment is a rowwise argmin against SD_K
@@ -655,10 +671,13 @@ def semantic_dedup(spark, sf_dir):
     norms are int64, and the threshold is an integer cross-multiplication
     — no float summation order anywhere. Overflow headroom: |q| <= ~256,
     so dot <= 64*256^2 ~ 4.2e6 and 100*dot^2 ~ 1.8e15 << 2^63."""
-    corpus = embedding_corpus(spark, sf_dir)
+    corpus = corpus if corpus is not None else embedding_corpus(spark, sf_dir)
+    if k is None:
+        k = (semantic_dedup_k(corpus.count(), target_cluster_rows)
+             if target_cluster_rows is not None else SD_K)
     q = corpus.select("vec_id", _sd_quant(F.col("embedding")).alias("q"))
-    seeds = (q.filter(F.col("vec_id") < SD_K)
-             .select("vec_id", "q").collect())  # SD_K rows
+    seeds = (q.filter(F.col("vec_id") < k)
+             .select("vec_id", "q").collect())  # k rows
     cents = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in seeds}
 
     def d2(k):  # int64 squared L2 to centroid k

@@ -69,8 +69,12 @@ def write_puffin(path: str, blobs: list, properties: dict = None) -> dict:
     """blobs: [{type, fields, snapshot-id, sequence-number, data: bytes,
     properties?}]. Returns the statistics-file facts the table metadata
     needs: file size, footer size, and the blob metadata list."""
+    import io as _pyio
+
+    from . import io as _fio
+
     blob_meta = []
-    with open(path, "wb") as f:
+    with _pyio.BytesIO() as f:
         f.write(MAGIC)
         for b in blobs:
             data = b.get("data", b"") or b""
@@ -104,6 +108,7 @@ def write_puffin(path: str, blobs: list, properties: dict = None) -> dict:
         f.write(b"\x00\x00\x00\x00")  # flags: uncompressed
         f.write(MAGIC)
         size = f.tell()
+        _fio.write_bytes(path, f.getvalue())
     return {
         "file-size-in-bytes": size,
         "file-footer-size-in-bytes": size - footer_start,
@@ -113,8 +118,9 @@ def write_puffin(path: str, blobs: list, properties: dict = None) -> dict:
 
 def read_puffin(path: str):
     """Returns (file_metadata dict, [blob bytes in metadata order])."""
-    with open(path, "rb") as f:
-        raw = f.read()
+    from . import io as _fio
+
+    raw = _fio.read_bytes(path)
     if len(raw) < 20 or raw[:4] != MAGIC or raw[-4:] != MAGIC:
         raise ValueError(f"not a Puffin file: {path}")
     flags = raw[-8:-4]

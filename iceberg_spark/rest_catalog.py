@@ -51,18 +51,34 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote
 
 
-def _load_table_result(catalog, ident: str) -> dict:
+def _load_table_result(catalog, ident: str,
+                       snapshots_mode: str = "all") -> dict:
+    """snapshots=refs (RESTSessionCatalog snapshot-loading-mode): serve
+    only ref-reachable snapshots so huge-history tables don't ship their
+    full snapshot list per load; the client lazily re-fetches with
+    snapshots=all when it needs ancestors. The metadata-location and
+    on-disk export always carry FULL history — only the served JSON
+    payload is trimmed (CatalogHandlers semantics)."""
     from .sources.iceberg import export_reference_metadata
 
     t = catalog.load_table(ident)
     snap = t.current_snapshot()
     tag = str(snap.snapshot_id) if snap else "empty"
-    dest = os.path.join(t.location, "metadata-export", tag)
+    dest = os.path.join(t.location, "metadata-export", f"h{tag}")
     mpath = os.path.join(dest, "metadata", "v1.metadata.json")
-    if not os.path.exists(mpath):
-        mpath = export_reference_metadata(t, dest)
-    with open(mpath) as fh:
-        md = json.load(fh)
+    from . import io as _fio
+
+    if not _fio.exists(mpath):
+        mpath = export_reference_metadata(t, dest, full_history=True)
+    md = json.loads(_fio.read_text(mpath))
+    if snapshots_mode == "refs":
+        keep = {r.get("snapshot-id")
+                for r in (md.get("refs") or {}).values()}
+        md = dict(md)
+        md["snapshots"] = [sj for sj in md.get("snapshots", [])
+                           if sj.get("snapshot-id") in keep]
+        md["snapshot-log"] = [e for e in md.get("snapshot-log", [])
+                              if e.get("snapshot-id") in keep]
     return {"metadata-location": mpath, "metadata": md, "config": {}}
 
 
@@ -271,7 +287,15 @@ class _Handler(BaseHTTPRequestHandler):
                                    "NoSuchTableException")
             if self.command == "HEAD":
                 return self._json(200)
-            return self._json(200, _load_table_result(cat, ident))
+            from urllib.parse import parse_qs
+
+            q = parse_qs((self.path.split("?", 1) + [""])[1])
+            mode = (q.get("snapshots", ["all"])[0] or "all").lower()
+            if mode not in ("all", "refs"):
+                return self._error(400, f"invalid snapshots mode: {mode}",
+                                   "BadRequestException")
+            return self._json(200, _load_table_result(
+                cat, ident, snapshots_mode=mode))
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":
             ns = rest[1].replace("\x1f", ".")
             if not cat.namespace_exists(ns):

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from . import expressions as E
+from . import io as _fio
 from .manifests import POSITION_DELETES, collect_data_files
 from .metadata import MAIN_BRANCH, OP_DELETE, OP_OVERWRITE
 from .scan import (FILE_PATH_COL, LAST_UPDATED_SEQ_COL, POS_COL, ROW_ID_COL,
@@ -259,14 +260,14 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
     paths, partitions = [], {}
     pnames = [pf.name for pf in spec.fields]
     ptypes = dict(spec.partition_type(schema))
-    for r, _d, fs in os.walk(out_dir):
-        for f in fs:
-            if f.endswith(".parquet"):
-                p = os.path.join(r, f)
-                paths.append(p)
-                if pnames:
-                    partitions[p] = partition_values_from_path(
-                        os.path.relpath(p, out_dir), pnames, ptypes)
+    out_plain = _fio.strip_scheme(out_dir)
+    for p in _fio.resolve_io(out_dir, table.spark).walk_files(out_dir):
+        if p.endswith(".parquet"):
+            p = _fio.strip_scheme(p)
+            paths.append(p)
+            if pnames:
+                partitions[p] = partition_values_from_path(
+                    os.path.relpath(p, out_plain), pnames, ptypes)
     from .schema import NestedField, Schema
 
     del_schema = Schema((NestedField(2147483546, "file_path", "string", True),
@@ -289,8 +290,9 @@ def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
         .repartitionByRange(*[F.col(c) for c in columns])
         .sortWithinPartitions(*columns)
         .write.parquet(out_dir))
-    paths = [os.path.join(r, f) for r, _d, fs in os.walk(out_dir) for f in fs
-             if f.endswith(".parquet")]
+    paths = [_fio.strip_scheme(p) for p in
+             _fio.resolve_io(out_dir, table.spark).walk_files(out_dir)
+             if p.endswith(".parquet")]
     from .manifests import EQUALITY_DELETES
     from .schema import Schema as S
 

@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import expressions as E
+from . import io as _io
 from .manifests import (
     DATA,
     DELETED,
@@ -826,7 +827,7 @@ def _pos_delete_ranges(plan: ScanPlan):
                                       d.file.content_offset,
                                       d.file.content_size_in_bytes).tolist())
             continue
-        t = pq.read_table(d.file.file_path, columns=["file_path", "pos"])
+        t = _io.read_parquet(d.file.file_path, columns=["file_path", "pos"])
         fps = t.column("file_path").to_pylist()
         poss = t.column("pos").to_numpy(zero_copy_only=False)
         for fp, p in zip(fps, poss):
@@ -870,6 +871,47 @@ def _ranges_filter(path_col, pos_col, pos_ranges, path_lit=lambda fp: fp):
         c = (path_col == F.lit(path_lit(fp))) & c
         deleted = c if deleted is None else (deleted | c)
     return deleted
+
+
+_SPARK_AVRO: dict = {}
+
+
+def _spark_avro_available(spark) -> bool:
+    """spark-avro is an optional external module since Spark 2.4; probe
+    once per session (schema-only read of nothing — no job runs)."""
+    key = id(spark.sparkContext)
+    hit = _SPARK_AVRO.get(key)
+    if hit is None:
+        try:
+            spark.read.format("avro").schema("x int").load("/nonexistent")
+            hit = True
+        except Exception as e:
+            hit = "Failed to find data source" not in str(e)
+        _SPARK_AVRO[key] = hit
+    return hit
+
+
+def _avro_decode_df(spark, paths: list, read_schema):
+    """Avro container files -> DataFrame without spark-avro: paths fan
+    out one per task and each decodes with the engine's pure-Python
+    container codec (avro_file.read_avro) into Arrow batches. Per-file
+    parallelism — the same task shape a native reader gets."""
+    import pandas as _pd
+
+    cols = [f.name for f in read_schema.fields]
+
+    def decode(batches):
+        from .avro_file import read_avro
+
+        for b in batches:
+            for p in b["p"]:
+                _, _, rows = read_avro(p)
+                yield _pd.DataFrame(
+                    {c: [r.get(c) for r in rows] for c in cols})
+
+    pdf = spark.createDataFrame([(p,) for p in sorted(paths)], "p string")
+    return (pdf.repartition(max(1, len(paths)))
+            .mapInPandas(decode, read_schema))
 
 
 def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False,
@@ -976,7 +1018,7 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 import pyarrow as _pa
                 import pyarrow.parquet as _pq
 
-                foot = _pq.read_schema(p)
+                foot = _io.read_parquet_schema(p)
                 native = set()
                 for vn in vnames:
                     if vn in foot.names:
@@ -1033,7 +1075,7 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 try:
                     import pyarrow.parquet as _pq
 
-                    foot = _pq.read_schema(entries[0].file.file_path)
+                    foot = _io.read_parquet_schema(entries[0].file.file_path)
                     for vn in var_names:
                         if vn in foot.names:
                             ft = foot.field(vn).type
@@ -1097,6 +1139,12 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             df = pieces[0]
             for p in pieces[1:]:
                 df = df.unionByName(p)
+        elif ffmt == "avro" and not _spark_avro_available(spark):
+            # spark-avro is an optional module (absent here): decode the
+            # containers EXECUTOR-side with the engine's own Avro codec
+            # (avro_file.py) — one task per file via mapInPandas, so the
+            # read parallelizes exactly like a native format reader
+            df = _avro_decode_df(spark, paths, read_schema)
         else:
             df = spark.read.schema(read_schema).format(ffmt).load(paths)
         # map file columns -> current names by field id; fill missing with null

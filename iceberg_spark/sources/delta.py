@@ -82,16 +82,18 @@ def _read_log(location: str):
     """Replay _delta_log (checkpoint parquet seed + later JSON commits);
     return (schema_struct, partition_columns, {resolved_path: pvals})."""
     log_dir = os.path.join(location, "_delta_log")
-    if not os.path.isdir(log_dir):
+    from ..io import resolve_io
+
+    dio = resolve_io(location)
+    if not dio.is_dir(log_dir):
         raise ValueError(f"not a Delta table (no _delta_log): {location}")
     schema_json = None
     partition_cols: list = []
     active: dict = {}
     ckpt_version = -1
     last_ckpt = os.path.join(log_dir, "_last_checkpoint")
-    if os.path.exists(last_ckpt):
-        with open(last_ckpt) as fh:
-            meta = json.load(fh)
+    if dio.exists(last_ckpt):
+        meta = json.loads(dio.read_text(last_ckpt))
         ckpt_version = int(meta["version"])
         parts = meta.get("parts")
         if parts:
@@ -102,10 +104,10 @@ def _read_log(location: str):
         else:
             ckpt_files = [os.path.join(
                 log_dir, f"{ckpt_version:020d}.checkpoint.parquet")]
-        import pyarrow.parquet as pq
+        from .. import io as _fio
 
         for cf in ckpt_files:
-            tbl = pq.read_table(cf)
+            tbl = _fio.read_parquet(cf)
             cols = set(tbl.column_names)
             if "protocol" in cols:
                 for pr in tbl.column("protocol").to_pylist():
@@ -127,7 +129,7 @@ def _read_log(location: str):
                     if rem is not None:
                         active.pop(unquote(rem["path"]), None)
     versions = sorted(
-        f for f in os.listdir(log_dir)
+        f for f in dio.list(log_dir)
         if f.endswith(".json") and f[: -len(".json")].isdigit()
         and int(f[: -len(".json")]) > ckpt_version)
     if not versions and ckpt_version < 0:
@@ -142,8 +144,8 @@ def _read_log(location: str):
             f"Delta log has version gaps after checkpoint {ckpt_version}: "
             f"found {vnums}, expected consecutive {expect} ({log_dir})")
     for fn in versions:
-        with open(os.path.join(log_dir, fn)) as fh:
-            for line in fh:
+        for line in dio.read_text(
+                os.path.join(log_dir, fn)).splitlines():
                 line = line.strip()
                 if not line:
                     continue

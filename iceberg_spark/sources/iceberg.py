@@ -4,8 +4,9 @@ A reference-written Iceberg table is metadata JSON
 (core/.../TableMetadataParser.java) + an **Avro** manifest list
 (core/.../ManifestLists.java) + Avro manifests
 (core/.../ManifestReader.java:57), pointing at parquet/orc/avro data
-files, parquet position/equality delete files, and (v3) Puffin deletion
-vectors. This module replays the current snapshot's manifests and
+files, position/equality delete files (parquet by reference; ORC/Avro
+converted once to parquet twins under the destination), and (v3) Puffin
+deletion vectors. This module replays the current snapshot's manifests and
 registers every live file in an engine table without copying data —
 the Delta-import pattern (sources/delta.py) applied to Iceberg itself.
 
@@ -26,7 +27,7 @@ Fidelity notes:
   delete the source's files.
 
 Unsupported source features fail loudly: format-version > 3, encrypted
-manifests (key_metadata), ORC/Avro *delete* files.
+manifests (key_metadata).
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ import datetime as _dt
 import glob as _glob
 import json
 import os
+import uuid as _uuid
 from dataclasses import replace as _replace
 from urllib.parse import unquote, urlparse
 
@@ -56,8 +58,9 @@ def _resolve_path(p: str, location: str = None) -> str:
         return p
     if u.scheme == "file":
         return unquote(u.path)
-    raise ValueError(
-        f"unsupported path scheme in Iceberg metadata (local/file only): {p}")
+    # remote schemes (s3a://, hdfs://, ...) stay as-is: reads route
+    # through the path's FileIO (io.resolve_io), writes through Spark
+    return p
 
 
 def _find_metadata_json(source: str) -> str:
@@ -65,16 +68,19 @@ def _find_metadata_json(source: str) -> str:
     the newest `*.metadata.json` (HadoopTableOperations layout)."""
     if source.endswith(".metadata.json"):
         return source
+    from ..io import resolve_io
+
+    sio = resolve_io(source)
     mdir = os.path.join(source, "metadata")
     hint = os.path.join(mdir, "version-hint.text")
-    if os.path.exists(hint):
-        with open(hint) as f:
-            v = f.read().strip()
+    if sio.exists(hint):
+        v = sio.read_text(hint).strip()
         for pat in (f"v{v}.metadata.json", f"{v}.metadata.json"):
             p = os.path.join(mdir, pat)
-            if os.path.exists(p):
+            if sio.exists(p):
                 return p
-    cands = _glob.glob(os.path.join(mdir, "*.metadata.json"))
+    cands = [os.path.join(mdir, fn) for fn in sio.list(mdir)
+             if fn.endswith(".metadata.json")]
     if not cands:
         raise FileNotFoundError(
             f"no Iceberg metadata JSON under {source} (expected "
@@ -230,9 +236,10 @@ ADDED, EXISTING, DELETED = 1, 0, 2
 def _parse_table(source: str):
     """Parse the metadata JSON: (md, schemas, cur_schema, specs,
     default_spec)."""
+    from ..io import resolve_io
+
     mpath = _find_metadata_json(source)
-    with open(mpath) as f:
-        md = json.load(f)
+    md = json.loads(resolve_io(mpath).read_text(mpath))
     fv = int(md.get("format-version", 1))
     if fv > 3:
         raise NotImplementedError(
@@ -413,7 +420,8 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
     t = _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
                      default_spec, src_props, md=md)
     files_by_seq = _materialize(catalog, schemas, cur_schema, specs,
-                                entries, seq_map)
+                                entries, seq_map,
+                                dest_location=t.location)
 
     n_data = sum(1 for _, f in files_by_seq if f.content == 0)
     n_del = len(files_by_seq) - n_data
@@ -473,7 +481,8 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
             new_entries.append(e)
     seq_map = {s: next_seq for s in {e["seq"] for e in new_entries}}
     files_by_seq += _materialize(catalog, schemas, cur, specs,
-                                 new_entries, seq_map)
+                                 new_entries, seq_map,
+                                 dest_location=table.location)
     op = (snap_json.get("summary") or {}).get("operation") or "append"
     sid = int(snap_json["snapshot-id"])
     if any(s.snapshot_id == sid for s in meta.snapshots):
@@ -532,22 +541,69 @@ def _orc_rows(path: str) -> int:
     return _orc.ORCFile(path).nrows
 
 
+def _convert_delete_file(e: dict, dest_location: str, cache: dict):
+    """ORC/Avro position- or equality-delete file -> a parquet twin under
+    the DEST table's data dir. The reference reads all three formats for
+    deletes (core/.../avro/Avro.java, data ORC readers); the engine's MoR
+    read path is parquet/puffin, so import converts ONCE (cached across a
+    history replay) — content is tiny relative to data. The entry mutates
+    in place to the converted path/format/size."""
+    import pyarrow as _pa
+
+    from .. import io as _fio
+
+    src = _resolve_path(e["path"])
+    ck = ("__conv__", src)
+    hit = cache.get(ck)
+    if hit is None:
+        if e["format"] == "avro":
+            from ..avro_file import read_avro
+
+            _schema, _meta, rows = read_avro(src)
+            if e["content"] == 1:  # position deletes: fixed spec schema
+                tbl = _pa.table({
+                    "file_path": _pa.array(
+                        [r["file_path"] for r in rows], _pa.string()),
+                    "pos": _pa.array([r["pos"] for r in rows],
+                                     _pa.int64())})
+            else:
+                tbl = _pa.Table.from_pylist(rows)
+        else:  # orc
+            import pyarrow.orc as _orc
+
+            tbl = _orc.ORCFile(src).read()
+        new = os.path.join(dest_location, "data",
+                           f"imported-deletes-{_uuid.uuid4().hex}.parquet")
+        size = _fio.write_parquet(tbl, new)
+        hit = cache[ck] = (new, size, tbl.num_rows)
+    e["path"], e["file_size"], e["record_count"] = hit
+    e["format"] = "parquet"
+
+
 def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
-                 cache: dict = None) -> list:
+                 cache: dict = None, dest_location: str = None) -> list:
     """entries -> [(remapped seq, engine DataFile)] — stats re-collected
     from the actual parquet footers, grouped per (spec, content); Puffin
-    DVs registered from the entry. `cache` (path, content) -> DataFile
-    reuses footer stats across snapshots in a history replay."""
+    DVs registered from the entry; ORC/Avro DELETE files convert to
+    parquet twins under `dest_location` (loud error when no destination
+    is available to hold the conversion). `cache` (path, content) ->
+    DataFile reuses footer stats across snapshots in a history replay."""
     from collections import defaultdict
 
     from ..manifests import (DATA, POSITION_DELETES, DataFile,
                              collect_data_files)
 
+    cache = cache if cache is not None else {}
     for e in entries:
+        if e["content"] != DATA and e["format"] in ("orc", "avro"):
+            if dest_location is None:
+                raise NotImplementedError(
+                    f"{e['format']} delete files need a destination table "
+                    f"to hold their parquet conversion: {e['path']}")
+            _convert_delete_file(e, dest_location, cache)
         if e["content"] != DATA and e["format"] not in ("parquet", "puffin"):
             raise NotImplementedError(
                 f"{e['format']} delete files are not supported: {e['path']}")
-    cache = cache if cache is not None else {}
     files_by_seq = []
     parquet_groups = defaultdict(list)
     for e in entries:
@@ -576,14 +632,27 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 content_size_in_bytes=e["content_size"])
             cache[ck] = f
             files_by_seq.append((seq_map[e["seq"]], f))
-        elif e["format"] == "orc":
-            # ORC data files register with the manifest's counts; the orc
-            # footer has no pyarrow stat surface comparable to parquet, so
-            # these files simply don't min/max-prune (reads stay exact)
+        elif e["format"] in ("orc", "avro"):
+            # ORC/Avro data files register with the manifest's counts
+            # (reference reads all three data formats —
+            # core/.../avro/Avro.java, api/.../FileFormat.java:26-31);
+            # neither has a pyarrow stat surface comparable to parquet
+            # footers, so these files simply don't min/max-prune (reads
+            # stay exact — the residual filter applies in full). A
+            # count-less manifest entry falls back to the file's own
+            # row count (ORC footer / Avro block headers).
+            rc = e["record_count"]
+            if not rc:
+                if e["format"] == "orc":
+                    rc = _orc_rows(e["path"])
+                else:
+                    from ..avro_file import avro_row_count
+
+                    rc = avro_row_count(_resolve_path(e["path"]))
             f = DataFile(
-                file_path=e["path"], file_format="orc", content=DATA,
+                file_path=e["path"], file_format=e["format"], content=DATA,
                 spec_id=e["spec_id"], partition=dict(e["partition"]),
-                record_count=e["record_count"] or _orc_rows(e["path"]),
+                record_count=rc,
                 file_size_in_bytes=e["file_size"], stats={},
                 write_schema_id=e.get("schema_id", cur_schema))
             cache[ck] = f
@@ -591,7 +660,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
         else:
             raise NotImplementedError(
                 f"imported {e['format']} data files are not supported yet "
-                f"(parquet/orc only): {e['path']}")
+                f"(parquet/orc/avro only): {e['path']}")
 
     schema = schemas[cur_schema]
     for (spec_id, content), group in sorted(parquet_groups.items()):
@@ -662,7 +731,8 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
     n_data = 0
     for snap, ents in per_snap:
         files_by_seq = _materialize(catalog, schemas, cur_schema, specs,
-                                    ents, seq_map, cache)
+                                    ents, seq_map, cache,
+                                    dest_location=t.location)
         ov = max([sq for sq, _ in files_by_seq]
                  + [seq_map.get(int(snap.get("sequence-number") or 0), 0)],
                  default=0)

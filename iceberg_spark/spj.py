@@ -58,8 +58,11 @@ def create_bucketed_table(catalog, identifier: str, df: DataFrame,
     (df.write.format("parquet").option("path", data_dir)
        .bucketBy(n_buckets, key).sortBy(key).mode("overwrite")
        .saveAsTable(name))
-    paths = [os.path.join(r, f) for r, _d, fs in os.walk(data_dir)
-             for f in fs if f.endswith(".parquet")]
+    from .io import resolve_io, strip_scheme
+
+    paths = [strip_scheme(p)
+             for p in resolve_io(data_dir, spark).walk_files(data_dir)
+             if p.endswith(".parquet")]
     files = collect_data_files(paths, t.schema, t.spec, spark=t.spark)
     from dataclasses import replace as _replace
 

@@ -992,16 +992,16 @@ class SqlEngine:
     def _proc_register_table(self, a):
         ident = self._arg(a, "table", 0)
         metadata_file = self._arg(a, "metadata_file", 1)
-        import shutil as _sh
         import os as _os
         import json as _json
 
         # a REFERENCE-layout metadata JSON (Avro manifest lists) routes to
         # the full-history Iceberg importer; engine-layout tables (parquet
         # manifest lists) keep the direct registration below
+        from . import io as _fio
+
         try:
-            with open(metadata_file) as fh:
-                mj = _json.load(fh)
+            mj = _json.loads(_fio.read_text(metadata_file))
             mls = [s.get("manifest-list", "") for s in mj.get("snapshots", [])]
         except (OSError, ValueError):
             mls = []
@@ -1020,9 +1020,8 @@ class SqlEngine:
 
         loc = self.catalog._location(ident)
         src_table_dir = _os.path.dirname(_os.path.dirname(metadata_file))
-        if not _os.path.isdir(loc):
-            _os.makedirs(_os.path.dirname(loc), exist_ok=True)
-            _sh.copytree(src_table_dir, loc)
+        if not self.catalog.io.is_dir(loc):
+            _fio.copy_tree(src_table_dir, loc)
         t = self._load(ident)
         cur = t.current_snapshot()
         return self._rows(

@@ -65,9 +65,12 @@ class MicroBatchStream:
         # silently emitting replaced rows as fresh inserts
         self.skip_delete = skip_delete_snapshots
         self.skip_overwrite = skip_overwrite_snapshots
-        os.makedirs(checkpoint_dir, exist_ok=True)
+        from ..io import resolve_io
+
+        self._io = resolve_io(checkpoint_dir, table.spark)
+        self._io.mkdirs(checkpoint_dir)
         self._offset_path = os.path.join(checkpoint_dir, "offset.json")
-        if not os.path.exists(self._offset_path):
+        if not self._io.exists(self._offset_path):
             # initial offset: start *after* current snapshot unless told
             init = StreamingOffset(from_snapshot_id
                                    if from_snapshot_id is not None
@@ -76,14 +79,11 @@ class MicroBatchStream:
 
     # -- offset store (InitialOffsetStore analog) ---------------------------
     def offset(self) -> StreamingOffset:
-        with open(self._offset_path) as f:
-            return StreamingOffset.from_json(f.read())
+        return StreamingOffset.from_json(
+            self._io.read_text(self._offset_path))
 
     def _write_offset(self, off: StreamingOffset):
-        tmp = self._offset_path + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(off.to_json())
-        os.replace(tmp, self._offset_path)
+        self._io.write_text(self._offset_path, off.to_json())
 
     # -- planning -----------------------------------------------------------
     def _pending_entries(self):

@@ -182,13 +182,12 @@ class Table:
         """Metadata-only import of existing parquet files (no rewrite) —
         the `add_files` procedure / TableMigrationUtil path."""
         if isinstance(paths, str):
-            if os.path.isdir(paths):
-                paths = [
-                    os.path.join(r, f)
-                    for r, _d, fs in os.walk(paths)
-                    for f in fs
-                    if f.endswith(".parquet")
-                ]
+            from .io import resolve_io
+
+            pio = resolve_io(paths, self.spark)
+            if pio.is_dir(paths):
+                paths = [p for p in pio.walk_files(paths)
+                         if p.endswith(".parquet")]
             else:
                 paths = [paths]
         partitions = None
@@ -788,10 +787,13 @@ class Catalog:
     API mirrors api/.../catalog/Catalog.java:33-211."""
 
     def __init__(self, spark: SparkSession, warehouse: str, name: str = "local"):
+        from .io import resolve_io
+
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.name = name
-        os.makedirs(self.warehouse, exist_ok=True)
+        self.io = resolve_io(self.warehouse, spark)
+        self.io.mkdirs(self.warehouse)
 
     def _location(self, identifier: str) -> str:
         return os.path.join(self.warehouse, *identifier.split("."))
@@ -824,29 +826,29 @@ class Catalog:
 
     def drop_table(self, identifier: str, purge: bool = True) -> bool:
         loc = self._location(identifier)
-        if not os.path.isdir(loc):
+        if not self.io.is_dir(loc):
             return False
-        shutil.rmtree(loc)
+        self.io.delete_dir(loc)
         return True
 
     def rename_table(self, from_id: str, to_id: str):
         src, dst = self._location(from_id), self._location(to_id)
-        if not os.path.isdir(src):
+        if not self.io.is_dir(src):
             raise ValueError(f"no such table: {from_id}")
-        if os.path.isdir(dst):
+        if self.io.is_dir(dst):
             raise ValueError(f"table exists: {to_id}")
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        os.rename(src, dst)
+        self.io.rename(src, dst)
 
     # -- namespaces (api/.../catalog/SupportsNamespaces.java) ---------------
     def create_namespace(self, namespace: str, exists_ok: bool = False):
         p = os.path.join(self.warehouse, *namespace.split("."))
-        if os.path.isdir(p) and not exists_ok:
+        if self.io.is_dir(p) and not exists_ok:
             raise ValueError(f"namespace exists: {namespace}")
-        os.makedirs(p, exist_ok=True)
+        self.io.mkdirs(p)
 
     def namespace_exists(self, namespace: str) -> bool:
-        return os.path.isdir(os.path.join(self.warehouse, *namespace.split(".")))
+        return self.io.is_dir(
+            os.path.join(self.warehouse, *namespace.split(".")))
 
     _NS_PROPS_FILE = "_namespace_properties.json"
 
@@ -858,12 +860,11 @@ class Catalog:
         if not self.namespace_exists(namespace):
             raise ValueError(f"no such namespace: {namespace}")
         p = self._ns_props_path(namespace)
-        if not os.path.exists(p):
+        if not self.io.exists(p):
             return {}
         import json as _json
 
-        with open(p) as f:
-            return _json.load(f)
+        return _json.loads(self.io.read_text(p))
 
     def update_namespace_properties(self, namespace: str,
                                     updates: Optional[dict] = None,
@@ -886,37 +887,44 @@ class Catalog:
         props.update(updates)
         import json as _json
 
-        with open(self._ns_props_path(namespace), "w") as f:
-            _json.dump(props, f)
+        self.io.write_text(self._ns_props_path(namespace),
+                           _json.dumps(props))
         return sorted(updates), sorted(removed), sorted(missing)
 
     def drop_namespace(self, namespace: str):
         p = os.path.join(self.warehouse, *namespace.split("."))
-        if not os.path.isdir(p):
+        if not self.io.is_dir(p):
             raise ValueError(f"no such namespace: {namespace}")
         if self.list_tables(namespace):
             raise ValueError(f"namespace not empty: {namespace}")
-        shutil.rmtree(p)
+        self.io.delete_dir(p)
+
+    def _walk_dirs(self, base: str, rel: str, on_table, on_namespace):
+        """Directory recursion over FileIO: a dir with a metadata/ child
+        is a table (leaf); every other dir is a namespace level."""
+        if self.io.is_dir(os.path.join(base, "metadata")):
+            if rel:
+                on_table(rel)
+            return
+        if rel:
+            on_namespace(rel)
+        for name in sorted(self.io.list(base)):
+            sub = os.path.join(base, name)
+            if self.io.is_dir(sub):
+                self._walk_dirs(sub, f"{rel}.{name}" if rel else name,
+                                on_table, on_namespace)
 
     def list_namespaces(self) -> list:
         out = []
-        for root, dirs, _files in os.walk(self.warehouse):
-            if os.path.isdir(os.path.join(root, "metadata")):
-                dirs.clear()  # tables are leaves
-                continue
-            rel = os.path.relpath(root, self.warehouse)
-            if rel != "." and not rel.startswith("_"):
-                out.append(rel.replace(os.sep, "."))
+        self._walk_dirs(self.warehouse, "", lambda r: None,
+                        lambda r: not r.startswith("_") and out.append(r))
         return sorted(out)
 
     def list_tables(self, namespace: str = "") -> list:
-        base = os.path.join(self.warehouse, *namespace.split(".")) if namespace else self.warehouse
+        base = (os.path.join(self.warehouse, *namespace.split("."))
+                if namespace else self.warehouse)
         out = []
-        for root, dirs, _files in os.walk(base):
-            if os.path.isdir(os.path.join(root, "metadata")):
-                rel = os.path.relpath(root, self.warehouse)
-                out.append(rel.replace(os.sep, "."))
-                dirs.clear()
+        self._walk_dirs(base, namespace, out.append, lambda r: None)
         return sorted(out)
 
     def create_table_from_df(self, identifier: str, df: DataFrame, partition_by=None,

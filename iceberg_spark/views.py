@@ -157,21 +157,23 @@ def _path(catalog, kind: str, identifier: str) -> str:
     return os.path.join(catalog.warehouse, kind, f"{identifier}.json")
 
 
+def _io(catalog):
+    from .io import resolve_io
+
+    return getattr(catalog, "io", None) or resolve_io(catalog.warehouse)
+
+
 def _load(catalog, kind, identifier):
     p = _path(catalog, kind, identifier)
-    if not os.path.isfile(p):
+    io = _io(catalog)
+    if not io.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(io.read_text(p))
 
 
 def _store(catalog, kind, identifier, doc):
     p = _path(catalog, kind, identifier)
-    os.makedirs(os.path.dirname(p), exist_ok=True)
-    tmp = p + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(doc, f, indent=1)
-    os.replace(tmp, p)
+    _io(catalog).write_text(p, json.dumps(doc, indent=1))
 
 
 def create_view(catalog, identifier: str, sql: str, replace: bool = False,
@@ -207,8 +209,9 @@ def load_view(catalog, identifier: str) -> Optional[ViewMetadata]:
 
 def drop_view(catalog, identifier: str) -> bool:
     p = _path(catalog, "_views", identifier)
-    if os.path.isfile(p):
-        os.remove(p)
+    io = _io(catalog)
+    if io.exists(p):
+        io.delete_file(p)
         return True
     return False
 
@@ -229,9 +232,8 @@ def rename_view(catalog, from_id: str, to_id: str) -> None:
 
 def list_views(catalog) -> list:
     d = os.path.join(catalog.warehouse, "_views")
-    if not os.path.isdir(d):
-        return []
-    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+    return sorted(f[:-5] for f in _io(catalog).list(d)
+                  if f.endswith(".json"))
 
 
 def create_function(catalog, identifier: str, params, return_type: str,
@@ -261,17 +263,17 @@ def load_function(catalog, identifier: str) -> Optional[FunctionMetadata]:
 
 def drop_function(catalog, identifier: str) -> bool:
     p = _path(catalog, "_functions", identifier)
-    if os.path.isfile(p):
-        os.remove(p)
+    io = _io(catalog)
+    if io.exists(p):
+        io.delete_file(p)
         return True
     return False
 
 
 def list_functions(catalog) -> list:
     d = os.path.join(catalog.warehouse, "_functions")
-    if not os.path.isdir(d):
-        return []
-    return sorted(f[:-5] for f in os.listdir(d) if f.endswith(".json"))
+    return sorted(f[:-5] for f in _io(catalog).list(d)
+                  if f.endswith(".json"))
 
 
 def materialize_function(spark, meta: FunctionMetadata,

@@ -33,6 +33,11 @@ _STATE: dict = {}
 def _warehouse(spark: SparkSession) -> Catalog:
     if "catalog" not in _STATE:
         wh = tempfile.mkdtemp(prefix="iceberg_spark_wh_")
+        # SPARK_GRAFT_FILEIO=hadoop runs the ENTIRE registry with the
+        # warehouse behind the JVM Hadoop FileSystem (io.HadoopFileIO) —
+        # the object-store code path, exercised end-to-end on a file: URI
+        if os.environ.get("SPARK_GRAFT_FILEIO", "").lower() == "hadoop":
+            wh = "file://" + wh
         _STATE["catalog"] = Catalog(spark, wh)
     return _STATE["catalog"]
 

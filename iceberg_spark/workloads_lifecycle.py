@@ -511,11 +511,13 @@ def orphan_cleanup_scan(spark, sf_dir):
         _ensure_conf(spark)
         t, df = _fresh(spark, sf_dir, "nation", "orphan")
         t.append(df)
+        from .io import resolve_io
+
         ddir = os.path.join(t.location, "data")
-        os.makedirs(ddir, exist_ok=True)
+        dio = resolve_io(ddir, spark)
         for i in range(3):
-            with open(os.path.join(ddir, f"orphan-{i}.parquet"), "wb") as f:
-                f.write(b"not a real parquet file")
+            dio.write_bytes(os.path.join(ddir, f"orphan-{i}.parquet"),
+                            b"not a real parquet file")
         import time as _time
 
         removed = t.remove_orphan_files(
@@ -810,10 +812,12 @@ def rewrite_table_path_scan(spark, sf_dir):
         from .maintenance import rewrite_table_path
         res = rewrite_table_path(t, t.location, target)
         assert res["rewritten_manifests"] >= 1
+        from .io import resolve_io
+
         for src, dst in res["data_files_to_copy"]:
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            if not os.path.exists(dst):
-                shutil.copy2(src, dst)
+            dio = resolve_io(dst, spark)
+            if not dio.exists(dst):
+                dio.write_bytes(dst, resolve_io(src, spark).read_bytes(src))
         _STATE[key] = target
     target = _STATE[key]
     from .metadata import TableOperations
@@ -1106,9 +1110,11 @@ def relocated_table_scan(spark, sf_dir):
                        properties={"write.metadata.use-relative-paths": "true"})
         t.append(df)
         t.delete_where(col("c_acctbal") < 0, mode="merge-on-read")
+        from .io import copy_tree, resolve_io
+
         new_loc = os.path.join(tempfile.mkdtemp(prefix="relocated_"), "customer")
-        shutil.copytree(t.location, new_loc)
-        shutil.rmtree(t.location)
+        copy_tree(t.location, new_loc)
+        resolve_io(t.location, spark).delete_dir(t.location)
         _STATE[key] = new_loc
     from .metadata import TableOperations
     from .table import Table
@@ -1489,6 +1495,66 @@ def iceberg_import_dv_scan(spark, sf_dir):
     return _iceberg_import_impl(spark, sf_dir, "dv", dv=True)
 
 
+def iceberg_import_avro_scan(spark, sf_dir):
+    """Import a reference-layout Iceberg table whose DATA file is an AVRO
+    container (the reference reads parquet, ORC, and Avro data —
+    core/.../avro/Avro.java, api/.../FileFormat.java:26-31): the file
+    registers by reference with a row count read from the container's
+    block headers (the manifest entry deliberately omits record_count to
+    exercise that fallback); no min/max stats, so the file never prunes
+    and the residual filter applies in full."""
+    key = ("icebergimp_avro", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import pyarrow.parquet as pq
+
+        from .avro_file import write_avro
+        from .sources.iceberg import snapshot_iceberg_table
+        from .sources.iceberg_fixture import write_reference_table
+
+        src = os.path.join(sf_dir, "supplier.parquet")
+        tbl = pq.read_table(src)
+        root = tempfile.mkdtemp(prefix="iceberg_src_avro_")
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        _A = {"int64": "long", "int32": "int", "double": "double",
+              "float": "float", "string": "string",
+              "large_string": "string", "bool": "boolean"}
+        avro_schema = {"type": "record", "name": "supplier", "fields": [
+            {"name": f.name, "type": _A[str(f.type)]} for f in tbl.schema]}
+        apath = os.path.join(root, "data", "supplier.avro")
+        size = write_avro(apath, avro_schema, tbl.to_pylist())
+        schema_json = {"type": "struct", "schema-id": 0, "fields": [
+            {"id": i + 1, "name": f.name, "required": False,
+             "type": _PA_TO_ICEBERG[str(f.type)]}
+            for i, f in enumerate(tbl.schema)]}
+        data_entry = {"path": apath, "format": "avro",
+                      "record_count": 0,  # forces the block-header count
+                      "file_size": size, "seq": 1}
+        write_reference_table(root, schema_json, [data_entry])
+        cat = _warehouse(spark)
+        ident = f"icebergimp_avro_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        t, n_data, n_del = snapshot_iceberg_table(cat, root, ident)
+        assert n_data == 1 and n_del == 0
+        live = t.scan().plan_files().files
+        assert live[0].file.record_count == tbl.num_rows  # header count
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().where(F.col("s_acctbal") > 0)
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+ICEBERG_IMPORT_AVRO_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier WHERE s_acctbal > 0
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def iceberg_export_roundtrip_scan(spark, sf_dir):
     """Outbound interop: an engine table with MoR position deletes is
     EXPORTED to the reference layout (metadata JSON + Avro manifest
@@ -1541,6 +1607,8 @@ REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
     "iceberg_import_scan": (iceberg_import_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_dv_scan": (iceberg_import_dv_scan, ICEBERG_IMPORT_SQL),
+    "iceberg_import_avro_scan": (iceberg_import_avro_scan,
+                                 ICEBERG_IMPORT_AVRO_SQL),
     "iceberg_export_roundtrip_scan": (iceberg_export_roundtrip_scan,
                                       ICEBERG_EXPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import expressions as E
+from . import io as _io
 from .manifests import (
     ADDED,
     DATA,
@@ -240,15 +241,18 @@ def write_data_files(
 
     suffixes = (".parquet",) if fmt == "parquet" else (f".{fmt}",)
     paths, partitions = [], {}
-    for root, _dirs, files in os.walk(out_dir):
-        for fn in files:
-            if fn.endswith(suffixes):
-                p = os.path.join(root, fn)
-                paths.append(p)
-                if pnames:
-                    partitions[p] = partition_values_from_path(
-                        os.path.relpath(p, out_dir), pnames, ptypes
-                    )
+    # manifests record file:-family paths in PLAIN form (one spelling per
+    # file, whatever the warehouse URI style); genuinely remote schemes
+    # keep their scheme
+    out_plain = _io.strip_scheme(out_dir)
+    for p in _io.resolve_io(out_dir, table.spark).walk_files(out_dir):
+        if p.endswith(suffixes):
+            p = _io.strip_scheme(p)
+            paths.append(p)
+            if pnames:
+                partitions[p] = partition_values_from_path(
+                    os.path.relpath(p, out_plain), pnames, ptypes
+                )
     if fmt == "parquet":
         files = collect_data_files(paths, schema, spec, partitions, content,
                                    spark=table.spark)
@@ -303,7 +307,7 @@ def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
             spec_id=spec.spec_id,
             partition=dict(partitions.get(path) or {}),
             record_count=d["__cnt"],
-            file_size_in_bytes=os.path.getsize(path),
+            file_size_in_bytes=_io.file_size(path),
             stats=stats,
         ))
     return out

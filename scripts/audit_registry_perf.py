@@ -92,6 +92,57 @@ def check_bench(bench_json: dict) -> list:
     return fails
 
 
+def _normalized(d: dict) -> dict:
+    """Calib-normalized per-entry seconds for any bench JSON: prefer the
+    file's own queries_normalized; else derive from queries + cpu_calib
+    (older rounds' files)."""
+    if d.get("queries_normalized"):
+        return dict(d["queries_normalized"])
+    q = d.get("queries", d)
+    factor = (q.get("cpu_calib") or CAL_REF) / CAL_REF
+    return {k: v / factor for k, v in q.items()
+            if isinstance(v, (int, float))
+            and k != "cpu_calib" and not k.endswith("_ratio")}
+
+
+def drift_table(cur: dict, prev_path: str, warn_pct: float = 25.0) -> list:
+    """Per-entry drift of calib-normalized timings vs a previous round's
+    bench file. Informational: machine speed is already divided out, so
+    a big move here is an ENGINE change, not VM noise."""
+    try:
+        prev = json.loads(open(prev_path).read())
+        prev = prev.get("parsed", prev)
+    except (OSError, ValueError):
+        return []
+    a, b = _normalized(prev), _normalized(cur)
+    rows = []
+    for k in sorted(set(a) & set(b)):
+        if a[k] <= 0:
+            continue
+        pct = (b[k] - a[k]) / a[k] * 100.0
+        rows.append((k, a[k], b[k], pct))
+    if rows:
+        print(f"-- calib-normalized drift vs {prev_path} "
+              f"(warn at ±{warn_pct:.0f}%) --", file=sys.stderr)
+        for k, pa_, pb, pct in rows:
+            mark = "  DRIFT" if abs(pct) > warn_pct else ""
+            print(f"  {k:38s} {pa_:7.3f}s -> {pb:7.3f}s  "
+                  f"{pct:+6.1f}%{mark}", file=sys.stderr)
+    return [(k, pct) for k, _a, _b, pct in rows if abs(pct) > warn_pct]
+
+
+def _previous_bench(cur_path: str) -> str:
+    """Newest BENCH_r*.json in the repo root other than cur_path."""
+    import glob
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    cands = sorted(glob.glob(_os.path.join(root, "BENCH_r*.json")))
+    cands = [c for c in cands
+             if _os.path.abspath(c) != _os.path.abspath(cur_path)]
+    return cands[-1] if cands else ""
+
+
 def main_check(path: str) -> int:
     raw = sys.stdin.read() if path == "-" else open(path).read()
     # bench.py wrapper files nest the parsed line under "parsed"
@@ -100,7 +151,12 @@ def main_check(path: str) -> int:
     fails = check_bench(d)
     for f in fails:
         print(f"GATE FAIL {f}", file=sys.stderr)
-    print(json.dumps({"gates_failed": len(fails), "fails": fails}))
+    drifted = []
+    prev = _previous_bench(path if path != "-" else "")
+    if prev:
+        drifted = drift_table(d, prev)
+    print(json.dumps({"gates_failed": len(fails), "fails": fails,
+                      "drift_gt_25pct": [k for k, _ in drifted]}))
     return 1 if fails else 0
 
 

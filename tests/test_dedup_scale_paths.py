@@ -32,3 +32,32 @@ def test_ngram_df_cap_drops_hot_shingles(spark, monkeypatch):
     monkeypatch.setattr(dedup, "SHINGLE_DF_CAP", 10**9)
     assert dedup.dedup_ngram_jaccard(spark, SF_DIR).count() == baseline
     assert baseline > 0
+
+
+def test_semantic_dedup_k_derivation_bounds_clusters(spark):
+    """Production K (semantic_dedup_k): k scales ~n/target so SemDeDup's
+    per-cluster pair cost stays bounded — at a larger synthetic n the
+    derived k must cap the max cluster well below the corpus size."""
+    import numpy as np
+
+    from iceberg_spark.pipeline.dedup import (semantic_dedup,
+                                              semantic_dedup_k)
+
+    assert semantic_dedup_k(10, 100) == 4          # fixture floor
+    assert semantic_dedup_k(1_000_000, 100_000) == 10
+    assert semantic_dedup_k(1_000_001, 100_000) == 11
+
+    n, dims, target = 2000, 64, 100
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(n, dims)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    out = semantic_dedup(spark, None, target_cluster_rows=target,
+                         corpus=corpus).collect()
+    assert len(out) == semantic_dedup_k(n, target) == 20
+    sizes = [r["n_vecs"] for r in out]
+    assert sum(sizes) == n
+    # nearest-centroid assignment over random seeds: no cluster may hog
+    # the corpus (5x the ideal share still says "bounded", not "exact")
+    assert max(sizes) < 5 * (n / len(sizes))

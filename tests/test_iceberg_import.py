@@ -608,3 +608,69 @@ def test_continuous_reference_layout_export(catalog, tmp_path, spark):
     t.append(spark.range(15, 40).select("id"))
     entries = read_iceberg_snapshot(cur)[4]
     assert sum(e["record_count"] for e in entries) == 40
+
+
+def test_import_avro_data_files(catalog, tmp_path):
+    """Avro DATA files import by reference (core/.../avro/Avro.java:
+    FileFormat.AVRO is a first-class data format); a count-less manifest
+    entry falls back to the container's block-header row count, and the
+    scan decodes executor-side when spark-avro is absent."""
+    from iceberg_spark.avro_file import write_avro
+
+    root = str(tmp_path / "src_avro")
+    os.makedirs(os.path.join(root, "data"))
+    ap = os.path.join(root, "data", "d.avro")
+    size = write_avro(
+        ap, {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "grp", "type": "long"}]},
+        [{"id": i, "grp": i % 3} for i in range(20)])
+    write_reference_table(root, SCHEMA_JSON, [
+        {"path": ap, "format": "avro", "record_count": 0,
+         "file_size": size, "seq": 1}])
+    t, n_data, n_del = snapshot_iceberg_table(catalog, root, "db.avrodata")
+    assert (n_data, n_del) == (1, 0)
+    live = t.scan().plan_files().files
+    assert live[0].file.record_count == 20  # block-header fallback
+    rows = sorted(r["id"] for r in t.to_df().collect())
+    assert rows == list(range(20))
+
+
+def test_import_avro_and_orc_delete_files(catalog, tmp_path):
+    """ORC/Avro DELETE files convert once to parquet twins under the
+    destination (the engine's MoR read path is parquet/puffin): an Avro
+    position-delete and an ORC equality-delete both apply on read."""
+    import pyarrow.orc as orc
+
+    from iceberg_spark.avro_file import write_avro
+
+    root = str(tmp_path / "src_mixdel")
+    os.makedirs(os.path.join(root, "data"))
+    dp = os.path.join(root, "data", "d.parquet")
+    fa = _write_parquet(dp, list(range(10)), grp=1)
+    # Avro position delete: rows 0 and 3 of the data file
+    adel = os.path.join(root, "data", "pdel.avro")
+    asize = write_avro(
+        adel, {"type": "record", "name": "pd", "fields": [
+            {"name": "file_path", "type": "string"},
+            {"name": "pos", "type": "long"}]},
+        [{"file_path": dp, "pos": 0}, {"file_path": dp, "pos": 3}])
+    # ORC equality delete on id = 7
+    odel = os.path.join(root, "data", "eqdel.orc")
+    orc.write_table(pa.table({"id": pa.array([7], pa.int64())}), odel)
+    files = [dict(fa, seq=1),
+             {"path": adel, "format": "avro", "content": 1,
+              "record_count": 2, "file_size": asize, "seq": 2},
+             {"path": odel, "format": "orc", "content": 2,
+              "record_count": 1, "file_size": os.path.getsize(odel),
+              "equality_ids": [1], "seq": 2}]
+    write_reference_table(root, SCHEMA_JSON, files)
+    t, n_data, n_del = snapshot_iceberg_table(catalog, root, "db.mixdel")
+    assert (n_data, n_del) == (1, 2)
+    plan = t.scan().plan_files()
+    # converted twins live under the DEST table, as parquet
+    for d in list(plan.pos_deletes) + list(plan.eq_deletes):
+        assert d.file.file_format == "parquet"
+        assert d.file.file_path.startswith(t.location)
+    rows = sorted(r["id"] for r in t.to_df().collect())
+    assert rows == [1, 2, 4, 5, 6, 8, 9]  # 0,3 (pos) and 7 (eq) gone

@@ -373,3 +373,48 @@ def test_streaming_rejects_row_changing_snapshots(catalog, spark, tmp_path):
                            skip_delete_snapshots=True)
     ms2.process_available(lambda df, e: got.extend(df.collect()))
     assert sorted(r["id"] for r in got) == list(range(30, 40))
+
+
+def test_incremental_partition_stats(catalog, spark):
+    """PartitionStatsHandler.java:65-109: the second stats compute on an
+    append-only table reads ONLY the manifests added since the previous
+    stats snapshot (plan-report assertion) and the merged file is
+    row-identical to a full recompute; a non-append snapshot in between
+    falls back to full."""
+    from iceberg_spark.expressions import col
+    from iceberg_spark.maintenance import compute_partition_stats
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("p", T.IntegerType())])
+    t = catalog.create_table("db.pstats_inc", schema, partition_by=["p"])
+    t.append(spark.createDataFrame([(i, i % 3) for i in range(30)], schema))
+    compute_partition_stats(t)
+    t = t.refresh()
+    assert t.last_partition_stats_report["mode"] == "full"
+
+    t.append(spark.createDataFrame(
+        [(i, i % 3) for i in range(30, 60)], schema))
+    t = t.refresh()
+    new_snap = t.metadata.current_snapshot()
+    new_mf = [mf.path for mf in
+              __import__("iceberg_spark.metadata_df",
+                         fromlist=["unique_manifests"])
+              .unique_manifests([new_snap])
+              if mf.added_snapshot_id == new_snap.snapshot_id]
+    p_inc = compute_partition_stats(t)
+    rep = t.last_partition_stats_report
+    assert rep["mode"] == "incremental"
+    assert sorted(rep["manifests_read"]) == sorted(new_mf)  # only new
+
+    p_full = compute_partition_stats(t.refresh(), incremental=False)
+    a = sorted(map(str, spark.read.parquet(p_inc).collect()))
+    b = sorted(map(str, spark.read.parquet(p_full).collect()))
+    assert a == b and len(a) == 3  # identical to the full recompute
+
+    # a DELETE between stats computes -> merge is unsound -> full
+    t = t.refresh()
+    t.delete_where(col("id") < 5)
+    t = t.refresh()
+    compute_partition_stats(t)
+    assert t.last_partition_stats_report["mode"] == "full"

@@ -151,3 +151,34 @@ def test_lz4_frame_without_content_size_rejected(tmp_path):
                  _struct.pack("<i", len(payload)) + b"\x00" * 4 + MAGIC)
     with pytest.raises(ValueError, match="content size"):
         read_puffin(p)
+
+
+def test_puffin_write_codec_property(catalog, spark):
+    """write.puffin.compression-codec controls stats-blob compression
+    (PuffinFormat.java:22): zstd default, none writes raw, bad values
+    fail loudly; every variant round-trips through the engine reader."""
+    import pytest
+
+    from iceberg_spark.puffin import read_puffin
+
+    for codec, want in (("zstd", "zstd"), ("none", None), (None, "zstd")):
+        name = f"db.pufc_{codec or 'default'}"
+        props = ({"write.puffin.compression-codec": codec}
+                 if codec else None)
+        t = catalog.create_table(
+            name, spark.range(1).schema, properties=props)
+        t.append(spark.range(0, 100).select("id"))
+        t.compute_table_stats()
+        t = t.refresh()
+        entry = t.metadata.statistics_files[-1]
+        meta, blobs = read_puffin(entry["statistics-path"])
+        got = meta["blobs"][0].get("compression-codec")
+        assert got == want, (codec, got)
+        assert len(blobs[0]) > 0  # sketch bytes decode either way
+
+    t = catalog.create_table(
+        "db.pufc_bad", spark.range(1).schema,
+        properties={"write.puffin.compression-codec": "snappy"})
+    t.append(spark.range(0, 10).select("id"))
+    with pytest.raises(ValueError, match="compression-codec"):
+        t.compute_table_stats()

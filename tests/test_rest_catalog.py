@@ -726,3 +726,39 @@ def test_rest_views_list_missing_namespace_404(server):
     assert ei.value.code == 404
     assert "NoSuchNamespace" in json.loads(
         ei.value.read())["error"]["type"]
+
+
+def test_rest_lazy_snapshot_loading(server, catalog):
+    """loadTable?snapshots=refs serves only ref-reachable snapshots
+    (RESTSessionCatalog snapshot-loading-mode): huge-history tables
+    don't ship their whole snapshot list per load; snapshots=all (and
+    the default) still return full history."""
+    t = catalog.load_table("db.rest_t")
+    for i in range(3):  # grow history beyond the ref heads
+        t.append(t.spark.range(500 + i, 501 + i).selectExpr(
+            "id", "id % 4 AS grp"))
+        t = t.refresh()
+    t.manage_snapshots().create_tag("keep", t.snapshots()[1].snapshot_id)
+    t = t.refresh()
+    n_all = len(t.snapshots())
+    assert n_all >= 4
+    _cat, port = server
+    st, full = _get(port, "/v1/namespaces/db/tables/rest_t")
+    assert st == 200
+    assert len(full["metadata"]["snapshots"]) == n_all
+    st, lazy = _get(port,
+                    "/v1/namespaces/db/tables/rest_t?snapshots=refs")
+    assert st == 200
+    served = {s["snapshot-id"] for s in lazy["metadata"]["snapshots"]}
+    heads = {r["snapshot-id"]
+             for r in lazy["metadata"]["refs"].values()}
+    assert served == heads and len(served) < n_all
+    # log trimmed consistently; refs intact for requirement building
+    assert all(e["snapshot-id"] in served
+               for e in lazy["metadata"]["snapshot-log"])
+    st, full2 = _get(port,
+                     "/v1/namespaces/db/tables/rest_t?snapshots=all")
+    assert len(full2["metadata"]["snapshots"]) == n_all
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(port, "/v1/namespaces/db/tables/rest_t?snapshots=bogus")
+    assert ei.value.code == 400
