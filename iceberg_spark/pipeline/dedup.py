@@ -693,21 +693,36 @@ def semantic_dedup(spark, sf_dir, k: int = None,
              F.transform("q", lambda x: x * x),
              F.lit(0).cast("long"), lambda acc, x: acc + x)))
 
-    lhs = a.select(F.col("vec_id").alias("a_id"), F.col("q").alias("qa"),
-                   F.col("n2").alias("n2a"), "cluster")
-    rhs = a.select(F.col("vec_id").alias("b_id"), F.col("q").alias("qb"),
-                   F.col("n2").alias("n2b"), "cluster")
-    dot = F.aggregate(F.zip_with("qa", "qb", lambda x, y: x * y),
-                      F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # per-cluster pair test as an int64 GEMM (applyInPandas): ONE shuffle
+    # on `cluster`, then numpy Q @ Q.T inside the bucket — identical
+    # integer arithmetic to the pairwise expression form (dot, norms, and
+    # the cross-multiplied threshold all stay int64; bounds: |q| <= ~256
+    # so 100*dot^2 ~ 1.8e15 << 2^63) at a fraction of the expression-tree
+    # cost. Bucket size is bounded by the K derivation, so the n^2 GEMM
+    # term is the same O(sum cluster^2) the join form paid.
+    def _pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        ids = pdf["vec_id"].to_numpy()
+        order = _np.argsort(ids)
+        ids = ids[order]
+        Q = _np.stack(pdf["q"].to_numpy()[order]).astype(_np.int64)
+        n2 = (Q * Q).sum(axis=1)
+        D = Q @ Q.T
+        ok = (D > 0) & (SD_DEN2 * D * D >= SD_NUM2 * _np.outer(n2, n2))
+        # b removed when ANY lower-id a in-cluster passes: strict upper
+        # triangle, column-wise any
+        removed_mask = _np.triu(ok, 1).any(axis=0)
+        return _pd.DataFrame({
+            "cluster": pdf["cluster"].iloc[:1].repeat(
+                int(removed_mask.sum())).to_numpy(),
+            "vec_id": ids[removed_mask]})
+
     removed = (
-        lhs.join(rhs, "cluster")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", dot)
-        .filter((F.col("dot") > 0)
-                & (F.col("dot") * F.col("dot") * F.lit(SD_DEN2)
-                   >= F.col("n2a") * F.col("n2b") * F.lit(SD_NUM2)))
-        .select("cluster", F.col("b_id").alias("vec_id"))
-        .distinct()
+        a.select("cluster", "vec_id", "q")
+        .groupBy("cluster")
+        .applyInPandas(_pairs, "cluster long, vec_id long")
         .groupBy("cluster").agg(F.count(F.lit(1)).alias("n_removed")))
 
     return (a.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vecs"))

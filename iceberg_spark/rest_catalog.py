@@ -200,9 +200,54 @@ def _view_result(catalog, ident: str) -> dict:
 class _Handler(BaseHTTPRequestHandler):
     catalog = None  # injected by serve()
     staged = None  # per-server staged-create registry, injected by serve()
+    credential = None  # "client_id:client_secret" -> auth required
+    tokens = None  # issued bearer tokens, injected by serve()
 
     def log_message(self, *a):  # silence default stderr access log
         pass
+
+    def _auth_error(self):
+        """OAuth2 bearer enforcement (rest-catalog-open-api.yaml
+        securitySchemes; RESTSessionCatalog sends the token it obtained
+        from /v1/oauth/tokens on every call). None when the server is
+        unauthenticated or the bearer token is valid."""
+        if self.credential is None:
+            return None
+        auth = self.headers.get("Authorization", "")
+        tok = auth[7:] if auth.startswith("Bearer ") else None
+        if tok and tok in self.tokens:
+            return None
+        return self._error(401, "missing or invalid bearer token",
+                           "NotAuthorizedException")
+
+    def _oauth_tokens(self):
+        """POST /v1/oauth/tokens — client_credentials grant (the classic
+        REST-spec token endpoint): form-encoded body, returns a bearer
+        token the other endpoints accept."""
+        from urllib.parse import parse_qs as _pq
+
+        n = int(self.headers.get("Content-Length") or 0)
+        form = _pq(self.rfile.read(n).decode("utf-8")) if n else {}
+
+        def f(k):
+            return (form.get(k) or [None])[0]
+
+        if f("grant_type") != "client_credentials":
+            return self._json(400, {
+                "error": "unsupported_grant_type",
+                "error_description": "only client_credentials"})
+        cred = f"{f('client_id')}:{f('client_secret')}"
+        if self.credential is None or cred != self.credential:
+            return self._json(401, {
+                "error": "invalid_client",
+                "error_description": "unknown client id or secret"})
+        import secrets as _secrets
+
+        tok = _secrets.token_hex(16)
+        self.tokens.add(tok)
+        return self._json(200, {"access_token": tok,
+                                "token_type": "bearer",
+                                "expires_in": 3600})
 
     def _json(self, code: int, body: dict = None):
         data = b"" if code == 204 else json.dumps(body or {}).encode()
@@ -322,6 +367,8 @@ class _Handler(BaseHTTPRequestHandler):
                            "NoSuchRouteException")
 
     def do_GET(self):
+        if self._auth_error() is not None:
+            return
         try:
             self._route()
         except Exception as e:  # noqa: BLE001 — surface as a 500 payload
@@ -885,6 +932,10 @@ class _Handler(BaseHTTPRequestHandler):
                            "NoSuchRouteException")
 
     def do_POST(self):
+        if self.path.split("?")[0] == "/v1/oauth/tokens":
+            return self._oauth_tokens()
+        if self._auth_error() is not None:
+            return
         try:
             self._route_post()
         except (KeyError, TypeError) as e:
@@ -899,6 +950,8 @@ class _Handler(BaseHTTPRequestHandler):
             self._error(500, str(e)[:500], type(e).__name__)
 
     def do_DELETE(self):
+        if self._auth_error() is not None:
+            return
         try:
             self._route_delete()
         except Exception as e:  # noqa: BLE001
@@ -909,11 +962,15 @@ class _Handler(BaseHTTPRequestHandler):
                     "UnsupportedOperationException")
 
 
-def serve(catalog, port: int = 0):
+def serve(catalog, port: int = 0, credential: str = None):
     """Start the adapter on localhost; returns (server, port). Call
-    `server.shutdown()` to stop. Requests run in daemon threads."""
+    `server.shutdown()` to stop. Requests run in daemon threads.
+    `credential` ("client_id:client_secret") turns on OAuth2: clients
+    obtain a bearer token from POST /v1/oauth/tokens
+    (client_credentials grant) and every other endpoint requires it."""
     handler = type("Handler", (_Handler,),
-                   {"catalog": catalog, "staged": {}})
+                   {"catalog": catalog, "staged": {},
+                    "credential": credential, "tokens": set()})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()

@@ -762,3 +762,60 @@ def test_rest_lazy_snapshot_loading(server, catalog):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(port, "/v1/namespaces/db/tables/rest_t?snapshots=bogus")
     assert ei.value.code == 400
+
+
+def test_rest_oauth2_token_flow(catalog, spark):
+    """OAuth2 surface (rest-catalog-open-api.yaml securitySchemes): a
+    credentialed server 401s every catalog endpoint until the client
+    trades client_credentials for a bearer token at /v1/oauth/tokens."""
+    from urllib.parse import urlencode
+
+    from iceberg_spark.rest_catalog import serve
+
+    df = spark.range(0, 5).select("id")
+    catalog.create_table("db.auth_t", df.schema).append(df)
+    srv, port = serve(catalog, credential="trino:s3cr3t")
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:  # no token
+            _get(port, "/v1/namespaces/db/tables/auth_t")
+        assert ei.value.code == 401
+        assert "NotAuthorized" in json.loads(
+            ei.value.read())["error"]["type"]
+
+        def token_req(body):
+            return urllib.request.Request(
+                f"http://127.0.0.1:{port}/v1/oauth/tokens",
+                method="POST", data=urlencode(body).encode(),
+                headers={"Content-Type":
+                         "application/x-www-form-urlencoded"})
+
+        with pytest.raises(urllib.error.HTTPError) as ei:  # bad secret
+            urllib.request.urlopen(token_req(
+                {"grant_type": "client_credentials",
+                 "client_id": "trino", "client_secret": "wrong"}))
+        assert ei.value.code == 401
+        assert json.loads(ei.value.read())["error"] == "invalid_client"
+
+        with urllib.request.urlopen(token_req(
+                {"grant_type": "client_credentials",
+                 "client_id": "trino",
+                 "client_secret": "s3cr3t"})) as r:
+            tok = json.loads(r.read())
+        assert tok["token_type"] == "bearer" and tok["access_token"]
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/namespaces/db/tables/auth_t",
+            headers={"Authorization": f"Bearer {tok['access_token']}"})
+        with urllib.request.urlopen(req) as r:
+            res = json.loads(r.read())
+        assert res["metadata"]["refs"]["main"]["snapshot-id"]
+
+        # unauthenticated servers stay open (the default surface)
+        srv2, port2 = serve(catalog)
+        try:
+            st, _ = _get(port2, "/v1/namespaces/db/tables/auth_t")
+            assert st == 200
+        finally:
+            srv2.shutdown()
+    finally:
+        srv.shutdown()
