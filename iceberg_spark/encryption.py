@@ -1,0 +1,197 @@
+"""Table metadata encryption — AES GCM Stream + key management.
+
+Implements the reference's AES GCM Stream file format extension
+(format/gcm-stream-spec.md: magic "AGS1", 4-byte little-endian
+plaintext block length, cipher blocks of nonce(12) || ciphertext ||
+tag(16), block AAD = file AAD prefix || 4-byte LE block ordinal) and
+the key-wrap shape of its encryption module
+(api/.../encryption/EncryptionManager.java,
+core/.../encryption/StandardEncryptionManager.java: per-file data keys
+wrapped by a table master key).
+
+Engine scope (documented, loud): TABLE METADATA VERSIONS
+(v*.metadata.json and the advisory version hint) encrypt transparently
+when a catalog is constructed with `metadata_key` — every read/write
+flows through EncryptedFileIO stacked on the table's FileIO, so the
+same code path runs on local disk or object storage. Manifests and
+data files stay plaintext: Spark's distributed planning and scans read
+them directly (the reference likewise delegates DATA encryption to the
+format layer — parquet modular encryption — not to GCM streams).
+Opening an encrypted table without the key fails loudly, never
+garbles.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import secrets
+
+from .io import FileIO
+
+MAGIC = b"AGS1"  # gcm-stream-spec.md "File structure"
+NONCE_LEN = 12
+TAG_LEN = 16
+DEFAULT_BLOCK = 1 << 20  # 1 MiB plaintext blocks
+
+
+def _aesgcm(key: bytes):
+    from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+    if len(key) not in (16, 24, 32):
+        raise ValueError(
+            f"AES key must be 128/192/256 bits, got {len(key) * 8}")
+    return AESGCM(key)
+
+
+def encrypt_stream(plaintext: bytes, key: bytes, aad_prefix: bytes = b"",
+                   block_size: int = DEFAULT_BLOCK) -> bytes:
+    """Plaintext -> AES GCM Stream bytes (spec file structure). Each
+    block gets a fresh random 96-bit nonce (NIST SP 800-38D 8.2.2 RBG
+    construction) and an AAD of prefix || block-ordinal so blocks can't
+    be swapped within or across files."""
+    gcm = _aesgcm(key)
+    out = [MAGIC, struct.pack("<i", block_size)]
+    n_blocks = max(1, (len(plaintext) + block_size - 1) // block_size)
+    for i in range(n_blocks):
+        block = plaintext[i * block_size:(i + 1) * block_size]
+        nonce = secrets.token_bytes(NONCE_LEN)
+        aad = aad_prefix + struct.pack("<i", i)
+        ct = gcm.encrypt(nonce, block, aad)  # ciphertext || tag
+        out.append(nonce)
+        out.append(ct)
+    return b"".join(out)
+
+
+def is_encrypted(data: bytes) -> bool:
+    return data[:4] == MAGIC
+
+
+def decrypt_stream(data: bytes, key: bytes,
+                   aad_prefix: bytes = b"") -> bytes:
+    """AES GCM Stream bytes -> plaintext; every block's tag and AAD
+    verify (tamper/swap -> ValueError). An empty-plaintext file still
+    carries one authenticated (empty) block."""
+    if not is_encrypted(data):
+        raise ValueError("not an AES GCM Stream file (AGS1 magic missing)")
+    (block_size,) = struct.unpack("<i", data[4:8])
+    if block_size <= 0:
+        raise ValueError(f"corrupt AES GCM Stream: block length {block_size}")
+    gcm = _aesgcm(key)
+    pos, i, out = 8, 0, []
+    cipher_block = NONCE_LEN + block_size + TAG_LEN
+    while pos < len(data):
+        chunk = data[pos:pos + cipher_block]
+        if len(chunk) < NONCE_LEN + TAG_LEN:
+            raise ValueError("corrupt AES GCM Stream: truncated block")
+        nonce, ct = chunk[:NONCE_LEN], chunk[NONCE_LEN:]
+        aad = aad_prefix + struct.pack("<i", i)
+        try:
+            out.append(gcm.decrypt(nonce, ct, aad))
+        except Exception:
+            raise ValueError(
+                f"AES GCM Stream block {i} failed authentication "
+                "(wrong key, tampered bytes, or swapped block)") from None
+        pos += len(chunk)
+        i += 1
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# key management (StandardEncryptionManager shape)
+# ---------------------------------------------------------------------------
+
+class EncryptionManager:
+    """Master-key manager: generates per-file data keys and wraps them
+    with the table master key (StandardEncryptionManager wraps file keys
+    into manifest key_metadata the same way — here the wrap format is
+    one GCM stream whose AAD is the file's AAD prefix)."""
+
+    def __init__(self, master_key: bytes):
+        self.master_key = normalize_key(master_key)
+
+    def new_data_key(self, bits: int = 128) -> bytes:
+        return secrets.token_bytes(bits // 8)
+
+    def wrap_key(self, data_key: bytes, aad_prefix: bytes = b"") -> bytes:
+        return encrypt_stream(data_key, self.master_key, aad_prefix)
+
+    def unwrap_key(self, wrapped: bytes, aad_prefix: bytes = b"") -> bytes:
+        return decrypt_stream(wrapped, self.master_key, aad_prefix)
+
+
+def normalize_key(key) -> bytes:
+    """Accept raw bytes or a hex string (the `ICEBERG_SPARK_METADATA_KEY`
+    env form)."""
+    if isinstance(key, str):
+        key = bytes.fromhex(key)
+    if len(key) not in (16, 24, 32):
+        raise ValueError(
+            f"AES key must be 16/24/32 bytes, got {len(key)}")
+    return key
+
+
+class EncryptedFileIO(FileIO):
+    """FileIO decorator: every write encrypts to AES GCM Stream, every
+    read verifies + decrypts. The per-file AAD prefix is the file's
+    basename, so a version file can't be swapped for a DIFFERENT version
+    encrypted with the same key (gcm-stream-spec.md "AADs are built to
+    reflect the identity of a file"). Stacks on any FileIO — local,
+    Hadoop/object-store, or Arrow."""
+
+    def __init__(self, delegate: FileIO, key):
+        self.delegate = delegate
+        self.key = normalize_key(key)
+
+    @staticmethod
+    def _aad(path: str) -> bytes:
+        return os.path.basename(path).encode("utf-8")
+
+    def read_bytes(self, path: str) -> bytes:
+        raw = self.delegate.read_bytes(path)
+        if not is_encrypted(raw):
+            raise ValueError(
+                f"expected AES-GCM-Stream-encrypted file, found plaintext: "
+                f"{path}")
+        return decrypt_stream(raw, self.key, self._aad(path))
+
+    def write_bytes(self, path: str, data: bytes):
+        self.delegate.write_bytes(
+            path, encrypt_stream(data, self.key, self._aad(path)))
+
+    def write_atomic(self, path: str, data: bytes):
+        self.delegate.write_atomic(
+            path, encrypt_stream(data, self.key, self._aad(path)))
+
+    # passthroughs: existence/layout operations carry no plaintext
+    def delete_file(self, path: str):
+        self.delegate.delete_file(path)
+
+    def exists(self, path: str) -> bool:
+        return self.delegate.exists(path)
+
+    def is_dir(self, path: str) -> bool:
+        return self.delegate.is_dir(path)
+
+    def size(self, path: str) -> int:
+        return self.delegate.size(path)
+
+    def list(self, path: str) -> list:
+        return self.delegate.list(path)
+
+    def walk_files(self, path: str):
+        return self.delegate.walk_files(path)
+
+    def walk_file_status(self, path: str):
+        return self.delegate.walk_file_status(path)
+
+    def mkdirs(self, path: str):
+        self.delegate.mkdirs(path)
+
+    def rename(self, src: str, dst: str):
+        # NOTE: rename keeps the old basename-bound AAD only if the name
+        # is unchanged; metadata versions are never renamed
+        self.delegate.rename(src, dst)
+
+    def delete_dir(self, path: str):
+        self.delegate.delete_dir(path)

@@ -519,12 +519,16 @@ class TableOperations:
       manifests/…, manifest-lists/… — Parquet metadata (manifests.py)
     """
 
-    def __init__(self, location: str):
+    def __init__(self, location: str, metadata_key=None):
         from .io import resolve_io
 
         self.location = location.rstrip("/")
         self.metadata_dir = os.path.join(self.location, "metadata")
         self.io = resolve_io(self.location)
+        if metadata_key is not None:
+            from .encryption import EncryptedFileIO
+
+            self.io = EncryptedFileIO(self.io, metadata_key)
 
     # -- version management -------------------------------------------------
     def _version_path(self, v: int) -> str:
@@ -558,9 +562,14 @@ class TableOperations:
         v = self.current_version()
         if v is None:
             return None
+        raw = self.io.read_bytes(self._version_path(v))
+        if raw[:4] == b"AGS1":  # encrypted, but this ops has no key
+            raise ValueError(
+                f"table metadata at {self.location} is AES-GCM-Stream "
+                "encrypted; open it through a catalog constructed with "
+                "metadata_key (or ICEBERG_SPARK_METADATA_KEY)")
         return TableMetadata.from_json(
-            json.loads(self.io.read_text(self._version_path(v))),
-            location=self.location)
+            json.loads(raw.decode("utf-8")), location=self.location)
 
     def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
         """CAS: publish v(base+1) atomically, failing if it exists

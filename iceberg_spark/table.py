@@ -786,14 +786,25 @@ class Catalog:
     """Directory catalog (HadoopCatalog-style): warehouse/<ns>/<table>.
     API mirrors api/.../catalog/Catalog.java:33-211."""
 
-    def __init__(self, spark: SparkSession, warehouse: str, name: str = "local"):
+    def __init__(self, spark: SparkSession, warehouse: str,
+                 name: str = "local", metadata_key=None):
         from .io import resolve_io
 
         self.spark = spark
         self.warehouse = warehouse.rstrip("/")
         self.name = name
+        # table-metadata encryption (encryption.py): key from the
+        # constructor or ICEBERG_SPARK_METADATA_KEY (hex); applies to
+        # v*.metadata.json + version hints of every table this catalog
+        # creates or loads
+        if metadata_key is None:
+            metadata_key = os.environ.get("ICEBERG_SPARK_METADATA_KEY")                 or None
+        self.metadata_key = metadata_key
         self.io = resolve_io(self.warehouse, spark)
         self.io.mkdirs(self.warehouse)
+
+    def _ops(self, location: str) -> TableOperations:
+        return TableOperations(location, metadata_key=self.metadata_key)
 
     def _location(self, identifier: str) -> str:
         return os.path.join(self.warehouse, *identifier.split("."))
@@ -802,7 +813,7 @@ class Catalog:
                      sort_order: SortOrder = UNSORTED, properties: Optional[dict] = None,
                      exists_ok: bool = False) -> Table:
         loc = self._location(identifier)
-        ops = TableOperations(loc)
+        ops = self._ops(loc)
         if ops.refresh() is not None:
             if exists_ok:
                 return self.load_table(identifier)
@@ -812,17 +823,22 @@ class Catalog:
         spec = _build_spec(schema, partition_by)
         meta = TableMetadata.new(loc, schema, spec, sort_order, properties)
         ops.commit(None, meta)
-        return Table(self.spark, loc, ops.refresh(), identifier)
+        t = Table(self.spark, loc, ops.refresh(), identifier)
+        t.ops = ops
+        return t
 
     def load_table(self, identifier: str) -> Table:
         loc = self._location(identifier)
-        meta = TableOperations(loc).refresh()
+        ops = self._ops(loc)
+        meta = ops.refresh()
         if meta is None:
             raise ValueError(f"no such table: {identifier}")
-        return Table(self.spark, loc, meta, identifier)
+        t = Table(self.spark, loc, meta, identifier)
+        t.ops = ops
+        return t
 
     def table_exists(self, identifier: str) -> bool:
-        return TableOperations(self._location(identifier)).refresh() is not None
+        return self._ops(self._location(identifier)).refresh() is not None
 
     def drop_table(self, identifier: str, purge: bool = True) -> bool:
         loc = self._location(identifier)

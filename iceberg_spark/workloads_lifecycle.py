@@ -1495,6 +1495,53 @@ def iceberg_import_dv_scan(spark, sf_dir):
     return _iceberg_import_impl(spark, sf_dir, "dv", dv=True)
 
 
+def metadata_encryption_scan(spark, sf_dir):
+    """AES-GCM-Stream-encrypted table metadata (format/gcm-stream-spec.md,
+    encryption.py): create an encrypted-catalog table over nation, append
+    + MoR-delete through encrypted version files, verify the on-disk
+    versions carry the AGS1 magic and a keyless open fails loudly, then
+    scan-aggregate — results must match the plaintext oracle exactly."""
+    key = ("enc_scan", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .encryption import MAGIC
+        from .table import Catalog
+
+        wh = tempfile.mkdtemp(prefix="iceberg_spark_encwh_")
+        k = bytes(range(16))
+        cat = Catalog(spark, wh, metadata_key=k)
+        df = load_table(spark, sf_dir, "nation")
+        t = cat.create_table("db.enc_nation", df.schema)
+        t.append(df)
+        t.delete_where(col("n_nationkey").isin([0, 5, 10, 15, 20]),
+                       mode="merge-on-read")
+        t = cat.load_table("db.enc_nation")
+        mdir = os.path.join(wh, "db", "enc_nation", "metadata")
+        assert all(open(os.path.join(mdir, f), "rb").read(4) == MAGIC
+                   for f in os.listdir(mdir)
+                   if f.endswith(".metadata.json"))
+        try:
+            Catalog(spark, wh).load_table("db.enc_nation")
+            raise AssertionError("keyless open must fail")
+        except ValueError:
+            pass
+        _STATE[key] = (wh, k)
+    wh, k = _STATE[key]
+    from .table import Catalog
+
+    t = Catalog(spark, wh, metadata_key=k).load_table("db.enc_nation")
+    return (t.to_df().groupBy("n_regionkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("n_regionkey"))
+
+
+METADATA_ENCRYPTION_SQL = """
+SELECT n_regionkey, COUNT(*) AS n
+FROM nation WHERE n_nationkey % 5 <> 0
+GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 def iceberg_import_avro_scan(spark, sf_dir):
     """Import a reference-layout Iceberg table whose DATA file is an AVRO
     container (the reference reads parquet, ORC, and Avro data —
@@ -1609,6 +1656,8 @@ REGISTRY = {
     "iceberg_import_dv_scan": (iceberg_import_dv_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_avro_scan": (iceberg_import_avro_scan,
                                  ICEBERG_IMPORT_AVRO_SQL),
+    "metadata_encryption_scan": (metadata_encryption_scan,
+                                 METADATA_ENCRYPTION_SQL),
     "iceberg_export_roundtrip_scan": (iceberg_export_roundtrip_scan,
                                       ICEBERG_EXPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
