@@ -848,6 +848,10 @@ def _avro_partition_raw(v, result_type: str):
     return v
 
 
+_EXPORT_PLAN_CACHE: dict = {}  # (uuid, location, snapshot_id) -> entries
+_EXPORT_PLAN_CACHE_MAX = 4096
+
+
 def export_reference_metadata(table, dest_root: str,
                               full_history: bool = False) -> str:
     """Write a reference-layout Iceberg metadata tree (metadata JSON +
@@ -934,6 +938,16 @@ def export_reference_metadata(table, dest_root: str,
         return out
 
     def snapshot_files(snap):
+        # repeated exports (REST serves full history on every loadTable)
+        # re-plan only NEW snapshots: a snapshot's live set is immutable,
+        # so its entry list caches by (uuid, location, id) — location in
+        # the key because rewrite_table_path moves paths under the same
+        # uuid
+        ck = (table.metadata.table_uuid, table.location, snap.snapshot_id)
+        hit = _EXPORT_PLAN_CACHE.get(ck)
+        if hit is not None:
+            state["has_dv"] = state["has_dv"] or hit[1]
+            return [dict(f) for f in hit[0]]
         plan = (table.new_scan().use_snapshot(snap.snapshot_id)
                 .plan_files())
         files = []
@@ -943,12 +957,17 @@ def export_reference_metadata(table, dest_root: str,
                     f"export of {e.file.file_format} data files is not "
                     f"supported: {e.file.file_path}")
             files.append(entry(e, 0))
+        had_dv = False
         for d in plan.pos_deletes:
             if d.file.file_format == "puffin":
+                had_dv = True
                 state["has_dv"] = True
             files.append(entry(d, 1))
         for d in plan.eq_deletes:
             files.append(entry(d, 2))
+        if len(_EXPORT_PLAN_CACHE) >= _EXPORT_PLAN_CACHE_MAX:
+            _EXPORT_PLAN_CACHE.pop(next(iter(_EXPORT_PLAN_CACHE)))
+        _EXPORT_PLAN_CACHE[ck] = ([dict(f) for f in files], had_dv)
         return files
 
     # preserve engine identity: the exported refs/snapshot ids and
