@@ -146,3 +146,34 @@ def test_random_lifecycle_matches_model(catalog, spark, seed, use_dv):
     assert _scan_rows(back) == _model_rows(model), \
         f"seed={seed} dv={use_dv} import round-trip diverged after {steps}"
     assert n_snaps >= 1
+
+
+@pytest.mark.parametrize("seed,use_dv", [(53, True)])
+def test_random_lifecycle_on_hadoop_fileio(spark, tmp_path, seed, use_dv):
+    """The same randomized differential with the warehouse behind
+    HadoopFileIO (file:// URI): every metadata read/write/CAS of every
+    interleaved operation runs the object-store code path."""
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, f"file://{tmp_path}/hwh")
+    t, model, steps = _apply_random_lifecycle(cat, spark, seed, use_dv)
+    assert _scan_rows(t) == _model_rows(model)
+    assert t.location.startswith("file://")
+
+
+@pytest.mark.parametrize("seed,use_dv", [(67, False)])
+def test_random_lifecycle_encrypted_metadata(spark, tmp_path, seed,
+                                             use_dv):
+    """The same randomized differential with AES-GCM-Stream-encrypted
+    metadata versions: every commit/refresh in the interleaving
+    encrypts + authenticates, and the final table still matches the
+    model (and stays unreadable without the key)."""
+    from iceberg_spark.table import Catalog
+
+    key = bytes(range(16, 32))
+    cat = Catalog(spark, str(tmp_path / "encwh"), metadata_key=key)
+    t, model, steps = _apply_random_lifecycle(cat, spark, seed, use_dv)
+    assert _scan_rows(t) == _model_rows(model)
+    keyless = Catalog(spark, str(tmp_path / "encwh"))
+    with pytest.raises(ValueError, match="encrypted"):
+        keyless.load_table(t.identifier)
