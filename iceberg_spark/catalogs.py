@@ -172,7 +172,9 @@ class _SqlTableOperations(TableOperations):
     version file is removed before the failure propagates."""
 
     def __init__(self, location: str, catalog: "SqlCatalog", ident: str):
-        super().__init__(location)
+        super().__init__(location,
+                         metadata_key=getattr(catalog, "metadata_key",
+                                              None))
         self._catalog = catalog
         self._ident = ident
 
@@ -211,8 +213,9 @@ class SqlCatalog(Catalog):
     """Catalog API over sqlite3-registered tables."""
 
     def __init__(self, spark, warehouse: str, name: str = "sql",
-                 db_path: Optional[str] = None):
-        super().__init__(spark, warehouse, name)
+                 db_path: Optional[str] = None, metadata_key=None):
+        super().__init__(spark, warehouse, name,
+                         metadata_key=metadata_key)
         self.db_path = db_path or os.path.join(self.warehouse,
                                                "catalog.db")
         self._lock = threading.Lock()
@@ -280,7 +283,8 @@ class SqlCatalog(Catalog):
         # load can crash on (JdbcCatalog commits metadata before the
         # registry insert for the same reason)
         try:
-            v = TableOperations(loc).commit(None, meta)
+            v = TableOperations(
+                loc, metadata_key=self.metadata_key).commit(None, meta)
         except CommitFailedException:
             # v1 already on disk: a concurrent creator won the file race
             if exists_ok:
@@ -307,14 +311,18 @@ class SqlCatalog(Catalog):
         loc = os.path.dirname(os.path.dirname(mloc))  # .../metadata/vN
         # load exactly the REGISTERED version (JdbcCatalog semantics):
         # a newer filesystem version whose registry CAS failed is an
-        # orphan and must not be served
-        from .io import resolve_io
-
-        meta = TableMetadata.from_json(
-            json.loads(resolve_io(mloc, self.spark).read_text(mloc)),
-            location=loc)
+        # orphan and must not be served — read through the keyed ops IO
+        # so encrypted registries decrypt (or fail loudly)
+        ops = _SqlTableOperations(loc, self, identifier)
+        raw = ops.io.read_bytes(mloc)
+        if raw[:4] == b"AGS1":
+            raise ValueError(
+                f"table metadata at {loc} is AES-GCM-Stream encrypted; "
+                "open it through a catalog constructed with metadata_key")
+        meta = TableMetadata.from_json(json.loads(raw.decode("utf-8")),
+                                       location=loc)
         t = Table(self.spark, loc, meta, identifier)
-        t.ops = _SqlTableOperations(loc, self, identifier)
+        t.ops = ops
         return t
 
     def table_exists(self, identifier: str) -> bool:

@@ -182,3 +182,21 @@ def test_concurrent_create_maps_to_already_exists(sqlcat, spark,
     monkeypatch.setattr(sqlcat, "_row", lambda ident: None)
     with pytest.raises(ValueError, match="exists"):
         sqlcat.create_table("db.dup", schema)
+
+
+def test_sql_catalog_encrypted_metadata(spark, tmp_path):
+    """SqlCatalog(metadata_key=...): the registry arbitrates commits
+    while the version files themselves are AES GCM Streams; keyless
+    instances sharing the database fail loudly."""
+    key = bytes(range(32, 48))
+    cat = SqlCatalog(spark, str(tmp_path / "swh"), metadata_key=key)
+    df = spark.range(0, 20).select("id")
+    t = cat.create_table("db.enc_sql", df.schema)
+    t.append(df)
+    assert cat.load_table("db.enc_sql").to_df().count() == 20
+    mloc = cat._row("db.enc_sql")[0]
+    with open(mloc, "rb") as f:
+        assert f.read(4) == b"AGS1"
+    keyless = SqlCatalog(spark, cat.warehouse, db_path=cat.db_path)
+    with pytest.raises(ValueError, match="encrypted"):
+        keyless.load_table("db.enc_sql")
