@@ -174,7 +174,10 @@ class EncryptedFileIO(FileIO):
         return self.delegate.is_dir(path)
 
     def size(self, path: str) -> int:
-        return self.delegate.size(path)
+        return self.delegate.size(path)  # ciphertext size (on-disk)
+
+    def mtime(self, path: str):
+        return self.delegate.mtime(path)
 
     def list(self, path: str) -> list:
         return self.delegate.list(path)

@@ -132,6 +132,10 @@ class FileIO:
     def size(self, path: str) -> int:
         raise NotImplementedError
 
+    def mtime(self, path: str):
+        """Modification time in epoch seconds, None if unstattable."""
+        raise NotImplementedError
+
     def list(self, path: str) -> list:
         """Basenames of the direct children of a directory ([] if the
         directory does not exist)."""
@@ -204,6 +208,12 @@ class LocalFileIO(FileIO):
 
     def size(self, path: str) -> int:
         return os.path.getsize(self._p(path))
+
+    def mtime(self, path: str):
+        try:
+            return os.path.getmtime(self._p(path))
+        except OSError:
+            return None
 
     def list(self, path: str) -> list:
         p = self._p(path)
@@ -315,6 +325,13 @@ class HadoopFileIO(FileIO):
     def size(self, path: str) -> int:
         p = self._path(path)
         return self._fs(p).getFileStatus(p).getLen()
+
+    def mtime(self, path: str):
+        p = self._path(path)
+        try:
+            return self._fs(p).getFileStatus(p)                 .getModificationTime() / 1000.0
+        except Exception:
+            return None
 
     def list(self, path: str) -> list:
         p = self._path(path)

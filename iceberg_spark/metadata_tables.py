@@ -208,9 +208,10 @@ def _metadata_log_entries(table) -> DataFrame:
     # include current metadata versions on disk
     mdir = os.path.join(table.location, "metadata")
     mio = table.ops.io
-    for fn, mtime_s in sorted(mio.walk_file_status(mdir)):
-        if fn.endswith(".metadata.json") and os.path.dirname(fn).endswith("metadata"):
-            rows.append((int((mtime_s or 0) * 1000), fn))
+    for fn in sorted(mio.list(mdir)):  # top level only: version files
+        if fn.endswith(".metadata.json"):
+            p = os.path.join(mdir, fn)
+            rows.append((int((mio.mtime(p) or 0) * 1000), p))
     schema = T.StructType([
         T.StructField("timestamp_ms", T.LongType()),
         T.StructField("file", T.StringType()),
