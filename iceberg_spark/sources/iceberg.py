@@ -26,7 +26,15 @@ Fidelity notes:
 - Tables import with `gc.enabled=false` so engine maintenance can never
   delete the source's files.
 
-Unsupported source features fail loudly: format-version > 3, encrypted
+Format-version 4 sources (core/.../V4Metadata.java) are supported: v4
+manifests are PARQUET (ManifestFiles.java MIN_FORMAT_VERSION_PARQUET_
+MANIFESTS = 4; the manifest list stays Avro, SnapshotProducer.java:615),
+`location` may be absent from the metadata JSON (TableMetadataParser
+MIN_FORMAT_VERSION_OPTIONAL_LOCATION — the registration location is the
+metadata dir's parent), and path fields may be RELATIVE, joined to the
+table location on "/" (format/spec.md:194-214 — no `.`/`..` resolution).
+
+Unsupported source features fail loudly: format-version > 4, encrypted
 manifests (key_metadata).
 """
 
@@ -61,6 +69,17 @@ def _resolve_path(p: str, location: str = None) -> str:
     # remote schemes (s3a://, hdfs://, ...) stay as-is: reads route
     # through the path's FileIO (io.resolve_io), writes through Spark
     return p
+
+
+def _resolve_loc(p: str, location: str = None) -> str:
+    """`_resolve_path`, plus v4 relative-path joining: a path with no
+    scheme and no leading `/` joins to the table location on `/`
+    (format/spec.md:194-214; `.`/`..` navigation is NOT resolved)."""
+    rp = _resolve_path(p)
+    if (location and not rp.startswith("/")
+            and urlparse(rp).scheme == ""):
+        return f"{location.rstrip('/')}/{rp}"
+    return rp
 
 
 def _find_metadata_json(source: str) -> str:
@@ -204,6 +223,8 @@ def _kvlist(v):
         return {}
     if isinstance(v, dict):
         return {int(k): val for k, val in v.items()}
+    if v and isinstance(v[0], tuple):  # pyarrow map -> [(key, value)]
+        return {int(k): val for k, val in v}
     return {int(e["key"]): e["value"] for e in v}
 
 
@@ -213,6 +234,16 @@ def _partition_value(raw, result_type: str):
     if raw is None:
         return None
     t = _TYPE_MAP.get(result_type, result_type)
+    # v4 parquet manifests store partition values TYPED (date32,
+    # timestamp[us], decimal...) — pyarrow already yields the engine's
+    # python representation, so pass them through
+    if isinstance(raw, _dt.datetime):
+        return raw.replace(tzinfo=None) if raw.tzinfo else raw
+    if isinstance(raw, _dt.date):
+        return raw
+    import decimal as _decimal
+    if isinstance(raw, _decimal.Decimal):
+        return raw
     if t == "date":
         return _dt.date(1970, 1, 1) + _dt.timedelta(days=int(raw))
     if t in ("timestamp", "timestamp_ntz"):
@@ -233,6 +264,32 @@ def _partition_value(raw, result_type: str):
 ADDED, EXISTING, DELETED = 1, 0, 2
 
 
+def _read_manifest_file(path: str):
+    """Decode one manifest to (schema, header_meta, rows). v1-v3
+    manifests are Avro containers; v4 manifests are Parquet
+    (ManifestWriter.V4Writer writes via InternalData with the format
+    taken from the file name) — header metadata rides in the parquet
+    footer's key-value metadata, and int-keyed metric maps come back
+    from pyarrow as [(key, value)] tuples, which `_kvlist` accepts."""
+    if not path.endswith(".parquet"):
+        from ..avro_file import read_avro
+
+        return read_avro(path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        t = pq.read_table(path)
+    else:
+        from ..io import resolve_io
+
+        t = pq.read_table(
+            pa.BufferReader(resolve_io(path).read_bytes(path)))
+    meta = {(k.decode() if isinstance(k, bytes) else k): v
+            for k, v in (t.schema.metadata or {}).items()}
+    return None, meta, t.to_pylist()
+
+
 def _parse_table(source: str):
     """Parse the metadata JSON: (md, schemas, cur_schema, specs,
     default_spec)."""
@@ -241,16 +298,22 @@ def _parse_table(source: str):
     mpath = _find_metadata_json(source)
     md = json.loads(resolve_io(mpath).read_text(mpath))
     fv = int(md.get("format-version", 1))
-    if fv > 3:
+    if fv > 4:
         raise NotImplementedError(
-            f"Iceberg format-version {fv} not supported (v1-v3)")
+            f"Iceberg format-version {fv} not supported (v1-v4)")
+    if not md.get("location"):
+        # v4 optional location (TableMetadataParser
+        # MIN_FORMAT_VERSION_OPTIONAL_LOCATION): the catalog provides it;
+        # here that is the registration source — metadata dir's parent
+        md["location"] = os.path.dirname(
+            os.path.dirname(_resolve_path(mpath))).rstrip("/")
     schemas, cur_schema = _parse_schemas(md)
     specs, default_spec = _parse_specs(md, schemas, cur_schema)
     return md, schemas, cur_schema, specs, default_spec
 
 
 def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
-                      cur_schema: int) -> list:
+                      cur_schema: int, location: str = None) -> list:
     """All live (status != DELETED) entries of one snapshot's manifest
     list, as plain dicts {content, path, format, spec_id, partition,
     record_count, file_size, seq, equality_ids, referenced_data_file,
@@ -260,7 +323,7 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
     from ..avro_file import read_avro
 
     entries = []
-    ml_path = _resolve_path(snap["manifest-list"])
+    ml_path = _resolve_loc(snap["manifest-list"], location)
     _, _, manifests = read_avro(ml_path)
     for mrow in manifests:
         if mrow.get("key_metadata"):
@@ -270,9 +333,9 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
     # manifests decode independently (file IO + zlib inflate release
     # the GIL) — a thread pool keeps big-metadata imports off the
     # one-file-at-a-time path
-    paths = [_resolve_path(m["manifest_path"]) for m in manifests]
+    paths = [_resolve_loc(m["manifest_path"], location) for m in manifests]
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
-        decoded = list(ex.map(read_avro, paths))
+        decoded = list(ex.map(_read_manifest_file, paths))
     def hdr_int(hdr_meta, key, default):
         v = hdr_meta.get(key)
         if v is None:
@@ -315,9 +378,10 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
             partition = {
                 name: _partition_value(part_raw.get(name), rt)
                 for name, rt in rtypes.items()}
+            ref = df.get("referenced_data_file")
             entries.append({
                 "content": int(df.get("content") or 0),
-                "path": _resolve_path(df["file_path"]),
+                "path": _resolve_loc(df["file_path"], location),
                 "format": (df.get("file_format") or "parquet").lower(),
                 "spec_id": spec_id,
                 "schema_id": m_schema_id,
@@ -326,7 +390,8 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "file_size": int(df.get("file_size_in_bytes") or 0),
                 "seq": int(seq),
                 "equality_ids": tuple(df.get("equality_ids") or ()),
-                "referenced_data_file": df.get("referenced_data_file"),
+                "referenced_data_file": (
+                    _resolve_loc(ref, location) if ref else None),
                 "content_offset": df.get("content_offset"),
                 "content_size": df.get("content_size_in_bytes"),
                 "sort_order_id": df.get("sort_order_id"),
@@ -341,7 +406,8 @@ def read_iceberg_snapshot(source: str):
     md, schemas, cur_schema, specs, default_spec = _parse_table(source)
     snap = _current_snapshot(md)
     entries = ([] if snap is None
-               else _snapshot_entries(snap, specs, schemas, cur_schema))
+               else _snapshot_entries(snap, specs, schemas, cur_schema,
+                                      location=md.get("location")))
     return (schemas, cur_schema, specs, default_spec, entries,
             dict(md.get("properties") or {}), md)
 
@@ -458,7 +524,8 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
     schemas = {s.schema_id: s for s in meta.schemas}
     specs = {sp.spec_id: sp for sp in meta.partition_specs}
     cur = meta.current_schema_id
-    entries = _snapshot_entries(snap_json, specs, schemas, cur)
+    entries = _snapshot_entries(snap_json, specs, schemas, cur,
+                                location=meta.location)
 
     plan = table.scan().plan_files()
     # key carries referenced file + offset: a Puffin container holds one
@@ -719,7 +786,8 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
         s = snaps.get(p) if p is not None else None
     chain.reverse()
 
-    per_snap = [(snap, _snapshot_entries(snap, specs, schemas, cur_schema))
+    per_snap = [(snap, _snapshot_entries(snap, specs, schemas, cur_schema,
+                                         location=md.get("location")))
                 for snap in chain]
     all_seqs = sorted(
         {e["seq"] for _, ents in per_snap for e in ents}

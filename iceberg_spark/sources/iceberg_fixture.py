@@ -53,6 +53,87 @@ MANIFEST_LIST_SCHEMA = {
     ]}
 
 
+# v4 manifest lists append first_row_id (field-id 520,
+# api/.../ManifestFile.java:92) — assigned when the list is written
+MANIFEST_LIST_SCHEMA_V4 = {
+    **MANIFEST_LIST_SCHEMA,
+    "fields": MANIFEST_LIST_SCHEMA["fields"] + [
+        {"name": "first_row_id", "type": _opt("long"), "default": None,
+         "field-id": 520}],
+}
+
+
+def _pa_type(avro_t):
+    """Fixture Avro partition type -> pyarrow type (v4 parquet manifests
+    store partition values typed, V4Metadata.java fileType)."""
+    import pyarrow as pa
+
+    if isinstance(avro_t, dict):
+        lt = avro_t.get("logicalType")
+        if lt == "date":
+            return pa.date32()
+        if lt in ("timestamp-micros", "timestamp"):
+            return pa.timestamp("us")
+        if lt == "decimal":
+            return pa.decimal128(avro_t["precision"], avro_t["scale"])
+        return _pa_type(avro_t["type"])
+    return {"long": pa.int64(), "int": pa.int32(), "string": pa.string(),
+            "double": pa.float64(), "float": pa.float32(),
+            "boolean": pa.bool_(), "bytes": pa.binary()}[avro_t]
+
+
+def _write_parquet_manifest(mp: str, rows: list, meta: dict,
+                            partition_avro: list):
+    """v4 manifest as PARQUET (ManifestWriter.V4Writer via InternalData;
+    format from the file name). Same entry field names as Avro; the
+    partition struct is OMITTED entirely for unpartitioned tables
+    (V4Metadata.java fileType: 'Parquet cannot represent empty groups');
+    int-keyed metric maps are real parquet maps; header metadata rides in
+    the footer key-value metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    kv_long = pa.map_(pa.int32(), pa.int64())
+    kv_bin = pa.map_(pa.int32(), pa.binary())
+    df_fields = [pa.field("content", pa.int32(), nullable=False),
+                 pa.field("file_path", pa.string(), nullable=False),
+                 pa.field("file_format", pa.string(), nullable=False)]
+    if partition_avro:
+        part = pa.struct([pa.field(n, _pa_type(t)) for n, t, _ in
+                          partition_avro])
+        df_fields.append(pa.field("partition", part, nullable=False))
+    df_fields += [
+        pa.field("record_count", pa.int64(), nullable=False),
+        pa.field("file_size_in_bytes", pa.int64(), nullable=False),
+        pa.field("column_sizes", kv_long),
+        pa.field("value_counts", kv_long),
+        pa.field("null_value_counts", kv_long),
+        pa.field("nan_value_counts", kv_long),
+        pa.field("lower_bounds", kv_bin),
+        pa.field("upper_bounds", kv_bin),
+        pa.field("key_metadata", pa.binary()),
+        pa.field("split_offsets", pa.list_(pa.int64())),
+        pa.field("equality_ids", pa.list_(pa.int32())),
+        pa.field("sort_order_id", pa.int32()),
+        pa.field("first_row_id", pa.int64()),
+        pa.field("referenced_data_file", pa.string()),
+        pa.field("content_offset", pa.int64()),
+        pa.field("content_size_in_bytes", pa.int64()),
+    ]
+    schema = pa.schema([
+        pa.field("status", pa.int32(), nullable=False),
+        pa.field("snapshot_id", pa.int64()),
+        pa.field("sequence_number", pa.int64()),
+        pa.field("file_sequence_number", pa.int64()),
+        pa.field("data_file", pa.struct(df_fields), nullable=False),
+    ], metadata={k: str(v) for k, v in meta.items()})
+    if not partition_avro:
+        for r in rows:
+            r["data_file"] = {k: v for k, v in r["data_file"].items()
+                              if k != "partition"}
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), mp)
+
+
 def _kv_map(name, kid, vid, vtype="long"):
     return {"type": "array", "logicalType": "map",
             "items": {"type": "record", "name": name, "fields": [
@@ -120,7 +201,8 @@ def write_reference_table(root: str, schema_json: dict, files: list,
                           properties: dict = None,
                           snapshot_id: int = None,
                           timestamp_ms: int = None,
-                          table_uuid: str = None) -> str:
+                          table_uuid: str = None,
+                          relative_paths: bool = False) -> str:
     """Build `<root>/metadata/` for an already-present set of content
     files (single snapshot). `files`: dicts with keys
       path, content (0/1/2), format, partition ({name: raw avro value}),
@@ -139,7 +221,8 @@ def write_reference_table(root: str, schema_json: dict, files: list,
         root, schema_json, [sn],
         partition_spec_fields=partition_spec_fields,
         partition_avro=partition_avro, format_version=format_version,
-        properties=properties, table_uuid=table_uuid)
+        properties=properties, table_uuid=table_uuid,
+        relative_paths=relative_paths)
 
 
 def write_reference_table_history(root: str, schema_json: dict,
@@ -158,7 +241,8 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   statistics_json: list = None,
                                   partition_statistics_json:
                                   list = None,
-                                  extra_refs: dict = None) -> str:
+                                  extra_refs: dict = None,
+                                  relative_paths: bool = False) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
     {"files": [...], "timestamp_ms"?: int, "operation"?: str,
     "schema_id"?: int, "snapshot_id"?: int}; each snapshot's `files` is
@@ -176,9 +260,19 @@ def write_reference_table_history(root: str, schema_json: dict,
     tag each file dict with its `spec_id` — manifests are then written
     per (content, spec) with that spec's partition struct and header, the
     reference layout for spec-evolved tables.
+
+    `format_version=4` writes the v4 layout (V4Metadata.java): PARQUET
+    manifests, an Avro manifest list with `first_row_id` (fid 520), and
+    `next-row-id`/`first-row-id` row-lineage metadata.
+    `relative_paths=True` (v4 only, format/spec.md:194-214) stores every
+    path under `root` relative and OMITS `location` from the metadata
+    JSON (optional in v4 — the importing catalog provides it).
     Returns the metadata JSON path."""
     from ..avro_file import write_avro
 
+    if relative_paths and format_version < 4:
+        raise ValueError("relative paths require format-version 4 "
+                         "(format/spec.md:194)")
     if partition_specs_json is None:
         partition_specs_json = [{"spec-id": 0,
                                  "fields": partition_spec_fields or []}]
@@ -204,6 +298,13 @@ def write_reference_table_history(root: str, schema_json: dict,
             "format-version": str(format_version),
         }
 
+    rootp = os.path.abspath(root).rstrip("/")
+
+    def rel(p):
+        if relative_paths and os.path.abspath(p).startswith(rootp + "/"):
+            return os.path.abspath(p)[len(rootp) + 1:]
+        return p
+
     def write_manifest(group, content_label, snapshot_id, max_seq,
                        schema_id, spec_id):
         pa = partition_avro_by_spec[spec_id]
@@ -219,7 +320,7 @@ def write_reference_table_history(root: str, schema_json: dict,
                 "file_sequence_number": f["seq"],
                 "data_file": {
                     "content": f.get("content", 0),
-                    "file_path": f["path"],
+                    "file_path": rel(f["path"]),
                     "file_format": f.get("format", "PARQUET").upper(),
                     "partition": {n: f.get("partition", {}).get(n)
                                   for n, _, _ in pa},
@@ -236,17 +337,25 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "equality_ids": (list(f["equality_ids"])
                                      if f.get("equality_ids") else None),
                     "sort_order_id": f.get("sort_order_id"),
-                    "referenced_data_file": f.get("referenced_data_file"),
+                    "referenced_data_file": (
+                        rel(f["referenced_data_file"])
+                        if f.get("referenced_data_file") else None),
                     "content_offset": f.get("content_offset"),
                     "content_size_in_bytes": f.get("content_size"),
                 }})
-        mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.avro")
         meta = manifest_meta_for(schema_id, spec_id)
         meta["content"] = content_label
-        write_avro(mp, entry_schemas[spec_id], rows, meta, codec="deflate")
+        if format_version >= 4:
+            mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.parquet")
+            _write_parquet_manifest(mp, rows, meta, pa)
+        else:
+            mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.avro")
+            write_avro(mp, entry_schemas[spec_id], rows, meta,
+                       codec="deflate")
         return mp
 
     snap_jsons = []
+    next_row_id = 0  # v4 row lineage (spec First Row ID Assignment)
     now0 = int(time.time() * 1000) - len(snapshots) * 60_000
     for i, sn in enumerate(snapshots):
         files = sn["files"]
@@ -265,7 +374,7 @@ def write_reference_table_history(root: str, schema_json: dict,
                                        schema_json.get("schema-id", 0)),
                                 spec_id)
             manifests.append({
-                "manifest_path": mp,
+                "manifest_path": rel(mp),
                 "manifest_length": os.path.getsize(mp),
                 "partition_spec_id": spec_id,
                 "content": content,
@@ -280,19 +389,34 @@ def write_reference_table_history(root: str, schema_json: dict,
                 "deleted_rows_count": 0,
                 "partitions": None,
             })
+        first_row_id = next_row_id
+        if format_version >= 4:
+            # assign first_row_id to DATA manifests in list order
+            # (ManifestListWriter.V4Writer.prepare)
+            for m in manifests:
+                if m["content"] == 0:
+                    m["first_row_id"] = next_row_id
+                    next_row_id += (m["added_rows_count"]
+                                    + m["existing_rows_count"])
+                else:
+                    m["first_row_id"] = None
+        ml_schema = (MANIFEST_LIST_SCHEMA_V4 if format_version >= 4
+                     else MANIFEST_LIST_SCHEMA)
         ml_path = os.path.join(
             mdir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro")
-        write_avro(ml_path, MANIFEST_LIST_SCHEMA, manifests,
+        write_avro(ml_path, ml_schema, manifests,
                    {"format-version": str(format_version)}, codec="deflate")
         sj = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": sn.get("timestamp_ms", now0 + i * 60_000),
             "sequence-number": max_seq,
             "summary": {"operation": sn.get("operation", "append")},
-            "manifest-list": ml_path,
+            "manifest-list": rel(ml_path),
             "schema-id": sn.get("schema_id",
                                 schema_json.get("schema-id", 0)),
         }
+        if format_version >= 4:
+            sj["first-row-id"] = first_row_id
         if i > 0:
             sj["parent-snapshot-id"] = snap_jsons[-1]["snapshot-id"]
         snap_jsons.append(sj)
@@ -301,7 +425,6 @@ def write_reference_table_history(root: str, schema_json: dict,
     md = {
         "format-version": format_version,
         "table-uuid": table_uuid or str(_uuid.uuid4()),
-        "location": root,
         "last-sequence-number": max(s["sequence-number"]
                                     for s in snap_jsons),
         "last-updated-ms": current["timestamp-ms"],
@@ -331,6 +454,10 @@ def write_reference_table_history(root: str, schema_json: dict,
                          for s in snap_jsons],
         "metadata-log": [],
     }
+    if not relative_paths:
+        md["location"] = root  # optional in v4; always present pre-v4
+    if format_version >= 4:
+        md["next-row-id"] = next_row_id
     mpath = os.path.join(mdir, "v1.metadata.json")
     with open(mpath, "w") as fh:
         json.dump(md, fh)

@@ -1411,7 +1411,8 @@ _PA_TO_ICEBERG = {"int64": "long", "int32": "int", "double": "double",
                   "string", "bool": "boolean"}
 
 
-def _reference_iceberg_source(spark, sf_dir, tag, dv=False):
+def _reference_iceberg_source(spark, sf_dir, tag, dv=False,
+                              format_version=None, relative_paths=False):
     """Build a reference-layout Iceberg table whose single data file IS the
     testdata supplier.parquet (by reference), with a position delete (or a
     v3 deletion vector) covering the rows where s_suppkey % 7 == 0 — a
@@ -1457,11 +1458,14 @@ def _reference_iceberg_source(spark, sf_dir, tag, dv=False):
                      "record_count": len(victims),
                      "file_size": os.path.getsize(dl), "seq": 2}
     write_reference_table(root, schema_json, [data_entry, del_entry],
-                          format_version=3 if dv else 2)
+                          format_version=(format_version
+                                          or (3 if dv else 2)),
+                          relative_paths=relative_paths)
     return root
 
 
-def _iceberg_import_impl(spark, sf_dir, tag, dv):
+def _iceberg_import_impl(spark, sf_dir, tag, dv, format_version=None,
+                         relative_paths=False):
     key = (f"icebergimp_{tag}", _sf_key(sf_dir))
     if key not in _STATE:
         _ensure_conf(spark)
@@ -1471,7 +1475,9 @@ def _iceberg_import_impl(spark, sf_dir, tag, dv):
         ident = f"icebergimp_{tag}_{_sf_key(sf_dir)}"
         if cat.table_exists(ident):
             cat.drop_table(ident)
-        root = _reference_iceberg_source(spark, sf_dir, tag, dv=dv)
+        root = _reference_iceberg_source(spark, sf_dir, tag, dv=dv,
+                                         format_version=format_version,
+                                         relative_paths=relative_paths)
         t, n_data, n_del = snapshot_iceberg_table(cat, root, ident)
         assert n_data == 1 and n_del == 1
         _STATE[key] = ident
@@ -1493,6 +1499,17 @@ def iceberg_import_dv_scan(spark, sf_dir):
     """Same, v3: the delete rides as a Puffin deletion-vector blob
     addressed by content_offset/content_size (format/spec.md:1372)."""
     return _iceberg_import_impl(spark, sf_dir, "dv", dv=True)
+
+
+def iceberg_import_v4_scan(spark, sf_dir):
+    """Same table in format-version 4 (V4Metadata.java): PARQUET
+    manifests, RELATIVE metadata paths joined to the table location
+    (format/spec.md:194-214), no `location` field in the metadata JSON
+    (optional in v4), Avro manifest list with first_row_id, and the
+    delete as a Puffin DV. The scan result must be identical to the
+    v2/v3 imports — same oracle."""
+    return _iceberg_import_impl(spark, sf_dir, "v4", dv=True,
+                                format_version=4, relative_paths=True)
 
 
 def metadata_encryption_scan(spark, sf_dir):
@@ -1654,6 +1671,7 @@ REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
     "iceberg_import_scan": (iceberg_import_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_dv_scan": (iceberg_import_dv_scan, ICEBERG_IMPORT_SQL),
+    "iceberg_import_v4_scan": (iceberg_import_v4_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_avro_scan": (iceberg_import_avro_scan,
                                  ICEBERG_IMPORT_AVRO_SQL),
     "metadata_encryption_scan": (metadata_encryption_scan,
