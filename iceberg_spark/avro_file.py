@@ -376,6 +376,12 @@ def read_avro(path: str):
         from . import io as _fio
 
         raw = _fio.read_bytes(path)
+    return read_avro_bytes(raw, path)
+
+
+def read_avro_bytes(raw: bytes, path: str = "<bytes>"):
+    """`read_avro` over in-memory container bytes (e.g. a decrypted
+    manifest); `path` only labels errors."""
     buf = io.BytesIO(raw)
     if buf.read(4) != MAGIC:
         raise ValueError(f"not an Avro container file: {path}")

@@ -120,6 +120,120 @@ class EncryptionManager:
         return decrypt_stream(wrapped, self.master_key, aad_prefix)
 
 
+# ---------------------------------------------------------------------------
+# reference "standard" table-encryption interop
+# (core/.../encryption/Ciphers.java, StandardKeyMetadata.java,
+#  EncryptionUtil.java, EncryptedKeyParser.java)
+# ---------------------------------------------------------------------------
+
+# Avro schema of StandardKeyMetadata V1 (StandardKeyMetadata.java:36-41);
+# single-object encoding = one version byte (1) + the Avro binary body
+# (KeyMetadataEncoder.java:77-81)
+_SKM_SCHEMA = {
+    "type": "record", "name": "key_metadata", "fields": [
+        {"name": "encryption_key", "type": "bytes"},
+        {"name": "aad_prefix", "type": ["null", "bytes"], "default": None},
+        {"name": "file_length", "type": ["null", "long"], "default": None},
+    ]}
+
+
+def aes_gcm_encrypt(key: bytes, plaintext: bytes, aad: bytes = b"") -> bytes:
+    """Single-shot AES GCM, reference layout: nonce(12) || ciphertext ||
+    tag(16) (Ciphers.java AesGcmEncryptor.encrypt)."""
+    nonce = secrets.token_bytes(NONCE_LEN)
+    return nonce + _aesgcm(normalize_key(key)).encrypt(nonce, plaintext,
+                                                       aad or None)
+
+
+def aes_gcm_decrypt(key: bytes, data: bytes, aad: bytes = b"") -> bytes:
+    if len(data) < NONCE_LEN + TAG_LEN:
+        raise ValueError("AES GCM ciphertext shorter than nonce + tag")
+    try:
+        return _aesgcm(normalize_key(key)).decrypt(
+            data[:NONCE_LEN], data[NONCE_LEN:], aad or None)
+    except Exception:
+        raise ValueError(
+            "AES GCM decryption failed (wrong key or tampered "
+            "bytes)") from None
+
+
+def encode_standard_key_metadata(key: bytes, aad_prefix: bytes = None,
+                                 file_length: int = None) -> bytes:
+    import io as _pyio
+
+    from .avro_file import _encode
+
+    out = _pyio.BytesIO()
+    out.write(b"\x01")  # schema version V1
+    _encode(_SKM_SCHEMA, {"encryption_key": key, "aad_prefix": aad_prefix,
+                          "file_length": file_length}, out)
+    return out.getvalue()
+
+
+def decode_standard_key_metadata(buf: bytes):
+    """-> (encryption_key, aad_prefix | None, file_length | None)."""
+    from .avro_file import _compile
+
+    if not buf or buf[0] != 1:
+        raise ValueError(
+            f"unsupported key metadata schema version: "
+            f"{buf[0] if buf else 'empty'}")
+    row, _pos = _compile(_SKM_SCHEMA)(bytes(buf[1:]), 0)
+    return (bytes(row["encryption_key"]),
+            bytes(row["aad_prefix"]) if row["aad_prefix"] is not None
+            else None,
+            row["file_length"])
+
+
+class StandardTableKeys:
+    """Resolve the reference's `encryption-keys` metadata list
+    (EncryptedKeyParser.java shape): key-encryption-keys (KEKs) are
+    wrapped by the table's KMS key and unwrapped via `kms_unwrap(wrapped,
+    key_id)`; manifest-list keys are StandardKeyMetadata encrypted with a
+    KEK under AAD = the KEK's KEY_TIMESTAMP property
+    (EncryptionUtil.encryptManifestListKeyMetadata)."""
+
+    KEY_TIMESTAMP = "KEY_TIMESTAMP"  # StandardEncryptionManager.java:43
+
+    def __init__(self, encryption_keys_json: list, kms_unwrap):
+        import base64
+
+        self._kms_unwrap = kms_unwrap
+        self._keys = {}
+        for kj in encryption_keys_json or []:
+            self._keys[kj["key-id"]] = {
+                "wrapped": base64.b64decode(kj["encrypted-key-metadata"]),
+                "encrypted_by": kj.get("encrypted-by-id"),
+                "properties": dict(kj.get("properties") or {}),
+            }
+        self._unwrapped_keks = {}
+
+    def _kek(self, kek_id: str):
+        if kek_id not in self._unwrapped_keks:
+            k = self._keys[kek_id]
+            self._unwrapped_keks[kek_id] = self._kms_unwrap(
+                k["wrapped"], k["encrypted_by"])
+        return self._unwrapped_keks[kek_id]
+
+    def manifest_list_key(self, key_id: str):
+        """snapshot `key-id` -> (encryption_key, aad_prefix) of the
+        manifest list file (EncryptionUtil.decryptManifestListKeyMetadata
+        chain)."""
+        mlk = self._keys.get(key_id)
+        if mlk is None:
+            raise ValueError(f"unknown encryption key id: {key_id}")
+        kek_id = mlk["encrypted_by"]
+        ts = self._keys[kek_id]["properties"].get(self.KEY_TIMESTAMP)
+        if ts is None:
+            raise ValueError(
+                f"key encryption key {kek_id} has no "
+                f"{self.KEY_TIMESTAMP} property")
+        skm = aes_gcm_decrypt(self._kek(kek_id), mlk["wrapped"],
+                              ts.encode("utf-8"))
+        key, aad, _len = decode_standard_key_metadata(skm)
+        return key, aad or b""
+
+
 def normalize_key(key) -> bytes:
     """Accept raw bytes or a hex string (the `ICEBERG_SPARK_METADATA_KEY`
     env form)."""

@@ -313,7 +313,8 @@ def _parse_table(source: str):
 
 
 def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
-                      cur_schema: int, location: str = None) -> list:
+                      cur_schema: int, location: str = None,
+                      table_keys=None) -> list:
     """All live (status != DELETED) entries of one snapshot's manifest
     list, as plain dicts {content, path, format, spec_id, partition,
     record_count, file_size, seq, equality_ids, referenced_data_file,
@@ -324,18 +325,55 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
 
     entries = []
     ml_path = _resolve_loc(snap["manifest-list"], location)
-    _, _, manifests = read_avro(ml_path)
-    for mrow in manifests:
-        if mrow.get("key_metadata"):
+    if snap.get("key-id"):
+        # standard table encryption: the manifest list is an AES GCM
+        # Stream keyed via the snapshot's key-id -> encryption-keys chain
+        # (EncryptionUtil.decryptManifestListKeyMetadata)
+        if table_keys is None:
             raise NotImplementedError(
-                "encrypted Iceberg manifests (key_metadata) are not "
-                "supported")
+                "encrypted Iceberg manifest list (snapshot key-id "
+                f"{snap['key-id']!r}) — pass kms_unwrap to import "
+                "standard-encrypted tables")
+        from ..avro_file import read_avro_bytes
+        from ..encryption import decrypt_stream
+        from ..io import resolve_io
+
+        key, aad = table_keys.manifest_list_key(snap["key-id"])
+        raw = resolve_io(ml_path).read_bytes(ml_path)
+        _, _, manifests = read_avro_bytes(
+            decrypt_stream(raw, key, aad), ml_path)
+    else:
+        _, _, manifests = read_avro(ml_path)
+    for mrow in manifests:
+        if mrow.get("key_metadata") and table_keys is None:
+            raise NotImplementedError(
+                "encrypted Iceberg manifests (key_metadata) — pass "
+                "kms_unwrap to import standard-encrypted tables")
+
+    def read_one(path, key_metadata):
+        if key_metadata:
+            # each manifest is whole-file AES GCM Stream encrypted with
+            # the StandardKeyMetadata riding in its manifest-list entry
+            # (ManifestWriter.java:254-257 keyMetadata with file length)
+            from ..avro_file import read_avro_bytes
+            from ..encryption import (decode_standard_key_metadata,
+                                      decrypt_stream)
+            from ..io import resolve_io
+
+            key, aad, _len = decode_standard_key_metadata(
+                bytes(key_metadata))
+            raw = resolve_io(path).read_bytes(path)
+            return read_avro_bytes(decrypt_stream(raw, key, aad or b""),
+                                   path)
+        return _read_manifest_file(path)
+
     # manifests decode independently (file IO + zlib inflate release
     # the GIL) — a thread pool keeps big-metadata imports off the
     # one-file-at-a-time path
     paths = [_resolve_loc(m["manifest_path"], location) for m in manifests]
     with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
-        decoded = list(ex.map(_read_manifest_file, paths))
+        decoded = list(ex.map(read_one, paths,
+                              [m.get("key_metadata") for m in manifests]))
     def hdr_int(hdr_meta, key, default):
         v = hdr_meta.get(key)
         if v is None:
@@ -378,6 +416,11 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
             partition = {
                 name: _partition_value(part_raw.get(name), rt)
                 for name, rt in rtypes.items()}
+            if df.get("key_metadata"):
+                raise NotImplementedError(
+                    "natively-encrypted content files (data_file."
+                    "key_metadata — parquet modular encryption) are not "
+                    f"supported: {df['file_path']}")
             ref = df.get("referenced_data_file")
             entries.append({
                 "content": int(df.get("content") or 0),
@@ -399,15 +442,27 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
     return entries
 
 
-def read_iceberg_snapshot(source: str):
+def _table_keys(md: dict, kms_unwrap):
+    if kms_unwrap is None:
+        return None
+    from ..encryption import StandardTableKeys
+
+    return StandardTableKeys(md.get("encryption-keys") or [], kms_unwrap)
+
+
+def read_iceberg_snapshot(source: str, kms_unwrap=None):
     """Parse the source table's CURRENT snapshot into plain structures:
     (schemas, current_schema_id, specs, default_spec_id, entries,
-    props, md)."""
+    props, md). `kms_unwrap(wrapped_bytes, key_id) -> key_bytes` unlocks
+    standard-encrypted metadata (the KMS itself is vendor-pluggable in
+    the reference too, KeyManagementClient.java)."""
     md, schemas, cur_schema, specs, default_spec = _parse_table(source)
     snap = _current_snapshot(md)
     entries = ([] if snap is None
                else _snapshot_entries(snap, specs, schemas, cur_schema,
-                                      location=md.get("location")))
+                                      location=md.get("location"),
+                                      table_keys=_table_keys(md,
+                                                             kms_unwrap)))
     return (schemas, cur_schema, specs, default_spec, entries,
             dict(md.get("properties") or {}), md)
 
@@ -469,13 +524,14 @@ class _ImportSnapshot:
         return self._producer.commit()
 
 
-def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str):
+def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str,
+                           kms_unwrap=None):
     """CALL system.snapshot_iceberg_table analog
     (delta-lake's BaseSnapshotDeltaLakeTableAction shape, applied to a
     genuine Iceberg source). Returns (table, imported_file_count,
     imported_delete_file_count)."""
     (schemas, cur_schema, specs, default_spec, entries,
-     src_props, md) = read_iceberg_snapshot(source_location)
+     src_props, md) = read_iceberg_snapshot(source_location, kms_unwrap)
     schema = schemas[cur_schema]
 
     # order-preserving dense seq remap: preserves every >=/>/== delete
@@ -756,7 +812,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
     return files_by_seq
 
 
-def register_iceberg_table(catalog, source_location: str, dest_ident: str):
+def register_iceberg_table(catalog, source_location: str, dest_ident: str,
+                           kms_unwrap=None):
     """Full-history registration of a genuine Iceberg table (the
     RegisterTableProcedure analog — reference register keeps history):
     the current snapshot's ANCESTOR CHAIN replays as engine commits in
@@ -786,8 +843,10 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str):
         s = snaps.get(p) if p is not None else None
     chain.reverse()
 
+    tk = _table_keys(md, kms_unwrap)
     per_snap = [(snap, _snapshot_entries(snap, specs, schemas, cur_schema,
-                                         location=md.get("location")))
+                                         location=md.get("location"),
+                                         table_keys=tk))
                 for snap in chain]
     all_seqs = sorted(
         {e["seq"] for _, ents in per_snap for e in ents}

@@ -202,7 +202,8 @@ def write_reference_table(root: str, schema_json: dict, files: list,
                           snapshot_id: int = None,
                           timestamp_ms: int = None,
                           table_uuid: str = None,
-                          relative_paths: bool = False) -> str:
+                          relative_paths: bool = False,
+                          encryption_key: bytes = None) -> str:
     """Build `<root>/metadata/` for an already-present set of content
     files (single snapshot). `files`: dicts with keys
       path, content (0/1/2), format, partition ({name: raw avro value}),
@@ -222,7 +223,7 @@ def write_reference_table(root: str, schema_json: dict, files: list,
         partition_spec_fields=partition_spec_fields,
         partition_avro=partition_avro, format_version=format_version,
         properties=properties, table_uuid=table_uuid,
-        relative_paths=relative_paths)
+        relative_paths=relative_paths, encryption_key=encryption_key)
 
 
 def write_reference_table_history(root: str, schema_json: dict,
@@ -242,7 +243,8 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   partition_statistics_json:
                                   list = None,
                                   extra_refs: dict = None,
-                                  relative_paths: bool = False) -> str:
+                                  relative_paths: bool = False,
+                                  encryption_key: bytes = None) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
     {"files": [...], "timestamp_ms"?: int, "operation"?: str,
     "schema_id"?: int, "snapshot_id"?: int}; each snapshot's `files` is
@@ -267,12 +269,47 @@ def write_reference_table_history(root: str, schema_json: dict,
     `relative_paths=True` (v4 only, format/spec.md:194-214) stores every
     path under `root` relative and OMITS `location` from the metadata
     JSON (optional in v4 — the importing catalog provides it).
+
+    `encryption_key` (v3, reference standard table encryption): manifests
+    and manifest lists are whole-file AES GCM Streams; per-manifest
+    StandardKeyMetadata rides in the manifest-list entry's key_metadata
+    (fid 519); the manifest-list key chains through `encryption-keys`
+    (manifest-list key -> KEK under AAD = the KEK's KEY_TIMESTAMP -> KMS
+    wrap by `encryption_key`, here a single-shot AES GCM — the unit-KMS
+    shape; real KMS wraps are vendor-specific and pluggable on import).
     Returns the metadata JSON path."""
+    import base64 as _b64
+    import secrets as _secrets
+
     from ..avro_file import write_avro
 
     if relative_paths and format_version < 4:
         raise ValueError("relative paths require format-version 4 "
                          "(format/spec.md:194)")
+    enc = None
+    if encryption_key is not None:
+        if format_version != 3:
+            raise ValueError("fixture standard encryption supports "
+                             "format-version 3 only")
+        from ..encryption import (aes_gcm_encrypt,
+                                  encode_standard_key_metadata,
+                                  encrypt_stream)
+
+        kek = _secrets.token_bytes(16)
+        kek_id = _b64.b64encode(_secrets.token_bytes(16)).decode()
+        key_ts = str(int(time.time() * 1000))
+        enc = {
+            "kek": kek, "kek_id": kek_id, "key_ts": key_ts,
+            "gcm": aes_gcm_encrypt, "skm": encode_standard_key_metadata,
+            "stream": encrypt_stream,
+            "keys_json": [{
+                "key-id": kek_id,
+                "encrypted-key-metadata": _b64.b64encode(
+                    aes_gcm_encrypt(encryption_key, kek, b"")).decode(),
+                "encrypted-by-id": "kms:table-master",
+                "properties": {"KEY_TIMESTAMP": key_ts},
+            }],
+        }
     if partition_specs_json is None:
         partition_specs_json = [{"spec-id": 0,
                                  "fields": partition_spec_fields or []}]
@@ -352,7 +389,14 @@ def write_reference_table_history(root: str, schema_json: dict,
             mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.avro")
             write_avro(mp, entry_schemas[spec_id], rows, meta,
                        codec="deflate")
-        return mp
+        if enc is not None:
+            mkey, maad = _secrets.token_bytes(16), _secrets.token_bytes(16)
+            with open(mp, "rb") as fh:
+                ct = enc["stream"](fh.read(), mkey, maad)
+            with open(mp, "wb") as fh:
+                fh.write(ct)
+            return mp, enc["skm"](mkey, maad, len(ct))
+        return mp, None
 
     snap_jsons = []
     next_row_id = 0  # v4 row lineage (spec First Row ID Assignment)
@@ -369,11 +413,13 @@ def write_reference_table_history(root: str, schema_json: dict,
             groups.setdefault(key, []).append(f)
         for (content, spec_id), group in sorted(groups.items()):
             label = "data" if content == 0 else "deletes"
-            mp = write_manifest(group, label, snapshot_id, max_seq,
-                                sn.get("schema_id",
-                                       schema_json.get("schema-id", 0)),
-                                spec_id)
+            mp, mkm = write_manifest(group, label, snapshot_id, max_seq,
+                                     sn.get("schema_id",
+                                            schema_json.get("schema-id",
+                                                            0)),
+                                     spec_id)
             manifests.append({
+                **({"key_metadata": mkm} if enc is not None else {}),
                 "manifest_path": rel(mp),
                 "manifest_length": os.path.getsize(mp),
                 "partition_spec_id": spec_id,
@@ -402,10 +448,34 @@ def write_reference_table_history(root: str, schema_json: dict,
                     m["first_row_id"] = None
         ml_schema = (MANIFEST_LIST_SCHEMA_V4 if format_version >= 4
                      else MANIFEST_LIST_SCHEMA)
+        if enc is not None:
+            ml_schema = {
+                **ml_schema,
+                "fields": ml_schema["fields"] + [
+                    {"name": "key_metadata", "type": _opt("bytes"),
+                     "default": None, "field-id": 519}]}
         ml_path = os.path.join(
             mdir, f"snap-{snapshot_id}-1-{_uuid.uuid4().hex}.avro")
         write_avro(ml_path, ml_schema, manifests,
                    {"format-version": str(format_version)}, codec="deflate")
+        ml_key_id = None
+        if enc is not None:
+            # encrypt the manifest list and chain its key through
+            # encryption-keys (EncryptionUtil.encryptManifestListKeyMetadata)
+            mlkey, mlaad = (_secrets.token_bytes(16),
+                            _secrets.token_bytes(16))
+            with open(ml_path, "rb") as fh:
+                ct = enc["stream"](fh.read(), mlkey, mlaad)
+            with open(ml_path, "wb") as fh:
+                fh.write(ct)
+            ml_key_id = _b64.b64encode(_secrets.token_bytes(16)).decode()
+            enc["keys_json"].append({
+                "key-id": ml_key_id,
+                "encrypted-key-metadata": _b64.b64encode(enc["gcm"](
+                    enc["kek"], enc["skm"](mlkey, mlaad, len(ct)),
+                    enc["key_ts"].encode("utf-8"))).decode(),
+                "encrypted-by-id": enc["kek_id"],
+            })
         sj = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": sn.get("timestamp_ms", now0 + i * 60_000),
@@ -417,6 +487,8 @@ def write_reference_table_history(root: str, schema_json: dict,
         }
         if format_version >= 4:
             sj["first-row-id"] = first_row_id
+        if ml_key_id is not None:
+            sj["key-id"] = ml_key_id
         if i > 0:
             sj["parent-snapshot-id"] = snap_jsons[-1]["snapshot-id"]
         snap_jsons.append(sj)
@@ -458,6 +530,8 @@ def write_reference_table_history(root: str, schema_json: dict,
         md["location"] = root  # optional in v4; always present pre-v4
     if format_version >= 4:
         md["next-row-id"] = next_row_id
+    if enc is not None:
+        md["encryption-keys"] = enc["keys_json"]
     mpath = os.path.join(mdir, "v1.metadata.json")
     with open(mpath, "w") as fh:
         json.dump(md, fh)

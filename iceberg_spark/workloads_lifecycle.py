@@ -1412,7 +1412,8 @@ _PA_TO_ICEBERG = {"int64": "long", "int32": "int", "double": "double",
 
 
 def _reference_iceberg_source(spark, sf_dir, tag, dv=False,
-                              format_version=None, relative_paths=False):
+                              format_version=None, relative_paths=False,
+                              encryption_key=None):
     """Build a reference-layout Iceberg table whose single data file IS the
     testdata supplier.parquet (by reference), with a position delete (or a
     v3 deletion vector) covering the rows where s_suppkey % 7 == 0 — a
@@ -1460,12 +1461,14 @@ def _reference_iceberg_source(spark, sf_dir, tag, dv=False,
     write_reference_table(root, schema_json, [data_entry, del_entry],
                           format_version=(format_version
                                           or (3 if dv else 2)),
-                          relative_paths=relative_paths)
+                          relative_paths=relative_paths,
+                          encryption_key=encryption_key)
     return root
 
 
 def _iceberg_import_impl(spark, sf_dir, tag, dv, format_version=None,
-                         relative_paths=False):
+                         relative_paths=False, encryption_key=None,
+                         kms_unwrap=None):
     key = (f"icebergimp_{tag}", _sf_key(sf_dir))
     if key not in _STATE:
         _ensure_conf(spark)
@@ -1477,8 +1480,10 @@ def _iceberg_import_impl(spark, sf_dir, tag, dv, format_version=None,
             cat.drop_table(ident)
         root = _reference_iceberg_source(spark, sf_dir, tag, dv=dv,
                                          format_version=format_version,
-                                         relative_paths=relative_paths)
-        t, n_data, n_del = snapshot_iceberg_table(cat, root, ident)
+                                         relative_paths=relative_paths,
+                                         encryption_key=encryption_key)
+        t, n_data, n_del = snapshot_iceberg_table(cat, root, ident,
+                                                  kms_unwrap=kms_unwrap)
         assert n_data == 1 and n_del == 1
         _STATE[key] = ident
     t = _warehouse(spark).load_table(_STATE[key])
@@ -1510,6 +1515,26 @@ def iceberg_import_v4_scan(spark, sf_dir):
     v2/v3 imports — same oracle."""
     return _iceberg_import_impl(spark, sf_dir, "v4", dv=True,
                                 format_version=4, relative_paths=True)
+
+
+def iceberg_import_encrypted_scan(spark, sf_dir):
+    """Same table with STANDARD TABLE ENCRYPTION (v3): manifests and the
+    manifest list are whole-file AES GCM Streams, per-manifest
+    StandardKeyMetadata rides in the list entries (fid 519), and the
+    manifest-list key chains through metadata `encryption-keys` (KEK
+    under KEY_TIMESTAMP AAD, KMS-wrapped — EncryptionUtil.java). The
+    import unwraps via the pluggable kms_unwrap and must scan to the
+    same result as the plaintext imports — same oracle. The delete is a
+    parquet pos-delete (DVs ride Puffin, which the reference does not
+    AGS-wrap)."""
+    from .encryption import aes_gcm_decrypt
+
+    master = bytes(range(16, 32))
+    return _iceberg_import_impl(
+        spark, sf_dir, "enc", dv=False, format_version=3,
+        encryption_key=master,
+        kms_unwrap=lambda wrapped, kid: aes_gcm_decrypt(master, wrapped,
+                                                        b""))
 
 
 def metadata_encryption_scan(spark, sf_dir):
@@ -1672,6 +1697,8 @@ REGISTRY = {
     "iceberg_import_scan": (iceberg_import_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_dv_scan": (iceberg_import_dv_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_v4_scan": (iceberg_import_v4_scan, ICEBERG_IMPORT_SQL),
+    "iceberg_import_encrypted_scan": (iceberg_import_encrypted_scan,
+                                      ICEBERG_IMPORT_SQL),
     "iceberg_import_avro_scan": (iceberg_import_avro_scan,
                                  ICEBERG_IMPORT_AVRO_SQL),
     "metadata_encryption_scan": (metadata_encryption_scan,
