@@ -106,6 +106,9 @@ class DataFile:
     # the containing Puffin file; must exactly match the Puffin footer
     content_offset: Optional[int] = None
     content_size_in_bytes: Optional[int] = None
+    # spec data_file.key_metadata: opaque encryption key metadata
+    # (engine shape: parquet_crypto.encode_key_metadata JSON)
+    key_metadata: Optional[bytes] = None
 
 
 @dataclass(frozen=True)
@@ -252,6 +255,7 @@ def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
         pa.field("first_row_id", pa.int64()),
         pa.field("content_offset", pa.int64()),
         pa.field("content_size_in_bytes", pa.int64()),
+        pa.field("key_metadata", pa.binary()),
     ]
     for name, ptype in spec.partition_type(schema):
         fields.append(pa.field(f"p_{name}", _type_to_arrow(ptype)))
@@ -309,6 +313,7 @@ def write_manifest(
         cols["first_row_id"].append(f.first_row_id)
         cols["content_offset"].append(f.content_offset)
         cols["content_size_in_bytes"].append(f.content_size_in_bytes)
+        cols["key_metadata"].append(f.key_metadata)
         for n in pnames:
             v = f.partition.get(n)
             cols[f"p_{n}"].append(v)
@@ -469,6 +474,7 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
     first_rid = colvals("first_row_id")
     c_off = colvals("content_offset")
     c_size = colvals("content_size_in_bytes")
+    key_md = colvals("key_metadata")
 
     out = []
     for i in range(n):
@@ -510,6 +516,7 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
                     first_row_id=first_rid[i] if first_rid is not None else None,
                     content_offset=c_off[i] if c_off is not None else None,
                     content_size_in_bytes=c_size[i] if c_size is not None else None,
+                    key_metadata=key_md[i] if key_md is not None else None,
                 ),
             )
         )
@@ -550,6 +557,8 @@ def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
             first_row_id=rd.get("first_row_id"),
             content_offset=rd.get("content_offset"),
             content_size_in_bytes=rd.get("content_size_in_bytes"),
+            key_metadata=(bytes(rd["key_metadata"])
+                          if rd.get("key_metadata") is not None else None),
         ),
     )
 
@@ -664,9 +673,20 @@ def _read_manifest_list_uncached(path: str, location: Optional[str] = None) -> l
 
 
 def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
-                      partition: Optional[dict] = None, content: int = DATA) -> DataFile:
-    """Build a DataFile (with stats) from a written Parquet file's footer."""
-    md = _io.parquet_file(path).metadata
+                      partition: Optional[dict] = None, content: int = DATA,
+                      decryption: Optional[bytes] = None) -> DataFile:
+    """Build a DataFile (with stats) from a written Parquet file's footer.
+
+    `decryption` = the table master key for engine-encrypted files
+    (parquet modular encryption): footers and the nan/geo column passes
+    read through decrypting opens; stats land in the manifest exactly
+    like a plaintext file's."""
+    if decryption is not None:
+        from .parquet_crypto import open_encrypted
+
+        md = open_encrypted(path, decryption).metadata
+    else:
+        md = _io.parquet_file(path).metadata
     ntype = {f.name: f.type for f in schema.fields if isinstance(f.type, str)}
     agg: dict = {}
     for rg in range(md.num_row_groups):
@@ -709,7 +729,12 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
         try:
             import pyarrow.compute as pc
 
-            tbl = _io.read_parquet(path, columns=float_cols)
+            if decryption is not None:
+                from .parquet_crypto import read_encrypted
+
+                tbl = read_encrypted(path, decryption, columns=float_cols)
+            else:
+                tbl = _io.read_parquet(path, columns=float_cols)
             for n in float_cols:
                 arr = tbl[n]
                 nan_counts[n] = pc.sum(
@@ -740,7 +765,12 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
     if geo_cols:
         from .geo import column_bbox_bounds
 
-        tbl = _io.read_parquet(path, columns=geo_cols)
+        if decryption is not None:
+            from .parquet_crypto import read_encrypted
+
+            tbl = read_encrypted(path, decryption, columns=geo_cols)
+        else:
+            tbl = _io.read_parquet(path, columns=geo_cols)
         for n in geo_cols:
             lo, hi, nulls = column_bbox_bounds(tbl[n].to_pylist())
             agg[n] = [lo, hi, nulls, None, None]
@@ -764,7 +794,8 @@ DISTRIBUTED_STATS_THRESHOLD = 256
 
 def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
                        partitions: Optional[dict] = None, content: int = DATA,
-                       max_workers: int = 16, spark=None) -> list:
+                       max_workers: int = 16, spark=None,
+                       decryption: Optional[bytes] = None) -> list:
     """Footer-stat collection for many files.
 
     Small batches read footers thread-parallel on the driver; above
@@ -778,7 +809,8 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
 
     def one(p):
         try:
-            return collect_data_file(p, schema, spec, partitions.get(p), content)
+            return collect_data_file(p, schema, spec, partitions.get(p),
+                                     content, decryption=decryption)
         except OSError:
             # footer carries a logical type this pyarrow can't parse (e.g.
             # parquet VARIANT) — marker for the Spark-side fallback below

@@ -914,6 +914,60 @@ def _avro_decode_df(spark, paths: list, read_schema):
             .mapInPandas(decode, read_schema))
 
 
+def _encrypted_parquet_df(spark, paths: list, read_schema, master_key: bytes,
+                          with_meta: bool):
+    """Engine-encrypted parquet files -> DataFrame: one task per file,
+    each decrypting through pyarrow modular encryption (parquet_crypto)
+    and streaming Arrow batches out — the imported-Avro decode shape, so
+    the read parallelizes exactly like a native format reader at any
+    file count. Column pruning pushes into the decrypting reader
+    (iter_batches(columns=...)); requested columns the file lacks
+    (e.g. lineage) surface as nulls.
+
+    `with_meta=True` additionally emits a `_metadata` struct
+    (file_path in Spark's "file:<plain>" URI spelling, running
+    row_index) so the MoR position-delete machinery downstream applies
+    unchanged."""
+    import pandas as _pd
+
+    from pyspark.sql import types as _T
+
+    cols = [f.name for f in read_schema.fields]
+    out_schema = read_schema
+    if with_meta:
+        out_schema = _T.StructType(list(read_schema.fields) + [
+            _T.StructField("_metadata", _T.StructType([
+                _T.StructField("file_path", _T.StringType()),
+                _T.StructField("row_index", _T.LongType())]))])
+
+    def decode(batches):
+        from .parquet_crypto import open_encrypted
+
+        for b in batches:
+            for p in b["p"]:
+                pf = open_encrypted(p, master_key)
+                have = [c for c in cols if c in pf.schema_arrow.names]
+                uri = "file:" + p if p.startswith("/") else p
+                idx = 0
+                for rb in pf.iter_batches(columns=have):
+                    out = rb.to_pandas()
+                    for c in cols:
+                        if c not in out.columns:
+                            out[c] = None
+                    out = out[cols]
+                    if with_meta:
+                        n = len(out)
+                        out["_metadata"] = [
+                            {"file_path": uri, "row_index": i}
+                            for i in range(idx, idx + n)]
+                        idx += n
+                    yield out
+
+    pdf = spark.createDataFrame([(p,) for p in sorted(paths)], "p string")
+    return (pdf.repartition(max(1, len(paths)))
+            .mapInPandas(decode, out_schema))
+
+
 def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False,
                with_lineage: bool = False) -> DataFrame:
     spark = scan.spark
@@ -1034,15 +1088,26 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 _var_cache[p] = tuple(sorted(vnames))
         return _var_cache[p]
 
+    # Fifth key: encryption key id (data_file.key_metadata) — encrypted
+    # files read through the decrypting executor-side reader, plaintext
+    # files through the native one; one table can hold both (files
+    # written before `encryption.key-id` was set stay plaintext).
+    def _enc_kid(e):
+        if e.file.key_metadata is None:
+            return None
+        from .parquet_crypto import decode_key_metadata
+
+        return decode_key_metadata(e.file.key_metadata)
+
     groups: dict = {}
     for e in plan.files:
         groups.setdefault(
             (e.file.write_schema_id, e.file.file_format, _ident_fills(e),
-             _var_sig(e)),
+             _var_sig(e), _enc_kid(e)),
             []).append(e)
 
     parts = []
-    for (wsid, ffmt, ident_fills, _vsig), entries in groups.items():
+    for (wsid, ffmt, ident_fills, _vsig, enc_kid), entries in groups.items():
         fills = dict(ident_fills)
         try:
             wschema = metadata.schema_by_id(wsid)
@@ -1112,7 +1177,28 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 list(read_schema.fields)
                 + [_T.StructField(ROW_ID_COL, _T.LongType()),
                    _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType())])
-        if inline_pos_filter and pos_ranges:
+        if enc_kid is not None:
+            # engine-encrypted files: decrypting executor-side reader
+            # (parquet modular encryption). It synthesizes the _metadata
+            # struct itself, so the inline pos-delete filter and the
+            # need_meta projection below apply unchanged.
+            from .parquet_crypto import resolve_key
+
+            mkey = resolve_key(enc_kid)
+            want_meta = need_meta or bool(inline_pos_filter and pos_ranges)
+            df = _encrypted_parquet_df(spark, paths, read_schema, mkey,
+                                       want_meta)
+            if inline_pos_filter and pos_ranges:
+                deleted = _ranges_filter(
+                    F.col("_metadata.file_path"),
+                    F.col("_metadata.row_index"), pos_ranges,
+                    path_lit=lambda fp: (
+                        "file:" + fp if fp.startswith("/") else fp))
+                if deleted is not None:
+                    df = df.filter(~deleted)
+                if not need_meta:
+                    df = df.drop("_metadata")
+        elif inline_pos_filter and pos_ranges:
             # apply position-delete runs on the raw metadata struct (URI
             # form, e.g. file:/x) before projection — no join, no extra
             # job, no per-row normalized-path materialization. Only the

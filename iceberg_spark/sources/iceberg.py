@@ -997,6 +997,16 @@ def export_reference_metadata(table, dest_root: str,
     round-trip (the outbound twin of register_iceberg_table's replay).
 
     Returns the metadata JSON path."""
+    # engine-encrypted data files (parquet_crypto key_metadata) use an
+    # engine-defined KMS wrap the reference cannot unwrap — exporting
+    # them would hand a reference reader undecryptable files
+    for e in (table.scan().plan_files().files or []):
+        if e.file.key_metadata is not None:
+            raise NotImplementedError(
+                "cannot export a table with engine-encrypted data files "
+                "to the reference layout: the reference's encryption "
+                "manager cannot unwrap the engine's parquet-kms key "
+                f"metadata ({e.file.file_path})")
     schema = table.schema
     schema_json = _unmap_types(schema.to_json())
     schemas = {s.schema_id: s for s in table.metadata.schemas}

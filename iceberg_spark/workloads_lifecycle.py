@@ -1584,6 +1584,63 @@ GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def data_encryption_scan(spark, sf_dir):
+    """Native DATA-file encryption (parquet modular encryption,
+    parquet_crypto.py; reference StandardEncryptionManager +
+    parquet/.../Parquet.java encryption hooks): create a table with
+    `encryption.key-id`, append customers + MoR-delete through
+    ENCRYPTED parquet data files, verify every data file on disk has
+    the encrypted-footer magic and a keyless scan fails loudly, then
+    scan-aggregate — results must match the plaintext oracle exactly."""
+    key = ("data_enc_scan", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import glob as _glob
+
+        from . import parquet_crypto as PC
+        from .table import Catalog
+
+        wh = tempfile.mkdtemp(prefix="iceberg_spark_dataenc_")
+        kid = "bench-table-key"
+        PC.register_key(kid, bytes(range(16, 32)))
+        cat = Catalog(spark, wh)
+        df = load_table(spark, sf_dir, "customer")
+        t = cat.create_table("db.enc_customer", df.schema,
+                             partition_by=["c_mktsegment"],
+                             properties={PC.KEY_ID_PROP: kid})
+        t.append(df)
+        t.delete_where(col("c_custkey") <= 100, mode="merge-on-read")
+        t = cat.load_table("db.enc_customer")
+        files = _glob.glob(os.path.join(wh, "db", "enc_customer", "data",
+                                        "**", "*.parquet"), recursive=True)
+        assert files and all(
+            open(p, "rb").read(4) == b"PARE" for p in files
+            if "/deletes-" not in p and "/eqdel-" not in p)
+        PC.unregister_key(kid)
+        try:
+            t.to_df().count()
+            raise AssertionError("keyless encrypted scan must fail")
+        except ValueError:
+            pass
+        PC.register_key(kid, bytes(range(16, 32)))
+        _STATE[key] = (wh, kid)
+    wh, kid = _STATE[key]
+    from .table import Catalog
+
+    t = Catalog(spark, wh).load_table("db.enc_customer")
+    return (t.to_df().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("c_acctbal"), 2).alias("bal"))
+            .orderBy("c_mktsegment"))
+
+
+DATA_ENCRYPTION_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(c_acctbal), 2) AS bal
+FROM customer WHERE c_custkey > 100
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def iceberg_import_avro_scan(spark, sf_dir):
     """Import a reference-layout Iceberg table whose DATA file is an AVRO
     container (the reference reads parquet, ORC, and Avro data —
@@ -1703,6 +1760,7 @@ REGISTRY = {
                                  ICEBERG_IMPORT_AVRO_SQL),
     "metadata_encryption_scan": (metadata_encryption_scan,
                                  METADATA_ENCRYPTION_SQL),
+    "data_encryption_scan": (data_encryption_scan, DATA_ENCRYPTION_SQL),
     "iceberg_export_roundtrip_scan": (iceberg_export_roundtrip_scan,
                                       ICEBERG_EXPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),

@@ -166,6 +166,23 @@ def write_data_files(
         df = _align_to_schema(df, schema, extras)
 
     fmt = props.get("write.format.default", "parquet").lower()
+    # native data-file encryption (parquet modular encryption; see
+    # parquet_crypto.py — reference StandardEncryptionManager +
+    # parquet/.../Parquet.java encryption hooks)
+    from .parquet_crypto import KEY_ID_PROP, table_encryption
+
+    enc = None
+    if props.get(KEY_ID_PROP):
+        if fmt != "parquet":
+            raise ValueError(
+                f"{KEY_ID_PROP} requires parquet data files; "
+                f"write.format.default is {fmt} (only parquet has modular "
+                f"encryption)")
+        if any(f.type == "variant" for f in schema.fields):
+            raise NotImplementedError(
+                "encrypted tables with variant columns are not supported "
+                "(the encrypted writer has no native-variant encoder)")
+        enc = table_encryption(props)
     # v3 variant columns: parquet defaults to Spark's NATIVE binary
     # variant encoding (format/spec.md:243 metadata/value group — what the
     # reference writes, so engine-written files are consumable by any
@@ -228,37 +245,52 @@ def write_data_files(
         elif dist == "range":
             df2 = df2.repartitionByRange(nparts, *[F.col(c) for c in pby])
         df2 = _apply_sort_order(df2, metadata)
-        w = df2.write.mode("append")
-        for k, v in writer_opts.items():
-            w = w.option(k, v)
-        w.partitionBy(*pby).format(fmt).save(out_dir)
+        if enc is not None:
+            paths, partitions = _write_encrypted_files(
+                df2, out_dir, pnames, enc, writer_opts, max_records)
+        else:
+            w = df2.write.mode("append")
+            for k, v in writer_opts.items():
+                w = w.option(k, v)
+            w.partitionBy(*pby).format(fmt).save(out_dir)
     else:
         dfw = _apply_sort_order(df, metadata)
-        w = dfw.write.mode("append")
-        for k, v in writer_opts.items():
-            w = w.option(k, v)
-        w.format(fmt).save(out_dir)
+        if enc is not None:
+            paths, partitions = _write_encrypted_files(
+                dfw, out_dir, [], enc, writer_opts, max_records)
+        else:
+            w = dfw.write.mode("append")
+            for k, v in writer_opts.items():
+                w = w.option(k, v)
+            w.format(fmt).save(out_dir)
 
-    suffixes = (".parquet",) if fmt == "parquet" else (f".{fmt}",)
-    paths, partitions = [], {}
-    # manifests record file:-family paths in PLAIN form (one spelling per
-    # file, whatever the warehouse URI style); genuinely remote schemes
-    # keep their scheme
-    out_plain = _io.strip_scheme(out_dir)
-    for p in _io.resolve_io(out_dir, table.spark).walk_files(out_dir):
-        if p.endswith(suffixes):
-            p = _io.strip_scheme(p)
-            paths.append(p)
-            if pnames:
-                partitions[p] = partition_values_from_path(
-                    os.path.relpath(p, out_plain), pnames, ptypes
-                )
+    if enc is None:
+        suffixes = (".parquet",) if fmt == "parquet" else (f".{fmt}",)
+        paths, partitions = [], {}
+        # manifests record file:-family paths in PLAIN form (one spelling
+        # per file, whatever the warehouse URI style); genuinely remote
+        # schemes keep their scheme
+        out_plain = _io.strip_scheme(out_dir)
+        for p in _io.resolve_io(out_dir, table.spark).walk_files(out_dir):
+            if p.endswith(suffixes):
+                p = _io.strip_scheme(p)
+                paths.append(p)
+                if pnames:
+                    partitions[p] = partition_values_from_path(
+                        os.path.relpath(p, out_plain), pnames, ptypes
+                    )
     if fmt == "parquet":
         files = collect_data_files(paths, schema, spec, partitions, content,
-                                   spark=table.spark)
+                                   spark=table.spark,
+                                   decryption=enc[1] if enc else None)
     else:
         files = _collect_files_spark(table.spark, paths, fmt, schema, spec,
                                      partitions, content)
+    if enc is not None:
+        from .parquet_crypto import encode_key_metadata
+
+        km = encode_key_metadata(enc[0])
+        files = [replace(f, key_metadata=km) for f in files]
     # files written through _apply_sort_order carry the order they were
     # clustered by (spec manifest field 140); unsorted tables stay None
     soid = (metadata.default_sort_order_id
@@ -311,6 +343,136 @@ def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
             stats=stats,
         ))
     return out
+
+
+def _write_encrypted_files(df: DataFrame, out_dir: str, pnames: list,
+                           enc: tuple, writer_opts: dict,
+                           max_records) -> tuple:
+    """Executor-side encrypted parquet writer (parquet modular
+    encryption): one mapInPandas pass writes rolling files per partition
+    value per task — the clustered-writer shape — with every leaf column
+    and footer encrypted under per-file data keys wrapped by the table
+    master key (parquet_crypto). Returns (paths, partitions) exactly
+    like the native-writer walk; the driver only ever sees one row per
+    WRITTEN FILE, so the path scales like the plain writer.
+
+    Spark's native parquet writer has no modular-encryption hook from
+    Python, which is why this path exists; row-group sizing options are
+    approximated by pyarrow defaults (documented)."""
+    from pyspark.sql import types as T
+
+    key_id, key, dek_bits = enc
+    pby = [f"_p_{n}" for n in pnames]
+    data_cols = [c for c in df.columns if c not in pby]
+
+    # exact arrow schema Spark would hand a pandas UDF for the data
+    # columns; timestamps go tz-naive so write-side (session-local naive
+    # pandas) and decode-side round-trip without wall-clock shifts
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    import pyarrow as pa
+
+    arrow_schema = to_arrow_schema(
+        T.StructType([df.schema[c] for c in data_cols]))
+    arrow_schema = pa.schema([
+        pa.field(f.name, pa.timestamp(f.type.unit))
+        if pa.types.is_timestamp(f.type) and f.type.tz is not None else f
+        for f in arrow_schema])
+
+    out_schema = T.StructType(
+        [T.StructField("file_path", T.StringType())]
+        + [df.schema[c] for c in pby])
+    compression = writer_opts.get("compression", "snappy")
+    roll_at = int(max_records) if max_records else None
+
+    def task(batches):
+        import os as _os
+        import uuid as _u
+        from io import BytesIO
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from . import io as _eio
+        from . import parquet_crypto as PC
+
+        writers = {}  # partition tuple -> [writer, upload, path, rows, sink, ptup]
+
+        def new_writer(ptup):
+            name = f"part-{_u.uuid4().hex}.parquet"
+            path = _os.path.join(_eio.strip_scheme(out_dir), name)
+            full = out_dir.rstrip("/") + "/" + name
+            io_ = _eio.resolve_io(full)
+            fep = PC.encryption_properties(key, key_id, arrow_schema,
+                                           dek_bits)
+            if io_ is _eio._LOCAL:
+                _os.makedirs(_os.path.dirname(path), exist_ok=True)
+                sink, upload = path, None
+            else:
+                sink, upload = BytesIO(), (io_, full)
+            w = pq.ParquetWriter(sink, arrow_schema,
+                                 compression=compression,
+                                 encryption_properties=fep)
+            return [w, upload, path, 0, sink, ptup]
+
+        def close_writer(st):
+            w, upload, path, _rows, sink, ptup = st
+            w.close()
+            if upload is not None:
+                io_, full = upload
+                io_.write_bytes(full, sink.getvalue())
+            results.append((path, ptup))
+
+        results = []
+
+        def write_group(ptup, g):
+            st = writers.get(ptup)
+            if st is None:
+                st = writers[ptup] = new_writer(ptup)
+            tbl = pa.Table.from_pandas(g[data_cols], schema=arrow_schema,
+                                       preserve_index=False)
+            w = st[0]
+            if roll_at:
+                off = 0
+                while off < tbl.num_rows:
+                    room = roll_at - st[3]
+                    if room <= 0:  # writer filled by an earlier group
+                        close_writer(st)
+                        st = writers[ptup] = new_writer(ptup)
+                        w = st[0]
+                        room = roll_at
+                    piece = tbl.slice(off, room)
+                    w.write_table(piece)
+                    st[3] += piece.num_rows
+                    off += piece.num_rows
+                    if st[3] >= roll_at and off < tbl.num_rows:
+                        close_writer(st)
+                        st = writers[ptup] = new_writer(ptup)
+                        w = st[0]
+            else:
+                w.write_table(tbl)
+                st[3] += tbl.num_rows
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if pby:
+                for ptup, g in pdf.groupby(pby, dropna=False, sort=False):
+                    if not isinstance(ptup, tuple):
+                        ptup = (ptup,)
+                    write_group(ptup, g)
+            else:
+                write_group((), pdf)
+        for st in list(writers.values()):
+            close_writer(st)
+        rows = [(path, *ptup) for path, ptup in results]
+        yield pd.DataFrame(rows, columns=["file_path"] + pby)
+
+    res = df.mapInPandas(task, out_schema).collect()
+    paths = [r["file_path"] for r in res]
+    partitions = {r["file_path"]: {n: r[f"_p_{n}"] for n in pnames}
+                  for r in res}
+    return paths, partitions
 
 
 def _apply_sort_order(df: DataFrame, metadata: TableMetadata) -> DataFrame:

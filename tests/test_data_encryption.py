@@ -1,0 +1,183 @@
+"""Native data-file encryption (parquet modular encryption): encrypted
+bytes on disk, keyless loud failures, stats/pruning parity, and the
+row-level-op + compaction lifecycle over encrypted files.
+
+Reference: StandardEncryptionManager wraps per-file data keys and
+records opaque data_file.key_metadata (format/spec.md data_file
+fields); parquet data files encrypt via parquet modular encryption
+(parquet/src/main/java/org/apache/iceberg/parquet/Parquet.java)."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark import parquet_crypto as PC
+from iceberg_spark.expressions import col
+from iceberg_spark.table import Catalog
+
+KEY = bytes(range(16))
+KEY_ID = "test-master-key"
+
+
+@pytest.fixture(autouse=True)
+def _key():
+    PC.register_key(KEY_ID, KEY)
+    yield
+    PC.unregister_key(KEY_ID)
+
+
+def _mktable(spark, tmp_path, name="db.enc", partitioned=True, props=None):
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(40).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("int").alias("grp"),
+        F.concat(F.lit("v-"), F.col("id")).alias("s"),
+        (F.col("id") * 1.5).alias("x"),
+        F.to_date(F.lit("2024-01-01")).alias("d"),
+    )
+    p = dict(props or {})
+    p.setdefault(PC.KEY_ID_PROP, KEY_ID)
+    t = cat.create_table(name, df.schema,
+                         partition_by=["grp"] if partitioned else None,
+                         properties=p)
+    t.append(df)
+    return cat, cat.load_table(name), df
+
+
+def _data_files(t):
+    return glob.glob(os.path.join(t.location, "data", "**", "*.parquet"),
+                     recursive=True)
+
+
+def test_encrypted_bytes_and_keyless_failures(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    cat, t, df = _mktable(spark, tmp_path)
+    files = _data_files(t)
+    assert files, "no data files written"
+    for p in files:
+        with open(p, "rb") as fh:
+            raw = fh.read()
+        # encrypted-footer parquet magic (PARE), both ends
+        assert raw[:4] == b"PARE" and raw[-4:] == b"PARE"
+    # neither pyarrow nor Spark's native reader can open them keyless
+    with pytest.raises(Exception):
+        pq.read_table(files[0])
+    with pytest.raises(Exception):
+        spark.read.parquet(files[0]).collect()
+    # the engine scan decrypts and matches the source
+    got = t.to_df()
+    assert got.count() == 40
+    assert got.agg(F.sum("id")).collect()[0][0] == df.agg(
+        F.sum("id")).collect()[0][0]
+    # key_metadata recorded on every manifest entry
+    for e in t.scan().plan_files().files:
+        assert PC.decode_key_metadata(e.file.key_metadata) == KEY_ID
+    # keyless table open fails LOUDLY at scan time, never garbles
+    PC.unregister_key(KEY_ID)
+    with pytest.raises(ValueError, match="not available"):
+        cat.load_table("db.enc").to_df().count()
+    # wrong key fails authentication, not silently-wrong data
+    PC.register_key(KEY_ID, bytes(16))
+    with pytest.raises(Exception):
+        cat.load_table("db.enc").to_df().count()
+
+
+def test_stats_pruning_and_filters(spark, tmp_path):
+    cat, t, _ = _mktable(spark, tmp_path)
+    # manifest stats were collected through the decrypting footer read:
+    # min/max pruning on id works exactly like a plaintext table
+    plan = t.scan().filter(col("id") >= 38).plan_files()
+    assert 0 < len(plan.files) < 4
+    assert t.scan().filter(col("id") >= 38).df().count() == 2
+    # partition pruning
+    assert t.scan().filter(col("grp") == 2).df().count() == 10
+    # column pruning (projection pushes into the decrypting reader)
+    assert t.scan().select("s").df().columns == ["s"]
+
+
+def test_row_ops_and_compaction_lifecycle(spark, tmp_path):
+    cat, t, _ = _mktable(spark, tmp_path)
+    t.delete_where(col("id") < 5, mode="merge-on-read")
+    t = cat.load_table("db.enc")
+    assert t.to_df().count() == 35
+    t.update(col("id") >= 35, {"s": F.lit("upd")}, mode="copy-on-write")
+    t = cat.load_table("db.enc")
+    assert t.to_df().filter(F.col("s") == "upd").count() == 5
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    rewrite_data_files(t)
+    t = cat.load_table("db.enc")
+    assert t.to_df().count() == 35
+    assert t.to_df().agg(F.sum("id")).collect()[0][0] == sum(range(5, 40))
+    # compaction rewrote files, still encrypted
+    for p in _data_files(t):
+        if "deletes-" in p or "eqdel-" in p:
+            continue
+        with open(p, "rb") as fh:
+            assert fh.read(4) == b"PARE"
+    # MERGE over encrypted target
+    src = spark.range(38, 44).select(
+        F.col("id"), F.lit(1).cast("int").alias("grp"),
+        F.lit("m").alias("s"), F.lit(0.0).alias("x"),
+        F.to_date(F.lit("2024-02-01")).alias("d"))
+    (t.merge(src, on=["id"]).when_matched_update()
+     .when_not_matched_insert().execute())
+    t = cat.load_table("db.enc")
+    assert t.to_df().count() == 39  # 35 + inserts 40..43
+    assert t.to_df().filter(F.col("s") == "m").count() == 6
+
+
+def test_mixed_plaintext_and_encrypted_files(spark, tmp_path):
+    # files written BEFORE the property flips stay plaintext; one table
+    # reads both through per-file key_metadata grouping
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(10).select(F.col("id"), F.lit("a").alias("s"))
+    t = cat.create_table("db.mix", df.schema)
+    t.append(df)
+    t.set_properties(**{PC.KEY_ID_PROP: KEY_ID})
+    t = cat.load_table("db.mix")
+    t.append(df.withColumn("id", F.col("id") + 10))
+    t = cat.load_table("db.mix")
+    assert t.to_df().count() == 20
+    kinds = {bool(e.file.key_metadata)
+             for e in t.scan().plan_files().files}
+    assert kinds == {True, False}
+    assert t.to_df().agg(F.sum("id")).collect()[0][0] == sum(range(20))
+
+
+def test_max_records_rolling_and_unpartitioned(spark, tmp_path):
+    cat, t, _ = _mktable(spark, tmp_path, name="db.roll",
+                         partitioned=False,
+                         props={"write.max-records-per-file": "7"})
+    files = t.scan().plan_files().files
+    assert all(e.file.record_count <= 7 for e in files)
+    assert sum(e.file.record_count for e in files) == 40
+    assert t.to_df().count() == 40
+
+
+def test_loud_errors_for_unsupported_combos(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(3).select(F.col("id"))
+    t = cat.create_table("db.badfmt", df.schema, properties={
+        PC.KEY_ID_PROP: KEY_ID, "write.format.default": "orc"})
+    with pytest.raises(ValueError, match="requires parquet"):
+        t.append(df)
+    # unknown key id fails at write time with guidance
+    t2 = cat.create_table("db.nokey", df.schema, properties={
+        PC.KEY_ID_PROP: "nonexistent-key"})
+    with pytest.raises(ValueError, match="not available"):
+        t2.append(df)
+    # reference-style key_metadata on import stays loud
+    with pytest.raises(NotImplementedError, match="unsupported format"):
+        PC.decode_key_metadata(b"\x01\x02\x03")
+
+
+def test_export_reference_refuses_encrypted(spark, tmp_path):
+    cat, t, _ = _mktable(spark, tmp_path, name="db.noexp")
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        export_reference_metadata(t, str(tmp_path / "exported"))
