@@ -394,10 +394,19 @@ def changelog_df(table, from_snapshot_id: Optional[int] = None,
                 for d in eq_new:
                     by_ids.setdefault(tuple(sorted(d.file.equality_ids)), []).append(d)
                 for ids, dels_ in by_ids.items():
-                    key_cols = [schema.field_by_id(i).name for i in ids]
-                    dd = spark.read.parquet(*[d.file.file_path for d in dels_]) \
-                        .select(*[F.col(k).alias(f"__k{i}")
-                                  for i, k in enumerate(key_cols)])
+                    kfields = [schema.field_by_id(i) for i in ids]
+                    key_cols = [f.name for f in kfields]
+                    from .schema import StructT, type_to_spark
+                    from .scan import _delete_file_readers
+
+                    dtypes = type_to_spark(StructT(tuple(kfields)))
+                    parts_ = [
+                        rdf.select(*[F.col(k).alias(f"__k{i}")
+                                     for i, k in enumerate(key_cols)])
+                        for rdf in _delete_file_readers(spark, dels_, dtypes)]
+                    dd = parts_[0]
+                    for p_ in parts_[1:]:
+                        dd = dd.unionByName(p_)
                     cond = F.lit(True)
                     for i, k in enumerate(key_cols):
                         cond = cond & base[k].eqNullSafe(F.col(f"__k{i}"))

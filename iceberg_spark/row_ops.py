@@ -286,19 +286,38 @@ def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
     schema = table.schema
     ids = tuple(schema.find_field(c).field_id for c in columns)
     out_dir = os.path.join(table.location, "data", f"eqdel-{_uuid.uuid4().hex}")
-    (keys_df.select(*columns).distinct()
-        .repartitionByRange(*[F.col(c) for c in columns])
-        .sortWithinPartitions(*columns)
-        .write.parquet(out_dir))
-    paths = [_fio.strip_scheme(p) for p in
-             _fio.resolve_io(out_dir, table.spark).walk_files(out_dir)
-             if p.endswith(".parquet")]
+    keys = (keys_df.select(*columns).distinct()
+            .repartitionByRange(*[F.col(c) for c in columns])
+            .sortWithinPartitions(*columns))
+    # equality-delete files carry real column VALUES — on an encrypted
+    # table they encrypt like data files (position deletes stay
+    # plaintext: the engine never writes the optional row payload, so
+    # they hold only file paths and ordinals)
+    from .parquet_crypto import table_encryption
+
+    enc = table_encryption(table.metadata.properties)
+    if enc is not None:
+        from .writes import _write_encrypted_files
+
+        paths, _parts = _write_encrypted_files(keys, out_dir, [], enc,
+                                               {}, None)
+    else:
+        keys.write.parquet(out_dir)
+        paths = [_fio.strip_scheme(p) for p in
+                 _fio.resolve_io(out_dir, table.spark).walk_files(out_dir)
+                 if p.endswith(".parquet")]
     from .manifests import EQUALITY_DELETES
     from .schema import Schema as S
 
     del_schema = S(tuple(schema.find_field(c) for c in columns))
     files = collect_data_files(paths, del_schema, table.spec,
-                               content=EQUALITY_DELETES, spark=table.spark)
+                               content=EQUALITY_DELETES, spark=table.spark,
+                               decryption=enc[1] if enc else None)
+    if enc is not None:
+        from .parquet_crypto import encode_key_metadata
+
+        km = encode_key_metadata(enc[0])
+        files = [replace(f, key_metadata=km) for f in files]
     return [replace(f, partition={}, equality_ids=ids,
                     write_schema_id=schema.schema_id)
             for f in files if f.record_count > 0]

@@ -968,6 +968,32 @@ def _encrypted_parquet_df(spark, paths: list, read_schema, master_key: bytes,
             .mapInPandas(decode, out_schema))
 
 
+def _delete_file_readers(spark, ds, read_schema, with_meta: bool = False):
+    """Yield DataFrames over DELETE files, splitting engine-encrypted
+    files (data_file.key_metadata) from plaintext ones: plaintext files
+    read natively, encrypted files through the decrypting executor-side
+    reader. `with_meta=True` guarantees a `_metadata` struct on every
+    yielded frame (native reads expose it implicitly; the decrypting
+    reader synthesizes it), so seq-map lookups on `_metadata.file_path`
+    work uniformly."""
+    plain, enc = [], {}
+    for d in ds:
+        if d.file.key_metadata is None:
+            plain.append(d.file.file_path)
+        else:
+            from .parquet_crypto import decode_key_metadata
+
+            enc.setdefault(decode_key_metadata(d.file.key_metadata),
+                           []).append(d.file.file_path)
+    if plain:
+        yield spark.read.schema(read_schema).parquet(*plain)
+    for kid, paths in enc.items():
+        from .parquet_crypto import resolve_key
+
+        yield _encrypted_parquet_df(spark, paths, read_schema,
+                                    resolve_key(kid), with_meta)
+
+
 def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False,
                with_lineage: bool = False) -> DataFrame:
     spark = scan.spark
@@ -1389,11 +1415,10 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                         wsch_ = schema
                     wfields = [wsch_.field_by_id(i) for i in ids]
                     dtypes = type_to_spark(StructT(tuple(wfields)))
-                    pieces.append(
-                        spark.read.schema(dtypes)
-                        .parquet(*[d.file.file_path for d in ds])
-                        .select(*[F.col(wf.name).alias(f"__delk_{i}")
-                                  for i, wf in enumerate(wfields)]))
+                    for rdf in _delete_file_readers(spark, ds, dtypes):
+                        pieces.append(
+                            rdf.select(*[F.col(wf.name).alias(f"__delk_{i}")
+                                         for i, wf in enumerate(wfields)]))
                 dd = pieces[0]
                 for p_ in pieces[1:]:
                     dd = dd.unionByName(p_)
@@ -1421,19 +1446,19 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                     wsch_ = schema
                 wfields = [wsch_.field_by_id(i) for i in ids]
                 dtypes = type_to_spark(StructT(tuple(wfields)))
-                p_ = spark.read.schema(dtypes).parquet(
-                    *[d.file.file_path for d in ds])
                 # tag each delete row with its file's sequence number
                 seq_map = {d.file.file_path: d.sequence_number for d in ds}
                 mapping = F.create_map(*[F.lit(x) for kv in seq_map.items()
                                          for x in kv])
                 # normalize file:// URIs to match the manifest's plain paths
-                pieces2.append(p_.select(
-                    *[F.col(wf.name).alias(f"__delk_{i}")
-                      for i, wf in enumerate(wfields)],
-                    mapping[F.regexp_replace(F.col("_metadata.file_path"),
-                                             "^file:/+", "/")]
-                    .alias("__del_seq")))
+                for rdf in _delete_file_readers(spark, ds, dtypes,
+                                                with_meta=True):
+                    pieces2.append(rdf.select(
+                        *[F.col(wf.name).alias(f"__delk_{i}")
+                          for i, wf in enumerate(wfields)],
+                        mapping[F.regexp_replace(
+                            F.col("_metadata.file_path"), "^file:/+", "/")]
+                        .alias("__del_seq")))
             dd = pieces2[0]
             for p_ in pieces2[1:]:
                 dd = dd.unionByName(p_)

