@@ -39,11 +39,12 @@ def _model_rows(model):
     return sorted((i, g, v, s) for i, (g, v, s) in model.items())
 
 
-def _apply_random_lifecycle(catalog, spark, seed, use_dv):
+def _apply_random_lifecycle(catalog, spark, seed, use_dv, extra_props=None):
     rng = random.Random(seed)
     name = f"db.lifecycle_{seed}_{int(use_dv)}"
-    props = {"write.delete.format": "dv"} if use_dv else None
-    t = catalog.create_table(name, SCHEMA, properties=props)
+    props = {"write.delete.format": "dv"} if use_dv else {}
+    props.update(extra_props or {})
+    t = catalog.create_table(name, SCHEMA, properties=props or None)
     model = {}  # id -> (grp, val, tag)
     next_id = 0
 
@@ -177,3 +178,35 @@ def test_random_lifecycle_encrypted_metadata(spark, tmp_path, seed,
     keyless = Catalog(spark, str(tmp_path / "encwh"))
     with pytest.raises(ValueError, match="encrypted"):
         keyless.load_table(t.identifier)
+
+
+@pytest.mark.parametrize("seed,use_dv", [(71, False), (79, True)])
+def test_random_lifecycle_encrypted_data(spark, tmp_path, seed, use_dv):
+    """The same randomized differential with ENCRYPTED DATA FILES
+    (parquet modular encryption): every append/merge/CoW rewrite/
+    compaction writes encrypted parquet, every scan/changelog/delete
+    read decrypts, and the interleavings still match the model. The
+    engine's strongest evidence that the encrypted read/write paths are
+    semantically identical to the plaintext ones."""
+    import glob
+    import os
+
+    from iceberg_spark import parquet_crypto as PC
+    from iceberg_spark.table import Catalog
+
+    kid = f"lifecycle-key-{seed}"
+    PC.register_key(kid, bytes(range(8, 24)))
+    try:
+        cat = Catalog(spark, str(tmp_path / "dencwh"))
+        t, model, steps = _apply_random_lifecycle(
+            cat, spark, seed, use_dv, extra_props={PC.KEY_ID_PROP: kid})
+        assert _scan_rows(t) == _model_rows(model)
+        # every live DATA file on disk is encrypted-footer parquet
+        live = [e.file for e in t.scan().plan_files().files]
+        assert live
+        for f in live:
+            assert PC.decode_key_metadata(f.key_metadata) == kid
+            with open(f.file_path, "rb") as fh:
+                assert fh.read(4) == b"PARE"
+    finally:
+        PC.unregister_key(kid)
