@@ -89,6 +89,19 @@ def aggregate_pushdown(table, aggs: list, filter=None,
             else:
                 if types[col] in _FLOAT_TYPES and (nans is None or nans > 0):
                     return None  # NaN-excluded bounds can't answer min/max
+                if types[col] in ("string", "binary"):
+                    # variable-length bounds may be TRUNCATED under the
+                    # table's metrics config (write.metadata.metrics.*,
+                    # default truncate(16)) — only `full` guarantees
+                    # exact min/max (reference Min/MaxAggregate check
+                    # the same mode)
+                    from .manifests import metrics_config
+
+                    mode, _n = metrics_config(
+                        table.metadata.properties, table.schema).get(
+                            col, ("full", 0))
+                    if mode != "full":
+                        return None
                 bound = mn if op == "min" else mx
                 if bound is None:
                     if vc is not None and nulls == vc:

@@ -85,6 +85,123 @@ DATA, POSITION_DELETES, EQUALITY_DELETES = 0, 1, 2
 STATS_FIELDS = ("min", "max", "nulls", "nans", "values")
 
 
+# ---------------------------------------------------------------------------
+# metrics modes (reference MetricsModes.java / MetricsConfig.java;
+# TableProperties.java:350 write.metadata.metrics.default = truncate(16))
+# ---------------------------------------------------------------------------
+
+METRICS_DEFAULT_PROP = "write.metadata.metrics.default"
+METRICS_COLUMN_PROP = "write.metadata.metrics.column."
+_METRICS_DEFAULT = "truncate(16)"  # DEFAULT_WRITE_METRICS_MODE_DEFAULT
+
+
+def parse_metrics_mode(s: str) -> tuple:
+    """'none' | 'counts' | 'truncate(N)' | 'full' -> (mode, n)."""
+    import re as _re
+
+    v = str(s).strip().lower()
+    if v in ("none", "counts", "full"):
+        return (v, 0)
+    m = _re.fullmatch(r"truncate\((\d+)\)", v)
+    if m and int(m.group(1)) > 0:
+        return ("truncate", int(m.group(1)))
+    raise ValueError(
+        f"invalid metrics mode {s!r} (expected none, counts, "
+        f"truncate(N), or full)")
+
+
+def metrics_config(props: Optional[dict], schema: Schema) -> dict:
+    """Per-column metrics mode from table properties: the default
+    (truncate(16), the reference default — long string/binary bounds
+    would otherwise bloat every manifest row, e.g. whole-document text
+    as min/max on a corpus table) overridden by
+    write.metadata.metrics.column.<col>."""
+    props = props or {}
+    default = parse_metrics_mode(
+        props.get(METRICS_DEFAULT_PROP, _METRICS_DEFAULT))
+    cfg = {f.name: default for f in schema.fields}
+    for k, v in props.items():
+        if k.startswith(METRICS_COLUMN_PROP):
+            col = k[len(METRICS_COLUMN_PROP):]
+            if col in cfg:
+                cfg[col] = parse_metrics_mode(v)
+    return cfg
+
+
+def truncate_string_min(s: str, n: int) -> str:
+    """Lower bound: a code-point prefix is <= the original
+    (UnicodeUtil.truncateStringMin)."""
+    return s[:n]
+
+
+def truncate_string_max(s: str, n: int) -> Optional[str]:
+    """Upper bound: prefix with the last representable code point
+    incremented (UnicodeUtil.truncateStringMax); None when every prefix
+    code point is already at the Unicode ceiling (caller keeps no
+    bound)."""
+    if len(s) <= n:
+        return s
+    t = s[:n]
+    for i in range(n - 1, -1, -1):
+        cp = ord(t[i]) + 1
+        if 0xD800 <= cp <= 0xDFFF:  # skip the surrogate gap (invalid utf8)
+            cp = 0xE000
+        if cp <= 0x10FFFF:
+            return t[:i] + chr(cp)
+    return None
+
+
+def truncate_binary_min(b: bytes, n: int) -> bytes:
+    return bytes(b[:n])
+
+
+def truncate_binary_max(b: bytes, n: int) -> Optional[bytes]:
+    """BinaryUtil.truncateBinaryMax: increment the last non-0xFF byte of
+    the prefix; None when the prefix is all 0xFF."""
+    if len(b) <= n:
+        return bytes(b)
+    t = bytearray(b[:n])
+    for i in range(n - 1, -1, -1):
+        if t[i] < 0xFF:
+            t[i] += 1
+            return bytes(t[: i + 1])
+    return None
+
+
+def apply_metrics_config(stats: dict, ntype: dict,
+                         cfg: Optional[dict]) -> dict:
+    """Post-process collected per-column stats tuples by metrics mode:
+    none drops the column's metrics entirely, counts keeps only
+    null/nan/value counts, truncate(N) bounds variable-length types
+    (string/binary) to N units — still VALID bounds, so pruning stays
+    conservative-correct; fixed-size types keep exact bounds under
+    truncate, matching the reference (MetricsUtil applies truncation
+    only to variable-length values)."""
+    if not cfg:
+        return stats
+    out = {}
+    for name, tup in stats.items():
+        mode, n = cfg.get(name, ("full", 0))
+        if mode == "none":
+            continue
+        mn, mx, nulls, nans, vc = tup
+        if mode == "counts":
+            out[name] = (None, None, nulls, nans, vc)
+            continue
+        if mode == "truncate":
+            t = ntype.get(name)
+            if t == "string":
+                mn = truncate_string_min(mn, n) if isinstance(mn, str) else mn
+                mx = truncate_string_max(mx, n) if isinstance(mx, str) else mx
+            elif t == "binary":
+                mn = truncate_binary_min(mn, n) if isinstance(
+                    mn, (bytes, bytearray)) else mn
+                mx = truncate_binary_max(mx, n) if isinstance(
+                    mx, (bytes, bytearray)) else mx
+        out[name] = (mn, mx, nulls, nans, vc)
+    return out
+
+
 @dataclass(frozen=True)
 class DataFile:
     """api/.../DataFile.java / DeleteFile.java equivalent."""
@@ -674,7 +791,8 @@ def _read_manifest_list_uncached(path: str, location: Optional[str] = None) -> l
 
 def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
                       partition: Optional[dict] = None, content: int = DATA,
-                      decryption: Optional[bytes] = None) -> DataFile:
+                      decryption: Optional[bytes] = None,
+                      metrics: Optional[dict] = None) -> DataFile:
     """Build a DataFile (with stats) from a written Parquet file's footer.
 
     `decryption` = the table master key for engine-encrypted files
@@ -777,6 +895,7 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
     stats = {}
     for name, (mn, mx, nulls, nans, _) in agg.items():
         stats[name] = (mn, mx, nulls, nan_counts.get(name, nans), num_rows)
+    stats = apply_metrics_config(stats, ntype, metrics)
     return DataFile(
         file_path=path,
         file_format="parquet",
@@ -795,7 +914,8 @@ DISTRIBUTED_STATS_THRESHOLD = 256
 def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
                        partitions: Optional[dict] = None, content: int = DATA,
                        max_workers: int = 16, spark=None,
-                       decryption: Optional[bytes] = None) -> list:
+                       decryption: Optional[bytes] = None,
+                       metrics: Optional[dict] = None) -> list:
     """Footer-stat collection for many files.
 
     Small batches read footers thread-parallel on the driver; above
@@ -810,7 +930,8 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
     def one(p):
         try:
             return collect_data_file(p, schema, spec, partitions.get(p),
-                                     content, decryption=decryption)
+                                     content, decryption=decryption,
+                                     metrics=metrics)
         except OSError:
             # footer carries a logical type this pyarrow can't parse (e.g.
             # parquet VARIANT) — marker for the Spark-side fallback below

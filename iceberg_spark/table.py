@@ -210,8 +210,12 @@ class Table:
                         f"{sorted(missing)} from path {p}; expected "
                         f"hive-style <field>=<value> directory segments")
                 partitions[p] = pv
+        from .manifests import metrics_config
+
         files = collect_data_files(list(paths), self.schema, self.spec,
-                                   partitions, spark=self.spark)
+                                   partitions, spark=self.spark,
+                                   metrics=metrics_config(
+                                       self.metadata.properties, self.schema))
         files = [replace(f, write_schema_id=self.schema.schema_id) for f in files]
         return FastAppend(self, files, branch=branch,
                           summary_extra={"added-files-via": "add_files"}).commit()

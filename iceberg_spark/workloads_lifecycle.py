@@ -1641,6 +1641,59 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+def metrics_modes_scan(spark, sf_dir):
+    """Metrics modes (write.metadata.metrics.* — reference
+    MetricsModes.java, default truncate(16)): ingest the documents
+    corpus with `counts` on the 10KB text column (no document text in
+    manifests at all), `none` on source, `full` on doc_id, then verify
+    the manifest shapes and scan-aggregate — bounds-free columns filter
+    full-scan, truncated/full columns still prune, results match the
+    plaintext oracle exactly."""
+    key = ("metrics_modes", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .manifests import metrics_config
+        from .table import Catalog
+
+        wh = tempfile.mkdtemp(prefix="iceberg_spark_metrics_")
+        cat = Catalog(spark, wh)
+        df = load_table(spark, sf_dir, "documents")
+        t = cat.create_table("db.docs_metrics", df.schema, properties={
+            "write.metadata.metrics.column.text": "counts",
+            "write.metadata.metrics.column.source": "none",
+            "write.metadata.metrics.column.doc_id": "full",
+        })
+        t.append(df)
+        t = cat.load_table("db.docs_metrics")
+        for e in t.scan().plan_files().files:
+            st = e.file.stats
+            assert "source" not in st
+            assert st["text"][0] is None and st["text"][1] is None
+            assert st["text"][4] == e.file.record_count
+            assert st["doc_id"][0] is not None
+            # default truncate(16) on lang (short values stay exact,
+            # still <= 16 chars)
+            assert st["lang"][0] is None or len(st["lang"][0]) <= 16
+        _STATE[key] = wh
+    from .table import Catalog
+
+    t = Catalog(spark, _STATE[key]).load_table("db.docs_metrics")
+    return (t.to_df()
+            .where(F.col("source").isin("src1", "src2", "src3")
+                   & (F.col("n_chars") > 500))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("n_chars").alias("chars"))
+            .orderBy("lang"))
+
+
+METRICS_MODES_SQL = """
+SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+FROM documents WHERE source IN ('src1','src2','src3') AND n_chars > 500
+GROUP BY lang ORDER BY lang
+"""
+
+
 def iceberg_import_avro_scan(spark, sf_dir):
     """Import a reference-layout Iceberg table whose DATA file is an AVRO
     container (the reference reads parquet, ORC, and Avro data —
@@ -1761,6 +1814,7 @@ REGISTRY = {
     "metadata_encryption_scan": (metadata_encryption_scan,
                                  METADATA_ENCRYPTION_SQL),
     "data_encryption_scan": (data_encryption_scan, DATA_ENCRYPTION_SQL),
+    "metrics_modes_scan": (metrics_modes_scan, METRICS_MODES_SQL),
     "iceberg_export_roundtrip_scan": (iceberg_export_roundtrip_scan,
                                       ICEBERG_EXPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),

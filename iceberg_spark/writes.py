@@ -279,13 +279,17 @@ def write_data_files(
                     partitions[p] = partition_values_from_path(
                         os.path.relpath(p, out_plain), pnames, ptypes
                     )
+    from .manifests import metrics_config
+
+    mcfg = metrics_config(props, schema)
     if fmt == "parquet":
         files = collect_data_files(paths, schema, spec, partitions, content,
                                    spark=table.spark,
-                                   decryption=enc[1] if enc else None)
+                                   decryption=enc[1] if enc else None,
+                                   metrics=mcfg)
     else:
         files = _collect_files_spark(table.spark, paths, fmt, schema, spec,
-                                     partitions, content)
+                                     partitions, content, metrics=mcfg)
     if enc is not None:
         from .parquet_crypto import encode_key_metadata
 
@@ -302,7 +306,8 @@ def write_data_files(
 
 
 def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
-                         partitions: dict, content: int) -> list:
+                         partitions: dict, content: int,
+                         metrics: Optional[dict] = None) -> list:
     """Per-file metrics for non-parquet formats (ORC/Avro lack cheap
     footer access from Python) as ONE Spark aggregation grouped by
     `_metadata.file_path` — the distributed twin of the footer pass
@@ -323,6 +328,9 @@ def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
     rows = (sdf.groupBy(
         F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__fp"))
         .agg(*aggs).collect())
+    from .manifests import apply_metrics_config
+
+    ntype = {f.name: f.type for f in prim}
     out = []
     for r in rows:
         d = r.asDict()
@@ -332,6 +340,7 @@ def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
             stats[f.name] = (d.get(f"__mn_{f.name}"), d.get(f"__mx_{f.name}"),
                              d.get(f"__nu_{f.name}"), d.get(f"__na_{f.name}"),
                              d["__cnt"])
+        stats = apply_metrics_config(stats, ntype, metrics)
         out.append(DataFile(
             file_path=path,
             file_format=fmt,
