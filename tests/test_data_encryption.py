@@ -209,6 +209,31 @@ def test_loud_errors_for_unsupported_combos(spark, tmp_path):
         PC.decode_key_metadata(b"\x01\x02\x03")
 
 
+def test_streaming_source_and_sink_over_encrypted(spark, tmp_path):
+    # micro-batch source reads encrypted data files through plan_to_df;
+    # the append sink writes encrypted files into an encrypted target
+    from pyspark.sql import types as T
+
+    from iceberg_spark.streaming import MicroBatchStream, append_sink
+
+    cat = Catalog(spark, str(tmp_path))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    props = {PC.KEY_ID_PROP: KEY_ID}
+    src = cat.create_table("db.ssrc", schema, properties=props)
+    sink = cat.create_table("db.ssink", schema, properties=props)
+    stream = MicroBatchStream(src, str(tmp_path / "ckpt"),
+                              from_snapshot_id=None)
+    src.append(spark.createDataFrame([(1, "a"), (2, "b")], schema))
+    src.append(spark.createDataFrame([(3, "c")], schema))
+    assert stream.process_available(append_sink(sink, "q1")) == 2
+    sink = cat.load_table("db.ssink")
+    assert {(r.id, r.v) for r in sink.to_df().collect()} == {
+        (1, "a"), (2, "b"), (3, "c")}
+    for e in sink.scan().plan_files().files:
+        assert PC.decode_key_metadata(e.file.key_metadata) == KEY_ID
+
+
 def test_export_reference_refuses_encrypted(spark, tmp_path):
     cat, t, _ = _mktable(spark, tmp_path, name="db.noexp")
     from iceberg_spark.sources.iceberg import export_reference_metadata
