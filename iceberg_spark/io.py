@@ -65,6 +65,22 @@ def strip_scheme(path: str) -> str:
     return path
 
 
+def decode_spark_path_col(c):
+    """Column twin of strip_scheme for Spark's `_metadata.file_path`:
+    the reader reports a percent-ENCODED URI (a space in a partition
+    value prints %20, a literal %% prints %25, '+' stays raw), while
+    manifests store RAW paths — comparing the two without decoding
+    silently misses every file under a value-with-space partition dir
+    (MoR deletes would leave those rows alive). url_decode is
+    form-decoding ('+' -> space), so literal plus signs are pre-escaped
+    to %2B first; then the file: scheme normalizes to a plain path."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.url_decode(F.regexp_replace(c, r"\+", "%2B")),
+        "^file:/+", "/")
+
+
 class InputFile:
     """api/.../io/InputFile.java surface."""
 

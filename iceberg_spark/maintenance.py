@@ -672,7 +672,15 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
     now = time.time()
     cutoff_s = (older_than_ms / 1000.0) if older_than_ms is not None else now - 3 * 86400
     manifests = unique_manifests(m.snapshots)
-    base = os.path.join(table.location, "data")
+    # a configured write.data.path adds a second root the walk must
+    # cover (files written before the property was set live under the
+    # default <location>/data)
+    from .locations import data_roots
+
+    bases = [b for b in data_roots(table)
+             if _io.resolve_io(b, table.spark).exists(b)]
+    if not bases:
+        return []
 
     use_spark = mode == "distributed" or (
         mode == "auto" and entry_count(manifests) > DISTRIBUTED_ENTRY_THRESHOLD)
@@ -708,8 +716,11 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
         return remap(scheme, eqs), remap(auth, eqa), path
 
     if use_spark:
-        actual = listing_df(table.spark, base).filter(
-            _F.col("mtime") < _F.lit(cutoff_s))
+        listings = [listing_df(table.spark, b) for b in bases]
+        actual = listings[0]
+        for l_ in listings[1:]:
+            actual = actual.unionByName(l_)
+        actual = actual.filter(_F.col("mtime") < _F.lit(cutoff_s))
         valid = reachable_data_paths_df(table.spark, manifests, m.location)
         if valid is None:
             orph_df = actual.select("actual_path").persist()
@@ -778,7 +789,9 @@ def remove_orphan_files(table, older_than_ms=None, dry_run: bool = False,
                 _add_valid(e.file.file_path)
         orphans = []
         conflicts = []
-        for p, mtime_s in _io.resolve_io(base).walk_file_status(base):
+        for p, mtime_s in (pm for b in bases
+                           for pm in
+                           _io.resolve_io(b).walk_file_status(b)):
                 # age-gate FIRST (distributed mode filters the listing by
                 # mtime before the join, so a too-recent file can never
                 # raise a conflict there — keep local mode consistent).
@@ -948,10 +961,11 @@ def _write_dvs(table, kept) -> list:
 
     from .manifests import DataFile, POSITION_DELETES
 
+    from .locations import new_data_dir
+
     # DataFile paths are recorded in PLAIN form for file:-family
     # locations (one spelling per file across manifests/deletes/scans)
-    out_dir = _io.strip_scheme(
-        _os.path.join(table.location, "data", f"dvs-{_u.uuid4().hex}"))
+    out_dir = _io.strip_scheme(new_data_dir(table, prefix="dvs-"))
     # fixed width: counting distinct refs first would re-run the whole
     # kept-rows job; empty partitions yield nothing and zero refs simply
     # collect to an empty descriptor list

@@ -960,8 +960,8 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
     from pyspark.sql import functions as F
 
     counts = (spark.read.parquet(*failed)
-              .select(F.regexp_replace(F.col("_metadata.file_path"),
-                                       "^file:/+", "/").alias("f"))
+              .select(_io.decode_spark_path_col(
+                  F.col("_metadata.file_path")).alias("f"))
               .groupBy("f").count().collect())
     cmap = {r["f"]: r["count"] for r in counts}
     return [

@@ -80,8 +80,12 @@ def resolve_path_col(c, location: Optional[str]):
 
 
 def manifest_path_col():
-    """Normalized source-manifest path of each entry row."""
-    return F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    """Normalized source-manifest path of each entry row (decodes the
+    percent-escaped URI — a warehouse directory with a space would
+    otherwise never match)."""
+    from .io import decode_spark_path_col
+
+    return decode_spark_path_col(F.col("_metadata.file_path"))
 
 
 def core_entries_df(spark: SparkSession, manifests, location: Optional[str],

@@ -228,7 +228,9 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
     prune on, and the `delete_files` metadata table reports per-partition
     delete counts. Unpartitioned tables keep the contiguous
     file_path-range clustering so footer min/max stays tight."""
-    out_dir = os.path.join(table.location, "data", f"deletes-{_uuid.uuid4().hex}")
+    from .locations import new_data_dir
+
+    out_dir = new_data_dir(table, prefix="deletes-")
     spec, schema = table.metadata.spec, table.metadata.schema
     fp = F.col(FILE_PATH_COL).alias("file_path")
     pos = F.col(POS_COL).alias("pos")
@@ -285,7 +287,9 @@ def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
     planner's key-range scoping can skip them."""
     schema = table.schema
     ids = tuple(schema.find_field(c).field_id for c in columns)
-    out_dir = os.path.join(table.location, "data", f"eqdel-{_uuid.uuid4().hex}")
+    from .locations import new_data_dir
+
+    out_dir = new_data_dir(table, prefix="eqdel-")
     keys = (keys_df.select(*columns).distinct()
             .repartitionByRange(*[F.col(c) for c in columns])
             .sortWithinPartitions(*columns))

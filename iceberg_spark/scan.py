@@ -768,9 +768,8 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
             .parquet(*pq_paths)
         cols = [F.col("file_path"), F.col("pos")]
         if with_source:
-            cols.append(
-                F.regexp_replace(F.col("_metadata.file_path"),
-                                 "^file:/+", "/").alias("delete_file_path"))
+            cols.append(_io.decode_spark_path_col(
+                F.col("_metadata.file_path")).alias("delete_file_path"))
         dfs.append(pdf.select(*cols))
     if dv_rows:
         out_schema = "file_path string, pos long"
@@ -941,13 +940,18 @@ def _encrypted_parquet_df(spark, paths: list, read_schema, master_key: bytes,
                 _T.StructField("row_index", _T.LongType())]))])
 
     def decode(batches):
+        from urllib.parse import quote
+
         from .parquet_crypto import open_encrypted
 
         for b in batches:
             for p in b["p"]:
                 pf = open_encrypted(p, master_key)
                 have = [c for c in cols if c in pf.schema_arrow.names]
-                uri = "file:" + p if p.startswith("/") else p
+                # percent-encoded URI, the same spelling Spark's native
+                # reader reports — every consumer decodes uniformly
+                enc = quote(p, safe="/:")
+                uri = "file:" + enc if p.startswith("/") else enc
                 idx = 0
                 for rb in pf.iter_batches(columns=have):
                     out = rb.to_pandas()
@@ -1216,10 +1220,8 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                                        want_meta)
             if inline_pos_filter and pos_ranges:
                 deleted = _ranges_filter(
-                    F.col("_metadata.file_path"),
-                    F.col("_metadata.row_index"), pos_ranges,
-                    path_lit=lambda fp: (
-                        "file:" + fp if fp.startswith("/") else fp))
+                    _io.decode_spark_path_col(F.col("_metadata.file_path")),
+                    F.col("_metadata.row_index"), pos_ranges)
                 if deleted is not None:
                     df = df.filter(~deleted)
                 if not need_meta:
@@ -1240,11 +1242,11 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 pieces.append(
                     spark.read.schema(read_schema).format(ffmt).load(clean))
             if hit:
+                # decode the URI column (percent-escapes!) so it
+                # compares equal to the manifests' raw paths
                 deleted = _ranges_filter(
-                    F.col("_metadata.file_path"),
-                    F.col("_metadata.row_index"), pos_ranges,
-                    path_lit=lambda fp: (
-                        "file:" + fp if fp.startswith("/") else fp))
+                    _io.decode_spark_path_col(F.col("_metadata.file_path")),
+                    F.col("_metadata.row_index"), pos_ranges)
                 pieces.append(
                     spark.read.schema(read_schema).format(ffmt).load(hit)
                     .filter(~deleted))
@@ -1311,10 +1313,11 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                         if cur.initial_default is not None else F.lit(None))
                 sel.append(fill.cast(type_to_spark(cur.type)).alias(cname))
         if need_meta:
-            # normalize file:///x URIs to plain paths so they match manifest
-            # file_path values (orphan-file URI normalization analog)
+            # decode + normalize the URI column to plain-path form so it
+            # matches manifest file_path values (percent-escapes AND the
+            # file: scheme — see io.decode_spark_path_col)
             sel = sel + [
-                F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+                _io.decode_spark_path_col(F.col("_metadata.file_path"))
                 .alias(FILE_PATH_COL),
             ]
             if need_pos:
@@ -1456,8 +1459,8 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                     pieces2.append(rdf.select(
                         *[F.col(wf.name).alias(f"__delk_{i}")
                           for i, wf in enumerate(wfields)],
-                        mapping[F.regexp_replace(
-                            F.col("_metadata.file_path"), "^file:/+", "/")]
+                        mapping[_io.decode_spark_path_col(
+                            F.col("_metadata.file_path"))]
                         .alias("__del_seq")))
             dd = pieces2[0]
             for p_ in pieces2[1:]:

@@ -1688,9 +1688,55 @@ def metrics_modes_scan(spark, sf_dir):
 
 
 METRICS_MODES_SQL = """
-SELECT lang, COUNT(*) AS n, SUM(n_chars) AS chars
+SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
 FROM documents WHERE source IN ('src1','src2','src3') AND n_chars > 500
 GROUP BY lang ORDER BY lang
+"""
+
+
+def object_storage_scan(spark, sf_dir):
+    """Object-storage layout (reference LocationProviders.java
+    ObjectStoreLocationProvider): `write.object-storage.enabled` puts
+    every data path behind a murmur3 binary entropy prefix
+    (1001/1001/1001/10011001) so object-store keys spread across prefix
+    ranges instead of funneling one throttled S3 prefix. Ingest orders
+    partitioned by o_orderpriority, MoR-delete, verify the hashed
+    layout on disk, then scan-aggregate against the plaintext oracle."""
+    key = ("objstore", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import re as _re
+
+        from .table import Catalog
+
+        wh = tempfile.mkdtemp(prefix="iceberg_spark_objstore_")
+        cat = Catalog(spark, wh)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table("db.orders_obj", df.schema,
+                             partition_by=["o_orderpriority"],
+                             properties={
+                                 "write.object-storage.enabled": "true"})
+        t.append(df)
+        t.delete_where(col("o_orderkey") <= 512, mode="merge-on-read")
+        t = cat.load_table("db.orders_obj")
+        root = os.path.join(t.location, "data")
+        for e in t.scan().plan_files().files:
+            rel = os.path.relpath(e.file.file_path, root)
+            assert _re.match(r"[01]{4}/[01]{4}/[01]{4}/[01]{8}/", rel), rel
+        _STATE[key] = wh
+    from .table import Catalog
+
+    t = Catalog(spark, _STATE[key]).load_table("db.orders_obj")
+    return (t.to_df().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("o_orderkey").alias("keysum"))
+            .orderBy("o_orderpriority"))
+
+
+OBJECT_STORAGE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n, CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+FROM orders WHERE o_orderkey > 512
+GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
@@ -1815,6 +1861,7 @@ REGISTRY = {
                                  METADATA_ENCRYPTION_SQL),
     "data_encryption_scan": (data_encryption_scan, DATA_ENCRYPTION_SQL),
     "metrics_modes_scan": (metrics_modes_scan, METRICS_MODES_SQL),
+    "object_storage_scan": (object_storage_scan, OBJECT_STORAGE_SQL),
     "iceberg_export_roundtrip_scan": (iceberg_export_roundtrip_scan,
                                       ICEBERG_EXPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),

@@ -195,7 +195,9 @@ def write_data_files(
         if f.type == "variant" and f.name in df.columns:
             if fmt != "parquet" or var_enc == "json":
                 df = df.withColumn(f.name, F.col(f.name).cast("string"))
-    out_dir = os.path.join(table.location, "data", _uuid.uuid4().hex)
+    from .locations import new_data_dir
+
+    out_dir = new_data_dir(table)
     writer_opts = {}
     max_records = props.get("write.max-records-per-file")
     if max_records:
@@ -326,7 +328,8 @@ def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
         if f.type in ("float", "double"):
             aggs.append(F.sum(F.isnan(F.col(f.name)).cast("long")).alias(f"__na_{f.name}"))
     rows = (sdf.groupBy(
-        F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/").alias("__fp"))
+        _io.decode_spark_path_col(F.col("_metadata.file_path"))
+        .alias("__fp"))
         .agg(*aggs).collect())
     from .manifests import apply_metrics_config
 
