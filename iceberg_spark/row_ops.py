@@ -45,6 +45,26 @@ def _mode(table, op: str, override: Optional[str]) -> str:
     return table.properties.get(f"write.{op}.mode", COPY_ON_WRITE)
 
 
+def _isolation(table, op: str) -> str:
+    """write.{delete,update,merge}.isolation-level — reference
+    SparkWriteConf, default SERIALIZABLE: concurrent commits between plan
+    and CAS are validated (added data matching the operation's filter
+    aborts; concurrent deletes that the operation would lose abort under
+    both levels)."""
+    v = table.properties.get(f"write.{op}.isolation-level", "serializable")
+    if v not in ("serializable", "snapshot"):
+        raise ValueError(
+            f"write.{op}.isolation-level must be serializable or "
+            f"snapshot, got {v!r}")
+    return v
+
+
+def _from_id(plan: ScanPlan):
+    """Snapshot the operation planned against; -1 = planned on an empty
+    table (any concurrent commit is then newer than the plan)."""
+    return plan.snapshot.snapshot_id if plan.snapshot is not None else -1
+
+
 def _candidate_plan(table, expr: E.Expr) -> ScanPlan:
     return table.scan(filter=expr).plan_files()
 
@@ -109,11 +129,20 @@ def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
     if not plan.files:
         return None
     full, partial = _split_strict(table, expr, plan)
+    iso, fid = _isolation(table, "delete"), _from_id(plan)
 
     if not partial:
-        # metadata-only delete (StreamingDelete + strict evaluator)
+        # metadata-only delete (StreamingDelete + strict evaluator).
+        # Concurrent deletes on the dropped files commute (both want the
+        # rows gone), but a MoR UPDATE's delete half doesn't — its
+        # re-inserted rows are caught as added data under serializable;
+        # validate the dropped files' deletes too, like the reference's
+        # overwrite validation (conservative).
         removed = {e.file.file_path for e in full}
-        return Overwrite(table, [], removed, operation=OP_DELETE, branch=branch).commit()
+        return Overwrite(table, [], removed, operation=OP_DELETE, branch=branch,
+                         isolation=iso, conflict_filter=expr,
+                         validate_from_snapshot_id=fid,
+                         validate_new_deletes_for=removed).commit()
 
     m = _mode(table, "delete", mode)
     if m == COPY_ON_WRITE:
@@ -121,9 +150,14 @@ def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
         df = _subplan_df(table, scan, plan, partial, with_meta=False)
         keep = df.filter(~E.to_spark(E.bind(expr, table.schema)))
         added = write_data_files(table, keep, preserve_lineage=True)
-        return Overwrite(table, added, removed, operation=OP_DELETE, branch=branch).commit()
+        return Overwrite(table, added, removed, operation=OP_DELETE, branch=branch,
+                         isolation=iso, conflict_filter=expr,
+                         validate_from_snapshot_id=fid,
+                         validate_new_deletes_for=removed).commit()
     else:
-        # MoR: write position deletes (or v3 DVs) for matching rows
+        # MoR: write position deletes (or v3 DVs) for matching rows;
+        # concurrent MoR deletes commute (both delete sets apply), so
+        # only serializable's added-data check is needed
         df = _subplan_df(table, scan, plan, partial, with_meta=True)
         matches = df.filter(E.to_spark(E.bind(expr, table.schema)))
         pos_files, removed_refs = write_row_deletes(table, matches, plan)
@@ -133,10 +167,14 @@ def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
             # drop fully-matching files in the same commit via overwrite
             snap = Overwrite(table, [], removed_full, operation=OP_DELETE, branch=branch,
                              added_deletes=pos_files,
-                             removed_delete_refs=removed_refs).commit()
+                             removed_delete_refs=removed_refs,
+                             isolation=iso, conflict_filter=expr,
+                             validate_from_snapshot_id=fid).commit()
             return snap
         return RowDelta(table, [], pos_files, branch=branch, referenced_files=refd,
-                        removed_delete_refs=removed_refs).commit()
+                        removed_delete_refs=removed_refs,
+                        isolation=iso, conflict_filter=expr,
+                        validate_from_snapshot_id=fid).commit()
 
 
 def write_row_deletes(table, matched_df: DataFrame, plan=None):
@@ -370,6 +408,7 @@ def update_where(table, condition: E.Expr, assignments: dict,
     if not plan.files:
         return None
     m = _mode(table, "update", mode)
+    iso, fid = _isolation(table, "update"), _from_id(plan)
     cond_col = E.to_spark(E.bind(condition, table.schema))
     cols = table.schema.column_names
 
@@ -386,7 +425,10 @@ def update_where(table, condition: E.Expr, assignments: dict,
             F.when(cond_col, F.lit(None).cast("long"))
             .otherwise(F.col(LAST_UPDATED_SEQ_COL)).alias(LAST_UPDATED_SEQ_COL))
         added = write_data_files(table, updated, preserve_lineage=True)
-        return Overwrite(table, added, removed, operation=OP_OVERWRITE, branch=branch).commit()
+        return Overwrite(table, added, removed, operation=OP_OVERWRITE, branch=branch,
+                         isolation=iso, conflict_filter=condition,
+                         validate_from_snapshot_id=fid,
+                         validate_new_deletes_for=removed).commit()
     else:
         df = _subplan_df(table, scan, plan, plan.files, with_meta=True)
         matches = df.filter(cond_col)
@@ -398,9 +440,14 @@ def update_where(table, condition: E.Expr, assignments: dict,
             F.lit(None).cast("long").alias(LAST_UPDATED_SEQ_COL))
         data_files = write_data_files(table, new_rows, preserve_lineage=True)
         refd = {e.file.file_path for e in plan.files}
+        # a concurrent delete of a row this update re-inserts would be
+        # silently resurrected -> validate new deletes on the read files
         return RowDelta(table, data_files, pos_files, branch=branch,
                         referenced_files=refd,
-                        removed_delete_refs=removed_refs).commit()
+                        removed_delete_refs=removed_refs,
+                        isolation=iso, conflict_filter=condition,
+                        validate_from_snapshot_id=fid,
+                        validate_new_deletes_for=refd).commit()
 
 
 # ---------------------------------------------------------------------------
@@ -561,8 +608,15 @@ class MergeBuilder:
                                    & (F.col("__action") != "X"))
             result = routed.select(*[out_col(c) for c in cols], *lineage_out)
             added = write_data_files(table, result, preserve_lineage=True)
+            # conflict filter = whole table (the reference's default MERGE
+            # conflictDetectionFilter): serializable aborts on any
+            # concurrent append, both levels abort on deletes that the
+            # rewrite would lose
             return Overwrite(table, added, affected_paths, operation=OP_OVERWRITE,
-                             branch=branch).commit()
+                             branch=branch,
+                             isolation=_isolation(table, "merge"),
+                             validate_from_snapshot_id=_from_id(plan),
+                             validate_new_deletes_for=affected_paths).commit()
         else:
             # MoR: matched update/delete rows -> pos deletes (+ reinsert rows);
             # inserts -> data files
@@ -595,7 +649,10 @@ class MergeBuilder:
             data_files = write_data_files(table, new_rows, preserve_lineage=True)
             return RowDelta(table, data_files, pos_files, branch=branch,
                             referenced_files=set(affected_paths),
-                            removed_delete_refs=removed_refs).commit()
+                            removed_delete_refs=removed_refs,
+                            isolation=_isolation(table, "merge"),
+                            validate_from_snapshot_id=_from_id(plan),
+                            validate_new_deletes_for=set(affected_paths)).commit()
 
 
 def _merge_value(mapping, col, default, source_alias="s", insert=False, source_cols=None):

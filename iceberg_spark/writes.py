@@ -599,6 +599,116 @@ class SnapshotProducer:
             f"commit failed after {1 + retries} attempts "
             f"({retries} retries): {last_err}")
 
+    # -- isolation-level conflict validation ---------------------------------
+    # reference MergingSnapshotProducer.validateAddedDataFiles /
+    # validateNoNewDeleteFiles + SparkWriteConf isolation levels
+    # (write.{delete,update,merge}.isolation-level, default serializable):
+    # re-run on EVERY commit retry against the refreshed base, so a CAS
+    # loser re-checks the snapshots that beat it.
+    validate_from_snapshot_id: Optional[int] = None
+    isolation: Optional[str] = None  # "serializable" | "snapshot" | None
+    conflict_filter = None  # unbound Expr the operation planned with
+    validate_new_deletes_for: frozenset = frozenset()  # rewritten/read files
+
+    def _concurrent_snapshots(self, base: TableMetadata) -> list:
+        """Branch ancestry from the refreshed head back (exclusive) to the
+        snapshot the operation planned against; empty when nothing
+        committed in between (the single-writer fast path)."""
+        head = base.snapshot_for_ref(self.branch)
+        if head is None or head.snapshot_id == self.validate_from_snapshot_id:
+            return []
+        snaps = {s.snapshot_id: s for s in base.snapshots}
+        chain, sid = [], head.snapshot_id
+        while sid is not None and sid != self.validate_from_snapshot_id:
+            s = snaps.get(sid)
+            if s is None:
+                raise ValidationException(
+                    "cannot validate concurrent operations: history between "
+                    "the planned snapshot and the current head was expired")
+            chain.append(s)
+            sid = s.parent_snapshot_id
+        if sid is None and self.validate_from_snapshot_id not in (None, -1):
+            raise ValidationException(
+                "cannot validate concurrent operations: the planned "
+                f"snapshot {self.validate_from_snapshot_id} is no longer an "
+                "ancestor of the branch head (rollback or cherry-pick "
+                "committed concurrently)")
+        return chain
+
+    def _validate_concurrent(self, base: TableMetadata):
+        # validate_from_snapshot_id -1 = the operation planned against an
+        # EMPTY table: every snapshot on the branch is concurrent
+        if self.isolation is None or self.validate_from_snapshot_id is None:
+            return
+        chain = self._concurrent_snapshots(base)
+        if not chain:
+            return
+        bound = None
+        if self.conflict_filter is not None and not isinstance(
+                self.conflict_filter, E.AlwaysTrue):
+            bound = E.bind(E.rewrite_not(self.conflict_filter),
+                           base.schema)
+        proj_cache: dict = {}
+
+        def might_match(f):
+            """Conservative could-this-file-hold-matching-rows (inclusive
+            partition projection + inclusive metrics eval — the reference's
+            InclusiveMetricsEvaluator use)."""
+            if bound is None:
+                return True
+            spec_id = f.spec_id
+            if spec_id not in proj_cache:
+                proj_cache[spec_id] = E.project(
+                    bound, base.spec_by_id(spec_id), inclusive=True)
+            if not E.evaluate(proj_cache[spec_id], f.partition):
+                return False
+            return E.inclusive_metrics_eval(
+                bound, E.FileStats(f.record_count, f.stats))
+
+        serializable = self.isolation == "serializable"
+        for s in chain:
+            for mf in read_manifest_list(s.manifest_list,
+                                         self.table.location):
+                if mf.added_snapshot_id != s.snapshot_id:
+                    continue
+                spec = base.spec_by_id(mf.spec_id)
+                for e in read_manifest(mf.path, base.schema, spec):
+                    if e.status != ADDED or e.snapshot_id != s.snapshot_id:
+                        continue
+                    f = e.file
+                    if mf.content == 0:
+                        # concurrently ADDED data: only serializable cares
+                        # (snapshot isolation permits new matching rows)
+                        if serializable and might_match(f):
+                            raise ValidationException(
+                                f"serializable isolation violation: "
+                                f"snapshot {s.snapshot_id} added data file "
+                                f"{f.file_path} that may match the "
+                                f"operation's filter")
+                    elif self.validate_new_deletes_for:
+                        # concurrently ADDED delete files that may target
+                        # rows this operation read/rewrites: committing
+                        # would lose the concurrent delete (CoW rewrite
+                        # resurrects rows; MoR update re-inserts them)
+                        if f.content == EQUALITY_DELETES:
+                            hit = True  # key sets are opaque to the filter
+                        elif f.referenced_data_file is not None:
+                            hit = (f.referenced_data_file
+                                   in self.validate_new_deletes_for)
+                        else:
+                            st = f.stats.get("file_path")
+                            if st and st[0] is not None and st[1] is not None:
+                                hit = any(st[0] <= p <= st[1] for p in
+                                          self.validate_new_deletes_for)
+                            else:
+                                hit = True  # no bounds -> conservative
+                        if hit:
+                            raise ValidationException(
+                                f"concurrent delete conflict: snapshot "
+                                f"{s.snapshot_id} added delete file "
+                                f"{f.file_path} that may target rows this "
+                                f"operation rewrites")
+
     def _maybe_export_reference(self, props: dict):
         """Opt-in continuous interop: with
         `write.metadata.reference-layout.enabled=true`, every successful
@@ -723,7 +833,11 @@ class Overwrite(SnapshotProducer):
                  branch: str = MAIN_BRANCH, validate_removed_exist: bool = True,
                  added_deletes: Optional[list] = None,
                  summary_extra: Optional[dict] = None,
-                 removed_delete_refs: Optional[set] = None):
+                 removed_delete_refs: Optional[set] = None,
+                 isolation: Optional[str] = None,
+                 conflict_filter=None,
+                 validate_from_snapshot_id: Optional[int] = None,
+                 validate_new_deletes_for=()):
         super().__init__(table, branch)
         self.added = added
         self.added_deletes = added_deletes or []
@@ -733,8 +847,13 @@ class Overwrite(SnapshotProducer):
         self.validate_removed_exist = validate_removed_exist
         self.summary_extra = summary_extra or {}
         self.removed_delete_refs = set(removed_delete_refs or ())
+        self.isolation = isolation
+        self.conflict_filter = conflict_filter
+        self.validate_from_snapshot_id = validate_from_snapshot_id
+        self.validate_new_deletes_for = frozenset(validate_new_deletes_for)
 
     def _apply(self, base: TableMetadata, seq: int):
+        self._validate_concurrent(base)
         location = self.table.location
         manifests = self._base_manifests(base)
         if self.removed_delete_refs:
@@ -835,14 +954,23 @@ class RowDelta(SnapshotProducer):
 
     def __init__(self, table, added_data: list, added_deletes: list,
                  branch: str = MAIN_BRANCH, referenced_files: Optional[set] = None,
-                 removed_delete_refs: Optional[set] = None):
+                 removed_delete_refs: Optional[set] = None,
+                 isolation: Optional[str] = None,
+                 conflict_filter=None,
+                 validate_from_snapshot_id: Optional[int] = None,
+                 validate_new_deletes_for=()):
         super().__init__(table, branch)
         self.added_data = added_data
         self.added_deletes = added_deletes
         self.referenced_files = referenced_files or set()
         self.removed_delete_refs = set(removed_delete_refs or ())
+        self.isolation = isolation
+        self.conflict_filter = conflict_filter
+        self.validate_from_snapshot_id = validate_from_snapshot_id
+        self.validate_new_deletes_for = frozenset(validate_new_deletes_for)
 
     def _apply(self, base: TableMetadata, seq: int):
+        self._validate_concurrent(base)
         location = self.table.location
         schema, spec = base.schema, base.spec
         manifests = list(self._base_manifests(base))
