@@ -125,9 +125,17 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
 
     removed = {e.file.file_path for e in rewritten}
     # rewriting applied the deletes; delete files referencing removed data
-    # files become dangling and are dropped by remove_dangling_deletes
+    # files become dangling and are dropped by remove_dangling_deletes.
+    # Concurrent-delete validation: a pos-delete committed between plan
+    # and CAS on a rewritten file would be silently LOST (its rows were
+    # re-added without it) — abort instead, like the reference's rewrite
+    # commit validation (RewriteDataFilesCommitManager).
     Overwrite(table, added_all, removed, operation=OP_REPLACE,
-              preserve_seq_for_added=max_seq).commit()
+              preserve_seq_for_added=max_seq,
+              isolation="snapshot",
+              validate_from_snapshot_id=(plan.snapshot.snapshot_id
+                                         if plan.snapshot else -1),
+              validate_new_deletes_for=removed).commit()
     res = {"rewritten_files": len(rewritten), "added_files": len(added_all),
            "groups": len(to_rewrite),
            # reference procedure output names (RewriteDataFilesProcedure.java)

@@ -133,6 +133,22 @@ def test_serializable_merge_aborts_on_any_concurrent_append(
     assert cat.load_table("db.iso7").to_df().count() == 42
 
 
+def test_compaction_aborts_on_concurrent_delete(spark, tmp_path):
+    cat, df = _setup(spark, tmp_path, "db.iso9")
+    stale = cat.load_table("db.iso9")
+    other = cat.load_table("db.iso9")
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    # concurrent MoR delete lands between the compaction plan handle's
+    # load and its commit: the rewrite would re-add the deleted row
+    other.delete_where(col("id") == 7, mode="merge-on-read")
+    with pytest.raises(ValidationException):
+        rewrite_data_files(stale, min_input_files=1)
+    fresh = cat.load_table("db.iso9")
+    rewrite_data_files(fresh, min_input_files=1)
+    assert cat.load_table("db.iso9").to_df().count() == 39
+
+
 def test_bad_isolation_level_rejected(spark, tmp_path):
     cat, df = _setup(spark, tmp_path, "db.iso8", props={
         "write.delete.isolation-level": "bogus"})
