@@ -66,7 +66,27 @@ def dedup_cluster_resolve(spark, sf_dir):
                       lambda: _resolve_clusters(spark, sf_dir))
 
 
+def _cluster_labels(spark, sf_dir):
+    """doc_id -> cluster label (min reachable id) for every node of the
+    near-dup graph — the shared output both resolvers consume; memoized
+    so the propagation loop runs once per (session, sf)."""
+    return _cached_df("cc_labels", sf_dir,
+                      lambda: _propagate_labels(spark, sf_dir))
+
+
 def _resolve_clusters(spark, sf_dir):
+    labels = _cluster_labels(spark, sf_dir)
+    out = (labels.groupBy("label")
+           .agg(F.count(F.lit(1)).alias("cluster_size"))
+           .select(F.col("label").alias("keep_id"), "cluster_size")
+           .filter(F.col("cluster_size") >= 2)
+           .orderBy("keep_id"))
+    out = out.cache()
+    out.count()
+    return out
+
+
+def _propagate_labels(spark, sf_dir):
     edges = _cached_df(
         "cc_edges", sf_dir,
         lambda: dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b"))
@@ -104,18 +124,72 @@ def _resolve_clusters(spark, sf_dir):
             f"cluster resolution did not converge in {MAX_CC_ROUNDS} rounds "
             "(near-dup graph diameter exceeds the backstop; raise "
             "MAX_CC_ROUNDS)")
-    out = (labels.groupBy("label")
-           .agg(F.count(F.lit(1)).alias("cluster_size"))
-           .select(F.col("label").alias("keep_id"), "cluster_size")
-           .filter(F.col("cluster_size") >= 2)
-           .orderBy("keep_id"))
-    # materialize through the memoized cache (_cached_df caches the
-    # returned plan), then drop the per-round label cache — repeat calls
-    # reuse the result, never the loop
-    out = out.cache()
-    out.count()
-    labels.unpersist()
-    return out
+    # the converged label map stays cached (memoized by _cluster_labels);
+    # it is node-count-sized, not corpus-sized
+    return labels
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup cluster resolution keeping the BEST document per cluster
+    instead of the lowest id — what a production curation pipeline
+    actually ships (near-dups differ by boilerplate/truncation; keeping
+    the longest member preserves the most content). Quality key here:
+    n_chars desc, doc_id asc tiebreak — deterministic in both engines.
+
+    100 TB shape: the label map is near-dup-node-sized (not corpus-
+    sized); the quality join keys on doc_id and the winner pick is one
+    window over cluster-sized groups."""
+    from pyspark.sql import Window
+
+    labels = _cluster_labels(spark, sf_dir)
+    docs = engine_docs(spark, sf_dir).select("doc_id", "n_chars")
+    sized = (labels.groupBy("label")
+             .agg(F.count(F.lit(1)).alias("cluster_size"))
+             .filter(F.col("cluster_size") >= 2))
+    members = (labels.join(sized, "label")
+               .join(docs, "doc_id"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id"))
+    return (members.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select(F.col("label").alias("cluster_id"),
+                    F.col("doc_id").alias("keep_id"),
+                    "cluster_size",
+                    F.col("n_chars").alias("keep_n_chars"))
+            .orderBy("cluster_id"))
+
+
+DEDUP_KEEP_BEST_SQL = f"""
+WITH pairs AS (
+  SELECT doc_a, doc_b FROM ({NGRAM_JACCARD_SQL.strip()}) q
+),
+sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  WITH RECURSIVE r(doc_id, label) AS (
+    SELECT DISTINCT doc_a, doc_a FROM sym
+    UNION
+    SELECT s.doc_a, r.label FROM r JOIN sym s ON s.doc_b = r.doc_id
+  )
+  SELECT doc_id, MIN(label) AS label FROM r GROUP BY doc_id
+),
+sized AS (
+  SELECT label, COUNT(*) AS cluster_size FROM reach
+  GROUP BY label HAVING COUNT(*) >= 2
+),
+ranked AS (
+  SELECT r.label, r.doc_id, s.cluster_size, d.n_chars,
+         ROW_NUMBER() OVER (PARTITION BY r.label
+                            ORDER BY d.n_chars DESC, r.doc_id) AS rnk
+  FROM reach r JOIN sized s USING (label)
+  JOIN documents d USING (doc_id)
+)
+SELECT label AS cluster_id, doc_id AS keep_id, cluster_size,
+       n_chars AS keep_n_chars
+FROM ranked WHERE rnk = 1 ORDER BY cluster_id
+"""
 
 
 CLUSTER_RESOLVE_SQL = f"""
@@ -400,6 +474,7 @@ FROM r GROUP BY lang ORDER BY lang
 
 REGISTRY = {
     "dedup_cluster_resolve": (dedup_cluster_resolve, CLUSTER_RESOLVE_SQL),
+    "dedup_keep_best": (dedup_keep_best, DEDUP_KEEP_BEST_SQL),
     "decontamination": (decontamination, DECONTAMINATION_SQL),
     "sequence_packing": (sequence_packing, SEQUENCE_PACKING_SQL),
     "domain_mix_sample": (domain_mix_sample, DOMAIN_MIX_SQL),

@@ -508,8 +508,47 @@ FROM f ORDER BY doc_id
 """
 
 
+def lm_quality_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality score (Wenzek et al. 2020: docs
+    are ranked by their perplexity under a corpus LM; far-from-
+    distribution text scores low): per-doc mean token log-probability
+    under the corpus's own unigram distribution, plus the perplexity
+    proxy exp(-mean).
+
+    100 TB shape: one explode -> token-keyed partial agg builds the LM
+    (vocabulary-sized result); the scoring join is token-keyed with a
+    pre-aggregated build side, then one doc-keyed partial agg — the
+    same two-shuffle skeleton as tfidf_top_terms, nothing collected."""
+    docs = engine_docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    lm = toks.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("n"))
+    scored = (toks.join(lm, "t")
+              .crossJoin(F.broadcast(total))
+              .select("doc_id",
+                      F.log(F.col("c") / F.col("n")).alias("lp")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round(F.avg("lp"), 4).alias("avg_logprob"),
+                 F.round(F.exp(-F.avg("lp")), 2).alias("ppl"))
+            .orderBy("doc_id"))
+
+
+LM_QUALITY_SQL = f"""
+WITH toks AS (SELECT doc_id, unnest({tokens_sql()}) AS t FROM documents),
+lm AS (SELECT t, COUNT(*) AS c FROM toks GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM lm)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(c / CAST(n AS DOUBLE))), 4) AS avg_logprob,
+       ROUND(exp(-AVG(ln(c / CAST(n AS DOUBLE)))), 2) AS ppl
+FROM toks JOIN lm USING (t), tot
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 REGISTRY = {
     "text_features": (text_features, TEXT_FEATURES_SQL),
+    "lm_quality_score": (lm_quality_score, LM_QUALITY_SQL),
     "quality_filter_gopher": (quality_filter_gopher, QUALITY_FILTER_SQL),
     "tfidf_top_terms": (tfidf_top_terms, TFIDF_TOP_TERMS_SQL),
     "repetition_score": (repetition_score, REPETITION_SCORE_SQL),
