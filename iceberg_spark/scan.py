@@ -913,8 +913,75 @@ def _avro_decode_df(spark, paths: list, read_schema):
             .mapInPandas(decode, read_schema))
 
 
+_PUSHDOWN_SAFE_TYPES = {"boolean", "int", "long", "string", "date"}
+
+
+def _arrow_pushdown_filter(residual, schema, wschema):
+    """SUPERSET-safe pyarrow.dataset filter from the bound residual for
+    the decrypting reader: only top-level conjuncts over identity terms
+    whose write-schema column has the same name and a type with
+    identical comparison semantics in Spark and Arrow (floats excluded —
+    Spark orders NaN above all values, Arrow is IEEE; timestamps
+    excluded — tz interpretation differs). Pushing an AND-subset can
+    only keep extra rows, and plan_to_df re-applies the FULL residual
+    after the union, so this is always sound. Returns None when nothing
+    pushes."""
+    import pyarrow.dataset as ds
+
+    if isinstance(residual, E.AlwaysTrue):
+        return None
+
+    def conjuncts(e):
+        if isinstance(e, E.And):
+            yield from conjuncts(e.left)
+            yield from conjuncts(e.right)
+        else:
+            yield e
+
+    def term_names(e, acc):
+        if isinstance(e, (E.And, E.Or)):
+            term_names(e.left, acc)
+            term_names(e.right, acc)
+        elif isinstance(e, E.Not):
+            term_names(e.child, acc)
+        else:
+            t = getattr(e, "term", None)
+            if t is not None:
+                acc.append(t.name)
+        return acc
+
+    by_id = {f.field_id: f for f in wschema.fields}
+    parts = []
+    for c in conjuncts(residual):
+        ok = True
+        for n in term_names(c, []):
+            try:
+                cur = schema.find_field(n)
+            except KeyError:
+                ok = False
+                break
+            wf = by_id.get(cur.field_id)
+            if (wf is None or wf.name != cur.name
+                    or wf.type != cur.type
+                    or cur.type not in _PUSHDOWN_SAFE_TYPES):
+                ok = False
+                break
+        if not ok:
+            continue
+        try:
+            parts.append(E.to_arrow(c, ds.field))
+        except TypeError:
+            continue
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
 def _encrypted_parquet_df(spark, paths: list, read_schema, master_key: bytes,
-                          with_meta: bool):
+                          with_meta: bool, arrow_filter=None):
     """Engine-encrypted parquet files -> DataFrame: one task per file,
     each decrypting through pyarrow modular encryption (parquet_crypto)
     and streaming Arrow batches out — the imported-Avro decode shape, so
@@ -942,18 +1009,45 @@ def _encrypted_parquet_df(spark, paths: list, read_schema, master_key: bytes,
     def decode(batches):
         from urllib.parse import quote
 
+        from . import io as _eio
         from .parquet_crypto import open_encrypted
+
+        def read_batches(p):
+            """Arrow batches of the requested columns. Local files
+            without metadata needs scan through a pyarrow DATASET with
+            the decryption config — pushing `arrow_filter` down skips
+            whole row groups on their (decrypted) stats before any
+            pandas conversion. Positional reads and remote paths use the
+            plain decrypting reader (filtering would break row_index)."""
+            pf = open_encrypted(p, master_key)
+            have = [c for c in cols if c in pf.schema_arrow.names]
+            if (not with_meta and arrow_filter is not None
+                    and _eio.resolve_io(p) is _eio._LOCAL):
+                import pyarrow.dataset as ds
+                import pyarrow.parquet.encryption as pe
+
+                from .parquet_crypto import _factory
+
+                factory, kc = _factory(master_key)
+                fmt = ds.ParquetFileFormat(
+                    default_fragment_scan_options=ds.ParquetFragmentScanOptions(
+                        decryption_config=ds.ParquetDecryptionConfig(
+                            factory, kc, pe.DecryptionConfiguration())))
+                sc_ = ds.dataset([_eio.strip_scheme(p)],
+                                 format=fmt).scanner(
+                    columns=have, filter=arrow_filter)
+                return have, sc_.to_batches()
+            return have, pf.iter_batches(columns=have)
 
         for b in batches:
             for p in b["p"]:
-                pf = open_encrypted(p, master_key)
-                have = [c for c in cols if c in pf.schema_arrow.names]
+                have, rbs = read_batches(p)
                 # percent-encoded URI, the same spelling Spark's native
                 # reader reports — every consumer decodes uniformly
                 enc = quote(p, safe="/:")
                 uri = "file:" + enc if p.startswith("/") else enc
                 idx = 0
-                for rb in pf.iter_batches(columns=have):
+                for rb in rbs:
                     out = rb.to_pandas()
                     for c in cols:
                         if c not in out.columns:
@@ -1216,8 +1310,10 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
 
             mkey = resolve_key(enc_kid)
             want_meta = need_meta or bool(inline_pos_filter and pos_ranges)
+            push = (None if want_meta else
+                    _arrow_pushdown_filter(plan.residual, schema, wschema))
             df = _encrypted_parquet_df(spark, paths, read_schema, mkey,
-                                       want_meta)
+                                       want_meta, arrow_filter=push)
             if inline_pos_filter and pos_ranges:
                 deleted = _ranges_filter(
                     _io.decode_spark_path_col(F.col("_metadata.file_path")),
