@@ -180,6 +180,37 @@ def test_random_lifecycle_encrypted_metadata(spark, tmp_path, seed,
         keyless.load_table(t.identifier)
 
 
+@pytest.mark.parametrize("seed,use_dv", [(83, True)])
+def test_random_lifecycle_everything_on(spark, tmp_path, seed, use_dv):
+    """All the orthogonal round-7 axes at once: encrypted metadata +
+    encrypted data files + object-storage entropy layout + counts-mode
+    metrics on the value column + serializable isolation (default) —
+    the interleavings must still match the model."""
+    from iceberg_spark import parquet_crypto as PC
+    from iceberg_spark.table import Catalog
+
+    kid = f"combo-key-{seed}"
+    PC.register_key(kid, bytes(range(4, 20)))
+    try:
+        cat = Catalog(spark, str(tmp_path / "combowh"),
+                      metadata_key=bytes(range(16)))
+        t, model, steps = _apply_random_lifecycle(
+            cat, spark, seed, use_dv, extra_props={
+                PC.KEY_ID_PROP: kid,
+                "write.object-storage.enabled": "true",
+                "write.metadata.metrics.column.val": "counts",
+            })
+        assert _scan_rows(t) == _model_rows(model)
+        live = [e.file for e in t.scan().plan_files().files]
+        assert live
+        for f in live:
+            assert PC.decode_key_metadata(f.key_metadata) == kid
+            st = f.stats.get("val")
+            assert st is None or (st[0] is None and st[1] is None)
+    finally:
+        PC.unregister_key(kid)
+
+
 @pytest.mark.parametrize("seed,use_dv", [(71, False), (79, True)])
 def test_random_lifecycle_encrypted_data(spark, tmp_path, seed, use_dv):
     """The same randomized differential with ENCRYPTED DATA FILES
