@@ -192,6 +192,50 @@ def dv_delete_benchmarks(spark, qtimes, timed, sf_dir):
     qtimes["delete_mor_dv_scan"] = timed(dv_scan)
 
 
+def encrypted_scan_benchmarks(spark, qtimes, timed, sf_dir):
+    """Scan through parquet modular encryption (decrypting executor-side
+    reader with residual pushdown). Twin: orders_scan_no_deletes_baseline
+    (identical aggregation over the plaintext table) — the entry makes
+    the decrypt+Arrow-transfer overhead a tracked number instead of a
+    guess."""
+    import tempfile
+
+    from iceberg_spark import parquet_crypto as PC
+    from iceberg_spark.table import Catalog
+
+    PC.register_key("bench-key", bytes(range(16)))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="iceberg_spark_enc_bench_"))
+    orders = load_table(spark, sf_dir, "orders")
+    t = cat.create_table("bench.enc_orders", orders.schema,
+                         properties={PC.KEY_ID_PROP: "bench-key"})
+    t.append(orders)
+    t = t.refresh()
+
+    def enc_scan():
+        return (t.to_df().groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .orderBy("o_orderpriority").collect())
+
+    qtimes["scan_encrypted"] = timed(enc_scan)
+
+    # floor calibration: a fresh trivial mapInPandas plan costs ~0.7s of
+    # fixed driver/Python-UDF overhead per query regardless of data size
+    # (measured: the decode itself is ~3ms at this SF). scan_encrypted
+    # minus this floor is the true decrypt+transfer cost; at cluster
+    # scale the fixed cost is invisible while the floor entry keeps the
+    # decomposition honest in the recorded numbers.
+    def py_floor():
+        def ident(it):
+            for b in it:
+                yield b
+
+        return (spark.createDataFrame([("x",)], "p string")
+                .mapInPandas(ident, "p string").collect())
+
+    qtimes["python_plan_floor"] = timed(py_floor)
+
+
 def spj_benchmarks(spark, qtimes, timed, sf_dir):
     """Storage-partitioned join: orders<->lineitem on orderkey, bucketed
     both sides -> no Exchange, vs the same join through the plain engine
@@ -382,6 +426,7 @@ def main():
     qtimes["orders_scan_no_deletes_baseline"] = timed(orders_scan_baseline)
     eq_delete_benchmarks(spark, qtimes, timed, SF_DIR)
     dv_delete_benchmarks(spark, qtimes, timed, SF_DIR)
+    encrypted_scan_benchmarks(spark, qtimes, timed, SF_DIR)
     planning_benchmarks(spark, qtimes, timed)
     import_benchmarks(spark, qtimes, timed)
     spj_benchmarks(spark, qtimes, timed, SF_DIR)

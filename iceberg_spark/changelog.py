@@ -199,7 +199,7 @@ def _plan_changes_spark(table, chain, prev_snap) -> _Changes:
         spec = m.spec_by_id(spec_id)
         df = (spark.read.option("mergeSchema", "true").parquet(*paths)
               .filter(F.col("status") != _DEL)
-              .withColumn("__mp", manifest_path_col()))
+              .withColumn("__mp", manifest_path_col(paths)))
         for r in df.collect():
             rd = r.asDict()
             mp = rd.pop("__mp")

@@ -65,7 +65,18 @@ def strip_scheme(path: str) -> str:
     return path
 
 
-def decode_spark_path_col(c):
+def uri_encoding_invariant(path: str) -> bool:
+    """True when the path prints IDENTICALLY in Spark's percent-encoded
+    `_metadata.file_path` URI spelling — i.e. no character needs
+    escaping. The overwhelmingly common case (uuid file names under
+    ascii warehouse dirs), and the license for the cheap comparison
+    path below."""
+    from urllib.parse import quote
+
+    return quote(path, safe="/:") == path
+
+
+def decode_spark_path_col(c, paths=None):
     """Column twin of strip_scheme for Spark's `_metadata.file_path`:
     the reader reports a percent-ENCODED URI (a space in a partition
     value prints %20, a literal %% prints %25, '+' stays raw), while
@@ -73,9 +84,16 @@ def decode_spark_path_col(c):
     silently misses every file under a value-with-space partition dir
     (MoR deletes would leave those rows alive). url_decode is
     form-decoding ('+' -> space), so literal plus signs are pre-escaped
-    to %2B first; then the file: scheme normalizes to a plain path."""
+    to %2B first; then the file: scheme normalizes to a plain path.
+
+    `paths`: the exhaustive candidate set the column can hold. When
+    every one is invariant under URI encoding, the per-row decode
+    (regexp + url_decode — measured 2-3x a narrow MoR scan at 10%%
+    deletes) collapses to the plain scheme-strip."""
     from pyspark.sql import functions as F
 
+    if paths is not None and all(uri_encoding_invariant(p) for p in paths):
+        return F.regexp_replace(c, "^file:/+", "/")
     return F.regexp_replace(
         F.url_decode(F.regexp_replace(c, r"\+", "%2B")),
         "^file:/+", "/")

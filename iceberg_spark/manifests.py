@@ -961,7 +961,8 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
 
     counts = (spark.read.parquet(*failed)
               .select(_io.decode_spark_path_col(
-                  F.col("_metadata.file_path")).alias("f"))
+                  F.col("_metadata.file_path"),
+                  paths=failed).alias("f"))
               .groupBy("f").count().collect())
     cmap = {r["f"]: r["count"] for r in counts}
     return [

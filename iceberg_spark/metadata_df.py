@@ -79,13 +79,14 @@ def resolve_path_col(c, location: Optional[str]):
     ).otherwise(F.concat(F.lit(prefix), c))
 
 
-def manifest_path_col():
+def manifest_path_col(paths=None):
     """Normalized source-manifest path of each entry row (decodes the
     percent-escaped URI — a warehouse directory with a space would
-    otherwise never match)."""
+    otherwise never match; pass the manifest path list to license the
+    cheap scheme-strip when nothing needs escaping)."""
     from .io import decode_spark_path_col
 
-    return decode_spark_path_col(F.col("_metadata.file_path"))
+    return decode_spark_path_col(F.col("_metadata.file_path"), paths=paths)
 
 
 def core_entries_df(spark: SparkSession, manifests, location: Optional[str],
@@ -106,7 +107,7 @@ def core_entries_df(spark: SparkSession, manifests, location: Optional[str],
           if n not in ("file_path", "referenced_data_file")],
     ]
     if with_manifest_path:
-        cols.append(manifest_path_col().alias("manifest_path"))
+        cols.append(manifest_path_col(paths).alias("manifest_path"))
     return df.select(*cols)
 
 

@@ -769,7 +769,8 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
         cols = [F.col("file_path"), F.col("pos")]
         if with_source:
             cols.append(_io.decode_spark_path_col(
-                F.col("_metadata.file_path")).alias("delete_file_path"))
+                F.col("_metadata.file_path"),
+                paths=pq_paths).alias("delete_file_path"))
         dfs.append(pdf.select(*cols))
     if dv_rows:
         out_schema = "file_path string, pos long"
@@ -1315,9 +1316,19 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             df = _encrypted_parquet_df(spark, paths, read_schema, mkey,
                                        want_meta, arrow_filter=push)
             if inline_pos_filter and pos_ranges:
-                deleted = _ranges_filter(
-                    _io.decode_spark_path_col(F.col("_metadata.file_path")),
-                    F.col("_metadata.row_index"), pos_ranges)
+                affected_enc = {fp for fp, _, _ in pos_ranges}
+                if all(_io.uri_encoding_invariant(p)
+                       for p in affected_enc):
+                    deleted = _ranges_filter(
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"), pos_ranges,
+                        path_lit=lambda fp: (
+                            "file:" + fp if fp.startswith("/") else fp))
+                else:
+                    deleted = _ranges_filter(
+                        _io.decode_spark_path_col(
+                            F.col("_metadata.file_path")),
+                        F.col("_metadata.row_index"), pos_ranges)
                 if deleted is not None:
                     df = df.filter(~deleted)
                 if not need_meta:
@@ -1338,11 +1349,22 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 pieces.append(
                     spark.read.schema(read_schema).format(ffmt).load(clean))
             if hit:
-                # decode the URI column (percent-escapes!) so it
-                # compares equal to the manifests' raw paths
-                deleted = _ranges_filter(
-                    _io.decode_spark_path_col(F.col("_metadata.file_path")),
-                    F.col("_metadata.row_index"), pos_ranges)
+                # invariant paths (no char Spark would percent-escape):
+                # compare the RAW URI column against raw literals — zero
+                # per-row transformation, the hot-path shape. Otherwise
+                # decode the column so %20-spelled paths match the
+                # manifests' raw ones.
+                if all(_io.uri_encoding_invariant(p) for p in affected):
+                    deleted = _ranges_filter(
+                        F.col("_metadata.file_path"),
+                        F.col("_metadata.row_index"), pos_ranges,
+                        path_lit=lambda fp: (
+                            "file:" + fp if fp.startswith("/") else fp))
+                else:
+                    deleted = _ranges_filter(
+                        _io.decode_spark_path_col(
+                            F.col("_metadata.file_path")),
+                        F.col("_metadata.row_index"), pos_ranges)
                 pieces.append(
                     spark.read.schema(read_schema).format(ffmt).load(hit)
                     .filter(~deleted))
@@ -1411,9 +1433,11 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         if need_meta:
             # decode + normalize the URI column to plain-path form so it
             # matches manifest file_path values (percent-escapes AND the
-            # file: scheme — see io.decode_spark_path_col)
+            # file: scheme); the group's path list licenses the cheap
+            # scheme-strip when nothing needs escaping
             sel = sel + [
-                _io.decode_spark_path_col(F.col("_metadata.file_path"))
+                _io.decode_spark_path_col(F.col("_metadata.file_path"),
+                                          paths=paths)
                 .alias(FILE_PATH_COL),
             ]
             if need_pos:
@@ -1556,7 +1580,8 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                         *[F.col(wf.name).alias(f"__delk_{i}")
                           for i, wf in enumerate(wfields)],
                         mapping[_io.decode_spark_path_col(
-                            F.col("_metadata.file_path"))]
+                            F.col("_metadata.file_path"),
+                            paths=list(seq_map))]
                         .alias("__del_seq")))
             dd = pieces2[0]
             for p_ in pieces2[1:]:

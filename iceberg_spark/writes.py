@@ -328,7 +328,7 @@ def _collect_files_spark(spark, paths: list, fmt: str, schema, spec,
         if f.type in ("float", "double"):
             aggs.append(F.sum(F.isnan(F.col(f.name)).cast("long")).alias(f"__na_{f.name}"))
     rows = (sdf.groupBy(
-        _io.decode_spark_path_col(F.col("_metadata.file_path"))
+        _io.decode_spark_path_col(F.col("_metadata.file_path"), paths=paths)
         .alias("__fp"))
         .agg(*aggs).collect())
     from .manifests import apply_metrics_config

@@ -89,6 +89,17 @@ def check_bench(bench_json: dict) -> list:
         r = nv if den is None else (nv / q[den] if q.get(den) else None)
         if r is not None and r > ceil:
             fails.append(f"{gname}: {r:.2f}x > {ceil}x ({num}/{den})")
+    # encrypted scan: the decrypt+transfer cost ABOVE the fixed
+    # python-plan floor (any fresh mapInPandas plan pays it) must stay
+    # within 3x the plaintext scan of the same data
+    se, fl = q.get("scan_encrypted"), q.get("python_plan_floor")
+    base = q.get("orders_scan_no_deletes_baseline")
+    if se is not None and fl is not None and base:
+        extra = max(0.0, se - fl)
+        if extra > 3.0 * base:
+            fails.append(
+                f"scan_encrypted: {extra:.3f}s above the python-plan "
+                f"floor > 3x baseline {base:.3f}s")
     return fails
 
 
