@@ -339,8 +339,15 @@ class _Handler(BaseHTTPRequestHandler):
             if mode not in ("all", "refs"):
                 return self._error(400, f"invalid snapshots mode: {mode}",
                                    "BadRequestException")
-            return self._json(200, _load_table_result(
-                cat, ident, snapshots_mode=mode))
+            try:
+                return self._json(200, _load_table_result(
+                    cat, ident, snapshots_mode=mode))
+            except NotImplementedError as e:
+                # e.g. engine-encrypted data files: the reference layout
+                # this endpoint serves cannot express them — a clean 422
+                # beats a stack-trace 500
+                return self._error(422, str(e)[:500],
+                                   "UnprocessableEntityException")
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":
             ns = rest[1].replace("\x1f", ".")
             if not cat.namespace_exists(ns):
