@@ -50,12 +50,65 @@ DEFAULT_TARGET_FILE_SIZE = 128 * 1024 * 1024  # write.target-file-size-bytes def
 # ---------------------------------------------------------------------------
 
 
+def _delete_attachment_counts(table, plan) -> dict:
+    """data file path -> number of delete files that apply to it — the
+    reference's delete-file-threshold input
+    (SizeBasedDataRewriter.DELETE_FILE_THRESHOLD). DV/pos deletes with
+    referenced_data_file count from metadata alone; path-ranged pos
+    delete files resolve EXACTLY through one Spark distinct over their
+    (target, source) pairs (file_path bounds span sibling files in the
+    same directory, which would mark everything); eq deletes count by
+    sequence scoping."""
+    from .scan import _data_rel, pos_delete_rows_df
+
+    counts: dict = {}
+    rel_live = {_data_rel(e.file.file_path): e.file.file_path
+                for e in plan.files}
+    ranged = []
+    for d in plan.pos_deletes:
+        f = d.file
+        if f.referenced_data_file:
+            tgt = rel_live.get(_data_rel(f.referenced_data_file))
+            if tgt:
+                counts[tgt] = counts.get(tgt, 0) + 1
+        else:
+            ranged.append(d)
+    if ranged:
+        pairs = (pos_delete_rows_df(table.spark, ranged, with_source=True)
+                 .select("file_path", "delete_file_path").distinct()
+                 .collect())
+        for r in pairs:
+            tgt = rel_live.get(_data_rel(r["file_path"]))
+            if tgt:
+                counts[tgt] = counts.get(tgt, 0) + 1
+    for d in plan.eq_deletes:
+        for e in plan.files:
+            if e.sequence_number < d.sequence_number:
+                p = e.file.file_path
+                counts[p] = counts.get(p, 0) + 1
+    return counts
+
+
 def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int = 0,
                        filter: E.Expr | None = None, min_input_files: int = 2,
-                       sort_by: list | None = None, zorder_by: list | None = None) -> dict:
+                       sort_by: list | None = None, zorder_by: list | None = None,
+                       delete_file_threshold: int | None = None,
+                       partial_progress: bool = False,
+                       partial_progress_max_commits: int = 10) -> dict:
     """Compact/recluster data files. Groups are planned per partition
-    (greedy size packing), each group rewritten by a Spark job, committed as
-    a single RewriteFiles (op=replace) preserving sequence numbers."""
+    (greedy size packing), each group rewritten by a Spark job, committed
+    as RewriteFiles (op=replace) preserving sequence numbers.
+
+    `delete_file_threshold` (reference SizeBasedDataRewriter option):
+    when set, binpack candidates are files with at least that many
+    attached delete files PLUS the usual small-file packs — instead of
+    the rewrite-every-group default whenever any delete exists, so a
+    100 TB table compacts only where MoR debt actually accumulated.
+
+    `partial_progress` (reference partial-progress.enabled): groups
+    commit in up to `partial_progress_max_commits` independent
+    RewriteFiles commits, bounding both the blast radius of a failure
+    mid-compaction and the size of any single metadata swap."""
     target = target_file_size or int(
         table.properties.get("write.target-file-size-bytes", DEFAULT_TARGET_FILE_SIZE))
     scan = table.scan(filter=filter) if filter is not None else table.scan()
@@ -69,11 +122,26 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
         key = (e.file.spec_id, tuple(sorted(e.file.partition.items())))
         groups.setdefault(key, []).append(e)
 
+    has_deletes = bool(plan.pos_deletes or plan.eq_deletes)
+    del_counts = (_delete_attachment_counts(table, plan)
+                  if delete_file_threshold is not None and has_deletes
+                  else None)
     to_rewrite = []
     for key, entries in groups.items():
         small = [e for e in entries if e.file.file_size_in_bytes < target]
-        has_deletes = bool(plan.pos_deletes or plan.eq_deletes)
-        if strategy != "binpack" or has_deletes:
+        if strategy != "binpack":
+            if entries:
+                to_rewrite.append(entries)
+        elif del_counts is not None:
+            hit = {e.file.file_path: e for e in entries
+                   if del_counts.get(e.file.file_path, 0)
+                   >= delete_file_threshold}
+            if len(small) >= min_input_files:
+                for e in small:
+                    hit.setdefault(e.file.file_path, e)
+            if hit:
+                to_rewrite.append(list(hit.values()))
+        elif has_deletes:
             if entries:
                 to_rewrite.append(entries)
         elif len(small) >= min_input_files:
@@ -82,6 +150,36 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
     if not to_rewrite:
         return {"rewritten_files": 0, "added_files": 0, "groups": 0}
 
+    if partial_progress and len(to_rewrite) > 1:
+        k = min(max(1, partial_progress_max_commits), len(to_rewrite))
+        batches = [to_rewrite[i::k] for i in range(k)]
+    else:
+        batches = [to_rewrite]
+
+    tot_rewritten = tot_added = 0
+    tot_bytes = 0
+    for batch in batches:
+        r, a, b = _rewrite_commit(table, scan, plan, batch, strategy,
+                                  target, sort_by, zorder_by)
+        tot_rewritten += r
+        tot_added += a
+        tot_bytes += b
+    res = {"rewritten_files": tot_rewritten, "added_files": tot_added,
+           "groups": len(to_rewrite),
+           "commits": len(batches),
+           # reference procedure output names (RewriteDataFilesProcedure.java)
+           "rewritten_data_files": tot_rewritten,
+           "added_data_files": tot_added,
+           "rewritten_bytes": tot_bytes}
+    if plan.pos_deletes or plan.eq_deletes:
+        res["dangling"] = remove_dangling_deletes(table)
+    return res
+
+
+def _rewrite_commit(table, scan, plan, to_rewrite, strategy, target,
+                    sort_by, zorder_by):
+    """Rewrite one batch of file groups and commit it as one
+    RewriteFiles; returns (n_rewritten, n_added, bytes_rewritten)."""
     rewritten, added_all = [], []
     max_seq = 0
     for entries in to_rewrite:
@@ -136,15 +234,8 @@ def rewrite_data_files(table, strategy: str = "binpack", target_file_size: int =
               validate_from_snapshot_id=(plan.snapshot.snapshot_id
                                          if plan.snapshot else -1),
               validate_new_deletes_for=removed).commit()
-    res = {"rewritten_files": len(rewritten), "added_files": len(added_all),
-           "groups": len(to_rewrite),
-           # reference procedure output names (RewriteDataFilesProcedure.java)
-           "rewritten_data_files": len(rewritten),
-           "added_data_files": len(added_all),
-           "rewritten_bytes": sum(e.file.file_size_in_bytes for e in rewritten)}
-    if plan.pos_deletes or plan.eq_deletes:
-        res["dangling"] = remove_dangling_deletes(table)
-    return res
+    return (len(rewritten), len(added_all),
+            sum(e.file.file_size_in_bytes for e in rewritten))
 
 
 # ---------------------------------------------------------------------------

@@ -97,6 +97,55 @@ def test_compaction_applies_mor_deletes(catalog, spark):
     assert t.to_df().count() == 90
 
 
+def test_delete_file_threshold_selective_compaction(catalog, spark):
+    """delete-file-threshold (SizeBasedDataRewriter option): only files
+    with attached deletes rewrite, instead of every group."""
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    t, _ = _simple(catalog, spark, "db.packthr", 120, 6,
+                   properties={"write.delete.mode": "merge-on-read"})
+    before = {e.file.file_path for e in t.scan().plan_files().files}
+    assert len(before) == 6
+    # delete rows from exactly ONE file's id range
+    ids = sorted(r["id"] for r in t.to_df().select("id").collect())
+    t.delete_where(col("id").isin(ids[:3]))
+    t = t.refresh()
+    res = rewrite_data_files(t, delete_file_threshold=1,
+                             min_input_files=1000)  # small-pack disabled
+    t = t.refresh()
+    after = {e.file.file_path for e in t.scan().plan_files().files}
+    # only the delete-carrying file(s) were rewritten
+    assert res["rewritten_files"] < 6
+    assert len(before & after) >= 6 - res["rewritten_files"]
+    assert not t.scan().plan_files().pos_deletes
+    assert t.to_df().count() == 117
+
+
+def test_partial_progress_compaction(catalog, spark):
+    """partial-progress.enabled: groups commit independently — one
+    replace snapshot per batch, bounded by max commits."""
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("grp", T.IntegerType())])
+    t = catalog.create_table("db.packpp", schema, partition_by=["grp"])
+    rows = [(i, i % 4) for i in range(80)]
+    t.append(spark.createDataFrame(rows[:40], schema))
+    t.append(spark.createDataFrame(rows[40:], schema))
+    t = t.refresh()
+    n_before = len(t.snapshots())
+    res = rewrite_data_files(t, partial_progress=True,
+                             partial_progress_max_commits=2,
+                             min_input_files=1)
+    t = t.refresh()
+    assert res["commits"] == 2
+    assert len(t.snapshots()) == n_before + 2
+    assert all(s.operation == "replace"
+               for s in t.snapshots()[-2:])
+    assert t.to_df().count() == 80
+    assert sorted(r["id"] for r in t.to_df().collect()) == list(range(80))
+
+
 def test_zorder_rewrite(catalog, spark):
     schema = T.StructType([
         T.StructField("x", T.LongType()), T.StructField("y", T.LongType()),
