@@ -923,6 +923,19 @@ class SqlEngine:
         where = self._arg(a, "where", None)
         if where:
             kw["filter"] = parse_predicate(where)
+        # reference option names (RewriteDataFilesProcedure options map)
+        opts = self._arg(a, "options", None, {}) or {}
+        if "delete-file-threshold" in opts:
+            kw["delete_file_threshold"] = int(opts["delete-file-threshold"])
+        if str(opts.get("partial-progress.enabled", "")).lower() == "true":
+            kw["partial_progress"] = True
+        if "partial-progress.max-commits" in opts:
+            kw["partial_progress_max_commits"] = int(
+                opts["partial-progress.max-commits"])
+        if "min-input-files" in opts:
+            kw["min_input_files"] = int(opts["min-input-files"])
+        if "target-file-size-bytes" in opts:
+            kw["target_file_size"] = int(opts["target-file-size-bytes"])
         res = t.rewrite_data_files(strategy=strategy, **kw)
         return self._rows(
             [Row(rewritten_data_files_count=res.get("rewritten_data_files", 0),
