@@ -244,6 +244,8 @@ def entries_table_df(table, snapshots, statuses=None,
         T.StructField("column_stats", T.StringType()),
         T.StructField("equality_ids", T.ArrayType(T.IntegerType())),
         T.StructField("referenced_data_file", T.StringType()),
+        # spec data_file.key_metadata (opaque; non-null = encrypted file)
+        T.StructField("key_metadata", T.BinaryType()),
     ])
     if not manifests:
         return spark.createDataFrame([], out_schema)
@@ -291,6 +293,8 @@ def entries_table_df(table, snapshots, statuses=None,
             "equality_ids",
             resolve_path_col(F.col("referenced_data_file"),
                              m.location).alias("referenced_data_file"),
+            (F.col("key_metadata") if "key_metadata" in names
+             else F.lit(None).cast("binary")).alias("key_metadata"),
         ))
     out = pieces[0]
     for p in pieces[1:]:

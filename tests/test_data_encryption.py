@@ -234,6 +234,16 @@ def test_streaming_source_and_sink_over_encrypted(spark, tmp_path):
         assert PC.decode_key_metadata(e.file.key_metadata) == KEY_ID
 
 
+def test_files_metadata_table_shows_key_metadata(spark, tmp_path):
+    cat, t, _ = _mktable(spark, tmp_path, name="db.metaenc")
+    rows = t.metadata_table("files").select(
+        "file_path", "key_metadata").collect()
+    assert rows
+    for r in rows:
+        assert r["key_metadata"] is not None
+        assert PC.decode_key_metadata(bytes(r["key_metadata"])) == KEY_ID
+
+
 def test_export_reference_refuses_encrypted(spark, tmp_path):
     cat, t, _ = _mktable(spark, tmp_path, name="db.noexp")
     from iceberg_spark.sources.iceberg import export_reference_metadata
