@@ -234,6 +234,36 @@ def test_streaming_source_and_sink_over_encrypted(spark, tmp_path):
         assert PC.decode_key_metadata(e.file.key_metadata) == KEY_ID
 
 
+def test_encrypted_on_scheme_prefixed_warehouse(spark, tmp_path):
+    """Encryption + object-storage layout behind a scheme-prefixed
+    (HadoopFileIO) warehouse: the metadata layer runs the object-store
+    code path while the encrypted writer/reader normalize file: paths
+    end-to-end."""
+    from pyspark.sql import functions as F
+
+    wh = f"file://{tmp_path}/hwh"
+    cat = Catalog(spark, wh)
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("grp"))
+    t = cat.create_table("db.efio", df.schema, partition_by=["grp"],
+                         properties={PC.KEY_ID_PROP: KEY_ID,
+                                     "write.object-storage.enabled": "true"})
+    t.append(df)
+    t = cat.load_table("db.efio")
+    assert t.location.startswith("file://")
+    assert t.to_df().count() == 40
+    t.delete_where(col("id") < 5, mode="merge-on-read")
+    t = cat.load_table("db.efio")
+    assert t.to_df().count() == 35
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    rewrite_data_files(t)
+    t = cat.load_table("db.efio")
+    assert t.to_df().count() == 35
+    for e in t.scan().plan_files().files:
+        assert PC.decode_key_metadata(e.file.key_metadata) == KEY_ID
+
+
 def test_files_metadata_table_shows_key_metadata(spark, tmp_path):
     cat, t, _ = _mktable(spark, tmp_path, name="db.metaenc")
     rows = t.metadata_table("files").select(
