@@ -445,6 +445,63 @@ WHERE event_type = 'purchase' ORDER BY event_id
 """
 
 
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): per user the earliest
+    view, the earliest click strictly after it, the earliest purchase
+    strictly after that; then one-row conversion counts per stage. The
+    per-user step times are ONE hash aggregation with conditional MINs
+    (no self-joins, no window) — the shape that survives a billion-user
+    events table: cost is a single user-keyed shuffle of pre-aggregated
+    rows."""
+    ev = _ldf(spark, sf_dir, "events")
+    per_user = (ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view")))
+    # step 2/3 need "after the previous step": re-aggregate with the
+    # previous step's time joined back (broadcast — per-user rows only)
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .join(per_user, "user_id")
+              .filter(F.col("ts") > F.col("t_view"))
+              .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    steps2 = per_user.join(clicks, "user_id", "left")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .join(steps2.filter(F.col("t_click").isNotNull()),
+                       "user_id")
+                 .filter(F.col("ts") > F.col("t_click"))
+                 .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    funnel = steps2.join(purchases, "user_id", "left")
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_click_after_view"),
+        F.count("t_purchase").alias("n_purchase_after_click"))
+
+
+FUNNEL_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT COUNT(*) AS n_users,
+       COUNT(t_view) AS n_view,
+       COUNT(t_click) AS n_click_after_view,
+       COUNT(t_purchase) AS n_purchase_after_click
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # time-range (interval) self-join — binned, never per-user cartesian
 # ---------------------------------------------------------------------------
@@ -1012,6 +1069,7 @@ REGISTRY = {
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
     "cube_events_day": (cube_events_day, CUBE_SQL),
     "asof_last_click": (asof_last_click, ASOF_SQL),
+    "funnel_conversion": (funnel_conversion, FUNNEL_SQL),
     "range_join_event_pairs": (range_join_event_pairs, RANGE_JOIN_SQL),
     "agg_pushdown_stats": (agg_pushdown_stats, AGG_PUSHDOWN_SQL),
 }
