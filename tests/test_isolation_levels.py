@@ -149,6 +149,55 @@ def test_compaction_aborts_on_concurrent_delete(spark, tmp_path):
     assert cat.load_table("db.iso9").to_df().count() == 39
 
 
+def test_partial_progress_keeps_committed_batches_on_conflict(
+        spark, tmp_path):
+    """partial-progress blast radius: batch 1 commits; a concurrent MoR
+    delete lands before batch 2; batch 2 aborts with ValidationException
+    — batch 1's replace snapshot STANDS and the concurrent delete is
+    never lost."""
+    from iceberg_spark import maintenance as M
+
+    cat = Catalog(spark, str(tmp_path))
+    df = spark.range(40).select(
+        F.col("id"), (F.col("id") % 2).cast("int").alias("grp"))
+    t = cat.create_table("db.pp", df.schema, partition_by=["grp"])
+    t.append(spark.createDataFrame([(i, i % 2) for i in range(40)],
+                                   df.schema))
+    t.append(spark.createDataFrame([(i + 100, i % 2) for i in range(40)],
+                                   df.schema))
+    t = cat.load_table("db.pp")
+    n_before = len(t.snapshots())
+
+    real = M._rewrite_commit
+    state = {"n": 0}
+
+    def hooked(*a, **kw):
+        state["n"] += 1
+        if state["n"] == 2:
+            # concurrent MoR delete between batch commits (fresh handle:
+            # it must itself see batch 1's replace)
+            cat.load_table("db.pp").delete_where(
+                col("id") == 101, mode="merge-on-read")
+        return real(*a, **kw)
+
+    M._rewrite_commit = hooked
+    try:
+        with pytest.raises(ValidationException):
+            M.rewrite_data_files(t, partial_progress=True,
+                                 partial_progress_max_commits=2,
+                                 min_input_files=1)
+    finally:
+        M._rewrite_commit = real
+    t = cat.load_table("db.pp")
+    # batch 1's replace committed, the concurrent delete stands, batch 2
+    # was rolled back by never committing
+    ops = [s.operation for s in t.snapshots()[n_before:]]
+    assert "replace" in ops
+    got = t.to_df()
+    assert got.count() == 79
+    assert got.filter(F.col("id") == 101).count() == 0
+
+
 def test_bad_isolation_level_rejected(spark, tmp_path):
     cat, df = _setup(spark, tmp_path, "db.iso8", props={
         "write.delete.isolation-level": "bogus"})
