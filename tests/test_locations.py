@@ -102,5 +102,8 @@ def test_new_data_dir_plain_default(spark, tmp_path):
     df = spark.range(3).select(F.col("id"))
     t = cat.create_table("db.plain", df.schema)
     d = new_data_dir(t)
-    assert d.startswith(os.path.join(t.location, "data"))
-    assert "/0" not in d.replace(os.path.join(t.location, "data"), "")[:5]
+    root = os.path.join(t.location, "data")
+    assert d.startswith(root)
+    # no entropy prefix without write.object-storage.enabled: the batch
+    # dir sits DIRECTLY under <location>/data
+    assert "/" not in os.path.relpath(d, root)

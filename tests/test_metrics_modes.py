@@ -33,7 +33,8 @@ def test_truncate_semantics():
     # lower bound: prefix (<= original); upper: incremented prefix (>)
     assert truncate_string_min("hello world", 5) == "hello"
     up = truncate_string_max("hello world", 5)
-    assert up == "hellp" and up > "hello world"[:11] or up > "hello"
+    assert up == "hellp"
+    assert up > "hello world"  # a VALID upper bound for the original
     assert truncate_string_max("hi", 5) == "hi"  # short strings untouched
     # unicode ceiling -> no upper bound representable
     assert truncate_string_max("\U0010FFFF" * 4, 2) is None
