@@ -78,7 +78,7 @@ def synthetic_planning_table(spark, n_partitions=32, files_per_partition=320):
     return t
 
 
-def planning_benchmarks(spark, qtimes, timed):
+def planning_benchmarks(spark, register):
     from iceberg_spark.expressions import col
     from iceberg_spark.manifests import _MANIFEST_CACHE
 
@@ -96,10 +96,10 @@ def planning_benchmarks(spark, qtimes, timed):
     assert npart == 320, npart
     nminmax = plan((col("id") >= 100_000) & (col("id") < 150_000))
     assert nminmax == 50, nminmax
-    qtimes["plan_full_10k_files"] = timed(plan)
-    qtimes["plan_partition_filter_10k_files"] = timed(lambda: plan(col("p") == 7))
-    qtimes["plan_minmax_filter_10k_files"] = timed(
-        lambda: plan((col("id") >= 100_000) & (col("id") < 150_000)))
+    register("plan_full_10k_files", plan)
+    register("plan_partition_filter_10k_files", lambda: plan(col("p") == 7))
+    register("plan_minmax_filter_10k_files",
+             lambda: plan((col("id") >= 100_000) & (col("id") < 150_000)))
 
     def plan_dist(filt=None):
         # DISTRIBUTED mode: manifest filtering as a Spark job over the
@@ -110,9 +110,9 @@ def planning_benchmarks(spark, qtimes, timed):
 
     assert plan_dist() == 32 * 320
     assert plan_dist(col("p") == 7) == 320
-    qtimes["plan_distributed_full_10k_files"] = timed(plan_dist)
-    qtimes["plan_distributed_filter_10k_files"] = timed(
-        lambda: plan_dist(col("p") == 7))
+    register("plan_distributed_full_10k_files", plan_dist)
+    register("plan_distributed_filter_10k_files",
+             lambda: plan_dist(col("p") == 7))
 
     # maintenance planning at metadata scale: full-reachability closure over
     # 32 snapshots x 10k files as a Spark job (ExpireSnapshotsSparkAction /
@@ -125,10 +125,10 @@ def planning_benchmarks(spark, qtimes, timed):
         assert res["deleted_data_files_count"] == 32 * 320, res
         return res
 
-    qtimes["maintenance_plan_10k"] = timed(maint_plan)
+    register("maintenance_plan_10k", maint_plan)
 
 
-def eq_delete_benchmarks(spark, qtimes, timed, sf_dir):
+def eq_delete_benchmarks(spark, register, sf_dir):
     """MoR read with ~10% of rows equality-deleted on a non-key column
     (the reference benches this separately from pos deletes:
     spark/v4.0/spark/src/jmh/.../IcebergSourceParquetEqDeleteBenchmark.java).
@@ -157,10 +157,10 @@ def eq_delete_benchmarks(spark, qtimes, timed, sf_dir):
                      F.round(F.sum("o_totalprice"), 2).alias("total"))
                 .orderBy("o_orderpriority").collect())
 
-    qtimes["eq_delete_mor_scan"] = timed(eq_scan)
+    register("eq_delete_mor_scan", eq_scan)
 
 
-def dv_delete_benchmarks(spark, qtimes, timed, sf_dir):
+def dv_delete_benchmarks(spark, register, sf_dir):
     """MoR read through spec-encoded deletion vectors (~10% rows deleted,
     rewritten to Puffin deletion-vector-v1 blobs). Twin:
     orders_scan_no_deletes_baseline; gate <= 2x — DVs must not read
@@ -189,10 +189,10 @@ def dv_delete_benchmarks(spark, qtimes, timed, sf_dir):
                      F.round(F.sum("o_totalprice"), 2).alias("total"))
                 .orderBy("o_orderpriority").collect())
 
-    qtimes["delete_mor_dv_scan"] = timed(dv_scan)
+    register("delete_mor_dv_scan", dv_scan)
 
 
-def encrypted_scan_benchmarks(spark, qtimes, timed, sf_dir):
+def encrypted_scan_benchmarks(spark, register, sf_dir):
     """Scan through parquet modular encryption (decrypting executor-side
     reader with residual pushdown). Twin: orders_scan_no_deletes_baseline
     (identical aggregation over the plaintext table) — the entry makes
@@ -217,7 +217,7 @@ def encrypted_scan_benchmarks(spark, qtimes, timed, sf_dir):
                      F.round(F.sum("o_totalprice"), 2).alias("total"))
                 .orderBy("o_orderpriority").collect())
 
-    qtimes["scan_encrypted"] = timed(enc_scan)
+    register("scan_encrypted", enc_scan)
 
     # floor calibration: a fresh trivial mapInPandas plan costs ~0.7s of
     # fixed driver/Python-UDF overhead per query regardless of data size
@@ -233,10 +233,10 @@ def encrypted_scan_benchmarks(spark, qtimes, timed, sf_dir):
         return (spark.createDataFrame([("x",)], "p string")
                 .mapInPandas(ident, "p string").collect())
 
-    qtimes["python_plan_floor"] = timed(py_floor)
+    register("python_plan_floor", py_floor)
 
 
-def spj_benchmarks(spark, qtimes, timed, sf_dir):
+def spj_benchmarks(spark, register, sf_dir):
     """Storage-partitioned join: orders<->lineitem on orderkey, bucketed
     both sides -> no Exchange, vs the same join through the plain engine
     scan (two shuffles). Mirrors SparkPartitioningAwareScan.java:107."""
@@ -267,10 +267,21 @@ def spj_benchmarks(spark, qtimes, timed, sf_dir):
         plan = bucketed_join(ta, tb, "k")._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan, "SPJ plan must not shuffle"
-        qtimes["join_bucketed_spj"] = timed(spj)
-        qtimes["join_shuffle_baseline"] = timed(shuffle)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+    def _no_broadcast(fn):
+        def run():
+            prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            try:
+                return fn()
+            finally:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        return run
+
+    register("join_bucketed_spj", _no_broadcast(spj))
+    register("join_shuffle_baseline", _no_broadcast(shuffle))
 
 
 def raw_q1_baseline(spark, sf_dir):
@@ -299,7 +310,7 @@ def raw_q1_baseline(spark, sf_dir):
     )
 
 
-def import_benchmarks(spark, qtimes, timed):
+def import_benchmarks(spark, register):
     """Interop metadata throughput: parse a reference-layout table whose
     Avro manifest carries 10k entries (metadata JSON + manifest list +
     manifest decode through the pure-Python Avro reader) — the
@@ -322,7 +333,7 @@ def import_benchmarks(spark, qtimes, timed):
         assert len(entries) == 10_000
         return len(entries)
 
-    qtimes["plan_import_decode_10k"] = timed(decode)
+    register("plan_import_decode_10k", decode)
 
 
 def cpu_calibration():
@@ -378,9 +389,53 @@ def main():
     workloads.engine_table(spark, SF_DIR, "events", partition_by=["day(ts)"])
     raw_q1_baseline(spark, SF_DIR).collect()  # JVM warmup
 
-    def timed(fn, runs: int = 5):
-        # steady-state: 1 warmup + median of `runs` (JMH-style warmup/measure)
-        fn()
+    # ---- entry registration (setup runs ONCE; timing later, twice) -----
+    # Contention-proofing: entries are timed in TWO separated passes with
+    # cpu_calib probes before/between/after. Each entry keeps the MIN of
+    # its two pass medians — a transient load spike during one pass
+    # cannot fail a gate — and the artifact carries a `contended` flag
+    # (calib spread > 20% or widespread pass disagreement) that
+    # scripts/audit_registry_perf.py refuses to gate on.
+    entries = []
+
+    def register(name, fn):
+        entries.append((name, fn))
+
+    reg = workloads.queries()
+    for name in BENCH_QUERIES:
+        register(name, lambda n=name: reg[n](spark, SF_DIR).collect())
+
+    register("raw_q1_baseline",
+             lambda: raw_q1_baseline(spark, SF_DIR).collect())
+
+    # no-delete twin of delete_mor_scan (BASELINE target 3: MoR with
+    # deletes must stay <= 2x this)
+    def orders_scan_baseline():
+        t = workloads.engine_table(spark, SF_DIR, "orders")
+        return (t.to_df().groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .orderBy("o_orderpriority").collect())
+
+    register("orders_scan_no_deletes_baseline", orders_scan_baseline)
+    eq_delete_benchmarks(spark, register, SF_DIR)
+    dv_delete_benchmarks(spark, register, SF_DIR)
+    encrypted_scan_benchmarks(spark, register, SF_DIR)
+    planning_benchmarks(spark, register)
+    import_benchmarks(spark, register)
+    spj_benchmarks(spark, register, SF_DIR)
+
+    # data-pipeline throughput (informational — outside the headline total,
+    # which tracks the BASELINE.md scan/plan/MoR targets)
+    for name in ("dedup_minhash_lsh", "knn_bruteforce", "text_features"):
+        register(f"pipeline_{name}",
+                 lambda n=name: reg[n](spark, SF_DIR).collect())
+
+    # ---- measurement ----------------------------------------------------
+    def measure(fn, runs: int = 3, warm: bool = False):
+        # steady-state: median of `runs` (JMH-style warmup/measure)
+        if warm:
+            fn()
         ts = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -389,13 +444,15 @@ def main():
         ts.sort()
         return round(ts[len(ts) // 2], 4)
 
-    qtimes = {}
-    qtimes["cpu_calib"] = cpu_calibration()
-    reg = workloads.queries()
-    for name in BENCH_QUERIES:
-        qtimes[name] = timed(lambda: reg[name](spark, SF_DIR).collect())
+    calibs = [cpu_calibration()]
+    pass1 = {n: measure(f, warm=True) for n, f in entries}
+    calibs.append(cpu_calibration())
+    pass2 = {n: measure(f) for n, f in entries}
+    calibs.append(cpu_calibration())
 
-    qtimes["raw_q1_baseline"] = timed(lambda: raw_q1_baseline(spark, SF_DIR).collect())
+    qtimes = {"cpu_calib": round(min(calibs), 4)}
+    for n, _f in entries:
+        qtimes[n] = min(pass1[n], pass2[n])
 
     # BASELINE target 1 as a direct ratio, timed in interleaved pairs so
     # ambient drift lands on both sides of every sample (a separate-block
@@ -414,28 +471,17 @@ def main():
     ratios.sort()
     qtimes["q1_vs_raw_ratio"] = round(ratios[len(ratios) // 2], 4)
 
-    # no-delete twin of delete_mor_scan (BASELINE target 3: MoR with
-    # deletes must stay <= 2x this)
-    def orders_scan_baseline():
-        t = workloads.engine_table(spark, SF_DIR, "orders")
-        return (t.to_df().groupBy("o_orderpriority")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.round(F.sum("o_totalprice"), 2).alias("total"))
-                .orderBy("o_orderpriority").collect())
-
-    qtimes["orders_scan_no_deletes_baseline"] = timed(orders_scan_baseline)
-    eq_delete_benchmarks(spark, qtimes, timed, SF_DIR)
-    dv_delete_benchmarks(spark, qtimes, timed, SF_DIR)
-    encrypted_scan_benchmarks(spark, qtimes, timed, SF_DIR)
-    planning_benchmarks(spark, qtimes, timed)
-    import_benchmarks(spark, qtimes, timed)
-    spj_benchmarks(spark, qtimes, timed, SF_DIR)
-
-    # data-pipeline throughput (informational — outside the headline total,
-    # which tracks the BASELINE.md scan/plan/MoR targets)
-    for name in ("dedup_minhash_lsh", "knn_bruteforce", "text_features"):
-        qtimes[f"pipeline_{name}"] = timed(
-            lambda n=name: reg[n](spark, SF_DIR).collect())
+    # contention evidence: the three calib probes bracket both passes. A
+    # quiet machine repeats calib within a few percent; >20% spread, or
+    # >25% of entries disagreeing >30% between their two passes, means
+    # ambient load shared the CPUs with the bench — flag, don't gate.
+    calib_spread = max(calibs) / min(calibs) - 1.0
+    unstable = [n for n, _f in entries
+                if min(pass1[n], pass2[n]) > 0.02
+                and max(pass1[n], pass2[n])
+                / min(pass1[n], pass2[n]) > 1.30]
+    contended = bool(calib_spread > 0.20
+                     or len(unstable) > 0.25 * len(entries))
 
     total = round(sum(v for k, v in qtimes.items()
                       if not k.endswith("_baseline") and not k.startswith("plan_")
@@ -458,6 +504,9 @@ def main():
         "queries": qtimes,
         "queries_normalized": qnorm,
         "machine_factor": round(factor, 4),
+        "contended": contended,
+        "cpu_calib_samples": [round(c, 4) for c in calibs],
+        "pass_unstable_entries": sorted(unstable),
         "sf": sf,
     }))
 

@@ -777,9 +777,31 @@ GROUP BY a.cluster ORDER BY a.cluster
 """
 
 
+# production-path twin of semantic_dedup: K is DERIVED from the corpus
+# size (semantic_dedup_k) instead of pinned at the SD_K fixture constant,
+# so the oracle covers the code path a real deployment runs. Target of 64
+# rows/cluster makes K = ceil(656/64) = 11 at the sf0.01 gate (>= 8, well
+# past the fixture's 4); the SQL derives the SAME K from its own corpus
+# count, so both sides scale together across SFs.
+SD_TARGET = 64
+
+
+def semantic_dedup_prod_k(spark, sf_dir):
+    return semantic_dedup(spark, sf_dir, target_cluster_rows=SD_TARGET)
+
+
+SEMANTIC_DEDUP_PROD_K_SQL = SEMANTIC_DEDUP_SQL.replace(
+    f"WHERE vec_id < {SD_K}",
+    f"WHERE vec_id < (SELECT GREATEST({SD_K}, "
+    f"CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {SD_TARGET}) AS BIGINT)) "
+    f"FROM q)")
+
+
 REGISTRY = {
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "semantic_dedup": (semantic_dedup, SEMANTIC_DEDUP_SQL),
+    "semantic_dedup_prod_k": (semantic_dedup_prod_k,
+                              SEMANTIC_DEDUP_PROD_K_SQL),
     "passage_dedup": (passage_dedup, PASSAGE_DEDUP_SQL),
     "dedup_ngram_jaccard": (dedup_ngram_jaccard, NGRAM_JACCARD_SQL),
     "dedup_minhash_lsh": (dedup_minhash_lsh, NGRAM_JACCARD_SQL),

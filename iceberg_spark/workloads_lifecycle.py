@@ -1848,6 +1848,42 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def hadoop_fileio_scan(spark, sf_dir):
+    """FileIO-on-Hadoop as a permanent registry fixture (SURVEY §2.A15,
+    io.HadoopFileIO; reference HadoopFileIO.java): the warehouse is
+    `file://`-scheme-prefixed END-TO-END, so every metadata read/write,
+    rename-no-clobber commit, manifest IO, and data-file listing in this
+    entry routes through the JVM Hadoop FileSystem — the exact code path
+    an s3a:// or hdfs:// deployment runs — instead of the zero-overhead
+    local FileIO. Full lifecycle (create, append, MoR delete, refresh)
+    then scan-aggregate against the plaintext oracle."""
+    key = ("hadoop_fileio", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .io import HadoopFileIO, resolve_io
+        from .table import Catalog
+
+        wh = "file://" + tempfile.mkdtemp(prefix="iceberg_spark_hadoopio_")
+        cat = Catalog(spark, wh)
+        df = load_table(spark, sf_dir, "supplier")
+        t = cat.create_table("db.sup_hadoop", df.schema,
+                             properties={"write.delete.mode":
+                                         "merge-on-read"})
+        t.append(df)
+        t.delete_where(col("s_suppkey") <= 40, mode="merge-on-read")
+        t = cat.load_table("db.sup_hadoop")
+        assert t.location.startswith("file://"), t.location
+        assert isinstance(resolve_io(t.location, spark), HadoopFileIO)
+        _STATE[key] = wh
+    from .table import Catalog
+
+    t = Catalog(spark, _STATE[key]).load_table("db.sup_hadoop")
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
 REGISTRY = {
     "nan_metrics_scan": (nan_metrics_scan, NAN_METRICS_SQL),
     "iceberg_import_scan": (iceberg_import_scan, ICEBERG_IMPORT_SQL),
@@ -1857,6 +1893,7 @@ REGISTRY = {
                                       ICEBERG_IMPORT_SQL),
     "iceberg_import_avro_scan": (iceberg_import_avro_scan,
                                  ICEBERG_IMPORT_AVRO_SQL),
+    "hadoop_fileio_scan": (hadoop_fileio_scan, ICEBERG_EXPORT_SQL),
     "metadata_encryption_scan": (metadata_encryption_scan,
                                  METADATA_ENCRYPTION_SQL),
     "data_encryption_scan": (data_encryption_scan, DATA_ENCRYPTION_SQL),

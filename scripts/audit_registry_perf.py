@@ -160,13 +160,31 @@ def main_check(path: str) -> int:
     d = json.loads(raw)
     d = d.get("parsed", d)
     fails = check_bench(d)
-    for f in fails:
-        print(f"GATE FAIL {f}", file=sys.stderr)
+    contended = bool(d.get("contended"))
     drifted = []
     prev = _previous_bench(path if path != "-" else "")
     if prev:
         drifted = drift_table(d, prev)
-    print(json.dumps({"gates_failed": len(fails), "fails": fails,
+    if contended:
+        # a contended artifact is FLAGGED, never gated: bench.py detected
+        # ambient load (calib spread / pass disagreement), so any gate
+        # breach is as likely machine noise as engine regression. Exit 2
+        # (distinct from 0 = pass, 1 = genuine gate failure) means
+        # "re-run bench.py on a quiet machine before shipping".
+        for f in fails:
+            print(f"GATE (advisory, contended run) {f}", file=sys.stderr)
+        print("CONTENDED artifact: refusing to gate "
+              f"(cpu_calib_samples={d.get('cpu_calib_samples')}, "
+              f"unstable={d.get('pass_unstable_entries')})",
+              file=sys.stderr)
+        print(json.dumps({"contended": True, "gates_failed": 0,
+                          "advisory_fails": fails,
+                          "drift_gt_25pct": [k for k, _ in drifted]}))
+        return 2
+    for f in fails:
+        print(f"GATE FAIL {f}", file=sys.stderr)
+    print(json.dumps({"contended": False,
+                      "gates_failed": len(fails), "fails": fails,
                       "drift_gt_25pct": [k for k, _ in drifted]}))
     return 1 if fails else 0
 
