@@ -321,6 +321,10 @@ class SqlCatalog(Catalog):
                 "open it through a catalog constructed with metadata_key")
         meta = TableMetadata.from_json(json.loads(raw.decode("utf-8")),
                                        location=loc)
+        if meta.encryption_keys:
+            from .encryption import register_table_keys
+
+            register_table_keys(meta, self.metadata_key)
         t = Table(self.spark, loc, meta, identifier)
         t.ops = ops
         return t

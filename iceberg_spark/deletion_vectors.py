@@ -216,7 +216,7 @@ def parse_dv_blob(blob: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def write_dv_puffin(path: str, dvs: dict) -> list:
+def write_dv_puffin(path: str, dvs: dict, encrypt: tuple = None) -> list:
     """Write one Puffin file holding a deletion-vector-v1 blob per
     referenced data file. `dvs`: {referenced_data_file: positions array}.
     Returns [{referenced_data_file, content_offset, content_size_in_bytes,
@@ -242,7 +242,9 @@ def write_dv_puffin(path: str, dvs: dict) -> list:
             "properties": {"referenced-data-file": ref,
                            "cardinality": str(len(positions))},
         })
-    facts = write_puffin(path, blobs, properties={"created-by": "iceberg_spark"})
+    facts = write_puffin(path, blobs,
+                         properties={"created-by": "iceberg_spark"},
+                         encrypt=encrypt)
     out = []
     for ref, card, bm in zip(refs, cards, facts["blob-metadata"]):
         out.append({
@@ -255,10 +257,23 @@ def write_dv_puffin(path: str, dvs: dict) -> list:
     return out
 
 
-def read_dv_positions(path: str, offset: int, length: int) -> np.ndarray:
+def read_dv_positions(path: str, offset: int, length: int,
+                      decrypt: tuple = None) -> np.ndarray:
     """Direct blob access by manifest-tracked offset/length — no footer
-    read needed (the spec requires offset/length to match the footer)."""
-    if path.startswith("/"):  # fast path: direct ranged read
+    read needed (the spec requires offset/length to match the footer).
+    `decrypt=(key, aad)` for AGS1-encrypted Puffin containers: the whole
+    stream decrypts (DV containers are small by construction), then the
+    PLAINTEXT offset slices — encryption costs the ranged-read shortcut,
+    never correctness."""
+    if decrypt is not None:
+        from . import io as _fio
+        from .encryption import decrypt_stream
+
+        raw = _fio.read_bytes(path) if not path.startswith("/") \
+            else open(path, "rb").read()
+        blob = decrypt_stream(raw, decrypt[0], decrypt[1])[
+            offset:offset + length]
+    elif path.startswith("/"):  # fast path: direct ranged read
         with open(path, "rb") as f:
             f.seek(offset)
             blob = f.read(length)

@@ -9,16 +9,17 @@ the key-wrap shape of its encryption module
 core/.../encryption/StandardEncryptionManager.java: per-file data keys
 wrapped by a table master key).
 
-Engine scope (documented, loud): TABLE METADATA VERSIONS
-(v*.metadata.json and the advisory version hint) encrypt transparently
-when a catalog is constructed with `metadata_key` — every read/write
-flows through EncryptedFileIO stacked on the table's FileIO, so the
-same code path runs on local disk or object storage. Manifests and
-data files stay plaintext: Spark's distributed planning and scans read
-them directly (the reference likewise delegates DATA encryption to the
-format layer — parquet modular encryption — not to GCM streams).
-Opening an encrypted table without the key fails loudly, never
-garbles.
+Engine scope: a catalog constructed with `metadata_key` encrypts the
+WHOLE METADATA TREE — table metadata versions (v*.metadata.json)
+transparently through EncryptedFileIO, and every manifest + manifest
+list as AES GCM Streams under per-file keys chained through
+KEK-wrapped StandardKeyMetadata `encryption-keys` entries
+(ManifestCrypto below — the write-side twin of the reference's
+StandardEncryptionManager). DATA files delegate to the format layer
+(parquet modular encryption, parquet_crypto.py, enabled separately by
+the `encryption.key-id` table property — as the reference does); set
+both for a zero-plaintext table. Opening an encrypted table without
+the key fails loudly, never garbles.
 """
 
 from __future__ import annotations
@@ -232,6 +233,149 @@ class StandardTableKeys:
                               ts.encode("utf-8"))
         key, aad, _len = decode_standard_key_metadata(skm)
         return key, aad or b""
+
+
+# ---------------------------------------------------------------------------
+# engine-native manifest / manifest-list encryption
+# (write-side twin of StandardTableKeys: StandardEncryptionManager.java,
+#  EncryptionUtil.encryptManifestListKeyMetadata, format/spec.md:1294
+#  `encryption-keys`)
+# ---------------------------------------------------------------------------
+
+# `encrypted-by-id` of KEK entries wrapped by the engine's catalog-level
+# metadata key (the engine's in-process "KMS"); external exports may name
+# a real KMS key instead
+ENGINE_KMS_KEY_ID = "metadata-key"
+
+
+class ManifestCrypto:
+    """Per-commit manifest/list encryption context for a table whose
+    catalog carries `metadata_key` (the engine KMS master key).
+
+    Layout written (exactly what the import side decodes,
+    sources/iceberg.py `_table_keys` / `StandardTableKeys`):
+      - each MANIFEST encrypts as an AES GCM Stream under a fresh random
+        key+AAD; the plain StandardKeyMetadata blob rides the (encrypted)
+        manifest list's `key_metadata` column;
+      - each MANIFEST LIST encrypts under its own fresh key+AAD whose
+        StandardKeyMetadata is AES-GCM-encrypted with a KEK (AAD = the
+        KEK's KEY_TIMESTAMP property) and appended to the table
+        metadata's `encryption-keys` list with `encrypted-by-id` = the
+        KEK id; the snapshot records the entry's id as `key-id`;
+      - the KEK itself is wrapped by the KMS (engine: AES-GCM under
+        metadata_key, AAD = the KEK id) and listed with
+        `encrypted-by-id` = ENGINE_KMS_KEY_ID.
+    """
+
+    def __init__(self, metadata_key, encryption_keys=(),
+                 kms_wrap=None, kms_key_id: str = ENGINE_KMS_KEY_ID):
+        self.metadata_key = (normalize_key(metadata_key)
+                             if metadata_key is not None else None)
+        self._kms_wrap = kms_wrap  # (key_bytes, key_id) -> wrapped bytes
+        self.kms_key_id = kms_key_id
+        self._existing = list(encryption_keys or ())
+        self.added_entries: list = []  # new encryption-keys JSON entries
+
+    def kms_wrap(self, key: bytes, key_id: str) -> bytes:
+        if self._kms_wrap is not None:
+            return self._kms_wrap(key, key_id)
+        return aes_gcm_encrypt(self.metadata_key, key,
+                               key_id.encode("utf-8"))
+
+    @staticmethod
+    def new_file_key() -> tuple:
+        """(key, aad_prefix) for one manifest or manifest-list file."""
+        return secrets.token_bytes(16), secrets.token_bytes(16)
+
+    def _kek(self) -> tuple:
+        """(kek_id, kek_bytes, timestamp) — reuse the newest KEK wrapped
+        by this KMS key, else mint one (StandardEncryptionManager keeps a
+        current KEK and rotates by age; the engine reuses per table)."""
+        if getattr(self, "_kek_cache", None) is not None:
+            return self._kek_cache
+        for e in reversed(self._existing):
+            if e.get("encrypted-by-id") == self.kms_key_id and \
+                    (e.get("properties") or {}).get(
+                        StandardTableKeys.KEY_TIMESTAMP):
+                import base64
+
+                if self.metadata_key is None:
+                    break  # export-only context can't unwrap engine KEKs
+                kek = aes_gcm_decrypt(
+                    self.metadata_key,
+                    base64.b64decode(e["encrypted-key-metadata"]),
+                    e["encrypted-by-id"].encode("utf-8"))
+                self._kek_cache = (e["key-id"], kek,
+                                   e["properties"]
+                                   [StandardTableKeys.KEY_TIMESTAMP])
+                return self._kek_cache
+        import base64
+        import time as _time
+        import uuid as _uuid
+
+        kek_id = f"k-{_uuid.uuid4().hex}"
+        kek = secrets.token_bytes(16)
+        ts = str(int(_time.time() * 1000))
+        # wrap AAD = the KMS key id: StandardTableKeys hands kms_unwrap
+        # the KEK entry's `encrypted-by-id`, so both sides must key the
+        # AAD off that identifier, not the KEK's own id
+        self.added_entries.append({
+            "key-id": kek_id,
+            "encrypted-key-metadata": base64.b64encode(
+                self.kms_wrap(kek, self.kms_key_id)).decode("ascii"),
+            "encrypted-by-id": self.kms_key_id,
+            "properties": {StandardTableKeys.KEY_TIMESTAMP: ts},
+        })
+        self._kek_cache = (kek_id, kek, ts)
+        return self._kek_cache
+
+    def wrap_manifest_list_key(self, key: bytes, aad: bytes,
+                               file_length: int) -> str:
+        """StandardKeyMetadata(list key) encrypted under the KEK; returns
+        the new `encryption-keys` entry id (the snapshot's key-id)."""
+        import base64
+        import uuid as _uuid
+
+        kek_id, kek, ts = self._kek()
+        skm = encode_standard_key_metadata(key, aad, file_length)
+        ml_id = f"m-{_uuid.uuid4().hex}"
+        self.added_entries.append({
+            "key-id": ml_id,
+            "encrypted-key-metadata": base64.b64encode(
+                aes_gcm_encrypt(kek, skm, ts.encode("utf-8")))
+            .decode("ascii"),
+            "encrypted-by-id": kek_id,
+        })
+        return ml_id
+
+
+def register_table_keys(metadata, metadata_key) -> int:
+    """Resolve every snapshot's manifest-list key through the table's
+    `encryption-keys` chain (engine KMS = AES-GCM under metadata_key) and
+    register them in the manifest key registry, so read_manifest_list /
+    read_manifest decrypt transparently wherever the table is used.
+    Returns the number of snapshots registered. No-op for tables without
+    encrypted snapshots."""
+    snaps = [s for s in getattr(metadata, "snapshots", ())
+             if getattr(s, "key_id", None)]
+    if not snaps:
+        return 0
+    if metadata_key is None:
+        raise ValueError(
+            f"table at {metadata.location} has encrypted manifests "
+            "(snapshot key-id) but no metadata_key was provided")
+
+    def kms_unwrap(wrapped, key_id):
+        return aes_gcm_decrypt(normalize_key(metadata_key), wrapped,
+                               key_id.encode("utf-8"))
+
+    from .manifests import register_file_key
+
+    tk = StandardTableKeys(list(metadata.encryption_keys), kms_unwrap)
+    for s in snaps:
+        key, aad = tk.manifest_list_key(s.key_id)
+        register_file_key(s.manifest_list, key, aad)
+    return len(snaps)
 
 
 def normalize_key(key) -> bytes:

@@ -990,9 +990,20 @@ def remove_dangling_deletes(table) -> int:
             if not (refs & live_paths):
                 dangling.add(d.file.file_path)
         else:
-            paths = {_data_rel(r.file_path) for r in
-                     table.spark.read.parquet(d.file.file_path)
-                     .select("file_path").distinct().collect()}
+            if d.file.key_metadata:
+                from .parquet_crypto import (decode_key_metadata,
+                                             read_encrypted, resolve_key)
+
+                tbl = read_encrypted(
+                    d.file.file_path,
+                    resolve_key(decode_key_metadata(d.file.key_metadata)),
+                    columns=["file_path"])
+                paths = {_data_rel(p) for p in
+                         tbl["file_path"].to_pylist()}
+            else:
+                paths = {_data_rel(r.file_path) for r in
+                         table.spark.read.parquet(d.file.file_path)
+                         .select("file_path").distinct().collect()}
             if not (paths & live_paths):
                 dangling.add(d.file.file_path)
     for p, total in puffin_total.items():
@@ -1072,8 +1083,17 @@ def _write_dvs(table, kept) -> list:
     # kept-rows job; empty partitions yield nothing and zero refs simply
     # collect to an empty descriptor list
     n_parts = 32
+    # `encryption.key-id` tables: DV Puffin containers encrypt as whole
+    # AES GCM Streams under per-file keys wrapped by the master key
+    # (ags1-kms key_metadata) — row positions and data-file paths leave
+    # no plaintext on disk
+    from .parquet_crypto import table_encryption
+
+    enc = table_encryption(table.metadata.properties)
 
     def write_task(batches):
+        import secrets as _secrets
+
         import numpy as _np
 
         from .deletion_vectors import write_dv_puffin
@@ -1086,8 +1106,21 @@ def _write_dvs(table, kept) -> list:
         if not by_ref:
             return
         path = _os.path.join(out_dir, f"dv-{_u.uuid4().hex}.puffin")
+        km = None
+        fkey = None
+        if enc is not None:
+            from .encryption import aes_gcm_encrypt
+            from .parquet_crypto import encode_stream_key_metadata
+
+            key_id, master, _bits = enc
+            fk, aad = _secrets.token_bytes(16), _secrets.token_bytes(16)
+            fkey = (fk, aad)
+            km = encode_stream_key_metadata(
+                key_id, aes_gcm_encrypt(master, fk,
+                                        key_id.encode("utf-8")), aad)
         descs = write_dv_puffin(
-            path, {r: _np.concatenate(v) for r, v in by_ref.items()})
+            path, {r: _np.concatenate(v) for r, v in by_ref.items()},
+            encrypt=fkey)
         yield _pd.DataFrame({
             "puffin_path": [path] * len(descs),
             "ref": [d["referenced_data_file"] for d in descs],
@@ -1095,12 +1128,14 @@ def _write_dvs(table, kept) -> list:
             "length": [d["content_size_in_bytes"] for d in descs],
             "cardinality": [d["cardinality"] for d in descs],
             "file_size": [d["file_size_in_bytes"] for d in descs],
+            "key_metadata": [km] * len(descs),
         })
 
     descs = (kept.repartition(n_parts, "file_path")
              .mapInPandas(write_task,
                           "puffin_path string, ref string, offset long, "
-                          "length long, cardinality long, file_size long")
+                          "length long, cardinality long, file_size long, "
+                          "key_metadata binary")
              .collect())
     return [
         DataFile(
@@ -1111,7 +1146,9 @@ def _write_dvs(table, kept) -> list:
             referenced_data_file=r["ref"],
             write_schema_id=table.schema.schema_id,
             content_offset=r["offset"],
-            content_size_in_bytes=r["length"])
+            content_size_in_bytes=r["length"],
+            key_metadata=(bytes(r["key_metadata"])
+                          if r["key_metadata"] is not None else None))
         for r in descs
     ]
 
@@ -1236,6 +1273,12 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
     manifest_map = {}  # old manifest path -> new
 
     m = table.metadata
+    if m.encryption_keys:
+        raise NotImplementedError(
+            "rewrite_table_path on a table with encrypted manifests would "
+            "re-serialize the metadata tree in PLAINTEXT at the staging "
+            "location — decrypt-copy is refused; relocate encrypted tables "
+            "with a byte-for-byte copy (v4 relative paths) instead")
     for snap in m.snapshots:
         for mf in read_manifest_list(snap.manifest_list):
             if mf.path in manifest_map:

@@ -86,6 +86,98 @@ STATS_FIELDS = ("min", "max", "nulls", "nans", "values")
 
 
 # ---------------------------------------------------------------------------
+# manifest / manifest-list encryption plumbing
+# (reference StandardEncryptionManager: manifests + lists are AES GCM
+# Streams; per-file keys ride the manifest list's key_metadata column and
+# the snapshot key-id -> encryption-keys chain. The DURABLE format is
+# that chain — this registry is only the in-process path->key cache that
+# lets the ~40 read_manifest* call sites stay signature-free: list keys
+# register at table load (encryption.register_table_keys) or write time,
+# manifest keys register when their manifest list is read.)
+# ---------------------------------------------------------------------------
+
+_FILE_KEYS: dict = {}  # strip_scheme(path) -> (key_bytes, aad_prefix)
+
+
+def register_file_key(path: str, key: bytes, aad: bytes):
+    _FILE_KEYS[_io.strip_scheme(path)] = (key, aad)
+
+
+def file_key(path: str):
+    return _FILE_KEYS.get(_io.strip_scheme(path))
+
+
+def _read_metadata_parquet(path: str) -> pa.Table:
+    """Manifest/list parquet through the key registry: registered paths
+    decrypt (AES GCM Stream), everything else reads plain. An AGS1 file
+    with no registered key fails LOUDLY, never garbles."""
+    k = file_key(path)
+    if k is not None:
+        from .encryption import decrypt_stream
+
+        raw = _io.resolve_io(path).read_bytes(path)
+        return pq.read_table(pa.BufferReader(decrypt_stream(raw, *k)))
+    try:
+        return _io.read_parquet(path)
+    except Exception:
+        try:
+            magic = _io.resolve_io(path).read_bytes(path)[:4]
+        except Exception:
+            raise
+        if magic == b"AGS1":
+            raise ValueError(
+                f"manifest file {path} is AES-GCM-Stream encrypted and no "
+                "key is registered — load the table through a catalog "
+                "constructed with metadata_key") from None
+        raise
+
+
+def _write_metadata_parquet(table: pa.Table, path: str,
+                            encryption) -> tuple:
+    """Write a manifest/list parquet, encrypting when the table commits
+    under a ManifestCrypto context. Returns (on-disk length,
+    StandardKeyMetadata blob | None); the fresh key registers so
+    this process reads its own write back without a reload."""
+    if encryption is None:
+        return _io.write_parquet(table, path), None
+    import io as _pyio
+
+    from .encryption import encode_standard_key_metadata, encrypt_stream
+
+    key, aad = encryption.new_file_key()
+    buf = _pyio.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    ct = encrypt_stream(buf.getvalue(), key, aad)
+    _io.resolve_io(path).write_bytes(path, ct)
+    register_file_key(path, key, aad)
+    return len(ct), encode_standard_key_metadata(key, aad, len(ct))
+
+
+# commit-scoped encryption context: SnapshotProducer.commit (and the
+# maintenance surfaces that write manifest lists directly) push the
+# table's ManifestCrypto here so EVERY write_manifest call in the commit
+# encrypts without threading a parameter through each producer's _apply.
+_ENC_CTX: list = []
+
+
+class manifest_encryption_ctx:
+    def __init__(self, crypto):
+        self.crypto = crypto
+
+    def __enter__(self):
+        _ENC_CTX.append(self.crypto)
+        return self.crypto
+
+    def __exit__(self, *exc):
+        _ENC_CTX.pop()
+        return False
+
+
+def current_encryption():
+    return _ENC_CTX[-1] if _ENC_CTX else None
+
+
+# ---------------------------------------------------------------------------
 # metrics modes (reference MetricsModes.java / MetricsConfig.java;
 # TableProperties.java:350 write.metadata.metrics.default = truncate(16))
 # ---------------------------------------------------------------------------
@@ -254,6 +346,9 @@ class ManifestFile:
     existing_rows_count: int = 0
     deleted_rows_count: int = 0
     partitions: tuple = ()  # per partition field: (name, contains_null, min, max)
+    # StandardKeyMetadata blob of an ENCRYPTED manifest (plain inside the
+    # encrypted manifest list, as the reference stores it); None = plaintext
+    key_metadata: Optional[bytes] = None
 
 
 # ---------------------------------------------------------------------------
@@ -459,7 +554,7 @@ def write_manifest(
     table = pa.Table.from_pydict(cols, schema=arrow_schema)
     mdir = os.path.join(location, "metadata", "manifests")
     path = os.path.join(mdir, f"m-{_uuid.uuid4().hex}.parquet")
-    length = _io.write_parquet(table, path)
+    length, skm = _write_metadata_parquet(table, path, current_encryption())
 
     return ManifestFile(
         path=path,
@@ -478,6 +573,7 @@ def write_manifest(
         partitions=tuple(
             (n, psum[n]["contains_null"], psum[n]["min"], psum[n]["max"]) for n in pnames
         ),
+        key_metadata=skm,
     )
 
 
@@ -524,7 +620,7 @@ def read_manifest_arrow(path: str) -> pa.Table:
     hit = _ARROW_CACHE.get(path)
     if hit is not None:
         return hit
-    t = _io.read_parquet(path)
+    t = _read_metadata_parquet(path)
     if len(_ARROW_CACHE) >= _ARROW_CACHE_MAX:
         _ARROW_CACHE.pop(next(iter(_ARROW_CACHE)))
     _ARROW_CACHE[path] = t
@@ -700,6 +796,7 @@ _MANIFEST_LIST_SCHEMA = pa.schema(
         pa.field("existing_rows_count", pa.int64()),
         pa.field("deleted_rows_count", pa.int64()),
         pa.field("partitions_json", pa.string()),
+        pa.field("key_metadata", pa.binary()),
     ]
 )
 
@@ -708,6 +805,7 @@ def write_manifest_list(location: str, snapshot_id: int, manifests: list,
                         relative: bool = False) -> str:
     rows = {n: [] for n in _MANIFEST_LIST_SCHEMA.names}
     for m in manifests:
+        rows["key_metadata"].append(m.key_metadata)
         rows["manifest_path"].append(
             to_relative(m.path, location) if relative else m.path)
         rows["manifest_length"].append(m.length)
@@ -733,7 +831,16 @@ def write_manifest_list(location: str, snapshot_id: int, manifests: list,
     t = pa.Table.from_pydict(rows, schema=_MANIFEST_LIST_SCHEMA)
     mdir = os.path.join(location, "metadata", "manifest-lists")
     path = os.path.join(mdir, f"snap-{snapshot_id}-{_uuid.uuid4().hex}.parquet")
-    _io.write_parquet(t, path)
+    enc = current_encryption()
+    if enc is None:
+        _io.write_parquet(t, path)
+        return path
+    length, _skm = _write_metadata_parquet(t, path, enc)
+    # the list's own key wraps under the KEK chain; the caller (snapshot
+    # producer) records the returned key-id on the snapshot and merges
+    # enc.added_entries into the metadata's encryption-keys
+    key, aad = _FILE_KEYS[_io.strip_scheme(path)]
+    enc.last_list_key_id = enc.wrap_manifest_list_key(key, aad, length)
     return path
 
 
@@ -756,16 +863,27 @@ def read_manifest_list(path: str, location: Optional[str] = None) -> list:
 
 
 def _read_manifest_list_uncached(path: str, location: Optional[str] = None) -> list:
-    t = _io.read_parquet(path).to_pydict()
+    t = _read_metadata_parquet(path).to_pydict()
+    kms = t.get("key_metadata") or [None] * len(t["manifest_path"])
     out = []
     for i in range(len(t["manifest_path"])):
         parts = tuple(
             (n, cn, value_from_json(mn), value_from_json(mx))
             for n, cn, mn, mx in json.loads(t["partitions_json"][i])
         )
+        mpath = resolve_path(t["manifest_path"][i], location)
+        skm = bytes(kms[i]) if kms[i] is not None else None
+        if skm is not None and file_key(mpath) is None:
+            # encrypted manifest: its key rides this (encrypted) list —
+            # register so every later read_manifest(path) decrypts
+            from .encryption import decode_standard_key_metadata
+
+            mk, maad, _len = decode_standard_key_metadata(skm)
+            register_file_key(mpath, mk, maad or b"")
         out.append(
             ManifestFile(
-                path=resolve_path(t["manifest_path"][i], location),
+                path=mpath,
+                key_metadata=skm,
                 length=t["manifest_length"][i],
                 spec_id=t["spec_id"][i],
                 content=t["content"][i],

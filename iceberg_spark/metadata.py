@@ -239,9 +239,12 @@ class Snapshot:
     manifest_list: str  # relative path under table location
     summary: dict = field(default_factory=dict)
     schema_id: int = 0
+    # standard table encryption (spec v3 snapshot `key-id`): names the
+    # `encryption-keys` entry holding this snapshot's manifest-list key
+    key_id: Optional[str] = None
 
     def to_json(self):
-        return {
+        j = {
             "snapshot-id": self.snapshot_id,
             "parent-snapshot-id": self.parent_snapshot_id,
             "sequence-number": self.sequence_number,
@@ -251,13 +254,16 @@ class Snapshot:
             "summary": self.summary,
             "schema-id": self.schema_id,
         }
+        if self.key_id is not None:
+            j["key-id"] = self.key_id
+        return j
 
     @staticmethod
     def from_json(j):
         return Snapshot(
             j["snapshot-id"], j.get("parent-snapshot-id"), j["sequence-number"],
             j["timestamp-ms"], j["operation"], j["manifest-list"], j.get("summary", {}),
-            j.get("schema-id", 0),
+            j.get("schema-id", 0), j.get("key-id"),
         )
 
 
@@ -316,6 +322,9 @@ class TableMetadata:
     statistics_files: tuple = ()  # dicts: snapshot-id, path, blobs
     partition_statistics_files: tuple = ()
     next_row_id: int = 0  # row lineage (v3): next first_row_id to assign
+    # standard table encryption (format/spec.md:1294, EncryptedKeyParser
+    # shape): KEKs wrapped by the KMS + manifest-list keys wrapped by KEKs
+    encryption_keys: tuple = ()  # dicts: key-id, encrypted-key-metadata, ...
 
     # -- accessors ---------------------------------------------------------
     @property
@@ -436,6 +445,8 @@ class TableMetadata:
             "partition-statistics": self._stats_json(
                 self.partition_statistics_files, "path"),
             "next-row-id": self.next_row_id,
+            **({"encryption-keys": list(self.encryption_keys)}
+               if self.encryption_keys else {}),
         }
 
     @staticmethod
@@ -482,6 +493,7 @@ class TableMetadata:
             partition_statistics_files=_stats_load(
                 j.get("partition-statistics", []), "path"),
             next_row_id=j.get("next-row-id", 0),
+            encryption_keys=tuple(j.get("encryption-keys", [])),
         )
 
     @staticmethod
@@ -524,6 +536,7 @@ class TableOperations:
 
         self.location = location.rstrip("/")
         self.metadata_dir = os.path.join(self.location, "metadata")
+        self.metadata_key = metadata_key
         self.io = resolve_io(self.location)
         if metadata_key is not None:
             from .encryption import EncryptedFileIO
@@ -568,8 +581,15 @@ class TableOperations:
                 f"table metadata at {self.location} is AES-GCM-Stream "
                 "encrypted; open it through a catalog constructed with "
                 "metadata_key (or ICEBERG_SPARK_METADATA_KEY)")
-        return TableMetadata.from_json(
+        meta = TableMetadata.from_json(
             json.loads(raw.decode("utf-8")), location=self.location)
+        if meta.encryption_keys:
+            # encrypted manifests: resolve every snapshot's manifest-list
+            # key through the KEK chain so reads decrypt transparently
+            from .encryption import register_table_keys
+
+            register_table_keys(meta, self.metadata_key)
+        return meta
 
     def commit(self, base_version: Optional[int], metadata: TableMetadata) -> int:
         """CAS: publish v(base+1) atomically, failing if it exists

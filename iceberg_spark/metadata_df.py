@@ -89,16 +89,68 @@ def manifest_path_col(paths=None):
     return decode_spark_path_col(F.col("_metadata.file_path"), paths=paths)
 
 
+def _decrypt_core_rows(path: str, key: bytes, aad: bytes,
+                       fields: tuple, with_path: bool) -> list:
+    """Executor-side core-column read of one ENCRYPTED manifest (AES GCM
+    Stream — the JVM parquet source cannot open it). Module-level so the
+    Spark closure pickles by reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import io as _eio
+    from .encryption import decrypt_stream
+
+    raw = _eio.resolve_io(path).read_bytes(path)
+    pt = pa.BufferReader(decrypt_stream(raw, key, aad))
+    names = pq.read_schema(pt).names
+    pt.seek(0)
+    t = pq.read_table(pt, columns=[f for f in fields if f in names])
+    n = t.num_rows
+    cols = [t[f].to_pylist() if f in t.column_names else [None] * n
+            for f in fields]
+    tail = (path,) if with_path else ()
+    return [tuple(c[i] for c in cols) + tail for i in range(n)]
+
+
 def core_entries_df(spark: SparkSession, manifests, location: Optional[str],
                     with_manifest_path: bool = False) -> Optional[DataFrame]:
     """One distributed read of the core entry columns across ALL manifests
     (every spec/schema shares them). `file_path`/`referenced_data_file` are
     resolved against the table location. Returns None when there are no
-    manifests."""
+    manifests. Encrypted manifests read through a decrypting RDD leg and
+    union with the plain JVM-parquet leg (mixed trees happen when a table
+    gains encryption mid-life)."""
+    from .manifests import file_key
+
     if not manifests:
         return None
-    paths = [m.path for m in manifests]
-    df = spark.read.schema(CORE_ENTRY_SCHEMA).parquet(*paths)
+    enc = [m for m in manifests if file_key(m.path) is not None]
+    plain = [m for m in manifests if file_key(m.path) is None]
+    fields = tuple(CORE_ENTRY_SCHEMA.fieldNames())
+    legs = []
+    if plain:
+        paths = [m.path for m in plain]
+        df = spark.read.schema(CORE_ENTRY_SCHEMA).parquet(*paths)
+        if with_manifest_path:
+            df = df.select("*", manifest_path_col(paths)
+                           .alias("manifest_path"))
+        legs.append(df)
+    if enc:
+        payload = [(m.path, *file_key(m.path)) for m in enc]
+        sc = spark.sparkContext
+        rdd = sc.parallelize(payload, min(len(payload),
+                                          sc.defaultParallelism * 2)) \
+            .flatMap(lambda a: _decrypt_core_rows(*a, fields,
+                                                  with_manifest_path))
+        schema = CORE_ENTRY_SCHEMA
+        if with_manifest_path:
+            schema = T.StructType(
+                list(CORE_ENTRY_SCHEMA.fields)
+                + [T.StructField("manifest_path", T.StringType())])
+        legs.append(spark.createDataFrame(rdd, schema))
+    df = legs[0]
+    for leg in legs[1:]:
+        df = df.unionByName(leg)
     cols = [
         resolve_path_col(F.col("file_path"), location).alias("file_path"),
         resolve_path_col(F.col("referenced_data_file"),
@@ -107,7 +159,7 @@ def core_entries_df(spark: SparkSession, manifests, location: Optional[str],
           if n not in ("file_path", "referenced_data_file")],
     ]
     if with_manifest_path:
-        cols.append(manifest_path_col(paths).alias("manifest_path"))
+        cols.append(F.col("manifest_path"))
     return df.select(*cols)
 
 
@@ -127,12 +179,30 @@ def collect_entries_spark(table, manifests, row_filter=None,
     manifests (per-spec groups so partition/stats columns line up). Used by
     surfaces that need plan-sized entry lists without per-manifest driver
     reads. `row_filter` is an optional Column over the manifest columns."""
+    from .manifests import file_key, read_manifest
+
     m = table.metadata
     schema = m.schema
+    enc = [mf for mf in manifests if file_key(mf.path) is not None]
+    out = []
+    if enc:
+        # encrypted manifests: the JVM parquet source can't open GCM
+        # streams and `row_filter` is a Column — read driver-side through
+        # the registered keys (entry lists are plan-sized) and apply the
+        # status filter; callers re-filter entries themselves
+        manifests = [mf for mf in manifests if file_key(mf.path) is None]
+        if row_filter is not None:
+            raise ValueError(
+                "collect_entries_spark: Column row_filter is not "
+                "supported over encrypted manifests")
+        for mf in enc:
+            for e in read_manifest(mf.path, schema,
+                                   m.spec_by_id(mf.spec_id)):
+                if statuses is None or e.status in statuses:
+                    out.append(e)
     by_spec: dict = {}
     for mf in manifests:
         by_spec.setdefault(mf.spec_id, []).append(mf.path)
-    out = []
     for spec_id, paths in by_spec.items():
         spec = m.spec_by_id(spec_id)
         df = table.spark.read.option("mergeSchema", "true").parquet(*paths)
@@ -252,50 +322,15 @@ def entries_table_df(table, snapshots, statuses=None,
 
     by_spec: dict = {}
     for mf in manifests:
-        by_spec.setdefault(mf.spec_id, []).append(mf.path)
+        by_spec.setdefault(mf.spec_id, []).append(mf)
 
     pieces = []
     json_opts = {"ignoreNullFields": "false"}
-    for spec_id, paths in by_spec.items():
+    for spec_id, group in by_spec.items():
         spec = m.spec_by_id(spec_id)
-        df = spark.read.option("mergeSchema", "true").parquet(*paths)
-        names = set(df.columns)
-        ptypes = spec.partition_type(schema)
-        pcols = [_json_value_col(F.col(f"p_{n}"), t).alias(n)
-                 for n, t in ptypes if f"p_{n}" in names]
-        part = (F.to_json(F.struct(*pcols), json_opts) if pcols
-                else F.lit("{}"))
-        scols = []
-        for fld in schema.fields:
-            fid = fld.field_id
-            if isinstance(fld.type, str) and f"min_f{fid}" in names:
-                scols.append(F.struct(
-                    _json_value_col(F.col(f"min_f{fid}"), fld.type).alias("min"),
-                    _json_value_col(F.col(f"max_f{fid}"), fld.type).alias("max"),
-                    F.col(f"nulls_f{fid}").alias("nulls"),
-                    F.col(f"nans_f{fid}").alias("nans"),
-                    F.col(f"values_f{fid}").alias("values"),
-                ).alias(fld.name))
-        stats = (F.to_json(F.struct(*scols), json_opts) if scols
-                 else F.lit("{}"))
-        pieces.append(df.select(
-            F.col("status").cast("int"),
-            F.col("snapshot_id").cast("long"),
-            F.col("sequence_number").cast("long"),
-            F.col("content").cast("int"),
-            resolve_path_col(F.col("file_path"), m.location).alias("file_path"),
-            "file_format",
-            F.col("spec_id").cast("int"),
-            part.alias("partition"),
-            F.col("record_count").cast("long"),
-            F.col("file_size_in_bytes").cast("long"),
-            stats.alias("column_stats"),
-            "equality_ids",
-            resolve_path_col(F.col("referenced_data_file"),
-                             m.location).alias("referenced_data_file"),
-            (F.col("key_metadata") if "key_metadata" in names
-             else F.lit(None).cast("binary")).alias("key_metadata"),
-        ))
+        dfs = _manifest_rows_dfs(spark, group, schema, spec)
+        for df in dfs:
+            pieces.append(_entries_select(df, m, schema, spec, json_opts))
     out = pieces[0]
     for p in pieces[1:]:
         out = out.unionByName(p)
@@ -304,3 +339,87 @@ def entries_table_df(table, snapshots, statuses=None,
     if contents is not None:
         out = out.filter(F.col("content").isin(list(contents)))
     return out
+
+
+def _manifest_rows_dfs(spark, group, schema, spec) -> list:
+    """Raw manifest rows of one spec group as DataFrames: plaintext
+    manifests through the JVM parquet source (mergeSchema), encrypted
+    ones through a decrypting RDD leg with the CURRENT manifest schema
+    (the JVM reader cannot open AES GCM Streams)."""
+    from .manifests import file_key, manifest_arrow_schema
+
+    plain = [mf.path for mf in group if file_key(mf.path) is None]
+    enc = [mf.path for mf in group if file_key(mf.path) is not None]
+    dfs = []
+    if plain:
+        dfs.append(spark.read.option("mergeSchema", "true").parquet(*plain))
+    if enc:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        read_schema = from_arrow_schema(manifest_arrow_schema(schema, spec))
+        fields = tuple(read_schema.fieldNames())
+        payload = [(p, *file_key(p)) for p in enc]
+        sc = spark.sparkContext
+        rdd = sc.parallelize(payload, min(len(payload),
+                                          sc.defaultParallelism * 2)) \
+            .flatMap(lambda a: _decrypt_manifest_rows(*a, fields))
+        dfs.append(spark.createDataFrame(rdd, read_schema))
+    return dfs
+
+
+def _decrypt_manifest_rows(path: str, key: bytes, aad: bytes,
+                           fields: tuple) -> list:
+    """Executor-side full-row read of one encrypted manifest, aligned to
+    `fields` (absent columns -> None). Module-level for pickling."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import io as _eio
+    from .encryption import decrypt_stream
+
+    raw = _eio.resolve_io(path).read_bytes(path)
+    t = pq.read_table(pa.BufferReader(decrypt_stream(raw, key, aad)))
+    n = t.num_rows
+    cols = [t[f].to_pylist() if f in t.column_names else [None] * n
+            for f in fields]
+    return [tuple(c[i] for c in cols) for i in range(n)]
+
+
+def _entries_select(df, m, schema, spec, json_opts):
+    names = set(df.columns)
+    ptypes = spec.partition_type(schema)
+    pcols = [_json_value_col(F.col(f"p_{n}"), t).alias(n)
+             for n, t in ptypes if f"p_{n}" in names]
+    part = (F.to_json(F.struct(*pcols), json_opts) if pcols
+            else F.lit("{}"))
+    scols = []
+    for fld in schema.fields:
+        fid = fld.field_id
+        if isinstance(fld.type, str) and f"min_f{fid}" in names:
+            scols.append(F.struct(
+                _json_value_col(F.col(f"min_f{fid}"), fld.type).alias("min"),
+                _json_value_col(F.col(f"max_f{fid}"), fld.type).alias("max"),
+                F.col(f"nulls_f{fid}").alias("nulls"),
+                F.col(f"nans_f{fid}").alias("nans"),
+                F.col(f"values_f{fid}").alias("values"),
+            ).alias(fld.name))
+    stats = (F.to_json(F.struct(*scols), json_opts) if scols
+             else F.lit("{}"))
+    return df.select(
+        F.col("status").cast("int"),
+        F.col("snapshot_id").cast("long"),
+        F.col("sequence_number").cast("long"),
+        F.col("content").cast("int"),
+        resolve_path_col(F.col("file_path"), m.location).alias("file_path"),
+        "file_format",
+        F.col("spec_id").cast("int"),
+        part.alias("partition"),
+        F.col("record_count").cast("long"),
+        F.col("file_size_in_bytes").cast("long"),
+        stats.alias("column_stats"),
+        "equality_ids",
+        resolve_path_col(F.col("referenced_data_file"),
+                         m.location).alias("referenced_data_file"),
+        (F.col("key_metadata") if "key_metadata" in names
+         else F.lit(None).cast("binary")).alias("key_metadata"),
+    )

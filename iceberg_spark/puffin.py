@@ -65,10 +65,18 @@ def _decompress(buf: bytes, codec: str) -> bytes:
     return bytes(pa.Codec(codec).decompress(buf, size))
 
 
-def write_puffin(path: str, blobs: list, properties: dict = None) -> dict:
+def write_puffin(path: str, blobs: list, properties: dict = None,
+                 encrypt: tuple = None) -> dict:
     """blobs: [{type, fields, snapshot-id, sequence-number, data: bytes,
     properties?}]. Returns the statistics-file facts the table metadata
-    needs: file size, footer size, and the blob metadata list."""
+    needs: file size, footer size, and the blob metadata list.
+
+    `encrypt=(key, aad_prefix)` wraps the WHOLE file in an AES GCM
+    Stream (gcm-stream-spec.md). Returned offsets/lengths and
+    file-size-in-bytes describe the PLAINTEXT layout — readers decrypt
+    the stream first, then slice by offset (deletion_vectors.
+    read_dv_positions `decrypt=`), keeping the spec's footer-offset
+    invariant inside the plaintext."""
     import io as _pyio
 
     from . import io as _fio
@@ -108,7 +116,12 @@ def write_puffin(path: str, blobs: list, properties: dict = None) -> dict:
         f.write(b"\x00\x00\x00\x00")  # flags: uncompressed
         f.write(MAGIC)
         size = f.tell()
-        _fio.write_bytes(path, f.getvalue())
+        out = f.getvalue()
+        if encrypt is not None:
+            from .encryption import encrypt_stream
+
+            out = encrypt_stream(out, encrypt[0], encrypt[1])
+        _fio.write_bytes(path, out)
     return {
         "file-size-in-bytes": size,
         "file-footer-size-in-bytes": size - footer_start,

@@ -284,37 +284,61 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
                 src = schema.field_by_id(pf.source_id)
                 pcols.append(pf.transform.spark_col(F.col(src.name), src.type)
                              .alias(f"_p_{pf.name}"))
+    # `encryption.key-id` tables: position-delete parquet encrypts like
+    # data files (modular encryption) — a pos-delete file carries every
+    # deleted row's data-file PATH and ordinal, plaintext the reference's
+    # standard encryption does not leave on disk either
+    from .parquet_crypto import encode_key_metadata, table_encryption
+
+    enc = table_encryption(table.metadata.properties)
+    pnames = [pf.name for pf in spec.fields]
+    ptypes = dict(spec.partition_type(schema))
     if pcols is not None:
-        (matched_df.select(fp, pos, *pcols)
-            .repartition(*[F.col(c) for c in pby])
-            .sortWithinPartitions("file_path", "pos")
-            .write.partitionBy(*pby).parquet(out_dir))
+        df2 = (matched_df.select(fp, pos, *pcols)
+               .repartition(*[F.col(c) for c in pby])
+               .sortWithinPartitions("file_path", "pos"))
+        if enc is not None:
+            from .writes import _write_encrypted_files
+
+            paths, partitions = _write_encrypted_files(
+                df2, out_dir, pnames, enc, {}, None)
+        else:
+            df2.write.partitionBy(*pby).parquet(out_dir)
     else:
         # partition sources unavailable (e.g. a (file_path, pos)-only
         # rewrite input): path-scoped delete files, pruned by file_path
         # range instead of partition tuple
-        (matched_df.select(fp, pos)
-            .repartitionByRange(F.col("file_path"), F.col("pos"))
-            .sortWithinPartitions("file_path", "pos")
-            .write.parquet(out_dir))
-    paths, partitions = [], {}
-    pnames = [pf.name for pf in spec.fields]
-    ptypes = dict(spec.partition_type(schema))
-    out_plain = _fio.strip_scheme(out_dir)
-    for p in _fio.resolve_io(out_dir, table.spark).walk_files(out_dir):
-        if p.endswith(".parquet"):
-            p = _fio.strip_scheme(p)
-            paths.append(p)
-            if pnames:
-                partitions[p] = partition_values_from_path(
-                    os.path.relpath(p, out_plain), pnames, ptypes)
+        df2 = (matched_df.select(fp, pos)
+               .repartitionByRange(F.col("file_path"), F.col("pos"))
+               .sortWithinPartitions("file_path", "pos"))
+        if enc is not None:
+            from .writes import _write_encrypted_files
+
+            paths, partitions = _write_encrypted_files(
+                df2, out_dir, [], enc, {}, None)
+        else:
+            df2.write.parquet(out_dir)
+    if enc is None:
+        paths, partitions = [], {}
+        out_plain = _fio.strip_scheme(out_dir)
+        for p in _fio.resolve_io(out_dir, table.spark).walk_files(out_dir):
+            if p.endswith(".parquet"):
+                p = _fio.strip_scheme(p)
+                paths.append(p)
+                if pnames:
+                    partitions[p] = partition_values_from_path(
+                        os.path.relpath(p, out_plain), pnames, ptypes)
     from .schema import NestedField, Schema
 
     del_schema = Schema((NestedField(2147483546, "file_path", "string", True),
                          NestedField(2147483545, "pos", "long", True)))
     files = collect_data_files(paths, del_schema, table.spec,
                                partitions, content=POSITION_DELETES,
-                               spark=table.spark)
+                               spark=table.spark,
+                               decryption=enc[1] if enc else None)
+    if enc is not None:
+        km = encode_key_metadata(enc[0])
+        files = [replace(f, key_metadata=km) for f in files]
     return [replace(f, write_schema_id=table.schema.schema_id)
             for f in files if f.record_count > 0]
 

@@ -436,10 +436,23 @@ class TableScan:
 
         The partition/metrics filters run cluster-side; only the surviving
         file rows are collected (mirrors BaseDistributedDataScan).
-        """
+        Encrypted manifests (AES GCM Streams) route through an RDD whose
+        tasks decrypt + parse + arrow-prefilter executor-side — same
+        cluster-side pruning, Python data plane (the JVM parquet reader
+        cannot open a GCM stream)."""
         schema = self.schema
         bound = E.bind(E.rewrite_not(self.row_filter), schema) \
             if not isinstance(self.row_filter, E.AlwaysTrue) else E.ALWAYS_TRUE
+
+        from .manifests import file_key
+
+        enc = [m for m in manifests if file_key(m.path) is not None]
+        out_enc = []
+        if enc:
+            out_enc = self._read_encrypted_entries_spark(enc, bound)
+            manifests = [m for m in manifests if file_key(m.path) is None]
+            if not manifests:
+                return out_enc
         by_spec: dict = {}
         for m in manifests:
             by_spec.setdefault(m.spec_id, []).append(m.path)
@@ -481,7 +494,46 @@ class TableScan:
                 # plan_files' evaluator pass — results identical)
                 for p in paths:
                     out.extend(read_manifest(p, schema, spec))
-        return out
+        return out_enc + out
+
+    def _read_encrypted_entries_spark(self, manifests, bound) -> list:
+        """Encrypted twin of the distributed manifest read: one Spark job
+        over (path, key, aad) triples, each task decrypting its manifests
+        and applying the SAME partition/metrics filters as pyarrow compute
+        expressions before returning surviving entries. Filtering is a
+        conservative-superset optimization — plan_files re-evaluates every
+        returned entry — so any executor-side conversion failure safely
+        returns the unfiltered live set."""
+        from .manifests import file_key
+
+        schema = self.schema
+        location = self.metadata.location
+        specs = {m.spec_id: self.metadata.spec_by_id(m.spec_id)
+                 for m in manifests}
+        projs = {}
+        if not isinstance(bound, E.AlwaysTrue):
+            for sid, spec in specs.items():
+                projs[sid] = E.project(bound, spec, inclusive=True)
+        payload = [(m.path, *file_key(m.path), m.spec_id) for m in manifests]
+        sc = self.spark.sparkContext
+        nparts = min(len(payload), sc.defaultParallelism * 2)
+        bnd = bound if not isinstance(bound, E.AlwaysTrue) else None
+
+        def rd(args):
+            path, key, aad, sid = args
+            return _decrypt_manifest_entries(
+                path, key, aad, specs[sid], schema, location,
+                projs.get(sid), bnd)
+
+        try:
+            return sc.parallelize(payload, nparts).flatMap(rd).collect()
+        except Exception:
+            # unpicklable filter or executor import trouble: driver-side
+            # decrypting reads (keys are registered) — results identical
+            out = []
+            for m in manifests:
+                out.extend(read_manifest(m.path, schema, specs[m.spec_id]))
+            return out
 
     # -- read ---------------------------------------------------------------
     def df(self, with_metadata_columns: bool = False,
@@ -559,6 +611,43 @@ def _manifest_might_match(m, proj: E.Expr) -> bool:
 def _partition_filter_column(proj: E.Expr, df: DataFrame):
     """Projected partition predicate -> Column over p_* manifest columns."""
     return E.to_spark(proj, colfn=lambda n: F.col(f"p_{n}"))
+
+
+def _decrypt_manifest_entries(path, key, aad, spec, schema, location,
+                              proj, bound) -> list:
+    """Executor-side encrypted-manifest read: decrypt the AES GCM Stream,
+    parse the parquet, arrow-prefilter (best effort — the driver's
+    plan_files loop re-evaluates every entry, so filter failures degrade
+    to the unfiltered live set, never to wrong results), return entries.
+    Module-level so the Spark closure pickles by reference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from . import io as _eio
+    from .encryption import decrypt_stream
+
+    raw = _eio.resolve_io(path).read_bytes(path)
+    t = pq.read_table(pa.BufferReader(decrypt_stream(raw, key, aad)))
+    try:
+        import pyarrow.dataset as ds
+
+        parts = []
+        if proj is not None and not isinstance(proj, E.AlwaysTrue):
+            parts.append(E.to_arrow(proj, lambda n: ds.field(f"p_{n}")))
+        if bound is not None:
+            sf = _stats_filter_arrow(bound, schema, set(t.column_names))
+            if sf is not None:
+                parts.append(sf)
+        if parts:
+            live = ((ds.field("status") != DELETED)
+                    & (ds.field("content") == DATA))
+            cond = parts[0]
+            for p in parts[1:]:
+                cond = cond & p
+            t = t.filter(~live | cond)
+    except Exception:
+        pass
+    return entries_from_arrow(t, schema, spec, location)
 
 
 def _stats_filter_arrow(bound: E.Expr, schema: Schema, names: set):
@@ -755,8 +844,22 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
     delete file (PositionDeletesTable parity)."""
     import pandas as _pd
 
+    from .parquet_crypto import decode_key_metadata, resolve_key, \
+        unwrap_stream_key
+
     pq_paths = sorted({d.file.file_path for d in deletes
-                       if not _is_dv(d.file)})
+                       if not _is_dv(d.file) and not d.file.key_metadata})
+    # encrypted pos-delete parquet: master keys resolve DRIVER-side
+    # (registry/env) and ship unwrapped inside the task closure — the
+    # same key-plumbing shape as the encrypted data-file reader
+    enc_pq: dict = {}
+    for d in deletes:
+        if not _is_dv(d.file) and d.file.key_metadata:
+            kid = decode_key_metadata(d.file.key_metadata)
+            enc_pq[d.file.file_path] = resolve_key(kid)
+    # encrypted DV Puffin containers: ags1-kms key_metadata -> (key, aad)
+    dv_keys = {d.file.file_path: unwrap_stream_key(d.file.key_metadata)
+               for d in deletes if _is_dv(d.file) and d.file.key_metadata}
     dv_rows = [(d.file.file_path, int(d.file.content_offset),
                 int(d.file.content_size_in_bytes),
                 d.file.referenced_data_file)
@@ -772,6 +875,27 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
                 F.col("_metadata.file_path"),
                 paths=pq_paths).alias("delete_file_path"))
         dfs.append(pdf.select(*cols))
+    if enc_pq:
+        enc_schema = "file_path string, pos long"
+        if with_source:
+            enc_schema += ", delete_file_path string"
+
+        def dec_read(batches):
+            from . import parquet_crypto as _PC
+            for b in batches:
+                for p in b["p"]:
+                    t = _PC.read_encrypted(
+                        p, enc_pq[p],
+                        columns=["file_path", "pos"]).to_pandas()
+                    if with_source:
+                        t["delete_file_path"] = p
+                    yield t
+
+        edf = spark.createDataFrame(
+            [(p,) for p in sorted(enc_pq)], "p string")
+        if len(enc_pq) > 1:
+            edf = edf.repartition(min(len(enc_pq), 32))
+        dfs.append(edf.mapInPandas(dec_read, enc_schema))
     if dv_rows:
         out_schema = "file_path string, pos long"
         if with_source:
@@ -782,7 +906,8 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
             for b in batches:
                 for p, o, ln, ref in zip(b["p"], b["o"], b["l"], b["ref"]):
                     d = {"file_path": ref,
-                         "pos": read_dv_positions(p, int(o), int(ln))}
+                         "pos": read_dv_positions(p, int(o), int(ln),
+                                                  decrypt=dv_keys.get(p))}
                     if with_source:
                         d["delete_file_path"] = p
                     yield _pd.DataFrame(d)
@@ -818,16 +943,31 @@ def _pos_delete_ranges(plan: ScanPlan):
     for d in plan.pos_deletes:
         if _is_dv(d.file):
             # deletion vector: one seek to the manifest-tracked blob
+            # (encrypted containers decrypt first — ags1-kms)
             from .deletion_vectors import read_dv_positions
+            from .parquet_crypto import unwrap_stream_key
 
             tgt = rel_live.get(_data_rel(d.file.referenced_data_file))
             if tgt is not None:
                 by_file.setdefault(tgt, []).extend(
-                    read_dv_positions(d.file.file_path,
-                                      d.file.content_offset,
-                                      d.file.content_size_in_bytes).tolist())
+                    read_dv_positions(
+                        d.file.file_path,
+                        d.file.content_offset,
+                        d.file.content_size_in_bytes,
+                        decrypt=unwrap_stream_key(d.file.key_metadata),
+                    ).tolist())
             continue
-        t = _io.read_parquet(d.file.file_path, columns=["file_path", "pos"])
+        if d.file.key_metadata:
+            from .parquet_crypto import (decode_key_metadata,
+                                         read_encrypted, resolve_key)
+
+            t = read_encrypted(
+                d.file.file_path,
+                resolve_key(decode_key_metadata(d.file.key_metadata)),
+                columns=["file_path", "pos"])
+        else:
+            t = _io.read_parquet(d.file.file_path,
+                                 columns=["file_path", "pos"])
         fps = t.column("file_path").to_pylist()
         poss = t.column("pos").to_numpy(zero_copy_only=False)
         for fp, p in zip(fps, poss):

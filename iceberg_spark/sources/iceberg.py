@@ -980,7 +980,8 @@ _EXPORT_PLAN_CACHE_MAX = 4096
 
 
 def export_reference_metadata(table, dest_root: str,
-                              full_history: bool = False) -> str:
+                              full_history: bool = False,
+                              encryption_key: bytes = None) -> str:
     """Write a reference-layout Iceberg metadata tree (metadata JSON +
     Avro manifest list/manifests, the TableMetadataParser.java /
     ManifestLists.java shapes) for an engine table, pointing at the
@@ -996,10 +997,19 @@ def export_reference_metadata(table, dest_root: str,
     and incremental reads survive an engine -> reference -> engine
     round-trip (the outbound twin of register_iceberg_table's replay).
 
+    `encryption_key` writes reference STANDARD TABLE ENCRYPTION: Avro
+    manifests + manifest lists as AES GCM Streams with StandardKeyMetadata
+    and an `encryption-keys` KEK chain KMS-wrapped by the key — readable
+    by any client holding it (kms_unwrap on re-import). Tables whose own
+    manifests encrypt (catalog metadata_key) derive the key automatically
+    so an export can never silently DECRYPT the metadata tree.
+
     Returns the metadata JSON path."""
     # engine-encrypted data files (parquet_crypto key_metadata) use an
     # engine-defined KMS wrap the reference cannot unwrap — exporting
-    # them would hand a reference reader undecryptable files
+    # them would hand a reference reader undecryptable files. (This is
+    # the ONLY remaining encrypted-export refusal: encrypted METADATA
+    # exports encrypted via `encryption_key`.)
     for e in (table.scan().plan_files().files or []):
         if e.file.key_metadata is not None:
             raise NotImplementedError(
@@ -1007,6 +1017,17 @@ def export_reference_metadata(table, dest_root: str,
                 "to the reference layout: the reference's encryption "
                 "manager cannot unwrap the engine's parquet-kms key "
                 f"metadata ({e.file.file_path})")
+    if encryption_key is None and table.metadata.encryption_keys:
+        encryption_key = getattr(table.ops, "metadata_key", None)
+        if encryption_key is None:
+            raise ValueError(
+                "table manifests are encrypted but no encryption_key was "
+                "given for the export — refusing to emit a plaintext "
+                "copy of an encrypted metadata tree")
+    if encryption_key is not None:
+        from ..encryption import normalize_key
+
+        encryption_key = normalize_key(encryption_key)
     schema = table.schema
     schema_json = _unmap_types(schema.to_json())
     schemas = {s.schema_id: s for s in table.metadata.schemas}
@@ -1132,7 +1153,9 @@ def export_reference_metadata(table, dest_root: str,
 
     return write_reference_table_history(
         dest_root, schema_json, snaps,
-        format_version=3 if state["has_dv"] else 2,
+        format_version=3 if (state["has_dv"] or encryption_key is not None)
+        else 2,
+        encryption_key=encryption_key,
         properties={k: v for k, v in table.metadata.properties.items()
                     if not k.startswith("gc.")},
         table_uuid=table.metadata.table_uuid,

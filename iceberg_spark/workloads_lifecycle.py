@@ -1584,6 +1584,63 @@ GROUP BY n_regionkey ORDER BY n_regionkey
 """
 
 
+def encrypted_manifests_scan(spark, sf_dir):
+    """Engine-native manifest + manifest-list encryption (reference
+    StandardEncryptionManager, format/spec.md `encryption-keys`;
+    encryption.py ManifestCrypto): under a metadata_key catalog the
+    WHOLE metadata tree encrypts — metadata.json versions AND every
+    manifest/manifest list as AES GCM Streams with per-file keys
+    chained through KEK-wrapped StandardKeyMetadata entries. Lifecycle:
+    multi-append, MoR delete, compaction; verify every metadata parquet
+    on disk carries the AGS1 magic and the snapshot key-id chain
+    resolves; the final aggregate runs through DISTRIBUTED planning
+    (manifests decrypt executor-side) against the plaintext oracle."""
+    key = ("enc_manifests", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import glob as _glob
+
+        from .encryption import MAGIC
+        from .maintenance import rewrite_data_files
+        from .table import Catalog
+
+        wh = tempfile.mkdtemp(prefix="iceberg_spark_encmanwh_")
+        k = bytes(range(16, 32))
+        cat = Catalog(spark, wh, metadata_key=k)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table("db.enc_orders", df.schema)
+        half = df.agg(F.max("o_orderkey")).collect()[0][0] // 2
+        t.append(df.filter(F.col("o_orderkey") <= half))
+        t.append(df.filter(F.col("o_orderkey") > half))
+        t.delete_where(col("o_orderkey") <= 256, mode="merge-on-read")
+        rewrite_data_files(t.refresh())
+        t = cat.load_table("db.enc_orders")
+        files = _glob.glob(os.path.join(
+            t.location, "metadata", "manifest*", "*.parquet"))
+        assert files and all(
+            open(p, "rb").read(4) == MAGIC for p in files), \
+            "plaintext manifest found under an encrypted table"
+        assert all(s.key_id for s in t.metadata.snapshots)
+        _STATE[key] = (wh, k)
+    wh, k = _STATE[key]
+    from .table import Catalog
+
+    t = Catalog(spark, wh, metadata_key=k).load_table("db.enc_orders")
+    return (t.scan(planning_mode="distributed").df()
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+ENCRYPTED_MANIFESTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey > 256
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def data_encryption_scan(spark, sf_dir):
     """Native DATA-file encryption (parquet modular encryption,
     parquet_crypto.py; reference StandardEncryptionManager +
@@ -1841,6 +1898,58 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def iceberg_export_encrypted_roundtrip_scan(spark, sf_dir):
+    """Encrypted outbound interop, closing the standard-table-encryption
+    loop: an engine table whose OWN metadata tree encrypts (catalog
+    metadata_key -> encrypted metadata.json + manifests + lists) with MoR
+    deletes EXPORTS to the reference layout — Avro manifests/lists as AES
+    GCM Streams, StandardKeyMetadata in the list entries, KEK chain in
+    `encryption-keys`, all KMS-wrapped by the SAME key (derived
+    automatically; a plaintext export of an encrypted tree is refused) —
+    then re-imports through the engine's own kms_unwrap path. The scan
+    runs on the round-tripped table, so the oracle proves both encrypted
+    interop directions preserve delete semantics exactly."""
+    key = ("icebergexpenc", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .encryption import MAGIC, aes_gcm_decrypt
+        from .sources.iceberg import (export_reference_metadata,
+                                      snapshot_iceberg_table)
+        from .table import Catalog
+
+        master = bytes(range(8, 24))
+        src_wh = tempfile.mkdtemp(prefix="iceberg_spark_expenc_src_")
+        scat = Catalog(spark, src_wh, metadata_key=master)
+        df = load_table(spark, sf_dir, "supplier")
+        t = scat.create_table("db.sup_enc", df.schema, properties={
+            "write.delete.mode": "merge-on-read"})
+        t.append(df)
+        t.delete_where(E.col("s_suppkey") <= 40, mode="merge-on-read")
+        t = scat.load_table("db.sup_enc")
+        dest = tempfile.mkdtemp(prefix="iceberg_export_enc_")
+        export_reference_metadata(t, dest)  # key derived from the catalog
+        import glob as _glob
+
+        avros = _glob.glob(os.path.join(dest, "metadata", "*.avro"))
+        assert avros and all(
+            open(p, "rb").read(4) == MAGIC for p in avros), \
+            "exported manifests/lists must be AES GCM Streams"
+        cat = _warehouse(spark)
+        back = f"icebergexpenc_back_{_sf_key(sf_dir)}"
+        if cat.table_exists(back):
+            cat.drop_table(back)
+        snapshot_iceberg_table(
+            cat, dest, back,
+            kms_unwrap=lambda wrapped, kid: aes_gcm_decrypt(
+                master, wrapped, b""))
+        _STATE[key] = back
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
 ICEBERG_IMPORT_SQL = """
 SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
 FROM supplier WHERE s_suppkey % 7 <> 0
@@ -1896,11 +2005,15 @@ REGISTRY = {
     "hadoop_fileio_scan": (hadoop_fileio_scan, ICEBERG_EXPORT_SQL),
     "metadata_encryption_scan": (metadata_encryption_scan,
                                  METADATA_ENCRYPTION_SQL),
+    "encrypted_manifests_scan": (encrypted_manifests_scan,
+                                 ENCRYPTED_MANIFESTS_SQL),
     "data_encryption_scan": (data_encryption_scan, DATA_ENCRYPTION_SQL),
     "metrics_modes_scan": (metrics_modes_scan, METRICS_MODES_SQL),
     "object_storage_scan": (object_storage_scan, OBJECT_STORAGE_SQL),
     "iceberg_export_roundtrip_scan": (iceberg_export_roundtrip_scan,
                                       ICEBERG_EXPORT_SQL),
+    "iceberg_export_encrypted_roundtrip_scan": (
+        iceberg_export_encrypted_roundtrip_scan, ICEBERG_EXPORT_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
     "delta_snapshot_scan": (delta_snapshot_scan, DELTA_SNAPSHOT_SQL),
     "auto_compaction_scan": (auto_compaction_scan, AUTO_COMPACTION_SQL),

@@ -548,10 +548,28 @@ class SnapshotProducer:
             if ov is not None and ov > seq:
                 seq = ov
             next_row_id = self._assign_first_row_ids(base.next_row_id)
-            manifests, operation, summary = self._apply(base, seq)
-            ml_path = write_manifest_list(
-                self.table.location, self.snapshot_id, manifests,
-                relative=base.relative_paths)
+            # catalog-level metadata_key => the whole metadata tree
+            # encrypts: metadata.json via EncryptedFileIO, and every
+            # manifest/list this commit writes as AES GCM Streams under
+            # per-file keys chained through `encryption-keys`
+            # (StandardEncryptionManager shape; see encryption.py)
+            mc = None
+            mkey = getattr(self.table.ops, "metadata_key", None)
+            if mkey is not None:
+                from .encryption import ManifestCrypto
+                from .manifests import manifest_encryption_ctx
+
+                mc = ManifestCrypto(mkey, base.encryption_keys)
+                with manifest_encryption_ctx(mc):
+                    manifests, operation, summary = self._apply(base, seq)
+                    ml_path = write_manifest_list(
+                        self.table.location, self.snapshot_id, manifests,
+                        relative=base.relative_paths)
+            else:
+                manifests, operation, summary = self._apply(base, seq)
+                ml_path = write_manifest_list(
+                    self.table.location, self.snapshot_id, manifests,
+                    relative=base.relative_paths)
             parent = base.snapshot_for_ref(self.branch)
             # history-replaying importers preserve source commit times so
             # time travel by timestamp matches the source table
@@ -566,6 +584,7 @@ class SnapshotProducer:
                 manifest_list=ml_path,
                 summary=summary,
                 schema_id=base.current_schema_id,
+                key_id=getattr(mc, "last_list_key_id", None),
             )
             refs = dict(base.refs)
             if not self.stage_only:
@@ -579,6 +598,8 @@ class SnapshotProducer:
                 if (self.branch == MAIN_BRANCH and not self.stage_only)
                 else base.snapshot_log,
                 next_row_id=next_row_id,
+                encryption_keys=base.encryption_keys
+                + tuple(mc.added_entries) if mc else base.encryption_keys,
             )
             try:
                 self.table.ops.commit(base_version, new_meta)

@@ -1,0 +1,196 @@
+"""Engine-native manifest + manifest-list encryption (reference
+StandardEncryptionManager, core/.../encryption/StandardEncryptionManager.java;
+format/spec.md:1294 `encryption-keys`; format/gcm-stream-spec.md):
+
+With a catalog `metadata_key`, the WHOLE metadata tree encrypts —
+metadata.json versions (EncryptedFileIO), and every manifest +
+manifest list as AES GCM Streams under per-file keys chained through
+KEK-wrapped StandardKeyMetadata entries in the table metadata's
+`encryption-keys` list. These tests cover the full lifecycle (append,
+MoR delete, compaction, expire), key-chain shape, fresh-process
+reloads, keyless/tampered failure modes, and distributed planning
+through the decrypting executor path.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark import manifests as M
+from iceberg_spark.encryption import (MAGIC, StandardTableKeys,
+                                      aes_gcm_decrypt, decrypt_stream)
+from iceberg_spark.expressions import col
+from iceberg_spark.table import Catalog
+
+KEY = bytes(range(16))
+
+
+def _clear_key_registry():
+    """Simulate a fresh process: no cached keys, caches, or entries."""
+    M._FILE_KEYS.clear()
+    M._MANIFEST_CACHE.clear()
+    M._ARROW_CACHE.clear()
+    M._ML_CACHE.clear()
+
+
+def _metadata_parquet(location):
+    mdir = os.path.join(location, "metadata")
+    return (glob.glob(os.path.join(mdir, "manifests", "*.parquet"))
+            + glob.glob(os.path.join(mdir, "manifest-lists", "*.parquet")))
+
+
+@pytest.fixture()
+def enc_table(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=KEY)
+    df = spark.range(0, 400).selectExpr(
+        "id", "id % 7 as g", "cast(id * 1.5 as double) as v")
+    t = cat.create_table("db.enc", df.schema)
+    for lo in range(0, 400, 100):
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)))
+    t.delete_where(col("id") <= 40, mode="merge-on-read")
+    return cat, cat.load_table("db.enc")
+
+
+def test_full_metadata_tree_encrypted_and_lifecycle(spark, enc_table):
+    cat, t = enc_table
+    assert t.to_df().count() == 359
+    files = _metadata_parquet(t.location)
+    assert len(files) >= 5
+    assert all(open(p, "rb").read(4) == MAGIC for p in files), \
+        "every manifest and manifest list must be an AES GCM Stream"
+
+    # compaction rewrites manifests — still encrypted, still correct
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    rewrite_data_files(t)
+    t = t.refresh()
+    assert t.to_df().count() == 359
+    files = _metadata_parquet(t.location)
+    assert all(open(p, "rb").read(4) == MAGIC for p in files)
+
+    # expire old snapshots — encrypted lists of kept snapshots still read
+    from iceberg_spark.maintenance import expire_snapshots
+
+    expire_snapshots(t, older_than_ms=2 ** 62, retain_last=1)
+    t = t.refresh()
+    assert t.to_df().count() == 359
+
+
+def test_fresh_process_reload_and_time_travel(spark, enc_table):
+    cat, t = enc_table
+    first = t.metadata.snapshots[0].snapshot_id
+    wh = os.path.dirname(os.path.dirname(t.location))
+    _clear_key_registry()
+    t2 = Catalog(spark, wh, metadata_key=KEY).load_table("db.enc")
+    assert t2.to_df().count() == 359
+    # time travel uses an OLD snapshot's list key from the chain
+    assert t2.scan(snapshot_id=first).df().count() == 100
+
+
+def test_keyless_open_fails_loudly(spark, enc_table):
+    cat, t = enc_table
+    wh = os.path.dirname(os.path.dirname(t.location))
+    _clear_key_registry()
+    with pytest.raises(ValueError, match="encrypted"):
+        Catalog(spark, wh).load_table("db.enc")
+
+
+def test_manifest_without_registered_key_fails_loudly(spark, enc_table):
+    cat, t = enc_table
+    mpath = glob.glob(os.path.join(t.location, "metadata", "manifests",
+                                   "*.parquet"))[0]
+    _clear_key_registry()
+    with pytest.raises(ValueError, match="no .*key|encrypted"):
+        M.read_manifest(mpath, t.metadata.schema, t.metadata.spec)
+
+
+def test_tampered_manifest_fails_authentication(spark, enc_table):
+    cat, t = enc_table
+    t.to_df().count()  # populate registry
+    mf = M.read_manifest_list(t.metadata.current_snapshot().manifest_list)[0]
+    raw = bytearray(open(mf.path, "rb").read())
+    raw[len(raw) // 2] ^= 0x01
+    open(mf.path, "wb").write(bytes(raw))
+    M._MANIFEST_CACHE.clear()
+    M._ARROW_CACHE.clear()
+    with pytest.raises(ValueError, match="authentication|failed"):
+        M.read_manifest(mf.path, t.metadata.schema, t.metadata.spec)
+
+
+def test_encryption_keys_chain_shape(spark, enc_table):
+    """The durable format IS the reference chain: snapshot key-id ->
+    `encryption-keys` StandardKeyMetadata under a KEK (AAD =
+    KEY_TIMESTAMP) -> KEK wrapped by the KMS (engine: metadata_key,
+    AAD = `encrypted-by-id`). Resolve it with the same StandardTableKeys
+    decoder the genuine-Iceberg IMPORT path uses — proving the write
+    side emits exactly the layout the read side expects."""
+    cat, t = enc_table
+    m = t.metadata
+    assert m.encryption_keys
+    keks = [e for e in m.encryption_keys
+            if e.get("encrypted-by-id") == "metadata-key"]
+    assert len(keks) == 1, "one KEK reused across the table's commits"
+    assert keks[0]["properties"][StandardTableKeys.KEY_TIMESTAMP]
+    ml_entries = [e for e in m.encryption_keys
+                  if e.get("encrypted-by-id") == keks[0]["key-id"]]
+    assert len(ml_entries) == len(m.snapshots)
+    assert all(s.key_id for s in m.snapshots)
+
+    def kms_unwrap(wrapped, key_id):
+        return aes_gcm_decrypt(KEY, wrapped, key_id.encode("utf-8"))
+
+    tk = StandardTableKeys(list(m.encryption_keys), kms_unwrap)
+    for s in m.snapshots:
+        key, aad = tk.manifest_list_key(s.key_id)
+        pt = decrypt_stream(open(s.manifest_list, "rb").read(), key, aad)
+        assert pt[:4] == b"PAR1"  # decrypts to a real parquet list
+
+
+def test_distributed_planning_decrypts_on_executors(spark, enc_table):
+    cat, t = enc_table
+    M._MANIFEST_CACHE.clear()
+    local = t.scan(planning_mode="local").plan_files()
+    M._MANIFEST_CACHE.clear()
+    dist = t.scan(planning_mode="distributed").plan_files()
+    assert sorted(e.file.file_path for e in dist.files) == \
+        sorted(e.file.file_path for e in local.files)
+    # filtered: executor-side arrow prefilter + driver re-eval
+    M._MANIFEST_CACHE.clear()
+    dfid = t.scan(filter=col("id") >= 300,
+                  planning_mode="distributed").plan_files()
+    M._MANIFEST_CACHE.clear()
+    lfid = t.scan(filter=col("id") >= 300,
+                  planning_mode="local").plan_files()
+    assert sorted(e.file.file_path for e in dfid.files) == \
+        sorted(e.file.file_path for e in lfid.files)
+    assert t.scan(filter=col("id") >= 300,
+                  planning_mode="distributed").df().count() == 100
+
+
+def test_sql_catalog_encrypted_manifests(spark, tmp_path):
+    from iceberg_spark.catalogs import SqlCatalog
+
+    cat = SqlCatalog(spark, str(tmp_path / "wh"), metadata_key=KEY)
+    df = spark.range(0, 50).selectExpr("id", "id % 3 as g")
+    t = cat.create_table("db.s", df.schema)
+    t.append(df)
+    t.delete_where(col("id") < 10, mode="merge-on-read")
+    t = cat.load_table("db.s")
+    assert t.to_df().count() == 40
+    files = _metadata_parquet(t.location)
+    assert files and all(open(p, "rb").read(4) == MAGIC for p in files)
+    _clear_key_registry()
+    t2 = SqlCatalog(spark, str(tmp_path / "wh"),
+                    metadata_key=KEY).load_table("db.s")
+    assert t2.to_df().count() == 40
+
+
+def test_rewrite_table_path_refuses_decrypt_copy(spark, enc_table, tmp_path):
+    cat, t = enc_table
+    from iceberg_spark.maintenance import rewrite_table_path
+
+    with pytest.raises(NotImplementedError, match="PLAINTEXT|plaintext"):
+        rewrite_table_path(t, t.location, str(tmp_path / "dr"))
