@@ -853,10 +853,12 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
     # (registry/env) and ship unwrapped inside the task closure — the
     # same key-plumbing shape as the encrypted data-file reader
     enc_pq: dict = {}
+    enc_by_kid: dict = {}
     for d in deletes:
         if not _is_dv(d.file) and d.file.key_metadata:
             kid = decode_key_metadata(d.file.key_metadata)
             enc_pq[d.file.file_path] = resolve_key(kid)
+            enc_by_kid.setdefault(kid, set()).add(d.file.file_path)
     # encrypted DV Puffin containers: ags1-kms key_metadata -> (key, aad)
     dv_keys = {d.file.file_path: unwrap_stream_key(d.file.key_metadata)
                for d in deletes if _is_dv(d.file) and d.file.key_metadata}
@@ -875,6 +877,24 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
                 F.col("_metadata.file_path"),
                 paths=pq_paths).alias("delete_file_path"))
         dfs.append(pdf.select(*cols))
+    if enc_pq:
+        from . import jvm_crypto
+
+        if jvm_crypto.available(spark):
+            for kid, kpaths in enc_by_kid.items():
+                kp = sorted(kpaths)
+                pdf = (spark.read
+                       .options(**jvm_crypto.reader_options(
+                           kid, resolve_key(kid)))
+                       .schema("file_path string, pos long")
+                       .parquet(*kp))
+                cols = [F.col("file_path"), F.col("pos")]
+                if with_source:
+                    cols.append(_io.decode_spark_path_col(
+                        F.col("_metadata.file_path"),
+                        paths=kp).alias("delete_file_path"))
+                dfs.append(pdf.select(*cols))
+            enc_pq = {}
     if enc_pq:
         enc_schema = "file_path string, pos long"
         if with_source:
@@ -1227,10 +1247,22 @@ def _delete_file_readers(spark, ds, read_schema, with_meta: bool = False):
     if plain:
         yield spark.read.schema(read_schema).parquet(*plain)
     for kid, paths in enc.items():
+        from . import jvm_crypto
         from .parquet_crypto import resolve_key
 
-        yield _encrypted_parquet_df(spark, paths, read_schema,
-                                    resolve_key(kid), with_meta)
+        mkey = resolve_key(kid)
+        if jvm_crypto.available(spark):
+            df = (spark.read.options(**jvm_crypto.reader_options(kid, mkey))
+                  .schema(read_schema).parquet(*paths))
+            if with_meta:
+                # consumers select _metadata.file_path; materialize the
+                # hidden struct under the fallback reader's shape so the
+                # frame survives unions with synthesized ones
+                df = df.withColumn("_metadata", F.col("_metadata"))
+            yield df
+        else:
+            yield _encrypted_parquet_df(spark, paths, read_schema,
+                                        mkey, with_meta)
 
 
 def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = False,
@@ -1443,18 +1475,32 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 + [_T.StructField(ROW_ID_COL, _T.LongType()),
                    _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType())])
         if enc_kid is not None:
-            # engine-encrypted files: decrypting executor-side reader
-            # (parquet modular encryption). It synthesizes the _metadata
-            # struct itself, so the inline pos-delete filter and the
-            # need_meta projection below apply unchanged.
+            # engine-encrypted files. Preferred path: Spark's NATIVE
+            # vectorized reader through parquet-mr modular encryption
+            # (jvm_crypto) — the identical FileScan a plaintext table
+            # gets (whole-stage codegen, real _metadata, Catalyst
+            # pushdown). Fallback: the decrypting mapInPandas pyarrow
+            # reader, which synthesizes the _metadata struct itself —
+            # either way the inline pos-delete filter and the need_meta
+            # projection below apply unchanged.
+            from . import jvm_crypto
             from .parquet_crypto import resolve_key
 
             mkey = resolve_key(enc_kid)
             want_meta = need_meta or bool(inline_pos_filter and pos_ranges)
-            push = (None if want_meta else
-                    _arrow_pushdown_filter(plan.residual, schema, wschema))
-            df = _encrypted_parquet_df(spark, paths, read_schema, mkey,
-                                       want_meta, arrow_filter=push)
+            if jvm_crypto.available(spark):
+                # native FileScan: the hidden `_metadata` struct resolves
+                # directly wherever downstream references it, exactly as
+                # on a plaintext group — no materialization needed
+                df = (spark.read
+                      .options(**jvm_crypto.reader_options(enc_kid, mkey))
+                      .schema(read_schema).parquet(*paths))
+            else:
+                push = (None if want_meta else
+                        _arrow_pushdown_filter(plan.residual, schema,
+                                               wschema))
+                df = _encrypted_parquet_df(spark, paths, read_schema, mkey,
+                                           want_meta, arrow_filter=push)
             if inline_pos_filter and pos_ranges:
                 affected_enc = {fp for fp, _, _ in pos_ranges}
                 if all(_io.uri_encoding_invariant(p)

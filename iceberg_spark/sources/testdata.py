@@ -22,8 +22,21 @@ TABLES = (
 
 def session(app: str = "iceberg_spark", cpus: int = 0) -> SparkSession:
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
+    builder = SparkSession.builder
+    try:
+        # KMS jar on the INITIAL classpath: lets encrypted parquet read
+        # and write through Spark's native reader/writer (jvm_crypto) —
+        # driver-side Hadoop Configurations capture the launch
+        # classloader, so runtime addJar alone is not reliably visible
+        from ..jvm_crypto import _build_jar
+
+        jar = _build_jar()
+        if jar:
+            builder = builder.config("spark.jars", jar)
+    except Exception:
+        pass
     return (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(f"local[{cpus}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(min(cpus * 2, 64)))
         .config("spark.sql.adaptive.enabled", "true")

@@ -224,6 +224,20 @@ def write_data_files(
     ptypes = dict(spec.partition_type(schema))
     dist = distribution or props.get("write.distribution-mode", "hash")
 
+    # encrypted writes prefer Spark's NATIVE parquet writer with
+    # parquet-mr modular encryption (jvm_crypto) — identical write plan
+    # to plaintext, whole-stage codegen, no Arrow transfer; the
+    # mapInPandas pyarrow writer below is the fallback
+    jvm_enc = False
+    if enc is not None:
+        from . import jvm_crypto
+
+        if jvm_crypto.available(table.spark):
+            writer_opts.update(jvm_crypto.writer_options(
+                enc[0], enc[1], enc[2]))
+            jvm_enc = True
+    py_enc = enc is not None and not jvm_enc
+
     if spec.fields:
         pcols = []
         for pf in spec.fields:
@@ -247,7 +261,7 @@ def write_data_files(
         elif dist == "range":
             df2 = df2.repartitionByRange(nparts, *[F.col(c) for c in pby])
         df2 = _apply_sort_order(df2, metadata)
-        if enc is not None:
+        if py_enc:
             paths, partitions = _write_encrypted_files(
                 df2, out_dir, pnames, enc, writer_opts, max_records)
         else:
@@ -257,7 +271,7 @@ def write_data_files(
             w.partitionBy(*pby).format(fmt).save(out_dir)
     else:
         dfw = _apply_sort_order(df, metadata)
-        if enc is not None:
+        if py_enc:
             paths, partitions = _write_encrypted_files(
                 dfw, out_dir, [], enc, writer_opts, max_records)
         else:
@@ -266,7 +280,7 @@ def write_data_files(
                 w = w.option(k, v)
             w.format(fmt).save(out_dir)
 
-    if enc is None:
+    if not py_enc:
         suffixes = (".parquet",) if fmt == "parquet" else (f".{fmt}",)
         paths, partitions = [], {}
         # manifests record file:-family paths in PLAIN form (one spelling

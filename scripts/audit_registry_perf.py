@@ -89,17 +89,21 @@ def check_bench(bench_json: dict) -> list:
         r = nv if den is None else (nv / q[den] if q.get(den) else None)
         if r is not None and r > ceil:
             fails.append(f"{gname}: {r:.2f}x > {ceil}x ({num}/{den})")
-    # encrypted scan: the decrypt+transfer cost ABOVE the fixed
-    # python-plan floor (any fresh mapInPandas plan pays it) must stay
-    # within 3x the plaintext scan of the same data
+    # encrypted scan. Primary gate (JVM-native modular-encryption path,
+    # jvm_crypto.py): <= 1.5x the plaintext scan of the same data, no
+    # floor adjustment. Fallback gate (pyarrow mapInPandas path, e.g. no
+    # JDK): decrypt+transfer cost ABOVE the fixed python-plan floor must
+    # stay within 3x plaintext. Passing either passes.
     se, fl = q.get("scan_encrypted"), q.get("python_plan_floor")
     base = q.get("orders_scan_no_deletes_baseline")
-    if se is not None and fl is not None and base:
-        extra = max(0.0, se - fl)
-        if extra > 3.0 * base:
+    if se is not None and base:
+        direct_ok = se <= 1.5 * base
+        floor_ok = (fl is not None
+                    and max(0.0, se - fl) <= 3.0 * base)
+        if not (direct_ok or floor_ok):
             fails.append(
-                f"scan_encrypted: {extra:.3f}s above the python-plan "
-                f"floor > 3x baseline {base:.3f}s")
+                f"scan_encrypted: {se:.3f}s > 1.5x baseline {base:.3f}s "
+                f"AND floor-adjusted cost > 3x baseline")
     return fails
 
 

@@ -10,8 +10,20 @@ from pyspark.sql import SparkSession
 
 @pytest.fixture(scope="session")
 def spark():
+    builder = SparkSession.builder
+    try:
+        # KMS jar on the initial classpath -> native encrypted parquet
+        # paths (jvm_crypto) run in the suite; fallback tests disable
+        # them via ICEBERG_SPARK_JVM_CRYPTO=0
+        from iceberg_spark.jvm_crypto import _build_jar
+
+        jar = _build_jar()
+        if jar:
+            builder = builder.config("spark.jars", jar)
+    except Exception:
+        pass
     s = (
-        SparkSession.builder.master("local[8]")
+        builder.master("local[8]")
         .appName("iceberg_spark_tests")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
