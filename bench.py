@@ -444,11 +444,25 @@ def main():
         ts.sort()
         return round(ts[len(ts) // 2], 4)
 
-    calibs = [cpu_calibration()]
+    def settled_calib():
+        # let the JVM's GC/compiler threads drain before probing —
+        # measured: the probe right after a heavy query block reads
+        # ~20% slow from background JVM work, not ambient load
+        import gc
+
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass
+        time.sleep(2.0)
+        return cpu_calibration()
+
+    calibs = [settled_calib()]
     pass1 = {n: measure(f, warm=True) for n, f in entries}
-    calibs.append(cpu_calibration())
+    calibs.append(settled_calib())
     pass2 = {n: measure(f) for n, f in entries}
-    calibs.append(cpu_calibration())
+    calibs.append(settled_calib())
 
     qtimes = {"cpu_calib": round(min(calibs), 4)}
     for n, _f in entries:

@@ -488,10 +488,23 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     # anything we delete (RemoveSnapshots commits, then cleanExpiredFiles)
     new_snapshots = tuple(s for s in m.snapshots if s.snapshot_id in keep_ids)
     new_log = tuple(e for e in m.snapshot_log if e[1] in keep_ids)
+    # encryption-keys hygiene (RemoveSnapshots keyMetadata cleanup):
+    # manifest-list key entries of expired snapshots go with them; KEKs
+    # stay only while a kept entry still chains through them
+    new_keys = m.encryption_keys
+    if m.encryption_keys:
+        live_kids = {s.key_id for s in new_snapshots if s.key_id}
+        kept_entries = [e for e in m.encryption_keys
+                        if e["key-id"] in live_kids]
+        live_keks = {e.get("encrypted-by-id") for e in kept_entries}
+        new_keys = tuple(
+            e for e in m.encryption_keys
+            if e["key-id"] in live_kids or e["key-id"] in live_keks)
     table._commit_metadata(replace(m, snapshots=new_snapshots,
                                    snapshot_log=new_log, refs=retained_refs,
                                    statistics_files=new_stats,
-                                   partition_statistics_files=new_pstats))
+                                   partition_statistics_files=new_pstats,
+                                   encryption_keys=new_keys))
 
     n_dead_data = 0
     deleted = 0

@@ -38,7 +38,11 @@ def build(spark, n_files: int, n_partitions: int):
         T.StructField("p", T.IntegerType()),
         T.StructField("id", T.LongType()),
     ])
-    t = cat.create_table("probe.t", schema, partition_by=["p"])
+    # one manifest per partition, no merge-on-commit: the probe measures
+    # PLANNING over N manifests, not the commit path's manifest merging
+    t = cat.create_table("probe.t", schema, partition_by=["p"],
+                         properties={"commit.manifest-merge.enabled":
+                                     "false"})
     for p in range(n_partitions):
         fs = []
         for i in range(files_per_partition):
@@ -57,19 +61,21 @@ def build(spark, n_files: int, n_partitions: int):
 
 def probe(spark, n_files: int) -> dict:
     n_partitions = max(32, n_files // 10_000)
-    t, wh = build(spark, n_files, n_partitions)
     per_part = n_files // n_partitions
+    n_files = per_part * n_partitions  # exact grid
+    t, wh = build(spark, n_files, n_partitions)
     out = {"n_files": n_files, "n_manifests": n_partitions}
 
     def timed_plan(filt, mode):
         M._MANIFEST_CACHE.clear()
         M._ARROW_CACHE.clear()
-        before = M.READ_MANIFEST_CALLS
         t0 = time.perf_counter()
         plan = t.scan(filter=filt, planning_mode=mode).plan_files()
         dt = time.perf_counter() - t0
+        # manifests actually READ = arrow-cache fills during this plan
+        # (the vectorized local planner parses each manifest exactly once)
         return (len(plan.files), round(dt, 4),
-                M.READ_MANIFEST_CALLS - before, plan.report)
+                len(M._ARROW_CACHE), plan.report)
 
     n, dt, reads, rep = timed_plan(None, "local")
     assert n == n_files, (n, n_files)
@@ -106,6 +112,7 @@ def main():
     sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
     spark = session("iceberg_spark_probe")
     spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     rows = []
     for nf in sizes:
         r = probe(spark, nf)

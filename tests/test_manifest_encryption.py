@@ -71,12 +71,19 @@ def test_full_metadata_tree_encrypted_and_lifecycle(spark, enc_table):
     files = _metadata_parquet(t.location)
     assert all(open(p, "rb").read(4) == MAGIC for p in files)
 
-    # expire old snapshots — encrypted lists of kept snapshots still read
+    # expire old snapshots — encrypted lists of kept snapshots still
+    # read, and encryption-keys entries of EXPIRED snapshots prune (the
+    # KEK survives while any kept entry chains through it)
     from iceberg_spark.maintenance import expire_snapshots
 
+    n_keys_before = len(t.metadata.encryption_keys)
     expire_snapshots(t, older_than_ms=2 ** 62, retain_last=1)
     t = t.refresh()
     assert t.to_df().count() == 359
+    keys = t.metadata.encryption_keys
+    assert len(keys) == 2 < n_keys_before  # 1 KEK + 1 live list key
+    assert {e["key-id"] for e in keys} >= {
+        s.key_id for s in t.metadata.snapshots if s.key_id}
 
 
 def test_fresh_process_reload_and_time_travel(spark, enc_table):
