@@ -449,6 +449,15 @@ def _stats_schema_fields(schema: Schema):
 # ---------------------------------------------------------------------------
 
 
+# reserved position-delete column ids (format/spec.md:1388 —
+# 2147483546 = file_path, 2147483545 = pos). Their per-file bounds drive
+# UNRELATED-delete pruning (DeleteFileIndex range check), so manifests
+# persist them in dedicated stats columns; table-schema field ids can
+# never collide with the reserved range.
+DELETE_FILE_PATH_FID = 2147483546
+DELETE_POS_FID = 2147483545
+
+
 def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
     fields = [
         pa.field("status", pa.int32()),
@@ -477,6 +486,13 @@ def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
         fields.append(pa.field(f"nulls_f{fid}", pa.int64()))
         fields.append(pa.field(f"nans_f{fid}", pa.int64()))
         fields.append(pa.field(f"values_f{fid}", pa.int64()))
+    # reserved pos-delete file_path bounds (all-null on data entries;
+    # arrow nulls cost nothing) — without them a parquet pos-delete's
+    # path range is lost at serialization and the planner must attach
+    # every delete file to every scan (conservative but O(deletes) at
+    # 100 TB; the reference prunes these via DeleteFileIndex)
+    fields.append(pa.field(f"min_f{DELETE_FILE_PATH_FID}", pa.string()))
+    fields.append(pa.field(f"max_f{DELETE_FILE_PATH_FID}", pa.string()))
     return pa.schema(fields)
 
 
@@ -547,6 +563,12 @@ def write_manifest(
             cols[f"nulls_f{fid}"].append(nulls)
             cols[f"nans_f{fid}"].append(nans)
             cols[f"values_f{fid}"].append(values)
+        dst = (f.stats.get("file_path")
+               if f.content == POSITION_DELETES else None)
+        cols[f"min_f{DELETE_FILE_PATH_FID}"].append(
+            dst[0] if dst and isinstance(dst[0], str) else None)
+        cols[f"max_f{DELETE_FILE_PATH_FID}"].append(
+            dst[1] if dst and isinstance(dst[1], str) else None)
         seqs.append(e.sequence_number)
         counts[e.status] += 1
         rows[e.status] += f.record_count
@@ -671,6 +693,11 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
         stat_cols.append((sf.name, *five,
                           sf.type in ("timestamp", "timestamp_ntz")))
 
+    # reserved pos-delete file_path bounds -> stats["file_path"] on
+    # delete rows (drives unrelated-delete range pruning)
+    dmin = colvals(f"min_f{DELETE_FILE_PATH_FID}")
+    dmax = colvals(f"max_f{DELETE_FILE_PATH_FID}")
+
     status = colvals("status")
     snap_id = colvals("snapshot_id")
     seq = colvals("sequence_number")
@@ -706,6 +733,11 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
                          nnl[i] if nnl is not None else None,
                          nal[i] if nal is not None else None,
                          vvl[i] if vvl is not None else None)
+        if content[i] == POSITION_DELETES and (dmin or dmax):
+            lo = dmin[i] if dmin is not None else None
+            hi = dmax[i] if dmax is not None else None
+            if lo is not None or hi is not None:
+                stats["file_path"] = (lo, hi, None, None, None)
         eq = eq_ids[i] if eq_ids is not None else None
         out.append(
             ManifestEntry(
@@ -754,6 +786,11 @@ def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
                 _normalize(rd[f"max_f{fid}"], f_.type),
                 rd[f"nulls_f{fid}"], rd[f"nans_f{fid}"], rd[f"values_f{fid}"],
             )
+    if rd["content"] == POSITION_DELETES:
+        lo = rd.get(f"min_f{DELETE_FILE_PATH_FID}")
+        hi = rd.get(f"max_f{DELETE_FILE_PATH_FID}")
+        if lo is not None or hi is not None:
+            stats["file_path"] = (lo, hi, None, None, None)
     return ManifestEntry(
         status=rd["status"], snapshot_id=rd["snapshot_id"],
         sequence_number=rd["sequence_number"],

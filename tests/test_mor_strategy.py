@@ -142,3 +142,44 @@ def test_delete_pruning_safe_across_spec_evolution(catalog, spark):
     got0 = sorted(r.id for r in
                   t.scan(filter=col("bucket") == 0).df().collect())
     assert got0 == [i for i in range(50, 240) if i % 4 == 0]
+
+
+def test_unrelated_delete_pruning_survives_manifest_roundtrip(spark,
+                                                              tmp_path):
+    """Parquet pos-delete file_path bounds persist in manifests via the
+    reserved stats columns (min/max_f2147483546, format/spec.md:1388) —
+    a scan over files a delete cannot touch attaches ZERO delete files,
+    the DeleteFileIndex unrelated-delete shape
+    (IcebergSourceParquetWithUnrelatedDeleteBenchmark). Before round 8
+    the bounds died at serialization and every pos delete rode every
+    scan."""
+    from iceberg_spark import manifests as M
+    from iceberg_spark.expressions import col
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 10_000).selectExpr("id", "id % 10 as g")
+    t = cat.create_table("db.u", df.schema, properties={
+        "write.delete.mode": "merge-on-read"})
+    for lo in range(0, 10_000, 2_000):
+        t.append(df.filter((df.id >= lo) & (df.id < lo + 2_000)))
+    t.delete_where((col("id") >= 100) & (col("id") < 150),
+                   mode="merge-on-read")
+    t = cat.load_table("db.u")
+    M._MANIFEST_CACHE.clear()
+    M._ARROW_CACHE.clear()
+    full = t.scan().plan_files()
+    assert full.pos_deletes
+    assert all(d.file.stats.get("file_path") and
+               d.file.stats["file_path"][0] is not None
+               for d in full.pos_deletes)
+    for mode in ("local", "distributed"):
+        M._MANIFEST_CACHE.clear()
+        M._ARROW_CACHE.clear()
+        far = t.scan(filter=col("id") >= 8_000,
+                     planning_mode=mode).plan_files()
+        assert far.files and not far.pos_deletes, mode
+        near = t.scan(filter=col("id") < 200,
+                      planning_mode=mode).plan_files()
+        assert near.pos_deletes, mode
+    assert t.to_df().count() == 9_950
