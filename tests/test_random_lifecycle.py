@@ -207,8 +207,51 @@ def test_random_lifecycle_everything_on(spark, tmp_path, seed, use_dv):
             assert PC.decode_key_metadata(f.key_metadata) == kid
             st = f.stats.get("val")
             assert st is None or (st[0] is None and st[1] is None)
+        # round-8 zero-plaintext guarantee: with BOTH planes on, every
+        # file under the table location is encrypted — data/deletes
+        # PARE (modular encryption), DV puffin + manifests + lists +
+        # metadata.json AGS1 (GCM streams). Only Spark's _SUCCESS/crc
+        # droppings and the version hint are exempt.
+        import glob as _glob
+        import os as _os
+
+        for p in _glob.glob(_os.path.join(t.location, "**", "*"),
+                            recursive=True):
+            base = _os.path.basename(p)
+            if not _os.path.isfile(p) or base.startswith(("_", ".")) \
+                    or base == "version-hint.text":
+                continue
+            magic = open(p, "rb").read(4)
+            assert magic in (b"PARE", b"AGS1"), (p, magic)
     finally:
         PC.unregister_key(kid)
+
+
+@pytest.mark.parametrize("seed,use_dv", [(97, False)])
+def test_random_lifecycle_encrypted_manifests_on_hadoop_fileio(
+        spark, tmp_path, seed, use_dv):
+    """Encrypted metadata TREE (metadata_key -> encrypted manifests +
+    lists, round 8) with the warehouse behind HadoopFileIO (file://
+    URI): every GCM-stream manifest read/write and every key-chain
+    resolution runs the object-store IO path, interleaved with the
+    full lifecycle."""
+    from iceberg_spark import manifests as M
+    from iceberg_spark.table import Catalog
+
+    key = bytes(range(16))
+    cat = Catalog(spark, f"file://{tmp_path}/encioh", metadata_key=key)
+    t, model, steps = _apply_random_lifecycle(cat, spark, seed, use_dv)
+    assert _scan_rows(t) == _model_rows(model)
+    assert t.location.startswith("file://")
+    assert all(s.key_id for s in t.metadata.snapshots)
+    # fresh-process reload through the scheme path + key chain
+    M._FILE_KEYS.clear()
+    M._MANIFEST_CACHE.clear()
+    M._ARROW_CACHE.clear()
+    M._ML_CACHE.clear()
+    t2 = Catalog(spark, f"file://{tmp_path}/encioh",
+                 metadata_key=key).load_table(t.identifier)
+    assert _scan_rows(t2) == _model_rows(model)
 
 
 @pytest.mark.parametrize("seed,use_dv", [(71, False), (79, True)])
