@@ -136,16 +136,20 @@ def _full_data_entries(table, data_mans, paths_df) -> list:
     by `paths_df` (resolved paths), via per-spec Spark reads of the data
     manifests — never a per-manifest driver loop."""
     from .manifests import DELETED as _DEL, entry_from_spark_row
-    from .metadata_df import resolve_path_col
+    from .metadata_df import _manifest_rows_dfs, resolve_path_col
 
     m = table.metadata
     by_spec: dict = {}
     for mf in data_mans:
-        by_spec.setdefault(mf.spec_id, []).append(mf.path)
+        by_spec.setdefault(mf.spec_id, []).append(mf)
     by_path: dict = {}
-    for spec_id, paths in by_spec.items():
+    for spec_id, group in by_spec.items():
         spec = m.spec_by_id(spec_id)
-        df = (table.spark.read.option("mergeSchema", "true").parquet(*paths)
+        legs = _manifest_rows_dfs(table.spark, group, m.schema, spec)
+        raw = legs[0]
+        for leg in legs[1:]:
+            raw = raw.unionByName(leg, allowMissingColumns=True)
+        df = (raw
               .filter((F.col("status") != _DEL) & (F.col("content") == DATA))
               .withColumn("__rp", resolve_path_col(F.col("file_path"),
                                                    m.location))
@@ -167,7 +171,7 @@ def _plan_changes_spark(table, chain, prev_snap) -> _Changes:
     only changed files and per-ordinal delete-file lists. Driver time is
     O(changed files), not O(files x snapshots)."""
     from .manifests import DELETED as _DEL, entry_from_spark_row
-    from .metadata_df import core_entries_df, manifest_path_col
+    from .metadata_df import core_entries_df
 
     m = table.metadata
     spark = table.spark
@@ -194,12 +198,18 @@ def _plan_changes_spark(table, chain, prev_snap) -> _Changes:
     del_by_manifest: dict = {}
     by_spec: dict = {}
     for mf in del_mans:
-        by_spec.setdefault(mf.spec_id, []).append(mf.path)
-    for spec_id, paths in by_spec.items():
+        by_spec.setdefault(mf.spec_id, []).append(mf)
+    for spec_id, group in by_spec.items():
+        from .metadata_df import _manifest_rows_dfs
+
         spec = m.spec_by_id(spec_id)
-        df = (spark.read.option("mergeSchema", "true").parquet(*paths)
-              .filter(F.col("status") != _DEL)
-              .withColumn("__mp", manifest_path_col(paths)))
+        legs = _manifest_rows_dfs(spark, group, m.schema, spec,
+                                  with_path=True)
+        raw = legs[0]
+        for leg in legs[1:]:
+            raw = raw.unionByName(leg, allowMissingColumns=True)
+        df = (raw.filter(F.col("status") != _DEL)
+              .withColumnRenamed("__manifest_path", "__mp"))
         for r in df.collect():
             rd = r.asDict()
             mp = rd.pop("__mp")

@@ -341,34 +341,46 @@ def entries_table_df(table, snapshots, statuses=None,
     return out
 
 
-def _manifest_rows_dfs(spark, group, schema, spec) -> list:
+def _manifest_rows_dfs(spark, group, schema, spec,
+                       with_path: bool = False) -> list:
     """Raw manifest rows of one spec group as DataFrames: plaintext
     manifests through the JVM parquet source (mergeSchema), encrypted
     ones through a decrypting RDD leg with the CURRENT manifest schema
-    (the JVM reader cannot open AES GCM Streams)."""
+    (the JVM reader cannot open AES GCM Streams). `with_path` adds a
+    `__manifest_path` column naming each row's source manifest on both
+    legs."""
     from .manifests import file_key, manifest_arrow_schema
 
     plain = [mf.path for mf in group if file_key(mf.path) is None]
     enc = [mf.path for mf in group if file_key(mf.path) is not None]
     dfs = []
     if plain:
-        dfs.append(spark.read.option("mergeSchema", "true").parquet(*plain))
+        df = spark.read.option("mergeSchema", "true").parquet(*plain)
+        if with_path:
+            df = df.withColumn("__manifest_path",
+                               manifest_path_col(plain))
+        dfs.append(df)
     if enc:
         from pyspark.sql.pandas.types import from_arrow_schema
 
         read_schema = from_arrow_schema(manifest_arrow_schema(schema, spec))
         fields = tuple(read_schema.fieldNames())
+        if with_path:
+            read_schema = T.StructType(
+                list(read_schema.fields)
+                + [T.StructField("__manifest_path", T.StringType())])
         payload = [(p, *file_key(p)) for p in enc]
         sc = spark.sparkContext
         rdd = sc.parallelize(payload, min(len(payload),
                                           sc.defaultParallelism * 2)) \
-            .flatMap(lambda a: _decrypt_manifest_rows(*a, fields))
+            .flatMap(lambda a: _decrypt_manifest_rows(
+                *a, fields, path_col=with_path))
         dfs.append(spark.createDataFrame(rdd, read_schema))
     return dfs
 
 
 def _decrypt_manifest_rows(path: str, key: bytes, aad: bytes,
-                           fields: tuple) -> list:
+                           fields: tuple, path_col: bool = False) -> list:
     """Executor-side full-row read of one encrypted manifest, aligned to
     `fields` (absent columns -> None). Module-level for pickling."""
     import pyarrow as pa
@@ -382,7 +394,8 @@ def _decrypt_manifest_rows(path: str, key: bytes, aad: bytes,
     n = t.num_rows
     cols = [t[f].to_pylist() if f in t.column_names else [None] * n
             for f in fields]
-    return [tuple(c[i] for c in cols) for i in range(n)]
+    tail = (_eio.strip_scheme(path),) if path_col else ()
+    return [tuple(c[i] for c in cols) + tail for i in range(n)]
 
 
 def _entries_select(df, m, schema, spec, json_opts):

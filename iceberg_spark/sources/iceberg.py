@@ -576,6 +576,13 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
     Concurrency control is the REST requirement check the caller ran
     (assert-ref-snapshot-id) plus the engine's optimistic version
     commit."""
+    if snap_json.get("key-id"):
+        # the client wrapped its manifest-list key under ITS OWN KEK
+        # chain; the server has no unwrap context for foreign KMS wraps
+        raise NotImplementedError(
+            "add-snapshot with an encrypted manifest list (snapshot "
+            "key-id) is not supported over REST — commit through an "
+            "engine catalog constructed with the table's metadata_key")
     meta = table.metadata
     schemas = {s.schema_id: s for s in meta.schemas}
     specs = {sp.spec_id: sp for sp in meta.partition_specs}

@@ -63,3 +63,33 @@ def test_changelog_distributed_replace_swallowed(catalog, spark):
         types = [r["_change_type"] for r in ch.collect()]
         assert types.count("INSERT") == 5, (mode, types)
         assert types.count("DELETE") == 0, (mode, types)
+
+
+def test_changelog_distributed_over_encrypted_manifests(spark, tmp_path):
+    """Distributed changelog planning over an ENCRYPTED metadata tree:
+    the data/delete manifest reads route through the decrypting RDD legs
+    (_manifest_rows_dfs) since the JVM parquet source cannot open AES
+    GCM Streams — local and distributed planners must agree row-for-row
+    with zero driver manifest reads in distributed mode."""
+    from iceberg_spark.table import Catalog
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()), T.StructField("v", T.StringType())
+    ])
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=bytes(range(16)))
+    t = cat.create_table("db.cdcenc", schema,
+                         properties={"write.delete.mode": "merge-on-read"})
+    for i in range(12):
+        t.append(spark.createDataFrame([(i, f"v{i}")], schema).coalesce(1))
+    t.delete_where(col("id") == 3)
+    t.delete_where(col("id") == 7, mode="merge-on-read")
+    t.append(spark.createDataFrame([(100, "x")], schema).coalesce(1))
+    t = cat.load_table("db.cdcenc")
+
+    local = sorted(_row_key(r) for r in t.changes(mode="local").collect())
+    before = manifests.READ_MANIFEST_CALLS
+    dist = sorted(_row_key(r) for r in
+                  t.changes(mode="distributed").collect())
+    assert manifests.READ_MANIFEST_CALLS == before
+    assert local == dist
+    assert len(dist) == 13 + 2  # 13 inserts, 2 deletes

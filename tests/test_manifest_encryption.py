@@ -201,3 +201,52 @@ def test_rewrite_table_path_refuses_decrypt_copy(spark, enc_table, tmp_path):
 
     with pytest.raises(NotImplementedError, match="PLAINTEXT|plaintext"):
         rewrite_table_path(t, t.location, str(tmp_path / "dr"))
+
+
+def test_concurrent_commit_retry_encrypted(spark, tmp_path):
+    """CAS-losing commits on an encrypted-manifest table rebuild their
+    ManifestCrypto against the refreshed base on retry — the loser's
+    provisional encryption-keys entries never leak into metadata, the
+    winner's chain stays intact, and every snapshot still decrypts."""
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=KEY)
+    df = spark.range(0, 60).selectExpr("id")
+    t = cat.create_table("db.cc", df.schema)
+    t.append(df)
+    stale = cat.load_table("db.cc")  # second handle, same base
+    t = cat.load_table("db.cc")
+    t.append(spark.range(100, 130).selectExpr("id"))      # winner
+    stale.append(spark.range(200, 260).selectExpr("id"))  # retries, lands
+    t = cat.load_table("db.cc")
+    assert t.to_df().count() == 60 + 30 + 60
+    m = t.metadata
+    assert all(s.key_id for s in m.snapshots)
+    kids = {e["key-id"] for e in m.encryption_keys}
+    # exactly 1 KEK + one list key per snapshot — no orphaned entries
+    # from the losing attempt
+    assert len(m.encryption_keys) == 1 + len(m.snapshots)
+    assert all(s.key_id in kids for s in m.snapshots)
+    _clear_key_registry()
+    t2 = Catalog(spark, str(tmp_path / "wh"),
+                 metadata_key=KEY).load_table("db.cc")
+    assert t2.to_df().count() == 150
+
+
+def test_streaming_source_and_sink_over_encrypted_tables(spark, tmp_path):
+    """The micro-batch incremental source reads encrypted manifest
+    lists/manifests through the key registry, and the epoch-idempotent
+    sink COMMITS encrypted manifests — appends stream out of one
+    encrypted table into another batch-for-batch."""
+    from iceberg_spark.streaming import MicroBatchStream, append_sink
+
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=KEY)
+    df = spark.range(0, 50).selectExpr("id")
+    t = cat.create_table("db.src", df.schema)
+    t.append(df)
+    sink = cat.create_table("db.sink", df.schema)
+    stream = MicroBatchStream(t, str(tmp_path / "ckpt"),
+                              from_snapshot_id=-1)
+    assert stream.process_available(append_sink(sink, "q1")) >= 1
+    sink = cat.load_table("db.sink")
+    assert sink.to_df().count() == 50
+    files = _metadata_parquet(sink.location)
+    assert files and all(open(p, "rb").read(4) == MAGIC for p in files)
