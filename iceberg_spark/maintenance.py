@@ -1171,6 +1171,55 @@ def _write_dvs(table, kept) -> list:
 # ---------------------------------------------------------------------------
 
 
+def _stats_encryption(table):
+    """(key, aad, skm_b64) for one NEW stats file under a metadata_key
+    table — statistics files carry partition values / NDV sketches, so
+    the encrypted-metadata-tree guarantee covers them too. The
+    StandardKeyMetadata rides the stats ENTRY in table metadata (itself
+    encrypted), an engine-internal extension slot
+    (`engine-key-metadata`). None for plaintext catalogs."""
+    mkey = getattr(table.ops, "metadata_key", None)
+    if mkey is None:
+        return None
+    import base64
+    import secrets
+
+    from .encryption import encode_standard_key_metadata
+    from .manifests import register_file_key
+
+    fk, aad = secrets.token_bytes(16), secrets.token_bytes(16)
+
+    def finish(path, length):
+        register_file_key(path, fk, aad)
+        return base64.b64encode(
+            encode_standard_key_metadata(fk, aad, length)).decode("ascii")
+
+    return fk, aad, finish
+
+
+def _read_stats_parquet(spark, entry):
+    """Partition-stats parquet -> DataFrame, decrypting when the entry
+    carries engine key metadata (registered keys also work)."""
+    import base64
+
+    path = entry["statistics-path"]
+    km = entry.get("engine-key-metadata")
+    if km is None:
+        return spark.read.parquet(path)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .encryption import decode_standard_key_metadata, decrypt_stream
+
+    fk, aad, _len = decode_standard_key_metadata(base64.b64decode(km))
+    raw = _io.resolve_io(path).read_bytes(path)
+    t = pq.read_table(pa.BufferReader(decrypt_stream(raw, fk, aad or b"")))
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return spark.createDataFrame(t.to_pylist(),
+                                 schema=from_arrow_schema(t.schema))
+
+
 def compute_table_stats(table, columns=None) -> dict:
     """NDV per column as mergeable Theta sketches (theta_sketch_agg), the
     Puffin `apache-datasketches-theta-v1` blob analog (NDVSketchUtil.java:
@@ -1216,6 +1265,7 @@ def compute_table_stats(table, columns=None) -> dict:
             f"unsupported write.puffin.compression-codec: {codec!r} "
             "(zstd | lz4 | none)")
     codec = None if codec == "none" else codec
+    senc = _stats_encryption(table)
     facts = write_puffin(path, [
         # the fallback writes NO sketch bytes, so it must not claim the
         # theta type — a spec-compliant consumer would try to deserialize
@@ -1227,13 +1277,17 @@ def compute_table_stats(table, columns=None) -> dict:
          **({"compression-codec": codec} if codec else {}),
          "properties": {"ndv": str(ndv[c])}}
         for c in cols
-    ], properties={"created-by": "iceberg_spark"})
+    ], properties={"created-by": "iceberg_spark"},
+        encrypt=senc[:2] if senc else None)
     m = table.metadata
     entry = {"snapshot-id": stats["snapshot-id"], "statistics-path": path,
              "file-size-in-bytes": facts["file-size-in-bytes"],
              "file-footer-size-in-bytes": facts["file-footer-size-in-bytes"],
              "blob-metadata": facts["blob-metadata"],
              "ndv": stats["ndv"]}
+    if senc:
+        entry["engine-key-metadata"] = senc[2](
+            path, facts["file-size-in-bytes"])
     # setStatistics semantics (reference UpdateStatistics): one entry per
     # snapshot — replace any existing entry for this snapshot and drop its
     # superseded file (orphan cleanup never walks metadata/stats). The
@@ -1428,11 +1482,23 @@ def compute_partition_stats(table, incremental: bool = True) -> str:
                              for x in kv])
               if snap_ts else F.lit(None))
 
-    def agg_over(mf_paths, only_ids=None):
-        """Per-partition rollup over a set of manifest parquet files;
-        only_ids restricts to entries COMMITTED by those snapshots (the
-        incremental delta — EXISTING carryovers must not double-count)."""
-        df = spark.read.option("mergeSchema", "true").parquet(*mf_paths)
+    def agg_over(mfs, only_ids=None):
+        """Per-partition rollup over a set of manifests; only_ids
+        restricts to entries COMMITTED by those snapshots (the
+        incremental delta — EXISTING carryovers must not double-count).
+        Encrypted manifests route through the decrypting RDD legs."""
+        from .metadata_df import _manifest_rows_dfs
+
+        by_spec: dict = {}
+        for mf in mfs:
+            by_spec.setdefault(mf.spec_id, []).append(mf)
+        legs = []
+        for spec_id, group in by_spec.items():
+            legs += _manifest_rows_dfs(spark, group, m.schema,
+                                       m.spec_by_id(spec_id))
+        df = legs[0]
+        for leg in legs[1:]:
+            df = df.unionByName(leg, allowMissingColumns=True)
         names = set(df.columns)
         pcols = [
             (F.col(f"p_{nm}") if f"p_{nm}" in names
@@ -1480,7 +1546,7 @@ def compute_partition_stats(table, incremental: bool = True) -> str:
     prev_entry, new_ids = (_pstats_incremental_base(m, snap)
                            if incremental else (None, None))
     if manifests and prev_entry is not None:
-        prev_df = spark.read.parquet(prev_entry["statistics-path"])
+        prev_df = _read_stats_parquet(spark, prev_entry)
         prev_fields = [f.name for f in
                        prev_df.schema["partition"].dataType.fields]
         if prev_fields == [nm for nm, _ in ufields]:
@@ -1488,8 +1554,7 @@ def compute_partition_stats(table, incremental: bool = True) -> str:
                        if mf.added_snapshot_id in new_ids]
             merged = prev_df.select(*[f.name for f in out_schema.fields])
             if new_mfs:
-                merged = merged.unionByName(
-                    agg_over([mf.path for mf in new_mfs], new_ids))
+                merged = merged.unionByName(agg_over(new_mfs, new_ids))
             stats = (
                 merged.groupBy("partition", "spec_id")
                 .agg(F.sum("data_record_count").alias("data_record_count"),
@@ -1517,7 +1582,7 @@ def compute_partition_stats(table, incremental: bool = True) -> str:
                       "manifests_read": [mf.path for mf in new_mfs]}
     if stats is None:
         if manifests:
-            stats = agg_over([mf.path for mf in manifests])
+            stats = agg_over(manifests)
         else:
             stats = spark.createDataFrame([], out_schema)
     # spec: rows sorted ascending, NULLS FIRST, by partition
@@ -1528,23 +1593,40 @@ def compute_partition_stats(table, incremental: bool = True) -> str:
     sdir = os.path.join(table.location, "metadata", "partition-stats")
     sio = _io.resolve_io(sdir)
     sio.mkdirs(sdir)
-    # one file per snapshot (spec); partition-count rows -> coalesce(1)
-    tmp = os.path.join(sdir, f"tmp-{_uuid.uuid4().hex}")
-    stats.coalesce(1).write.parquet(tmp)
-    part = [fn for fn in sio.list(tmp)
-            if fn.startswith("part-") and fn.endswith(".parquet")]
     path = os.path.join(sdir, f"pstats-{_uuid.uuid4().hex}.parquet")
-    if part:
-        sio.rename(os.path.join(tmp, part[0]), path)
-    else:
-        # Spark produced no part file (empty single-partition write): write
-        # a zero-row parquet with the spec schema so the committed
-        # statistics-path is never dangling
-        _io.write_parquet(stats.limit(0).toArrow(), path)
-    sio.delete_dir(tmp)
+    senc = _stats_encryption(table)
     entry = {"snapshot-id": snap.snapshot_id if snap else None,
-             "statistics-path": path,
-             "file-size-in-bytes": _io.file_size(path)}
+             "statistics-path": path}
+    if senc is not None:
+        # encrypted metadata tree: the stats file (partition VALUES +
+        # counts) writes as an AES GCM Stream; rows are partition-count-
+        # sized, so the driver-side arrow collect is plan-sized
+        import io as _pyio
+
+        import pyarrow.parquet as _pq
+
+        from .encryption import encrypt_stream
+
+        buf = _pyio.BytesIO()
+        _pq.write_table(stats.toArrow(), buf, compression="zstd")
+        ct = encrypt_stream(buf.getvalue(), senc[0], senc[1])
+        sio.write_bytes(path, ct)
+        entry["engine-key-metadata"] = senc[2](path, len(ct))
+    else:
+        # one file per snapshot (spec); partition-count rows -> coalesce(1)
+        tmp = os.path.join(sdir, f"tmp-{_uuid.uuid4().hex}")
+        stats.coalesce(1).write.parquet(tmp)
+        part = [fn for fn in sio.list(tmp)
+                if fn.startswith("part-") and fn.endswith(".parquet")]
+        if part:
+            sio.rename(os.path.join(tmp, part[0]), path)
+        else:
+            # Spark produced no part file (empty single-partition write):
+            # write a zero-row parquet with the spec schema so the
+            # committed statistics-path is never dangling
+            _io.write_parquet(stats.limit(0).toArrow(), path)
+        sio.delete_dir(tmp)
+    entry["file-size-in-bytes"] = _io.file_size(path)
     table._commit_metadata(
         replace(m, partition_statistics_files=m.partition_statistics_files + (entry,)))
     return path

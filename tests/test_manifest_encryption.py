@@ -250,3 +250,49 @@ def test_streaming_source_and_sink_over_encrypted_tables(spark, tmp_path):
     assert sink.to_df().count() == 50
     files = _metadata_parquet(sink.location)
     assert files and all(open(p, "rb").read(4) == MAGIC for p in files)
+
+
+def test_stats_files_encrypt_under_metadata_key(spark, tmp_path):
+    """Statistics files carry partition VALUES and NDV sketches — under
+    a metadata_key catalog they encrypt too (AES GCM Streams with the
+    key riding the stats entry inside the encrypted metadata.json), and
+    the incremental partition-stats merge decrypts the previous file."""
+    from iceberg_spark.maintenance import (compute_partition_stats,
+                                           compute_table_stats)
+
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=KEY)
+    df = spark.range(0, 200).selectExpr("id", "id % 4 as g")
+    t = cat.create_table("db.ps", df.schema, partition_by=["g"])
+    t.append(df)
+    p1 = compute_partition_stats(t.refresh())
+    assert open(p1, "rb").read(4) == MAGIC
+    ndv = compute_table_stats(t.refresh(), columns=["g"])
+    assert ndv["ndv"]["g"] == 4
+    t = cat.load_table("db.ps")
+    spath = t.metadata.statistics_files[-1]["statistics-path"]
+    assert open(spath, "rb").read(4) == MAGIC
+    assert t.metadata.statistics_files[-1]["engine-key-metadata"]
+
+    # append-only lineage -> incremental merge reads the ENCRYPTED
+    # previous stats file
+    t.append(spark.range(200, 300).selectExpr("id", "id % 4 as g"))
+    t = cat.load_table("db.ps")
+    p2 = compute_partition_stats(t, incremental=True)
+    assert open(p2, "rb").read(4) == MAGIC
+    assert t.last_partition_stats_report["mode"] == "incremental"
+    from iceberg_spark.maintenance import _read_stats_parquet
+
+    t = cat.load_table("db.ps")
+    sdf = _read_stats_parquet(
+        spark, t.metadata.partition_statistics_files[-1])
+    rows = {r["partition"]["g"]: r["data_record_count"]
+            for r in sdf.collect()}
+    assert rows == {0: 75, 1: 75, 2: 75, 3: 75}
+    # nothing plaintext under metadata/ except the version hint
+    for p in glob.glob(os.path.join(t.location, "metadata", "**", "*"),
+                       recursive=True):
+        base = os.path.basename(p)
+        if not os.path.isfile(p) or base == "version-hint.text" \
+                or base.startswith(("_", ".")):
+            continue
+        assert open(p, "rb").read(4) == MAGIC, p
