@@ -192,6 +192,51 @@ def dv_delete_benchmarks(spark, register, sf_dir):
     register("delete_mor_dv_scan", dv_scan)
 
 
+def unrelated_delete_benchmarks(spark, register, sf_dir):
+    """MoR scan whose filter touches only files the table's position
+    deletes CANNOT affect (reference IcebergSourceParquetWith-
+    UnrelatedDeleteBenchmark): the planner must prune the delete files
+    by their persisted file_path bounds and run the plain fast path.
+    Twin: the identical filtered scan on a no-delete clone; gate <=1.25x
+    (delete attach work must be ~zero when deletes are unrelated)."""
+    import tempfile
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="iceberg_spark_unrel_"))
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    step = mx // 8 + 1
+
+    def chunked(t):
+        for lo in range(0, mx + 1, step):
+            t.append(orders.filter((F.col("o_orderkey") >= lo)
+                                   & (F.col("o_orderkey") < lo + step)))
+
+    t = cat.create_table("bench.unrel_orders", orders.schema, properties={
+        "write.delete.mode": "merge-on-read"})
+    chunked(t)
+    t.delete_where(col("o_orderkey") <= mx // 50, mode="merge-on-read")
+    t = t.refresh()
+    tb = cat.create_table("bench.unrel_orders_base", orders.schema)
+    chunked(tb)
+    tb = tb.refresh()
+    half = mx // 2
+    plan = t.scan(filter=col("o_orderkey") >= half).plan_files()
+    assert not plan.pos_deletes, \
+        f"unrelated deletes must prune, got {len(plan.pos_deletes)}"
+
+    def scan(tt):
+        return (tt.scan(filter=col("o_orderkey") >= half).df()
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .collect())
+
+    register("mor_unrelated_delete_scan", lambda: scan(t))
+    register("orders_filtered_scan_baseline", lambda: scan(tb))
+
+
 def encrypted_scan_benchmarks(spark, register, sf_dir):
     """Scan through parquet modular encryption (decrypting executor-side
     reader with residual pushdown). Twin: orders_scan_no_deletes_baseline
@@ -420,6 +465,7 @@ def main():
     register("orders_scan_no_deletes_baseline", orders_scan_baseline)
     eq_delete_benchmarks(spark, register, SF_DIR)
     dv_delete_benchmarks(spark, register, SF_DIR)
+    unrelated_delete_benchmarks(spark, register, SF_DIR)
     encrypted_scan_benchmarks(spark, register, SF_DIR)
     planning_benchmarks(spark, register)
     import_benchmarks(spark, register)

@@ -66,6 +66,10 @@ GATES_RATIO = {
     "mor_dv": ("delete_mor_dv_scan", "orders_scan_no_deletes_baseline", 1.35),
     "mor_pos": ("delete_mor_scan", "orders_scan_no_deletes_baseline", 2.0),
     "eq_mor": ("eq_delete_mor_scan", "orders_scan_no_deletes_baseline", 2.0),
+    # unrelated deletes prune by persisted file_path bounds: the MoR scan
+    # whose filter misses every delete must cost ~the plain filtered scan
+    "mor_unrelated": ("mor_unrelated_delete_scan",
+                      "orders_filtered_scan_baseline", 1.25),
     "q1_vs_raw": ("q1_vs_raw_ratio", None, 1.5),  # interleaved median
 }
 
