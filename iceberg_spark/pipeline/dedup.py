@@ -662,8 +662,10 @@ def semantic_dedup(spark, sf_dir, k: int = None,
     fixture pins k=4 at test scale).
 
     Distributed shapes — this IS the SemDeDup trick: clustering bounds
-    the quadratic term. Assignment is a rowwise argmin against SD_K
-    broadcast centroids (no shuffle); the pair step shuffles on `cluster`
+    the quadratic term. Assignment is an int64 GEMM against the
+    broadcast centroid matrix inside mapInPandas (no shuffle; cost
+    independent of K's expression footprint — see _assign); the pair
+    step shuffles on `cluster`
     only and evaluates the cosine test bucket-locally, so pair work is
     O(sum cluster_size^2), never O(n^2) corpus-wide — K grows with the
     corpus to cap cluster sizes. Exactness: vectors quantize by a
@@ -680,18 +682,40 @@ def semantic_dedup(spark, sf_dir, k: int = None,
              .select("vec_id", "q").collect())  # k rows
     cents = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in seeds}
 
-    def d2(k):  # int64 squared L2 to centroid k
-        ck = F.array(*[F.lit(v).cast("long") for v in cents[k]])
-        return F.aggregate(
-            F.zip_with("q", ck, lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
+    # assignment as an int64 GEMM against the broadcast centroid matrix
+    # (mapInPandas, the knn_bruteforce shape): argmin_k(|q-c_k|^2) =
+    # argmin_k(-2 q.c_k + |c_k|^2) — the per-row |q|^2 constant drops
+    # without changing any argmin, everything stays int64-exact, and
+    # ties break to the LOWEST centroid id (np.argmin first occurrence
+    # over id-sorted rows = the oracle's ORDER BY d2, k). An expression-
+    # tree argmin costs O(K) zip_with/aggregate subtrees per row — at
+    # production K (thousands) Catalyst compilation alone explodes,
+    # while the GEMM is one broadcast matrix regardless of K.
+    import numpy as _np
 
-    dists = F.array(*[F.struct(d2(k).alias("d"), F.lit(k).alias("k"))
-                      for k in sorted(cents)])
-    a = (q.withColumn("cluster", F.array_min(dists)["k"])
-         .withColumn("n2", F.aggregate(
-             F.transform("q", lambda x: x * x),
-             F.lit(0).cast("long"), lambda acc, x: acc + x)))
+    _ks = sorted(cents)
+    _C = _np.array([cents[kk] for kk in _ks], dtype=_np.int64)
+    _kid = _np.array(_ks, dtype=_np.int64)
+
+    def _assign(batches):
+        import numpy as np
+        import pandas as pd
+
+        c2 = (_C * _C).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            d = -2 * (Q @ _C.T) + c2[None, :]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "q": pdf["q"],
+                "cluster": _kid[np.argmin(d, axis=1)],
+                "n2": (Q * Q).sum(axis=1),
+            })
+
+    a = q.mapInPandas(
+        _assign, "vec_id long, q array<long>, cluster long, n2 long")
 
     # per-cluster pair test as an int64 GEMM (applyInPandas): ONE shuffle
     # on `cluster`, then numpy Q @ Q.T inside the bucket — identical
