@@ -67,9 +67,14 @@ GATES_RATIO = {
     "mor_pos": ("delete_mor_scan", "orders_scan_no_deletes_baseline", 2.0),
     "eq_mor": ("eq_delete_mor_scan", "orders_scan_no_deletes_baseline", 2.0),
     # unrelated deletes prune by persisted file_path bounds: the MoR scan
-    # whose filter misses every delete must cost ~the plain filtered scan
+    # whose filter misses every delete must cost ~the plain filtered scan.
+    # The hard check is bench.py's setup assertion (plan attaches ZERO
+    # delete files); the ratio is a backstop against delete-apply work
+    # sneaking back in (an attached set costs 1.5-2x per the mor gates) —
+    # 1.4 leaves noise headroom on a ~150ms operation (measured 1.0x at
+    # sf0.01, 1.1-1.25x at sf0.1 with identical plans both sides).
     "mor_unrelated": ("mor_unrelated_delete_scan",
-                      "orders_filtered_scan_baseline", 1.25),
+                      "orders_filtered_scan_baseline", 1.4),
     "q1_vs_raw": ("q1_vs_raw_ratio", None, 1.5),  # interleaved median
 }
 
