@@ -140,18 +140,20 @@ def available(spark) -> bool:
 
 
 def reader_options(key_id: str, master_key: bytes) -> dict:
+    # KeyToolkit caches initialized KmsClients per KMS instance id and
+    # unwrapped KEKs per ACCESS TOKEN (globally across instances).
+    # Partitioning BOTH by (key id, key-VALUE hash) gives two properties
+    # at once: repeat operations under the same key stay cached
+    # (measured: disabling the cache made a 16-file write 4x slower on
+    # per-task KEK regeneration), while a wrong or rotated key resolves
+    # to fresh cache partitions whose unwrap fails loudly instead of
+    # being served the old key's cached KEKs.
+    fp = hashlib.sha256(master_key).hexdigest()[:12]
     return {
         "parquet.crypto.factory.class": FACTORY_CLASS,
         "parquet.encryption.kms.client.class": KMS_CLASS,
-        # KeyToolkit caches one initialized KmsClient per KMS instance id
-        # — key the cache by the MASTER KEY ID so a second table with a
-        # different key never hits a cached client whose conf only knows
-        # the first table's key
-        "parquet.encryption.kms.instance.id": key_id,
-        # no KEK/KmsClient caching: the "KMS" is one local AES-GCM call,
-        # and a cached unwrap must not outlive a key revocation (wrong
-        # key must FAIL, not serve yesterday's cached unwrap)
-        "parquet.encryption.cache.lifetime.seconds": "0",
+        "parquet.encryption.kms.instance.id": f"{key_id}.{fp}",
+        "parquet.encryption.key.access.token": fp,
         KEY_PROP_PREFIX + key_id: master_key.hex(),
     }
 
