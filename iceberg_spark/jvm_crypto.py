@@ -38,8 +38,7 @@ FACTORY_CLASS = ("org.apache.parquet.crypto.keytools."
                  "PropertiesDrivenCryptoFactory")
 KEY_PROP_PREFIX = "iceberg.spark.kms.key."  # + <key id> = hex master key
 
-_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                    "java", "LocalGcmKmsClient.java")
+_SRC_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "java")
 
 _jar_path_cache: list = []  # [path | None] once resolved
 _session_state: dict = {}  # id(sparkContext) -> bool (jar attached)
@@ -58,11 +57,17 @@ def _build_jar():
     if _jar_path_cache:
         return _jar_path_cache[0]
     try:
-        src = open(_SRC, "rb").read()
+        srcs = sorted(
+            os.path.join(_SRC_DIR, f) for f in os.listdir(_SRC_DIR)
+            if f.endswith(".java"))
+        blob = b"".join(open(s, "rb").read() for s in srcs)
     except OSError:
         _jar_path_cache.append(None)
         return None
-    h = hashlib.sha256(src).hexdigest()[:16]
+    if not srcs:
+        _jar_path_cache.append(None)
+        return None
+    h = hashlib.sha256(blob).hexdigest()[:16]
     out_dir = os.path.join(tempfile.gettempdir(),
                            f"iceberg_spark_kms-{h}")
     jar = os.path.join(out_dir, "iceberg-spark-kms.jar")
@@ -74,8 +79,8 @@ def _build_jar():
         os.makedirs(cls_dir, exist_ok=True)
         cp = os.path.join(_pyspark_jars_dir(), "*")
         subprocess.run(
-            ["javac", "-encoding", "UTF-8", "-cp", cp, "-d", cls_dir,
-             _SRC],
+            ["javac", "-encoding", "UTF-8", "-cp", cp, "-d", cls_dir]
+            + srcs,
             check=True, capture_output=True, timeout=120)
         subprocess.run(
             ["jar", "cf", jar + ".tmp", "-C", cls_dir, "."],
@@ -156,6 +161,48 @@ def reader_options(key_id: str, master_key: bytes) -> dict:
         "parquet.encryption.key.access.token": fp,
         KEY_PROP_PREFIX + key_id: master_key.hex(),
     }
+
+
+RAW_FACTORY_CLASS = "org.iceberg_spark.crypto.RawDekCryptoFactory"
+RAW_READ_PREFIX = "iceberg.spark.rawdek.read."  # + <basename> = hex[:b64aad]
+
+
+def raw_reader_options(path_keys: dict) -> dict:
+    """Reader options for REFERENCE-native encrypted parquet files (raw
+    footer DEK + AAD prefix from the manifest entry's StandardKeyMetadata
+    — no KMS envelope in the file, so pyarrow cannot open these at all).
+    `path_keys`: file path -> (dek_bytes, aad_prefix_bytes | None). Keys
+    resolve per FILE NAME inside the JVM factory; callers must group so
+    basenames are unique (iceberg data file names are UUID-based)."""
+    import base64
+
+    opts = {"parquet.crypto.factory.class": RAW_FACTORY_CLASS}
+    seen = {}
+    for path, (dek, aad) in path_keys.items():
+        name = path.rstrip("/").rsplit("/", 1)[-1]
+        spec = dek.hex() + (
+            ":" + base64.b64encode(aad).decode("ascii") if aad else "")
+        if seen.get(name, spec) != spec:
+            raise ValueError(
+                f"duplicate encrypted file name {name!r} with different "
+                f"keys in one read group — split the scan group")
+        seen[name] = spec
+        opts[RAW_READ_PREFIX + name] = spec
+    return opts
+
+
+def raw_writer_options(dek: bytes, aad: bytes = b"") -> dict:
+    """Writer options producing reference-native encrypted parquet: raw
+    footer key, uniform column encryption, AAD prefix supplied but not
+    stored (Parquet.java WriteBuilder withoutAADPrefixStorage)."""
+    import base64
+
+    opts = {"parquet.crypto.factory.class": RAW_FACTORY_CLASS,
+            "iceberg.spark.rawdek.write.key": dek.hex()}
+    if aad:
+        opts["iceberg.spark.rawdek.write.aad"] = (
+            base64.b64encode(aad).decode("ascii"))
+    return opts
 
 
 def writer_options(key_id: str, master_key: bytes,

@@ -1004,15 +1004,33 @@ def remove_dangling_deletes(table) -> int:
                 dangling.add(d.file.file_path)
         else:
             if d.file.key_metadata:
-                from .parquet_crypto import (decode_key_metadata,
-                                             read_encrypted, resolve_key)
+                from .parquet_crypto import (file_crypto, read_encrypted,
+                                             resolve_key)
 
-                tbl = read_encrypted(
-                    d.file.file_path,
-                    resolve_key(decode_key_metadata(d.file.key_metadata)),
-                    columns=["file_path"])
-                paths = {_data_rel(p) for p in
-                         tbl["file_path"].to_pylist()}
+                fc = file_crypto(d.file.key_metadata)
+                if fc[0] == "raw":
+                    # imported reference-native encryption: raw footer
+                    # DEK opens only through the JVM factory
+                    from . import jvm_crypto
+
+                    if not jvm_crypto.available(table.spark):
+                        raise NotImplementedError(
+                            "natively-encrypted position-delete file "
+                            f"{d.file.file_path} requires the JVM "
+                            "crypto path (unavailable in this session)")
+                    pk = {d.file.file_path: fc[1:]}
+                    paths = {_data_rel(r.file_path) for r in
+                             table.spark.read
+                             .options(**jvm_crypto.raw_reader_options(pk))
+                             .schema("file_path string")
+                             .parquet(d.file.file_path)
+                             .select("file_path").distinct().collect()}
+                else:
+                    tbl = read_encrypted(
+                        d.file.file_path, resolve_key(fc[1]),
+                        columns=["file_path"])
+                    paths = {_data_rel(p) for p in
+                             tbl["file_path"].to_pylist()}
             else:
                 paths = {_data_rel(r.file_path) for r in
                          table.spark.read.parquet(d.file.file_path)

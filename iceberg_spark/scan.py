@@ -844,19 +844,26 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
     delete file (PositionDeletesTable parity)."""
     import pandas as _pd
 
-    from .parquet_crypto import decode_key_metadata, resolve_key, \
+    from .parquet_crypto import file_crypto, resolve_key, \
         unwrap_stream_key
 
     pq_paths = sorted({d.file.file_path for d in deletes
                        if not _is_dv(d.file) and not d.file.key_metadata})
     # encrypted pos-delete parquet: master keys resolve DRIVER-side
     # (registry/env) and ship unwrapped inside the task closure — the
-    # same key-plumbing shape as the encrypted data-file reader
+    # same key-plumbing shape as the encrypted data-file reader. Raw-DEK
+    # files (imported reference-native encryption) collect separately:
+    # JVM factory only.
     enc_pq: dict = {}
     enc_by_kid: dict = {}
+    raw_pq: list = []
     for d in deletes:
         if not _is_dv(d.file) and d.file.key_metadata:
-            kid = decode_key_metadata(d.file.key_metadata)
+            fc = file_crypto(d.file.key_metadata)
+            if fc[0] == "raw":
+                raw_pq.append(d.file)
+                continue
+            kid = fc[1]
             enc_pq[d.file.file_path] = resolve_key(kid)
             enc_by_kid.setdefault(kid, set()).add(d.file.file_path)
     # encrypted DV Puffin containers: ags1-kms key_metadata -> (key, aad)
@@ -895,6 +902,27 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
                         paths=kp).alias("delete_file_path"))
                 dfs.append(pdf.select(*cols))
             enc_pq = {}
+    if raw_pq:
+        from . import jvm_crypto
+
+        if not jvm_crypto.available(spark):
+            raise NotImplementedError(
+                "natively-encrypted position-delete files (raw footer "
+                "DEK) require the JVM crypto path; unavailable in this "
+                "session and pyarrow cannot open raw-footer-key parquet")
+        for batch in _unique_name_batches(raw_pq):
+            pk = {f.file_path: file_crypto(f.key_metadata)[1:]
+                  for f in batch}
+            kp = sorted(pk)
+            pdf = (spark.read
+                   .options(**jvm_crypto.raw_reader_options(pk))
+                   .schema("file_path string, pos long").parquet(*kp))
+            cols = [F.col("file_path"), F.col("pos")]
+            if with_source:
+                cols.append(_io.decode_spark_path_col(
+                    F.col("_metadata.file_path"),
+                    paths=kp).alias("delete_file_path"))
+            dfs.append(pdf.select(*cols))
     if enc_pq:
         enc_schema = "file_path string, pos long"
         if with_source:
@@ -978,12 +1006,16 @@ def _pos_delete_ranges(plan: ScanPlan):
                     ).tolist())
             continue
         if d.file.key_metadata:
-            from .parquet_crypto import (decode_key_metadata,
-                                         read_encrypted, resolve_key)
+            from .parquet_crypto import (file_crypto, read_encrypted,
+                                         resolve_key)
 
+            fc = file_crypto(d.file.key_metadata)
+            if fc[0] == "raw":
+                # raw-footer-key parquet has no driver-side (pyarrow)
+                # read; bail to the distributed JVM apply path
+                return None
             t = read_encrypted(
-                d.file.file_path,
-                resolve_key(decode_key_metadata(d.file.key_metadata)),
+                d.file.file_path, resolve_key(fc[1]),
                 columns=["file_path", "pos"])
         else:
             t = _io.read_parquet(d.file.file_path,
@@ -1227,6 +1259,26 @@ def _encrypted_parquet_df(spark, paths: list, read_schema, master_key: bytes,
             .mapInPandas(decode, out_schema))
 
 
+def _unique_name_batches(files):
+    """Split DataFiles into batches whose BASENAMES are unique — the JVM
+    raw-DEK factory resolves per-file keys by file name (the only
+    identity parquet-mr hands it that survives scheme/URI respelling).
+    Iceberg data file names are UUID-based so one batch is the norm;
+    a pathological collision costs one extra read job, never a wrong
+    key."""
+    batches: list = []
+    for f in files:
+        name = f.file_path.rstrip("/").rsplit("/", 1)[-1]
+        for b in batches:
+            if name not in b[0]:
+                b[0].add(name)
+                b[1].append(f)
+                break
+        else:
+            batches.append(({name}, [f]))
+    return [b[1] for b in batches]
+
+
 def _delete_file_readers(spark, ds, read_schema, with_meta: bool = False):
     """Yield DataFrames over DELETE files, splitting engine-encrypted
     files (data_file.key_metadata) from plaintext ones: plaintext files
@@ -1235,17 +1287,40 @@ def _delete_file_readers(spark, ds, read_schema, with_meta: bool = False):
     yielded frame (native reads expose it implicitly; the decrypting
     reader synthesizes it), so seq-map lookups on `_metadata.file_path`
     work uniformly."""
-    plain, enc = [], {}
+    plain, enc, raw = [], {}, []
     for d in ds:
         if d.file.key_metadata is None:
             plain.append(d.file.file_path)
         else:
-            from .parquet_crypto import decode_key_metadata
+            from .parquet_crypto import file_crypto
 
-            enc.setdefault(decode_key_metadata(d.file.key_metadata),
-                           []).append(d.file.file_path)
+            fc = file_crypto(d.file.key_metadata)
+            if fc[0] == "raw":
+                raw.append(d.file)
+            else:
+                enc.setdefault(fc[1], []).append(d.file.file_path)
     if plain:
         yield spark.read.schema(read_schema).parquet(*plain)
+    if raw:
+        # imported reference-native encrypted delete files: raw footer
+        # DEK per file — JVM factory only, loud refusal without it
+        from . import jvm_crypto
+        from .parquet_crypto import file_crypto
+
+        if not jvm_crypto.available(spark):
+            raise NotImplementedError(
+                "natively-encrypted delete files (raw footer DEK) "
+                "require the JVM crypto path; unavailable in this "
+                "session and pyarrow cannot open raw-footer-key parquet")
+        for batch in _unique_name_batches(raw):
+            pk = {f.file_path: file_crypto(f.key_metadata)[1:]
+                  for f in batch}
+            df = (spark.read
+                  .options(**jvm_crypto.raw_reader_options(pk))
+                  .schema(read_schema).parquet(*sorted(pk)))
+            if with_meta:
+                df = df.withColumn("_metadata", F.col("_metadata"))
+            yield df
     for kid, paths in enc.items():
         from . import jvm_crypto
         from .parquet_crypto import resolve_key
@@ -1392,9 +1467,13 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
     def _enc_kid(e):
         if e.file.key_metadata is None:
             return None
-        from .parquet_crypto import decode_key_metadata
+        from .parquet_crypto import file_crypto
 
-        return decode_key_metadata(e.file.key_metadata)
+        fc = file_crypto(e.file.key_metadata)
+        # kms groups read under one master key; raw-DEK files (imported
+        # reference-native encryption) group together — their per-FILE
+        # keys ride the read options, not the group key
+        return ("raw",) if fc[0] == "raw" else fc
 
     groups: dict = {}
     for e in plan.files:
@@ -1475,32 +1554,61 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 + [_T.StructField(ROW_ID_COL, _T.LongType()),
                    _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType())])
         if enc_kid is not None:
-            # engine-encrypted files. Preferred path: Spark's NATIVE
+            # encrypted files. Engine parquet-kms groups: Spark's NATIVE
             # vectorized reader through parquet-mr modular encryption
             # (jvm_crypto) — the identical FileScan a plaintext table
             # gets (whole-stage codegen, real _metadata, Catalyst
-            # pushdown). Fallback: the decrypting mapInPandas pyarrow
-            # reader, which synthesizes the _metadata struct itself —
-            # either way the inline pos-delete filter and the need_meta
-            # projection below apply unchanged.
+            # pushdown) — with the decrypting mapInPandas pyarrow reader
+            # as fallback. Raw-DEK groups (imported reference-native
+            # encryption, StandardKeyMetadata): JVM RawDekCryptoFactory
+            # ONLY — pyarrow has no raw-footer-key surface, so absence
+            # of a JDK is a loud refusal, never a garble. Either way the
+            # inline pos-delete filter and the need_meta projection
+            # below apply unchanged.
             from . import jvm_crypto
-            from .parquet_crypto import resolve_key
 
-            mkey = resolve_key(enc_kid)
             want_meta = need_meta or bool(inline_pos_filter and pos_ranges)
-            if jvm_crypto.available(spark):
-                # native FileScan: the hidden `_metadata` struct resolves
-                # directly wherever downstream references it, exactly as
-                # on a plaintext group — no materialization needed
-                df = (spark.read
-                      .options(**jvm_crypto.reader_options(enc_kid, mkey))
-                      .schema(read_schema).parquet(*paths))
+            if enc_kid[0] == "raw":
+                if not jvm_crypto.available(spark):
+                    raise NotImplementedError(
+                        "natively-encrypted data files (raw footer DEK, "
+                        "reference StandardKeyMetadata) require the JVM "
+                        "crypto path; it is unavailable in this session "
+                        "(no JDK / jar not attached) and pyarrow cannot "
+                        "open raw-footer-key parquet")
+                from .parquet_crypto import file_crypto
+
+                pieces_enc = []
+                for batch in _unique_name_batches(
+                        [e.file for e in entries]):
+                    pk = {f.file_path: file_crypto(f.key_metadata)[1:]
+                          for f in batch}
+                    pieces_enc.append(
+                        spark.read
+                        .options(**jvm_crypto.raw_reader_options(pk))
+                        .schema(read_schema).parquet(*sorted(pk)))
+                df = pieces_enc[0]
+                for d2 in pieces_enc[1:]:
+                    df = df.unionByName(d2)
             else:
-                push = (None if want_meta else
-                        _arrow_pushdown_filter(plan.residual, schema,
-                                               wschema))
-                df = _encrypted_parquet_df(spark, paths, read_schema, mkey,
-                                           want_meta, arrow_filter=push)
+                from .parquet_crypto import resolve_key
+
+                kid = enc_kid[1]
+                mkey = resolve_key(kid)
+                if jvm_crypto.available(spark):
+                    # native FileScan: the hidden `_metadata` struct
+                    # resolves directly wherever downstream references
+                    # it, exactly as on a plaintext group
+                    df = (spark.read
+                          .options(**jvm_crypto.reader_options(kid, mkey))
+                          .schema(read_schema).parquet(*paths))
+                else:
+                    push = (None if want_meta else
+                            _arrow_pushdown_filter(plan.residual, schema,
+                                                   wschema))
+                    df = _encrypted_parquet_df(spark, paths, read_schema,
+                                               mkey, want_meta,
+                                               arrow_filter=push)
             if inline_pos_filter and pos_ranges:
                 affected_enc = {fp for fp, _, _ in pos_ranges}
                 if all(_io.uri_encoding_invariant(p)

@@ -416,11 +416,17 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
             partition = {
                 name: _partition_value(part_raw.get(name), rt)
                 for name, rt in rtypes.items()}
-            if df.get("key_metadata"):
-                raise NotImplementedError(
-                    "natively-encrypted content files (data_file."
-                    "key_metadata — parquet modular encryption) are not "
-                    f"supported: {df['file_path']}")
+            km = df.get("key_metadata")
+            if km:
+                # natively-encrypted content file: validate the blob is
+                # a decodable StandardKeyMetadata NOW (loud at import
+                # time, not first read) and carry it VERBATIM — the raw
+                # DEK + AAD prefix it holds drive the JVM raw-DEK reader
+                # (jvm_crypto.RawDekCryptoFactory) at scan time
+                from ..parquet_crypto import file_crypto
+
+                km = bytes(km)
+                file_crypto(km)  # raises on undecodable shapes
             ref = df.get("referenced_data_file")
             entries.append({
                 "content": int(df.get("content") or 0),
@@ -438,6 +444,7 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "content_offset": df.get("content_offset"),
                 "content_size": df.get("content_size_in_bytes"),
                 "sort_order_id": df.get("sort_order_id"),
+                "key_metadata": km or None,
             })
     return entries
 
@@ -746,6 +753,29 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
               e.get("content_offset"))
         if ck in cache:
             files_by_seq.append((seq_map[e["seq"]], cache[ck]))
+        elif e["format"] == "parquet" and e.get("key_metadata"):
+            # natively-encrypted parquet (raw footer DEK in the entry's
+            # StandardKeyMetadata): the footer is unreadable without the
+            # JVM reader, so the file registers with the MANIFEST's own
+            # counts and no column stats — reads stay exact (full
+            # residual filter), they just don't min/max-prune, the same
+            # contract as imported ORC/Avro data files. The blob rides
+            # the engine manifest verbatim (export round-trips it).
+            f = DataFile(
+                file_path=e["path"], file_format="parquet",
+                content=e["content"], spec_id=e["spec_id"],
+                partition=dict(e["partition"]),
+                record_count=e["record_count"],
+                file_size_in_bytes=e["file_size"], stats={},
+                equality_ids=tuple(e["equality_ids"]),
+                sort_order_id=e.get("sort_order_id"),
+                referenced_data_file=(
+                    _resolve_path(e["referenced_data_file"])
+                    if e.get("referenced_data_file") else None),
+                write_schema_id=e.get("schema_id", cur_schema),
+                key_metadata=e["key_metadata"])
+            cache[ck] = f
+            files_by_seq.append((seq_map[e["seq"]], f))
         elif e["format"] == "parquet":
             parquet_groups[(e["spec_id"], e["content"])].append(e)
         elif e["content"] != DATA:  # puffin DV: register from the entry
@@ -759,7 +789,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                     e["referenced_data_file"]),
                 write_schema_id=e.get("schema_id", cur_schema),
                 content_offset=e["content_offset"],
-                content_size_in_bytes=e["content_size"])
+                content_size_in_bytes=e["content_size"],
+                key_metadata=e.get("key_metadata"))
             cache[ck] = f
             files_by_seq.append((seq_map[e["seq"]], f))
         elif e["format"] in ("orc", "avro"):
@@ -1016,14 +1047,29 @@ def export_reference_metadata(table, dest_root: str,
     # engine-defined KMS wrap the reference cannot unwrap — exporting
     # them would hand a reference reader undecryptable files. (This is
     # the ONLY remaining encrypted-export refusal: encrypted METADATA
-    # exports encrypted via `encryption_key`.)
+    # exports encrypted via `encryption_key`.) Raw-DEK key_metadata
+    # (reference StandardKeyMetadata, e.g. imported native-encrypted
+    # files) is VERBATIM reference format and passes through — but only
+    # under an encrypted metadata tree: plaintext manifests carrying
+    # plaintext DEKs would leak every file key.
+    has_raw = False
     for e in (table.scan().plan_files().files or []):
         if e.file.key_metadata is not None:
+            if bytes(e.file.key_metadata[:1]) == b"\x01":
+                has_raw = True
+                continue
             raise NotImplementedError(
                 "cannot export a table with engine-encrypted data files "
                 "to the reference layout: the reference's encryption "
                 "manager cannot unwrap the engine's parquet-kms key "
                 f"metadata ({e.file.file_path})")
+    if has_raw and encryption_key is None and not (
+            table.metadata.encryption_keys
+            or getattr(table.ops, "metadata_key", None)):
+        raise ValueError(
+            "table holds natively-encrypted data files (raw DEKs in "
+            "key_metadata); refusing a plaintext-manifest export that "
+            "would leak the file keys — pass encryption_key")
     if encryption_key is None and table.metadata.encryption_keys:
         encryption_key = getattr(table.ops, "metadata_key", None)
         if encryption_key is None:
@@ -1099,6 +1145,11 @@ def export_reference_metadata(table, dest_root: str,
             out["content_size"] = f.content_size_in_bytes
         if f.sort_order_id is not None:
             out["sort_order_id"] = f.sort_order_id
+        if (f.key_metadata is not None
+                and bytes(f.key_metadata[:1]) == b"\x01"):
+            # reference StandardKeyMetadata rides out verbatim (the
+            # export is key-compatible with the file's raw DEK)
+            out["key_metadata"] = bytes(f.key_metadata)
         cache[ck] = out
         return out
 

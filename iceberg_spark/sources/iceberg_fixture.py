@@ -167,6 +167,8 @@ def manifest_entry_schema(partition_fields: list) -> dict:
         {"name": "upper_bounds",
          "type": _opt(_kv_map("k129_v130", 129, 130, "bytes")),
          "default": None, "field-id": 128},
+        {"name": "key_metadata", "type": _opt("bytes"), "default": None,
+         "field-id": 131},
         {"name": "split_offsets", "type": _opt(
             {"type": "array", "items": "long", "element-id": 133}),
          "default": None, "field-id": 132},
@@ -370,7 +372,9 @@ def write_reference_table_history(root: str, schema_json: dict,
                         else os.path.getsize(f["path"])),
                     "column_sizes": None, "value_counts": None,
                     "null_value_counts": None, "lower_bounds": None,
-                    "upper_bounds": None, "split_offsets": None,
+                    "upper_bounds": None,
+                    "key_metadata": f.get("key_metadata"),
+                    "split_offsets": None,
                     "equality_ids": (list(f["equality_ids"])
                                      if f.get("equality_ids") else None),
                     "sort_order_id": f.get("sort_order_id"),

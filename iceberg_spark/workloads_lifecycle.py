@@ -1537,6 +1537,127 @@ def iceberg_import_encrypted_scan(spark, sf_dir):
                                                         b""))
 
 
+def iceberg_import_native_encrypted_scan(spark, sf_dir):
+    """Import a reference table whose DATA and POSITION-DELETE parquet
+    files are NATIVELY ENCRYPTED — parquet modular encryption with raw
+    per-file footer DEKs + AAD prefixes (Parquet.java WriteBuilder
+    withFileEncryptionKey/withAADPrefix/withoutAADPrefixStorage), the
+    per-file StandardKeyMetadata blob on data_file.key_metadata (fid
+    131), under standard table encryption for the metadata tree (the
+    reference never leaves plaintext DEKs in plaintext manifests:
+    StandardEncryptionManager.java). The import validates and carries
+    the blobs VERBATIM; scans and the MoR delete-apply decrypt through
+    Spark's own vectorized reader via jvm_crypto.RawDekCryptoFactory
+    (pyarrow exposes no raw-footer-key surface — without a JDK this
+    refuses loudly, never garbles). Plaintext opens of every content
+    file are asserted to fail. Same oracle as the plaintext imports."""
+    key = ("icebergimp_natenc", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import glob as _g
+        import secrets
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from . import jvm_crypto
+        from .encryption import (aes_gcm_decrypt,
+                                 encode_standard_key_metadata)
+        from .sources.iceberg import snapshot_iceberg_table
+        from .sources.iceberg_fixture import write_reference_table
+
+        if not jvm_crypto.available(spark):
+            raise NotImplementedError(
+                "natively-encrypted import requires the JVM crypto path "
+                "(JDK + RawDekCryptoFactory); unavailable in this session")
+        src = os.path.join(sf_dir, "supplier.parquet")
+        md = pq.ParquetFile(src)
+        schema_json = {"type": "struct", "schema-id": 0, "fields": [
+            {"id": i + 1, "name": f.name, "required": False,
+             "type": _PA_TO_ICEBERG[str(f.type)]}
+            for i, f in enumerate(md.schema_arrow)]}
+        root = tempfile.mkdtemp(prefix="iceberg_src_natenc_")
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        sdf = spark.read.parquet(src)
+
+        def write_enc(df, dest, dek, aad):
+            tmp = tempfile.mkdtemp(prefix="natenc_w_")
+            (df.coalesce(1).write.mode("overwrite")
+             .options(**jvm_crypto.raw_writer_options(dek, aad))
+             .parquet(tmp))
+            shutil.move(_g.glob(os.path.join(tmp, "*.parquet"))[0], dest)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+        dek_by_path = {}
+        for i, pred in enumerate([F.col("s_suppkey") % 2 == 0,
+                                  F.col("s_suppkey") % 2 == 1]):
+            dek, aad = secrets.token_bytes(16), secrets.token_bytes(16)
+            dest = os.path.join(root, "data", f"enc-{i}.parquet")
+            write_enc(sdf.filter(pred), dest, dek, aad)
+            dek_by_path[dest] = (dek, aad)
+
+        # victims (s_suppkey % 7 == 0) located by reading the encrypted
+        # files BACK through the raw-DEK reader — positions are whatever
+        # the encrypted writer produced, no ordering assumption
+        del_rows, n_rows = [], {}
+        for dest, (dek, aad) in dek_by_path.items():
+            rows = (spark.read
+                    .options(**jvm_crypto.raw_reader_options(
+                        {dest: (dek, aad)}))
+                    .parquet(dest)
+                    .select(F.col("_metadata.row_index").alias("pos"),
+                            "s_suppkey").collect())
+            n_rows[dest] = len(rows)
+            del_rows += [(dest, int(r.pos)) for r in rows
+                         if r.s_suppkey % 7 == 0]
+        assert del_rows, "fixture must delete at least one row"
+        del_rows.sort()
+        ddek, daad = secrets.token_bytes(16), secrets.token_bytes(16)
+        dpath = os.path.join(root, "data", "enc-deletes.parquet")
+        write_enc(spark.createDataFrame(del_rows,
+                                        "file_path string, pos long"),
+                  dpath, ddek, daad)
+
+        # zero plaintext under data/: every content file refuses a
+        # keyless open (encrypted-footer magic, not PAR1)
+        for p in _g.glob(os.path.join(root, "data", "*.parquet")):
+            try:
+                pq.ParquetFile(p)
+                raise AssertionError(f"{p} opened without a key")
+            except Exception as exc:  # noqa: BLE001
+                assert not isinstance(exc, AssertionError), exc
+
+        files = [{"path": dest, "record_count": n_rows[dest],
+                  "file_size": os.path.getsize(dest), "seq": 1,
+                  "key_metadata": encode_standard_key_metadata(
+                      dek, aad, os.path.getsize(dest))}
+                 for dest, (dek, aad) in sorted(dek_by_path.items())]
+        files.append({"path": dpath, "content": 1,
+                      "record_count": len(del_rows),
+                      "file_size": os.path.getsize(dpath), "seq": 2,
+                      "key_metadata": encode_standard_key_metadata(
+                          ddek, daad, os.path.getsize(dpath))})
+        master = bytes(range(32, 48))
+        write_reference_table(root, schema_json, files, format_version=3,
+                              encryption_key=master)
+
+        cat = _warehouse(spark)
+        ident = f"icebergimp_natenc_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        t, n_data, n_del = snapshot_iceberg_table(
+            cat, root, ident,
+            kms_unwrap=lambda wrapped, kid: aes_gcm_decrypt(
+                master, wrapped, b""))
+        assert n_data == 2 and n_del == 1
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
 def metadata_encryption_scan(spark, sf_dir):
     """AES-GCM-Stream-encrypted table metadata (format/gcm-stream-spec.md,
     encryption.py): create an encrypted-catalog table over nation, append
@@ -2000,6 +2121,8 @@ REGISTRY = {
     "iceberg_import_v4_scan": (iceberg_import_v4_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_encrypted_scan": (iceberg_import_encrypted_scan,
                                       ICEBERG_IMPORT_SQL),
+    "iceberg_import_native_encrypted_scan": (
+        iceberg_import_native_encrypted_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_avro_scan": (iceberg_import_avro_scan,
                                  ICEBERG_IMPORT_AVRO_SQL),
     "hadoop_fileio_scan": (hadoop_fileio_scan, ICEBERG_EXPORT_SQL),

@@ -204,9 +204,15 @@ def test_loud_errors_for_unsupported_combos(spark, tmp_path):
         PC.KEY_ID_PROP: "nonexistent-key"})
     with pytest.raises(ValueError, match="not available"):
         t2.append(df)
-    # reference-style key_metadata on import stays loud
-    with pytest.raises(NotImplementedError, match="unsupported format"):
+    # SKM-versioned but undecodable key_metadata stays loud on both the
+    # kid decoder and the classifier (r9: decodable StandardKeyMetadata
+    # now imports — see test_native_encrypted_import.py)
+    with pytest.raises(NotImplementedError, match="StandardKeyMetadata"):
         PC.decode_key_metadata(b"\x01\x02\x03")
+    with pytest.raises(NotImplementedError, match="does not decode"):
+        PC.file_crypto(b"\x01\x02\x03")
+    with pytest.raises(NotImplementedError, match="unsupported format"):
+        PC.decode_key_metadata(b"\x09not-a-scheme")
 
 
 def test_streaming_source_and_sink_over_encrypted(spark, tmp_path):

@@ -1,0 +1,167 @@
+"""Import of NATIVELY-encrypted reference content files (raw footer DEK
+parquet modular encryption, reference StandardKeyMetadata on
+data_file.key_metadata — Parquet.java WriteBuilder
+withFileEncryptionKey/withAADPrefix, StandardKeyMetadata.java). pyarrow
+has no raw-footer-key surface, so these files open ONLY through Spark's
+own reader via jvm_crypto.RawDekCryptoFactory; without it every path
+refuses loudly."""
+
+import glob
+import os
+import secrets
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark import jvm_crypto as JC
+from iceberg_spark import parquet_crypto as PC
+from iceberg_spark.encryption import (aes_gcm_decrypt,
+                                      encode_standard_key_metadata)
+from iceberg_spark.sources.iceberg import snapshot_iceberg_table
+from iceberg_spark.sources.iceberg_fixture import write_reference_table
+from iceberg_spark.table import Catalog
+
+MASTER = bytes(range(32, 48))
+
+
+def test_file_crypto_classifier():
+    # engine parquet-kms JSON blob
+    assert PC.file_crypto(PC.encode_key_metadata("k1")) == ("kms", "k1")
+    # reference StandardKeyMetadata (raw DEK + AAD)
+    dek, aad = secrets.token_bytes(16), secrets.token_bytes(8)
+    skm = encode_standard_key_metadata(dek, aad, 123)
+    assert PC.file_crypto(skm) == ("raw", dek, aad)
+    assert PC.file_crypto(None) is None
+    with pytest.raises(NotImplementedError):
+        PC.file_crypto(b"\x07garbage")
+    # decode_key_metadata must NOT silently treat an SKM blob as a key id
+    with pytest.raises(NotImplementedError):
+        PC.decode_key_metadata(skm)
+
+
+def test_unwrap_stream_key_accepts_skm():
+    dek, aad = secrets.token_bytes(16), secrets.token_bytes(8)
+    skm = encode_standard_key_metadata(dek, aad, None)
+    assert PC.unwrap_stream_key(skm) == (dek, aad)
+
+
+def _write_raw(spark, df, dest, dek, aad, tmp_path, tag):
+    tmp = str(tmp_path / f"w_{tag}")
+    (df.coalesce(1).write.mode("overwrite")
+     .options(**JC.raw_writer_options(dek, aad)).parquet(tmp))
+    os.rename(glob.glob(os.path.join(tmp, "*.parquet"))[0], dest)
+
+
+@pytest.fixture(scope="module")
+def natenc_table(spark, tmp_path_factory):
+    """Reference-layout table: 2 raw-DEK-encrypted data files + 1
+    raw-DEK-encrypted position-delete file, encrypted manifests."""
+    tmp_path = tmp_path_factory.mktemp("natenc")
+    assert JC.available(spark)
+    root = str(tmp_path / "src")
+    os.makedirs(os.path.join(root, "data"))
+    base = spark.range(0, 100).selectExpr(
+        "id", "id % 5 as g", "cast(id as double) as v")
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "g", "required": False, "type": "long"},
+        {"id": 3, "name": "v", "required": False, "type": "double"}]}
+    files, keys = [], {}
+    for i, pred in enumerate([F.col("id") < 50, F.col("id") >= 50]):
+        dek, aad = secrets.token_bytes(16), secrets.token_bytes(8)
+        dest = os.path.join(root, "data", f"enc-{i}.parquet")
+        _write_raw(spark, base.filter(pred), dest, dek, aad, tmp_path,
+                   f"d{i}")
+        keys[dest] = (dek, aad)
+        files.append({
+            "path": dest, "record_count": 50,
+            "file_size": os.path.getsize(dest), "seq": 1,
+            "key_metadata": encode_standard_key_metadata(
+                dek, aad, os.path.getsize(dest))})
+    # delete ids ending in 0 via positions read back through the raw path
+    del_rows = []
+    for dest, (dek, aad) in keys.items():
+        rows = (spark.read
+                .options(**JC.raw_reader_options({dest: (dek, aad)}))
+                .parquet(dest)
+                .select(F.col("_metadata.row_index").alias("pos"), "id")
+                .collect())
+        del_rows += [(dest, int(r.pos)) for r in rows if r.id % 10 == 0]
+    assert len(del_rows) == 10
+    ddek, daad = secrets.token_bytes(16), secrets.token_bytes(8)
+    dpath = os.path.join(root, "data", "enc-del.parquet")
+    _write_raw(spark,
+               spark.createDataFrame(sorted(del_rows),
+                                     "file_path string, pos long"),
+               dpath, ddek, daad, tmp_path, "del")
+    files.append({"path": dpath, "content": 1, "record_count": 10,
+                  "file_size": os.path.getsize(dpath), "seq": 2,
+                  "key_metadata": encode_standard_key_metadata(
+                      ddek, daad, os.path.getsize(dpath))})
+    write_reference_table(root, schema_json, files, format_version=3,
+                          encryption_key=MASTER)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t, n_data, n_del = snapshot_iceberg_table(
+        cat, root, "db.natenc",
+        kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
+    assert (n_data, n_del) == (2, 1)
+    return cat.load_table("db.natenc"), root
+
+
+def test_scan_applies_raw_dek_and_pos_deletes(natenc_table, spark):
+    t, _root = natenc_table
+    got = sorted(r.id for r in t.to_df().select("id").collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+
+
+def test_filter_and_agg_over_raw_dek(natenc_table):
+    t, _root = natenc_table
+    rows = (t.scan(filter=None).df().filter(F.col("id") >= 90)
+            .groupBy("g").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("g").collect())
+    # 90..99 minus 90 -> 9 rows over g = id%5
+    assert sum(r.n for r in rows) == 9
+
+
+def test_no_plaintext_content_files(natenc_table):
+    import pyarrow.parquet as pq
+
+    _t, root = natenc_table
+    for p in glob.glob(os.path.join(root, "data", "*.parquet")):
+        with pytest.raises(Exception):
+            pq.ParquetFile(p)
+
+
+def test_key_metadata_carried_verbatim(natenc_table):
+    t, _root = natenc_table
+    entries = t.scan().plan_files()
+    kms = [e.file.key_metadata for e in entries.files]
+    assert len(kms) == 2 and all(k and bytes(k[:1]) == b"\x01"
+                                 for k in kms)
+    assert all(PC.file_crypto(k)[0] == "raw" for k in kms)
+
+
+def test_export_roundtrip_preserves_raw_deks(natenc_table, spark,
+                                             tmp_path):
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    t, _root = natenc_table
+    dest = str(tmp_path / "exp")
+    # plaintext-manifest export would leak the raw DEKs — refused
+    with pytest.raises(ValueError, match="leak"):
+        export_reference_metadata(t, dest)
+    export_reference_metadata(t, dest, encryption_key=MASTER)
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    t2, n_data, n_del = snapshot_iceberg_table(
+        cat2, dest, "db.natenc_rt",
+        kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
+    assert (n_data, n_del) == (2, 1)
+    got = sorted(r.id for r in t2.to_df().select("id").collect())
+    assert got == [i for i in range(100) if i % 10 != 0]
+
+
+def test_refuses_without_jvm_crypto(natenc_table, monkeypatch):
+    t, _root = natenc_table
+    monkeypatch.setenv("ICEBERG_SPARK_JVM_CRYPTO", "0")
+    with pytest.raises(NotImplementedError, match="raw footer DEK"):
+        t.to_df().collect()
