@@ -1358,12 +1358,28 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
     manifest_map = {}  # old manifest path -> new
 
     m = table.metadata
-    if m.encryption_keys:
-        raise NotImplementedError(
-            "rewrite_table_path on a table with encrypted manifests would "
-            "re-serialize the metadata tree in PLAINTEXT at the staging "
-            "location — decrypt-copy is refused; relocate encrypted tables "
-            "with a byte-for-byte copy (v4 relative paths) instead")
+    # encrypted metadata tree: DECRYPT-REWRAP-REENCRYPT. The copy's
+    # manifests/lists re-encrypt under FRESH per-file keys chained
+    # through a fresh KEK in the copy's own `encryption-keys`
+    # (StandardEncryptionManager shape) — no source key material and no
+    # plaintext ever lands under the staging location. Requires the
+    # table to have been loaded with its metadata_key (the same key
+    # protects the copy; a DR copy is the same trust domain).
+    mc = None
+    if m.encryption_keys or any(s.key_id for s in m.snapshots):
+        mkey = getattr(table.ops, "metadata_key", None)
+        if mkey is None:
+            raise NotImplementedError(
+                "rewrite_table_path on a table with encrypted manifests "
+                "requires loading the table through a catalog with its "
+                "metadata_key (re-wrapping the copy's keys needs the "
+                "KMS context); a keyless decrypt-copy is refused")
+        from .encryption import ManifestCrypto
+        from .manifests import (_write_metadata_parquet,
+                                manifest_encryption_ctx)
+
+        mc = ManifestCrypto(mkey, ())
+    mf_skm = {}  # new manifest path -> StandardKeyMetadata | None
     for snap in m.snapshots:
         for mf in read_manifest_list(snap.manifest_list):
             if mf.path in manifest_map:
@@ -1380,21 +1396,38 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
                                  "referenced_data_file", pa.array(refs, pa.string()))
             new_mpath = os.path.join(out_root, "metadata", "manifests",
                                      os.path.basename(mf.path))
-            _io.write_parquet(t, new_mpath)
+            if mc is None:
+                _io.write_parquet(t, new_mpath)
+            else:
+                length, skm = _write_metadata_parquet(t, new_mpath, mc)
+                mf_skm[new_mpath] = skm
             manifest_map[mf.path] = new_mpath
 
-    # rewrite manifest lists + snapshots
+    # rewrite manifest lists + snapshots (fresh list keys + snapshot
+    # key-ids when encrypted; write_manifest_list chains them through
+    # mc.added_entries)
     new_snaps = []
     for snap in m.snapshots:
         mfs = read_manifest_list(snap.manifest_list)
         new_mfs = [replace(x, path=manifest_map[x.path],
-                           length=os.path.getsize(manifest_map[x.path]))
+                           length=os.path.getsize(manifest_map[x.path]),
+                           key_metadata=mf_skm.get(manifest_map[x.path]))
                    for x in mfs]
-        ml_path = write_manifest_list(out_root, snap.snapshot_id, new_mfs)
-        new_snaps.append(replace(snap, manifest_list=ml_path))
+        if mc is None:
+            ml_path = write_manifest_list(out_root, snap.snapshot_id,
+                                          new_mfs)
+            new_snaps.append(replace(snap, manifest_list=ml_path))
+        else:
+            with manifest_encryption_ctx(mc):
+                ml_path = write_manifest_list(out_root, snap.snapshot_id,
+                                              new_mfs)
+            new_snaps.append(replace(snap, manifest_list=ml_path,
+                                     key_id=mc.last_list_key_id))
 
     new_meta = replace(
         m, location=out_root, snapshots=tuple(new_snaps),
+        encryption_keys=(tuple(mc.added_entries) if mc is not None
+                         else m.encryption_keys),
         statistics_files=tuple(
             {**e, "statistics-path": map_path(e.get("statistics-path"))}
             for e in m.statistics_files),
@@ -1407,7 +1440,10 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
              if k != "path"}
             for e in m.partition_statistics_files),
     )
-    TableOperations(out_root).commit(None, new_meta)
+    TableOperations(out_root,
+                    metadata_key=(getattr(table.ops, "metadata_key", None)
+                                  if mc is not None else None)
+                    ).commit(None, new_meta)
     return {"staging_location": out_root,
             "rewritten_manifests": len(manifest_map),
             "data_files_to_copy": copy_plan}

@@ -623,6 +623,11 @@ class _Handler(BaseHTTPRequestHandler):
             real_ops = t.ops
             shadow = Table(t.spark, t.location, t.metadata, t.identifier)
             shadow.ops = _TxnOps(t.metadata)
+            # manifests the shadow writes are the PUBLISHED ones (no
+            # replay at CAS time): an encrypted table's policy must ride
+            # along or a REST commit would emit plaintext manifests
+            shadow.ops.metadata_key = getattr(real_ops, "metadata_key",
+                                              None)
             try:
                 self._apply_table_updates(shadow, updates)
             except (NotImplementedError, ValueError) as e:
@@ -754,7 +759,7 @@ class _Handler(BaseHTTPRequestHandler):
         add_schemas, set_cur_schema = [], None
         add_specs, set_def_spec = [], None
         add_sorts, set_def_sort = [], None
-        rm_refs = []
+        rm_refs, add_keys, rm_keys = [], [], []
         for u in updates:
             a = u.get("action")
             if a == "set-properties":
@@ -765,6 +770,18 @@ class _Handler(BaseHTTPRequestHandler):
                 snaps.append(u["snapshot"])
             elif a == "set-snapshot-ref":
                 ref_sets.append(u)
+            elif a == "add-encryption-key":
+                # MetadataUpdateParser.java ADD_ENCRYPTION_KEY /
+                # EncryptedKeyParser.java shape
+                k = u["encryption-key"]
+                if not (k.get("key-id")
+                        and k.get("encrypted-key-metadata")):
+                    raise ValueError(
+                        "add-encryption-key requires key-id and "
+                        "encrypted-key-metadata")
+                add_keys.append(dict(k))
+            elif a == "remove-encryption-key":
+                rm_keys.append(u["key-id"])
             elif a == "add-schema":
                 add_schemas.append(u["schema"])
             elif a == "set-current-schema":
@@ -787,13 +804,28 @@ class _Handler(BaseHTTPRequestHandler):
             t = _apply_schema_updates(
                 t, add_schemas, set_cur_schema, add_specs,
                 set_def_spec, add_sorts, set_def_sort)
+        if add_keys or rm_keys:
+            # key chain lands BEFORE snapshot replay so an encrypted
+            # manifest list committed in the same request resolves its
+            # key-id through the just-added entries
+            from dataclasses import replace as _rep
+
+            chain = [k for k in t.metadata.encryption_keys
+                     if k.get("key-id") not in set(rm_keys)]
+            have = {k.get("key-id") for k in chain}
+            chain += [k for k in add_keys if k["key-id"] not in have]
+            t._commit_metadata(_rep(t.metadata,
+                                    encryption_keys=tuple(chain)))
+            t = t.refresh()
         added_ids = set()
         for sj in snaps:
             sid = int(sj["snapshot-id"])
             branch = next(
                 (rs.get("ref-name", "main") for rs in ref_sets
                  if rs.get("snapshot-id") == sid), "main")
-            replay_snapshot_onto(cat, t, sj, branch=branch)
+            replay_snapshot_onto(
+                cat, t, sj, branch=branch,
+                metadata_key=getattr(cat, "metadata_key", None))
             t = t.refresh()
             added_ids.add(sid)
         for rs in ref_sets:  # pure ref moves (rollback, tag, branch)

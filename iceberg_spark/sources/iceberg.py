@@ -567,7 +567,7 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str,
 
 
 def replay_snapshot_onto(catalog, table, snap_json: dict,
-                         branch: str = "main"):
+                         branch: str = "main", metadata_key=None):
     """REST-commit `add-snapshot` (rest-catalog-open-api.yaml
     UpdateTableRequest; core/.../rest/CatalogHandlers.java commit shape):
     an external client wrote content files plus a reference-layout Avro
@@ -583,19 +583,49 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
     Concurrency control is the REST requirement check the caller ran
     (assert-ref-snapshot-id) plus the engine's optimistic version
     commit."""
-    if snap_json.get("key-id"):
-        # the client wrapped its manifest-list key under ITS OWN KEK
-        # chain; the server has no unwrap context for foreign KMS wraps
-        raise NotImplementedError(
-            "add-snapshot with an encrypted manifest list (snapshot "
-            "key-id) is not supported over REST — commit through an "
-            "engine catalog constructed with the table's metadata_key")
     meta = table.metadata
+    table_keys = None
+    if snap_json.get("key-id"):
+        # the client's manifest list is encrypted: its key chains
+        # through `encryption-keys` entries (which the same commit adds
+        # via add-encryption-key updates — already applied to `table`)
+        # down to a KEK wrapped by the table's KMS. The engine KMS is
+        # AES-GCM under metadata_key; when the server holds it, the
+        # chain unwraps and the snapshot replays like any other. A
+        # server WITHOUT the key has no unwrap context — truly foreign
+        # KMS — and refuses loudly.
+        mk = metadata_key or getattr(table.ops, "metadata_key", None) \
+            or getattr(catalog, "metadata_key", None)
+        if mk is None:
+            raise NotImplementedError(
+                "add-snapshot with an encrypted manifest list (snapshot "
+                f"key-id {snap_json['key-id']!r}): the key chain is "
+                "wrapped by a KMS key this server does not hold — load "
+                "the catalog with the table's metadata_key, or commit "
+                "through an engine catalog that has it")
+        from ..encryption import (StandardTableKeys, aes_gcm_decrypt,
+                                  normalize_key)
+
+        mk = normalize_key(mk)
+
+        def kms_unwrap(wrapped, kid):
+            # engine ManifestCrypto wraps KEKs with AAD = the KMS key
+            # id; reference-style exports (and the fixture) use empty
+            # AAD — accept both, fail loudly on neither matching
+            try:
+                return aes_gcm_decrypt(mk, wrapped,
+                                       (kid or "").encode("utf-8"))
+            except ValueError:
+                return aes_gcm_decrypt(mk, wrapped, b"")
+
+        table_keys = StandardTableKeys(list(meta.encryption_keys),
+                                       kms_unwrap)
     schemas = {s.schema_id: s for s in meta.schemas}
     specs = {sp.spec_id: sp for sp in meta.partition_specs}
     cur = meta.current_schema_id
     entries = _snapshot_entries(snap_json, specs, schemas, cur,
-                                location=meta.location)
+                                location=meta.location,
+                                table_keys=table_keys)
 
     plan = table.scan().plan_files()
     # key carries referenced file + offset: a Puffin container holds one

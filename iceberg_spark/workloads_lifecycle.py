@@ -833,6 +833,76 @@ def rewrite_table_path_scan(spark, sf_dir):
 DR_COPY_SQL = ORC_RT_SQL
 
 
+def rewrite_table_path_encrypted_scan(spark, sf_dir):
+    """DR copy of an ENCRYPTED metadata tree (decrypt-rewrap-reencrypt):
+    rewrite_table_path over a metadata_key table re-encrypts every
+    copied manifest/list under FRESH per-file keys chained through the
+    copy's own `encryption-keys`, the metadata JSON stays an AGS1
+    stream, and zero plaintext lands under the target — asserted
+    file-by-file. The copy loads with the same metadata_key and must
+    scan identically (reference RewriteTablePathSparkAction + the
+    StandardEncryptionManager re-wrap the reference would need)."""
+    key = ("drcopy_enc", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .encryption import MAGIC
+        from .maintenance import rewrite_table_path
+        from .io import resolve_io
+        from .table import Catalog
+
+        wh = tempfile.mkdtemp(prefix="iceberg_spark_drencwh_")
+        mkey = bytes(range(7, 23))
+        cat = Catalog(spark, wh, metadata_key=mkey)
+        df = load_table(spark, sf_dir, "supplier")
+        t = cat.create_table("db.drenc", df.schema)
+        t.append(df)
+        victims = [r.s_suppkey for r in df.select("s_suppkey").collect()
+                   if r.s_suppkey % 7 == 0]
+        t.delete_where(col("s_suppkey").isin(victims),
+                       mode="merge-on-read")
+        t = cat.load_table("db.drenc")
+        target = tempfile.mkdtemp(prefix="iceberg_spark_drenc_")
+        res = rewrite_table_path(t, t.location, target)
+        assert res["rewritten_manifests"] >= 1
+        for src, dst in res["data_files_to_copy"]:
+            dio = resolve_io(dst, spark)
+            if not dio.exists(dst):
+                dio.write_bytes(dst, resolve_io(src, spark).read_bytes(src))
+        # zero plaintext in the copied metadata tree
+        mdir = os.path.join(target, "metadata")
+        for root, _dirs, fnames in os.walk(mdir):
+            for f in fnames:
+                if f.endswith((".parquet", ".avro", ".metadata.json")):
+                    hdr = open(os.path.join(root, f), "rb").read(4)
+                    assert hdr == MAGIC, (f, hdr)
+        # keyless open of the copy fails loudly
+        try:
+            from .metadata import TableOperations
+
+            TableOperations(target).refresh()
+            raise AssertionError("keyless open of the DR copy succeeded")
+        except ValueError:
+            pass
+        _STATE[key] = (target, mkey)
+    target, mkey = _STATE[key]
+    from .metadata import TableOperations
+    from .table import Table
+
+    ops = TableOperations(target, metadata_key=mkey)
+    t2 = Table(spark, target, ops.refresh(), "drcopy.enc_copy")
+    return (t2.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+DR_COPY_ENC_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier WHERE s_suppkey % 7 <> 0
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # J1 / J2 — views and SQL UDFs through the SQL engine
 # ---------------------------------------------------------------------------
@@ -2169,6 +2239,8 @@ REGISTRY = {
     "partition_stats_scan": (partition_stats_scan, PARTITION_STATS_SQL),
     "table_stats_ndv_scan": (table_stats_ndv_scan, NDV_SQL),
     "rewrite_table_path_scan": (rewrite_table_path_scan, DR_COPY_SQL),
+    "rewrite_table_path_encrypted_scan": (
+        rewrite_table_path_encrypted_scan, DR_COPY_ENC_SQL),
     "sql_view_scan": (sql_view_scan, SQL_VIEW_SQL),
     "streaming_sink_scan": (streaming_sink_scan, STREAMING_SQL),
     "call_procedures_scan": (call_procedures_scan, CALL_PROC_SQL),

@@ -195,12 +195,27 @@ def test_sql_catalog_encrypted_manifests(spark, tmp_path):
     assert t2.to_df().count() == 40
 
 
-def test_rewrite_table_path_refuses_decrypt_copy(spark, enc_table, tmp_path):
+def test_rewrite_table_path_refuses_without_key_context(spark, enc_table,
+                                                        tmp_path):
+    """r9: rewrite_table_path re-wraps encrypted trees when the table
+    was loaded WITH its metadata_key (see
+    test_rewrite_table_path_rewraps_encrypted_tree); a handle without
+    the KMS context still refuses rather than decrypt-copying."""
     cat, t = enc_table
     from iceberg_spark.maintenance import rewrite_table_path
+    from iceberg_spark.table import Table
 
-    with pytest.raises(NotImplementedError, match="PLAINTEXT|plaintext"):
-        rewrite_table_path(t, t.location, str(tmp_path / "dr"))
+    keyless = Table(spark, t.location, t.metadata, t.identifier)
+
+    class _NoKeyOps:
+        metadata_key = None
+
+        def refresh(self):
+            return t.metadata
+
+    keyless.ops = _NoKeyOps()
+    with pytest.raises(NotImplementedError, match="metadata_key"):
+        rewrite_table_path(keyless, t.location, str(tmp_path / "dr"))
 
 
 def test_concurrent_commit_retry_encrypted(spark, tmp_path):
@@ -296,3 +311,47 @@ def test_stats_files_encrypt_under_metadata_key(spark, tmp_path):
                 or base.startswith(("_", ".")):
             continue
         assert open(p, "rb").read(4) == MAGIC, p
+
+
+def test_rewrite_table_path_rewraps_encrypted_tree(spark, tmp_path):
+    """DR copy of an encrypted tree re-encrypts under a FRESH key chain:
+    no source `encryption-keys` entry (and no source file key) appears
+    in the copy, every copied metadata file is an AGS1 stream, and the
+    copy scans identically under the same metadata_key."""
+    from iceberg_spark.encryption import MAGIC
+    from iceberg_spark.maintenance import rewrite_table_path
+    from iceberg_spark.metadata import TableOperations
+    from iceberg_spark.table import Catalog, Table
+
+    mkey = bytes(range(100, 116))
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=mkey)
+    df = spark.range(0, 60).selectExpr("id", "id % 3 as g")
+    t = cat.create_table("db.drt", df.schema)
+    t.append(df)
+    t.append(spark.range(60, 80).selectExpr("id", "id % 3 as g"))
+    t = cat.load_table("db.drt")
+    src_ids = {k["key-id"] for k in t.metadata.encryption_keys}
+    target = str(tmp_path / "copy")
+    res = rewrite_table_path(t, t.location, target)
+    assert res["rewritten_manifests"] >= 2
+    import os as _os
+
+    from iceberg_spark.io import resolve_io
+
+    for s, d in res["data_files_to_copy"]:
+        io_ = resolve_io(d, spark)
+        if not io_.exists(d):
+            io_.write_bytes(d, resolve_io(s, spark).read_bytes(s))
+    for root, _dirs, files in _os.walk(_os.path.join(target, "metadata")):
+        for f in files:
+            assert open(_os.path.join(root, f), "rb").read(4) == MAGIC, f
+    ops = TableOperations(target, metadata_key=mkey)
+    m2 = ops.refresh()
+    # fresh chain: zero overlap with the source's key ids
+    assert {k["key-id"] for k in m2.encryption_keys}.isdisjoint(src_ids)
+    assert all(s.key_id for s in m2.snapshots)
+    t2 = Table(spark, target, m2, "db.drt_copy")
+    assert t2.to_df().count() == 80
+    # keyless open refuses
+    with pytest.raises(ValueError):
+        TableOperations(target).refresh()

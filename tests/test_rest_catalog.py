@@ -819,3 +819,213 @@ def test_rest_oauth2_token_flow(catalog, spark):
             srv2.shutdown()
     finally:
         srv.shutdown()
+
+
+def _client_encrypted_append(port, cat, master, ident, n_rows):
+    """Stand-in for an external REST client committing a snapshot whose
+    manifest LIST (and manifest) are AES GCM Streams keyed through a
+    client-built `encryption-keys` chain wrapped by the SHARED KMS key
+    (EncryptionUtil.encryptManifestListKeyMetadata shape). Returns the
+    CommitTableRequest body and the new snapshot id."""
+    import base64
+    import secrets
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_spark.avro_file import read_avro_bytes, write_avro
+    from iceberg_spark.encryption import (StandardTableKeys,
+                                          aes_gcm_decrypt,
+                                          aes_gcm_encrypt,
+                                          decrypt_stream,
+                                          encode_standard_key_metadata,
+                                          encrypt_stream)
+    from iceberg_spark.sources.iceberg_fixture import (
+        MANIFEST_LIST_SCHEMA, manifest_entry_schema)
+
+    st, res = _get(port, f"/v1/namespaces/db/tables/{ident.split('.')[1]}")
+    assert st == 200
+    md = res["metadata"]
+    base_sid = md["refs"]["main"]["snapshot-id"]
+    new_seq = md["last-sequence-number"] + 1
+    new_sid = 4500000000000000000 + new_seq
+
+    def kms_unwrap(wrapped, kid):
+        try:
+            return aes_gcm_decrypt(master, wrapped,
+                                   (kid or "").encode("utf-8"))
+        except ValueError:
+            return aes_gcm_decrypt(master, wrapped, b"")
+
+    # prior live state: decrypt the served (encrypted) manifest list
+    tk = StandardTableKeys(md.get("encryption-keys") or [], kms_unwrap)
+    cur_snap = next(s for s in md["snapshots"]
+                    if s["snapshot-id"] == base_sid)
+    lkey0, laad0 = tk.manifest_list_key(cur_snap["key-id"])
+    raw = open(cur_snap["manifest-list"], "rb").read()
+    _, _, prior = read_avro_bytes(decrypt_stream(raw, lkey0, laad0),
+                                  cur_snap["manifest-list"])
+
+    t = cat.load_table(ident)
+    data_dir = os.path.join(t.location, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    dpath = os.path.join(data_dir, f"enc-rest-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.table({
+        "id": pa.array(range(2000, 2000 + n_rows), pa.int64()),
+        "grp": pa.array([8] * n_rows, pa.int64())}), dpath)
+
+    mdir = os.path.join(t.location, "metadata")
+    entry_schema = manifest_entry_schema([])
+    mpath = os.path.join(mdir, f"{uuid.uuid4().hex}-m0.avro")
+    write_avro(mpath, entry_schema, [{
+        "status": 1, "snapshot_id": new_sid,
+        "sequence_number": None, "file_sequence_number": None,
+        "data_file": {
+            "content": 0, "file_path": dpath, "file_format": "PARQUET",
+            "partition": {}, "record_count": n_rows,
+            "file_size_in_bytes": os.path.getsize(dpath),
+            "column_sizes": None, "value_counts": None,
+            "null_value_counts": None, "lower_bounds": None,
+            "upper_bounds": None, "key_metadata": None,
+            "split_offsets": None, "equality_ids": None,
+            "sort_order_id": None, "referenced_data_file": None,
+            "content_offset": None, "content_size_in_bytes": None}}],
+        {"schema": json.dumps(md["schemas"][0]),
+         "schema-id": "0", "partition-spec": "[]",
+         "partition-spec-id": "0", "format-version": "3",
+         "content": "data"}, codec="deflate")
+    # encrypt the manifest as a whole-file GCM stream; its
+    # StandardKeyMetadata rides the list entry (fid 519)
+    mkey, maad = secrets.token_bytes(16), secrets.token_bytes(16)
+    mraw = open(mpath, "rb").read()
+    open(mpath, "wb").write(encrypt_stream(mraw, mkey, maad))
+
+    ml_schema = {**MANIFEST_LIST_SCHEMA,
+                 "fields": MANIFEST_LIST_SCHEMA["fields"] + [
+                     {"name": "key_metadata", "type": ["null", "bytes"],
+                      "default": None, "field-id": 519}]}
+    rows = [dict(r) for r in prior] + [{
+        "manifest_path": mpath,
+        "manifest_length": os.path.getsize(mpath),
+        "partition_spec_id": 0, "content": 0,
+        "sequence_number": new_seq, "min_sequence_number": new_seq,
+        "added_snapshot_id": new_sid, "added_files_count": 1,
+        "existing_files_count": 0, "deleted_files_count": 0,
+        "added_rows_count": n_rows, "existing_rows_count": 0,
+        "deleted_rows_count": 0, "partitions": None,
+        "key_metadata": encode_standard_key_metadata(
+            mkey, maad, os.path.getsize(mpath))}]
+    for r in rows:
+        r.setdefault("key_metadata", None)
+    ml_path = os.path.join(
+        mdir, f"snap-{new_sid}-1-{uuid.uuid4().hex}.avro")
+    write_avro(ml_path, ml_schema, rows, {"format-version": "3"},
+               codec="deflate")
+    # encrypt the manifest LIST; chain its key: SKM(list key) under a
+    # fresh KEK (AAD = KEY_TIMESTAMP), KEK wrapped by the shared KMS key
+    # with the client's convention (empty AAD — exercises the server's
+    # dual-convention unwrap)
+    lkey, laad = secrets.token_bytes(16), secrets.token_bytes(16)
+    lraw = open(ml_path, "rb").read()
+    enc_list = encrypt_stream(lraw, lkey, laad)
+    open(ml_path, "wb").write(enc_list)
+    kek, kek_id = secrets.token_bytes(16), f"kek-{uuid.uuid4().hex}"
+    ts = str(int(_time.time() * 1000))
+    ml_id = f"ml-{uuid.uuid4().hex}"
+    kek_entry = {
+        "key-id": kek_id,
+        "encrypted-key-metadata": base64.b64encode(
+            aes_gcm_encrypt(master, kek, b"")).decode("ascii"),
+        "encrypted-by-id": "kms:client",
+        "properties": {"KEY_TIMESTAMP": ts}}
+    ml_entry = {
+        "key-id": ml_id,
+        "encrypted-key-metadata": base64.b64encode(
+            aes_gcm_encrypt(kek, encode_standard_key_metadata(
+                lkey, laad, len(enc_list)), ts.encode("utf-8")))
+        .decode("ascii"),
+        "encrypted-by-id": kek_id}
+
+    snap = {"snapshot-id": new_sid, "parent-snapshot-id": base_sid,
+            "sequence-number": new_seq, "timestamp-ms": 1700000456789,
+            "summary": {"operation": "append"},
+            "manifest-list": ml_path, "schema-id": 0,
+            "key-id": ml_id}
+    return {
+        "requirements": [{"type": "assert-ref-snapshot-id", "ref": "main",
+                          "snapshot-id": base_sid}],
+        "updates": [
+            {"action": "add-encryption-key", "encryption-key": kek_entry},
+            {"action": "add-encryption-key", "encryption-key": ml_entry},
+            {"action": "add-snapshot", "snapshot": snap},
+            {"action": "set-snapshot-ref", "ref-name": "main",
+             "type": "branch", "snapshot-id": new_sid}]}, new_sid
+
+
+def test_rest_commit_encrypted_snapshot(spark, tmp_path):
+    """External-style encrypted commit round-trips: the client adds its
+    KEK chain via add-encryption-key updates and commits a snapshot
+    whose manifest list/manifest are GCM streams; the server (holding
+    the table's metadata_key) unwraps, replays, and the table reads the
+    union. A server WITHOUT the key refuses with the narrowed
+    foreign-KMS error."""
+    from iceberg_spark.encryption import MAGIC
+    from iceberg_spark.table import Catalog
+
+    master = bytes(range(48, 64))
+    cat = Catalog(spark, str(tmp_path / "encwh"), metadata_key=master)
+    df = spark.range(0, 40).select("id", (F.col("id") % 4).alias("grp"))
+    t = cat.create_table("db.enc_rest", df.schema)
+    t.append(df)
+    srv, port = serve(cat)
+    try:
+        body, new_sid = _client_encrypted_append(
+            port, cat, master, "db.enc_rest", 7)
+        st, res = _req(port, "/v1/namespaces/db/tables/enc_rest", body)
+        assert st == 200
+        assert res["metadata"]["refs"]["main"]["snapshot-id"] == new_sid
+        t = cat.load_table("db.enc_rest")
+        assert t.current_snapshot().snapshot_id == new_sid
+        assert t.to_df().count() == 47
+        assert t.to_df().where(F.col("id") >= 2000).count() == 7
+        # the replayed commit's OWN metadata stays encrypted (the shadow
+        # ops carry the table's metadata_key through the REST swap)
+        mdir = os.path.join(t.location, "metadata")
+        for f in os.listdir(mdir):
+            if f.endswith(".avro") or f.endswith(".parquet"):
+                assert open(os.path.join(mdir, f), "rb").read(4) == MAGIC, f
+    finally:
+        srv.shutdown()
+
+
+def test_rest_encrypted_commit_refused_without_key(spark, tmp_path):
+    """The structured refusal narrows to truly-foreign KMS: a server
+    that does NOT hold the table's KMS key 400s an encrypted
+    add-snapshot with guidance."""
+    from iceberg_spark.table import Catalog
+
+    master = bytes(range(48, 64))
+    cat = Catalog(spark, str(tmp_path / "encwh2"), metadata_key=master)
+    df = spark.range(0, 10).select("id", (F.col("id") % 4).alias("grp"))
+    t = cat.create_table("db.enc_rest2", df.schema)
+    t.append(df)
+    srv, port = serve(cat)
+    try:
+        body, _sid = _client_encrypted_append(
+            port, cat, master, "db.enc_rest2", 3)
+    finally:
+        srv.shutdown()
+    # same table served WITHOUT the key: loadTable of encrypted trees
+    # needs the key, so serve a keyless catalog and hit the commit path
+    cat2 = Catalog(spark, str(tmp_path / "encwh2"))
+    cat2.metadata_key = None
+    srv2, port2 = serve(cat2)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(port2, "/v1/namespaces/db/tables/enc_rest2", body)
+        err = json.loads(ei.value.read())["error"]
+        assert ei.value.code in (400, 500)
+        assert "KMS" in err["message"] or "metadata_key" in err["message"]
+    finally:
+        srv2.shutdown()
