@@ -1259,18 +1259,20 @@ def _encrypted_parquet_df(spark, paths: list, read_schema, master_key: bytes,
             .mapInPandas(decode, out_schema))
 
 
-def _unique_name_batches(files):
+def _unique_name_batches(files, max_batch: int = 4096):
     """Split DataFiles into batches whose BASENAMES are unique — the JVM
     raw-DEK factory resolves per-file keys by file name (the only
     identity parquet-mr hands it that survives scheme/URI respelling).
-    Iceberg data file names are UUID-based so one batch is the norm;
-    a pathological collision costs one extra read job, never a wrong
-    key."""
+    Iceberg data file names are UUID-based so collisions are rare; a
+    collision costs one extra read job, never a wrong key. `max_batch`
+    caps per-relation key-option count: every file adds a Hadoop conf
+    entry to its relation, and an unbounded group would push a
+    million-entry conf through the driver on a big imported table."""
     batches: list = []
     for f in files:
         name = f.file_path.rstrip("/").rsplit("/", 1)[-1]
         for b in batches:
-            if name not in b[0]:
+            if name not in b[0] and len(b[1]) < max_batch:
                 b[0].add(name)
                 b[1].append(f)
                 break

@@ -1047,9 +1047,118 @@ _EXPORT_PLAN_CACHE: dict = {}  # (uuid, location, snapshot_id) -> entries
 _EXPORT_PLAN_CACHE_MAX = 4096
 
 
+def _transcode_kms_file(spark, src_path: str, reader_opts: dict,
+                        dest_dir: str, sort_cols, path_map=None):
+    """Re-encrypt one engine-kms parquet file as a reference raw-DEK
+    copy under `dest_dir` (fresh DEK + AAD, uniform footer-key
+    encryption — Parquet.java's writer layout). Row order is preserved
+    by sorting on `sort_cols` (`_metadata.row_index` for data/eq files —
+    position deletes key rows by content instead, since their
+    `file_path` column is remapped through `path_map` to the transcoded
+    data paths). Returns (new_path, StandardKeyMetadata blob)."""
+    import glob as _g
+    import secrets
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import jvm_crypto
+    from ..encryption import encode_standard_key_metadata
+
+    df = (spark.read.options(**(reader_opts or {})).parquet(src_path)
+          .withColumn("__rid", F.col("_metadata.row_index")))
+    if path_map:
+        mapping = F.create_map(*[F.lit(x) for kv in path_map.items()
+                                 for x in kv])
+        df = df.withColumn(
+            "file_path",
+            F.coalesce(mapping[F.col("file_path")], F.col("file_path")))
+    df = (df.coalesce(1).sortWithinPartitions(*sort_cols).drop("__rid"))
+    tmp = tempfile.mkdtemp(prefix="iceberg_spark_transcode_")
+    w = df.write.mode("overwrite")
+    skm = None
+    if reader_opts is not None:  # encrypted source -> raw-DEK copy
+        dek, aad = secrets.token_bytes(16), secrets.token_bytes(16)
+        w = w.options(**jvm_crypto.raw_writer_options(dek, aad))
+    w.parquet(tmp)
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, f"{_uuid.uuid4().hex}.parquet")
+    shutil.move(_g.glob(os.path.join(tmp, "*.parquet"))[0], dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+    if reader_opts is not None:
+        skm = encode_standard_key_metadata(dek, aad,
+                                           os.path.getsize(dest))
+    return dest, skm
+
+
+def _build_transcode_map(table, chain, dest_root: str) -> dict:
+    """old engine-kms path -> (raw-DEK copy path, SKM blob) over every
+    exported snapshot: data files first (so position-delete CONTENT can
+    remap to the new paths), then parquet pos/eq deletes. Engine-
+    encrypted Puffin DVs are refused (their blob payloads name data
+    paths the transcode moves) — rewrite them to parquet pos-deletes
+    first (maintenance.rewrite_position_delete_files)."""
+    from .. import jvm_crypto
+    from ..parquet_crypto import file_crypto, resolve_key
+
+    spark = table.spark
+    if not jvm_crypto.available(spark):
+        raise NotImplementedError(
+            "transcode_encrypted_data requires the JVM crypto path "
+            "(raw-DEK writes have no pyarrow surface)")
+    ddir = os.path.join(dest_root, "data")
+    tmap: dict = {}
+
+    def ropts(f):
+        fc = file_crypto(f.key_metadata)
+        if fc is None or fc[0] != "kms":
+            return None
+        return jvm_crypto.reader_options(fc[1], resolve_key(fc[1]))
+
+    plans = [table.new_scan().use_snapshot(s.snapshot_id).plan_files()
+             for s in chain]
+    for plan in plans:
+        for e in plan.files:
+            ro = ropts(e.file)
+            if ro is not None and e.file.file_path not in tmap:
+                tmap[e.file.file_path] = _transcode_kms_file(
+                    spark, e.file.file_path, ro, ddir, ["__rid"])
+    if tmap and any(d.file.file_format == "puffin"
+                    for plan in plans for d in plan.pos_deletes):
+        raise NotImplementedError(
+            "transcode_encrypted_data cannot relocate data files "
+            "referenced by Puffin deletion vectors (the DV payload names "
+            "the old paths) — rewrite DVs to parquet position deletes "
+            "first (rewrite_position_delete_files)")
+    data_map = {old: new for old, (new, _skm) in tmap.items()}
+    for plan in plans:
+        for d in plan.pos_deletes:
+            if d.file.file_path in tmap:
+                continue
+            ro = ropts(d.file)
+            if ro is not None:
+                tmap[d.file.file_path] = _transcode_kms_file(
+                    spark, d.file.file_path, ro, ddir,
+                    ["file_path", "pos"], path_map=data_map)
+            elif data_map and d.file.key_metadata is None:
+                # PLAINTEXT pos delete naming transcoded data paths: its
+                # content must remap too (stays plaintext)
+                tmap[d.file.file_path] = _transcode_kms_file(
+                    spark, d.file.file_path, None, ddir,
+                    ["file_path", "pos"], path_map=data_map)
+        for d in plan.eq_deletes:
+            ro = ropts(d.file)
+            if ro is not None and d.file.file_path not in tmap:
+                tmap[d.file.file_path] = _transcode_kms_file(
+                    spark, d.file.file_path, ro, ddir, ["__rid"])
+    return tmap
+
+
 def export_reference_metadata(table, dest_root: str,
                               full_history: bool = False,
-                              encryption_key: bytes = None) -> str:
+                              encryption_key: bytes = None,
+                              transcode_encrypted_data: bool = False) -> str:
     """Write a reference-layout Iceberg metadata tree (metadata JSON +
     Avro manifest list/manifests, the TableMetadataParser.java /
     ManifestLists.java shapes) for an engine table, pointing at the
@@ -1088,11 +1197,16 @@ def export_reference_metadata(table, dest_root: str,
             if bytes(e.file.key_metadata[:1]) == b"\x01":
                 has_raw = True
                 continue
+            if transcode_encrypted_data:
+                has_raw = True  # transcoded files carry raw SKM blobs
+                continue
             raise NotImplementedError(
                 "cannot export a table with engine-encrypted data files "
-                "to the reference layout: the reference's encryption "
-                "manager cannot unwrap the engine's parquet-kms key "
-                f"metadata ({e.file.file_path})")
+                "to the reference layout by reference: the reference's "
+                "encryption manager cannot unwrap the engine's "
+                f"parquet-kms key metadata ({e.file.file_path}). Pass "
+                "transcode_encrypted_data=True to re-encrypt copies "
+                "under reference raw-DEK StandardKeyMetadata")
     if has_raw and encryption_key is None and not (
             table.metadata.encryption_keys
             or getattr(table.ops, "metadata_key", None)):
@@ -1147,6 +1261,7 @@ def export_reference_metadata(table, dest_root: str,
     # entry per blob, same file_path) — keying by path alone would
     # collapse them into one vector and resurrect deleted rows
     cache = {}
+    transcode_map: dict = {}  # filled before snapshot_files runs
 
     def entry(e, content):
         f = e.file
@@ -1169,7 +1284,9 @@ def export_reference_metadata(table, dest_root: str,
         if f.equality_ids:
             out["equality_ids"] = tuple(f.equality_ids)
         if f.referenced_data_file:
-            out["referenced_data_file"] = f.referenced_data_file
+            ref_tc = transcode_map.get(f.referenced_data_file)
+            out["referenced_data_file"] = (ref_tc[0] if ref_tc
+                                           else f.referenced_data_file)
         if f.content_offset is not None:
             out["content_offset"] = f.content_offset
             out["content_size"] = f.content_size_in_bytes
@@ -1180,6 +1297,13 @@ def export_reference_metadata(table, dest_root: str,
             # reference StandardKeyMetadata rides out verbatim (the
             # export is key-compatible with the file's raw DEK)
             out["key_metadata"] = bytes(f.key_metadata)
+        tc = transcode_map.get(f.file_path)
+        if tc is not None:
+            # engine-kms file replaced by its raw-DEK transcoded copy
+            out["path"] = tc[0]
+            out["file_size"] = os.path.getsize(tc[0])
+            if tc[1] is not None:
+                out["key_metadata"] = tc[1]
         cache[ck] = out
         return out
 
@@ -1190,7 +1314,9 @@ def export_reference_metadata(table, dest_root: str,
         # the key because rewrite_table_path moves paths under the same
         # uuid
         ck = (table.metadata.table_uuid, table.location, snap.snapshot_id)
-        hit = _EXPORT_PLAN_CACHE.get(ck)
+        hit = (None if transcode_map
+               else _EXPORT_PLAN_CACHE.get(ck))  # transcoded paths are
+        # per-destination — never share them through the global cache
         if hit is not None:
             state["has_dv"] = state["has_dv"] or hit[1]
             return [dict(f) for f in hit[0]]
@@ -1211,9 +1337,10 @@ def export_reference_metadata(table, dest_root: str,
             files.append(entry(d, 1))
         for d in plan.eq_deletes:
             files.append(entry(d, 2))
-        if len(_EXPORT_PLAN_CACHE) >= _EXPORT_PLAN_CACHE_MAX:
-            _EXPORT_PLAN_CACHE.pop(next(iter(_EXPORT_PLAN_CACHE)))
-        _EXPORT_PLAN_CACHE[ck] = ([dict(f) for f in files], had_dv)
+        if not transcode_map:
+            if len(_EXPORT_PLAN_CACHE) >= _EXPORT_PLAN_CACHE_MAX:
+                _EXPORT_PLAN_CACHE.pop(next(iter(_EXPORT_PLAN_CACHE)))
+            _EXPORT_PLAN_CACHE[ck] = ([dict(f) for f in files], had_dv)
         return files
 
     # preserve engine identity: the exported refs/snapshot ids and
@@ -1230,6 +1357,8 @@ def export_reference_metadata(table, dest_root: str,
         chain.reverse()
     else:
         chain = [cur] if cur is not None else []
+    if transcode_encrypted_data and chain:
+        transcode_map.update(_build_transcode_map(table, chain, dest_root))
     snaps = [{"files": snapshot_files(s), "snapshot_id": s.snapshot_id,
               "timestamp_ms": s.timestamp_ms,
               "operation": s.operation,

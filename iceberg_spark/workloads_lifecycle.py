@@ -2148,6 +2148,69 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def iceberg_export_transcode_roundtrip_scan(spark, sf_dir):
+    """Export of a table whose DATA files carry the engine's parquet-kms
+    envelope (which the reference cannot unwrap):
+    `transcode_encrypted_data=True` re-encrypts data + pos-delete copies
+    as reference raw-DEK files (fresh per-file DEK/AAD, SKM blob on the
+    entry, pos-delete content remapped to the copied paths), under an
+    encrypted metadata tree. The export re-imports through kms_unwrap +
+    the JVM raw-DEK reader and must scan to the plaintext oracle —
+    closing the LAST encrypted-export refusal (COVERAGE r9)."""
+    key = ("icebergexptrans", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        from . import parquet_crypto as PC
+        from .encryption import aes_gcm_decrypt
+        from .sources.iceberg import (export_reference_metadata,
+                                      snapshot_iceberg_table)
+        from .table import Catalog
+
+        PC.register_key("trans-kms", bytes(range(40, 56)))
+        master = bytes(range(24, 40))
+        src_wh = tempfile.mkdtemp(prefix="iceberg_spark_trans_src_")
+        scat = Catalog(spark, src_wh)
+        df = load_table(spark, sf_dir, "supplier")
+        t = scat.create_table("db.sup_kms", df.schema, properties={
+            PC.KEY_ID_PROP: "trans-kms",
+            "write.delete.mode": "merge-on-read"})
+        t.append(df)
+        victims = [r.s_suppkey for r in df.select("s_suppkey").collect()
+                   if r.s_suppkey % 7 == 0]
+        t.delete_where(col("s_suppkey").isin(victims),
+                       mode="merge-on-read")
+        t = scat.load_table("db.sup_kms")
+        dest = tempfile.mkdtemp(prefix="iceberg_export_trans_")
+        export_reference_metadata(t, dest, encryption_key=master,
+                                  transcode_encrypted_data=True)
+        tfiles = _glob.glob(os.path.join(dest, "data", "*.parquet"))
+        assert len(tfiles) >= 2, tfiles  # data copies + pos-delete copy
+        for p in tfiles:  # every transcoded copy refuses a keyless open
+            try:
+                pq.ParquetFile(p)
+                raise AssertionError(f"{p} opened without a key")
+            except Exception as exc:  # noqa: BLE001
+                assert not isinstance(exc, AssertionError), exc
+        cat = _warehouse(spark)
+        back = f"icebergexptrans_back_{_sf_key(sf_dir)}"
+        if cat.table_exists(back):
+            cat.drop_table(back)
+        snapshot_iceberg_table(
+            cat, dest, back,
+            kms_unwrap=lambda wrapped, kid: aes_gcm_decrypt(
+                master, wrapped, b""))
+        _STATE[key] = back
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
 def hadoop_fileio_scan(spark, sf_dir):
     """FileIO-on-Hadoop as a permanent registry fixture (SURVEY §2.A15,
     io.HadoopFileIO; reference HadoopFileIO.java): the warehouse is
@@ -2193,6 +2256,8 @@ REGISTRY = {
                                       ICEBERG_IMPORT_SQL),
     "iceberg_import_native_encrypted_scan": (
         iceberg_import_native_encrypted_scan, ICEBERG_IMPORT_SQL),
+    "iceberg_export_transcode_roundtrip_scan": (
+        iceberg_export_transcode_roundtrip_scan, ICEBERG_IMPORT_SQL),
     "iceberg_import_avro_scan": (iceberg_import_avro_scan,
                                  ICEBERG_IMPORT_AVRO_SQL),
     "hadoop_fileio_scan": (hadoop_fileio_scan, ICEBERG_EXPORT_SQL),

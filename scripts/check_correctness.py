@@ -115,6 +115,18 @@ def main():
 
     bad = {k: v for k, v in results.items() if v["status"] not in ("pass", "rows_only")}
     print(f"\n{n_pass}/{len(results)} ok")
+    if not only:
+        # full runs persist as an audit artifact (committed per round as
+        # CORRECTNESS_LOCAL_r{N}.json): the driver samples ~50 entries,
+        # this records the whole registry's status
+        out = os.environ.get(
+            "SPARK_GRAFT_LOCAL_OUT",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json"))
+        with open(out, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "n_pass": n_pass,
+                       "n_total": len(results), "results": results},
+                      f, indent=1, default=str)
     if bad:
         print(json.dumps(bad, indent=1, default=str))
         sys.exit(1)

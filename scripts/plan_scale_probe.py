@@ -30,10 +30,10 @@ from pyspark.sql import types as T
 ROWS_PER_FILE = 1000
 
 
-def build(spark, n_files: int, n_partitions: int):
+def build(spark, n_files: int, n_partitions: int, metadata_key=None):
     files_per_partition = n_files // n_partitions
     wh = tempfile.mkdtemp(prefix=f"iceberg_spark_probe_{n_files}_")
-    cat = Catalog(spark, wh)
+    cat = Catalog(spark, wh, metadata_key=metadata_key)
     schema = T.StructType([
         T.StructField("p", T.IntegerType()),
         T.StructField("id", T.LongType()),
@@ -59,12 +59,26 @@ def build(spark, n_files: int, n_partitions: int):
     return t.refresh(), wh
 
 
-def probe(spark, n_files: int) -> dict:
+def probe(spark, n_files: int, encrypted: bool = False) -> dict:
     n_partitions = max(32, n_files // 10_000)
     per_part = n_files // n_partitions
     n_files = per_part * n_partitions  # exact grid
-    t, wh = build(spark, n_files, n_partitions)
-    out = {"n_files": n_files, "n_manifests": n_partitions}
+    mkey = bytes(range(16)) if encrypted else None
+    t, wh = build(spark, n_files, n_partitions, metadata_key=mkey)
+    out = {"n_files": n_files, "n_manifests": n_partitions,
+           "encrypted": encrypted}
+    if encrypted:
+        # every manifest/list on disk must be an AGS1 stream — the probe
+        # then measures DECRYPTING planning, not a silently-plain tree
+        import glob as _g
+
+        mfiles = (_g.glob(os.path.join(wh, "probe", "t", "metadata",
+                                       "manifests", "*.parquet"))
+                  + _g.glob(os.path.join(wh, "probe", "t", "metadata",
+                                         "manifest-lists", "*.parquet")))
+        assert mfiles, "no metadata parquet found"
+        for f in mfiles:
+            assert open(f, "rb").read(4) == b"AGS1", f
 
     def timed_plan(filt, mode):
         M._MANIFEST_CACHE.clear()
@@ -102,6 +116,15 @@ def probe(spark, n_files: int) -> dict:
         n, dt, reads, rep = timed_plan(None, "distributed")
         assert n == n_files
         out["full_distributed_s"] = dt
+    if encrypted:
+        # the executor-side decrypting RDD leg must prune the same way:
+        # a partition-filtered DISTRIBUTED plan ships only the matching
+        # manifest to executors (prefiltered by list summaries)
+        n, dt, reads, rep = timed_plan(col("p") == 7, "distributed")
+        assert n == per_part, n
+        out["partition_filter_distributed_s"] = dt
+        assert rep.skipped_manifests == n_partitions - 1, \
+            rep.skipped_manifests
     import shutil
 
     shutil.rmtree(wh, ignore_errors=True)
@@ -109,13 +132,16 @@ def probe(spark, n_files: int) -> dict:
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [10_000, 100_000, 1_000_000]
+    args = sys.argv[1:]
+    encrypted = "--encrypted" in args
+    sizes = [int(a) for a in args if not a.startswith("--")] \
+        or [10_000, 100_000, 1_000_000]
     spark = session("iceberg_spark_probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     rows = []
     for nf in sizes:
-        r = probe(spark, nf)
+        r = probe(spark, nf, encrypted=encrypted)
         rows.append(r)
         print(json.dumps(r), flush=True)
 

@@ -165,3 +165,45 @@ def test_refuses_without_jvm_crypto(natenc_table, monkeypatch):
     monkeypatch.setenv("ICEBERG_SPARK_JVM_CRYPTO", "0")
     with pytest.raises(NotImplementedError, match="raw footer DEK"):
         t.to_df().collect()
+
+
+def test_export_transcodes_engine_kms_to_raw_dek(spark, tmp_path):
+    """An engine-kms-encrypted table (parquet_crypto envelope the
+    reference cannot unwrap) exports to the reference layout by
+    TRANSCODING: data + pos-delete files re-encrypt as raw-DEK copies
+    with StandardKeyMetadata, pos-delete content remaps to the new
+    paths, and the export re-imports to the identical row set. Without
+    the flag the refusal stands."""
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    PC.register_key("tkms", bytes(range(16)))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 90).selectExpr("id", "id % 9 as g")
+    t = cat.create_table("db.kms_t", df.schema, properties={
+        PC.KEY_ID_PROP: "tkms", "write.delete.mode": "merge-on-read"})
+    t.append(df)
+    t.delete_where(
+        __import__("iceberg_spark.expressions",
+                   fromlist=["col"]).col("id").isin(
+            [i for i in range(90) if i % 10 == 0]),
+        mode="merge-on-read")
+    t = cat.load_table("db.kms_t")
+    dest = str(tmp_path / "exp")
+    with pytest.raises(NotImplementedError, match="transcode"):
+        export_reference_metadata(t, dest, encryption_key=MASTER)
+    export_reference_metadata(t, dest, encryption_key=MASTER,
+                              transcode_encrypted_data=True)
+    # every transcoded content file refuses a keyless open
+    import pyarrow.parquet as pq
+
+    tfiles = glob.glob(os.path.join(dest, "data", "*.parquet"))
+    assert len(tfiles) >= 2  # >=1 data + 1 pos delete
+    for p in tfiles:
+        with pytest.raises(Exception):
+            pq.ParquetFile(p)
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    t2, _n, _d = snapshot_iceberg_table(
+        cat2, dest, "db.kms_rt",
+        kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
+    got = sorted(r.id for r in t2.to_df().select("id").collect())
+    assert got == [i for i in range(90) if i % 10 != 0]
