@@ -445,8 +445,112 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "content_size": df.get("content_size_in_bytes"),
                 "sort_order_id": df.get("sort_order_id"),
                 "key_metadata": km or None,
+                "stats": _manifest_entry_stats(df, schemas[m_schema_id]),
             })
     return entries
+
+
+def _decode_single_value(buf, t: str):
+    """Iceberg binary single-value serialization -> engine Python domain
+    (format/spec.md "Binary single-value serialization";
+    api/.../types/Conversions.java): numeric/date/time/timestamp are
+    LITTLE-endian, decimal unscaled bytes are BIG-endian two's
+    complement, string UTF-8, uuid big-endian. Types the engine's stats
+    domain can't compare (uuid, time, nanosecond timestamps) return
+    None — missing bounds only cost pruning, never correctness."""
+    import struct
+
+    if buf is None:
+        return None
+    b = bytes(buf)
+    try:
+        if t == "boolean":
+            return b[0] != 0
+        if t == "int":
+            return struct.unpack("<i", b)[0]
+        if t == "long":
+            return struct.unpack("<q", b)[0]
+        if t == "float":
+            return struct.unpack("<f", b)[0]
+        if t == "double":
+            return struct.unpack("<d", b)[0]
+        if t == "date":
+            return (_dt.date(1970, 1, 1)
+                    + _dt.timedelta(days=struct.unpack("<i", b)[0]))
+        if t in ("timestamp", "timestamp_ntz", "timestamptz"):
+            us = struct.unpack("<q", b)[0]
+            return (_dt.datetime(1970, 1, 1)
+                    + _dt.timedelta(microseconds=us))
+        if t == "string":
+            return b.decode("utf-8")
+        if t == "binary" or t.startswith("fixed"):
+            return b
+        if t.startswith("decimal"):
+            import re as _re
+            from decimal import Decimal
+
+            m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            if not m:
+                return None
+            unscaled = int.from_bytes(b, "big", signed=True)
+            return Decimal(unscaled).scaleb(-int(m.group(2)))
+    except Exception:
+        return None
+    return None
+
+
+def _fid_map(v) -> dict:
+    """Manifest k/v metric column (Avro array-of-record logicalType map
+    or a plain dict) -> {field_id: value}."""
+    if not v:
+        return {}
+    if isinstance(v, dict):
+        return {int(k): val for k, val in v.items()}
+    out = {}
+    for item in v:
+        if isinstance(item, dict):
+            out[int(item["key"])] = item["value"]
+        else:  # pyarrow map -> list of (key, value) tuples (v4 parquet)
+            out[int(item[0])] = item[1]
+    return out
+
+
+def _manifest_entry_stats(df_record: dict, schema) -> dict:
+    """Engine stats dict {name: (min, max, nulls, nans, value_count)}
+    decoded from a reference manifest entry's metric columns — the only
+    stats source for files whose footers the engine cannot open
+    (natively-encrypted parquet) or that have no parquet footer
+    (ORC/Avro). Bounds may be truncated under the source's metrics
+    config; truncated bounds are still VALID outer bounds, so pruning
+    stays conservative-correct, and the aggregate-pushdown exactness
+    guard keys off the (copied) table metrics properties exactly as it
+    does for engine-written files."""
+    try:
+        vc = _fid_map(df_record.get("value_counts"))
+        nulls = _fid_map(df_record.get("null_value_counts"))
+        nans = _fid_map(df_record.get("nan_value_counts"))
+        lo = _fid_map(df_record.get("lower_bounds"))
+        hi = _fid_map(df_record.get("upper_bounds"))
+    except Exception:
+        return {}
+    if not (vc or nulls or lo or hi):
+        return {}
+    out = {}
+    for f in schema.fields:
+        if not isinstance(f.type, str):
+            continue  # engine stats cover top-level primitives
+        fid = f.field_id
+        if (fid not in vc and fid not in nulls and fid not in lo
+                and fid not in hi):
+            continue
+        out[f.name] = (
+            _decode_single_value(lo.get(fid), f.type),
+            _decode_single_value(hi.get(fid), f.type),
+            int(nulls[fid]) if fid in nulls else None,
+            int(nans[fid]) if fid in nans else None,
+            int(vc[fid]) if fid in vc else None,
+        )
+    return out
 
 
 def _table_keys(md: dict, kms_unwrap):
@@ -796,7 +900,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 content=e["content"], spec_id=e["spec_id"],
                 partition=dict(e["partition"]),
                 record_count=e["record_count"],
-                file_size_in_bytes=e["file_size"], stats={},
+                file_size_in_bytes=e["file_size"],
+                stats=e.get("stats") or {},
                 equality_ids=tuple(e["equality_ids"]),
                 sort_order_id=e.get("sort_order_id"),
                 referenced_data_file=(
@@ -844,7 +949,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 file_path=e["path"], file_format=e["format"], content=DATA,
                 spec_id=e["spec_id"], partition=dict(e["partition"]),
                 record_count=rc,
-                file_size_in_bytes=e["file_size"], stats={},
+                file_size_in_bytes=e["file_size"],
+                stats=e.get("stats") or {},
                 write_schema_id=e.get("schema_id", cur_schema))
             cache[ck] = f
             files_by_seq.append((seq_map[e["seq"]], f))

@@ -131,6 +131,12 @@ def _write_parquet_manifest(mp: str, rows: list, meta: dict,
         for r in rows:
             r["data_file"] = {k: v for k, v in r["data_file"].items()
                               if k != "partition"}
+    for r in rows:  # avro map rows are [{"key","value"}]; parquet maps
+        for mk in ("column_sizes", "value_counts", "null_value_counts",
+                   "nan_value_counts", "lower_bounds", "upper_bounds"):
+            v = r["data_file"].get(mk)
+            if isinstance(v, list):
+                r["data_file"][mk] = [(e["key"], e["value"]) for e in v]
     pq.write_table(pa.Table.from_pylist(rows, schema=schema), mp)
 
 
@@ -370,9 +376,14 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "file_size_in_bytes": (
                         f["file_size"] if f.get("file_size") is not None
                         else os.path.getsize(f["path"])),
-                    "column_sizes": None, "value_counts": None,
-                    "null_value_counts": None, "lower_bounds": None,
-                    "upper_bounds": None,
+                    # metric maps pass through when the fixture supplies
+                    # them ([{"key": fid, "value": ...}] — bounds values
+                    # are spec single-value-serialized bytes)
+                    "column_sizes": None,
+                    "value_counts": f.get("value_counts"),
+                    "null_value_counts": f.get("null_value_counts"),
+                    "lower_bounds": f.get("lower_bounds"),
+                    "upper_bounds": f.get("upper_bounds"),
                     "key_metadata": f.get("key_metadata"),
                     "split_offsets": None,
                     "equality_ids": (list(f["equality_ids"])

@@ -1668,8 +1668,11 @@ def iceberg_import_native_encrypted_scan(spark, sf_dir):
 
         # victims (s_suppkey % 7 == 0) located by reading the encrypted
         # files BACK through the raw-DEK reader — positions are whatever
-        # the encrypted writer produced, no ordering assumption
-        del_rows, n_rows = [], {}
+        # the encrypted writer produced, no ordering assumption. The same
+        # pass collects per-file s_suppkey bounds for the manifest's
+        # metric maps: the footer being unreadable without the key makes
+        # manifest stats the ONLY pruning source for encrypted imports.
+        del_rows, n_rows, bounds = [], {}, {}
         for dest, (dek, aad) in dek_by_path.items():
             rows = (spark.read
                     .options(**jvm_crypto.raw_reader_options(
@@ -1678,6 +1681,8 @@ def iceberg_import_native_encrypted_scan(spark, sf_dir):
                     .select(F.col("_metadata.row_index").alias("pos"),
                             "s_suppkey").collect())
             n_rows[dest] = len(rows)
+            keys = [int(r.s_suppkey) for r in rows]
+            bounds[dest] = (min(keys), max(keys))
             del_rows += [(dest, int(r.pos)) for r in rows
                          if r.s_suppkey % 7 == 0]
         assert del_rows, "fixture must delete at least one row"
@@ -1697,10 +1702,19 @@ def iceberg_import_native_encrypted_scan(spark, sf_dir):
             except Exception as exc:  # noqa: BLE001
                 assert not isinstance(exc, AssertionError), exc
 
+        import struct as _st
+
         files = [{"path": dest, "record_count": n_rows[dest],
                   "file_size": os.path.getsize(dest), "seq": 1,
                   "key_metadata": encode_standard_key_metadata(
-                      dek, aad, os.path.getsize(dest))}
+                      dek, aad, os.path.getsize(dest)),
+                  # fid 1 = s_suppkey; bounds spec-serialized (<q)
+                  "value_counts": [{"key": 1, "value": n_rows[dest]}],
+                  "null_value_counts": [{"key": 1, "value": 0}],
+                  "lower_bounds": [{"key": 1, "value": _st.pack(
+                      "<q", bounds[dest][0])}],
+                  "upper_bounds": [{"key": 1, "value": _st.pack(
+                      "<q", bounds[dest][1])}]}
                  for dest, (dek, aad) in sorted(dek_by_path.items())]
         files.append({"path": dpath, "content": 1,
                       "record_count": len(del_rows),

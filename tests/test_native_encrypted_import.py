@@ -66,6 +66,8 @@ def natenc_table(spark, tmp_path_factory):
         {"id": 1, "name": "id", "required": False, "type": "long"},
         {"id": 2, "name": "g", "required": False, "type": "long"},
         {"id": 3, "name": "v", "required": False, "type": "double"}]}
+    import struct
+
     files, keys = [], {}
     for i, pred in enumerate([F.col("id") < 50, F.col("id") >= 50]):
         dek, aad = secrets.token_bytes(16), secrets.token_bytes(8)
@@ -73,11 +75,20 @@ def natenc_table(spark, tmp_path_factory):
         _write_raw(spark, base.filter(pred), dest, dek, aad, tmp_path,
                    f"d{i}")
         keys[dest] = (dek, aad)
+        lo, hi = (0, 49) if i == 0 else (50, 99)
         files.append({
             "path": dest, "record_count": 50,
             "file_size": os.path.getsize(dest), "seq": 1,
             "key_metadata": encode_standard_key_metadata(
-                dek, aad, os.path.getsize(dest))})
+                dek, aad, os.path.getsize(dest)),
+            # manifest metric maps (fid 1 = id): the only stats source
+            # for a file whose footer is unreadable without the key
+            "value_counts": [{"key": 1, "value": 50}],
+            "null_value_counts": [{"key": 1, "value": 0}],
+            "lower_bounds": [{"key": 1,
+                              "value": struct.pack("<q", lo)}],
+            "upper_bounds": [{"key": 1,
+                              "value": struct.pack("<q", hi)}]})
     # delete ids ending in 0 via positions read back through the raw path
     del_rows = []
     for dest, (dek, aad) in keys.items():
@@ -130,6 +141,21 @@ def test_no_plaintext_content_files(natenc_table):
     for p in glob.glob(os.path.join(root, "data", "*.parquet")):
         with pytest.raises(Exception):
             pq.ParquetFile(p)
+
+
+def test_manifest_stats_prune_encrypted_files(natenc_table):
+    """Bounds from the SOURCE manifest's metric maps (the only stats
+    source when footers are encrypted) min/max-prune the imported
+    table: a filter that only one encrypted file can satisfy plans
+    exactly that file."""
+    from iceberg_spark.expressions import col
+
+    t, _root = natenc_table
+    plan = t.scan(filter=col("id") >= 60).plan_files()
+    assert len(plan.files) == 1
+    plan = t.scan(filter=col("id") < 40).plan_files()
+    assert len(plan.files) == 1
+    assert len(t.scan().plan_files().files) == 2
 
 
 def test_key_metadata_carried_verbatim(natenc_table):
