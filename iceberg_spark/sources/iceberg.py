@@ -499,6 +499,89 @@ def _decode_single_value(buf, t: str):
     return None
 
 
+def _encode_single_value(v, t: str):
+    """Inverse of _decode_single_value: engine stats value -> Iceberg
+    binary single-value serialization. None for types the encoder
+    doesn't cover (the bound is simply omitted — pruning-only cost)."""
+    import struct
+
+    if v is None:
+        return None
+    try:
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if t == "int":
+            return struct.pack("<i", int(v))
+        if t == "long":
+            return struct.pack("<q", int(v))
+        if t == "float":
+            return struct.pack("<f", float(v))
+        if t == "double":
+            return struct.pack("<d", float(v))
+        if t == "date" and isinstance(v, _dt.date) \
+                and not isinstance(v, _dt.datetime):
+            return struct.pack("<i", (v - _dt.date(1970, 1, 1)).days)
+        if t in ("timestamp", "timestamp_ntz", "timestamptz") \
+                and isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            us = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(
+                microseconds=1)
+            return struct.pack("<q", us)
+        if t == "string" and isinstance(v, str):
+            return v.encode("utf-8")
+        if (t == "binary" or t.startswith("fixed")) \
+                and isinstance(v, (bytes, bytearray)):
+            return bytes(v)
+        if t.startswith("decimal"):
+            import re as _re
+            from decimal import Decimal
+
+            m = _re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", t)
+            if not m or not isinstance(v, Decimal):
+                return None
+            unscaled = int(v.scaleb(int(m.group(2))))
+            n = max(1, (unscaled.bit_length() + 8) // 8)
+            return unscaled.to_bytes(n, "big", signed=True)
+    except Exception:
+        return None
+    return None
+
+
+def _entry_metric_maps(stats: dict, schema) -> dict:
+    """Engine DataFile.stats -> reference manifest metric maps
+    ([{"key": fid, "value": ...}] per column, spec-serialized bounds) so
+    an exported table prunes (and re-imports metadata-only) exactly like
+    a reference-written one."""
+    if not stats:
+        return {}
+    vc, nulls, nans, lob, upb = [], [], [], [], []
+    for f in schema.fields:
+        s = stats.get(f.name)
+        if s is None or not isinstance(f.type, str):
+            continue
+        mn, mx, nu, na, cnt = s
+        if cnt is not None:
+            vc.append({"key": f.field_id, "value": int(cnt)})
+        if nu is not None:
+            nulls.append({"key": f.field_id, "value": int(nu)})
+        if na is not None:
+            nans.append({"key": f.field_id, "value": int(na)})
+        b = _encode_single_value(mn, f.type)
+        if b is not None:
+            lob.append({"key": f.field_id, "value": b})
+        b = _encode_single_value(mx, f.type)
+        if b is not None:
+            upb.append({"key": f.field_id, "value": b})
+    out = {}
+    for k, v in (("value_counts", vc), ("null_value_counts", nulls),
+                 ("nan_value_counts", nans), ("lower_bounds", lob),
+                 ("upper_bounds", upb)):
+        if v:
+            out[k] = v
+    return out
+
+
 def _fid_map(v) -> dict:
     """Manifest k/v metric column (Avro array-of-record logicalType map
     or a plain dict) -> {field_id: value}."""
@@ -962,6 +1045,41 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
     schema = schemas[cur_schema]
     for (spec_id, content), group in sorted(parquet_groups.items()):
         spec = specs[spec_id]
+        # METADATA-ONLY registration (the reference's register/add_files
+        # shape: RegisterTableProcedure never opens data files): entries
+        # whose source manifest carries real metrics — any non-null
+        # value_count — register straight from the manifest (counts +
+        # decoded bounds). Only stat-less entries pay the footer pass;
+        # at cluster scale this is the difference between reading a
+        # million footers and reading none.
+        md_only = []
+        footer = []
+        for e in group:
+            st = e.get("stats") or {}
+            if e["file_size"] and any(
+                    v[4] is not None for v in st.values()):
+                md_only.append(e)
+            else:
+                footer.append(e)
+        for e in md_only:
+            f = DataFile(
+                file_path=e["path"], file_format="parquet",
+                content=content, spec_id=spec_id,
+                partition=dict(e["partition"]),
+                record_count=e["record_count"],
+                file_size_in_bytes=e["file_size"], stats=e["stats"],
+                equality_ids=tuple(e["equality_ids"]),
+                sort_order_id=e.get("sort_order_id"),
+                referenced_data_file=(
+                    _resolve_path(e["referenced_data_file"])
+                    if e.get("referenced_data_file") else None),
+                write_schema_id=e.get("schema_id", cur_schema))
+            cache[(f.file_path, content, f.referenced_data_file,
+                   f.content_offset)] = f
+            files_by_seq.append((seq_map[e["seq"]], f))
+        group = footer
+        if not group:
+            continue
         paths = sorted({e["path"] for e in group})
         by_path = {e["path"]: e for e in group}
         partitions = {e["path"]: e["partition"] for e in group}
@@ -1410,6 +1528,11 @@ def export_reference_metadata(table, dest_root: str,
             out["file_size"] = os.path.getsize(tc[0])
             if tc[1] is not None:
                 out["key_metadata"] = tc[1]
+        # metric maps from the engine's stats: a reference reader prunes
+        # the export exactly like a table it wrote itself, and an
+        # engine round-trip re-imports METADATA-ONLY (no footer pass)
+        out.update(_entry_metric_maps(
+            f.stats, schemas.get(f.write_schema_id, schema)))
         cache[ck] = out
         return out
 

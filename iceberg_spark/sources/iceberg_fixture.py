@@ -167,6 +167,9 @@ def manifest_entry_schema(partition_fields: list) -> dict:
         {"name": "null_value_counts",
          "type": _opt(_kv_map("k121_v122", 121, 122)),
          "default": None, "field-id": 110},
+        {"name": "nan_value_counts",
+         "type": _opt(_kv_map("k138_v139", 138, 139)),
+         "default": None, "field-id": 137},
         {"name": "lower_bounds",
          "type": _opt(_kv_map("k126_v127", 126, 127, "bytes")),
          "default": None, "field-id": 125},
@@ -382,6 +385,7 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "column_sizes": None,
                     "value_counts": f.get("value_counts"),
                     "null_value_counts": f.get("null_value_counts"),
+                    "nan_value_counts": f.get("nan_value_counts"),
                     "lower_bounds": f.get("lower_bounds"),
                     "upper_bounds": f.get("upper_bounds"),
                     "key_metadata": f.get("key_metadata"),

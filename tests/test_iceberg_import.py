@@ -674,3 +674,56 @@ def test_import_avro_and_orc_delete_files(catalog, tmp_path):
         assert d.file.file_path.startswith(t.location)
     rows = sorted(r["id"] for r in t.to_df().collect())
     assert rows == [1, 2, 4, 5, 6, 8, 9]  # 0,3 (pos) and 7 (eq) gone
+
+
+def test_metadata_only_registration_with_manifest_stats(spark, catalog,
+                                                        tmp_path,
+                                                        monkeypatch):
+    """Entries whose source manifest carries real metrics register
+    WITHOUT opening any data file (RegisterTableProcedure parity):
+    counts and spec-serialized bounds decode straight from the
+    manifest, min/max pruning works, and the footer collector is never
+    invoked."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_spark import manifests as M
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import snapshot_iceberg_table
+    from iceberg_spark.sources.iceberg_fixture import write_reference_table
+
+    root = str(tmp_path / "src")
+    os.makedirs(os.path.join(root, "data"))
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"},
+        {"id": 2, "name": "v", "required": False, "type": "double"}]}
+    files = []
+    for i, (lo, hi) in enumerate([(0, 49), (50, 99)]):
+        p = os.path.join(root, "data", f"d{i}.parquet")
+        pq.write_table(pa.table({
+            "id": pa.array(range(lo, hi + 1), pa.int64()),
+            "v": pa.array([float(x) for x in range(lo, hi + 1)])}), p)
+        files.append({
+            "path": p, "record_count": 50,
+            "file_size": os.path.getsize(p), "seq": 1,
+            "value_counts": [{"key": 1, "value": 50},
+                             {"key": 2, "value": 50}],
+            "null_value_counts": [{"key": 1, "value": 0}],
+            "lower_bounds": [{"key": 1, "value": struct.pack("<q", lo)}],
+            "upper_bounds": [{"key": 1, "value": struct.pack("<q", hi)}]})
+    write_reference_table(root, schema_json, files)
+
+    def boom(*a, **k):
+        raise AssertionError("footer collector invoked on a "
+                             "metadata-complete import")
+
+    monkeypatch.setattr(M, "collect_data_files", boom)
+    t, n, _d = snapshot_iceberg_table(catalog, root, "db.mdonly")
+    assert n == 2
+    assert len(t.scan(filter=col("id") >= 60).plan_files().files) == 1
+    assert t.to_df().count() == 100
+    from pyspark.sql import functions as F
+
+    assert t.to_df().where(F.col("id") >= 60).count() == 40
