@@ -1348,17 +1348,11 @@ def _build_transcode_map(table, chain, dest_root: str) -> dict:
             if ro is not None and e.file.file_path not in tmap:
                 tmap[e.file.file_path] = _transcode_kms_file(
                     spark, e.file.file_path, ro, ddir, ["__rid"])
-    if tmap and any(d.file.file_format == "puffin"
-                    for plan in plans for d in plan.pos_deletes):
-        raise NotImplementedError(
-            "transcode_encrypted_data cannot relocate data files "
-            "referenced by Puffin deletion vectors (the DV payload names "
-            "the old paths) — rewrite DVs to parquet position deletes "
-            "first (rewrite_position_delete_files)")
     data_map = {old: new for old, (new, _skm) in tmap.items()}
     for plan in plans:
         for d in plan.pos_deletes:
-            if d.file.file_path in tmap:
+            if d.file.file_format == "puffin" \
+                    or d.file.file_path in tmap:
                 continue
             ro = ropts(d.file)
             if ro is not None:
@@ -1376,7 +1370,69 @@ def _build_transcode_map(table, chain, dest_root: str) -> dict:
             if ro is not None and d.file.file_path not in tmap:
                 tmap[d.file.file_path] = _transcode_kms_file(
                     spark, d.file.file_path, ro, ddir, ["__rid"])
-    return tmap
+    return tmap, _transcode_dv_containers(plans, data_map, ddir)
+
+
+def _transcode_dv_containers(plans, data_map: dict, ddir: str) -> dict:
+    """Rebuild Puffin deletion-vector containers whose blobs either sit
+    under engine stream encryption (ags1-kms — the reference cannot
+    unwrap it) or reference data files the transcode moved (the payload
+    names the OLD path). Fresh containers re-encrypt under raw SKM keys
+    when the source was encrypted. Returns {(container_path,
+    referenced_file, content_offset): new entry fields}."""
+    import secrets
+
+    from ..deletion_vectors import read_dv_positions, write_dv_puffin
+    from ..encryption import encode_standard_key_metadata
+    from ..parquet_crypto import unwrap_stream_key
+
+    containers: dict = {}
+    seen = set()
+    for plan in plans:
+        for d in plan.pos_deletes:
+            f = d.file
+            if f.file_format != "puffin":
+                continue
+            k = (f.file_path, f.referenced_data_file, f.content_offset)
+            if k in seen:
+                continue
+            seen.add(k)
+            enc = unwrap_stream_key(f.key_metadata)
+            if enc is None and f.referenced_data_file not in data_map:
+                continue  # plaintext DV over untouched data: by reference
+            containers.setdefault(f.file_path, []).append((f, enc))
+    dv_map: dict = {}
+    for cpath, entries in containers.items():
+        dvs, any_enc = {}, False
+        for f, enc in entries:
+            any_enc = any_enc or enc is not None
+            pos = read_dv_positions(cpath, f.content_offset,
+                                    f.content_size_in_bytes, decrypt=enc)
+            newref = data_map.get(f.referenced_data_file,
+                                  f.referenced_data_file)
+            dvs[newref] = pos
+        os.makedirs(ddir, exist_ok=True)
+        new_path = os.path.join(ddir, f"{_uuid.uuid4().hex}.puffin")
+        skm = None
+        if any_enc:
+            key, aad = secrets.token_bytes(16), secrets.token_bytes(16)
+            metas = write_dv_puffin(new_path, dvs, encrypt=(key, aad))
+            skm = encode_standard_key_metadata(
+                key, aad, os.path.getsize(new_path))
+        else:
+            metas = write_dv_puffin(new_path, dvs)
+        by_ref = {m["referenced_data_file"]: m for m in metas}
+        for f, _enc in entries:
+            m = by_ref[data_map.get(f.referenced_data_file,
+                                    f.referenced_data_file)]
+            dv_map[(f.file_path, f.referenced_data_file,
+                    f.content_offset)] = {
+                "path": new_path,
+                "content_offset": m["content_offset"],
+                "content_size": m["content_size_in_bytes"],
+                "file_size": m["file_size_in_bytes"],
+                "key_metadata": skm}
+    return dv_map
 
 
 def export_reference_metadata(table, dest_root: str,
@@ -1486,6 +1542,7 @@ def export_reference_metadata(table, dest_root: str,
     # collapse them into one vector and resurrect deleted rows
     cache = {}
     transcode_map: dict = {}  # filled before snapshot_files runs
+    dv_transcode_map: dict = {}  # (path, ref, offset) -> new DV fields
 
     def entry(e, content):
         f = e.file
@@ -1528,6 +1585,19 @@ def export_reference_metadata(table, dest_root: str,
             out["file_size"] = os.path.getsize(tc[0])
             if tc[1] is not None:
                 out["key_metadata"] = tc[1]
+        dv = dv_transcode_map.get(
+            (f.file_path, f.referenced_data_file, f.content_offset))
+        if dv is not None:
+            # rebuilt DV container (remapped payload paths / fresh SKM
+            # stream key)
+            out["path"] = dv["path"]
+            out["file_size"] = dv["file_size"]
+            out["content_offset"] = dv["content_offset"]
+            out["content_size"] = dv["content_size"]
+            if dv["key_metadata"] is not None:
+                out["key_metadata"] = dv["key_metadata"]
+            elif "key_metadata" in out:
+                del out["key_metadata"]
         # metric maps from the engine's stats: a reference reader prunes
         # the export exactly like a table it wrote itself, and an
         # engine round-trip re-imports METADATA-ONLY (no footer pass)
@@ -1543,7 +1613,7 @@ def export_reference_metadata(table, dest_root: str,
         # the key because rewrite_table_path moves paths under the same
         # uuid
         ck = (table.metadata.table_uuid, table.location, snap.snapshot_id)
-        hit = (None if transcode_map
+        hit = (None if (transcode_map or dv_transcode_map)
                else _EXPORT_PLAN_CACHE.get(ck))  # transcoded paths are
         # per-destination — never share them through the global cache
         if hit is not None:
@@ -1566,7 +1636,7 @@ def export_reference_metadata(table, dest_root: str,
             files.append(entry(d, 1))
         for d in plan.eq_deletes:
             files.append(entry(d, 2))
-        if not transcode_map:
+        if not (transcode_map or dv_transcode_map):
             if len(_EXPORT_PLAN_CACHE) >= _EXPORT_PLAN_CACHE_MAX:
                 _EXPORT_PLAN_CACHE.pop(next(iter(_EXPORT_PLAN_CACHE)))
             _EXPORT_PLAN_CACHE[ck] = ([dict(f) for f in files], had_dv)
@@ -1587,7 +1657,9 @@ def export_reference_metadata(table, dest_root: str,
     else:
         chain = [cur] if cur is not None else []
     if transcode_encrypted_data and chain:
-        transcode_map.update(_build_transcode_map(table, chain, dest_root))
+        tmap, dvmap = _build_transcode_map(table, chain, dest_root)
+        transcode_map.update(tmap)
+        dv_transcode_map.update(dvmap)
     snaps = [{"files": snapshot_files(s), "snapshot_id": s.snapshot_id,
               "timestamp_ms": s.timestamp_ms,
               "operation": s.operation,

@@ -233,3 +233,88 @@ def test_export_transcodes_engine_kms_to_raw_dek(spark, tmp_path):
         kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
     got = sorted(r.id for r in t2.to_df().select("id").collect())
     assert got == [i for i in range(90) if i % 10 != 0]
+
+
+def test_import_reference_encrypted_puffin_dv(spark, tmp_path):
+    """A reference table whose deletion vector rides an ENCRYPTED Puffin
+    container (whole-file AES GCM Stream, StandardKeyMetadata on the
+    entry — the reference's non-parquet content-file encryption) imports
+    and applies the DV correctly: unwrap_stream_key decodes the SKM blob
+    directly (no KMS envelope) and the reader decrypts-then-slices."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_spark.deletion_vectors import write_dv_puffin
+    from iceberg_spark.encryption import encrypt_stream
+    from iceberg_spark.sources.iceberg_fixture import write_reference_table
+
+    root = str(tmp_path / "src")
+    os.makedirs(os.path.join(root, "data"))
+    dpath = os.path.join(root, "data", "d0.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(100), pa.int64())}),
+                   dpath)
+    dv_path = os.path.join(root, "data", "dv.puffin")
+    meta = write_dv_puffin(dv_path,
+                           {dpath: np.array([3, 7, 11], np.int64)})[0]
+    key, aad = secrets.token_bytes(16), secrets.token_bytes(16)
+    raw = open(dv_path, "rb").read()
+    ct = encrypt_stream(raw, key, aad)
+    open(dv_path, "wb").write(ct)
+    schema_json = {"type": "struct", "schema-id": 0, "fields": [
+        {"id": 1, "name": "id", "required": False, "type": "long"}]}
+    files = [
+        {"path": dpath, "record_count": 100,
+         "file_size": os.path.getsize(dpath), "seq": 1},
+        {"path": dv_path, "format": "puffin", "content": 1,
+         "record_count": meta["cardinality"],
+         "file_size": len(ct), "seq": 2,
+         "referenced_data_file": dpath,
+         "content_offset": meta["content_offset"],
+         "content_size": meta["content_size_in_bytes"],
+         "key_metadata": encode_standard_key_metadata(key, aad,
+                                                      len(ct))}]
+    write_reference_table(root, schema_json, files, format_version=3)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    t, n_data, n_del = snapshot_iceberg_table(cat, root, "db.encdv")
+    assert (n_data, n_del) == (1, 1)
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(100) if i not in (3, 7, 11)]
+
+
+def test_export_transcode_rebuilds_encrypted_dvs(spark, tmp_path):
+    """Transcode export over an engine-kms table whose MoR deletes are
+    DELETION VECTORS: the ags1-encrypted Puffin containers (reference-
+    unreadable KMS wrap, payload naming the pre-transcode data paths)
+    rebuild as fresh SKM-encrypted containers referencing the raw-DEK
+    data copies; the round trip applies the DV exactly."""
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    PC.register_key("dvkms", bytes(range(64, 80)))
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 80).selectExpr("id", "id % 4 as g")
+    t = cat.create_table("db.kmsdv", df.schema, properties={
+        PC.KEY_ID_PROP: "dvkms",
+        "write.delete.mode": "merge-on-read",
+        "write.delete.format": "dv"})
+    t.append(df)
+    t.delete_where(col("id").isin([5, 15, 25, 35]),
+                   mode="merge-on-read")
+    t = cat.load_table("db.kmsdv")
+    plan = t.scan().plan_files()
+    assert any(d.file.file_format == "puffin" for d in plan.pos_deletes)
+    dest = str(tmp_path / "exp")
+    export_reference_metadata(t, dest, encryption_key=MASTER,
+                              transcode_encrypted_data=True)
+    # rebuilt DV containers are fresh AGS1 streams under dest/data
+    puffins = glob.glob(os.path.join(dest, "data", "*.puffin"))
+    assert puffins
+    assert all(open(p, "rb").read(4) == b"AGS1" for p in puffins)
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    t2, _n, n_del = snapshot_iceberg_table(
+        cat2, dest, "db.kmsdv_rt",
+        kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
+    assert n_del >= 1
+    got = sorted(r.id for r in t2.to_df().select("id").collect())
+    assert got == [i for i in range(80) if i not in (5, 15, 25, 35)]
