@@ -97,10 +97,19 @@ STATS_FIELDS = ("min", "max", "nulls", "nans", "values")
 # ---------------------------------------------------------------------------
 
 _FILE_KEYS: dict = {}  # strip_scheme(path) -> (key_bytes, aad_prefix)
+_FILE_KEYS_MAX = 262_144  # LRU bound: a long-lived service touching many
+# tables must not accumulate key state forever. Eviction is SAFE — every
+# key re-registers when its manifest list is (re)read, so a miss costs
+# one list re-read, never a failed decrypt.
 
 
 def register_file_key(path: str, key: bytes, aad: bytes):
-    _FILE_KEYS[_io.strip_scheme(path)] = (key, aad)
+    k = _io.strip_scheme(path)
+    _FILE_KEYS.pop(k, None)  # re-insert at the MRU end
+    _FILE_KEYS[k] = (key, aad)
+    if len(_FILE_KEYS) > _FILE_KEYS_MAX:
+        for old in list(_FILE_KEYS)[:_FILE_KEYS_MAX // 8]:
+            del _FILE_KEYS[old]
 
 
 def file_key(path: str):
