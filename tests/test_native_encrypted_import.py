@@ -318,3 +318,18 @@ def test_export_transcode_rebuilds_encrypted_dvs(spark, tmp_path):
     assert n_del >= 1
     got = sorted(r.id for r in t2.to_df().select("id").collect())
     assert got == [i for i in range(80) if i not in (5, 15, 25, 35)]
+
+
+def test_raw_dek_scan_plan_shape(natenc_table):
+    """Imported raw-DEK files scan through Spark's NATIVE reader: a real
+    FileScan (vectorized, whole-stage codegen) with Catalyst filter
+    pushdown reaching the decrypting scan — never a mapInPandas python
+    plan. Same plan shape a plaintext table gets."""
+    from iceberg_spark.expressions import col
+
+    t, _root = natenc_table
+    sdf = t.scan(filter=col("id") >= 60).df()
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan parquet" in plan
+    assert "MapInPandas" not in plan
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual" in plan
