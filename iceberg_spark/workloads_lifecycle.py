@@ -935,6 +935,113 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def spj_join_scan(spark, sf_dir):
+    """Storage-partitioned join (D6/E7): orders<->lineitem bucketed both
+    sides on orderkey join WITHOUT an Exchange (plan-asserted), result
+    oracle-checked against the plain DuckDB join — so the shuffle-free
+    plan is proven to compute the same answer, not just be fast
+    (reference SparkPartitioningAwareScan.java:107)."""
+    key = ("spj_oracle", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .spj import create_bucketed_table
+        from .table import Catalog
+
+        cat = Catalog(spark,
+                      tempfile.mkdtemp(prefix="iceberg_spark_spjq_"))
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("k"), "o_orderpriority")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("k"), "l_quantity")
+        create_bucketed_table(cat, "spjq_orders", orders, 8, "k")
+        create_bucketed_table(cat, "spjq_lineitem", li, 8, "k")
+        _STATE[key] = cat.warehouse
+    from .spj import bucketed_join
+    from .table import Catalog
+
+    cat = Catalog(spark, _STATE[key])
+    ta = cat.load_table("spjq_orders")
+    tb = cat.load_table("spjq_lineitem")
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = bucketed_join(ta, tb, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, "SPJ plan must not shuffle"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    return (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty"))
+            .orderBy("o_orderpriority"))
+
+
+SPJ_JOIN_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 2) AS qty
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def sql_ddl_lifecycle_scan(spark, sf_dir):
+    """N1–N4 DDL through the SQL veneer end-to-end, oracle-checked:
+    CREATE TABLE AS SELECT, ALTER TABLE ADD COLUMNS (schema evolution
+    reads old files as null), ALTER TABLE RENAME COLUMN (field-id-based
+    reads keep history), INSERT INTO, then a SELECT the DuckDB oracle
+    reproduces from the source parquet (reference
+    spark/.../extensions DDL surface; sql.py)."""
+    key = ("sql_ddl", _sf_key(sf_dir))
+    ns = _sf_key(sf_dir)
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .sql import SqlEngine
+        from .sources.testdata import register_views
+
+        register_views(spark, sf_dir)
+        eng = SqlEngine(spark, _warehouse(spark))
+        eng.sql(f"DROP TABLE IF EXISTS {ns}.ddl_nation")
+        eng.sql(f"""
+            CREATE TABLE {ns}.ddl_nation AS
+            SELECT n_nationkey, n_name, n_regionkey FROM nation
+        """)
+        eng.sql(f"ALTER TABLE {ns}.ddl_nation ADD COLUMNS "
+                f"(bonus DOUBLE)")
+        eng.sql(f"ALTER TABLE {ns}.ddl_nation "
+                f"RENAME COLUMN n_name TO nation_name")
+        eng.sql(f"""
+            INSERT INTO {ns}.ddl_nation
+            SELECT n_nationkey + 100, n_name, n_regionkey, 1.5
+            FROM nation WHERE n_nationkey < 5
+        """)
+        _STATE[key] = True
+    from .sql import SqlEngine
+
+    eng = SqlEngine(spark, _warehouse(spark))
+    return eng.sql(f"""
+        SELECT n_regionkey, COUNT(*) AS n,
+               COUNT(bonus) AS n_bonus,
+               MIN(nation_name) AS first_name
+        FROM {ns}.ddl_nation
+        GROUP BY n_regionkey ORDER BY n_regionkey
+    """)
+
+
+SQL_DDL_SQL = """
+WITH u AS (
+  SELECT n_nationkey, n_name AS nation_name, n_regionkey,
+         CAST(NULL AS DOUBLE) AS bonus FROM nation
+  UNION ALL
+  SELECT n_nationkey + 100, n_name, n_regionkey, 1.5
+  FROM nation WHERE n_nationkey < 5
+)
+SELECT n_regionkey, COUNT(*) AS n, COUNT(bonus) AS n_bonus,
+       MIN(nation_name) AS first_name
+FROM u GROUP BY n_regionkey ORDER BY n_regionkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # K1 / K2 — streaming micro-batch source -> exactly-once append sink
 # ---------------------------------------------------------------------------
@@ -2321,6 +2428,8 @@ REGISTRY = {
     "rewrite_table_path_encrypted_scan": (
         rewrite_table_path_encrypted_scan, DR_COPY_ENC_SQL),
     "sql_view_scan": (sql_view_scan, SQL_VIEW_SQL),
+    "sql_ddl_lifecycle_scan": (sql_ddl_lifecycle_scan, SQL_DDL_SQL),
+    "spj_join_scan": (spj_join_scan, SPJ_JOIN_SQL),
     "streaming_sink_scan": (streaming_sink_scan, STREAMING_SQL),
     "call_procedures_scan": (call_procedures_scan, CALL_PROC_SQL),
 }
