@@ -284,3 +284,46 @@ def test_random_lifecycle_encrypted_data(spark, tmp_path, seed, use_dv):
                 assert fh.read(4) == b"PARE"
     finally:
         PC.unregister_key(kid)
+
+
+@pytest.mark.parametrize("seed,use_dv", [(311, False), (313, True)])
+def test_random_lifecycle_transcode_export_roundtrip(spark, tmp_path,
+                                                     seed, use_dv):
+    """Everything-on lifecycle (encrypted metadata + engine-kms data
+    files, random append/merge/delete interleavings, MoR + DVs), then
+    TRANSCODE-export the final state to the reference layout and
+    re-import it: every content file re-encrypts as a raw-DEK copy
+    (pos-delete content remapped, DV containers rebuilt) and the
+    imported rows must still match the model exactly."""
+    from iceberg_spark import parquet_crypto as PC
+    from iceberg_spark.encryption import aes_gcm_decrypt
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               snapshot_iceberg_table)
+    from iceberg_spark.table import Catalog
+
+    kid = f"tx-key-{seed}"
+    PC.register_key(kid, bytes(range(4, 20)))
+    master = bytes(range(48, 64))
+    try:
+        cat = Catalog(spark, str(tmp_path / "srcwh"),
+                      metadata_key=bytes(range(16)))
+        t, model, steps = _apply_random_lifecycle(
+            cat, spark, seed, use_dv,
+            extra_props={PC.KEY_ID_PROP: kid})
+        dest = str(tmp_path / "exp")
+        export_reference_metadata(t, dest, encryption_key=master,
+                                  transcode_encrypted_data=True)
+        # zero plaintext among the transcoded copies
+        import glob as _glob
+        import os as _os
+
+        for p in _glob.glob(_os.path.join(dest, "data", "*")):
+            magic = open(p, "rb").read(4)
+            assert magic in (b"PARE", b"AGS1"), (p, magic)
+        cat2 = Catalog(spark, str(tmp_path / "dstwh"))
+        t2, _n, _d = snapshot_iceberg_table(
+            cat2, dest, "db.tx_rt",
+            kms_unwrap=lambda w, k: aes_gcm_decrypt(master, w, b""))
+        assert _scan_rows(t2) == _model_rows(model), steps
+    finally:
+        PC.unregister_key(kid)
