@@ -342,10 +342,11 @@ class _Handler(BaseHTTPRequestHandler):
             try:
                 return self._json(200, _load_table_result(
                     cat, ident, snapshots_mode=mode))
-            except NotImplementedError as e:
-                # e.g. engine-encrypted data files: the reference layout
-                # this endpoint serves cannot express them — a clean 422
-                # beats a stack-trace 500
+            except (NotImplementedError, ValueError) as e:
+                # e.g. engine-encrypted data files (the reference layout
+                # this endpoint serves cannot express them) or raw-DEK
+                # tables a keyless catalog may not serve in plaintext —
+                # a clean 422 beats a stack-trace 500
                 return self._error(422, str(e)[:500],
                                    "UnprocessableEntityException")
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":

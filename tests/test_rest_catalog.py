@@ -1029,3 +1029,54 @@ def test_rest_encrypted_commit_refused_without_key(spark, tmp_path):
         assert "KMS" in err["message"] or "metadata_key" in err["message"]
     finally:
         srv2.shutdown()
+
+
+def test_rest_load_table_raw_dek_without_key_is_422(spark, tmp_path):
+    """loadTable over an imported raw-DEK table in a catalog WITHOUT a
+    metadata_key: serving the reference layout would require plaintext
+    manifests carrying the raw file keys — the endpoint answers a clean
+    422 instead of leaking or 500ing."""
+    import secrets
+
+    from iceberg_spark import jvm_crypto as JC
+    from iceberg_spark.encryption import (aes_gcm_decrypt,
+                                          encode_standard_key_metadata)
+    from iceberg_spark.sources.iceberg import snapshot_iceberg_table
+    from iceberg_spark.sources.iceberg_fixture import write_reference_table
+    from iceberg_spark.table import Catalog
+
+    if not JC.available(spark):
+        pytest.skip("JVM crypto unavailable")
+    master = bytes(range(48, 64))
+    root = str(tmp_path / "src")
+    os.makedirs(os.path.join(root, "data"))
+    dek, aad = secrets.token_bytes(16), secrets.token_bytes(8)
+    dest = os.path.join(root, "data", "e.parquet")
+    tmp = str(tmp_path / "w")
+    (spark.range(10).coalesce(1).write
+     .options(**JC.raw_writer_options(dek, aad)).parquet(tmp))
+    import glob as _glob
+
+    os.rename(_glob.glob(os.path.join(tmp, "*.parquet"))[0], dest)
+    write_reference_table(
+        root,
+        {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"}]},
+        [{"path": dest, "record_count": 10,
+          "file_size": os.path.getsize(dest), "seq": 1,
+          "key_metadata": encode_standard_key_metadata(
+              dek, aad, os.path.getsize(dest))}],
+        format_version=3, encryption_key=master)
+    cat = Catalog(spark, str(tmp_path / "wh"))  # NO metadata_key
+    snapshot_iceberg_table(
+        cat, root, "db.rawrest",
+        kms_unwrap=lambda w, k: aes_gcm_decrypt(master, w, b""))
+    srv, port = serve(cat)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(port, "/v1/namespaces/db/tables/rawrest")
+        assert ei.value.code == 422
+        err = json.loads(ei.value.read())["error"]
+        assert "leak" in err["message"] or "encryption_key" in err["message"]
+    finally:
+        srv.shutdown()
