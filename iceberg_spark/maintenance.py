@@ -1440,6 +1440,15 @@ def rewrite_table_path(table, source_prefix: str, target_prefix: str,
              if k != "path"}
             for e in m.partition_statistics_files),
     )
+    # statistics files move with the table (reference RewriteTablePathUtil
+    # includes them in the copy plan): their bytes copy externally like
+    # data files. Encrypted stats files stay readable at the new path —
+    # their per-file key rides the (rewritten, re-encrypted) metadata's
+    # `engine-key-metadata` slot, not a path-bound AAD.
+    for e in list(m.statistics_files) + list(m.partition_statistics_files):
+        sp = e.get("statistics-path") or e.get("path")
+        if sp and map_path(sp) != sp:
+            copy_plan.append((sp, map_path(sp)))
     TableOperations(out_root,
                     metadata_key=(getattr(table.ops, "metadata_key", None)
                                   if mc is not None else None)

@@ -326,9 +326,13 @@ def test_rewrite_table_path_rewraps_encrypted_tree(spark, tmp_path):
     mkey = bytes(range(100, 116))
     cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=mkey)
     df = spark.range(0, 60).selectExpr("id", "id % 3 as g")
-    t = cat.create_table("db.drt", df.schema)
+    t = cat.create_table("db.drt", df.schema, partition_by=["g"])
     t.append(df)
     t.append(spark.range(60, 80).selectExpr("id", "id % 3 as g"))
+    t = cat.load_table("db.drt")
+    from iceberg_spark.maintenance import compute_partition_stats
+
+    compute_partition_stats(t)
     t = cat.load_table("db.drt")
     src_ids = {k["key-id"] for k in t.metadata.encryption_keys}
     target = str(tmp_path / "copy")
@@ -338,6 +342,8 @@ def test_rewrite_table_path_rewraps_encrypted_tree(spark, tmp_path):
 
     from iceberg_spark.io import resolve_io
 
+    # the plan includes the encrypted partition-stats file
+    assert len(res["data_files_to_copy"]) >= 3  # data files + stats
     for s, d in res["data_files_to_copy"]:
         io_ = resolve_io(d, spark)
         if not io_.exists(d):
@@ -352,6 +358,13 @@ def test_rewrite_table_path_rewraps_encrypted_tree(spark, tmp_path):
     assert all(s.key_id for s in m2.snapshots)
     t2 = Table(spark, target, m2, "db.drt_copy")
     assert t2.to_df().count() == 80
+    # the copied (encrypted) partition-stats file reads at the NEW path
+    assert m2.partition_statistics_files
+    from iceberg_spark.maintenance import _read_stats_parquet
+
+    pstats = _read_stats_parquet(spark, dict(
+        m2.partition_statistics_files[-1]))
+    assert pstats.count() > 0
     # keyless open refuses
     with pytest.raises(ValueError):
         TableOperations(target).refresh()
