@@ -727,3 +727,33 @@ def test_metadata_only_registration_with_manifest_stats(spark, catalog,
     from pyspark.sql import functions as F
 
     assert t.to_df().where(F.col("id") >= 60).count() == 40
+
+
+def test_v4_parquet_manifest_metric_maps_decode(tmp_path):
+    """v4 PARQUET manifests store metric maps as real parquet maps
+    (key/value tuples, not avro records) — the import decodes them into
+    engine stats identically to the avro path."""
+    import struct
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_spark.sources.iceberg import read_iceberg_snapshot
+    from iceberg_spark.sources.iceberg_fixture import write_reference_table
+
+    root = str(tmp_path / "v4src")
+    os.makedirs(os.path.join(root, "data"))
+    p = os.path.join(root, "data", "d0.parquet")
+    pq.write_table(pa.table({"id": pa.array(range(50), pa.int64())}), p)
+    write_reference_table(
+        root,
+        {"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"}]},
+        [{"path": p, "record_count": 50,
+          "file_size": os.path.getsize(p), "seq": 1,
+          "value_counts": [{"key": 1, "value": 50}],
+          "lower_bounds": [{"key": 1, "value": struct.pack("<q", 0)}],
+          "upper_bounds": [{"key": 1, "value": struct.pack("<q", 49)}]}],
+        format_version=4, relative_paths=True)
+    _s, _c, _sp, _d, entries, _p, _md = read_iceberg_snapshot(root)
+    assert entries[0]["stats"] == {"id": (0, 49, None, None, 50)}
