@@ -760,7 +760,7 @@ class _Handler(BaseHTTPRequestHandler):
         add_schemas, set_cur_schema = [], None
         add_specs, set_def_spec = [], None
         add_sorts, set_def_sort = [], None
-        rm_refs, add_keys, rm_keys = [], [], []
+        rm_refs, key_updates = [], []
         for u in updates:
             a = u.get("action")
             if a == "set-properties":
@@ -780,9 +780,9 @@ class _Handler(BaseHTTPRequestHandler):
                     raise ValueError(
                         "add-encryption-key requires key-id and "
                         "encrypted-key-metadata")
-                add_keys.append(dict(k))
+                key_updates.append(("add", dict(k)))
             elif a == "remove-encryption-key":
-                rm_keys.append(u["key-id"])
+                key_updates.append(("rm", u["key-id"]))
             elif a == "add-schema":
                 add_schemas.append(u["schema"])
             elif a == "set-current-schema":
@@ -805,16 +805,22 @@ class _Handler(BaseHTTPRequestHandler):
             t = _apply_schema_updates(
                 t, add_schemas, set_cur_schema, add_specs,
                 set_def_spec, add_sorts, set_def_sort)
-        if add_keys or rm_keys:
+        if key_updates:
             # key chain lands BEFORE snapshot replay so an encrypted
             # manifest list committed in the same request resolves its
-            # key-id through the just-added entries
+            # key-id through the just-added entries. Add/remove apply in
+            # REQUEST ORDER (MetadataUpdate semantics): an add followed
+            # by a remove of the same id nets out.
             from dataclasses import replace as _rep
 
-            chain = [k for k in t.metadata.encryption_keys
-                     if k.get("key-id") not in set(rm_keys)]
-            have = {k.get("key-id") for k in chain}
-            chain += [k for k in add_keys if k["key-id"] not in have]
+            chain = list(t.metadata.encryption_keys)
+            for op, v in key_updates:
+                if op == "add":
+                    if v["key-id"] not in {k.get("key-id")
+                                           for k in chain}:
+                        chain.append(v)
+                else:
+                    chain = [k for k in chain if k.get("key-id") != v]
             t._commit_metadata(_rep(t.metadata,
                                     encryption_keys=tuple(chain)))
             t = t.refresh()

@@ -1080,3 +1080,34 @@ def test_rest_load_table_raw_dek_without_key_is_422(spark, tmp_path):
         assert "leak" in err["message"] or "encryption_key" in err["message"]
     finally:
         srv.shutdown()
+
+
+def test_rest_remove_encryption_key(spark, tmp_path):
+    """remove-encryption-key deletes a chain entry; add+remove in one
+    request leaves metadata unchanged."""
+    from iceberg_spark.table import Catalog
+
+    master = bytes(range(48, 64))
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=master)
+    df = spark.range(0, 10).selectExpr("id")
+    t = cat.create_table("db.enc_keys", df.schema)
+    t.append(df)
+    srv, port = serve(cat)
+    try:
+        before = {k["key-id"]
+                  for k in cat.load_table("db.enc_keys")
+                  .metadata.encryption_keys}
+        body = {"requirements": [], "updates": [
+            {"action": "add-encryption-key", "encryption-key": {
+                "key-id": "tmp-key",
+                "encrypted-key-metadata": "AAAA",
+                "encrypted-by-id": "kms:x"}},
+            {"action": "remove-encryption-key", "key-id": "tmp-key"}]}
+        st, _res = _req(port, "/v1/namespaces/db/tables/enc_keys", body)
+        assert st == 200
+        after = {k["key-id"]
+                 for k in cat.load_table("db.enc_keys")
+                 .metadata.encryption_keys}
+        assert after == before
+    finally:
+        srv.shutdown()
