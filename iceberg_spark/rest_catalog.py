@@ -35,8 +35,12 @@ Commits validate requirements (assert-ref-snapshot-id /
 assert-table-uuid → 409 CommitFailedException on mismatch) and apply
 updates: `add-snapshot` replays the client-written Avro manifest list
 through sources/iceberg.replay_snapshot_onto (files register by
-reference, the client's snapshot id is preserved), `set-snapshot-ref`
-moves refs, `set-properties` / `remove-properties` edit properties, and
+reference, the client's snapshot id is preserved; ENCRYPTED manifest
+lists decrypt through the client's KEK chain when the serving catalog
+holds the table's metadata_key), `add-encryption-key` /
+`remove-encryption-key` edit the `encryption-keys` chain in request
+order BEFORE snapshots replay, `set-snapshot-ref` moves refs,
+`set-properties` / `remove-properties` edit properties, and
 `add-schema` / `set-current-schema` / `add-spec` / `set-default-spec`
 apply client-side ALTER TABLE (schema + spec evolution). Unsupported
 update actions fail loudly with 400.
