@@ -718,8 +718,36 @@ class _ImportSnapshot:
         return self._producer.commit()
 
 
+def _refuse_plaintext_dek_sink(entries, holders,
+                               allow_plaintext_key_metadata=False):
+    """Raw StandardKeyMetadata blobs (version byte 1) carry the file's
+    PLAINTEXT DEK + AAD — the reference only ever persists them inside
+    ENCRYPTED manifests (StandardEncryptionManager.java). Importing such
+    entries into a destination whose engine manifests are plaintext (no
+    catalog/table metadata_key) would write every file key to disk in
+    the clear, silently defeating the source table's encryption — the
+    exact symmetric leak export_reference_metadata already refuses.
+    Refuse unless the caller explicitly opts in."""
+    if allow_plaintext_key_metadata:
+        return
+    if any(getattr(h, "metadata_key", None) is not None for h in holders
+           if h is not None):
+        return
+    for e in entries:
+        km = e.get("key_metadata")
+        if km and bytes(km[:1]) == b"\x01":
+            raise ValueError(
+                "source entries carry raw StandardKeyMetadata (plaintext "
+                "file DEKs) but the destination catalog has no "
+                f"metadata_key — importing {e['path']} would persist its "
+                "decryption key in plaintext engine manifests. Import "
+                "through a catalog constructed with metadata_key, or pass "
+                "allow_plaintext_key_metadata=True to accept the leak")
+
+
 def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str,
-                           kms_unwrap=None):
+                           kms_unwrap=None,
+                           allow_plaintext_key_metadata=False):
     """CALL system.snapshot_iceberg_table analog
     (delta-lake's BaseSnapshotDeltaLakeTableAction shape, applied to a
     genuine Iceberg source). Returns (table, imported_file_count,
@@ -727,6 +755,8 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str,
     (schemas, cur_schema, specs, default_spec, entries,
      src_props, md) = read_iceberg_snapshot(source_location, kms_unwrap)
     schema = schemas[cur_schema]
+    _refuse_plaintext_dek_sink(entries, [catalog],
+                               allow_plaintext_key_metadata)
 
     # order-preserving dense seq remap: preserves every >=/>/== delete
     # applicability comparison while the engine keeps committing at k+1
@@ -754,7 +784,8 @@ def snapshot_iceberg_table(catalog, source_location: str, dest_ident: str,
 
 
 def replay_snapshot_onto(catalog, table, snap_json: dict,
-                         branch: str = "main", metadata_key=None):
+                         branch: str = "main", metadata_key=None,
+                         allow_plaintext_key_metadata=False):
     """REST-commit `add-snapshot` (rest-catalog-open-api.yaml
     UpdateTableRequest; core/.../rest/CatalogHandlers.java commit shape):
     an external client wrote content files plus a reference-layout Avro
@@ -813,6 +844,9 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
     entries = _snapshot_entries(snap_json, specs, schemas, cur,
                                 location=meta.location,
                                 table_keys=table_keys)
+    _refuse_plaintext_dek_sink(
+        entries, [getattr(table, "ops", None), catalog],
+        allow_plaintext_key_metadata)
 
     plan = table.scan().plan_files()
     # key carries referenced file + offset: a Puffin container holds one
@@ -855,7 +889,11 @@ def _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
     from ..table import Table
 
     loc = catalog._location(dest_ident)
-    ops = TableOperations(loc)
+    # catalog._ops carries the catalog's metadata_key so imports into an
+    # encrypted catalog write encrypted engine metadata/manifests — the
+    # property _refuse_plaintext_dek_sink relies on
+    ops = (catalog._ops(loc) if hasattr(catalog, "_ops")
+           else TableOperations(loc))
     if ops.refresh() is not None:
         raise ValueError(f"table exists: {dest_ident}")
     props = {k: v for k, v in src_props.items()}
@@ -886,7 +924,9 @@ def _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
             meta, sort_orders=sorts,
             default_sort_order_id=md.get("default-sort-order-id", 0))
     ops.commit(None, meta)
-    return Table(catalog.spark, loc, ops.refresh(), dest_ident)
+    t = Table(catalog.spark, loc, ops.refresh(), dest_ident)
+    t.ops = ops  # keep the catalog's (possibly encrypted) metadata IO
+    return t
 
 
 def _orc_rows(path: str) -> int:
@@ -1105,7 +1145,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
 
 
 def register_iceberg_table(catalog, source_location: str, dest_ident: str,
-                           kms_unwrap=None):
+                           kms_unwrap=None,
+                           allow_plaintext_key_metadata=False):
     """Full-history registration of a genuine Iceberg table (the
     RegisterTableProcedure analog — reference register keeps history):
     the current snapshot's ANCESTOR CHAIN replays as engine commits in
@@ -1124,10 +1165,9 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str,
     props = dict(md.get("properties") or {})
     snaps = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
     cur = _current_snapshot(md)
-    t = _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
-                     default_spec, props, md=md)
     if cur is None:
-        return t, 0, 0
+        return _create_dest(catalog, dest_ident, schemas, cur_schema,
+                            specs, default_spec, props, md=md), 0, 0
     chain, s = [], cur
     while s is not None:
         chain.append(s)
@@ -1140,6 +1180,11 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str,
                                          location=md.get("location"),
                                          table_keys=tk))
                 for snap in chain]
+    for _snap, _ents in per_snap:
+        _refuse_plaintext_dek_sink(_ents, [catalog],
+                                   allow_plaintext_key_metadata)
+    t = _create_dest(catalog, dest_ident, schemas, cur_schema, specs,
+                     default_spec, props, md=md)
     all_seqs = sorted(
         {e["seq"] for _, ents in per_snap for e in ents}
         | {int(snap.get("sequence-number") or 0) for snap in chain})
@@ -1501,6 +1546,12 @@ def export_reference_metadata(table, dest_root: str,
                 "table manifests are encrypted but no encryption_key was "
                 "given for the export — refusing to emit a plaintext "
                 "copy of an encrypted metadata tree")
+    elif encryption_key is None and has_raw:
+        # raw DEKs must never land in plaintext reference manifests even
+        # in the edge state metadata_key-set / encryption-keys-empty:
+        # promote the catalog key so the exported tree encrypts (the
+        # guard above already refused when neither source exists)
+        encryption_key = getattr(table.ops, "metadata_key", None)
     if encryption_key is not None:
         from ..encryption import normalize_key
 

@@ -1832,17 +1832,33 @@ def iceberg_import_native_encrypted_scan(spark, sf_dir):
         write_reference_table(root, schema_json, files, format_version=3,
                               encryption_key=master)
 
-        cat = _warehouse(spark)
+        # destination must be an ENCRYPTED catalog: the imported entries
+        # carry raw plaintext DEKs in key_metadata, and the engine (like
+        # the reference) refuses to persist those into plaintext
+        # manifests. Assert the refusal on a keyless catalog first.
+        from .table import Catalog
+
         ident = f"icebergimp_natenc_{_sf_key(sf_dir)}"
-        if cat.table_exists(ident):
-            cat.drop_table(ident)
-        t, n_data, n_del = snapshot_iceberg_table(
-            cat, root, ident,
-            kms_unwrap=lambda wrapped, kid: aes_gcm_decrypt(
-                master, wrapped, b""))
+        unwrap = lambda wrapped, kid: aes_gcm_decrypt(  # noqa: E731
+            master, wrapped, b"")
+        try:
+            snapshot_iceberg_table(_warehouse(spark), root,
+                                   ident + "_leak", kms_unwrap=unwrap)
+            raise AssertionError(
+                "plaintext-catalog import of raw-DEK entries must refuse")
+        except ValueError as exc:
+            assert "metadata_key" in str(exc), exc
+        enc_wh = tempfile.mkdtemp(prefix="iceberg_spark_natenc_wh_")
+        dest_key = bytes(range(16, 32))
+        cat = Catalog(spark, enc_wh, metadata_key=dest_key)
+        t, n_data, n_del = snapshot_iceberg_table(cat, root, ident,
+                                                  kms_unwrap=unwrap)
         assert n_data == 2 and n_del == 1
-        _STATE[key] = ident
-    t = _warehouse(spark).load_table(_STATE[key])
+        _STATE[key] = (enc_wh, dest_key, ident)
+    enc_wh, dest_key, ident = _STATE[key]
+    from .table import Catalog
+
+    t = Catalog(spark, enc_wh, metadata_key=dest_key).load_table(ident)
     return (t.to_df().groupBy("s_nationkey")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("s_acctbal"), 2).alias("bal"))
@@ -2316,16 +2332,21 @@ def iceberg_export_transcode_roundtrip_scan(spark, sf_dir):
                 raise AssertionError(f"{p} opened without a key")
             except Exception as exc:  # noqa: BLE001
                 assert not isinstance(exc, AssertionError), exc
-        cat = _warehouse(spark)
+        # re-import destination must encrypt its metadata tree: the
+        # transcoded copies carry raw DEKs (plaintext-DEK leak guard)
+        back_wh = tempfile.mkdtemp(prefix="iceberg_spark_trans_back_")
+        back_key = bytes(range(56, 72))
+        cat = Catalog(spark, back_wh, metadata_key=back_key)
         back = f"icebergexptrans_back_{_sf_key(sf_dir)}"
-        if cat.table_exists(back):
-            cat.drop_table(back)
         snapshot_iceberg_table(
             cat, dest, back,
             kms_unwrap=lambda wrapped, kid: aes_gcm_decrypt(
                 master, wrapped, b""))
-        _STATE[key] = back
-    t = _warehouse(spark).load_table(_STATE[key])
+        _STATE[key] = (back_wh, back_key, back)
+    back_wh, back_key, back = _STATE[key]
+    from .table import Catalog as _Cat
+
+    t = _Cat(spark, back_wh, metadata_key=back_key).load_table(back)
     return (t.to_df().groupBy("s_nationkey")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum("s_acctbal"), 2).alias("bal"))

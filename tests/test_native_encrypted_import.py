@@ -22,6 +22,9 @@ from iceberg_spark.sources.iceberg_fixture import write_reference_table
 from iceberg_spark.table import Catalog
 
 MASTER = bytes(range(32, 48))
+# destination catalogs importing raw-DEK entries must encrypt their own
+# metadata tree, or the import refuses (plaintext-DEK leak guard)
+DEST_KEY = bytes(range(48, 64))
 
 
 def test_file_crypto_classifier():
@@ -111,7 +114,7 @@ def natenc_table(spark, tmp_path_factory):
                       ddek, daad, os.path.getsize(dpath))})
     write_reference_table(root, schema_json, files, format_version=3,
                           encryption_key=MASTER)
-    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=DEST_KEY)
     t, n_data, n_del = snapshot_iceberg_table(
         cat, root, "db.natenc",
         kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
@@ -172,12 +175,16 @@ def test_export_roundtrip_preserves_raw_deks(natenc_table, spark,
     from iceberg_spark.sources.iceberg import export_reference_metadata
 
     t, _root = natenc_table
+    # keyless export of a raw-DEK table AUTO-PROMOTES the catalog's
+    # metadata_key (never silently plaintext, even when the
+    # encryption-keys chain is empty)
+    dest0 = str(tmp_path / "exp_auto")
+    export_reference_metadata(t, dest0)
+    ml = glob.glob(os.path.join(dest0, "metadata", "*.avro"))
+    assert ml and all(open(p, "rb").read(4) == b"AGS1" for p in ml)
     dest = str(tmp_path / "exp")
-    # plaintext-manifest export would leak the raw DEKs — refused
-    with pytest.raises(ValueError, match="leak"):
-        export_reference_metadata(t, dest)
     export_reference_metadata(t, dest, encryption_key=MASTER)
-    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    cat2 = Catalog(spark, str(tmp_path / "wh2"), metadata_key=DEST_KEY)
     t2, n_data, n_del = snapshot_iceberg_table(
         cat2, dest, "db.natenc_rt",
         kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
@@ -227,7 +234,7 @@ def test_export_transcodes_engine_kms_to_raw_dek(spark, tmp_path):
     for p in tfiles:
         with pytest.raises(Exception):
             pq.ParquetFile(p)
-    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    cat2 = Catalog(spark, str(tmp_path / "wh2"), metadata_key=DEST_KEY)
     t2, _n, _d = snapshot_iceberg_table(
         cat2, dest, "db.kms_rt",
         kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
@@ -275,7 +282,7 @@ def test_import_reference_encrypted_puffin_dv(spark, tmp_path):
          "key_metadata": encode_standard_key_metadata(key, aad,
                                                       len(ct))}]
     write_reference_table(root, schema_json, files, format_version=3)
-    cat = Catalog(spark, str(tmp_path / "wh"))
+    cat = Catalog(spark, str(tmp_path / "wh"), metadata_key=DEST_KEY)
     t, n_data, n_del = snapshot_iceberg_table(cat, root, "db.encdv")
     assert (n_data, n_del) == (1, 1)
     got = sorted(r.id for r in t.to_df().collect())
@@ -311,7 +318,7 @@ def test_export_transcode_rebuilds_encrypted_dvs(spark, tmp_path):
     puffins = glob.glob(os.path.join(dest, "data", "*.puffin"))
     assert puffins
     assert all(open(p, "rb").read(4) == b"AGS1" for p in puffins)
-    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    cat2 = Catalog(spark, str(tmp_path / "wh2"), metadata_key=DEST_KEY)
     t2, _n, n_del = snapshot_iceberg_table(
         cat2, dest, "db.kmsdv_rt",
         kms_unwrap=lambda w, kid: aes_gcm_decrypt(MASTER, w, b""))
@@ -333,3 +340,32 @@ def test_raw_dek_scan_plan_shape(natenc_table):
     assert "FileScan parquet" in plan
     assert "MapInPandas" not in plan
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual" in plan
+
+def test_plaintext_dest_refuses_raw_dek_import(natenc_table, spark,
+                                               tmp_path):
+    """Importing raw-DEK entries into a catalog WITHOUT metadata_key
+    would persist every file's plaintext decryption key in plaintext
+    engine manifests — refused loudly; allow_plaintext_key_metadata=True
+    is the explicit opt-in; an encrypted catalog imports freely and its
+    manifests carry the AGS1 magic."""
+    import glob as _g
+
+    _t, root = natenc_table
+    unwrap = lambda w, kid: aes_gcm_decrypt(MASTER, w, b"")  # noqa: E731
+    plain = Catalog(spark, str(tmp_path / "wh_plain"))
+    with pytest.raises(ValueError, match="metadata_key"):
+        snapshot_iceberg_table(plain, root, "db.leak", kms_unwrap=unwrap)
+    # explicit opt-in still works (the caller owns the consequence)
+    t, n_data, n_del = snapshot_iceberg_table(
+        plain, root, "db.leak_optin", kms_unwrap=unwrap,
+        allow_plaintext_key_metadata=True)
+    assert (n_data, n_del) == (2, 1)
+    # encrypted dest: imported engine manifests are AGS1 streams
+    enc = Catalog(spark, str(tmp_path / "wh_enc"), metadata_key=DEST_KEY)
+    t2, _n, _d = snapshot_iceberg_table(enc, root, "db.safe",
+                                        kms_unwrap=unwrap)
+    mfs = _g.glob(os.path.join(t2.location, "metadata", "manifest*",
+                               "*.parquet"))
+    assert mfs and all(open(p, "rb").read(4) == b"AGS1" for p in mfs)
+    got = sorted(r.id for r in t2.to_df().select("id").collect())
+    assert got == [i for i in range(100) if i % 10 != 0]

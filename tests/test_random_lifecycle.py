@@ -320,7 +320,10 @@ def test_random_lifecycle_transcode_export_roundtrip(spark, tmp_path,
         for p in _glob.glob(_os.path.join(dest, "data", "*")):
             magic = open(p, "rb").read(4)
             assert magic in (b"PARE", b"AGS1"), (p, magic)
-        cat2 = Catalog(spark, str(tmp_path / "dstwh"))
+        # transcoded copies carry raw DEKs -> the destination catalog
+        # must encrypt its own metadata tree (plaintext-DEK leak guard)
+        cat2 = Catalog(spark, str(tmp_path / "dstwh"),
+                       metadata_key=bytes(range(8, 24)))
         t2, _n, _d = snapshot_iceberg_table(
             cat2, dest, "db.tx_rt",
             kms_unwrap=lambda w, k: aes_gcm_decrypt(master, w, b""))

@@ -1068,9 +1068,12 @@ def test_rest_load_table_raw_dek_without_key_is_422(spark, tmp_path):
               dek, aad, os.path.getsize(dest))}],
         format_version=3, encryption_key=master)
     cat = Catalog(spark, str(tmp_path / "wh"))  # NO metadata_key
+    # explicit opt-in: this test WANTS the degenerate raw-DEK-in-plain-
+    # catalog state to prove the REST endpoint answers 422, not 500
     snapshot_iceberg_table(
         cat, root, "db.rawrest",
-        kms_unwrap=lambda w, k: aes_gcm_decrypt(master, w, b""))
+        kms_unwrap=lambda w, k: aes_gcm_decrypt(master, w, b""),
+        allow_plaintext_key_metadata=True)
     srv, port = serve(cat)
     try:
         with pytest.raises(urllib.error.HTTPError) as ei:
