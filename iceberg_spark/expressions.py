@@ -307,6 +307,12 @@ def coerce_literal(v: Any, typ: str) -> Any:
 class BoundTerm:
     field: NestedField
     transform: Optional[Transform]
+    # set by bind() for VariantExtract terms whose (column, path, type)
+    # is property-declared shredded: per-file stats live under this
+    # synthetic manifest key with this primitive type, so the metrics
+    # evaluators can prune exactly like an identity column
+    stats_name: Optional[str] = None
+    stats_type: Optional[str] = None
 
     @property
     def name(self):
@@ -355,11 +361,23 @@ def bind(expr: Expr, schema: Schema) -> Expr:
         # target type), not the source column's
         target = tr.result_type(f.type) if tr is not None else f.type
         lits = tuple(coerce_literal(v, target) for v in expr.literals)
+        # shredded variant path: resolve the extract to its synthetic
+        # stats column so metrics eval prunes on the companion's bounds
+        sname = stype = None
+        from .transforms import VariantExtract
+
+        if isinstance(tr, VariantExtract):
+            for sp in getattr(schema, "shredded", ()):
+                if (sp.parent_id == f.field_id and sp.path == tr.path
+                        and sp.type == tr.type):
+                    sname, stype = sp.stats_name, sp.type
+                    break
+        bt = BoundTerm(f, expr.term.transform, sname, stype)
         if expr.op == IN and len(lits) == 1:
-            return BoundPredicate(EQ, BoundTerm(f, expr.term.transform), lits)
+            return BoundPredicate(EQ, bt, lits)
         if expr.op == NOT_IN and len(lits) == 1:
-            return BoundPredicate(NOT_EQ, BoundTerm(f, expr.term.transform), lits)
-        return BoundPredicate(expr.op, BoundTerm(f, expr.term.transform), lits)
+            return BoundPredicate(NOT_EQ, bt, lits)
+        return BoundPredicate(expr.op, bt, lits)
     raise TypeError(f"cannot bind {expr!r}")
 
 
@@ -832,8 +850,14 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         return inclusive_metrics_eval(rewrite_not(expr), fs)
     if isinstance(expr, BoundPredicate):
         if expr.term.transform is not None and not isinstance(expr.term.transform, Identity):
-            return True  # stats are on source values; transform predicates can't prune here
-        s = fs.get(expr.term.name)
+            # stats are on source values; transform predicates can't
+            # prune — EXCEPT shredded variant paths, whose companion
+            # columns have real typed bounds under the synthetic key
+            if getattr(expr.term, "stats_name", None) is None:
+                return True
+            s = fs.get(expr.term.stats_name)
+        else:
+            s = fs.get(expr.term.name)
         if s is None:
             return True
         mn, mx, nulls, nans, vc = s
@@ -860,7 +884,9 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         # Engine NaN ordering (Spark and DuckDB agree): NaN > any literal,
         # so gt/gtEq may match NaN rows regardless of the NaN-free max;
         # NaN never matches lt/ltEq/eq/in/startsWith (literals are non-NaN).
-        floaty = getattr(expr.term.field, "type", None) in ("float", "double")
+        floaty = (getattr(expr.term, "stats_type", None)
+                  or getattr(expr.term.field, "type", None)) in (
+                      "float", "double")
         if op in (GT, GT_EQ) and floaty and (nans is None or nans > 0):
             return True
         # all-NaN files can't match lt/ltEq/eq/in/startsWith (literals are

@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .metadata import PartitionSpec, Snapshot, resolve_path, to_relative
-from .schema import Schema
+from .schema import NestedField, Schema
 
 # entry status (spec manifest entry `status`)
 ADDED, EXISTING, DELETED = 1, 0, 2
@@ -443,13 +443,21 @@ def _stats_schema_fields(schema: Schema):
     """Flat stats columns for top-level primitive fields, keyed by field id."""
     cols = []
     for f in schema.fields:
-        # variant carries no column stats (spec: metrics are undefined for
-        # semi-structured values; extract predicates never prune on stats)
+        # the variant column itself carries no stats (spec: metrics are
+        # undefined for semi-structured values) — but property-DECLARED
+        # shredded paths do, as synthetic typed pseudo-fields below
         if not isinstance(f.type, str) or f.type in ("unknown", "variant"):
             continue
         at = _type_to_arrow(f.type)
         fid = f.field_id
         cols.append((f, fid, at))
+    # shredded variant paths (schema.ShreddedPath, attached by
+    # TableMetadata.schema_by_id): typed companion columns whose footer
+    # bounds persist under deterministic synthetic ids, so extract(path)
+    # predicates prune files like any typed column's would
+    for sp in getattr(schema, "shredded", ()):
+        pseudo = NestedField(sp.field_id, sp.stats_name, sp.type, False)
+        cols.append((pseudo, sp.field_id, _type_to_arrow(sp.type)))
     return cols
 
 
@@ -970,6 +978,11 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
     else:
         md = _io.parquet_file(path).metadata
     ntype = {f.name: f.type for f in schema.fields if isinstance(f.type, str)}
+    # shredded-variant companion columns: physical typed columns named by
+    # stats_name, collected exactly like user columns (incl. the NaN pass
+    # for float/double shred types)
+    ntype.update({sp.stats_name: sp.type
+                  for sp in getattr(schema, "shredded", ())})
     agg: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -1079,7 +1092,8 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
                        partitions: Optional[dict] = None, content: int = DATA,
                        max_workers: int = 16, spark=None,
                        decryption: Optional[bytes] = None,
-                       metrics: Optional[dict] = None) -> list:
+                       metrics: Optional[dict] = None,
+                       engine_written: bool = False) -> list:
     """Footer-stat collection for many files.
 
     Small batches read footers thread-parallel on the driver; above
@@ -1119,22 +1133,63 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
             f"cannot read parquet footers (unrecognized logical type?) and "
             f"no Spark session for the fallback: {failed[:3]}")
     # one Spark job for every unreadable footer: per-file row counts via
-    # the JVM parquet reader (which does understand the logical type);
-    # stats stay empty — imported files just don't prune
+    # the JVM parquet reader (which does understand the logical type).
+    # For files the ENGINE just wrote (engine_written=True — never for
+    # imported foreign files, whose physical layout we can't assume) the
+    # same job also aggregates per-file min/max/null (+nan) for orderable
+    # schema columns and shredded-variant companion columns, restoring
+    # the pruning stats pyarrow's footer pass would have produced. One
+    # column-pruned distributed pass; at cluster scale this is the same
+    # cost shape as the reference's in-writer metrics collection.
     from pyspark.sql import functions as F
 
-    counts = (spark.read.parquet(*failed)
-              .select(_io.decode_spark_path_col(
-                  F.col("_metadata.file_path"),
-                  paths=failed).alias("f"))
-              .groupBy("f").count().collect())
-    cmap = {r["f"]: r["count"] for r in counts}
+    sdf = spark.read.parquet(*failed)
+    present = set(sdf.columns)
+    ORDERABLE = ("int", "long", "float", "double", "string", "boolean")
+    stat_cols = []  # (stats_key, spark column name, engine type)
+    if engine_written and content == DATA:
+        for f in schema.fields:
+            if (isinstance(f.type, str) and f.type in ORDERABLE
+                    and f.name in present):
+                stat_cols.append((f.name, f.name, f.type))
+        for sp in getattr(schema, "shredded", ()):
+            if sp.type in ORDERABLE and sp.stats_name in present:
+                stat_cols.append((sp.stats_name, sp.stats_name, sp.type))
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_, _cn, t) in enumerate(stat_cols):
+        c = F.col(f"_c{i}")
+        # spec: float bounds exclude NaN (Metrics.java nanValueCounts)
+        safe = (F.when(~F.isnan(c), c) if t in ("float", "double") else c)
+        aggs += [F.min(safe).alias(f"mn{i}"), F.max(safe).alias(f"mx{i}"),
+                 F.sum(c.isNull().cast("long")).alias(f"nu{i}"),
+                 (F.sum(F.isnan(c).cast("long")).alias(f"na{i}")
+                  if t in ("float", "double")
+                  else F.lit(0).cast("long").alias(f"na{i}"))]
+    rows = (sdf
+            .select(_io.decode_spark_path_col(
+                F.col("_metadata.file_path"),
+                paths=failed).alias("_f"),
+                *[F.col(cn).alias(f"_c{i}")
+                  for i, (_, cn, _t) in enumerate(stat_cols)])
+            .groupBy("_f").agg(*aggs).collect())
+    per_file = {}
+    for r in rows:
+        d = r.asDict()
+        stats = {}
+        for i, (key, _cn, t) in enumerate(stat_cols):
+            n = d["_n"]
+            stats[key] = (d.get(f"mn{i}"), d.get(f"mx{i}"),
+                          d.get(f"nu{i}"), d.get(f"na{i}"), n)
+        ntype = {key: t for key, _cn, t in stat_cols}
+        per_file[d["_f"]] = (d["_n"],
+                             apply_metrics_config(stats, ntype, metrics))
     return [
         DataFile(
             file_path=p, file_format="parquet", content=content,
             spec_id=spec.spec_id, partition=dict(partitions.get(p) or {}),
-            record_count=cmap.get(p, 0),
-            file_size_in_bytes=_io.file_size(p), stats={},
+            record_count=per_file.get(p, (0, {}))[0],
+            file_size_in_bytes=_io.file_size(p),
+            stats=per_file.get(p, (0, {}))[1],
         ) if isinstance(p, str) else p
         for p in out
     ]

@@ -342,6 +342,15 @@ class TableMetadata:
     def schema_by_id(self, sid: int) -> Schema:
         for s in self.schemas:
             if s.schema_id == sid:
+                # attach property-declared variant-shredding so every
+                # consumer of this schema (writer companion columns,
+                # manifest stats columns, metrics-eval binder) sees the
+                # same declarations without separate plumbing
+                if any(k.startswith("write.variant.shred.")
+                       for k in (self.properties or ())):
+                    from .schema import with_shredding
+
+                    return with_shredding(s, self.properties)
                 return s
         raise KeyError(f"no schema id {sid}")
 

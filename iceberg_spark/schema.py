@@ -269,6 +269,12 @@ class Schema:
     fields: tuple  # tuple[NestedField, ...] top-level
     schema_id: int = 0
     identifier_field_ids: tuple = ()
+    # variant shredding declarations (tuple[ShreddedPath]): derived from
+    # the `write.variant.shred.<col>` table properties, attached by
+    # TableMetadata.schema_by_id — never serialized into schema JSON and
+    # excluded from equality (two copies of one schema compare equal
+    # whether or not shredding was attached)
+    shredded: tuple = field(default=(), compare=False)
 
     # -- lookups ------------------------------------------------------------
     def find_field(self, name: str) -> NestedField:
@@ -355,3 +361,90 @@ def prune_columns(schema: Schema, names) -> Schema:
     to Spark's own ReadSchema pushdown). Reference: api/.../types/PruneColumns.java."""
     keep = [schema.find_field(n) for n in names]
     return replace(schema, fields=tuple(keep))
+
+
+# ---------------------------------------------------------------------------
+# variant shredding (reference parquet/.../VariantShreddingAnalyzer.java,
+# VariantShreddingFunction.java): declared extract() paths of a variant
+# column materialize as typed companion parquet columns at write time, so
+# their footer min/max land in manifests and `extract(path) cmp literal`
+# predicates prune files. The engine declares paths via the table property
+#   write.variant.shred.<column> = "$.path:type[;$.path2:type2...]"
+# (';'-separated — type names may contain commas, e.g. decimal(10,2)).
+# ---------------------------------------------------------------------------
+
+SHRED_PROP_PREFIX = "write.variant.shred."
+# synthetic stats field ids live in a reserved block far above user schema
+# ids (last_column_id is sequential) and below the spec's reserved
+# pos-delete ids (2147483545/46, manifests.py)
+_SHRED_FID_BASE = 2_100_000_000
+_SHRED_FID_SPAN = 40_000_000
+
+
+@dataclass(frozen=True)
+class ShreddedPath:
+    """One declared shredded path of a variant column."""
+
+    parent_id: int  # field id of the variant column
+    column: str     # variant column name (for writer lowering)
+    path: str       # e.g. "$.len"
+    type: str       # engine primitive type of the shredded values
+
+    @property
+    def field_id(self) -> int:
+        """Deterministic synthetic stats id: stable across files/snapshots
+        and independent of declaration order, so manifests written before
+        and after a property edit agree on column meaning."""
+        import zlib
+
+        h = zlib.crc32(
+            f"{self.parent_id}|{self.path}|{self.type}".encode("utf-8"))
+        return _SHRED_FID_BASE + h % _SHRED_FID_SPAN
+
+    @property
+    def stats_name(self) -> str:
+        """Manifest stats key AND the physical companion column name."""
+        return f"_shred_f{self.field_id}"
+
+
+def shredded_paths(schema: Schema, properties: dict) -> tuple:
+    """Parse `write.variant.shred.<col>` declarations against `schema`.
+    Unknown columns / non-variant columns / unparseable entries are
+    ignored (a property typo must never fail a scan); synthetic-id
+    collisions raise loudly (astronomically unlikely, but silent
+    collision would cross-wire two paths' bounds)."""
+    out = []
+    for k, v in (properties or {}).items():
+        if not k.startswith(SHRED_PROP_PREFIX):
+            continue
+        col = k[len(SHRED_PROP_PREFIX):]
+        try:
+            f = schema.find_field(col)
+        except KeyError:
+            continue
+        if f.type != "variant":
+            continue
+        for item in str(v).split(";"):
+            item = item.strip()
+            if not item or ":" not in item:
+                continue
+            path, _, t = item.rpartition(":")
+            path, t = path.strip(), t.strip().lower()
+            if not path.startswith("$") or not (
+                    t in PRIMITIVES or _DECIMAL_RE.match(t)):
+                continue
+            if t in ("variant", "unknown", "geometry", "geography"):
+                continue  # no typed companion / no orderable stats
+            out.append(ShreddedPath(f.field_id, col, path, t))
+    ids = [sp.field_id for sp in out]
+    if len(ids) != len(set(ids)):
+        raise ValueError(
+            f"variant-shredding synthetic field-id collision among "
+            f"{[(sp.column, sp.path) for sp in out]} — rename a path")
+    return tuple(sorted(out, key=lambda sp: (sp.column, sp.path, sp.type)))
+
+
+def with_shredding(schema: Schema, properties: dict) -> Schema:
+    """Attach property-declared shredding to a schema instance."""
+    sps = shredded_paths(schema, properties)
+    return replace(schema, shredded=sps) if sps else schema

@@ -469,6 +469,69 @@ GROUP BY 1 ORDER BY cat
 """
 
 
+def variant_shredded_scan(spark, sf_dir):
+    """Variant SHREDDING on write (reference parquet/.../
+    VariantShreddingAnalyzer.java, VariantShreddingFunction.java,
+    ParquetVariantVisitor.java): `write.variant.shred.meta` declares
+    extract() paths that materialize as typed companion parquet columns;
+    their per-file min/max land in manifests under synthetic field ids
+    (manifests._stats_schema_fields), and extract(path) predicates prune
+    FILES at plan time (expressions.bind resolves the shredded term,
+    inclusive_metrics_eval uses its bounds). The fixture writes doc_id-
+    clustered files so `$.key > hi` planning must skip most of them —
+    asserted, not assumed."""
+    key = ("variant_shred", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"variant_shred_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        docs = load_table(spark, sf_dir, "documents")
+        df = docs.select(
+            "doc_id",
+            F.parse_json(F.concat(
+                F.lit('{"len": '), F.length("text").cast("string"),
+                F.lit(', "key": '), F.col("doc_id").cast("string"),
+                F.lit('}'))).alias("meta"))
+        t = cat.create_table(ident, df.schema, properties={
+            "write.variant.shred.meta": "$.len:long;$.key:long"})
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        step = mx // 4 + 1
+        for lo in range(0, mx + 1, step):  # doc_id-clustered files
+            t.append(df.filter((F.col("doc_id") >= lo)
+                               & (F.col("doc_id") < lo + step)))
+        t = cat.load_table(ident)
+        hi = mx - mx // 8  # top ~eighth of the key domain
+        plan = t.scan(
+            filter=E.extract("meta", "$.key", "long") >= hi).plan_files()
+        total = len(t.scan().plan_files().files)
+        assert 0 < len(plan.files) < total, (
+            f"shredded variant predicate must skip files: "
+            f"{len(plan.files)}/{total}")
+        _STATE[key] = (ident, hi)
+    ident, hi = _STATE[key]
+    t = _warehouse(spark).load_table(ident)
+    sc = t.scan(filter=E.extract("meta", "$.key", "long") >= hi)
+    return (sc.df()
+            .groupBy((F.variant_get("meta", "$.key", "bigint") % 7)
+                     .alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.variant_get("meta", "$.len", "bigint"))
+                 .alias("total_len"))
+            .orderBy("k"))
+
+
+# oracle derives hi = max - max/8 the same way (integer division)
+VARIANT_SHREDDED_SQL = """
+WITH b AS (SELECT MAX(doc_id) AS mx FROM documents)
+SELECT CAST(doc_id % 7 AS BIGINT) AS k, COUNT(*) AS n,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len
+FROM documents, b
+WHERE doc_id >= b.mx - b.mx // 8
+GROUP BY 1 ORDER BY k
+"""
+
+
 def geo_bbox_scan(spark, sf_dir):
     """v3 geometry column end-to-end (Types.java:574, geospatial/
     GeospatialPredicateEvaluators.java): events get deterministic lon/lat
@@ -631,6 +694,7 @@ REGISTRY = {
     "update_scan": (update_scan, UPDATE_SQL),
     "merge_upsert_scan": (merge_upsert_scan, MERGE_SQL),
     "variant_extract_scan": (variant_extract_scan, VARIANT_EXTRACT_SQL),
+    "variant_shredded_scan": (variant_shredded_scan, VARIANT_SHREDDED_SQL),
     "geo_bbox_scan": (geo_bbox_scan, GEO_BBOX_SQL),
 }
 

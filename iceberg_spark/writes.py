@@ -191,6 +191,20 @@ def write_data_files(
     # always take it (no variant logical type there). The scan layer
     # detects the physical encoding per file, so mixed tables read fine.
     var_enc = props.get("write.variant.encoding", "binary").lower()
+    # declared shredded paths (schema.ShreddedPath via
+    # write.variant.shred.<col>; reference VariantShreddingFunction.java):
+    # materialize each as a typed companion column BEFORE any JSON cast —
+    # variant_get lowers JVM-side, stays in whole-stage codegen, and the
+    # companion's footer min/max land in the manifest under the path's
+    # synthetic field id (manifests._stats_schema_fields)
+    for sp in getattr(schema, "shredded", ()):
+        if sp.column in df.columns and fmt == "parquet":
+            from .transforms import VariantExtract
+
+            df = df.withColumn(
+                sp.stats_name,
+                VariantExtract(sp.path, sp.type).spark_col(
+                    F.col(sp.column), "variant"))
     for f in schema.fields:
         if f.type == "variant" and f.name in df.columns:
             if fmt != "parquet" or var_enc == "json":
@@ -302,7 +316,7 @@ def write_data_files(
         files = collect_data_files(paths, schema, spec, partitions, content,
                                    spark=table.spark,
                                    decryption=enc[1] if enc else None,
-                                   metrics=mcfg)
+                                   metrics=mcfg, engine_written=True)
     else:
         files = _collect_files_spark(table.spark, paths, fmt, schema, spec,
                                      partitions, content, metrics=mcfg)

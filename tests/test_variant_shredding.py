@@ -1,0 +1,179 @@
+"""Variant shredding on write (reference parquet/.../
+VariantShreddingAnalyzer.java, VariantShreddingFunction.java): declared
+extract() paths materialize as typed companion parquet columns, their
+per-file bounds land in manifests under deterministic synthetic field
+ids, and `extract(path) cmp literal` predicates prune files at plan
+time."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_spark import expressions as E
+from iceberg_spark.schema import (NestedField, Schema, ShreddedPath,
+                                  shredded_paths, with_shredding)
+from iceberg_spark.table import Catalog
+
+SCHEMA = Schema((NestedField(1, "id", "long", True),
+                 NestedField(2, "meta", "variant", False)))
+
+
+def test_shredded_paths_parsing():
+    sps = shredded_paths(SCHEMA, {
+        "write.variant.shred.meta": "$.len:long; $.cat:int",
+        "write.variant.shred.nosuch": "$.x:long",       # unknown column
+        "write.variant.shred.id": "$.x:long",           # not a variant
+        "other.prop": "1"})
+    assert [(sp.path, sp.type) for sp in sps] == [("$.cat", "int"),
+                                                  ("$.len", "long")]
+    assert all(sp.parent_id == 2 and sp.column == "meta" for sp in sps)
+
+
+def test_shredded_paths_reject_garbage():
+    sps = shredded_paths(SCHEMA, {"write.variant.shred.meta":
+                                  "no-dollar:long;$.ok:bogus;$.fine:int;"
+                                  "$.geo:geometry;$.v:variant"})
+    assert [(sp.path, sp.type) for sp in sps] == [("$.fine", "int")]
+
+
+def test_shred_fid_deterministic_and_reserved_range():
+    a = ShreddedPath(2, "meta", "$.len", "long")
+    b = ShreddedPath(2, "meta", "$.len", "long")
+    assert a.field_id == b.field_id
+    assert 2_100_000_000 <= a.field_id < 2_140_000_000
+    assert a.stats_name == f"_shred_f{a.field_id}"
+    # different path/type/parent -> different id
+    assert len({ShreddedPath(2, "meta", p, t).field_id
+                for p, t in [("$.len", "long"), ("$.len", "int"),
+                             ("$.cat", "long")]}
+               | {ShreddedPath(3, "meta", "$.len", "long").field_id}) == 4
+
+
+def _mk_table(spark, tmp_path, name, props, n=400, files=4):
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, n).selectExpr(
+        "id",
+        "parse_json(concat('{\"len\": ', cast(id as string),"
+        " ', \"cat\": ', cast(id % 5 as string), '}')) as meta")
+    t = cat.create_table(f"db.{name}", df.schema, properties=props,
+                         exists_ok=True)
+    step = n // files
+    for lo in range(0, n, step):
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + step)))
+    return cat, cat.load_table(f"db.{name}")
+
+
+def test_shredded_predicate_prunes_files(spark, tmp_path):
+    _cat, t = _mk_table(spark, tmp_path, "shred",
+                        {"write.variant.shred.meta": "$.len:long;$.cat:int"})
+    total = len(t.scan().plan_files().files)
+    assert total >= 4
+    plan = t.scan(filter=E.extract("meta", "$.len", "long") >= 380)
+    assert len(plan.plan_files().files) < total
+    got = sorted(r.id for r in plan.df().select("id").collect())
+    assert got == list(range(380, 400))
+    # the low end of the domain: only first-append files survive
+    plan2 = t.scan(filter=E.extract("meta", "$.len", "long") < 100)
+    assert len(plan2.plan_files().files) < total
+    assert all(e.file.stats[ShreddedPath(2, "meta", "$.len",
+                                         "long").stats_name][0] < 100
+               for e in plan2.plan_files().files)
+    # stats rode the manifest under the synthetic ids
+    sp = ShreddedPath(2, "meta", "$.len", "long")
+    allst = [e.file.stats[sp.stats_name]
+             for e in t.scan().plan_files().files]
+    assert min(s[0] for s in allst) == 0
+    assert max(s[1] for s in allst) == 399
+    assert all(s[2] == 0 for s in allst)              # no nulls
+    assert sum(s[4] for s in allst) == 400            # value counts
+
+
+def test_undeclared_path_does_not_prune(spark, tmp_path):
+    _cat, t = _mk_table(spark, tmp_path, "shred2",
+                        {"write.variant.shred.meta": "$.len:long"})
+    total = len(t.scan().plan_files().files)
+    # $.cat is not declared -> conservative keep-everything
+    plan = t.scan(filter=E.extract("meta", "$.cat", "int") == 3)
+    assert len(plan.plan_files().files) == total
+    # declared path with a MISMATCHED type is also conservative
+    plan2 = t.scan(filter=E.extract("meta", "$.len", "int") >= 380)
+    assert len(plan2.plan_files().files) == total
+    assert plan2.df().count() == 20
+
+
+def test_mixed_pre_and_post_declaration_files(spark, tmp_path):
+    """Files written BEFORE the property have no companions/stats: they
+    must never be pruned by a shredded predicate (absent stats = keep)."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 200).selectExpr(
+        "id",
+        "parse_json(concat('{\"len\": ', cast(id as string), '}')) as meta")
+    t = cat.create_table("db.mixed", df.schema)
+    t.append(df.filter(F.col("id") < 100))           # pre-declaration
+    t.set_properties(**{"write.variant.shred.meta": "$.len:long"})
+    t = cat.load_table("db.mixed")
+    t.append(df.filter(F.col("id") >= 100))          # post-declaration
+    t = cat.load_table("db.mixed")
+    plan = t.scan(filter=E.extract("meta", "$.len", "long") < 50)
+    # the pre-declaration file (ids 0..99) has no shred stats -> kept;
+    # rows still filter exactly
+    got = sorted(r.id for r in plan.df().select("id").collect())
+    assert got == list(range(50))
+    plan_hi = t.scan(filter=E.extract("meta", "$.len", "long") >= 150)
+    got = sorted(r.id for r in plan_hi.df().select("id").collect())
+    assert got == list(range(150, 200))
+    # pre-declaration file must still be in the >=150 plan (no stats)
+    assert len(plan_hi.plan_files().files) >= 2
+
+
+def test_companions_invisible_to_readers(spark, tmp_path):
+    _cat, t = _mk_table(spark, tmp_path, "shred3",
+                        {"write.variant.shred.meta": "$.len:long"})
+    assert set(t.to_df().columns) == {"id", "meta"}
+    assert set(t.scan().df().columns) == {"id", "meta"}
+
+
+def test_compaction_preserves_shredding(spark, tmp_path):
+    from iceberg_spark.maintenance import rewrite_data_files
+
+    _cat, t = _mk_table(spark, tmp_path, "shred4",
+                        {"write.variant.shred.meta": "$.len:long"},
+                        n=400, files=8)
+    rewrite_data_files(t, target_file_size=1 << 20)
+    t = t.refresh()
+    files = t.scan().plan_files().files
+    sp = ShreddedPath(2, "meta", "$.len", "long")
+    assert all(e.file.stats.get(sp.stats_name) is not None for e in files)
+    got = sorted(r.id for r in t.scan(
+        filter=E.extract("meta", "$.len", "long") >= 390)
+        .df().select("id").collect())
+    assert got == list(range(390, 400))
+
+
+def test_with_shredding_equality_stable():
+    s2 = with_shredding(SCHEMA, {"write.variant.shred.meta": "$.a:long"})
+    assert s2.shredded and s2 == SCHEMA  # compare=False on the attr
+
+
+def test_json_encoded_variant_still_shreds(spark, tmp_path):
+    """write.variant.encoding=json stores the variant as TEXT but the
+    companion is computed from the variant BEFORE the cast — stats and
+    pruning identical."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 200).selectExpr(
+        "id",
+        "parse_json(concat('{\"len\": ', cast(id as string), '}')) as meta")
+    t = cat.create_table("db.jsonenc", df.schema, properties={
+        "write.variant.encoding": "json",
+        "write.variant.shred.meta": "$.len:long"})
+    t.append(df.filter(F.col("id") < 100))
+    t.append(df.filter(F.col("id") >= 100))
+    t = cat.load_table("db.jsonenc")
+    plan = t.scan(filter=E.extract("meta", "$.len", "long") >= 150)
+    total = len(t.scan().plan_files().files)
+    kept = plan.plan_files().files
+    assert 0 < len(kept) < total
+    assert all(e.file.stats["_shred_f" + str(
+        __import__("iceberg_spark.schema", fromlist=["ShreddedPath"])
+        .ShreddedPath(2, "meta", "$.len", "long").field_id)][1] >= 150
+        for e in kept)
+    assert plan.df().count() == 50
