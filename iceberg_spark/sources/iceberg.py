@@ -369,11 +369,16 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
 
     # manifests decode independently (file IO + zlib inflate release
     # the GIL) — a thread pool keeps big-metadata imports off the
-    # one-file-at-a-time path
+    # one-file-at-a-time path; a single manifest decodes inline (pool
+    # spin-up/lock-wait only adds latency variance there)
     paths = [_resolve_loc(m["manifest_path"], location) for m in manifests]
-    with ThreadPoolExecutor(max_workers=min(16, max(1, len(paths)))) as ex:
-        decoded = list(ex.map(read_one, paths,
-                              [m.get("key_metadata") for m in manifests]))
+    kms = [m.get("key_metadata") for m in manifests]
+    if len(paths) <= 1:
+        decoded = [read_one(p, k) for p, k in zip(paths, kms)]
+    else:
+        with ThreadPoolExecutor(
+                max_workers=min(16, max(1, len(paths)))) as ex:
+            decoded = list(ex.map(read_one, paths, kms))
     def hdr_int(hdr_meta, key, default):
         v = hdr_meta.get(key)
         if v is None:
@@ -401,7 +406,24 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
 
         rtypes = {pf.name: pf.transform.result_type(src_type(pf.source_id))
                   for pf in spec.fields}
+        # row-lineage first_row_id inheritance (format/spec.md "First Row
+        # ID Inheritance"): null file-level values resolve to the
+        # manifest's first_row_id plus the record counts of PRECEDING
+        # null-valued data files in this manifest — counted over every
+        # row (incl. DELETED) before the live-entry filter below
+        m_first = mrow.get("first_row_id")
+        _pending = 0
+        frid_by_row = []
         for e in rows:
+            df0 = e["data_file"]
+            frid = df0.get("first_row_id")
+            if int(df0.get("content") or 0) == 0 and frid is None \
+                    and m_first is not None:
+                frid = m_first + _pending
+                _pending += int(df0.get("record_count") or 0)
+            frid_by_row.append(frid if int(df0.get("content") or 0) == 0
+                               else None)
+        for e, _frid in zip(rows, frid_by_row):
             if e["status"] == DELETED:
                 continue
             df = e["data_file"]
@@ -444,6 +466,7 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "content_offset": df.get("content_offset"),
                 "content_size": df.get("content_size_in_bytes"),
                 "sort_order_id": df.get("sort_order_id"),
+                "first_row_id": _frid,
                 "key_metadata": km or None,
                 "stats": _manifest_entry_stats(df, schemas[m_schema_id]),
             })
@@ -608,6 +631,13 @@ def _manifest_entry_stats(df_record: dict, schema) -> dict:
     stays conservative-correct, and the aggregate-pushdown exactness
     guard keys off the (copied) table metrics properties exactly as it
     does for engine-written files."""
+    # metric-less entries (add_files imports, synthetic fixtures, most
+    # delete entries) are the bulk of big decodes — skip the five map
+    # conversions entirely (this loop runs 10k+ times per manifest)
+    if not (df_record.get("value_counts") or df_record.get("lower_bounds")
+            or df_record.get("upper_bounds")
+            or df_record.get("null_value_counts")):
+        return {}
     try:
         vc = _fid_map(df_record.get("value_counts"))
         nulls = _fid_map(df_record.get("null_value_counts"))
@@ -680,6 +710,19 @@ class _ImportSnapshot:
                 self.sequence_override = max_seq
                 if timestamp_ms:
                     self.timestamp_override = int(timestamp_ms)
+
+            def _assign_first_row_ids(self, start):
+                # imported entries carry their SOURCE lineage verbatim
+                # (no reassignment — spec: pre-lineage snapshots keep
+                # null); next_row_id just clears every explicit range so
+                # later engine commits never double-assign row ids
+                from ..manifests import DATA as _DATA
+
+                nri = start
+                for _s, f in outer.files:
+                    if f.content == _DATA and f.first_row_id is not None:
+                        nri = max(nri, f.first_row_id + f.record_count)
+                return nri
 
             def _apply(self, base, seq):
                 from collections import defaultdict
@@ -1031,6 +1074,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                     _resolve_path(e["referenced_data_file"])
                     if e.get("referenced_data_file") else None),
                 write_schema_id=e.get("schema_id", cur_schema),
+                first_row_id=(e.get("first_row_id")
+                              if e["content"] == DATA else None),
                 key_metadata=e["key_metadata"])
             cache[ck] = f
             files_by_seq.append((seq_map[e["seq"]], f))
@@ -1074,6 +1119,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 record_count=rc,
                 file_size_in_bytes=e["file_size"],
                 stats=e.get("stats") or {},
+                first_row_id=e.get("first_row_id"),
                 write_schema_id=e.get("schema_id", cur_schema))
             cache[ck] = f
             files_by_seq.append((seq_map[e["seq"]], f))
@@ -1113,6 +1159,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 referenced_data_file=(
                     _resolve_path(e["referenced_data_file"])
                     if e.get("referenced_data_file") else None),
+                first_row_id=(e.get("first_row_id")
+                              if content == DATA else None),
                 write_schema_id=e.get("schema_id", cur_schema))
             cache[(f.file_path, content, f.referenced_data_file,
                    f.content_offset)] = f
@@ -1131,6 +1179,8 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
             src = by_path[f.file_path]
             f = _replace(
                 f, write_schema_id=src.get("schema_id", cur_schema),
+                first_row_id=(src.get("first_row_id")
+                              if content == DATA else None),
                 equality_ids=tuple(src["equality_ids"]),
                 sort_order_id=src.get("sort_order_id"),
                 referenced_data_file=(
@@ -1483,7 +1533,8 @@ def _transcode_dv_containers(plans, data_map: dict, ddir: str) -> dict:
 def export_reference_metadata(table, dest_root: str,
                               full_history: bool = False,
                               encryption_key: bytes = None,
-                              transcode_encrypted_data: bool = False) -> str:
+                              transcode_encrypted_data: bool = False,
+                              format_version: int = None) -> str:
     """Write a reference-layout Iceberg metadata tree (metadata JSON +
     Avro manifest list/manifests, the TableMetadataParser.java /
     ManifestLists.java shapes) for an engine table, pointing at the
@@ -1624,6 +1675,11 @@ def export_reference_metadata(table, dest_root: str,
             out["content_size"] = f.content_size_in_bytes
         if f.sort_order_id is not None:
             out["sort_order_id"] = f.sort_order_id
+        if content == 0 and f.first_row_id is not None:
+            # row lineage (format/spec.md:460-546): the ASSIGNED
+            # first_row_id rides out so _row_id values are stable across
+            # an engine -> reference -> engine round trip
+            out["first_row_id"] = f.first_row_id
         if (f.key_metadata is not None
                 and bytes(f.key_metadata[:1]) == b"\x01"):
             # reference StandardKeyMetadata rides out verbatim (the
@@ -1720,10 +1776,28 @@ def export_reference_metadata(table, dest_root: str,
              for s in chain] or [{"files": []}]
     from .iceberg_fixture import write_reference_table_history
 
+    # format-version resolution: explicit wins (validated), else the
+    # lowest version the table's features allow — DVs, standard
+    # encryption, and row lineage are all v3 features
+    needs_v3 = (state["has_dv"] or encryption_key is not None
+                or table.metadata.next_row_id > 0)
+    if format_version is None:
+        format_version = 3 if needs_v3 else 2
+    elif format_version == 2 and needs_v3:
+        raise ValueError(
+            "format_version=2 cannot express this table: deletion "
+            "vectors, standard encryption, and row lineage require v3+")
+    elif format_version >= 4 and encryption_key is not None:
+        raise NotImplementedError(
+            "v4 export with standard table encryption is not supported: "
+            "the v4 writer emits PARQUET manifests, which this exporter "
+            "encrypts only as Avro GCM streams (v3)")
+    elif format_version not in (2, 3, 4):
+        raise ValueError(f"unsupported format_version {format_version}")
+
     return write_reference_table_history(
         dest_root, schema_json, snaps,
-        format_version=3 if (state["has_dv"] or encryption_key is not None)
-        else 2,
+        format_version=format_version,
         encryption_key=encryption_key,
         properties={k: v for k, v in table.metadata.properties.items()
                     if not k.startswith("gc.")},

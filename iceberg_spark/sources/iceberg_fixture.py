@@ -186,6 +186,8 @@ def manifest_entry_schema(partition_fields: list) -> dict:
          "default": None, "field-id": 135},
         {"name": "sort_order_id", "type": _opt("int"), "default": None,
          "field-id": 140},
+        {"name": "first_row_id", "type": _opt("long"), "default": None,
+         "field-id": 142},
         {"name": "referenced_data_file", "type": _opt("string"),
          "default": None, "field-id": 143},
         {"name": "content_offset", "type": _opt("long"), "default": None,
@@ -393,6 +395,13 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "equality_ids": (list(f["equality_ids"])
                                      if f.get("equality_ids") else None),
                     "sort_order_id": f.get("sort_order_id"),
+                    # row lineage (fid 142): engine exports carry each
+                    # data file's ASSIGNED first_row_id so _row_id values
+                    # survive the round trip; delete files are always null
+                    "first_row_id": (f.get("first_row_id")
+                                     if format_version >= 3
+                                     and f.get("content", 0) == 0
+                                     else None),
                     "referenced_data_file": (
                         rel(f["referenced_data_file"])
                         if f.get("referenced_data_file") else None),
@@ -425,6 +434,7 @@ def write_reference_table_history(root: str, schema_json: dict,
         snapshot_id = sn.get("snapshot_id", 7730351909407483913 + i)
         max_seq = max((f["seq"] for f in files), default=0)
         manifests = []
+        mgroups = []  # file group per manifest, for lineage assignment
         groups = {}
         for f in files:
             key = (0 if f.get("content", 0) == 0 else 1,
@@ -454,18 +464,32 @@ def write_reference_table_history(root: str, schema_json: dict,
                 "deleted_rows_count": 0,
                 "partitions": None,
             })
+            mgroups.append(group)
         first_row_id = next_row_id
-        if format_version >= 4:
-            # assign first_row_id to DATA manifests in list order
-            # (ManifestListWriter.V4Writer.prepare)
-            for m in manifests:
-                if m["content"] == 0:
+        if format_version >= 3:
+            # row lineage is a v3 feature (format/spec.md:460-546).
+            # Data manifests whose files ALL carry explicit first_row_id
+            # (engine exports) keep those values — min per manifest, and
+            # next-row-id clears every explicit range. Otherwise assign
+            # in list order (ManifestListWriter.V4Writer.prepare).
+            explicit_hi = next_row_id
+            for m, group in zip(manifests, mgroups):
+                if m["content"] != 0:
+                    m["first_row_id"] = None
+                    continue
+                vals = [(f.get("first_row_id"), f["record_count"])
+                        for f in group]
+                if vals and all(v is not None for v, _ in vals):
+                    m["first_row_id"] = min(v for v, _ in vals)
+                    explicit_hi = max(explicit_hi,
+                                      max(v + rc for v, rc in vals))
+                else:
                     m["first_row_id"] = next_row_id
                     next_row_id += (m["added_rows_count"]
                                     + m["existing_rows_count"])
-                else:
-                    m["first_row_id"] = None
-        ml_schema = (MANIFEST_LIST_SCHEMA_V4 if format_version >= 4
+            next_row_id = max(next_row_id, explicit_hi)
+            first_row_id = sn.get("first_row_id", first_row_id)
+        ml_schema = (MANIFEST_LIST_SCHEMA_V4 if format_version >= 3
                      else MANIFEST_LIST_SCHEMA)
         if enc is not None:
             ml_schema = {
@@ -504,7 +528,7 @@ def write_reference_table_history(root: str, schema_json: dict,
             "schema-id": sn.get("schema_id",
                                 schema_json.get("schema-id", 0)),
         }
-        if format_version >= 4:
+        if format_version >= 3:
             sj["first-row-id"] = first_row_id
         if ml_key_id is not None:
             sj["key-id"] = ml_key_id
@@ -547,7 +571,7 @@ def write_reference_table_history(root: str, schema_json: dict,
     }
     if not relative_paths:
         md["location"] = root  # optional in v4; always present pre-v4
-    if format_version >= 4:
+    if format_version >= 3:
         md["next-row-id"] = next_row_id
     if enc is not None:
         md["encryption-keys"] = enc["keys_json"]

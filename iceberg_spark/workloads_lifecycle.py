@@ -2226,6 +2226,106 @@ GROUP BY s_nationkey ORDER BY s_nationkey
 """
 
 
+def iceberg_export_v4_roundtrip_scan(spark, sf_dir):
+    """FORMAT-VERSION 4 export (V4Metadata.java layout: PARQUET
+    manifests, Avro manifest list with first_row_id fid 520,
+    next-row-id/first-row-id row lineage) of an engine table with MoR
+    deletes and a two-commit history, re-imported with full history.
+    Asserts in the fixture: the exported metadata JSON is pinned v4 with
+    parquet manifests on disk; per-file first_row_id and the table
+    next-row-id survive the round trip EXACTLY (row-lineage stability);
+    snapshot ids preserved. The scan oracle checks delete semantics."""
+    key = ("icebergexp_v4", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        import glob as _glob
+        import json as _json
+
+        from .sources.iceberg import (export_reference_metadata,
+                                      register_iceberg_table)
+
+        cat = _warehouse(spark)
+        for ident in (f"icebergexp_v4_src_{_sf_key(sf_dir)}",
+                      f"icebergexp_v4_back_{_sf_key(sf_dir)}"):
+            if cat.table_exists(ident):
+                cat.drop_table(ident)
+        t, df = _fresh(spark, sf_dir, "supplier", "icebergexp_v4_src",
+                       properties={"write.delete.mode": "merge-on-read"})
+        half = df.agg(F.max("s_suppkey")).collect()[0][0] // 2
+        t.append(df.filter(F.col("s_suppkey") <= half))
+        t.append(df.filter(F.col("s_suppkey") > half))
+        t.delete_where(E.col("s_suppkey") <= 40, mode="merge-on-read")
+        t = t.refresh()
+        dest = tempfile.mkdtemp(prefix="iceberg_export_v4_")
+        mp = export_reference_metadata(t, dest, full_history=True,
+                                       format_version=4)
+        md = _json.load(open(mp))
+        assert md["format-version"] == 4
+        assert md.get("next-row-id") == t.metadata.next_row_id > 0
+        assert _glob.glob(os.path.join(dest, "metadata", "*-m0.parquet")), \
+            "v4 export must write PARQUET manifests"
+        back = f"icebergexp_v4_back_{_sf_key(sf_dir)}"
+        t2, n_snaps, _n = register_iceberg_table(cat, dest, back)
+        assert n_snaps == 3  # two appends + the MoR delete
+        assert {s.snapshot_id for s in t2.metadata.snapshots} >= {
+            s.snapshot_id for s in t.metadata.snapshots}
+        assert t2.metadata.next_row_id == t.metadata.next_row_id
+        src_lin = sorted(f.file.first_row_id
+                         for f in t.scan().plan_files().files)
+        rt_lin = sorted(f.file.first_row_id
+                        for f in t2.scan().plan_files().files)
+        assert src_lin == rt_lin and all(v is not None for v in rt_lin), \
+            (src_lin, rt_lin)
+        _STATE[key] = back
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+def lineage_scan(spark, sf_dir):
+    """Row lineage as data (format/spec.md:460-546; F5): nation appended
+    as ONE file in n_nationkey order, so `_row_id` (first_row_id +
+    position) is exactly n_nationkey; a MoR UPDATE of every fifth key at
+    sequence 2 must PRESERVE the updated rows' _row_id while bumping
+    their _last_updated_sequence_number — both returned as columns the
+    plaintext oracle derives arithmetically."""
+    key = ("lineage", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        cat = _warehouse(spark)
+        ident = f"lineage_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = (load_table(spark, sf_dir, "nation")
+              .orderBy("n_nationkey").coalesce(1))
+        t = cat.create_table(ident, df.schema, properties={
+            "write.update.mode": "merge-on-read"})
+        t.append(df)
+        t = cat.load_table(ident)
+        assert len(t.scan().plan_files().files) == 1, \
+            "lineage fixture needs ONE ordered data file"
+        t.update(E.col("n_nationkey").isin([0, 5, 10, 15, 20]),
+                 {"n_comment": F.lit("updated")}, mode="merge-on-read")
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df(with_lineage=True)
+            .select("n_nationkey",
+                    F.col("_row_id").alias("row_id"),
+                    F.col("_last_updated_sequence_number").alias(
+                        "last_upd"))
+            .orderBy("n_nationkey"))
+
+
+LINEAGE_SQL = """
+SELECT n_nationkey, CAST(n_nationkey AS BIGINT) AS row_id,
+       CAST(CASE WHEN n_nationkey % 5 = 0 THEN 2 ELSE 1 END AS BIGINT)
+           AS last_upd
+FROM nation ORDER BY n_nationkey
+"""
+
+
 def iceberg_export_encrypted_roundtrip_scan(spark, sf_dir):
     """Encrypted outbound interop, closing the standard-table-encryption
     loop: an engine table whose OWN metadata tree encrypts (catalog
@@ -2414,6 +2514,9 @@ REGISTRY = {
                                       ICEBERG_EXPORT_SQL),
     "iceberg_export_encrypted_roundtrip_scan": (
         iceberg_export_encrypted_roundtrip_scan, ICEBERG_EXPORT_SQL),
+    "iceberg_export_v4_roundtrip_scan": (
+        iceberg_export_v4_roundtrip_scan, ICEBERG_EXPORT_SQL),
+    "lineage_scan": (lineage_scan, LINEAGE_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
     "delta_snapshot_scan": (delta_snapshot_scan, DELTA_SNAPSHOT_SQL),
     "auto_compaction_scan": (auto_compaction_scan, AUTO_COMPACTION_SQL),

@@ -821,6 +821,11 @@ class SnapshotProducer:
                 if f.content == DATA and f.first_row_id is None:
                     f = replace(f, first_row_id=nri)
                     nri += f.record_count
+                elif f.content == DATA and f.first_row_id is not None:
+                    # files arriving WITH lineage (imports, compaction):
+                    # next_row_id must clear their range or a later
+                    # commit would double-assign row ids
+                    nri = max(nri, f.first_row_id + f.record_count)
                 out.append(f)
             setattr(self, attr, out)
         return nri

@@ -162,3 +162,116 @@ def test_format_version_5_rejected(catalog, tmp_path):
     json.dump(md, open(mp, "w"))
     with pytest.raises(NotImplementedError, match="format-version 5"):
         snapshot_iceberg_table(catalog, root, "db.v5_imp")
+
+
+def test_v4_export_roundtrip_lineage_stable(catalog, tmp_path, spark):
+    """Engine table -> format_version=4 export (parquet manifests,
+    next-row-id / first-row-id, per-entry fid-142 first_row_id) ->
+    register -> per-row _row_id / _last_updated_sequence_number and the
+    table's next-row-id are IDENTICAL to the source."""
+    import glob
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               register_iceberg_table)
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "srcwh"))
+    df = spark.range(0, 120).selectExpr("id", "id % 3 as grp")
+    t = cat.create_table("db.v4lin", df.schema, properties={
+        "write.delete.mode": "merge-on-read"})
+    t.append(df.filter(F.col("id") < 60))
+    t.append(df.filter(F.col("id") >= 60))
+    t.delete_where(col("id").isin([7, 77]), mode="merge-on-read")
+    t = cat.load_table("db.v4lin")
+    src = {r.id: (r._row_id, r._last_updated_sequence_number)
+           for r in t.to_df(with_lineage=True).collect()}
+    dest = str(tmp_path / "exp")
+    mp = export_reference_metadata(t, dest, full_history=True,
+                                   format_version=4)
+    md = json.load(open(mp))
+    assert md["format-version"] == 4
+    assert md["next-row-id"] == t.metadata.next_row_id
+    assert glob.glob(os.path.join(dest, "metadata", "*-m0.parquet"))
+    t2, n_snaps, _ = register_iceberg_table(catalog, dest, "db.v4lin_rt")
+    assert n_snaps == 3
+    assert t2.metadata.next_row_id == t.metadata.next_row_id
+    rt = {r.id: (r._row_id, r._last_updated_sequence_number)
+          for r in t2.to_df(with_lineage=True).collect()}
+    assert rt == src
+
+
+def test_v3_export_carries_row_lineage(catalog, tmp_path, spark):
+    """v3 exports emit next-row-id / snapshot first-row-id / per-entry
+    first_row_id too (row lineage is a v3 feature, format/spec.md:460)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               register_iceberg_table)
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "srcwh3"))
+    df = spark.range(0, 50).selectExpr("id", "id % 3 as grp")
+    t = cat.create_table("db.v3lin", df.schema)
+    t.append(df)
+    t = cat.load_table("db.v3lin")
+    dest = str(tmp_path / "exp3")
+    mp = export_reference_metadata(t, dest, full_history=True,
+                                   format_version=3)
+    md = json.load(open(mp))
+    assert md["format-version"] == 3
+    assert md["next-row-id"] == t.metadata.next_row_id > 0
+    assert all("first-row-id" in s for s in md["snapshots"])
+    t2, _, _ = register_iceberg_table(catalog, dest, "db.v3lin_rt")
+    src = {r.id: r._row_id for r in t.to_df(with_lineage=True).collect()}
+    rt = {r.id: r._row_id for r in t2.to_df(with_lineage=True).collect()}
+    assert rt == src
+
+
+def test_v4_null_first_row_id_inherits_from_manifest(catalog, tmp_path):
+    """Spec First Row ID Inheritance: file-level null resolves to the
+    manifest's first_row_id plus preceding null files' record counts."""
+    root = str(tmp_path / "v4_inh")
+    os.makedirs(os.path.join(root, "data"))
+    fa = _write_parquet(os.path.join(root, "data", "a.parquet"),
+                        list(range(5)), 0)
+    fb = _write_parquet(os.path.join(root, "data", "b.parquet"),
+                        list(range(5, 12)), 1)
+    # no per-file first_row_id given -> fixture assigns the manifest one;
+    # entries stay null -> importer must inherit 0 and 0+5
+    write_reference_table(root, SCHEMA_JSON,
+                          [dict(fa, seq=1), dict(fb, seq=1)],
+                          format_version=4)
+    t, _, _ = snapshot_iceberg_table(catalog, root, "db.v4_inh")
+    got = sorted((f.file.record_count, f.file.first_row_id)
+                 for f in t.scan().plan_files().files)
+    assert got == [(5, 0), (7, 5)]
+    assert t.metadata.next_row_id == 12
+
+
+def test_export_format_version_validation(catalog, tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_spark.expressions import col
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "vwh"))
+    df = spark.range(0, 20).selectExpr("id", "id % 3 as grp")
+    t = cat.create_table("db.vv", df.schema, properties={
+        "write.delete.mode": "merge-on-read",
+        "write.delete.format": "dv"})
+    t.append(df)
+    t.delete_where(col("id") == 3, mode="merge-on-read")
+    t = cat.load_table("db.vv")
+    with pytest.raises(ValueError, match="v3"):
+        export_reference_metadata(t, str(tmp_path / "e2"),
+                                  format_version=2)  # DVs + lineage
+    with pytest.raises(NotImplementedError, match="v4"):
+        export_reference_metadata(t, str(tmp_path / "e4e"),
+                                  format_version=4,
+                                  encryption_key=bytes(range(16)))
+    with pytest.raises(ValueError, match="unsupported"):
+        export_reference_metadata(t, str(tmp_path / "e5"),
+                                  format_version=5)
