@@ -38,13 +38,20 @@ STARTS_WITH, NOT_STARTS_WITH = "starts_with", "not_starts_with"
 # geospatial bbox predicates on geometry/geography columns (literal = BBox).
 # Reference api/.../geospatial/GeospatialPredicateEvaluators.java.
 ST_INTERSECTS, ST_DISJOINT = "st_intersects", "st_disjoint"
+# exact polygon predicates on geometry columns (literal = geo.Polygon):
+# point-in-polygon ray cast at the data level, exact rectangle-vs-polygon
+# at the file-stats level (geo.py; the reference's metadata eval is bbox —
+# engines layer exact ST_* via Sedona, here a pure-WKB point path)
+ST_INTERSECTS_POLY = "st_intersects_poly"
+ST_DISJOINT_POLY = "st_disjoint_poly"
 
 _NEGATE = {
     LT: GT_EQ, GT_EQ: LT, GT: LT_EQ, LT_EQ: GT, EQ: NOT_EQ, NOT_EQ: EQ,
     IN: NOT_IN, NOT_IN: IN, IS_NULL: NOT_NULL, NOT_NULL: IS_NULL,
     IS_NAN: NOT_NAN, NOT_NAN: IS_NAN, STARTS_WITH: NOT_STARTS_WITH,
     NOT_STARTS_WITH: STARTS_WITH, ST_INTERSECTS: ST_DISJOINT,
-    ST_DISJOINT: ST_INTERSECTS,
+    ST_DISJOINT: ST_INTERSECTS, ST_INTERSECTS_POLY: ST_DISJOINT_POLY,
+    ST_DISJOINT_POLY: ST_INTERSECTS_POLY,
 }
 _FLIP = {LT: GT, GT: LT, LT_EQ: GT_EQ, GT_EQ: LT_EQ, EQ: EQ, NOT_EQ: NOT_EQ}
 
@@ -216,6 +223,22 @@ def st_disjoint(name: str, box) -> Predicate:
     return Predicate(ST_DISJOINT, Term(name), (BBox(*box),))
 
 
+def st_intersects_polygon(name: str, ring) -> Predicate:
+    """EXACT polygon-intersection predicate on a geometry column of
+    POINTS: st_intersects_polygon('geom', [(x, y), ...]). Data-level
+    point-in-polygon ray cast; file-level exact rectangle-vs-polygon
+    pruning on the manifest bbox bounds."""
+    from .geo import Polygon
+
+    return Predicate(ST_INTERSECTS_POLY, Term(name), (Polygon(ring),))
+
+
+def st_disjoint_polygon(name: str, ring) -> Predicate:
+    from .geo import Polygon
+
+    return Predicate(ST_DISJOINT_POLY, Term(name), (Polygon(ring),))
+
+
 def and_(*exprs: Expr) -> Expr:
     out: Expr = ALWAYS_TRUE
     for e in exprs:
@@ -274,9 +297,11 @@ def coerce_literal(v: Any, typ: str) -> Any:
     if v is None:
         return None
     if typ in ("geometry", "geography"):
-        from .geo import BBox
+        from .geo import BBox, Polygon
 
-        return v if isinstance(v, BBox) else BBox(*v)
+        if isinstance(v, (BBox, Polygon)):
+            return v
+        return BBox(*v)
     if typ == "date":
         if isinstance(v, str):
             return _dt.date.fromisoformat(v)
@@ -354,6 +379,12 @@ def bind(expr: Expr, schema: Schema) -> Expr:
         f = schema.find_field(expr.term.name)
         if not isinstance(f.type, str):
             raise ValueError(f"cannot filter on non-primitive column {f.name}")
+        if expr.op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY) \
+                and f.type != "geometry":
+            raise NotImplementedError(
+                "exact polygon predicates apply to geometry columns only "
+                f"(got {f.name}: {f.type}); geography needs wrap-aware "
+                "polygon math — use st_intersects (bbox) there")
         tr = expr.term.transform
         if tr is not None and not tr.can_transform(f.type):
             raise ValueError(f"{tr} cannot apply to {f.name}: {f.type}")
@@ -413,6 +444,12 @@ def to_spark(expr: Expr, colfn=F.col) -> Column:
                     and expr.term.field.type == "geography")
             hit = st_intersects_bbox(c, lits[0], geography=geog)
             return hit if op == ST_INTERSECTS else (c.isNotNull() & ~hit)
+        if op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY):
+            from .geo import st_intersects_polygon as _poly_hit
+
+            hit = _poly_hit(c, lits[0])
+            return (hit if op == ST_INTERSECTS_POLY
+                    else (c.isNotNull() & ~hit))
         if op == LT:
             return c < F.lit(lits[0])
         if op == LT_EQ:
@@ -608,6 +645,14 @@ def evaluate(expr: Expr, row: dict) -> bool:
                     and expr.term.field.type == "geography")
             hit = bbox_intersects(b, lits[0], geography=geog)
             return hit if op == ST_INTERSECTS else not hit
+        if op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY):
+            from .geo import _points_xy, _raycast
+            import numpy as _np
+
+            xs, ys = _points_xy([v])  # raises on non-POINT WKB (exact path)
+            hit = bool(_raycast(xs, ys, lits[0])[0]) \
+                and not _np.isnan(xs[0])
+            return hit if op == ST_INTERSECTS_POLY else not hit
         if op == LT:
             return v < lits[0]
         if op == LT_EQ:
@@ -644,8 +689,9 @@ def _project_predicate(pred: BoundPredicate, pfield, inclusive: bool) -> Expr:
     """
     if pred.term.name != pfield.source_name:
         return ALWAYS_TRUE if inclusive else ALWAYS_FALSE
-    if pred.op in (ST_INTERSECTS, ST_DISJOINT):
-        # partition values carry no geo bounds; bbox pruning happens at the
+    if pred.op in (ST_INTERSECTS, ST_DISJOINT,
+                   ST_INTERSECTS_POLY, ST_DISJOINT_POLY):
+        # partition values carry no geo bounds; geo pruning happens at the
         # file-stats level (inclusive_metrics_eval), not via projection
         return ALWAYS_TRUE if inclusive else ALWAYS_FALSE
     if pred.term.transform is not None and not isinstance(pred.term.transform, Identity):
@@ -904,6 +950,16 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
                 return True
             geog = expr.term.field.type == "geography"
             return bbox_intersects(fb, lits[0], geography=geog)
+        if op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY):
+            if op == ST_DISJOINT_POLY:
+                return True  # any file may hold a point outside the ring
+            from .geo import bbox_intersects_polygon, stats_bbox
+
+            fb = stats_bbox(mn, mx)
+            if fb is None:
+                return True
+            # exact rectangle-vs-polygon: tighter than bbox-vs-bbox
+            return bbox_intersects_polygon(fb, lits[0])
         if op in (LT, LT_EQ, GT, GT_EQ, EQ, IN, STARTS_WITH):
             # stats may predate a type promotion (spec:356): lift them
             # into the literal domain; incomparable leftovers keep the file

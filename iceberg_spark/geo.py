@@ -288,6 +288,159 @@ def st_intersects_bbox(geom: Column, box: BBox, geography: bool = False) -> Colu
 
 
 # ---------------------------------------------------------------------------
+# exact polygon predicates — pure-WKB ray cast (no Sedona/shapely needed).
+# Scope: EXACT point-in-polygon data-level evaluation for POINT columns
+# (the common lat/lon metadata case); bbox-exact rectangle-vs-polygon at
+# the file-stats level. Non-point geometries refuse the exact path loudly
+# (a geometry engine's job) — the bbox predicates above stay available.
+# ---------------------------------------------------------------------------
+
+_EPS = 1e-12
+
+
+class Polygon:
+    """A simple (non-self-intersecting, closed) polygon ring in XY."""
+
+    __slots__ = ("ring", "bbox")
+
+    def __init__(self, ring):
+        pts = [(float(x), float(y)) for x, y in ring]
+        if len(pts) >= 2 and pts[0] == pts[-1]:
+            pts = pts[:-1]  # accept closed rings; store open
+        if len(pts) < 3:
+            raise ValueError("polygon needs >= 3 distinct vertices")
+        self.ring = tuple(pts)
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        self.bbox = BBox(min(xs), min(ys), max(xs), max(ys))
+
+    def __repr__(self):
+        return f"Polygon({len(self.ring)} pts, bbox={tuple(self.bbox)})"
+
+    def __eq__(self, other):
+        return isinstance(other, Polygon) and self.ring == other.ring
+
+    def __hash__(self):
+        return hash(self.ring)
+
+
+def _raycast(xs: np.ndarray, ys: np.ndarray, poly: Polygon) -> np.ndarray:
+    """Vectorized even-odd ray cast; points ON an edge count as inside
+    (ST_INTERSECTS semantics: boundary touches intersect)."""
+    inside = np.zeros(len(xs), bool)
+    on_edge = np.zeros(len(xs), bool)
+    ring = poly.ring
+    n = len(ring)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for i in range(n):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % n]
+            cross = (x2 - x1) * (ys - y1) - (y2 - y1) * (xs - x1)
+            seg = ((np.minimum(x1, x2) - _EPS <= xs)
+                   & (xs <= np.maximum(x1, x2) + _EPS)
+                   & (np.minimum(y1, y2) - _EPS <= ys)
+                   & (ys <= np.maximum(y1, y2) + _EPS))
+            on_edge |= (np.abs(cross) <= _EPS) & seg
+            if y1 == y2:
+                continue  # horizontal edges only matter for on_edge
+            crosses = (y1 > ys) != (y2 > ys)
+            xint = (x2 - x1) * (ys - y1) / (y2 - y1) + x1
+            inside ^= crosses & (xs < xint)
+    return inside | on_edge
+
+
+def point_in_polygon(x: float, y: float, poly: Polygon) -> bool:
+    return bool(_raycast(np.array([x]), np.array([y]), poly)[0])
+
+
+def _segments_intersect(p1, p2, p3, p4) -> bool:
+    """Proper or touching segment intersection via orientation tests."""
+    def orient(a, b, c):
+        v = (b[0] - a[0]) * (c[1] - a[1]) - (b[1] - a[1]) * (c[0] - a[0])
+        return 0 if abs(v) <= _EPS else (1 if v > 0 else -1)
+
+    def on_seg(a, b, c):  # c collinear with ab: is it between?
+        return (min(a[0], b[0]) - _EPS <= c[0] <= max(a[0], b[0]) + _EPS
+                and min(a[1], b[1]) - _EPS <= c[1] <= max(a[1], b[1]) + _EPS)
+
+    o1, o2 = orient(p1, p2, p3), orient(p1, p2, p4)
+    o3, o4 = orient(p3, p4, p1), orient(p3, p4, p2)
+    if o1 != o2 and o3 != o4:
+        return True
+    return ((o1 == 0 and on_seg(p1, p2, p3))
+            or (o2 == 0 and on_seg(p1, p2, p4))
+            or (o3 == 0 and on_seg(p3, p4, p1))
+            or (o4 == 0 and on_seg(p3, p4, p2)))
+
+
+def bbox_intersects_polygon(b: BBox, poly: Polygon) -> bool:
+    """EXACT rectangle-vs-polygon intersection (file-stats pruning for
+    polygon predicates — tighter than bbox-vs-bbox): overlap gate, then
+    vertex containment both ways, then edge-pair intersection."""
+    pb = poly.bbox
+    if b.xmin > pb.xmax or pb.xmin > b.xmax \
+            or b.ymin > pb.ymax or pb.ymin > b.ymax:
+        return False
+    if any(b.xmin - _EPS <= x <= b.xmax + _EPS
+           and b.ymin - _EPS <= y <= b.ymax + _EPS for x, y in poly.ring):
+        return True
+    corners = [(b.xmin, b.ymin), (b.xmin, b.ymax),
+               (b.xmax, b.ymax), (b.xmax, b.ymin)]
+    cx = np.array([c[0] for c in corners])
+    cy = np.array([c[1] for c in corners])
+    if _raycast(cx, cy, poly).any():
+        return True
+    ring = poly.ring
+    n = len(ring)
+    for i in range(4):
+        r1, r2 = corners[i], corners[(i + 1) % 4]
+        for j in range(n):
+            if _segments_intersect(r1, r2, ring[j], ring[(j + 1) % n]):
+                return True
+    return False
+
+
+def _points_xy(vals) -> tuple:
+    """WKB values -> (xs, ys) float arrays; NULL -> NaN. Raises loudly on
+    any non-POINT geometry (the exact path is point-scoped)."""
+    xs = np.full(len(vals), np.nan)
+    ys = np.full(len(vals), np.nan)
+    for i, v in enumerate(vals):
+        if v is None:
+            continue
+        buf = bytes(v)
+        endian = "<" if buf[0] == 1 else ">"
+        (raw_type,) = struct.unpack_from(endian + "I", buf, 1)
+        off = 5
+        if raw_type & _EWKB_SRID:
+            off += 4
+        base, _nd = _geom_dims(raw_type)
+        if base != _POINT:
+            raise NotImplementedError(
+                "exact polygon predicates support POINT geometries only "
+                f"(got WKB type {base}); use st_intersects (bbox) for "
+                "extended geometries")
+        x, y = struct.unpack_from(endian + "dd", buf, off)
+        xs[i], ys[i] = x, y
+    return xs, ys
+
+
+def st_intersects_polygon(geom: Column, poly: Polygon) -> Column:
+    """Row-level EXACT point-in-polygon predicate against a constant
+    polygon — the data-side filter behind ST_INTERSECTS_POLY."""
+
+    @pandas_udf(T.BooleanType())
+    def _hit(gs: pd.Series) -> pd.Series:
+        vals = list(gs)
+        xs, ys = _points_xy(vals)
+        res = _raycast(xs, ys, poly)
+        res[np.isnan(xs)] = False  # NULLs never match
+        return pd.Series(res)
+
+    return _hit(geom)
+
+
+# ---------------------------------------------------------------------------
 # write-side stats: per-file bbox as (lower WKB point, upper WKB point)
 # ---------------------------------------------------------------------------
 

@@ -580,6 +580,51 @@ ORDER BY event_id
 """
 
 
+def geo_exact_scan(spark, sf_dir):
+    """EXACT geospatial predicate (geo.py ray cast; the optional layer
+    above the reference's bbox-only metadata eval,
+    api/.../geospatial/GeospatialPredicateEvaluators.java): the same
+    x-clustered WKB-point table as geo_bbox_scan, filtered with
+    ST_INTERSECTS_POLY against a DIAMOND polygon — point-in-polygon is
+    evaluated exactly row-level (not the bbox superset), and file-level
+    pruning runs the exact rectangle-vs-polygon test on manifest bounds.
+    The diamond |x+20.5|+|y-10.5| <= 40 has half-integer offsets so
+    integer-grid points never sit ON the boundary — the oracle is pure
+    arithmetic (this container has no DuckDB spatial extension; the
+    predicate itself is exact either way). The plan must prune: a
+    diamond covers half its bbox, and the corner files of the x-range
+    miss it."""
+    from .geo import st_bbox
+
+    key = ("geo_exact", _sf_key(sf_dir))
+    if key not in _STATE:
+        # reuse geo_bbox_scan's table fixture
+        geo_bbox_scan(spark, sf_dir)
+        _STATE[key] = _STATE[("geo", _sf_key(sf_dir))]
+    t = _warehouse(spark).load_table(_STATE[key])
+    ring = [(-60.5, 10.5), (-20.5, 50.5), (19.5, 10.5), (-20.5, -29.5)]
+    scan = t.scan(filter=E.st_intersects_polygon("geom", ring))
+    total = len(t.scan().plan_files().files)
+    kept = len(scan.plan_files().files)
+    assert 0 < kept < total, \
+        f"polygon predicate must prune x-clustered files: {kept}/{total}"
+    box = scan.df().select("event_id", st_bbox("geom").alias("b"))
+    return (box.select("event_id", F.col("b.xmin").alias("x"),
+                       F.col("b.ymin").alias("y"))
+               .orderBy("event_id"))
+
+
+GEO_EXACT_SQL = """
+SELECT event_id,
+       CAST((user_id * 7) % 360 - 180 AS DOUBLE) AS x,
+       CAST((event_id * 13) % 180 - 90 AS DOUBLE) AS y
+FROM events
+WHERE ABS(((user_id * 7) % 360 - 180) + 20.5)
+    + ABS(((event_id * 13) % 180 - 90) - 10.5) <= 40
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -696,6 +741,7 @@ REGISTRY = {
     "variant_extract_scan": (variant_extract_scan, VARIANT_EXTRACT_SQL),
     "variant_shredded_scan": (variant_shredded_scan, VARIANT_SHREDDED_SQL),
     "geo_bbox_scan": (geo_bbox_scan, GEO_BBOX_SQL),
+    "geo_exact_scan": (geo_exact_scan, GEO_EXACT_SQL),
 }
 
 

@@ -211,3 +211,135 @@ def test_geography_scan_wrap_query(catalog, spark):
     scan = t.scan(filter=E.st_intersects("geom", (170.0, -10.0, -170.0, 10.0)))
     rows = scan.df().collect()
     assert sorted(r.id for r in rows) == [1, 2]
+
+
+# --- exact polygon predicates (pure-WKB ray cast) ---------------------------
+
+
+def test_polygon_ctor_and_raycast():
+    import numpy as np
+
+    from iceberg_spark.geo import Polygon, _raycast, point_in_polygon
+
+    diamond = Polygon([(-40, 0), (0, 40), (40, 0), (0, -40), (-40, 0)])
+    assert len(diamond.ring) == 4  # closed ring stored open
+    assert tuple(diamond.bbox) == (-40, -40, 40, 40)
+    # inside / outside / vertex / edge midpoint (boundary intersects)
+    assert point_in_polygon(0, 0, diamond)
+    assert not point_in_polygon(41.0, 0.5, diamond)
+    assert point_in_polygon(-40, 0, diamond)           # vertex
+    assert point_in_polygon(-20, 20, diamond)          # on edge
+    assert not point_in_polygon(-39, 39, diamond)      # bbox-in, poly-out
+    # concave polygon (L-shape)
+    ell = Polygon([(0, 0), (4, 0), (4, 2), (2, 2), (2, 4), (0, 4)])
+    assert point_in_polygon(1, 3, ell)
+    assert not point_in_polygon(3, 3, ell)
+    xs = np.array([1.0, 3.0]); ys = np.array([3.0, 3.0])
+    assert list(_raycast(xs, ys, ell)) == [True, False]
+    with pytest.raises(ValueError):
+        Polygon([(0, 0), (1, 1)])
+
+
+def test_bbox_intersects_polygon_exact():
+    from iceberg_spark.geo import BBox, Polygon, bbox_intersects_polygon
+
+    diamond = Polygon([(-40, 0), (0, 40), (40, 0), (0, -40)])
+    assert bbox_intersects_polygon(BBox(-5, -5, 5, 5), diamond)   # inside
+    assert bbox_intersects_polygon(BBox(-60, -60, 60, 60), diamond)  # around
+    # bbox overlaps the polygon's bbox CORNER but misses the diamond
+    assert not bbox_intersects_polygon(BBox(30, 30, 39, 39), diamond)
+    assert not bbox_intersects_polygon(BBox(100, 0, 110, 5), diamond)
+    # edge-crossing rectangle with no vertex containment either way
+    assert bbox_intersects_polygon(BBox(-60, -1, 60, 1), diamond)
+
+
+def test_st_intersects_polygon_dataframe(spark):
+    from iceberg_spark.geo import st_intersects_polygon, st_point
+
+    df = (spark.range(0, 100)
+          .selectExpr("id",
+                      "cast(id % 20 as double) - 10 as x",
+                      "cast(cast(id / 20 as int) as double) * 5 - 10 as y")
+          .select("id", st_point("x", "y").alias("g"),
+                  "x", "y"))
+    from iceberg_spark.geo import Polygon
+
+    diamond = Polygon([(-8.5, 0.0), (0.0, 8.5), (8.5, 0.0), (0.0, -8.5)])
+    got = sorted(r.id for r in
+                 df.filter(st_intersects_polygon(F.col("g"), diamond))
+                 .select("id").collect())
+    want = sorted(i for i in range(100)
+                  if abs((i % 20) - 10) + abs((i // 20) * 5 - 10) <= 8.5)
+    assert got == want and got
+
+
+def test_polygon_scan_prunes_and_matches(catalog, spark):
+    from iceberg_spark.geo import st_point
+
+    df = (spark.range(0, 1000)
+          .selectExpr("id",
+                      "cast(id % 100 as double) * 3.6 - 180 as x",
+                      "cast(cast(id / 100 as int) as double) * 18 - 90 as y")
+          .repartitionByRange(8, "x").sortWithinPartitions("x")
+          .select("id", st_point("x", "y").alias("geom")))
+    schema = Schema((NestedField(1, "id", "long", True),
+                     NestedField(2, "geom", "geometry", False)))
+    t = catalog.create_table("db.geo_poly", schema)
+    t.append(df)
+    t = catalog.load_table("db.geo_poly")
+    ring = [(-60.5, 10.5), (-20.5, 50.5), (19.5, 10.5), (-20.5, -29.5)]
+    scan = t.scan(filter=E.st_intersects_polygon("geom", ring))
+    total = len(t.scan().plan_files().files)
+    kept = len(scan.plan_files().files)
+    assert 0 < kept < total
+    got = sorted(r.id for r in scan.df().select("id").collect())
+    want = sorted(
+        i for i in range(1000)
+        if abs(((i % 100) * 3.6 - 180) + 20.5)
+        + abs((i // 100) * 18 - 90 - 10.5) <= 40)
+    assert got == want and got
+
+
+def test_polygon_predicate_geography_refused(catalog, spark):
+    from iceberg_spark.geo import st_point
+
+    df = (spark.range(0, 10)
+          .selectExpr("id", "cast(id as double) as x",
+                      "cast(id as double) as y")
+          .select("id", st_point("x", "y").alias("geog")))
+    schema = Schema((NestedField(1, "id", "long", True),
+                     NestedField(2, "geog", "geography", False)))
+    t = catalog.create_table("db.geo_poly_g", schema)
+    t.append(df)
+    t = catalog.load_table("db.geo_poly_g")
+    with pytest.raises(NotImplementedError, match="geometry"):
+        t.scan(filter=E.st_intersects_polygon(
+            "geog", [(0, 0), (5, 5), (5, 0)])).plan_files()
+
+
+def test_polygon_predicate_nonpoint_refused(spark):
+    from iceberg_spark.geo import Polygon, _points_xy
+
+    # a WKB LINESTRING must refuse the exact path loudly
+    import struct as _st
+
+    ls = _st.pack("<BII", 1, 2, 2) + _st.pack("<dddd", 0, 0, 1, 1)
+    with pytest.raises(NotImplementedError, match="POINT"):
+        _points_xy([ls])
+
+
+def test_st_disjoint_polygon(spark):
+    from iceberg_spark.geo import Polygon, st_point
+
+    df = (spark.range(0, 20)
+          .selectExpr("id", "cast(id as double) as x",
+                      "cast(0.5 as double) as y")
+          .select("id", st_point("x", "y").alias("g")))
+    ring = [(4.5, -1.0), (9.5, -1.0), (9.5, 2.0), (4.5, 2.0)]
+    got = sorted(r.id for r in
+                 df.filter(E.to_spark(E.bind(
+                     E.st_disjoint_polygon("g", ring),
+                     Schema((NestedField(1, "id", "long", True),
+                             NestedField(2, "g", "geometry", False))))))
+                 .select("id").collect())
+    assert got == [i for i in range(20) if not (4.5 <= i <= 9.5)]
