@@ -381,6 +381,59 @@ def import_benchmarks(spark, register):
     register("plan_import_decode_10k", decode)
 
 
+def variant_shred_benchmarks(spark, register, sf_dir):
+    """Variant shredding's scale claim, measured: the same documents-
+    derived table twice — shredded ($.len companion + manifest bounds)
+    vs unshredded — filtered on extract('$.len') over a selective top
+    slice. The shredded scan plans FEWER FILES (asserted) and skips the
+    full variant decode for the pruned ones; at 100 TB of
+    semi-structured logs this is the pruning-vs-scanning difference
+    the reference's VariantShreddingAnalyzer exists for."""
+    import tempfile
+
+    from iceberg_spark.expressions import extract
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="iceberg_spark_vshred_"))
+    docs = load_table(spark, sf_dir, "documents")
+    df = docs.select(
+        "doc_id",
+        F.parse_json(F.concat(
+            F.lit('{"len": '), F.length("text").cast("string"),
+            F.lit(', "cat": '), (F.col("doc_id") % 11).cast("string"),
+            F.lit('}'))).alias("meta"))
+    mx = docs.agg(F.max(F.length("text"))).collect()[0][0]
+    thr = int(mx * 0.9)
+
+    def build(ident, props):
+        t = cat.create_table(ident, df.schema, properties=props)
+        # len-clustered files so the shredded bounds are narrow
+        t.append(df.withColumn("_l", F.variant_get("meta", "$.len", "long"))
+                 .repartitionByRange(8, "_l").sortWithinPartitions("_l")
+                 .drop("_l"))
+        return cat.load_table(ident)
+
+    ts = build("bench.vshred", {
+        "write.variant.shred.meta": "$.len:long;$.cat:int"})
+    tu = build("bench.vplain", {})
+    flt = extract("meta", "$.len", "long") >= thr
+    total = len(ts.scan().plan_files().files)
+    kept = len(ts.scan(filter=flt).plan_files().files)
+    assert 0 < kept < total, \
+        f"shredded bench fixture must prune: {kept}/{total}"
+
+    def agg(t):
+        return (t.scan(filter=flt).df()
+                .groupBy(F.variant_get("meta", "$.cat", "int").alias("c"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.variant_get("meta", "$.len", "bigint"))
+                     .alias("s"))
+                .orderBy("c").collect())
+
+    register("variant_shred_prune_scan", lambda: agg(ts))
+    register("variant_unshredded_scan_baseline", lambda: agg(tu))
+
+
 def cpu_calibration():
     """Fixed single-thread CPU probe (pyarrow parquet decode + zlib
     inflate — the metadata-planning instruction mix), no Spark involved.
@@ -469,6 +522,7 @@ def main():
     encrypted_scan_benchmarks(spark, register, SF_DIR)
     planning_benchmarks(spark, register)
     import_benchmarks(spark, register)
+    variant_shred_benchmarks(spark, register, SF_DIR)
     spj_benchmarks(spark, register, SF_DIR)
 
     # data-pipeline throughput (informational — outside the headline total,

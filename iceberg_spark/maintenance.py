@@ -1693,3 +1693,86 @@ def compute_partition_stats(table, incremental: bool = True) -> str:
     table._commit_metadata(
         replace(m, partition_statistics_files=m.partition_statistics_files + (entry,)))
     return path
+
+
+def analyze_variant_shredding(table, column: str, sample_rows: int = 10_000,
+                              min_presence: float = 0.9,
+                              max_paths: int = 8) -> str:
+    """Derive a variant-shredding spec by SAMPLING the column and set it
+    as the table property — the engine analog of the reference's
+    parquet/.../VariantShreddingAnalyzer.java (which samples the first
+    rows of each file to choose typed subcolumns).
+
+    Rules (matching the analyzer's spirit): only TOP-LEVEL scalar paths;
+    a path qualifies when it is present non-null in >= `min_presence` of
+    sampled rows AND every observed value agrees on one primitive type
+    (long / double / string / boolean — the orderable set the stats job
+    collects). Up to `max_paths` qualify, most-frequent first, name-
+    tiebroken for determinism. Returns the spec string (also persisted
+    as `write.variant.shred.<column>`); subsequent appends/compactions
+    shred, and extract() predicates on those paths file-prune.
+
+    The sample is a `limit(sample_rows)` driver pull of ONE column —
+    bounded by sample_rows regardless of table size."""
+    f = table.schema.find_field(column)
+    if f.type != "variant":
+        raise ValueError(f"{column} is not a variant column ({f.type})")
+    rows = table.to_df().select(column).limit(sample_rows).collect()
+    import json as _json
+
+    counts: dict = {}
+    types: dict = {}
+    n = 0
+    for r in rows:
+        v = r[0]
+        if v is None:
+            continue
+        n += 1
+        if hasattr(v, "toPython"):
+            v = v.toPython()
+        elif isinstance(v, (str, bytes)):
+            try:
+                v = _json.loads(v)
+            except Exception:
+                continue
+        if not isinstance(v, dict):
+            continue
+        for k, val in v.items():
+            if val is None:
+                continue
+            import decimal as _dec
+
+            if isinstance(val, bool):
+                t = "boolean"
+            elif isinstance(val, int):
+                t = "long"
+            elif isinstance(val, (float, _dec.Decimal)):
+                # Spark parses JSON decimals as Decimal; the shredded
+                # companion widens to double (orderable stats domain)
+                t = "double"
+            elif isinstance(val, str):
+                t = "string"
+            else:
+                t = None  # nested / list: not a scalar path
+            counts[k] = counts.get(k, 0) + (1 if t else 0)
+            types.setdefault(k, set()).add(t)
+    picked = []
+    for k in sorted(counts, key=lambda k: (-counts[k], k)):
+        ts = types[k]
+        if None in ts:
+            continue
+        # int-and-float mixes widen to double; other mixes disqualify
+        if ts == {"long", "double"}:
+            t = "double"
+        elif len(ts) == 1:
+            t = next(iter(ts))
+        else:
+            continue
+        if n and counts[k] / n >= min_presence:
+            picked.append((k, t))
+        if len(picked) >= max_paths:
+            break
+    spec = ";".join(f"$.{k}:{t}" for k, t in picked)
+    if spec:
+        table.set_properties(**{f"write.variant.shred.{column}": spec})
+    return spec

@@ -74,6 +74,27 @@ def _load_table_result(catalog, ident: str,
 
     if not _fio.exists(mpath):
         mpath = export_reference_metadata(t, dest, full_history=True)
+        # GC superseded export trees: a high-churn table would otherwise
+        # accumulate one FULL metadata tree per commit under
+        # metadata-export/ (each loadTable after a commit re-exports).
+        # Keep the current tree plus the previous one (in-flight readers
+        # of the last-served metadata-location stay valid through one
+        # commit; reference clients re-load on conflict anyway).
+        base = os.path.join(t.location, "metadata-export")
+        sids = {str(s.snapshot_id) for s in t.metadata.snapshots}
+        keep = {f"h{tag}"}
+        prev = (t.metadata.snapshots[-2].snapshot_id
+                if len(t.metadata.snapshots) >= 2 else None)
+        if prev is not None:
+            keep.add(f"h{prev}")
+        try:
+            bio = _fio.resolve_io(base)
+            for d in bio.list(base):
+                if (d.startswith("h") and d not in keep
+                        and (d[1:] in sids or d[1:] == "empty")):
+                    bio.delete_dir(os.path.join(base, d))
+        except Exception:
+            pass  # GC is best-effort; serving must never fail on it
     md = json.loads(_fio.read_text(mpath))
     if snapshots_mode == "refs":
         keep = {r.get("snapshot-id")

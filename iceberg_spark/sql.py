@@ -989,6 +989,16 @@ class SqlEngine:
         path = compute_partition_stats(t)
         return self._rows([Row(statistics_file=path)], "statistics_file string")
 
+    def _proc_analyze_variant_shredding(self, a):
+        # sample a variant column, derive + persist the shredding spec
+        # (reference VariantShreddingAnalyzer analog; maintenance.py)
+        from .maintenance import analyze_variant_shredding
+
+        t = self._load(self._arg(a, "table", 0))
+        col_name = self._arg(a, "column", 1)
+        spec = analyze_variant_shredding(t, col_name)
+        return self._rows([Row(shred_spec=spec)], "shred_spec string")
+
     def _proc_add_files(self, a):
         t = self._load(self._arg(a, "table", 0))
         src = self._arg(a, "source_table", 1)

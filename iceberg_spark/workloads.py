@@ -606,7 +606,9 @@ def geo_exact_scan(spark, sf_dir):
     scan = t.scan(filter=E.st_intersects_polygon("geom", ring))
     total = len(t.scan().plan_files().files)
     kept = len(scan.plan_files().files)
-    assert 0 < kept < total, \
+    # kept == 0 is legitimate at tiny SFs (a handful of points, none in
+    # the diamond); what must NEVER happen is a full-keep plan
+    assert kept < total, \
         f"polygon predicate must prune x-clustered files: {kept}/{total}"
     box = scan.df().select("event_id", st_bbox("geom").alias("b"))
     return (box.select("event_id", F.col("b.xmin").alias("x"),
@@ -750,15 +752,23 @@ def _full_registry():
     from .workloads_lifecycle import REGISTRY as LIFECYCLE_REGISTRY
 
     # insertion order = the driver's sampling order: rotate the pillars
-    # the previous round's sample under-covered to the FRONT (r8 sampled
-    # TPC-H/lifecycle-heavy, so r9 leads with pipeline + lifecycle).
-    # Keys are disjoint across the four registries (asserted), so order
-    # only affects sampling, never which implementation wins.
-    reg = dict(_pipeline_registry())
-    for other in (LIFECYCLE_REGISTRY, ANALYTICS_REGISTRY, REGISTRY):
-        dup = set(reg) & set(other)
+    # the previous round's sample under-covered to the FRONT (r9 sampled
+    # pipeline + lifecycle, so r10 leads with this round's NEW entries,
+    # then analytics + base, then lifecycle, then pipeline). Keys are
+    # disjoint across the four registries (asserted), so order only
+    # affects sampling, never which implementation wins.
+    new_r10 = ("variant_shredded_scan", "geo_exact_scan", "lineage_scan",
+               "iceberg_export_v4_roundtrip_scan",
+               "iceberg_import_native_encrypted_scan",
+               "iceberg_export_transcode_roundtrip_scan")
+    merged = {}
+    for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
+                  _pipeline_registry()):
+        dup = set(merged) & set(other)
         assert not dup, f"duplicate registry keys: {dup}"
-        reg.update(other)
+        merged.update(other)
+    reg = {k: merged[k] for k in new_r10}
+    reg.update(merged)
     return reg
 
 

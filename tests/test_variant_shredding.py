@@ -177,3 +177,53 @@ def test_json_encoded_variant_still_shreds(spark, tmp_path):
         .ShreddedPath(2, "meta", "$.len", "long").field_id)][1] >= 150
         for e in kept)
     assert plan.df().count() == 50
+
+
+def test_analyze_variant_shredding(spark, tmp_path):
+    """Auto-analyzer (VariantShreddingAnalyzer analog): samples the
+    column, derives stable scalar paths with agreed types, persists the
+    property; subsequent appends shred and prune."""
+    from iceberg_spark.maintenance import analyze_variant_shredding
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 400).selectExpr(
+        "id",
+        "parse_json(concat("
+        " '{\"len\": ', cast(id as string),"
+        " ', \"score\": ', cast(id as string), '.5',"
+        " ', \"tag\": \"t', cast(id % 3 as string), '\"',"
+        " ', \"rare\": ', case when id % 10 = 0 then '1' else 'null' end,"
+        " ', \"nested\": {\"x\": 1}}')) as meta")
+    t = cat.create_table("db.auto", df.schema)
+    t.append(df.filter(F.col("id") < 200))
+    t = cat.load_table("db.auto")
+    spec = analyze_variant_shredding(t, "meta")
+    # len -> long, score -> double, tag -> string; rare (10% presence)
+    # and nested (non-scalar) excluded
+    assert spec == "$.len:long;$.score:double;$.tag:string"
+    t = cat.load_table("db.auto")
+    assert t.properties["write.variant.shred.meta"] == spec
+    t.append(df.filter(F.col("id") >= 200))
+    t = cat.load_table("db.auto")
+    plan = t.scan(filter=E.extract("meta", "$.len", "long") >= 300)
+    total = len(t.scan().plan_files().files)
+    assert len(plan.plan_files().files) < total
+    assert plan.df().count() == 100
+    with pytest.raises(ValueError, match="variant"):
+        analyze_variant_shredding(t, "id")
+
+
+def test_analyze_variant_shredding_sql_procedure(spark, tmp_path):
+    from iceberg_spark.sql import SqlEngine
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    eng = SqlEngine(spark, cat)
+    df = spark.range(0, 100).selectExpr(
+        "id",
+        "parse_json(concat('{\"k\": ', cast(id as string), '}')) as meta")
+    t = cat.create_table("db.autosql", df.schema)
+    t.append(df)
+    rows = eng.sql(
+        "CALL system.analyze_variant_shredding('db.autosql', 'meta')"
+    ).collect()
+    assert rows[0].shred_spec == "$.k:long"
