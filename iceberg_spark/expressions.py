@@ -1013,8 +1013,15 @@ def strict_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         return strict_metrics_eval(rewrite_not(expr), fs)
     if isinstance(expr, BoundPredicate):
         if expr.term.transform is not None and not isinstance(expr.term.transform, Identity):
-            return False
-        s = fs.get(expr.term.name)
+            # shredded variant paths carry REAL typed bounds under the
+            # synthetic key: strict eval works like an identity column —
+            # a missing path is a companion NULL, which fails the
+            # no_nulls gate below, so "every row matches" stays sound
+            if getattr(expr.term, "stats_name", None) is None:
+                return False
+            s = fs.get(expr.term.stats_name)
+        else:
+            s = fs.get(expr.term.name)
         if s is None:
             return False
         mn, mx, nulls, nans, vc = s
@@ -1028,7 +1035,9 @@ def strict_metrics_eval(expr: Expr, fs: FileStats) -> bool:
         # StrictMetricsEvaluator NaN guards: a floating column whose nan
         # count is unknown or positive may hold NaN rows, and NaN matches
         # no comparison — so "every row matches" can never be asserted.
-        floaty = getattr(expr.term.field, "type", None) in ("float", "double")
+        floaty = (getattr(expr.term, "stats_type", None)
+                  or getattr(expr.term.field, "type", None)) in (
+                      "float", "double")
         may_nan = floaty and (nans is None or nans > 0)
         all_nan = nans is not None and vc is not None and nans == vc and vc > 0
         if op == IS_NULL:

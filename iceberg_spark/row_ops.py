@@ -111,7 +111,12 @@ def plan_cow_removal(table, expr: E.Expr):
     rewritten = []
     if partial:
         df = _subplan_df(table, scan, plan, partial, with_meta=False)
-        keep = df.filter(~E.to_spark(E.bind(expr, table.schema)))
+        # SQL DELETE semantics: a row whose predicate evaluates
+        # NULL does NOT match and must SURVIVE — a bare ~pred is
+        # NULL for those rows and the filter would drop them
+        # (silent data loss on nullable predicate columns)
+        keep = df.filter(~F.coalesce(
+            E.to_spark(E.bind(expr, table.schema)), F.lit(False)))
         rewritten = write_data_files(table, keep, preserve_lineage=True)
     return removed, rewritten
 
@@ -148,7 +153,12 @@ def delete_where(table, expr: E.Expr, mode: Optional[str] = None,
     if m == COPY_ON_WRITE:
         removed = {e.file.file_path for e in plan.files}
         df = _subplan_df(table, scan, plan, partial, with_meta=False)
-        keep = df.filter(~E.to_spark(E.bind(expr, table.schema)))
+        # SQL DELETE semantics: a row whose predicate evaluates
+        # NULL does NOT match and must SURVIVE — a bare ~pred is
+        # NULL for those rows and the filter would drop them
+        # (silent data loss on nullable predicate columns)
+        keep = df.filter(~F.coalesce(
+            E.to_spark(E.bind(expr, table.schema)), F.lit(False)))
         added = write_data_files(table, keep, preserve_lineage=True)
         return Overwrite(table, added, removed, operation=OP_DELETE, branch=branch,
                          isolation=iso, conflict_filter=expr,

@@ -114,3 +114,23 @@ def test_interleaved_deletes_converge(catalog, spark):
                   .filter(~(F.col("s_acctbal") > 4000.0))
                   .filter(~F.col("s_suppkey").isin(list(range(0, 300, 7)))).collect())
     assert _rows(t) == want
+
+
+def test_delete_null_predicate_rows_survive(catalog, spark):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL do
+    NOT match and must survive — both CoW and MoR (regression: the CoW
+    keep-filter was a bare ~pred, NULL for those rows, silently
+    dropping them)."""
+    from iceberg_spark import expressions as E
+
+    df = spark.range(0, 100).selectExpr(
+        "id", "case when id % 10 = 0 then null else id end as v")
+    for name, mode in (("db.nulldel_cow", "copy-on-write"),
+                       ("db.nulldel_mor", "merge-on-read")):
+        t = catalog.create_table(name, df.schema)
+        t.append(df)
+        t = catalog.load_table(name)
+        t.delete_where(E.col("v") >= 0, mode=mode)
+        t = catalog.load_table(name)
+        got = sorted(r.id for r in t.to_df().select("id").collect())
+        assert got == list(range(0, 100, 10)), (name, got)

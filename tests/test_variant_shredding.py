@@ -227,3 +227,51 @@ def test_analyze_variant_shredding_sql_procedure(spark, tmp_path):
         "CALL system.analyze_variant_shredding('db.autosql', 'meta')"
     ).collect()
     assert rows[0].shred_spec == "$.k:long"
+
+
+def test_metadata_only_delete_on_shredded_predicate(spark, tmp_path):
+    """Strict metrics eval over shredded bounds: a DELETE whose extract()
+    predicate strictly covers whole files drops them METADATA-ONLY (no
+    rewrite — surviving files keep their identity), and rows where the
+    path would be missing (companion null) block the strict claim."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 400).selectExpr(
+        "id",
+        "parse_json(concat('{\"len\": ', cast(id as string), '}')) as meta")
+    t = cat.create_table("db.mdel", df.schema, properties={
+        "write.variant.shred.meta": "$.len:long"})
+    for lo in range(0, 400, 100):
+        t.append(df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100)))
+    t = cat.load_table("db.mdel")
+    before = {e.file.file_path for e in t.scan().plan_files().files}
+    t.delete_where(E.extract("meta", "$.len", "long") >= 300)
+    t = cat.load_table("db.mdel")
+    after = {e.file.file_path for e in t.scan().plan_files().files}
+    assert after < before, "files must be dropped, none rewritten"
+    got = sorted(r.id for r in t.to_df().select("id").collect())
+    assert got == list(range(300))
+    # a predicate that only PARTIALLY covers a file still deletes
+    # correctly (that file rewrites or MoR-deletes; rows exact)
+    t.delete_where(E.extract("meta", "$.len", "long") >= 250)
+    t = cat.load_table("db.mdel")
+    got = sorted(r.id for r in t.to_df().select("id").collect())
+    assert got == list(range(250))
+
+
+def test_strict_eval_shredded_null_blocks(spark, tmp_path):
+    """A file containing rows WITHOUT the shredded path (companion null)
+    can never be strictly deleted by an extract() range predicate —
+    those rows don't match the predicate and must survive."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 100).selectExpr(
+        "id",
+        "parse_json(case when id % 10 = 0 then '{}' else "
+        "concat('{\"len\": ', cast(id as string), '}') end) as meta")
+    t = cat.create_table("db.mdel2", df.schema, properties={
+        "write.variant.shred.meta": "$.len:long"})
+    t.append(df)
+    t = cat.load_table("db.mdel2")
+    t.delete_where(E.extract("meta", "$.len", "long") >= 0)
+    t = cat.load_table("db.mdel2")
+    got = sorted(r.id for r in t.to_df().select("id").collect())
+    assert got == [i for i in range(100) if i % 10 == 0]
