@@ -1553,8 +1553,46 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
 
             read_schema = _T.StructType(
                 list(read_schema.fields)
-                + [_T.StructField(ROW_ID_COL, _T.LongType()),
-                   _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType())])
+                + [_T.StructField(ROW_ID_COL, _T.LongType(), True),
+                   _T.StructField(LAST_UPDATED_SEQ_COL, _T.LongType(),
+                                  True)])
+        # shredded-variant pushdown: residual conjuncts on DECLARED
+        # extract() paths rewrite onto the PHYSICAL companion column
+        # (`_shred_f<fid>`) for groups where every file carries its
+        # stats (companion guaranteed present) — the filter becomes a
+        # plain typed comparison Catalyst pushes into the parquet scan
+        # (row-group skipping + codegen) instead of a per-row variant
+        # decode. Exactly equivalent (the companion IS variant_get of
+        # the path, written in the same job), and the full residual
+        # still re-applies after projection — superset-safety twice over.
+        shred_pre = []
+        if group_parquet and not isinstance(plan.residual, E.AlwaysTrue):
+            from pyspark.sql import types as _T
+
+            from .schema import type_to_spark as _tts
+
+            def _conjs(e):
+                if isinstance(e, E.And):
+                    yield from _conjs(e.left)
+                    yield from _conjs(e.right)
+                else:
+                    yield e
+
+            seen_shred = set()
+            for c in _conjs(plan.residual):
+                sn = (getattr(c.term, "stats_name", None)
+                      if isinstance(c, E.BoundPredicate) else None)
+                if not sn:
+                    continue
+                if not all(sn in (e.file.stats or {}) for e in entries):
+                    continue  # a file may lack the companion: skip group
+                shred_pre.append(c)
+                if sn not in seen_shred:
+                    seen_shred.add(sn)
+                    read_schema = _T.StructType(
+                        list(read_schema.fields)
+                        + [_T.StructField(sn, _tts(c.term.stats_type),
+                                          True)])
         if enc_kid is not None:
             # encrypted files. Engine parquet-kms groups: Spark's NATIVE
             # vectorized reader through parquet-mr modular encryption
@@ -1675,6 +1713,20 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             df = _avro_decode_df(spark, paths, read_schema)
         else:
             df = spark.read.schema(read_schema).format(ffmt).load(paths)
+        if shred_pre:
+            from .schema import NestedField as _NF
+
+            pred_col = None
+            for c in shred_pre:
+                bp = E.BoundPredicate(
+                    c.op,
+                    E.BoundTerm(_NF(0, c.term.stats_name,
+                                    c.term.stats_type, False), None),
+                    c.literals)
+                cc = E.to_spark(bp)
+                pred_col = cc if pred_col is None else (pred_col & cc)
+            df = df.filter(pred_col).drop(
+                *dict.fromkeys(c.term.stats_name for c in shred_pre))
         # map file columns -> current names by field id; fill missing with null
         by_id = {f.field_id: f for f in wschema.fields}
         # fast path: no evolution/rename/promotion/variant in play and no

@@ -275,3 +275,38 @@ def test_strict_eval_shredded_null_blocks(spark, tmp_path):
     t = cat.load_table("db.mdel2")
     got = sorted(r.id for r in t.to_df().select("id").collect())
     assert got == [i for i in range(100) if i % 10 == 0]
+
+
+def test_shredded_filter_pushes_to_filescan(spark, tmp_path):
+    """Residual conjuncts on declared paths rewrite onto the physical
+    companion column: the executed plan shows a typed DataFilter on
+    _shred_f<fid> inside the parquet FileScan (row-group skipping +
+    codegen) instead of only a per-row variant_get."""
+    _cat, t = _mk_table(spark, tmp_path, "push",
+                        {"write.variant.shred.meta": "$.len:long"})
+    sdf = t.scan(filter=E.extract("meta", "$.len", "long") >= 380).df()
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "_shred_f" in plan, plan[:500]
+    assert set(sdf.columns) == {"id", "meta"}
+    assert sorted(r.id for r in sdf.select("id").collect()) == \
+        list(range(380, 400))
+
+
+def test_shredded_pushdown_skipped_on_mixed_groups(spark, tmp_path):
+    """Files without companion stats in a read group disable the
+    rewrite for that group (the physical column may be absent) — rows
+    still filter exactly through the variant residual."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 200).selectExpr(
+        "id",
+        "parse_json(concat('{\"len\": ', cast(id as string), '}')) as meta")
+    t = cat.create_table("db.mixedpush", df.schema)
+    t.append(df.filter(F.col("id") < 100))          # unshredded file
+    t.set_properties(**{"write.variant.shred.meta": "$.len:long"})
+    t = cat.load_table("db.mixedpush")
+    t.append(df.filter(F.col("id") >= 100))         # shredded file
+    t = cat.load_table("db.mixedpush")
+    got = sorted(r.id for r in t.scan(
+        filter=E.extract("meta", "$.len", "long") >= 50)
+        .df().select("id").collect())
+    assert got == list(range(50, 200))
