@@ -74,11 +74,27 @@ def aggregate_pushdown(table, aggs: list, filter=None,
         if op == "count_star":
             out[(op, None)] = sum(e.file.record_count for e in entries)
             continue
+        # shredded-variant aggregate: (op, E.extract(col, path, type))
+        # answers from the companion's manifest bounds when the path is
+        # DECLARED (bind resolves it); undeclared extracts bail to the
+        # engine plan like any other unpushable aggregate
+        key = col
+        stats_key = col
+        if isinstance(col, E.ColumnRef):
+            bound = E.bind(E.Predicate(E.NOT_NULL, col._term),
+                           table.schema)
+            sn = getattr(bound.term, "stats_name", None)
+            if sn is None:
+                return None
+            stats_key = sn
+            key = repr(col._term)
+            types[sn] = bound.term.stats_type
+            col = sn
         if col not in types:
             raise KeyError(f"unknown column {col!r}")
         vals = []
         for e in entries:
-            s = e.file.stats.get(col)
+            s = e.file.stats.get(stats_key)
             if s is None:
                 return None  # stats missing for this column
             mn, mx, nulls, nans, vc = s
@@ -109,9 +125,9 @@ def aggregate_pushdown(table, aggs: list, filter=None,
                     return None
                 vals.append(bound)
         if op == "count":
-            out[(op, col)] = sum(vals)
+            out[(op, key)] = sum(vals)
         elif not vals:
-            out[(op, col)] = None
+            out[(op, key)] = None
         else:
-            out[(op, col)] = min(vals) if op == "min" else max(vals)
+            out[(op, key)] = min(vals) if op == "min" else max(vals)
     return out

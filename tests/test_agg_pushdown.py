@@ -86,3 +86,33 @@ def test_pushdown_matches_engine_scan(catalog, spark):
     assert res[("count_star", None)] == real[0]
     assert math.isclose(res[("min", "v")], real[1])
     assert math.isclose(res[("max", "v")], real[2])
+
+
+def test_agg_pushdown_shredded_extract(catalog, spark):
+    """MIN/MAX/COUNT over a DECLARED shredded variant path answer from
+    the companion's manifest bounds — no data read; undeclared paths
+    bail to the engine plan (None)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_spark import expressions as E
+
+    df = spark.range(0, 500).selectExpr(
+        "id",
+        "parse_json(case when id % 50 = 0 then '{}' else "
+        "concat('{\"len\": ', cast(id as string), '}') end) as meta")
+    t = catalog.create_table("agg.shred", df.schema, properties={
+        "write.variant.shred.meta": "$.len:long"})
+    t.append(df)
+    t = catalog.load_table("agg.shred")
+    ex = E.extract("meta", "$.len", "long")
+    res = t.aggregate_pushdown([
+        ("count_star", None), ("min", ex), ("max", ex), ("count", ex)])
+    assert res is not None
+    k = repr(ex._term)
+    assert res[("count_star", None)] == 500
+    assert res[("min", k)] == 1          # id 0 has no path
+    assert res[("max", k)] == 499
+    assert res[("count", k)] == 490      # 10 missing-path rows
+    # undeclared path -> unpushable
+    assert t.aggregate_pushdown(
+        [("min", E.extract("meta", "$.other", "long"))]) is None
