@@ -73,7 +73,19 @@ def _load_table_result(catalog, ident: str,
     from . import io as _fio
 
     if not _fio.exists(mpath):
-        mpath = export_reference_metadata(t, dest, full_history=True)
+        # incremental re-export: hardlink-reuse the previous tree's
+        # immutable per-snapshot manifests (deterministic names) so a
+        # commit costs O(new snapshots), not O(history)
+        prev_dir = None
+        if len(t.metadata.snapshots) >= 2:
+            cand = os.path.join(
+                t.location, "metadata-export",
+                f"h{t.metadata.snapshots[-2].snapshot_id}")
+            if _fio.exists(os.path.join(cand, "metadata",
+                                        "v1.metadata.json")):
+                prev_dir = cand
+        mpath = export_reference_metadata(t, dest, full_history=True,
+                                          reuse_manifests_from=prev_dir)
         # GC superseded export trees: a high-churn table would otherwise
         # accumulate one FULL metadata tree per commit under
         # metadata-export/ (each loadTable after a commit re-exports).

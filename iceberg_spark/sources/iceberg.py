@@ -1534,7 +1534,8 @@ def export_reference_metadata(table, dest_root: str,
                               full_history: bool = False,
                               encryption_key: bytes = None,
                               transcode_encrypted_data: bool = False,
-                              format_version: int = None) -> str:
+                              format_version: int = None,
+                              reuse_manifests_from: str = None) -> str:
     """Write a reference-layout Iceberg metadata tree (metadata JSON +
     Avro manifest list/manifests, the TableMetadataParser.java /
     ManifestLists.java shapes) for an engine table, pointing at the
@@ -1799,6 +1800,7 @@ def export_reference_metadata(table, dest_root: str,
         dest_root, schema_json, snaps,
         format_version=format_version,
         encryption_key=encryption_key,
+        reuse_manifests_from=reuse_manifests_from,
         properties={k: v for k, v in table.metadata.properties.items()
                     if not k.startswith("gc.")},
         table_uuid=table.metadata.table_uuid,

@@ -257,7 +257,8 @@ def write_reference_table_history(root: str, schema_json: dict,
                                   list = None,
                                   extra_refs: dict = None,
                                   relative_paths: bool = False,
-                                  encryption_key: bytes = None) -> str:
+                                  encryption_key: bytes = None,
+                                  reuse_manifests_from: str = None) -> str:
     """Multi-snapshot form: `snapshots` is an ordered list of
     {"files": [...], "timestamp_ms"?: int, "operation"?: str,
     "schema_id"?: int, "snapshot_id"?: int}; each snapshot's `files` is
@@ -355,9 +356,40 @@ def write_reference_table_history(root: str, schema_json: dict,
             return os.path.abspath(p)[len(rootp) + 1:]
         return p
 
+    # incremental re-export (REST loadTable serves full history on every
+    # load of a changed table): a snapshot's live set is immutable, so
+    # its manifest FILE is byte-reusable across exports of the same
+    # table. With `reuse_manifests_from` (a previous export root) and no
+    # encryption (encrypted exports rewrap with fresh keys), manifests
+    # get DETERMINISTIC names and are HARDLINKED from the previous tree
+    # instead of re-serialized — export cost drops from O(history) to
+    # O(new snapshots) serialization + O(history) link syscalls.
+    # Manifest content is dir-independent (it names data files under the
+    # TABLE location); manifest lists/metadata embed export-dir paths
+    # and are always rewritten (they are O(#manifests) small).
+    reuse_dir = (os.path.join(reuse_manifests_from, "metadata")
+                 if reuse_manifests_from and enc is None else None)
+
+    def _deterministic_mp(snapshot_id, content_label, spec_id, ext):
+        return f"snap{snapshot_id}-{content_label}-s{spec_id}-m0.{ext}"
+
     def write_manifest(group, content_label, snapshot_id, max_seq,
                        schema_id, spec_id):
         pa = partition_avro_by_spec[spec_id]
+        if reuse_dir is not None:
+            ext = "parquet" if format_version >= 4 else "avro"
+            name = _deterministic_mp(snapshot_id, content_label, spec_id,
+                                     ext)
+            mp = os.path.join(mdir, name)
+            prev = os.path.join(reuse_dir, name)
+            if os.path.exists(mp):
+                return mp, None
+            if os.path.exists(prev):
+                try:
+                    os.link(prev, mp)
+                    return mp, None
+                except OSError:
+                    pass  # cross-device / unsupported: fall through
         rows = []
         for f in group:
             rows.append({
@@ -410,11 +442,17 @@ def write_reference_table_history(root: str, schema_json: dict,
                 }})
         meta = manifest_meta_for(schema_id, spec_id)
         meta["content"] = content_label
-        if format_version >= 4:
+        if reuse_dir is not None:
+            ext = "parquet" if format_version >= 4 else "avro"
+            mp = os.path.join(mdir, _deterministic_mp(
+                snapshot_id, content_label, spec_id, ext))
+        elif format_version >= 4:
             mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.parquet")
-            _write_parquet_manifest(mp, rows, meta, pa)
         else:
             mp = os.path.join(mdir, f"{_uuid.uuid4().hex}-m0.avro")
+        if format_version >= 4:
+            _write_parquet_manifest(mp, rows, meta, pa)
+        else:
             write_avro(mp, entry_schemas[spec_id], rows, meta,
                        codec="deflate")
         if enc is not None:

@@ -1114,3 +1114,38 @@ def test_rest_remove_encryption_key(spark, tmp_path):
         assert after == before
     finally:
         srv.shutdown()
+
+
+def test_load_table_incremental_export_reuse(spark, tmp_path):
+    """REST loadTable re-exports O(new snapshots), not O(history): the
+    previous export tree's immutable per-snapshot manifests HARDLINK
+    into the new tree (deterministic names), superseded trees GC down
+    to current+previous, and the reused tree re-imports exactly."""
+    import glob
+
+    from iceberg_spark.rest_catalog import _load_table_result
+    from iceberg_spark.sources.iceberg import register_iceberg_table
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 120).selectExpr("id", "id % 3 as g")
+    t = cat.create_table("db.increxp", df.schema)
+    for i in range(5):
+        t.append(df.filter(f"id % 5 = {i}"))
+        t = cat.load_table("db.increxp")
+        res = _load_table_result(cat, "db.increxp")
+    base = os.path.join(t.location, "metadata-export")
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("h"))
+    assert len(dirs) <= 2, dirs  # GC: current + previous only
+    cur = os.path.join(base, f"h{t.current_snapshot().snapshot_id}",
+                       "metadata")
+    mans = glob.glob(os.path.join(cur, "snap*-m0.avro"))
+    assert len(mans) == 5
+    linked = sum(1 for m in mans if os.stat(m).st_nlink >= 2)
+    assert linked >= 3, [os.stat(m).st_nlink for m in mans]
+    cat2 = Catalog(spark, str(tmp_path / "wh2"))
+    t2, n_snaps, _ = register_iceberg_table(
+        cat2, os.path.dirname(cur), "db.increxp_rt")
+    assert n_snaps == 5
+    got = sorted(r.id for r in t2.to_df().select("id").collect())
+    assert got == list(range(120))
