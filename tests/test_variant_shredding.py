@@ -310,3 +310,23 @@ def test_shredded_pushdown_skipped_on_mixed_groups(spark, tmp_path):
         filter=E.extract("meta", "$.len", "long") >= 50)
         .df().select("id").collect())
     assert got == list(range(50, 200))
+
+
+def test_nested_path_shredding(spark, tmp_path):
+    """Nested paths ($.a.b) shred end-to-end: companion via variant_get,
+    manifest bounds, file pruning, and FileScan pushdown."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 200).selectExpr(
+        "id",
+        "parse_json(concat('{\"a\": {\"b\": ', cast(id as string),"
+        " '}}')) as meta")
+    t = cat.create_table("db.nested", df.schema, properties={
+        "write.variant.shred.meta": "$.a.b:long"})
+    t.append(df.filter(F.col("id") < 100))
+    t.append(df.filter(F.col("id") >= 100))
+    t = cat.load_table("db.nested")
+    plan = t.scan(filter=E.extract("meta", "$.a.b", "long") >= 150)
+    total = len(t.scan().plan_files().files)
+    assert len(plan.plan_files().files) < total
+    got = sorted(r.id for r in plan.df().select("id").collect())
+    assert got == list(range(150, 200))
