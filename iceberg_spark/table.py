@@ -655,6 +655,7 @@ class UpdateSchema:
         self._fields = [
             replace(f, name=new_name) if f.name == name else f for f in self._fields
         ]
+        self._renames = {**getattr(self, "_renames", {}), name: new_name}
         return self
 
     def update_column(self, name: str, type_str: str) -> "UpdateSchema":
@@ -734,11 +735,25 @@ class UpdateSchema:
         new_sid = max(s.schema_id for s in m.schemas) + 1
         new_schema = Schema(tuple(self._fields), schema_id=new_sid,
                             identifier_field_ids=m.schema.identifier_field_ids)
+        # name-keyed table properties FOLLOW a column rename, or they'd
+        # silently stop applying (variant-shredding declarations; the
+        # synthetic stats ids key by FIELD ID + path, so old manifests'
+        # bounds keep pruning after the rename)
+        props = m.properties
+        for old, new in getattr(self, "_renames", {}).items():
+            for prefix in ("write.variant.shred.",
+                           "write.metadata.metrics.column.",
+                           "write.parquet.bloom-filter-enabled.column."):
+                k = prefix + old
+                if k in props:
+                    props = dict(props)
+                    props[prefix + new] = props.pop(k)
         self.t._commit_metadata(replace(
             m,
             schemas=m.schemas + (new_schema,),
             current_schema_id=new_sid,
             last_column_id=max(m.last_column_id, self._last_id),
+            properties=props,
         ))
         return new_schema
 

@@ -330,3 +330,34 @@ def test_nested_path_shredding(spark, tmp_path):
     assert len(plan.plan_files().files) < total
     got = sorted(r.id for r in plan.df().select("id").collect())
     assert got == list(range(150, 200))
+
+
+def test_shred_property_follows_rename(spark, tmp_path):
+    """Renaming the variant column moves its shred declaration (and
+    other name-keyed column properties); old manifests' bounds keep
+    pruning because the synthetic ids key by FIELD ID + path."""
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 200).selectExpr(
+        "id",
+        "parse_json(concat('{\"len\": ', cast(id as string), '}')) as meta")
+    t = cat.create_table("db.ren", df.schema, properties={
+        "write.variant.shred.meta": "$.len:long"})
+    t.append(df.filter(F.col("id") < 100))
+    t = cat.load_table("db.ren")
+    t.update_schema().rename_column("meta", "doc").commit()
+    t = cat.load_table("db.ren")
+    assert t.properties.get("write.variant.shred.doc") == "$.len:long"
+    assert "write.variant.shred.meta" not in t.properties
+    # new writes shred under the new name; old files' bounds still prune
+    df2 = df.withColumnRenamed("meta", "doc")
+    t.append(df2.filter(F.col("id") >= 100))
+    t = cat.load_table("db.ren")
+    plan = t.scan(filter=E.extract("doc", "$.len", "long") >= 150)
+    total = len(t.scan().plan_files().files)
+    assert len(plan.plan_files().files) < total
+    got = sorted(r.id for r in plan.df().select("id").collect())
+    assert got == list(range(150, 200))
+    # the pre-rename file prunes on a low-range filter too (same fid)
+    plan_lo = t.scan(filter=E.extract("doc", "$.len", "long") < 50)
+    assert len(plan_lo.plan_files().files) < total
+    assert plan_lo.df().count() == 50
