@@ -361,3 +361,42 @@ def test_shred_property_follows_rename(spark, tmp_path):
     plan_lo = t.scan(filter=E.extract("doc", "$.len", "long") < 50)
     assert len(plan_lo.plan_files().files) < total
     assert plan_lo.df().count() == 50
+
+
+@pytest.mark.parametrize("seed", [5, 42])
+def test_shredded_vs_unshredded_differential(spark, tmp_path, seed):
+    """Randomized twin-table differential: a SHREDDED table (pruning,
+    FileScan pushdown, strict deletes active) and an UNSHREDDED twin
+    must return identical rows for every random extract() filter —
+    missing paths, deletes, string/double/long types included."""
+    import random
+
+    rng = random.Random(seed)
+    cat = Catalog(spark, str(tmp_path / "wh"))
+    df = spark.range(0, 400).selectExpr(
+        "id",
+        f"parse_json(case when id % {rng.randint(5, 17)} = 0 then '{{}}' "
+        "else concat('{\"len\": ', cast(id as string),"
+        " ', \"tag\": \"t', cast(id % 7 as string), '\"}') end) as meta")
+    ts = cat.create_table("db.s", df.schema, properties={
+        "write.variant.shred.meta": "$.len:long;$.tag:string"})
+    tu = cat.create_table("db.u", df.schema)
+    for lo in range(0, 400, 100):
+        part = df.filter((F.col("id") >= lo) & (F.col("id") < lo + 100))
+        ts.append(part)
+        tu.append(part)
+    ts, tu = cat.load_table("db.s"), cat.load_table("db.u")
+    vic = rng.sample(range(400), 30)
+    ts.delete_where(E.col("id").isin(vic))
+    tu.delete_where(E.col("id").isin(vic))
+    ts, tu = cat.load_table("db.s"), cat.load_table("db.u")
+    for _ in range(4):
+        k = rng.randint(0, 400)
+        for flt in (E.extract("meta", "$.len", "long") >= k,
+                    E.extract("meta", "$.len", "long") < k,
+                    E.extract("meta", "$.tag", "string") == f"t{k % 7}"):
+            a = sorted(r.id for r in
+                       ts.scan(filter=flt).df().select("id").collect())
+            b = sorted(r.id for r in
+                       tu.scan(filter=flt).df().select("id").collect())
+            assert a == b, (seed, str(flt), len(a), len(b))
