@@ -429,8 +429,35 @@ def _retention_keep(m, now: int, older_than_ms, retain_last: int):
     return keep_ids, retained_refs
 
 
+def reachable_metadata_ids(m, snaps, mans, spark=None,
+                           use_spark: bool = False) -> tuple:
+    """(reachable spec ids, reachable schema ids) through the given
+    snapshots + their deduped manifests (RemoveSnapshots.java:239-275).
+    Specs come from manifest-list entries alone; schemas from snapshot
+    schema-ids WIDENED by every write_schema_id a manifest entry still
+    names — the engine reads files through their write schema, so a
+    schema named by any retained entry (live or changelog-readable
+    deleted) must survive pruning. The manifest walk only runs when some
+    schema isn't already reachable the cheap way."""
+    reach_specs = {m.default_spec_id} | {mf.spec_id for mf in mans}
+    reach_schemas = ({m.current_schema_id}
+                     | {s.schema_id for s in snaps})
+    if {s.schema_id for s in m.schemas} - reach_schemas:
+        if use_spark:
+            from .metadata_df import distinct_write_schema_ids
+
+            reach_schemas |= distinct_write_schema_ids(spark, mans)
+        else:
+            for mf in mans:
+                mf_spec = m.spec_by_id(mf.spec_id)
+                for e in read_manifest(mf.path, m.schema, mf_spec):
+                    reach_schemas.add(e.file.write_schema_id)
+    return reach_specs, reach_schemas
+
+
 def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
-                     delete_files: bool = True, mode: str = "auto") -> dict:
+                     delete_files: bool = True, mode: str = "auto",
+                     clean_expired_metadata: bool = False) -> dict:
     """Apply retention (format/spec.md:1115) with per-ref policies, then
     delete files only reachable from expired snapshots.
 
@@ -439,7 +466,17 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     small metadata; DISTRIBUTED — `spark.read.parquet` over the manifest
     files with a `left_anti` join kept-vs-expired, so driver memory stays
     flat at any file count. AUTO switches on total entry count from the
-    manifest-list summaries (no manifest reads needed to decide)."""
+    manifest-list summaries (no manifest reads needed to decide).
+
+    `clean_expired_metadata` additionally drops partition specs and schemas
+    no retained snapshot can reach (RemoveSnapshots.java:171,239-275).
+    Spec reachability comes from manifest-list entries alone, as in the
+    reference. Schema reachability is WIDER here than the reference's
+    snapshot-schema-id walk: the engine reads each data file through its
+    recorded `write_schema_id` (parquet field IDs don't gate column
+    resolution in Spark), so every write-schema id present in a retained
+    manifest — live or deleted entry, since changelog scans re-read
+    deleted files too — pins its schema."""
     from .metadata_df import (DISTRIBUTED_ENTRY_THRESHOLD, entry_count,
                               reachable_data_paths_df, unique_manifests)
 
@@ -450,10 +487,11 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
 
     expired = [s for s in m.snapshots if s.snapshot_id not in keep_ids]
     dropped_refs = len(m.refs) - len(retained_refs)
-    if not expired and not dropped_refs:
+    if not expired and not dropped_refs and not clean_expired_metadata:
         return {"expired_snapshots": 0, "deleted_files": 0,
                 "deleted_data_files": 0, "deleted_manifests": 0,
-                "deleted_statistics_files": 0, "removed_refs": 0}
+                "deleted_statistics_files": 0, "removed_refs": 0,
+                "removed_partition_specs": 0, "removed_schemas": 0}
 
     kept_snaps = [s for s in m.snapshots if s.snapshot_id in keep_ids]
     kept_mans = unique_manifests(kept_snaps)
@@ -468,6 +506,31 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
         mode == "auto"
         and entry_count(kept_mans) + entry_count(e_only)
         > DISTRIBUTED_ENTRY_THRESHOLD)
+
+    # cleanExpiredMetadata: specs from manifest-list entries (no manifest
+    # reads — RemoveSnapshots.java:246-258); schemas from retained
+    # snapshots' schema-ids PLUS retained entries' write_schema_ids
+    # (engine-specific: reads resolve columns through the write schema)
+    new_specs, new_schemas = m.partition_specs, m.schemas
+    n_rm_specs = n_rm_schemas = 0
+    if clean_expired_metadata:
+        reach_specs, reach_schemas = reachable_metadata_ids(
+            m, kept_snaps, kept_mans,
+            spark=table.spark, use_spark=use_spark)
+        new_specs = tuple(s for s in m.partition_specs
+                          if s.spec_id in reach_specs)
+        new_schemas = tuple(s for s in m.schemas
+                            if s.schema_id in reach_schemas)
+        n_rm_specs = len(m.partition_specs) - len(new_specs)
+        n_rm_schemas = len(m.schemas) - len(new_schemas)
+        if not expired and not dropped_refs \
+                and not n_rm_specs and not n_rm_schemas:
+            # pure-clean call with nothing prunable: no-op, no commit
+            # (reference builder collapses this case too)
+            return {"expired_snapshots": 0, "deleted_files": 0,
+                    "deleted_data_files": 0, "deleted_manifests": 0,
+                    "deleted_statistics_files": 0, "removed_refs": 0,
+                    "removed_partition_specs": 0, "removed_schemas": 0}
 
     # statistics files of expired snapshots expire with them
     # (RemoveSnapshots.java deleteExpiredStatisticsFiles; procedure output
@@ -504,7 +567,9 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
                                    snapshot_log=new_log, refs=retained_refs,
                                    statistics_files=new_stats,
                                    partition_statistics_files=new_pstats,
-                                   encryption_keys=new_keys))
+                                   encryption_keys=new_keys,
+                                   partition_specs=new_specs,
+                                   schemas=new_schemas))
 
     n_dead_data = 0
     deleted = 0
@@ -557,7 +622,9 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
             "deleted_data_files": n_dead_data,
             "deleted_manifests": len(dead_mans),
             "deleted_statistics_files": len(dead_stats) + len(dead_pstats),
-            "removed_refs": dropped_refs}
+            "removed_refs": dropped_refs,
+            "removed_partition_specs": n_rm_specs,
+            "removed_schemas": n_rm_schemas}
 
 
 # ---------------------------------------------------------------------------

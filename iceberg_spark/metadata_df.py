@@ -173,6 +173,42 @@ def reachable_data_paths_df(spark: SparkSession, manifests,
     return df.select("file_path").distinct()
 
 
+def distinct_write_schema_ids(spark: SparkSession, manifests) -> set:
+    """Distinct engine `write_schema_id` values across ALL entries of the
+    given manifests, as one single-column distributed parquet read (plus a
+    decrypting RDD leg for encrypted manifests). Feeds
+    `expire_snapshots(clean_expired_metadata=True)`: the engine resolves a
+    file's columns through its write-schema snapshot rather than parquet
+    field IDs, so any schema still named by a live (or changelog-readable
+    deleted) entry must survive schema pruning."""
+    from .manifests import file_key
+
+    if not manifests:
+        return set()
+    enc = [m for m in manifests if file_key(m.path) is not None]
+    plain = [m for m in manifests if file_key(m.path) is None]
+    schema = T.StructType([T.StructField("write_schema_id", T.IntegerType())])
+    legs = []
+    if plain:
+        legs.append(spark.read.schema(schema)
+                    .parquet(*[m.path for m in plain]))
+    if enc:
+        payload = [(m.path, *file_key(m.path)) for m in enc]
+        sc = spark.sparkContext
+        rdd = sc.parallelize(payload, min(len(payload),
+                                          sc.defaultParallelism * 2)) \
+            .flatMap(lambda a: _decrypt_core_rows(
+                *a, ("write_schema_id",), False))
+        legs.append(spark.createDataFrame(rdd, schema))
+    df = legs[0]
+    for leg in legs[1:]:
+        df = df.unionByName(leg)
+    # pre-write_schema_id manifests (imported trees) read the column as
+    # null → schema 0, matching read_manifest's decode default
+    return {r[0] or 0
+            for r in df.select("write_schema_id").distinct().collect()}
+
+
 def collect_entries_spark(table, manifests, row_filter=None,
                           statuses=None) -> list:
     """Collect full ManifestEntry objects through a Spark read of the given

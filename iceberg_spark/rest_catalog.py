@@ -798,6 +798,7 @@ class _Handler(BaseHTTPRequestHandler):
         add_specs, set_def_spec = [], None
         add_sorts, set_def_sort = [], None
         rm_refs, key_updates = [], []
+        rm_schema_ids, rm_spec_ids = [], []
         for u in updates:
             a = u.get("action")
             if a == "set-properties":
@@ -834,6 +835,11 @@ class _Handler(BaseHTTPRequestHandler):
                 set_def_sort = u["sort-order-id"]
             elif a == "remove-snapshot-ref":
                 rm_refs.append(u["ref-name"])
+            elif a == "remove-schemas":
+                # MetadataUpdateParser.java REMOVE_SCHEMAS / SCHEMA_IDS
+                rm_schema_ids += [int(i) for i in (u.get("schema-ids") or [])]
+            elif a == "remove-partition-specs":
+                rm_spec_ids += [int(i) for i in (u.get("spec-ids") or [])]
             else:
                 raise ValueError(f"unsupported update action: {a}")
         if add_schemas or set_cur_schema is not None \
@@ -842,6 +848,35 @@ class _Handler(BaseHTTPRequestHandler):
             t = _apply_schema_updates(
                 t, add_schemas, set_cur_schema, add_specs,
                 set_def_spec, add_sorts, set_def_sort)
+        if rm_schema_ids or rm_spec_ids:
+            # expire-snapshots cleanExpiredMetadata commits land as these
+            # two actions. The server re-derives reachability itself
+            # rather than trusting the client's walk: a removed-but-still-
+            # referenced id would break every later read of this table
+            from .maintenance import reachable_metadata_ids
+            from .metadata_df import unique_manifests
+
+            md = t.metadata
+            live_specs, live_schemas = reachable_metadata_ids(
+                md, md.snapshots, unique_manifests(md.snapshots))
+            bad_s = sorted(set(rm_schema_ids) & live_schemas)
+            bad_p = sorted(set(rm_spec_ids) & live_specs)
+            if bad_s:
+                raise ValueError(
+                    f"cannot remove schema ids {bad_s}: still reachable "
+                    "from retained snapshots or live data files")
+            if bad_p:
+                raise ValueError(
+                    f"cannot remove spec ids {bad_p}: still referenced "
+                    "by retained manifests")
+            t._commit_metadata(replace(
+                md,
+                schemas=tuple(s for s in md.schemas
+                              if s.schema_id not in set(rm_schema_ids)),
+                partition_specs=tuple(
+                    s for s in md.partition_specs
+                    if s.spec_id not in set(rm_spec_ids))))
+            t = t.refresh()
         if key_updates:
             # key chain lands BEFORE snapshot replay so an encrypted
             # manifest list committed in the same request resolves its

@@ -892,13 +892,20 @@ class SqlEngine:
         res = t.expire_snapshots(
             older_than_ms=(self._ts_ms(self._arg(a, "older_than", 1))
                            if self._arg(a, "older_than", 1) is not None else None),
-            retain_last=int(self._arg(a, "retain_last", 2, 1)))
+            retain_last=int(self._arg(a, "retain_last", 2, 1)),
+            clean_expired_metadata=bool(
+                self._arg(a, "clean_expired_metadata", 3, False)))
         return self._rows([Row(deleted_data_files_count=res.get("deleted_data_files", 0),
                                deleted_manifest_files_count=res.get("deleted_manifests", 0),
-                               expired_snapshots_count=res.get("expired_snapshots", 0))],
+                               expired_snapshots_count=res.get("expired_snapshots", 0),
+                               removed_partition_specs_count=res.get(
+                                   "removed_partition_specs", 0),
+                               removed_schemas_count=res.get("removed_schemas", 0))],
                           "deleted_data_files_count long, "
                           "deleted_manifest_files_count long, "
-                          "expired_snapshots_count long")
+                          "expired_snapshots_count long, "
+                          "removed_partition_specs_count long, "
+                          "removed_schemas_count long")
 
     def _proc_remove_orphan_files(self, a):
         t = self._load(self._arg(a, "table", 0))

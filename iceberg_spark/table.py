@@ -240,11 +240,13 @@ class Table:
         return ManageSnapshots(self)
 
     def expire_snapshots(self, older_than_ms: Optional[int] = None, retain_last: int = 1,
-                         delete_files: bool = True, mode: str = "auto") -> dict:
+                         delete_files: bool = True, mode: str = "auto",
+                         clean_expired_metadata: bool = False) -> dict:
         from .maintenance import expire_snapshots
 
         return expire_snapshots(self, older_than_ms, retain_last, delete_files,
-                                mode=mode)
+                                mode=mode,
+                                clean_expired_metadata=clean_expired_metadata)
 
     # -- maintenance --------------------------------------------------------
     def rewrite_data_files(self, strategy: str = "binpack", **kw) -> dict:

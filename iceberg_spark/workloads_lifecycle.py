@@ -474,6 +474,48 @@ SELECT COUNT(*) AS n, ROUND(SUM(ROUND(s_acctbal + 2, 2)), 2) AS bal FROM supplie
 """
 
 
+def expire_clean_metadata_scan(spark, sf_dir):
+    """Spec + schema evolution, full rewrite, then
+    expire_snapshots(clean_expired_metadata=True): the orphaned spec and
+    schema leave the metadata (RemoveSnapshots.java:171,239-275), scans
+    stay correct (reference api/.../ExpireSnapshots.java:149)."""
+    key = ("expire_clean", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        t, df = _fresh(spark, sf_dir, "supplier", "expire_clean",
+                       partition_by=["s_nationkey"])
+        t.append(df)
+        t.update_spec().add_field("s_suppkey", "bucket(8)").commit()
+        t = t.refresh()
+        t.update_schema().add_column("note", "string").commit()
+        t = t.refresh()
+        # rewrite everything under the evolved spec+schema, making the
+        # originals unreachable once their snapshots expire
+        t.overwrite(df.withColumn("note", F.lit(None).cast("string")))
+        t = t.refresh()
+        assert len(t.metadata.partition_specs) == 2
+        assert len(t.metadata.schemas) == 2
+        res = t.expire_snapshots(retain_last=1,
+                                 clean_expired_metadata=True)
+        t = t.refresh()
+        assert res["removed_partition_specs"] == 1, res
+        assert res["removed_schemas"] == 1, res
+        assert len(t.metadata.partition_specs) == 1
+        assert len(t.metadata.schemas) == 1
+        _STATE[key] = t.identifier
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+EXPIRE_CLEAN_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def rewrite_manifests_scan(spark, sf_dir):
     """Many single-file manifests rewritten into few; scan unchanged
     (reference spark/.../RewriteManifestsSparkAction.java)."""
@@ -2538,6 +2580,8 @@ REGISTRY = {
     "compaction_scan": (compaction_scan, COMPACTION_SQL),
     "zorder_scan": (zorder_scan, ZORDER_SQL),
     "expire_snapshots_scan": (expire_snapshots_scan, EXPIRE_SQL),
+    "expire_clean_metadata_scan": (expire_clean_metadata_scan,
+                                   EXPIRE_CLEAN_SQL),
     "rewrite_manifests_scan": (rewrite_manifests_scan, RW_MANIFESTS_SQL),
     "orphan_cleanup_scan": (orphan_cleanup_scan, ORPHAN_SQL),
     "pos_delete_rewrite_dv_scan": (pos_delete_rewrite_dv_scan, POS_DV_SQL),

@@ -1149,3 +1149,72 @@ def test_load_table_incremental_export_reuse(spark, tmp_path):
     assert n_snaps == 5
     got = sorted(r.id for r in t2.to_df().select("id").collect())
     assert got == list(range(120))
+
+
+def test_rest_remove_schemas_and_specs(server, catalog):
+    """A REST client running expire-snapshots cleanExpiredMetadata commits
+    remove-schemas / remove-partition-specs actions
+    (core/.../MetadataUpdateParser.java:60-61,132-135). The server prunes
+    the named ids but refuses to drop the current schema / default spec."""
+    _cat, port = server
+    t = catalog.load_table("db.rest_t")
+    new_schema = {
+        "type": "struct", "schema-id": 1, "fields": [
+            {"id": 1, "name": "id", "required": False, "type": "long"},
+            {"id": 2, "name": "grp", "required": False, "type": "long"},
+            {"id": 3, "name": "note", "required": False,
+             "type": "string"}]}
+    new_spec = {"spec-id": 1, "fields": [
+        {"name": "grp", "transform": "identity", "source-id": 2,
+         "field-id": 1000}]}
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "requirements": [],
+        "updates": [
+            {"action": "add-schema", "schema": new_schema},
+            {"action": "set-current-schema", "schema-id": -1},
+            {"action": "add-spec", "spec": new_spec},
+            {"action": "set-default-spec", "spec-id": -1}]})
+    assert st == 200
+    t = catalog.load_table("db.rest_t")
+    assert len(t.metadata.schemas) == 2
+    assert len(t.metadata.partition_specs) == 2
+    # while the pre-evolution snapshot is retained, the server REFUSES to
+    # drop the ids it still references (it re-derives reachability itself)
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "requirements": [],
+            "updates": [{"action": "remove-schemas", "schema-ids": [0]}]})
+    assert ei.value.code == 400
+    # rewrite every live file under the new schema+spec and expire the
+    # old snapshots so the originals become truly unreachable
+    df = t.spark.range(0, 40).select(
+        "id", (F.col("id") % 4).alias("grp"), F.lit("x").alias("note"))
+    t.overwrite(df)
+    t = t.refresh()
+    import time as _time
+
+    t.expire_snapshots(older_than_ms=int(_time.time() * 1000) + 1000,
+                       retain_last=1)
+    # dropping the now-unreachable originals (schema 0 / spec 0) succeeds
+    st, _ = _req(port, "/v1/namespaces/db/tables/rest_t", {
+        "requirements": [],
+        "updates": [
+            {"action": "remove-schemas", "schema-ids": [0]},
+            {"action": "remove-partition-specs", "spec-ids": [0]}]})
+    assert st == 200
+    t = catalog.load_table("db.rest_t")
+    assert [s.schema_id for s in t.metadata.schemas] == [1]
+    assert [s.spec_id for s in t.metadata.partition_specs] == [1]
+    assert t.to_df().count() == 40  # table still reads
+    # the current schema / default spec are immovable -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "requirements": [],
+            "updates": [{"action": "remove-schemas", "schema-ids": [1]}]})
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _req(port, "/v1/namespaces/db/tables/rest_t", {
+            "requirements": [],
+            "updates": [{"action": "remove-partition-specs",
+                         "spec-ids": [1]}]})
+    assert ei.value.code == 400
