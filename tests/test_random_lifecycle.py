@@ -82,7 +82,7 @@ def _apply_random_lifecycle(catalog, spark, seed, use_dv, extra_props=None):
     steps = []
     for step in range(10):
         op = rng.choice(["append", "delete", "update", "compact",
-                         "expire", "merge"])
+                         "expire", "merge", "evolve_spec"])
         steps.append(op)
         if op == "append":
             append()
@@ -106,7 +106,22 @@ def _apply_random_lifecycle(catalog, spark, seed, use_dv, extra_props=None):
             t.rewrite_data_files(strategy="binpack")
         elif op == "expire":
             t = t.refresh()
-            t.expire_snapshots(older_than_ms=2**62, retain_last=2)
+            # randomly also prune unreachable specs/schemas — scans must
+            # keep matching the model afterwards (clean_expired_metadata
+            # may never drop a schema a live file still reads through)
+            t.expire_snapshots(older_than_ms=2**62, retain_last=2,
+                               clean_expired_metadata=bool(
+                                   rng.getrandbits(1)))
+        elif op == "evolve_spec":
+            # flip partitioning: specs accumulate until an expire+clean
+            # proves the unreachable ones prune without breaking reads
+            t = t.refresh()
+            upd = t.update_spec()
+            if any(f.name == "grp_bucket" for f in t.spec.fields):
+                upd.remove_field("grp_bucket").commit()
+            else:
+                upd.add_field("grp", "bucket(4)",
+                              name="grp_bucket").commit()
         elif op == "merge":
             t = t.refresh()
             merge()
