@@ -556,11 +556,23 @@ def main():
         except Exception:
             pass
         time.sleep(2.0)
-        # discard one probe: even after the settle, the FIRST probe of a
-        # session reads ~20% hot (page-cache/numpy warmup — the r8 run
-        # self-flagged `contended` on a quiet machine from exactly this)
-        cpu_calibration()
-        return cpu_calibration()
+        # probe until two consecutive readings agree within 10% (max 5):
+        # a fixed one-discard settle still read ~2x hot right after the
+        # heaviest query block (JVM GC/compiler threads draining), which
+        # self-flagged quiet runs as contended. Agreement between
+        # consecutive probes is the actual "settled" signal; if it never
+        # comes, return the min and let the spread flag stand — that IS
+        # ambient load.
+        prev = cpu_calibration()
+        best = prev
+        for _ in range(4):
+            cur = cpu_calibration()
+            best = min(best, cur)
+            if max(prev, cur) / min(prev, cur) < 1.10:
+                return best
+            prev = cur
+            time.sleep(1.0)
+        return best
 
     calibs = [settled_calib()]
     pass1 = {n: measure(f, warm=True) for n, f in entries}

@@ -680,23 +680,30 @@ def delete_reachable_files(table, dry_run: bool = False,
     dry_paths = []
     if manifests and use_spark:
         df = core_entries_df(table.spark, manifests, m.location)
-        dfu = (df.groupBy("file_path")
-                 .agg(_F.first("content").alias("content")))
-        for r in dfu.groupBy("content").agg(_F.count(_F.lit(1)).alias("n")) \
-                    .collect():
-            n_by_content[r["content"]] = r["n"]
+        # a path always carries one content value, so distinct pairs ==
+        # distinct paths; partial (map-side) aggregation dedups before
+        # the shuffle
+        dfu = df.select("file_path", "content").distinct()
         if dry_run:
-            # ONE job: the distinct closure is exactly what the caller
-            # receives in `paths` anyway, so collecting it costs the same
-            # driver memory as the old per-partition toLocalIterator
-            # stream at 1/32nd the job-scheduling overhead
-            dry_paths.extend(
-                r["file_path"] for r in dfu.select("file_path").collect())
+            # ONE job total: the closure is exactly what the caller
+            # receives in `paths`, and the per-content counts fall out of
+            # the same collected rows — no second aggregation job
+            for r in dfu.collect():
+                n_by_content[r["content"]] += 1
+                dry_paths.append(r["file_path"])
         else:
-            # deletes run EXECUTOR-side where the listing lives (the
-            # DeleteReachableFiles bulk-delete shape); only the count
-            # returns
-            deleted += _distributed_unlink(dfu, "file_path")
+            dfu = dfu.persist()  # counts job + unlink job share the scan
+            try:
+                counts = (dfu.groupBy("content")
+                          .agg(_F.count(_F.lit(1)).alias("n")).collect())
+                for r in counts:
+                    n_by_content[r["content"]] = r["n"]
+                # deletes run EXECUTOR-side where the listing lives (the
+                # DeleteReachableFiles bulk-delete shape); only the count
+                # returns
+                deleted += _distributed_unlink(dfu, "file_path")
+            finally:
+                dfu.unpersist()
     elif manifests:
         by_content = {DATA: set(), POSITION_DELETES: set(),
                       EQUALITY_DELETES: set()}
