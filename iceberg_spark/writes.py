@@ -229,10 +229,21 @@ def write_data_files(
         pg = props.get("write.parquet.page-size-bytes")
         if pg:
             writer_opts["parquet.page.size"] = str(pg)
-        for k, v in props.items():
-            if k.startswith("write.parquet.bloom-filter-enabled.column."):
-                col_name = k[len("write.parquet.bloom-filter-enabled.column."):]
-                writer_opts[f"parquet.bloom.filter.enabled#{col_name}"] = str(v)
+        mb = props.get("write.parquet.bloom-filter-max-bytes")
+        if mb:
+            writer_opts["parquet.bloom.filter.max.bytes"] = str(mb)
+        # per-column knobs (TableProperties.java:184-199 -> parquet-mr
+        # writer option names)
+        for pref, opt in (
+                ("write.parquet.bloom-filter-enabled.column.",
+                 "parquet.bloom.filter.enabled"),
+                ("write.parquet.bloom-filter-ndv.column.",
+                 "parquet.bloom.filter.expected.ndv"),
+                ("write.parquet.bloom-filter-fpp.column.",
+                 "parquet.bloom.filter.fpp")):
+            for k, v in props.items():
+                if k.startswith(pref):
+                    writer_opts[f"{opt}#{k[len(pref):]}"] = str(v)
 
     pnames = [f.name for f in spec.fields]
     ptypes = dict(spec.partition_type(schema))

@@ -48,6 +48,17 @@ def test_bloom_filter_property(catalog, spark):
     with_bloom = os.path.getsize(_files(t)[0])
     without = os.path.getsize(_files(t2)[0])
     assert with_bloom > without + 1000, (with_bloom, without)
+    # ndv/fpp tuning knobs (TableProperties.java:184-199): a tiny expected
+    # ndv + loose fpp must shrink the filter vs the 5000-distinct default
+    t3 = catalog.create_table(
+        "props.bloomsmall", df.schema,
+        properties={"write.parquet.bloom-filter-enabled.column.id": "true",
+                    "write.parquet.bloom-filter-ndv.column.id": "50",
+                    "write.parquet.bloom-filter-fpp.column.id": "0.1"})
+    t3.append(df.coalesce(1))
+    small_bloom = os.path.getsize(_files(t3)[0])
+    assert without < small_bloom < with_bloom, \
+        (without, small_bloom, with_bloom)
 
 
 def test_fanout_write_one_file_per_partition(catalog, spark):
