@@ -237,6 +237,7 @@ def _view_result(catalog, ident: str) -> dict:
 class _Handler(BaseHTTPRequestHandler):
     catalog = None  # injected by serve()
     staged = None  # per-server staged-create registry, injected by serve()
+    plans = None  # per-server scan-plan store, injected by serve()
     credential = None  # "client_id:client_secret" -> auth required
     tokens = None  # issued bearer tokens, injected by serve()
 
@@ -386,6 +387,16 @@ class _Handler(BaseHTTPRequestHandler):
                 # a clean 422 beats a stack-trace 500
                 return self._error(422, str(e)[:500],
                                    "UnprocessableEntityException")
+        if len(rest) == 6 and rest[0] == "namespaces" \
+                and rest[2] == "tables" and rest[4] == "plan":
+            # FetchPlanningResult (ResourcePaths.java:46)
+            from .rest_scan_planning import handle_fetch_planning_result
+
+            res = handle_fetch_planning_result(self.plans, rest[5])
+            if res is None:
+                return self._error(404, f"no such plan: {rest[5]}",
+                                   "NoSuchPlanIdException")
+            return self._json(200, res)
         if len(rest) == 3 and rest[0] == "namespaces" and rest[2] == "views":
             ns = rest[1].replace("\x1f", ".")
             if not cat.namespace_exists(ns):
@@ -477,6 +488,23 @@ class _Handler(BaseHTTPRequestHandler):
             # ReportMetricsRequest: accepted and dropped (the engine's own
             # ScanReport covers metrics); 204 keeps clients happy
             return self._json(204)
+        if len(rest) == 5 and rest[0] == "namespaces" \
+                and rest[2] == "tables" and rest[4] == "plan":
+            # server-side scan planning (ResourcePaths.java:44)
+            return self._plan_table_scan(
+                rest[1].replace("\x1f", "."), rest[3], body)
+        if len(rest) == 5 and rest[0] == "namespaces" \
+                and rest[2] == "tables" and rest[4] == "tasks":
+            from .rest_scan_planning import handle_fetch_scan_tasks
+
+            try:
+                return self._json(200, handle_fetch_scan_tasks(
+                    self.plans, body.get("plan-task")))
+            except ValueError as e:
+                return self._error(400, str(e)[:300], "BadRequestException")
+            except KeyError:
+                return self._error(404, "no such plan task",
+                                   "NoSuchPlanTaskException")
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             return self._commit_table(
                 rest[1].replace("\x1f", "."), rest[3], body)
@@ -487,6 +515,28 @@ class _Handler(BaseHTTPRequestHandler):
                 rest[1].replace("\x1f", "."), rest[3], body)
         return self._error(404, f"no such route: {self.path}",
                            "NoSuchRouteException")
+
+    def _plan_table_scan(self, ns: str, name: str, body: dict):
+        """PlanTableScanRequest -> PlanTableScanResponse: the engine's
+        planner (manifest pruning + metrics eval + delete matching) runs
+        server-side; small plans inline their file-scan-tasks (completed),
+        big plans answer submitted + plan-id and stream plan-tasks shards
+        (PlanTableScanResponseParser.java / FetchScanTasksResponse)."""
+        from .rest_scan_planning import handle_plan_request
+
+        cat = self.catalog
+        ident = f"{ns}.{name}"
+        if not cat.table_exists(ident):
+            return self._error(404, f"no such table: {ident}",
+                               "NoSuchTableException")
+        try:
+            return self._json(200, handle_plan_request(
+                cat.load_table(ident), body, self.plans))
+        except (ValueError, KeyError) as e:
+            return self._error(400, str(e)[:300], "BadRequestException")
+        except NotImplementedError as e:
+            return self._error(422, str(e)[:300],
+                               "UnprocessableEntityException")
 
     def _update_ns_props(self, ns: str, body: dict):
         """UpdateNamespacePropertiesRequest -> {updated, removed,
@@ -1037,6 +1087,13 @@ class _Handler(BaseHTTPRequestHandler):
             cat.drop_table(ident,
                            purge="purgeRequested=true" in query)
             return self._json(204)
+        if rest and len(rest) == 6 and rest[0] == "namespaces" \
+                and rest[2] == "tables" and rest[4] == "plan":
+            # cancel a submitted plan (ResourcePaths.java:46, DELETE)
+            if not self.plans.cancel(rest[5]):
+                return self._error(404, f"no such plan: {rest[5]}",
+                                   "NoSuchPlanIdException")
+            return self._json(204)
         if rest and len(rest) == 4 and rest[0] == "namespaces" \
                 and rest[2] == "views":
             from .views import drop_view
@@ -1086,8 +1143,10 @@ def serve(catalog, port: int = 0, credential: str = None):
     `credential` ("client_id:client_secret") turns on OAuth2: clients
     obtain a bearer token from POST /v1/oauth/tokens
     (client_credentials grant) and every other endpoint requires it."""
+    from .rest_scan_planning import PlanStore
+
     handler = type("Handler", (_Handler,),
-                   {"catalog": catalog, "staged": {},
+                   {"catalog": catalog, "staged": {}, "plans": PlanStore(),
                     "credential": credential, "tokens": set()})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
