@@ -474,6 +474,66 @@ SELECT COUNT(*) AS n, ROUND(SUM(ROUND(s_acctbal + 2, 2)), 2) AS bal FROM supplie
 """
 
 
+def rest_plan_scan(spark, sf_dir):
+    """REST server-side scan planning end to end: a client POSTs a
+    partition filter to /plan, the server's engine planner prunes
+    manifests and answers FileScanTasks (reference
+    core/.../rest/PlanTableScanResponseParser.java); the client reads
+    exactly the returned parquet. Asserts the plan actually pruned."""
+    key = ("rest_plan", _sf_key(sf_dir))
+    cat = _warehouse(spark)
+    if key not in _STATE:
+        _ensure_conf(spark)
+        ident = f"db.restplan_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "supplier")
+        t = cat.create_table(ident, df.schema,
+                             partition_by=["s_nationkey"])
+        t.append(df)
+        _STATE[key] = ident
+    import json as _json
+    import urllib.request
+
+    from .rest_catalog import serve
+
+    ident = _STATE[key]
+    ns, name = ident.rsplit(".", 1)
+    srv, port = serve(cat)
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/namespaces/{ns}/tables/{name}/plan",
+            method="POST",
+            data=_json.dumps({"filter": {"type": "lt-eq",
+                                         "term": "s_nationkey",
+                                         "value": 10}}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as r:
+            res = _json.loads(r.read())
+        assert res["status"] == "completed", res
+        tasks = res["file-scan-tasks"]
+        paths = [task["data-file"]["file-path"] for task in tasks]
+        t = cat.load_table(ident)
+        total = len(t.scan().plan_files().files)
+        assert 0 < len(paths) < total, (len(paths), total)
+        assert all("delete-file-references" not in task for task in tasks)
+    finally:
+        srv.shutdown()
+    df = spark.read.parquet(*paths)
+    return (df.filter(F.col("s_nationkey") <= 10)  # residual re-apply
+            .groupBy("s_nationkey")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("s_acctbal"), 2).alias("bal"))
+            .orderBy("s_nationkey"))
+
+
+REST_PLAN_SQL = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS bal
+FROM supplier WHERE s_nationkey <= 10
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
 def expire_clean_metadata_scan(spark, sf_dir):
     """Spec + schema evolution, full rewrite, then
     expire_snapshots(clean_expired_metadata=True): the orphaned spec and
@@ -2582,6 +2642,7 @@ REGISTRY = {
     "expire_snapshots_scan": (expire_snapshots_scan, EXPIRE_SQL),
     "expire_clean_metadata_scan": (expire_clean_metadata_scan,
                                    EXPIRE_CLEAN_SQL),
+    "rest_plan_scan": (rest_plan_scan, REST_PLAN_SQL),
     "rewrite_manifests_scan": (rewrite_manifests_scan, RW_MANIFESTS_SQL),
     "orphan_cleanup_scan": (orphan_cleanup_scan, ORPHAN_SQL),
     "pos_delete_rewrite_dv_scan": (pos_delete_rewrite_dv_scan, POS_DV_SQL),
