@@ -269,13 +269,22 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
     """Write (file_path, pos) parquet sorted for locality
     (spec format/spec.md:1388: sorted by file_path then pos).
 
-    Partitioned tables fan delete files out by the target data file's
-    partition (each data file belongs to exactly one partition, so the
-    fanout aligns with file_path ranges): delete files carry the partition
-    tuple the spec requires, delete manifests get partition summaries to
-    prune on, and the `delete_files` metadata table reports per-partition
-    delete counts. Unpartitioned tables keep the contiguous
-    file_path-range clustering so footer min/max stays tight."""
+    Granularity follows table property `write.delete.granularity`
+    (reference core/.../deletes/DeleteGranularity.java,
+    TableProperties.java:439). Default `partition`: partitioned tables
+    fan delete files out by the target data file's partition (each data
+    file belongs to exactly one partition, so the fanout aligns with
+    file_path ranges): delete files carry the partition tuple the spec
+    requires, delete manifests get partition summaries to prune on, and
+    the `delete_files` metadata table reports per-partition delete
+    counts. Unpartitioned tables keep the contiguous file_path-range
+    clustering so footer min/max stays tight. `file`: one delete file
+    per referenced data file with `referenced_data_file` recorded —
+    planning attaches deletes exactly, never by range heuristic."""
+    gran = str(table.metadata.properties.get(
+        "write.delete.granularity", "partition")).lower()
+    if gran == "file":
+        return _write_position_deletes_file_granularity(table, matched_df)
     from .locations import new_data_dir
 
     out_dir = new_data_dir(table, prefix="deletes-")
@@ -351,6 +360,158 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
         files = [replace(f, key_metadata=km) for f in files]
     return [replace(f, write_schema_id=table.schema.schema_id)
             for f in files if f.record_count > 0]
+
+
+def _write_position_deletes_file_granularity(table, matched_df: DataFrame) -> list:
+    """`write.delete.granularity=file` position deletes: ONE delete
+    parquet per referenced data file, `referenced_data_file` recorded on
+    every manifest entry (reference core/.../deletes/DeleteGranularity.java
+    FILE semantics; SparkWrite picks this for MoR by default since 1.8).
+
+    Why it matters at 100 TB: planning attaches these deletes EXACTLY —
+    `referenced_data_file` short-circuits the file_path-range heuristic
+    (scan.may_apply), so a task scanning one data file never reads
+    another file's delete rows, and rewrite-position-deletes / DV
+    conversion regroups without splitting files.
+
+    Spark job shape (mirrors maintenance._write_dvs): repartition delete
+    rows by target path so one task holds each file's complete position
+    set, then a mapInPandas pass writes one pos-sorted parquet per
+    target (pyarrow; parquet modular encryption under `encryption.key-id`
+    tables) and returns ONE descriptor row per written file — stats
+    (pos bounds, counts, partition tuple) come back in the descriptor,
+    so the driver never re-reads footers and never sees row-level data."""
+    import pyarrow as _pa
+    from pyspark.sql import types as T
+
+    from .locations import new_data_dir
+    from .parquet_crypto import encode_key_metadata, table_encryption
+
+    spec, schema = table.metadata.spec, table.metadata.schema
+    enc = table_encryption(table.metadata.properties)
+    out_dir = new_data_dir(table, prefix="deletes-")
+    out_plain = _fio.strip_scheme(out_dir)
+
+    # partition tuple per data file: pre-derived _p_* columns, else
+    # derive from source columns; a (file_path, pos)-only rewrite input
+    # gets empty partition tuples (entries still attach exactly by ref)
+    pby = [f"_p_{pf.name}" for pf in spec.fields]
+    fp = F.col(FILE_PATH_COL).alias("file_path")
+    pos = F.col(POS_COL).alias("pos")
+    pcols = []
+    if spec.fields:
+        if all(c in matched_df.columns for c in pby):
+            pcols = [F.col(c) for c in pby]
+        elif all(schema.field_by_id(pf.source_id).name in matched_df.columns
+                 for pf in spec.fields):
+            for pf in spec.fields:
+                src = schema.field_by_id(pf.source_id)
+                pcols.append(pf.transform.spark_col(F.col(src.name), src.type)
+                             .alias(f"_p_{pf.name}"))
+        else:
+            pby = []
+    else:
+        pby = []
+    sel = matched_df.select(fp, pos, *pcols)
+
+    out_fields = [T.StructField("path", T.StringType()),
+                  T.StructField("ref", T.StringType()),
+                  T.StructField("record_count", T.LongType()),
+                  T.StructField("file_size", T.LongType()),
+                  T.StructField("min_pos", T.LongType()),
+                  T.StructField("max_pos", T.LongType())]
+    out_fields += [sel.schema[c] for c in pby]
+    out_schema = T.StructType(out_fields)
+    del_arrow = _pa.schema([_pa.field("file_path", _pa.string()),
+                            _pa.field("pos", _pa.int64())])
+    pby_local = list(pby)
+
+    def task(batches):
+        import os as _os
+        import uuid as _u
+        from io import BytesIO
+
+        import numpy as _np
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from . import io as _eio
+        from . import parquet_crypto as PC
+
+        by_ref: dict = {}
+        parts: dict = {}
+        for b in batches:
+            for ref, grp in b.groupby("file_path", sort=False):
+                by_ref.setdefault(ref, []).append(
+                    grp["pos"].to_numpy(dtype=_np.int64))
+                if pby_local and ref not in parts:
+                    parts[ref] = grp.iloc[0][pby_local]
+        if not by_ref:
+            return
+        rows = []
+        for ref, chunks in by_ref.items():
+            arr = _np.sort(_np.concatenate(chunks))
+            tbl = _pa.table({"file_path": _pa.array([ref] * len(arr),
+                                                    _pa.string()),
+                             "pos": _pa.array(arr)}, schema=del_arrow)
+            name = f"fdel-{_u.uuid4().hex}.parquet"
+            path = _os.path.join(out_plain, name)
+            full = out_dir.rstrip("/") + "/" + name
+            io_ = _eio.resolve_io(full)
+            fep = None
+            if enc is not None:
+                key_id, key, dek_bits = enc
+                fep = PC.encryption_properties(key, key_id, del_arrow,
+                                               dek_bits)
+            if io_ is _eio._LOCAL:
+                _os.makedirs(_os.path.dirname(path), exist_ok=True)
+                _pq.write_table(tbl, path, compression="snappy",
+                                encryption_properties=fep)
+                size = _os.path.getsize(path)
+            else:
+                buf = BytesIO()
+                _pq.write_table(tbl, buf, compression="snappy",
+                                encryption_properties=fep)
+                data = buf.getvalue()
+                io_.write_bytes(full, data)
+                size = len(data)
+            row = [path, ref, len(arr), size, int(arr[0]), int(arr[-1])]
+            if pby_local:
+                row += list(parts[ref])
+            rows.append(row)
+        yield _pd.DataFrame(rows, columns=["path", "ref", "record_count",
+                                           "file_size", "min_pos",
+                                           "max_pos"] + pby_local)
+
+    descs = (sel.repartition(32, "file_path")
+             .mapInPandas(task, out_schema).collect())
+    km = encode_key_metadata(enc[0]) if enc is not None else None
+    files = []
+    for r in descs:
+        n = int(r["record_count"])
+        if n == 0:
+            continue
+        partition = ({pf.name: r[f"_p_{pf.name}"] for pf in spec.fields}
+                     if pby_local else {})
+        files.append(_mk_pos_delete_file(
+            r["path"], n, int(r["file_size"]), r["ref"],
+            int(r["min_pos"]), int(r["max_pos"]), partition,
+            spec.spec_id, table.schema.schema_id, km))
+    return files
+
+
+def _mk_pos_delete_file(path, n, size, ref, min_pos, max_pos, partition,
+                        spec_id, schema_id, key_metadata):
+    from .manifests import DataFile
+
+    return DataFile(
+        file_path=path, file_format="parquet", content=POSITION_DELETES,
+        spec_id=spec_id, partition=partition, record_count=n,
+        file_size_in_bytes=size,
+        stats={"file_path": (ref, ref, 0, None, n),
+               "pos": (min_pos, max_pos, 0, None, n)},
+        referenced_data_file=ref, write_schema_id=schema_id,
+        key_metadata=key_metadata)
 
 
 def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:

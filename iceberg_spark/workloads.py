@@ -364,6 +364,39 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def delete_mor_file_scan(spark, sf_dir):
+    """MoR delete under `write.delete.granularity=file` (reference
+    core/.../deletes/DeleteGranularity.java FILE): one position-delete
+    file per touched data file with `referenced_data_file` recorded, so
+    planning attaches deletes EXACTLY — a scan of one data file never
+    reads another file's delete rows."""
+    key = ("delmorfile", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"delmorfile_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table(ident, df.schema, properties={
+            "write.delete.mode": "merge-on-read",
+            "write.delete.granularity": "file"})
+        # several data files so the per-file fanout is visible
+        t.append(df.repartition(8))
+        thr = df.agg(F.max("o_orderkey")).collect()[0][0] // 10
+        t.delete_where(col("o_orderkey") <= thr, mode="merge-on-read")
+        t = t.refresh()
+        plan = t.scan().plan_files()
+        assert plan.pos_deletes and all(
+            d.file.referenced_data_file for d in plan.pos_deletes), \
+            "file granularity must record referenced_data_file"
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    return (t.to_df().groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
 def update_scan(spark, sf_dir):
     key = ("upd", _sf_key(sf_dir))
     if key not in _STATE:
@@ -738,6 +771,7 @@ REGISTRY = {
     "time_travel_scan": (time_travel_scan, TIME_TRAVEL_SQL),
     "delete_cow_scan": (delete_cow_scan, DELETE_COW_SQL),
     "delete_mor_scan": (delete_mor_scan, DELETE_MOR_SQL),
+    "delete_mor_file_scan": (delete_mor_file_scan, DELETE_MOR_SQL),
     "update_scan": (update_scan, UPDATE_SQL),
     "merge_upsert_scan": (merge_upsert_scan, MERGE_SQL),
     "variant_extract_scan": (variant_extract_scan, VARIANT_EXTRACT_SQL),
@@ -760,7 +794,8 @@ def _full_registry():
     new_r10 = ("variant_shredded_scan", "geo_exact_scan", "lineage_scan",
                "iceberg_export_v4_roundtrip_scan",
                "iceberg_import_native_encrypted_scan",
-               "iceberg_export_transcode_roundtrip_scan")
+               "iceberg_export_transcode_roundtrip_scan",
+               "delete_mor_file_scan")
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
                   _pipeline_registry()):
