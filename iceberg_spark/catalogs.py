@@ -454,3 +454,78 @@ class SqlCatalog(Catalog):
                     "property_value",
                     (self.name, namespace, k, v))
         return sorted(updates), sorted(removed), sorted(missing)
+
+
+class CachingCatalog:
+    """TTL table cache in front of ANY catalog — the reference
+    CachingCatalog analog (core/.../CachingCatalog.java, wrapped by
+    CatalogUtil when `cache-enabled=true`;
+    `cache.expiration-interval-ms` semantics from
+    CatalogProperties.java:42-66: -1 = never expire, 0 = caching off,
+    >0 = entries expire that many ms after they were cached).
+
+    Why it matters at scale: a 100 TB table's metadata JSON runs to tens
+    of MB; a planner that calls load_table per query re-reads and
+    re-parses it every time. The cache returns the SAME Table object
+    until expiry — staleness up to the interval is the documented
+    trade (readers needing the newest snapshot call .refresh(), which
+    always goes to storage). Mutations routed through this wrapper
+    (create/drop/rename/register) invalidate eagerly, like the
+    reference's invalidateTable calls.
+    """
+
+    def __init__(self, catalog, expiration_interval_ms: int = 30_000):
+        import time as _t
+
+        self._catalog = catalog
+        self._ttl = expiration_interval_ms / 1000.0
+        self._clock = _t.monotonic
+        self._cache: dict = {}  # ident -> (table, cached_at)
+
+    @classmethod
+    def wrap(cls, catalog, properties: dict):
+        """CatalogUtil.buildIcebergCatalog behavior: honor
+        `cache-enabled` + `cache.expiration-interval-ms` from catalog
+        properties; 0 (or cache-enabled=false) returns the catalog
+        unwrapped."""
+        enabled = str(properties.get("cache-enabled", "true")).lower()
+        ms = int(properties.get("cache.expiration-interval-ms", 30_000))
+        if enabled != "true" or ms == 0:
+            return catalog
+        return cls(catalog, expiration_interval_ms=ms)
+
+    # -- cached reads -------------------------------------------------
+    def load_table(self, identifier: str) -> Table:
+        hit = self._cache.get(identifier)
+        if hit is not None:
+            t, at = hit
+            if self._ttl < 0 or (self._clock() - at) < self._ttl:
+                return t
+            del self._cache[identifier]
+        t = self._catalog.load_table(identifier)
+        self._cache[identifier] = (t, self._clock())
+        return t
+
+    # -- invalidating mutations ---------------------------------------
+    def invalidate_table(self, identifier: str):
+        self._cache.pop(identifier, None)
+
+    def create_table(self, *a, **kw) -> Table:
+        t = self._catalog.create_table(*a, **kw)
+        self.invalidate_table(t.identifier)
+        return t
+
+    def drop_table(self, identifier: str, *a, **kw):
+        self.invalidate_table(identifier)
+        return self._catalog.drop_table(identifier, *a, **kw)
+
+    def rename_table(self, from_id: str, to_id: str):
+        self.invalidate_table(from_id)
+        self.invalidate_table(to_id)
+        return self._catalog.rename_table(from_id, to_id)
+
+    def __getattr__(self, name):
+        # everything else (list/exists/namespaces/properties/…) passes
+        # through uncached, matching the reference (only loadTable and
+        # metadata tables cache)
+        return getattr(self._catalog, name)

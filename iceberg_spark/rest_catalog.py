@@ -55,6 +55,22 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote
 
 
+def _table_etag(catalog, ident: str, mode: str):
+    """Weak ETag for loadTable responses (open-api parameters/etag):
+    committed metadata version N + table uuid + snapshots mode. Any
+    metadata change (schema, properties, snapshots, refs) bumps N, so
+    the tag is unique per metadata content; the mode suffix keeps
+    `snapshots=all` and `snapshots=refs` representations distinct."""
+    try:
+        t = catalog.load_table(ident)
+        v = t.ops.current_version()
+        if v is None:
+            return None
+        return f'W/"{t.metadata.table_uuid}-v{v}-{mode}"'
+    except Exception:
+        return None  # never fail a load over tag computation
+
+
 def _load_table_result(catalog, ident: str,
                        snapshots_mode: str = "all") -> dict:
     """snapshots=refs (RESTSessionCatalog snapshot-loading-mode): serve
@@ -287,11 +303,13 @@ class _Handler(BaseHTTPRequestHandler):
                                 "token_type": "bearer",
                                 "expires_in": 3600})
 
-    def _json(self, code: int, body: dict = None):
-        data = b"" if code == 204 else json.dumps(body or {}).encode()
+    def _json(self, code: int, body: dict = None, headers: dict = None):
+        data = b"" if code in (204, 304) else json.dumps(body or {}).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(data)))
+        for k, v in (headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         if self.command != "HEAD" and data:
             self.wfile.write(data)
@@ -377,9 +395,20 @@ class _Handler(BaseHTTPRequestHandler):
             if mode not in ("all", "refs"):
                 return self._error(400, f"invalid snapshots mode: {mode}",
                                    "BadRequestException")
+            # ETag / If-None-Match (open-api loadTable: 304 when the
+            # client's tag is current). Tag = committed metadata version
+            # + snapshots mode — same version, different `snapshots`
+            # param must yield DISTINCT tags (open-api parameters/etag),
+            # and the check never triggers the per-snapshot export.
+            etag = _table_etag(cat, ident, mode)
+            inm = self.headers.get("If-None-Match")
+            if etag is not None and inm and etag in {
+                    v.strip() for v in inm.split(",")}:
+                return self._json(304, None, headers={"ETag": etag})
             try:
                 return self._json(200, _load_table_result(
-                    cat, ident, snapshots_mode=mode))
+                    cat, ident, snapshots_mode=mode),
+                    headers={"ETag": etag} if etag else None)
             except (NotImplementedError, ValueError) as e:
                 # e.g. engine-encrypted data files (the reference layout
                 # this endpoint serves cannot express them) or raw-DEK

@@ -1218,3 +1218,35 @@ def test_rest_remove_schemas_and_specs(server, catalog):
             "updates": [{"action": "remove-partition-specs",
                          "spec-ids": [1]}]})
     assert ei.value.code == 400
+
+
+def test_rest_load_table_etag_304(server, catalog, spark):
+    """loadTable ETag / If-None-Match (open-api: 304 Not Modified when
+    the client's tag is current; distinct tags per snapshots mode;
+    commit invalidates)."""
+    _cat, port = server
+    url = f"http://127.0.0.1:{port}/v1/namespaces/db/tables/rest_t"
+    with urllib.request.urlopen(url) as r:
+        assert r.status == 200
+        etag = r.headers.get("ETag")
+        assert etag
+    # revalidation with the current tag -> 304, empty body
+    req = urllib.request.Request(url, headers={"If-None-Match": etag})
+    try:
+        with urllib.request.urlopen(req) as r:
+            status, body = r.status, r.read()
+    except urllib.error.HTTPError as e:  # urllib may surface 304 as error
+        status, body = e.code, e.read()
+    assert status == 304 and body == b""
+    # snapshots=refs is a DIFFERENT representation -> different tag
+    with urllib.request.urlopen(url + "?snapshots=refs") as r:
+        assert r.status == 200
+        assert r.headers.get("ETag") != etag
+    # a commit bumps the metadata version -> old tag no longer matches
+    t = catalog.load_table("db.rest_t")
+    df = spark.range(40, 50).select("id", (F.col("id") % 4).alias("grp"))
+    t.append(df)
+    req = urllib.request.Request(url, headers={"If-None-Match": etag})
+    with urllib.request.urlopen(req) as r:
+        assert r.status == 200
+        assert r.headers.get("ETag") not in (None, etag)
