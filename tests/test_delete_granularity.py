@@ -140,3 +140,27 @@ def test_file_granularity_compaction_roundtrip(catalog, spark):
     t = t.refresh()
     assert not t.scan().plan_files().pos_deletes
     assert t.to_df().count() == 70
+
+
+def test_rewrite_regroups_to_file_granularity(catalog, spark):
+    """rewrite_position_delete_files honors the CURRENT granularity
+    property (reference RewritePositionDeleteFilesSparkAction writes at
+    the table's configured granularity): partition-grouped deletes
+    regroup into one file per referenced data file."""
+    from iceberg_spark.maintenance import rewrite_position_delete_files
+
+    t, _ = _simple(catalog, spark, "db.fgranrw", 80, 4, properties={
+        "write.delete.mode": "merge-on-read"})
+    t.delete_where(col("id").isin([1, 21, 41, 61]))  # one row per file
+    t = t.refresh()
+    before = t.scan().plan_files().pos_deletes
+    assert any(d.file.referenced_data_file is None for d in before)
+    t.set_properties(**{"write.delete.granularity": "file"})
+    t = t.refresh()
+    res = rewrite_position_delete_files(t)
+    assert res["added_delete_files"] == 4
+    t = t.refresh()
+    after = t.scan().plan_files().pos_deletes
+    assert len(after) == 4
+    assert all(d.file.referenced_data_file for d in after)
+    assert t.to_df().count() == 76

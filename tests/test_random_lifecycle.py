@@ -345,3 +345,33 @@ def test_random_lifecycle_transcode_export_roundtrip(spark, tmp_path,
         assert _scan_rows(t2) == _model_rows(model), steps
     finally:
         PC.unregister_key(kid)
+
+
+@pytest.mark.parametrize("seed", [61, 67])
+def test_random_lifecycle_file_granularity(catalog, spark, seed):
+    """The full randomized differential under
+    write.delete.granularity=file: every MoR delete/update/merge writes
+    per-file position deletes; compaction, expiry, and the export/import
+    round-trip must behave identically to partition granularity."""
+    t, model, steps = _apply_random_lifecycle(
+        catalog, spark, seed, use_dv=False,
+        extra_props={"write.delete.granularity": "file"})
+    assert _scan_rows(t) == _model_rows(model), \
+        f"seed={seed} file-granularity diverged after {steps}"
+    for d in t.scan().plan_files().pos_deletes:
+        if d.file.file_format == "parquet":
+            assert d.file.referenced_data_file is not None
+
+    import os
+    import tempfile
+
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               register_iceberg_table)
+
+    dest = tempfile.mkdtemp(prefix=f"lifecycle_fgran_{seed}_")
+    mpath = export_reference_metadata(t, dest)
+    assert os.path.exists(mpath)
+    back, _n, _f = register_iceberg_table(
+        catalog, mpath, f"db.lifecycle_fgran_back_{seed}")
+    assert _scan_rows(back) == _model_rows(model), \
+        f"seed={seed} file-granularity export round-trip diverged"
