@@ -457,7 +457,8 @@ def reachable_metadata_ids(m, snaps, mans, spark=None,
 
 def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
                      delete_files: bool = True, mode: str = "auto",
-                     clean_expired_metadata: bool = False) -> dict:
+                     clean_expired_metadata: bool = False,
+                     expire_snapshot_ids=None) -> dict:
     """Apply retention (format/spec.md:1115) with per-ref policies, then
     delete files only reachable from expired snapshots.
 
@@ -483,7 +484,31 @@ def expire_snapshots(table, older_than_ms=None, retain_last: int = 1,
     _check_gc_enabled(table, "expire snapshots")
     m = table.metadata
     now = int(time.time() * 1000)
+    if (expire_snapshot_ids and older_than_ms is None
+            and MAX_SNAPSHOT_AGE_PROP not in (m.properties or {})):
+        # explicit-ids-only call: age-based retention expires NOTHING
+        # (cutoff 0 = epoch), only the named snapshots go — otherwise the
+        # engine's parameterless "no age floor" default would sweep every
+        # unreferenced ancestor alongside the requested ids
+        older_than_ms = 0
     keep_ids, retained_refs = _retention_keep(m, now, older_than_ms, retain_last)
+    if expire_snapshot_ids:
+        # ExpireSnapshots.expireSnapshotId: explicitly-named snapshots
+        # expire in ADDITION to retention — unknown ids and retained-ref
+        # heads refuse loudly (RemoveSnapshots.java expireSnapshotId +
+        # ref-head validation)
+        req = set(expire_snapshot_ids)
+        known = {s.snapshot_id for s in m.snapshots}
+        unknown = req - known
+        if unknown:
+            raise ValueError(
+                f"cannot expire unknown snapshots: {sorted(unknown)}")
+        pinned = req & {r.snapshot_id for r in retained_refs.values()}
+        if pinned:
+            raise ValueError(
+                "cannot expire snapshots still referenced by a branch or "
+                f"tag head: {sorted(pinned)}")
+        keep_ids -= req
 
     expired = [s for s in m.snapshots if s.snapshot_id not in keep_ids]
     dropped_refs = len(m.refs) - len(retained_refs)

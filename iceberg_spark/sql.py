@@ -889,12 +889,15 @@ class SqlEngine:
 
     def _proc_expire_snapshots(self, a):
         t = self._load(self._arg(a, "table", 0))
+        sids = self._arg(a, "snapshot_ids", 4)
         res = t.expire_snapshots(
             older_than_ms=(self._ts_ms(self._arg(a, "older_than", 1))
                            if self._arg(a, "older_than", 1) is not None else None),
             retain_last=int(self._arg(a, "retain_last", 2, 1)),
             clean_expired_metadata=bool(
-                self._arg(a, "clean_expired_metadata", 3, False)))
+                self._arg(a, "clean_expired_metadata", 3, False)),
+            expire_snapshot_ids=([int(s) for s in sids]
+                                 if sids is not None else None))
         return self._rows([Row(deleted_data_files_count=res.get("deleted_data_files", 0),
                                deleted_manifest_files_count=res.get("deleted_manifests", 0),
                                expired_snapshots_count=res.get("expired_snapshots", 0),

@@ -241,12 +241,14 @@ class Table:
 
     def expire_snapshots(self, older_than_ms: Optional[int] = None, retain_last: int = 1,
                          delete_files: bool = True, mode: str = "auto",
-                         clean_expired_metadata: bool = False) -> dict:
+                         clean_expired_metadata: bool = False,
+                         expire_snapshot_ids=None) -> dict:
         from .maintenance import expire_snapshots
 
         return expire_snapshots(self, older_than_ms, retain_last, delete_files,
                                 mode=mode,
-                                clean_expired_metadata=clean_expired_metadata)
+                                clean_expired_metadata=clean_expired_metadata,
+                                expire_snapshot_ids=expire_snapshot_ids)
 
     # -- maintenance --------------------------------------------------------
     def rewrite_data_files(self, strategy: str = "binpack", **kw) -> dict:

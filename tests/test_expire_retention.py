@@ -131,3 +131,36 @@ def test_orphan_distributed_parity(catalog, spark):
     removed = t.remove_orphan_files(older_than_ms=cutoff, mode="distributed")
     assert removed == [orphan] and not os.path.exists(orphan)
     assert t.to_df().count() == 2
+
+
+def test_expire_explicit_snapshot_ids(catalog, spark):
+    """ExpireSnapshots.expireSnapshotId: explicitly-named snapshots
+    expire in addition to retention; unknown ids and ref heads refuse."""
+    t = _tbl(catalog, spark, "db.ret_explicit", 4)
+    snaps = t.snapshots()
+    mid = snaps[1].snapshot_id  # ancestor in main's history, not a head
+    res = t.expire_snapshots(expire_snapshot_ids=[mid])
+    assert res["expired_snapshots"] == 1
+    t = t.refresh()
+    assert mid not in {s.snapshot_id for s in t.snapshots()}
+    assert t.to_df().count() == 4  # current state untouched
+
+    with pytest.raises(ValueError, match="unknown"):
+        t.expire_snapshots(expire_snapshot_ids=[999999])
+    head = t.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="referenced"):
+        t.expire_snapshots(expire_snapshot_ids=[head])
+
+
+def test_expire_snapshot_ids_via_procedure(catalog, spark):
+    t = _tbl(catalog, spark, "db.ret_proc", 3)
+    from iceberg_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark, catalog)
+    mid = t.snapshots()[0].snapshot_id
+    out = eng.sql(
+        f"CALL system.expire_snapshots(table => 'db.ret_proc', "
+        f"snapshot_ids => ARRAY({mid}))").collect()
+    assert out[0]["expired_snapshots_count"] == 1
+    t = t.refresh()
+    assert mid not in {s.snapshot_id for s in t.snapshots()}
