@@ -181,6 +181,12 @@ class Table:
     def add_files(self, paths: Union[str, list], branch: str = MAIN_BRANCH) -> Snapshot:
         """Metadata-only import of existing parquet files (no rewrite) —
         the `add_files` procedure / TableMigrationUtil path."""
+        # imported files carry no parquet field ids: persist a name
+        # mapping so reference readers survive later renames
+        # (AddFilesProcedure.java:166 ensureNameMappingPresent)
+        from .name_mapping import ensure_name_mapping
+
+        ensure_name_mapping(self)
         if isinstance(paths, str):
             from .io import resolve_io
 
@@ -752,6 +758,26 @@ class UpdateSchema:
                 if k in props:
                     props = dict(props)
                     props[prefix + new] = props.pop(k)
+        # schema.name-mapping.default follows evolution
+        # (SchemaUpdate.java:484-505): renamed fields gain the new name as
+        # an alias, added fields join the mapping
+        from .name_mapping import PROP as NM_PROP
+        from .name_mapping import parse_mapping, to_json, update_mapping
+
+        if NM_PROP in props:
+            old_by_name = {f.name: f.field_id for f in m.schema.fields}
+            renames_by_id = {old_by_name[o]: n
+                             for o, n in getattr(self, "_renames", {}).items()
+                             if o in old_by_name}
+            added = [f for f in self._fields
+                     if f.field_id > m.last_column_id]
+            try:
+                nm = update_mapping(parse_mapping(props[NM_PROP]),
+                                    renames_by_id, added)
+                props = dict(props)
+                props[NM_PROP] = to_json(nm)
+            except ValueError:
+                pass  # unparseable external mapping: leave it untouched
         self.t._commit_metadata(replace(
             m,
             schemas=m.schemas + (new_schema,),
