@@ -348,6 +348,7 @@ def entries_table_df(table, snapshots, statuses=None,
         T.StructField("record_count", T.LongType()),
         T.StructField("file_size_in_bytes", T.LongType()),
         T.StructField("column_stats", T.StringType()),
+        T.StructField("readable_metrics", T.StringType()),
         T.StructField("equality_ids", T.ArrayType(T.IntegerType())),
         T.StructField("referenced_data_file", T.StringType()),
         # spec data_file.key_metadata (opaque; non-null = encrypted file)
@@ -454,6 +455,26 @@ def _entries_select(df, m, schema, spec, json_opts):
             ).alias(fld.name))
     stats = (F.to_json(F.struct(*scols), json_opts) if scols
              else F.lit("{}"))
+    # readable_metrics (core/.../MetricsUtil.java READABLE_METRICS): the
+    # reference's per-column struct with its exact key names, bounds
+    # already converted to the column's type. column_size is null — the
+    # engine keeps value/null/nan counts + bounds, not byte sizes.
+    rcols = []
+    for fld in schema.fields:
+        fid = fld.field_id
+        if isinstance(fld.type, str) and f"min_f{fid}" in names:
+            rcols.append(F.struct(
+                F.lit(None).cast("long").alias("column_size"),
+                F.col(f"values_f{fid}").alias("value_count"),
+                F.col(f"nulls_f{fid}").alias("null_value_count"),
+                F.col(f"nans_f{fid}").alias("nan_value_count"),
+                _json_value_col(F.col(f"min_f{fid}"),
+                                fld.type).alias("lower_bound"),
+                _json_value_col(F.col(f"max_f{fid}"),
+                                fld.type).alias("upper_bound"),
+            ).alias(fld.name))
+    readable = (F.to_json(F.struct(*rcols), json_opts) if rcols
+                else F.lit("{}"))
     return df.select(
         F.col("status").cast("int"),
         F.col("snapshot_id").cast("long"),
@@ -466,6 +487,7 @@ def _entries_select(df, m, schema, spec, json_opts):
         F.col("record_count").cast("long"),
         F.col("file_size_in_bytes").cast("long"),
         stats.alias("column_stats"),
+        readable.alias("readable_metrics"),
         "equality_ids",
         resolve_path_col(F.col("referenced_data_file"),
                          m.location).alias("referenced_data_file"),

@@ -467,3 +467,30 @@ def test_incremental_partition_stats(catalog, spark):
     t = t.refresh()
     compute_partition_stats(t)
     assert t.last_partition_stats_report["mode"] == "full"
+
+
+def test_files_table_readable_metrics(catalog, spark):
+    """readable_metrics (core/.../MetricsUtil.java READABLE_METRICS):
+    per-column struct with reference key names, bounds in the column's
+    type, NaN-free bounds; column_size null (engine keeps counts+bounds,
+    not byte sizes)."""
+    import json
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("x", T.DoubleType())])
+    t = catalog.create_table("db.readable", schema)
+    t.append(spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, None)], schema).coalesce(1))
+    rm = json.loads(t.metadata_table("files")
+                    .select("readable_metrics").collect()[0][0])
+    assert rm["id"] == {"column_size": None, "value_count": 3,
+                        "null_value_count": 0, "nan_value_count": None,
+                        "lower_bound": 1, "upper_bound": 3}
+    assert rm["x"]["nan_value_count"] == 1
+    assert rm["x"]["null_value_count"] == 1
+    assert rm["x"]["lower_bound"] == 1.5 and rm["x"]["upper_bound"] == 1.5
+    # the column exists on every files-family table
+    for name in ("data_files", "delete_files", "entries", "all_files"):
+        cols = t.metadata_table(name).columns
+        if name != "entries":  # entries exposes data_file struct fields
+            assert "readable_metrics" in cols
