@@ -609,6 +609,21 @@ class SnapshotProducer:
                 ml_path = write_manifest_list(
                     self.table.location, self.snapshot_id, manifests,
                     relative=base.relative_paths)
+            # exact totals from the FINAL manifest list's live counts
+            # (SnapshotSummary.java:34-55) — list rows carry added/existing
+            # per-manifest, so this is O(manifests), no entry reads; the
+            # delta-accounted total-records stays (MoR deletes must not
+            # reduce it), and the manifest-list number wins when both exist
+            summary = dict(summary)
+            summary["total-data-files"] = str(sum(
+                mf.added_files_count + mf.existing_files_count
+                for mf in manifests if mf.content == 0))
+            summary["total-delete-files"] = str(sum(
+                mf.added_files_count + mf.existing_files_count
+                for mf in manifests if mf.content == 1))
+            summary["total-records"] = str(sum(
+                mf.added_rows_count + mf.existing_rows_count
+                for mf in manifests if mf.content == 0))
             parent = base.snapshot_for_ref(self.branch)
             # history-replaying importers preserve source commit times so
             # time travel by timestamp matches the source table
@@ -862,7 +877,44 @@ class SnapshotProducer:
             + sum(f.record_count for f in added if f.content == DATA)
             - sum(f.record_count for f in removed)
         )
+        self._partition_summaries(base, s, added, removed, added_deletes)
         return s
+
+    @staticmethod
+    def _partition_summaries(base, s, added, removed, added_deletes):
+        """Per-partition change metrics in the snapshot summary
+        (SnapshotSummary.java:58-59,203: `changed-partition-count` always;
+        `partitions.<k=v/...>` rows + `partition-summaries-included=true`
+        only when the changed-partition count stays within
+        `write.summary.partition-limit` — the cap exists so a 100k-
+        partition commit doesn't bloat every metadata.json)."""
+        changed: dict = {}
+
+        def bump(f, files_key, records_key):
+            p = "/".join(f"{k}={v}" for k, v in (f.partition or {}).items())
+            if not p:
+                return
+            m = changed.setdefault(p, {})
+            m[files_key] = m.get(files_key, 0) + 1
+            if records_key:
+                m[records_key] = m.get(records_key, 0) + f.record_count
+
+        for f in added:
+            if f.content == DATA:
+                bump(f, "added-data-files", "added-records")
+        for f in removed:
+            bump(f, "deleted-data-files", "deleted-records")
+        for f in added_deletes:
+            bump(f, "added-delete-files", "added-position-deletes")
+        if not changed:
+            return
+        s["changed-partition-count"] = str(len(changed))
+        limit = int(base.properties.get("write.summary.partition-limit", 0))
+        if 0 < len(changed) <= limit:
+            s["partition-summaries-included"] = "true"
+            for p, m in changed.items():
+                s["partitions." + p] = ",".join(
+                    f"{k}={v}" for k, v in sorted(m.items()))
 
 
 class FastAppend(SnapshotProducer):

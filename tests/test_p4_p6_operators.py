@@ -494,3 +494,52 @@ def test_files_table_readable_metrics(catalog, spark):
         cols = t.metadata_table(name).columns
         if name != "entries":  # entries exposes data_file struct fields
             assert "readable_metrics" in cols
+
+
+def test_snapshot_partition_summaries(catalog, spark):
+    """write.summary.partition-limit (SnapshotSummary.java:58-59,203):
+    per-partition change metrics land in the summary while the changed
+    count is within the limit; over the limit only
+    changed-partition-count remains."""
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("grp", T.IntegerType())])
+    t = catalog.create_table("db.psumm", schema, partition_by=["grp"],
+                             properties={
+                                 "write.summary.partition-limit": "3"})
+    t.append(spark.createDataFrame(
+        [(i, i % 2) for i in range(10)], schema))
+    s = t.current_snapshot().summary
+    assert s["changed-partition-count"] == "2"
+    assert s["partition-summaries-included"] == "true"
+    assert "added-data-files=" in s["partitions.grp=0"]
+    assert "added-records=5" in s["partitions.grp=1"]
+    # exceed the limit: summaries excluded, count kept
+    t.append(spark.createDataFrame(
+        [(i, i % 5) for i in range(10)], schema))
+    s2 = t.current_snapshot().summary
+    assert s2["changed-partition-count"] == "5"
+    assert "partition-summaries-included" not in s2
+    assert not any(k.startswith("partitions.") for k in s2)
+
+
+def test_snapshot_total_summary_fields(catalog, spark):
+    """total-data-files / total-delete-files / total-records
+    (SnapshotSummary.java:34-55) are exact at every commit, computed
+    from the final manifest list's live counts."""
+    t, _ = _simple(catalog, spark, "db.totals", 40, 2,
+                   properties={"write.delete.mode": "merge-on-read"})
+    s = t.current_snapshot().summary
+    assert s["total-data-files"] == "2"
+    assert s["total-records"] == "40"
+    assert s["total-delete-files"] == "0"
+    t.delete_where(col("id") == 1)
+    t = t.refresh()
+    s = t.current_snapshot().summary
+    assert s["total-data-files"] == "2"  # MoR: data rows untouched
+    assert s["total-records"] == "40"
+    assert s["total-delete-files"] == "1"
+    t.rewrite_data_files(strategy="binpack", min_input_files=1)
+    t = t.refresh()
+    s = t.current_snapshot().summary
+    assert s["total-records"] == "39"  # compaction applied the delete
+    assert s["total-delete-files"] == "0"
