@@ -327,6 +327,9 @@ class DataFile:
     # spec data_file.key_metadata: opaque encryption key metadata
     # (engine shape: parquet_crypto.encode_key_metadata JSON)
     key_metadata: Optional[bytes] = None
+    # spec data_file.column_sizes: total compressed bytes per column
+    # (name-keyed like `stats`; {} when unknown — e.g. add_files imports)
+    column_sizes: dict = field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -503,6 +506,7 @@ def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
         fields.append(pa.field(f"nulls_f{fid}", pa.int64()))
         fields.append(pa.field(f"nans_f{fid}", pa.int64()))
         fields.append(pa.field(f"values_f{fid}", pa.int64()))
+        fields.append(pa.field(f"sizes_f{fid}", pa.int64()))
     # reserved pos-delete file_path bounds (all-null on data entries;
     # arrow nulls cost nothing) — without them a parquet pos-delete's
     # path range is lost at serialization and the planner must attach
@@ -580,6 +584,8 @@ def write_manifest(
             cols[f"nulls_f{fid}"].append(nulls)
             cols[f"nans_f{fid}"].append(nans)
             cols[f"values_f{fid}"].append(values)
+            cols[f"sizes_f{fid}"].append(
+                (f.column_sizes or {}).get(sf.name))
         dst = (f.stats.get("file_path")
                if f.content == POSITION_DELETES else None)
         cols[f"min_f{DELETE_FILE_PATH_FID}"].append(
@@ -705,9 +711,10 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
         five = (colvals(f"min_f{fid}"), colvals(f"max_f{fid}"),
                 colvals(f"nulls_f{fid}"), colvals(f"nans_f{fid}"),
                 colvals(f"values_f{fid}"))
-        if all(v is None for v in five):
+        szl = colvals(f"sizes_f{fid}")
+        if all(v is None for v in five) and szl is None:
             continue
-        stat_cols.append((sf.name, *five,
+        stat_cols.append((sf.name, *five, szl,
                           sf.type in ("timestamp", "timestamp_ntz")))
 
     # reserved pos-delete file_path bounds -> stats["file_path"] on
@@ -740,7 +747,8 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
             v = vals[i] if vals is not None else None
             partition[nm] = _normalize(v, "timestamp") if ts else v
         stats = {}
-        for nm, mnl, mxl, nnl, nal, vvl, ts in stat_cols:
+        csizes = {}
+        for nm, mnl, mxl, nnl, nal, vvl, szl, ts in stat_cols:
             mn = mnl[i] if mnl is not None else None
             mx = mxl[i] if mxl is not None else None
             if ts:
@@ -750,6 +758,8 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
                          nnl[i] if nnl is not None else None,
                          nal[i] if nal is not None else None,
                          vvl[i] if vvl is not None else None)
+            if szl is not None and szl[i] is not None:
+                csizes[nm] = szl[i]
         if content[i] == POSITION_DELETES and (dmin or dmax):
             lo = dmin[i] if dmin is not None else None
             hi = dmax[i] if dmax is not None else None
@@ -779,6 +789,7 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
                     content_offset=c_off[i] if c_off is not None else None,
                     content_size_in_bytes=c_size[i] if c_size is not None else None,
                     key_metadata=key_md[i] if key_md is not None else None,
+                    column_sizes=csizes,
                 ),
             )
         )
@@ -795,6 +806,7 @@ def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
     partition = {n: _normalize(rd.get(f"p_{n}"), ptypes[n])
                  for n in ptypes if f"p_{n}" in rd}
     stats = {}
+    csizes = {}
     for f_ in schema.fields:
         if isinstance(f_.type, str) and f"min_f{f_.field_id}" in rd:
             fid = f_.field_id
@@ -803,6 +815,8 @@ def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
                 _normalize(rd[f"max_f{fid}"], f_.type),
                 rd[f"nulls_f{fid}"], rd[f"nans_f{fid}"], rd[f"values_f{fid}"],
             )
+            if rd.get(f"sizes_f{fid}") is not None:
+                csizes[f_.name] = rd[f"sizes_f{fid}"]
     if rd["content"] == POSITION_DELETES:
         lo = rd.get(f"min_f{DELETE_FILE_PATH_FID}")
         hi = rd.get(f"max_f{DELETE_FILE_PATH_FID}")
@@ -826,6 +840,7 @@ def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
             content_size_in_bytes=rd.get("content_size_in_bytes"),
             key_metadata=(bytes(rd["key_metadata"])
                           if rd.get("key_metadata") is not None else None),
+            column_sizes=csizes,
         ),
     )
 
@@ -984,6 +999,7 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
     ntype.update({sp.stats_name: sp.type
                   for sp in getattr(schema, "shredded", ())})
     agg: dict = {}
+    csizes: dict = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
@@ -991,6 +1007,9 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
             name = c.path_in_schema.split(".")[0]
             if name not in ntype:
                 continue
+            # data_file.column_sizes: on-disk compressed bytes per column
+            csizes[name] = csizes.get(name, 0) + (
+                c.total_compressed_size or 0)
             agg.setdefault(name, [None, None, 0, None, 0])
             st = c.statistics
             if st is None:
@@ -1073,6 +1092,10 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
     for name, (mn, mx, nulls, nans, _) in agg.items():
         stats[name] = (mn, mx, nulls, nan_counts.get(name, nans), num_rows)
     stats = apply_metrics_config(stats, ntype, metrics)
+    if metrics:
+        # mode `none` drops column_sizes too (ParquetUtil.java:110)
+        csizes = {n: v for n, v in csizes.items()
+                  if metrics.get(n, ("full", 0))[0] != "none"}
     return DataFile(
         file_path=path,
         file_format="parquet",
@@ -1082,6 +1105,7 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
         record_count=num_rows,
         file_size_in_bytes=_io.file_size(path),
         stats=stats,
+        column_sizes=csizes,
     )
 
 

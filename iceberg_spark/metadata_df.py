@@ -457,14 +457,15 @@ def _entries_select(df, m, schema, spec, json_opts):
              else F.lit("{}"))
     # readable_metrics (core/.../MetricsUtil.java READABLE_METRICS): the
     # reference's per-column struct with its exact key names, bounds
-    # already converted to the column's type. column_size is null — the
-    # engine keeps value/null/nan counts + bounds, not byte sizes.
+    # already converted to the column's type. column_size null for files
+    # written before size tracking landed (manifest lacks the column).
     rcols = []
     for fld in schema.fields:
         fid = fld.field_id
         if isinstance(fld.type, str) and f"min_f{fid}" in names:
             rcols.append(F.struct(
-                F.lit(None).cast("long").alias("column_size"),
+                (F.col(f"sizes_f{fid}") if f"sizes_f{fid}" in names
+                 else F.lit(None).cast("long")).alias("column_size"),
                 F.col(f"values_f{fid}").alias("value_count"),
                 F.col(f"nulls_f{fid}").alias("null_value_count"),
                 F.col(f"nans_f{fid}").alias("nan_value_count"),

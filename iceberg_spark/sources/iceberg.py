@@ -469,8 +469,23 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "first_row_id": _frid,
                 "key_metadata": km or None,
                 "stats": _manifest_entry_stats(df, schemas[m_schema_id]),
+                "column_sizes": _entry_column_sizes(
+                    df, schemas[m_schema_id]),
             })
     return entries
+
+
+def _entry_column_sizes(df_record: dict, schema) -> dict:
+    """data_file.column_sizes ({fid: bytes}) -> engine name-keyed dict."""
+    raw = df_record.get("column_sizes")
+    if not raw:
+        return {}
+    try:
+        by_id = _fid_map(raw)
+    except Exception:
+        return {}
+    return {f.name: int(by_id[f.field_id]) for f in schema.fields
+            if isinstance(f.type, str) and f.field_id in by_id}
 
 
 def _decode_single_value(buf, t: str):
@@ -571,7 +586,7 @@ def _encode_single_value(v, t: str):
     return None
 
 
-def _entry_metric_maps(stats: dict, schema) -> dict:
+def _entry_metric_maps(stats: dict, schema, column_sizes=None) -> dict:
     """Engine DataFile.stats -> reference manifest metric maps
     ([{"key": fid, "value": ...}] per column, spec-serialized bounds) so
     an exported table prunes (and re-imports metadata-only) exactly like
@@ -596,10 +611,15 @@ def _entry_metric_maps(stats: dict, schema) -> dict:
         b = _encode_single_value(mx, f.type)
         if b is not None:
             upb.append({"key": f.field_id, "value": b})
+    cs = []
+    for f in schema.fields:
+        v = (column_sizes or {}).get(f.name)
+        if v is not None and isinstance(f.type, str):
+            cs.append({"key": f.field_id, "value": int(v)})
     out = {}
     for k, v in (("value_counts", vc), ("null_value_counts", nulls),
                  ("nan_value_counts", nans), ("lower_bounds", lob),
-                 ("upper_bounds", upb)):
+                 ("upper_bounds", upb), ("column_sizes", cs)):
         if v:
             out[k] = v
     return out
@@ -1068,6 +1088,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 record_count=e["record_count"],
                 file_size_in_bytes=e["file_size"],
                 stats=e.get("stats") or {},
+                column_sizes=e.get("column_sizes") or {},
                 equality_ids=tuple(e["equality_ids"]),
                 sort_order_id=e.get("sort_order_id"),
                 referenced_data_file=(
@@ -1119,6 +1140,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 record_count=rc,
                 file_size_in_bytes=e["file_size"],
                 stats=e.get("stats") or {},
+                column_sizes=e.get("column_sizes") or {},
                 first_row_id=e.get("first_row_id"),
                 write_schema_id=e.get("schema_id", cur_schema))
             cache[ck] = f
@@ -1154,6 +1176,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 partition=dict(e["partition"]),
                 record_count=e["record_count"],
                 file_size_in_bytes=e["file_size"], stats=e["stats"],
+                column_sizes=e.get("column_sizes") or {},
                 equality_ids=tuple(e["equality_ids"]),
                 sort_order_id=e.get("sort_order_id"),
                 referenced_data_file=(
@@ -1710,7 +1733,8 @@ def export_reference_metadata(table, dest_root: str,
         # the export exactly like a table it wrote itself, and an
         # engine round-trip re-imports METADATA-ONLY (no footer pass)
         out.update(_entry_metric_maps(
-            f.stats, schemas.get(f.write_schema_id, schema)))
+            f.stats, schemas.get(f.write_schema_id, schema),
+            column_sizes=f.column_sizes))
         cache[ck] = out
         return out
 

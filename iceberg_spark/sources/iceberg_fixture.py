@@ -416,7 +416,7 @@ def write_reference_table_history(root: str, schema_json: dict,
                     # metric maps pass through when the fixture supplies
                     # them ([{"key": fid, "value": ...}] — bounds values
                     # are spec single-value-serialized bytes)
-                    "column_sizes": None,
+                    "column_sizes": f.get("column_sizes"),
                     "value_counts": f.get("value_counts"),
                     "null_value_counts": f.get("null_value_counts"),
                     "nan_value_counts": f.get("nan_value_counts"),

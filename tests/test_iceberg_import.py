@@ -757,3 +757,30 @@ def test_v4_parquet_manifest_metric_maps_decode(tmp_path):
         format_version=4, relative_paths=True)
     _s, _c, _sp, _d, entries, _p, _md = read_iceberg_snapshot(root)
     assert entries[0]["stats"] == {"id": (0, 49, None, None, 50)}
+
+
+def test_column_sizes_roundtrip_through_export(catalog, spark):
+    """data_file.column_sizes: collected from footers at write, persisted
+    in manifests, exported as the reference's fid-keyed metric map, and
+    re-imported name-keyed."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               snapshot_iceberg_table)
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = catalog.create_table("db.csz", schema)
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], schema).coalesce(1))
+    e = t.scan().plan_files().files[0]
+    assert e.file.column_sizes.get("id", 0) > 0
+    assert e.file.column_sizes.get("v", 0) > 0
+    dest = tempfile.mkdtemp(prefix="csz_exp_")
+    mpath = export_reference_metadata(t, dest)
+    back, _n, _f = snapshot_iceberg_table(catalog, mpath, "db.csz_back")
+    e2 = back.scan().plan_files().files[0]
+    assert e2.file.column_sizes == e.file.column_sizes
+    assert back.to_df().count() == 100

@@ -472,8 +472,7 @@ def test_incremental_partition_stats(catalog, spark):
 def test_files_table_readable_metrics(catalog, spark):
     """readable_metrics (core/.../MetricsUtil.java READABLE_METRICS):
     per-column struct with reference key names, bounds in the column's
-    type, NaN-free bounds; column_size null (engine keeps counts+bounds,
-    not byte sizes)."""
+    type, NaN-free bounds, per-column compressed byte sizes."""
     import json
 
     schema = T.StructType([T.StructField("id", T.LongType()),
@@ -483,9 +482,12 @@ def test_files_table_readable_metrics(catalog, spark):
         [(1, 1.5), (2, float("nan")), (3, None)], schema).coalesce(1))
     rm = json.loads(t.metadata_table("files")
                     .select("readable_metrics").collect()[0][0])
-    assert rm["id"] == {"column_size": None, "value_count": 3,
-                        "null_value_count": 0, "nan_value_count": None,
-                        "lower_bound": 1, "upper_bound": 3}
+    assert rm["id"]["column_size"] > 0
+    assert {k: rm["id"][k] for k in ("value_count", "null_value_count",
+                                     "nan_value_count", "lower_bound",
+                                     "upper_bound")} == {
+        "value_count": 3, "null_value_count": 0, "nan_value_count": None,
+        "lower_bound": 1, "upper_bound": 3}
     assert rm["x"]["nan_value_count"] == 1
     assert rm["x"]["null_value_count"] == 1
     assert rm["x"]["lower_bound"] == 1.5 and rm["x"]["upper_bound"] == 1.5
