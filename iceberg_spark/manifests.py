@@ -330,6 +330,10 @@ class DataFile:
     # spec data_file.column_sizes: total compressed bytes per column
     # (name-keyed like `stats`; {} when unknown — e.g. add_files imports)
     column_sizes: dict = field(default_factory=dict)
+    # spec data_file.split_offsets: row-group start offsets, ascending —
+    # foreign readers split the file at these; Spark splits by
+    # maxPartitionBytes itself, so the engine only records/round-trips
+    split_offsets: tuple = ()
 
 
 @dataclass(frozen=True)
@@ -497,6 +501,7 @@ def manifest_arrow_schema(schema: Schema, spec: PartitionSpec) -> pa.schema:
         pa.field("content_offset", pa.int64()),
         pa.field("content_size_in_bytes", pa.int64()),
         pa.field("key_metadata", pa.binary()),
+        pa.field("split_offsets", pa.list_(pa.int64())),
     ]
     for name, ptype in spec.partition_type(schema):
         fields.append(pa.field(f"p_{name}", _type_to_arrow(ptype)))
@@ -563,6 +568,8 @@ def write_manifest(
         cols["content_offset"].append(f.content_offset)
         cols["content_size_in_bytes"].append(f.content_size_in_bytes)
         cols["key_metadata"].append(f.key_metadata)
+        cols["split_offsets"].append(
+            list(f.split_offsets) if f.split_offsets else None)
         for n in pnames:
             v = f.partition.get(n)
             cols[f"p_{n}"].append(v)
@@ -739,6 +746,7 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
     c_off = colvals("content_offset")
     c_size = colvals("content_size_in_bytes")
     key_md = colvals("key_metadata")
+    split_offs = colvals("split_offsets")
 
     out = []
     for i in range(n):
@@ -790,6 +798,8 @@ def entries_from_arrow(t: pa.Table, schema: Schema, spec: PartitionSpec,
                     content_size_in_bytes=c_size[i] if c_size is not None else None,
                     key_metadata=key_md[i] if key_md is not None else None,
                     column_sizes=csizes,
+                    split_offsets=tuple(split_offs[i] or ())
+                    if split_offs is not None else (),
                 ),
             )
         )
@@ -841,6 +851,7 @@ def entry_from_spark_row(rd: dict, schema: Schema, spec: PartitionSpec,
             key_metadata=(bytes(rd["key_metadata"])
                           if rd.get("key_metadata") is not None else None),
             column_sizes=csizes,
+            split_offsets=tuple(rd.get("split_offsets") or ()),
         ),
     )
 
@@ -1000,8 +1011,17 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
                   for sp in getattr(schema, "shredded", ())})
     agg: dict = {}
     csizes: dict = {}
+    split_offsets = []
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
+        try:
+            c0 = g.column(0)
+            split_offsets.append(int(
+                c0.dictionary_page_offset
+                if c0.dictionary_page_offset is not None
+                else c0.data_page_offset))
+        except Exception:
+            split_offsets = []
         for ci in range(g.num_columns):
             c = g.column(ci)
             name = c.path_in_schema.split(".")[0]
@@ -1106,6 +1126,7 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
         file_size_in_bytes=_io.file_size(path),
         stats=stats,
         column_sizes=csizes,
+        split_offsets=tuple(split_offsets),
     )
 
 

@@ -471,6 +471,7 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "stats": _manifest_entry_stats(df, schemas[m_schema_id]),
                 "column_sizes": _entry_column_sizes(
                     df, schemas[m_schema_id]),
+                "split_offsets": tuple(df.get("split_offsets") or ()),
             })
     return entries
 
@@ -1089,6 +1090,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 file_size_in_bytes=e["file_size"],
                 stats=e.get("stats") or {},
                 column_sizes=e.get("column_sizes") or {},
+                split_offsets=tuple(e.get("split_offsets") or ()),
                 equality_ids=tuple(e["equality_ids"]),
                 sort_order_id=e.get("sort_order_id"),
                 referenced_data_file=(
@@ -1141,6 +1143,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 file_size_in_bytes=e["file_size"],
                 stats=e.get("stats") or {},
                 column_sizes=e.get("column_sizes") or {},
+                split_offsets=tuple(e.get("split_offsets") or ()),
                 first_row_id=e.get("first_row_id"),
                 write_schema_id=e.get("schema_id", cur_schema))
             cache[ck] = f
@@ -1177,6 +1180,7 @@ def _materialize(catalog, schemas, cur_schema, specs, entries, seq_map,
                 record_count=e["record_count"],
                 file_size_in_bytes=e["file_size"], stats=e["stats"],
                 column_sizes=e.get("column_sizes") or {},
+                split_offsets=tuple(e.get("split_offsets") or ()),
                 equality_ids=tuple(e["equality_ids"]),
                 sort_order_id=e.get("sort_order_id"),
                 referenced_data_file=(
@@ -1735,6 +1739,8 @@ def export_reference_metadata(table, dest_root: str,
         out.update(_entry_metric_maps(
             f.stats, schemas.get(f.write_schema_id, schema),
             column_sizes=f.column_sizes))
+        if f.split_offsets:
+            out["split_offsets"] = list(f.split_offsets)
         cache[ck] = out
         return out
 

@@ -423,7 +423,8 @@ def write_reference_table_history(root: str, schema_json: dict,
                     "lower_bounds": f.get("lower_bounds"),
                     "upper_bounds": f.get("upper_bounds"),
                     "key_metadata": f.get("key_metadata"),
-                    "split_offsets": None,
+                    "split_offsets": (list(f["split_offsets"])
+                                      if f.get("split_offsets") else None),
                     "equality_ids": (list(f["equality_ids"])
                                      if f.get("equality_ids") else None),
                     "sort_order_id": f.get("sort_order_id"),

@@ -784,3 +784,27 @@ def test_column_sizes_roundtrip_through_export(catalog, spark):
     e2 = back.scan().plan_files().files[0]
     assert e2.file.column_sizes == e.file.column_sizes
     assert back.to_df().count() == 100
+
+
+def test_split_offsets_roundtrip_through_export(catalog, spark):
+    """data_file.split_offsets: row-group start offsets collected at
+    write, persisted in manifests, exported and re-imported."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               snapshot_iceberg_table)
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = catalog.create_table("db.soff", schema)
+    t.append(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], schema).coalesce(1))
+    e = t.scan().plan_files().files[0]
+    offs = e.file.split_offsets
+    assert offs and offs[0] >= 4  # first row group starts after magic
+    dest = tempfile.mkdtemp(prefix="soff_exp_")
+    mpath = export_reference_metadata(t, dest)
+    back, _n, _f = snapshot_iceberg_table(catalog, mpath, "db.soff_back")
+    assert back.scan().plan_files().files[0].file.split_offsets == offs
