@@ -1282,6 +1282,17 @@ class SqlEngine:
         if mm:
             t.update_schema().update_column(mm.group(1), mm.group(2).lower()).commit()
             return self._empty()
+        mm = re.match(r"ALTER\s+COLUMN\s+(\w+)\s+DROP\s+NOT\s+NULL", rest, re.I)
+        if mm:
+            t.update_schema().make_column_optional(mm.group(1)).commit()
+            return self._empty()
+        if re.match(r"ALTER\s+COLUMN\s+\w+\s+SET\s+NOT\s+NULL", rest, re.I):
+            # reference Spark DDL rejects this too (SparkAlterTable):
+            # requiring an optional column risks breaking existing rows
+            raise ValueError(
+                "SET NOT NULL is not supported: existing rows may hold "
+                "nulls; use UpdateSchema.require_column("
+                "allow_incompatible_changes=True) to force it")
         raise ValueError(f"unsupported ALTER TABLE clause: {rest}")
 
     # -- row-level -----------------------------------------------------------

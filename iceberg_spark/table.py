@@ -668,6 +668,31 @@ class UpdateSchema:
         self._renames = {**getattr(self, "_renames", {}), name: new_name}
         return self
 
+    def make_column_optional(self, name: str) -> "UpdateSchema":
+        """required -> optional, always safe (UpdateSchema.java
+        makeColumnOptional)."""
+        self._fields = [replace(f, required=False) if f.name == name else f
+                        for f in self._fields]
+        return self
+
+    def require_column(self, name: str,
+                       allow_incompatible_changes: bool = False
+                       ) -> "UpdateSchema":
+        """optional -> required is an incompatible change (existing rows
+        may hold nulls) and refuses without the explicit flag —
+        SchemaUpdate.java requireColumn / allowIncompatibleChanges."""
+        fld = next((f for f in self._fields if f.name == name), None)
+        if fld is None:
+            raise KeyError(f"no such column: {name!r}")
+        if not fld.required and not allow_incompatible_changes:
+            raise ValueError(
+                f"cannot change column {name!r} to required: existing "
+                "rows may hold nulls (pass "
+                "allow_incompatible_changes=True to force)")
+        self._fields = [replace(f, required=True) if f.name == name else f
+                        for f in self._fields]
+        return self
+
     def update_column(self, name: str, type_str: str) -> "UpdateSchema":
         from .schema import is_promotable
 

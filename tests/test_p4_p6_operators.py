@@ -545,3 +545,32 @@ def test_snapshot_total_summary_fields(catalog, spark):
     s = t.current_snapshot().summary
     assert s["total-records"] == "39"  # compaction applied the delete
     assert s["total-delete-files"] == "0"
+
+
+def test_column_requiredness_evolution(catalog, spark):
+    """makeColumnOptional always safe; requireColumn refuses without
+    allow_incompatible_changes (SchemaUpdate.java)."""
+    import pytest as _pt
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType(), nullable=False),
+        T.StructField("v", T.StringType())])
+    t = catalog.create_table("db.reqevo", schema)
+    assert t.schema.find_field("id").required
+    t.update_schema().make_column_optional("id").commit()
+    t = t.refresh()
+    assert not t.schema.find_field("id").required
+    with _pt.raises(ValueError, match="required"):
+        t.update_schema().require_column("id").commit()
+    t.update_schema().require_column(
+        "id", allow_incompatible_changes=True).commit()
+    t = t.refresh()
+    assert t.schema.find_field("id").required
+    # SQL surface
+    from iceberg_spark.sql import SqlEngine
+
+    eng = SqlEngine(spark, catalog)
+    eng.sql("ALTER TABLE db.reqevo ALTER COLUMN id DROP NOT NULL")
+    assert not catalog.load_table("db.reqevo").schema.find_field("id").required
+    with _pt.raises(ValueError, match="SET NOT NULL"):
+        eng.sql("ALTER TABLE db.reqevo ALTER COLUMN id SET NOT NULL")
