@@ -517,15 +517,36 @@ def _mk_pos_delete_file(path, n, size, ref, min_pos, max_pos, partition,
 def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
     """Write equality-delete files (format/spec.md:1415): rows of key
     columns; equality_ids carry the field ids. Range-clustered so the
-    planner's key-range scoping can skip them."""
-    schema = table.schema
+    planner's key-range scoping can skip them.
+
+    When every partition-spec source column is among the delete keys,
+    files fan out PARTITION-SCOPED (the Flink equality writer's shape:
+    one delete file per partition, partition tuple recorded), so
+    partition-pruned scans skip unrelated equality deletes EXACTLY —
+    at streaming-upsert scale the delete set a task reads is its own
+    partition's, not the table's."""
+    schema, spec = table.schema, table.metadata.spec
     ids = tuple(schema.find_field(c).field_id for c in columns)
     from .locations import new_data_dir
 
     out_dir = new_data_dir(table, prefix="eqdel-")
-    keys = (keys_df.select(*columns).distinct()
-            .repartitionByRange(*[F.col(c) for c in columns])
-            .sortWithinPartitions(*columns))
+    pby, pcols = [], []
+    if spec.fields and all(
+            schema.field_by_id(pf.source_id).name in columns
+            for pf in spec.fields):
+        for pf in spec.fields:
+            src = schema.field_by_id(pf.source_id)
+            pby.append(f"_p_{pf.name}")
+            pcols.append(pf.transform.spark_col(F.col(src.name), src.type)
+                         .alias(f"_p_{pf.name}"))
+    keys = keys_df.select(*columns).distinct()
+    if pby:
+        keys = (keys.select(*columns, *pcols)
+                .repartition(*[F.col(c) for c in pby])
+                .sortWithinPartitions(*columns))
+    else:
+        keys = (keys.repartitionByRange(*[F.col(c) for c in columns])
+                .sortWithinPartitions(*columns))
     # equality-delete files carry real column VALUES — on an encrypted
     # table they encrypt like data files (position deletes stay
     # plaintext: the engine never writes the optional row payload, so
@@ -533,21 +554,34 @@ def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
     from .parquet_crypto import table_encryption
 
     enc = table_encryption(table.metadata.properties)
+    pnames = [pf.name for pf in spec.fields] if pby else []
+    ptypes = dict(spec.partition_type(schema)) if pby else {}
+    partitions: dict = {}
     if enc is not None:
         from .writes import _write_encrypted_files
 
-        paths, _parts = _write_encrypted_files(keys, out_dir, [], enc,
-                                               {}, None)
+        paths, partitions = _write_encrypted_files(keys, out_dir, pnames,
+                                                   enc, {}, None)
     else:
-        keys.write.parquet(out_dir)
-        paths = [_fio.strip_scheme(p) for p in
-                 _fio.resolve_io(out_dir, table.spark).walk_files(out_dir)
-                 if p.endswith(".parquet")]
+        if pby:
+            keys.write.partitionBy(*pby).parquet(out_dir)
+        else:
+            keys.write.parquet(out_dir)
+        out_plain = _fio.strip_scheme(out_dir)
+        paths = []
+        for p in _fio.resolve_io(out_dir, table.spark).walk_files(out_dir):
+            if p.endswith(".parquet"):
+                p = _fio.strip_scheme(p)
+                paths.append(p)
+                if pby:
+                    partitions[p] = partition_values_from_path(
+                        os.path.relpath(p, out_plain), pnames, ptypes)
     from .manifests import EQUALITY_DELETES
     from .schema import Schema as S
 
     del_schema = S(tuple(schema.find_field(c) for c in columns))
     files = collect_data_files(paths, del_schema, table.spec,
+                               partitions if pby else None,
                                content=EQUALITY_DELETES, spark=table.spark,
                                decryption=enc[1] if enc else None)
     if enc is not None:
@@ -555,8 +589,8 @@ def write_equality_deletes(table, keys_df: DataFrame, columns: list) -> list:
 
         km = encode_key_metadata(enc[0])
         files = [replace(f, key_metadata=km) for f in files]
-    return [replace(f, partition={}, equality_ids=ids,
-                    write_schema_id=schema.schema_id)
+    return [replace(f, equality_ids=ids, write_schema_id=schema.schema_id,
+                    **({} if pby else {"partition": {}}))
             for f in files if f.record_count > 0]
 
 

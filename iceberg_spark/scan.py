@@ -333,6 +333,21 @@ class TableScan:
                 # data files whose key-column ranges overlap its own
                 # (DeleteFileIndex partition/metrics scoping). Conservative:
                 # compare against the union range of surviving data files.
+                # Partition-scoped equality deletes (Flink writer shape:
+                # partition tuple recorded when spec sources ⊆ key columns)
+                # additionally prune by exact partition match, same rules
+                # as the pos-delete bucketed lookup above.
+                def _eq_pkey(f):
+                    items = tuple(sorted(
+                        (k, v) for k, v in f.partition.items()
+                        if v is not None))
+                    return (f.spec_id, items) if items else None
+
+                eq_live_parts = {k for k in
+                                 (_eq_pkey(e.file) for e in data_entries)
+                                 if k is not None}
+                eq_live_specs = {e.file.spec_id for e in data_entries}
+
                 def key_ranges(name):
                     mns = [e.file.stats[name][0] for e in data_entries
                            if e.file.stats.get(name) and e.file.stats[name][0] is not None]
@@ -341,6 +356,11 @@ class TableScan:
                     return (min(mns), max(mxs)) if mns and mxs else None
 
                 def eq_may_apply(d):
+                    key = _eq_pkey(d.file)
+                    if (key is not None and eq_live_parts
+                            and eq_live_specs == {d.file.spec_id}
+                            and key not in eq_live_parts):
+                        return False
                     for fid in d.file.equality_ids:
                         try:
                             name = schema.field_by_id(fid).name

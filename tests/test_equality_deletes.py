@@ -145,3 +145,34 @@ def test_upsert_eq_deletes_survive_column_rename(catalog, spark):
     got = {r.id2: r.v for r in t.to_df().collect()}
     assert got[3] == "NEW3" and got[100] == "NEW100"
     assert len(got) == 9
+
+
+def test_partition_scoped_equality_deletes(catalog, spark):
+    """When spec source columns are a subset of the delete key columns,
+    equality deletes fan out partition-scoped (Flink equality-writer
+    shape): tuples recorded, partition-pruned scans attach none."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark import col
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("grp", T.IntegerType()),
+                           T.StructField("id", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    t = catalog.create_table("db.eqpart", schema, partition_by=["grp"])
+    t.append(spark.createDataFrame(
+        [(i % 3, i, f"v{i}") for i in range(30)], schema))
+    keys = spark.createDataFrame([(0, 0), (1, 1)], "grp int, id long")
+    dels = write_equality_deletes(t, keys, ["grp", "id"])
+    assert all(d.partition.get("grp") is not None for d in dels)
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    assert t.to_df().count() == 28
+    # scan of an untouched partition attaches ZERO equality deletes
+    plan = t.scan(filter=col("grp") == 2).plan_files()
+    assert plan.files and not plan.eq_deletes
+    # touched partition attaches only its own partition's delete file
+    plan1 = t.scan(filter=col("grp") == 1).plan_files()
+    assert all(d.file.partition.get("grp") == 1 for d in plan1.eq_deletes)
+    assert t.scan(filter=col("grp") == 1).df().count() == 9
