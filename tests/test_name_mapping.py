@@ -111,3 +111,42 @@ def test_mapping_survives_export_roundtrip(catalog, spark, tmp_path):
     back, _n, _f = register_iceberg_table(catalog, mpath, "db.nmap_back")
     assert NM.PROP in back.metadata.properties
     assert back.to_df().filter("val = 'a'").count() == 1
+
+
+def test_update_mapping_properties_hypothesis():
+    """Property check (hypothesis): for any rename sequence, the mapping
+    keeps every historical alias, maps each field id exactly once at top
+    level, and re-applying the same update is idempotent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    names = st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+                     min_size=1, max_size=6, unique=True)
+
+    @settings(max_examples=60, deadline=None)
+    @given(names, st.data())
+    def prop(cols, data):
+        schema = Schema(tuple(
+            NestedField(i + 1, n, "string", False)
+            for i, n in enumerate(cols)))
+        m = NM.create_mapping(schema)
+        renames = {}
+        for f in schema.fields:
+            if data.draw(st.booleans()):
+                renames[f.field_id] = f.name + "_r"
+        out = NM.update_mapping(m, renames, [])
+        # every original name survives; renamed ids gain the alias
+        for f in schema.fields:
+            ns = NM.names_for_id(out, f.field_id)
+            assert f.name in ns
+            if f.field_id in renames:
+                assert renames[f.field_id] in ns
+        # idempotent
+        assert NM.update_mapping(out, renames, []) == out
+        # each top-level id mapped once
+        ids = [e.get("field-id") for e in out]
+        assert len(ids) == len(set(ids))
+        # serialization round-trip
+        assert NM.parse_mapping(NM.to_json(out)) == out
+
+    prop()
