@@ -55,14 +55,14 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import unquote
 
 
-def _table_etag(catalog, ident: str, mode: str):
+def _table_etag(catalog, ident: str, mode: str, table=None):
     """Weak ETag for loadTable responses (open-api parameters/etag):
     committed metadata version N + table uuid + snapshots mode. Any
     metadata change (schema, properties, snapshots, refs) bumps N, so
     the tag is unique per metadata content; the mode suffix keeps
     `snapshots=all` and `snapshots=refs` representations distinct."""
     try:
-        t = catalog.load_table(ident)
+        t = table if table is not None else catalog.load_table(ident)
         v = t.ops.current_version()
         if v is None:
             return None
@@ -72,7 +72,7 @@ def _table_etag(catalog, ident: str, mode: str):
 
 
 def _load_table_result(catalog, ident: str,
-                       snapshots_mode: str = "all") -> dict:
+                       snapshots_mode: str = "all", table=None) -> dict:
     """snapshots=refs (RESTSessionCatalog snapshot-loading-mode): serve
     only ref-reachable snapshots so huge-history tables don't ship their
     full snapshot list per load; the client lazily re-fetches with
@@ -81,7 +81,7 @@ def _load_table_result(catalog, ident: str,
     payload is trimmed (CatalogHandlers semantics)."""
     from .sources.iceberg import export_reference_metadata
 
-    t = catalog.load_table(ident)
+    t = table if table is not None else catalog.load_table(ident)
     snap = t.current_snapshot()
     tag = str(snap.snapshot_id) if snap else "empty"
     dest = os.path.join(t.location, "metadata-export", f"h{tag}")
@@ -400,14 +400,19 @@ class _Handler(BaseHTTPRequestHandler):
             # + snapshots mode — same version, different `snapshots`
             # param must yield DISTINCT tags (open-api parameters/etag),
             # and the check never triggers the per-snapshot export.
-            etag = _table_etag(cat, ident, mode)
+            try:
+                loaded = cat.load_table(ident)
+            except Exception:
+                loaded = None
+            etag = (_table_etag(cat, ident, mode, table=loaded)
+                    if loaded is not None else None)
             inm = self.headers.get("If-None-Match")
             if etag is not None and inm and etag in {
                     v.strip() for v in inm.split(",")}:
                 return self._json(304, None, headers={"ETag": etag})
             try:
                 return self._json(200, _load_table_result(
-                    cat, ident, snapshots_mode=mode),
+                    cat, ident, snapshots_mode=mode, table=loaded),
                     headers={"ETag": etag} if etag else None)
             except (NotImplementedError, ValueError) as e:
                 # e.g. engine-encrypted data files (the reference layout
