@@ -524,6 +524,13 @@ class CachingCatalog:
         self.invalidate_table(to_id)
         return self._catalog.rename_table(from_id, to_id)
 
+    def register_table(self, identifier: str, *a, **kw):
+        # reference CachingCatalog.registerTable invalidates before
+        # delegating — a cached stale Table must not survive
+        # re-registration of the same identifier
+        self.invalidate_table(identifier)
+        return self._catalog.register_table(identifier, *a, **kw)
+
     def __getattr__(self, name):
         # everything else (list/exists/namespaces/properties/…) passes
         # through uncached, matching the reference (only loadTable and

@@ -1011,17 +1011,23 @@ def collect_data_file(path: str, schema: Schema, spec: PartitionSpec,
                   for sp in getattr(schema, "shredded", ())})
     agg: dict = {}
     csizes: dict = {}
+    # spec: split_offsets is the FULL ascending row-group offset list or
+    # absent — one unreadable offset poisons the whole list (a partial
+    # list would silently drop earlier split points)
     split_offsets = []
+    offsets_ok = True
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
-        try:
-            c0 = g.column(0)
-            split_offsets.append(int(
-                c0.dictionary_page_offset
-                if c0.dictionary_page_offset is not None
-                else c0.data_page_offset))
-        except Exception:
-            split_offsets = []
+        if offsets_ok:
+            try:
+                c0 = g.column(0)
+                split_offsets.append(int(
+                    c0.dictionary_page_offset
+                    if c0.dictionary_page_offset is not None
+                    else c0.data_page_offset))
+            except Exception:
+                split_offsets = []
+                offsets_ok = False
         for ci in range(g.num_columns):
             c = g.column(ci)
             name = c.path_in_schema.split(".")[0]

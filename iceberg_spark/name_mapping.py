@@ -67,7 +67,15 @@ def update_mapping(mapping: list, renames: dict, added) -> list:
     """MappingUtil.update semantics: a renamed field's NEW name joins its
     `names` list (the old physical name stays, so id-less files keep
     resolving); fields not yet mapped gain fresh entries. `renames` maps
-    field_id -> new name; `added` is an iterable of NestedFields."""
+    field_id -> new name; `added` is an iterable of NestedFields.
+
+    Mirrors MappingUtil.UpdateMapping.removeReassignedNames: a name newly
+    assigned to one field id is stripped from any OTHER entry that listed
+    it, so a rename swap (a->tmp then b->a) never leaves two entries both
+    claiming `a` — an ambiguous mapping reference readers would reject."""
+    reassigned = {}  # new name -> owning field id
+    for fid, new_name in renames.items():
+        reassigned[new_name] = fid
     out = []
     seen = set()
     for m in mapping:
@@ -75,6 +83,8 @@ def update_mapping(mapping: list, renames: dict, added) -> list:
         if fid is not None:
             seen.add(fid)
         names = list(m.get("names", []))
+        names = [n for n in names
+                 if n not in reassigned or reassigned[n] == fid]
         if fid in renames and renames[fid] not in names:
             names = names + [renames[fid]]
         mm = dict(m)

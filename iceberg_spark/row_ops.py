@@ -283,6 +283,12 @@ def write_position_deletes(table, matched_df: DataFrame) -> list:
     planning attaches deletes exactly, never by range heuristic."""
     gran = str(table.metadata.properties.get(
         "write.delete.granularity", "partition")).lower()
+    if gran not in ("partition", "file"):
+        # DeleteGranularity.fromString rejects unknown values — a typo
+        # must fail loudly, not silently change the delete layout
+        raise ValueError(
+            f"invalid write.delete.granularity: {gran!r} "
+            "(expected 'partition' or 'file')")
     if gran == "file":
         return _write_position_deletes_file_granularity(table, matched_df)
     from .locations import new_data_dir

@@ -929,6 +929,35 @@ class Catalog:
             raise ValueError(f"table exists: {to_id}")
         self.io.rename(src, dst)
 
+    def register_table(self, identifier: str,
+                       metadata_file_location: str) -> Table:
+        """Catalog.registerTable(ident, metadataFileLocation)
+        (api/.../catalog/Catalog.java:205): register an existing table's
+        metadata under this catalog. Reference-layout metadata (Avro
+        manifest lists) routes through the full-history Iceberg importer;
+        engine-layout metadata copies the table directory by value."""
+        import json as _json
+
+        from . import io as _fio
+
+        try:
+            mj = _json.loads(_fio.read_text(metadata_file_location))
+            mls = [s.get("manifest-list", "")
+                   for s in mj.get("snapshots", [])]
+        except (OSError, ValueError):
+            mls = []
+        if mls and all(m.endswith(".avro") for m in mls):
+            from .sources.iceberg import register_iceberg_table
+
+            t, _n, _f = register_iceberg_table(
+                self, metadata_file_location, identifier)
+            return t
+        loc = self._location(identifier)
+        src_dir = os.path.dirname(os.path.dirname(metadata_file_location))
+        if not self.io.is_dir(loc):
+            _fio.copy_tree(src_dir, loc)
+        return self.load_table(identifier)
+
     # -- namespaces (api/.../catalog/SupportsNamespaces.java) ---------------
     def create_namespace(self, namespace: str, exists_ok: bool = False):
         p = os.path.join(self.warehouse, *namespace.split("."))

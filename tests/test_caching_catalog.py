@@ -51,3 +51,26 @@ def test_wrap_honors_properties(catalog):
     assert isinstance(w, CachingCatalog)
     w2 = CachingCatalog.wrap(catalog, {"cache.expiration-interval-ms": -1})
     assert isinstance(w2, CachingCatalog) and w2._ttl < 0
+
+
+def test_register_table_invalidates(catalog, spark, tmp_path):
+    """reference CachingCatalog.registerTable: re-registering an
+    identifier must evict the cached stale Table immediately, not at
+    TTL."""
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    cc = CachingCatalog(catalog, expiration_interval_ms=-1)
+    t = cc.create_table("db.cc_src", _schema())
+    t.append(spark.createDataFrame([(1, "x"), (2, "y")], _schema()))
+    mpath = export_reference_metadata(t.refresh(), str(tmp_path / "exp"))
+
+    cc.create_table("db.cc_reg", _schema())
+    stale = cc.load_table("db.cc_reg")
+    assert stale.to_df().count() == 0
+    # drop only through the DELEGATE — the wrapper must not rely on the
+    # drop's invalidation; register_table alone has to evict
+    catalog.drop_table("db.cc_reg")
+    cc.register_table("db.cc_reg", mpath)
+    fresh = cc.load_table("db.cc_reg")
+    assert fresh is not stale
+    assert fresh.to_df().count() == 2

@@ -164,3 +164,13 @@ def test_rewrite_regroups_to_file_granularity(catalog, spark):
     assert len(after) == 4
     assert all(d.file.referenced_data_file for d in after)
     assert t.to_df().count() == 76
+
+
+def test_invalid_granularity_rejected(catalog, spark):
+    """DeleteGranularity.fromString rejects unknown values — a typo must
+    fail loudly, not silently fall back to partition layout."""
+    t, _ = _simple(catalog, spark, "db.fgran_bad", 20, 2, properties={
+        "write.delete.mode": "merge-on-read",
+        "write.delete.granularity": "files"})  # typo
+    with pytest.raises(ValueError, match="granularity"):
+        t.delete_where(col("id") == 3)

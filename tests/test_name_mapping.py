@@ -42,6 +42,24 @@ def test_update_mapping_rename_keeps_alias_and_adds_fields():
     assert NM.names_for_id(out, 2) == ["data", "payload"]
 
 
+def test_update_mapping_removes_reassigned_names():
+    """MappingUtil.UpdateMapping.removeReassignedNames: a rename swap
+    (a->tmp then b->a) must strip `a` from the entry that previously
+    owned it — two entries both listing `a` would be ambiguous for
+    reference readers resolving id-less files."""
+    m = [{"field-id": 1, "names": ["a"]},
+         {"field-id": 2, "names": ["b"]}]
+    out = NM.update_mapping(m, {1: "tmp", 2: "a"}, [])
+    assert out[0]["names"] == ["tmp"]  # 'a' reassigned away from id 1
+    assert out[1]["names"] == ["b", "a"]
+    # exactly one top-level entry claims each name
+    claims = {}
+    for e in out:
+        for n in e["names"]:
+            assert n not in claims, f"name {n} claimed twice"
+            claims[n] = e["field-id"]
+
+
 def test_parse_mapping_validates():
     with pytest.raises(ValueError):
         NM.parse_mapping('{"field-id": 1}')  # not a list
