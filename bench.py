@@ -621,7 +621,7 @@ def main():
         if not (_nf and _df):
             continue
         mratios = []
-        for _ in range(7):
+        for _ in range(9):
             t0 = time.perf_counter(); _nf(); a = time.perf_counter() - t0
             t0 = time.perf_counter(); _df(); b = time.perf_counter() - t0
             mratios.append(a / b)

@@ -833,11 +833,75 @@ def _stats_filter_column(bound: E.Expr, schema: Schema, df: DataFrame):
 POS_DELETE_DRIVER_BYTES = 16 * 1024 * 1024
 POS_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
 POS_DELETE_MAX_LITERAL_RANGES = 256
+EQ_DELETE_DRIVER_BYTES = 1024 * 1024
+EQ_DELETE_MAX_LITERAL_KEYS = 65_536
+# literal NOT-IN needs exact value semantics under isin(); float/double
+# NaN and timestamp zone coercion make those types join-path only
+_EQ_LITERAL_TYPES = ("int", "long", "string", "date")
 
 
 def _conf_int(spark, key: str, default: int) -> int:
     v = spark.conf.get(key, None)
     return int(v) if v is not None else default
+
+
+# (session id, sorted delete-file paths, column name) -> filter Column.
+# Delete files are immutable (uuid-named, never rewritten in place), so
+# the literal NOT-IN filter built from them can be reused across every
+# re-plan of the same snapshot — building 1500 Literal objects through
+# py4j costs ~1s, executing the cached codegen'd filter costs ~0.
+_EQ_LITERAL_FILTER_CACHE: dict = {}
+_EQ_LITERAL_FILTER_CACHE_CAP = 256
+
+
+def _eq_delete_literal_keys(metadata, schema, fid: int, dels, spark):
+    """Driver-side read of a SMALL single-column equality-delete set,
+    returning (sorted key list, saw_null) — or None when the set is too
+    big, encrypted with a raw footer DEK, non-parquet, or the key type
+    lacks exact literal semantics. Mirrors the pos-delete literal-range
+    fast path: a codegen'd NOT-IN filter replaces a whole anti-join
+    stage (and its delete-file read job) for the dominant Flink-upsert
+    layout of many tiny PK delete files. The byte cap bounds driver
+    memory the same way POS_DELETE_DRIVER_BYTES does; big delete sets
+    keep the distributed anti-join."""
+    ftype = schema.field_by_id(fid).type
+    if not (isinstance(ftype, str)
+            and (ftype in _EQ_LITERAL_TYPES
+                 or ftype.startswith("decimal"))):
+        return None
+    limit = _conf_int(spark, "spark.iceberg_spark.mor.eqDeleteDriverBytes",
+                      EQ_DELETE_DRIVER_BYTES)
+    if sum(d.file.file_size_in_bytes or 0 for d in dels) > limit:
+        return None
+    if any(d.file.file_format != "parquet" for d in dels):
+        return None
+    keys: set = set()
+    saw_null = False
+    for d in dels:
+        try:
+            wsch = metadata.schema_by_id(d.file.write_schema_id)
+        except KeyError:
+            wsch = schema
+        name = wsch.field_by_id(fid).name
+        if d.file.key_metadata:
+            from .parquet_crypto import (file_crypto, read_encrypted,
+                                         resolve_key)
+
+            fc = file_crypto(d.file.key_metadata)
+            if fc[0] == "raw":
+                return None  # pyarrow cannot open raw-footer-key parquet
+            tbl = read_encrypted(d.file.file_path, resolve_key(fc[1]),
+                                 columns=[name])
+        else:
+            tbl = _io.read_parquet(d.file.file_path, columns=[name])
+        for v in tbl.column(name).to_pylist():
+            if v is None:
+                saw_null = True
+            else:
+                keys.add(v)
+        if len(keys) > EQ_DELETE_MAX_LITERAL_KEYS:
+            return None
+    return sorted(keys), saw_null
 
 
 def _pos_delete_bytes(plan: ScanPlan) -> int:
@@ -1888,6 +1952,39 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                      .drop("__seq_file")
         for ids, dels in by_ids.items():
             key_cols = [schema.field_by_id(i).name for i in ids]
+            if uniform_eq and len(ids) == 1:
+                # small single-key delete sets inline as a codegen'd
+                # NOT-IN filter — no join stage, no per-scan delete-file
+                # read job, and the In predicate reaches parquet
+                # row-group stats. NULL semantics match the anti-join's
+                # eqNullSafe: a NULL row survives unless some delete row
+                # carried a NULL key.
+                ck = (id(spark),
+                      tuple(sorted(d.file.file_path for d in dels)),
+                      key_cols[0])
+                cond = _EQ_LITERAL_FILTER_CACHE.get(ck, False)
+                if cond is False:
+                    cond = None
+                    lit = _eq_delete_literal_keys(metadata, schema,
+                                                  ids[0], dels, spark)
+                    if lit is not None:
+                        keys, saw_null = lit
+                        c = F.col(key_cols[0])
+                        if saw_null:
+                            cond = c.isNotNull()
+                            if keys:
+                                cond = cond & ~c.isin(keys)
+                        elif keys:
+                            cond = c.isNull() | ~c.isin(keys)
+                        else:
+                            cond = F.lit(True)  # empty delete set: no-op
+                    if len(_EQ_LITERAL_FILTER_CACHE) >= \
+                            _EQ_LITERAL_FILTER_CACHE_CAP:
+                        _EQ_LITERAL_FILTER_CACHE.clear()
+                    _EQ_LITERAL_FILTER_CACHE[ck] = cond
+                if cond is not None:
+                    out = out.filter(cond)
+                    continue
             if uniform_eq:
                 # explicit schema read (skips the inference job); deletes
                 # apply to every scanned file, so no seq columns at all.

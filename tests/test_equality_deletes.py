@@ -176,3 +176,69 @@ def test_partition_scoped_equality_deletes(catalog, spark):
     plan1 = t.scan(filter=col("grp") == 1).plan_files()
     assert all(d.file.partition.get("grp") == 1 for d in plan1.eq_deletes)
     assert t.scan(filter=col("grp") == 1).df().count() == 9
+
+
+def test_eq_literal_filter_fast_path(catalog, spark):
+    """Small single-key delete sets committed AFTER the data (uniform
+    sequence layout) apply as a codegen'd NOT-IN filter — no join stage
+    in the plan — with anti-join-identical semantics, including NULL
+    keys: a NULL delete key removes NULL rows (eqNullSafe), and NULL
+    data rows survive otherwise."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.lit", schema)
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(10)] + [(None, 99.0)], schema))
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(3,), (7,)], ["id"]), ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    df = t.to_df()
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    got = sorted((r.id, r.v) for r in df.collect()
+                 if r.id is not None)
+    assert [g[0] for g in got] == [0, 1, 2, 4, 5, 6, 8, 9]
+    assert df.filter("id is null").count() == 1  # NULL row survives
+
+    # now delete the NULL key: eqNullSafe removes the NULL row too
+    dels2 = write_equality_deletes(
+        t, spark.createDataFrame([(None,)], schema["id"].dataType and
+                                 T.StructType([schema["id"]])), ["id"])
+    RowDelta(t, [], dels2).commit()
+    t = t.refresh()
+    assert t.to_df().filter("id is null").count() == 0
+    assert t.to_df().count() == 8
+
+
+def test_eq_literal_filter_falls_back_when_big(catalog, spark):
+    """Above the driver-bytes cap the distributed anti-join applies —
+    same result either way (the cap only picks the strategy)."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.big", schema)
+    t.append(spark.createDataFrame([(i, float(i)) for i in range(50)],
+                                   schema))
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(i,) for i in range(0, 50, 5)], ["id"]),
+        ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    spark.conf.set("spark.iceberg_spark.mor.eqDeleteDriverBytes", "1")
+    try:
+        df = t.to_df()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan  # anti-join path
+        assert df.count() == 40
+    finally:
+        spark.conf.unset("spark.iceberg_spark.mor.eqDeleteDriverBytes")
+    assert t.to_df().count() == 40  # literal path agrees
