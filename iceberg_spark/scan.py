@@ -1539,11 +1539,27 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                                 and {f.name for f in ft}
                                 >= {"metadata", "value"}):
                             native.add(vn)
-                _var_cache[p] = tuple(sorted(native))
+                comps = tuple(sorted(
+                    n for n in foot.names if n.startswith("_shred_f")))
+                _var_cache[p] = (tuple(sorted(native)), comps)
             except Exception:
                 # pyarrow refuses the parquet VARIANT logical type at the
-                # footer — that refusal IS the native-encoding marker
-                _var_cache[p] = tuple(sorted(vnames))
+                # footer — that refusal IS the native-encoding marker.
+                # The JVM footer reader still answers whether the file
+                # physically carries engine companion columns (it won't
+                # for imported spec-shredded files, whose typed_value
+                # groups live INSIDE the variant column): the companion
+                # set joins the group key so the physical-pushdown
+                # rewrite below never targets a file lacking the column.
+                try:
+                    from .variant_shred import jvm_top_level_columns
+
+                    cols = jvm_top_level_columns(spark, p)
+                    comps = tuple(sorted(
+                        c for c in cols if c.startswith("_shred_f")))
+                except Exception:
+                    comps = ()
+                _var_cache[p] = (tuple(sorted(vnames)), comps)
         return _var_cache[p]
 
     # Fifth key: encryption key id (data_file.key_metadata) — encrypted
@@ -1663,12 +1679,19 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                     yield e
 
             seen_shred = set()
+            # physical-presence gate: every file in this group carries
+            # the companion column in its FOOTER (the _var_sig probe put
+            # the companion set in the group key). Stats presence is not
+            # enough — imported spec-shredded files carry companion
+            # STATS from the manifest but no physical `_shred_f` column;
+            # filtering a null-read column there would drop every row.
+            group_comps = _vsig[1] if len(_vsig) == 2 else ()
             for c in _conjs(plan.residual):
                 sn = (getattr(c.term, "stats_name", None)
                       if isinstance(c, E.BoundPredicate) else None)
                 if not sn:
                     continue
-                if not all(sn in (e.file.stats or {}) for e in entries):
+                if sn not in group_comps:
                     continue  # a file may lack the companion: skip group
                 shred_pre.append(c)
                 if sn not in seen_shred:

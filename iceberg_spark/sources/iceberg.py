@@ -314,7 +314,7 @@ def _parse_table(source: str):
 
 def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                       cur_schema: int, location: str = None,
-                      table_keys=None) -> list:
+                      table_keys=None, shredded=()) -> list:
     """All live (status != DELETED) entries of one snapshot's manifest
     list, as plain dicts {content, path, format, spec_id, partition,
     record_count, file_size, seq, equality_ids, referenced_data_file,
@@ -468,7 +468,8 @@ def _snapshot_entries(snap: dict, specs: dict, schemas: dict,
                 "sort_order_id": df.get("sort_order_id"),
                 "first_row_id": _frid,
                 "key_metadata": km or None,
-                "stats": _manifest_entry_stats(df, schemas[m_schema_id]),
+                "stats": _manifest_entry_stats(df, schemas[m_schema_id],
+                                               shredded),
                 "column_sizes": _entry_column_sizes(
                     df, schemas[m_schema_id]),
                 "split_offsets": tuple(df.get("split_offsets") or ()),
@@ -587,31 +588,39 @@ def _encode_single_value(v, t: str):
     return None
 
 
-def _entry_metric_maps(stats: dict, schema, column_sizes=None) -> dict:
+def _entry_metric_maps(stats: dict, schema, column_sizes=None,
+                       shredded=()) -> dict:
     """Engine DataFile.stats -> reference manifest metric maps
     ([{"key": fid, "value": ...}] per column, spec-serialized bounds) so
     an exported table prunes (and re-imports metadata-only) exactly like
-    a reference-written one."""
+    a reference-written one. Declared shredded paths emit their bounds
+    under the deterministic synthetic field ids (reserved block —
+    readers that don't know them ignore them; re-import derives the
+    same ids from the carried properties and restores the stats)."""
     if not stats:
         return {}
     vc, nulls, nans, lob, upb = [], [], [], [], []
-    for f in schema.fields:
-        s = stats.get(f.name)
-        if s is None or not isinstance(f.type, str):
+    stat_fields = [(f.field_id, f.name, f.type) for f in schema.fields
+                   if isinstance(f.type, str)]
+    stat_fields += [(sp.field_id, sp.stats_name, sp.type)
+                    for sp in shredded]
+    for fid, name, ftype in stat_fields:
+        s = stats.get(name)
+        if s is None:
             continue
         mn, mx, nu, na, cnt = s
         if cnt is not None:
-            vc.append({"key": f.field_id, "value": int(cnt)})
+            vc.append({"key": fid, "value": int(cnt)})
         if nu is not None:
-            nulls.append({"key": f.field_id, "value": int(nu)})
+            nulls.append({"key": fid, "value": int(nu)})
         if na is not None:
-            nans.append({"key": f.field_id, "value": int(na)})
-        b = _encode_single_value(mn, f.type)
+            nans.append({"key": fid, "value": int(na)})
+        b = _encode_single_value(mn, ftype)
         if b is not None:
-            lob.append({"key": f.field_id, "value": b})
-        b = _encode_single_value(mx, f.type)
+            lob.append({"key": fid, "value": b})
+        b = _encode_single_value(mx, ftype)
         if b is not None:
-            upb.append({"key": f.field_id, "value": b})
+            upb.append({"key": fid, "value": b})
     cs = []
     for f in schema.fields:
         v = (column_sizes or {}).get(f.name)
@@ -642,7 +651,7 @@ def _fid_map(v) -> dict:
     return out
 
 
-def _manifest_entry_stats(df_record: dict, schema) -> dict:
+def _manifest_entry_stats(df_record: dict, schema, shredded=()) -> dict:
     """Engine stats dict {name: (min, max, nulls, nans, value_count)}
     decoded from a reference manifest entry's metric columns — the only
     stats source for files whose footers the engine cannot open
@@ -670,16 +679,19 @@ def _manifest_entry_stats(df_record: dict, schema) -> dict:
     if not (vc or nulls or lo or hi):
         return {}
     out = {}
-    for f in schema.fields:
-        if not isinstance(f.type, str):
-            continue  # engine stats cover top-level primitives
-        fid = f.field_id
+    stat_fields = [(f.field_id, f.name, f.type) for f in schema.fields
+                   if isinstance(f.type, str)]
+    # engine stats cover top-level primitives; declared shredded paths
+    # decode their synthetic-id metrics back into companion stats keys
+    stat_fields += [(sp.field_id, sp.stats_name, sp.type)
+                    for sp in shredded]
+    for fid, name, ftype in stat_fields:
         if (fid not in vc and fid not in nulls and fid not in lo
                 and fid not in hi):
             continue
-        out[f.name] = (
-            _decode_single_value(lo.get(fid), f.type),
-            _decode_single_value(hi.get(fid), f.type),
+        out[name] = (
+            _decode_single_value(lo.get(fid), ftype),
+            _decode_single_value(hi.get(fid), ftype),
             int(nulls[fid]) if fid in nulls else None,
             int(nans[fid]) if fid in nans else None,
             int(vc[fid]) if fid in vc else None,
@@ -703,11 +715,15 @@ def read_iceberg_snapshot(source: str, kms_unwrap=None):
     the reference too, KeyManagementClient.java)."""
     md, schemas, cur_schema, specs, default_spec = _parse_table(source)
     snap = _current_snapshot(md)
+    from ..schema import shredded_paths as _sps
+
+    _shred = _sps(schemas[cur_schema], md.get("properties") or {})
     entries = ([] if snap is None
                else _snapshot_entries(snap, specs, schemas, cur_schema,
                                       location=md.get("location"),
                                       table_keys=_table_keys(md,
-                                                             kms_unwrap)))
+                                                             kms_unwrap),
+                                      shredded=_shred))
     return (schemas, cur_schema, specs, default_spec, entries,
             dict(md.get("properties") or {}), md)
 
@@ -905,9 +921,13 @@ def replay_snapshot_onto(catalog, table, snap_json: dict,
     schemas = {s.schema_id: s for s in meta.schemas}
     specs = {sp.spec_id: sp for sp in meta.partition_specs}
     cur = meta.current_schema_id
+    from ..schema import shredded_paths as _sps
+
     entries = _snapshot_entries(snap_json, specs, schemas, cur,
                                 location=meta.location,
-                                table_keys=table_keys)
+                                table_keys=table_keys,
+                                shredded=_sps(schemas[cur],
+                                              meta.properties))
     _refuse_plaintext_dek_sink(
         entries, [getattr(table, "ops", None), catalog],
         allow_plaintext_key_metadata)
@@ -1253,9 +1273,12 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str,
     chain.reverse()
 
     tk = _table_keys(md, kms_unwrap)
+    from ..schema import shredded_paths as _sps
+
+    _shred = _sps(schemas[cur_schema], md.get("properties") or {})
     per_snap = [(snap, _snapshot_entries(snap, specs, schemas, cur_schema,
                                          location=md.get("location"),
-                                         table_keys=tk))
+                                         table_keys=tk, shredded=_shred))
                 for snap in chain]
     for _snap, _ents in per_snap:
         _refuse_plaintext_dek_sink(_ents, [catalog],
@@ -1562,7 +1585,8 @@ def export_reference_metadata(table, dest_root: str,
                               encryption_key: bytes = None,
                               transcode_encrypted_data: bool = False,
                               format_version: int = None,
-                              reuse_manifests_from: str = None) -> str:
+                              reuse_manifests_from: str = None,
+                              shred_physical: bool = None) -> str:
     """Write a reference-layout Iceberg metadata tree (metadata JSON +
     Avro manifest list/manifests, the TableMetadataParser.java /
     ManifestLists.java shapes) for an engine table, pointing at the
@@ -1673,6 +1697,9 @@ def export_reference_metadata(table, dest_root: str,
     cache = {}
     transcode_map: dict = {}  # filled before snapshot_files runs
     dv_transcode_map: dict = {}  # (path, ref, offset) -> new DV fields
+    from ..schema import shredded_paths as _shredded_paths
+
+    export_shredded = _shredded_paths(schema, table.metadata.properties)
 
     def entry(e, content):
         f = e.file
@@ -1735,11 +1762,17 @@ def export_reference_metadata(table, dest_root: str,
                 del out["key_metadata"]
         # metric maps from the engine's stats: a reference reader prunes
         # the export exactly like a table it wrote itself, and an
-        # engine round-trip re-imports METADATA-ONLY (no footer pass)
+        # engine round-trip re-imports METADATA-ONLY (no footer pass).
+        # Shredded-companion stats ride under their synthetic field ids
+        # (reserved block, ignored by readers that don't know them; the
+        # importer maps them back so extract() pruning survives the
+        # round trip).
         out.update(_entry_metric_maps(
             f.stats, schemas.get(f.write_schema_id, schema),
-            column_sizes=f.column_sizes))
-        if f.split_offsets:
+            column_sizes=f.column_sizes, shredded=export_shredded))
+        if f.split_offsets and out["path"] == f.file_path:
+            # transcoded copies have different row-group boundaries —
+            # stale offsets would mis-split in a reference reader
             out["split_offsets"] = list(f.split_offsets)
         cache[ck] = out
         return out
@@ -1798,6 +1831,60 @@ def export_reference_metadata(table, dest_root: str,
         tmap, dvmap = _build_transcode_map(table, chain, dest_root)
         transcode_map.update(tmap)
         dv_transcode_map.update(dvmap)
+    # spec-physical variant shredding (variant_shred.py): tables with
+    # declared `write.variant.shred.*` paths transcode their plaintext
+    # parquet data files into the reference's typed_value layout
+    # (engine companion columns dropped), so a reference reader gets
+    # real shredding instead of a plain variant column. Auto when paths
+    # are declared; shred_physical=False keeps by-reference export.
+    if shred_physical is not False and chain:
+        from ..schema import shredded_paths
+        from ..variant_shred import shredding_ddl, transcode_shredded_file
+
+        shred_decl = shredded_paths(schema, table.metadata.properties)
+        shred_ddl = shredding_ddl(shred_decl)
+        if shred_ddl:
+            drop_cols = tuple(sp.stats_name for sp in shred_decl)
+            sdir = os.path.join(dest_root, "data")
+            var_wsids = {
+                s.schema_id for s in table.metadata.schemas
+                if any(f.type == "variant" for f in s.fields)}
+            plans = [table.new_scan().use_snapshot(s.snapshot_id)
+                     .plan_files() for s in chain]
+            moved: dict = {}
+            for plan in plans:
+                for e in plan.files:
+                    f = e.file
+                    if (f.file_path in transcode_map
+                            or f.file_path in moved
+                            or f.key_metadata is not None
+                            or f.file_format != "parquet"
+                            or f.write_schema_id not in var_wsids):
+                        continue
+                    moved[f.file_path] = (
+                        transcode_shredded_file(
+                            table.spark, f.file_path, sdir, shred_ddl,
+                            drop_cols=drop_cols),
+                        None)
+            if moved:
+                transcode_map.update(moved)
+                data_map = {old: new for old, (new, _s) in moved.items()}
+                # plaintext pos-delete CONTENT names the moved data
+                # paths: rewrite those files with the path remap (DV
+                # container payloads likewise)
+                for plan in plans:
+                    for d in plan.pos_deletes:
+                        if (d.file.file_format == "puffin"
+                                or d.file.file_path in transcode_map
+                                or d.file.key_metadata is not None):
+                            continue
+                        transcode_map[d.file.file_path] = \
+                            _transcode_kms_file(
+                                table.spark, d.file.file_path, None,
+                                sdir, ["file_path", "pos"],
+                                path_map=data_map)
+                dv_transcode_map.update(
+                    _transcode_dv_containers(plans, data_map, sdir))
     snaps = [{"files": snapshot_files(s), "snapshot_id": s.snapshot_id,
               "timestamp_ms": s.timestamp_ms,
               "operation": s.operation,

@@ -2386,6 +2386,87 @@ def iceberg_export_v4_roundtrip_scan(spark, sf_dir):
             .orderBy("s_nationkey"))
 
 
+def iceberg_export_shredded_roundtrip_scan(spark, sf_dir):
+    """SPEC-PHYSICAL variant shredding on export (reference parquet/.../
+    ParquetVariantVisitor.java, VariantShreddingFunction.java; Parquet
+    VariantShredding.md): a table with declared `write.variant.shred.*`
+    paths exports its data files transcoded into the typed_value layout
+    — the variant group gains `optional group typed_value { required
+    group <field> { optional binary value; optional <T> typed_value } }`
+    and the engine's `_shred_f…` companion columns are dropped — so a
+    reference reader gets REAL shredding from the exported files, not a
+    plain variant column. Companion bounds ride the exported manifests
+    under their synthetic field ids and the importer maps them back, so
+    extract() file pruning survives the round trip (asserted)."""
+    key = ("icebergexp_shred", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .sources.iceberg import (export_reference_metadata,
+                                      register_iceberg_table)
+        from .variant_shred import jvm_parquet_schema
+
+        cat = _warehouse(spark)
+        for ident in (f"icebergexp_shred_src_{_sf_key(sf_dir)}",
+                      f"icebergexp_shred_back_{_sf_key(sf_dir)}"):
+            if cat.table_exists(ident):
+                cat.drop_table(ident)
+        docs = load_table(spark, sf_dir, "documents")
+        df = docs.select(
+            "doc_id",
+            F.parse_json(F.concat(
+                F.lit('{"len": '), F.length("text").cast("string"),
+                F.lit(', "key": '), F.col("doc_id").cast("string"),
+                F.lit('}'))).alias("meta"))
+        ident = f"icebergexp_shred_src_{_sf_key(sf_dir)}"
+        t = cat.create_table(ident, df.schema, properties={
+            "write.variant.shred.meta": "$.len:long;$.key:long"})
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        step = mx // 4 + 1
+        for lo in range(0, mx + 1, step):  # doc_id-clustered files
+            t.append(df.filter((F.col("doc_id") >= lo)
+                               & (F.col("doc_id") < lo + step)))
+        t = cat.load_table(ident)
+        dest = tempfile.mkdtemp(prefix="iceberg_export_shred_")
+        mp = export_reference_metadata(t, dest)
+        back = f"icebergexp_shred_back_{_sf_key(sf_dir)}"
+        t2, _n_snaps, n_files = register_iceberg_table(cat, dest, back)
+        assert n_files == len(t.scan().plan_files().files)
+        # every exported data file carries the spec-physical layout
+        for e in t2.scan().plan_files().files:
+            phys = jvm_parquet_schema(spark, e.file.file_path)
+            assert "typed_value" in phys, e.file.file_path
+            assert "_shred_f" not in phys, e.file.file_path
+        hi = mx - mx // 8
+        pruned = t2.scan(
+            filter=E.extract("meta", "$.key", "long") >= hi).plan_files()
+        total = len(t2.scan().plan_files().files)
+        assert 0 < len(pruned.files) < total, (
+            "imported shredded files must still FILE-prune on extract() "
+            f"bounds: {len(pruned.files)}/{total}")
+        _STATE[key] = (back, hi)
+    back, hi = _STATE[key]
+    t = _warehouse(spark).load_table(back)
+    sc = t.scan(filter=E.extract("meta", "$.key", "long") >= hi)
+    return (sc.df()
+            .groupBy((F.variant_get("meta", "$.key", "bigint") % 7)
+                     .alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.variant_get("meta", "$.len", "bigint"))
+                 .alias("total_len"))
+            .orderBy("k"))
+
+
+# oracle derives hi = max - max/8 the same way (integer division)
+ICEBERG_EXPORT_SHRED_SQL = """
+WITH b AS (SELECT MAX(doc_id) AS mx FROM documents)
+SELECT CAST(doc_id % 7 AS BIGINT) AS k, COUNT(*) AS n,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_len
+FROM documents, b
+WHERE doc_id >= b.mx - b.mx // 8
+GROUP BY 1 ORDER BY k
+"""
+
+
 def lineage_scan(spark, sf_dir):
     """Row lineage as data (format/spec.md:460-546; F5): nation appended
     as ONE file in n_nationkey order, so `_row_id` (first_row_id +
@@ -2618,6 +2699,8 @@ REGISTRY = {
         iceberg_export_encrypted_roundtrip_scan, ICEBERG_EXPORT_SQL),
     "iceberg_export_v4_roundtrip_scan": (
         iceberg_export_v4_roundtrip_scan, ICEBERG_EXPORT_SQL),
+    "iceberg_export_shredded_roundtrip_scan": (
+        iceberg_export_shredded_roundtrip_scan, ICEBERG_EXPORT_SHRED_SQL),
     "lineage_scan": (lineage_scan, LINEAGE_SQL),
     "timestamp_ns_scan": (timestamp_ns_scan, TIMESTAMP_NS_SQL),
     "delta_snapshot_scan": (delta_snapshot_scan, DELTA_SNAPSHOT_SQL),
