@@ -646,12 +646,9 @@ def evaluate(expr: Expr, row: dict) -> bool:
             hit = bbox_intersects(b, lits[0], geography=geog)
             return hit if op == ST_INTERSECTS else not hit
         if op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY):
-            from .geo import _points_xy, _raycast
-            import numpy as _np
+            from .geo import geometry_intersects_polygon
 
-            xs, ys = _points_xy([v])  # raises on non-POINT WKB (exact path)
-            hit = bool(_raycast(xs, ys, lits[0])[0]) \
-                and not _np.isnan(xs[0])
+            hit = geometry_intersects_polygon(v, lits[0])
             return hit if op == ST_INTERSECTS_POLY else not hit
         if op == LT:
             return v < lits[0]

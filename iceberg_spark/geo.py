@@ -64,6 +64,32 @@ def wkb_point(x: float, y: float) -> bytes:
     return struct.pack("<BIdd", 1, _POINT, x, y)
 
 
+def wkb_linestring(pts) -> bytes:
+    """Little-endian ISO WKB LineString."""
+    out = struct.pack("<BII", 1, _LINESTRING, len(pts))
+    for x, y in pts:
+        out += struct.pack("<dd", float(x), float(y))
+    return out
+
+
+def wkb_polygon(ring, holes=()) -> bytes:
+    """Little-endian ISO WKB Polygon; rings close automatically."""
+    def enc(r):
+        pts = [(float(x), float(y)) for x, y in r]
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        b = struct.pack("<I", len(pts))
+        for x, y in pts:
+            b += struct.pack("<dd", x, y)
+        return b
+
+    out = struct.pack("<BII", 1, _POLYGON, 1 + len(holes))
+    out += enc(ring)
+    for h in holes:
+        out += enc(h)
+    return out
+
+
 def _geom_dims(raw_type: int) -> tuple[int, int]:
     """(base geometry type, coords per vertex) from an ISO or EWKB type."""
     ndims = 2
@@ -241,6 +267,40 @@ def st_point(x: Column, y: Column) -> Column:
     return _mk(x, y)
 
 
+_SQ_HDR = struct.pack("<BIII", 1, _POLYGON, 1, 5)
+_SQ_DTYPE = np.dtype([("h", "V13"),
+                      ("x0", "<f8"), ("y0", "<f8"),
+                      ("x1", "<f8"), ("y1", "<f8"),
+                      ("x2", "<f8"), ("y2", "<f8"),
+                      ("x3", "<f8"), ("y3", "<f8"),
+                      ("x4", "<f8"), ("y4", "<f8")])
+_SQ_LEN = _SQ_DTYPE.itemsize  # 13 + 80 = 93
+
+
+def st_square(x: Column, y: Column, half: float) -> Column:
+    """Build axis-aligned square WKB POLYGONS centered on two double
+    columns — the vectorized polygon-fixture twin of st_point."""
+
+    @pandas_udf(T.BinaryType())
+    def _mk(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        xa = xs.to_numpy(dtype=float)
+        ya = ys.to_numpy(dtype=float)
+        rec = np.empty(len(xa), dtype=_SQ_DTYPE)
+        rec["h"] = np.frombuffer(_SQ_HDR, dtype="V13")[0]
+        h = float(half)
+        rec["x0"] = rec["x1"] = rec["x4"] = xa - h
+        rec["x2"] = rec["x3"] = xa + h
+        rec["y0"] = rec["y3"] = rec["y4"] = ya - h
+        rec["y1"] = rec["y2"] = ya + h
+        buf = rec.tobytes()
+        null = np.isnan(xa) | np.isnan(ya)
+        return pd.Series(
+            [None if null[i] else buf[i * _SQ_LEN:(i + 1) * _SQ_LEN]
+             for i in range(len(xa))], dtype=object)
+
+    return _mk(x, y)
+
+
 def st_bbox(geom: Column) -> Column:
     """bbox struct (xmin, ymin, xmax, ymax) of a WKB column."""
     schema = T.StructType([
@@ -324,9 +384,11 @@ class Polygon:
         return hash(self.ring)
 
 
-def _raycast(xs: np.ndarray, ys: np.ndarray, poly: Polygon) -> np.ndarray:
-    """Vectorized even-odd ray cast; points ON an edge count as inside
-    (ST_INTERSECTS semantics: boundary touches intersect)."""
+def _raycast_parts(xs: np.ndarray, ys: np.ndarray, poly: Polygon):
+    """Vectorized even-odd ray cast, returning (strict_inside, on_edge)
+    separately — hole semantics need the distinction (a point ON a hole
+    ring belongs to the polygon; a point strictly inside the hole does
+    not)."""
     inside = np.zeros(len(xs), bool)
     on_edge = np.zeros(len(xs), bool)
     ring = poly.ring
@@ -346,6 +408,13 @@ def _raycast(xs: np.ndarray, ys: np.ndarray, poly: Polygon) -> np.ndarray:
             crosses = (y1 > ys) != (y2 > ys)
             xint = (x2 - x1) * (ys - y1) / (y2 - y1) + x1
             inside ^= crosses & (xs < xint)
+    return inside & ~on_edge, on_edge
+
+
+def _raycast(xs: np.ndarray, ys: np.ndarray, poly: Polygon) -> np.ndarray:
+    """Points ON an edge count as inside (ST_INTERSECTS semantics:
+    boundary touches intersect)."""
+    inside, on_edge = _raycast_parts(xs, ys, poly)
     return inside | on_edge
 
 
@@ -402,7 +471,8 @@ def bbox_intersects_polygon(b: BBox, poly: Polygon) -> bool:
 
 def _points_xy(vals) -> tuple:
     """WKB values -> (xs, ys) float arrays; NULL -> NaN. Raises loudly on
-    any non-POINT geometry (the exact path is point-scoped)."""
+    any non-POINT geometry (callers wanting the general path use
+    geometry_intersects_polygon)."""
     xs = np.full(len(vals), np.nan)
     ys = np.full(len(vals), np.nan)
     for i, v in enumerate(vals):
@@ -425,17 +495,154 @@ def _points_xy(vals) -> tuple:
     return xs, ys
 
 
+def _read_ring(buf: bytes, off: int, ndims: int, endian: str):
+    """One linear ring / linestring coordinate run -> ([(x, y), ...],
+    next_offset)."""
+    (n,) = struct.unpack_from(endian + "I", buf, off)
+    off += 4
+    arr = np.frombuffer(buf, dtype=(">f8" if endian == ">" else "<f8"),
+                        count=n * ndims, offset=off).reshape(n, ndims)
+    return [(float(r[0]), float(r[1])) for r in arr], off + n * ndims * 8
+
+
+def _parse_parts(buf: bytes, off: int = 0) -> tuple:
+    """One WKB geometry at off -> (parts, next_offset). Parts are
+    ('point', x, y) | ('line', [pts]) | ('poly', shell Polygon,
+    [hole Polygons]); multi/collection types flatten recursively, empty
+    members drop."""
+    endian = "<" if buf[off] == 1 else ">"
+    (raw_type,) = struct.unpack_from(endian + "I", buf, off + 1)
+    off += 5
+    if raw_type & _EWKB_SRID:
+        off += 4
+    base, ndims = _geom_dims(raw_type)
+    if base == _POINT:
+        x, y = struct.unpack_from(endian + "dd", buf, off)
+        off += ndims * 8
+        if x != x or y != y:  # NaN = empty point
+            return [], off
+        return [("point", x, y)], off
+    if base == _LINESTRING:
+        pts, off = _read_ring(buf, off, ndims, endian)
+        return ([("line", pts)] if pts else []), off
+    if base == _POLYGON:
+        (nrings,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        shell, holes = None, []
+        for r in range(nrings):
+            pts, off = _read_ring(buf, off, ndims, endian)
+            if len(pts) < 3:
+                continue
+            if shell is None:
+                shell = Polygon(pts)
+            else:
+                holes.append(Polygon(pts))
+        return ([("poly", shell, holes)] if shell is not None else []), off
+    if base in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
+        (n,) = struct.unpack_from(endian + "I", buf, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            sub, off = _parse_parts(buf, off)
+            parts.extend(sub)
+        return parts, off
+    raise ValueError(f"unsupported WKB geometry type {raw_type}")
+
+
+def _pt_in_poly_holes(x: float, y: float, shell: Polygon, holes) -> bool:
+    """Point membership in a polygon WITH holes: in/on the shell, and not
+    STRICTLY inside any hole (a point ON a hole ring belongs to the
+    polygon boundary)."""
+    xs, ys = np.array([x]), np.array([y])
+    s_in, s_edge = _raycast_parts(xs, ys, shell)
+    if not (s_in[0] or s_edge[0]):
+        return False
+    for h in holes:
+        h_in, _h_edge = _raycast_parts(xs, ys, h)
+        if h_in[0]:
+            return False
+    return True
+
+
+def _edges(ring) -> list:
+    n = len(ring)
+    return [(ring[i], ring[(i + 1) % n]) for i in range(n)]
+
+
+def _any_edge_hit(edges_a, edges_b) -> bool:
+    for a1, a2 in edges_a:
+        for b1, b2 in edges_b:
+            if _segments_intersect(a1, a2, b1, b2):
+                return True
+    return False
+
+
+def geometry_intersects_polygon(buf, qpoly: Polygon) -> bool:
+    """EXACT ST_INTERSECTS of ONE WKB geometry (any type: point, line,
+    polygon-with-holes, multi*, collection) against a constant simple
+    polygon. Classic orientation-test geometry, planar XY — geography
+    (great-circle edges) stays bind-time refused.
+
+    Per part: points ray-cast; linestrings hit when a vertex lies in the
+    query polygon or any segment pair crosses; polygons hit when any ring
+    edge crosses a query edge, or one strictly contains the other —
+    checked via a query vertex inside the polygon (hole-aware) and a
+    shell vertex inside the query. A query polygon wholly inside a HOLE
+    touches neither interior nor boundary: no edge crossing, its
+    vertices fall outside the hole-aware membership, and the shell's
+    vertices fall outside it — correctly disjoint."""
+    if buf is None:
+        return False
+    parts, _ = _parse_parts(bytes(buf))
+    q_edges = _edges(qpoly.ring)
+    for part in parts:
+        if part[0] == "point":
+            if point_in_polygon(part[1], part[2], qpoly):
+                return True
+        elif part[0] == "line":
+            pts = part[1]
+            xs = np.array([p[0] for p in pts])
+            ys = np.array([p[1] for p in pts])
+            if _raycast(xs, ys, qpoly).any():
+                return True
+            segs = [(pts[i], pts[i + 1]) for i in range(len(pts) - 1)]
+            if _any_edge_hit(segs, q_edges):
+                return True
+        else:
+            _tag, shell, holes = part
+            ring_edges = _edges(shell.ring)
+            for h in holes:
+                ring_edges.extend(_edges(h.ring))
+            if _any_edge_hit(ring_edges, q_edges):
+                return True
+            if any(_pt_in_poly_holes(x, y, shell, holes)
+                   for x, y in qpoly.ring):
+                return True
+            sx = np.array([p[0] for p in shell.ring])
+            sy = np.array([p[1] for p in shell.ring])
+            if _raycast(sx, sy, qpoly).any():
+                return True
+    return False
+
+
 def st_intersects_polygon(geom: Column, poly: Polygon) -> Column:
-    """Row-level EXACT point-in-polygon predicate against a constant
-    polygon — the data-side filter behind ST_INTERSECTS_POLY."""
+    """Row-level EXACT intersects predicate against a constant polygon —
+    the data-side filter behind ST_INTERSECTS_POLY. POINT batches run
+    the vectorized ray cast; any other geometry kind falls to the
+    per-row WKB evaluator (exact for linestrings, polygons with holes,
+    multi-geometries, and collections)."""
 
     @pandas_udf(T.BooleanType())
     def _hit(gs: pd.Series) -> pd.Series:
         vals = list(gs)
-        xs, ys = _points_xy(vals)
-        res = _raycast(xs, ys, poly)
-        res[np.isnan(xs)] = False  # NULLs never match
-        return pd.Series(res)
+        if all(v is None or (len(v) == 21 and bytes(v[:5]) == _LE_POINT_HDR)
+               for v in vals):
+            xs, ys = _points_xy(vals)
+            res = _raycast(xs, ys, poly)
+            res[np.isnan(xs)] = False  # NULLs never match
+            return pd.Series(res)
+        return pd.Series([geometry_intersects_polygon(v, poly)
+                          for v in vals])
 
     return _hit(geom)
 

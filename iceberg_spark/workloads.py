@@ -660,6 +660,68 @@ ORDER BY event_id
 """
 
 
+def geo_exact_poly_scan(spark, sf_dir):
+    """EXACT geospatial predicate over a POLYGON column (geo.py
+    geometry_intersects_polygon — the non-POINT exact path: segment
+    intersection + hole-aware containment, beyond the reference's
+    bbox-only metadata eval): events become axis-aligned SQUARES
+    (half-width 3.25) centered on the deterministic grid, x-clustered so
+    file bboxes stay narrow, filtered with ST_INTERSECTS_POLY against
+    the same diamond. The L1 distance from a square to the diamond
+    center is separable — max(0,|cx+20.5|-3.25)+max(0,|cy-10.5|-3.25) —
+    so the oracle is pure arithmetic, and the quarter-integer offsets
+    can never tie the radius 40 exactly. A square near the diamond's
+    bbox CORNER intersects the bbox but not the diamond, so this result
+    differs from any bbox shortcut — the exactness is what's checked."""
+    from .geo import st_square
+
+    key = ("geo_poly", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"geo_poly_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        from .schema import NestedField, Schema
+
+        ev = load_table(spark, sf_dir, "events")
+        df = (ev.select(
+                "event_id",
+                ((F.col("user_id") * 7) % 360 - 180).cast("double").alias("x"),
+                ((F.col("event_id") * 13) % 180 - 90).cast("double").alias("y"))
+              .repartitionByRange(8, "x").sortWithinPartitions("x")
+              .select("event_id", st_square("x", "y", 3.25).alias("geom")))
+        schema = Schema((NestedField(1, "event_id", "long", True),
+                         NestedField(2, "geom", "geometry", False)))
+        t = cat.create_table(ident, schema)
+        t.append(df)
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    ring = [(-60.5, 10.5), (-20.5, 50.5), (19.5, 10.5), (-20.5, -29.5)]
+    scan = t.scan(filter=E.st_intersects_polygon("geom", ring))
+    total = len(t.scan().plan_files().files)
+    kept = len(scan.plan_files().files)
+    assert kept < total, \
+        f"polygon predicate must prune x-clustered files: {kept}/{total}"
+    from .geo import st_bbox
+
+    box = scan.df().select("event_id", st_bbox("geom").alias("b"))
+    return (box.select("event_id",
+                       (F.col("b.xmin") + 3.25).alias("x"),
+                       (F.col("b.ymin") + 3.25).alias("y"))
+               .orderBy("event_id"))
+
+
+GEO_EXACT_POLY_SQL = """
+SELECT event_id,
+       CAST((user_id * 7) % 360 - 180 AS DOUBLE) AS x,
+       CAST((event_id * 13) % 180 - 90 AS DOUBLE) AS y
+FROM events
+WHERE GREATEST(ABS(((user_id * 7) % 360 - 180) + 20.5) - 3.25, 0)
+    + GREATEST(ABS(((event_id * 13) % 180 - 90) - 10.5) - 3.25, 0) <= 40
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -778,6 +840,7 @@ REGISTRY = {
     "variant_shredded_scan": (variant_shredded_scan, VARIANT_SHREDDED_SQL),
     "geo_bbox_scan": (geo_bbox_scan, GEO_BBOX_SQL),
     "geo_exact_scan": (geo_exact_scan, GEO_EXACT_SQL),
+    "geo_exact_poly_scan": (geo_exact_poly_scan, GEO_EXACT_POLY_SQL),
 }
 
 

@@ -343,3 +343,76 @@ def test_st_disjoint_polygon(spark):
                              NestedField(2, "g", "geometry", False))))))
                  .select("id").collect())
     assert got == [i for i in range(20) if not (4.5 <= i <= 9.5)]
+
+
+def test_geometry_intersects_polygon_all_kinds():
+    """Exact non-POINT intersects (geometry_intersects_polygon): lines,
+    polygons with holes, multis, collections — against a unit-square
+    query polygon scaled to [0,10]^2."""
+    from iceberg_spark.geo import (Polygon, geometry_intersects_polygon,
+                                   wkb_linestring, wkb_point, wkb_polygon)
+
+    q = Polygon([(0, 0), (10, 0), (10, 10), (0, 10)])
+    hit = lambda b: geometry_intersects_polygon(b, q)
+    assert hit(wkb_polygon([(5, 5), (15, 5), (15, 15), (5, 15)]))
+    assert not hit(wkb_polygon([(20, 20), (30, 20), (30, 30), (20, 30)]))
+    assert hit(wkb_polygon([(-5, -5), (15, -5), (15, 15), (-5, 15)]))
+    assert hit(wkb_polygon([(4, 4), (6, 4), (6, 6), (4, 6)]))
+    # query wholly inside a HOLE: boundary untouched -> disjoint
+    donut_around = wkb_polygon(
+        [(-20, -20), (30, -20), (30, 30), (-20, 30)],
+        holes=[[(-5, -5), (15, -5), (15, 15), (-5, 15)]])
+    assert not hit(donut_around)
+    # hole inside the query: the hole RING is polygon boundary -> hits
+    assert hit(wkb_polygon(
+        [(-20, -20), (30, -20), (30, 30), (-20, 30)],
+        holes=[[(5, 5), (8, 5), (8, 8), (5, 8)]]))
+    assert hit(wkb_polygon([(10, 0), (20, 0), (20, 10), (10, 10)]))  # touch
+    assert hit(wkb_linestring([(-5, 5), (15, 5)]))  # crosses through
+    assert not hit(wkb_linestring([(20, 20), (30, 30)]))
+    assert hit(wkb_point(5, 5)) and not hit(wkb_point(50, 5))
+    assert not hit(None)
+    # multipolygon: one member in, one out
+    mp = (struct.pack("<BII", 1, 6, 2)
+          + wkb_polygon([(20, 20), (30, 20), (30, 30), (20, 30)])
+          + wkb_polygon([(4, 4), (6, 4), (6, 6), (4, 6)]))
+    assert geometry_intersects_polygon(mp, q)
+    # collection of two misses
+    gc = (struct.pack("<BII", 1, 7, 2)
+          + wkb_point(50, 50)
+          + wkb_linestring([(20, 20), (30, 30)]))
+    assert not geometry_intersects_polygon(gc, q)
+
+
+def test_polygon_column_scan_exact(catalog, spark):
+    """Table-level: a polygon-column scan with ST_INTERSECTS_POLY returns
+    exactly the squares whose L1 distance to the diamond center clears
+    the radius — squares near the diamond's bbox corner must NOT match
+    (that is the exact-vs-bbox difference)."""
+    from iceberg_spark.geo import st_square
+
+    df = (spark.range(0, 41)
+          .selectExpr("id", "cast(id * 5 - 100 as double) as x",
+                      "cast(0.0 as double) as y")
+          .select("id", st_square("x", "y", 2.0).alias("g")))
+    schema = Schema((NestedField(1, "id", "long", True),
+                     NestedField(2, "g", "geometry", False)))
+    t = catalog.create_table("db.geo_sq", schema)
+    t.append(df)
+    t = t.refresh()
+    # diamond |x|+|y| <= 30 centered at origin
+    ring = [(-30.0, 0.0), (0.0, 30.0), (30.0, 0.0), (0.0, -30.0)]
+    got = sorted(r.id for r in t.scan(
+        filter=E.st_intersects_polygon("g", ring)).df().collect())
+    want = [i for i in range(41)
+            if max(0.0, abs(i * 5 - 100) - 2.0) + 0.0 <= 30.0]
+    assert got == want
+    # a corner square: center (34,27) is inside the diamond's BBOX
+    # ([-30,30]^2 overlaps [32,36]x[25,29]? no — pick (25,25)): the
+    # square at (25,25) half 2 intersects the bbox but L1 dist is
+    # 23+23=46 > 30 -> exact path must exclude it
+    from iceberg_spark.geo import (Polygon, geometry_intersects_polygon,
+                                   wkb_polygon)
+
+    corner = wkb_polygon([(23, 23), (27, 23), (27, 27), (23, 27)])
+    assert not geometry_intersects_polygon(corner, Polygon(ring))
