@@ -87,6 +87,63 @@ def hash_decimal_unscaled(unscaled: int) -> int:
     return hash_bytes(unscaled.to_bytes(length, byteorder="big", signed=True))
 
 
+def hash_bytes_vec(data, offsets) -> np.ndarray:
+    """Vectorized murmur3_x86_32 over N variable-length byte strings
+    packed into ONE buffer (`data` uint8, `offsets` int64 of length N+1
+    — the Arrow string/binary array layout, so the bucket-transform
+    pandas UDF hashes straight off the Arrow buffers with zero per-row
+    Python). Block i of every still-active row processes in one numpy
+    pass; rows shorter than 4(i+1) bytes drop out, so total work is
+    O(total bytes), not O(rows × max_len). Bit-exact with hash_bytes
+    (spec Appendix B). Returns int32 signed hashes."""
+    buf = np.asarray(data, dtype=np.uint8)
+    off = np.asarray(offsets, dtype=np.int64)
+    starts, ends = off[:-1], off[1:]
+    lengths = ends - starts
+    n = len(lengths)
+    h1 = np.zeros(n, dtype=np.uint32)
+    nblocks = lengths // 4
+    maxb = int(nblocks.max()) if n else 0
+    for i in range(maxb):
+        sel = nblocks > i
+        idx = starts[sel] + 4 * i
+        k1 = (buf[idx].astype(np.uint32)
+              | (buf[idx + 1].astype(np.uint32) << np.uint32(8))
+              | (buf[idx + 2].astype(np.uint32) << np.uint32(16))
+              | (buf[idx + 3].astype(np.uint32) << np.uint32(24)))
+        k1 = (k1.astype(np.uint64) * _C1 & _MASK).astype(np.uint32)
+        k1 = (k1 << np.uint32(15)) | (k1 >> np.uint32(17))
+        k1 = (k1.astype(np.uint64) * _C2 & _MASK).astype(np.uint32)
+        h = h1[sel]
+        h ^= k1
+        h = (h << np.uint32(13)) | (h >> np.uint32(19))
+        h = (h.astype(np.uint64) * 5 + 0xE6546B64 & _MASK).astype(np.uint32)
+        h1[sel] = h
+    tstart = starts + 4 * nblocks
+    tlen = lengths - 4 * nblocks
+    k1 = np.zeros(n, dtype=np.uint32)
+    m3 = tlen >= 3
+    if m3.any():
+        k1[m3] ^= buf[tstart[m3] + 2].astype(np.uint32) << np.uint32(16)
+    m2 = tlen >= 2
+    if m2.any():
+        k1[m2] ^= buf[tstart[m2] + 1].astype(np.uint32) << np.uint32(8)
+    m1 = tlen >= 1
+    if m1.any():
+        km = k1[m1] ^ buf[tstart[m1]].astype(np.uint32)
+        km = (km.astype(np.uint64) * _C1 & _MASK).astype(np.uint32)
+        km = (km << np.uint32(15)) | (km >> np.uint32(17))
+        km = (km.astype(np.uint64) * _C2 & _MASK).astype(np.uint32)
+        h1[m1] ^= km
+    h1 ^= lengths.astype(np.uint32)
+    h1 ^= h1 >> np.uint32(16)
+    h1 = (h1.astype(np.uint64) * 0x85EBCA6B & _MASK).astype(np.uint32)
+    h1 ^= h1 >> np.uint32(13)
+    h1 = (h1.astype(np.uint64) * 0xC2B2AE35 & _MASK).astype(np.uint32)
+    h1 ^= h1 >> np.uint32(16)
+    return h1.view(np.int32)
+
+
 def hash_long_vec(values: np.ndarray) -> np.ndarray:
     """Vectorized murmur3_x86_32 over int64 values (little-endian 8-byte
     layout). Used by the bucket-transform pandas UDF on the write path so
