@@ -32,7 +32,7 @@ METADATA_TABLES = (
     "snapshots", "history", "refs", "manifests", "all_manifests", "entries",
     "all_entries", "files", "data_files", "delete_files", "all_files",
     "all_data_files", "all_delete_files", "partitions", "metadata_log_entries",
-    "position_deletes",
+    "position_deletes", "scan_reports",
 )
 
 
@@ -239,6 +239,16 @@ def _position_deletes(table) -> DataFrame:
                               with_source=True)
 
 
+def _scan_reports(table) -> DataFrame:
+    """Scan reports the in-process MetricsReporter sink holds for this
+    table (engine plans report automatically; REST-POSTed
+    ReportMetricsRequests land in the same sink). Reference analog:
+    InMemoryMetricsReporter.java surfaced as a queryable view."""
+    from .metrics_reporting import scan_reports_df
+
+    return scan_reports_df(table.spark, table.identifier)
+
+
 _BUILDERS = {
     "snapshots": _snapshots,
     "history": _history,
@@ -256,4 +266,5 @@ _BUILDERS = {
     "partitions": _partitions,
     "metadata_log_entries": _metadata_log_entries,
     "position_deletes": _position_deletes,
+    "scan_reports": _scan_reports,
 }

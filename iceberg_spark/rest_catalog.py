@@ -380,6 +380,15 @@ class _Handler(BaseHTTPRequestHandler):
                 [{"namespace": ns.split("."),
                   "name": ident.split(".")[-1]}
                  for ident in cat.list_tables(ns)], "identifiers"))
+        if len(rest) == 5 and rest[0] == "namespaces" \
+                and rest[2] == "tables" and rest[4] == "metrics":
+            # engine extension: read back the reports the server received
+            # (the reference hands them to a MetricsReporter; this
+            # adapter's reporter is the queryable in-memory sink)
+            from .metrics_reporting import SINK
+
+            ident = f"{rest[1].replace(chr(31), '.')}.{rest[3]}"
+            return self._json(200, {"reports": SINK.reports(ident)})
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             ns = rest[1].replace("\x1f", ".")
             ident = f"{ns}.{rest[3]}"
@@ -519,8 +528,22 @@ class _Handler(BaseHTTPRequestHandler):
             return self._create_table(rest[1].replace("\x1f", "."), body)
         if len(rest) == 5 and rest[0] == "namespaces" \
                 and rest[2] == "tables" and rest[4] == "metrics":
-            # ReportMetricsRequest: accepted and dropped (the engine's own
-            # ScanReport covers metrics); 204 keeps clients happy
+            # ReportMetricsRequest (core/.../rest/requests/
+            # ReportMetricsRequest.java): parse, validate, forward to the
+            # server's metrics sink keyed by the table identifier — the
+            # reference catalog hands reports to its MetricsReporter the
+            # same way. Unknown report types are accepted and dropped;
+            # a missing report-type is a 400.
+            from .metrics_reporting import (SINK,
+                                            parse_report_metrics_request)
+
+            try:
+                rt, rep = parse_report_metrics_request(body)
+            except ValueError as ex:
+                return self._error(400, str(ex), "BadRequestException")
+            if rt != "unknown":
+                ident = f"{rest[1].replace(chr(31), '.')}.{rest[3]}"
+                SINK.report(ident, rt, rep)
             return self._json(204)
         if len(rest) == 5 and rest[0] == "namespaces" \
                 and rest[2] == "tables" and rest[4] == "plan":

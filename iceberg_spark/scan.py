@@ -382,6 +382,21 @@ class TableScan:
 
         report.result_data_files = len(data_entries)
         report.result_delete_files = len(pos_del) + len(eq_del)
+        # MetricsReporter loop (reference ScanReport -> reporter): every
+        # plan lands in the bounded in-memory sink, surfaced by the
+        # `scan_reports` metadata table. Loss-tolerant by contract —
+        # reporting must never fail the scan.
+        try:
+            from .metrics_reporting import SINK, scan_report_json
+
+            ident = getattr(self.table, "identifier", None)
+            if ident:
+                SINK.report(ident, "scan-report", scan_report_json(
+                    ident, report, snap.snapshot_id,
+                    self.metadata.current_schema_id,
+                    projected_names=self.columns or ()))
+        except Exception:
+            pass
         return ScanPlan(data_entries, pos_del, eq_del, bound, snap, report)
 
     def _read_entries_local(self, manifests) -> list:
