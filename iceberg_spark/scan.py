@@ -849,7 +849,12 @@ POS_DELETE_DRIVER_BYTES = 16 * 1024 * 1024
 POS_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
 POS_DELETE_MAX_LITERAL_RANGES = 256
 EQ_DELETE_DRIVER_BYTES = 1024 * 1024
-EQ_DELETE_MAX_LITERAL_KEYS = 65_536
+# beyond a few thousand keys the literal path loses twice: building N
+# Literal objects through py4j costs ~0.6ms each (9.7s at 15k keys,
+# measured), and codegen'd InSet probes run slower than a broadcast
+# hash anti-join's build side at that cardinality — so big sets keep
+# the join. record_count from the manifest pre-gates WITHOUT reading.
+EQ_DELETE_MAX_LITERAL_KEYS = 4096
 # literal NOT-IN needs exact value semantics under isin(); float/double
 # NaN and timestamp zone coercion make those types join-path only
 _EQ_LITERAL_TYPES = ("int", "long", "string", "date")
@@ -888,6 +893,10 @@ def _eq_delete_literal_keys(metadata, schema, fid: int, dels, spark):
                       EQ_DELETE_DRIVER_BYTES)
     if sum(d.file.file_size_in_bytes or 0 for d in dels) > limit:
         return None
+    key_cap = _conf_int(spark, "spark.iceberg_spark.mor.eqDeleteLiteralKeys",
+                        EQ_DELETE_MAX_LITERAL_KEYS)
+    if sum(d.file.record_count or 0 for d in dels) > key_cap:
+        return None  # manifest counts pre-gate: no driver read wasted
     if any(d.file.file_format != "parquet" for d in dels):
         return None
     keys: set = set()
@@ -914,7 +923,7 @@ def _eq_delete_literal_keys(metadata, schema, fid: int, dels, spark):
                 saw_null = True
             else:
                 keys.add(v)
-        if len(keys) > EQ_DELETE_MAX_LITERAL_KEYS:
+        if len(keys) > key_cap:
             return None
     return sorted(keys), saw_null
 

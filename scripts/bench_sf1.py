@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""SF1-scale proof for the noisy ratio gates (BENCH_SF1 artifact).
+
+The sf0.1 bench's MoR/raw ratios divide ~0.15-0.4 s numerators — small
+enough that machine noise has flapped gates across rounds. This script
+re-times the headline trio (q1, q6) and every MoR ratio at 10x the
+data: it synthesizes a deterministic sf1-equivalent fixture by unioning
+ten key-shifted copies of the sf0.1 lineitem/orders/events tables (same
+value distributions, so selectivities match), then runs the SAME
+pair-timed median recipe bench.py gates on. Run:
+
+    python scripts/bench_sf1.py            # writes BENCH_SF1_r{N}.json? no:
+                                           # prints one JSON line; redirect it
+
+Fixture caches under /tmp and rebuilds only when missing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# sf1 shuffles (6M-row lineitem range-repartition) blow the 1g default
+# driver heap of local mode; size it before the JVM launches
+os.environ.setdefault("PYSPARK_SUBMIT_ARGS",
+                      "--driver-memory 16g pyspark-shell")
+
+from pyspark.sql import functions as F
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR",
+                         "/tmp/iceberg_spark_sf1/sf1")
+COPIES = 10
+PAIRS = 9
+
+
+def build_fixture(spark):
+    marker = os.path.join(SF1_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    os.makedirs(SF1_DIR, exist_ok=True)
+    from iceberg_spark.sources.testdata import load_table
+
+    li = load_table(spark, SRC, "lineitem")
+    ok_max = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    parts = [li.withColumn("l_orderkey",
+                           F.col("l_orderkey") + F.lit(i * ok_max))
+             for i in range(COPIES)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # orderkey-clustered layout, like the real testdata parquet — pos
+    # deletes on a key prefix must compress to contiguous position runs
+    # at sf1 exactly as they do at sf0.1
+    (out.repartitionByRange(32, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, "lineitem.parquet")))
+
+    od = load_table(spark, SRC, "orders")
+    o_max = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    c_max = od.agg(F.max("o_custkey")).collect()[0][0] + 1
+    parts = [od.withColumn("o_orderkey",
+                           F.col("o_orderkey") + F.lit(i * o_max))
+             .withColumn("o_custkey",
+                         F.col("o_custkey") + F.lit(i * c_max))
+             for i in range(COPIES)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    (out.repartitionByRange(16, "o_orderkey")
+        .sortWithinPartitions("o_orderkey")
+        .write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, "orders.parquet")))
+    open(marker, "w").write("ok")
+
+
+def median_ratio(num_fn, den_fn, pairs=PAIRS):
+    rs = []
+    for _ in range(pairs):
+        t0 = time.perf_counter(); num_fn(); a = time.perf_counter() - t0
+        t0 = time.perf_counter(); den_fn(); b = time.perf_counter() - t0
+        rs.append(a / b)
+    srt = sorted(rs)
+    return (round(srt[len(srt) // 2], 4),
+            [round(r, 3) for r in rs])  # raw samples: dispersion evidence
+
+
+def main():
+    from iceberg_spark import workloads
+    from iceberg_spark.sources.testdata import session
+
+    import bench as B
+
+    spark = session("iceberg_spark_bench_sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_fixture(spark)
+
+    reg = workloads.queries()
+    entries = {}
+
+    def register(name, fn):
+        entries[name] = fn
+
+    for name in ("q1_pricing_summary", "q6_revenue", "delete_mor_scan"):
+        register(name, lambda n=name: reg[n](spark, SF1_DIR).collect())
+    register("raw_q1_baseline",
+             lambda: B.raw_q1_baseline(spark, SF1_DIR).collect())
+
+    def orders_scan_baseline():
+        t = workloads.engine_table(spark, SF1_DIR, "orders")
+        return (t.to_df().groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.round(F.sum("o_totalprice"), 2).alias("total"))
+                .orderBy("o_orderpriority").collect())
+
+    register("orders_scan_no_deletes_baseline", orders_scan_baseline)
+    B.eq_delete_benchmarks(spark, register, SF1_DIR)
+    B.dv_delete_benchmarks(spark, register, SF1_DIR)
+
+    for _ in range(3):  # fixture build + JIT warm (sf1 codegen needs
+        for fn in entries.values():  # several passes to settle)
+            fn()
+
+    qtimes = {}
+    for name, fn in entries.items():
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        qtimes[name] = round(ts[1], 4)
+
+    ratios = {}
+    for key, num, den in (
+            ("q1_vs_raw_ratio", "q1_pricing_summary", "raw_q1_baseline"),
+            ("mor_pos_ratio", "delete_mor_scan",
+             "orders_scan_no_deletes_baseline"),
+            ("mor_dv_ratio", "delete_mor_dv_scan",
+             "orders_scan_no_deletes_baseline"),
+            ("eq_mor_ratio", "eq_delete_mor_scan",
+             "orders_scan_no_deletes_baseline")):
+        med, samples = median_ratio(entries[num], entries[den])
+        ratios[key] = med
+        ratios[key + "_samples"] = samples
+
+    print(json.dumps({
+        "metric": "sf1_ratio_proof",
+        "unit": "sec",
+        "sf": 1.0,
+        "copies_of_sf0.1": COPIES,
+        "pairs_per_ratio": PAIRS,
+        "queries": qtimes,
+        "ratios": ratios,
+    }))
+
+
+if __name__ == "__main__":
+    main()
