@@ -143,8 +143,15 @@ class Bucket(Transform):
             elif src == "date":
                 v = _to_days(v)
             return hash_long(int(v))
-        if src in ("string", "uuid"):
+        if src == "string":
             return hash_string(str(v))
+        if src == "uuid":
+            # spec Appendix B [4]: uuids hash as their 16 big-endian
+            # bytes (test vector f79c3e09-… -> 1488055340), NOT as the
+            # utf-8 of the string form
+            import uuid as _uuid
+
+            return hash_bytes(_uuid.UUID(str(v)).bytes)
         if src == "binary" or src.startswith("fixed"):
             return hash_bytes(bytes(v))
         if src.startswith("decimal"):
@@ -189,6 +196,12 @@ class Bucket(Transform):
         # per-row Python, same numpy-pass shape as the long layout. A
         # 100 TB write into a string-bucketed spec hashes at memory
         # bandwidth instead of paying a Python call per row.
+        if src == "uuid":
+            # spec Appendix B [4]: hash the 16 big-endian uuid bytes —
+            # unhex(strip dashes) lowers JVM-side, then the binary
+            # branch hashes the fixed-width bytes vectorized
+            col = F.unhex(F.regexp_replace(col.cast("string"), "-", ""))
+            src = "binary"
         pa_type = "binary" if (src == "binary"
                                or src.startswith("fixed")) else "string"
 

@@ -849,23 +849,24 @@ def _full_registry():
     from .workloads_lifecycle import REGISTRY as LIFECYCLE_REGISTRY
 
     # insertion order = the driver's sampling order: rotate the pillars
-    # the previous round's sample under-covered to the FRONT (r9 sampled
-    # pipeline + lifecycle, so r10 leads with this round's NEW entries,
-    # then analytics + base, then lifecycle, then pipeline). Keys are
-    # disjoint across the four registries (asserted), so order only
-    # affects sampling, never which implementation wins.
-    new_r10 = ("variant_shredded_scan", "geo_exact_scan", "lineage_scan",
-               "iceberg_export_v4_roundtrip_scan",
-               "iceberg_import_native_encrypted_scan",
-               "iceberg_export_transcode_roundtrip_scan",
-               "delete_mor_file_scan")
+    # the previous round's sample under-covered to the FRONT (r10
+    # sampled this module + TPC-H + analytics, leaving the 35 pipeline
+    # entries and most of lifecycle pass-local only since r9 — so r11
+    # leads with the NEW r11 entries, then the whole pipeline pillar,
+    # then lifecycle, then analytics + base). Keys are disjoint across
+    # the four registries (asserted), so order only affects sampling,
+    # never which implementation wins.
+    new_r11 = ("iceberg_export_shredded_roundtrip_scan",
+               "geo_exact_poly_scan")
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
                   _pipeline_registry()):
         dup = set(merged) & set(other)
         assert not dup, f"duplicate registry keys: {dup}"
         merged.update(other)
-    reg = {k: merged[k] for k in new_r10}
+    reg = {k: merged[k] for k in new_r11}
+    reg.update({k: v for k, v in _pipeline_registry().items()})
+    reg.update({k: v for k, v in LIFECYCLE_REGISTRY.items()})
     reg.update(merged)
     return reg
 

@@ -100,3 +100,19 @@ def test_string_bucket_partitioned_write_roundtrip(catalog, spark):
                for e in plan.files)
     assert t.to_df().filter("k = 'key_7'").count() == 1
     assert t.to_df().count() == 201
+
+
+def test_uuid_bucket_spec_vector(spark):
+    """spec Appendix B [4]: uuid hashes as 16 big-endian bytes — the
+    spec's own test vector, checked scalar AND through the vectorized
+    write-path UDF."""
+    u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    b = Bucket(16)
+    assert b.hash_value(u, "uuid") == 1488055340
+    import uuid as _u
+
+    assert b.hash_value(_u.UUID(u), "uuid") == 1488055340
+    df = spark.createDataFrame([(u,), (None,)], "u string")
+    got = [r.b for r in df.select(b.spark_col(F.col("u"), "uuid")
+                                  .alias("b")).collect()]
+    assert got == [(1488055340 & 0x7FFFFFFF) % 16, None]
