@@ -1197,15 +1197,30 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
     sdf = spark.read.parquet(*failed)
     present = set(sdf.columns)
     ORDERABLE = ("int", "long", "float", "double", "string", "boolean")
-    stat_cols = []  # (stats_key, spark column name, engine type)
+    stat_cols = []  # (stats_key, spark Column, engine type)
     if engine_written and content == DATA:
         for f in schema.fields:
             if (isinstance(f.type, str) and f.type in ORDERABLE
                     and f.name in present):
-                stat_cols.append((f.name, f.name, f.type))
+                stat_cols.append((f.name, F.col(f.name), f.type))
         for sp in getattr(schema, "shredded", ()):
-            if sp.type in ORDERABLE and sp.stats_name in present:
-                stat_cols.append((sp.stats_name, sp.stats_name, sp.type))
+            if sp.type not in ORDERABLE:
+                continue
+            if sp.stats_name in present:
+                stat_cols.append((sp.stats_name, F.col(sp.stats_name),
+                                  sp.type))
+            elif sp.column in present:
+                # typed_value layout: no physical companion column —
+                # the companion stat IS variant_get of the path, so
+                # compute it in the same aggregation (exactly the
+                # expression the companion writer would have used)
+                from .transforms import VariantExtract
+
+                stat_cols.append((
+                    sp.stats_name,
+                    VariantExtract(sp.path, sp.type).spark_col(
+                        F.col(sp.column), "variant"),
+                    sp.type))
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (_, _cn, t) in enumerate(stat_cols):
         c = F.col(f"_c{i}")
@@ -1220,8 +1235,8 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
             .select(_io.decode_spark_path_col(
                 F.col("_metadata.file_path"),
                 paths=failed).alias("_f"),
-                *[F.col(cn).alias(f"_c{i}")
-                  for i, (_, cn, _t) in enumerate(stat_cols)])
+                *[cexpr.alias(f"_c{i}")
+                  for i, (_, cexpr, _t) in enumerate(stat_cols)])
             .groupBy("_f").agg(*aggs).collect())
     per_file = {}
     for r in rows:

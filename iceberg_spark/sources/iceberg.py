@@ -1844,6 +1844,8 @@ def export_reference_metadata(table, dest_root: str,
         shred_decl = shredded_paths(schema, table.metadata.properties)
         shred_ddl = shredding_ddl(shred_decl)
         if shred_ddl:
+            from ..variant_shred import jvm_parquet_schema
+
             drop_cols = tuple(sp.stats_name for sp in shred_decl)
             sdir = os.path.join(dest_root, "data")
             var_wsids = {
@@ -1852,14 +1854,30 @@ def export_reference_metadata(table, dest_root: str,
             plans = [table.new_scan().use_snapshot(s.snapshot_id)
                      .plan_files() for s in chain]
             moved: dict = {}
+            skipped: set = set()
             for plan in plans:
                 for e in plan.files:
                     f = e.file
                     if (f.file_path in transcode_map
                             or f.file_path in moved
+                            or f.file_path in skipped
                             or f.key_metadata is not None
                             or f.file_format != "parquet"
                             or f.write_schema_id not in var_wsids):
+                        continue
+                    try:
+                        phys = jvm_parquet_schema(table.spark,
+                                                  f.file_path)
+                    except Exception:
+                        phys = ""
+                    if "typed_value" in phys and "_shred_f" not in phys:
+                        # written under write.variant.shred.layout=
+                        # typed_value: already reference-shaped (Spark's
+                        # default INFERRED shredding also emits
+                        # typed_value, but those files still carry the
+                        # engine companion columns — only companion-free
+                        # files export by reference, zero-copy)
+                        skipped.add(f.file_path)
                         continue
                     moved[f.file_path] = (
                         transcode_shredded_file(

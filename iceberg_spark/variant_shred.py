@@ -117,6 +117,38 @@ def jvm_top_level_columns(spark, path: str) -> tuple:
         rdr.close()
 
 
+class shredding_write_conf:
+    """Context manager: enable Spark's spec-physical shredding writer
+    for the enclosed write(s), restoring the session confs after. A
+    None ddl is a no-op (plain writes)."""
+
+    def __init__(self, spark, ddl):
+        self.spark, self.ddl = spark, ddl
+
+    def __enter__(self):
+        if self.ddl is None:
+            return self
+        self.prev_w = self.spark.conf.get(WRITE_SHRED_CONF, None)
+        self.prev_f = self.spark.conf.get(FORCE_SHRED_CONF, None)
+        self.spark.conf.set(WRITE_SHRED_CONF, "true")
+        self.spark.conf.set(FORCE_SHRED_CONF, self.ddl)
+        return self
+
+    def __exit__(self, *exc):
+        if self.ddl is None:
+            return False
+        for k, v in ((WRITE_SHRED_CONF, self.prev_w),
+                     (FORCE_SHRED_CONF, self.prev_f)):
+            if v is None or v == "":
+                try:
+                    self.spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                self.spark.conf.set(k, v)
+        return False
+
+
 def transcode_shredded_file(spark, src_path: str, dest_dir: str,
                             ddl: str, drop_cols=()) -> str:
     """Rewrite one plaintext engine parquet data file as a spec-physical

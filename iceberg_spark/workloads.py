@@ -554,6 +554,64 @@ def variant_shredded_scan(spark, sf_dir):
             .orderBy("k"))
 
 
+def variant_shredded_typed_value_scan(spark, sf_dir):
+    """Variant shredding under the SPEC-PHYSICAL write layout
+    (`write.variant.shred.layout=typed_value` — the typed_value group
+    the reference's ParquetVariantVisitor.java writes, produced by
+    Spark's native shredding writer): no engine companion columns in the
+    files, companion STATS still land in manifests via the variant_get
+    metrics aggregation, and extract() predicates still FILE-prune —
+    asserted. Same query and oracle as the companion-layout twin, so
+    the two layouts are differentially checked against each other
+    through DuckDB."""
+    key = ("variant_shred_tv", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"variant_shred_tv_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        docs = load_table(spark, sf_dir, "documents")
+        df = docs.select(
+            "doc_id",
+            F.parse_json(F.concat(
+                F.lit('{"len": '), F.length("text").cast("string"),
+                F.lit(', "key": '), F.col("doc_id").cast("string"),
+                F.lit('}'))).alias("meta"))
+        t = cat.create_table(ident, df.schema, properties={
+            "write.variant.shred.meta": "$.len:long;$.key:long",
+            "write.variant.shred.layout": "typed_value"})
+        mx = docs.agg(F.max("doc_id")).collect()[0][0]
+        step = mx // 4 + 1
+        for lo in range(0, mx + 1, step):  # doc_id-clustered files
+            t.append(df.filter((F.col("doc_id") >= lo)
+                               & (F.col("doc_id") < lo + step)))
+        t = cat.load_table(ident)
+        from .variant_shred import jvm_parquet_schema
+
+        f0 = t.scan().plan_files().files[0].file
+        phys = jvm_parquet_schema(spark, f0.file_path)
+        assert "typed_value" in phys and "_shred_f" not in phys, \
+            "typed_value layout must write spec-physical shredded files"
+        hi = mx - mx // 8
+        plan = t.scan(
+            filter=E.extract("meta", "$.key", "long") >= hi).plan_files()
+        total = len(t.scan().plan_files().files)
+        assert 0 < len(plan.files) < total, (
+            f"shredded variant predicate must skip files: "
+            f"{len(plan.files)}/{total}")
+        _STATE[key] = (ident, hi)
+    ident, hi = _STATE[key]
+    t = _warehouse(spark).load_table(ident)
+    sc = t.scan(filter=E.extract("meta", "$.key", "long") >= hi)
+    return (sc.df()
+            .groupBy((F.variant_get("meta", "$.key", "bigint") % 7)
+                     .alias("k"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.variant_get("meta", "$.len", "bigint"))
+                 .alias("total_len"))
+            .orderBy("k"))
+
+
 # oracle derives hi = max - max/8 the same way (integer division)
 VARIANT_SHREDDED_SQL = """
 WITH b AS (SELECT MAX(doc_id) AS mx FROM documents)
@@ -838,6 +896,8 @@ REGISTRY = {
     "merge_upsert_scan": (merge_upsert_scan, MERGE_SQL),
     "variant_extract_scan": (variant_extract_scan, VARIANT_EXTRACT_SQL),
     "variant_shredded_scan": (variant_shredded_scan, VARIANT_SHREDDED_SQL),
+    "variant_shredded_typed_value_scan": (
+        variant_shredded_typed_value_scan, VARIANT_SHREDDED_SQL),
     "geo_bbox_scan": (geo_bbox_scan, GEO_BBOX_SQL),
     "geo_exact_scan": (geo_exact_scan, GEO_EXACT_SQL),
     "geo_exact_poly_scan": (geo_exact_poly_scan, GEO_EXACT_POLY_SQL),
@@ -857,7 +917,7 @@ def _full_registry():
     # the four registries (asserted), so order only affects sampling,
     # never which implementation wins.
     new_r11 = ("iceberg_export_shredded_roundtrip_scan",
-               "geo_exact_poly_scan")
+               "geo_exact_poly_scan", "variant_shredded_typed_value_scan")
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
                   _pipeline_registry()):

@@ -192,19 +192,41 @@ def write_data_files(
     # detects the physical encoding per file, so mixed tables read fine.
     var_enc = props.get("write.variant.encoding", "binary").lower()
     # declared shredded paths (schema.ShreddedPath via
-    # write.variant.shred.<col>; reference VariantShreddingFunction.java):
-    # materialize each as a typed companion column BEFORE any JSON cast —
-    # variant_get lowers JVM-side, stays in whole-stage codegen, and the
-    # companion's footer min/max land in the manifest under the path's
-    # synthetic field id (manifests._stats_schema_fields)
-    for sp in getattr(schema, "shredded", ()):
-        if sp.column in df.columns and fmt == "parquet":
-            from .transforms import VariantExtract
+    # write.variant.shred.<col>; reference VariantShreddingFunction.java)
+    # materialize under one of two layouts:
+    #   companion (default): typed companion columns BEFORE any JSON
+    #     cast — variant_get lowers JVM-side, stays in whole-stage
+    #     codegen, and the companion's footer min/max land in the
+    #     manifest under the path's synthetic field id.
+    #   typed_value (`write.variant.shred.layout`): the SPEC-PHYSICAL
+    #     parquet shredding the reference writes (typed_value group
+    #     inside the variant column, ParquetVariantVisitor.java shape) —
+    #     files are reference-consumable from birth, exports go
+    #     by-reference with zero transcode, and Spark's native shredded
+    #     reader serves scans. Companion STATS still land in manifests
+    #     (variant_get aggregation in the metrics pass), so extract()
+    #     file pruning is identical either way.
+    shred_layout = str(props.get("write.variant.shred.layout",
+                                 "companion")).lower()
+    if shred_layout not in ("companion", "typed_value"):
+        raise ValueError(
+            f"invalid write.variant.shred.layout: {shred_layout!r} "
+            "(expected 'companion' or 'typed_value')")
+    spec_shred_ddl = None
+    if (shred_layout == "typed_value" and fmt == "parquet"
+            and var_enc != "json" and getattr(schema, "shredded", ())):
+        from .variant_shred import shredding_ddl
 
-            df = df.withColumn(
-                sp.stats_name,
-                VariantExtract(sp.path, sp.type).spark_col(
-                    F.col(sp.column), "variant"))
+        spec_shred_ddl = shredding_ddl(schema.shredded)
+    if spec_shred_ddl is None:
+        for sp in getattr(schema, "shredded", ()):
+            if sp.column in df.columns and fmt == "parquet":
+                from .transforms import VariantExtract
+
+                df = df.withColumn(
+                    sp.stats_name,
+                    VariantExtract(sp.path, sp.type).spark_col(
+                        F.col(sp.column), "variant"))
     for f in schema.fields:
         if f.type == "variant" and f.name in df.columns:
             if fmt != "parquet" or var_enc == "json":
@@ -262,6 +284,13 @@ def write_data_files(
                 enc[0], enc[1], enc[2]))
             jvm_enc = True
     py_enc = enc is not None and not jvm_enc
+    if spec_shred_ddl is not None and py_enc:
+        raise NotImplementedError(
+            "write.variant.shred.layout=typed_value needs Spark's native "
+            "parquet writer; the pyarrow encrypted-write fallback cannot "
+            "produce the shredding layout — enable the JVM crypto path "
+            "or keep the companion layout")
+    from .variant_shred import shredding_write_conf
 
     if spec.fields:
         pcols = []
@@ -293,7 +322,8 @@ def write_data_files(
             w = df2.write.mode("append")
             for k, v in writer_opts.items():
                 w = w.option(k, v)
-            w.partitionBy(*pby).format(fmt).save(out_dir)
+            with shredding_write_conf(table.spark, spec_shred_ddl):
+                w.partitionBy(*pby).format(fmt).save(out_dir)
     else:
         dfw = _apply_sort_order(df, metadata)
         if py_enc:
@@ -303,7 +333,8 @@ def write_data_files(
             w = dfw.write.mode("append")
             for k, v in writer_opts.items():
                 w = w.option(k, v)
-            w.format(fmt).save(out_dir)
+            with shredding_write_conf(table.spark, spec_shred_ddl):
+                w.format(fmt).save(out_dir)
 
     if not py_enc:
         suffixes = (".parquet",) if fmt == "parquet" else (f".{fmt}",)

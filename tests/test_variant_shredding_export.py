@@ -130,3 +130,51 @@ def test_imported_spec_shredded_files_scan_and_prune(catalog, spark,
     for e in t2.scan().plan_files().files:
         cols = jvm_top_level_columns(spark, e.file.file_path)
         assert not any(c.startswith("_shred_f") for c in cols)
+
+
+def test_typed_value_write_layout(catalog, spark):
+    """write.variant.shred.layout=typed_value: engine files carry the
+    SPEC-PHYSICAL shredding from birth (typed_value group, no companion
+    columns), companion STATS still land in manifests (variant_get
+    aggregation in the metrics pass), extract() predicates still
+    file-prune, and reads are exact."""
+    t = _shred_table(catalog, spark, "db.tvw1", n=40, files=2, props={
+        "write.variant.shred.layout": "typed_value"})
+    files = t.scan().plan_files().files
+    for e in files:
+        phys = jvm_parquet_schema(spark, e.file.file_path)
+        assert "typed_value" in phys and "_shred_f" not in phys
+        assert any(k.startswith("_shred_f") for k in e.file.stats)
+    pf = t.scan(filter=extract("v", "$.len", "long") >= 30).plan_files()
+    assert len(pf.files) == 1  # files are id-clustered 0-19 / 20-39
+    got = sorted(r.id for r in t.scan(
+        filter=extract("v", "$.len", "long") >= 30).df().collect())
+    assert got == list(range(30, 40))
+
+
+def test_typed_value_export_is_zero_copy(catalog, spark, tmp_path):
+    """A typed_value-layout table's files are already reference-shaped:
+    export must go BY REFERENCE (no transcode copies)."""
+    t = _shred_table(catalog, spark, "db.tvw2", props={
+        "write.variant.shred.layout": "typed_value"})
+    src_paths = {e.file.file_path for e in t.scan().plan_files().files}
+    mp = export_reference_metadata(t, str(tmp_path / "exp"))
+    t2, _n, _f = register_iceberg_table(catalog, mp, "db.tvw2_back")
+    assert {e.file.file_path
+            for e in t2.scan().plan_files().files} == src_paths
+    assert t2.to_df().count() == 40
+
+
+def test_invalid_shred_layout_rejected(catalog, spark):
+    from pyspark.sql import types as T
+
+    t = catalog.create_table("db.tvw3", T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.VariantType())]), properties={
+        "write.variant.shred.v": "$.len:long",
+        "write.variant.shred.layout": "typed-value"})  # typo
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="layout"):
+        t.append(spark.range(3).select(
+            F.col("id"), F.parse_json(F.lit('{"len":1}')).alias("v")))
