@@ -690,6 +690,39 @@ class SnapshotProducer:
                 self.table.ops.commit(base_version, new_meta)
                 self.table.metadata = new_meta
                 self._maybe_export_reference(props)
+                # MetricsReporter loop, write side (reference
+                # CommitReport.java / CommitMetricsResult): every commit
+                # lands in the bounded in-memory sink next to the scan
+                # reports; loss-tolerant — never fails the commit
+                try:
+                    from .metrics_reporting import SINK
+
+                    ident = getattr(self.table, "identifier", None)
+                    if ident:
+                        SINK.report(ident, "commit-report", {
+                            "table-name": ident,
+                            "snapshot-id": snap.snapshot_id,
+                            "sequence-number": snap.sequence_number,
+                            "operation": operation,
+                            "metrics": {
+                                "attempts": {"unit": "count",
+                                             "value": attempt + 1},
+                                "added-data-files": {
+                                    "unit": "count", "value": int(
+                                        summary.get("added-data-files",
+                                                    "0"))},
+                                "total-data-files": {
+                                    "unit": "count", "value": int(
+                                        summary.get("total-data-files",
+                                                    "0"))},
+                                "total-records": {
+                                    "unit": "count", "value": int(
+                                        summary.get("total-records",
+                                                    "0"))},
+                            },
+                        })
+                except Exception:
+                    pass
                 return snap
             except CommitFailedException as e:
                 last_err = e

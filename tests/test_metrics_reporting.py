@@ -152,3 +152,27 @@ def test_sink_bounded():
         s.report("t", "scan-report", {"i": i})
     got = s.reports("t")
     assert len(got) == 5 and got[0]["payload"]["i"] == 4
+
+
+def test_commit_reports_land_in_sink(catalog, spark):
+    """Write side of the MetricsReporter loop (reference
+    CommitReport.java): every snapshot commit reports operation,
+    attempt count, and summary-derived counters into the sink, next to
+    the scan reports."""
+    df = spark.range(0, 10).select("id")
+    SINK.clear("db.crep")
+    t = catalog.create_table("db.crep", df.schema)
+    t.append(df)
+    reps = [r for r in SINK.reports("db.crep")
+            if r["report_type"] == "commit-report"]
+    assert len(reps) == 1
+    p = reps[0]["payload"]
+    assert p["operation"] == "append"
+    assert p["metrics"]["attempts"]["value"] == 1
+    assert p["metrics"]["total-records"]["value"] == 10
+    assert p["snapshot-id"] == t.refresh().current_snapshot().snapshot_id
+    # surfaced through the metadata table with report_type distinguishing
+    rows = [r for r in catalog.load_table("db.crep")
+            .metadata_table("scan_reports").collect()
+            if r.report_type == "commit-report"]
+    assert rows and rows[0].snapshot_id == p["snapshot-id"]
