@@ -416,3 +416,43 @@ def test_polygon_column_scan_exact(catalog, spark):
 
     corner = wkb_polygon([(23, 23), (27, 23), (27, 27), (23, 27)])
     assert not geometry_intersects_polygon(corner, Polygon(ring))
+
+
+def test_geometry_intersects_polygon_properties():
+    """Property checks (hypothesis): no false NEGATIVES — whenever a
+    sampled grid point lies in both the geometry and the query polygon,
+    the exact predicate must say intersects; and bbox-disjoint pairs
+    must never intersect (soundness of the True side)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_spark.geo import (Polygon, _raycast,
+                                   geometry_intersects_polygon,
+                                   wkb_polygon)
+
+    coords = st.integers(min_value=-40, max_value=40)
+
+    @settings(max_examples=120, deadline=None)
+    @given(coords, coords, st.integers(1, 12), coords, coords,
+           st.integers(1, 12))
+    def prop(ax, ay, ah, qx, qy, qh):
+        geom = wkb_polygon([(ax - ah, ay - ah), (ax + ah, ay - ah),
+                            (ax + ah, ay + ah), (ax - ah, ay + ah)])
+        # query: diamond centered (qx,qy) radius qh
+        q = Polygon([(qx - qh, qy), (qx, qy + qh),
+                     (qx + qh, qy), (qx, qy - qh)])
+        got = geometry_intersects_polygon(geom, q)
+        # dense grid over the geometry square
+        xs = np.linspace(ax - ah, ax + ah, 9)
+        ys = np.linspace(ay - ah, ay + ah, 9)
+        gx, gy = np.meshgrid(xs, ys)
+        inside_q = _raycast(gx.ravel(), gy.ravel(), q)
+        if inside_q.any():  # a shared point exists -> must intersect
+            assert got, (ax, ay, ah, qx, qy, qh)
+        # bbox-disjoint -> exact must be disjoint
+        if (ax + ah < qx - qh or qx + qh < ax - ah
+                or ay + ah < qy - qh or qy + qh < ay - ah):
+            assert not got
+
+    prop()
