@@ -848,6 +848,11 @@ def _stats_filter_column(bound: E.Expr, schema: Schema, df: DataFrame):
 POS_DELETE_DRIVER_BYTES = 16 * 1024 * 1024
 POS_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
 POS_DELETE_MAX_LITERAL_RANGES = 256
+# path -> (native variant names, companion cols | None=unprobed): footer
+# probes survive across plans (paths are immutable uuid-named files)
+_VAR_SIG_CACHE: dict = {}
+_VAR_SIG_CACHE_CAP = 65_536
+
 EQ_DELETE_DRIVER_BYTES = 1024 * 1024
 # beyond a few thousand keys the literal path loses twice: building N
 # Literal objects through py4j costs ~0.6ms each (9.7s at 15k keys,
@@ -1538,7 +1543,23 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
     # physically homogeneous or the group-level schema misreads half the
     # files. Probing is one local footer read per file, only on tables
     # whose write schema has variant columns.
-    _var_cache: dict = {}
+    _var_cache = _VAR_SIG_CACHE
+    # companion-column presence is only consulted by the shredded-
+    # predicate pushdown rewrite, which only engages when the residual
+    # carries shredded-path conjuncts — gate the (JVM-fallback) footer
+    # probe on that so a plain scan of a 10k-file variant table never
+    # pays 10k py4j footer opens
+    def _res_conjs(e):
+        if isinstance(e, E.And):
+            yield from _res_conjs(e.left)
+            yield from _res_conjs(e.right)
+        else:
+            yield e
+
+    _want_comps = any(
+        isinstance(c, E.BoundPredicate)
+        and getattr(c.term, "stats_name", None)
+        for c in _res_conjs(plan.residual))
 
     def _var_sig(e):
         try:
@@ -1549,7 +1570,10 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         if not vnames or e.file.file_format != "parquet":
             return ()
         p = e.file.file_path
-        if p not in _var_cache:
+        hit = _var_cache.get(p)
+        if hit is None or (_want_comps and hit[1] is None):
+            if len(_var_cache) >= _VAR_SIG_CACHE_CAP:
+                _var_cache.clear()
             try:
                 import pyarrow as _pa
                 import pyarrow.parquet as _pq
@@ -1565,7 +1589,7 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                             native.add(vn)
                 comps = tuple(sorted(
                     n for n in foot.names if n.startswith("_shred_f")))
-                _var_cache[p] = (tuple(sorted(native)), comps)
+                hit = (tuple(sorted(native)), comps)
             except Exception:
                 # pyarrow refuses the parquet VARIANT logical type at the
                 # footer — that refusal IS the native-encoding marker.
@@ -1575,16 +1599,24 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 # groups live INSIDE the variant column): the companion
                 # set joins the group key so the physical-pushdown
                 # rewrite below never targets a file lacking the column.
-                try:
-                    from .variant_shred import jvm_top_level_columns
+                # The py4j probe runs ONLY when the residual carries
+                # shredded-path terms (None = unprobed) — a plain scan
+                # of a 10k-file variant table pays zero of them.
+                comps = None
+                if _want_comps:
+                    try:
+                        from .variant_shred import jvm_top_level_columns
 
-                    cols = jvm_top_level_columns(spark, p)
-                    comps = tuple(sorted(
-                        c for c in cols if c.startswith("_shred_f")))
-                except Exception:
-                    comps = ()
-                _var_cache[p] = (tuple(sorted(vnames)), comps)
-        return _var_cache[p]
+                        cols = jvm_top_level_columns(spark, p)
+                        comps = tuple(sorted(
+                            c for c in cols if c.startswith("_shred_f")))
+                    except Exception:
+                        comps = ()
+                hit = (tuple(sorted(vnames)), comps)
+            _var_cache[p] = hit
+        native, comps = hit
+        return (native, comps if (_want_comps and comps is not None)
+                else ())
 
     # Fifth key: encryption key id (data_file.key_metadata) — encrypted
     # files read through the decrypting executor-side reader, plaintext
