@@ -532,12 +532,19 @@ def _parse_parts(buf: bytes, off: int = 0) -> tuple:
         for r in range(nrings):
             pts, off = _read_ring(buf, off, ndims, endian)
             if len(pts) < 3:
+                # ring 0 IS the shell by WKB position: a degenerate
+                # shell makes the whole polygon empty — a later hole
+                # ring must never be promoted to shell (that would
+                # invert the hole's interior into polygon interior)
+                if r == 0:
+                    shell = False
                 continue
             if shell is None:
                 shell = Polygon(pts)
-            else:
+            elif shell is not False:
                 holes.append(Polygon(pts))
-        return ([("poly", shell, holes)] if shell is not None else []), off
+        return ([("poly", shell, holes)]
+                if isinstance(shell, Polygon) else []), off
     if base in (_MULTIPOINT, _MULTILINESTRING, _MULTIPOLYGON, _COLLECTION):
         (n,) = struct.unpack_from(endian + "I", buf, off)
         off += 4

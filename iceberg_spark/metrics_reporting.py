@@ -131,22 +131,36 @@ def scan_reports_df(spark, table_name: str):
         T.StructField("report_json", T.StringType()),
     ])
 
+    def _int(v):
+        # REST-POSTed reports are client-shaped: a malformed field must
+        # yield a NULL cell, never an unreadable metadata table
+        try:
+            return int(v) if v is not None else None
+        except (TypeError, ValueError):
+            return None
+
     def _cnt(m, k):
-        v = (m.get(k) or {}).get("value")
-        return int(v) if v is not None else None
+        if not isinstance(m, dict):
+            return None
+        v = m.get(k)
+        return _int(v.get("value") if isinstance(v, dict) else None)
 
     rows = []
     for r in SINK.reports(table_name):
         p = r["payload"]
+        if not isinstance(p, dict):
+            p = {}
         m = p.get("metrics") or {}
         rows.append((
             r["received_at_ms"], r["report_type"],
-            int(p["snapshot-id"]) if p.get("snapshot-id") is not None
-            else None,
+            _int(p.get("snapshot-id")),
             (p.get("filter") if isinstance(p.get("filter"), str)
              else _json.dumps(p.get("filter"))
              if p.get("filter") is not None else None),
-            (p.get("metadata") or {}).get("planning-mode"),
+            (str(p["metadata"]["planning-mode"])
+             if isinstance(p.get("metadata"), dict)
+             and p["metadata"].get("planning-mode") is not None
+             else None),
             _cnt(m, "total-data-manifests"),
             _cnt(m, "skipped-data-manifests"),
             _cnt(m, "skipped-data-files"),

@@ -388,6 +388,9 @@ class _Handler(BaseHTTPRequestHandler):
             from .metrics_reporting import SINK
 
             ident = f"{rest[1].replace(chr(31), '.')}.{rest[3]}"
+            if not cat.table_exists(ident):
+                return self._error(404, f"no such table: {ident}",
+                                   "NoSuchTableException")
             return self._json(200, {"reports": SINK.reports(ident)})
         if len(rest) == 4 and rest[0] == "namespaces" and rest[2] == "tables":
             ns = rest[1].replace("\x1f", ".")
@@ -537,12 +540,18 @@ class _Handler(BaseHTTPRequestHandler):
             from .metrics_reporting import (SINK,
                                             parse_report_metrics_request)
 
+            ident = f"{rest[1].replace(chr(31), '.')}.{rest[3]}"
+            if not cat.table_exists(ident):
+                # reference: reportMetrics 404s unknown tables — also
+                # keeps typo'd identifiers from allocating phantom sink
+                # entries without bound
+                return self._error(404, f"no such table: {ident}",
+                                   "NoSuchTableException")
             try:
                 rt, rep = parse_report_metrics_request(body)
             except ValueError as ex:
                 return self._error(400, str(ex), "BadRequestException")
             if rt != "unknown":
-                ident = f"{rest[1].replace(chr(31), '.')}.{rest[3]}"
                 SINK.report(ident, rt, rep)
             return self._json(204)
         if len(rest) == 5 and rest[0] == "namespaces" \

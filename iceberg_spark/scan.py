@@ -2038,7 +2038,19 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 # row-group stats. NULL semantics match the anti-join's
                 # eqNullSafe: a NULL row survives unless some delete row
                 # carried a NULL key.
-                ck = (id(spark),
+                # key carries the strategy confs (a raised/lowered cap
+                # must re-decide, not replay a stale choice) and the
+                # application id (a restarted session must never reuse
+                # Column handles pointing into a dead JVM)
+                ck = (spark.sparkContext.applicationId,
+                      _conf_int(spark,
+                                "spark.iceberg_spark.mor."
+                                "eqDeleteDriverBytes",
+                                EQ_DELETE_DRIVER_BYTES),
+                      _conf_int(spark,
+                                "spark.iceberg_spark.mor."
+                                "eqDeleteLiteralKeys",
+                                EQ_DELETE_MAX_LITERAL_KEYS),
                       tuple(sorted(d.file.file_path for d in dels)),
                       key_cols[0])
                 cond = _EQ_LITERAL_FILTER_CACHE.get(ck, False)

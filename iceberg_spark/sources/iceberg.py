@@ -1879,6 +1879,14 @@ def export_reference_metadata(table, dest_root: str,
                         # files export by reference, zero-copy)
                         skipped.add(f.file_path)
                         continue
+                    if "VARIANT" not in phys:
+                        # JSON-text or plain-struct variant encoding:
+                        # Spark reads the column as string/struct, so
+                        # the shredding writer has nothing to shred —
+                        # transcoding would drop the companions for no
+                        # typed_value gain; leave by reference
+                        skipped.add(f.file_path)
+                        continue
                     moved[f.file_path] = (
                         transcode_shredded_file(
                             table.spark, f.file_path, sdir, shred_ddl,
@@ -1889,13 +1897,25 @@ def export_reference_metadata(table, dest_root: str,
                 data_map = {old: new for old, (new, _s) in moved.items()}
                 # plaintext pos-delete CONTENT names the moved data
                 # paths: rewrite those files with the path remap (DV
-                # container payloads likewise)
+                # container payloads likewise). A delete file this loop
+                # CANNOT remap — encrypted, or already rewritten by the
+                # kms transcode with a different path map — would leave
+                # content naming pre-move paths, silently resurrecting
+                # deleted rows in the export: refuse loudly instead.
                 for plan in plans:
                     for d in plan.pos_deletes:
-                        if (d.file.file_format == "puffin"
-                                or d.file.file_path in transcode_map
-                                or d.file.key_metadata is not None):
+                        if d.file.file_format == "puffin":
                             continue
+                        if (d.file.file_path in transcode_map
+                                or d.file.key_metadata is not None):
+                            raise NotImplementedError(
+                                "spec-physical shredded export cannot "
+                                "remap this position-delete file's "
+                                "contents to the transcoded data paths "
+                                f"({d.file.file_path}: encrypted or "
+                                "already transcoded) — rewrite deletes "
+                                "first (rewrite_position_delete_files) "
+                                "or pass shred_physical=False")
                         transcode_map[d.file.file_path] = \
                             _transcode_kms_file(
                                 table.spark, d.file.file_path, None,

@@ -933,13 +933,20 @@ class Catalog:
                        metadata_file_location: str) -> Table:
         """Catalog.registerTable(ident, metadataFileLocation)
         (api/.../catalog/Catalog.java:205): register an existing table's
-        metadata under this catalog. Reference-layout metadata (Avro
-        manifest lists) routes through the full-history Iceberg importer;
-        engine-layout metadata copies the table directory by value."""
+        metadata under this catalog. Registration is BY REFERENCE, as in
+        the reference: data/delete files stay at the paths the manifests
+        record (the source keeps owning its files — registering does not
+        relocate a table; use rewrite_table_path for a self-contained
+        copy). Reference-layout metadata (Avro manifest lists) routes
+        through the full-history Iceberg importer; engine-layout
+        metadata copies the metadata tree under the catalog's location
+        so the directory catalog can address it."""
         import json as _json
 
         from . import io as _fio
 
+        if self.table_exists(identifier):
+            raise ValueError(f"table exists: {identifier}")
         try:
             mj = _json.loads(_fio.read_text(metadata_file_location))
             mls = [s.get("manifest-list", "")
@@ -954,8 +961,7 @@ class Catalog:
             return t
         loc = self._location(identifier)
         src_dir = os.path.dirname(os.path.dirname(metadata_file_location))
-        if not self.io.is_dir(loc):
-            _fio.copy_tree(src_dir, loc)
+        _fio.copy_tree(src_dir, loc)
         return self.load_table(identifier)
 
     # -- namespaces (api/.../catalog/SupportsNamespaces.java) ---------------

@@ -918,15 +918,16 @@ def _full_registry():
     # never which implementation wins.
     new_r11 = ("iceberg_export_shredded_roundtrip_scan",
                "geo_exact_poly_scan", "variant_shredded_typed_value_scan")
+    pipeline = _pipeline_registry()
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
-                  _pipeline_registry()):
+                  pipeline):
         dup = set(merged) & set(other)
         assert not dup, f"duplicate registry keys: {dup}"
         merged.update(other)
     reg = {k: merged[k] for k in new_r11}
-    reg.update({k: v for k, v in _pipeline_registry().items()})
-    reg.update({k: v for k, v in LIFECYCLE_REGISTRY.items()})
+    reg.update(pipeline)
+    reg.update(LIFECYCLE_REGISTRY)
     reg.update(merged)
     return reg
 

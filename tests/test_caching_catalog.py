@@ -74,3 +74,16 @@ def test_register_table_invalidates(catalog, spark, tmp_path):
     fresh = cc.load_table("db.cc_reg")
     assert fresh is not stale
     assert fresh.to_df().count() == 2
+
+
+def test_register_table_existing_identifier_raises(catalog, spark,
+                                                   tmp_path):
+    from iceberg_spark.sources.iceberg import export_reference_metadata
+
+    t = catalog.create_table("db.reg_dup", _schema())
+    t.append(spark.createDataFrame([(1, "x")], _schema()))
+    mpath = export_reference_metadata(t.refresh(), str(tmp_path / "e"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="exists"):
+        catalog.register_table("db.reg_dup", mpath)

@@ -456,3 +456,24 @@ def test_geometry_intersects_polygon_properties():
             assert not got
 
     prop()
+
+
+def test_degenerate_shell_polygon_is_empty():
+    """A POLYGON whose ring 0 (the shell, by WKB position) is degenerate
+    is EMPTY — a later hole ring must never be promoted to shell, which
+    would invert the hole's interior into polygon interior."""
+    import struct as _st
+
+    from iceberg_spark.geo import Polygon, geometry_intersects_polygon
+
+    def ring(pts):
+        b = _st.pack("<I", len(pts))
+        for x, y in pts:
+            b += _st.pack("<dd", x, y)
+        return b
+
+    wkb = (_st.pack("<BII", 1, 3, 2)
+           + ring([(0, 0), (1, 1)])  # 2-point shell: degenerate
+           + ring([(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)]))  # "hole"
+    q = Polygon([(3, 3), (7, 3), (7, 7), (3, 7)])  # inside the "hole"
+    assert not geometry_intersects_polygon(wkb, q)

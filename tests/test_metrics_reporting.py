@@ -176,3 +176,36 @@ def test_commit_reports_land_in_sink(catalog, spark):
             .metadata_table("scan_reports").collect()
             if r.report_type == "commit-report"]
     assert rows and rows[0].snapshot_id == p["snapshot-id"]
+
+
+def test_rest_metrics_404_and_malformed_payload(catalog, spark):
+    """Unknown tables 404 (no phantom sink growth); a stored report with
+    junk-typed fields must yield NULL cells, never an unreadable
+    scan_reports table."""
+    catalog.create_table("db.m404", spark.range(1).select("id").schema)
+    srv, port = serve(catalog)
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(port, "/v1/namespaces/db/tables/nope/metrics",
+                 {"report-type": "scan-report", "report": {}})
+        assert ei.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _req(port, "/v1/namespaces/db/tables/nope/metrics",
+                 method="GET")
+        assert ei.value.code == 404
+        SINK.clear("db.m404")
+        st, _b = _req(port, "/v1/namespaces/db/tables/m404/metrics", {
+            "report-type": "scan-report",
+            "report": {"snapshot-id": "oops",
+                       "metrics": {"result-data-files":
+                                   {"unit": "count", "value": "junk"}},
+                       "metadata": "not-a-dict"}})
+        assert st == 204
+        rows = (catalog.load_table("db.m404")
+                .metadata_table("scan_reports").collect())
+        assert len(rows) == 1
+        assert rows[0].snapshot_id is None
+        assert rows[0].result_data_files is None
+        assert rows[0].planning_mode is None
+    finally:
+        srv.shutdown()
