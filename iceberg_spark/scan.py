@@ -1666,37 +1666,14 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         # type from one footer per group and read those natively, no
         # parse_json round-trip.
         var_names = {f.name for f in wschema.fields if f.type == "variant"}
-        native_vars: set = set()
         if var_names:
             from pyspark.sql import types as _T
 
-            if ffmt == "parquet":
-                try:
-                    import pyarrow.parquet as _pq
-
-                    foot = _io.read_parquet_schema(entries[0].file.file_path)
-                    for vn in var_names:
-                        if vn in foot.names:
-                            ft = foot.field(vn).type
-                            import pyarrow as _pa
-
-                            if (_pa.types.is_struct(ft)
-                                    and {f.name for f in ft}
-                                    >= {"metadata", "value"}):
-                                native_vars.add(vn)
-                except Exception:
-                    # pyarrow refuses footers with the parquet VARIANT
-                    # logical type outright — ask the JVM reader instead
-                    try:
-                        sp = (spark.read.parquet(entries[0].file.file_path)
-                              .schema)
-                        vt = getattr(_T, "VariantType", None)
-                        for vn in var_names:
-                            if (vt is not None and vn in sp.names
-                                    and isinstance(sp[vn].dataType, vt)):
-                                native_vars.add(vn)
-                    except Exception:
-                        native_vars = set()
+            # the group key's _var_sig already probed every file's
+            # footer for its physical variant encoding — groups are
+            # encoding-homogeneous by construction, so the signature IS
+            # the read-schema decision (no second footer read per group)
+            native_vars = set(_vsig[0]) if _vsig else set()
             read_schema = _T.StructType([
                 fld if fld.name in native_vars
                 else _T.StructField(fld.name, _T.StringType(), True)
