@@ -1144,7 +1144,8 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
                        max_workers: int = 16, spark=None,
                        decryption: Optional[bytes] = None,
                        metrics: Optional[dict] = None,
-                       engine_written: bool = False) -> list:
+                       engine_written: bool = False,
+                       reader_options: Optional[dict] = None) -> list:
     """Footer-stat collection for many files.
 
     Small batches read footers thread-parallel on the driver; above
@@ -1194,7 +1195,9 @@ def collect_data_files(paths: list, schema: Schema, spec: PartitionSpec,
     # cost shape as the reference's in-writer metrics collection.
     from pyspark.sql import functions as F
 
-    sdf = spark.read.parquet(*failed)
+    # encrypted files read through the JVM crypto factory in the same
+    # fallback job (reader_options from the write path's key material)
+    sdf = spark.read.options(**(reader_options or {})).parquet(*failed)
     present = set(sdf.columns)
     ORDERABLE = ("int", "long", "float", "double", "string", "boolean")
     stat_cols = []  # (stats_key, spark Column, engine type)

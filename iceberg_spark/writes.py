@@ -178,10 +178,6 @@ def write_data_files(
                 f"{KEY_ID_PROP} requires parquet data files; "
                 f"write.format.default is {fmt} (only parquet has modular "
                 f"encryption)")
-        if any(f.type == "variant" for f in schema.fields):
-            raise NotImplementedError(
-                "encrypted tables with variant columns are not supported "
-                "(the encrypted writer has no native-variant encoder)")
         enc = table_encryption(props)
     # v3 variant columns: parquet defaults to Spark's NATIVE binary
     # variant encoding (format/spec.md:243 metadata/value group — what the
@@ -290,6 +286,16 @@ def write_data_files(
             "parquet writer; the pyarrow encrypted-write fallback cannot "
             "produce the shredding layout — enable the JVM crypto path "
             "or keep the companion layout")
+    if py_enc and var_enc != "json" and any(
+            f.type == "variant" for f in schema.fields):
+        # Spark's NATIVE writer handles variant + modular encryption
+        # together (the jvm_enc path above); the pyarrow fallback has no
+        # native-variant encoder. JSON-text encoding casts the column to
+        # string before the write, so it stays pyarrow-writable.
+        raise NotImplementedError(
+            "encrypted tables with native-variant columns need the JVM "
+            "crypto path (unavailable in this session); set "
+            "write.variant.encoding=json for the pyarrow fallback")
     from .variant_shred import shredding_write_conf
 
     if spec.fields:
@@ -355,10 +361,16 @@ def write_data_files(
 
     mcfg = metrics_config(props, schema)
     if fmt == "parquet":
+        ropts = None
+        if enc is not None and jvm_enc:
+            from . import jvm_crypto
+
+            ropts = jvm_crypto.reader_options(enc[0], enc[1])
         files = collect_data_files(paths, schema, spec, partitions, content,
                                    spark=table.spark,
                                    decryption=enc[1] if enc else None,
-                                   metrics=mcfg, engine_written=True)
+                                   metrics=mcfg, engine_written=True,
+                                   reader_options=ropts)
     else:
         files = _collect_files_spark(table.spark, paths, fmt, schema, spec,
                                      partitions, content, metrics=mcfg)

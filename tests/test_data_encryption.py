@@ -286,3 +286,51 @@ def test_export_reference_refuses_encrypted(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="encrypted"):
         export_reference_metadata(t, str(tmp_path / "exported"))
+
+
+def test_encrypted_variant_with_shredding(spark, tmp_path):
+    """Native variant + modular encryption through the JVM writer (the
+    old blanket refusal predates the JVM-native encrypted write path):
+    encrypted bytes on disk, companion stats collected through the
+    encrypted metrics fallback, extract() file pruning, exact reads,
+    and MoR deletes over the encrypted variant files."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark import jvm_crypto
+    from iceberg_spark.expressions import extract
+
+    if not jvm_crypto.available(spark):
+        pytest.skip("JVM crypto factory unavailable")
+    cat = Catalog(spark, str(tmp_path))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.VariantType())])
+    t = cat.create_table("db.encvar", schema, properties={
+        PC.KEY_ID_PROP: KEY_ID,
+        "write.variant.shred.v": "$.len:long",
+        "write.delete.mode": "merge-on-read"})
+    for lo in (0, 20):
+        df = (spark.range(lo, lo + 20).select(
+            F.col("id"),
+            F.parse_json(F.concat(F.lit('{"len":'),
+                                  F.col("id").cast("string"),
+                                  F.lit("}"))).alias("v")))
+        t.append(df.coalesce(1).sortWithinPartitions("id"))
+    t = t.refresh()
+    files = t.scan().plan_files().files
+    assert len(files) == 2
+    assert all(e.file.key_metadata for e in files)
+    assert any(k.startswith("_shred_f") for k in files[0].file.stats)
+    # encrypted on disk: keyless plain read must fail
+    with pytest.raises(Exception):
+        spark.read.parquet(files[0].file.file_path).collect()
+    # shredded-bound file pruning works off the encrypted footers' stats
+    pf = t.scan(filter=extract("v", "$.len", "long") >= 30).plan_files()
+    assert len(pf.files) == 1
+    got = sorted((r.id, r.l) for r in t.to_df().select(
+        "id", F.variant_get("v", "$.len", "long").alias("l")).collect())
+    assert got == [(i, i) for i in range(40)]
+    # MoR delete over the encrypted variant table
+    t.delete_where(col("id").isin([5, 25]), mode="merge-on-read")
+    t = t.refresh()
+    assert t.to_df().count() == 38
+    assert t.to_df().filter("id in (5, 25)").count() == 0
