@@ -334,3 +334,40 @@ def test_encrypted_variant_with_shredding(spark, tmp_path):
     t = t.refresh()
     assert t.to_df().count() == 38
     assert t.to_df().filter("id in (5, 25)").count() == 0
+
+
+def test_encrypted_typed_value_shredding_layout(spark, tmp_path):
+    """Encryption composes with the spec-physical shredding layout (both
+    are native-writer features): companion stats still collect through
+    the encrypted metrics fallback's variant_get aggregation and
+    extract() pruning works — with zero companion columns in the files."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark import jvm_crypto
+    from iceberg_spark.expressions import extract
+
+    if not jvm_crypto.available(spark):
+        pytest.skip("JVM crypto factory unavailable")
+    cat = Catalog(spark, str(tmp_path))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.VariantType())])
+    t = cat.create_table("db.encvtv", schema, properties={
+        PC.KEY_ID_PROP: KEY_ID,
+        "write.variant.shred.v": "$.len:long",
+        "write.variant.shred.layout": "typed_value"})
+    for lo in (0, 20):
+        df = (spark.range(lo, lo + 20).select(
+            F.col("id"),
+            F.parse_json(F.concat(F.lit('{"len":'),
+                                  F.col("id").cast("string"),
+                                  F.lit("}"))).alias("v")))
+        t.append(df.coalesce(1).sortWithinPartitions("id"))
+    t = t.refresh()
+    files = t.scan().plan_files().files
+    assert all(e.file.key_metadata for e in files)
+    assert any(k.startswith("_shred_f") for k in files[0].file.stats)
+    pf = t.scan(filter=extract("v", "$.len", "long") >= 30).plan_files()
+    assert len(pf.files) == 1
+    got = sorted(r.id for r in t.scan(
+        filter=extract("v", "$.len", "long") >= 30).df().collect())
+    assert got == list(range(30, 40))
