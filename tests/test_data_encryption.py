@@ -371,3 +371,45 @@ def test_encrypted_typed_value_shredding_layout(spark, tmp_path):
     got = sorted(r.id for r in t.scan(
         filter=extract("v", "$.len", "long") >= 30).df().collect())
     assert got == list(range(30, 40))
+
+
+def test_encrypted_variant_export_roundtrip(spark, tmp_path):
+    """Engine-kms variant files export via the raw-DEK transcode and
+    re-import under an encrypted metadata tree — the variant column
+    survives the re-encryption round trip (the transcoded copies are
+    written by the same native writer, so the VARIANT logical type and
+    values carry through)."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark import jvm_crypto
+    from iceberg_spark.encryption import aes_gcm_decrypt
+    from iceberg_spark.sources.iceberg import (export_reference_metadata,
+                                               register_iceberg_table)
+
+    if not jvm_crypto.available(spark):
+        pytest.skip("JVM crypto factory unavailable")
+    MK = b"0123456789abcdef"
+    cat = Catalog(spark, str(tmp_path), metadata_key=MK)
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.VariantType())])
+    t = cat.create_table("db.evx", schema, properties={
+        PC.KEY_ID_PROP: KEY_ID, "write.variant.shred.v": "$.len:long"})
+    t.append(spark.range(0, 30).select(
+        F.col("id"),
+        F.parse_json(F.concat(F.lit('{"len":'), F.col("id").cast("string"),
+                              F.lit("}"))).alias("v")))
+    t = t.refresh()
+    dest = str(tmp_path / "exp")
+    mp = export_reference_metadata(t, dest, transcode_encrypted_data=True)
+
+    def unwrap(wrapped, kid):
+        try:
+            return aes_gcm_decrypt(MK, wrapped, (kid or "").encode())
+        except ValueError:
+            return aes_gcm_decrypt(MK, wrapped, b"")
+
+    t2, _n, _f = register_iceberg_table(cat, mp, "db.evx_back",
+                                        kms_unwrap=unwrap)
+    got = sorted((r.id, r.l) for r in t2.to_df().select(
+        "id", F.variant_get("v", "$.len", "long").alias("l")).collect())
+    assert got == [(i, i) for i in range(30)]
