@@ -355,6 +355,14 @@ class TableScan:
                            if e.file.stats.get(name) and e.file.stats[name][1] is not None]
                     return (min(mns), max(mxs)) if mns and mxs else None
 
+                def data_nullfree(name):
+                    # bounds cover non-NULL values only; disjoint ranges
+                    # prune soundly only when NULL keys provably cannot
+                    # match (stats tuple: min,max,nulls,...)
+                    return all(e.file.stats.get(name)
+                               and e.file.stats[name][2] == 0
+                               for e in data_entries)
+
                 def eq_may_apply(d):
                     key = _eq_pkey(d.file)
                     if (key is not None and eq_live_parts
@@ -370,7 +378,9 @@ class TableScan:
                         rng = key_ranges(name)
                         if st and rng and st[0] is not None and st[1] is not None:
                             try:
-                                if st[1] < rng[0] or st[0] > rng[1]:
+                                if (st[1] < rng[0] or st[0] > rng[1]) \
+                                        and (st[2] == 0
+                                             or data_nullfree(name)):
                                     return False  # disjoint on this key
                             except TypeError:
                                 return True
@@ -863,6 +873,16 @@ EQ_DELETE_MAX_LITERAL_KEYS = 4096
 # literal NOT-IN needs exact value semantics under isin(); float/double
 # NaN and timestamp zone coercion make those types join-path only
 _EQ_LITERAL_TYPES = ("int", "long", "string", "date")
+# Above the isin cap, keys load into a compiled sorted-array probe
+# (StaticInvoke of SortedSetProbe, jvm_probe.py): ONE expression node
+# (no 15k-literal Catalyst tree), one primitive binary search per row
+# (no boxed-set probe), no join stage. sf1 measured: eq-MoR scan ratio
+# vs the no-delete twin 2.4x (anti-join) -> ~1.25x. Caps bound the
+# driver-side delete read and the serialized plan payload; bigger sets
+# keep the distributed anti-join.
+EQ_DELETE_MAX_PROBE_KEYS = 1_000_000
+EQ_DELETE_PROBE_BYTES = 32 * 1024 * 1024
+_EQ_PROBE_TYPES = ("int", "long", "string")
 
 
 def _conf_int(spark, key: str, default: int) -> int:
@@ -878,8 +898,198 @@ def _conf_int(spark, key: str, default: int) -> int:
 _EQ_LITERAL_FILTER_CACHE: dict = {}
 _EQ_LITERAL_FILTER_CACHE_CAP = 256
 
+# Delete-content cache (reference SparkExecutorCache: spark/v4.0/.../
+# SparkExecutorCache.java — the reference caches decoded delete-file
+# content across scan tasks because delete files are immutable and
+# re-read on every scan of the same snapshot). Engine analog: the
+# anti-join BUILD side (the delete-key DataFrame) is persisted
+# MEMORY_AND_DISK and keyed by the delete files' (path, write-schema,
+# seq) identity, so repeated scans of a snapshot pay the delete-file
+# read job once. LRU by insertion order; evicted entries unpersist.
+DELETE_CACHE_BYTES = 128 * 1024 * 1024  # reference executor-cache default
+_DELETE_BUILD_CACHE: dict = {}
+_DELETE_BUILD_CACHE_CAP = 64
 
-def _eq_delete_literal_keys(metadata, schema, fid: int, dels, spark):
+
+def _delete_build_cached(spark, dels, ck_extra, builder):
+    """Return builder() persisted + cached under the delete set's
+    identity, or unpersisted when caching is off / the set is too big.
+    Cache key carries the application id (a restarted session must not
+    reuse DataFrames pointing into a dead JVM) and each file's
+    write-schema id (column-name mapping) — sequence numbers go in via
+    ck_extra on paths that bake them into the frame."""
+    if not _conf_bool(spark, "spark.iceberg_spark.mor.deleteCacheEnabled",
+                      True):
+        return builder()
+    cap = _conf_int(spark, "spark.iceberg_spark.mor.deleteCacheBytes",
+                    DELETE_CACHE_BYTES)
+    if sum(d.file.file_size_in_bytes or 0 for d in dels) > cap:
+        return builder()
+    ck = (spark.sparkContext.applicationId, ck_extra,
+          tuple(sorted((d.file.file_path, d.file.write_schema_id)
+                       for d in dels)))
+    dd = _DELETE_BUILD_CACHE.get(ck)
+    if dd is None:
+        from pyspark import StorageLevel
+
+        dd = builder().persist(StorageLevel.MEMORY_AND_DISK)
+        while len(_DELETE_BUILD_CACHE) >= _DELETE_BUILD_CACHE_CAP:
+            old = _DELETE_BUILD_CACHE.pop(next(iter(_DELETE_BUILD_CACHE)))
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+        _DELETE_BUILD_CACHE[ck] = dd
+    return dd
+
+
+def _conf_bool(spark, key: str, default: bool) -> bool:
+    v = spark.conf.get(key, None)
+    return default if v is None else str(v).lower() == "true"
+
+
+def _eq_build_bounds_filter(dd, plan, key_cols):
+    """DeleteFileIndex-style build-side scoping (reference core/.../
+    DeleteFileIndex.java bounds intersection): delete keys outside the
+    union of the scanned data files' key bounds cannot match any row,
+    so drop them before the broadcast/shuffle build — a filter on the
+    build side shrinks it toward broadcastability and pushes to the
+    delete files' own row-group stats. NULL delete keys are kept (they
+    match NULL data keys under eqNullSafe). Bounds come from the data
+    manifests — no extra read."""
+    for i, name in enumerate(key_cols):
+        los, his = [], []
+        for e in plan.files:
+            st = e.file.stats.get(name)
+            if not st or st[0] is None or st[1] is None:
+                los = None  # a file without bounds may hold any key
+                break
+            los.append(st[0])
+            his.append(st[1])
+        if not los:
+            continue
+        try:
+            lo, hi = min(los), max(his)
+        except TypeError:
+            continue
+        if isinstance(lo, float) and (lo != lo or hi != hi):
+            continue  # NaN bounds carry no ordering
+        c = F.col(f"__delk_{i}")
+        try:
+            dd = dd.filter(c.isNull() | c.between(F.lit(lo), F.lit(hi)))
+        except Exception:
+            continue  # unliteralizable bound type: scoping is optional
+    return dd
+
+
+# pairwise (data file x delete file) applicability checks are plan-time
+# driver work; cap keeps pathological metadata shapes off the O(F*D) path
+EQ_SPLIT_MAX_PAIRS = 2_000_000
+
+
+def _eq_applies_to_file(d, e, schema, _name_cache):
+    """Would equality-delete entry `d` possibly affect rows of data
+    entry `e`? Per-file DeleteFileIndex lookup (reference core/.../
+    DeleteFileIndex.java: seq scoping + partition grouping + key-bounds
+    intersection). Conservative: unknown -> True."""
+    if d.sequence_number <= e.sequence_number:
+        return False
+
+    def pkey(f):
+        items = tuple(sorted((k, v) for k, v in f.partition.items()
+                             if v is not None))
+        return (f.spec_id, items) if items else None
+
+    dk = pkey(d.file)
+    if dk is not None and e.file.spec_id == d.file.spec_id:
+        ek = pkey(e.file)
+        if ek is not None and ek != dk:
+            return False
+    for fid in d.file.equality_ids:
+        if fid not in _name_cache:
+            try:
+                _name_cache[fid] = schema.field_by_id(fid).name
+            except Exception:
+                _name_cache[fid] = None
+        nm = _name_cache[fid]
+        if nm is None:
+            continue
+        dst = d.file.stats.get(nm)
+        est = e.file.stats.get(nm)
+        if (not dst or not est or dst[0] is None or dst[1] is None
+                or est[0] is None or est[1] is None):
+            continue
+        try:
+            disjoint = dst[1] < est[0] or dst[0] > est[1]
+        except TypeError:
+            continue
+        # bounds cover non-NULL values only: a NULL delete key still
+        # matches NULL data values, so disjoint ranges prune only when
+        # one side provably holds no NULLs (stats tuple: min,max,nulls)
+        if disjoint and (dst[2] == 0 or est[2] == 0):
+            return False
+    return True
+
+
+def _pos_deletes_for(pos_dels, entries):
+    """The subset of pos-delete entries that may reference any of
+    `entries` — same per-file scoping rules the planner applies
+    (referenced_data_file exact, file_path bounds range, else keep)."""
+    if not pos_dels:
+        return []
+    import bisect
+
+    live = sorted(_data_rel(e.file.file_path) for e in entries)
+    live_set = set(live)
+    out = []
+    for d in pos_dels:
+        if d.file.referenced_data_file:
+            if _data_rel(d.file.referenced_data_file) in live_set:
+                out.append(d)
+            continue
+        st = d.file.stats.get("file_path")
+        if st and st[0] is not None and st[1] is not None:
+            lo, hi = _data_rel(st[0]), _data_rel(st[1])
+            i = bisect.bisect_left(live, lo)
+            if i < len(live) and live[i] <= hi:
+                out.append(d)
+            continue
+        out.append(d)  # unscoped: conservatively reaches every branch
+    return out
+
+
+def _eq_split_plan(plan: ScanPlan, schema, spark):
+    """DeleteFileIndex analog: attach equality deletes per DATA file and
+    split the scan into a CLEAR branch (files no delete can touch — read
+    plain, zero anti-join probe cost) and a DIRTY branch (anti-join as
+    before). Returns (clear_plan, dirty_plan_or_None) or None when no
+    file is provably clear. At 100 TB this is the difference between
+    probing every row of the table through the delete join and probing
+    only the key-range/partition slice the deletes can reach."""
+    if not _conf_bool(spark, "spark.iceberg_spark.mor.eqSplitScan", True):
+        return None
+    files, dels = plan.files, plan.eq_deletes
+    if len(files) < 2 or len(files) * len(dels) > EQ_SPLIT_MAX_PAIRS:
+        return None
+    names: dict = {}
+    dirty, clear = [], []
+    for e in files:
+        (dirty if any(_eq_applies_to_file(d, e, schema, names)
+                      for d in dels)
+         else clear).append(e)
+    if not clear:
+        return None
+    clear_plan = ScanPlan(clear, _pos_deletes_for(plan.pos_deletes, clear),
+                          [], plan.residual, plan.snapshot, plan.report)
+    if not dirty:
+        return clear_plan, None
+    dirty_plan = ScanPlan(dirty, _pos_deletes_for(plan.pos_deletes, dirty),
+                          dels, plan.residual, plan.snapshot, plan.report)
+    return clear_plan, dirty_plan
+
+
+def _eq_delete_literal_keys(metadata, schema, fid: int, dels, spark,
+                            byte_cap=None, key_cap=None):
     """Driver-side read of a SMALL single-column equality-delete set,
     returning (sorted key list, saw_null) — or None when the set is too
     big, encrypted with a raw footer DEK, non-parquet, or the key type
@@ -888,18 +1098,22 @@ def _eq_delete_literal_keys(metadata, schema, fid: int, dels, spark):
     stage (and its delete-file read job) for the dominant Flink-upsert
     layout of many tiny PK delete files. The byte cap bounds driver
     memory the same way POS_DELETE_DRIVER_BYTES does; big delete sets
-    keep the distributed anti-join."""
+    keep the distributed anti-join. Caps default to the isin-literal
+    confs; the jvm set-probe caller passes its own larger ones."""
     ftype = schema.field_by_id(fid).type
     if not (isinstance(ftype, str)
             and (ftype in _EQ_LITERAL_TYPES
                  or ftype.startswith("decimal"))):
         return None
-    limit = _conf_int(spark, "spark.iceberg_spark.mor.eqDeleteDriverBytes",
-                      EQ_DELETE_DRIVER_BYTES)
+    limit = byte_cap if byte_cap is not None else _conf_int(
+        spark, "spark.iceberg_spark.mor.eqDeleteDriverBytes",
+        EQ_DELETE_DRIVER_BYTES)
     if sum(d.file.file_size_in_bytes or 0 for d in dels) > limit:
         return None
-    key_cap = _conf_int(spark, "spark.iceberg_spark.mor.eqDeleteLiteralKeys",
-                        EQ_DELETE_MAX_LITERAL_KEYS)
+    if key_cap is None:
+        key_cap = _conf_int(spark,
+                            "spark.iceberg_spark.mor.eqDeleteLiteralKeys",
+                            EQ_DELETE_MAX_LITERAL_KEYS)
     if sum(d.file.record_count or 0 for d in dels) > key_cap:
         return None  # manifest counts pre-gate: no driver read wasted
     if any(d.file.file_format != "parquet" for d in dels):
@@ -1462,6 +1676,20 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
     schema = scan.schema
     read_cols = scan.columns or schema.column_names
 
+    # per-file equality-delete attachment (DeleteFileIndex analog): files
+    # no delete can touch read on a plain branch with no anti-join probe
+    if plan.eq_deletes and plan.files:
+        split = _eq_split_plan(plan, schema, spark)
+        if split is not None:
+            clear_plan, dirty_plan = split
+            cdf = plan_to_df(scan, clear_plan, with_metadata_columns,
+                             with_lineage)
+            if dirty_plan is None:
+                return cdf
+            return cdf.unionByName(
+                plan_to_df(scan, dirty_plan, with_metadata_columns,
+                           with_lineage))
+
     # Decide the pos-delete strategy up front: a small delete set compresses
     # to literal position runs, which (when nothing else needs metadata
     # columns) are applied inside each file-group read on the raw _metadata
@@ -2019,33 +2247,63 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 # must re-decide, not replay a stale choice) and the
                 # application id (a restarted session must never reuse
                 # Column handles pointing into a dead JVM)
+                lit_bytes = _conf_int(
+                    spark, "spark.iceberg_spark.mor.eqDeleteDriverBytes",
+                    EQ_DELETE_DRIVER_BYTES)
+                lit_keys = _conf_int(
+                    spark, "spark.iceberg_spark.mor.eqDeleteLiteralKeys",
+                    EQ_DELETE_MAX_LITERAL_KEYS)
+                probe_bytes = _conf_int(
+                    spark, "spark.iceberg_spark.mor.eqDeleteProbeBytes",
+                    EQ_DELETE_PROBE_BYTES)
+                probe_keys = _conf_int(
+                    spark, "spark.iceberg_spark.mor.eqDeleteProbeKeys",
+                    EQ_DELETE_MAX_PROBE_KEYS)
                 ck = (spark.sparkContext.applicationId,
-                      _conf_int(spark,
-                                "spark.iceberg_spark.mor."
-                                "eqDeleteDriverBytes",
-                                EQ_DELETE_DRIVER_BYTES),
-                      _conf_int(spark,
-                                "spark.iceberg_spark.mor."
-                                "eqDeleteLiteralKeys",
-                                EQ_DELETE_MAX_LITERAL_KEYS),
+                      lit_bytes, lit_keys, probe_bytes, probe_keys,
                       tuple(sorted(d.file.file_path for d in dels)),
                       key_cols[0])
                 cond = _EQ_LITERAL_FILTER_CACHE.get(ck, False)
                 if cond is False:
                     cond = None
+                    ftype = schema.field_by_id(ids[0]).type
+                    probe_ok = (isinstance(ftype, str)
+                                and ftype in _EQ_PROBE_TYPES
+                                and probe_keys > lit_keys)
+                    # pre-check the JVM helper before paying a driver
+                    # read the isin path would have refused anyway
+                    if probe_ok and sum(d.file.record_count or 0
+                                        for d in dels) > lit_keys:
+                        from . import jvm_probe
+
+                        probe_ok = jvm_probe.available(spark)
+                    big_bytes = (max(lit_bytes, probe_bytes)
+                                 if probe_ok else lit_bytes)
+                    big_keys = (max(lit_keys, probe_keys)
+                                if probe_ok else lit_keys)
                     lit = _eq_delete_literal_keys(metadata, schema,
-                                                  ids[0], dels, spark)
+                                                  ids[0], dels, spark,
+                                                  big_bytes, big_keys)
                     if lit is not None:
                         keys, saw_null = lit
+                        small = (len(keys) <= lit_keys
+                                 and sum(d.file.file_size_in_bytes or 0
+                                         for d in dels) <= lit_bytes)
                         c = F.col(key_cols[0])
-                        if saw_null:
-                            cond = c.isNotNull()
-                            if keys:
-                                cond = cond & ~c.isin(keys)
-                        elif keys:
-                            cond = c.isNull() | ~c.isin(keys)
+                        if not keys:
+                            cond = (c.isNotNull() if saw_null
+                                    else F.lit(True))
+                        elif small:
+                            if saw_null:
+                                cond = c.isNotNull() & ~c.isin(keys)
+                            else:
+                                cond = c.isNull() | ~c.isin(keys)
                         else:
-                            cond = F.lit(True)  # empty delete set: no-op
+                            from . import jvm_probe
+
+                            cond = jvm_probe.not_in_filter(
+                                spark, key_cols[0], keys, ftype,
+                                saw_null)
                     if len(_EQ_LITERAL_FILTER_CACHE) >= \
                             _EQ_LITERAL_FILTER_CACHE_CAP:
                         _EQ_LITERAL_FILTER_CACHE.clear()
@@ -2060,24 +2318,31 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 # (field-ID mapped via its write schema): reading a
                 # pre-rename file by the current name would silently
                 # return all-NULL keys instead of failing loudly.
-                by_ws: dict = {}
-                for d in dels:
-                    by_ws.setdefault(d.file.write_schema_id, []).append(d)
-                pieces = []
-                for wsid_, ds in by_ws.items():
-                    try:
-                        wsch_ = metadata.schema_by_id(wsid_)
-                    except KeyError:
-                        wsch_ = schema
-                    wfields = [wsch_.field_by_id(i) for i in ids]
-                    dtypes = type_to_spark(StructT(tuple(wfields)))
-                    for rdf in _delete_file_readers(spark, ds, dtypes):
-                        pieces.append(
-                            rdf.select(*[F.col(wf.name).alias(f"__delk_{i}")
-                                         for i, wf in enumerate(wfields)]))
-                dd = pieces[0]
-                for p_ in pieces[1:]:
-                    dd = dd.unionByName(p_)
+                def _build_uniform(dels=dels, ids=ids):
+                    by_ws: dict = {}
+                    for d in dels:
+                        by_ws.setdefault(d.file.write_schema_id,
+                                         []).append(d)
+                    pieces = []
+                    for wsid_, ds in by_ws.items():
+                        try:
+                            wsch_ = metadata.schema_by_id(wsid_)
+                        except KeyError:
+                            wsch_ = schema
+                        wfields = [wsch_.field_by_id(i) for i in ids]
+                        dtypes = type_to_spark(StructT(tuple(wfields)))
+                        for rdf in _delete_file_readers(spark, ds, dtypes):
+                            pieces.append(rdf.select(
+                                *[F.col(wf.name).alias(f"__delk_{i}")
+                                  for i, wf in enumerate(wfields)]))
+                    dd = pieces[0]
+                    for p_ in pieces[1:]:
+                        dd = dd.unionByName(p_)
+                    return dd
+
+                dd = _delete_build_cached(spark, dels, ("eq-uniform", ids),
+                                          _build_uniform)
+                dd = _eq_build_bounds_filter(dd, plan, key_cols)
                 cond = None
                 for i, k in enumerate(key_cols):
                     c = out[k].eqNullSafe(F.col(f"__delk_{i}"))
@@ -2091,34 +2356,48 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             # write-time column names (field-ID mapped), as in the uniform
             # path: a pre-rename delete file read by the current name
             # would resolve to nothing (or nulls with an explicit schema)
-            by_ws2: dict = {}
-            for d in dels:
-                by_ws2.setdefault(d.file.write_schema_id, []).append(d)
-            pieces2 = []
-            for wsid_, ds in by_ws2.items():
-                try:
-                    wsch_ = metadata.schema_by_id(wsid_)
-                except KeyError:
-                    wsch_ = schema
-                wfields = [wsch_.field_by_id(i) for i in ids]
-                dtypes = type_to_spark(StructT(tuple(wfields)))
-                # tag each delete row with its file's sequence number
-                seq_map = {d.file.file_path: d.sequence_number for d in ds}
-                mapping = F.create_map(*[F.lit(x) for kv in seq_map.items()
-                                         for x in kv])
-                # normalize file:// URIs to match the manifest's plain paths
-                for rdf in _delete_file_readers(spark, ds, dtypes,
-                                                with_meta=True):
-                    pieces2.append(rdf.select(
-                        *[F.col(wf.name).alias(f"__delk_{i}")
-                          for i, wf in enumerate(wfields)],
-                        mapping[_io.decode_spark_path_col(
-                            F.col("_metadata.file_path"),
-                            paths=list(seq_map))]
-                        .alias("__del_seq")))
-            dd = pieces2[0]
-            for p_ in pieces2[1:]:
-                dd = dd.unionByName(p_)
+            def _build_seq_tagged(dels=dels, ids=ids):
+                by_ws2: dict = {}
+                for d in dels:
+                    by_ws2.setdefault(d.file.write_schema_id, []).append(d)
+                pieces2 = []
+                for wsid_, ds in by_ws2.items():
+                    try:
+                        wsch_ = metadata.schema_by_id(wsid_)
+                    except KeyError:
+                        wsch_ = schema
+                    wfields = [wsch_.field_by_id(i) for i in ids]
+                    dtypes = type_to_spark(StructT(tuple(wfields)))
+                    # tag each delete row with its file's sequence number
+                    seq_map = {d.file.file_path: d.sequence_number
+                               for d in ds}
+                    mapping = F.create_map(*[F.lit(x)
+                                             for kv in seq_map.items()
+                                             for x in kv])
+                    # normalize file:// URIs to match the manifest's
+                    # plain paths
+                    for rdf in _delete_file_readers(spark, ds, dtypes,
+                                                    with_meta=True):
+                        pieces2.append(rdf.select(
+                            *[F.col(wf.name).alias(f"__delk_{i}")
+                              for i, wf in enumerate(wfields)],
+                            mapping[_io.decode_spark_path_col(
+                                F.col("_metadata.file_path"),
+                                paths=list(seq_map))]
+                            .alias("__del_seq")))
+                dd = pieces2[0]
+                for p_ in pieces2[1:]:
+                    dd = dd.unionByName(p_)
+                return dd
+
+            # sequence numbers are baked into the frame -> they join the
+            # cache key (a cherry-picked replay of the same file could in
+            # principle land at a different seq)
+            seq_key = tuple(sorted((d.file.file_path, d.sequence_number)
+                                   for d in dels))
+            dd = _delete_build_cached(spark, dels, ("eq-seq", ids, seq_key),
+                                      _build_seq_tagged)
+            dd = _eq_build_bounds_filter(dd, plan, key_cols)
             cond = F.col("__data_seq") < F.col("__del_seq")
             for i, k in enumerate(key_cols):
                 cond = cond & out[k].eqNullSafe(F.col(f"__delk_{i}"))

@@ -234,6 +234,9 @@ def test_eq_literal_filter_falls_back_when_big(catalog, spark):
     RowDelta(t, [], dels).commit()
     t = t.refresh()
     spark.conf.set("spark.iceberg_spark.mor.eqDeleteDriverBytes", "1")
+    # the probe path has its own byte cap — lower it too, otherwise a
+    # small-but-over-isin-bytes set legitimately probes instead
+    spark.conf.set("spark.iceberg_spark.mor.eqDeleteProbeBytes", "1")
     try:
         df = t.to_df()
         plan = df._jdf.queryExecution().executedPlan().toString()
@@ -241,4 +244,203 @@ def test_eq_literal_filter_falls_back_when_big(catalog, spark):
         assert df.count() == 40
     finally:
         spark.conf.unset("spark.iceberg_spark.mor.eqDeleteDriverBytes")
+        spark.conf.unset("spark.iceberg_spark.mor.eqDeleteProbeBytes")
     assert t.to_df().count() == 40  # literal path agrees
+
+
+def _eq_table(catalog, spark, ident, rows, extra=()):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table(ident, schema)
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(rows)] + list(extra), schema))
+    return t
+
+
+def test_eq_probe_filter_large_key_set(catalog, spark):
+    """Above the isin-literal cap (4096) but under the probe cap the
+    delete set applies as ONE compiled StaticInvoke binary-search node:
+    no join stage, no per-key literal tree, anti-join-identical
+    semantics including NULL handling."""
+    from iceberg_spark import jvm_probe
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    if not jvm_probe.available(spark):
+        import pytest
+
+        pytest.skip("no JDK for the probe helper jar")
+    t = _eq_table(catalog, spark, "eq.probe", 12000,
+                  extra=[(None, 99.0)])
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(i,) for i in range(0, 12000, 2)],
+                                 ["id"]), ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    df = t.to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "static_invoke" in plan or "SortedSetProbe" in plan
+    assert df.count() == 6001  # odd ids + the NULL row
+    assert df.filter("id is null").count() == 1
+    assert df.filter("id = 4000").count() == 0
+    assert df.filter("id = 4001").count() == 1
+
+    # NULL delete key through the probe path: NULL rows go too
+    from pyspark.sql import types as T
+
+    dels2 = write_equality_deletes(
+        t, spark.createDataFrame(
+            [(i,) for i in range(1, 12000, 2)] + [(None,)],
+            T.StructType([T.StructField("id", T.LongType())])), ["id"])
+    RowDelta(t, [], dels2).commit()
+    t = t.refresh()
+    assert t.to_df().count() == 0
+
+
+def test_eq_probe_filter_string_keys(catalog, spark):
+    """String keys probe through a sorted UTF8String[] — including
+    values with quotes/backticks that would break SQL rendering."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark import jvm_probe
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    if not jvm_probe.available(spark):
+        import pytest
+
+        pytest.skip("no JDK for the probe helper jar")
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.probestr", schema)
+    odd = ["it's`x\\" + str(i) for i in range(4200)]
+    keep = [f"keep{i}" for i in range(100)]
+    t.append(spark.createDataFrame(
+        [(k, 1.0) for k in odd + keep], schema))
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(k,) for k in odd], ["k"]), ["k"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    df = t.to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    got = sorted(r.k for r in df.collect())
+    assert got == sorted(keep)
+
+
+def test_eq_probe_disabled_falls_back_to_join(catalog, spark,
+                                              monkeypatch):
+    """ICEBERG_SPARK_JVM_PROBE=0 keeps the distributed anti-join for
+    large sets — same results either way."""
+    from iceberg_spark import jvm_probe, scan
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    t = _eq_table(catalog, spark, "eq.probeoff", 5000)
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(i,) for i in range(0, 5000, 1)][:4200],
+                                 ["id"]), ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    monkeypatch.setenv("ICEBERG_SPARK_JVM_PROBE", "0")
+    monkeypatch.setattr(jvm_probe, "_session_state", {})
+    scan._EQ_LITERAL_FILTER_CACHE.clear()
+    try:
+        df = t.to_df()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" in plan
+        assert df.count() == 800
+    finally:
+        scan._EQ_LITERAL_FILTER_CACHE.clear()
+    monkeypatch.delenv("ICEBERG_SPARK_JVM_PROBE")
+    monkeypatch.setattr(jvm_probe, "_session_state", {})
+    assert t.to_df().count() == 800  # probe path agrees
+
+
+def test_eq_split_scan_clear_files_skip_join(catalog, spark):
+    """DeleteFileIndex analog: data files whose key bounds no delete
+    file overlaps read on a plain union branch — correct rows, and the
+    executed plan is a Union with the delete filter on one side only."""
+    from pyspark.sql import Row
+
+    t = _eq_table(catalog, spark, "eq.split", 10)          # ids 0..9
+    t.append(spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(100, 110)]))  # 2nd file
+    # force the join path (not literal) so the split is observable:
+    # delete keys live only in the second file's range
+    spark.conf.set("spark.iceberg_spark.mor.eqDeleteLiteralKeys", "0")
+    spark.conf.set("spark.iceberg_spark.mor.eqDeleteProbeKeys", "0")
+    try:
+        t.upsert(spark.createDataFrame(
+            [Row(id=105, v=-1.0), Row(id=107, v=-2.0)]), keys=["id"])
+        df = t.to_df()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Union" in plan and "Join" in plan
+        rows = {r.id: r.v for r in df.collect()}
+        assert len(rows) == 20
+        assert rows[105] == -1.0 and rows[107] == -2.0
+        assert rows[3] == 3.0
+    finally:
+        spark.conf.unset("spark.iceberg_spark.mor.eqDeleteLiteralKeys")
+        spark.conf.unset("spark.iceberg_spark.mor.eqDeleteProbeKeys")
+
+
+def test_eq_split_null_keys_stay_dirty(catalog, spark):
+    """A delete file carrying NULL keys must still reach data files
+    whose bounds are disjoint when those files may hold NULL keys
+    (bounds describe non-NULL values only)."""
+    from pyspark.sql import Row, types as T
+
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.splitnull", schema)
+    t.append(spark.createDataFrame(
+        [(None, 1.0), (None, 2.0)], schema))            # all-NULL file
+    t.append(spark.createDataFrame(
+        [(100, 3.0), (101, 4.0)], schema))              # bounded file
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(100,), (None,)],
+                                 T.StructType([schema["id"]])), ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    got = sorted(r.v for r in t.to_df().collect())
+    assert got == [4.0]  # both NULL rows AND id=100 deleted
+
+
+def test_delete_build_cache_reuse(catalog, spark, monkeypatch):
+    """The anti-join build side persists across scans of the same
+    delete files (reference SparkExecutorCache analog) and evicts
+    oldest-first."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark import scan
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("id", T.DoubleType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.cache", schema)
+    t.append(spark.createDataFrame(
+        [(float(i), float(i)) for i in range(20)], schema))
+    # double keys never take the literal/probe path -> join + cache
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(float(i),) for i in range(0, 20, 2)],
+                                 ["id"]), ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    before = dict(scan._DELETE_BUILD_CACHE)
+    assert t.to_df().count() == 10
+    added = {k: v for k, v in scan._DELETE_BUILD_CACHE.items()
+             if k not in before}
+    assert len(added) == 1
+    dd = next(iter(added.values()))
+    assert dd.storageLevel.useMemory  # persisted
+    assert t.to_df().count() == 10  # second scan: cache hit, no rebuild
+    assert [k for k in scan._DELETE_BUILD_CACHE if k not in before] \
+        == list(added)
