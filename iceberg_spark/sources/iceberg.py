@@ -1839,12 +1839,13 @@ def export_reference_metadata(table, dest_root: str,
     # are declared; shred_physical=False keeps by-reference export.
     if shred_physical is not False and chain:
         from ..schema import shredded_paths
-        from ..variant_shred import shredding_ddl, transcode_shredded_file
+        from ..variant_shred import shredding_ddl, \
+            transcode_shredded_files
 
         shred_decl = shredded_paths(schema, table.metadata.properties)
         shred_ddl = shredding_ddl(shred_decl)
         if shred_ddl:
-            from ..variant_shred import jvm_parquet_schema
+            from ..variant_shred import jvm_parquet_schemas
 
             drop_cols = tuple(sp.stats_name for sp in shred_decl)
             sdir = os.path.join(dest_root, "data")
@@ -1853,45 +1854,51 @@ def export_reference_metadata(table, dest_root: str,
                 if any(f.type == "variant" for f in s.fields)}
             plans = [table.new_scan().use_snapshot(s.snapshot_id)
                      .plan_files() for s in chain]
-            moved: dict = {}
-            skipped: set = set()
+            # candidate sweep is pure metadata; footer probes and the
+            # per-file coalesce(1) rewrite jobs then run BATCHED from
+            # thread pools — a legacy companion-layout table with
+            # hundreds of files pipelines across task slots instead of
+            # serializing one py4j probe + one Spark job at a time on
+            # the driver
+            candidates: list = []
+            seen: set = set()
             for plan in plans:
                 for e in plan.files:
                     f = e.file
                     if (f.file_path in transcode_map
-                            or f.file_path in moved
-                            or f.file_path in skipped
+                            or f.file_path in seen
                             or f.key_metadata is not None
                             or f.file_format != "parquet"
                             or f.write_schema_id not in var_wsids):
                         continue
-                    try:
-                        phys = jvm_parquet_schema(table.spark,
-                                                  f.file_path)
-                    except Exception:
-                        phys = ""
-                    if "typed_value" in phys and "_shred_f" not in phys:
-                        # written under write.variant.shred.layout=
-                        # typed_value: already reference-shaped (Spark's
-                        # default INFERRED shredding also emits
-                        # typed_value, but those files still carry the
-                        # engine companion columns — only companion-free
-                        # files export by reference, zero-copy)
-                        skipped.add(f.file_path)
-                        continue
-                    if "VARIANT" not in phys:
-                        # JSON-text or plain-struct variant encoding:
-                        # Spark reads the column as string/struct, so
-                        # the shredding writer has nothing to shred —
-                        # transcoding would drop the companions for no
-                        # typed_value gain; leave by reference
-                        skipped.add(f.file_path)
-                        continue
-                    moved[f.file_path] = (
-                        transcode_shredded_file(
-                            table.spark, f.file_path, sdir, shred_ddl,
-                            drop_cols=drop_cols),
-                        None)
+                    seen.add(f.file_path)
+                    candidates.append(f.file_path)
+            phys_by_path = jvm_parquet_schemas(table.spark, candidates)
+
+            def needs_transcode(phys: str) -> bool:
+                if "typed_value" in phys and "_shred_f" not in phys:
+                    # written under write.variant.shred.layout=
+                    # typed_value: already reference-shaped (Spark's
+                    # default INFERRED shredding also emits typed_value,
+                    # but those files still carry the engine companion
+                    # columns — only companion-free files export by
+                    # reference, zero-copy)
+                    return False
+                if "VARIANT" not in phys:
+                    # JSON-text or plain-struct variant encoding: Spark
+                    # reads the column as string/struct, so the
+                    # shredding writer has nothing to shred —
+                    # transcoding would drop the companions for no
+                    # typed_value gain; leave by reference
+                    return False
+                return True
+
+            to_move = [p for p in candidates
+                       if needs_transcode(phys_by_path.get(p, ""))]
+            moved = {old: (new, None) for old, new in
+                     transcode_shredded_files(
+                         table.spark, to_move, sdir, shred_ddl,
+                         drop_cols=drop_cols).items()}
             if moved:
                 transcode_map.update(moved)
                 data_map = {old: new for old, (new, _s) in moved.items()}

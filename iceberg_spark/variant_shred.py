@@ -101,6 +101,29 @@ def jvm_parquet_schema(spark, path: str) -> str:
         rdr.close()
 
 
+def jvm_parquet_schemas(spark, paths, max_parallel: int = 16) -> dict:
+    """Batched footer probes: {path: physical schema string} ('' on any
+    per-file failure). py4j calls are thread-safe (each Python thread
+    gets its own gateway connection), so a pool turns N driver round
+    trips into ~N/max_parallel wall-clock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    paths = list(paths)
+    if not paths:
+        return {}
+
+    def probe(p):
+        try:
+            return p, jvm_parquet_schema(spark, p)
+        except Exception:  # noqa: BLE001 — caller treats '' as unknown
+            return p, ""
+
+    if len(paths) == 1:
+        return dict([probe(paths[0])])
+    with ThreadPoolExecutor(min(max_parallel, len(paths))) as pool:
+        return dict(pool.map(probe, paths))
+
+
 def jvm_top_level_columns(spark, path: str) -> tuple:
     """Top-level physical field names via the JVM footer reader (the
     pyarrow-refusal fallback for the scan layer's per-file probes)."""
@@ -149,13 +172,9 @@ class shredding_write_conf:
         return False
 
 
-def transcode_shredded_file(spark, src_path: str, dest_dir: str,
-                            ddl: str, drop_cols=()) -> str:
-    """Rewrite one plaintext engine parquet data file as a spec-physical
-    shredded copy under `dest_dir`: variant columns gain the typed_value
-    group per `ddl`, engine companion columns (`_shred_f…`) are dropped.
-    Row ORDER is preserved (sort on _metadata.row_index) so position
-    deletes referencing the file stay exact. Returns the new path."""
+def _transcode_one(spark, src_path: str, dest_dir: str, drop_cols):
+    """One file's read->order-preserving rewrite->move, assuming the
+    shredding write confs are already set session-wide."""
     import glob as _g
     import shutil
     import tempfile
@@ -168,24 +187,48 @@ def transcode_shredded_file(spark, src_path: str, dest_dir: str,
     df = (df.coalesce(1).sortWithinPartitions("__rid")
             .drop("__rid", *drop))
     tmp = tempfile.mkdtemp(prefix="iceberg_spark_shred_")
-    prev_write = spark.conf.get(WRITE_SHRED_CONF, None)
-    prev_force = spark.conf.get(FORCE_SHRED_CONF, None)
-    try:
-        spark.conf.set(WRITE_SHRED_CONF, "true")
-        spark.conf.set(FORCE_SHRED_CONF, ddl)
-        df.write.mode("overwrite").parquet(tmp)
-    finally:
-        for k, v in ((WRITE_SHRED_CONF, prev_write),
-                     (FORCE_SHRED_CONF, prev_force)):
-            if v is None or v == "":
-                try:
-                    spark.conf.unset(k)
-                except Exception:
-                    pass
-            else:
-                spark.conf.set(k, v)
-    os.makedirs(dest_dir, exist_ok=True)
+    df.write.mode("overwrite").parquet(tmp)
     dest = os.path.join(dest_dir, f"{_uuid.uuid4().hex}.parquet")
     shutil.move(_g.glob(os.path.join(tmp, "*.parquet"))[0], dest)
     shutil.rmtree(tmp, ignore_errors=True)
     return dest
+
+
+def transcode_shredded_files(spark, src_paths, dest_dir: str, ddl: str,
+                             drop_cols=(), max_parallel: int = 16) -> dict:
+    """Rewrite plaintext engine parquet data files as spec-physical
+    shredded copies under `dest_dir`: variant columns gain the
+    typed_value group per `ddl`, engine companion columns (`_shred_f…`)
+    are dropped. Row ORDER is preserved per file (sort on
+    _metadata.row_index) so position deletes referencing a file stay
+    exact. Returns {src_path: new_path}.
+
+    The per-file Spark jobs run from a thread pool (Spark job
+    submission is driver-thread-safe; each coalesce(1) write occupies
+    one task slot, so N small files pipeline instead of serializing on
+    the driver). The session-wide shredding confs are set ONCE around
+    the whole batch — every file in one export shreds under the same
+    ddl, so concurrent writes cannot race each other's conf values."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    src_paths = list(src_paths)
+    if not src_paths:
+        return {}
+    os.makedirs(dest_dir, exist_ok=True)
+    with shredding_write_conf(spark, ddl):
+        if len(src_paths) == 1:
+            return {src_paths[0]: _transcode_one(
+                spark, src_paths[0], dest_dir, drop_cols)}
+        with ThreadPoolExecutor(min(max_parallel, len(src_paths))) \
+                as pool:
+            futs = {p: pool.submit(_transcode_one, spark, p, dest_dir,
+                                   drop_cols)
+                    for p in src_paths}
+            return {p: f.result() for p, f in futs.items()}
+
+
+def transcode_shredded_file(spark, src_path: str, dest_dir: str,
+                            ddl: str, drop_cols=()) -> str:
+    """Single-file wrapper over transcode_shredded_files."""
+    return transcode_shredded_files(
+        spark, [src_path], dest_dir, ddl, drop_cols)[src_path]

@@ -178,3 +178,49 @@ def test_invalid_shred_layout_rejected(catalog, spark):
     with _pt.raises(ValueError, match="layout"):
         t.append(spark.range(3).select(
             F.col("id"), F.parse_json(F.lit('{"len":1}')).alias("v")))
+
+
+def test_export_transcode_runs_batched(catalog, spark, tmp_path,
+                                       monkeypatch):
+    """A many-file companion-layout export pipelines its per-file
+    transcode jobs through a thread pool instead of serializing on the
+    driver: the worker observes >1 concurrent invocation, footer probes
+    go through the batched API, and the round trip stays exact."""
+    import threading
+    import time as _time
+
+    from iceberg_spark import variant_shred as VS
+
+    t = _shred_table(catalog, spark, "db.shredpar", n=48, files=6)
+
+    state = {"now": 0, "peak": 0}
+    lock = threading.Lock()
+    real = VS._transcode_one
+
+    def tracking(*a, **kw):
+        with lock:
+            state["now"] += 1
+            state["peak"] = max(state["peak"], state["now"])
+        try:
+            _time.sleep(0.05)  # widen the overlap window
+            return real(*a, **kw)
+        finally:
+            with lock:
+                state["now"] -= 1
+
+    monkeypatch.setattr(VS, "_transcode_one", tracking)
+    dest = str(tmp_path / "exp")
+    mp = export_reference_metadata(t, dest)
+    assert state["peak"] > 1, "transcode did not overlap"
+
+    t2, _n, nf = register_iceberg_table(catalog, mp, "db.shredpar_back")
+    assert nf == 6
+    got = sorted((r.id, json.loads(r.j)) for r in
+                 t2.to_df().select(
+                     "id", F.to_json("v").alias("j")).collect())
+    assert len(got) == 48
+    assert got[0] == (0, {"len": 0, "name": "d0"})
+    assert got[-1] == (47, {"len": 47, "name": "d47"})
+    for e in t2.scan().plan_files().files:
+        phys = jvm_parquet_schema(spark, e.file.file_path)
+        assert "typed_value" in phys and "_shred_f" not in phys
