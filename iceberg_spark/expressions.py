@@ -380,11 +380,10 @@ def bind(expr: Expr, schema: Schema) -> Expr:
         if not isinstance(f.type, str):
             raise ValueError(f"cannot filter on non-primitive column {f.name}")
         if expr.op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY) \
-                and f.type != "geometry":
+                and f.type not in ("geometry", "geography"):
             raise NotImplementedError(
-                "exact polygon predicates apply to geometry columns only "
-                f"(got {f.name}: {f.type}); geography needs wrap-aware "
-                "polygon math — use st_intersects (bbox) there")
+                "exact polygon predicates apply to geometry/geography "
+                f"columns only (got {f.name}: {f.type})")
         tr = expr.term.transform
         if tr is not None and not tr.can_transform(f.type):
             raise ValueError(f"{tr} cannot apply to {f.name}: {f.type}")
@@ -447,7 +446,9 @@ def to_spark(expr: Expr, colfn=F.col) -> Column:
         if op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY):
             from .geo import st_intersects_polygon as _poly_hit
 
-            hit = _poly_hit(c, lits[0])
+            geog = (isinstance(expr, BoundPredicate)
+                    and expr.term.field.type == "geography")
+            hit = _poly_hit(c, lits[0], geography=geog)
             return (hit if op == ST_INTERSECTS_POLY
                     else (c.isNotNull() & ~hit))
         if op == LT:
@@ -646,9 +647,16 @@ def evaluate(expr: Expr, row: dict) -> bool:
             hit = bbox_intersects(b, lits[0], geography=geog)
             return hit if op == ST_INTERSECTS else not hit
         if op in (ST_INTERSECTS_POLY, ST_DISJOINT_POLY):
-            from .geo import geometry_intersects_polygon
+            if (isinstance(expr, BoundPredicate)
+                    and expr.term.field.type == "geography"):
+                from .geo import SphPolygon, geography_intersects_polygon
 
-            hit = geometry_intersects_polygon(v, lits[0])
+                hit = geography_intersects_polygon(
+                    v, SphPolygon(lits[0].ring))
+            else:
+                from .geo import geometry_intersects_polygon
+
+                hit = geometry_intersects_polygon(v, lits[0])
             return hit if op == ST_INTERSECTS_POLY else not hit
         if op == LT:
             return v < lits[0]
@@ -955,6 +963,17 @@ def inclusive_metrics_eval(expr: Expr, fs: FileStats) -> bool:
             fb = stats_bbox(mn, mx)
             if fb is None:
                 return True
+            if expr.term.field.type == "geography":
+                # great-circle edges bulge poleward past their planar
+                # chords, so the planar rectangle-vs-polygon test is
+                # unsound here; prune on the polygon's spherical bbox
+                # (exact per-edge latitude extremes, wrap-aware lon)
+                from .geo import SphPolygon, bbox_intersects, \
+                    sph_polygon_bbox
+
+                qb = sph_polygon_bbox(SphPolygon(lits[0].ring),
+                                      lits[0].ring)
+                return bbox_intersects(fb, qb, geography=True)
             # exact rectangle-vs-polygon: tighter than bbox-vs-bbox
             return bbox_intersects_polygon(fb, lits[0])
         if op in (LT, LT_EQ, GT, GT_EQ, EQ, IN, STARTS_WITH):

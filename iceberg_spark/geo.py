@@ -632,12 +632,270 @@ def geometry_intersects_polygon(buf, qpoly: Polygon) -> bool:
     return False
 
 
-def st_intersects_polygon(geom: Column, poly: Polygon) -> Column:
+# ---------------------------------------------------------------------------
+# geography: EXACT great-circle evaluation on the unit sphere
+# ---------------------------------------------------------------------------
+# The reference's own evaluators are bbox-only for geography
+# (api/.../geospatial/GeospatialPredicateEvaluators.java) — this layer is
+# parity-plus. Geometry on S²: vertices become unit vectors, edges are
+# minor great-circle arcs, and every primitive reduces to triple-product
+# sign tests (the published S2 edge-crossing formulation). Membership is
+# crossing parity against a witness point known to be OUTSIDE the
+# polygon: the antipode of the normalized vertex mean — valid for
+# polygons smaller than a hemisphere, which this implementation requires
+# (the constructor refuses degenerate vertex means loudly). Boundary
+# cases (a test point within fp epsilon OF an edge/vertex) are undefined,
+# as in any double-precision geometry kernel.
+
+
+def _sph_xyz(lon, lat):
+    """Degrees -> unit vector(s); broadcasts over numpy arrays."""
+    lo, la = np.radians(lon), np.radians(lat)
+    cl = np.cos(la)
+    return np.stack([cl * np.cos(lo), cl * np.sin(lo), np.sin(la)],
+                    axis=-1)
+
+
+class SphPolygon:
+    """A spherical polygon (shell ring + holes) in unit-vector form,
+    with a precomputed outside witness. Rings are (lon, lat) degree
+    pairs; closed duplicates are dropped."""
+
+    def __init__(self, ring, holes=()):
+        self.shell = self._ring_xyz(ring)
+        self.holes = [self._ring_xyz(h) for h in holes]
+        m = self.shell.mean(axis=0)
+        nm = float(np.linalg.norm(m))
+        if nm < 1e-9:
+            raise NotImplementedError(
+                "geography polygon spans a near-hemisphere (vertex mean "
+                "~0): witness-point membership is ambiguous — split the "
+                "query polygon")
+        w = -m / nm
+        # nudge the witness off any symmetry axis of the polygon: an
+        # exactly-antipodal witness makes test points that share the
+        # polygon's meridian of symmetry shoot their parity arc straight
+        # through a vertex (degenerate crossing). The ~0.1° fixed
+        # irrational-direction offset keeps it outside any polygon whose
+        # boundary stays >0.1° from its vertex-mean antipode.
+        w = w + np.array([1.23e-3, 2.71e-3, 1.77e-3])
+        self.witness = w / float(np.linalg.norm(w))
+
+    @staticmethod
+    def _ring_xyz(ring):
+        pts = [(float(x), float(y)) for x, y in ring]
+        if len(pts) > 1 and pts[0] == pts[-1]:
+            pts = pts[:-1]
+        if len(pts) < 3:
+            raise ValueError("spherical ring needs >= 3 distinct vertices")
+        return _sph_xyz(np.array([p[0] for p in pts]),
+                        np.array([p[1] for p in pts]))
+
+
+def _sph_crossing(a, b, c, d) -> bool:
+    """Do minor arcs ab and cd cross (S2 SimpleCrossing)? Shared or
+    antipodal endpoints return False — exactness there is fp-undefined."""
+    ab = np.cross(a, b)
+    acb = -float(np.dot(ab, c))
+    bda = float(np.dot(ab, d))
+    if acb * bda <= 0:
+        return False
+    cd = np.cross(c, d)
+    cbd = -float(np.dot(cd, b))
+    dac = float(np.dot(cd, a))
+    return acb * cbd > 0 and acb * dac > 0
+
+
+def _sph_ring_edges(ring_xyz):
+    n = len(ring_xyz)
+    return [(ring_xyz[i], ring_xyz[(i + 1) % n]) for i in range(n)]
+
+
+def _sph_in_ring(p, ring_xyz, witness) -> bool:
+    """Crossing parity of the arc p->witness against the ring edges."""
+    k = 0
+    for a, b in _sph_ring_edges(ring_xyz):
+        if _sph_crossing(p, witness, a, b):
+            k += 1
+    return k % 2 == 1
+
+
+def sph_point_in_polygon(p, spoly: SphPolygon) -> bool:
+    if not _sph_in_ring(p, spoly.shell, spoly.witness):
+        return False
+    return not any(_sph_in_ring(p, h, spoly.witness)
+                   for h in spoly.holes)
+
+
+def _sph_points_in_polygon(xs: np.ndarray, ys: np.ndarray,
+                           spoly: SphPolygon) -> np.ndarray:
+    """Vectorized point-batch membership: per ring edge, the S2
+    crossing test evaluates over the whole point array at once."""
+    P = _sph_xyz(xs, ys)  # (n, 3); NaN rows stay False
+    w = spoly.witness
+
+    def ring_parity(ring_xyz):
+        k = np.zeros(len(P), dtype=np.int64)
+        PW = np.cross(P, w)  # (n, 3)
+        for a, b in _sph_ring_edges(ring_xyz):
+            acb = -(PW @ a)
+            bda = PW @ b
+            c1 = acb * bda > 0
+            ab_n = np.cross(a, b)
+            cbd = -float(np.dot(ab_n, w))
+            dac = P @ ab_n
+            hit = c1 & (acb * cbd > 0) & (acb * dac > 0)
+            k += hit.astype(np.int64)
+        return k % 2 == 1
+
+    inside = ring_parity(spoly.shell)
+    for h in spoly.holes:
+        inside &= ~ring_parity(h)
+    inside[np.isnan(xs)] = False
+    return inside
+
+
+def _sph_any_edge_hit(edges_a, edges_b) -> bool:
+    for a1, a2 in edges_a:
+        for b1, b2 in edges_b:
+            if _sph_crossing(a1, a2, b1, b2):
+                return True
+    return False
+
+
+def _sph_pt_in_poly_holes(p, shell_xyz, holes_xyz, witness) -> bool:
+    if not _sph_in_ring(p, shell_xyz, witness):
+        return False
+    return not any(_sph_in_ring(p, h, witness) for h in holes_xyz)
+
+
+def geography_intersects_polygon(buf, spoly: SphPolygon) -> bool:
+    """EXACT great-circle ST_INTERSECTS of ONE WKB geography (any kind)
+    against a constant spherical polygon — the geography twin of
+    geometry_intersects_polygon, with arcs instead of segments. Data
+    polygons get their own witness (antipode of their vertex mean), so
+    the same smaller-than-hemisphere contract applies to them."""
+    if buf is None:
+        return False
+    parts, _ = _parse_parts(bytes(buf))
+    q_edges = _sph_ring_edges(spoly.shell)
+    for h in spoly.holes:
+        q_edges = q_edges + _sph_ring_edges(h)
+    for part in parts:
+        if part[0] == "point":
+            if sph_point_in_polygon(_sph_xyz(part[1], part[2]), spoly):
+                return True
+        elif part[0] == "line":
+            pts = part[1]
+            V = _sph_xyz(np.array([p[0] for p in pts]),
+                         np.array([p[1] for p in pts]))
+            if any(sph_point_in_polygon(v, spoly) for v in V):
+                return True
+            segs = [(V[i], V[i + 1]) for i in range(len(V) - 1)]
+            if _sph_any_edge_hit(segs, q_edges):
+                return True
+        else:
+            _tag, shell, holes = part
+            d = SphPolygon(shell.ring, [h.ring for h in holes])
+            ring_edges = _sph_ring_edges(d.shell)
+            for h in d.holes:
+                ring_edges.extend(_sph_ring_edges(h))
+            if _sph_any_edge_hit(ring_edges, q_edges):
+                return True
+            # containment either way, hole-aware on both sides
+            if any(_sph_pt_in_poly_holes(v, d.shell, d.holes, d.witness)
+                   for v in spoly.shell):
+                return True
+            if any(sph_point_in_polygon(v, spoly) for v in d.shell):
+                return True
+    return False
+
+
+def _sph_edge_lat_range(a, b):
+    """Exact latitude extremes of the minor arc a->b: the endpoints,
+    plus the great circle's apex/nadir when they fall ON the arc (the
+    geodesic bulge planar math misses)."""
+    zs = [float(a[2]), float(b[2])]
+    n = np.cross(a, b)
+    nn = float(np.linalg.norm(n))
+    if nn > 1e-15:
+        n = n / nn
+        # apex = unit projection of +z onto the circle's plane
+        v = np.array([0.0, 0.0, 1.0]) - n[2] * n
+        vn = float(np.linalg.norm(v))
+        if vn > 1e-15:
+            for apex in (v / vn, -(v / vn)):
+                # on minor arc iff it lies rotationally between a and b
+                if (float(np.dot(np.cross(a, apex), n)) >= 0
+                        and float(np.dot(np.cross(apex, b), n)) >= 0):
+                    zs.append(float(apex[2]))
+    zmin, zmax = min(zs), max(zs)
+    return (float(np.degrees(np.arcsin(max(-1.0, min(1.0, zmin))))),
+            float(np.degrees(np.arcsin(max(-1.0, min(1.0, zmax))))))
+
+
+def sph_polygon_bbox(spoly: SphPolygon, ring) -> BBox:
+    """Conservative lon/lat bbox of a spherical polygon for file-level
+    pruning. Longitude: minor arcs never leave the shorter interval
+    between endpoint longitudes (each meridian plane cuts a great
+    circle's minor arc at most once), accumulated wrap-aware; a 180°
+    jump or >=360° total coverage degrades to the full range. Latitude:
+    exact per-edge arc extremes (apex-aware). A pole inside the polygon
+    extends the touched latitude to ±90 and longitude to full range."""
+    pts = [(float(x), float(y)) for x, y in ring]
+    if len(pts) > 1 and pts[0] == pts[-1]:
+        pts = pts[:-1]
+    lons = [p[0] for p in pts]
+    full = False
+    # wrap-aware accumulation: track offsets from the start longitude
+    off = 0.0
+    offs = [0.0]
+    cur = lons[0]
+    for nxt in lons[1:]:
+        d = (nxt - cur + 180.0) % 360.0 - 180.0
+        if abs(abs(d) - 180.0) < 1e-12:
+            full = True
+            break
+        off += d
+        offs.append(off)
+        cur = nxt
+    lat_lo, lat_hi = 90.0, -90.0
+    V = spoly.shell
+    n = len(V)
+    for i in range(n):
+        a, b = V[i], V[(i + 1) % n]
+        el, eh = _sph_edge_lat_range(a, b)
+        lat_lo, lat_hi = min(lat_lo, el), max(lat_hi, eh)
+    for pole_z, pole_lat in ((1.0, 90.0), (-1.0, -90.0)):
+        pole = np.array([0.0, 0.0, pole_z])
+        if _sph_in_ring(pole, spoly.shell, spoly.witness):
+            full = True
+            lat_lo, lat_hi = min(lat_lo, pole_lat), max(lat_hi, pole_lat)
+            if pole_lat > 0:
+                lat_hi = 90.0
+            else:
+                lat_lo = -90.0
+    if full or (max(offs) - min(offs)) >= 360.0:
+        return BBox(-180.0, lat_lo, 180.0, lat_hi)
+    xmin = lons[0] + min(offs)
+    xmax = lons[0] + max(offs)
+    # normalize to [-180, 180], expressing wrap as xmin > xmax
+    norm = lambda v: (v + 180.0) % 360.0 - 180.0  # noqa: E731
+    nx0, nx1 = norm(xmin), norm(xmax)
+    if xmax - xmin >= 360.0:
+        return BBox(-180.0, lat_lo, 180.0, lat_hi)
+    return BBox(nx0, lat_lo, nx1, lat_hi)
+
+
+def st_intersects_polygon(geom: Column, poly: Polygon,
+                          geography: bool = False) -> Column:
     """Row-level EXACT intersects predicate against a constant polygon —
     the data-side filter behind ST_INTERSECTS_POLY. POINT batches run
-    the vectorized ray cast; any other geometry kind falls to the
-    per-row WKB evaluator (exact for linestrings, polygons with holes,
-    multi-geometries, and collections)."""
+    the vectorized ray cast (planar) or vectorized S2 crossing parity
+    (geography); any other geometry kind falls to the per-row WKB
+    evaluator (exact for linestrings, polygons with holes,
+    multi-geometries, and collections in both modes)."""
+    spoly = SphPolygon(poly.ring) if geography else None
 
     @pandas_udf(T.BooleanType())
     def _hit(gs: pd.Series) -> pd.Series:
@@ -645,9 +903,14 @@ def st_intersects_polygon(geom: Column, poly: Polygon) -> Column:
         if all(v is None or (len(v) == 21 and bytes(v[:5]) == _LE_POINT_HDR)
                for v in vals):
             xs, ys = _points_xy(vals)
+            if geography:
+                return pd.Series(_sph_points_in_polygon(xs, ys, spoly))
             res = _raycast(xs, ys, poly)
             res[np.isnan(xs)] = False  # NULLs never match
             return pd.Series(res)
+        if geography:
+            return pd.Series([geography_intersects_polygon(v, spoly)
+                              for v in vals])
         return pd.Series([geometry_intersects_polygon(v, poly)
                           for v in vals])
 

@@ -780,6 +780,88 @@ ORDER BY event_id
 """
 
 
+def geo_exact_geography_scan(spark, sf_dir):
+    """EXACT great-circle predicate on a v3 GEOGRAPHY column (geo.py
+    spherical kernel — parity-PLUS: the reference's own evaluators are
+    bbox-only for geography, api/.../geospatial/
+    GeospatialPredicateEvaluators.java): the deterministic lon/lat point
+    grid on a geography column, filtered with ST_INTERSECTS_POLY
+    against a wide spherical TRIANGLE whose geodesic edges bulge ~15°
+    poleward past their planar chords — grid rows between chord and
+    geodesic decide DIFFERENTLY than any planar evaluation, which is
+    what's checked. The oracle is exact spherical algebra in plain SQL:
+    a point is inside the (convex, CCW) spherical triangle iff it lies
+    on the positive side of all three edge great-circle planes, whose
+    unit-vector normals are inlined constants; minimum |plane·point|
+    margin over the whole integer grid is 7e-6, nine orders above
+    double noise. File pruning runs on the polygon's spherical bbox
+    (wrap-aware lon, apex-exact lat range) against the manifests' WKB
+    point bounds."""
+    from .geo import st_bbox, st_point
+
+    key = ("geo_geog", _sf_key(sf_dir))
+    if key not in _STATE:
+        cat = _warehouse(spark)
+        ident = f"geo_geog_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        from .schema import NestedField, Schema
+
+        ev = load_table(spark, sf_dir, "events")
+        df = (ev.select(
+                "event_id",
+                ((F.col("user_id") * 7) % 360 - 180).cast("double").alias("x"),
+                ((F.col("event_id") * 13) % 180 - 90).cast("double").alias("y"))
+              .repartitionByRange(8, "x").sortWithinPartitions("x")
+              .select("event_id", st_point("x", "y").alias("geog")))
+        schema = Schema((NestedField(1, "event_id", "long", True),
+                         NestedField(2, "geog", "geography", False)))
+        t = cat.create_table(ident, schema)
+        t.append(df)
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    tri = [(-100.37, 5.73), (20.41, 11.19), (-40.11, 69.57)]
+    scan = t.scan(filter=E.st_intersects_polygon("geog", tri))
+    total = len(t.scan().plan_files().files)
+    kept = len(scan.plan_files().files)
+    # the triangle's lon span [-100.4, 20.4] misses the east/west files
+    # of the x-clustered layout; a full-keep plan means the spherical
+    # bbox prune is dead
+    assert kept < total, \
+        f"geography polygon predicate must prune: {kept}/{total}"
+    box = scan.df().select("event_id", st_bbox("geog").alias("b"))
+    return (box.select("event_id", F.col("b.xmin").alias("x"),
+                       F.col("b.ymin").alias("y"))
+               .orderBy("event_id"))
+
+
+# edge-plane unit normals n_i = V_i x V_{i+1} of the CCW spherical
+# triangle above (computed once, inlined; interior = all three dots > 0)
+GEO_EXACT_GEOGRAPHY_SQL = """
+WITH pts AS (
+  SELECT event_id,
+         CAST((user_id * 7) % 360 - 180 AS DOUBLE) AS x,
+         CAST((event_id * 13) % 180 - 90 AS DOUBLE) AS y
+  FROM events
+), xyz AS (
+  SELECT event_id, x, y,
+         COS(RADIANS(y)) * COS(RADIANS(x)) AS px,
+         COS(RADIANS(y)) * SIN(RADIANS(x)) AS py,
+         SIN(RADIANS(y)) AS pz
+  FROM pts
+)
+SELECT event_id, x, y
+FROM xyz
+WHERE (-0.22409557351177967) * px + 0.12655157209257567 * py
+      + 0.8385943957157947 * pz > 0
+  AND 0.36422926637922665 * px + (-0.8097642522044081) * py
+      + (-0.29809190571621985) * pz > 0
+  AND 0.8947340285761325 * px + (-0.19449303441012472) * py
+      + (-0.30157170913532116) * pz > 0
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -901,6 +983,8 @@ REGISTRY = {
     "geo_bbox_scan": (geo_bbox_scan, GEO_BBOX_SQL),
     "geo_exact_scan": (geo_exact_scan, GEO_EXACT_SQL),
     "geo_exact_poly_scan": (geo_exact_poly_scan, GEO_EXACT_POLY_SQL),
+    "geo_exact_geography_scan": (geo_exact_geography_scan,
+                                 GEO_EXACT_GEOGRAPHY_SQL),
 }
 
 
@@ -909,15 +993,15 @@ def _full_registry():
     from .workloads_lifecycle import REGISTRY as LIFECYCLE_REGISTRY
 
     # insertion order = the driver's sampling order: rotate the pillars
-    # the previous round's sample under-covered to the FRONT (r10
-    # sampled this module + TPC-H + analytics, leaving the 35 pipeline
-    # entries and most of lifecycle pass-local only since r9 — so r11
-    # leads with the NEW r11 entries, then the whole pipeline pillar,
-    # then lifecycle, then analytics + base). Keys are disjoint across
-    # the four registries (asserted), so order only affects sampling,
-    # never which implementation wins.
-    new_r11 = ("iceberg_export_shredded_roundtrip_scan",
-               "geo_exact_poly_scan", "variant_shredded_typed_value_scan")
+    # the previous round's sample under-covered to the FRONT (r11
+    # sampled the pipeline pillar + interop/encryption, leaving
+    # lifecycle and the TPC-H 22 pass-local only — so r12 leads with
+    # the NEW r12 entries, then the lifecycle pillar, then this base
+    # module incl. q1-q22, then analytics; pipeline, driver-confirmed
+    # r11, rotates to the back). Keys are disjoint across the four
+    # registries (asserted), so order only affects sampling, never
+    # which implementation wins.
+    new_r12 = ("geo_exact_geography_scan",)
     pipeline = _pipeline_registry()
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
@@ -925,9 +1009,10 @@ def _full_registry():
         dup = set(merged) & set(other)
         assert not dup, f"duplicate registry keys: {dup}"
         merged.update(other)
-    reg = {k: merged[k] for k in new_r11}
-    reg.update(pipeline)
+    reg = {k: merged[k] for k in new_r12}
     reg.update(LIFECYCLE_REGISTRY)
+    reg.update(REGISTRY)
+    reg.update(ANALYTICS_REGISTRY)
     reg.update(merged)
     return reg
 

@@ -300,21 +300,34 @@ def test_polygon_scan_prunes_and_matches(catalog, spark):
     assert got == want and got
 
 
-def test_polygon_predicate_geography_refused(catalog, spark):
+def test_polygon_predicate_geography_exact(catalog, spark):
+    """Geography columns evaluate ST_INTERSECTS_POLY EXACTLY on the
+    sphere (r12; previously bind-time refused): the geodesic between
+    (-60,40) and (60,40) bulges to ~59.2N at lon 0, so a point at
+    (0,45) — inside any planar reading of the triangle — is OUTSIDE
+    spherically, and (0,65) is inside."""
     from iceberg_spark.geo import st_point
 
-    df = (spark.range(0, 10)
-          .selectExpr("id", "cast(id as double) as x",
-                      "cast(id as double) as y")
+    rows = [(1, 0.0, 45.0),   # under the geodesic bulge: outside
+            (2, 0.0, 65.0),   # between bulge and apex: inside
+            (3, 0.0, 75.0),   # above the apex: outside
+            (4, -59.0, 41.0)]  # near a vertex, inside
+    df = (spark.createDataFrame(rows, ["id", "x", "y"])
           .select("id", st_point("x", "y").alias("geog")))
     schema = Schema((NestedField(1, "id", "long", True),
                      NestedField(2, "geog", "geography", False)))
     t = catalog.create_table("db.geo_poly_g", schema)
     t.append(df)
     t = catalog.load_table("db.geo_poly_g")
-    with pytest.raises(NotImplementedError, match="geometry"):
-        t.scan(filter=E.st_intersects_polygon(
-            "geog", [(0, 0), (5, 5), (5, 0)])).plan_files()
+    got = sorted(r.id for r in t.scan(filter=E.st_intersects_polygon(
+        "geog", [(-60.0, 40.0), (60.0, 40.0), (0.0, 70.0)])).df().collect())
+    assert got == [2, 4]
+    # planar twin on the same ring keeps (0,45): the difference IS the
+    # great-circle semantics
+    from iceberg_spark.geo import Polygon, point_in_polygon
+
+    assert point_in_polygon(0.0, 45.0,
+                            Polygon([(-60, 40), (60, 40), (0, 70)]))
 
 
 def test_polygon_predicate_nonpoint_refused(spark):
@@ -477,3 +490,92 @@ def test_degenerate_shell_polygon_is_empty():
            + ring([(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)]))  # "hole"
     q = Polygon([(3, 3), (7, 3), (7, 7), (3, 7)])  # inside the "hole"
     assert not geometry_intersects_polygon(wkb, q)
+
+
+def test_sph_kernel_matches_plane_sign_oracle():
+    """Crossing-parity membership == edge-plane sign algebra for convex
+    spherical triangles, vectorized and scalar paths alike, over a
+    deterministic random sample — including an antimeridian-wrapping
+    quad."""
+    import numpy as np
+
+    from iceberg_spark.geo import (SphPolygon, _sph_points_in_polygon,
+                                   _sph_xyz, sph_point_in_polygon)
+
+    rng = np.random.default_rng(11)
+    lons = rng.uniform(-180, 180, 5000)
+    lats = rng.uniform(-89.5, 89.5, 5000)
+
+    for ring in ([(-60.0, 40.0), (60.0, 40.0), (0.0, 70.0)],
+                 [(150.0, -10.0), (-150.0, -10.0), (-150.0, 30.0),
+                  (150.0, 30.0)],
+                 [(-100.37, 5.73), (20.41, 11.19), (-40.11, 69.57)]):
+        sp = SphPolygon(ring)
+        V = [_sph_xyz(float(x), float(y)) for x, y in ring]
+        ctr = sum(V) / len(V)
+        n_ref = [(np.cross(V[i], V[(i + 1) % len(V)]),
+                  np.sign(float(np.dot(np.cross(V[i], V[(i + 1) % len(V)]),
+                                       ctr))))
+                 for i in range(len(V))]
+        exp = np.array([
+            all(np.sign(float(np.dot(n, _sph_xyz(lo, la)))) == r
+                for n, r in n_ref)
+            for lo, la in zip(lons, lats)])
+        got = _sph_points_in_polygon(lons, lats, sp)
+        assert (got == exp).all(), ring
+        sc = np.array([sph_point_in_polygon(_sph_xyz(lo, la), sp)
+                       for lo, la in zip(lons[:300], lats[:300])])
+        assert (sc == got[:300]).all(), ring
+
+
+def test_geography_intersects_all_wkb_kinds():
+    from iceberg_spark.geo import (SphPolygon,
+                                   geography_intersects_polygon,
+                                   wkb_linestring, wkb_point, wkb_polygon)
+
+    sp = SphPolygon([(-60.0, 40.0), (60.0, 40.0), (0.0, 70.0)])
+    assert geography_intersects_polygon(wkb_point(0, 60), sp)
+    assert not geography_intersects_polygon(wkb_point(0, 45), sp)
+    assert geography_intersects_polygon(
+        wkb_linestring([(0, 0), (0, 65)]), sp)       # crosses the bulge
+    assert not geography_intersects_polygon(
+        wkb_linestring([(0, 0), (0, 50)]), sp)       # stays under it
+    assert geography_intersects_polygon(
+        wkb_polygon([(-5, 50), (5, 50), (0, 60)]), sp)   # edge-crossing
+    assert not geography_intersects_polygon(
+        wkb_polygon([(-5, 30), (5, 30), (0, 45)]), sp)   # under the bulge
+    # data polygon CONTAINING the whole query triangle still intersects
+    # (the quad dips at lon 0 to compensate its own bottom-edge bulge;
+    # the naive wide triangle (-90,20),(90,20),(0,88) does NOT contain
+    # the query — its 140-degree bottom edge arcs over the north pole)
+    assert geography_intersects_polygon(
+        wkb_polygon([(-90, 30), (0, 20), (90, 30), (0, 85)]), sp)
+    assert not geography_intersects_polygon(
+        wkb_polygon([(-90, 20), (90, 20), (0, 88)]), sp)
+    # data polygon strictly INSIDE the query (no edge crossings)
+    assert geography_intersects_polygon(
+        wkb_polygon([(-5, 61), (5, 61), (0, 66)]), sp)
+    assert not geography_intersects_polygon(None, sp)
+
+
+def test_sph_polygon_bbox_wrap_and_bulge():
+    from iceberg_spark.geo import BBox, SphPolygon, sph_polygon_bbox
+
+    quad = [(150.0, -10.0), (-150.0, -10.0), (-150.0, 30.0),
+            (150.0, 30.0)]
+    bb = sph_polygon_bbox(SphPolygon(quad), quad)
+    assert bb.xmin == 150.0 and bb.xmax == -150.0  # wraps the antimeridian
+    assert bb.ymin < -10.0 and bb.ymax > 30.0  # geodesic bulge both ways
+    # pole-containing cap: full longitude range, lat to the pole
+    cap = [(0.0, 80.0), (90.0, 80.0), (180.0, 80.0), (-90.0, 80.0)]
+    bc = sph_polygon_bbox(SphPolygon(cap), cap)
+    assert (bc.xmin, bc.xmax, bc.ymax) == (-180.0, 180.0, 90.0)
+    assert abs(bc.ymin - 80.0) < 1e-9
+
+
+def test_sph_near_hemisphere_refused():
+    from iceberg_spark.geo import SphPolygon
+
+    # vertex mean ~0: equally spaced equatorial ring
+    with pytest.raises(NotImplementedError, match="hemisphere"):
+        SphPolygon([(0.0, 0.0), (120.0, 0.0), (-120.0, 0.0)])
