@@ -1333,9 +1333,32 @@ def register_iceberg_table(catalog, source_location: str, dest_ident: str,
             from ..metadata import SnapshotRef
 
             extra[name] = SnapshotRef(rsid, rj.get("type", "branch"))
-    if extra:
+    # statistics / partition-statistics files (Puffin NDV sketches etc.)
+    # register by reference for replayed snapshots — the blobs are
+    # DataSketches wire format either way, so a reimported table's
+    # sketches keep unioning with fresh ones (UpdateStatistics parity)
+    src_loc = md.get("location") or source_location
+
+    def _carry_stats(entries, key):
+        out = []
+        for e in entries or []:
+            if not isinstance(e, dict) or e.get("snapshot-id") \
+                    not in replayed:
+                continue
+            p = e.get(key)
+            if not p:
+                continue
+            out.append({**e, key: _resolve_loc(p, src_loc)})
+        return tuple(out)
+
+    stats_in = _carry_stats(md.get("statistics"), "statistics-path")
+    pstats_in = _carry_stats(md.get("partition-statistics"), "path")
+    if extra or stats_in or pstats_in:
         t._commit_metadata(_replace(
-            t.metadata, refs={**t.metadata.refs, **extra}))
+            t.metadata, refs={**t.metadata.refs, **extra},
+            statistics_files=t.metadata.statistics_files + stats_in,
+            partition_statistics_files=(
+                t.metadata.partition_statistics_files + pstats_in)))
         t = t.refresh()
     return t, len(chain), n_data
 
