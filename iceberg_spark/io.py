@@ -285,9 +285,17 @@ class HadoopFileIO(FileIO):
     One instance per SparkSession; FileSystem objects are cached per
     (scheme, authority) by Hadoop itself."""
 
-    def __init__(self, spark):
+    def __init__(self, spark, conf_overrides: dict = None):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
+        if conf_overrides:
+            # clone, then overlay: vended credentials must configure THIS
+            # FileIO only, never mutate the shared session conf
+            conf = self._jvm.org.apache.hadoop.conf.Configuration(
+                self._conf)
+            for k, v in conf_overrides.items():
+                conf.set(str(k), str(v))
+            self._conf = conf
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
@@ -457,11 +465,61 @@ _ARROW = ArrowFileIO()
 _HADOOP: dict = {}  # id(sparkContext) -> HadoopFileIO
 
 
+# vended storage credentials (REST loadTable `storage-credentials`,
+# open-api/rest-catalog-open-api.yaml): per-prefix FileIO configuration a
+# catalog hands the client so it can reach storage WITHOUT ambient
+# credentials — the reference maps these into FileIO construction
+# properties (S3FileIO access keys etc.); the engine analog overlays
+# them onto a per-prefix Hadoop Configuration clone.
+_VENDED_CONF: dict = {}  # prefix -> {conf key: value}
+
+
+def register_vended_conf(prefix: str, conf: dict):
+    """Record vended FileIO config for every path under `prefix`.
+    Merging is per-key, newest wins (credential refresh semantics)."""
+    cur = _VENDED_CONF.setdefault(prefix, {})
+    cur.update({str(k): str(v) for k, v in (conf or {}).items()})
+
+
+def vended_conf_for(path: str) -> dict:
+    merged: dict = {}
+    sp = strip_scheme(path)
+    for prefix in sorted(_VENDED_CONF):  # longest prefix applied last
+        if path.startswith(prefix) or sp.startswith(strip_scheme(prefix)):
+            merged.update(_VENDED_CONF[prefix])
+    return merged
+
+
+def apply_vended_credentials(load_result: dict):
+    """Map a REST loadTable response's `storage-credentials` into client
+    state: `encryption.key.<id>` entries register table master keys
+    (the engine's decryption-credential analog of vended object-store
+    keys); everything else overlays the prefix's FileIO configuration.
+    Returns the number of credential entries applied."""
+    n = 0
+    for cred in load_result.get("storage-credentials", []) or []:
+        prefix = cred.get("prefix") or ""
+        fs_conf = {}
+        for k, v in (cred.get("config") or {}).items():
+            if k.startswith("encryption.key."):
+                from .parquet_crypto import register_key
+
+                register_key(k[len("encryption.key."):], v)
+            else:
+                fs_conf[k] = v
+            n += 1
+        if fs_conf:
+            register_vended_conf(prefix, fs_conf)
+    return n
+
+
 def resolve_io(path: str, spark=None) -> FileIO:
     """FileIO for `path` by scheme: plain paths stay on the zero-overhead
     local implementation; ANY scheme (including file://) routes through
     the Hadoop FileSystem, so a scheme-prefixed warehouse exercises the
-    exact code path an s3a:// or hdfs:// deployment runs."""
+    exact code path an s3a:// or hdfs:// deployment runs. Paths under a
+    vended-credentials prefix get a dedicated FileIO configured with the
+    vended entries (cached per session + config)."""
     if _scheme(path) == "":
         return _LOCAL
     if spark is None:
@@ -474,6 +532,15 @@ def resolve_io(path: str, spark=None) -> FileIO:
             if path.startswith("file:"):
                 return _LOCAL
             return _ARROW
+    vended = vended_conf_for(path) if _VENDED_CONF else {}
+    if vended:
+        key = (id(spark.sparkContext),
+               tuple(sorted(vended.items())))
+        io = _HADOOP.get(key)
+        if io is None:
+            io = _HADOOP[key] = HadoopFileIO(spark,
+                                             conf_overrides=vended)
+        return io
     key = id(spark.sparkContext)
     io = _HADOOP.get(key)
     if io is None:

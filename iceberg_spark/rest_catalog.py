@@ -132,7 +132,49 @@ def _load_table_result(catalog, ident: str,
                            if sj.get("snapshot-id") in keep]
         md["snapshot-log"] = [e for e in md.get("snapshot-log", [])
                               if e.get("snapshot-id") in keep]
-    return {"metadata-location": mpath, "metadata": md, "config": {}}
+    out = {"metadata-location": mpath, "metadata": md, "config": {}}
+    creds = _storage_credentials(catalog, ident, t)
+    if creds:
+        out["storage-credentials"] = creds
+    return out
+
+
+def _storage_credentials(catalog, ident: str, t) -> list:
+    """Vended storage credentials for a loadTable response (open-api
+    LoadTableResult `storage-credentials`: [{prefix, config}]). Two
+    sources, both optional:
+
+    - a `credentials_provider` callable registered with serve():
+      (ident, table) -> [{prefix, config}], the remote-signing/S3-keys
+      analog for real object stores;
+    - the table itself: `vended.credential.<conf-key>` properties pass
+      through as FileIO config under the table-location prefix, and an
+      encrypted table whose master key the SERVER can resolve vends it
+      as `encryption.key.<key-id>` — the engine's decryption-credential
+      analog, so a keyless client can read using ONLY what loadTable
+      returned."""
+    out = []
+    provider = getattr(catalog, "_rest_credentials_provider", None)
+    if provider is not None:
+        try:
+            out.extend(provider(ident, t) or [])
+        except Exception:  # noqa: BLE001 — vending is best-effort
+            pass
+    props = t.metadata.properties or {}
+    conf = {k[len("vended.credential."):]: v
+            for k, v in props.items()
+            if k.startswith("vended.credential.")}
+    kid = props.get("encryption.key-id")
+    if kid:
+        try:
+            from .parquet_crypto import resolve_key
+
+            conf[f"encryption.key.{kid}"] = resolve_key(kid).hex()
+        except Exception:  # noqa: BLE001 — server lacks the key: skip
+            pass
+    if conf:
+        out.append({"prefix": t.location, "config": conf})
+    return out
 
 
 def _apply_schema_updates(t, add_schemas, set_cur_schema, add_specs,
@@ -1203,14 +1245,20 @@ class _Handler(BaseHTTPRequestHandler):
                     "UnsupportedOperationException")
 
 
-def serve(catalog, port: int = 0, credential: str = None):
+def serve(catalog, port: int = 0, credential: str = None,
+          credentials_provider=None):
     """Start the adapter on localhost; returns (server, port). Call
     `server.shutdown()` to stop. Requests run in daemon threads.
     `credential` ("client_id:client_secret") turns on OAuth2: clients
     obtain a bearer token from POST /v1/oauth/tokens
-    (client_credentials grant) and every other endpoint requires it."""
+    (client_credentials grant) and every other endpoint requires it.
+    `credentials_provider` ((ident, table) -> [{prefix, config}])
+    vends storage credentials on loadTable responses."""
     from .rest_scan_planning import PlanStore
 
+    if credentials_provider is not None:
+        # ride the catalog object: _load_table_result sees only it
+        catalog._rest_credentials_provider = credentials_provider
     handler = type("Handler", (_Handler,),
                    {"catalog": catalog, "staged": {}, "plans": PlanStore(),
                     "credential": credential, "tokens": set()})

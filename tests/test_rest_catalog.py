@@ -1250,3 +1250,78 @@ def test_rest_load_table_etag_304(server, catalog, spark):
     with urllib.request.urlopen(req) as r:
         assert r.status == 200
         assert r.headers.get("ETag") not in (None, etag)
+
+
+def test_load_table_vends_storage_credentials(catalog, spark, tmp_path):
+    """open-api LoadTableResult storage-credentials: an encrypted
+    table's loadTable response vends its master key (the engine's
+    decryption-credential analog of vended object-store keys); a client
+    with NO ambient credentials fails to read, applies the vended
+    credentials, and reads successfully."""
+    from iceberg_spark import parquet_crypto as PC
+    from iceberg_spark.io import apply_vended_credentials
+
+    from iceberg_spark.rest_catalog import _storage_credentials
+
+    kid, key = "vend-key", bytes(range(16, 32))
+    PC.register_key(kid, key)
+    df = spark.range(0, 25).select("id")
+    t = catalog.create_table("db.vended_enc", df.schema, properties={
+        "encryption.key-id": kid})
+    t.append(df)
+
+    # the loadTable response payload for an engine-encrypted table
+    # cannot be exported by reference (documented refusal — the
+    # reference cannot unwrap engine parquet-kms key metadata), so the
+    # vended-credentials section is exercised at the builder level with
+    # the exact response shape; the end-to-end HTTP path is covered by
+    # test_vended_fs_config_reaches_fileio below.
+    res = {"storage-credentials":
+           _storage_credentials(catalog, "db.vended_enc", t)}
+    creds = res["storage-credentials"]
+    assert creds and creds[0]["prefix"] == t.location
+    assert creds[0]["config"][f"encryption.key.{kid}"] == key.hex()
+
+    # keyless client: the scan must refuse loudly...
+    PC.unregister_key(kid)
+    t2 = catalog.load_table("db.vended_enc")
+    with pytest.raises(Exception, match="key"):
+        t2.to_df().collect()
+    # ...until the vended credentials are applied
+    assert apply_vended_credentials(res) == 1
+    try:
+        assert t2.to_df().count() == 25
+    finally:
+        PC.unregister_key(kid)
+
+
+def test_vended_fs_config_reaches_fileio(catalog, spark):
+    """Non-key vended entries overlay the FileIO configuration for
+    paths under the vended prefix only — the session Hadoop conf stays
+    untouched (S3FileIO-style per-table credentials, locally expressed
+    as Hadoop conf keys)."""
+    from iceberg_spark import io as _io
+    from iceberg_spark.io import apply_vended_credentials, resolve_io
+
+    df = spark.range(0, 5).select("id")
+    t = catalog.create_table("db.vended_fs", df.schema, properties={
+        "vended.credential.fs.vendtest.access.key": "AKIA-TEST"})
+    t.append(df)
+    srv, port = serve(catalog)
+    try:
+        st, res = _get(port, "/v1/namespaces/db/tables/vended_fs")
+        assert st == 200
+        assert res["storage-credentials"][0]["config"][
+            "fs.vendtest.access.key"] == "AKIA-TEST"
+        applied = apply_vended_credentials(res)
+        assert applied == 1
+        under = resolve_io("file://" + t.location + "/data/x.parquet",
+                           spark)
+        assert under._conf.get("fs.vendtest.access.key") == "AKIA-TEST"
+        outside = resolve_io("file:///somewhere/else.parquet", spark)
+        assert outside._conf.get("fs.vendtest.access.key") is None
+        assert (spark._jsc.hadoopConfiguration()
+                .get("fs.vendtest.access.key") is None)
+    finally:
+        srv.shutdown()
+        _io._VENDED_CONF.clear()
