@@ -149,6 +149,13 @@ def main():
         ratios[key] = med
         ratios[key + "_samples"] = samples
 
+    # gated artifact (r12): the same thresholds audit_registry_perf
+    # applies to the sf0.1 artifact now gate at 10x data, where ~0.2s+
+    # denominators end the small-denominator noise archaeology
+    gates = {"q1_vs_raw_ratio": 1.5, "mor_pos_ratio": 2.0,
+             "mor_dv_ratio": 1.35, "eq_mor_ratio": 2.0}
+    fails = [f"{k} {ratios[k]:.3f} > {v}" for k, v in gates.items()
+             if k in ratios and ratios[k] > v]
     print(json.dumps({
         "metric": "sf1_ratio_proof",
         "unit": "sec",
@@ -157,8 +164,12 @@ def main():
         "pairs_per_ratio": PAIRS,
         "queries": qtimes,
         "ratios": ratios,
+        "gates": gates,
+        "gates_failed": len(fails),
+        "fails": fails,
     }))
+    return len(fails)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(1 if main() else 0)
