@@ -960,11 +960,121 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def eq_probe_scan(spark, sf_dir):
+    """Equality-delete MoR read through the LARGE-set fast path (r12):
+    one third of the PK domain equality-deleted — above the 4096-key
+    isin cap at sf0.01+, so the scan applies the delete set as one
+    compiled StaticInvoke binary-search node (jvm_probe.py,
+    SortedSetProbe.java) instead of an anti-join. Asserts the join-free
+    plan whenever the probe path is in play; correctness is
+    oracle-checked either way (smaller SFs legitimately take isin)."""
+    key = ("eqprobe", _sf_key(sf_dir))
+    if key not in _STATE:
+        from .row_ops import write_equality_deletes
+        from .writes import RowDelta
+
+        cat = _warehouse(spark)
+        ident = f"eqprobe_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "orders")
+        t = cat.create_table(ident, df.schema)
+        t.append(df)
+        keys = (df.select("o_orderkey").distinct()
+                .filter(F.col("o_orderkey") % 3 == 0))
+        eq_files = write_equality_deletes(t, keys, ["o_orderkey"])
+        RowDelta(t, [], eq_files).commit()
+        _STATE[key] = ident
+    t = _warehouse(spark).load_table(_STATE[key])
+    df = t.to_df()
+    from . import jvm_probe
+    from .scan import EQ_DELETE_MAX_LITERAL_KEYS
+
+    nkeys = sum(d.file.record_count or 0
+                for d in t.scan().plan_files().eq_deletes)
+    if nkeys > EQ_DELETE_MAX_LITERAL_KEYS and jvm_probe.available(spark):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, "large eq set must take the probe path"
+    return (df.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
+
+
+EQ_PROBE_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey % 3 != 0
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def rest_vended_credentials_scan(spark, sf_dir):
+    """REST loadTable storage-credentials end-to-end (open-api
+    LoadTableResult, r12): the server vends per-prefix FileIO config
+    declared on the table; the client applies it and reads. Asserts the
+    vended entry arrived over HTTP, landed on the prefix-scoped FileIO
+    conf clone, and left the shared session conf untouched — then scans
+    the table through the engine (the data read itself is what the
+    oracle checks)."""
+    key = ("vendcred", _sf_key(sf_dir))
+    cat = _warehouse(spark)
+    if key not in _STATE:
+        ident = f"db.vendcred_{_sf_key(sf_dir)}"
+        if cat.table_exists(ident):
+            cat.drop_table(ident)
+        df = load_table(spark, sf_dir, "nation")
+        t = cat.create_table(ident, df.schema, properties={
+            "vended.credential.fs.vendcheck.marker": "vended-ok"})
+        t.append(df)
+        _STATE[key] = ident
+    import json as _json
+    import urllib.request
+
+    from . import io as _io
+    from .rest_catalog import serve
+
+    ident = _STATE[key]
+    srv, port = serve(cat)
+    try:
+        ns, name = ident.rsplit(".", 1)
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/v1/namespaces/{ns}"
+                f"/tables/{name}") as r:
+            res = _json.loads(r.read())
+    finally:
+        srv.shutdown()
+    t = cat.load_table(ident)
+    creds = res["storage-credentials"]
+    assert creds[0]["prefix"] == t.location, creds
+    assert creds[0]["config"]["fs.vendcheck.marker"] == "vended-ok"
+    assert _io.apply_vended_credentials(res) == 1
+    try:
+        vio = _io.resolve_io("file://" + t.location + "/data/x", spark)
+        assert vio._conf.get("fs.vendcheck.marker") == "vended-ok"
+        assert (spark._jsc.hadoopConfiguration()
+                .get("fs.vendcheck.marker") is None)
+        return (t.to_df()
+                .select("n_nationkey", "n_name", "n_regionkey")
+                .orderBy("n_nationkey"))
+    finally:
+        _io._VENDED_CONF.pop(t.location, None)
+
+
+REST_VENDED_SQL = """
+SELECT n_nationkey, n_name, n_regionkey
+FROM nation ORDER BY n_nationkey
+"""
+
+
 REGISTRY = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "sql_q6_revenue": (sql_q6_revenue, Q6_SQL),
     "upsert_eq_scan": (upsert_eq_scan, UPSERT_EQ_SQL),
     "eq_delete_scan": (eq_delete_scan, EQ_DELETE_SQL),
+    "eq_probe_scan": (eq_probe_scan, EQ_PROBE_SQL),
+    "rest_vended_credentials_scan": (rest_vended_credentials_scan,
+                                     REST_VENDED_SQL),
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_revenue": (q6_revenue, Q6_SQL),
@@ -1001,7 +1111,8 @@ def _full_registry():
     # r11, rotates to the back). Keys are disjoint across the four
     # registries (asserted), so order only affects sampling, never
     # which implementation wins.
-    new_r12 = ("geo_exact_geography_scan",)
+    new_r12 = ("geo_exact_geography_scan", "eq_probe_scan",
+               "rest_vended_credentials_scan")
     pipeline = _pipeline_registry()
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
