@@ -298,6 +298,7 @@ class _Handler(BaseHTTPRequestHandler):
     plans = None  # per-server scan-plan store, injected by serve()
     credential = None  # "client_id:client_secret" -> auth required
     tokens = None  # issued bearer tokens, injected by serve()
+    signing_credentials = None  # (ak, sk[, token]) -> /v1/aws/s3/sign
 
     def log_message(self, *a):  # silence default stderr access log
         pass
@@ -554,6 +555,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._register_table(rest[1].replace("\x1f", "."), body)
         if rest == ["views", "rename"]:
             return self._rename_view(body)
+        if rest == ["aws", "s3", "sign"]:
+            return self._sign_s3_request(body)
         if rest == ["transactions", "commit"]:
             return self._commit_transaction(body)
         if rest == ["tables", "rename"]:
@@ -623,6 +626,36 @@ class _Handler(BaseHTTPRequestHandler):
                 rest[1].replace("\x1f", "."), rest[3], body)
         return self._error(404, f"no such route: {self.path}",
                            "NoSuchRouteException")
+
+    def _sign_s3_request(self, body: dict):
+        """POST /v1/aws/s3/sign — remote request signing (reference
+        aws/.../s3/signer/S3V4RestSignerClient.java +
+        s3-signer-open-api.yaml): the client sends its intended S3
+        request {region, uri, method, headers, body?}; the catalog
+        signs it with SERVER-held credentials (never shipped to the
+        client) and returns {uri, headers} carrying Authorization.
+        Enable with serve(signing_credentials=(access_key, secret))."""
+        creds = self.signing_credentials
+        if creds is None:
+            return self._error(
+                401, "remote signing is not enabled on this catalog",
+                "NotAuthorizedException")
+        for k in ("region", "uri", "method", "headers"):
+            if k not in body:
+                return self._error(400, f"missing field: {k}",
+                                   "BadRequestException")
+        from .sigv4 import sign
+
+        raw = body.get("body")
+        signed = sign(body["method"], body["uri"], body["headers"],
+                      body["region"], "s3", creds[0], creds[1],
+                      body=raw.encode() if isinstance(raw, str) else raw,
+                      session_token=(creds[2] if len(creds) > 2
+                                     else None))
+        headers = {k: (v if isinstance(v, list) else [v])
+                   for k, v in body["headers"].items()}
+        headers.update(signed)
+        return self._json(200, {"uri": body["uri"], "headers": headers})
 
     def _plan_table_scan(self, ns: str, name: str, body: dict):
         """PlanTableScanRequest -> PlanTableScanResponse: the engine's
@@ -1246,14 +1279,16 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(catalog, port: int = 0, credential: str = None,
-          credentials_provider=None):
+          credentials_provider=None, signing_credentials=None):
     """Start the adapter on localhost; returns (server, port). Call
     `server.shutdown()` to stop. Requests run in daemon threads.
     `credential` ("client_id:client_secret") turns on OAuth2: clients
     obtain a bearer token from POST /v1/oauth/tokens
     (client_credentials grant) and every other endpoint requires it.
     `credentials_provider` ((ident, table) -> [{prefix, config}])
-    vends storage credentials on loadTable responses."""
+    vends storage credentials on loadTable responses;
+    `signing_credentials` ((access_key, secret[, session_token]))
+    enables POST /v1/aws/s3/sign remote request signing."""
     from .rest_scan_planning import PlanStore
 
     if credentials_provider is not None:
@@ -1261,7 +1296,8 @@ def serve(catalog, port: int = 0, credential: str = None,
         catalog._rest_credentials_provider = credentials_provider
     handler = type("Handler", (_Handler,),
                    {"catalog": catalog, "staged": {}, "plans": PlanStore(),
-                    "credential": credential, "tokens": set()})
+                    "credential": credential, "tokens": set(),
+                    "signing_credentials": signing_credentials})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
