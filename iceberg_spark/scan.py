@@ -1058,6 +1058,52 @@ def _pos_deletes_for(pos_dels, entries):
     return out
 
 
+def _pos_split_plan(plan: ScanPlan, spark):
+    """Pos-delete twin of _eq_split_plan, for plans the inline-ranges
+    path cannot serve (scattered/oversized delete sets, or metadata
+    columns already materialized): attach pos deletes per data file by
+    referenced_data_file / file_path-bounds lookup and split the scan
+    so untouched files skip the anti-join probe entirely. Returns
+    (clear_plan, dirty_plan) or None."""
+    if not _conf_bool(spark, "spark.iceberg_spark.mor.posSplitScan",
+                      True):
+        return None
+    files, dels = plan.files, plan.pos_deletes
+    if len(files) < 2 or len(files) * len(dels) > EQ_SPLIT_MAX_PAIRS:
+        return None
+    import bisect
+
+    order = sorted((_data_rel(e.file.file_path), i)
+                   for i, e in enumerate(files))
+    keys = [k for k, _ in order]
+    dirty_idx: set = set()
+    for d in dels:
+        if d.file.referenced_data_file:
+            rel = _data_rel(d.file.referenced_data_file)
+            j = bisect.bisect_left(keys, rel)
+            if j < len(keys) and keys[j] == rel:
+                dirty_idx.add(order[j][1])
+            continue
+        st = d.file.stats.get("file_path")
+        if st and st[0] is not None and st[1] is not None:
+            lo, hi = _data_rel(st[0]), _data_rel(st[1])
+            j = bisect.bisect_left(keys, lo)
+            while j < len(keys) and keys[j] <= hi:
+                dirty_idx.add(order[j][1])
+                j += 1
+            continue
+        return None  # unscoped delete may reference anything: no split
+    if not dirty_idx or len(dirty_idx) == len(files):
+        return None
+    clear = [e for i, e in enumerate(files) if i not in dirty_idx]
+    dirty = [e for i, e in enumerate(files) if i in dirty_idx]
+    clear_plan = ScanPlan(clear, [], [], plan.residual, plan.snapshot,
+                          plan.report)
+    dirty_plan = ScanPlan(dirty, dels, [], plan.residual, plan.snapshot,
+                          plan.report)
+    return clear_plan, dirty_plan
+
+
 def _eq_split_plan(plan: ScanPlan, schema, spark):
     """DeleteFileIndex analog: attach equality deletes per DATA file and
     split the scan into a CLEAR branch (files no delete can touch — read
@@ -1765,6 +1811,19 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             pos_ranges = _pos_delete_ranges(plan)
     inline_pos_filter = (pos_ranges is not None and not with_metadata_columns
                          and not with_lineage and not plan.eq_deletes)
+
+    # per-file pos-delete attachment for plans the inline path cannot
+    # serve: untouched files skip the anti-join / metadata-filter branch
+    # (the inline path below does its own read-level clean/hit split)
+    if plan.pos_deletes and not inline_pos_filter and not plan.eq_deletes \
+            and plan.files:
+        psplit = _pos_split_plan(plan, spark)
+        if psplit is not None:
+            clear_p, dirty_p = psplit
+            return plan_to_df(scan, clear_p, with_metadata_columns,
+                              with_lineage).unionByName(
+                plan_to_df(scan, dirty_p, with_metadata_columns,
+                           with_lineage))
 
     # _pos needs parquet's _metadata.row_index; _file works for any format
     # Equality deletes apply to data files with seq < delete seq. When

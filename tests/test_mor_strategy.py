@@ -183,3 +183,35 @@ def test_unrelated_delete_pruning_survives_manifest_roundtrip(spark,
                       planning_mode=mode).plan_files()
         assert near.pos_deletes, mode
     assert t.to_df().count() == 9_950
+
+
+def test_pos_split_scan_clear_files_skip_join(catalog, spark):
+    """When the inline-ranges path is unavailable (driver cap forced to
+    0), data files no pos delete references read on a plain union
+    branch; only referenced files pay the anti-join. Rows stay exact."""
+    from pyspark.sql import Row
+
+    df1 = spark.createDataFrame([Row(id=i, v=float(i))
+                                 for i in range(10)])
+    t = catalog.create_table("mor.possplit", df1.schema, properties={
+        "write.delete.mode": "merge-on-read"})
+    t.append(df1)
+    t.append(spark.createDataFrame([Row(id=i, v=float(i))
+                                    for i in range(100, 110)]))
+    t = t.refresh()
+    from iceberg_spark.expressions import col
+
+    t.delete_where((col("id") >= 104) & (col("id") <= 106),
+                   mode="merge-on-read")
+    t = t.refresh()
+    spark.conf.set("spark.iceberg_spark.mor.posDeleteDriverBytes", "0")
+    try:
+        df = t.to_df()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Union" in plan and "Join" in plan
+        got = sorted(r.id for r in df.collect())
+        assert got == list(range(10)) + [100, 101, 102, 103, 107, 108,
+                                         109]
+    finally:
+        spark.conf.unset("spark.iceberg_spark.mor.posDeleteDriverBytes")
+    assert t.to_df().count() == 17  # inline path agrees
