@@ -91,7 +91,7 @@ def not_in_filter(spark, col_name: str, keys, ftype: str, saw_null: bool):
     survive unless the delete set carried a NULL — eqNullSafe parity
     with the join path). Returns None when the type is unsupported or
     the JVM helper is unavailable; exceptions never escape."""
-    if ftype not in ("int", "long", "string"):
+    if ftype not in ("int", "long", "string", "date"):
         return None
     try:
         if not available(spark):
@@ -117,6 +117,16 @@ def _build(spark, col_name, keys, ftype, saw_null):
         arr = probe.fromStrings([str(k) for k in keys])
         fn = "containsUtf8"
         child = parser.parseExpression(quoted)
+    elif ftype == "date":
+        # probe on epoch days (the internal date representation)
+        import datetime as _dt
+
+        epoch = _dt.date(1970, 1, 1)
+        arr = probe.parseCsvLongs(",".join(
+            str((k - epoch).days) for k in keys))
+        fn = "containsLong"
+        child = parser.parseExpression(
+            f"CAST(DATEDIFF({quoted}, DATE '1970-01-01') AS BIGINT)")
     else:
         # int widens to bigint losslessly; one CSV string crosses py4j
         arr = probe.parseCsvLongs(",".join(str(int(k)) for k in keys))

@@ -882,7 +882,7 @@ _EQ_LITERAL_TYPES = ("int", "long", "string", "date")
 # keep the distributed anti-join.
 EQ_DELETE_MAX_PROBE_KEYS = 1_000_000
 EQ_DELETE_PROBE_BYTES = 32 * 1024 * 1024
-_EQ_PROBE_TYPES = ("int", "long", "string")
+_EQ_PROBE_TYPES = ("int", "long", "string", "date")
 
 
 def _conf_int(spark, key: str, default: int) -> int:

@@ -444,3 +444,40 @@ def test_delete_build_cache_reuse(catalog, spark, monkeypatch):
     assert t.to_df().count() == 10  # second scan: cache hit, no rebuild
     assert [k for k in scan._DELETE_BUILD_CACHE if k not in before] \
         == list(added)
+
+
+def test_eq_probe_filter_date_keys(catalog, spark):
+    """Date keys probe on epoch days (DATEDIFF cast) — caps lowered so
+    a small fixture exercises the large-set path."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from iceberg_spark import jvm_probe, scan as S
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    if not jvm_probe.available(spark):
+        import pytest
+
+        pytest.skip("no JDK for the probe helper jar")
+    schema = T.StructType([T.StructField("d", T.DateType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.probedate", schema)
+    days = [dt.date(2024, 1, 1) + dt.timedelta(days=i) for i in range(60)]
+    t.append(spark.createDataFrame([(d, 1.0) for d in days], schema))
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(d,) for d in days[::2]], ["d"]), ["d"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    spark.conf.set("spark.iceberg_spark.mor.eqDeleteLiteralKeys", "8")
+    S._EQ_LITERAL_FILTER_CACHE.clear()
+    try:
+        df = t.to_df()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "static_invoke" in plan
+        got = sorted(r.d for r in df.collect())
+        assert got == days[1::2]
+    finally:
+        spark.conf.unset("spark.iceberg_spark.mor.eqDeleteLiteralKeys")
+        S._EQ_LITERAL_FILTER_CACHE.clear()
