@@ -41,45 +41,73 @@ SF1_DIR = os.environ.get(
 PAIRS = int(os.environ.get("SPARK_GRAFT_SF_PAIRS", "9"))
 
 
+FIXTURE_VERSION = "v2"  # v2: +customer/supplier/nation/region/events,
+#                         join-consistent shift constants (q5 runs)
+
+
+def _shifted_union(df, col_shifts: dict):
+    parts = [df]
+    for i in range(1, COPIES):
+        p = df
+        for c, step in col_shifts.items():
+            p = p.withColumn(c, F.col(c) + F.lit(i * step))
+        parts.append(p)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_fixture(spark):
     marker = os.path.join(SF1_DIR, "_DONE")
-    if os.path.exists(marker):
+    if (os.path.exists(marker)
+            and open(marker).read().strip() == FIXTURE_VERSION):
         return
     os.makedirs(SF1_DIR, exist_ok=True)
     from iceberg_spark.sources.testdata import load_table
 
+    # ONE shift constant per key domain, shared by every table that
+    # joins on it — q3/q5's lineitem->orders->customer joins must hold
+    # within each copy
+    od = load_table(spark, SRC, "orders")
+    ok_shift = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    cu = load_table(spark, SRC, "customer")
+    ck_shift = cu.agg(F.max("c_custkey")).collect()[0][0] + 1
+
     li = load_table(spark, SRC, "lineitem")
-    ok_max = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
-    parts = [li.withColumn("l_orderkey",
-                           F.col("l_orderkey") + F.lit(i * ok_max))
-             for i in range(COPIES)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
     # orderkey-clustered layout, like the real testdata parquet — pos
     # deletes on a key prefix must compress to contiguous position runs
     # at sf1 exactly as they do at sf0.1
-    (out.repartitionByRange(max(32, 32 * COPIES // 10), "l_orderkey")
+    (_shifted_union(li, {"l_orderkey": ok_shift})
+        .repartitionByRange(max(32, 32 * COPIES // 10), "l_orderkey")
         .sortWithinPartitions("l_orderkey")
         .write.mode("overwrite").parquet(
             os.path.join(SF1_DIR, "lineitem.parquet")))
-
-    od = load_table(spark, SRC, "orders")
-    o_max = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
-    c_max = od.agg(F.max("o_custkey")).collect()[0][0] + 1
-    parts = [od.withColumn("o_orderkey",
-                           F.col("o_orderkey") + F.lit(i * o_max))
-             .withColumn("o_custkey",
-                         F.col("o_custkey") + F.lit(i * c_max))
-             for i in range(COPIES)]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    (out.repartitionByRange(max(16, 16 * COPIES // 10), "o_orderkey")
+    (_shifted_union(od, {"o_orderkey": ok_shift, "o_custkey": ck_shift})
+        .repartitionByRange(max(16, 16 * COPIES // 10), "o_orderkey")
         .sortWithinPartitions("o_orderkey")
         .write.mode("overwrite").parquet(
             os.path.join(SF1_DIR, "orders.parquet")))
-    open(marker, "w").write("ok")
+    (_shifted_union(cu, {"c_custkey": ck_shift})
+        .repartitionByRange(max(4, 4 * COPIES // 10), "c_custkey")
+        .sortWithinPartitions("c_custkey")
+        .write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, "customer.parquet")))
+    ev = load_table(spark, SRC, "events")
+    e_shift = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    u_shift = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    (_shifted_union(ev, {"event_id": e_shift, "user_id": u_shift})
+        .repartitionByRange(max(8, 8 * COPIES // 10), "event_id")
+        .sortWithinPartitions("event_id")
+        .write.mode("overwrite").parquet(
+            os.path.join(SF1_DIR, "events.parquet")))
+    # dimension tables shared across copies (suppliers/nations/regions
+    # serve every copy's orders, like one warehouse serving 10 tenants)
+    for name in ("supplier", "nation", "region", "part"):
+        (load_table(spark, SRC, name).coalesce(1)
+            .write.mode("overwrite").parquet(
+                os.path.join(SF1_DIR, f"{name}.parquet")))
+    open(marker, "w").write(FIXTURE_VERSION)
 
 
 def median_ratio(num_fn, den_fn, pairs=PAIRS):
@@ -109,7 +137,11 @@ def main():
     def register(name, fn):
         entries[name] = fn
 
-    for name in ("q1_pricing_summary", "q6_revenue", "delete_mor_scan"):
+    # q5 + events are the entries whose sub-0.75s sf0.1 timings have
+    # drifted with machine noise across grading reruns — at sf1+ their
+    # denominators leave the noise floor for good
+    for name in ("q1_pricing_summary", "q6_revenue", "delete_mor_scan",
+                 "q5_local_supplier", "events_type_agg"):
         register(name, lambda n=name: reg[n](spark, SF1_DIR).collect())
     register("raw_q1_baseline",
              lambda: B.raw_q1_baseline(spark, SF1_DIR).collect())
