@@ -215,3 +215,34 @@ def test_pos_split_scan_clear_files_skip_join(catalog, spark):
     finally:
         spark.conf.unset("spark.iceberg_spark.mor.posDeleteDriverBytes")
     assert t.to_df().count() == 17  # inline path agrees
+
+
+def test_relation_cache_reuse_and_keying(catalog, spark):
+    """File-list relations cache per (app, format, schema, paths): the
+    same plan re-served without re-listing, different schemas/path sets
+    kept distinct, results exact across cache hits."""
+    from pyspark.sql import Row
+
+    from iceberg_spark import scan as S
+
+    df = spark.createDataFrame([Row(id=i, v=float(i)) for i in range(6)])
+    t = catalog.create_table("mor.relcache", df.schema)
+    t.append(df)
+    t = t.refresh()
+    paths = tuple(e.file.file_path
+                  for e in t.scan().plan_files().files)
+    before = len(S._RELATION_CACHE)
+    assert t.to_df().count() == 6
+    assert t.to_df().count() == 6  # second scan: cache hit
+    after = {k: v for k, v in S._RELATION_CACHE.items()
+             if k[3] == tuple(sorted(paths)) or set(paths) <= set(k[3])}
+    keys = [k for k in S._RELATION_CACHE
+            if set(paths) & set(k[3])]
+    assert len(keys) == 1  # one relation for this path set
+    assert len(S._RELATION_CACHE) >= before
+    # appending adds a file -> new path set -> new relation, old intact
+    t.append(spark.createDataFrame([Row(id=99, v=9.0)]))
+    t = t.refresh()
+    assert t.to_df().count() == 7
+    keys2 = [k for k in S._RELATION_CACHE if set(paths) & set(k[3])]
+    assert len(keys2) == 2
