@@ -481,11 +481,19 @@ def register_vended_conf(prefix: str, conf: dict):
     cur.update({str(k): str(v) for k, v in (conf or {}).items()})
 
 
+def _at_boundary(path: str, prefix: str) -> bool:
+    # a prefix must end at itself or a '/' boundary: credentials vended
+    # for .../tables/t1 must NOT leak onto the sibling .../tables/t10
+    p = prefix.rstrip("/")
+    return path == p or path.startswith(p + "/")
+
+
 def vended_conf_for(path: str) -> dict:
     merged: dict = {}
     sp = strip_scheme(path)
     for prefix in sorted(_VENDED_CONF):  # longest prefix applied last
-        if path.startswith(prefix) or sp.startswith(strip_scheme(prefix)):
+        if _at_boundary(path, prefix) \
+                or _at_boundary(sp, strip_scheme(prefix)):
             merged.update(_VENDED_CONF[prefix])
     return merged
 

@@ -299,6 +299,7 @@ class _Handler(BaseHTTPRequestHandler):
     credential = None  # "client_id:client_secret" -> auth required
     tokens = None  # issued bearer tokens, injected by serve()
     signing_credentials = None  # (ak, sk[, token]) -> /v1/aws/s3/sign
+    signing_locations = None    # URI prefixes the signer may sign for
 
     def log_message(self, *a):  # silence default stderr access log
         pass
@@ -634,7 +635,15 @@ class _Handler(BaseHTTPRequestHandler):
         request {region, uri, method, headers, body?}; the catalog
         signs it with SERVER-held credentials (never shipped to the
         client) and returns {uri, headers} carrying Authorization.
-        Enable with serve(signing_credentials=(access_key, secret))."""
+        Enable with serve(signing_credentials=(access_key, secret)).
+
+        Confused-deputy guard: with serve(signing_locations=[...]) the
+        request URI's path must fall under one of the allowed prefixes
+        (boundary-safe match, like the reference signer service's
+        allowed-locations validation) or the request is 403'd. Without
+        an allowlist, any URI signs — acceptable ONLY because the
+        server binds 127.0.0.1 (same trust domain as the caller); bind
+        it wider and an allowlist becomes mandatory."""
         creds = self.signing_credentials
         if creds is None:
             return self._error(
@@ -644,6 +653,24 @@ class _Handler(BaseHTTPRequestHandler):
             if k not in body:
                 return self._error(400, f"missing field: {k}",
                                    "BadRequestException")
+        allowed = self.signing_locations
+        if allowed is not None:
+            from urllib.parse import unquote, urlsplit
+
+            from . import io as _io
+
+            p = urlsplit(body["uri"])
+            # bucket+path in wire-decoded form; strip_scheme collapses
+            # s3://bkt/k and s3a://bkt/k to one comparable shape
+            req = _io.strip_scheme(
+                f"{p.scheme}://{p.netloc}{unquote(p.path)}")
+            ok = any(req == a.rstrip("/") or
+                     req.startswith(a.rstrip("/") + "/")
+                     for a in (_io.strip_scheme(x) for x in allowed))
+            if not ok:
+                return self._error(
+                    403, "request uri is outside the signer's allowed "
+                    "locations", "ForbiddenException")
         from .sigv4 import sign
 
         raw = body.get("body")
@@ -1279,7 +1306,8 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 def serve(catalog, port: int = 0, credential: str = None,
-          credentials_provider=None, signing_credentials=None):
+          credentials_provider=None, signing_credentials=None,
+          signing_locations=None):
     """Start the adapter on localhost; returns (server, port). Call
     `server.shutdown()` to stop. Requests run in daemon threads.
     `credential` ("client_id:client_secret") turns on OAuth2: clients
@@ -1288,7 +1316,10 @@ def serve(catalog, port: int = 0, credential: str = None,
     `credentials_provider` ((ident, table) -> [{prefix, config}])
     vends storage credentials on loadTable responses;
     `signing_credentials` ((access_key, secret[, session_token]))
-    enables POST /v1/aws/s3/sign remote request signing."""
+    enables POST /v1/aws/s3/sign remote request signing;
+    `signing_locations` (list of URI prefixes) restricts what the
+    signer will sign — requests outside them are 403'd (see
+    _sign_s3_request's confused-deputy note)."""
     from .rest_scan_planning import PlanStore
 
     if credentials_provider is not None:
@@ -1297,7 +1328,8 @@ def serve(catalog, port: int = 0, credential: str = None,
     handler = type("Handler", (_Handler,),
                    {"catalog": catalog, "staged": {}, "plans": PlanStore(),
                     "credential": credential, "tokens": set(),
-                    "signing_credentials": signing_credentials})
+                    "signing_credentials": signing_credentials,
+                    "signing_locations": signing_locations})
     srv = ThreadingHTTPServer(("127.0.0.1", port), handler)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()

@@ -30,12 +30,20 @@ def _uri_encode(s: str, encode_slash: bool = True) -> str:
 def canonical_query(query: str) -> str:
     if not query:
         return ""
+    from urllib.parse import unquote
+
     pairs = []
     for part in query.split("&"):
         if not part:
             continue
         k, _, v = part.partition("=")
-        pairs.append((_uri_encode(k), _uri_encode(v)))
+        # the query arrives in WIRE form (urlsplit of the request URI):
+        # values like S3 continuation-tokens already carry %2F etc.
+        # Decode each name/value exactly once, then re-encode
+        # canonically — the AWS SDK's SdkHttpUtils behavior. Encoding
+        # the wire form as if raw would double-encode ('%2F'->'%252F')
+        # and produce a signature real S3 rejects.
+        pairs.append((_uri_encode(unquote(k)), _uri_encode(unquote(v))))
     return "&".join(f"{k}={v}" for k, v in sorted(pairs))
 
 

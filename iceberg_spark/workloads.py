@@ -1103,16 +1103,20 @@ def _full_registry():
     from .workloads_lifecycle import REGISTRY as LIFECYCLE_REGISTRY
 
     # insertion order = the driver's sampling order: rotate the pillars
-    # the previous round's sample under-covered to the FRONT (r11
-    # sampled the pipeline pillar + interop/encryption, leaving
-    # lifecycle and the TPC-H 22 pass-local only — so r12 leads with
-    # the NEW r12 entries, then the lifecycle pillar, then this base
-    # module incl. q1-q22, then analytics; pipeline, driver-confirmed
-    # r11, rotates to the back). Keys are disjoint across the four
-    # registries (asserted), so order only affects sampling, never
-    # which implementation wins.
-    new_r12 = ("geo_exact_geography_scan", "eq_probe_scan",
-               "rest_vended_credentials_scan")
+    # the previous round's sample under-covered to the FRONT (r12
+    # sampled its three new entries + the lifecycle pillar, leaving
+    # TPC-H q1-q22 and the analytics windows/rollups pass-local only
+    # since r10 — so r13 leads with the full TPC-H 22 + analytics,
+    # then the pipeline pillar, which is due for driver
+    # re-confirmation on the two-round cadence since r11; lifecycle
+    # and interop, driver-confirmed r12, rotate to the back). Keys are
+    # disjoint across the four registries (asserted), so order only
+    # affects sampling, never which implementation wins.
+    # r13's one NEW entry leads (it must land in the driver sample),
+    # then the rotation described above
+    new_r13 = ("stats_ndv_roundtrip_scan",)
+    tpch_base = ("q1_pricing_summary", "q3_shipping_priority",
+                 "q5_local_supplier", "q6_revenue", "sql_q6_revenue")
     pipeline = _pipeline_registry()
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
@@ -1120,10 +1124,11 @@ def _full_registry():
         dup = set(merged) & set(other)
         assert not dup, f"duplicate registry keys: {dup}"
         merged.update(other)
-    reg = {k: merged[k] for k in new_r12}
-    reg.update(LIFECYCLE_REGISTRY)
-    reg.update(REGISTRY)
+    reg = {k: merged[k] for k in new_r13 + tpch_base}
     reg.update(ANALYTICS_REGISTRY)
+    reg.update(pipeline)
+    reg.update(REGISTRY)
+    reg.update(LIFECYCLE_REGISTRY)
     reg.update(merged)
     return reg
 

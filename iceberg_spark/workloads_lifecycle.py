@@ -894,6 +894,60 @@ FROM customer
 """
 
 
+def stats_ndv_roundtrip_scan(spark, sf_dir):
+    """NDV answered from the theta-sketch BLOB of a statistics file that
+    round-tripped through the reference layout: the engine computes
+    table stats (Puffin apache-datasketches-theta-v1 blobs,
+    compute_table_stats), exports the whole metadata tree
+    (export_reference_metadata), re-imports it
+    (snapshot_iceberg_table), and the query DESERIALIZES the carried
+    blob itself — theta_sketch_estimate over the blob bytes — never the
+    stored `ndv` property. Exact below sketch capacity, so it must
+    equal COUNT(DISTINCT). End-to-end twin of the pytest wire-format
+    proof (tests/test_puffin.py) the r12 verdict asked to
+    driver-confirm; reference NDVSketchUtil.java + StatisticsFile
+    carry in TableMetadataParser."""
+    key = ("ndv_rt", _sf_key(sf_dir))
+    if key not in _STATE:
+        _ensure_conf(spark)
+        from .sources.iceberg import (export_reference_metadata,
+                                      register_iceberg_table)
+
+        cat = _warehouse(spark)
+        back = f"ndvrt_back_{_sf_key(sf_dir)}"
+        if cat.table_exists(back):
+            cat.drop_table(back)
+        t, df = _fresh(spark, sf_dir, "customer", "ndvrt_src")
+        t.append(df)
+        t.compute_table_stats(columns=["c_mktsegment", "c_nationkey"])
+        t = t.refresh()
+        dest = tempfile.mkdtemp(prefix="iceberg_ndv_export_")
+        export_reference_metadata(t, dest)
+        # register (full-history) mode: snapshot ids are preserved, so
+        # the statistics file registers by reference against its
+        # original snapshot — the interop path the reference's
+        # RegisterTableProcedure takes
+        register_iceberg_table(cat, dest, back)
+        _STATE[key] = back
+    t = _warehouse(spark).load_table(_STATE[key])
+    stats_entries = t.metadata.statistics_files
+    assert stats_entries, "statistics file must survive the round trip"
+    from .puffin import read_puffin
+
+    meta, blobs = read_puffin(stats_entries[-1]["statistics-path"])
+    by_fid = {}
+    for bm, blob in zip(meta["blobs"], blobs):
+        assert bm["type"] == "apache-datasketches-theta-v1", bm["type"]
+        by_fid[tuple(bm["fields"])] = blob
+    fid = {c: t.schema.find_field(c).field_id
+           for c in ("c_mktsegment", "c_nationkey")}
+    return spark.range(1).select(
+        F.theta_sketch_estimate(
+            F.lit(by_fid[(fid["c_mktsegment"],)])).alias("ndv_mktsegment"),
+        F.theta_sketch_estimate(
+            F.lit(by_fid[(fid["c_nationkey"],)])).alias("ndv_nationkey"))
+
+
 # ---------------------------------------------------------------------------
 # L12 — rewrite table path (DR copy)
 # ---------------------------------------------------------------------------
@@ -2736,6 +2790,7 @@ REGISTRY = {
     "metadata_files_scan": (metadata_files_scan, META_FILES_SQL),
     "partition_stats_scan": (partition_stats_scan, PARTITION_STATS_SQL),
     "table_stats_ndv_scan": (table_stats_ndv_scan, NDV_SQL),
+    "stats_ndv_roundtrip_scan": (stats_ndv_roundtrip_scan, NDV_SQL),
     "rewrite_table_path_scan": (rewrite_table_path_scan, DR_COPY_SQL),
     "rewrite_table_path_encrypted_scan": (
         rewrite_table_path_encrypted_scan, DR_COPY_ENC_SQL),

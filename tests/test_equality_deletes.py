@@ -413,6 +413,34 @@ def test_eq_split_null_keys_stay_dirty(catalog, spark):
     assert got == [4.0]  # both NULL rows AND id=100 deleted
 
 
+def test_eq_delete_nan_key_survives_bounds_scoping(catalog, spark):
+    """A NaN-keyed equality delete must delete NaN data rows: data-file
+    bounds exclude NaN and `NaN between lo,hi` is false, so the
+    build-side bounds scoping must keep NaN keys explicitly or the
+    deleted rows silently resurrect (r12 ADVICE)."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    nan = float("nan")
+    schema = T.StructType([T.StructField("id", T.DoubleType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.nankey", schema)
+    # one file mixing finite and NaN keys: its manifest bounds are the
+    # finite [1.0, 2.0], which is what makes the naive between() drop
+    # the NaN delete key from the build side
+    t.append(spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (nan, 30.0)], schema))
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(nan,)], T.StructType([schema["id"]])),
+        ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    got = sorted(r.v for r in t.to_df().collect())
+    assert got == [10.0, 20.0]  # NaN row deleted, finite rows kept
+
+
 def test_delete_build_cache_reuse(catalog, spark, monkeypatch):
     """The anti-join build side persists across scans of the same
     delete files (reference SparkExecutorCache analog) and evicts

@@ -49,6 +49,33 @@ def test_sigv4_s3_unsigned_payload_and_verify():
                       all_h, out["Authorization"][0], "nope")
 
 
+def test_sigv4_wire_encoded_query_not_double_encoded():
+    """A wire-form query (what urlsplit yields from a real request URI)
+    already carries percent-encoded reserved chars — S3
+    continuation-tokens are the canonical case. Canonicalization must
+    decode-once-then-re-encode (AWS SdkHttpUtils behavior), NOT encode
+    the wire form again ('%2F' -> '%252F' breaks the signature)."""
+    from iceberg_spark.sigv4 import canonical_query
+
+    # wire form of list-type=2&continuation-token=a/b c&prefix=x%20y
+    wire = "list-type=2&continuation-token=a%2Fb%20c&prefix=x%20y"
+    cq = canonical_query(wire)
+    assert cq == ("continuation-token=a%2Fb%20c&list-type=2"
+                  "&prefix=x%20y")
+    assert "%25" not in cq  # no double-encoding anywhere
+    # raw (unencoded) queries — the published IAM vector's shape —
+    # canonicalize identically through the decode-once path
+    assert canonical_query("Action=ListUsers&Version=2010-05-08") == \
+        "Action=ListUsers&Version=2010-05-08"
+    # signatures over the two spellings of the same request agree
+    h = {"Host": "b.s3.amazonaws.com", "X-Amz-Date": "20240301T000000Z"}
+    a = sign("GET", "https://b.s3.amazonaws.com/k?prefix=x%20y", h,
+             "us-east-1", "s3", AK, SK)
+    b = sign("GET", "https://b.s3.amazonaws.com/k?prefix=x y", h,
+             "us-east-1", "s3", AK, SK)
+    assert a["Authorization"] == b["Authorization"]
+
+
 def test_sigv4_body_hash():
     out = sign("PUT", "https://b.s3.amazonaws.com/k",
                {"Host": "b.s3.amazonaws.com",
@@ -88,6 +115,35 @@ def test_rest_sign_endpoint(catalog, spark):
             _post(port, "/v1/aws/s3/sign",
                   {"region": "us-east-1", "method": "GET"})
         assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_rest_sign_location_allowlist(catalog, spark):
+    """signing_locations scopes the signer: URIs outside the allowed
+    prefixes 403 (confused-deputy guard), boundary-safe — /wh/t1 must
+    not authorize /wh/t10."""
+    from iceberg_spark.rest_catalog import serve
+
+    srv, port = serve(catalog, signing_credentials=(AK, SK),
+                      signing_locations=["s3://bkt/wh/t1"])
+    try:
+        ok_body = {
+            "region": "us-east-1", "method": "GET",
+            "uri": "s3://bkt/wh/t1/data/00.parquet",
+            "headers": {"Host": ["bkt.s3.amazonaws.com"],
+                        "X-Amz-Date": ["20240301T000000Z"]}}
+        st, res = _post(port, "/v1/aws/s3/sign", ok_body)
+        assert st == 200
+        assert res["headers"]["Authorization"][0].startswith(
+            "AWS4-HMAC-SHA256")
+        for bad in ("s3://bkt/wh/t10/data/00.parquet",  # sibling prefix
+                    "s3://bkt/other/x",
+                    "s3://evil/wh/t1/data/00.parquet"):
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                _post(port, "/v1/aws/s3/sign",
+                      dict(ok_body, uri=bad))
+            assert ei.value.code == 403
     finally:
         srv.shutdown()
 
