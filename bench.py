@@ -329,6 +329,69 @@ def spj_benchmarks(spark, register, sf_dir):
     register("join_shuffle_baseline", _no_broadcast(shuffle))
 
 
+def q5_spj_benchmarks(spark, register, sf_dir):
+    """TPC-H q5 with its one fact-fact shuffle removed: lineitem and
+    orders bucketed bucket[16](orderkey) at write time, the
+    lineitem<->orders leg runs exchange-free through the SPJ path
+    (SparkPartitioningAwareScan.java:107 analog) while dims broadcast
+    as in plain q5. The remaining q5 joins/aggregation are identical,
+    so q5_spj vs q5_local_supplier isolates the shuffle cost — at
+    sf10 that shuffle is ~96% of q5's wall time. Results asserted
+    equal to the shuffle q5 at fixture build."""
+    import tempfile
+
+    from iceberg_spark import workloads as W
+    from iceberg_spark.spj import bucketed_join, create_bucketed_table
+    from iceberg_spark.table import Catalog
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="iceberg_spark_q5spj_"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_suppkey",
+        "l_extendedprice", "l_discount")
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey", "o_orderdate")
+    ta = create_bucketed_table(cat, "q5spj.lineitem", li, 16, "k")
+    tb = create_bucketed_table(cat, "q5spj.orders", od, 16, "k")
+
+    def q5_spj():
+        region = load_table(spark, sf_dir, "region").filter(
+            F.col("r_name") == "ASIA")
+        nation = load_table(spark, sf_dir, "nation")
+        cust = load_table(spark, sf_dir, "customer")
+        supp = load_table(spark, sf_dir, "supplier")
+        j = bucketed_join(ta, tb, "k").filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01"))
+        return (
+            j.join(cust, j.o_custkey == cust.c_custkey)
+            .join(supp, (j.l_suppkey == supp.s_suppkey)
+                  & (cust.c_nationkey == supp.s_nationkey))
+            .join(F.broadcast(nation),
+                  supp.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region),
+                  nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("n_name"))
+            .collect())
+
+    # the lineitem<->orders leg itself must be SHUFFLE-free (a
+    # BroadcastExchange at tiny SF is fine — no repartitioning happens)
+    leg = bucketed_join(ta, tb, "k")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert not any(("Exchange" in ln and "BroadcastExchange" not in ln)
+                   for ln in leg.splitlines()), \
+        "q5 SPJ leg must not shuffle"
+    # and the rewrite must be RESULT-equal to the shuffle q5
+    want = [tuple(r) for r in
+            W.q5_local_supplier(spark, sf_dir).collect()]
+    assert [tuple(r) for r in q5_spj()] == want, \
+        "q5_spj must reproduce q5_local_supplier exactly"
+    register("q5_spj", q5_spj)
+
+
 def raw_q1_baseline(spark, sf_dir):
     """Same computation as q1_pricing_summary but via plain spark.read —
     the engine-overhead yardstick (Iceberg-vs-file-source comparison)."""
@@ -524,6 +587,7 @@ def main():
     import_benchmarks(spark, register)
     variant_shred_benchmarks(spark, register, SF_DIR)
     spj_benchmarks(spark, register, SF_DIR)
+    q5_spj_benchmarks(spark, register, SF_DIR)
 
     # data-pipeline throughput (informational — outside the headline total,
     # which tracks the BASELINE.md scan/plan/MoR targets)

@@ -31,6 +31,52 @@ public final class SortedSetProbe {
     return Arrays.binarySearch(sorted, v) >= 0;
   }
 
+  // last (paths array identity, file path) -> ordinal, per thread: scan
+  // tasks read one file at a time, so consecutive rows almost always
+  // carry the same path — the memo turns the per-row path lookup into
+  // one byte-compare. The memoized path is a defensive COPY (row values
+  // may alias reusable buffers).
+  private static final ThreadLocal<Object[]> LAST_ORD =
+      ThreadLocal.withInitial(() -> new Object[3]);
+
+  /**
+   * Position-delete run-coverage probe: TRUE iff {@code pos} of the
+   * file named {@code path} falls inside a deleted run. Runs are
+   * encoded as {@code (fileOrdinal << 40) | position} with the
+   * ordinal from {@code paths}' sort order; {@code runStarts} and
+   * {@code runEnds} are aligned, globally ascending (runs are
+   * disjoint and the ordinal dominates the encoding). One expression
+   * node replaces a per-file chain of path-equality string compares —
+   * the per-task delete-index probe shape of a bitmap position-delete
+   * index, inside whole-stage codegen.
+   */
+  public static boolean coveredFilePos(
+      UTF8String[] paths, long[] runStarts, long[] runEnds,
+      UTF8String path, long pos) {
+    Object[] memo = LAST_ORD.get();
+    int ord;
+    if (memo[0] == paths && path.equals(memo[1])) {
+      ord = (Integer) memo[2];
+    } else {
+      ord = Arrays.binarySearch(paths, path);
+      memo[0] = paths;
+      memo[1] = UTF8String.fromString(path.toString());
+      memo[2] = ord;
+    }
+    if (ord < 0) {
+      return false; // file carries no deletes
+    }
+    long key = ((long) ord << 40) | pos;
+    int i = Arrays.binarySearch(runStarts, key);
+    if (i < 0) {
+      i = -i - 2; // rightmost start < key
+      if (i < 0) {
+        return false;
+      }
+    }
+    return key <= runEnds[i];
+  }
+
   /** One py4j round trip builds the whole long[] from a CSV string. */
   public static long[] parseCsvLongs(String csv) {
     if (csv.isEmpty()) {

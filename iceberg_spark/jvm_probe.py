@@ -103,6 +103,79 @@ def not_in_filter(spark, col_name: str, keys, ftype: str, saw_null: bool):
         return None
 
 
+def pos_covered_filter(spark, pos_ranges, path_lit=lambda fp: fp,
+                       path_expr="_metadata.file_path",
+                       pos_expr="_metadata.row_index"):
+    """A Column that is TRUE for rows whose (file, position) lies in a
+    deleted position run — the compiled twin of _ranges_filter's
+    path+pos chain. `pos_ranges` is [(file_path, lo, hi)] with
+    inclusive run bounds; `path_lit` maps a manifest path to the form
+    the `path_expr` column carries at runtime (URI or plain). Encoded
+    as (file_ordinal << 40) | position over the sorted path array, so
+    whole-stage codegen emits ONE static call per row (memoized path
+    ordinal + binary search) instead of a per-file string-equality
+    chain. Returns None when unavailable/ineligible; the caller keeps
+    the expression-chain filter."""
+    try:
+        if not available(spark):
+            return None
+        return _build_covered(spark, pos_ranges, path_lit, path_expr,
+                              pos_expr)
+    except Exception as e:  # noqa: BLE001 — fallback is always correct
+        print(f"iceberg_spark: pos-covered probe build failed "
+              f"({type(e).__name__}), using expression filter",
+              file=sys.stderr)
+        return None
+
+
+def _build_covered(spark, pos_ranges, path_lit, path_expr, pos_expr):
+    from pyspark.sql.classic.column import Column as CCol
+
+    # Python str sort = code-point order = UTF-8 byte order (UTF-8 is
+    # order-preserving), so these ordinals match the UTF8String sort
+    # fromStrings applies JVM-side
+    paths = sorted({path_lit(fp) for fp, _, _ in pos_ranges})
+    if len(paths) >= (1 << 23):
+        return None
+    ordm = {p: i for i, p in enumerate(paths)}
+    runs = []
+    for fp, lo, hi in pos_ranges:
+        if lo < 0 or hi >= (1 << 40) or lo > hi:
+            return None  # outside the encoding's position budget
+        base = ordm[path_lit(fp)] << 40
+        runs.append((base | int(lo), base | int(hi)))
+    runs.sort()
+    for i in range(1, len(runs)):
+        if runs[i][0] <= runs[i - 1][1]:
+            return None  # overlapping runs: binary search would misread
+    jvm = spark._jvm
+    loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    cls = jvm.java.lang.Class.forName(PROBE_CLASS, True, loader)
+    probe = jvm.org.iceberg_spark.util.SortedSetProbe
+    arr_p = probe.fromStrings(list(paths))
+    # both arrays are already ascending (disjoint runs, ordinal-major
+    # encoding), so parseCsvLongs' sort is a no-op and alignment holds
+    arr_s = probe.parseCsvLongs(",".join(str(s) for s, _ in runs))
+    arr_e = probe.parseCsvLongs(",".join(str(e) for _, e in runs))
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    lit = jvm.org.apache.spark.sql.catalyst.expressions.Literal
+    si = jvm.org.apache.spark.sql.catalyst.expressions.objects \
+        .StaticInvoke(
+            cls, jvm.org.apache.spark.sql.types.DataTypes.BooleanType,
+            "coveredFilePos",
+            _to_seq(jvm, [lit.fromObject(arr_p), lit.fromObject(arr_s),
+                          lit.fromObject(arr_e),
+                          parser.parseExpression(path_expr),
+                          parser.parseExpression(pos_expr)]),
+            _to_seq(jvm, []),
+            True,   # propagateNull (metadata columns are never NULL)
+            False,  # returnNullable
+            True,   # isDeterministic
+            jvm.scala.Option.empty())
+    return CCol(jvm.org.apache.spark.sql.classic.ExpressionUtils
+                .column(si))
+
+
 def _build(spark, col_name, keys, ftype, saw_null):
     from pyspark.sql import functions as F
     from pyspark.sql.classic.column import Column as CCol

@@ -1523,11 +1523,40 @@ def _pos_delete_ranges(plan: ScanPlan):
     return ranges
 
 
-# widest per-file fanout of the inline pos-delete union: one branch per
-# deleted-into file buys pos-only integer filters (no per-row path
-# string), but an unbounded union would blow the plan on wide delete
-# footprints — beyond this the single grouped branch applies
-POS_SPLIT_MAX_BRANCHES = 32
+# Compiled position-run probe columns, cached per delete layout: the
+# StaticInvoke build costs a few py4j round trips; the runs it encodes
+# come from immutable delete files, so reuse across re-plans is safe
+# (same invariants as _EQ_LITERAL_FILTER_CACHE). NOTE: a per-file READ
+# fanout (one union branch per deleted-into file, position-only
+# filters) was measured SLOWER at sf10 — 13 single-file branches cost
+# ~0.2s of plan build and lost cross-branch codegen fusion (exec
+# 0.73s vs 0.49s grouped) — so the grouped read + this probe is the
+# shape that scales.
+_POS_COVER_FILTER_CACHE: dict = {}
+_POS_COVER_FILTER_CACHE_CAP = 256
+
+
+def _pos_probe_filter(spark, pos_ranges, uri_form: bool,
+                      path_expr: str = "_metadata.file_path",
+                      pos_expr: str = "_metadata.row_index"):
+    """Cached compiled 'position is deleted' Column over `pos_ranges`
+    (see jvm_probe.pos_covered_filter), or None when the probe is
+    unavailable — caller falls back to the expression chain."""
+    ck = (spark.sparkContext.applicationId, uri_form, path_expr,
+          pos_expr, tuple(pos_ranges))
+    hit = _POS_COVER_FILTER_CACHE.get(ck, False)
+    if hit is not False:
+        return hit
+    from . import jvm_probe
+
+    path_lit = ((lambda fp: "file:" + fp if fp.startswith("/") else fp)
+                if uri_form else (lambda fp: fp))
+    cond = jvm_probe.pos_covered_filter(spark, pos_ranges, path_lit,
+                                        path_expr, pos_expr)
+    if len(_POS_COVER_FILTER_CACHE) >= _POS_COVER_FILTER_CACHE_CAP:
+        _POS_COVER_FILTER_CACHE.clear()
+    _POS_COVER_FILTER_CACHE[ck] = cond
+    return cond
 
 
 def _ranges_filter(path_col, pos_col, pos_ranges, path_lit=lambda fp: fp):
@@ -2204,13 +2233,19 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                                                arrow_filter=push)
             if inline_pos_filter and pos_ranges:
                 affected_enc = {fp for fp, _, _ in pos_ranges}
+                deleted = None
                 if all(_io.uri_encoding_invariant(p)
                        for p in affected_enc):
-                    deleted = _ranges_filter(
-                        F.col("_metadata.file_path"),
-                        F.col("_metadata.row_index"), pos_ranges,
-                        path_lit=lambda fp: (
-                            "file:" + fp if fp.startswith("/") else fp))
+                    if len(affected_enc) >= 2:
+                        deleted = _pos_probe_filter(spark, pos_ranges,
+                                                    uri_form=True)
+                    if deleted is None:
+                        deleted = _ranges_filter(
+                            F.col("_metadata.file_path"),
+                            F.col("_metadata.row_index"), pos_ranges,
+                            path_lit=lambda fp: (
+                                "file:" + fp if fp.startswith("/")
+                                else fp))
                 else:
                     deleted = _ranges_filter(
                         _io.decode_spark_path_col(
@@ -2235,37 +2270,33 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             if clean:
                 pieces.append(
                     _cached_file_df(spark, ffmt, read_schema, clean))
-            if hit and len(hit) <= POS_SPLIT_MAX_BRANCHES:
-                # one read branch per deleted-into file: the filter is a
-                # POSITION-ONLY long between/InSet (the path qualifier is
-                # implied by the read itself) — no per-row path string
-                # ever materializes or compares, the per-task
-                # BitmapPositionDeleteIndex probe shape (reference
-                # core/.../deletes/BitmapPositionDeleteIndex.java:31).
-                # Measured at sf10 (13 hit files, 1.5M deleted rows):
-                # the hit branches run at plain-scan speed vs ~1.9x for
-                # the grouped path+pos comparison below.
-                by_fp: dict = {}
-                for fp, lo, hi in pos_ranges:
-                    by_fp.setdefault(fp, []).append((fp, lo, hi))
-                for fp in hit:
-                    deleted = _ranges_filter(
-                        None, F.col("_metadata.row_index"), by_fp[fp])
-                    pieces.append(
-                        _cached_file_df(spark, ffmt, read_schema, [fp])
-                        .filter(~deleted))
-            elif hit:
+            if hit:
                 # invariant paths (no char Spark would percent-escape):
                 # compare the RAW URI column against raw literals — zero
                 # per-row transformation, the hot-path shape. Otherwise
                 # decode the column so %20-spelled paths match the
                 # manifests' raw ones.
+                deleted = None
                 if all(_io.uri_encoding_invariant(p) for p in affected):
-                    deleted = _ranges_filter(
-                        F.col("_metadata.file_path"),
-                        F.col("_metadata.row_index"), pos_ranges,
-                        path_lit=lambda fp: (
-                            "file:" + fp if fp.startswith("/") else fp))
+                    if len(affected) >= 2:
+                        # compiled run-coverage probe: one StaticInvoke
+                        # per row (memoized file ordinal + binary
+                        # search over (ordinal<<40)|pos-encoded runs)
+                        # instead of a per-file string-equality chain —
+                        # the per-task BitmapPositionDeleteIndex probe
+                        # shape (reference core/.../deletes/
+                        # BitmapPositionDeleteIndex.java:31). Measured
+                        # at sf10 (13 hit files, 1.5M deleted rows of
+                        # 15M): MoR-vs-plain ratio 1.9x -> ~1.3x.
+                        deleted = _pos_probe_filter(spark, pos_ranges,
+                                                    uri_form=True)
+                    if deleted is None:
+                        deleted = _ranges_filter(
+                            F.col("_metadata.file_path"),
+                            F.col("_metadata.row_index"), pos_ranges,
+                            path_lit=lambda fp: (
+                                "file:" + fp if fp.startswith("/")
+                                else fp))
                 else:
                     deleted = _ranges_filter(
                         _io.decode_spark_path_col(
@@ -2391,8 +2422,15 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
             # tiny delete set but metadata columns are materialized anyway
             # (lineage/eq-deletes/user request): codegen filter on the
             # normalized columns, still no join and no extra Spark job
-            deleted = _ranges_filter(F.col(FILE_PATH_COL),
-                                     F.col(POS_COL), pos_ranges)
+            deleted = None
+            if len({fp for fp, _, _ in pos_ranges}) >= 2:
+                deleted = _pos_probe_filter(spark, pos_ranges,
+                                            uri_form=False,
+                                            path_expr=FILE_PATH_COL,
+                                            pos_expr=POS_COL)
+            if deleted is None:
+                deleted = _ranges_filter(F.col(FILE_PATH_COL),
+                                         F.col(POS_COL), pos_ranges)
             if deleted is not None:
                 out = out.filter(~deleted)
         else:

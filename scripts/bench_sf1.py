@@ -182,6 +182,7 @@ def main():
                 .orderBy("o_orderpriority").collect())
 
     register("orders_scan_no_deletes_baseline", orders_scan_baseline)
+    B.q5_spj_benchmarks(spark, register, SF1_DIR)
     B.eq_delete_benchmarks(spark, register, SF1_DIR)
     B.dv_delete_benchmarks(spark, register, SF1_DIR)
 
@@ -207,7 +208,11 @@ def main():
             ("mor_dv_ratio", "delete_mor_dv_scan",
              "orders_scan_no_deletes_baseline"),
             ("eq_mor_ratio", "eq_delete_mor_scan",
-             "orders_scan_no_deletes_baseline")):
+             "orders_scan_no_deletes_baseline"),
+            # bucketed SPJ q5 vs the shuffle q5 (below 1.0 = speedup;
+            # the shuffle side spills under memory pressure at 100
+            # copies, which is exactly the cost SPJ removes)
+            ("q5_spj_vs_shuffle_ratio", "q5_spj", "q5_local_supplier")):
         med, samples = median_ratio(entries[num], entries[den])
         ratios[key] = med
         ratios[key + "_samples"] = samples
@@ -222,7 +227,11 @@ def main():
     # envelope is BASELINE.md target 3 (MoR 10%-deleted <= 2x).
     gates = {"q1_vs_raw_ratio": 1.5, "mor_pos_ratio": 2.0,
              "mor_dv_ratio": 1.35 if COPIES <= 10 else 2.0,
-             "eq_mor_ratio": 2.0}
+             "eq_mor_ratio": 2.0,
+             # SPJ must beat the shuffle q5 at scale; at 10 copies the
+             # shuffle still fits comfortably in memory, so parity is
+             # the bar there and the speedup bar applies at 100 copies
+             "q5_spj_vs_shuffle_ratio": 1.0 if COPIES <= 10 else 0.67}
     fails = [f"{k} {ratios[k]:.3f} > {v}" for k, v in gates.items()
              if k in ratios and ratios[k] > v]
     print(json.dumps({
