@@ -272,8 +272,17 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # verify on the HASHED shingle arrays (8 bytes/shingle), not the
+    # strings (~30 bytes): shingle sets are distinct, so
+    # |intersect(hs_a, hs_b)| = |intersect(sh_a, sh_b)| up to 64-bit
+    # xxhash64 collisions (P ~ pairs/2^64 — immaterial), and the verify
+    # join's shuffle/sort payload drops ~25x. At 500k docs the string
+    # arrays measured >46 GB of sort-merge spill on local[32]; the
+    # hashed arrays stay ~1 GB.
+    sa = hashed.select(F.col("doc_id").alias("doc_a"),
+                       F.col("hs").alias("sh_a"))
+    sb = hashed.select(F.col("doc_id").alias("doc_b"),
+                       F.col("hs").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jacc = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     return (

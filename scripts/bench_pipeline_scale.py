@@ -42,9 +42,19 @@ ROOT = os.environ.get("SPARK_GRAFT_PIPELINE_DIR",
 SCALES = (1, 10, 100)
 RUNS = 3
 
-ENTRIES = ("dedup_minhash_lsh", "knn_bruteforce", "semantic_dedup_prod_k")
+# semantic_dedup runs with target_cluster_rows=2000: K then grows
+# linearly with the corpus so per-cluster pair work (the O(sum
+# cluster^2) term) stays ~n * 2000 — the SemDeDup operating shape. The
+# registry's prod-K entry pins target=100k (sized for the 100M+ doc
+# corpora it models); at THIS fixture's 200k vectors that one knob
+# would put ~every vector in two clusters and the pair step at ~2e10
+# cosine pairs — a fixture/knob mismatch, not an operator property.
+SD_SCALE_TARGET = 2000
+ENTRIES = ("dedup_minhash_lsh", "knn_bruteforce", "semantic_dedup")
 
-FIXTURE_VERSION = "v1"
+FIXTURE_VERSION = "v2"  # v2: salted text truncated to 1000 chars —
+# the x100 verify join ships shingle arrays per candidate pair, and
+# untruncated salted docs spilled >49 GB of sort space on local[32]
 
 
 def build_fixture(spark, copies: int) -> str:
@@ -66,6 +76,7 @@ def build_fixture(spark, copies: int) -> str:
             # word n-gram shingle spanning a boundary differs per copy
             p = p.withColumn(
                 "text", F.regexp_replace("text", " ", f" c{i} "))
+        p = p.withColumn("text", F.substring("text", 1, 1000))
         parts.append(p.withColumn("n_chars", F.length("text")))
     df = parts[0]
     for p in parts[1:]:
@@ -125,7 +136,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     from iceberg_spark import workloads
+    from iceberg_spark.pipeline.dedup import semantic_dedup
     reg = workloads.queries()
+    reg = dict(reg, semantic_dedup=lambda sp, d: semantic_dedup(
+        sp, d, target_cluster_rows=SD_SCALE_TARGET))
 
     results = {e: {} for e in ENTRIES}
     rows = {}
@@ -137,6 +151,7 @@ def main():
             "embeddings": spark.read.parquet(
                 os.path.join(d, "embeddings.parquet")).count(),
         }
+        print(f"-- x{copies}: {rows[copies]}", file=sys.stderr)
         for e in ENTRIES:
             fn = reg[e]
             fn(spark, d).collect()          # warm (fixture state, JIT)
@@ -147,12 +162,21 @@ def main():
                 n = fn(spark, d).count()
                 ts.append(time.perf_counter() - t0)
                 sh.append(_shuffle_bytes(spark) - s0)
+                # let the ContextCleaner reclaim the finished job's
+                # shuffle files NOW — x100 runs spill tens of GB and
+                # the default periodic GC would stack several runs'
+                # footprints on one local disk
+                try:
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
             ts.sort()
             results[e][str(copies)] = {
                 "sec": round(ts[len(ts) // 2], 3),
                 "shuffle_bytes": max(sh),
                 "out_rows": n,
             }
+            print(f"   {e}: {results[e][str(copies)]}", file=sys.stderr)
 
     # observed scaling exponent sec ~ rows^alpha between 10x and 100x
     # (the 1x point sits under fixed overheads); linear => ~1, corpus^2
