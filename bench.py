@@ -350,8 +350,13 @@ def q5_spj_benchmarks(spark, register, sf_dir):
         "l_extendedprice", "l_discount")
     od = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), "o_custkey", "o_orderdate")
-    ta = create_bucketed_table(cat, "q5spj.lineitem", li, 16, "k")
-    tb = create_bucketed_table(cat, "q5spj.orders", od, 16, "k")
+    # 32 buckets = one per local core: the bucketed read's task count
+    # IS the bucket count, so fewer buckets than cores caps the scan's
+    # parallelism (16 buckets measured 1.4x SLOWER than shuffle q5 at
+    # sf1 for exactly that reason). On a real cluster, size buckets to
+    # executor slots.
+    ta = create_bucketed_table(cat, "q5spj.lineitem", li, 32, "k")
+    tb = create_bucketed_table(cat, "q5spj.orders", od, 32, "k")
 
     def q5_spj():
         region = load_table(spark, sf_dir, "region").filter(
@@ -384,11 +389,18 @@ def q5_spj_benchmarks(spark, register, sf_dir):
     assert not any(("Exchange" in ln and "BroadcastExchange" not in ln)
                    for ln in leg.splitlines()), \
         "q5 SPJ leg must not shuffle"
-    # and the rewrite must be RESULT-equal to the shuffle q5
-    want = [tuple(r) for r in
-            W.q5_local_supplier(spark, sf_dir).collect()]
-    assert [tuple(r) for r in q5_spj()] == want, \
-        "q5_spj must reproduce q5_local_supplier exactly"
+    # and the rewrite must be RESULT-equal to the shuffle q5 (same
+    # groups in the same order; revenue compared with a float-sum
+    # tolerance — double summation ORDER differs between the bucketed
+    # and shuffled layouts, so the post-round cent can differ)
+    want = W.q5_local_supplier(spark, sf_dir).collect()
+    got = q5_spj()
+    assert [r["n_name"] for r in got] == [r["n_name"] for r in want], \
+        "q5_spj must reproduce q5_local_supplier's groups"
+    assert all(abs(a["revenue"] - b["revenue"])
+               <= max(1e-9 * abs(b["revenue"]), 0.011)
+               for a, b in zip(got, want)), \
+        "q5_spj revenue must match q5_local_supplier within fp tolerance"
     register("q5_spj", q5_spj)
 
 
