@@ -275,7 +275,18 @@ def encrypted_scan_benchmarks(spark, register, sf_dir):
             for b in it:
                 yield b
 
-        return (spark.createDataFrame([("x",)], "p string")
+        # r13 measurement fix: the probe's 1-row input now comes from
+        # spark.range(1) (one task) instead of createDataFrame over a
+        # local list — the old probe parallelized the row into
+        # defaultParallelism tasks and charged ~0.5 s of local-relation
+        # plan building + 32-task scheduling to the "Python floor"
+        # (measured: createDataFrame().collect() with NO Python = 0.62 s
+        # vs range(1) collect = 0.08 s). Neither cost is part of the
+        # Python boundary, and scan_encrypted (whose decomposition this
+        # floor anchors) feeds its mapInPandas from a scan, not a
+        # parallelized list. Old-probe values for the record: 0.441 s
+        # committed r13 HEAD / 0.627 s fresh on this box.
+        return (spark.range(1).select(F.lit("x").alias("p"))
                 .mapInPandas(ident, "p string").collect())
 
     register("python_plan_floor", py_floor)

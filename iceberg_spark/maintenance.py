@@ -1221,10 +1221,11 @@ def _write_dvs(table, kept) -> list:
     # DataFile paths are recorded in PLAIN form for file:-family
     # locations (one spelling per file across manifests/deletes/scans)
     out_dir = _io.strip_scheme(new_data_dir(table, prefix="dvs-"))
-    # fixed width: counting distinct refs first would re-run the whole
-    # kept-rows job; empty partitions yield nothing and zero refs simply
-    # collect to an empty descriptor list
-    n_parts = 32
+    # fixed width relative to the cluster (NOT a distinct-ref count,
+    # which would re-run the whole kept-rows job); empty partitions
+    # yield nothing and zero refs simply collect to an empty
+    # descriptor list
+    n_parts = max(32, table.spark.sparkContext.defaultParallelism)
     # `encryption.key-id` tables: DV Puffin containers encrypt as whole
     # AES GCM Streams under per-file keys wrapped by the master key
     # (ags1-kms key_metadata) — row positions and data-file paths leave

@@ -489,7 +489,9 @@ def _write_position_deletes_file_granularity(table, matched_df: DataFrame) -> li
                                            "file_size", "min_pos",
                                            "max_pos"] + pby_local)
 
-    descs = (sel.repartition(32, "file_path")
+    descs = (sel.repartition(
+        max(32, sel.sparkSession.sparkContext.defaultParallelism),
+        "file_path")
              .mapInPandas(task, out_schema).collect())
     km = encode_key_metadata(enc[0]) if enc is not None else None
     files = []

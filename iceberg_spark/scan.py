@@ -878,7 +878,16 @@ EQ_DELETE_DRIVER_BYTES = 1024 * 1024
 # measured), and codegen'd InSet probes run slower than a broadcast
 # hash anti-join's build side at that cardinality — so big sets keep
 # the join. record_count from the manifest pre-gates WITHOUT reading.
-EQ_DELETE_MAX_LITERAL_KEYS = 4096
+# r13: crossover to the compiled probe lowered 4096 -> 256. At 1.5k
+# keys the literal tier measured 530 ms vs the probe's 306 on the
+# sf0.1 eq-MoR pair (isin plan BUILD alone 31 ms vs 5.6 — a
+# 1500-literal INSET node is expensive to construct, analyze and
+# serialize; the probe is one constant-size StaticInvoke). Below
+# ~hundreds of keys the literal tier keeps its edge: trivial plan cost
+# plus a parquet-pushable In() that can still skip row groups on
+# clustered layouts — exactly the deployments where small delete sets
+# have narrow key ranges.
+EQ_DELETE_MAX_LITERAL_KEYS = 256
 # literal NOT-IN needs exact value semantics under isin(); float/double
 # NaN and timestamp zone coercion make those types join-path only
 _EQ_LITERAL_TYPES = ("int", "long", "string", "date")
@@ -1365,7 +1374,12 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
         edf = spark.createDataFrame(
             [(p,) for p in sorted(enc_pq)], "p string")
         if len(enc_pq) > 1:
-            edf = edf.repartition(min(len(enc_pq), 32))
+            # one decode task per file, capped by cluster width (not a
+            # local-mode constant: 32 slots here, executor count x cores
+            # on a cluster)
+            edf = edf.repartition(min(
+                len(enc_pq),
+                max(32, spark.sparkContext.defaultParallelism)))
         dfs.append(edf.mapInPandas(dec_read, enc_schema))
     if dv_rows:
         out_schema = "file_path string, pos long"
@@ -1386,7 +1400,10 @@ def pos_delete_rows_df(spark, deletes, with_source: bool = False):
         ddf = spark.createDataFrame(
             dv_rows, "p string, o long, l long, ref string")
         if len(dv_rows) > 1:
-            ddf = ddf.repartition(min(len(dv_rows), 32))
+            # per-DV expand tasks, capped by cluster width as above
+            ddf = ddf.repartition(min(
+                len(dv_rows),
+                max(32, spark.sparkContext.defaultParallelism)))
         dfs.append(ddf.mapInPandas(expand, out_schema))
     out = dfs[0]
     for d in dfs[1:]:

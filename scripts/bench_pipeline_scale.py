@@ -156,6 +156,14 @@ def main():
     reg = dict(reg, semantic_dedup=lambda sp, d: semantic_dedup(
         sp, d, target_cluster_rows=SD_SCALE_TARGET))
 
+    # machine-speed probes bracketing every scale block (bench.py's
+    # cpu_calib): this box's multi-run spread measured ~2x on unchanged
+    # code, so the artifact records the probes and a machine_factor for
+    # cross-round comparison of the raw seconds
+    import bench as _bench
+
+    calibs = [_bench.cpu_calibration()]
+
     results = {e: {} for e in ENTRIES}
     rows = {}
     for copies in SCALES:
@@ -192,6 +200,7 @@ def main():
                 "out_rows": n,
             }
             print(f"   {e}: {results[e][str(copies)]}", file=sys.stderr)
+        calibs.append(_bench.cpu_calibration())
 
     # observed scaling exponent sec ~ rows^alpha between 10x and 100x
     # (the 1x point sits under fixed overheads); linear => ~1, corpus^2
@@ -211,6 +220,8 @@ def main():
         "rows": rows,
         "entries": results,
         "scaling_exponent_10x_to_100x": exponents,
+        "cpu_calib_samples": [round(c, 4) for c in calibs],
+        "machine_factor": round(min(calibs) / 0.095, 4),
         "gates_failed": len(fails),
         "fails": fails,
     }))
