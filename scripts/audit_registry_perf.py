@@ -56,7 +56,16 @@ GATES_ABS = {
     # ~40% headroom over same-machine medians (0.26 / 1.6 / 0.34)
     "plan_full_10k_files": 0.36,
     "maintenance_plan_10k": 2.20,
-    "plan_distributed_full_10k_files": 0.50,
+    # 0.50 -> 0.65 (r13): the entry is a 32-task x 3-stage Spark job
+    # whose wall time tracks MULTI-core throughput, which on the r13 VM
+    # class swings ~2x between windows while the single-thread
+    # cpu_calib normalizer barely moves — two degraded-window runs
+    # normalized to 0.73/0.80 with the SAME tree that measured
+    # 0.47-0.49 in good windows, and an A/B of the r12 vs r13 trees on
+    # one box window showed them statistically identical (914 vs
+    # 917 ms medians), i.e. environment, not regression. 0.65 keeps a
+    # real 2x regression detectable from the good-window ~0.45 median.
+    "plan_distributed_full_10k_files": 0.65,
     # Avro-manifest decode throughput for register_table / REST commits
     # (~0.25s same-machine median at 10k entries)
     "plan_import_decode_10k": 0.40,
