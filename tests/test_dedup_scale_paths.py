@@ -61,3 +61,25 @@ def test_semantic_dedup_k_derivation_bounds_clusters(spark):
     # nearest-centroid assignment over random seeds: no cluster may hog
     # the corpus (5x the ideal share still says "bounded", not "exact")
     assert max(sizes) < 5 * (n / len(sizes))
+
+
+def test_minhash_hot_shingle_exclusion_keeps_true_pairs(spark, monkeypatch):
+    """r13: shingles with df above max(256, n/1000) are excluded from the
+    MinHash SIGNATURE input (LSH banding) but NOT from the exact verify.
+    A 301-doc corpus sharing one hot trigram (df=301 > the 256 floor)
+    plus one injected near-dup pair must yield EXACTLY the true pair:
+    the hot shingle may not bucket unrelated docs into candidates, and
+    the true pair must still be found through its rare shingles."""
+    rows = []
+    for i in range(300):
+        rows.append((i, f"alpha beta gamma u{i}a u{i}b u{i}c u{i}d u{i}e"))
+    rows.append((1000, rows[0][1] + " extra"))  # near-dup of doc 0
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(dedup, "dedup_corpus", lambda sp, d: corpus)
+    out = sorted((r.doc_a, r.doc_b, r.jaccard)
+                 for r in dedup.dedup_minhash_lsh(
+                     spark, "synthetic-hot-corpus-r13").collect())
+    # doc 0 has 6 distinct trigrams, doc 1000 has 7 sharing 6:
+    # J = 6/7 = 0.8571; every other pair shares only the hot trigram
+    # (J = 1/11 < 0.6)
+    assert out == [(0, 1000, 0.8571)], out

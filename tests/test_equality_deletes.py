@@ -509,3 +509,47 @@ def test_eq_probe_filter_date_keys(catalog, spark):
     finally:
         spark.conf.unset("spark.iceberg_spark.mor.eqDeleteLiteralKeys")
         S._EQ_LITERAL_FILTER_CACHE.clear()
+
+
+def test_eq_crossover_mid_size_sets_use_probe(catalog, spark):
+    """r13: the literal->probe crossover default dropped 4096 -> 256.
+    A 300-key delete set (above the new cap, below the old) must apply
+    through the compiled SortedSetProbe StaticInvoke — not a 300-literal
+    INSET tree and not a join — with results identical to the literal
+    tier forced via conf."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.crossover", schema)
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], schema))
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(i * 3,) for i in range(300)], ["id"]),
+        ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+
+    plan = t.to_df()._jdf.queryExecution().executedPlan().toString()
+    assert "SortedSetProbe" in plan, plan
+    assert "INSET" not in plan, plan
+    assert "Join" not in plan, plan
+    got = sorted(r.id for r in t.to_df().collect())
+
+    # literal tier forced by conf must agree exactly
+    from iceberg_spark import scan as _scan
+
+    spark.conf.set("spark.iceberg_spark.mor.eqDeleteLiteralKeys", "4096")
+    try:
+        _scan._EQ_LITERAL_FILTER_CACHE.clear()
+        lit_plan = t.to_df()._jdf.queryExecution().executedPlan().toString()
+        assert "INSET" in lit_plan, lit_plan
+        assert sorted(r.id for r in t.to_df().collect()) == got
+    finally:
+        spark.conf.unset("spark.iceberg_spark.mor.eqDeleteLiteralKeys")
+        _scan._EQ_LITERAL_FILTER_CACHE.clear()
+    expected = sorted(set(range(1000)) - {i * 3 for i in range(300)})
+    assert got == expected

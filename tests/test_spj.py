@@ -73,3 +73,17 @@ def test_fallback_result_correct_under_mor_deletes(catalog, spark):
     ta.delete_where(col("k") < 50, mode="merge-on-read")
     j = bucketed_join(ta, tb, "k")
     assert j.count() == 50  # deletes applied -> must NOT use the raw mirror
+
+
+def test_layout_memo_invalidated_by_commit(pair, spark):
+    """r13: the SPJ enablement verdict is memoized per snapshot — a join
+    BEFORE the divergence caches verdict True, and the post-append join
+    must still detect the stale layout (new snapshot id = new key)."""
+    ta, tb = pair
+    j = bucketed_join(ta, tb, "k")
+    assert j.count() == 5000  # populates the memo with a True verdict
+    ta.append(spark.range(5000, 5100).select(F.col("id").alias("k"),
+                                             (F.col("id") * 2).alias("va")))
+    j2 = bucketed_join(ta, tb, "k")
+    assert "Exchange" in _plan(j2)  # memo did NOT replay the stale True
+    assert j2.count() == 5000
