@@ -556,6 +556,65 @@ def cpu_calibration():
     return round(best, 4)
 
 
+def cpu_calibration_mt():
+    """Multi-core twin of cpu_calibration: a FIXED total amount of the
+    same decode+inflate work (128 units) spread over every core Spark
+    will use (local[$SPARK_GRAFT_CPUS]), so the wall time scales with
+    the machine's AGGREGATE throughput — the quantity that actually
+    normalizes wide Spark jobs (plan_distributed_full is 32 tasks x 3
+    stages; its wall time tracks multi-core throughput, which on this
+    VM class swings ~2x between windows while the single-thread
+    cpu_calib barely moves — see the r13 gate note in
+    scripts/audit_registry_perf.py). pyarrow's parquet decode and zlib
+    both release the GIL, so a thread pool exercises the cores like
+    native task slots. At a lower $SPARK_GRAFT_CPUS the probe slows by
+    the same ~1/cores factor as the Spark jobs it normalizes (fixed
+    total work, fewer workers). Informational in the artifact; the
+    audit uses it only as an alternate normalizer for the multi-core
+    gate, falling back to cpu_calib when absent."""
+    import io
+    import zlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ncores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 1)
+    rng = np.random.default_rng(7)
+    n = 400_000
+    tbl = pa.table({
+        "a": pa.array(rng.integers(0, 1 << 40, n), pa.int64()),
+        "b": pa.array(rng.random(n), pa.float64()),
+        "s": pa.array([f"p-{i % 997}" for i in range(n)]),
+    })
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf, compression="zstd")
+    raw = buf.getvalue()
+    blob = zlib.compress(raw[:2_000_000], 6)
+
+    def unit(_i):
+        # use_threads=False: each unit must be ONE core of work. The
+        # single-thread probe's default-threaded read_table is fine (it
+        # is alone on the box), but here 32 pool threads each spawning
+        # pyarrow's internal pool oversubscribes the cores and the probe
+        # stops scaling with them (measured: 8 pool threads ran FASTER
+        # than 32 with threaded units).
+        pq.read_table(io.BytesIO(raw), use_threads=False)
+        zlib.decompress(blob)
+
+    TOTAL_UNITS = 128
+    best = None
+    with ThreadPoolExecutor(max_workers=ncores) as pool:
+        list(pool.map(unit, range(ncores)))  # warm the pool + caches
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(pool.map(unit, range(TOTAL_UNITS)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main():
     spark = session("iceberg_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -668,6 +727,10 @@ def main():
     calibs.append(settled_calib())
 
     qtimes = {"cpu_calib": round(min(calibs), 4)}
+    # multi-core twin (3 samples inside the probe, min kept): excluded
+    # from the headline total like cpu_calib; recorded so the audit can
+    # normalize multi-core-tracking entries by aggregate throughput
+    qtimes["cpu_calib_mt"] = cpu_calibration_mt()
     for n, _f in entries:
         qtimes[n] = min(pass1[n], pass2[n])
 
@@ -751,7 +814,7 @@ def main():
                       if not k.endswith("_baseline") and not k.startswith("plan_")
                       and not k.startswith("pipeline_")
                       and not k.endswith("_ratio")
-                      and k != "cpu_calib"), 4)
+                      and not k.startswith("cpu_calib")), 4)
     # calib-normalized twin of every entry: raw seconds divided by the
     # machine-speed factor (cpu_calib / CAL_REF), so values are
     # comparable ACROSS rounds run on different-speed VMs.
@@ -760,7 +823,7 @@ def main():
     CAL_REF = 0.095  # keep in sync with audit_registry_perf.CAL_REF
     factor = (qtimes.get("cpu_calib") or CAL_REF) / CAL_REF
     qnorm = {k: round(v / factor, 4) for k, v in qtimes.items()
-             if k != "cpu_calib" and not k.endswith("_ratio")}
+             if not k.startswith("cpu_calib") and not k.endswith("_ratio")}
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,

@@ -1,0 +1,63 @@
+"""Pin the bench-gate math in scripts/audit_registry_perf.check_bench,
+including the r13 multi-core normalizer (cpu_calib_mt) rescue path."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+from audit_registry_perf import (  # noqa: E402
+    CAL_MT_REF,
+    CAL_REF,
+    check_bench,
+    GATES_ABS,
+)
+
+DIST = "plan_distributed_full_10k_files"
+
+
+def _artifact(**queries):
+    q = {"cpu_calib": CAL_REF}  # machine factor 1.0
+    q.update(queries)
+    return {"queries": q}
+
+
+def test_st_gate_passes_under_ceiling():
+    a = _artifact(**{DIST: GATES_ABS[DIST] - 0.01})
+    assert check_bench(a) == []
+
+
+def test_st_gate_fails_without_mt_probe():
+    # no cpu_calib_mt in the artifact (pre-r13 runs): the single-thread
+    # gate is the only gate, exactly as before
+    a = _artifact(**{DIST: GATES_ABS[DIST] * 1.5})
+    fails = check_bench(a)
+    assert any(DIST in f for f in fails)
+
+
+def test_mt_normalizer_rescues_degraded_window():
+    # multi-core throughput degraded 2x (cpu_calib_mt doubled) while the
+    # single-thread calib held: the wide Spark job slows with the MT
+    # probe, so the MT-scaled ceiling admits it
+    v = GATES_ABS[DIST] * 1.8
+    a = _artifact(cpu_calib_mt=CAL_MT_REF * 2.0, **{DIST: v})
+    assert check_bench(a) == []
+
+
+def test_mt_normalizer_does_not_mask_real_regression():
+    # MT probe at reference speed (quiet window): a genuinely slow entry
+    # still fails even though the artifact carries cpu_calib_mt
+    v = GATES_ABS[DIST] * 1.8
+    a = _artifact(cpu_calib_mt=CAL_MT_REF, **{DIST: v})
+    fails = check_bench(a)
+    assert any(DIST in f for f in fails)
+
+
+def test_mt_normalizer_only_applies_to_mt_entries():
+    # plan_full_10k_files is driver-side single-thread work: a slow MT
+    # window must not excuse it
+    v = GATES_ABS["plan_full_10k_files"] * 1.8
+    a = _artifact(cpu_calib_mt=CAL_MT_REF * 2.0,
+                  **{"plan_full_10k_files": v})
+    fails = check_bench(a)
+    assert any("plan_full_10k_files" in f for f in fails)
