@@ -2275,56 +2275,69 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
         elif inline_pos_filter and pos_ranges:
             # apply position-delete runs on the raw metadata struct (URI
             # form, e.g. file:/x) before projection — no join, no extra
-            # job, no per-row normalized-path materialization. Only the
-            # files that actually carry deletes pay the metadata-column
-            # filter cost (~1.5x a plain scan); untouched files — the vast
-            # majority on a large table with localized deletes — read
-            # through the unfiltered fast path and union back in.
+            # job, no per-row normalized-path materialization.
             affected = {fp for fp, _, _ in pos_ranges}
-            clean = [p for p in paths if p not in affected]
-            hit = [p for p in paths if p in affected]
-            pieces = []
-            if clean:
-                pieces.append(
-                    _cached_file_df(spark, ffmt, read_schema, clean))
-            if hit:
-                # invariant paths (no char Spark would percent-escape):
-                # compare the RAW URI column against raw literals — zero
-                # per-row transformation, the hot-path shape. Otherwise
-                # decode the column so %20-spelled paths match the
-                # manifests' raw ones.
-                deleted = None
-                if all(_io.uri_encoding_invariant(p) for p in affected):
-                    if len(affected) >= 2:
-                        # compiled run-coverage probe: one StaticInvoke
-                        # per row (memoized file ordinal + binary
-                        # search over (ordinal<<40)|pos-encoded runs)
-                        # instead of a per-file string-equality chain —
-                        # the per-task BitmapPositionDeleteIndex probe
-                        # shape (reference core/.../deletes/
-                        # BitmapPositionDeleteIndex.java:31). Measured
-                        # at sf10 (13 hit files, 1.5M deleted rows of
-                        # 15M): MoR-vs-plain ratio 1.9x -> ~1.3x.
-                        deleted = _pos_probe_filter(spark, pos_ranges,
-                                                    uri_form=True)
-                    if deleted is None:
+            invariant = all(_io.uri_encoding_invariant(p)
+                            for p in affected)
+            probed = None
+            if invariant and len(affected) >= 2:
+                # compiled run-coverage probe: one StaticInvoke per row
+                # (memoized file ordinal + binary search over
+                # (ordinal<<40)|pos-encoded runs) — the per-task
+                # BitmapPositionDeleteIndex probe shape (reference
+                # core/.../deletes/BitmapPositionDeleteIndex.java:31).
+                probed = _pos_probe_filter(spark, pos_ranges,
+                                           uri_form=True)
+            if probed is not None:
+                # ONE relation over ALL files, probe filter on every
+                # row: coveredFilePos answers false for paths outside
+                # its table (one memoized binary-search miss per file),
+                # so untouched files stream through at raw-scan speed.
+                # A clean/hit two-relation union was measured SLOWER at
+                # sf10 (32 files -> 27+26=53 scan partitions = two task
+                # waves on 32 cores: union 552 ms vs single-relation
+                # probe 363 ms ~= raw 368 ms), and the single relation
+                # shares its cache entry with the table's no-delete
+                # scans.
+                df = (_cached_file_df(spark, ffmt, read_schema, paths)
+                      .filter(~probed))
+            else:
+                # probe unavailable: per-row expression chains cost per
+                # file, so only the files that actually carry deletes
+                # pay the metadata-column filter; untouched files — the
+                # vast majority on a large table with localized deletes
+                # — read through the unfiltered fast path and union
+                # back in.
+                clean = [p for p in paths if p not in affected]
+                hit = [p for p in paths if p in affected]
+                pieces = []
+                if clean:
+                    pieces.append(
+                        _cached_file_df(spark, ffmt, read_schema, clean))
+                if hit:
+                    # invariant paths (no char Spark would
+                    # percent-escape): compare the RAW URI column
+                    # against raw literals — zero per-row
+                    # transformation. Otherwise decode the column so
+                    # %20-spelled paths match the manifests' raw ones.
+                    if invariant:
                         deleted = _ranges_filter(
                             F.col("_metadata.file_path"),
                             F.col("_metadata.row_index"), pos_ranges,
                             path_lit=lambda fp: (
                                 "file:" + fp if fp.startswith("/")
                                 else fp))
-                else:
-                    deleted = _ranges_filter(
-                        _io.decode_spark_path_col(
-                            F.col("_metadata.file_path")),
-                        F.col("_metadata.row_index"), pos_ranges)
-                pieces.append(
-                    _cached_file_df(spark, ffmt, read_schema, hit)
-                    .filter(~deleted))
-            df = pieces[0]
-            for p in pieces[1:]:
-                df = df.unionByName(p)
+                    else:
+                        deleted = _ranges_filter(
+                            _io.decode_spark_path_col(
+                                F.col("_metadata.file_path")),
+                            F.col("_metadata.row_index"), pos_ranges)
+                    pieces.append(
+                        _cached_file_df(spark, ffmt, read_schema, hit)
+                        .filter(~deleted))
+                df = pieces[0]
+                for p in pieces[1:]:
+                    df = df.unionByName(p)
         elif ffmt == "avro" and not _spark_avro_available(spark):
             # spark-avro is an optional module (absent here): decode the
             # containers EXECUTOR-side with the engine's own Avro codec

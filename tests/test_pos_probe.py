@@ -83,6 +83,37 @@ def test_pos_probe_refusals(spark, probe_ok):
         path_expr="p", pos_expr="pos") is None
 
 
+def test_pos_probe_single_relation_no_union(catalog, spark, probe_ok):
+    """Deletes touching a SUBSET of files still read as ONE relation:
+    coveredFilePos answers false for clean files, so the scan keeps a
+    single file-source (no clean/hit Union splitting the read into two
+    task waves — measured at sf10: 53 -> 32 scan partitions, MoR pair
+    562 -> 363 ms ~= the raw scan)."""
+    from pyspark.sql import Row
+
+    from iceberg_spark.expressions import col
+
+    df = spark.createDataFrame(
+        [Row(id=i, v=float(i)) for i in range(40)])
+    t = catalog.create_table("probe.posclean", df.schema, properties={
+        "write.delete.mode": "merge-on-read"})
+    for lo in range(0, 40, 10):   # exactly 4 data files, 10 rows each
+        t.append(spark.createDataFrame(
+            [Row(id=i, v=float(i))
+             for i in range(lo, lo + 10)]).coalesce(1))
+    # deletes in two files only; files 3 and 4 stay clean
+    for lo in (0, 10):
+        t.delete_where((col("id") >= lo) & (col("id") < lo + 2),
+                       mode="merge-on-read")
+        t = t.refresh()
+    got = sorted(r.id for r in t.to_df().collect())
+    assert got == [i for i in range(40) if not (i % 10 < 2 and i < 20)]
+    plan = t.to_df()._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "Union" not in plan
+
+
 def test_pos_probe_serves_inline_scan(catalog, spark, probe_ok):
     """End to end: a multi-file table with deletes in several files
     routes the inline hit branch through the cached probe and reads
