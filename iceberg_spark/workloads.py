@@ -1102,21 +1102,48 @@ def _full_registry():
     from .workloads_analytics import REGISTRY as ANALYTICS_REGISTRY
     from .workloads_lifecycle import REGISTRY as LIFECYCLE_REGISTRY
 
-    # insertion order = the driver's sampling order: rotate the pillars
-    # the previous round's sample under-covered to the FRONT (r12
-    # sampled its three new entries + the lifecycle pillar, leaving
-    # TPC-H q1-q22 and the analytics windows/rollups pass-local only
-    # since r10 — so r13 leads with the full TPC-H 22 + analytics,
-    # then the pipeline pillar, which is due for driver
-    # re-confirmation on the two-round cadence since r11; lifecycle
-    # and interop, driver-confirmed r12, rotate to the back). Keys are
-    # disjoint across the four registries (asserted), so order only
-    # affects sampling, never which implementation wins.
-    # r13's one NEW entry leads (it must land in the driver sample),
-    # then the rotation described above
-    new_r13 = ("stats_ndv_roundtrip_scan",)
-    tpch_base = ("q1_pricing_summary", "q3_shipping_priority",
-                 "q5_local_supplier", "q6_revenue", "sql_q6_revenue")
+    # insertion order = the driver's sampling order. r14 rotation: the
+    # r13 optimization round rewrote the shared scan/metadata tiers the
+    # MoR delete scans, SPJ joins and maintenance/lifecycle entries run
+    # through (single-relation position-probe read, eq-delete
+    # literal->probe crossover, SPJ layout memo, entries-plan memo, LRU
+    # relation cache) in the SAME round its rotation moved those paths
+    # out of the driver's ~50-entry oracle sample — so r14 leads with
+    # exactly those paths (per the r13 verdict's "Next round" item 3):
+    # the MoR/eq/DV delete scans, SPJ, then the maintenance/metadata-
+    # tier lifecycle entries, then the encrypted/variant scan tier.
+    # TPC-H + analytics + pipeline (driver-confirmed r13) rotate to the
+    # back. Keys are disjoint across the four registries (asserted), so
+    # order only affects sampling, never which implementation wins.
+    front_r14 = (
+        # MoR delete / eq-delete family (scan.py changes #4 and #8)
+        "delete_mor_scan", "delete_mor_file_scan", "eq_delete_scan",
+        "eq_probe_scan", "upsert_eq_scan", "delete_cow_scan",
+        "update_scan", "merge_upsert_scan", "time_travel_scan",
+        # DV read/rewrite paths + SPJ (layout memo)
+        "native_dv_delete_scan", "pos_delete_rewrite_dv_scan",
+        "iceberg_import_dv_scan", "spj_join_scan",
+        # maintenance / metadata-tier lifecycle (entries-plan memo,
+        # dry-run dedup shape, DV write width)
+        "expire_snapshots_scan", "expire_clean_metadata_scan",
+        "orphan_cleanup_scan", "rewrite_manifests_scan",
+        "compaction_scan", "auto_compaction_scan", "zorder_scan",
+        "merge_append_scan", "dynamic_overwrite_scan",
+        "branch_write_scan", "rollback_cherrypick_scan",
+        "changelog_agg_scan", "transaction_scan", "rtas_scan",
+        "metadata_partitions_scan", "metadata_files_scan",
+        "partition_stats_scan", "table_stats_ndv_scan",
+        "stats_ndv_roundtrip_scan", "rewrite_table_path_scan",
+        "rewrite_table_path_encrypted_scan", "delta_snapshot_scan",
+        "runtime_filter_scan", "lineage_scan", "relocated_table_scan",
+        # encrypted / variant scan tier (relation cache, decode widths)
+        "variant_extract_scan", "variant_shredded_scan",
+        "variant_shredded_typed_value_scan", "data_encryption_scan",
+        "encrypted_manifests_scan", "metadata_encryption_scan",
+        "rest_vended_credentials_scan", "rest_plan_scan",
+        "schema_evolution_scan", "spec_evolution_scan",
+        "object_storage_scan", "metrics_modes_scan",
+    )
     pipeline = _pipeline_registry()
     merged = {}
     for other in (ANALYTICS_REGISTRY, REGISTRY, LIFECYCLE_REGISTRY,
@@ -1124,11 +1151,13 @@ def _full_registry():
         dup = set(merged) & set(other)
         assert not dup, f"duplicate registry keys: {dup}"
         merged.update(other)
-    reg = {k: merged[k] for k in new_r13 + tpch_base}
+    missing = [k for k in front_r14 if k not in merged]
+    assert not missing, f"front_r14 names not in any registry: {missing}"
+    reg = {k: merged[k] for k in front_r14}
+    reg.update(LIFECYCLE_REGISTRY)
+    reg.update(REGISTRY)
     reg.update(ANALYTICS_REGISTRY)
     reg.update(pipeline)
-    reg.update(REGISTRY)
-    reg.update(LIFECYCLE_REGISTRY)
     reg.update(merged)
     return reg
 

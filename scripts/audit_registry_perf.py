@@ -66,6 +66,14 @@ GATES_ABS = {
     # 917 ms medians), i.e. environment, not regression. 0.65 keeps a
     # real 2x regression detectable from the good-window ~0.45 median.
     "plan_distributed_full_10k_files": 0.65,
+    # Avro-manifest decode throughput for register_table / REST commits
+    # (~0.25s same-machine median at 10k entries). Single-threaded
+    # pure-Python driver-side decode — gated under the SINGLE-thread
+    # normalizer only (it was accidentally shuffled into GATES_ABS_MT
+    # when that dict was introduced in r13, which left it ungated:
+    # check_bench iterates GATES_ABS and consults GATES_ABS_MT only as
+    # an alternate ceiling for names already in GATES_ABS).
+    "plan_import_decode_10k": 0.40,
 }
 # Multi-core-tracking entries (wide Spark jobs whose wall time follows
 # AGGREGATE core throughput, not single-thread speed). For these, a run
@@ -84,9 +92,6 @@ GATES_ABS = {
 CAL_MT_REF = 0.4829
 GATES_ABS_MT = {
     "plan_distributed_full_10k_files": 0.65,
-    # Avro-manifest decode throughput for register_table / REST commits
-    # (~0.25s same-machine median at 10k entries)
-    "plan_import_decode_10k": 0.40,
 }
 GATES_RATIO = {
     # Every ratio gates on bench.py's INTERLEAVED pair-timed median so
@@ -172,7 +177,8 @@ def _normalized(d: dict) -> dict:
     factor = (q.get("cpu_calib") or CAL_REF) / CAL_REF
     return {k: v / factor for k, v in q.items()
             if isinstance(v, (int, float))
-            and k != "cpu_calib" and not k.endswith("_ratio")}
+            and not k.startswith("cpu_calib")
+            and not k.endswith("_ratio")}
 
 
 def drift_table(cur: dict, prev_path: str, warn_pct: float = 25.0) -> list:

@@ -59,6 +59,32 @@ FIXTURE_VERSION = "v3"  # v3: token-suffix salt (df-preserving; see
 # build_fixture). Truncation to 1000 chars retained from v2: it bounds
 # the per-candidate array payload of the verify join.
 
+# Identity contract (r14, from the r13 verdict): dedup_minhash_lsh's
+# stop-shingle df-cap is load-bearing for output identity — on the v3
+# fixture it is inert (out_rows identical with and without it, verified
+# r13), and any future cap/fixture tuning must keep it that way. These
+# values were measured three times at r13 HEAD (bit-identical runs);
+# a shift at ANY scale fails the harness — speed may not buy recall.
+EXPECTED_OUT_ROWS = {
+    "dedup_minhash_lsh": {1: 1600, 10: 16211, 100: 162302},
+}
+
+
+def identity_fails(results: dict) -> list:
+    """Hard out_rows assertions over a results dict shaped like
+    {entry: {str(scale): {"out_rows": n, ...}}}. Returns violation
+    strings (empty = contract holds)."""
+    fails = []
+    for entry, pins in EXPECTED_OUT_ROWS.items():
+        for scale, want in pins.items():
+            got = results.get(entry, {}).get(str(scale), {}).get("out_rows")
+            if got is not None and got != want:
+                fails.append(
+                    f"{entry} out_rows at x{scale}: {got} != pinned {want} "
+                    f"(identity contract — recall may not shift with "
+                    f"cap/fixture tuning)")
+    return fails
+
 
 def build_fixture(spark, copies: int) -> str:
     out = os.path.join(ROOT, f"x{copies}")
@@ -213,6 +239,7 @@ def main():
                              / math.log(10), 3)
     fails = [f"{e} scaling exponent {x} >= 2 (quadratic)"
              for e, x in exponents.items() if x >= 2]
+    fails += identity_fails(results)
     print(json.dumps({
         "metric": "pipeline_scale_proof",
         "unit": "sec",

@@ -11,6 +11,7 @@ from audit_registry_perf import (  # noqa: E402
     CAL_REF,
     check_bench,
     GATES_ABS,
+    GATES_ABS_MT,
 )
 
 DIST = "plan_distributed_full_10k_files"
@@ -61,3 +62,33 @@ def test_mt_normalizer_only_applies_to_mt_entries():
                   **{"plan_full_10k_files": v})
     fails = check_bench(a)
     assert any("plan_full_10k_files" in f for f in fails)
+
+
+def test_gated_name_sets_pinned():
+    # r13 regression: plan_import_decode_10k was accidentally moved from
+    # GATES_ABS into GATES_ABS_MT, and check_bench iterates only
+    # GATES_ABS (consulting GATES_ABS_MT as an alternate ceiling for
+    # names already gated) — the entry became completely ungated. Pin
+    # the exact composition of both dicts so a refactor cannot silently
+    # drop a gate again.
+    assert set(GATES_ABS) == {
+        "plan_full_10k_files",
+        "maintenance_plan_10k",
+        "plan_distributed_full_10k_files",
+        "plan_import_decode_10k",
+    }
+    # only genuinely multi-core-tracking entries belong here
+    assert set(GATES_ABS_MT) == {"plan_distributed_full_10k_files"}
+    assert set(GATES_ABS_MT) <= set(GATES_ABS)
+
+
+def test_slow_import_decode_fails_check_bench():
+    # a plan_import_decode_10k at 3x its gated ceiling must fail, even
+    # when the artifact carries a degraded-window MT probe (it is
+    # single-threaded pure-Python decode — the MT normalizer must not
+    # rescue it)
+    v = GATES_ABS["plan_import_decode_10k"] * 3.0
+    a = _artifact(cpu_calib_mt=CAL_MT_REF * 2.0,
+                  **{"plan_import_decode_10k": v})
+    fails = check_bench(a)
+    assert any("plan_import_decode_10k" in f for f in fails)
