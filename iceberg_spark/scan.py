@@ -901,6 +901,59 @@ _EQ_LITERAL_TYPES = ("int", "long", "string", "date")
 EQ_DELETE_MAX_PROBE_KEYS = 1_000_000
 EQ_DELETE_PROBE_BYTES = 32 * 1024 * 1024
 _EQ_PROBE_TYPES = ("int", "long", "string", "date")
+# r14: run-compressed tier ABOVE both of the above. When the delete key
+# set compresses to few contiguous runs (retention windows, sequential
+# PK deletes, the lowest-N% layouts), `NOT(k BETWEEN lo AND hi OR ...)`
+# is exactly equivalent to NOT-IN over the keys for integer-valued
+# types — and unlike the compiled probe it is a PLAIN Catalyst
+# predicate, so it pushes through the DataSource API into the parquet
+# reader: row groups wholly inside a deleted run are skipped via
+# min/max stats (zero rows decoded), and surviving rows pay 2
+# comparisons per run instead of a binary search over the whole key
+# set (the probe's ~8 ns/row floor on this box class is memory-latency,
+# which no probe structure fixes — §6 data-layout lever instead).
+# Exact only for types where the integer range [lo, hi] contains no
+# values outside the key set: int, long, date (day-precision).
+EQ_DELETE_MAX_RANGE_RUNS = 16
+_EQ_RANGE_TYPES = ("int", "long", "date")
+
+
+def _eq_key_runs(keys, ftype: str, cap: int):
+    """Compress a SORTED, de-duplicated key list into inclusive
+    [lo, hi] adjacency runs. Returns the run list, or None when the
+    type is not exactly-rangeable, the keys do not compress below
+    `cap` runs, or no compression happened (runs == keys — scattered
+    sets keep the isin/probe tiers)."""
+    if ftype not in _EQ_RANGE_TYPES or not keys or cap <= 0:
+        return None
+    if ftype == "date":
+        import datetime as _dt
+
+        if not all(isinstance(k, _dt.date) for k in keys):
+            return None
+
+        def _adjacent(a, b):
+            return (b - a) == _dt.timedelta(days=1)
+    else:
+        if not all(isinstance(k, int) for k in keys):
+            return None
+
+        def _adjacent(a, b):
+            return b - a == 1
+    runs = []
+    lo = hi = keys[0]
+    for k in keys[1:]:
+        if _adjacent(hi, k):
+            hi = k
+            continue
+        runs.append((lo, hi))
+        if len(runs) >= cap:
+            return None
+        lo = hi = k
+    runs.append((lo, hi))
+    if len(runs) > cap or len(runs) >= len(keys):
+        return None
+    return runs
 
 
 def _conf_int(spark, key: str, default: int) -> int:
@@ -1191,6 +1244,130 @@ def _eq_split_plan(plan: ScanPlan, schema, spark):
                           dels, plan.residual, plan.snapshot, plan.report,
                           no_split=True)
     return clear_plan, dirty_plan
+
+
+def _eq_group_inline_cond(spark, metadata, schema, ids, dels):
+    """(cond, tier) for one single-key uniform-seq equality-delete
+    group, through the tier ladder: "trivial" (empty/NULL-only set),
+    "range" (adjacency-run complement — parquet-pushable), "isin"
+    (small literal NOT-IN — parquet-pushable), "probe" (compiled
+    sorted-set StaticInvoke). (None, None) when only the distributed
+    anti-join can serve. Cached per (app id, strategy confs, delete
+    files, key column) — a raised/lowered cap must re-decide, not
+    replay a stale choice, and a restarted session must never reuse
+    Column handles pointing into a dead JVM."""
+    key_col = schema.field_by_id(ids[0]).name
+    lit_bytes = _conf_int(
+        spark, "spark.iceberg_spark.mor.eqDeleteDriverBytes",
+        EQ_DELETE_DRIVER_BYTES)
+    lit_keys = _conf_int(
+        spark, "spark.iceberg_spark.mor.eqDeleteLiteralKeys",
+        EQ_DELETE_MAX_LITERAL_KEYS)
+    probe_bytes = _conf_int(
+        spark, "spark.iceberg_spark.mor.eqDeleteProbeBytes",
+        EQ_DELETE_PROBE_BYTES)
+    probe_keys = _conf_int(
+        spark, "spark.iceberg_spark.mor.eqDeleteProbeKeys",
+        EQ_DELETE_MAX_PROBE_KEYS)
+    run_cap = _conf_int(
+        spark, "spark.iceberg_spark.mor.eqDeleteRangeRuns",
+        EQ_DELETE_MAX_RANGE_RUNS)
+    ck = (spark.sparkContext.applicationId,
+          lit_bytes, lit_keys, probe_bytes, probe_keys, run_cap,
+          tuple(sorted(d.file.file_path for d in dels)), key_col)
+    hit = _EQ_LITERAL_FILTER_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    cond, tier = None, None
+    ftype = schema.field_by_id(ids[0]).type
+    probe_ok = (isinstance(ftype, str)
+                and ftype in _EQ_PROBE_TYPES
+                and probe_keys > lit_keys)
+    # pre-check the JVM helper before paying a driver read the isin
+    # path would have refused anyway
+    if probe_ok and sum(d.file.record_count or 0
+                        for d in dels) > lit_keys:
+        from . import jvm_probe
+
+        probe_ok = jvm_probe.available(spark)
+    big_bytes = max(lit_bytes, probe_bytes) if probe_ok else lit_bytes
+    big_keys = max(lit_keys, probe_keys) if probe_ok else lit_keys
+    lit = _eq_delete_literal_keys(metadata, schema, ids[0], dels, spark,
+                                  big_bytes, big_keys)
+    if lit is not None:
+        keys, saw_null = lit
+        small = (len(keys) <= lit_keys
+                 and sum(d.file.file_size_in_bytes or 0
+                         for d in dels) <= lit_bytes)
+        runs = _eq_key_runs(keys, ftype, run_cap)
+        c = F.col(key_col)
+        if not keys:
+            cond = c.isNotNull() if saw_null else F.lit(True)
+            tier = "trivial"
+        elif runs is not None:
+            # run-compressed tier: exactly NOT-IN over the keys
+            # (integer-valued adjacency runs), but parquet-pushable —
+            # row groups wholly inside a deleted run are skipped by
+            # min/max stats
+            rc = None
+            for lo, hi in runs:
+                piece = (c >= F.lit(lo)) & (c <= F.lit(hi))
+                rc = piece if rc is None else (rc | piece)
+            cond = (c.isNotNull() & ~rc) if saw_null else (c.isNull() | ~rc)
+            tier = "range"
+        elif small:
+            if saw_null:
+                cond = c.isNotNull() & ~c.isin(keys)
+            else:
+                cond = c.isNull() | ~c.isin(keys)
+            tier = "isin"
+        else:
+            from . import jvm_probe
+
+            cond = jvm_probe.not_in_filter(spark, key_col, keys, ftype,
+                                           saw_null)
+            tier = "probe" if cond is not None else None
+    if len(_EQ_LITERAL_FILTER_CACHE) >= _EQ_LITERAL_FILTER_CACHE_CAP:
+        _EQ_LITERAL_FILTER_CACHE.clear()
+    _EQ_LITERAL_FILTER_CACHE[ck] = (cond, tier)
+    return cond, tier
+
+
+# Tiers whose per-row cost is near-zero (a few comparisons / one InSet
+# lookup) AND that push into the parquet reader. For these, reading all
+# files as ONE relation with the filter everywhere beats the
+# clear/dirty split's second relation + file index + task wave — the
+# eq analog of r13's single-relation position-probe read (change #8).
+# The probe tier stays split: its per-row binary search is real money
+# on clean files at scale (memory-latency-bound on virtualized cores).
+_EQ_CHEAP_TIERS = ("trivial", "range", "isin")
+
+
+def _eq_cheap_inline_all(spark, metadata, schema, plan) -> bool:
+    """True when EVERY equality-delete group of `plan` will apply as a
+    cheap pushable scalar filter, making the clear/dirty plan split a
+    net loss. Conservative: any join-path or probe-tier group keeps
+    the split."""
+    if not _conf_bool(spark, "spark.iceberg_spark.mor.eqSingleRelation",
+                      True):
+        return False
+    if plan.pos_deletes:
+        return False  # split also routes pos deletes; keep it
+    uniform = max((e.sequence_number for e in plan.files), default=-1) \
+        < min(d.sequence_number for d in plan.eq_deletes)
+    if not uniform:
+        return False
+    by_ids: dict = {}
+    for d in plan.eq_deletes:
+        by_ids.setdefault(tuple(sorted(d.file.equality_ids)), []).append(d)
+    for ids, dels in by_ids.items():
+        if len(ids) != 1:
+            return False
+        cond, tier = _eq_group_inline_cond(spark, metadata, schema, ids,
+                                           dels)
+        if cond is None or tier not in _EQ_CHEAP_TIERS:
+            return False
+    return True
 
 
 def _eq_delete_literal_keys(metadata, schema, fid: int, dels, spark,
@@ -1895,8 +2072,13 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
     read_cols = scan.columns or schema.column_names
 
     # per-file equality-delete attachment (DeleteFileIndex analog): files
-    # no delete can touch read on a plain branch with no anti-join probe
-    if plan.eq_deletes and plan.files and not plan.no_split:
+    # no delete can touch read on a plain branch with no anti-join probe.
+    # Exception (r14): when every delete group applies as a cheap
+    # PUSHABLE scalar filter (trivial/range/isin tier), one relation
+    # with the filter on every row beats the split's second
+    # relation/file-index/task wave — see _eq_cheap_inline_all.
+    if plan.eq_deletes and plan.files and not plan.no_split \
+            and not _eq_cheap_inline_all(spark, metadata, schema, plan):
         split = _eq_split_plan(plan, schema, spark)
         if split is not None:
             clear_plan, dirty_plan = split
@@ -2523,71 +2705,8 @@ def plan_to_df(scan: TableScan, plan: ScanPlan, with_metadata_columns: bool = Fa
                 # row-group stats. NULL semantics match the anti-join's
                 # eqNullSafe: a NULL row survives unless some delete row
                 # carried a NULL key.
-                # key carries the strategy confs (a raised/lowered cap
-                # must re-decide, not replay a stale choice) and the
-                # application id (a restarted session must never reuse
-                # Column handles pointing into a dead JVM)
-                lit_bytes = _conf_int(
-                    spark, "spark.iceberg_spark.mor.eqDeleteDriverBytes",
-                    EQ_DELETE_DRIVER_BYTES)
-                lit_keys = _conf_int(
-                    spark, "spark.iceberg_spark.mor.eqDeleteLiteralKeys",
-                    EQ_DELETE_MAX_LITERAL_KEYS)
-                probe_bytes = _conf_int(
-                    spark, "spark.iceberg_spark.mor.eqDeleteProbeBytes",
-                    EQ_DELETE_PROBE_BYTES)
-                probe_keys = _conf_int(
-                    spark, "spark.iceberg_spark.mor.eqDeleteProbeKeys",
-                    EQ_DELETE_MAX_PROBE_KEYS)
-                ck = (spark.sparkContext.applicationId,
-                      lit_bytes, lit_keys, probe_bytes, probe_keys,
-                      tuple(sorted(d.file.file_path for d in dels)),
-                      key_cols[0])
-                cond = _EQ_LITERAL_FILTER_CACHE.get(ck, False)
-                if cond is False:
-                    cond = None
-                    ftype = schema.field_by_id(ids[0]).type
-                    probe_ok = (isinstance(ftype, str)
-                                and ftype in _EQ_PROBE_TYPES
-                                and probe_keys > lit_keys)
-                    # pre-check the JVM helper before paying a driver
-                    # read the isin path would have refused anyway
-                    if probe_ok and sum(d.file.record_count or 0
-                                        for d in dels) > lit_keys:
-                        from . import jvm_probe
-
-                        probe_ok = jvm_probe.available(spark)
-                    big_bytes = (max(lit_bytes, probe_bytes)
-                                 if probe_ok else lit_bytes)
-                    big_keys = (max(lit_keys, probe_keys)
-                                if probe_ok else lit_keys)
-                    lit = _eq_delete_literal_keys(metadata, schema,
-                                                  ids[0], dels, spark,
-                                                  big_bytes, big_keys)
-                    if lit is not None:
-                        keys, saw_null = lit
-                        small = (len(keys) <= lit_keys
-                                 and sum(d.file.file_size_in_bytes or 0
-                                         for d in dels) <= lit_bytes)
-                        c = F.col(key_cols[0])
-                        if not keys:
-                            cond = (c.isNotNull() if saw_null
-                                    else F.lit(True))
-                        elif small:
-                            if saw_null:
-                                cond = c.isNotNull() & ~c.isin(keys)
-                            else:
-                                cond = c.isNull() | ~c.isin(keys)
-                        else:
-                            from . import jvm_probe
-
-                            cond = jvm_probe.not_in_filter(
-                                spark, key_cols[0], keys, ftype,
-                                saw_null)
-                    if len(_EQ_LITERAL_FILTER_CACHE) >= \
-                            _EQ_LITERAL_FILTER_CACHE_CAP:
-                        _EQ_LITERAL_FILTER_CACHE.clear()
-                    _EQ_LITERAL_FILTER_CACHE[ck] = cond
+                cond, _tier = _eq_group_inline_cond(spark, metadata,
+                                                    schema, ids, dels)
                 if cond is not None:
                     out = out.filter(cond)
                     continue

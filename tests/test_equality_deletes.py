@@ -339,9 +339,13 @@ def test_eq_probe_disabled_falls_back_to_join(catalog, spark,
     from iceberg_spark.row_ops import write_equality_deletes
     from iceberg_spark.writes import RowDelta
 
+    # stride-2 keys: scattered (one run per key), so neither the r14
+    # range tier nor the literal tier applies — with the probe disabled
+    # the anti-join is the only remaining path, which is the fallback
+    # under test
     t = _eq_table(catalog, spark, "eq.probeoff", 5000)
     dels = write_equality_deletes(
-        t, spark.createDataFrame([(i,) for i in range(0, 5000, 1)][:4200],
+        t, spark.createDataFrame([(i,) for i in range(0, 4200, 2)],
                                  ["id"]), ["id"])
     RowDelta(t, [], dels).commit()
     t = t.refresh()
@@ -352,12 +356,12 @@ def test_eq_probe_disabled_falls_back_to_join(catalog, spark,
         df = t.to_df()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Join" in plan
-        assert df.count() == 800
+        assert df.count() == 5000 - 2100
     finally:
         scan._EQ_LITERAL_FILTER_CACHE.clear()
     monkeypatch.delenv("ICEBERG_SPARK_JVM_PROBE")
     monkeypatch.setattr(jvm_probe, "_session_state", {})
-    assert t.to_df().count() == 800  # probe path agrees
+    assert t.to_df().count() == 5000 - 2100  # probe path agrees
 
 
 def test_eq_split_scan_clear_files_skip_join(catalog, spark):
@@ -553,3 +557,109 @@ def test_eq_crossover_mid_size_sets_use_probe(catalog, spark):
         _scan._EQ_LITERAL_FILTER_CACHE.clear()
     expected = sorted(set(range(1000)) - {i * 3 for i in range(300)})
     assert got == expected
+
+
+def test_eq_range_run_tier_contiguous_keys(catalog, spark):
+    """r14: a delete-key set that compresses to few adjacency runs
+    applies as a parquet-PUSHABLE range-complement predicate — no join,
+    no compiled probe — with results identical to the probe tier forced
+    via conf. The pushable filter is the point: on key-clustered
+    layouts parquet skips row groups wholly inside a deleted run."""
+    from iceberg_spark import scan as S
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    t = _eq_table(catalog, spark, "eq.range", 12000)
+    # 4000 contiguous keys + one extra singleton: 2 runs
+    dels = write_equality_deletes(
+        t, spark.createDataFrame(
+            [(i,) for i in range(1000, 5000)] + [(7777,)], ["id"]),
+        ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    S._EQ_LITERAL_FILTER_CACHE.clear()
+    df = t.to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "SortedSetProbe" not in plan and "static_invoke" not in plan, \
+        plan
+    assert "INSET" not in plan, plan
+    # the range predicate must reach the parquet scan (row-group
+    # skipping evidence): PushedFilters carries the key column
+    fmt = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    pushed = [ln for ln in fmt.splitlines() if "PushedFilters" in ln]
+    assert pushed and any("id" in ln for ln in pushed), fmt
+    got = sorted(r.id for r in df.collect())
+    expected = sorted(set(range(12000)) - set(range(1000, 5000)) - {7777})
+    assert got == expected
+
+    # probe tier forced (range tier off) must agree exactly
+    spark.conf.set("spark.iceberg_spark.mor.eqDeleteRangeRuns", "0")
+    try:
+        S._EQ_LITERAL_FILTER_CACHE.clear()
+        assert sorted(r.id for r in t.to_df().collect()) == got
+    finally:
+        spark.conf.unset("spark.iceberg_spark.mor.eqDeleteRangeRuns")
+        S._EQ_LITERAL_FILTER_CACHE.clear()
+
+
+def test_eq_range_run_tier_null_semantics(catalog, spark):
+    """NULL rows survive a range-tier delete unless the delete set
+    carried a NULL key (eqNullSafe parity with the join path)."""
+    from pyspark.sql import types as T
+
+    from iceberg_spark import scan as S
+    from iceberg_spark.row_ops import write_equality_deletes
+    from iceberg_spark.writes import RowDelta
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("v", T.DoubleType())])
+    t = catalog.create_table("eq.rangenull", schema)
+    t.append(spark.createDataFrame(
+        [(i, float(i)) for i in range(600)] + [(None, -1.0)], schema))
+    # contiguous 400-key run, above the 256 literal cap -> range tier
+    dels = write_equality_deletes(
+        t, spark.createDataFrame([(i,) for i in range(100, 500)], ["id"]),
+        ["id"])
+    RowDelta(t, [], dels).commit()
+    t = t.refresh()
+    S._EQ_LITERAL_FILTER_CACHE.clear()
+    df = t.to_df()
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+    assert df.count() == 201  # 0..99, 500..599, and the NULL row
+    assert df.filter("id is null").count() == 1
+
+    # now delete NULL too: the NULL row must go
+    dels2 = write_equality_deletes(
+        t, spark.createDataFrame([(None,)], T.StructType([schema["id"]])),
+        ["id"])
+    RowDelta(t, [], dels2).commit()
+    t = t.refresh()
+    S._EQ_LITERAL_FILTER_CACHE.clear()
+    assert t.to_df().filter("id is null").count() == 0
+
+
+def test_eq_range_run_helper():
+    """Unit coverage of the adjacency-run compression itself."""
+    import datetime as dt
+
+    from iceberg_spark.scan import _eq_key_runs
+
+    assert _eq_key_runs(list(range(100, 200)), "long", 16) == [(100, 199)]
+    assert _eq_key_runs([1, 2, 3, 7, 8, 50], "int", 16) == \
+        [(1, 3), (7, 8), (50, 50)]
+    # scattered: no compression -> None (keeps isin/probe tiers)
+    assert _eq_key_runs(list(range(0, 100, 2)), "long", 16) is None
+    # over the cap -> None
+    assert _eq_key_runs([i * 3 for i in range(20)], "long", 16) is None
+    # strings are not exactly rangeable
+    assert _eq_key_runs(["a", "b"], "string", 16) is None
+    # dates compress on day adjacency
+    d0 = dt.date(2024, 1, 1)
+    days = [d0 + dt.timedelta(days=i) for i in range(30)]
+    assert _eq_key_runs(days, "date", 16) == [(days[0], days[-1])]
+    assert _eq_key_runs(days[::2], "date", 16) is None
+    # cap 0 disables the tier
+    assert _eq_key_runs([1, 2, 3], "long", 0) is None
