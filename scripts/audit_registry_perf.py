@@ -74,6 +74,15 @@ GATES_ABS = {
     # check_bench iterates GATES_ABS and consults GATES_ABS_MT only as
     # an alternate ceiling for names already in GATES_ABS).
     "plan_import_decode_10k": 0.40,
+    # Steady-state REPLANNING twin of plan_distributed_full (r14): same
+    # 32-task distributed planning job with the session memos
+    # (_MANIFEST_CACHE / _ENTRIES_PLAN_CACHE) left warm. Exists so a
+    # regression in the cache tiers — which would push the warm time up
+    # toward (or past) the cold time — is gated, not just visible.
+    # Same ceiling as the cold entry: the dominant cost is the same
+    # MT-swinging Spark job, so a tighter ceiling would only add
+    # window-noise trips.
+    "plan_distributed_warm_10k_files": 0.65,
 }
 # Multi-core-tracking entries (wide Spark jobs whose wall time follows
 # AGGREGATE core throughput, not single-thread speed). For these, a run
@@ -92,6 +101,7 @@ GATES_ABS = {
 CAL_MT_REF = 0.4829
 GATES_ABS_MT = {
     "plan_distributed_full_10k_files": 0.65,
+    "plan_distributed_warm_10k_files": 0.65,
 }
 GATES_RATIO = {
     # Every ratio gates on bench.py's INTERLEAVED pair-timed median so

@@ -75,10 +75,14 @@ def test_gated_name_sets_pinned():
         "plan_full_10k_files",
         "maintenance_plan_10k",
         "plan_distributed_full_10k_files",
+        "plan_distributed_warm_10k_files",
         "plan_import_decode_10k",
     }
-    # only genuinely multi-core-tracking entries belong here
-    assert set(GATES_ABS_MT) == {"plan_distributed_full_10k_files"}
+    # only genuinely multi-core-tracking entries belong here (the warm
+    # twin runs the same 32-task distributed planning job as the cold
+    # entry, so it tracks aggregate throughput the same way)
+    assert set(GATES_ABS_MT) == {"plan_distributed_full_10k_files",
+                                 "plan_distributed_warm_10k_files"}
     assert set(GATES_ABS_MT) <= set(GATES_ABS)
 
 
