@@ -446,13 +446,22 @@ def q5_spj_benchmarks(spark, register, sf_dir):
     # IS the bucket count, so fewer buckets than cores caps the scan's
     # parallelism (16 buckets measured 1.4x SLOWER than shuffle q5 at
     # sf1 for exactly that reason). On a real cluster, size buckets to
-    # executor slots. r14 sweep (medians of 7, one sitting per SF):
+    # executor slots. r14 bucket-width sweep (medians of 7 consecutive
+    # warm runs, one sitting per SF):
     # sf0.1 — shuffle 0.58, spj 4/8/16/32 buckets 0.61/0.66/0.63/0.54;
     # sf1 — shuffle 0.93, spj 8/16/32/64 buckets 1.04/0.91/0.83/0.93.
-    # 32 is at the optimum at BOTH scales (and ≤ shuffle q5 at both);
-    # the r13 sf1 ratio of 1.47 did not reproduce at r14 HEAD. Left at
-    # 32 — scaling buckets DOWN at small SF (the r13 hypothesis) is
-    # measurably wrong on this box.
+    # 32 is at the optimum at BOTH scales, so bucket width is NOT the
+    # lever for the sf1 gap and stays at 32 (scaling buckets down at
+    # small SF — the r13 hypothesis — is measurably wrong on this box:
+    # every narrower width is slower). Under the sf1 artifact's
+    # INTERLEAVED pair-timing the spj/shuffle ratio stays ~1.47
+    # (r13 1.4714, r14 1.4682 — stable round over round, gated as a
+    # bounded-overhead tripwire at 2.5, not a speedup bar); the sweep
+    # above shows consecutive runs of the same leg at ~0.9x, so the
+    # pair-timed residual is alternation cost (cache/JIT interplay of
+    # two q5 implementations sharing one JVM) plus SPJ fixed costs on a
+    # sub-second query, not bucket-width misconfiguration. SPJ's value
+    # is at sf10: ratio 0.53-0.59 with the shuffle side spilling.
     ta = create_bucketed_table(cat, "q5spj.lineitem", li, 32, "k")
     tb = create_bucketed_table(cat, "q5spj.orders", od, 32, "k")
 
